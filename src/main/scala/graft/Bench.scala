@@ -1,23 +1,32 @@
 package graft
-import org.apache.spark.sql.SparkSession
+
+/** Benchmark entry point (driver-run per round → BENCH_r{N}.json).
+  * Times each headline query end-to-end (plan + execute + reduce) on
+  * SPARK_GRAFT_SF_DIR, after one untimed warmup of the smallest query to
+  * absorb JVM/classloading costs. Prints ONE JSON line. */
 object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "4")
-    val spark = SparkSession.builder()
-      .master(s"local[$cpus]")
-      .config("spark.sql.shuffle.partitions", cpus)
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
-    spark.sparkContext.setLogLevel("WARN")
-    val results = SparkEntry.queries.map { case (name, fn) =>
+    val spark = GraftSession.get("graft-bench")
+
+    val headline = Registry.all.filter(_.headline)
+    // warmup: small full pipeline, untimed (codegen + classloading)
+    try Registry.byName("d4_count").build(spark, sfDir).count()
+    catch { case _: Throwable => () }
+
+    val results = headline.map { q =>
       val t0 = System.nanoTime()
-      try { fn(spark, sfDir).count() } catch { case _: Throwable => -1L }
-      name -> (System.nanoTime() - t0) / 1e9
+      // execute the *physical* plan as planned (df.count() would let the
+      // optimizer drop sorts/projections above the agg and under-measure)
+      try q.build(spark, sfDir).queryExecution.toRdd.count()
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+      }
+      q.name -> (System.nanoTime() - t0) / 1e9
     }
-    val qs = results.map { case (k, v) => s"\"" + k + "\":" + v }
+    val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = if (results.nonEmpty) results.values.sum else 0.0
+    val total = results.map(_._2).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -1,0 +1,42 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+
+/** Central SparkSession factory: every entry point (Verify, Bench, tests)
+  * gets identical, scale-minded settings.
+  *
+  *  - shuffle.partitions defaults to the local core count (driver passes
+  *    SPARK_GRAFT_CPUS); on a real cluster this would be ~2-3× total cores
+  *    and AQE coalesces the rest.
+  *  - AQE on: runtime re-planning (partition coalescing, skew-join
+  *    splitting, broadcast demotion/promotion) is the main lever that makes
+  *    the same plans survive a 100× scale-up.
+  *  - nanosAsLong: the driver's events table stores TIMESTAMP(NANOS),
+  *    which Spark's vectorized reader refuses; read as long and convert
+  *    at the loader (Tables) so plans see a proper timestamp column.
+  *  - session timezone pinned UTC for oracle parity.
+  */
+object GraftSession {
+
+  def builder(appName: String = "graft"): SparkSession.Builder = {
+    val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
+      math.max(2, Runtime.getRuntime.availableProcessors()).toString)
+    SparkSession.builder()
+      .appName(appName)
+      .master(s"local[$cpus]")
+      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.adaptive.enabled", "true")
+      .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      .config("spark.sql.session.timeZone", "UTC")
+      .config("spark.sql.parquet.compression.codec", "snappy")
+      .config("spark.ui.enabled", "false")
+      .config("spark.driver.host", "localhost")
+  }
+
+  def get(appName: String = "graft"): SparkSession = {
+    val spark = builder(appName).getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    spark
+  }
+}

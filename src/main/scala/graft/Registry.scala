@@ -1,0 +1,248 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import graft.ops._
+
+/** One engine operator exposed through the driver contract.
+  *
+  * @param oracle DuckDB-runnable ANSI SQL producing the same rows, columns
+  *               (by name) and values; None → driver falls back to a
+  *               rows-only check (used for ops whose hash functions /
+  *               heuristics are not SQL-expressible).
+  * @param headline included in the Bench headline timing set.
+  */
+final case class GraftQuery(
+    name: String,
+    build: (SparkSession, String) => DataFrame,
+    oracle: Option[String] = None,
+    headline: Boolean = false)
+
+/** The operator registry — the single source of truth behind
+  * SparkEntry.queries / oracleSql and Bench. Names are prefixed with the
+  * SURVEY.md §2 operator id they implement. */
+object Registry {
+
+  val core: Seq[GraftQuery] = Seq(
+    GraftQuery("f2_explode_tokens", CoreOps.f2ExplodeTokens, Some(
+      """SELECT doc_id, CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INTEGER) AS pos,
+        |       unnest(string_split(text, ' ')) AS token
+        |FROM documents ORDER BY doc_id, pos""".stripMargin)),
+    GraftQuery("f3_null_coerce", CoreOps.f3NullCoerce, Some(
+      """SELECT event_id,
+        |       coalesce(nullif(CAST(json_extract_string(props, '$.k') AS DOUBLE), 0.0), -1.0) AS k_coerced
+        |FROM events ORDER BY event_id""".stripMargin)),
+    GraftQuery("f4_unit_convert", CoreOps.f4UnitConvert, Some(
+      """SELECT event_id, value AS temp_c, value * 9 / 5 + 32 AS temp_f
+        |FROM events ORDER BY event_id""".stripMargin)),
+    GraftQuery("a5_literal_columns", CoreOps.a5LiteralColumns, Some(
+      """SELECT event_id, 'incremental' AS load_mode, 0 AS sync_interval_min, 'Stockton' AS city
+        |FROM events ORDER BY event_id""".stripMargin)),
+    GraftQuery("f6_date_format", CoreOps.f6DateFormat, Some(
+      """SELECT event_id, strftime(ts, '%Y-%m-%d') AS day_str
+        |FROM events ORDER BY event_id""".stripMargin)),
+    GraftQuery("e4_substr_to_date", CoreOps.e4SubstrToDate, Some(
+      """SELECT l_orderkey, l_linenumber, l_quantity,
+        |       CAST(CAST(substr(CAST(l_shipdate AS VARCHAR), 1, 10) AS DATE) AS TIMESTAMP) AS ship_day
+        |FROM lineitem ORDER BY l_orderkey, l_linenumber, l_quantity, ship_day""".stripMargin)),
+    GraftQuery("e5_ts_normalize", CoreOps.e5TsNormalize, Some(
+      """SELECT event_id, strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_norm
+        |FROM events ORDER BY event_id""".stripMargin)),
+    GraftQuery("e6_null_default", CoreOps.e6NullDefault, Some(
+      """SELECT doc_id, coalesce(nullif(source, 'src0'), '') AS source_id
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+    GraftQuery("e2_nested_filter", CoreOps.e2NestedFilter, Some(
+      """SELECT doc_id, n_chars FROM documents WHERE lang = 'en' ORDER BY doc_id""")),
+    GraftQuery("a1_monthly_agg_events", CoreOps.a1MonthlyAggEvents, Some(
+      """SELECT event_type, date_trunc('month', ts) AS month,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS avg_value,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |       count(*) AS rows_loaded
+        |FROM events GROUP BY event_type, date_trunc('month', ts)
+        |ORDER BY event_type, month""".stripMargin), headline = true),
+    GraftQuery("a1_monthly_agg_lineitem", CoreOps.a1MonthlyAggLineitem, Some(
+      """SELECT l_returnflag, date_trunc('month', l_shipdate) AS month,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity) AS avg_qty,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_rows
+        |FROM lineitem GROUP BY l_returnflag, date_trunc('month', l_shipdate)
+        |ORDER BY l_returnflag, month""".stripMargin), headline = true),
+    GraftQuery("a2_week_trunc", CoreOps.a2WeekTrunc, Some(
+      """SELECT date_trunc('week', ts) AS week, count(*) AS n
+        |FROM events GROUP BY 1 ORDER BY week""".stripMargin)),
+    GraftQuery("d4_count", CoreOps.d4Count, Some(
+      """SELECT count(*) AS total FROM lineitem""")),
+    GraftQuery("c1_sort_multikey", CoreOps.c1SortMultikey, Some(
+      """SELECT * FROM lineitem
+        |ORDER BY l_returnflag, l_shipdate, l_orderkey, l_partkey, l_suppkey,
+        |         l_linenumber, l_quantity, l_extendedprice, l_discount, l_tax, l_linestatus""".stripMargin), headline = true),
+    GraftQuery("c2_pushdown_filter", CoreOps.c2PushdownFilter, Some(
+      """SELECT l_orderkey, l_linenumber, l_returnflag, l_shipdate
+        |FROM lineitem WHERE l_returnflag = 'R'
+        |ORDER BY l_returnflag, l_shipdate, l_orderkey, l_linenumber""".stripMargin)),
+    GraftQuery("s2_param_filter_sort", (s, d) => CoreOps.s2ParamFilterSort(s, d), Some(
+      """SELECT date_trunc('month', ts) AS month,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS avg_value,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY month""".stripMargin)),
+    GraftQuery("s3_cast_project", CoreOps.s3CastProject, Some(
+      """SELECT o_orderkey, CAST(o_totalprice AS DOUBLE) AS total_price,
+        |       CAST(o_custkey AS INTEGER) AS cust_id
+        |FROM orders ORDER BY o_orderkey""".stripMargin)),
+    GraftQuery("s4_staleness_case", CoreOps.s4StalenessCase, Some(
+      """SELECT event_id, value / 200.0 AS ttl_frac,
+        |       CASE WHEN value / 200.0 < 0.2 THEN 'out-of-sync'
+        |            WHEN value / 200.0 < 0.6 THEN 'partial'
+        |            ELSE 'full' END AS sync_status
+        |FROM events ORDER BY event_id""".stripMargin)),
+    GraftQuery("d5_filtered_limit", CoreOps.d5FilteredLimit, Some(
+      """SELECT * FROM events WHERE event_type = 'error' ORDER BY event_id LIMIT 1""")),
+    GraftQuery("f8_limit_sample", CoreOps.f8LimitSample, Some(
+      """SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id LIMIT 3""")),
+    GraftQuery("u1_month_label", CoreOps.u1MonthLabel, Some(
+      """SELECT month, strftime(month, '%b %Y') AS label
+        |FROM (SELECT DISTINCT date_trunc('month', l_shipdate) AS month FROM lineitem)
+        |ORDER BY month""".stripMargin)),
+    GraftQuery("u2_round_coalesce", CoreOps.u2RoundCoalesce, Some(
+      """SELECT event_id, coalesce(floor(value / 3.0 * 10.0 + 0.5) / 10.0, 0.0) AS value_r
+        |FROM events ORDER BY event_id""".stripMargin)))
+
+  val joins: Seq[GraftQuery] = Seq(
+    GraftQuery("j1_broadcast_dim_join", JoinOps.j1BroadcastDimJoin, Some(
+      """SELECT c_mktsegment,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total_revenue,
+        |       count(*) AS n_orders
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin), headline = true),
+    GraftQuery("j2_fact_join_agg", JoinOps.j2FactJoinAgg, Some(
+      """SELECT o_orderpriority,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin), headline = true),
+    GraftQuery("j3_star_join", JoinOps.j3StarJoin, Some(
+      """SELECT r_name, n_name,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY r_name, n_name ORDER BY r_name, n_name""".stripMargin), headline = true),
+    GraftQuery("j4_anti_join", JoinOps.j4AntiJoin, Some(
+      """SELECT c_custkey, c_name FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        |ORDER BY c_custkey""".stripMargin)),
+    GraftQuery("j5_semi_join", JoinOps.j5SemiJoin, Some(
+      """SELECT p_partkey, p_brand FROM part
+        |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
+        |ORDER BY p_partkey""".stripMargin)))
+
+  val windows: Seq[GraftQuery] = Seq(
+    GraftQuery("w1_topn_per_group", WindowOps.w1TopNPerGroup, Some(
+      """SELECT o_orderpriority, rn, o_orderkey, o_totalprice FROM (
+        |  SELECT o_orderpriority, o_orderkey, o_totalprice,
+        |         CAST(row_number() OVER (PARTITION BY o_orderpriority
+        |                                 ORDER BY o_totalprice DESC, o_orderkey) AS INTEGER) AS rn
+        |  FROM orders)
+        |WHERE rn <= 3 ORDER BY o_orderpriority, rn""".stripMargin)),
+    GraftQuery("w2_running_sum", WindowOps.w2RunningSum, Some(
+      """SELECT user_id, event_id,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |            OVER (PARTITION BY user_id ORDER BY event_id) AS DOUBLE) AS running_value
+        |FROM events ORDER BY user_id, event_id""".stripMargin)),
+    GraftQuery("w3_lag_delta", WindowOps.w3LagDelta, Some(
+      """SELECT user_id, event_id,
+        |       value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS delta
+        |FROM events ORDER BY user_id, event_id""".stripMargin)))
+
+  val sets: Seq[GraftQuery] = Seq(
+    GraftQuery("set1_union_distinct", SetOps.set1UnionDistinct, Some(
+      """SELECT r_name AS name FROM region UNION SELECT n_name FROM nation ORDER BY name""")),
+    GraftQuery("set2_except", SetOps.set2Except, Some(
+      """SELECT c_custkey AS custkey FROM customer
+        |EXCEPT SELECT o_custkey FROM orders ORDER BY custkey""".stripMargin)),
+    GraftQuery("set3_intersect", SetOps.set3Intersect, Some(
+      """SELECT user_id FROM events WHERE event_type = 'error'
+        |INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase'
+        |ORDER BY user_id""".stripMargin)),
+    GraftQuery("g1_rollup", SetOps.g1Rollup, Some(
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag, coalesce(l_linestatus, 'ALL') AS status,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
+        |ORDER BY flag, status""".stripMargin)),
+    GraftQuery("g2_count_distinct", SetOps.g2CountDistinct, Some(
+      """SELECT count(DISTINCT l_partkey) AS n_parts FROM lineitem""")))
+
+  /** LLM-training-data pipeline extensions (BASELINE.json north star):
+    * dedup, similarity search, text analysis, multimodal columns.
+    * Engine-internal hashes/heuristics (minhash, simhash, lsh, langid,
+    * fingerprint) have no SQL oracle → rows-only driver check; their
+    * semantics are pinned by the unit suite instead. */
+  val extensions: Seq[GraftQuery] = Seq(
+    GraftQuery("x_text_tokens", TextOps.tokenStats, Some(
+      """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |       CAST(length(text) AS INTEGER) AS n_chars_m
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+    GraftQuery("x_text_quality", TextOps.qualityScore, Some(
+      """SELECT doc_id,
+        |       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |       CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','to','in','is','or','for','on'))) AS INTEGER) AS n_stopwords,
+        |       len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','to','in','is','or','for','on'))) / len(string_split(text, ' ')) AS stop_ratio,
+        |       (length(text) - (len(string_split(text, ' ')) - 1)) / len(string_split(text, ' ')) AS avg_token_len,
+        |       len(string_split(text, ' ')) < 5 AS is_short
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+    GraftQuery("x_text_langid", TextOps.langId, None),
+    GraftQuery("x_text_fingerprint", TextOps.fingerprint, None),
+    GraftQuery("x_dedup_exact", DedupOps.exact, Some(
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin)),
+    GraftQuery("x_dedup_ngram_jaccard", DedupOps.ngramJaccard, Some(
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |tri AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+        |        FROM toks WHERE len(t) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |          FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) AS jaccard
+        |FROM pairs JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+        |WHERE 3 * n_common >= ca.n + cb.n
+        |ORDER BY doc_a, doc_b""".stripMargin), headline = true),
+    GraftQuery("x_dedup_minhash_lsh", DedupOps.minhashLsh, None, headline = true),
+    GraftQuery("x_dedup_simhash", DedupOps.simhash, None),
+    GraftQuery("x_dedup_embed_cosine", DedupOps.embedCosine, Some(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
+        |SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, list_cosine_similarity(a.v, b.v) AS cos
+        |FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(a.v, b.v) >= 0.5
+        |ORDER BY vec_a, vec_b""".stripMargin)),
+    GraftQuery("x_sim_topk_brute", SimilarityOps.topkBrute, Some(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+        |s AS (SELECT q_id, vec_id AS neighbor_id, list_cosine_similarity(qv, v) AS cos FROM q, e)
+        |SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
+        |       neighbor_id
+        |FROM s QUALIFY rank <= 10 ORDER BY q_id, rank""".stripMargin), headline = true),
+    GraftQuery("x_sim_ann_lsh", SimilarityOps.annLsh, None),
+    GraftQuery("x_mm_binary_meta", MultimodalOps.binaryMeta, Some(
+      """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
+        |       CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'img' WHEN 1 THEN 'audio'
+        |            ELSE 'video' END AS media_format
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+    GraftQuery("x_mm_decode_meta", MultimodalOps.decodeMeta, Some(
+      """SELECT doc_id,
+        |       CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'img' WHEN 1 THEN 'audio'
+        |            ELSE 'video' END AS format,
+        |       CAST(16 * (1 + ascii(substr(text, 1, 1)) % 32) AS INTEGER) AS width,
+        |       CAST(16 * (1 + octet_length(encode(text)) % 32) AS INTEGER) AS height,
+        |       CAST(octet_length(encode(text)) % 7 AS INTEGER) AS n_frames
+        |FROM documents ORDER BY doc_id""".stripMargin)))
+
+  def all: Seq[GraftQuery] = core ++ joins ++ windows ++ sets ++ extensions
+
+  def byName(name: String): GraftQuery =
+    all.find(_.name == name).getOrElse(sys.error(s"unknown query: $name"))
+}

@@ -1,0 +1,232 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Core relational operators — the full SURVEY.md §2 inventory of the
+  * reference (`iDarshanaPatil/Weather-Database-System`) re-expressed as
+  * declarative Spark plans over the driver's test tables.
+  *
+  * Each method is one operator family; the id prefix (f2, a1, …) matches
+  * SURVEY.md §2's operator ids and the reference file:line cited there.
+  * All plans are Catalyst-friendly: filters/projections sit directly over
+  * the parquet scan (pushdown + pruning), aggregates use partial+final
+  * hash aggregation, and nothing collects to the driver.
+  */
+object CoreOps {
+
+  /** F2 — struct-of-arrays → rows (reference `fetchStocktonWeather.js:77-105`
+    * zips 6 parallel hourly arrays). Generalized: tokenize + posexplode.
+    * Scale note: explode is narrow (no shuffle); output is ~100× input rows,
+    * so never follow it with a wide op before reducing. */
+  def f2ExplodeTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), posexplode(split(col("text"), " ")))
+      .toDF("doc_id", "pos", "token")
+      .orderBy("doc_id", "pos")
+
+  /** F3 — null-coercion scalar (`fetchStocktonWeather.js:73-75`): non-usable
+    * value → fallback. JSON field extract + nullif + coalesce. */
+  def f3NullCoerce(spark: SparkSession, dir: String): DataFrame = {
+    val k = get_json_object(col("props"), "$.k").cast(DoubleType)
+    Tables(spark, dir, "events")
+      .select(
+        col("event_id"),
+        coalesce(when(k === 0.0, lit(null)).otherwise(k), lit(-1.0)).as("k_coerced"))
+      .orderBy("event_id")
+  }
+
+  /** F4 — derived unit-conversion column, null-propagating
+    * (`fetchStocktonWeather.js:97`: F = C*9/5+32). Per-row IEEE double math. */
+  def f4UnitConvert(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(
+        col("event_id"),
+        col("value").as("temp_c"),
+        (col("value") * lit(9) / lit(5) + lit(32)).as("temp_f"))
+      .orderBy("event_id")
+
+  /** A5/F5 — literal audit columns (`etlToClickHouse.js:167-168`,
+    * `fetchStocktonWeather.js:148-155`). */
+  def a5LiteralColumns(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(
+        col("event_id"),
+        lit("incremental").as("load_mode"),
+        lit(0).as("sync_interval_min"),
+        lit("Stockton").as("city"))
+      .orderBy("event_id")
+
+  /** F6 — date formatting scalar (`fetchStocktonWeather.js:27`). */
+  def f6DateFormat(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(col("event_id"), date_format(col("ts"), "yyyy-MM-dd").as("day_str"))
+      .orderBy("event_id")
+
+  /** E4 — substring-of-timestamp → date (`etlToClickHouse.js:100`
+    * `timestamp.slice(0,10)`). */
+  def e4SubstrToDate(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .select(
+        col("l_orderkey"), col("l_linenumber"), col("l_quantity"),
+        // date kept as midnight timestamp in the output: parquet DATE vs
+        // DuckDB DATE surface differently to the driver's comparator.
+        to_date(substring(col("l_shipdate").cast(StringType), 1, 10))
+          .cast(TimestampType).as("ship_day"))
+      .orderBy("l_orderkey", "l_linenumber", "l_quantity", "ship_day")
+
+  /** E5 — timestamp normalization (`etlToClickHouse.js:82-97`: ISO →
+    * "yyyy-MM-dd HH:mm:ss"). */
+  def e5TsNormalize(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(col("event_id"), date_format(col("ts"), "yyyy-MM-dd HH:mm:ss").as("ts_norm"))
+      .orderBy("event_id")
+
+  /** E6 — null-safe access with default (`etlToClickHouse.js:111-116`
+    * `?? ""`). */
+  def e6NullDefault(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        coalesce(when(col("source") === "src0", lit(null)).otherwise(col("source")), lit(""))
+          .as("source_id"))
+      .orderBy("doc_id")
+
+  /** E2 — nested-field equality filter (`etlToClickHouse.js:74` filters
+    * `metadata.author`). Builds a struct then filters through it; Catalyst
+    * collapses the struct access so the parquet scan still gets a flat
+    * pushed filter. */
+  def e2NestedFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(struct(col("lang"), col("source")).as("meta"), col("doc_id"), col("n_chars"))
+      .filter(col("meta.lang") === "en")
+      .select(col("doc_id"), col("n_chars"))
+      .orderBy("doc_id")
+
+  /** A1 — THE core query (`etlToClickHouse.js:157-173`): group by key ×
+    * month, avg/sum/count, ordered. Partial+final HashAggregate; the
+    * decimal route keeps the sums exact at any partition count — the same
+    * plan holds at 100 TB (shuffle width = |groups|, not |rows|). */
+  def a1MonthlyAggEvents(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(col("event_type"), date_trunc("month", col("ts")).as("month"))
+      .agg(
+        avgExact(col("value")).as("avg_value"),
+        sumExact(col("value")).as("total_value"),
+        count(lit(1)).as("rows_loaded"))
+      .orderBy("event_type", "month")
+
+  /** A1 on the fact table: returnflag × ship-month with the TPC-H revenue
+    * term — exercises exact decimal product+sum. */
+  def a1MonthlyAggLineitem(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), date_trunc("month", col("l_shipdate")).as("month"))
+      .agg(
+        avgExact(col("l_quantity")).as("avg_qty"),
+        sumExact(col("l_quantity")).as("sum_qty"),
+        revenueExact(col("l_extendedprice"), col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag", "month")
+
+  /** A2 — date truncation at week grain (ISO Monday in both engines). */
+  def a2WeekTrunc(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(date_trunc("week", col("ts")).as("week"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("week")
+
+  /** A4/D4 — full count (`diagnostics.js:80-100`). */
+  def d4Count(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem").agg(count(lit(1)).as("total"))
+
+  /** C1 — full-table multi-key sort (`clickhouseToRedis.js:27-46`
+    * ORDER BY city, month). Range-partitioned SortExec; at scale this is
+    * the one intentionally global shuffle in the serving path. */
+  def c1SortMultikey(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    // (orderkey, linenumber) is NOT unique in the synthetic data — sort on
+    // every column so the layout is a deterministic multiset order.
+    val keys = Seq("l_returnflag", "l_shipdate") ++
+      li.columns.filterNot(Set("l_returnflag", "l_shipdate"))
+    li.orderBy(keys.map(col): _*)
+  }
+
+  /** C2 — the reference's scan-all-then-filter cache bug
+    * (`clickhouseToRedis.js:55`): filter written *after* the sort; Catalyst
+    * pushes it below the sort and into the scan — the optimization the
+    * reference leaves on the table. */
+  def c2PushdownFilter(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .orderBy("l_returnflag", "l_shipdate", "l_orderkey", "l_linenumber")
+      .filter(col("l_returnflag") === "R")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_returnflag"), col("l_shipdate"))
+
+  /** S2 — parameterized filter + sort, the serving read path
+    * (`backend/routes/monthly.js:58-77`). Bound parameter, not string SQL. */
+  def s2ParamFilterSort(spark: SparkSession, dir: String, eventType: String = "purchase"): DataFrame =
+    Tables(spark, dir, "events")
+      .filter(col("event_type") === eventType)
+      .groupBy(date_trunc("month", col("ts")).as("month"))
+      .agg(avgExact(col("value")).as("avg_value"), sumExact(col("value")).as("total_value"))
+      .orderBy("month")
+
+  /** S3 — projection + cast + null guard (`monthly.js:27-33,90-96`). */
+  def s3CastProject(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        col("o_totalprice").cast(DoubleType).as("total_price"),
+        col("o_custkey").cast(IntegerType).as("cust_id"))
+      .orderBy("o_orderkey")
+
+  /** S4 — staleness classification CASE over a TTL fraction
+    * (`monthly.js:37-42`: <0.2 out-of-sync, <0.6 partial, else full). */
+  def s4StalenessCase(spark: SparkSession, dir: String): DataFrame = {
+    val frac = col("value") / lit(200.0)
+    Tables(spark, dir, "events")
+      .select(
+        col("event_id"),
+        frac.as("ttl_frac"),
+        when(frac < 0.2, "out-of-sync").when(frac < 0.6, "partial").otherwise("full")
+          .as("sync_status"))
+      .orderBy("event_id")
+  }
+
+  /** D5 — filtered limit-1 sample (`diagnostics.js:102-121`), made
+    * deterministic with a total order. CollectLimitExec. */
+  def d5FilteredLimit(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .filter(col("event_type") === "error")
+      .orderBy("event_id")
+      .limit(1)
+
+  /** F8 — debug sample `slice(0,3)` (`fetchStocktonWeather.js:170`). */
+  def f8LimitSample(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+      .orderBy("doc_id")
+      .limit(3)
+
+  /** U1 — month label formatting (`dashboard.js:91-94`) over DISTINCT
+    * months. */
+  def u1MonthLabel(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .select(date_trunc("month", col("l_shipdate")).as("month"))
+      .distinct()
+      .select(col("month"), date_format(col("month"), "MMM yyyy").as("label"))
+      .orderBy("month")
+
+  /** U2 — fixed-decimal rounding + null→0 (`dashboard.js:96-97`).
+    * Implemented as floor(x*10+0.5)/10 — pure IEEE double ops, identical
+    * in any engine (library `round` implementations differ in how they
+    * resolve binary-vs-decimal halfway cases). */
+  def u2RoundCoalesce(spark: SparkSession, dir: String): DataFrame = {
+    val x = col("value") / lit(3.0)
+    Tables(spark, dir, "events")
+      .select(
+        col("event_id"),
+        coalesce(floor(x * lit(10.0) + lit(0.5)) / lit(10.0), lit(0.0)).as("value_r"))
+      .orderBy("event_id")
+  }
+}

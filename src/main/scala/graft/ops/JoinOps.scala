@@ -1,0 +1,87 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Join operators. The reference has no joins (SURVEY.md §2, "What the
+  * reference does NOT have"), but a complete analytics engine over its
+  * warehouse schema needs them; these are the star-schema shapes its
+  * fact/aggregate tables invite.
+  *
+  * Scale strategy (100 TB): dimension tables (region/nation/customer at
+  * warehouse scale) are broadcast — no shuffle of the fact side; fact-fact
+  * joins shuffle on the join key and rely on AQE for skew splitting. Each
+  * join is immediately followed by a reducing aggregate so the shuffle
+  * width stays |groups|, not |rows|.
+  */
+object JoinOps {
+
+  /** Broadcast dimension join: orders ⋈ customer → revenue per market
+    * segment. BroadcastHashJoinExec: the fact scan never shuffles. */
+  def j1BroadcastDimJoin(spark: SparkSession, dir: String): DataFrame = {
+    val orders = Tables(spark, dir, "orders")
+    val customer = Tables(spark, dir, "customer")
+    orders
+      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .groupBy(col("c_mktsegment"))
+      .agg(
+        sumExact(col("o_totalprice")).as("total_revenue"),
+        count(lit(1)).as("n_orders"))
+      .orderBy("c_mktsegment")
+  }
+
+  /** Fact-fact shuffle join: lineitem ⋈ orders on orderkey → revenue per
+    * order priority. Both sides hash-partition on the key; AQE coalesces
+    * post-shuffle partitions and splits skewed ones. */
+  def j2FactJoinAgg(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val orders = Tables(spark, dir, "orders")
+    li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        revenueExact(col("l_extendedprice"), col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Star join: lineitem ⋈ orders ⋈ customer ⋈ nation ⋈ region → revenue
+    * by nation (TPC-H Q5 shape). Dims broadcast; only the li⋈orders edge
+    * shuffles. */
+  def j3StarJoin(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val orders = Tables(spark, dir, "orders")
+    val customer = Tables(spark, dir, "customer")
+    val nation = Tables(spark, dir, "nation")
+    val region = Tables(spark, dir, "region")
+    li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("r_name"), col("n_name"))
+      .agg(
+        revenueExact(col("l_extendedprice"), col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("r_name", "n_name")
+  }
+
+  /** Anti join: customers with no orders (NOT EXISTS). BroadcastHashJoin
+    * (left_anti) when the subquery side is small; shuffle-hash otherwise. */
+  def j4AntiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val customer = Tables(spark, dir, "customer")
+    val orders = Tables(spark, dir, "orders")
+    customer
+      .join(orders, customer("c_custkey") === orders("o_custkey"), "left_anti")
+      .select(col("c_custkey"), col("c_name"))
+      .orderBy("c_custkey")
+  }
+
+  /** Semi join: parts that appear in some lineitem (EXISTS). */
+  def j5SemiJoin(spark: SparkSession, dir: String): DataFrame = {
+    val part = Tables(spark, dir, "part")
+    val li = Tables(spark, dir, "lineitem")
+    part
+      .join(li, part("p_partkey") === li("l_partkey"), "left_semi")
+      .select(col("p_partkey"), col("p_brand"))
+      .orderBy("p_partkey")
+  }
+}

@@ -1,0 +1,49 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Set / grouping-set operators (absent from the reference — SURVEY.md §2 —
+  * included for engine completeness). */
+object SetOps {
+
+  /** UNION DISTINCT of two name domains. */
+  def set1UnionDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "region").select(col("r_name").as("name"))
+      .union(Tables(spark, dir, "nation").select(col("n_name").as("name")))
+      .distinct()
+      .orderBy("name")
+
+  /** EXCEPT (distinct): customer keys with no orders, set-wise. */
+  def set2Except(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "customer").select(col("c_custkey").as("custkey"))
+      .except(Tables(spark, dir, "orders").select(col("o_custkey").as("custkey")))
+      .orderBy("custkey")
+
+  /** INTERSECT (distinct): users seen in both error and purchase events. */
+  def set3Intersect(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    ev.filter(col("event_type") === "error").select(col("user_id"))
+      .intersect(ev.filter(col("event_type") === "purchase").select(col("user_id")))
+      .orderBy("user_id")
+  }
+
+  /** ROLLUP over (returnflag, linestatus) with exact sums; null grouping
+    * keys are folded to 'ALL' so the sort order is engine-independent
+    * (Spark sorts nulls first ASC, DuckDB last). */
+  def g1Rollup(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .rollup(col("l_returnflag"), col("l_linestatus"))
+      .agg(sumExact(col("l_quantity")).as("sum_qty"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("l_returnflag"), lit("ALL")).as("flag"),
+        coalesce(col("l_linestatus"), lit("ALL")).as("status"),
+        col("sum_qty"), col("n"))
+      .orderBy("flag", "status")
+
+  /** Exact COUNT DISTINCT (the scalable twin `approx_count_distinct` is
+    * exercised in the bench/tests; exact is the oracle-able one). */
+  def g2CountDistinct(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .agg(countDistinct(col("l_partkey")).as("n_parts"))
+}

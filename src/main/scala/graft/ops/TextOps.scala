@@ -1,0 +1,78 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Text-analysis operators for large-scale training-data pipelines:
+  * token statistics, quality scoring, language id, fingerprinting.
+  * All are narrow per-row transforms (no shuffle) — they scale linearly
+  * and sit in whole-stage codegen except the higher-order lambdas.
+  */
+object TextOps {
+
+  private val stopwords =
+    Seq("the", "a", "of", "and", "to", "in", "is", "or", "for", "on")
+
+  private def toks: Column = split(col("text"), " ")
+
+  /** Token + char counting (whitespace tokenizer; a BPE-ish regex variant
+    * is exercised in tests). */
+  def tokenStats(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(toks).as("n_tokens"),
+        length(col("text")).as("n_chars_m"))
+      .orderBy("doc_id")
+
+  /** Quality scoring: stopword ratio, average token length, short-doc
+    * flag — the length/punct/stopword heuristics of C4/Gopher-style
+    * filtering, as pure column arithmetic. */
+  def qualityScore(spark: SparkSession, dir: String): DataFrame = {
+    val inList = stopwords.map(s => s"'$s'").mkString(", ")
+    val nStop = expr(s"size(filter(split(text, ' '), t -> t IN ($inList)))")
+    val nTok = size(toks)
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        nTok.as("n_tokens"),
+        nStop.as("n_stopwords"),
+        (nStop / nTok).as("stop_ratio"),
+        ((length(col("text")) - (nTok - lit(1))) / nTok).as("avg_token_len"),
+        (nTok < 5).as("is_short"))
+      .orderBy("doc_id")
+  }
+
+  /** Language id by stopword-set voting (n-gram heuristic family).
+    * Not SQL-expressible in the oracle → rows-only check; unit-tested on
+    * hand-built fixtures instead. */
+  def langId(spark: SparkSession, dir: String): DataFrame = {
+    val sets: Seq[(String, Seq[String])] = Seq(
+      "en" -> Seq("the", "and", "of", "to", "is"),
+      "es" -> Seq("el", "la", "de", "que", "es"),
+      "de" -> Seq("der", "die", "und", "das", "ist"),
+      "fr" -> Seq("le", "la", "et", "les", "est"))
+    def score(ws: Seq[String]): Column =
+      expr(s"size(filter(split(lower(text), ' '), t -> t IN (${ws.map(w => s"'$w'").mkString(",")})))")
+    val scored = sets.map { case (l, ws) => struct(score(ws).as("s"), lit(l).as("l")) }
+    // argmax by (score, then lexicographically-last lang as tiebreak via max)
+    val best = greatest(scored: _*)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), best.getField("l").as("pred_lang"), best.getField("s").as("score"))
+      .orderBy("doc_id")
+  }
+
+  /** Document fingerprint: order-sensitive polynomial rolling hash over
+    * tokens, h' = (h*31 + hash(t)) mod 2^31 — the modulus keeps every
+    * intermediate < 2^36, safe under ANSI overflow checking. Engine-
+    * internal hash → no SQL oracle; determinism pinned by unit test. */
+  def fingerprint(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        expr("""aggregate(split(text, ' '), cast(0 as bigint),
+                (h, t) -> pmod(h * 31 + pmod(xxhash64(t), 2147483647), 2147483647))""")
+          .as("fingerprint"))
+      .orderBy("doc_id")
+}

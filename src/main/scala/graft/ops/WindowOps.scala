@@ -1,0 +1,50 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Window / analytic operators (absent from the reference — SURVEY.md §2 —
+  * but required for a complete serving surface: top-N per group, running
+  * totals, deltas).
+  *
+  * Scale note: window partitions shuffle once on the partition key; keys
+  * here (priority, user) have bounded per-key cardinality, so no single
+  * task sees unbounded state. Unbounded-key running totals at 100 TB would
+  * switch to range-bucketed two-pass prefix sums.
+  */
+object WindowOps {
+
+  /** Top-N per group via row_number — deterministic tie-break on the key. */
+  def w1TopNPerGroup(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables(spark, dir, "orders")
+      .withColumn("rn", row_number().over(w).cast(IntegerType))
+      .filter(col("rn") <= 3)
+      .select(col("o_orderpriority"), col("rn"), col("o_orderkey"), col("o_totalprice"))
+      .orderBy("o_orderpriority", "rn")
+  }
+
+  /** Running (cumulative) sum per user over event order — exact via the
+    * decimal route so prefix sums are order-stable bit-for-bit. */
+  def w2RunningSum(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    Tables(spark, dir, "events")
+      .select(
+        col("user_id"), col("event_id"),
+        sum(dec2(col("value"))).over(w).cast(DoubleType).as("running_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** Lag delta per user: value − previous value (null on first row). */
+  def w3LagDelta(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+    Tables(spark, dir, "events")
+      .select(
+        col("user_id"), col("event_id"),
+        (col("value") - lag(col("value"), 1).over(w)).as("delta"))
+      .orderBy("user_id", "event_id")
+  }
+}

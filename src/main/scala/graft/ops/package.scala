@@ -1,0 +1,63 @@
+package graft
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Shared helpers for the operator library.
+  *
+  * Determinism policy (the DuckDB-oracle hash gate compares exact values):
+  *  - Floating-point aggregation is routed through `DecimalType` casts:
+  *    decimal sums are exact and order-independent, so Spark's
+  *    partial/final hash aggregation over any partitioning produces the
+  *    same bits as DuckDB's single-threaded sum. The final result is cast
+  *    back to double so output schemas stay `double` in both engines.
+  *  - Every oracled query ends in a total ORDER BY over non-null keys.
+  *  - Per-row double arithmetic (a*b+c …) is IEEE-754 and engine-identical,
+  *    so projections may stay in double; only multi-row reductions need the
+  *    decimal route.
+  */
+package object ops {
+
+  /** Input columns in the test tables carry at most 2 decimal digits
+    * (prices, discounts, metric values), so DECIMAL(18,2) is lossless. */
+  val Dec2: DecimalType = DecimalType(18, 2)
+
+  def dec2(c: Column): Column = c.cast(Dec2)
+
+  /** Exact, order-independent sum of a 2-decimal column, returned as double. */
+  def sumExact(c: Column): Column = sum(dec2(c)).cast(DoubleType)
+
+  /** Exact average: exact decimal sum divided (in double) by the non-null
+    * count — bit-identical in Spark and DuckDB. */
+  def avgExact(c: Column): Column = sum(dec2(c)).cast(DoubleType) / count(c)
+
+  /** TPC-H revenue term `extendedprice * (1 - discount)` computed entirely
+    * in decimal (both operands are 2-decimal) — exact product, exact sum. */
+  def revenueExact(price: Column, discount: Column): Column =
+    sum(dec2(price) * (lit(BigDecimal(1)).cast(Dec2) - dec2(discount))).cast(DoubleType)
+}
+
+package ops {
+
+  /** Parquet table loader for the driver's test data layout
+    * (`$dir/<name>.parquet`, see TESTDATA.md). At 100 TB these would be
+    * partitioned/bucketed catalog tables; the loader is the single seam
+    * where that swap happens. */
+  object Tables {
+    val all: Seq[String] = Seq(
+      "region", "nation", "customer", "supplier", "part",
+      "orders", "lineitem", "events", "documents", "embeddings")
+
+    def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+      val df = spark.read.parquet(s"$dir/$name.parquet")
+      // events.ts is parquet TIMESTAMP(NANOS); with
+      // spark.sql.legacy.parquet.nanosAsLong it arrives as nanos-since-epoch
+      // (LongType). Truncate to micros — exactly what DuckDB's µs-internal
+      // TIMESTAMP does on read — so oracle comparisons line up.
+      if (name == "events" && df.schema("ts").dataType == LongType)
+        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      else df
+    }
+  }
+}
