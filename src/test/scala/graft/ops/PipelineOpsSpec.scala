@@ -1,0 +1,102 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantics tests for the LLM-pipeline extensions: planted fixtures with
+  * known duplicates/neighbors, determinism across partitionings, and
+  * recall of the approximate paths against their exact twins. */
+class PipelineOpsSpec extends SparkSpec {
+
+  /** Planted corpus: 0/1 near-dups (one token differs), 2 = exact dup of
+    * 0, 3/4 unrelated. */
+  private lazy val plantedDir: String = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    val near = "the quick brown fox jumps over the lazy cat near the old river bank today"
+    val docs = Seq(
+      (0L, base, "en", "src0", base.length.toLong),
+      (1L, near, "en", "src0", near.length.toLong),
+      (2L, base, "en", "src1", base.length.toLong),
+      (3L, "completely different words about spark query engines and shuffles everywhere", "en", "src0", 78L),
+      (4L, "unrelated text mentioning databases clusters and partitions in production", "en", "src1", 74L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tempDir("planted_docs")
+    docs.repartition(3).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("exact dedup: identical texts collapse to min doc_id with multiplicity") {
+    val r = DedupOps.exact(spark, plantedDir).collect()
+      .map(x => (x.getLong(0), x.getLong(1))).toMap
+    assert(r(0L) == 2L) // docs 0 and 2 share text, survivor id 0
+    assert(r(1L) == 1L && r(3L) == 1L && r(4L) == 1L)
+  }
+
+  test("ngram jaccard: finds the near-dup and exact-dup pairs, nothing else") {
+    val pairs = DedupOps.ngramJaccard(spark, plantedDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val asSet = pairs.map(p => (p._1, p._2)).toSet
+    assert(asSet == Set((0L, 1L), (0L, 2L), (1L, 2L)))
+    val exactPair = pairs.find(p => (p._1, p._2) == (0L, 2L)).get
+    assert(exactPair._3 == 1.0) // identical docs → jaccard exactly 1
+  }
+
+  test("minhash-lsh: catches exact dups always, and only true near-dups") {
+    val lsh = DedupOps.minhashLsh(spark, plantedDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lsh.contains((0L, 2L))) // identical docs share every band
+    assert(lsh.subsetOf(Set((0L, 1L), (0L, 2L), (1L, 2L)))) // verified jaccard ≥ 0.5 only
+  }
+
+  test("simhash: identical docs at hamming 0; near-dups within 3") {
+    val r = DedupOps.simhash(spark, plantedDir).collect()
+      .map(x => ((x.getLong(0), x.getLong(1)), x.getAs[Number]("hamming").intValue())).toMap
+    assert(r((0L, 2L)) == 0)
+    assert(r.get((0L, 1L)).forall(_ <= 3)) // near-dup usually survives; never >3 if present
+  }
+
+  test("fingerprint: stable across partition counts and run-to-run") {
+    val a = graft.ops.TextOps.fingerprint(spark, plantedDir).collect().map(r => (r.getLong(0), r.getLong(1)))
+    val b = graft.ops.TextOps.fingerprint(spark, plantedDir).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(a.sameElements(b))
+    assert(a.toMap.apply(0L) == a.toMap.apply(2L)) // same text → same fingerprint
+    assert(a.toMap.apply(0L) != a.toMap.apply(3L))
+  }
+
+  test("token stats + quality: hand-checked on planted doc 0") {
+    val t = TextOps.tokenStats(spark, plantedDir).filter(col("doc_id") === 0).collect()(0)
+    assert(t.getAs[Int]("n_tokens") == 15)
+    val q = TextOps.qualityScore(spark, plantedDir).filter(col("doc_id") === 0).collect()(0)
+    assert(q.getAs[Int]("n_stopwords") == 3) // "the" ×3
+    assert(math.abs(q.getAs[Double]("stop_ratio") - 3.0 / 15) < 1e-12)
+    assert(!q.getAs[Boolean]("is_short"))
+  }
+
+  test("topk brute: rank 1 is self with cosine 1; ann lsh rank-1 recall is perfect") {
+    val brute = SimilarityOps.topkBrute(spark, Sf0001).collect()
+    val rank1 = brute.filter(_.getAs[Int]("rank") == 1)
+    assert(rank1.length == 10)
+    assert(rank1.forall(r => r.getAs[Long]("q_id") == r.getAs[Long]("neighbor_id")))
+    val ann = SimilarityOps.annLsh(spark, Sf0001).collect().filter(_.getAs[Int]("rank") == 1)
+    assert(ann.forall(r => r.getAs[Long]("q_id") == r.getAs[Long]("neighbor_id")))
+  }
+
+  test("multimodal: mapPartitions decode agrees with the column-level stub math") {
+    val viaPartitions = MultimodalOps.decodeMeta(spark, Sf0001).collect()
+    val colMeta = MultimodalOps.binaryMeta(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getString(2))).toMap
+    viaPartitions.foreach { r =>
+      val (nBytes, fmt) = colMeta(r.getAs[Long]("doc_id"))
+      assert(r.getAs[String]("format") == fmt)
+      assert(r.getAs[Int]("height") == 16 * (1 + nBytes % 32))
+      assert(r.getAs[Int]("n_frames") == nBytes % 7)
+    }
+  }
+
+  test("langid: votes deterministically with lexicographic tie-break") {
+    val r = TextOps.langId(spark, plantedDir).collect()
+    assert(r.length == 5)
+    assert(r.forall(_.getAs[String]("pred_lang").nonEmpty))
+  }
+}
