@@ -32,6 +32,11 @@ object GraftSession {
       .config("spark.sql.parquet.compression.codec", "snappy")
       .config("spark.ui.enabled", "false")
       .config("spark.driver.host", "localhost")
+      // fresh per-JVM warehouse: the in-memory catalog dies with the JVM,
+      // so a persistent ./spark-warehouse would orphan managed-table dirs
+      // and break the next saveAsTable with LOCATION_ALREADY_EXISTS
+      .config("spark.sql.warehouse.dir",
+        java.nio.file.Files.createTempDirectory("graft-warehouse").toString)
   }
 
   def get(appName: String = "graft"): SparkSession = {

@@ -1,0 +1,282 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, BinaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.graftbridge.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Custom Catalyst expressions for the dedup/similarity hot paths.
+  *
+  * Why custom: Spark's higher-order functions (transform/aggregate/
+  * zip_with) evaluate their lambda per element, interpreted and boxed —
+  * a MinHash signature via `transform` costs ~64 × |shingles| closure
+  * invocations per document. Each expression below does the same math in
+  * one `eval` call per row with tight primitive JVM loops (the loop body
+  * JIT-compiles), which is the recommended escalation path when
+  * `functions._` can't express the kernel: native Expression > UDF.
+  * CodegenFallback only affects the per-ROW call boundary — negligible
+  * next to the per-element work these kernels absorb.
+  *
+  * All hashing is seed-fixed and engine-internal (no SQL oracle);
+  * determinism is pinned by the unit suite.
+  */
+object Mix {
+
+  /** splitmix64 finalizer — full-avalanche 64-bit mix. */
+  @inline def mix64(x0: Long): Long = {
+    var x = x0 + 0x9E3779B97F4A7C15L
+    x = (x ^ (x >>> 30)) * 0xBF58476D1CE4E5B9L
+    x = (x ^ (x >>> 27)) * 0x94D049BB133111EBL
+    x ^ (x >>> 31)
+  }
+
+  /** FNV-1a over bytes + splitmix finalizer. */
+  def hashUtf8(s: UTF8String): Long = {
+    val b = s.getBytes
+    var h = 0xCBF29CE484222325L
+    var i = 0
+    while (i < b.length) { h ^= b(i); h *= 0x100000001B3L; i += 1 }
+    mix64(h)
+  }
+
+  /** Sorted-distinct copy of a long buffer prefix. */
+  def sortedDistinct(buf: Array[Long], len: Int): Array[Long] = {
+    java.util.Arrays.sort(buf, 0, len)
+    var out = 0
+    var i = 0
+    while (i < len) {
+      if (out == 0 || buf(i) != buf(out - 1)) { buf(out) = buf(i); out += 1 }
+      i += 1
+    }
+    java.util.Arrays.copyOf(buf, out)
+  }
+}
+
+private[functions] trait LongArrayResult { self: Expression =>
+  final val resultType: DataType = ArrayType(LongType, containsNull = false)
+}
+
+/** array<string> tokens → sorted-distinct array<long> of token hashes. */
+case class TokenHashes(child: Expression)
+    extends UnaryExpression with CodegenFallback with LongArrayResult {
+  override def dataType: DataType = resultType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val buf = new Array[Long](n)
+    var i = 0
+    var len = 0
+    while (i < n) {
+      if (!arr.isNullAt(i)) {
+        buf(len) = Mix.hashUtf8(arr.getUTF8String(i)); len += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(Mix.sortedDistinct(buf, len))
+  }
+  override protected def withNewChildInternal(c: Expression): TokenHashes = copy(c)
+}
+
+/** array<string> tokens → sorted-distinct array<long> of k-token shingle
+  * hashes (combined from per-token hashes — shingle strings are never
+  * materialized). Documents shorter than k hash their full token list. */
+case class ShingleHashes(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback with LongArrayResult {
+  require(k >= 1)
+  override def dataType: DataType = resultType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val th = new Array[Long](n)
+    var i = 0
+    while (i < n) {
+      th(i) = if (arr.isNullAt(i)) 0L else Mix.hashUtf8(arr.getUTF8String(i))
+      i += 1
+    }
+    val m = math.max(1, n - k + 1)
+    val buf = new Array[Long](m)
+    var s = 0
+    while (s < m) {
+      var h = 0x9E3779B97F4A7C15L
+      var j = s
+      val end = math.min(n, s + k)
+      while (j < end) { h = Mix.mix64(h ^ th(j)); j += 1 }
+      buf(s) = h
+      s += 1
+    }
+    new GenericArrayData(Mix.sortedDistinct(buf, m))
+  }
+  override protected def withNewChildInternal(c: Expression): ShingleHashes = copy(c)
+}
+
+/** array<long> element hashes → array<long> MinHash signature of length k:
+  * sig[i] = min over h of mix64(h ^ seed_i). One pass, k×n integer mixes. */
+case class MinHashSignature(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback with LongArrayResult {
+  require(k >= 1)
+  private lazy val seeds: Array[Long] = Array.tabulate(k)(i => Mix.mix64(0x5EED0000L + i))
+  override def dataType: DataType = resultType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val sig = Array.fill(k)(Long.MaxValue)
+    var j = 0
+    while (j < n) {
+      val h = arr.getLong(j)
+      var i = 0
+      while (i < k) {
+        val v = Mix.mix64(h ^ seeds(i))
+        if (v < sig(i)) sig(i) = v
+        i += 1
+      }
+      j += 1
+    }
+    new GenericArrayData(sig)
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashSignature = copy(c)
+}
+
+/** array<long> signature → array<long> of per-chunk hashes (LSH bands):
+  * band b = mix-combine of elements [b*chunk, (b+1)*chunk). */
+case class ChunkHashes(child: Expression, chunk: Int)
+    extends UnaryExpression with CodegenFallback with LongArrayResult {
+  require(chunk >= 1)
+  override def dataType: DataType = resultType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val bands = n / chunk
+    val out = new Array[Long](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 0xC0FFEEL + b
+      var j = b * chunk
+      val end = j + chunk
+      while (j < end) { h = Mix.mix64(h ^ arr.getLong(j)); j += 1 }
+      out(b) = h
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): ChunkHashes = copy(c)
+}
+
+/** array<long> element hashes → 64-bit SimHash: bit b set iff more
+  * elements have bit b set than clear. One pass, n×64 adds. */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = LongType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val counts = new Array[Int](64)
+    var j = 0
+    while (j < n) {
+      val h = arr.getLong(j)
+      var b = 0
+      while (b < 64) {
+        counts(b) += (((h >>> b) & 1L).toInt << 1) - 1
+        b += 1
+      }
+      j += 1
+    }
+    var sim = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) sim |= 1L << b; b += 1 }
+    java.lang.Long.valueOf(sim)
+  }
+  override protected def withNewChildInternal(c: Expression): SimHash64 = copy(c)
+}
+
+/** array<struct<doc_id:long, n:int>> posting list → array of all
+  * unordered pairs struct<doc_a,na,doc_b,nb> with doc_a < doc_b, built in
+  * one tight loop (the equivalent nested transform/slice SQL allocates
+  * O(d²) array copies, interpreted per element). */
+case class PostingListPairs(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("doc_a", LongType, nullable = false),
+      StructField("na", IntegerType, nullable = false),
+      StructField("doc_b", LongType, nullable = false),
+      StructField("nb", IntegerType, nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val d = arr.numElements()
+    val ids = new Array[Long](d)
+    val ns = new Array[Int](d)
+    var i = 0
+    while (i < d) {
+      val row = arr.getStruct(i, 2)
+      ids(i) = row.getLong(0); ns(i) = row.getInt(1)
+      i += 1
+    }
+    val out = new Array[Any](d * (d - 1) / 2)
+    var k = 0
+    i = 0
+    while (i < d) {
+      var j = i + 1
+      while (j < d) {
+        out(k) =
+          if (ids(i) < ids(j))
+            org.apache.spark.sql.catalyst.InternalRow(ids(i), ns(i), ids(j), ns(j))
+          else
+            org.apache.spark.sql.catalyst.InternalRow(ids(j), ns(j), ids(i), ns(i))
+        k += 1
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): PostingListPairs = copy(c)
+}
+
+/** Cosine similarity of two array<double> in one pass — dot, |a|², |b|²
+  * accumulated left-to-right, result dot/(√|a|²·√|b|²): bit-identical to
+  * the equivalent fold-based SQL (and to DuckDB's list_cosine_similarity),
+  * so it can sit under oracle-checked queries. */
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val n = math.min(a.numElements(), b.numElements())
+    var dot = 0.0; var na = 0.0; var nb = 0.0
+    var i = 0
+    while (i < n) {
+      val x = a.getDouble(i); val y = b.getDouble(i)
+      dot += x * y; na += x * x; nb += y * y
+      i += 1
+    }
+    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
+    copy(left = l, right = r)
+}
+
+/** Column-API wrappers. */
+object exprs {
+  private def c(e: Expression): Column = ColumnBridge.column(e)
+  private def e(col: Column): Expression = ColumnBridge.expression(col)
+
+  def token_hashes(tokens: Column): Column = c(TokenHashes(e(tokens)))
+  def shingle_hashes(tokens: Column, k: Int): Column = c(ShingleHashes(e(tokens), k))
+  def minhash_signature(hashes: Column, k: Int): Column = c(MinHashSignature(e(hashes), k))
+  def chunk_hashes(sig: Column, chunk: Int): Column = c(ChunkHashes(e(sig), chunk))
+  def simhash64(hashes: Column): Column = c(SimHash64(e(hashes)))
+  def posting_list_pairs(ds: Column): Column = c(PostingListPairs(e(ds)))
+  def cosine_similarity(a: Column, b: Column): Column = c(CosineSimilarity(e(a), e(b)))
+}

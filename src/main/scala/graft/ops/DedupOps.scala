@@ -33,32 +33,39 @@ object DedupOps {
       .select(col("keep_id"), col("n_copies"))
       .orderBy("keep_id")
 
-  /** k-token shingles of the lowercased text, as an array column. */
-  private def shingleArr(k: Int): Column = {
-    val t = split(lower(col("text")), " ")
-    array_distinct(
-      transform(sequence(lit(0), size(t) - k), i => concat_ws(" ", slice(t, i + lit(1), lit(k)))))
-  }
-
   /** Exact n-gram (3-token shingle) Jaccard near-dup pairs, threshold 0.5,
-    * via inverted-index join. Threshold test uses integer arithmetic
-    * (3*common >= |A|+|B|) so there is no float boundary. */
+    * via inverted index: explode shingle hashes → posting lists (carrying
+    * each doc's shingle count) → local pair expansion (custom
+    * PostingListPairs kernel) → per-pair count. The inverted index
+    * shuffles ONCE (groupBy key, long keys) instead of twice (self-join)
+    * and needs no join back for per-doc counts. Threshold test uses
+    * integer arithmetic (3*common >= |A|+|B|) so there is no float
+    * boundary. Internally shingles are 64-bit hashes (ShingleHashes
+    * kernel — strings never materialize); corpus-wide collision odds are
+    * ~|shingles|²/2⁶⁵, far below the oracle's resolution.
+    * Skew note: a shingle with document frequency d yields d(d-1)/2 pairs;
+    * at 100 TB a df-cap on non-discriminating hot shingles bounds this
+    * (approximation documented) — the exact form is kept here as the
+    * oracle anchor. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.exprs._
     val docs = Tables(spark, dir, "documents")
       .filter(size(split(col("text"), " ")) >= 3)
-    val tri = docs.select(col("doc_id"), explode(shingleArr(3)).as("sh"))
-    val cnt = tri.groupBy(col("doc_id")).agg(count(lit(1)).as("n"))
-    val pairs = tri.as("a")
-      .join(tri.as("b"), col("a.sh") === col("b.sh") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"))
+      .select(col("doc_id"), shingle_hashes(split(lower(col("text")), " "), 3).as("shs"))
+    val tri = docs.select(
+      col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("sh"))
+    val posting = tri.groupBy(col("sh"))
+      .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
+      .filter(size(col("ds")) > 1)
+    posting.select(explode(posting_list_pairs(col("ds"))).as("p"))
+      .groupBy(
+        col("p.doc_a").as("doc_a"), col("p.na").as("na"),
+        col("p.doc_b").as("doc_b"), col("p.nb").as("nb"))
       .agg(count(lit(1)).as("n_common"))
-    pairs
-      .join(cnt.as("ca"), col("doc_a") === col("ca.doc_id"))
-      .join(cnt.as("cb"), col("doc_b") === col("cb.doc_id"))
-      .filter(lit(3) * col("n_common") >= col("ca.n") + col("cb.n"))
+      .filter(lit(3) * col("n_common") >= col("na") + col("nb"))
       .select(
         col("doc_a"), col("doc_b"),
-        (col("n_common").cast(DoubleType) / (col("ca.n") + col("cb.n") - col("n_common")))
+        (col("n_common").cast(DoubleType) / (col("na") + col("nb") - col("n_common")))
           .as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
@@ -70,33 +77,37 @@ object DedupOps {
   private val Rows = NumHashes / Bands
 
   /** MinHash + LSH near-dup pairs, verified with exact Jaccard ≥ 0.5 on
-    * the shingle-hash sets. Deterministic (seeded hash family h_i(s) =
-    * xxhash64(s || "#i")); engine-internal hashes → rows-only oracle. */
+    * the shingle-hash sets. All hashing runs through the custom Catalyst
+    * kernels in graft.functions (one tight-loop eval per document instead
+    * of ~64×|shingles| interpreted lambda calls). Deterministic seeded
+    * hash family; engine-internal hashes → rows-only oracle. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.exprs._
     val docs = Tables(spark, dir, "documents")
       .filter(size(split(col("text"), " ")) >= 3)
-      .select(col("doc_id"), shingleArr(3).as("sh"))
       // shingle-hash set: verification currency, cheaper to carry than text
-      .select(col("doc_id"), transform(col("sh"), s => xxhash64(s)).as("hs"))
-    val sig = (0 until NumHashes).map { i =>
-      array_min(transform(col("hs"), h => xxhash64(h, lit(i)))).as(s"mh_$i")
-    }
-    val signed = docs.select(col("doc_id") +: col("hs") +: sig: _*)
-    val bands = array((0 until Bands).map { b =>
-      struct(
-        lit(b).as("band"),
-        xxhash64((b * Rows until (b + 1) * Rows).map(i => col(s"mh_$i")): _*).as("bh"))
-    }: _*)
-    val buckets = signed.select(col("doc_id"), col("hs"), explode(bands).as("bk"))
-      .select(col("doc_id"), col("hs"), col("bk.band"), col("bk.bh"))
-    // candidates: distinct pairs co-located in ≥1 band bucket
-    val cand = buckets.as("a")
-      .join(buckets.as("b"),
-        col("a.band") === col("b.band") && col("a.bh") === col("b.bh") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(
-        col("a.doc_id").as("doc_a"), col("a.hs").as("hs_a"),
-        col("b.doc_id").as("doc_b"), col("b.hs").as("hs_b"))
+      .select(col("doc_id"),
+        shingle_hashes(split(lower(col("text")), " "), 3).as("hs"))
+    val signed = docs.select(col("doc_id"), col("hs"),
+      minhash_signature(col("hs"), NumHashes).as("sig"))
+    // one shuffle: bucket by (band, bandhash); the signature pipeline runs
+    // once (a self-join would compute it twice). Posting lists carry the
+    // shingle-hash sets so verification needs no join back.
+    val buckets = signed
+      .select(col("doc_id"), col("hs"),
+        posexplode(chunk_hashes(col("sig"), Rows)).as(Seq("band", "bh")))
+      .groupBy(col("band"), col("bh"))
+      .agg(collect_list(struct(col("doc_id"), col("hs"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+    val cand = buckets.select(explode(expr(
+      """flatten(transform(ms, (x, i) ->
+        |  transform(slice(ms, i + 2, size(ms) - i - 1), y ->
+        |    if(x.doc_id < y.doc_id,
+        |       struct(x.doc_id AS doc_a, x.hs AS hs_a, y.doc_id AS doc_b, y.hs AS hs_b),
+        |       struct(y.doc_id AS doc_a, y.hs AS hs_a, x.doc_id AS doc_b, x.hs AS hs_b)))))""".stripMargin))
+      .as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.hs_a").as("hs_a"),
+        col("p.doc_b").as("doc_b"), col("p.hs_b").as("hs_b"))
       .dropDuplicates("doc_a", "doc_b")
     cand
       .withColumn("n_common", size(array_intersect(col("hs_a"), col("hs_b"))))
@@ -110,31 +121,33 @@ object DedupOps {
 
   /** 64-bit SimHash per document + all pairs within Hamming distance ≤ 3,
     * found by 4×16-bit chunk pigeonhole banding (a pair at distance ≤3
-    * must agree on ≥1 of 4 chunks). Rows-only oracle. */
+    * must agree on ≥1 of 4 chunks). Signature via the custom SimHash64
+    * kernel (one pass over distinct token hashes). Rows-only oracle. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
-    val sim = expr(
-      """aggregate(
-        |  sequence(0, 63), cast(0 as bigint),
-        |  (acc, b) -> acc | if(
-        |    size(filter(transform(array_distinct(split(lower(text), ' ')), t -> xxhash64(t)),
-        |                h -> (h >> b) & 1 = 1)) * 2
-        |      > size(array_distinct(split(lower(text), ' '))),
-        |    shiftleft(cast(1 as bigint), b), cast(0 as bigint)))""".stripMargin)
+    import graft.functions.exprs._
     val sigs = Tables(spark, dir, "documents")
-      .select(col("doc_id"), sim.as("simhash"))
-    val chunks = sigs.select(
+      .select(col("doc_id"),
+        simhash64(token_hashes(split(lower(col("text")), " "))).as("simhash"))
+    // bucket by 16-bit chunk (one shuffle, signatures computed once),
+    // expand pairs locally, verify Hamming distance on the full signature
+    val buckets = sigs.select(
       col("doc_id"), col("simhash"),
       explode(array((0 until 4).map(c =>
         struct(lit(c).as("chunk"),
           (shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))).as("cv"))): _*)).as("ck"))
-      .select(col("doc_id"), col("simhash"), col("ck.chunk"), col("ck.cv"))
-    chunks.as("a")
-      .join(chunks.as("b"),
-        col("a.chunk") === col("b.chunk") && col("a.cv") === col("b.cv") &&
-          col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("ck.chunk"), col("ck.cv"))
+      .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ms"))
+      .filter(size(col("ms")) > 1)
+    buckets.select(explode(expr(
+      """flatten(transform(ms, (x, i) ->
+        |  transform(slice(ms, i + 2, size(ms) - i - 1), y ->
+        |    if(x.doc_id < y.doc_id,
+        |       struct(x.doc_id AS doc_a, y.doc_id AS doc_b, x.simhash AS sa, y.simhash AS sb),
+        |       struct(y.doc_id AS doc_a, x.doc_id AS doc_b, y.simhash AS sa, x.simhash AS sb)))))""".stripMargin))
+      .as("p"))
       .select(
-        col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
-        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("hamming"))
+        col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        bit_count(col("p.sa").bitwiseXOR(col("p.sb"))).as("hamming"))
       .dropDuplicates("doc_a", "doc_b")
       .filter(col("hamming") <= 3)
       .orderBy("doc_a", "doc_b")
@@ -146,15 +159,14 @@ object DedupOps {
     * oracle/correctness anchor; the scalable path is SimilarityOps.annLsh's
     * bucketing. */
   def embedCosine(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.exprs._
     val emb = Tables(spark, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-      .withColumn("norm", sqrt(expr("aggregate(v, cast(0 as double), (a, x) -> a + x * x)")))
     emb.as("a")
       .join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(
         col("a.vec_id").as("vec_a"), col("b.vec_id").as("vec_b"),
-        (expr("aggregate(zip_with(a.v, b.v, (x, y) -> x * y), cast(0 as double), (acc, p) -> acc + p)")
-          / (col("a.norm") * col("b.norm"))).as("cos"))
+        cosine_similarity(col("a.v"), col("b.v")).as("cos"))
       .filter(col("cos") >= 0.5)
       .orderBy("vec_a", "vec_b")
   }

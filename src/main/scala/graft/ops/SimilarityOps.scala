@@ -1,5 +1,6 @@
 package graft.ops
 
+import graft.functions.exprs._
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -18,29 +19,28 @@ import org.apache.spark.sql.types._
   *    bits) is the standard recall knob; bucket skew is bounded because
   *    hyperplane buckets are balanced for centered data.
   *
-  * All dot products run in double (cast from float) as a left-to-right
-  * array fold — deterministic and engine-comparable.
+  * The cosine kernel is the custom CosineSimilarity expression — one
+  * tight-loop eval per pair, formula-identical to DuckDB's
+  * list_cosine_similarity so the oracle can compare values, not just
+  * ranks.
   */
 object SimilarityOps {
 
   private val K = 10
   private val NumQueries = 10
 
-  private def withNorm(spark: SparkSession, dir: String): DataFrame =
+  private def corpus(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
-      .withColumn("norm", sqrt(expr("aggregate(v, cast(0 as double), (a, x) -> a + x * x)")))
 
   /** Exact top-k cosine neighbors for the first NumQueries vectors. */
   def topkBrute(spark: SparkSession, dir: String): DataFrame = {
-    val corpus = withNorm(spark, dir)
-    val queries = corpus.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("norm").as("qnorm"))
-    val scored = corpus.join(broadcast(queries))
-      .select(
-        col("q_id"), col("vec_id").as("neighbor_id"),
-        (expr("aggregate(zip_with(qv, v, (x, y) -> x * y), cast(0 as double), (acc, p) -> acc + p)")
-          / (col("qnorm") * col("norm"))).as("cos"))
+    val base = corpus(spark, dir)
+    val queries = base.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val scored = base.join(broadcast(queries))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        cosine_similarity(col("qv"), col("v")).as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w).cast(IntegerType))
@@ -58,33 +58,21 @@ object SimilarityOps {
     Array.fill(NumPlanes, Dim)(rnd.nextGaussian())
   }
 
-  private def bucketCol = {
-    val bits = (0 until NumPlanes).map { p =>
-      val plane = array(planes(p).map(lit).toIndexedSeq: _*)
-      when(expr(s"aggregate(zip_with(v, pl_$p, (x, y) -> x * y), cast(0 as double), (a, q) -> a + q)") > 0,
-        lit(1L << p)).otherwise(lit(0L))
-    }
-    bits.reduce(_ bitwiseOR _)
-  }
-
   /** ANN top-k: probe only the query's LSH bucket. Approximate — recall
     * measured against topkBrute in the test suite. */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {
-    val base = withNorm(spark, dir)
-    val withPlanes = (0 until NumPlanes).foldLeft(base) { (df, p) =>
-      df.withColumn(s"pl_$p", array(planes(p).map(lit).toIndexedSeq: _*))
+    val bits = (0 until NumPlanes).map { p =>
+      val plane = array(planes(p).map(lit).toIndexedSeq: _*)
+      // sign-bit via the cosine kernel: cos(v, plane) > 0 ⟺ dot > 0
+      when(cosine_similarity(col("v"), plane) > 0, lit(1L << p)).otherwise(lit(0L))
     }
-    val bucketed = withPlanes
-      .withColumn("bucket", bucketCol)
-      .select(col("vec_id"), col("v"), col("norm"), col("bucket"))
+    val bucketed = corpus(spark, dir)
+      .withColumn("bucket", bits.reduce(_ bitwiseOR _))
     val queries = bucketed.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"),
-        col("norm").as("qnorm"), col("bucket").as("qbucket"))
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket").as("qbucket"))
     val scored = bucketed.join(broadcast(queries), col("bucket") === col("qbucket"))
-      .select(
-        col("q_id"), col("vec_id").as("neighbor_id"),
-        (expr("aggregate(zip_with(qv, v, (x, y) -> x * y), cast(0 as double), (acc, p) -> acc + p)")
-          / (col("qnorm") * col("norm"))).as("cos"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        cosine_similarity(col("qv"), col("v")).as("cos"))
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w).cast(IntegerType))
