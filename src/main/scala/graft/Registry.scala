@@ -184,6 +184,7 @@ object Registry {
   val extensions: Seq[GraftQuery] = Seq(
     GraftQuery("x_text_tokens", TextOps.tokenStats, Some(
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS INTEGER) AS n_bpe_tokens,
         |       CAST(length(text) AS INTEGER) AS n_chars_m
         |FROM documents ORDER BY doc_id""".stripMargin)),
     GraftQuery("x_text_quality", TextOps.qualityScore, Some(

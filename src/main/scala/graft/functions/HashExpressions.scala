@@ -242,6 +242,52 @@ case class PostingListPairs(child: Expression)
   override protected def withNewChildInternal(c: Expression): PostingListPairs = copy(c)
 }
 
+/** array<struct<doc_id:long, simhash:long>> bucket → array of pairs
+  * struct<doc_a,doc_b,hamming> with doc_a < doc_b and hamming ≤ max —
+  * the Hamming filter runs inside the expansion loop (popcount of xor),
+  * so only matching pairs are ever materialized. A clustered bucket of
+  * size d costs d²/2 popcounts but emits only true neighbors. */
+case class SimHashPairs(child: Expression, maxHamming: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("doc_a", LongType, nullable = false),
+      StructField("doc_b", LongType, nullable = false),
+      StructField("hamming", IntegerType, nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val d = arr.numElements()
+    val ids = new Array[Long](d)
+    val sigs = new Array[Long](d)
+    var i = 0
+    while (i < d) {
+      val row = arr.getStruct(i, 2)
+      ids(i) = row.getLong(0); sigs(i) = row.getLong(1)
+      i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    i = 0
+    while (i < d) {
+      var j = i + 1
+      while (j < d) {
+        val h = java.lang.Long.bitCount(sigs(i) ^ sigs(j))
+        if (h <= maxHamming) {
+          out += (if (ids(i) < ids(j))
+            org.apache.spark.sql.catalyst.InternalRow(ids(i), ids(j), h)
+          else
+            org.apache.spark.sql.catalyst.InternalRow(ids(j), ids(i), h))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): SimHashPairs = copy(c)
+}
+
 /** Cosine similarity of two array<double> in one pass — dot, |a|², |b|²
   * accumulated left-to-right, result dot/(√|a|²·√|b|²): bit-identical to
   * the equivalent fold-based SQL (and to DuckDB's list_cosine_similarity),
@@ -278,5 +324,6 @@ object exprs {
   def chunk_hashes(sig: Column, chunk: Int): Column = c(ChunkHashes(e(sig), chunk))
   def simhash64(hashes: Column): Column = c(SimHash64(e(hashes)))
   def posting_list_pairs(ds: Column): Column = c(PostingListPairs(e(ds)))
+  def simhash_pairs(ms: Column, maxHamming: Int): Column = c(SimHashPairs(e(ms), maxHamming))
   def cosine_similarity(a: Column, b: Column): Column = c(CosineSimilarity(e(a), e(b)))
 }

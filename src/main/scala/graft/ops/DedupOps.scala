@@ -138,18 +138,11 @@ object DedupOps {
       .groupBy(col("ck.chunk"), col("ck.cv"))
       .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ms"))
       .filter(size(col("ms")) > 1)
-    buckets.select(explode(expr(
-      """flatten(transform(ms, (x, i) ->
-        |  transform(slice(ms, i + 2, size(ms) - i - 1), y ->
-        |    if(x.doc_id < y.doc_id,
-        |       struct(x.doc_id AS doc_a, y.doc_id AS doc_b, x.simhash AS sa, y.simhash AS sb),
-        |       struct(y.doc_id AS doc_a, x.doc_id AS doc_b, y.simhash AS sa, x.simhash AS sb)))))""".stripMargin))
-      .as("p"))
+    buckets.select(explode(simhash_pairs(col("ms"), 3)).as("p"))
       .select(
         col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-        bit_count(col("p.sa").bitwiseXOR(col("p.sb"))).as("hamming"))
+        col("p.hamming").as("hamming"))
       .dropDuplicates("doc_a", "doc_b")
-      .filter(col("hamming") <= 3)
       .orderBy("doc_a", "doc_b")
   }
 

@@ -16,13 +16,16 @@ object TextOps {
 
   private def toks: Column = split(col("text"), " ")
 
-  /** Token + char counting (whitespace tokenizer; a BPE-ish regex variant
-    * is exercised in tests). */
+  /** Token + char counting: whitespace tokenizer plus a BPE-ish regex
+    * segmentation (word runs / single punctuation — the pre-tokenization
+    * shape GPT-style BPE applies before merges). */
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
       .select(
         col("doc_id"),
         size(toks).as("n_tokens"),
+        size(regexp_extract_all(col("text"), lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"), lit(0)))
+          .as("n_bpe_tokens"),
         length(col("text")).as("n_chars_m"))
       .orderBy("doc_id")
 

@@ -1,0 +1,80 @@
+package graft
+
+import graft.weather.OpenMeteoIngest
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.scalacheck.{Gen, Prop, Test => SCTest}
+
+/** Property-based tests (SURVEY.md §5 layer 4) using scalacheck directly
+  * (the scalatest bridge artifact isn't in the offline cache): null
+  * propagation of enrichment scalars, aggregate invariance under
+  * permutation/partitioning, kernel determinism. */
+class PropertySpec extends SparkSpec {
+
+  import graft.functions.Mix
+
+  private def check(name: String, p: Prop, n: Int = 30): Unit = {
+    val res = SCTest.check(SCTest.Parameters.default.withMinSuccessfulTests(n), p)
+    assert(res.passed, s"$name: $res")
+  }
+
+  test("F3/F4 ∀ inputs: temperatureF = C*9/5+32 or both null; null precip → 0") {
+    import spark.implicits._
+    val gen = Gen.listOfN(20, Gen.option(Gen.chooseNum(-60.0, 60.0)))
+    check("nullprop", Prop.forAll(gen) { temps =>
+      val df = temps.zipWithIndex
+        .map { case (t, i) => (s"2025-01-01T${"%02d".format(i % 24)}:00", t, Option.empty[Double]) }
+        .toDF("time", "temperature_2m", "precipitation")
+      val out = df.select(
+        col("temperature_2m").as("temperatureC"),
+        (col("temperature_2m") * lit(9) / lit(5) + lit(32)).as("temperatureF"),
+        coalesce(col("precipitation"), lit(0.0)).as("rainfallMm")).collect()
+      out.zip(temps).forall { case (r, t) =>
+        val rainOk = r.getDouble(2) == 0.0
+        t match {
+          case Some(c) => rainOk && r.getDouble(0) == c && r.getDouble(1) == c * 9 / 5 + 32
+          case None => rainOk && r.isNullAt(0) && r.isNullAt(1)
+        }
+      }
+    }, n = 15)
+  }
+
+  test("decimal-routed sum invariant under permutation and partition count") {
+    import spark.implicits._
+    val gen = for {
+      vals <- Gen.nonEmptyListOf(Gen.chooseNum(-10000.0, 10000.0).map(v => math.round(v * 100) / 100.0))
+      parts <- Gen.chooseNum(1, 8)
+      seed <- Gen.long
+    } yield (vals, parts, seed)
+    check("sumperm", Prop.forAll(gen) { case (vals, parts, seed) =>
+      def agg(xs: Seq[Double], np: Int): Double =
+        xs.toDF("v").repartition(np)
+          .agg(sum(col("v").cast(DecimalType(18, 2))).cast(DoubleType)).collect()(0).getDouble(0)
+      val perm = new scala.util.Random(seed).shuffle(vals)
+      agg(vals, parts) == agg(perm, (parts % 8) + 1) // exact bit equality
+    }, n = 15)
+  }
+
+  test("kernel hashes: deterministic; sortedDistinct matches distinct+sorted") {
+    import org.apache.spark.unsafe.types.UTF8String
+    check("hashes", Prop.forAll(Gen.listOf(Gen.alphaNumStr)) { tokens =>
+      val hs = tokens.map(t => Mix.hashUtf8(UTF8String.fromString(t)))
+      val again = tokens.map(t => Mix.hashUtf8(UTF8String.fromString(t)))
+      val dedup = Mix.sortedDistinct(hs.toArray, hs.length).toSeq
+      hs == again && dedup == hs.distinct.sorted
+    }, n = 50)
+  }
+
+  test("explodeHourly row count equals hourly array length (all-null metrics)") {
+    import spark.implicits._
+    check("explode", Prop.forAll(Gen.chooseNum(0, 24)) { n =>
+      val times = (0 until n).map(i => "\"" + f"2025-03-01T$i%02d:00" + "\"").mkString(",")
+      val nulls = List.fill(n)("null").mkString(",")
+      val json = s"""{"latitude":1.0,"longitude":2.0,"timezone":"UTC","hourly":{
+        "time":[$times],"temperature_2m":[$nulls],"relative_humidity_2m":[$nulls],
+        "precipitation":[$nulls],"wind_speed_10m":[$nulls],"wind_gusts_10m":[$nulls]}}"""
+      val raw = spark.read.schema(OpenMeteoIngest.openMeteoSchema).json(Seq(json).toDS)
+      OpenMeteoIngest.explodeHourly(raw).count() == n.toLong
+    }, n = 10)
+  }
+}
