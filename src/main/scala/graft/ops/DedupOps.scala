@@ -49,7 +49,7 @@ object DedupOps {
     * oracle anchor. */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.exprs._
-    val docs = Tables(spark, dir, "documents")
+    val docs = Tables.parallel(spark, dir, "documents")
       .filter(size(split(col("text"), " ")) >= 3)
       .select(col("doc_id"), shingle_hashes(split(lower(col("text")), " "), 3).as("shs"))
     val tri = docs.select(
@@ -83,7 +83,7 @@ object DedupOps {
     * hash family; engine-internal hashes → rows-only oracle. */
   def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.exprs._
-    val docs = Tables(spark, dir, "documents")
+    val docs = Tables.parallel(spark, dir, "documents")
       .filter(size(split(col("text"), " ")) >= 3)
       // shingle-hash set: verification currency, cheaper to carry than text
       .select(col("doc_id"),
@@ -125,7 +125,7 @@ object DedupOps {
     * kernel (one pass over distinct token hashes). Rows-only oracle. */
   def simhash(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.exprs._
-    val sigs = Tables(spark, dir, "documents")
+    val sigs = Tables.parallel(spark, dir, "documents")
       .select(col("doc_id"),
         simhash64(token_hashes(split(lower(col("text")), " "))).as("simhash"))
     // bucket by 16-bit chunk (one shuffle, signatures computed once),
@@ -153,7 +153,7 @@ object DedupOps {
     * bucketing. */
   def embedCosine(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.exprs._
-    val emb = Tables(spark, dir, "embeddings")
+    val emb = Tables.parallel(spark, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
     emb.as("a")
       .join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))

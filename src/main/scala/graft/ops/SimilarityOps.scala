@@ -30,7 +30,7 @@ object SimilarityOps {
   private val NumQueries = 10
 
   private def corpus(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "embeddings")
+    Tables.parallel(spark, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
 
   /** Exact top-k cosine neighbors for the first NumQueries vectors. */

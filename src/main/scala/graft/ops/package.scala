@@ -59,5 +59,15 @@ package ops {
         df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
       else df
     }
+
+    /** Loader for CPU-heavy narrow pipelines (hash kernels, dot products).
+      * The test tables are single-row-group parquet files, so a plain scan
+      * is ONE task and everything narrow above it runs on one core;
+      * a round-robin repartition (bytes are tiny relative to the compute)
+      * spreads the kernel work across the cluster. On a many-file
+      * production table the scan is already parallel and this exchange is
+      * a no-op cost AQE can absorb. */
+    def parallel(spark: SparkSession, dir: String, name: String): DataFrame =
+      apply(spark, dir, name).repartition(spark.sparkContext.defaultParallelism)
   }
 }
