@@ -106,7 +106,14 @@ object Registry {
         |ORDER BY month""".stripMargin)),
     GraftQuery("u2_round_coalesce", CoreOps.u2RoundCoalesce, Some(
       """SELECT event_id, coalesce(floor(value / 3.0 * 10.0 + 0.5) / 10.0, 0.0) AS value_r
-        |FROM events ORDER BY event_id""".stripMargin)))
+        |FROM events ORDER BY event_id""".stripMargin)),
+    GraftQuery("sql_monthly_agg", CoreOps.sqlMonthlyAgg, Some(
+      """SELECT event_type, date_trunc('month', ts) AS month,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS avg_value,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |       count(*) AS rows_loaded
+        |FROM events GROUP BY event_type, date_trunc('month', ts)
+        |ORDER BY event_type, month""".stripMargin)))
 
   val joins: Seq[GraftQuery] = Seq(
     GraftQuery("j1_broadcast_dim_join", JoinOps.j1BroadcastDimJoin, Some(
@@ -228,6 +235,7 @@ object Registry {
         |       neighbor_id
         |FROM s QUALIFY rank <= 10 ORDER BY q_id, rank""".stripMargin), headline = true),
     GraftQuery("x_sim_ann_lsh", SimilarityOps.annLsh, None),
+    GraftQuery("x_sim_ann_ivf", (s, d) => SimilarityOps.annIvf(s, d), None),
     GraftQuery("x_mm_binary_meta", MultimodalOps.binaryMeta, Some(
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         |       CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'img' WHEN 1 THEN 'audio'

@@ -217,6 +217,22 @@ object CoreOps {
       .select(col("month"), date_format(col("month"), "MMM yyyy").as("label"))
       .orderBy("month")
 
+  /** SQL surface: the same A1 aggregate as literal Spark SQL over a
+    * registered view — the reference ships its one analytical query as a
+    * SQL string (`etlToClickHouse.js:157-173`); this engine accepts both
+    * the DataFrame and SQL forms with identical plans. */
+  def sqlMonthlyAgg(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "events").createOrReplaceTempView("graft_events")
+    spark.sql(
+      """SELECT event_type, date_trunc('MONTH', ts) AS month,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS avg_value,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |       count(*) AS rows_loaded
+        |FROM graft_events
+        |GROUP BY event_type, date_trunc('MONTH', ts)
+        |ORDER BY event_type, month""".stripMargin)
+  }
+
   /** U2 — fixed-decimal rounding + null→0 (`dashboard.js:96-97`).
     * Implemented as floor(x*10+0.5)/10 — pure IEEE double ops, identical
     * in any engine (library `round` implementations differ in how they

@@ -58,6 +58,52 @@ object SimilarityOps {
     Array.fill(NumPlanes, Dim)(rnd.nextGaussian())
   }
 
+  /** IVF ANN: k-means coarse quantizer over the corpus (the classic
+    * inverted-file index build), then each query probes its `nprobe`
+    * nearest cells and ranks candidates exactly. The index build is one
+    * MLlib KMeans fit (distributed); the probe set is derived driver-side
+    * from the query vectors — bounded by |queries|, which is small by
+    * construction in a top-k serving path. At 100 TB the cell assignment
+    * is a materialized column and probes touch |corpus|·nprobe/k rows. */
+  def annIvf(spark: SparkSession, dir: String, k: Int = 8, nprobe: Int = 2): DataFrame = {
+    import org.apache.spark.ml.clustering.KMeans
+    import org.apache.spark.ml.functions.array_to_vector
+    val base = corpus(spark, dir)
+    val feat = base.withColumn("fv", array_to_vector(col("v")))
+    val model = new KMeans().setK(k).setSeed(42).setMaxIter(10)
+      .setFeaturesCol("fv").setPredictionCol("cell").fit(feat)
+    val assigned = model.transform(feat).select(col("vec_id"), col("v"), col("cell"))
+    val centers = model.clusterCenters.map(_.toArray)
+
+    // probe table: (q_id, qv, cell) for the nprobe nearest centroids of
+    // each query — |queries|×nprobe rows, built from a bounded collect
+    val queryRows = assigned.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id"), col("v")).collect()
+    val probeRows = queryRows.flatMap { r =>
+      val qid = r.getLong(0)
+      val qv = r.getSeq[Double](1).toArray
+      def l2(c: Array[Double]): Double = {
+        var s = 0.0; var i = 0
+        while (i < qv.length) { val d = qv(i) - c(i); s += d * d; i += 1 }
+        s
+      }
+      centers.zipWithIndex.sortBy { case (c, _) => l2(c) }.take(nprobe)
+        .map { case (_, cell) => (qid, qv.toSeq, cell) }
+    }.toSeq
+    import spark.implicits._
+    val probes = probeRows.toDF("q_id", "qv", "cell")
+
+    val scored = assigned.join(broadcast(probes), "cell")
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        cosine_similarity(col("qv"), col("v")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast(IntegerType))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("neighbor_id"))
+      .orderBy("q_id", "rank")
+  }
+
   /** ANN top-k: probe only the query's LSH bucket. Approximate — recall
     * measured against topkBrute in the test suite. */
   def annLsh(spark: SparkSession, dir: String): DataFrame = {

@@ -82,6 +82,13 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ann.forall(r => r.getAs[Long]("q_id") == r.getAs[Long]("neighbor_id")))
   }
 
+  test("ann ivf: full result set with rank-1 self recall") {
+    val ivf = SimilarityOps.annIvf(spark, Sf0001).collect()
+    assert(ivf.length == 100) // 10 queries × k=10 (cells large enough by construction)
+    val rank1 = ivf.filter(_.getAs[Int]("rank") == 1)
+    assert(rank1.forall(r => r.getAs[Long]("q_id") == r.getAs[Long]("neighbor_id")))
+  }
+
   test("multimodal: mapPartitions decode agrees with the column-level stub math") {
     val viaPartitions = MultimodalOps.decodeMeta(spark, Sf0001).collect()
     val colMeta = MultimodalOps.binaryMeta(spark, Sf0001).collect()
