@@ -67,6 +67,13 @@ object Registry {
         |       count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag, date_trunc('month', l_shipdate)
         |ORDER BY l_returnflag, month""".stripMargin), headline = true),
+    GraftQuery("a1_salted_agg", CoreOps.a1SaltedAgg, Some(
+      """SELECT event_type, date_trunc('month', ts) AS month,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS avg_value,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |       count(*) AS rows_loaded
+        |FROM events GROUP BY event_type, date_trunc('month', ts)
+        |ORDER BY event_type, month""".stripMargin)),
     GraftQuery("a2_week_trunc", CoreOps.a2WeekTrunc, Some(
       """SELECT date_trunc('week', ts) AS week, count(*) AS n
         |FROM events GROUP BY 1 ORDER BY week""".stripMargin)),

@@ -129,6 +129,29 @@ object CoreOps {
         count(lit(1)).as("n_rows"))
       .orderBy("l_returnflag", "month")
 
+  /** A1 under key skew: salted two-stage aggregation. Stage 1 splits each
+    * (key, month) group across 16 salt shards (partial sums per shard);
+    * stage 2 merges shards. With decimal sums the result is bit-identical
+    * to the unsalted plan — same oracle — while no single reducer ever
+    * owns a whole hot key. This is the pattern for power-law keys at
+    * 100 TB where AQE skew handling isn't enough (single-key groups). */
+  def a1SaltedAgg(spark: SparkSession, dir: String): DataFrame = {
+    val shards = Tables(spark, dir, "events")
+      .withColumn("salt", pmod(xxhash64(col("event_id")), lit(16)))
+      .groupBy(col("event_type"), date_trunc("month", col("ts")).as("month"), col("salt"))
+      .agg(
+        sum(dec2(col("value"))).as("psum"),
+        count(col("value")).as("pcnt"),
+        count(lit(1)).as("pn"))
+    shards
+      .groupBy(col("event_type"), col("month"))
+      .agg(
+        (sum(col("psum")).cast(DoubleType) / sum(col("pcnt"))).as("avg_value"),
+        sum(col("psum")).cast(DoubleType).as("total_value"),
+        sum(col("pn")).as("rows_loaded"))
+      .orderBy("event_type", "month")
+  }
+
   /** A2 — date truncation at week grain (ISO Monday in both engines). */
   def a2WeekTrunc(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "events")
