@@ -170,7 +170,22 @@ object Registry {
     GraftQuery("w3_lag_delta", WindowOps.w3LagDelta, Some(
       """SELECT user_id, event_id,
         |       value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS delta
-        |FROM events ORDER BY user_id, event_id""".stripMargin)))
+        |FROM events ORDER BY user_id, event_id""".stripMargin)),
+    GraftQuery("w4_sessionize", WindowOps.w4Sessionize, Some(
+      """WITH flagged AS (
+        |  SELECT user_id, ts, event_id, value,
+        |         CASE WHEN ts - lag(ts, 1) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+        |                   > INTERVAL 30 MINUTE THEN 1 ELSE 0 END AS brk
+        |  FROM events),
+        |s AS (
+        |  SELECT *, CAST(sum(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |                                ROWS UNBOUNDED PRECEDING) AS INTEGER) AS session_id
+        |  FROM flagged)
+        |SELECT user_id, session_id, min(ts) AS session_start, max(ts) AS session_end,
+        |       count(*) AS n_events,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+        |FROM s GROUP BY user_id, session_id
+        |ORDER BY user_id, session_id""".stripMargin)))
 
   val sets: Seq[GraftQuery] = Seq(
     GraftQuery("set1_union_distinct", SetOps.set1UnionDistinct, Some(

@@ -47,4 +47,29 @@ object WindowOps {
         (col("value") - lag(col("value"), 1).over(w)).as("delta"))
       .orderBy("user_id", "event_id")
   }
+
+  /** Gap-based sessionization (30-minute inactivity closes a session):
+    * lag → break flag → running sum = session id → per-session metrics.
+    * The gap test uses exact interval arithmetic on microsecond
+    * timestamps (engine-identical); session metrics use the decimal
+    * route. Two window passes + one aggregate, all partitioned by user —
+    * state per task is bounded by one user's events, and the streaming
+    * twin (graft.streaming.StatefulSessions) holds only the open session. */
+  def w4Sessionize(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+    val flagged = Tables(spark, dir, "events")
+      .withColumn("brk",
+        when(col("ts") - lag(col("ts"), 1).over(w) > expr("INTERVAL 30 MINUTES"), 1)
+          .otherwise(0))
+      .withColumn("session_id",
+        sum(col("brk")).over(w.rowsBetween(Window.unboundedPreceding, 0)).cast(IntegerType))
+    flagged
+      .groupBy(col("user_id"), col("session_id"))
+      .agg(
+        min(col("ts")).as("session_start"),
+        max(col("ts")).as("session_end"),
+        count(lit(1)).as("n_events"),
+        sum(dec2(col("value"))).cast(DoubleType).as("total_value"))
+      .orderBy("user_id", "session_id")
+  }
 }

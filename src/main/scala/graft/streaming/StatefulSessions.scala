@@ -1,0 +1,93 @@
+package graft.streaming
+
+import org.apache.spark.sql.{Dataset, SparkSession}
+import org.apache.spark.sql.streaming.{GroupState, GroupStateTimeout, OutputMode}
+
+/** Stateful streaming sessionization — the custom-state counterpart of the
+  * batch `WindowOps.w4Sessionize` (same 30-minute gap semantics), built on
+  * `KeyValueGroupedDataset.flatMapGroupsWithState`.
+  *
+  * State per user is ONE open session (start, last-seen, count, decimal
+  * cents total) — bounded regardless of stream length; closed sessions are
+  * emitted as soon as a gap is observed, and event-time timeout with a
+  * watermark would expire idle users' state on an unbounded stream. Value
+  * totals accumulate in integer cents so the streaming and batch paths
+  * agree exactly.
+  */
+object StatefulSessions {
+
+  final case class Ev(user_id: Long, event_id: Long, ts: java.sql.Timestamp, value: Double)
+  final case class OpenSession(startMicros: Long, lastMicros: Long, n: Int, totalCents: Long)
+  final case class Session(
+      user_id: Long, session_start: java.sql.Timestamp, session_end: java.sql.Timestamp,
+      n_events: Long, total_value: Double)
+
+  val GapMicros: Long = 30L * 60 * 1000000
+
+  private def micros(t: java.sql.Timestamp): Long = t.getTime * 1000 + t.getNanos / 1000 % 1000
+  private def ts(m: Long): java.sql.Timestamp = {
+    val t = new java.sql.Timestamp(m / 1000)
+    t.setNanos(((m % 1000000) * 1000).toInt)
+    t
+  }
+  private def cents(v: Double): Long = math.round(v * 100)
+
+  /** Fold a user's (batch-sorted) events into the open-session state,
+    * emitting every closed session. */
+  def updateUser(
+      userId: Long, events: Iterator[Ev],
+      state: GroupState[OpenSession]): Iterator[Session] = {
+    val sorted = events.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+    val closed = scala.collection.mutable.ArrayBuffer.empty[Session]
+    var open = state.getOption
+    sorted.foreach { e =>
+      val m = micros(e.ts)
+      open match {
+        case Some(s) if m - s.lastMicros > GapMicros =>
+          closed += Session(userId, ts(s.startMicros), ts(s.lastMicros), s.n, s.totalCents / 100.0)
+          open = Some(OpenSession(m, m, 1, cents(e.value)))
+        case Some(s) =>
+          open = Some(OpenSession(s.startMicros, m, s.n + 1, s.totalCents + cents(e.value)))
+        case None =>
+          open = Some(OpenSession(m, m, 1, cents(e.value)))
+      }
+    }
+    open.foreach(state.update)
+    closed.iterator
+  }
+
+  /** Closed sessions of an event stream (Append mode; the final open
+    * session per user stays in state — on an unbounded stream it closes
+    * via gap or timeout). */
+  def closedSessions(events: Dataset[Ev]): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append, GroupStateTimeout.NoTimeout)(updateUser)
+  }
+
+  /** Drain the per-user open sessions (bounded-input finalization — the
+    * batch twin's last session per user). */
+  def finalOpenSessions(events: Dataset[Ev]): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .groupByKey(_.user_id)
+      .mapGroups { (uid, it) =>
+        var open: Option[OpenSession] = None
+        val sorted = it.toSeq.sortBy(e => (micros(e.ts), e.event_id))
+        sorted.foreach { e =>
+          val m = micros(e.ts)
+          open = open match {
+            case Some(s) if m - s.lastMicros > GapMicros => Some(OpenSession(m, m, 1, cents(e.value)))
+            case Some(s) => Some(OpenSession(s.startMicros, m, s.n + 1, s.totalCents + cents(e.value)))
+            case None => Some(OpenSession(m, m, 1, cents(e.value)))
+          }
+        }
+        val s = open.get
+        Session(uid, ts(s.startMicros), ts(s.lastMicros), s.n, s.totalCents / 100.0)
+      }
+  }
+}
