@@ -203,7 +203,8 @@ object Registry {
         |FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
         |ORDER BY flag, status""".stripMargin)),
     GraftQuery("g2_count_distinct", SetOps.g2CountDistinct, Some(
-      """SELECT count(DISTINCT l_partkey) AS n_parts FROM lineitem""")))
+      """SELECT count(DISTINCT l_partkey) AS n_parts FROM lineitem""")),
+    GraftQuery("g3_approx_distinct", SetOps.g3ApproxDistinct, None))
 
   /** LLM-training-data pipeline extensions (BASELINE.json north star):
     * dedup, similarity search, text analysis, multimodal columns.
@@ -227,6 +228,9 @@ object Registry {
     GraftQuery("x_text_langid", TextOps.langId, None),
     GraftQuery("x_text_fingerprint", TextOps.fingerprint, None),
     GraftQuery("x_dedup_exact", DedupOps.exact, Some(
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin)),
+    GraftQuery("x_dedup_exact_digest", DedupOps.exactDigest, Some(
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin)),
     GraftQuery("x_dedup_ngram_jaccard", DedupOps.ngramJaccard, Some(

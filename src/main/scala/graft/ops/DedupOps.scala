@@ -24,11 +24,22 @@ import org.apache.spark.sql.types._
 object DedupOps {
 
   /** Exact dedup via hash group-by: survivor id + multiplicity per
-    * distinct text. At scale, group on xxhash64(text) first and only
-    * compare full text within hash groups. */
+    * distinct text. */
   def exact(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
       .groupBy(col("text"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy("keep_id")
+
+  /** Exact dedup, scale form: group on a 64-bit digest of the text so the
+    * shuffle carries 8 bytes per row instead of the document body. Same
+    * result as `exact` barring a 64-bit collision (~n²/2⁶⁵ — at true
+    * 100 TB scale, switch the digest to 128-bit to keep that negligible,
+    * or verify within digest groups). Shares the text-grouped oracle. */
+  def exactDigest(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .groupBy(xxhash64(col("text")).as("digest"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
       .orderBy("keep_id")
