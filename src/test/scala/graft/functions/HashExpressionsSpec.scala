@@ -1,0 +1,76 @@
+package graft.functions
+
+import graft.SparkSpec
+import graft.functions.exprs._
+import org.apache.spark.sql.functions._
+
+/** Direct unit tests of the custom Catalyst kernels through the Column
+  * API (null behavior, shape invariants, agreement with built-ins). */
+class HashExpressionsSpec extends SparkSpec {
+
+  private def df = {
+    import spark.implicits._
+    Seq(
+      (1L, "the quick brown fox jumps"),
+      (2L, "the quick brown fox jumps"),
+      (3L, "one two"),
+      (4L, "")).toDF("id", "text")
+  }
+
+  test("ShingleHashes: n-k+1 distinct sorted hashes; identical text → identical set") {
+    val r = df.select(col("id"), shingle_hashes(split(col("text"), " "), 3).as("hs"))
+      .collect().map(x => x.getLong(0) -> x.getSeq[Long](1)).toMap
+    assert(r(1L).length == 3) // 5 tokens → 3 shingles
+    assert(r(1L) == r(2L))
+    assert(r(1L) == r(1L).sorted)
+    assert(r(3L).length == 1) // shorter than k → whole-doc hash
+  }
+
+  test("MinHashSignature + ChunkHashes: fixed shapes, equal inputs → equal bands") {
+    val sig = df.select(col("id"),
+      minhash_signature(shingle_hashes(split(col("text"), " "), 3), 64).as("sig"))
+    val bands = sig.select(col("id"), chunk_hashes(col("sig"), 4).as("b"))
+      .collect().map(x => x.getLong(0) -> x.getSeq[Long](1)).toMap
+    assert(bands(1L).length == 16)
+    assert(bands(1L) == bands(2L))
+    assert(bands(1L) != bands(3L))
+  }
+
+  test("SimHash64: identical text → distance 0; null-intolerant") {
+    val r = df.select(col("id"), simhash64(token_hashes(split(col("text"), " "))).as("s"))
+      .collect().map(x => x.getLong(0) -> x.getLong(1)).toMap
+    assert(r(1L) == r(2L))
+    val nullRow = df.select(simhash64(token_hashes(split(lit(null).cast("string"), " "))))
+      .collect()(0)
+    assert(nullRow.isNullAt(0))
+  }
+
+  test("CosineSimilarity: self = 1, orthogonal = 0, matches SQL fold") {
+    import spark.implicits._
+    val v = Seq((Seq(1.0, 2.0, 3.0), Seq(1.0, 2.0, 3.0), Seq(3.0, 0.0, -1.0)))
+      .toDF("a", "b", "c")
+    val r = v.select(
+      cosine_similarity(col("a"), col("b")).as("self"),
+      cosine_similarity(array(lit(1.0), lit(0.0)), array(lit(0.0), lit(1.0))).as("ortho"),
+      cosine_similarity(col("a"), col("c")).as("x"),
+      (expr("aggregate(zip_with(a, c, (x, y) -> x * y), cast(0 as double), (acc, p) -> acc + p)")
+        / (sqrt(expr("aggregate(a, cast(0 as double), (s, x) -> s + x * x)"))
+          * sqrt(expr("aggregate(c, cast(0 as double), (s, x) -> s + x * x)")))).as("foldx"))
+      .collect()(0)
+    assert(r.getDouble(0) == 1.0)
+    assert(r.getDouble(1) == 0.0)
+    assert(r.getDouble(2) == r.getDouble(3)) // kernel bit-matches the fold
+  }
+
+  test("PostingListPairs: d ids → d(d-1)/2 normalized pairs") {
+    import spark.implicits._
+    val r = Seq(Seq((3L, 30), (1L, 10), (2L, 20)))
+      .toDF("ds")
+      .select(explode(posting_list_pairs(col("ds"))).as("p"))
+      .select(col("p.doc_a"), col("p.na"), col("p.doc_b"), col("p.nb"))
+      .collect().map(x => (x.getLong(0), x.getInt(1), x.getLong(2), x.getInt(3)))
+    assert(r.length == 3)
+    assert(r.forall(p => p._1 < p._3))
+    assert(r.contains((1L, 10, 3L, 30)))
+  }
+}

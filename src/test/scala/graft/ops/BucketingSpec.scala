@@ -1,0 +1,48 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Bucketing: pre-partitioning both sides of a recurring join on its key
+  * removes the per-query shuffle entirely — the co-location strategy for
+  * repeated fact-fact joins at 100 TB (pay one shuffle at write time,
+  * join shuffle-free forever after). */
+class BucketingSpec extends SparkSpec {
+
+  test("join of co-bucketed tables plans without a shuffle exchange") {
+    spark.sql("DROP TABLE IF EXISTS b_lineitem")
+    spark.sql("DROP TABLE IF EXISTS b_orders")
+    Tables(spark, Sf0001, "lineitem")
+      .write.bucketBy(8, "l_orderkey").sortBy("l_orderkey")
+      .mode("overwrite").saveAsTable("b_lineitem")
+    Tables(spark, Sf0001, "orders")
+      .write.bucketBy(8, "o_orderkey").sortBy("o_orderkey")
+      .mode("overwrite").saveAsTable("b_orders")
+
+    // force the non-broadcast path: at test scale everything fits a
+    // broadcast, which would bypass the bucketed co-location under test
+    val prevThreshold = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try {
+      val joined = spark.table("b_lineitem")
+        .join(spark.table("b_orders"),
+          col("l_orderkey") === col("o_orderkey"))
+        .groupBy(col("o_orderpriority"))
+        .agg(count(lit(1)).as("n"))
+
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("SortMergeJoin") || plan.contains("ShuffledHashJoin"), plan)
+      // no shuffle on either join key (the post-join agg exchange on
+      // o_orderpriority is expected and unrelated)
+      assert(!plan.contains("Exchange hashpartitioning(l_orderkey"), s"shuffle on left:\n$plan")
+      assert(!plan.contains("Exchange hashpartitioning(o_orderkey"), s"shuffle on right:\n$plan")
+
+      // and it computes the same result as the unbucketed join
+      val want = JoinOps.j2FactJoinAgg(spark, Sf0001)
+        .select(col("o_orderpriority"), col("n_items")).collect()
+        .map(r => r.getString(0) -> r.getLong(1)).toMap
+      val got = joined.collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      assert(got == want)
+    } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
+  }
+}
