@@ -152,7 +152,25 @@ object Registry {
     GraftQuery("j5_semi_join", JoinOps.j5SemiJoin, Some(
       """SELECT p_partkey, p_brand FROM part
         |WHERE EXISTS (SELECT 1 FROM lineitem WHERE l_partkey = p_partkey)
-        |ORDER BY p_partkey""".stripMargin)))
+        |ORDER BY p_partkey""".stripMargin)),
+    GraftQuery("q6_filtered_agg", JoinOps.q6FilteredAgg, Some(
+      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * CAST(l_discount AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       count(*) AS n
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin)),
+    GraftQuery("q3_top_unshipped", JoinOps.q3TopUnshipped, Some(
+      """SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |WHERE c_mktsegment = 'BUILDING'
+        |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+        |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
+        |GROUP BY l_orderkey, o_orderdate, o_orderpriority
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin)))
 
   val windows: Seq[GraftQuery] = Seq(
     GraftQuery("w1_topn_per_group", WindowOps.w1TopNPerGroup, Some(
@@ -223,6 +241,7 @@ object Registry {
         |       CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','to','in','is','or','for','on'))) AS INTEGER) AS n_stopwords,
         |       len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','to','in','is','or','for','on'))) / len(string_split(text, ' ')) AS stop_ratio,
         |       (length(text) - (len(string_split(text, ' ')) - 1)) / len(string_split(text, ' ')) AS avg_token_len,
+        |       length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) / length(text) AS punct_ratio,
         |       len(string_split(text, ' ')) < 5 AS is_short
         |FROM documents ORDER BY doc_id""".stripMargin)),
     GraftQuery("x_text_langid", TextOps.langId, None),
@@ -261,6 +280,7 @@ object Registry {
         |       neighbor_id
         |FROM s QUALIFY rank <= 10 ORDER BY q_id, rank""".stripMargin), headline = true),
     GraftQuery("x_sim_ann_lsh", SimilarityOps.annLsh, None),
+    GraftQuery("x_sim_ann_multiprobe", SimilarityOps.annLshMultiProbe, None),
     GraftQuery("x_sim_ann_ivf", (s, d) => SimilarityOps.annIvf(s, d), None),
     GraftQuery("x_mm_binary_meta", MultimodalOps.binaryMeta, Some(
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,

@@ -84,4 +84,35 @@ object JoinOps {
       .select(col("p_partkey"), col("p_brand"))
       .orderBy("p_partkey")
   }
+
+  /** TPC-H Q6 shape: tight-range filtered aggregate — the pushdown
+    * showcase (every predicate reaches the parquet scan; row-group stats
+    * skip cold months entirely at scale). */
+  def q6FilteredAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .filter(
+        col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")) &&
+        col("l_discount") >= 0.05 && col("l_discount") <= 0.07 &&
+        col("l_quantity") < 24)
+      .agg(
+        sum(dec2(col("l_extendedprice")) * dec2(col("l_discount")))
+          .cast(org.apache.spark.sql.types.DoubleType).as("revenue"),
+        count(lit(1)).as("n"))
+
+  /** TPC-H Q3 shape: segment-filtered 3-way join, grouped revenue, top-10
+    * by revenue. The revenue sort key is an exact decimal→double, so the
+    * ordering is engine-stable; ties broken by orderkey. */
+  def q3TopUnshipped(spark: SparkSession, dir: String): DataFrame = {
+    val cutoff = lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))
+    val customer = Tables(spark, dir, "customer").filter(col("c_mktsegment") === "BUILDING")
+    val orders = Tables(spark, dir, "orders").filter(col("o_orderdate") < cutoff)
+    val li = Tables(spark, dir, "lineitem").filter(col("l_shipdate") > cutoff)
+    li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .groupBy(col("l_orderkey"), col("o_orderdate"), col("o_orderpriority"))
+      .agg(revenueExact(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
+      .limit(10)
+  }
 }

@@ -104,26 +104,50 @@ object SimilarityOps {
       .orderBy("q_id", "rank")
   }
 
-  /** ANN top-k: probe only the query's LSH bucket. Approximate — recall
-    * measured against topkBrute in the test suite. */
-  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+  private def withBucket(spark: SparkSession, dir: String): DataFrame = {
     val bits = (0 until NumPlanes).map { p =>
       val plane = array(planes(p).map(lit).toIndexedSeq: _*)
       // sign-bit via the cosine kernel: cos(v, plane) > 0 ⟺ dot > 0
       when(cosine_similarity(col("v"), plane) > 0, lit(1L << p)).otherwise(lit(0L))
     }
-    val bucketed = corpus(spark, dir)
-      .withColumn("bucket", bits.reduce(_ bitwiseOR _))
-    val queries = bucketed.filter(col("vec_id") < NumQueries)
-      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket").as("qbucket"))
-    val scored = bucketed.join(broadcast(queries), col("bucket") === col("qbucket"))
-      .select(col("q_id"), col("vec_id").as("neighbor_id"),
-        cosine_similarity(col("qv"), col("v")).as("cos"))
+    corpus(spark, dir).withColumn("bucket", bits.reduce(_ bitwiseOR _))
+  }
+
+  private def rankWithin(scored: DataFrame): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id"))
     scored
       .withColumn("rank", row_number().over(w).cast(IntegerType))
       .filter(col("rank") <= K)
       .select(col("q_id"), col("rank"), col("neighbor_id"))
       .orderBy("q_id", "rank")
+  }
+
+  /** ANN top-k: probe only the query's LSH bucket. Approximate — recall
+    * measured against topkBrute in the test suite. */
+  def annLsh(spark: SparkSession, dir: String): DataFrame = {
+    val bucketed = withBucket(spark, dir)
+    val queries = bucketed.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"), col("bucket").as("qbucket"))
+    val scored = bucketed.join(broadcast(queries), col("bucket") === col("qbucket"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        cosine_similarity(col("qv"), col("v")).as("cos"))
+    rankWithin(scored)
+  }
+
+  /** Multi-probe ANN: each query also probes the NumPlanes buckets at
+    * Hamming distance 1 from its own (one flipped hyperplane sign) — the
+    * standard recall knob: ×(1+NumPlanes) probe fan-out, far cheaper than
+    * more tables, and candidates are still a tiny corpus fraction. */
+  def annLshMultiProbe(spark: SparkSession, dir: String): DataFrame = {
+    val bucketed = withBucket(spark, dir)
+    val probeSet = array((lit(0L) +: (0 until NumPlanes).map(p => lit(1L << p))).toIndexedSeq: _*)
+    val queries = bucketed.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"),
+        explode(transform(probeSet, m => col("bucket").bitwiseXOR(m))).as("qbucket"))
+    val scored = bucketed.join(broadcast(queries), col("bucket") === col("qbucket"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        cosine_similarity(col("qv"), col("v")).as("cos"))
+      .dropDuplicates("q_id", "neighbor_id")
+    rankWithin(scored)
   }
 }

@@ -43,6 +43,8 @@ object TextOps {
         nStop.as("n_stopwords"),
         (nStop / nTok).as("stop_ratio"),
         ((length(col("text")) - (nTok - lit(1))) / nTok).as("avg_token_len"),
+        (length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", "")) / length(col("text")))
+          .as("punct_ratio"),
         (nTok < 5).as("is_short"))
       .orderBy("doc_id")
   }

@@ -82,6 +82,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(ann.forall(r => r.getAs[Long]("q_id") == r.getAs[Long]("neighbor_id")))
   }
 
+  test("multi-probe lsh: recall(top-10 of brute) >= single-probe recall") {
+    def recall(df: org.apache.spark.sql.DataFrame, truth: Set[(Long, Long)]): Double = {
+      val got = df.collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+      got.intersect(truth).size.toDouble / truth.size
+    }
+    val truth = SimilarityOps.topkBrute(spark, Sf0001).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val single = recall(SimilarityOps.annLsh(spark, Sf0001), truth)
+    val multi = recall(SimilarityOps.annLshMultiProbe(spark, Sf0001), truth)
+    assert(multi >= single, s"multi=$multi single=$single")
+    assert(multi > 0.0)
+  }
+
   test("ann ivf: full result set with rank-1 self recall") {
     val ivf = SimilarityOps.annIvf(spark, Sf0001).collect()
     assert(ivf.length == 100) // 10 queries × k=10 (cells large enough by construction)
