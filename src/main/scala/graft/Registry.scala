@@ -159,7 +159,7 @@ object Registry {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
-        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin)),
+        |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin), headline = true),
     GraftQuery("q3_top_unshipped", JoinOps.q3TopUnshipped, Some(
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
@@ -170,7 +170,7 @@ object Registry {
         |  AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
         |  AND l_shipdate > TIMESTAMP '1998-01-01 00:00:00'
         |GROUP BY l_orderkey, o_orderdate, o_orderpriority
-        |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin)))
+        |ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10""".stripMargin), headline = true))
 
   val windows: Seq[GraftQuery] = Seq(
     GraftQuery("w1_topn_per_group", WindowOps.w1TopNPerGroup, Some(
@@ -203,7 +203,7 @@ object Registry {
         |       count(*) AS n_events,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
         |FROM s GROUP BY user_id, session_id
-        |ORDER BY user_id, session_id""".stripMargin)))
+        |ORDER BY user_id, session_id""".stripMargin), headline = true))
 
   val sets: Seq[GraftQuery] = Seq(
     GraftQuery("set1_union_distinct", SetOps.set1UnionDistinct, Some(

@@ -63,4 +63,22 @@ class CoreOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"), plan)
   }
+
+  test("q6: every predicate reaches the parquet scan") {
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000") // PushedFilters untruncated
+    val plan = JoinOps.q6FilteredAgg(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    Seq("GreaterThanOrEqual(l_shipdate", "LessThan(l_shipdate",
+        "GreaterThanOrEqual(l_discount,0.05)", "LessThanOrEqual(l_discount,0.07)",
+        "LessThan(l_quantity,24.0)").foreach { f =>
+      assert(plan.contains(f), s"missing pushed filter $f in:\n$plan")
+    }
+  }
+
+  test("a1 salted == a1 unsalted, bit for bit") {
+    val a = CoreOps.a1MonthlyAggEvents(spark, Sf0001).collect()
+    val b = CoreOps.a1SaltedAgg(spark, Sf0001).collect()
+    assert(a.length == b.length)
+    a.zip(b).foreach { case (x, y) => assert(x == y) }
+  }
 }
