@@ -30,7 +30,18 @@ object Serving {
 
   final case class MonthlyResult(
       data: DataFrame, source: String, syncStatus: String,
-      ttlSeconds: Long, count: Long)
+      ttlSeconds: Long, count: Long) {
+
+    /** The `GET /api/monthly` response envelope
+      * (`backend/routes/monthly.js:44-52,98-105`): data rows + source /
+      * cache_status / sync_status / ttl_seconds / count. */
+    def toJsonEnvelope: String = {
+      val rows = data.toJSON.collect().mkString("[", ",", "]")
+      val cacheStatus = if (source == "cache") "active" else "miss"
+      s"""{"data":$rows,"source":"$source","cache_status":"$cacheStatus",""" +
+        s""""sync_status":"$syncStatus","ttl_seconds":$ttlSeconds,"count":$count}"""
+    }
+  }
 }
 
 /** The cache-or-warehouse read path. `refresh()` = the reference's

@@ -122,6 +122,37 @@ class WeatherPipelineSpec extends SparkSpec {
     assert(cache.monthly("Nowhere").count == 0)
   }
 
+  test("incremental load: high-watermark bounds each run to new batches") {
+    val t1 = java.sql.Timestamp.valueOf("2026-01-02 00:00:00")
+    val batch2 = OpenMeteoIngest.enrich(
+      observations, sourceTimestamp = "2026-01-03T00:00:00.000Z",
+      apiRequestId = None, etlBatchId = "etl-test-2")
+    val all = enriched.union(batch2)
+
+    val (first, wm1) = Warehouse.incrementalDailyWeather(all, None, t1)
+    assert(first.count() == 10) // both batches on a cold start
+    val (second, wm2) = Warehouse.incrementalDailyWeather(all, Some(wm1), t1)
+    assert(second.count() == 0) // nothing newer than the watermark
+    assert(wm2 == wm1)
+    val batch3 = OpenMeteoIngest.enrich(
+      observations, sourceTimestamp = "2026-01-04T00:00:00.000Z",
+      apiRequestId = None, etlBatchId = "etl-test-3")
+    val (third, wm3) = Warehouse.incrementalDailyWeather(all.union(batch3), Some(wm1), t1)
+    assert(third.count() == 5) // only the new batch
+    assert(wm3.after(wm1))
+  }
+
+  test("serving envelope carries the reference's response keys") {
+    val daily = Warehouse.toDailyWeather(enriched, loadTime)
+    val agg = Warehouse.monthlyAgg(daily, loadTime)
+    val cache = new ServingCache(spark, () => agg, ttlSec = 1000L, clock = () => 0L)
+    cache.refreshNow()
+    val env = cache.monthly("Stockton").toJsonEnvelope
+    Seq("\"data\":[", "\"source\":\"cache\"", "\"cache_status\":\"active\"",
+        "\"sync_status\":\"full\"", "\"ttl_seconds\":1000", "\"count\":2",
+        "\"avg_temp_c\"").foreach(k => assert(env.contains(k), s"missing $k in $env"))
+  }
+
   test("D1-D5: diagnostics over catalog state") {
     Warehouse.bootstrap(spark)
     spark.sql(s"DROP TABLE IF EXISTS ${Model.MonthlyAggTable}") // clean slate across sbt runs
