@@ -294,7 +294,12 @@ object Registry {
         |       CAST(16 * (1 + ascii(substr(text, 1, 1)) % 32) AS INTEGER) AS width,
         |       CAST(16 * (1 + octet_length(encode(text)) % 32) AS INTEGER) AS height,
         |       CAST(octet_length(encode(text)) % 7 AS INTEGER) AS n_frames
-        |FROM documents ORDER BY doc_id""".stripMargin)))
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+    GraftQuery("x_mm_frame_sample", MultimodalOps.frameSample, Some(
+      """SELECT doc_id, CAST(unnest(generate_series(0, octet_length(encode(text)) % 7 - 1)) AS INTEGER) AS frame_idx
+        |FROM documents WHERE octet_length(encode(text)) % 7 > 0
+        |ORDER BY doc_id, frame_idx""".stripMargin)),
+    GraftQuery("x_mm_resize", (s, d) => MultimodalOps.resizeStub(s, d), None))
 
   def all: Seq[GraftQuery] = core ++ joins ++ windows ++ sets ++ extensions
 

@@ -70,4 +70,38 @@ object MultimodalOps {
       .toDF()
       .orderBy("doc_id")
   }
+
+  /** A "resized" media record: target box + stub thumbnail bytes. */
+  final case class Resized(doc_id: Long, out_w: Int, out_h: Int, n_thumb_bytes: Int)
+
+  /** Resize-to-fit plumbing: aspect-preserving fit into maxW×maxH computed
+    * from the (stub-)decoded dimensions, thumbnail payload STUBBED as a
+    * truncated copy of the source bytes. The geometry math is real. */
+  def resizeStub(spark: SparkSession, dir: String, maxW: Int = 256, maxH: Int = 256): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text").cast(BinaryType).as("blob"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) =>
+        val m = decodeStub(id, bytes)
+        val scale = math.min(1.0, math.min(maxW.toDouble / m.width, maxH.toDouble / m.height))
+        val w = math.max(1, (m.width * scale).toInt)
+        val h = math.max(1, (m.height * scale).toInt)
+        Resized(id, w, h, math.min(bytes.length, w * h / 8))
+      })
+      .toDF()
+      .orderBy("doc_id")
+  }
+
+  /** Frame sampling: one row per (stub-)decoded frame — the explode shape
+    * a video pipeline fans out before per-frame feature extraction. Pure
+    * arithmetic on the byte length → oracle-able. */
+  def frameSample(spark: SparkSession, dir: String): DataFrame = {
+    val blob = col("text").cast(BinaryType)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), (octet_length(blob) % 7).as("n_frames"))
+      .filter(col("n_frames") > 0)
+      .select(col("doc_id"), explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
+      .orderBy("doc_id", "frame_idx")
+  }
 }

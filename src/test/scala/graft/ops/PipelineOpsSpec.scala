@@ -114,6 +114,31 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("multimodal resize: aspect-preserving fit within the target box") {
+    val meta = MultimodalOps.decodeMeta(spark, Sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> (r.getAs[Int]("width"), r.getAs[Int]("height"))).toMap
+    MultimodalOps.resizeStub(spark, Sf0001).collect().foreach { r =>
+      val (w0, h0) = meta(r.getAs[Long]("doc_id"))
+      val (w, h) = (r.getAs[Int]("out_w"), r.getAs[Int]("out_h"))
+      assert(w <= 256 && h <= 256 && w >= 1 && h >= 1)
+      // aspect ratio preserved within integer truncation (relative)
+      val r0 = w0.toDouble / h0
+      assert(math.abs(w.toDouble / h - r0) / r0 < 0.15, s"($w0,$h0)->($w,$h)")
+    }
+  }
+
+  test("multimodal frame sample: n_frames rows per doc, indices 0..n-1") {
+    val frames = MultimodalOps.frameSample(spark, Sf0001).collect()
+      .groupBy(_.getAs[Long]("doc_id"))
+    val meta = MultimodalOps.decodeMeta(spark, Sf0001).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_frames")).toMap
+    frames.foreach { case (id, rows) =>
+      assert(rows.length == meta(id))
+      assert(rows.map(_.getAs[Int]("frame_idx")).sorted.toSeq == (0 until meta(id)).toSeq)
+    }
+    meta.filter(_._2 == 0).keys.foreach(id => assert(!frames.contains(id)))
+  }
+
   test("langid: votes deterministically with lexicographic tie-break") {
     val r = TextOps.langId(spark, plantedDir).collect()
     assert(r.length == 5)
