@@ -49,18 +49,32 @@ object TextOps {
       .orderBy("doc_id")
   }
 
-  /** Language id by stopword-set voting (n-gram heuristic family).
-    * Not SQL-expressible in the oracle → rows-only check; unit-tested on
-    * hand-built fixtures instead. */
+  /** Character-trigram profiles per language, derived from that
+    * language's most frequent function words — the classic n-gram
+    * language-id heuristic (Cavnar-Trenkle shape, profile fixed at
+    * compile time instead of trained). */
+  private val langProfiles: Seq[(String, Set[String])] = {
+    def tri(words: Seq[String]): Set[String] =
+      words.flatMap(w => s" $w ".sliding(3)).toSet
+    Seq(
+      "en" -> tri(Seq("the", "and", "of", "to", "is", "that", "with", "for")),
+      "es" -> tri(Seq("el", "la", "de", "que", "es", "los", "una", "por")),
+      "de" -> tri(Seq("der", "die", "und", "das", "ist", "ein", "nicht", "mit")),
+      "fr" -> tri(Seq("le", "la", "et", "les", "est", "une", "pour", "dans")))
+  }
+
+  /** Language id: score = |document char-trigrams ∩ language profile|,
+    * argmax with deterministic tie-break. Heuristic → rows-only check;
+    * unit-tested on hand-built fixtures. */
   def langId(spark: SparkSession, dir: String): DataFrame = {
-    val sets: Seq[(String, Seq[String])] = Seq(
-      "en" -> Seq("the", "and", "of", "to", "is"),
-      "es" -> Seq("el", "la", "de", "que", "es"),
-      "de" -> Seq("der", "die", "und", "das", "ist"),
-      "fr" -> Seq("le", "la", "et", "les", "est"))
-    def score(ws: Seq[String]): Column =
-      expr(s"size(filter(split(lower(text), ' '), t -> t IN (${ws.map(w => s"'$w'").mkString(",")})))")
-    val scored = sets.map { case (l, ws) => struct(score(ws).as("s"), lit(l).as("l")) }
+    // document trigram set over the padded lowercased text
+    val docTris = array_distinct(expr(
+      "transform(sequence(1, greatest(1, length(concat(' ', lower(text), ' ')) - 2)), " +
+        "i -> substring(concat(' ', lower(text), ' '), i, 3))"))
+    val scored = langProfiles.map { case (l, profile) =>
+      val lits = array(profile.toSeq.sorted.map(lit): _*)
+      struct(size(array_intersect(docTris, lits)).as("s"), lit(l).as("l"))
+    }
     // argmax by (score, then lexicographically-last lang as tiebreak via max)
     val best = greatest(scored: _*)
     Tables(spark, dir, "documents")

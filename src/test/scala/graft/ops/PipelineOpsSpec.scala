@@ -139,9 +139,18 @@ class PipelineOpsSpec extends SparkSpec {
     meta.filter(_._2 == 0).keys.foreach(id => assert(!frames.contains(id)))
   }
 
-  test("langid: votes deterministically with lexicographic tie-break") {
-    val r = TextOps.langId(spark, plantedDir).collect()
-    assert(r.length == 5)
-    assert(r.forall(_.getAs[String]("pred_lang").nonEmpty))
+  test("langid: trigram profiles pick the right language on clear inputs") {
+    import spark.implicits._
+    val dir = tempDir("langid_docs")
+    Seq(
+      (0L, "the cat and the dog that is with us for now", "en", "s", 1L),
+      (1L, "el perro es de la casa que los vecinos una vez", "es", "s", 1L),
+      (2L, "der hund ist ein tier und das ist nicht schlecht mit", "de", "s", 1L),
+      (3L, "le chien est dans la maison pour les amis une fois", "fr", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextOps.langId(spark, dir).collect()
+      .map(x => x.getLong(0) -> x.getString(1)).toMap
+    assert(r == Map(0L -> "en", 1L -> "es", 2L -> "de", 3L -> "fr"), r.toString)
   }
 }

@@ -153,6 +153,21 @@ class WeatherPipelineSpec extends SparkSpec {
         "\"avg_temp_c\"").foreach(k => assert(env.contains(k), s"missing $k in $env"))
   }
 
+  test("E7 layout: month partitioning prunes the fact scan") {
+    val daily = Warehouse.toDailyWeather(enriched, loadTime)
+    val dir = tempDir("daily_weather")
+    Warehouse.writeDailyWeather(daily, dir)
+    // partition dirs exist per month
+    val parts = new java.io.File(dir).listFiles().map(_.getName).filter(_.startsWith("year_month="))
+    assert(parts.toSet == Set("year_month=202512", "year_month=202601"))
+    // a month filter becomes a PartitionFilter, not a data filter
+    spark.conf.set("spark.sql.maxMetadataStringLength", "10000")
+    val q = spark.read.parquet(dir).filter(col("year_month") === "202512")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(year_month"), plan)
+    assert(q.count() == 4)
+  }
+
   test("D1-D5: diagnostics over catalog state") {
     Warehouse.bootstrap(spark)
     spark.sql(s"DROP TABLE IF EXISTS ${Model.MonthlyAggTable}") // clean slate across sbt runs
