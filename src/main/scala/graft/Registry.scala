@@ -222,7 +222,17 @@ object Registry {
         |ORDER BY flag, status""".stripMargin)),
     GraftQuery("g2_count_distinct", SetOps.g2CountDistinct, Some(
       """SELECT count(DISTINCT l_partkey) AS n_parts FROM lineitem""")),
-    GraftQuery("g3_approx_distinct", SetOps.g3ApproxDistinct, None))
+    GraftQuery("g3_approx_distinct", SetOps.g3ApproxDistinct, None),
+    GraftQuery("g4_percentiles", SetOps.g4Percentiles, Some(
+      """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS p50,
+        |       quantile_cont(l_quantity, 0.9) AS p90, quantile_cont(l_quantity, 0.99) AS p99
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+    GraftQuery("g5_cube", SetOps.g5Cube, Some(
+      """SELECT coalesce(o_orderstatus, 'ALL') AS status,
+        |       coalesce(o_orderpriority, 'ALL') AS priority,
+        |       CAST(sum(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total, count(*) AS n
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY status, priority""".stripMargin)))
 
   /** LLM-training-data pipeline extensions (BASELINE.json north star):
     * dedup, similarity search, text analysis, multimodal columns.

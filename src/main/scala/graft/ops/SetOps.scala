@@ -46,6 +46,31 @@ object SetOps {
     Tables(spark, dir, "lineitem")
       .agg(countDistinct(col("l_partkey")).as("n_parts"))
 
+  /** Exact linear-interpolation percentiles per group (Spark `percentile`
+    * ≡ DuckDB `quantile_cont`). Exact percentile needs the sorted group in
+    * memory — fine per (flag) group; at 100 TB the approx_percentile
+    * sketch (t-digest-style, mergeable) replaces it. */
+  def g4Percentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        expr("percentile(l_quantity, 0.5)").as("p50"),
+        expr("percentile(l_quantity, 0.9)").as("p90"),
+        expr("percentile(l_quantity, 0.99)").as("p99"))
+      .orderBy("l_returnflag")
+
+  /** CUBE over two dimensions — all 4 grouping sets; null keys folded to
+    * 'ALL' for engine-independent ordering (as in g1Rollup). */
+  def g5Cube(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .cube(col("o_orderstatus"), col("o_orderpriority"))
+      .agg(sumExact(col("o_totalprice")).as("total"), count(lit(1)).as("n"))
+      .select(
+        coalesce(col("o_orderstatus"), lit("ALL")).as("status"),
+        coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
+        col("total"), col("n"))
+      .orderBy("status", "priority")
+
   /** HyperLogLog++ approximate distinct — the form that survives 100 TB
     * (constant sketch memory, one pass, mergeable partials) where exact
     * distinct shuffles every key. rsd 1%; accuracy pinned by spec against
