@@ -242,6 +242,32 @@ case class PostingListPairs(child: Expression)
   override protected def withNewChildInternal(c: Expression): PostingListPairs = copy(c)
 }
 
+/** Jaccard of two SORTED long arrays (as produced by TokenHashes /
+  * ShingleHashes) via linear merge — one pass, no hashing, no boxing.
+  * Returns struct(n_common, n_union). */
+case class SortedJaccard(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = StructType(Seq(
+    StructField("n_common", IntegerType, nullable = false),
+    StructField("n_union", IntegerType, nullable = false)))
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[ArrayData]
+    val b = r.asInstanceOf[ArrayData]
+    val (na, nb) = (a.numElements(), b.numElements())
+    var i = 0; var j = 0; var common = 0
+    while (i < na && j < nb) {
+      val x = a.getLong(i); val y = b.getLong(j)
+      if (x == y) { common += 1; i += 1; j += 1 }
+      else if (x < y) i += 1
+      else j += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(common, na + nb - common)
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SortedJaccard =
+    copy(left = l, right = r)
+}
+
 /** array<struct<doc_id:long, simhash:long>> bucket → array of pairs
   * struct<doc_a,doc_b,hamming> with doc_a < doc_b and hamming ≤ max —
   * the Hamming filter runs inside the expansion loop (popcount of xor),
@@ -325,5 +351,6 @@ object exprs {
   def simhash64(hashes: Column): Column = c(SimHash64(e(hashes)))
   def posting_list_pairs(ds: Column): Column = c(PostingListPairs(e(ds)))
   def simhash_pairs(ms: Column, maxHamming: Int): Column = c(SimHashPairs(e(ms), maxHamming))
+  def sorted_jaccard(a: Column, b: Column): Column = c(SortedJaccard(e(a), e(b)))
   def cosine_similarity(a: Column, b: Column): Column = c(CosineSimilarity(e(a), e(b)))
 }

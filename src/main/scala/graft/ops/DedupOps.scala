@@ -110,23 +110,25 @@ object DedupOps {
       .groupBy(col("band"), col("bh"))
       .agg(collect_list(struct(col("doc_id"), col("hs"))).as("ms"))
       .filter(size(col("ms")) > 1)
-    val cand = buckets.select(explode(expr(
+    // verify INSIDE the bucket row (SortedJaccard merge kernel on the
+    // sorted hash sets), so the dedup shuffle carries only id pairs +
+    // jaccard — never the hash arrays. Band-duplicate candidates verify
+    // more than once, but verification is a linear merge and duplicates
+    // are bounded by the band count.
+    val verified = buckets.select(explode(expr(
       """flatten(transform(ms, (x, i) ->
         |  transform(slice(ms, i + 2, size(ms) - i - 1), y ->
         |    if(x.doc_id < y.doc_id,
         |       struct(x.doc_id AS doc_a, x.hs AS hs_a, y.doc_id AS doc_b, y.hs AS hs_b),
         |       struct(y.doc_id AS doc_a, y.hs AS hs_a, x.doc_id AS doc_b, x.hs AS hs_b)))))""".stripMargin))
       .as("p"))
-      .select(col("p.doc_a").as("doc_a"), col("p.hs_a").as("hs_a"),
-        col("p.doc_b").as("doc_b"), col("p.hs_b").as("hs_b"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
+        sorted_jaccard(col("p.hs_a"), col("p.hs_b")).as("j"))
+      .filter(lit(2) * col("j.n_common") >= col("j.n_union"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("j.n_common").cast(DoubleType) / col("j.n_union")).as("jaccard"))
+    verified
       .dropDuplicates("doc_a", "doc_b")
-    cand
-      .withColumn("n_common", size(array_intersect(col("hs_a"), col("hs_b"))))
-      .withColumn("n_union", size(array_union(col("hs_a"), col("hs_b"))))
-      .filter(lit(2) * col("n_common") >= col("n_union"))
-      .select(
-        col("doc_a"), col("doc_b"),
-        (col("n_common").cast(DoubleType) / col("n_union")).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
