@@ -114,6 +114,25 @@ object Registry {
     GraftQuery("u2_round_coalesce", CoreOps.u2RoundCoalesce, Some(
       """SELECT event_id, coalesce(floor(value / 3.0 * 10.0 + 0.5) / 10.0, 0.0) AS value_r
         |FROM events ORDER BY event_id""".stripMargin)),
+    GraftQuery("f9_string_funcs", CoreOps.f9StringFuncs, Some(
+      """SELECT doc_id, upper(source) AS src_up, replace(lang, 'e', 'E') AS lang_r,
+        |       substr(text, 1, 20) AS prefix, lpad(lang, 5, '_') AS lang_pad,
+        |       CAST(length(trim(text)) AS INTEGER) AS len_t, source LIKE 'src%' AS is_src
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+    GraftQuery("a7_argmax_struct", CoreOps.a7ArgmaxStruct, Some(
+      """SELECT o_orderpriority,
+        |       max({'p': o_totalprice, 'k': o_orderkey}).p AS top_price,
+        |       max({'p': o_totalprice, 'k': o_orderkey}).k AS top_orderkey
+        |FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin)),
+    GraftQuery("a8_conditional_agg", CoreOps.a8ConditionalAgg, Some(
+      """SELECT event_type, count(*) FILTER (WHERE value > 100) AS n_big,
+        |       CAST(sum(CASE WHEN value > 100 THEN CAST(value AS DECIMAL(18,2))
+        |                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE) AS big_total,
+        |       count(*) AS n
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+    GraftQuery("f10_from_json", CoreOps.f10FromJson, Some(
+      """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
+        |FROM events ORDER BY event_id""".stripMargin)),
     GraftQuery("sql_monthly_agg", CoreOps.sqlMonthlyAgg, Some(
       """SELECT event_type, date_trunc('month', ts) AS month,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS avg_value,

@@ -240,6 +240,57 @@ object CoreOps {
       .select(col("month"), date_format(col("month"), "MMM yyyy").as("label"))
       .orderBy("month")
 
+  /** String scalar family: case, replace, substring, pad, trim, LIKE —
+    * the serving layer's formatting toolbox in one projection. */
+  def f9StringFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        upper(col("source")).as("src_up"),
+        expr("replace(lang, 'e', 'E')").as("lang_r"),
+        substring(col("text"), 1, 20).as("prefix"),
+        lpad(col("lang"), 5, "_").as("lang_pad"),
+        length(trim(col("text"))).as("len_t"),
+        col("source").like("src%").as("is_src"))
+      .orderBy("doc_id")
+
+  /** Argmax per group without a window: max over a comparable struct
+    * (price, key) — one aggregate pass, no shuffle beyond the group-by,
+    * deterministic because the key breaks price ties. The scalable
+    * "top-1 per group" (row_number top-N generalizes, this is cheaper). */
+  def a7ArgmaxStruct(spark: SparkSession, dir: String): DataFrame = {
+    val m = max(struct(col("o_totalprice").as("p"), col("o_orderkey").as("k")))
+    Tables(spark, dir, "orders")
+      .groupBy(col("o_orderpriority"))
+      .agg(m.as("m"))
+      .select(
+        col("o_orderpriority"),
+        col("m.p").as("top_price"),
+        col("m.k").as("top_orderkey"))
+      .orderBy("o_orderpriority")
+  }
+
+  /** Conditional aggregation: filtered counts and CASE-routed exact sums. */
+  def a8ConditionalAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        count(when(col("value") > 100, 1)).as("n_big"),
+        sum(when(col("value") > 100, dec2(col("value")))
+          .otherwise(lit(BigDecimal(0)).cast(Dec2))).cast(DoubleType).as("big_total"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+
+  /** Schema-on-read JSON: from_json with an explicit schema (the engine's
+    * PERMISSIVE parse of the reference's dynamic documents). */
+  def f10FromJson(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(
+        col("event_id"),
+        from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+          .getField("k").as("k"))
+      .orderBy("event_id")
+
   /** SQL surface: the same A1 aggregate as literal Spark SQL over a
     * registered view — the reference ships its one analytical query as a
     * SQL string (`etlToClickHouse.js:157-173`); this engine accepts both
