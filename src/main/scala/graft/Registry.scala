@@ -133,6 +133,32 @@ object Registry {
     GraftQuery("f10_from_json", CoreOps.f10FromJson, Some(
       """SELECT event_id, CAST(json_extract_string(props, '$.k') AS INTEGER) AS k
         |FROM events ORDER BY event_id""".stripMargin)),
+    GraftQuery("f11_math_funcs", CoreOps.f11MathFuncs, Some(
+      """SELECT event_id, abs(value - 100) AS dev, sqrt(value) AS root,
+        |       value * value AS sq,
+        |       greatest(value, 50.0) AS hi, least(value, 50.0) AS lo
+        |FROM events ORDER BY event_id""".stripMargin)),
+    GraftQuery("f12_date_arith", CoreOps.f12DateArith, Some(
+      """SELECT o_orderkey,
+        |       CAST(datediff('day', o_orderdate, TIMESTAMP '2002-01-01 00:00:00') AS INTEGER) AS days_to,
+        |       CAST(CAST(o_orderdate AS DATE) + INTERVAL 30 DAY AS TIMESTAMP) AS due,
+        |       CAST(year(o_orderdate) AS INTEGER) AS y, CAST(month(o_orderdate) AS INTEGER) AS m,
+        |       CAST(day(o_orderdate) AS INTEGER) AS d
+        |FROM orders ORDER BY o_orderkey""".stripMargin)),
+    GraftQuery("f13_array_funcs", CoreOps.f13ArrayFuncs, Some(
+      """WITH t AS (SELECT doc_id, string_split(text, ' ') AS toks, text FROM documents)
+        |SELECT doc_id, CAST(len(toks) AS INTEGER) AS n, toks[1] AS first_tok,
+        |       toks[-1] AS last_tok, list_contains(toks, 'the') AS has_the,
+        |       CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
+        |       list_min(toks) AS min_tok, list_max(toks) AS max_tok
+        |FROM t ORDER BY doc_id""".stripMargin)),
+    GraftQuery("a9_stddev_exact", CoreOps.a9StddevExact, Some(
+      """SELECT event_type,
+        |       sqrt((CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |             - CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) * CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) / CAST(count(value) AS DOUBLE))
+        |            / (CAST(count(value) AS DOUBLE) - 1.0)) AS stddev_v,
+        |       CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) / CAST(count(value) AS DOUBLE) AS mean_v
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
     GraftQuery("sql_monthly_agg", CoreOps.sqlMonthlyAgg, Some(
       """SELECT event_type, date_trunc('month', ts) AS month,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS avg_value,

@@ -291,6 +291,67 @@ object CoreOps {
           .getField("k").as("k"))
       .orderBy("event_id")
 
+  /** Math scalar family — restricted to IEEE-754-exact operations
+    * (add/sub/mul/sqrt/compare), which are bit-identical in any engine.
+    * Transcendentals (exp/ln/pow) are correctly-rounded only to ±1 ulp
+    * per libm and are exercised in specs, not the value-hash oracle. */
+  def f11MathFuncs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .select(
+        col("event_id"),
+        abs(col("value") - 100).as("dev"),
+        sqrt(col("value")).as("root"),
+        (col("value") * col("value")).as("sq"),
+        greatest(col("value"), lit(50.0)).as("hi"),
+        least(col("value"), lit(50.0)).as("lo"))
+      .orderBy("event_id")
+
+  /** Date arithmetic family: day difference, day add, extraction. */
+  def f12DateArith(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "orders")
+      .select(
+        col("o_orderkey"),
+        datediff(lit(java.sql.Date.valueOf("2002-01-01")), col("o_orderdate")).as("days_to"),
+        date_add(col("o_orderdate").cast(DateType), 30).cast(TimestampType).as("due"),
+        year(col("o_orderdate")).as("y"),
+        month(col("o_orderdate")).as("m"),
+        dayofmonth(col("o_orderdate")).as("d"))
+      .orderBy("o_orderkey")
+
+  /** Array function family, reduced to scalars for stable comparison:
+    * size, first/last element, membership, distinct count. */
+  def f13ArrayFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val toks = split(col("text"), " ")
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(toks).as("n"),
+        element_at(toks, 1).as("first_tok"),
+        element_at(toks, -1).as("last_tok"),
+        array_contains(toks, "the").as("has_the"),
+        size(array_distinct(toks)).as("n_distinct"),
+        array_min(toks).as("min_tok"),
+        array_max(toks).as("max_tok"))
+      .orderBy("doc_id")
+  }
+
+  /** Deterministic standard deviation: assembled from exact decimal
+    * sums (Σx, Σx²) in the closed form √((Σx² − (Σx)²/n)/(n−1)) — the
+    * same double arithmetic in any engine, unlike built-in stddev whose
+    * merge order varies with partitioning. */
+  def a9StddevExact(spark: SparkSession, dir: String): DataFrame = {
+    val sx = sum(col("value").cast(DecimalType(28, 2))).cast(DoubleType)
+    val sxx = sum((col("value").cast(DecimalType(18, 2)) * col("value").cast(DecimalType(18, 2))))
+      .cast(DoubleType)
+    val n = count(col("value")).cast(DoubleType)
+    Tables(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(
+        sqrt((sxx - sx * sx / n) / (n - lit(1.0))).as("stddev_v"),
+        (sx / n).as("mean_v"))
+      .orderBy("event_type")
+  }
+
   /** SQL surface: the same A1 aggregate as literal Spark SQL over a
     * registered view — the reference ships its one analytical query as a
     * SQL string (`etlToClickHouse.js:157-173`); this engine accepts both
