@@ -159,6 +159,21 @@ object Registry {
         |            / (CAST(count(value) AS DOUBLE) - 1.0)) AS stddev_v,
         |       CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) / CAST(count(value) AS DOUBLE) AS mean_v
         |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin)),
+    GraftQuery("a10_pivot", CoreOps.a10Pivot, Some(
+      """SELECT date_trunc('month', ts) AS month,
+        |       CAST(sum(CASE WHEN event_type = 'click' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS click,
+        |       CAST(sum(CASE WHEN event_type = 'error' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS error,
+        |       CAST(sum(CASE WHEN event_type = 'purchase' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS purchase,
+        |       CAST(sum(CASE WHEN event_type = 'signup' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS signup,
+        |       CAST(sum(CASE WHEN event_type = 'view' THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE) AS view
+        |FROM events GROUP BY date_trunc('month', ts) ORDER BY month""".stripMargin)),
+    GraftQuery("a11_unpivot", CoreOps.a11Unpivot, Some(
+      """SELECT l_orderkey, l_linenumber, 'l_quantity' AS metric, l_quantity AS metric_value FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_extendedprice', l_extendedprice FROM lineitem
+        |UNION ALL
+        |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
+        |ORDER BY l_orderkey, l_linenumber, metric, metric_value""".stripMargin)),
     GraftQuery("sql_monthly_agg", CoreOps.sqlMonthlyAgg, Some(
       """SELECT event_type, date_trunc('month', ts) AS month,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS avg_value,

@@ -352,6 +352,25 @@ object CoreOps {
       .orderBy("event_type")
   }
 
+  /** Pivot: months × event types → one exact-sum column per type. The
+    * value list is explicit, so the output schema is static and the plan
+    * is a single hash aggregate (no two-phase distinct-values scan). */
+  def a10Pivot(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(date_trunc("month", col("ts")).as("month"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(sum(dec2(col("value"))).cast(DoubleType))
+      .orderBy("month")
+
+  /** Unpivot (melt): wide metric columns → (metric, value) rows. */
+  def a11Unpivot(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .unpivot(
+        Array(col("l_orderkey"), col("l_linenumber")),
+        Array(col("l_quantity"), col("l_extendedprice"), col("l_discount")),
+        "metric", "metric_value")
+      .orderBy("l_orderkey", "l_linenumber", "metric", "metric_value")
+
   /** SQL surface: the same A1 aggregate as literal Spark SQL over a
     * registered view — the reference ships its one analytical query as a
     * SQL string (`etlToClickHouse.js:157-173`); this engine accepts both
