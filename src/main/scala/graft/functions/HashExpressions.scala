@@ -314,6 +314,69 @@ case class SimHashPairs(child: Expression, maxHamming: Int)
   override protected def withNewChildInternal(c: Expression): SimHashPairs = copy(c)
 }
 
+/** array<struct<doc_id:long, hs:array<long>>> LSH bucket → array of
+  * VERIFIED near-dup pairs struct<doc_a,doc_b,jaccard> with doc_a < doc_b
+  * and jaccard ≥ thresholdNum/thresholdDen. Pair expansion and the
+  * sorted-merge Jaccard verification run inside one eval: the hash arrays
+  * are read in place (no per-pair struct/array copies — the equivalent
+  * nested transform/slice SQL allocates O(d²) of them, interpreted), and
+  * only passing pairs are ever materialized, so the downstream shuffle
+  * carries ids + one double. Threshold test is integer
+  * (common·den ≥ union·num) — no float boundary. */
+case class MinHashBucketPairs(child: Expression, thresholdNum: Int, thresholdDen: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(thresholdNum >= 0 && thresholdDen >= 1)
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("doc_a", LongType, nullable = false),
+      StructField("doc_b", LongType, nullable = false),
+      StructField("jaccard", DoubleType, nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val d = arr.numElements()
+    val ids = new Array[Long](d)
+    val hss = new Array[ArrayData](d)
+    var i = 0
+    while (i < d) {
+      val row = arr.getStruct(i, 2)
+      ids(i) = row.getLong(0); hss(i) = row.getArray(1)
+      i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Any]()
+    i = 0
+    while (i < d) {
+      val a = hss(i)
+      val na = a.numElements()
+      var j = i + 1
+      while (j < d) {
+        val b = hss(j)
+        val nb = b.numElements()
+        var p = 0; var q = 0; var common = 0
+        while (p < na && q < nb) {
+          val x = a.getLong(p); val y = b.getLong(q)
+          if (x == y) { common += 1; p += 1; q += 1 }
+          else if (x < y) p += 1
+          else q += 1
+        }
+        val union = na + nb - common
+        if (common.toLong * thresholdDen >= union.toLong * thresholdNum && union > 0) {
+          val jac = common.toDouble / union
+          out += (if (ids(i) < ids(j))
+            org.apache.spark.sql.catalyst.InternalRow(ids(i), ids(j), jac)
+          else
+            org.apache.spark.sql.catalyst.InternalRow(ids(j), ids(i), jac))
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): MinHashBucketPairs = copy(c)
+}
+
 /** Cosine similarity of two array<double> in one pass — dot, |a|², |b|²
   * accumulated left-to-right, result dot/(√|a|²·√|b|²): bit-identical to
   * the equivalent fold-based SQL (and to DuckDB's list_cosine_similarity),
@@ -351,6 +414,8 @@ object exprs {
   def simhash64(hashes: Column): Column = c(SimHash64(e(hashes)))
   def posting_list_pairs(ds: Column): Column = c(PostingListPairs(e(ds)))
   def simhash_pairs(ms: Column, maxHamming: Int): Column = c(SimHashPairs(e(ms), maxHamming))
+  def minhash_bucket_pairs(ms: Column, num: Int, den: Int): Column =
+    c(MinHashBucketPairs(e(ms), num, den))
   def sorted_jaccard(a: Column, b: Column): Column = c(SortedJaccard(e(a), e(b)))
   def cosine_similarity(a: Column, b: Column): Column = c(CosineSimilarity(e(a), e(b)))
 }

@@ -12,9 +12,9 @@ import org.apache.spark.sql.types._
   *    output — the optimal distributed plan.
   *  - n-gram Jaccard: inverted-index self-join (explode shingles → join on
   *    shingle → count per pair). Only pairs sharing ≥1 shingle are ever
-  *    materialized. Hot shingles are the skew risk: production adds a
-  *    document-frequency cap (drop shingles with df > threshold — they
-  *    carry no discriminating signal); AQE skew-split covers the rest.
+  *    materialized. Hot shingles are the skew risk: the `MaxBucket` df-cap
+  *    drops shingles with df > cap (they carry no discriminating signal)
+  *    and bounds any task; AQE skew-split covers the rest.
   *  - MinHash LSH: constant work per doc (N hashes over its shingle set),
   *    then candidates only within LSH band buckets — the standard
   *    near-linear near-dup pipeline (Broder '97).
@@ -55,10 +55,13 @@ object DedupOps {
     * kernel — strings never materialize); corpus-wide collision odds are
     * ~|shingles|²/2⁶⁵, far below the oracle's resolution.
     * Skew note: a shingle with document frequency d yields d(d-1)/2 pairs;
-    * at 100 TB a df-cap on non-discriminating hot shingles bounds this
-    * (approximation documented) — the exact form is kept here as the
-    * oracle anchor. */
-  def ngramJaccard(spark: SparkSession, dir: String): DataFrame = {
+    * the `MaxBucket` df-cap on non-discriminating hot shingles bounds this
+    * (set above the synthetic corpus's max df, so the oracle rows are
+    * exact; dropped-key count observable as metric `ngram_df_cap`). */
+  def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
+    ngramJaccard(spark, dir, MaxBucket)
+
+  def ngramJaccard(spark: SparkSession, dir: String, dfCap: Int): DataFrame = {
     import graft.functions.exprs._
     val docs = Tables.parallel(spark, dir, "documents")
       .filter(size(split(col("text"), " ")) >= 3)
@@ -67,7 +70,9 @@ object DedupOps {
       col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("sh"))
     val posting = tri.groupBy(col("sh"))
       .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
-      .filter(size(col("ds")) > 1)
+      .observe("ngram_df_cap",
+        sum(when(size(col("ds")) > dfCap, 1).otherwise(0)).as("dropped_hot_shingles"))
+      .filter(size(col("ds")).between(2, dfCap))
     posting.select(explode(posting_list_pairs(col("ds"))).as("p"))
       .groupBy(
         col("p.doc_a").as("doc_a"), col("p.na").as("na"),
@@ -87,12 +92,28 @@ object DedupOps {
   private val Bands = 16
   private val Rows = NumHashes / Bands
 
+  /** Document-frequency / bucket-size cap for the near-dup pipelines. A key
+    * (shingle, LSH band hash, SimHash chunk) with d member docs expands to
+    * d(d−1)/2 pairs IN ONE TASK — unbounded d is the skew path to OOM on a
+    * real corpus (boilerplate headers, empty-ish docs). A key this hot is
+    * shared by so many documents that it carries no discriminating signal,
+    * so dropping it is the standard df-cap approximation (cf. suffix-array
+    * and MinHash dedup pipelines on web corpora); the cap bounds any task
+    * at ~Cap²/2 merge steps. Set far above the synthetic corpus's max
+    * (≤ ~60 at sf0.1) so every oracle row is unchanged; dropped-key counts
+    * are published as a named observed metric on the query (visible to any
+    * QueryExecutionListener / Observation). */
+  val MaxBucket = 2048
+
   /** MinHash + LSH near-dup pairs, verified with exact Jaccard ≥ 0.5 on
     * the shingle-hash sets. All hashing runs through the custom Catalyst
     * kernels in graft.functions (one tight-loop eval per document instead
     * of ~64×|shingles| interpreted lambda calls). Deterministic seeded
     * hash family; engine-internal hashes → rows-only oracle. */
-  def minhashLsh(spark: SparkSession, dir: String): DataFrame = {
+  def minhashLsh(spark: SparkSession, dir: String): DataFrame =
+    minhashLsh(spark, dir, MaxBucket)
+
+  def minhashLsh(spark: SparkSession, dir: String, bucketCap: Int): DataFrame = {
     import graft.functions.exprs._
     val docs = Tables.parallel(spark, dir, "documents")
       .filter(size(split(col("text"), " ")) >= 3)
@@ -109,25 +130,19 @@ object DedupOps {
         posexplode(chunk_hashes(col("sig"), Rows)).as(Seq("band", "bh")))
       .groupBy(col("band"), col("bh"))
       .agg(collect_list(struct(col("doc_id"), col("hs"))).as("ms"))
-      .filter(size(col("ms")) > 1)
-    // verify INSIDE the bucket row (SortedJaccard merge kernel on the
-    // sorted hash sets), so the dedup shuffle carries only id pairs +
-    // jaccard — never the hash arrays. Band-duplicate candidates verify
-    // more than once, but verification is a linear merge and duplicates
-    // are bounded by the band count.
-    val verified = buckets.select(explode(expr(
-      """flatten(transform(ms, (x, i) ->
-        |  transform(slice(ms, i + 2, size(ms) - i - 1), y ->
-        |    if(x.doc_id < y.doc_id,
-        |       struct(x.doc_id AS doc_a, x.hs AS hs_a, y.doc_id AS doc_b, y.hs AS hs_b),
-        |       struct(y.doc_id AS doc_a, y.hs AS hs_a, x.doc_id AS doc_b, x.hs AS hs_b)))))""".stripMargin))
-      .as("p"))
+      .observe("lsh_bucket_cap",
+        sum(when(size(col("ms")) > bucketCap, 1).otherwise(0)).as("dropped_hot_buckets"))
+      .filter(size(col("ms")).between(2, bucketCap))
+    // expand AND verify inside one kernel eval (MinHashBucketPairs: pair
+    // loop + sorted-merge Jaccard over the hash sets read in place), so
+    // only passing pairs are ever materialized and the dedup shuffle
+    // carries id pairs + jaccard — never the hash arrays. Band-duplicate
+    // candidates verify more than once, but verification is a linear merge
+    // and duplicates are bounded by the band count.
+    buckets
+      .select(explode(minhash_bucket_pairs(col("ms"), 1, 2)).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
-        sorted_jaccard(col("p.hs_a"), col("p.hs_b")).as("j"))
-      .filter(lit(2) * col("j.n_common") >= col("j.n_union"))
-      .select(col("doc_a"), col("doc_b"),
-        (col("j.n_common").cast(DoubleType) / col("j.n_union")).as("jaccard"))
-    verified
+        col("p.jaccard").as("jaccard"))
       .dropDuplicates("doc_a", "doc_b")
       .orderBy("doc_a", "doc_b")
   }
@@ -136,7 +151,10 @@ object DedupOps {
     * found by 4×16-bit chunk pigeonhole banding (a pair at distance ≤3
     * must agree on ≥1 of 4 chunks). Signature via the custom SimHash64
     * kernel (one pass over distinct token hashes). Rows-only oracle. */
-  def simhash(spark: SparkSession, dir: String): DataFrame = {
+  def simhash(spark: SparkSession, dir: String): DataFrame =
+    simhash(spark, dir, MaxBucket)
+
+  def simhash(spark: SparkSession, dir: String, bucketCap: Int): DataFrame = {
     import graft.functions.exprs._
     val sigs = Tables.parallel(spark, dir, "documents")
       .select(col("doc_id"),
@@ -150,7 +168,9 @@ object DedupOps {
           (shiftright(col("simhash"), c * 16).bitwiseAND(lit(0xFFFFL))).as("cv"))): _*)).as("ck"))
       .groupBy(col("ck.chunk"), col("ck.cv"))
       .agg(collect_list(struct(col("doc_id"), col("simhash"))).as("ms"))
-      .filter(size(col("ms")) > 1)
+      .observe("simhash_bucket_cap",
+        sum(when(size(col("ms")) > bucketCap, 1).otherwise(0)).as("dropped_hot_buckets"))
+      .filter(size(col("ms")).between(2, bucketCap))
     buckets.select(explode(simhash_pairs(col("ms"), 3)).as("p"))
       .select(
         col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
@@ -159,15 +179,25 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Hard ceiling for the exact all-pairs cosine path: n² pair evals is a
+    * cartesian — a validation tool, never a production plan. */
+  val ExactAllPairsMaxRows: Long = 1000000L
+
   /** Embedding-cosine near-dup pairs (cos ≥ 0.5 — the synthetic corpus's
     * max pairwise cosine is ~0.51, so the threshold is set where signal
-    * exists), exact all-pairs with id_a < id_b. Exact variant is the
-    * oracle/correctness anchor; the scalable path is SimilarityOps.annLsh's
-    * bucketing. */
+    * exists), exact all-pairs with id_a < id_b. VALIDATION-ONLY: this is
+    * the exact O(n²) oracle/correctness anchor, size-guarded to refuse
+    * inputs past `ExactAllPairsMaxRows` (at which point it is a cartesian
+    * join no cluster survives); the production near-dup path is
+    * SimilarityOps.annLsh / annLshMultiProbe bucketing. */
   def embedCosine(spark: SparkSession, dir: String): DataFrame = {
     import graft.functions.exprs._
     val emb = Tables.parallel(spark, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+    val n = emb.count()
+    require(n <= ExactAllPairsMaxRows,
+      s"embedCosine is the exact all-pairs validation anchor (n=$n > $ExactAllPairsMaxRows); " +
+        "use SimilarityOps.annLsh for near-dup at scale")
     emb.as("a")
       .join(emb.as("b"), col("a.vec_id") < col("b.vec_id"))
       .select(

@@ -73,4 +73,25 @@ class HashExpressionsSpec extends SparkSpec {
     assert(r.forall(p => p._1 < p._3))
     assert(r.contains((1L, 10, 3L, 30)))
   }
+
+  test("MinHashBucketPairs: expands+verifies in one eval, emits only passing pairs") {
+    import spark.implicits._
+    // sorted hash sets: (a,b) jaccard 3/5 = 0.6 ≥ 0.5 passes; pairs with c share nothing
+    val bucket = Seq(Seq(
+      (7L, Seq(1L, 2L, 3L, 4L)),
+      (2L, Seq(1L, 2L, 3L, 5L)),
+      (9L, Seq(10L, 11L, 12L)))).toDF("ms")
+    val r = bucket.select(explode(minhash_bucket_pairs(col("ms"), 1, 2)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"), col("p.jaccard"))
+      .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
+    assert(r.toSeq == Seq((2L, 7L, 0.6))) // normalized doc_a < doc_b, exact jaccard
+    // agreement with the standalone SortedJaccard kernel on the same pair
+    val j = Seq((Seq(1L, 2L, 3L, 4L), Seq(1L, 2L, 3L, 5L))).toDF("a", "b")
+      .select(sorted_jaccard(col("a"), col("b")).as("j"))
+      .select(col("j.n_common"), col("j.n_union")).collect()(0)
+    assert(j.getInt(0) == 3 && j.getInt(1) == 5)
+    // threshold 1/1 (jaccard = 1.0) filters the 0.6 pair out
+    val strict = bucket.select(explode(minhash_bucket_pairs(col("ms"), 1, 1)).as("p")).collect()
+    assert(strict.isEmpty)
+  }
 }

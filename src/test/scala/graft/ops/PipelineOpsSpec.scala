@@ -56,6 +56,48 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r.get((0L, 1L)).forall(_ <= 3)) // near-dup usually survives; never >3 if present
   }
 
+  /** 200 docs sharing exactly one boilerplate shingle (df=200) + one true
+    * near-dup pair that avoids it — the manufactured hot-key skew case. */
+  private lazy val hotShingleDir: String = {
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    val near = "the quick brown fox jumps over the lazy cat near the old river bank today"
+    val hot = (0 until 200).map(i => (100L + i, s"hot alpha beta u${i}x u${i}y u${i}z", "en", "s", 30L))
+    val docs = (Seq((0L, base, "en", "s", base.length.toLong),
+      (1L, near, "en", "s", near.length.toLong)) ++ hot)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tempDir("hot_shingle_docs")
+    docs.repartition(4).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("ngram df-cap: hot shingle dropped, task size bounded, true near-dups kept") {
+    // uncapped (default cap far above df=200): the hot shingle's posting
+    // list expands 200·199/2 pairs — none pass the threshold
+    val uncapped = DedupOps.ngramJaccard(spark, hotShingleDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(uncapped == Set((0L, 1L)))
+    // capped at 8: the df=200 shingle is dropped BEFORE pair expansion, the
+    // near-dup pair (which avoids it) is unchanged, and the drop is
+    // observable as a named metric rather than silent
+    val capped = DedupOps.ngramJaccard(spark, hotShingleDir, 8)
+    val cappedPairs = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(cappedPairs == Set((0L, 1L)))
+    val dropped = capped.queryExecution.observedMetrics("ngram_df_cap")
+      .getAs[Long]("dropped_hot_shingles")
+    assert(dropped == 1L, s"expected exactly the manufactured hot shingle dropped, got $dropped")
+  }
+
+  test("lsh + simhash bucket caps: cap 1 drops every bucket; defaults drop none") {
+    assert(DedupOps.minhashLsh(spark, plantedDir, 1).collect().isEmpty)
+    assert(DedupOps.simhash(spark, plantedDir, 1).collect().isEmpty)
+    val lsh = DedupOps.minhashLsh(spark, plantedDir)
+    val lshPairs = lsh.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(lshPairs.contains((0L, 2L)))
+    assert(lsh.queryExecution.observedMetrics("lsh_bucket_cap")
+      .getAs[Long]("dropped_hot_buckets") == 0L)
+  }
+
   test("fingerprint: stable across partition counts and run-to-run") {
     val a = graft.ops.TextOps.fingerprint(spark, plantedDir).collect().map(r => (r.getLong(0), r.getLong(1)))
     val b = graft.ops.TextOps.fingerprint(spark, plantedDir).collect().map(r => (r.getLong(0), r.getLong(1)))
