@@ -369,7 +369,7 @@ object Registry {
       """SELECT doc_id, CAST(unnest(generate_series(0, octet_length(encode(text)) % 7 - 1)) AS INTEGER) AS frame_idx
         |FROM documents WHERE octet_length(encode(text)) % 7 > 0
         |ORDER BY doc_id, frame_idx""".stripMargin)),
-    GraftQuery("x_mm_resize", (s, d) => MultimodalOps.resizeStub(s, d), None))
+    GraftQuery("x_mm_resize", (s, d) => MultimodalOps.resize(s, d), None))
 
   def all: Seq[GraftQuery] = core ++ joins ++ windows ++ sets ++ extensions
 

@@ -7,26 +7,69 @@ import org.apache.spark.sql.types._
 /** Multimodal columns: image/audio/video as opaque `binary` columns with
   * typed metadata, plus decode / feature-extract plumbing.
   *
-  * No real media libraries exist in this container (and none of the test
-  * tables carry real media), so the DECODE KERNEL IS A STUB — a
-  * deterministic fake that derives "dimensions" from the raw bytes. The
-  * Spark-side plumbing is real and is what matters at scale: binary
+  * The image path is REAL: container magic bytes are sniffed and
+  * PNG/JPEG/GIF/BMP headers are decoded with `javax.imageio` (JDK
+  * built-in — no new dependencies), reading only the header plane for
+  * width/height. Audio/video decode REMAINS A STUB (the JDK ships no
+  * audio/video codecs and none exist in this container): bytes that match
+  * no image signature fall back to a deterministic fake that derives
+  * pseudo-dimensions from the raw bytes, which is also what keeps the
+  * synthetic text-bytes corpus oracle-expressible in SQL.
+  *
+  * The Spark-side shape is what matters at scale either way: binary
   * column + metadata struct schema, partition-parallel `mapPartitions`
-  * batch decode (the Scala analogue of `mapInPandas` — one kernel call
-  * per partition batch, not per row), and pushdown-friendly metadata
+  * batch decode (the Scala analogue of `mapInPandas` — codec state is
+  * per-partition, never per row), and pushdown-friendly metadata
   * filtering *before* any decode touches bytes.
   */
 object MultimodalOps {
 
   /** A decoded media record. `format`/`width`/`height`/`n_frames` are the
-    * typed metadata; real decoders would fill them from the container
-    * header. */
+    * typed metadata a real decoder fills from the container header. */
   final case class MediaMeta(doc_id: Long, format: String, width: Int, height: Int, n_frames: Int)
 
-  /** Bytes → fake metadata. STUB: a real implementation would hand the
-    * byte buffer to an image/audio codec; this derives deterministic
-    * pseudo-dimensions from byte 0 and the length so tests and oracles
-    * can pin the plumbing. */
+  /** Container sniffing on magic bytes — the cheap dispatch a mixed-media
+    * lake needs before any codec runs. */
+  def sniffImage(bytes: Array[Byte]): Option[String] =
+    if (bytes.length >= 8 && bytes(0) == 0x89.toByte && bytes(1) == 'P'.toByte &&
+        bytes(2) == 'N'.toByte && bytes(3) == 'G'.toByte) Some("png")
+    else if (bytes.length >= 3 && bytes(0) == 0xFF.toByte && bytes(1) == 0xD8.toByte &&
+        bytes(2) == 0xFF.toByte) Some("jpeg")
+    else if (bytes.length >= 6 && bytes(0) == 'G'.toByte && bytes(1) == 'I'.toByte &&
+        bytes(2) == 'F'.toByte) Some("gif")
+    else if (bytes.length >= 2 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte) Some("bmp")
+    else None
+
+  /** Real image-header decode: width/height via an ImageReader positioned
+    * on the header — pixel planes are never materialized, so the cost per
+    * blob is parsing a few dozen bytes. Falls back to the stub if no
+    * reader claims the stream (truncated/corrupt container). */
+  private def decodeImageHeader(docId: Long, fmt: String, bytes: Array[Byte]): MediaMeta = {
+    val iis = javax.imageio.ImageIO.createImageInputStream(new java.io.ByteArrayInputStream(bytes))
+    try {
+      val readers = javax.imageio.ImageIO.getImageReaders(iis)
+      if (readers.hasNext) {
+        val r = readers.next()
+        try {
+          r.setInput(iis, true, true)
+          MediaMeta(docId, fmt, r.getWidth(0), r.getHeight(0), 1)
+        } finally r.dispose()
+      } else decodeStub(docId, bytes)
+    } finally iis.close()
+  }
+
+  /** Bytes → typed metadata. Dispatch: real `javax.imageio` header decode
+    * for recognized image containers; deterministic stub for everything
+    * else (audio/video codecs don't exist in the JDK — see object doc). */
+  def decode(docId: Long, bytes: Array[Byte]): MediaMeta =
+    sniffImage(bytes) match {
+      case Some(fmt) => decodeImageHeader(docId, fmt, bytes)
+      case None => decodeStub(docId, bytes)
+    }
+
+  /** Non-image fallback. STUB: derives deterministic pseudo-dimensions
+    * from byte 0 and the length so tests and oracles can pin the plumbing
+    * on the synthetic (text-bytes) corpus. */
   def decodeStub(docId: Long, bytes: Array[Byte]): MediaMeta = {
     val b0 = if (bytes.nonEmpty) bytes(0) & 0xff else 0
     val n = bytes.length
@@ -52,43 +95,82 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
-  /** Partition-parallel batch "decode": binary blobs → typed metadata via
-    * mapPartitions (kernel amortized per batch, never per row; zero
-    * shuffle). The stub's outputs are pure functions of the bytes, so the
-    * same result is SQL-expressible for the oracle. */
+  /** Partition-parallel batch decode over any (doc_id, blob) dataset —
+    * the reusable kernel entry; codec dispatch per blob, zero shuffle. */
+  def decodeBlobs(blobs: Dataset[(Long, Array[Byte])]): Dataset[MediaMeta] = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions { it =>
+      // codec/reader state is per-partition here; decode() sniffs and
+      // dispatches per blob
+      it.map { case (id, bytes) => decode(id, bytes) }
+    }
+  }
+
+  /** Driver-contract form: documents.text bytes as the blob column. The
+    * synthetic corpus never matches an image signature, so this path is
+    * the stub's pure byte math and stays SQL-expressible for the oracle;
+    * real PNG/JPEG blobs through the same plumbing are pinned by spec. */
   def decodeMeta(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
-    val blobs: Dataset[(Long, Array[Byte])] = Tables(spark, dir, "documents")
-      .select(col("doc_id"), col("text").cast(BinaryType).as("blob"))
-      .as[(Long, Array[Byte])]
-    blobs
-      .mapPartitions { it =>
-        // real pipeline: init codec once per partition here, decode in
-        // batches; stub: per-record pure function
-        it.map { case (id, bytes) => decodeStub(id, bytes) }
-      }
+    decodeBlobs(
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text").cast(BinaryType).as("blob"))
+        .as[(Long, Array[Byte])])
       .toDF()
       .orderBy("doc_id")
   }
 
-  /** A "resized" media record: target box + stub thumbnail bytes. */
+  /** A "resized" media record: target box + thumbnail byte count. */
   final case class Resized(doc_id: Long, out_w: Int, out_h: Int, n_thumb_bytes: Int)
 
-  /** Resize-to-fit plumbing: aspect-preserving fit into maxW×maxH computed
-    * from the (stub-)decoded dimensions, thumbnail payload STUBBED as a
-    * truncated copy of the source bytes. The geometry math is real. */
-  def resizeStub(spark: SparkSession, dir: String, maxW: Int = 256, maxH: Int = 256): DataFrame = {
+  /** Aspect-preserving fit of (w, h) into maxW×maxH (never upscale). */
+  def fitBox(w: Int, h: Int, maxW: Int, maxH: Int): (Int, Int) = {
+    val scale = math.min(1.0, math.min(maxW.toDouble / w, maxH.toDouble / h))
+    (math.max(1, (w * scale).toInt), math.max(1, (h * scale).toInt))
+  }
+
+  /** Real image thumbnail: full decode, bilinear scale into the fit box,
+    * re-encode as PNG — all `javax.imageio`/`Graphics2D` (JDK). */
+  private def thumbnail(bytes: Array[Byte], w: Int, h: Int): Array[Byte] = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    val out = new java.awt.image.BufferedImage(w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    val g = out.createGraphics()
+    try {
+      g.setRenderingHint(java.awt.RenderingHints.KEY_INTERPOLATION,
+        java.awt.RenderingHints.VALUE_INTERPOLATION_BILINEAR)
+      g.drawImage(img, 0, 0, w, h, null)
+    } finally g.dispose()
+    val baos = new java.io.ByteArrayOutputStream()
+    javax.imageio.ImageIO.write(out, "png", baos)
+    baos.toByteArray
+  }
+
+  /** Resize kernel over any (doc_id, blob) dataset: real decode + scale +
+    * PNG re-encode for image containers; for non-image blobs the geometry
+    * runs on the stub dimensions and the thumbnail payload is stubbed as a
+    * truncated byte count (audio/video caveat, see object doc). */
+  def resizeBlobs(blobs: Dataset[(Long, Array[Byte])], maxW: Int, maxH: Int): Dataset[Resized] = {
+    val spark = blobs.sparkSession
     import spark.implicits._
-    Tables(spark, dir, "documents")
-      .select(col("doc_id"), col("text").cast(BinaryType).as("blob"))
-      .as[(Long, Array[Byte])]
-      .mapPartitions(_.map { case (id, bytes) =>
-        val m = decodeStub(id, bytes)
-        val scale = math.min(1.0, math.min(maxW.toDouble / m.width, maxH.toDouble / m.height))
-        val w = math.max(1, (m.width * scale).toInt)
-        val h = math.max(1, (m.height * scale).toInt)
-        Resized(id, w, h, math.min(bytes.length, w * h / 8))
-      })
+    blobs.mapPartitions(_.map { case (id, bytes) =>
+      val m = decode(id, bytes)
+      val (w, h) = fitBox(m.width, m.height, maxW, maxH)
+      val nThumb =
+        if (sniffImage(bytes).isDefined) thumbnail(bytes, w, h).length
+        else math.min(bytes.length, w * h / 8)
+      Resized(id, w, h, nThumb)
+    })
+  }
+
+  /** Driver-contract form of resize on the documents table. */
+  def resize(spark: SparkSession, dir: String, maxW: Int = 256, maxH: Int = 256): DataFrame = {
+    import spark.implicits._
+    resizeBlobs(
+      Tables(spark, dir, "documents")
+        .select(col("doc_id"), col("text").cast(BinaryType).as("blob"))
+        .as[(Long, Array[Byte])],
+      maxW, maxH)
       .toDF()
       .orderBy("doc_id")
   }
