@@ -283,6 +283,7 @@ object Registry {
     GraftQuery("g2_count_distinct", SetOps.g2CountDistinct, Some(
       """SELECT count(DISTINCT l_partkey) AS n_parts FROM lineitem""")),
     GraftQuery("g3_approx_distinct", SetOps.g3ApproxDistinct, None),
+    GraftQuery("g4b_approx_percentiles", SetOps.g4bApproxPercentiles, None),
     GraftQuery("g4_percentiles", SetOps.g4Percentiles, Some(
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS p50,
         |       quantile_cont(l_quantity, 0.9) AS p90, quantile_cont(l_quantity, 0.99) AS p99

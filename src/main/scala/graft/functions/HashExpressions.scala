@@ -380,14 +380,16 @@ case class MinHashBucketPairs(child: Expression, thresholdNum: Int, thresholdDen
 /** Cosine similarity of two array<double> in one pass — dot, |a|², |b|²
   * accumulated left-to-right, result dot/(√|a|²·√|b|²): bit-identical to
   * the equivalent fold-based SQL (and to DuckDB's list_cosine_similarity),
-  * so it can sit under oracle-checked queries. */
-case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
-  override def dataType: DataType = DoubleType
-  override def nullIntolerant: Boolean = true
-  override protected def nullSafeEval(l: Any, r: Any): Any = {
-    val a = l.asInstanceOf[ArrayData]
-    val b = r.asInstanceOf[ArrayData]
+  * so it can sit under oracle-checked queries.
+  *
+  * Fully code-generated (no CodegenFallback): this kernel runs
+  * |corpus| × |queries| times under the brute-force top-k scan, and real
+  * codegen keeps the whole stage — scan, join, this kernel, the window's
+  * input — in one generated loop with no InternalRow boxing at the call
+  * boundary. The generated code calls the static `compute` below (same
+  * JIT-compiled tight loop the interpreted path uses). */
+object CosineSimilarity {
+  def compute(a: ArrayData, b: ArrayData): Double = {
     val n = math.min(a.numElements(), b.numElements())
     var dot = 0.0; var na = 0.0; var nb = 0.0
     var i = 0
@@ -396,8 +398,22 @@ case class CosineSimilarity(left: Expression, right: Expression)
       dot += x * y; na += x * x; nb += y * y
       i += 1
     }
-    java.lang.Double.valueOf(dot / (math.sqrt(na) * math.sqrt(nb)))
+    dot / (math.sqrt(na) * math.sqrt(nb))
   }
+}
+
+case class CosineSimilarity(left: Expression, right: Expression)
+    extends BinaryExpression {
+  override def dataType: DataType = DoubleType
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(l: Any, r: Any): Any =
+    java.lang.Double.valueOf(
+      CosineSimilarity.compute(l.asInstanceOf[ArrayData], r.asInstanceOf[ArrayData]))
+  override protected def doGenCode(
+      ctx: org.apache.spark.sql.catalyst.expressions.codegen.CodegenContext,
+      ev: org.apache.spark.sql.catalyst.expressions.codegen.ExprCode)
+      : org.apache.spark.sql.catalyst.expressions.codegen.ExprCode =
+    defineCodeGen(ctx, ev, (a, b) => s"graft.functions.CosineSimilarity.compute($a, $b)")
   override protected def withNewChildrenInternal(l: Expression, r: Expression): CosineSimilarity =
     copy(left = l, right = r)
 }

@@ -59,6 +59,22 @@ object SetOps {
         expr("percentile(l_quantity, 0.99)").as("p99"))
       .orderBy("l_returnflag")
 
+  /** Approx-percentile sketch twin of `g4Percentiles` — the form that
+    * survives 100 TB: a bounded-memory mergeable sketch (Greenwald-Khanna
+    * style) built in one pass with map-side partials, where the exact
+    * percentile materializes each sorted group. accuracy=10000 → rank
+    * error ≤ n/10000; pinned against the exact values by spec. Sketch
+    * internals are engine-specific → rows-only oracle (same split as
+    * g2/g3 for distinct counts). */
+  def g4bApproxPercentiles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(expr("approx_percentile(l_quantity, array(0.5, 0.9, 0.99), 10000)").as("ps"))
+      .select(
+        col("l_returnflag"),
+        col("ps")(0).as("p50"), col("ps")(1).as("p90"), col("ps")(2).as("p99"))
+      .orderBy("l_returnflag")
+
   /** CUBE over two dimensions — all 4 grouping sets; null keys folded to
     * 'ALL' for engine-independent ordering (as in g1Rollup). */
   def g5Cube(spark: SparkSession, dir: String): DataFrame =

@@ -57,8 +57,9 @@ object StatefulSessions {
   }
 
   /** Closed sessions of an event stream (Append mode; the final open
-    * session per user stays in state — on an unbounded stream it closes
-    * via gap or timeout). */
+    * session per user stays in state — bounded-input form, finalized via
+    * `finalOpenSessions`. For unbounded streams use
+    * `closedSessionsWithTimeout`, which expires idle users' state). */
   def closedSessions(events: Dataset[Ev]): Dataset[Session] = {
     val spark = events.sparkSession
     import spark.implicits._
@@ -66,6 +67,45 @@ object StatefulSessions {
       .groupByKey(_.user_id)
       .flatMapGroupsWithState[OpenSession, Session](
         OutputMode.Append, GroupStateTimeout.NoTimeout)(updateUser)
+  }
+
+  /** Timeout-aware update: on an event-time timeout the watermark has
+    * passed lastSeen + gap, so the open session can never be extended —
+    * emit it and FREE the state (this is what bounds state size on an
+    * unbounded stream: idle users cost nothing after one gap). Otherwise
+    * fold normally and re-arm the timeout at lastSeen + gap (clamped just
+    * above the current watermark — a group revived by an allowed late
+    * event may already sit behind it). */
+  def updateUserWithTimeout(
+      userId: Long, events: Iterator[Ev],
+      state: GroupState[OpenSession]): Iterator[Session] = {
+    if (state.hasTimedOut) {
+      val s = state.get
+      state.remove()
+      Iterator.single(Session(userId, ts(s.startMicros), ts(s.lastMicros), s.n, s.totalCents / 100.0))
+    } else {
+      val out = updateUser(userId, events, state)
+      state.getOption.foreach { s =>
+        val fireAtMs = s.lastMicros / 1000 + GapMicros / 1000
+        state.setTimeoutTimestamp(math.max(fireAtMs, state.getCurrentWatermarkMs() + 1))
+      }
+      out
+    }
+  }
+
+  /** Unbounded-stream sessionizer: watermark + event-time timeout. Late
+    * events within `watermarkDelay` still extend their session; once the
+    * watermark passes an open session's gap horizon the session is emitted
+    * by timeout and its state removed. */
+  def closedSessionsWithTimeout(
+      events: Dataset[Ev], watermarkDelay: String = "10 minutes"): Dataset[Session] = {
+    val spark = events.sparkSession
+    import spark.implicits._
+    events
+      .withWatermark("ts", watermarkDelay)
+      .groupByKey(_.user_id)
+      .flatMapGroupsWithState[OpenSession, Session](
+        OutputMode.Append, GroupStateTimeout.EventTimeTimeout)(updateUserWithTimeout)
   }
 
   /** Drain the per-user open sessions (bounded-input finalization — the

@@ -74,6 +74,23 @@ class HashExpressionsSpec extends SparkSpec {
     assert(r.contains((1L, 10, 3L, 30)))
   }
 
+  test("CosineSimilarity: real codegen — no fallback, same bits as interpreted eval") {
+    import spark.implicits._
+    val df = Seq((Seq(1.0, 2.0, 3.0), Seq(0.5, -1.0, 2.0))).toDF("a", "b")
+    // CODEGEN_ONLY would throw if the expression still fell back
+    val prev = spark.conf.getOption("spark.sql.codegen.factoryMode")
+    spark.conf.set("spark.sql.codegen.factoryMode", "CODEGEN_ONLY")
+    try {
+      val gen = df.select(cosine_similarity(col("a"), col("b"))).collect()(0).getDouble(0)
+      spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      val interp = df.select(cosine_similarity(col("a"), col("b"))).collect()(0).getDouble(0)
+      assert(gen == interp)
+    } finally prev match {
+      case Some(v) => spark.conf.set("spark.sql.codegen.factoryMode", v)
+      case None => spark.conf.unset("spark.sql.codegen.factoryMode")
+    }
+  }
+
   test("MinHashBucketPairs: expands+verifies in one eval, emits only passing pairs") {
     import spark.implicits._
     // sorted hash sets: (a,b) jaccard 3/5 = 0.6 ≥ 0.5 passes; pairs with c share nothing

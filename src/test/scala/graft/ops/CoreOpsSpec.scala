@@ -81,4 +81,58 @@ class CoreOpsSpec extends SparkSpec {
     assert(a.length == b.length)
     a.zip(b).foreach { case (x, y) => assert(x == y) }
   }
+
+  test("g4b approx percentiles: sketch within tight error of exact per group") {
+    val exact = SetOps.g4Percentiles(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val approx = SetOps.g4bApproxPercentiles(spark, Sf0001).collect()
+    assert(approx.length == exact.size)
+    approx.foreach { r =>
+      val (p50, p90, p99) = exact(r.getString(0))
+      // accuracy=10000 → rank error ≤ n/10000; on these group sizes the
+      // sketch lands within one quantity step (values are in [1, 50])
+      assert(math.abs(r.getDouble(1) - p50) <= 1.0, s"p50 ${r.getDouble(1)} vs $p50")
+      assert(math.abs(r.getDouble(2) - p90) <= 1.0, s"p90 ${r.getDouble(2)} vs $p90")
+      assert(math.abs(r.getDouble(3) - p99) <= 1.0, s"p99 ${r.getDouble(3)} vs $p99")
+    }
+  }
+
+  /** Manufactured power-law skew: 90% of rows in ONE (key, month) group.
+    * The salted plan must (a) agree bit-for-bit with the unsalted plan and
+    * (b) split the hot group across all 16 salt shards in stage 1, which
+    * is what bounds a single reducer's share of a hot key to ~1/16 at any
+    * scale. (Wall-clock advantage only materializes when one reducer's
+    * group dominates a stage — at spec scale on a noisy box it isn't
+    * assertable, so the spec pins the structure instead.) */
+  test("salted agg under 90%-one-key skew: equal results, hot key split across shards") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val n = 200000
+    val dir = tempDir("skewed_events")
+    spark.range(n.toLong)
+      .select(
+        col("id").as("event_id"),
+        (col("id") % 997).as("user_id"),
+        when(col("id") % 10 < 9, "hot").otherwise(concat(lit("cold"), col("id") % 7)).as("event_type"),
+        to_timestamp(lit("2024-03-15 12:00:00")).as("ts"),
+        (col("id") % 200).cast("double").as("value"))
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+
+    val unsalted = CoreOps.a1MonthlyAggEvents(spark, dir).collect()
+    val salted = CoreOps.a1SaltedAgg(spark, dir).collect()
+    assert(unsalted.length == salted.length)
+    unsalted.zip(salted).foreach { case (x, y) => assert(x == y) }
+    val hot = salted.find(_.getString(0) == "hot").get
+    assert(hot.getAs[Long]("rows_loaded") == (n * 9L) / 10)
+
+    // stage-1 structure: the hot key occupies 16 independent shard groups
+    val shardCounts = Tables(spark, dir, "events")
+      .withColumn("salt", pmod(xxhash64(col("event_id")), lit(16)))
+      .filter(col("event_type") === "hot")
+      .groupBy(col("salt")).agg(count(lit(1)).as("c"))
+      .collect().map(r => r.getAs[Long]("c"))
+    assert(shardCounts.length == 16, s"hot key split across ${shardCounts.length} shards")
+    // shards are hash-balanced: no shard owns more than 2× its fair share
+    assert(shardCounts.max <= 2L * (n * 9L / 10) / 16, shardCounts.mkString(","))
+  }
 }
