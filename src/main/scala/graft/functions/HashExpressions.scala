@@ -268,13 +268,17 @@ case class SortedJaccard(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
-/** array<struct<doc_id:long, simhash:long>> bucket → array of pairs
-  * struct<doc_a,doc_b,hamming> with doc_a < doc_b and hamming ≤ max —
-  * the Hamming filter runs inside the expansion loop (popcount of xor),
-  * so only matching pairs are ever materialized. A clustered bucket of
-  * size d costs d²/2 popcounts but emits only true neighbors. */
-case class SimHashPairs(child: Expression, maxHamming: Int)
-    extends UnaryExpression with CodegenFallback {
+/** (array<struct<doc_id:long, simhash:long>> bucket, chunk id) → array of
+  * pairs struct<doc_a,doc_b,hamming> with doc_a < doc_b and hamming ≤ max.
+  * The Hamming filter runs inside the expansion loop (popcount of xor),
+  * so only matching pairs are ever materialized — and each pair is
+  * emitted ONLY from the FIRST chunk on which its two signatures agree
+  * (decidable locally from the two signatures), so the global pair set is
+  * duplicate-free by construction: no cross-bucket dropDuplicates shuffle
+  * is needed afterwards. A clustered bucket of size d costs d²/2
+  * popcounts but emits only true, unique neighbors. */
+case class SimHashPairs(left: Expression, right: Expression, maxHamming: Int)
+    extends BinaryExpression with CodegenFallback {
   override def dataType: DataType = ArrayType(
     StructType(Seq(
       StructField("doc_a", LongType, nullable = false),
@@ -282,8 +286,9 @@ case class SimHashPairs(child: Expression, maxHamming: Int)
       StructField("hamming", IntegerType, nullable = false))),
     containsNull = false)
   override def nullIntolerant: Boolean = true
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(ms: Any, chunk: Any): Any = {
+    val arr = ms.asInstanceOf[ArrayData]
+    val chunkId = chunk.asInstanceOf[Int]
     val d = arr.numElements()
     val ids = new Array[Long](d)
     val sigs = new Array[Long](d)
@@ -298,12 +303,19 @@ case class SimHashPairs(child: Expression, maxHamming: Int)
     while (i < d) {
       var j = i + 1
       while (j < d) {
-        val h = java.lang.Long.bitCount(sigs(i) ^ sigs(j))
+        val x = sigs(i) ^ sigs(j)
+        val h = java.lang.Long.bitCount(x)
         if (h <= maxHamming) {
-          out += (if (ids(i) < ids(j))
-            org.apache.spark.sql.catalyst.InternalRow(ids(i), ids(j), h)
-          else
-            org.apache.spark.sql.catalyst.InternalRow(ids(j), ids(i), h))
+          // first 16-bit chunk where the signatures agree — the one
+          // bucket allowed to emit this pair
+          var first = 0
+          while ((x >>> (first * 16) & 0xFFFFL) != 0L) first += 1
+          if (first == chunkId) {
+            out += (if (ids(i) < ids(j))
+              org.apache.spark.sql.catalyst.InternalRow(ids(i), ids(j), h)
+            else
+              org.apache.spark.sql.catalyst.InternalRow(ids(j), ids(i), h))
+          }
         }
         j += 1
       }
@@ -311,7 +323,8 @@ case class SimHashPairs(child: Expression, maxHamming: Int)
     }
     new GenericArrayData(out.toArray)
   }
-  override protected def withNewChildInternal(c: Expression): SimHashPairs = copy(c)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): SimHashPairs =
+    copy(left = l, right = r)
 }
 
 /** array<struct<doc_id:long, hs:array<long>>> LSH bucket → array of
@@ -429,7 +442,8 @@ object exprs {
   def chunk_hashes(sig: Column, chunk: Int): Column = c(ChunkHashes(e(sig), chunk))
   def simhash64(hashes: Column): Column = c(SimHash64(e(hashes)))
   def posting_list_pairs(ds: Column): Column = c(PostingListPairs(e(ds)))
-  def simhash_pairs(ms: Column, maxHamming: Int): Column = c(SimHashPairs(e(ms), maxHamming))
+  def simhash_pairs(ms: Column, chunk: Column, maxHamming: Int): Column =
+    c(SimHashPairs(e(ms), e(chunk), maxHamming))
   def minhash_bucket_pairs(ms: Column, num: Int, den: Int): Column =
     c(MinHashBucketPairs(e(ms), num, den))
   def sorted_jaccard(a: Column, b: Column): Column = c(SortedJaccard(e(a), e(b)))

@@ -171,11 +171,13 @@ object DedupOps {
       .observe("simhash_bucket_cap",
         sum(when(size(col("ms")) > bucketCap, 1).otherwise(0)).as("dropped_hot_buckets"))
       .filter(size(col("ms")).between(2, bucketCap))
-    buckets.select(explode(simhash_pairs(col("ms"), 3)).as("p"))
+    // each pair is emitted only by its first agreeing chunk's bucket
+    // (decided inside the kernel), so pairs arrive globally unique and no
+    // cross-bucket dropDuplicates shuffle exists in this plan
+    buckets.select(explode(simhash_pairs(col("ms"), col("chunk"), 3)).as("p"))
       .select(
         col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
         col("p.hamming").as("hamming"))
-      .dropDuplicates("doc_a", "doc_b")
       .orderBy("doc_a", "doc_b")
   }
 

@@ -98,6 +98,21 @@ class PipelineOpsSpec extends SparkSpec {
       .getAs[Long]("dropped_hot_buckets") == 0L)
   }
 
+  test("simhash: pipeline pairs == brute-force hamming≤3 pairs, emitted exactly once") {
+    import graft.functions.exprs._
+    // ground truth by brute force over all signature pairs (corpus is tiny)
+    val sigs = Tables(spark, Sf0001, "documents")
+      .select(col("doc_id"), simhash64(token_hashes(split(lower(col("text")), " "))).as("s"))
+      .collect().map(r => (r.getLong(0), r.getLong(1)))
+    val want = (for {
+      (ia, sa) <- sigs; (ib, sb) <- sigs
+      if ia < ib && java.lang.Long.bitCount(sa ^ sb) <= 3
+    } yield (ia, ib)).toSet
+    val got = DedupOps.simhash(spark, Sf0001).collect().map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == got.toSet.size, "pairs must be globally unique without dropDuplicates")
+    assert(got.toSet == want, s"got ${got.length} want ${want.size}")
+  }
+
   test("fingerprint: stable across partition counts and run-to-run") {
     val a = graft.ops.TextOps.fingerprint(spark, plantedDir).collect().map(r => (r.getLong(0), r.getLong(1)))
     val b = graft.ops.TextOps.fingerprint(spark, plantedDir).collect().map(r => (r.getLong(0), r.getLong(1)))
