@@ -220,6 +220,21 @@ object Registry {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin), headline = true),
+    GraftQuery("j6_asof_join", JoinOps.j6AsofJoin, Some(
+      """WITH p AS (SELECT user_id, ts, max(event_id) AS pid FROM events
+        |           WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |     e AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error')
+        |SELECT e.user_id AS user_id, e.event_id AS error_id, e.ts AS error_ts,
+        |       p.pid AS last_purchase_id, p.ts AS last_purchase_ts
+        |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
+        |ORDER BY user_id, error_id""".stripMargin)),
+    GraftQuery("j7_range_join", JoinOps.j7RangeJoin, Some(
+      """SELECT e.user_id AS user_id, e.event_id AS error_id, e.ts AS error_ts,
+        |       p.event_id AS purchase_id, p.ts AS purchase_ts
+        |FROM events e JOIN events p
+        |  ON e.user_id = p.user_id AND e.event_type = 'error' AND p.event_type = 'purchase'
+        | AND p.ts >= e.ts - INTERVAL 30 MINUTE AND p.ts <= e.ts
+        |ORDER BY user_id, error_id, purchase_id""".stripMargin)),
     GraftQuery("q3_top_unshipped", JoinOps.q3TopUnshipped, Some(
       """SELECT l_orderkey, o_orderdate, o_orderpriority,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
@@ -248,6 +263,11 @@ object Registry {
     GraftQuery("w3_lag_delta", WindowOps.w3LagDelta, Some(
       """SELECT user_id, event_id,
         |       value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS delta
+        |FROM events ORDER BY user_id, event_id""".stripMargin)),
+    GraftQuery("w5_rolling_time", WindowOps.w5RollingTime, Some(
+      """SELECT user_id, event_id,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts
+        |            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll_1h
         |FROM events ORDER BY user_id, event_id""".stripMargin)),
     GraftQuery("w4_sessionize", WindowOps.w4Sessionize, Some(
       """WITH flagged AS (

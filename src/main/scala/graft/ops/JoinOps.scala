@@ -115,4 +115,56 @@ object JoinOps {
       .orderBy(col("revenue").desc, col("o_orderdate"), col("l_orderkey"))
       .limit(10)
   }
+
+  /** J6 — AS-OF join: each error event paired with the same user's most
+    * recent purchase at or before it. Spark has no native ASOF operator;
+    * rather than an inequality join (which degenerates to per-key
+    * cartesian work), this uses the union+window formulation: interleave
+    * both sides on one timeline, one shuffle on user_id, and carry the
+    * last purchase forward with `last(..., ignoreNulls)` — O(n log n)
+    * per user, no pair blowup, the standard scalable as-of plan for dense
+    * timelines. Tie rule (oracle-matched): purchases sort before errors
+    * at the same timestamp (at-or-before includes equality), max event_id
+    * wins among same-timestamp purchases. */
+  def j6AsofJoin(spark: SparkSession, dir: String): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val ev = Tables(spark, dir, "events")
+      .filter(col("event_type").isin("purchase", "error"))
+      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
+      .withColumn("is_p", (col("event_type") === "purchase").cast("int"))
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("is_p").desc, col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ev
+      .withColumn("last_purchase_id",
+        last(when(col("is_p") === 1, col("event_id")), ignoreNulls = true).over(w))
+      .withColumn("last_purchase_ts",
+        last(when(col("is_p") === 1, col("ts")), ignoreNulls = true).over(w))
+      .filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("error_id"), col("ts").as("error_ts"),
+        col("last_purchase_id"), col("last_purchase_ts"))
+      .orderBy("user_id", "error_id")
+  }
+
+  /** J7 — range (interval) join: error events matched to the same user's
+    * purchases in the trailing 30 minutes. Planned as an equi-join on
+    * user_id with the interval as a residual predicate — the shuffle is
+    * keyed, never cartesian; per-user match work is bounded by the
+    * interval width. The streaming twin (graft.streaming.IntervalJoin)
+    * runs the same predicate with watermark-bounded state. */
+  def j7RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("error_id"), col("ts").as("error_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+    errors.join(purchases,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("error_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("purchase_ts") <= col("error_ts"))
+      .select(col("user_id"), col("error_id"), col("error_ts"),
+        col("purchase_id"), col("purchase_ts"))
+      .orderBy("user_id", "error_id", "purchase_id")
+  }
 }

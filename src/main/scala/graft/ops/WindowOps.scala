@@ -72,4 +72,20 @@ object WindowOps {
         sum(dec2(col("value"))).cast(DoubleType).as("total_value"))
       .orderBy("user_id", "session_id")
   }
+
+  /** W5 — rolling time-RANGE window: trailing 1-hour sum of value per
+    * user. The frame is defined on the time axis (µs since epoch), not on
+    * row counts, so it is insensitive to event density — the same frame
+    * semantics DuckDB expresses as RANGE BETWEEN INTERVAL 1 HOUR
+    * PRECEDING. Decimal route keeps the moving sums exact; one shuffle on
+    * user_id. */
+  def w5RollingTime(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id"))
+      .orderBy(unix_micros(col("ts")))
+      .rangeBetween(-3600L * 1000000, 0)
+    Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        sum(dec2(col("value"))).over(w).cast(DoubleType).as("roll_1h"))
+      .orderBy("user_id", "event_id")
+  }
 }

@@ -82,6 +82,20 @@ class CoreOpsSpec extends SparkSpec {
     a.zip(b).foreach { case (x, y) => assert(x == y) }
   }
 
+  test("j6 as-of: matched purchase is at-or-before the error; null before any purchase") {
+    val rows = JoinOps.j6AsofJoin(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.filterNot(_.isNullAt(3)).foreach { r =>
+      assert(!r.getAs[java.sql.Timestamp]("last_purchase_ts")
+        .after(r.getAs[java.sql.Timestamp]("error_ts")))
+    }
+    assert(rows.exists(_.isNullAt(3))) // early errors precede any purchase
+    // row identity: exactly one output row per error event
+    val nErrors = Tables(spark, Sf0001, "events")
+      .filter(org.apache.spark.sql.functions.col("event_type") === "error").count()
+    assert(rows.length.toLong == nErrors)
+  }
+
   test("g4b approx percentiles: sketch within tight error of exact per group") {
     val exact = SetOps.g4Percentiles(spark, Sf0001).collect()
       .map(r => r.getString(0) -> (r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
