@@ -373,6 +373,14 @@ object Registry {
     GraftQuery("x_sim_ann_lsh", SimilarityOps.annLsh, None),
     GraftQuery("x_sim_ann_multiprobe", SimilarityOps.annLshMultiProbe, None),
     GraftQuery("x_sim_ann_ivf", (s, d) => SimilarityOps.annIvf(s, d), None),
+    GraftQuery("x_split_hash", SamplingOps.splitHash, Some(
+      """SELECT doc_id,
+        |       CAST(('0x' || substr(md5(text), 1, 4)) AS INTEGER) % 100 AS bucket,
+        |       CASE WHEN CAST(('0x' || substr(md5(text), 1, 4)) AS INTEGER) % 100 < 90 THEN 'train'
+        |            WHEN CAST(('0x' || substr(md5(text), 1, 4)) AS INTEGER) % 100 < 95 THEN 'val'
+        |            ELSE 'test' END AS split
+        |FROM documents ORDER BY doc_id""".stripMargin)),
+    GraftQuery("x_sample_stratified", (s, d) => SamplingOps.stratifiedSample(s, d), None),
     GraftQuery("x_mm_binary_meta", MultimodalOps.binaryMeta, Some(
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         |       CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'img' WHEN 1 THEN 'audio'

@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Sampling / splitting operators for training-data pipelines: the
+  * dataset-assembly steps that sit between dedup and training.
+  *
+  * Scale design: every operator here is a narrow per-row decision (a hash
+  * or a seeded coin flip) — no shuffle, no state, embarrassingly parallel
+  * at any corpus size; the only exchange is the deterministic output sort
+  * the oracle requires.
+  */
+object SamplingOps {
+
+  /** Content-hash train/val/test split (90/5/5): the bucket is derived
+    * from md5 of the TEXT, not the row id, so byte-identical documents
+    * land in the same split no matter where they sit — the
+    * leakage-resistant way to split a corpus that may still contain
+    * duplicates. md5 is bit-identical across engines → full value oracle.
+    * Narrow, codegen'd, no shuffle. */
+  def splitHash(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        (conv(substring(md5(col("text")), 1, 4), 16, 10).cast(IntegerType) % 100).as("bucket"))
+      .select(col("doc_id"), col("bucket"),
+        when(col("bucket") < 90, "train")
+          .when(col("bucket") < 95, "val")
+          .otherwise("test").as("split"))
+      .orderBy("doc_id")
+
+  /** Per-language target sampling rates: the data-mixing knob (upweight
+    * scarce languages, downsample the dominant one). */
+  val LangFractions: Map[String, Double] =
+    Map("en" -> 0.5, "de" -> 1.0, "es" -> 1.0, "fr" -> 1.0, "zh" -> 0.8)
+
+  /** Stratified (per-language) sampling via `DataFrameStatFunctions
+    * .sampleBy`: each stratum is Bernoulli-sampled at its own rate with a
+    * fixed seed — one scan, no shuffle, deterministic for a given seed
+    * and partitioning. Seeded RNG draws are engine-internal → rows-only
+    * oracle; proportions and determinism are pinned by spec. */
+  def stratifiedSample(spark: SparkSession, dir: String, seed: Long = 42L): DataFrame =
+    Tables(spark, dir, "documents")
+      .stat.sampleBy("lang", LangFractions, seed)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+}

@@ -239,6 +239,42 @@ class PipelineOpsSpec extends SparkSpec {
     meta.filter(_._2 == 0).keys.foreach(id => assert(!frames.contains(id)))
   }
 
+  test("hash split: deterministic, content-keyed, ~90/5/5") {
+    val a = SamplingOps.splitHash(spark, Sf0001).collect()
+    val b = SamplingOps.splitHash(spark, Sf0001).collect()
+    assert(a.map(_.toString).sameElements(b.map(_.toString)))
+    val bySplit = a.groupBy(_.getString(2)).view.mapValues(_.length).toMap
+    val n = a.length.toDouble
+    assert(bySplit("train") / n > 0.8 && bySplit("train") / n < 0.97, bySplit.toString)
+    assert(bySplit.getOrElse("val", 0) + bySplit.getOrElse("test", 0) > 0)
+    // content-keyed: same text (as planted below) would share a split —
+    // check via the planted corpus where docs 0 and 2 are byte-identical
+    val p = SamplingOps.splitHash(spark, plantedDir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(p(0L) == p(2L))
+  }
+
+  test("stratified sample: per-stratum rates honored, deterministic per seed") {
+    val base = Tables(spark, Sf0001, "documents")
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val s1 = SamplingOps.stratifiedSample(spark, Sf0001).collect()
+    val s2 = SamplingOps.stratifiedSample(spark, Sf0001).collect()
+    assert(s1.map(_.toString).sameElements(s2.map(_.toString)), "same seed → same sample")
+    val got = s1.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    SamplingOps.LangFractions.foreach { case (lang, f) =>
+      val expected = base(lang) * f
+      if (f == 1.0) assert(got(lang).toLong == base(lang), s"$lang kept whole")
+      else {
+        // Bernoulli at rate f: allow generous binomial slack on small strata
+        val sd = math.sqrt(base(lang) * f * (1 - f))
+        assert(math.abs(got.getOrElse(lang, 0) - expected) <= 4 * sd + 2,
+          s"$lang got ${got.getOrElse(lang, 0)} expected ~$expected")
+      }
+    }
+    val diff = SamplingOps.stratifiedSample(spark, Sf0001, seed = 7L).collect()
+    assert(!diff.map(_.toString).sameElements(s1.map(_.toString)), "different seed → different sample")
+  }
+
   test("langid: trigram profiles pick the right language on clear inputs") {
     import spark.implicits._
     val dir = tempDir("langid_docs")
