@@ -308,6 +308,12 @@ object Registry {
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS p50,
         |       quantile_cont(l_quantity, 0.9) AS p90, quantile_cont(l_quantity, 0.99) AS p99
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+    GraftQuery("g6_grouping_sets", SetOps.g6GroupingSets, Some(
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |       coalesce(l_linestatus, 'ALL') AS status,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty, count(*) AS n
+        |FROM lineitem GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY flag, status""".stripMargin)),
     GraftQuery("g5_cube", SetOps.g5Cube, Some(
       """SELECT coalesce(o_orderstatus, 'ALL') AS status,
         |       coalesce(o_orderpriority, 'ALL') AS priority,
@@ -335,6 +341,16 @@ object Registry {
         |       length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) / length(text) AS punct_ratio,
         |       len(string_split(text, ' ')) < 5 AS is_short
         |FROM documents ORDER BY doc_id""".stripMargin)),
+    GraftQuery("x_text_repetition", TextOps.repetition, Some(
+      """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+        |g AS (SELECT doc_id,
+        |        list_transform(generate_series(1, len(tk) - 1), i -> tk[i] || ' ' || tk[i+1]) AS g2,
+        |        list_transform(generate_series(1, len(tk) - 2), i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2]) AS g3
+        |      FROM t WHERE len(tk) >= 3)
+        |SELECT doc_id,
+        |       CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2) AS dup_2gram_frac,
+        |       CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3) AS dup_3gram_frac
+        |FROM g ORDER BY doc_id""".stripMargin)),
     GraftQuery("x_text_langid", TextOps.langId, None),
     GraftQuery("x_text_fingerprint", TextOps.fingerprint, None),
     GraftQuery("x_dedup_exact", DedupOps.exact, Some(
@@ -398,7 +414,8 @@ object Registry {
       """SELECT doc_id, CAST(unnest(generate_series(0, octet_length(encode(text)) % 7 - 1)) AS INTEGER) AS frame_idx
         |FROM documents WHERE octet_length(encode(text)) % 7 > 0
         |ORDER BY doc_id, frame_idx""".stripMargin)),
-    GraftQuery("x_mm_resize", (s, d) => MultimodalOps.resize(s, d), None))
+    GraftQuery("x_mm_resize", (s, d) => MultimodalOps.resize(s, d), None),
+    GraftQuery("x_corpus_assemble", CorpusPipeline.assemble, None))
 
   def all: Seq[GraftQuery] = core ++ joins ++ windows ++ sets ++ extensions
 

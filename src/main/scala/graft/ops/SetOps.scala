@@ -87,6 +87,22 @@ object SetOps {
         col("total"), col("n"))
       .orderBy("status", "priority")
 
+  /** Arbitrary GROUPING SETS (beyond rollup/cube's fixed lattices):
+    * per-flag and per-status marginals in one pass — Spark expands to a
+    * single Expand + hash aggregate, one shuffle for all sets. Null keys
+    * folded to 'ALL' as in g1Rollup. */
+  def g6GroupingSets(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "lineitem").createOrReplaceTempView("g6_lineitem")
+    spark.sql(
+      """SELECT coalesce(l_returnflag, 'ALL') AS flag,
+        |       coalesce(l_linestatus, 'ALL') AS status,
+        |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
+        |       count(*) AS n
+        |FROM g6_lineitem
+        |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+        |ORDER BY flag, status""".stripMargin)
+  }
+
   /** HyperLogLog++ approximate distinct — the form that survives 100 TB
     * (constant sketch memory, one pass, mergeable partials) where exact
     * distinct shuffles every key. rsd 1%; accuracy pinned by spec against

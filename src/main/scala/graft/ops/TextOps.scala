@@ -49,6 +49,28 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Repetition scoring (the Gopher "repetitious text" signal): fraction
+    * of duplicate 2-gram / 3-gram occurrences per document. Boilerplate
+    * and degenerate generations repeat n-grams; natural prose mostly
+    * doesn't. Narrow per-row array arithmetic — no shuffle; per-row
+    * double division is IEEE-identical across engines → full oracle. */
+  def repetition(spark: SparkSession, dir: String): DataFrame = {
+    def grams(n: Int) = expr(
+      s"""transform(sequence(0, size(split(lower(text), ' ')) - $n),
+         |  i -> array_join(slice(split(lower(text), ' '), i + 1, $n), ' '))""".stripMargin)
+    def dupFrac(g: Column) =
+      when(size(g) > 0,
+        (size(g) - size(array_distinct(g))).cast(DoubleType) / size(g))
+        .otherwise(lit(0.0))
+    Tables(spark, dir, "documents")
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(
+        col("doc_id"),
+        dupFrac(grams(2)).as("dup_2gram_frac"),
+        dupFrac(grams(3)).as("dup_3gram_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Character-trigram profiles per language, derived from that
     * language's most frequent function words — the classic n-gram
     * language-id heuristic (Cavnar-Trenkle shape, profile fixed at

@@ -275,6 +275,35 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!diff.map(_.toString).sameElements(s1.map(_.toString)), "different seed → different sample")
   }
 
+  test("repetition: degenerate text scores high, varied text scores 0") {
+    import spark.implicits._
+    val dir = tempDir("rep_docs")
+    Seq(
+      (0L, "spam spam spam spam spam spam", "en", "s", 30L),
+      (1L, "one two three four five six seven", "en", "s", 33L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextOps.repetition(spark, dir).collect()
+      .map(x => x.getLong(0) -> (x.getDouble(1), x.getDouble(2))).toMap
+    assert(r(0L)._1 == 0.8 && r(0L)._2 == 0.75) // 5 bigrams 1 distinct; 4 trigrams 1 distinct
+    assert(r(1L) == ((0.0, 0.0)))
+  }
+
+  test("corpus assembly: deduped, filtered, split-annotated output") {
+    val out = CorpusPipeline.assemble(spark, Sf0001).collect()
+    assert(out.nonEmpty)
+    val ids = out.map(_.getLong(0))
+    assert(ids.distinct.length == ids.length)
+    assert(out.forall(_.getAs[Int]("n_tokens") >= 5))
+    assert(out.forall(r => Set("train", "val", "test").contains(r.getAs[String]("split"))))
+    // at most one member of every near-dup pair survives
+    val present = ids.toSet
+    DedupOps.ngramJaccard(spark, Sf0001).collect().foreach { p =>
+      assert(!(present.contains(p.getLong(0)) && present.contains(p.getLong(1))),
+        s"near-dup pair ${p.getLong(0)},${p.getLong(1)} both retained")
+    }
+  }
+
   test("langid: trigram profiles pick the right language on clear inputs") {
     import spark.implicits._
     val dir = tempDir("langid_docs")
