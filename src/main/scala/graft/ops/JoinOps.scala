@@ -127,21 +127,17 @@ object JoinOps {
     * at the same timestamp (at-or-before includes equality), max event_id
     * wins among same-timestamp purchases. */
   def j6AsofJoin(spark: SparkSession, dir: String): DataFrame = {
-    import org.apache.spark.sql.expressions.Window
     val ev = Tables(spark, dir, "events")
-      .filter(col("event_type").isin("purchase", "error"))
-      .select(col("user_id"), col("event_id"), col("ts"), col("event_type"))
-      .withColumn("is_p", (col("event_type") === "purchase").cast("int"))
-    val w = Window.partitionBy(col("user_id"))
-      .orderBy(col("ts"), col("is_p").desc, col("event_id"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    ev
-      .withColumn("last_purchase_id",
-        last(when(col("is_p") === 1, col("event_id")), ignoreNulls = true).over(w))
-      .withColumn("last_purchase_ts",
-        last(when(col("is_p") === 1, col("ts")), ignoreNulls = true).over(w))
-      .filter(col("event_type") === "error")
-      .select(col("user_id"), col("event_id").as("error_id"), col("ts").as("error_ts"),
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("error_id"), col("ts").as("error_ts"))
+    // unique per (user, ts): same-timestamp purchases resolve to max id,
+    // the same tie rule as the DuckDB ASOF oracle's pre-aggregation
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("last_purchase_id"))
+      .select(col("user_id"), col("ts").as("last_purchase_ts"), col("last_purchase_id"))
+    AsofOps.asofJoin(errors, purchases, Seq("user_id"), "error_ts", "last_purchase_ts")
+      .select(col("user_id"), col("error_id"), col("error_ts"),
         col("last_purchase_id"), col("last_purchase_ts"))
       .orderBy("user_id", "error_id")
   }

@@ -45,4 +45,40 @@ class BucketingSpec extends SparkSpec {
       assert(got == want)
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
+
+  /** The other half of the skew story (a1_salted_agg covers single-key
+    * aggregation): for JOINS, AQE's runtime skew handling splits an
+    * oversized shuffle partition into parallel sub-tasks. Manufacture a
+    * 90%-one-key join at low thresholds and assert the final adaptive
+    * plan actually marked and split the skew. */
+  test("AQE splits the skewed join partition at runtime (skew=true)") {
+    val keys = Seq("spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+      "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+      "spark.sql.adaptive.advisoryPartitionSizeInBytes")
+    val saved = keys.map(k => k -> spark.conf.getOption(k)).toMap
+    try {
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "1")
+      spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "64KB")
+      spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "64KB")
+      val left = spark.range(200000).select(
+        when(col("id") % 10 < 9, 0L).otherwise(col("id")).as("k"),
+        lpad(col("id").cast("string"), 64, "x").as("pad"))
+      val right = spark.range(1000).select(col("id").as("k"), (col("id") * 2).as("w"))
+      // no downstream operator reuses the join partitioning, so AQE is
+      // free to split the hot partition (it skips the rewrite when a
+      // split would force an extra shuffle for a dependent stage)
+      val joined = left.join(right, "k")
+      // execute THIS queryExecution (count() would plan a separate one and
+      // leave this adaptive plan unfinalized)
+      val n = joined.queryExecution.toRdd.count()
+      assert(n == 180100L, s"join cardinality $n") // 180000 hot + 100 cold matches
+      val plan = joined.queryExecution.executedPlan.toString
+      assert(plan.contains("skew=true"), s"no skew split in final plan:\n$plan")
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }

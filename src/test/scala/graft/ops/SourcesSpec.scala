@@ -32,6 +32,27 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("schema evolution: mergeSchema unifies old and new parquet batches") {
+    import spark.implicits._
+    val dir = tempDir("evolving_lake")
+    // batch 1 written before the score column existed; batch 2 after
+    Seq((1L, "alpha"), (2L, "beta")).toDF("id", "name")
+      .write.parquet(s"$dir/batch=1")
+    Seq((3L, "gamma", 9.5)).toDF("id", "name", "score")
+      .write.parquet(s"$dir/batch=2")
+    val lake = spark.read.option("mergeSchema", "true").parquet(dir)
+    assert(lake.columns.toSet == Set("id", "name", "score", "batch"))
+    val rows = lake.orderBy("id").collect()
+    assert(rows.length == 3)
+    assert(rows(0).isNullAt(rows(0).fieldIndex("score"))) // old rows null-fill
+    assert(rows(2).getAs[Double]("score") == 9.5)
+    // and the partition column prunes: only batch=2 files are touched
+    val pruned = lake.filter(col("batch") === 2)
+    assert(pruned.count() == 1)
+    val scan = pruned.queryExecution.executedPlan.toString
+    assert(!scan.contains("batch=1"), scan)
+  }
+
   test("approx_count_distinct within 5% of exact at rsd 1%") {
     val approx = SetOps.g3ApproxDistinct(spark, Sf0001).collect()(0)
     val exact = SetOps.g2CountDistinct(spark, Sf0001).collect()(0).getAs[Long]("n_parts")
