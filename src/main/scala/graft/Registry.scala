@@ -308,6 +308,13 @@ object Registry {
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS p50,
         |       quantile_cont(l_quantity, 0.9) AS p90, quantile_cont(l_quantity, 0.99) AS p99
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+    GraftQuery("a12_topk_agg", SetOps.a12TopkAgg, Some(
+      """SELECT l_returnflag, rank, qty FROM (
+        |  SELECT l_returnflag, l_quantity AS qty,
+        |         CAST(row_number() OVER (PARTITION BY l_returnflag
+        |                                 ORDER BY l_quantity DESC) AS INTEGER) AS rank
+        |  FROM lineitem)
+        |WHERE rank <= 3 ORDER BY l_returnflag, rank""".stripMargin)),
     GraftQuery("g6_grouping_sets", SetOps.g6GroupingSets, Some(
       """SELECT coalesce(l_returnflag, 'ALL') AS flag,
         |       coalesce(l_linestatus, 'ALL') AS status,

@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
 
 /** Set / grouping-set operators (absent from the reference — SURVEY.md §2 —
   * included for engine completeness). */
@@ -86,6 +87,20 @@ object SetOps {
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
         col("total"), col("n"))
       .orderBy("status", "priority")
+
+  /** Bounded-memory top-k values per group via the custom typed
+    * `TopKAggregator` (O(k) state, map-side partials, merge-order
+    * invariant) — exploded to (group, rank, value) rows. Deterministic
+    * under value ties because only the value multiset is emitted. */
+  def a12TopkAgg(spark: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(graft.functions.TopKAggregator(3))
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(topk(col("l_quantity")).as("v"))
+      .select(col("l_returnflag"), posexplode(col("v")).as(Seq("pos", "qty")))
+      .select(col("l_returnflag"), (col("pos") + 1).cast(IntegerType).as("rank"), col("qty"))
+      .orderBy("l_returnflag", "rank")
+  }
 
   /** Arbitrary GROUPING SETS (beyond rollup/cube's fixed lattices):
     * per-flag and per-status marginals in one pass — Spark expands to a

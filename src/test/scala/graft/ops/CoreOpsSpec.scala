@@ -82,6 +82,21 @@ class CoreOpsSpec extends SparkSpec {
     a.zip(b).foreach { case (x, y) => assert(x == y) }
   }
 
+  test("TopKAggregator: equals sort-based top-3, invariant to partitioning") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val vals = (1 to 500).map(i => ((i % 4).toString, ((i * 37) % 101).toDouble))
+    val topk = udaf(graft.functions.TopKAggregator(3))
+    def run(parts: Int) = vals.toDF("g", "v").repartition(parts)
+      .groupBy(col("g")).agg(topk(col("v")).as("top"))
+      .collect().map(r => r.getString(0) -> r.getSeq[Double](1)).toMap
+    val r1 = run(1); val r8 = run(8); val r32 = run(32)
+    assert(r1 == r8 && r8 == r32, "merge order must not change the result")
+    val expect = vals.groupBy(_._1).view
+      .mapValues(_.map(_._2).sorted(Ordering[Double].reverse).take(3).toSeq).toMap
+    assert(r1 == expect)
+  }
+
   test("j6 as-of: matched purchase is at-or-before the error; null before any purchase") {
     val rows = JoinOps.j6AsofJoin(spark, Sf0001).collect()
     assert(rows.nonEmpty)
