@@ -45,9 +45,14 @@ object AsofOps {
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t"), col("__is_l"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val carried = payload.foldLeft(unioned) { (df, c) =>
-      df.withColumn(c, last(when(col("__is_l") === 0, col(c)), ignoreNulls = true).over(w))
+    // all carries in one projection → a single Window operator (one sort,
+    // one pass), not one per payload column
+    val outCols = unioned.columns.map {
+      case c if payload.contains(c) =>
+        last(when(col("__is_l") === 0, col(c)), ignoreNulls = true).over(w).as(c)
+      case c => col(c)
     }
-    carried.filter(col("__is_l") === 1).drop("__t", "__is_l")
+    unioned.select(outCols.toIndexedSeq: _*)
+      .filter(col("__is_l") === 1).drop("__t", "__is_l")
   }
 }

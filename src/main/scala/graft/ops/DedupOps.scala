@@ -32,14 +32,17 @@ object DedupOps {
       .select(col("keep_id"), col("n_copies"))
       .orderBy("keep_id")
 
-  /** Exact dedup, scale form: group on a 64-bit digest of the text so the
-    * shuffle carries 8 bytes per row instead of the document body. Same
-    * result as `exact` barring a 64-bit collision (~n²/2⁶⁵ — at true
-    * 100 TB scale, switch the digest to 128-bit to keep that negligible,
-    * or verify within digest groups). Shares the text-grouped oracle. */
+  /** Exact dedup, scale form: group on a 128-bit digest of the text (two
+    * independently-seeded 64-bit hashes as a struct key) so the shuffle
+    * carries 16 bytes per row instead of the document body. Same result
+    * as `exact` barring a collision (~n²/2¹²⁹ — negligible at any corpus
+    * size; the 64-bit form would start colliding around 2³² docs).
+    * Shares the text-grouped oracle. */
   def exactDigest(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
-      .groupBy(xxhash64(col("text")).as("digest"))
+      .groupBy(struct(
+        xxhash64(col("text")).as("h1"),
+        xxhash64(col("text"), lit(0x5EED)).as("h2")).as("digest"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
       .orderBy("keep_id")
