@@ -53,6 +53,22 @@ class SourcesSpec extends SparkSpec {
     assert(!scan.contains("batch=1"), scan)
   }
 
+  test("corrupt file in the lake: ignoreCorruptFiles skips it, strict mode fails") {
+    import spark.implicits._
+    val dir = tempDir("corrupt_lake") + "/t"
+    Seq((1L, "ok"), (2L, "fine")).toDF("id", "s").write.parquet(dir)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(dir, "part-junk.snappy.parquet"),
+      "this is not parquet at all".getBytes)
+    intercept[Exception] {
+      spark.read.parquet(dir).count() // strict default: surface the corruption
+    }
+    val prev = spark.conf.get("spark.sql.files.ignoreCorruptFiles")
+    spark.conf.set("spark.sql.files.ignoreCorruptFiles", "true")
+    try assert(spark.read.parquet(dir).count() == 2) // degrade explicitly, not silently
+    finally spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
+  }
+
   test("approx_count_distinct within 5% of exact at rsd 1%") {
     val approx = SetOps.g3ApproxDistinct(spark, Sf0001).collect()(0)
     val exact = SetOps.g2CountDistinct(spark, Sf0001).collect()(0).getAs[Long]("n_parts")
