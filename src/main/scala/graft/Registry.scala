@@ -220,6 +220,15 @@ object Registry {
         |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
         |  AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24""".stripMargin), headline = true),
+    GraftQuery("j8_full_outer", JoinOps.j8FullOuter, Some(
+      """WITH e AS (SELECT user_id, count(*) AS n_err FROM events
+        |           WHERE event_type = 'error' GROUP BY 1),
+        |     p AS (SELECT user_id, count(*) AS n_pur FROM events
+        |           WHERE event_type = 'purchase' GROUP BY 1)
+        |SELECT coalesce(e.user_id, p.user_id) AS user_id,
+        |       coalesce(n_err, 0) AS n_err, coalesce(n_pur, 0) AS n_pur
+        |FROM e FULL OUTER JOIN p ON e.user_id = p.user_id
+        |ORDER BY user_id""".stripMargin)),
     GraftQuery("j6_asof_join", JoinOps.j6AsofJoin, Some(
       """WITH p AS (SELECT user_id, ts, max(event_id) AS pid FROM events
         |           WHERE event_type = 'purchase' GROUP BY 1, 2),
@@ -227,7 +236,7 @@ object Registry {
         |SELECT e.user_id AS user_id, e.event_id AS error_id, e.ts AS error_ts,
         |       p.pid AS last_purchase_id, p.ts AS last_purchase_ts
         |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
-        |ORDER BY user_id, error_id""".stripMargin)),
+        |ORDER BY user_id, error_id""".stripMargin), headline = true),
     GraftQuery("j7_range_join", JoinOps.j7RangeJoin, Some(
       """SELECT e.user_id AS user_id, e.event_id AS error_id, e.ts AS error_ts,
         |       p.event_id AS purchase_id, p.ts AS purchase_ts
@@ -268,7 +277,7 @@ object Registry {
       """SELECT user_id, event_id,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts
         |            RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW) AS DOUBLE) AS roll_1h
-        |FROM events ORDER BY user_id, event_id""".stripMargin)),
+        |FROM events ORDER BY user_id, event_id""".stripMargin), headline = true),
     GraftQuery("w4_sessionize", WindowOps.w4Sessionize, Some(
       """WITH flagged AS (
         |  SELECT user_id, ts, event_id, value,

@@ -116,6 +116,24 @@ object JoinOps {
       .limit(10)
   }
 
+  /** J8 — FULL OUTER join: per-user error vs purchase activity, keeping
+    * users present on either side only (both null-extension directions
+    * exercised). Both sides pre-aggregate before the join, so the shuffle
+    * carries |users|, not |events| — reduce-then-join, the cheap order. */
+  def j8FullOuter(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    def side(t: String, out: String) = ev.filter(col("event_type") === t)
+      .groupBy(col("user_id")).agg(count(lit(1)).as(out))
+    val e = side("error", "n_err")
+    val p = side("purchase", "n_pur").withColumnRenamed("user_id", "p_user_id")
+    e.join(p, col("user_id") === col("p_user_id"), "full_outer")
+      .select(
+        coalesce(col("user_id"), col("p_user_id")).as("user_id"),
+        coalesce(col("n_err"), lit(0L)).as("n_err"),
+        coalesce(col("n_pur"), lit(0L)).as("n_pur"))
+      .orderBy("user_id")
+  }
+
   /** J6 — AS-OF join: each error event paired with the same user's most
     * recent purchase at or before it. Spark has no native ASOF operator;
     * rather than an inequality join (which degenerates to per-key
