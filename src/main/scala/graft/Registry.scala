@@ -105,6 +105,15 @@ object Registry {
         |FROM events ORDER BY event_id""".stripMargin)),
     GraftQuery("d5_filtered_limit", CoreOps.d5FilteredLimit, Some(
       """SELECT * FROM events WHERE event_type = 'error' ORDER BY event_id LIMIT 1""")),
+    GraftQuery("d6_profile", CoreOps.d6Profile, Some(
+      """SELECT count(*) AS n_rows,
+        |       sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_null_value,
+        |       min(value) AS min_value, max(value) AS max_value,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
+        |       count(DISTINCT event_type) AS n_types,
+        |       count(DISTINCT user_id) AS n_users,
+        |       min(ts) AS ts_min, max(ts) AS ts_max
+        |FROM events""".stripMargin)),
     GraftQuery("f8_limit_sample", CoreOps.f8LimitSample, Some(
       """SELECT doc_id, lang, source, n_chars FROM documents ORDER BY doc_id LIMIT 3""")),
     GraftQuery("u1_month_label", CoreOps.u1MonthLabel, Some(

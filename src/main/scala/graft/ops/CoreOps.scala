@@ -224,6 +224,23 @@ object CoreOps {
       .orderBy("event_id")
       .limit(1)
 
+  /** D6 — table profile: the one-pass data-quality scan a lake runs
+    * before trusting a table (row/null counts, value and time ranges,
+    * key cardinality). All aggregates reduce map-side; one tiny shuffle;
+    * decimal route keeps the sum exact. */
+  def d6Profile(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .agg(
+        count(lit(1)).as("n_rows"),
+        sum(col("value").isNull.cast(LongType)).as("n_null_value"),
+        min(col("value")).as("min_value"),
+        max(col("value")).as("max_value"),
+        sumExact(col("value")).as("sum_value"),
+        countDistinct(col("event_type")).as("n_types"),
+        countDistinct(col("user_id")).as("n_users"),
+        min(col("ts")).as("ts_min"),
+        max(col("ts")).as("ts_max"))
+
   /** F8 — debug sample `slice(0,3)` (`fetchStocktonWeather.js:170`). */
   def f8LimitSample(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")

@@ -33,7 +33,11 @@ object StatefulSessions {
   private def cents(v: Double): Long = math.round(v * 100)
 
   /** Fold a user's (batch-sorted) events into the open-session state,
-    * emitting every closed session. */
+    * emitting every closed session. The sort materializes ONE user's ONE
+    * micro-batch slice on the heap — bounded by the trigger interval ×
+    * that user's event rate, not by stream length (cross-batch state is
+    * only the O(1) OpenSession); it exists because arrival order within a
+    * batch is not event-time order. */
   def updateUser(
       userId: Long, events: Iterator[Ev],
       state: GroupState[OpenSession]): Iterator[Session] = {
