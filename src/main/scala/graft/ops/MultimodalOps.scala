@@ -7,14 +7,14 @@ import org.apache.spark.sql.types._
 /** Multimodal columns: image/audio/video as opaque `binary` columns with
   * typed metadata, plus decode / feature-extract plumbing.
   *
-  * The image path is REAL: container magic bytes are sniffed and
-  * PNG/JPEG/GIF/BMP headers are decoded with `javax.imageio` (JDK
-  * built-in — no new dependencies), reading only the header plane for
-  * width/height. Audio/video decode REMAINS A STUB (the JDK ships no
-  * audio/video codecs and none exist in this container): bytes that match
-  * no image signature fall back to a deterministic fake that derives
-  * pseudo-dimensions from the raw bytes, which is also what keeps the
-  * synthetic text-bytes corpus oracle-expressible in SQL.
+  * The image and audio paths are REAL: container magic bytes are sniffed
+  * and PNG/JPEG/GIF/BMP headers are decoded with `javax.imageio`,
+  * WAV/AIFF headers with `javax.sound.sampled` (both JDK built-ins — no
+  * new dependencies), reading only headers. VIDEO decode remains a stub
+  * (the JDK ships no video codec and none exists in this container):
+  * bytes matching no known signature fall back to a deterministic fake
+  * that derives pseudo-dimensions from the raw bytes, which is also what
+  * keeps the synthetic text-bytes corpus oracle-expressible in SQL.
   *
   * The Spark-side shape is what matters at scale either way: binary
   * column + metadata struct schema, partition-parallel `mapPartitions`
@@ -40,6 +40,36 @@ object MultimodalOps {
     else if (bytes.length >= 2 && bytes(0) == 'B'.toByte && bytes(1) == 'M'.toByte) Some("bmp")
     else None
 
+  /** WAV (RIFF/WAVE) and AIFF (FORM/AIFF) magic — parseable with the
+    * JDK's `javax.sound.sampled`. */
+  def sniffAudio(bytes: Array[Byte]): Option[String] =
+    if (bytes.length >= 12 && bytes(0) == 'R'.toByte && bytes(1) == 'I'.toByte &&
+        bytes(2) == 'F'.toByte && bytes(3) == 'F'.toByte &&
+        bytes(8) == 'W'.toByte && bytes(9) == 'A'.toByte &&
+        bytes(10) == 'V'.toByte && bytes(11) == 'E'.toByte) Some("wav")
+    else if (bytes.length >= 12 && bytes(0) == 'F'.toByte && bytes(1) == 'O'.toByte &&
+        bytes(2) == 'R'.toByte && bytes(3) == 'M'.toByte &&
+        bytes(8) == 'A'.toByte && bytes(9) == 'I'.toByte && bytes(10) == 'F'.toByte)
+      Some("aiff")
+    else None
+
+  /** Real audio-header decode via `javax.sound.sampled` (JDK): sample
+    * rate, channel count and frame length from the container header.
+    * Audio has no pixel box, so the metadata struct is reused as
+    * width = sample rate (Hz), height = channels, n_frames = PCM frames
+    * (documented convention, pinned by spec). */
+  private def decodeAudioHeader(docId: Long, fmt: String, bytes: Array[Byte]): MediaMeta =
+    try {
+      val aff = javax.sound.sampled.AudioSystem.getAudioFileFormat(
+        new java.io.ByteArrayInputStream(bytes))
+      MediaMeta(docId, fmt,
+        width = aff.getFormat.getSampleRate.toInt,
+        height = aff.getFormat.getChannels,
+        n_frames = aff.getFrameLength)
+    } catch {
+      case _: javax.sound.sampled.UnsupportedAudioFileException => decodeStub(docId, bytes)
+    }
+
   /** Real image-header decode: width/height via an ImageReader positioned
     * on the header — pixel planes are never materialized, so the cost per
     * blob is parsing a few dozen bytes. Falls back to the stub if no
@@ -59,12 +89,16 @@ object MultimodalOps {
   }
 
   /** Bytes → typed metadata. Dispatch: real `javax.imageio` header decode
-    * for recognized image containers; deterministic stub for everything
-    * else (audio/video codecs don't exist in the JDK — see object doc). */
+    * for recognized image containers, real `javax.sound.sampled` header
+    * decode for WAV/AIFF; deterministic stub only for everything else
+    * (video codecs don't exist in the JDK — see object doc). */
   def decode(docId: Long, bytes: Array[Byte]): MediaMeta =
     sniffImage(bytes) match {
       case Some(fmt) => decodeImageHeader(docId, fmt, bytes)
-      case None => decodeStub(docId, bytes)
+      case None => sniffAudio(bytes) match {
+        case Some(fmt) => decodeAudioHeader(docId, fmt, bytes)
+        case None => decodeStub(docId, bytes)
+      }
     }
 
   /** Non-image fallback. STUB: derives deterministic pseudo-dimensions

@@ -213,6 +213,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r(4L) == stub) // non-image bytes take the documented stub path
   }
 
+  test("multimodal decode: real WAV header via javax.sound.sampled") {
+    import spark.implicits._
+    import javax.sound.sampled._
+    val fmt = new AudioFormat(16000f, 16, 2, true, false)
+    val pcm = new Array[Byte](16000 * 2 * 2) // 1 second of silence, 16-bit stereo
+    val baos = new java.io.ByteArrayOutputStream()
+    AudioSystem.write(
+      new AudioInputStream(new java.io.ByteArrayInputStream(pcm), fmt, 16000),
+      AudioFileFormat.Type.WAVE, baos)
+    val r = MultimodalOps.decodeBlobs(Seq((9L, baos.toByteArray)).toDS()).collect()(0)
+    assert(r.format == "wav")
+    assert(r.width == 16000)  // sample rate Hz
+    assert(r.height == 2)     // channels
+    assert(r.n_frames == 16000)
+  }
+
   test("multimodal resize: real thumbnail is a decodable PNG at the fit box") {
     import spark.implicits._
     val blobs = Seq((1L, encodeImage(512, 256, "png")), (2L, encodeImage(100, 300, "jpeg"))).toDS()
