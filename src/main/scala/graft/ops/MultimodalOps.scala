@@ -7,14 +7,16 @@ import org.apache.spark.sql.types._
 /** Multimodal columns: image/audio/video as opaque `binary` columns with
   * typed metadata, plus decode / feature-extract plumbing.
   *
-  * The image and audio paths are REAL: container magic bytes are sniffed
-  * and PNG/JPEG/GIF/BMP headers are decoded with `javax.imageio`,
-  * WAV/AIFF headers with `javax.sound.sampled` (both JDK built-ins — no
-  * new dependencies), reading only headers. VIDEO decode remains a stub
-  * (the JDK ships no video codec and none exists in this container):
-  * bytes matching no known signature fall back to a deterministic fake
-  * that derives pseudo-dimensions from the raw bytes, which is also what
-  * keeps the synthetic text-bytes corpus oracle-expressible in SQL.
+  * The image, audio and video-CONTAINER paths are REAL: magic bytes are
+  * sniffed and PNG/JPEG/GIF/BMP headers are decoded with `javax.imageio`,
+  * WAV/AIFF headers with `javax.sound.sampled` (JDK built-ins), and MP4
+  * track dimensions / frame counts with the in-repo ISO-BMFF box parser
+  * (`Mp4Parser`) — all header-plane reads, no pixel/sample decode. Only
+  * video FRAME decode remains out of scope (the JDK ships no video
+  * codec): bytes matching no known signature fall back to a
+  * deterministic fake that derives pseudo-dimensions from the raw bytes,
+  * which is also what keeps the synthetic text-bytes corpus
+  * oracle-expressible in SQL.
   *
   * The Spark-side shape is what matters at scale either way: binary
   * column + metadata struct schema, partition-parallel `mapPartitions`
@@ -97,6 +99,10 @@ object MultimodalOps {
       case Some(fmt) => decodeImageHeader(docId, fmt, bytes)
       case None => sniffAudio(bytes) match {
         case Some(fmt) => decodeAudioHeader(docId, fmt, bytes)
+        case None if Mp4Parser.isMp4(bytes) =>
+          Mp4Parser.parse(bytes)
+            .map(v => MediaMeta(docId, "mp4", v.width, v.height, v.nFrames))
+            .getOrElse(decodeStub(docId, bytes))
         case None => decodeStub(docId, bytes)
       }
     }

@@ -229,6 +229,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r.n_frames == 16000)
   }
 
+  test("multimodal decode: MP4 container metadata via the ISO-BMFF box parser") {
+    import spark.implicits._
+    def be32(v: Int) = java.nio.ByteBuffer.allocate(4).putInt(v).array()
+    def box(tpe: String, payload: Array[Byte]): Array[Byte] =
+      be32(payload.length + 8) ++ tpe.getBytes("US-ASCII") ++ payload
+    // minimal well-formed MP4: ftyp + moov[mvhd, trak[tkhd, mdia[minf[stbl[stts]]]]]
+    val ftyp = box("ftyp", "isom".getBytes ++ be32(0) ++ "isom".getBytes)
+    val mvhd = box("mvhd", new Array[Byte](12) ++ be32(600) ++ be32(1200) ++ new Array[Byte](80))
+    val tkhd = {
+      val p = new Array[Byte](84)
+      System.arraycopy(be32(320 << 16), 0, p, 76, 4)
+      System.arraycopy(be32(240 << 16), 0, p, 80, 4)
+      box("tkhd", p)
+    }
+    val stts = box("stts", new Array[Byte](4) ++ be32(1) ++ be32(48) ++ be32(100))
+    val trak = box("trak", tkhd ++ box("mdia", box("minf", box("stbl", stts))))
+    val mp4 = ftyp ++ box("moov", mvhd ++ trak)
+
+    val parsed = Mp4Parser.parse(mp4)
+    assert(parsed.contains(Mp4Parser.VideoMeta(320, 240, 48, 2.0))) // 1200/600 s
+    val r = MultimodalOps.decodeBlobs(Seq((11L, mp4)).toDS()).collect()(0)
+    assert(r.format == "mp4" && r.width == 320 && r.height == 240 && r.n_frames == 48)
+    // truncated/garbage "ftyp" bytes degrade to the stub, never throw
+    val junk = "1234ftypgarbage".getBytes
+    assert(MultimodalOps.decode(12L, junk) == MultimodalOps.decodeStub(12L, junk))
+  }
+
   test("multimodal resize: real thumbnail is a decodable PNG at the fit box") {
     import spark.implicits._
     val blobs = Seq((1L, encodeImage(512, 256, "png")), (2L, encodeImage(100, 300, "jpeg"))).toDS()
