@@ -397,6 +397,7 @@ object Registry {
         |WHERE 3 * n_common >= ca.n + cb.n
         |ORDER BY doc_a, doc_b""".stripMargin), headline = true),
     GraftQuery("x_dedup_minhash_lsh", DedupOps.minhashLsh, None, headline = true),
+    GraftQuery("x_dedup_clusters", ClusterOps.nearDupClusters, None),
     GraftQuery("x_dedup_simhash", DedupOps.simhash, None),
     GraftQuery("x_dedup_embed_cosine", DedupOps.embedCosine, Some(
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

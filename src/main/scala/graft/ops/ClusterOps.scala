@@ -1,0 +1,69 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed connected components over an undirected edge list —
+  * iterative min-label propagation (the standard large-graph formulation,
+  * cf. GraphX/Pregel connected components): every node starts labeled
+  * with itself; each round every node takes the minimum label among
+  * itself and its neighbors; fixpoint after O(component diameter)
+  * rounds. Near-dup pair lists have tiny diameters (dup clusters are
+  * dense), so 3-5 rounds close real corpora.
+  *
+  * Scale shape per round: one join edges⋈labels (shuffle on node id) +
+  * one min-aggregate — both keyed, no cartesian anywhere; the edge list
+  * is re-used every round (persisted), labels shrink to |V|. The driver
+  * only sees the converged/changed COUNT per round (a scalar), never the
+  * data. */
+object ClusterOps {
+
+  /** @param edges two long columns (src, dst), undirected, self-loops ok
+    * @return (id, component) — component = min node id reachable */
+  def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
+    val spark = edges.sparkSession
+    val e = edges.toDF("src", "dst")
+    // symmetrize once: propagation below only follows src→dst
+    val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
+      .distinct()
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = sym.select(col("src").as("id")).distinct()
+      .withColumn("component", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var converged = false
+    var it = 0
+    while (!converged && it < maxIter) {
+      // each node's candidate = min over neighbors' current labels
+      val viaNeighbors = sym
+        .join(labels, sym("dst") === labels("id"))
+        .groupBy(sym("src").as("id"))
+        .agg(min(col("component")).as("n_comp"))
+      val next = labels.join(viaNeighbors, Seq("id"), "left")
+        .select(col("id"),
+          least(col("component"), coalesce(col("n_comp"), col("component"))).as("component"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      val changed = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
+        .filter(col("component") =!= col("old")).count()
+      labels.unpersist()
+      labels = next
+      converged = changed == 0
+      it += 1
+    }
+    sym.unpersist()
+    labels.select(col("id"), col("component"))
+  }
+
+  /** Near-dup CLUSTERS of the document corpus: connected components over
+    * the verified n-gram Jaccard pairs — the dedup decision step (keep
+    * one representative per component, not per pair; transitive chains
+    * a~b~c collapse into one cluster even when a,c are not themselves a
+    * pair). Rows-only (component structure mirrors the engine-internal
+    * pair set); fixpoint semantics pinned by spec on planted graphs. */
+  def nearDupClusters(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = DedupOps.ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+    connectedComponents(pairs)
+      .select(col("component").as("cluster_id"), col("id").as("doc_id"))
+      .orderBy("cluster_id", "doc_id")
+  }
+}

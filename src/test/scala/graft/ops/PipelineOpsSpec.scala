@@ -349,6 +349,30 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r(1L) == ((0.0, 0.0)))
   }
 
+  test("connected components: chain, triangle, isolated pair — exact clusters") {
+    import spark.implicits._
+    // chain 1-2-3 (no 1-3 edge), triangle 10-11-12, pair 20-21
+    val edges = Seq((1L, 2L), (2L, 3L), (10L, 11L), (11L, 12L), (10L, 12L), (20L, 21L))
+      .toDF("src", "dst")
+    val comp = ClusterOps.connectedComponents(edges).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(comp == Map(
+      1L -> 1L, 2L -> 1L, 3L -> 1L,
+      10L -> 10L, 11L -> 10L, 12L -> 10L,
+      20L -> 20L, 21L -> 20L))
+  }
+
+  test("near-dup clusters: every pair co-clustered; transitive chains collapse") {
+    val pairs = DedupOps.ngramJaccard(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    val cl = ClusterOps.nearDupClusters(spark, Sf0001).collect()
+      .map(r => r.getLong(1) -> r.getLong(0)).toMap
+    assert(cl.nonEmpty)
+    pairs.foreach { case (a, b) => assert(cl(a) == cl(b), s"pair $a,$b split across clusters") }
+    // cluster id is the member minimum
+    cl.groupBy(_._2).foreach { case (c, members) => assert(members.keys.min == c) }
+  }
+
   test("corpus assembly: deduped, filtered, split-annotated output") {
     val out = CorpusPipeline.assemble(spark, Sf0001).collect()
     assert(out.nonEmpty)
