@@ -65,6 +65,44 @@ class PropertySpec extends SparkSpec {
     }, n = 50)
   }
 
+  test("MinHashBucketPairs ∀ random buckets == PostingListPairs-style brute verify") {
+    import spark.implicits._
+    import graft.functions.exprs._
+    import org.apache.spark.sql.functions.{col, explode}
+    val docGen = for {
+      id <- Gen.chooseNum(0L, 50L)
+      hs <- Gen.nonEmptyListOf(Gen.chooseNum(1L, 40L)).map(_.distinct.sorted)
+    } yield (id, hs)
+    val bucketGen = Gen.listOfN(5, docGen).map(_.distinctBy(_._1)).suchThat(_.length >= 2)
+    check("mhbp", Prop.forAll(bucketGen) { docs =>
+      val got = Seq(docs.map(d => (d._1, d._2)))
+        .toDF("ms")
+        .select(explode(minhash_bucket_pairs(col("ms"), 1, 2)).as("p"))
+        .select(col("p.doc_a"), col("p.doc_b"), col("p.jaccard"))
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
+      val want = (for {
+        (ia, ha) <- docs; (ib, hb) <- docs
+        if ia < ib
+        common = ha.toSet.intersect(hb.toSet).size
+        union = ha.toSet.union(hb.toSet).size
+        if 2 * common >= union
+      } yield (ia, ib, common.toDouble / union)).toSet
+      got == want
+    }, n = 20)
+  }
+
+  test("every oracled registry query is bit-stable across two runs (hash-gate guard)") {
+    // the driver's correctness gate hashes values; any run-to-run
+    // nondeterminism (AQE re-plans, partial-agg merge order) would flake
+    // it even with correct logic. Cheap full sweep at sf0.001.
+    Registry.all.filter(_.oracle.isDefined).foreach { q =>
+      val a = q.build(spark, Sf0001).collect()
+      val b = q.build(spark, Sf0001).collect()
+      assert(a.length == b.length, q.name)
+      a.zip(b).foreach { case (x, y) => assert(x == y, s"${q.name}: $x != $y") }
+    }
+  }
+
   test("explodeHourly row count equals hourly array length (all-null metrics)") {
     import spark.implicits._
     check("explode", Prop.forAll(Gen.chooseNum(0, 24)) { n =>
