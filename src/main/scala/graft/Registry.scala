@@ -183,6 +183,18 @@ object Registry {
         |UNION ALL
         |SELECT l_orderkey, l_linenumber, 'l_discount', l_discount FROM lineitem
         |ORDER BY l_orderkey, l_linenumber, metric, metric_value""".stripMargin)),
+    // oracle uses the explicit dot/(sqrt(na)*sqrt(nb)) fold: DuckDB's
+    // list_cosine_similarity computes sqrt(na*nb), 1 ulp off at self-pairs
+    GraftQuery("sql_kernel_cosine", CoreOps.sqlKernelCosine, Some(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |     q AS (SELECT v AS qv FROM e WHERE vec_id = 0),
+        |     s AS (SELECT e.vec_id AS vec_id,
+        |              list_sum(list_transform(generate_series(1, len(e.v)), i -> e.v[i] * qv[i])) AS dot,
+        |              list_sum(list_transform(e.v, x -> x * x)) AS na,
+        |              list_sum(list_transform(qv, x -> x * x)) AS nb
+        |           FROM e CROSS JOIN q)
+        |SELECT vec_id, dot / (sqrt(na) * sqrt(nb)) AS cos
+        |FROM s ORDER BY vec_id""".stripMargin)),
     GraftQuery("sql_monthly_agg", CoreOps.sqlMonthlyAgg, Some(
       """SELECT event_type, date_trunc('month', ts) AS month,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS avg_value,

@@ -404,6 +404,22 @@ object CoreOps {
         |ORDER BY event_type, month""".stripMargin)
   }
 
+  /** Custom kernels reached from the SQL-string surface: the
+    * `cosine_similarity` name resolves through GraftExtensions'
+    * injectFunction to the same codegen'd Catalyst expression the Column
+    * API uses — cosine of every embedding against query vector 0, fully
+    * value-oracled (the kernel is formula-identical to DuckDB's
+    * list_cosine_similarity). */
+  def sqlKernelCosine(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "embeddings").createOrReplaceTempView("graft_embeddings")
+    spark.sql(
+      """WITH e AS (SELECT vec_id, transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        |           FROM graft_embeddings),
+        |     q AS (SELECT v AS qv FROM e WHERE vec_id = 0)
+        |SELECT e.vec_id, cosine_similarity(e.v, q.qv) AS cos
+        |FROM e CROSS JOIN q ORDER BY vec_id""".stripMargin)
+  }
+
   /** U2 — fixed-decimal rounding + null→0 (`dashboard.js:96-97`).
     * Implemented as floor(x*10+0.5)/10 — pure IEEE double ops, identical
     * in any engine (library `round` implementations differ in how they

@@ -74,6 +74,23 @@ class HashExpressionsSpec extends SparkSpec {
     assert(r.contains((1L, 10, 3L, 30)))
   }
 
+  test("kernels registered as SQL functions via GraftExtensions") {
+    // (3,4) has exact norm 5, so self-cosine is exactly 1.0
+    val one = spark.sql(
+      "SELECT cosine_similarity(array(3.0d, 4.0d), array(3.0d, 4.0d)) AS c").collect()(0)
+    assert(one.getDouble(0) == 1.0)
+    val sh = spark.sql(
+      "SELECT size(shingle_hashes(split('a b c d', ' '), 3)) AS n, " +
+        "simhash64(token_hashes(split('a b c', ' '))) AS s").collect()(0)
+    assert(sh.getInt(0) == 2) // 4 tokens → 2 tri-shingles
+    // SQL and Column API resolve to the same expression → same bits
+    import graft.functions.exprs._
+    import spark.implicits._
+    val viaCol = Seq("a b c").toDF("t")
+      .select(simhash64(token_hashes(split(col("t"), " ")))).collect()(0).getLong(0)
+    assert(sh.getLong(1) == viaCol)
+  }
+
   test("CosineSimilarity: real codegen — no fallback, same bits as interpreted eval") {
     import spark.implicits._
     val df = Seq((Seq(1.0, 2.0, 3.0), Seq(0.5, -1.0, 2.0))).toDF("a", "b")
