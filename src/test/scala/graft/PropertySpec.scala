@@ -103,6 +103,24 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("oracled queries are bit-stable across shuffle-partition widths (7 vs default)") {
+    // the driver may run with any SPARK_GRAFT_CPUS; the decimal-route /
+    // total-order policy must make results invariant to shuffle width
+    val prev = spark.conf.get("spark.sql.shuffle.partitions")
+    val sample = Seq("a1_monthly_agg_lineitem", "g1_rollup", "j3_star_join", "j6_asof_join",
+      "w5_rolling_time", "a12_topk_agg", "x_dedup_ngram_jaccard", "a9_stddev_exact")
+    val wide = sample.map(n => n -> Registry.byName(n).build(spark, Sf0001).collect())
+    try {
+      spark.conf.set("spark.sql.shuffle.partitions", "7")
+      sample.foreach { n =>
+        val narrow = Registry.byName(n).build(spark, Sf0001).collect()
+        val w = wide.toMap.apply(n)
+        assert(narrow.length == w.length, n)
+        narrow.zip(w).foreach { case (x, y) => assert(x == y, s"$n: $x != $y") }
+      }
+    } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
+  }
+
   test("explodeHourly row count equals hourly array length (all-null metrics)") {
     import spark.implicits._
     check("explode", Prop.forAll(Gen.chooseNum(0, 24)) { n =>

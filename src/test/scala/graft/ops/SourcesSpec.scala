@@ -69,6 +69,30 @@ class SourcesSpec extends SparkSpec {
     finally spark.conf.set("spark.sql.files.ignoreCorruptFiles", prev)
   }
 
+  test("upsertByKey: replaces, inserts, and leaves untouched partitions' files alone") {
+    import spark.implicits._
+    val dir = tempDir("upsert_lake") + "/t"
+    Seq((1L, "jan", 10.0), (2L, "jan", 20.0), (3L, "feb", 30.0), (4L, "feb", 40.0))
+      .toDF("id", "month", "v")
+      .write.partitionBy("month").parquet(dir)
+    def files(p: String) = new java.io.File(s"$dir/month=$p").listFiles()
+      .map(_.getName).filter(_.endsWith(".parquet")).sorted.toSeq
+    val febBefore = files("feb")
+
+    val updates = Seq((2L, "jan", 21.0), (5L, "mar", 50.0)).toDF("id", "month", "v")
+    UpsertOps.upsertByKey(spark, dir, updates, "id", "month")
+
+    val got = spark.read.parquet(dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(r.fieldIndex("month")), r.getDouble(r.fieldIndex("v"))))
+    assert(got.toSeq == Seq(
+      (1L, "jan", 10.0), (2L, "jan", 21.0), (3L, "feb", 30.0), (4L, "feb", 40.0),
+      (5L, "mar", 50.0)))
+    assert(files("feb") == febBefore, "untouched partition must not be rewritten")
+    // idempotent: replaying the same updates changes nothing
+    UpsertOps.upsertByKey(spark, dir, updates, "id", "month")
+    assert(spark.read.parquet(dir).count() == 5)
+  }
+
   test("approx_count_distinct within 5% of exact at rsd 1%") {
     val approx = SetOps.g3ApproxDistinct(spark, Sf0001).collect()(0)
     val exact = SetOps.g2CountDistinct(spark, Sf0001).collect()(0).getAs[Long]("n_parts")
