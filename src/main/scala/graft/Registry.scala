@@ -294,6 +294,22 @@ object Registry {
       """SELECT user_id, event_id,
         |       value - lag(value, 1) OVER (PARTITION BY user_id ORDER BY event_id) AS delta
         |FROM events ORDER BY user_id, event_id""".stripMargin)),
+    GraftQuery("w6_moving_avg", WindowOps.w6MovingAvg, Some(
+      """SELECT user_id, event_id,
+        |       CAST(sum(CAST(value AS DECIMAL(18,2)))
+        |            OVER (PARTITION BY user_id ORDER BY event_id
+        |                  ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS DOUBLE)
+        |       / count(value) OVER (PARTITION BY user_id ORDER BY event_id
+        |                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mavg_4
+        |FROM events ORDER BY user_id, event_id""".stripMargin)),
+    GraftQuery("w7_rank_family", WindowOps.w7RankFamily, Some(
+      """SELECT o_orderpriority, o_orderkey,
+        |       CAST(dense_rank() OVER w AS INTEGER) AS drank,
+        |       percent_rank() OVER w AS prank,
+        |       CAST(ntile(4) OVER w AS INTEGER) AS quartile
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
+        |ORDER BY o_orderpriority, o_orderkey""".stripMargin)),
     GraftQuery("w5_rolling_time", WindowOps.w5RollingTime, Some(
       """SELECT user_id, event_id,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) OVER (PARTITION BY user_id ORDER BY ts
@@ -338,6 +354,9 @@ object Registry {
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS p50,
         |       quantile_cont(l_quantity, 0.9) AS p90, quantile_cont(l_quantity, 0.99) AS p99
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+    GraftQuery("a13_string_agg", SetOps.a13StringAgg, Some(
+      """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
+        |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)),
     GraftQuery("a12_topk_agg", SetOps.a12TopkAgg, Some(
       """SELECT l_returnflag, rank, qty FROM (
         |  SELECT l_returnflag, l_quantity AS qty,

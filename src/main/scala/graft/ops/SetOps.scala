@@ -88,6 +88,16 @@ object SetOps {
         col("total"), col("n"))
       .orderBy("status", "priority")
 
+  /** Ordered string aggregation per group: names joined in sorted order —
+    * Spark `concat_ws(sort_array(collect_list(...)))` ≡ DuckDB
+    * `string_agg(... ORDER BY ...)`; the explicit sort is what makes the
+    * concatenation order (and thus the oracle hash) partition-invariant. */
+  def a13StringAgg(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "nation")
+      .groupBy(col("n_regionkey"))
+      .agg(concat_ws(",", sort_array(collect_list(col("n_name")))).as("nations"))
+      .orderBy("n_regionkey")
+
   /** Bounded-memory top-k values per group via the custom typed
     * `TopKAggregator` (O(k) state, map-side partials, merge-order
     * invariant) — exploded to (group, rank, value) rows. Deterministic

@@ -73,6 +73,34 @@ object WindowOps {
       .orderBy("user_id", "session_id")
   }
 
+  /** W6 — ROWS-frame moving average: last-4-events mean per user (frame
+    * counted in rows, not time — the other frame family). Exact decimal
+    * numerator over an integer denominator; count() over the same frame
+    * handles the partition head where fewer than 4 rows exist. */
+  def w6MovingAvg(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("user_id")).orderBy(col("event_id"))
+      .rowsBetween(-3, 0)
+    Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        (sum(dec2(col("value"))).over(w).cast(DoubleType) /
+          count(col("value")).over(w)).as("mavg_4"))
+      .orderBy("user_id", "event_id")
+  }
+
+  /** W7 — rank family: dense_rank, percent_rank and ntile(4) over order
+    * price per priority class (deterministic total order; percent_rank is
+    * an exact small-integer division, engine-identical). */
+  def w7RankFamily(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("o_orderpriority"))
+      .orderBy(col("o_totalprice").desc, col("o_orderkey"))
+    Tables(spark, dir, "orders")
+      .select(col("o_orderpriority"), col("o_orderkey"),
+        dense_rank().over(w).cast(IntegerType).as("drank"),
+        percent_rank().over(w).as("prank"),
+        ntile(4).over(w).cast(IntegerType).as("quartile"))
+      .orderBy("o_orderpriority", "o_orderkey")
+  }
+
   /** W5 — rolling time-RANGE window: trailing 1-hour sum of value per
     * user. The frame is defined on the time axis (µs since epoch), not on
     * row counts, so it is insensitive to event density — the same frame
