@@ -354,6 +354,27 @@ object Registry {
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS p50,
         |       quantile_cont(l_quantity, 0.9) AS p90, quantile_cont(l_quantity, 0.99) AS p99
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+    GraftQuery("a14_corr_exact", SetOps.a14CorrExact, Some(
+      """WITH m AS (
+        |  SELECT l_returnflag,
+        |         CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS sx,
+        |         CAST(CAST(sum(CAST(l_discount AS DECIMAL(38,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS sy,
+        |         CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,4)) * CAST(l_quantity AS DECIMAL(38,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS sxx,
+        |         CAST(CAST(sum(CAST(l_discount AS DECIMAL(38,4)) * CAST(l_discount AS DECIMAL(38,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS syy,
+        |         CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,4)) * CAST(l_discount AS DECIMAL(38,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS sxy
+        |  FROM lineitem GROUP BY l_returnflag)
+        |SELECT l_returnflag,
+        |       (sxy - sx * sy / n) / (n - 1.0) AS covar_s,
+        |       (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_xy
+        |FROM m ORDER BY l_returnflag""".stripMargin)),
+    GraftQuery("a15_mode", SetOps.a15Mode, Some(
+      """WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS cnt
+        |           FROM lineitem GROUP BY 1, 2)
+        |SELECT l_returnflag, l_quantity AS mode_qty, cnt AS n_occur
+        |FROM c QUALIFY row_number() OVER (PARTITION BY l_returnflag
+        |                                  ORDER BY cnt DESC, l_quantity ASC) = 1
+        |ORDER BY l_returnflag""".stripMargin)),
     GraftQuery("a13_string_agg", SetOps.a13StringAgg, Some(
       """SELECT n_regionkey, string_agg(n_name, ',' ORDER BY n_name) AS nations
         |FROM nation GROUP BY n_regionkey ORDER BY n_regionkey""".stripMargin)),

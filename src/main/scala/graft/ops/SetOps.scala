@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -87,6 +87,46 @@ object SetOps {
         coalesce(col("o_orderpriority"), lit("ALL")).as("priority"),
         col("total"), col("n"))
       .orderBy("status", "priority")
+
+  /** A14 — correlation + covariance from EXACT decimal moments: built-in
+    * corr/covar merge running moments in floating point (merge-order-
+    * dependent bits, like built-in stddev), so this assembles the closed
+    * forms from exact decimal sums instead — deterministic under any
+    * partitioning. The moments cross into double through an exact scaled
+    * BIGINT (not a decimal→double cast, whose tie-rounding differs
+    * between engines by 1 ulp at boundary values); int64→double is
+    * IEEE-specified and engine-identical. quantity(2dp) × discount(2dp)
+    * keeps every scaled moment far inside int64 at any scale factor. */
+  def a14CorrExact(spark: SparkSession, dir: String): DataFrame = {
+    val Dec4 = DecimalType(38, 4)
+    val x = col("l_quantity").cast(Dec4)
+    val y = col("l_discount").cast(Dec4)
+    def m(c: Column): Column = (sum(c) * lit(10000)).cast(LongType).cast(DoubleType) / 10000.0
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).cast(DoubleType).as("n"),
+        m(x).as("sx"), m(y).as("sy"),
+        m(x * x).as("sxx"), m(y * y).as("syy"), m(x * y).as("sxy"))
+      .select(col("l_returnflag"),
+        ((col("sxy") - col("sx") * col("sy") / col("n")) / (col("n") - 1.0)).as("covar_s"),
+        ((col("n") * col("sxy") - col("sx") * col("sy")) /
+          (sqrt(col("n") * col("sxx") - col("sx") * col("sx")) *
+            sqrt(col("n") * col("syy") - col("sy") * col("sy")))).as("corr_xy"))
+      .orderBy("l_returnflag")
+  }
+
+  /** A15 — deterministic mode: most frequent quantity per flag, ties
+    * resolved to the smallest value (argmax over (count, -value) structs
+    * — one extra reduce, no window sort). */
+  def a15Mode(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("cnt"))
+      .groupBy(col("l_returnflag"))
+      .agg(max(struct(col("cnt"), (-col("l_quantity")).as("nq"))).as("m"))
+      .select(col("l_returnflag"), (-col("m.nq")).as("mode_qty"), col("m.cnt").as("n_occur"))
+      .orderBy("l_returnflag")
 
   /** Ordered string aggregation per group: names joined in sorted order —
     * Spark `concat_ws(sort_array(collect_list(...)))` ≡ DuckDB
