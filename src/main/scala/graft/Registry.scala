@@ -107,7 +107,7 @@ object Registry {
       """SELECT * FROM events WHERE event_type = 'error' ORDER BY event_id LIMIT 1""")),
     GraftQuery("d6_profile", CoreOps.d6Profile, Some(
       """SELECT count(*) AS n_rows,
-        |       sum(CASE WHEN value IS NULL THEN 1 ELSE 0 END) AS n_null_value,
+        |       count(*) FILTER (WHERE value IS NULL) AS n_null_value,
         |       min(value) AS min_value, max(value) AS max_value,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS sum_value,
         |       count(DISTINCT event_type) AS n_types,
