@@ -39,5 +39,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("minhash_signature") { case Seq(h, k) =>
       MinHashSignature(h, intLit(k, "minhash_signature")) }
     reg("simhash64") { case Seq(h) => SimHash64(h) }
+    reg("chunk_hashes") { case Seq(s, c) => ChunkHashes(s, intLit(c, "chunk_hashes")) }
+    reg("posting_list_pairs") { case Seq(ds) => PostingListPairs(ds) }
+    reg("simhash_pairs") { case Seq(ms, chunk, maxH) =>
+      SimHashPairs(ms, chunk, intLit(maxH, "simhash_pairs")) }
+    reg("minhash_bucket_pairs") { case Seq(ms, band, num, den) =>
+      MinHashBucketPairs(ms, band,
+        intLit(num, "minhash_bucket_pairs"), intLit(den, "minhash_bucket_pairs")) }
   }
 }

@@ -195,6 +195,20 @@ object Registry {
         |           FROM e CROSS JOIN q)
         |SELECT vec_id, dot / (sqrt(na) * sqrt(nb)) AS cos
         |FROM s ORDER BY vec_id""".stripMargin)),
+    // SQL-string twin of DedupOps.ngramJaccard — same kernels via
+    // injectFunction, same inverted-index plan, same oracle
+    GraftQuery("sql_kernel_dedup", CoreOps.sqlKernelDedup, Some(
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |tri AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+        |        FROM toks WHERE len(t) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |          FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) AS jaccard
+        |FROM pairs JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+        |WHERE 3 * n_common >= ca.n + cb.n
+        |ORDER BY doc_a, doc_b""".stripMargin)),
     GraftQuery("sql_monthly_agg", CoreOps.sqlMonthlyAgg, Some(
       """SELECT event_type, date_trunc('month', ts) AS month,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS avg_value,
@@ -258,6 +272,21 @@ object Registry {
         |       p.pid AS last_purchase_id, p.ts AS last_purchase_ts
         |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
         |ORDER BY user_id, error_id""".stripMargin), headline = true),
+    GraftQuery("j6b_asof_payload", JoinOps.j6bAsofPayload, Some(
+      """WITH p0 AS (SELECT user_id, ts, event_id, value, props,
+        |              row_number() OVER (PARTITION BY user_id, ts
+        |                                 ORDER BY event_id DESC) AS rn
+        |            FROM events WHERE event_type = 'purchase'),
+        |     p AS (SELECT user_id, ts AS p_ts, event_id AS p_id,
+        |                  CASE WHEN value > 100 THEN value END AS p_big_value,
+        |                  CAST(json_extract_string(props, '$.k') AS INTEGER) AS p_k
+        |           FROM p0 WHERE rn = 1),
+        |     e AS (SELECT user_id, event_id AS error_id, ts AS error_ts
+        |           FROM events WHERE event_type = 'error')
+        |SELECT e.user_id AS user_id, e.error_id AS error_id, e.error_ts AS error_ts,
+        |       p.p_ts AS p_ts, p.p_id AS p_id, p.p_big_value AS p_big_value, p.p_k AS p_k
+        |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.error_ts >= p.p_ts
+        |ORDER BY user_id, error_id""".stripMargin)),
     GraftQuery("j7_range_join", JoinOps.j7RangeJoin, Some(
       """SELECT e.user_id AS user_id, e.event_id AS error_id, e.ts AS error_ts,
         |       p.event_id AS purchase_id, p.ts AS purchase_ts
@@ -449,7 +478,30 @@ object Registry {
         |WHERE 3 * n_common >= ca.n + cb.n
         |ORDER BY doc_a, doc_b""".stripMargin), headline = true),
     GraftQuery("x_dedup_minhash_lsh", DedupOps.minhashLsh, None, headline = true),
-    GraftQuery("x_dedup_clusters", ClusterOps.nearDupClusters, None),
+    // component labels are min-reachable doc ids over the (already
+    // oracled) ngram-jaccard pair set — value-checkable via DuckDB's
+    // recursive CTE transitive closure
+    GraftQuery("x_dedup_clusters", ClusterOps.nearDupClusters, Some(
+      """WITH RECURSIVE
+        | toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        | tri AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+        |         FROM toks WHERE len(t) >= 3),
+        | cnt AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+        | prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |         FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        | good AS (SELECT doc_a, doc_b FROM prs
+        |          JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+        |          WHERE 3 * n_common >= ca.n + cb.n),
+        | edges AS (SELECT doc_a AS src, doc_b AS dst FROM good
+        |           UNION SELECT doc_b, doc_a FROM good),
+        | walk AS (
+        |   SELECT src AS id, src AS reach FROM edges
+        |   UNION
+        |   SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+        | )
+        |SELECT min(reach) AS cluster_id, id AS doc_id FROM walk GROUP BY id
+        |ORDER BY cluster_id, doc_id""".stripMargin)),
     GraftQuery("x_dedup_simhash", DedupOps.simhash, None),
     GraftQuery("x_dedup_embed_cosine", DedupOps.embedCosine, Some(
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)
@@ -492,7 +544,25 @@ object Registry {
       """SELECT doc_id, CAST(unnest(generate_series(0, octet_length(encode(text)) % 7 - 1)) AS INTEGER) AS frame_idx
         |FROM documents WHERE octet_length(encode(text)) % 7 > 0
         |ORDER BY doc_id, frame_idx""".stripMargin)),
-    GraftQuery("x_mm_resize", (s, d) => MultimodalOps.resize(s, d), None),
+    // the synthetic corpus never matches an image signature, so resize
+    // runs the stub-dims → fitBox → byte-count path — pure int/double
+    // arithmetic, SQL-expressible; real-image thumbnails stay spec-pinned
+    GraftQuery("x_mm_resize", (s, d) => MultimodalOps.resize(s, d), Some(
+      """WITH m AS (
+        |  SELECT doc_id,
+        |         16 * (1 + ascii(substr(text, 1, 1)) % 32) AS w,
+        |         16 * (1 + octet_length(encode(text)) % 32) AS h,
+        |         octet_length(encode(text)) AS nb
+        |  FROM documents),
+        | f AS (SELECT doc_id, nb, w, h,
+        |              least(1.0, least(256.0 / w, 256.0 / h)) AS scale FROM m)
+        |SELECT doc_id,
+        |       CAST(greatest(1, trunc(w * scale)) AS INTEGER) AS out_w,
+        |       CAST(greatest(1, trunc(h * scale)) AS INTEGER) AS out_h,
+        |       CAST(least(nb, (CAST(greatest(1, trunc(w * scale)) AS INTEGER)
+        |                       * CAST(greatest(1, trunc(h * scale)) AS INTEGER)) // 8)
+        |            AS INTEGER) AS n_thumb_bytes
+        |FROM f ORDER BY doc_id""".stripMargin)),
     GraftQuery("x_corpus_assemble", CorpusPipeline.assemble, None))
 
   def all: Seq[GraftQuery] = core ++ joins ++ windows ++ sets ++ extensions

@@ -279,6 +279,14 @@ case class SortedJaccard(left: Expression, right: Expression)
   * popcounts but emits only true, unique neighbors. */
 case class SimHashPairs(left: Expression, right: Expression, maxHamming: Int)
     extends BinaryExpression with CodegenFallback {
+  // Pigeonhole precondition: 4 chunks of 16 bits can only guarantee an
+  // agreeing chunk for pairs within Hamming distance 3. At maxHamming ≥ 4
+  // a pair may agree on NO chunk, and the first-agreeing-chunk ownership
+  // rule would have no owner (and an unbounded scan would spin forever on
+  // the Long shift wrap x >>> 64 == x). Enforced here, and the scan below
+  // is bounded to 4 regardless.
+  require(maxHamming >= 0 && maxHamming < 4,
+    s"SimHashPairs: 4-chunk pigeonhole banding requires 0 <= maxHamming <= 3, got $maxHamming")
   override def dataType: DataType = ArrayType(
     StructType(Seq(
       StructField("doc_a", LongType, nullable = false),
@@ -307,9 +315,10 @@ case class SimHashPairs(left: Expression, right: Expression, maxHamming: Int)
         val h = java.lang.Long.bitCount(x)
         if (h <= maxHamming) {
           // first 16-bit chunk where the signatures agree — the one
-          // bucket allowed to emit this pair
+          // bucket allowed to emit this pair (bounded scan; first == 4
+          // would mean no agreeing chunk and emits nowhere)
           var first = 0
-          while ((x >>> (first * 16) & 0xFFFFL) != 0L) first += 1
+          while (first < 4 && (x >>> (first * 16) & 0xFFFFL) != 0L) first += 1
           if (first == chunkId) {
             out += (if (ids(i) < ids(j))
               org.apache.spark.sql.catalyst.InternalRow(ids(i), ids(j), h)
@@ -327,17 +336,40 @@ case class SimHashPairs(left: Expression, right: Expression, maxHamming: Int)
     copy(left = l, right = r)
 }
 
-/** array<struct<doc_id:long, hs:array<long>>> LSH bucket → array of
-  * VERIFIED near-dup pairs struct<doc_a,doc_b,jaccard> with doc_a < doc_b
-  * and jaccard ≥ thresholdNum/thresholdDen. Pair expansion and the
-  * sorted-merge Jaccard verification run inside one eval: the hash arrays
-  * are read in place (no per-pair struct/array copies — the equivalent
-  * nested transform/slice SQL allocates O(d²) of them, interpreted), and
-  * only passing pairs are ever materialized, so the downstream shuffle
-  * carries ids + one double. Threshold test is integer
-  * (common·den ≥ union·num) — no float boundary. */
-case class MinHashBucketPairs(child: Expression, thresholdNum: Int, thresholdDen: Int)
-    extends UnaryExpression with CodegenFallback {
+/** (array<struct<doc_id:long, hs:array<long>, bhs:array<long>>> LSH
+  * bucket, band id) → array of VERIFIED near-dup pairs
+  * struct<doc_a,doc_b,jaccard> with doc_a < doc_b and
+  * jaccard ≥ thresholdNum/thresholdDen.
+  *
+  * Pair expansion and the sorted-merge Jaccard verification run inside
+  * one eval: the hash arrays are read in place (no per-pair struct/array
+  * copies — the equivalent nested transform/slice SQL allocates O(d²) of
+  * them, interpreted), and only passing pairs are ever materialized, so
+  * the downstream shuffle carries ids + one double. Threshold test is
+  * integer (common·den ≥ union·num) — no float boundary.
+  *
+  * Ownership rule (the SimHashPairs trick): each member row carries its
+  * full band-hash vector `bhs`, so "does any band BEFORE this one also
+  * put these two docs in a shared bucket?" is locally decidable — a pair
+  * is emitted only by the FIRST band on which its two band-hash vectors
+  * agree. The global pair set is therefore duplicate-free by
+  * construction: no cross-bucket dropDuplicates shuffle, and each
+  * candidate pair pays the O(|hs|) verification merge exactly once
+  * instead of once per agreeing band. The ownership scan runs BEFORE the
+  * verification merge and costs at most `band` long-compares.
+  *
+  * Cap interaction (documented approximation, same as SimHashPairs): if
+  * the first-agreeing band's bucket was dropped by the bucket-size cap,
+  * the pair is not emitted anywhere — even when a later agreeing band's
+  * bucket survives — because ownership is decided from the signatures
+  * alone, not from which buckets survived. Recall loss is therefore
+  * bounded by the capped buckets (observable via the `lsh_bucket_cap`
+  * metric: loss is possible only when dropped_hot_buckets > 0); a key
+  * that hot is near-contentless boilerplate, which is what the df-cap
+  * approximation deliberately discards. */
+case class MinHashBucketPairs(left: Expression, right: Expression,
+    thresholdNum: Int, thresholdDen: Int)
+    extends BinaryExpression with CodegenFallback {
   require(thresholdNum >= 0 && thresholdDen >= 1)
   override def dataType: DataType = ArrayType(
     StructType(Seq(
@@ -346,15 +378,17 @@ case class MinHashBucketPairs(child: Expression, thresholdNum: Int, thresholdDen
       StructField("jaccard", DoubleType, nullable = false))),
     containsNull = false)
   override def nullIntolerant: Boolean = true
-  override protected def nullSafeEval(input: Any): Any = {
-    val arr = input.asInstanceOf[ArrayData]
+  override protected def nullSafeEval(ms: Any, band: Any): Any = {
+    val arr = ms.asInstanceOf[ArrayData]
+    val bandId = band.asInstanceOf[Int]
     val d = arr.numElements()
     val ids = new Array[Long](d)
     val hss = new Array[ArrayData](d)
+    val bhss = new Array[ArrayData](d)
     var i = 0
     while (i < d) {
-      val row = arr.getStruct(i, 2)
-      ids(i) = row.getLong(0); hss(i) = row.getArray(1)
+      val row = arr.getStruct(i, 3)
+      ids(i) = row.getLong(0); hss(i) = row.getArray(1); bhss(i) = row.getArray(2)
       i += 1
     }
     val out = new scala.collection.mutable.ArrayBuffer[Any]()
@@ -362,24 +396,37 @@ case class MinHashBucketPairs(child: Expression, thresholdNum: Int, thresholdDen
     while (i < d) {
       val a = hss(i)
       val na = a.numElements()
+      val ba = bhss(i)
       var j = i + 1
       while (j < d) {
-        val b = hss(j)
-        val nb = b.numElements()
-        var p = 0; var q = 0; var common = 0
-        while (p < na && q < nb) {
-          val x = a.getLong(p); val y = b.getLong(q)
-          if (x == y) { common += 1; p += 1; q += 1 }
-          else if (x < y) p += 1
-          else q += 1
+        // ownership first (cheap): skip unless this is the pair's first
+        // agreeing band — both docs are in this bucket, so band `bandId`
+        // is known to agree; any earlier agreement disowns the pair here
+        val bb = bhss(j)
+        var earlier = false
+        var b = 0
+        while (!earlier && b < bandId) {
+          if (ba.getLong(b) == bb.getLong(b)) earlier = true
+          b += 1
         }
-        val union = na + nb - common
-        if (common.toLong * thresholdDen >= union.toLong * thresholdNum && union > 0) {
-          val jac = common.toDouble / union
-          out += (if (ids(i) < ids(j))
-            org.apache.spark.sql.catalyst.InternalRow(ids(i), ids(j), jac)
-          else
-            org.apache.spark.sql.catalyst.InternalRow(ids(j), ids(i), jac))
+        if (!earlier) {
+          val c = hss(j)
+          val nb = c.numElements()
+          var p = 0; var q = 0; var common = 0
+          while (p < na && q < nb) {
+            val x = a.getLong(p); val y = c.getLong(q)
+            if (x == y) { common += 1; p += 1; q += 1 }
+            else if (x < y) p += 1
+            else q += 1
+          }
+          val union = na + nb - common
+          if (common.toLong * thresholdDen >= union.toLong * thresholdNum && union > 0) {
+            val jac = common.toDouble / union
+            out += (if (ids(i) < ids(j))
+              org.apache.spark.sql.catalyst.InternalRow(ids(i), ids(j), jac)
+            else
+              org.apache.spark.sql.catalyst.InternalRow(ids(j), ids(i), jac))
+          }
         }
         j += 1
       }
@@ -387,7 +434,8 @@ case class MinHashBucketPairs(child: Expression, thresholdNum: Int, thresholdDen
     }
     new GenericArrayData(out.toArray)
   }
-  override protected def withNewChildInternal(c: Expression): MinHashBucketPairs = copy(c)
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): MinHashBucketPairs =
+    copy(left = l, right = r)
 }
 
 /** Cosine similarity of two array<double> in one pass — dot, |a|², |b|²
@@ -444,8 +492,8 @@ object exprs {
   def posting_list_pairs(ds: Column): Column = c(PostingListPairs(e(ds)))
   def simhash_pairs(ms: Column, chunk: Column, maxHamming: Int): Column =
     c(SimHashPairs(e(ms), e(chunk), maxHamming))
-  def minhash_bucket_pairs(ms: Column, num: Int, den: Int): Column =
-    c(MinHashBucketPairs(e(ms), num, den))
+  def minhash_bucket_pairs(ms: Column, band: Column, num: Int, den: Int): Column =
+    c(MinHashBucketPairs(e(ms), e(band), num, den))
   def sorted_jaccard(a: Column, b: Column): Column = c(SortedJaccard(e(a), e(b)))
   def cosine_similarity(a: Column, b: Column): Column = c(CosineSimilarity(e(a), e(b)))
 }

@@ -20,6 +20,15 @@ import org.apache.spark.sql.functions._
   * upstream to pick the winner among same-timestamp rows (as the DuckDB
   * ASOF oracle for `j6_asof_join` does with max(event_id)); left and
   * right non-key column names must not collide.
+  *
+  * The whole right payload is carried as ONE struct through a single
+  * `last(..., ignoreNulls = true)`: right rows always contribute a
+  * non-null struct (even when individual payload FIELDS are null), so a
+  * null field inside the latest right row stays null in the output
+  * instead of being back-filled from an older right row — per-column
+  * carries would tear the matched row across right rows. Left rows with
+  * no preceding right row get a null struct → all-null payload columns
+  * (the LEFT-join shape, matching ASOF LEFT JOIN).
   */
 object AsofOps {
 
@@ -30,29 +39,28 @@ object AsofOps {
     val overlap = payload.intersect(left.columns.toSeq)
     require(overlap.isEmpty, s"left/right non-key columns collide: $overlap")
 
-    val lhs = payload.foldLeft(
-      left.withColumn("__t", col(leftTime)).withColumn("__is_l", lit(1))) {
-      (df, c) => df.withColumn(c, lit(null).cast(right.schema(c).dataType))
-    }
+    // right rows: keys + event time + the payload as one non-null struct
+    val rhs = right.select(
+      keys.map(col) ++ Seq(
+        col(rightTime).as("__t"), lit(0).as("__is_l"),
+        struct(payload.map(col): _*).as("__p")): _*)
+    val payloadType = rhs.schema("__p").dataType
+    val lhs = left.withColumn("__t", col(leftTime)).withColumn("__is_l", lit(1))
+      .withColumn("__p", lit(null).cast(payloadType))
     val leftOnly = left.columns.filterNot(keys.contains).toSeq
-    val rhs = leftOnly.foldLeft(
-      right.withColumn("__t", col(rightTime)).withColumn("__is_l", lit(0))) {
+    val rhsAligned = leftOnly.foldLeft(rhs) {
       (df, c) => df.withColumn(c, lit(null).cast(left.schema(c).dataType))
     }
     val unioned = lhs.select(lhs.columns.map(col).toIndexedSeq: _*)
-      .unionByName(rhs.select(lhs.columns.map(col).toIndexedSeq: _*))
+      .unionByName(rhsAligned.select(lhs.columns.map(col).toIndexedSeq: _*))
 
     val w = Window.partitionBy(keys.map(col): _*)
       .orderBy(col("__t"), col("__is_l"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    // all carries in one projection → a single Window operator (one sort,
-    // one pass), not one per payload column
-    val outCols = unioned.columns.map {
-      case c if payload.contains(c) =>
-        last(when(col("__is_l") === 0, col(c)), ignoreNulls = true).over(w).as(c)
-      case c => col(c)
-    }
-    unioned.select(outCols.toIndexedSeq: _*)
-      .filter(col("__is_l") === 1).drop("__t", "__is_l")
+    // one carried column → a single Window operator (one sort, one pass)
+    unioned.withColumn("__pc", last(col("__p"), ignoreNulls = true).over(w))
+      .filter(col("__is_l") === 1)
+      .select(left.columns.map(col).toIndexedSeq ++
+        payload.map(c => col("__pc").getField(c).as(c)): _*)
   }
 }

@@ -420,6 +420,31 @@ object CoreOps {
         |FROM e CROSS JOIN q ORDER BY vec_id""".stripMargin)
   }
 
+  /** The full exact n-gram near-dup pipeline written as ONE SQL string —
+    * the query surface the reference's users live in — with
+    * `shingle_hashes` and `posting_list_pairs` resolving through
+    * GraftExtensions.injectFunction to the same Catalyst kernels the
+    * DataFrame twin (DedupOps.ngramJaccard) uses: same inverted-index
+    * plan (one shuffle, df-capped posting lists, kernel pair expansion),
+    * same rows, same DuckDB oracle. */
+  def sqlKernelDedup(spark: SparkSession, dir: String): DataFrame = {
+    Tables.parallel(spark, dir, "documents").createOrReplaceTempView("graft_documents")
+    spark.sql(
+      """WITH docs AS (SELECT doc_id, shingle_hashes(split(lower(text), ' '), 3) AS shs
+        |              FROM graft_documents WHERE size(split(text, ' ')) >= 3),
+        |     tri AS (SELECT doc_id, size(shs) AS n, explode(shs) AS sh FROM docs),
+        |     posting AS (SELECT sh, collect_list(struct(doc_id, n)) AS ds
+        |                 FROM tri GROUP BY sh
+        |                 HAVING size(ds) BETWEEN 2 AND 2048),
+        |     pairs AS (SELECT explode(posting_list_pairs(ds)) AS p FROM posting),
+        |     agg AS (SELECT p.doc_a AS doc_a, p.na AS na, p.doc_b AS doc_b, p.nb AS nb,
+        |                    count(1) AS n_common
+        |             FROM pairs GROUP BY p.doc_a, p.na, p.doc_b, p.nb)
+        |SELECT doc_a, doc_b, CAST(n_common AS DOUBLE) / (na + nb - n_common) AS jaccard
+        |FROM agg WHERE 3 * n_common >= na + nb
+        |ORDER BY doc_a, doc_b""".stripMargin)
+  }
+
   /** U2 — fixed-decimal rounding + null→0 (`dashboard.js:96-97`).
     * Implemented as floor(x*10+0.5)/10 — pure IEEE double ops, identical
     * in any engine (library `round` implementations differ in how they

@@ -48,44 +48,68 @@ object DedupOps {
       .orderBy("keep_id")
 
   /** Exact n-gram (3-token shingle) Jaccard near-dup pairs, threshold 0.5,
-    * via inverted index: explode shingle hashes → posting lists (carrying
-    * each doc's shingle count) → local pair expansion (custom
-    * PostingListPairs kernel) → per-pair count. The inverted index
-    * shuffles ONCE (groupBy key, long keys) instead of twice (self-join)
-    * and needs no join back for per-doc counts. Threshold test uses
-    * integer arithmetic (3*common >= |A|+|B|) so there is no float
-    * boundary. Internally shingles are 64-bit hashes (ShingleHashes
-    * kernel — strings never materialize); corpus-wide collision odds are
+    * via a PPJoin-style PREFIX-FILTERED inverted index (Xiao et al.,
+    * "Efficient Similarity Joins for Near Duplicate Detection", WWW'08):
+    *
+    *  1. prefix index: each doc indexes only its ⌊n/2⌋+1 SMALLEST shingle
+    *     hashes (the set is already hash-sorted — that is the global
+    *     order). For Jaccard ≥ 1/2, any qualifying pair's smallest common
+    *     shingle provably lies in BOTH prefixes, so candidate recall is
+    *     exact while the index holds ~half the entries and — because
+    *     pair expansion is quadratic in posting-list length — generates
+    *     ~4× fewer candidate pairs per shingle.
+    *  2. candidate generation: posting lists (capped, see below) expand
+    *     locally via the PostingListPairs kernel; a PPJoin length filter
+    *     (|A| ≥ |B|/2, or Jaccard < 1/2 is impossible) prunes before the
+    *     distinct-pairs shuffle.
+    *  3. verification: shingle sets are recomputed ONLY for candidate
+    *     docs (semi-join on the small candidate-id set → broadcast-sized
+    *     at the observed near-dup rates) and each pair is verified once
+    *     with the SortedJaccard merge kernel. Integer threshold test
+    *     (2·common ≥ union) — no float boundary.
+    *
+    * Internally shingles are 64-bit hashes (ShingleHashes kernel —
+    * strings never materialize); corpus-wide collision odds are
     * ~|shingles|²/2⁶⁵, far below the oracle's resolution.
-    * Skew note: a shingle with document frequency d yields d(d-1)/2 pairs;
-    * the `MaxBucket` df-cap on non-discriminating hot shingles bounds this
-    * (set above the synthetic corpus's max df, so the oracle rows are
-    * exact; dropped-key count observable as metric `ngram_df_cap`). */
+    * Skew note: a shingle with prefix document frequency d yields
+    * d(d-1)/2 candidates; the `MaxBucket` df-cap on non-discriminating
+    * hot shingles bounds this (set above the synthetic corpus's max df,
+    * so the oracle rows are exact; dropped-key count observable as metric
+    * `ngram_df_cap`). */
   def ngramJaccard(spark: SparkSession, dir: String): DataFrame =
     ngramJaccard(spark, dir, MaxBucket)
 
   def ngramJaccard(spark: SparkSession, dir: String, dfCap: Int): DataFrame = {
     import graft.functions.exprs._
-    val docs = Tables.parallel(spark, dir, "documents")
+    def raw = Tables.parallel(spark, dir, "documents")
       .filter(size(split(col("text"), " ")) >= 3)
-      .select(col("doc_id"), shingle_hashes(split(lower(col("text")), " "), 3).as("shs"))
-    val tri = docs.select(
-      col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("sh"))
-    val posting = tri.groupBy(col("sh"))
+    def withHs(df: DataFrame) = df.select(
+      col("doc_id"), shingle_hashes(split(lower(col("text")), " "), 3).as("hs"))
+    val docs = withHs(raw).withColumn("n", size(col("hs")))
+    // prefix = first ⌊n/2⌋+1 elements of the hash-sorted set
+    val pre = docs.select(col("doc_id"), col("n"),
+      explode(slice(col("hs"), lit(1), (col("n") / lit(2)).cast(IntegerType) + lit(1))).as("sh"))
+    val posting = pre.groupBy(col("sh"))
       .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
       .observe("ngram_df_cap",
         sum(when(size(col("ds")) > dfCap, 1).otherwise(0)).as("dropped_hot_shingles"))
       .filter(size(col("ds")).between(2, dfCap))
-    posting.select(explode(posting_list_pairs(col("ds"))).as("p"))
-      .groupBy(
-        col("p.doc_a").as("doc_a"), col("p.na").as("na"),
-        col("p.doc_b").as("doc_b"), col("p.nb").as("nb"))
-      .agg(count(lit(1)).as("n_common"))
-      .filter(lit(3) * col("n_common") >= col("na") + col("nb"))
-      .select(
-        col("doc_a"), col("doc_b"),
-        (col("n_common").cast(DoubleType) / (col("na") + col("nb") - col("n_common")))
-          .as("jaccard"))
+    val cands = posting.select(explode(posting_list_pairs(col("ds"))).as("p"))
+      .filter(lit(2) * col("p.na") >= col("p.nb") && lit(2) * col("p.nb") >= col("p.na"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
+    val candIds = cands.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
+    // recompute shingle sets only for candidate docs — the expensive
+    // hashing runs once corpus-wide (prefix stage) + once on the small
+    // candidate slice, never a full second corpus pass
+    val candDocs = withHs(raw.join(candIds, Seq("doc_id"), "left_semi"))
+    cands
+      .join(candDocs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
+      .join(candDocs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), sorted_jaccard(col("hs_a"), col("hs_b")).as("j"))
+      .filter(lit(2) * col("j.n_common") >= col("j.n_union"))
+      .select(col("doc_a"), col("doc_b"),
+        (col("j.n_common").cast(DoubleType) / col("j.n_union")).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
 
@@ -124,29 +148,34 @@ object DedupOps {
       .select(col("doc_id"),
         shingle_hashes(split(lower(col("text")), " "), 3).as("hs"))
     val signed = docs.select(col("doc_id"), col("hs"),
-      minhash_signature(col("hs"), NumHashes).as("sig"))
+      chunk_hashes(minhash_signature(col("hs"), NumHashes), Rows).as("bhs"))
     // one shuffle: bucket by (band, bandhash); the signature pipeline runs
     // once (a self-join would compute it twice). Posting lists carry the
-    // shingle-hash sets so verification needs no join back.
+    // shingle-hash sets (verification needs no join back) AND the full
+    // band-hash vector (first-agreeing-band ownership is locally
+    // decidable — see MinHashBucketPairs).
     val buckets = signed
-      .select(col("doc_id"), col("hs"),
-        posexplode(chunk_hashes(col("sig"), Rows)).as(Seq("band", "bh")))
+      .select(col("doc_id"), col("hs"), col("bhs"),
+        posexplode(col("bhs")).as(Seq("band", "bh")))
       .groupBy(col("band"), col("bh"))
-      .agg(collect_list(struct(col("doc_id"), col("hs"))).as("ms"))
+      .agg(collect_list(struct(col("doc_id"), col("hs"), col("bhs"))).as("ms"))
       .observe("lsh_bucket_cap",
         sum(when(size(col("ms")) > bucketCap, 1).otherwise(0)).as("dropped_hot_buckets"))
       .filter(size(col("ms")).between(2, bucketCap))
     // expand AND verify inside one kernel eval (MinHashBucketPairs: pair
     // loop + sorted-merge Jaccard over the hash sets read in place), so
-    // only passing pairs are ever materialized and the dedup shuffle
-    // carries id pairs + jaccard — never the hash arrays. Band-duplicate
-    // candidates verify more than once, but verification is a linear merge
-    // and duplicates are bounded by the band count.
+    // only passing pairs are ever materialized and the downstream shuffle
+    // carries id pairs + jaccard — never the hash arrays. Each pair is
+    // emitted only by its FIRST agreeing band (ownership decided in the
+    // kernel from the band-hash vectors), so pairs arrive globally unique
+    // and verify exactly once: no cross-bucket dropDuplicates exchange.
+    // Cap caveat: a pair whose first agreeing band was cap-dropped is
+    // lost even if a later band survives (recall loss possible only when
+    // the lsh_bucket_cap metric > 0 — see kernel doc).
     buckets
-      .select(explode(minhash_bucket_pairs(col("ms"), 1, 2)).as("p"))
+      .select(explode(minhash_bucket_pairs(col("ms"), col("band"), 1, 2)).as("p"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),
         col("p.jaccard").as("jaccard"))
-      .dropDuplicates("doc_a", "doc_b")
       .orderBy("doc_a", "doc_b")
   }
 
@@ -176,7 +205,13 @@ object DedupOps {
       .filter(size(col("ms")).between(2, bucketCap))
     // each pair is emitted only by its first agreeing chunk's bucket
     // (decided inside the kernel), so pairs arrive globally unique and no
-    // cross-bucket dropDuplicates shuffle exists in this plan
+    // cross-bucket dropDuplicates shuffle exists in this plan.
+    // Cap caveat: ownership is decided from the signatures alone, so a
+    // pair whose FIRST agreeing chunk's bucket was cap-dropped is lost
+    // even when a later agreeing chunk's bucket survives — recall loss
+    // beyond the df-cap itself is possible only when the
+    // simhash_bucket_cap metric > 0 (see MinHashBucketPairs doc for the
+    // shared rationale)
     buckets.select(explode(simhash_pairs(col("ms"), col("chunk"), 3)).as("p"))
       .select(
         col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"),

@@ -1,7 +1,9 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
 
 /** Join operators. The reference has no joins (SURVEY.md §2, "What the
   * reference does NOT have"), but a complete analytics engine over its
@@ -157,6 +159,32 @@ object JoinOps {
     AsofOps.asofJoin(errors, purchases, Seq("user_id"), "error_ts", "last_purchase_ts")
       .select(col("user_id"), col("error_id"), col("error_ts"),
         col("last_purchase_id"), col("last_purchase_ts"))
+      .orderBy("user_id", "error_id")
+  }
+
+  /** J6b — AS-OF join carrying a MULTI-COLUMN payload with nullable
+    * fields: the torn-row hazard case. `p_big_value` is null on most
+    * purchase rows (value ≤ 100), so a per-column carry would back-fill
+    * it from an OLDER purchase while p_id/p_ts come from the newest —
+    * AsofOps carries the whole payload as one struct, so the matched
+    * right row arrives intact (nulls included). Verified against DuckDB's
+    * native ASOF LEFT JOIN. Winner among same-timestamp purchases is the
+    * max-event_id ROW (row_number, not per-column max — same reason). */
+  def j6bAsofPayload(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("error_id"), col("ts").as("error_ts"))
+    val w = Window.partitionBy(col("user_id"), col("ts")).orderBy(col("event_id").desc)
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .withColumn("__rn", row_number().over(w))
+      .filter(col("__rn") === 1)
+      .select(col("user_id"), col("ts").as("p_ts"), col("event_id").as("p_id"),
+        when(col("value") > 100, col("value")).as("p_big_value"),
+        from_json(col("props"), StructType(Seq(StructField("k", IntegerType))))
+          .getField("k").as("p_k"))
+    AsofOps.asofJoin(errors, purchases, Seq("user_id"), "error_ts", "p_ts")
+      .select(col("user_id"), col("error_id"), col("error_ts"),
+        col("p_ts"), col("p_id"), col("p_big_value"), col("p_k"))
       .orderBy("user_id", "error_id")
   }
 

@@ -8,11 +8,19 @@ import org.apache.spark.sql.functions._
   * inserts land, untouched PARTITIONS are never read or rewritten.
   *
   * Plan per call:
-  *   1. partition pruning: only partitions containing an updated key's
-  *      partition value are read (broadcast semi-join on the partition
-  *      column → prunes at the scan);
-  *   2. anti-join current⟕updates by key keeps survivors, union adds the
-  *      updates (insert + replace in one pass);
+  *   1. locate the partitions to rewrite: those NAMED by an update row,
+  *      plus — because a key's partition value may CHANGE across updates —
+  *      any partition currently holding an updated key. The latter is a
+  *      column-pruned scan of (key, partCol) only (two thin parquet
+  *      columns, no payload I/O) semi-joined against the broadcast update
+  *      keys; skippable via `keysArePartitionStable = true` when the
+  *      caller guarantees keys never move partitions (e.g. the partition
+  *      column is derived from the key).
+  *   2. anti-join current⟕updates by key over the touched slice keeps
+  *      survivors, union adds the updates (insert + replace in one pass);
+  *      because every partition holding an updated key is in the touched
+  *      set, a moved key's stale row is read and anti-joined away — no
+  *      duplicate keys after the merge.
   *   3. dynamic partition overwrite rewrites exactly the touched
   *      partitions.
   * The merged slice is localCheckpoint-ed before the overwrite because
@@ -24,12 +32,20 @@ object UpsertOps {
 
   def upsertByKey(
       spark: SparkSession, targetDir: String, updates: DataFrame,
-      key: String, partCol: String): Unit = {
+      key: String, partCol: String, keysArePartitionStable: Boolean = false): Unit = {
     val current = spark.read.parquet(targetDir)
-    val touched = updates.select(partCol).distinct()
+    val updKeys = updates.select(key).distinct()
+    val named = updates.select(partCol).distinct()
+    val touched =
+      if (keysArePartitionStable) named
+      else named.union(
+        current.select(col(key), col(partCol)) // column-pruned: 2 cols read
+          .join(broadcast(updKeys), Seq(key), "left_semi")
+          .select(col(partCol)))
+        .distinct()
     val survivors = current
       .join(broadcast(touched), Seq(partCol), "left_semi") // prune to touched partitions
-      .join(updates.select(key), Seq(key), "left_anti") // drop rows being replaced
+      .join(updKeys, Seq(key), "left_anti") // drop rows being replaced
     val merged = survivors.unionByName(updates.select(survivors.columns.map(col): _*))
       .localCheckpoint(true)
     val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")

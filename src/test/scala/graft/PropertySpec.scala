@@ -75,9 +75,9 @@ class PropertySpec extends SparkSpec {
     } yield (id, hs)
     val bucketGen = Gen.listOfN(5, docGen).map(_.distinctBy(_._1)).suchThat(_.length >= 2)
     check("mhbp", Prop.forAll(bucketGen) { docs =>
-      val got = Seq(docs.map(d => (d._1, d._2)))
+      val got = Seq(docs.map(d => (d._1, d._2, Seq.empty[Long])))
         .toDF("ms")
-        .select(explode(minhash_bucket_pairs(col("ms"), 1, 2)).as("p"))
+        .select(explode(minhash_bucket_pairs(col("ms"), lit(0), 1, 2)).as("p"))
         .select(col("p.doc_a"), col("p.doc_b"), col("p.jaccard"))
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSet
       val want = (for {

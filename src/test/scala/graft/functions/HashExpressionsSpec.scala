@@ -111,11 +111,12 @@ class HashExpressionsSpec extends SparkSpec {
   test("MinHashBucketPairs: expands+verifies in one eval, emits only passing pairs") {
     import spark.implicits._
     // sorted hash sets: (a,b) jaccard 3/5 = 0.6 ≥ 0.5 passes; pairs with c share nothing
+    // (band 0 owns every pair — no earlier band can exist)
     val bucket = Seq(Seq(
-      (7L, Seq(1L, 2L, 3L, 4L)),
-      (2L, Seq(1L, 2L, 3L, 5L)),
-      (9L, Seq(10L, 11L, 12L)))).toDF("ms")
-    val r = bucket.select(explode(minhash_bucket_pairs(col("ms"), 1, 2)).as("p"))
+      (7L, Seq(1L, 2L, 3L, 4L), Seq.empty[Long]),
+      (2L, Seq(1L, 2L, 3L, 5L), Seq.empty[Long]),
+      (9L, Seq(10L, 11L, 12L), Seq.empty[Long]))).toDF("ms")
+    val r = bucket.select(explode(minhash_bucket_pairs(col("ms"), lit(0), 1, 2)).as("p"))
       .select(col("p.doc_a"), col("p.doc_b"), col("p.jaccard"))
       .collect().map(x => (x.getLong(0), x.getLong(1), x.getDouble(2)))
     assert(r.toSeq == Seq((2L, 7L, 0.6))) // normalized doc_a < doc_b, exact jaccard
@@ -125,7 +126,41 @@ class HashExpressionsSpec extends SparkSpec {
       .select(col("j.n_common"), col("j.n_union")).collect()(0)
     assert(j.getInt(0) == 3 && j.getInt(1) == 5)
     // threshold 1/1 (jaccard = 1.0) filters the 0.6 pair out
-    val strict = bucket.select(explode(minhash_bucket_pairs(col("ms"), 1, 1)).as("p")).collect()
+    val strict = bucket
+      .select(explode(minhash_bucket_pairs(col("ms"), lit(0), 1, 1)).as("p")).collect()
     assert(strict.isEmpty)
+  }
+
+  test("all kernels reachable from the SQL-string surface; SQL dedup == DataFrame twin") {
+    import graft.ops.{CoreOps, DedupOps}
+    // every injected function resolves and evaluates through spark.sql
+    val one = spark.sql(
+      """SELECT size(minhash_bucket_pairs(array(named_struct(
+        |         'doc_id', 1L, 'hs', array(1L, 2L), 'bhs', array(9L)),
+        |       named_struct('doc_id', 2L, 'hs', array(1L, 2L), 'bhs', array(9L))), 0, 1, 2)) AS np,
+        |       size(simhash_pairs(array(named_struct('doc_id', 1L, 'simhash', 5L),
+        |         named_struct('doc_id', 2L, 'simhash', 5L)), 0, 3)) AS ns,
+        |       size(posting_list_pairs(array(named_struct('doc_id', 1L, 'n', 2),
+        |         named_struct('doc_id', 2L, 'n', 3)))) AS npp,
+        |       size(chunk_hashes(array(1L, 2L, 3L, 4L), 2)) AS nch""".stripMargin).collect()(0)
+    assert(one.getInt(0) == 1 && one.getInt(1) == 1 && one.getInt(2) == 1 && one.getInt(3) == 2)
+    // the full SQL-string dedup pipeline matches the DataFrame twin row for row
+    val viaSql = CoreOps.sqlKernelDedup(spark, Sf0001).collect().toSeq
+    val viaDf = DedupOps.ngramJaccard(spark, Sf0001).collect().toSeq
+    assert(viaSql == viaDf)
+  }
+
+  test("MinHashBucketPairs: first-agreeing-band ownership — exactly one band emits each pair") {
+    import spark.implicits._
+    // two docs agreeing on bands 1 and 3 (0-indexed band-hash vectors):
+    // band 1 owns the pair; bands 3's bucket must NOT re-emit it
+    val ms = Seq(
+      (1L, Seq(10L, 20L, 30L), Seq(100L, 7L, 101L, 9L)),
+      (2L, Seq(10L, 20L, 40L), Seq(200L, 7L, 201L, 9L)))
+    def emitted(band: Int): Int = Seq(ms).toDF("ms")
+      .select(explode(minhash_bucket_pairs(col("ms"), lit(band), 1, 2)).as("p"))
+      .collect().length
+    assert(emitted(1) == 1) // first agreeing band → owner
+    assert(emitted(3) == 0) // later agreeing band → disowned
   }
 }

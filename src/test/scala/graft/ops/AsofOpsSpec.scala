@@ -30,4 +30,24 @@ class AsofOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("asofJoin: null payload FIELD in the matched right row stays null (no torn rows)") {
+    import spark.implicits._
+    // right at t=1 has a=A1,b=B1; right at t=2 has a=null,b=B2.
+    // A left row at t=3 matches t=2: a must be null — a per-column carry
+    // would tear the row by back-filling a=A1 from t=1.
+    val left = Seq((1L, 3L, 100L)).toDF("k", "lt", "lid")
+    val right = Seq(
+      (1L, 1L, Option("A1"), Option("B1")),
+      (1L, 2L, None: Option[String], Option("B2"))).toDF("k", "rt", "a", "b")
+    val row = AsofOps.asofJoin(left, right, Seq("k"), "lt", "rt").collect()(0)
+    assert(row.getAs[Long]("rt") == 2L)
+    assert(row.isNullAt(row.fieldIndex("a")), "null field must not be back-filled")
+    assert(row.getAs[String]("b") == "B2")
+    // and a left row BEFORE any right row gets an all-null payload
+    val early = AsofOps.asofJoin(Seq((1L, 0L, 7L)).toDF("k", "lt", "lid"),
+      right, Seq("k"), "lt", "rt").collect()(0)
+    assert(early.isNullAt(early.fieldIndex("rt")) && early.isNullAt(early.fieldIndex("a"))
+      && early.isNullAt(early.fieldIndex("b")))
+  }
 }

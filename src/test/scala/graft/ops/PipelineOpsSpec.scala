@@ -89,6 +89,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(dropped == 1L, s"expected exactly the manufactured hot shingle dropped, got $dropped")
   }
 
+  test("PPJoin prefix index: candidate pairs shrink vs full index; recall stays exact") {
+    import graft.functions.exprs._
+    import org.apache.spark.sql.types.{IntegerType, LongType}
+    val docs = Tables(spark, Sf0001, "documents")
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), shingle_hashes(split(lower(col("text")), " "), 3).as("hs"))
+      .withColumn("n", size(col("hs")))
+    def cands(exploded: org.apache.spark.sql.DataFrame): Long = exploded
+      .groupBy(col("sh")).agg(count(lit(1)).as("d")).filter(col("d") >= 2)
+      .agg(coalesce(sum((col("d") * (col("d") - 1)) / lit(2)), lit(0)).cast(LongType))
+      .collect()(0).getLong(0)
+    val full = cands(docs.select(explode(col("hs")).as("sh")))
+    val prefix = cands(docs.select(
+      explode(slice(col("hs"), lit(1), (col("n") / lit(2)).cast(IntegerType) + lit(1))).as("sh")))
+    assert(prefix < full, s"prefix index must generate fewer candidates: $prefix vs $full")
+    assert(prefix <= full * 2 / 3, s"expected a substantial cut, got $prefix vs $full")
+    // exactness: the prefix-filtered operator equals the full-index SQL
+    // twin pair-for-pair (also asserted in HashExpressionsSpec at the
+    // value level via the shared oracle)
+    val got = DedupOps.ngramJaccard(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val want = CoreOps.sqlKernelDedup(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(got == want)
+  }
+
   test("observed-metrics listener reports the df-cap drop counter") {
     val seen = new java.util.concurrent.ConcurrentLinkedQueue[(String, String)]()
     val listener = new graft.tools.ObservedMetricsListener((n, kv) => seen.add((n, kv)))

@@ -93,6 +93,26 @@ class SourcesSpec extends SparkSpec {
     assert(spark.read.parquet(dir).count() == 5)
   }
 
+  test("upsertByKey: a key that MOVES partitions leaves no stale row behind") {
+    import spark.implicits._
+    val dir = tempDir("upsert_move") + "/t"
+    Seq((1L, "jan", 10.0), (2L, "jan", 20.0), (3L, "feb", 30.0))
+      .toDF("id", "month", "v")
+      .write.partitionBy("month").parquet(dir)
+    // key 2 moves jan → mar: jan's stale row must be anti-joined away even
+    // though no update row names partition jan
+    UpsertOps.upsertByKey(spark, dir, Seq((2L, "mar", 99.0)).toDF("id", "month", "v"),
+      "id", "month")
+    val got = spark.read.parquet(dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(r.fieldIndex("month")), r.getDouble(r.fieldIndex("v"))))
+    assert(got.toSeq == Seq((1L, "jan", 10.0), (2L, "mar", 99.0), (3L, "feb", 30.0)))
+    // fast path with the documented stability guarantee skips the key scan
+    UpsertOps.upsertByKey(spark, dir, Seq((3L, "feb", 31.0)).toDF("id", "month", "v"),
+      "id", "month", keysArePartitionStable = true)
+    val r3 = spark.read.parquet(dir).filter($"id" === 3L).collect()(0)
+    assert(r3.getDouble(r3.fieldIndex("v")) == 31.0)
+  }
+
   test("approx_count_distinct within 5% of exact at rsd 1%") {
     val approx = SetOps.g3ApproxDistinct(spark, Sf0001).collect()(0)
     val exact = SetOps.g2CountDistinct(spark, Sf0001).collect()(0).getAs[Long]("n_parts")
