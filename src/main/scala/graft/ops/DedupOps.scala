@@ -62,11 +62,16 @@ object DedupOps {
     *     locally via the PostingListPairs kernel; a PPJoin length filter
     *     (|A| ≥ |B|/2, or Jaccard < 1/2 is impossible) prunes before the
     *     distinct-pairs shuffle.
-    *  3. verification: shingle sets are recomputed ONLY for candidate
-    *     docs (semi-join on the small candidate-id set → broadcast-sized
-    *     at the observed near-dup rates) and each pair is verified once
-    *     with the SortedJaccard merge kernel. Integer threshold test
-    *     (2·common ≥ union) — no float boundary.
+    *  3. verification: the candidate spine appears ONCE in the plan and
+    *     joins against freshly-hashed shingle sets keyed by doc id; AQE
+    *     broadcasts the small candidate side, so verification adds two
+    *     corpus scans (cheap, column-pruned) but NO extra shuffle. Each
+    *     pair is verified once with the SortedJaccard merge kernel.
+    *     Integer threshold test (2·common ≥ union) — no float boundary.
+    *     (A semi-join that prunes hashing to candidate docs was measured
+    *     slower here: it references the spine three times, and the
+    *     `observe` metric node blocks AQE exchange reuse, so the whole
+    *     candidate pipeline re-executed per reference.)
     *
     * Internally shingles are 64-bit hashes (ShingleHashes kernel —
     * strings never materialize); corpus-wide collision odds are
@@ -98,14 +103,10 @@ object DedupOps {
       .filter(lit(2) * col("p.na") >= col("p.nb") && lit(2) * col("p.nb") >= col("p.na"))
       .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
       .distinct()
-    val candIds = cands.select(explode(array(col("doc_a"), col("doc_b"))).as("doc_id")).distinct()
-    // recompute shingle sets only for candidate docs — the expensive
-    // hashing runs once corpus-wide (prefix stage) + once on the small
-    // candidate slice, never a full second corpus pass
-    val candDocs = withHs(raw.join(candIds, Seq("doc_id"), "left_semi"))
+    val docsHs = withHs(raw)
     cands
-      .join(candDocs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
-      .join(candDocs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
+      .join(docsHs.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
+      .join(docsHs.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
       .select(col("doc_a"), col("doc_b"), sorted_jaccard(col("hs_a"), col("hs_b")).as("j"))
       .filter(lit(2) * col("j.n_common") >= col("j.n_union"))
       .select(col("doc_a"), col("doc_b"),
