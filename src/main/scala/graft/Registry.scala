@@ -517,6 +517,50 @@ object Registry {
         |       neighbor_id
         |FROM s QUALIFY rank <= 10 ORDER BY q_id, rank""".stripMargin), headline = true),
     GraftQuery("x_sim_ann_lsh", SimilarityOps.annLsh, None),
+    GraftQuery("x_sim_knn_join", (s, d) => SimilarityOps.knnJoin(s, d), None),
+    GraftQuery("x_dedup_paragraph", PretrainOps.paragraphDedup, Some(
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |paras AS (SELECT doc_id,
+        |            unnest(list_transform(generate_series(0, CAST(ceil(len(t) / 16.0) AS INTEGER) - 1),
+        |              i -> {'para_idx': i, 'para': array_to_string(list_slice(t, i*16 + 1, i*16 + 16), ' ')})) AS pp
+        |          FROM toks),
+        |p2 AS (SELECT doc_id, CAST(pp.para_idx AS INTEGER) AS para_idx, pp.para AS para FROM paras),
+        |kept AS (SELECT * FROM p2
+        |         QUALIFY row_number() OVER (PARTITION BY para ORDER BY doc_id, para_idx) = 1),
+        |agg AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_kept,
+        |               string_agg(para, ' ' ORDER BY para_idx) AS clean_text
+        |        FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, CAST(ceil(len(string_split(text, ' ')) / 16.0) AS INTEGER) AS n_paras
+        |        FROM documents)
+        |SELECT t.doc_id AS doc_id, t.n_paras AS n_paras,
+        |       coalesce(a.n_kept, 0) AS n_kept, coalesce(a.clean_text, '') AS clean_text
+        |FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
+        |ORDER BY doc_id""".stripMargin)),
+    GraftQuery("x_decontaminate", PretrainOps.decontaminate, Some(
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        |              WHERE len(string_split(text, ' ')) >= 8),
+        |grams AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t) - 7),
+        |            i -> array_to_string(list_slice(t, i, i + 7), ' ')))) AS g FROM toks),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+        |hits AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_shared
+        |         FROM grams JOIN bench USING (g) WHERE doc_id % 97 <> 0 GROUP BY doc_id)
+        |SELECT t.doc_id AS doc_id, coalesce(h.n_shared, 0) AS n_shared,
+        |       coalesce(h.n_shared, 0) > 0 AS contaminated
+        |FROM toks t LEFT JOIN hits h ON t.doc_id = h.doc_id
+        |WHERE t.doc_id % 97 <> 0
+        |ORDER BY doc_id""".stripMargin)),
+    GraftQuery("x_pack_sequences", PretrainOps.packSequences, Some(
+      """WITH d AS (SELECT source, doc_id,
+        |             CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens FROM documents),
+        |c AS (SELECT source, doc_id, n_tokens,
+        |        CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |      FROM d)
+        |SELECT source, doc_id, n_tokens,
+        |       cum - n_tokens AS tok_offset,
+        |       CAST((cum - n_tokens) // 2048 AS INTEGER) AS seq_first,
+        |       CAST((cum - 1) // 2048 AS INTEGER) AS seq_last
+        |FROM c ORDER BY source, doc_id""".stripMargin)),
     GraftQuery("x_sim_ann_multiprobe", SimilarityOps.annLshMultiProbe, None),
     GraftQuery("x_sim_ann_ivf", (s, d) => SimilarityOps.annIvf(s, d), None),
     GraftQuery("x_split_hash", SamplingOps.splitHash, Some(

@@ -1,0 +1,122 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Pretraining-corpus preparation operators beyond per-document dedup:
+  * sub-document (paragraph) dedup, benchmark decontamination, and
+  * fixed-length sequence packing — the three steps every large-scale
+  * training-data pipeline runs between "corpus assembled" and "tokens on
+  * the trainer" (cf. RefinedWeb/Dolma paragraph dedup, GPT-3/PaLM n-gram
+  * decontamination, standard concat-and-split sequence packing).
+  *
+  * All three are deterministic string/integer pipelines — fully
+  * value-oracled against DuckDB.
+  */
+object PretrainOps {
+
+  /** Paragraph granularity: fixed token-block size. The synthetic corpus
+    * has no newlines, so "paragraph" = consecutive 16-token block (the
+    * operator is agnostic — a newline split plugs into the same plan). */
+  val ParaTokens = 16
+
+  /** Sub-document exact dedup: explode docs into paragraphs, keep only
+    * the globally FIRST occurrence of each distinct paragraph (ordered by
+    * (doc_id, para_idx)), reassemble the surviving text per document.
+    *
+    * Scale shape: one shuffle keyed by paragraph text for the
+    * first-occurrence window (at 100 TB: key by a 128-bit digest instead
+    * of the text — same plan, thinner shuffle, cf. DedupOps.exactDigest),
+    * one shuffle back on doc_id for reassembly. No self-join, no
+    * cartesian; every document is preserved (possibly empty) so the
+    * output is a drop-in replacement corpus. */
+  def paragraphDedup(spark: SparkSession, dir: String): DataFrame = {
+    val k = ParaTokens
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val paras = toks.select(col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), ceil(size(col("t")) / lit(k.toDouble)).cast(IntegerType) - 1),
+        i => array_join(slice(col("t"), i * k + 1, lit(k)), " "))).as(Seq("para_idx", "para")))
+    val firstWin = Window.partitionBy(col("para")).orderBy(col("doc_id"), col("para_idx"))
+    val kept = paras.withColumn("rn", row_number().over(firstWin)).filter(col("rn") === 1)
+    val reassembled = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(IntegerType).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("para_idx"), col("para")))),
+            s => s.getField("para")), " ").as("clean_text"))
+    toks
+      .select(col("doc_id"),
+        ceil(size(col("t")) / lit(k.toDouble)).cast(IntegerType).as("n_paras"))
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_paras"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
+  /** Decontamination n-gram width (tokens). Real pipelines use ~13-gram;
+    * the synthetic docs bottom out at 10 tokens, so 8 keeps every doc in
+    * scope without changing the plan shape. */
+  val ContamGram = 8
+
+  /** Benchmark decontamination: flag every corpus document sharing at
+    * least one `ContamGram`-token n-gram with the held-out benchmark set
+    * (here: doc_id ≡ 0 (mod 97) — the deterministic stand-in for an eval
+    * suite). Output: per non-benchmark doc, the count of distinct shared
+    * n-grams and the contamination flag.
+    *
+    * Scale shape: the benchmark n-gram set is tiny relative to the corpus
+    * (eval suites are fixed-size) → broadcast hash join against the
+    * exploded corpus n-grams; ONE aggregation shuffle on doc_id. N-grams
+    * flow as strings here to stay value-oracleable; the production swap
+    * is a 64-bit n-gram hash (ShingleHashes), identical plan. */
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val k = ContamGram
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+      .filter(size(col("t")) >= k)
+    def grams(df: DataFrame): DataFrame = df.select(col("doc_id"),
+      explode(array_distinct(transform(sequence(lit(0), size(col("t")) - k),
+        i => array_join(slice(col("t"), i + 1, lit(k)), " ")))).as("g"))
+    val bench = grams(toks.filter(col("doc_id") % 97 === 0)).select(col("g")).distinct()
+    val hits = grams(toks.filter(col("doc_id") % 97 =!= 0))
+      .join(broadcast(bench), Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).cast(IntegerType).as("n_shared"))
+    toks.filter(col("doc_id") % 97 =!= 0).select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0)) > 0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
+  /** Training-sequence length (tokens) for packing. */
+  val SeqLen = 2048
+
+  /** Sequence packing bookkeeping: documents are concatenated per source
+    * shard in doc_id order and split into fixed `SeqLen`-token training
+    * sequences; each document reports its token offset in the shard
+    * stream and the first/last sequence it lands in (documents may
+    * straddle a boundary — the standard concat-and-split regime).
+    *
+    * Scale shape: one running-sum window PER SOURCE SHARD (not a global
+    * sort) — shards pack independently exactly like a real pipeline, so
+    * the window parallelizes across shards and adds one shuffle on
+    * `source`. Pure integer arithmetic → value-oracled. */
+  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).as("n_tokens"))
+    val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    docs.withColumn("cum", sum(col("n_tokens")).over(w))
+      .select(col("source"), col("doc_id"), col("n_tokens"),
+        (col("cum") - col("n_tokens")).as("tok_offset"),
+        expr(s"CAST((cum - n_tokens) div $SeqLen AS INT)").as("seq_first"),
+        expr(s"CAST((cum - 1) div $SeqLen AS INT)").as("seq_last"))
+      .orderBy("source", "doc_id")
+  }
+}

@@ -134,6 +134,60 @@ object SimilarityOps {
     rankWithin(scored)
   }
 
+  /** kNN-join LSH layout: L independent hash tables of `KnnPlanes`
+    * hyperplanes each. An all-corpus join can't lean on "query is its own
+    * bucket" like the serving path does, so recall comes from table
+    * multiplicity: a cos≈0.5 neighbor pair collides in ≥1 of 4 8-bit
+    * tables (with Hamming-1 probes) with probability ≈0.6, vs ≈0.02 for
+    * one 16-bit table. Candidate volume stays a tiny corpus fraction
+    * (random pairs collide at ~L·(probes)/2^planes ≈ 1/7 per corpus
+    * row pair at 8 bits — filtered before ranking). */
+  private val KnnTables = 4
+  private val KnnPlanes = 8
+  private lazy val knnPlanes: Array[Array[Array[Double]]] = {
+    val rnd = new scala.util.Random(1337)
+    Array.fill(KnnTables, KnnPlanes, Dim)(rnd.nextGaussian())
+  }
+
+  /** kNN JOIN: top-k cosine neighbors for EVERY corpus vector (not a
+    * small query set) — the all-corpus companion to annLsh that
+    * embedding-level near-dup and cluster-balancing pipelines need, where
+    * broadcasting queries is impossible because the query set IS the
+    * corpus. Candidates are generated by multi-table multi-probe
+    * hyperplane bucketing: the corpus is indexed once per (table,
+    * bucket), each vector probes its own bucket plus the KnnPlanes
+    * Hamming-1 buckets in every table, and the self-join shuffles ONCE on
+    * the (table, bucket) key — never |corpus|² pairs. Duplicate candidate
+    * pairs collapse before ranking; ranking is a per-vector window top-k.
+    * Approximate — recall vs the brute-force ranking is pinned by spec. */
+  def knnJoin(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val base = corpus(spark, dir)
+    val tableBuckets = (0 until KnnTables).map { t =>
+      val bits = (0 until KnnPlanes).map { p =>
+        val plane = array(knnPlanes(t)(p).map(lit).toIndexedSeq: _*)
+        when(cosine_similarity(col("v"), plane) > 0, lit(1L << p)).otherwise(lit(0L))
+      }
+      struct(lit(t).as("tbl"), bits.reduce(_ bitwiseOR _).as("bkt"))
+    }
+    val indexed = base
+      .select(col("vec_id"), col("v"), explode(array(tableBuckets: _*)).as("tb"))
+      .select(col("vec_id"), col("v"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+    val probeMasks = array((lit(0L) +: (0 until KnnPlanes).map(p => lit(1L << p))).toIndexedSeq: _*)
+    val probes = indexed.select(col("vec_id").as("q_id"), col("v").as("qv"), col("tbl"),
+      explode(transform(probeMasks, m => col("bkt").bitwiseXOR(m))).as("bkt"))
+    val scored = indexed.join(probes, Seq("tbl", "bkt"))
+      .filter(col("q_id") =!= col("vec_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        cosine_similarity(col("qv"), col("v")).as("cos"))
+      .dropDuplicates("q_id", "neighbor_id")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast(IntegerType))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("neighbor_id"))
+      .orderBy("q_id", "rank")
+  }
+
   /** Multi-probe ANN: each query also probes the NumPlanes buckets at
     * Hamming distance 1 from its own (one flipped hyperplane sign) — the
     * standard recall knob: ×(1+NumPlanes) probe fan-out, far cheaper than

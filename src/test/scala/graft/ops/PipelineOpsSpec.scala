@@ -173,6 +173,76 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!q.getAs[Boolean]("is_short"))
   }
 
+  test("paragraph dedup: first occurrence survives, later copies drop, text reassembles") {
+    import spark.implicits._
+    val dir = tempDir("para_docs")
+    // 16-token blocks A/B/C; doc 0 = A+B, doc 1 = A+C (A dups), doc 2 = B (all dup)
+    def block(ch: String) = (1 to 16).map(i => s"$ch$i").mkString(" ")
+    val (a, b, c) = (block("a"), block("b"), block("c"))
+    Seq((0L, s"$a $b", "en", "s", 0L), (1L, s"$a $c", "en", "s", 0L), (2L, b, "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = PretrainOps.paragraphDedup(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("n_paras"), r.getAs[Int]("n_kept"),
+        r.getAs[String]("clean_text"))).toSeq
+    assert(got == Seq((0L, 2, 2, s"$a $b"), (1L, 2, 1, c), (2L, 1, 0, "")))
+  }
+
+  test("decontaminate: doc sharing an 8-gram with a benchmark doc is flagged") {
+    import spark.implicits._
+    val dir = tempDir("contam_docs")
+    val gram = (1 to 8).map(i => s"g$i").mkString(" ")
+    val clean = (1 to 10).map(i => s"c$i").mkString(" ")
+    // doc 0 (id % 97 == 0) is benchmark; doc 1 embeds its 8-gram; doc 2 clean
+    Seq((0L, s"$gram tail1 tail2", "en", "s", 0L),
+      (1L, s"lead1 lead2 $gram", "en", "s", 0L),
+      (2L, clean, "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = PretrainOps.decontaminate(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("n_shared"),
+        r.getAs[Boolean]("contaminated"))).toSeq
+    assert(got == Seq((1L, 1, true), (2L, 0, false)))
+  }
+
+  test("pack sequences: per-shard running offsets and straddling sequence ids") {
+    import spark.implicits._
+    val dir = tempDir("pack_docs")
+    def toks(n: Int, ch: String) = (1 to n).map(i => s"$ch$i").mkString(" ")
+    // shard s1: 2000 + 100 tokens (doc 1 straddles the 2048 boundary);
+    // shard s2 packs independently from offset 0
+    Seq((0L, toks(2000, "a"), "en", "s1", 0L), (1L, toks(100, "b"), "en", "s1", 0L),
+      (2L, toks(50, "c"), "en", "s2", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = PretrainOps.packSequences(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("tok_offset"),
+        r.getAs[Int]("seq_first"), r.getAs[Int]("seq_last"))).toSeq
+    assert(got == Seq((0L, 0L, 0, 0), (1L, 2000L, 0, 1), (2L, 0L, 0, 0)))
+  }
+
+  test("knn join: full top-k per vector, no self pairs, recall@5 >= 0.25 vs brute") {
+    import graft.functions.exprs._
+    val k = 5
+    val emb = Tables(spark, Sf0001, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(org.apache.spark.sql.types.DoubleType)).as("v"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    val truth = emb.as("a").join(emb.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+      .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("neighbor_id"),
+        cosine_similarity(col("a.v"), col("b.v")).as("cos"))
+      .withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val rows = SimilarityOps.knnJoin(spark, Sf0001, k).collect()
+    val got = rows.map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    assert(rows.forall(r => r.getAs[Long]("q_id") != r.getAs[Long]("neighbor_id")))
+    val perQ = rows.groupBy(_.getAs[Long]("q_id"))
+    assert(perQ.values.forall(rs => rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rs.length)))
+    val recall = got.intersect(truth).size.toDouble / truth.size
+    assert(recall >= 0.25, s"knn-join recall@5 too low: $recall") // measured ~0.40
+  }
+
   test("topk brute: rank 1 is self with cosine 1; ann lsh rank-1 recall is perfect") {
     val brute = SimilarityOps.topkBrute(spark, Sf0001).collect()
     val rank1 = brute.filter(_.getAs[Int]("rank") == 1)
