@@ -517,7 +517,8 @@ object Registry {
         |       neighbor_id
         |FROM s QUALIFY rank <= 10 ORDER BY q_id, rank""".stripMargin), headline = true),
     GraftQuery("x_sim_ann_lsh", SimilarityOps.annLsh, None),
-    GraftQuery("x_sim_knn_join", (s, d) => SimilarityOps.knnJoin(s, d), None),
+    GraftQuery("x_sim_knn_join", (s, d) => SimilarityOps.knnJoin(s, d), None,
+      headline = true),
     GraftQuery("x_dedup_paragraph", PretrainOps.paragraphDedup, Some(
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |paras AS (SELECT doc_id,
@@ -535,7 +536,7 @@ object Registry {
         |SELECT t.doc_id AS doc_id, t.n_paras AS n_paras,
         |       coalesce(a.n_kept, 0) AS n_kept, coalesce(a.clean_text, '') AS clean_text
         |FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
-        |ORDER BY doc_id""".stripMargin)),
+        |ORDER BY doc_id""".stripMargin), headline = true),
     GraftQuery("x_decontaminate", PretrainOps.decontaminate, Some(
       """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
         |              WHERE len(string_split(text, ' ')) >= 8),
@@ -548,7 +549,7 @@ object Registry {
         |       coalesce(h.n_shared, 0) > 0 AS contaminated
         |FROM toks t LEFT JOIN hits h ON t.doc_id = h.doc_id
         |WHERE t.doc_id % 97 <> 0
-        |ORDER BY doc_id""".stripMargin)),
+        |ORDER BY doc_id""".stripMargin), headline = true),
     GraftQuery("x_pack_sequences", PretrainOps.packSequences, Some(
       """WITH d AS (SELECT source, doc_id,
         |             CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens FROM documents),
@@ -571,6 +572,17 @@ object Registry {
         |            ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin)),
     GraftQuery("x_sample_stratified", (s, d) => SamplingOps.stratifiedSample(s, d), None),
+    GraftQuery("x_mix_sources", SamplingOps.mixSources, Some(
+      """WITH m AS (
+        |  SELECT doc_id, source,
+        |         CAST(('0x' || substr(md5(text), 1, 4)) AS INTEGER) % 1000 AS bucket,
+        |         CAST(CASE WHEN CAST(substr(source, 4) AS INTEGER) < 5 THEN 1.0
+        |                   WHEN CAST(substr(source, 4) AS INTEGER) < 10 THEN 0.5
+        |                   ELSE 0.2 END AS DOUBLE) AS weight
+        |  FROM documents)
+        |SELECT doc_id, source, bucket, weight FROM m
+        |WHERE bucket < weight * 1000.0
+        |ORDER BY doc_id""".stripMargin)),
     GraftQuery("x_mm_binary_meta", MultimodalOps.binaryMeta, Some(
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         |       CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'img' WHEN 1 THEN 'audio'

@@ -45,4 +45,24 @@ object SamplingOps {
       .stat.sampleBy("lang", LangFractions, seed)
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy("doc_id")
+
+  /** Deterministic source-mixture sampling — the data-mixing step that
+    * turns raw shard sizes into target mixture weights (downsample the
+    * glut, keep the scarce): each document is kept iff its CONTENT-hash
+    * bucket falls under its source's weight, so the sample is exactly
+    * reproducible, leakage-resistant (duplicate texts sample together),
+    * and requires no RNG state. Weights here derive from the source index
+    * (first 5 shards full, next 5 half, rest 20%) — the rule is a stand-in
+    * for a weights table and is SQL-expressible, so the operator is fully
+    * value-oracled (md5 is engine-identical). Narrow, no shuffle. */
+  def mixSources(spark: SparkSession, dir: String): DataFrame = {
+    val idx = substring(col("source"), 4, 10).cast(IntegerType)
+    val weight = when(idx < 5, 1.0).when(idx < 10, 0.5).otherwise(0.2)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        (conv(substring(md5(col("text")), 1, 4), 16, 10).cast(IntegerType) % 1000).as("bucket"),
+        weight.as("weight"))
+      .filter(col("bucket") < col("weight") * 1000.0)
+      .orderBy("doc_id")
+  }
 }
