@@ -7,18 +7,21 @@ import org.apache.spark.sql.functions._
   * runs to turn a raw document lake into a training corpus:
   *
   *   quality filter → exact dedup (survivors) → near-dup removal
-  *   (n-gram Jaccard canonical keep) → language id → content-hash split.
+  *   (n-gram Jaccard canonical keep) → benchmark decontamination →
+  *   language id → content-hash split → per-shard sequence packing.
   *
   * Every stage is one of the registered operators; the composition stays
   * ONE declarative plan, so Catalyst sees through all of it: the quality
-  * filter pushes to the scan, the two dedup group-bys are the only wide
-  * shuffles, and the language/split columns are narrow projections on the
-  * surviving rows. At 100 TB the stage order is the cost order — cheap
-  * row-local filters first shrink the corpus before the shuffling stages.
+  * filter pushes to the scan, the dedup group-bys and the final packing
+  * window are the wide stages, and the language/split columns are narrow
+  * projections on the surviving rows. At 100 TB the stage order is the
+  * cost order — cheap row-local filters first shrink the corpus before
+  * the shuffling stages, and decontamination runs after dedup so the
+  * benchmark-gram join sees the smallest possible corpus.
   *
   * Engine-internal heuristics (langid, near-dup hashes) → rows-only
   * driver check; the invariants (dedup, leakage-free split, filter
-  * soundness) are pinned by spec. */
+  * soundness, decontamination, packing continuity) are pinned by spec. */
 object CorpusPipeline {
 
   def assemble(spark: SparkSession, dir: String): DataFrame = {
@@ -39,14 +42,40 @@ object CorpusPipeline {
       .select(col("doc_b").as("doc_id")).distinct()
     val deduped = survivors.join(nearDupLosers, Seq("doc_id"), "left_anti")
 
-    // 4. narrow annotations on what remains: language id + split + stats
+    // 4. decontamination: the benchmark subset itself never trains, and
+    //    neither does anything sharing an n-gram with it
+    val contaminated = PretrainOps.decontaminate(spark, dir)
+      .filter(col("contaminated")).select(col("doc_id"))
+    val clean = deduped
+      .filter(col("doc_id") % 97 =!= 0)
+      .join(contaminated, Seq("doc_id"), "left_anti")
+
+    // 5. narrow annotations on what remains: language id + split + stats
     val langs = TextOps.langId(spark, dir).select(col("doc_id"), col("pred_lang"))
     val splits = SamplingOps.splitHash(spark, dir).select(col("doc_id"), col("split"))
-    deduped
+    val sources = docs.select(col("doc_id"), col("source"))
+    val annotated = clean
       .join(langs, Seq("doc_id"))
       .join(splits, Seq("doc_id"))
-      .select(col("doc_id"), col("pred_lang"), col("split"),
+      .join(sources, Seq("doc_id"))
+      .select(col("doc_id"), col("source"), col("pred_lang"), col("split"),
         size(split(col("text"), " ")).as("n_tokens"))
+
+    // 6. pack the SURVIVING train-split docs into fixed-length sequences
+    //    per source shard (eval splits are served unpacked → null seq)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("doc_id"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+        org.apache.spark.sql.expressions.Window.currentRow)
+    val trainTokens = when(col("split") === "train", col("n_tokens")).otherwise(0)
+    val cum = sum(trainTokens).over(w)
+    annotated
+      .withColumn("seq_first",
+        when(col("split") === "train",
+          ((cum - col("n_tokens")) / PretrainOps.SeqLen)
+            .cast(org.apache.spark.sql.types.IntegerType)))
+      .select(col("doc_id"), col("source"), col("pred_lang"), col("split"),
+        col("n_tokens"), col("seq_first"))
       .orderBy("doc_id")
   }
 }

@@ -73,23 +73,40 @@ object PretrainOps {
     * exploded corpus n-grams; ONE aggregation shuffle on doc_id. N-grams
     * flow as strings here to stay value-oracleable; the production swap
     * is a 64-bit n-gram hash (ShingleHashes), identical plan. */
-  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
-    val k = ContamGram
-    val toks = Tables(spark, dir, "documents")
-      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
-      .filter(size(col("t")) >= k)
-    def grams(df: DataFrame): DataFrame = df.select(col("doc_id"),
-      explode(array_distinct(transform(sequence(lit(0), size(col("t")) - k),
-        i => array_join(slice(col("t"), i + 1, lit(k)), " ")))).as("g"))
-    val bench = grams(toks.filter(col("doc_id") % 97 === 0)).select(col("g")).distinct()
-    val hits = grams(toks.filter(col("doc_id") % 97 =!= 0))
-      .join(broadcast(bench), Seq("g"))
+  /** (doc_id, tokens) → exploded distinct k-gram strings per doc. */
+  private def grams(df: DataFrame, k: Int): DataFrame = df.select(col("doc_id"),
+    explode(array_distinct(transform(sequence(lit(0), size(col("t")) - k),
+      i => array_join(slice(col("t"), i + 1, lit(k)), " ")))).as("g"))
+
+  private def tokenized(docs: DataFrame, k: Int): DataFrame = docs
+    .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+    .filter(size(col("t")) >= k)
+
+  /** The distinct benchmark n-gram set of a (doc_id, text) document set —
+    * the broadcastable contamination index. */
+  def benchmarkGrams(benchDocs: DataFrame, k: Int = ContamGram): DataFrame =
+    grams(tokenized(benchDocs, k), k).select(col("g")).distinct()
+
+  /** Check a (doc_id, text) document set against a benchmark gram set.
+    * Shared by the batch operator and the streaming twin
+    * (graft.streaming.StreamingDecontaminate) — identical semantics per
+    * micro-batch because the check is per-document (no cross-doc state). */
+  def checkAgainst(docs: DataFrame, benchGrams: DataFrame, k: Int = ContamGram): DataFrame = {
+    val toks = tokenized(docs, k)
+    val hits = grams(toks, k)
+      .join(broadcast(benchGrams), Seq("g"))
       .groupBy(col("doc_id")).agg(count(lit(1)).cast(IntegerType).as("n_shared"))
-    toks.filter(col("doc_id") % 97 =!= 0).select(col("doc_id"))
+    toks.select(col("doc_id"))
       .join(hits, Seq("doc_id"), "left")
       .select(col("doc_id"),
         coalesce(col("n_shared"), lit(0)).as("n_shared"),
         (coalesce(col("n_shared"), lit(0)) > 0).as("contaminated"))
+  }
+
+  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val bench = benchmarkGrams(docs.filter(col("doc_id") % 97 === 0))
+    checkAgainst(docs.filter(col("doc_id") % 97 =!= 0), bench)
       .orderBy("doc_id")
   }
 

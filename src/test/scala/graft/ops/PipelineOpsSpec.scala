@@ -482,6 +482,23 @@ class PipelineOpsSpec extends SparkSpec {
       assert(!(present.contains(p.getLong(0)) && present.contains(p.getLong(1))),
         s"near-dup pair ${p.getLong(0)},${p.getLong(1)} both retained")
     }
+    // decontamination: no benchmark doc and no contaminated doc trains
+    assert(ids.forall(_ % 97 != 0))
+    val contaminated = PretrainOps.decontaminate(spark, Sf0001)
+      .filter(org.apache.spark.sql.functions.col("contaminated"))
+      .collect().map(_.getLong(0)).toSet
+    assert(ids.forall(!contaminated.contains(_)))
+    // packing: train docs get contiguous-from-zero per-shard sequence ids,
+    // eval docs stay unpacked (null)
+    val bySource = out.filter(_.getAs[String]("split") == "train")
+      .groupBy(_.getAs[String]("source"))
+    bySource.foreach { case (src, rows) =>
+      val seqs = rows.map(_.getAs[Int]("seq_first"))
+      assert(seqs.min == 0, s"$src first sequence must be 0")
+      assert(seqs.toSet.max < rows.map(_.getAs[Int]("n_tokens")).sum / PretrainOps.SeqLen + 1)
+    }
+    assert(out.filter(_.getAs[String]("split") != "train")
+      .forall(_.isNullAt(out.head.fieldIndex("seq_first"))))
   }
 
   test("langid: trigram profiles pick the right language on clear inputs") {

@@ -1,0 +1,32 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.ops.{PretrainOps, Tables}
+import org.apache.spark.sql.functions._
+
+/** The streaming decontamination gate must agree with the batch operator
+  * document-for-document on the same corpus and benchmark set. */
+class StreamingDecontaminateSpec extends SparkSpec {
+
+  test("stream-static decontamination == batch decontaminate") {
+    val docs = Tables(spark, Sf0001, "documents")
+    val bench = PretrainOps.benchmarkGrams(docs.filter(col("doc_id") % 97 === 0))
+    val incoming = docs.filter(col("doc_id") % 97 =!= 0).select("doc_id", "text")
+
+    val srcDir = tempDir("decon_src") + "/docs"
+    incoming.write.parquet(srcDir)
+    val sinkDir = tempDir("decon_sink") + "/out"
+
+    val stream = spark.readStream.schema(incoming.schema).parquet(srcDir)
+    StreamingDecontaminate.serve(bench, stream, sinkDir).awaitTermination()
+
+    val got = spark.read.parquet(sinkDir).orderBy("doc_id").collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("n_shared"),
+        r.getAs[Boolean]("contaminated"))).toSeq
+    val want = PretrainOps.decontaminate(spark, Sf0001).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("n_shared"),
+        r.getAs[Boolean]("contaminated"))).toSeq
+    assert(got == want)
+    assert(got.nonEmpty)
+  }
+}
