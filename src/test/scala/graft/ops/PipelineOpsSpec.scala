@@ -141,6 +141,33 @@ class PipelineOpsSpec extends SparkSpec {
       .getAs[Long]("dropped_hot_buckets") == 0L)
   }
 
+  test("minhash lsh: pipeline pairs == brute-force banding ∩ jaccard≥0.5, exactly once") {
+    import graft.functions.exprs._
+    // ground truth: every doc pair that (a) shares at least one LSH band
+    // hash and (b) passes exact Jaccard ≥ 0.5 on the shingle-hash sets —
+    // computed by brute force from the same kernels the pipeline uses
+    val rows = Tables(spark, Sf0001, "documents")
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"),
+        shingle_hashes(split(lower(col("text")), " "), 3).as("hs"))
+      .select(col("doc_id"), col("hs"),
+        chunk_hashes(minhash_signature(col("hs"), 64), 4).as("bhs"))
+      .collect()
+      .map(r => (r.getLong(0), r.getSeq[Long](1), r.getSeq[Long](2)))
+    val want = (for {
+      (ia, ha, ba) <- rows; (ib, hb, bb) <- rows
+      if ia < ib && ba.zip(bb).exists { case (x, y) => x == y }
+      common = ha.toSet.intersect(hb.toSet).size
+      union = ha.toSet.union(hb.toSet).size
+      if union > 0 && 2 * common >= union
+    } yield (ia, ib)).toSet
+    val got = DedupOps.minhashLsh(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1)))
+    assert(got.length == got.toSet.size,
+      "first-agreeing-band ownership must make pairs globally unique")
+    assert(got.toSet == want, s"got ${got.length} want ${want.size}")
+  }
+
   test("simhash: pipeline pairs == brute-force hamming≤3 pairs, emitted exactly once") {
     import graft.functions.exprs._
     // ground truth by brute force over all signature pairs (corpus is tiny)
