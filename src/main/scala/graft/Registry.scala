@@ -519,6 +519,8 @@ object Registry {
     GraftQuery("x_sim_ann_lsh", SimilarityOps.annLsh, None),
     GraftQuery("x_sim_knn_join", (s, d) => SimilarityOps.knnJoin(s, d), None,
       headline = true),
+    GraftQuery("x_dedup_embed_clusters",
+      (s, d) => SimilarityOps.annEmbedClusters(s, d), None),
     GraftQuery("x_dedup_paragraph", PretrainOps.paragraphDedup, Some(
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |paras AS (SELECT doc_id,

@@ -160,7 +160,10 @@ object SimilarityOps {
     * the (table, bucket) key — never |corpus|² pairs. Duplicate candidate
     * pairs collapse before ranking; ranking is a per-vector window top-k.
     * Approximate — recall vs the brute-force ranking is pinned by spec. */
-  def knnJoin(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+  /** Scored candidate pairs of the kNN join (q_id, neighbor_id, cos),
+    * globally deduplicated — shared by the ranked top-k form below and
+    * the ANN near-dup clustering path. */
+  def knnCandidates(spark: SparkSession, dir: String): DataFrame = {
     val base = corpus(spark, dir)
     val tableBuckets = (0 until KnnTables).map { t =>
       val bits = (0 until KnnPlanes).map { p =>
@@ -175,17 +178,39 @@ object SimilarityOps {
     val probeMasks = array((lit(0L) +: (0 until KnnPlanes).map(p => lit(1L << p))).toIndexedSeq: _*)
     val probes = indexed.select(col("vec_id").as("q_id"), col("v").as("qv"), col("tbl"),
       explode(transform(probeMasks, m => col("bkt").bitwiseXOR(m))).as("bkt"))
-    val scored = indexed.join(probes, Seq("tbl", "bkt"))
+    indexed.join(probes, Seq("tbl", "bkt"))
       .filter(col("q_id") =!= col("vec_id"))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         cosine_similarity(col("qv"), col("v")).as("cos"))
       .dropDuplicates("q_id", "neighbor_id")
+  }
+
+  def knnJoin(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    scored
+    knnCandidates(spark, dir)
       .withColumn("rank", row_number().over(w).cast(IntegerType))
       .filter(col("rank") <= k)
       .select(col("q_id"), col("rank"), col("neighbor_id"))
       .orderBy("q_id", "rank")
+  }
+
+  /** ANN embedding near-dup CLUSTERS — the production-scale twin of the
+    * size-gated exact `DedupOps.embedCosine`: multi-table LSH candidates
+    * ≥ threshold become an edge list, connected components collapse
+    * transitive chains, one representative per cluster survives. Every
+    * stage is keyed (bucket join → threshold filter → min-label
+    * propagation); nothing is all-pairs at any corpus size. Rows-only
+    * (hyperplane buckets are engine-internal); clustering semantics are
+    * pinned by the ClusterOps planted-graph specs and the recall floor
+    * of the candidate generator. */
+  def annEmbedClusters(spark: SparkSession, dir: String, threshold: Double = 0.5): DataFrame = {
+    val edges = knnCandidates(spark, dir)
+      .filter(col("cos") >= threshold)
+      // candidates are directed (q -> neighbor); components symmetrize
+      .select(col("q_id"), col("neighbor_id"))
+    ClusterOps.connectedComponents(edges)
+      .select(col("component").as("cluster_id"), col("id").as("vec_id"))
+      .orderBy("cluster_id", "vec_id")
   }
 
   /** Multi-probe ANN: each query also probes the NumPlanes buckets at

@@ -270,6 +270,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(recall >= 0.25, s"knn-join recall@5 too low: $recall") // measured ~0.40
   }
 
+  test("ann embed clusters: components agree with the candidate edge graph") {
+    val edges = SimilarityOps.knnCandidates(spark, Sf0001)
+      .filter(col("cos") >= 0.5)
+      .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id")))
+    val clusters = SimilarityOps.annEmbedClusters(spark, Sf0001).collect()
+      .map(r => r.getAs[Long]("vec_id") -> r.getAs[Long]("cluster_id")).toMap
+    // every vector on an edge is labeled exactly once, both endpoints share
+    // a cluster, and the label is the component minimum
+    val nodes = edges.flatMap(e => Seq(e._1, e._2)).toSet
+    assert(clusters.keySet == nodes)
+    edges.foreach { case (a, b) =>
+      assert(clusters(a) == clusters(b), s"edge ($a,$b) split across clusters")
+    }
+    clusters.groupBy(_._2).foreach { case (label, members) =>
+      assert(label == members.keys.min, s"cluster $label is not its min member")
+    }
+  }
+
   test("topk brute: rank 1 is self with cosine 1; ann lsh rank-1 recall is perfect") {
     val brute = SimilarityOps.topkBrute(spark, Sf0001).collect()
     val rank1 = brute.filter(_.getAs[Int]("rank") == 1)
