@@ -540,17 +540,17 @@ object Registry {
         |FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
         |ORDER BY doc_id""".stripMargin), headline = true),
     GraftQuery("x_decontaminate", PretrainOps.decontaminate, Some(
-      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
-        |              WHERE len(string_split(text, ' ')) >= 8),
-        |grams AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t) - 7),
-        |            i -> array_to_string(list_slice(t, i, i + 7), ' ')))) AS g FROM toks),
-        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % 97 = 0),
+      s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        |              WHERE len(string_split(text, ' ')) >= ${PretrainOps.ContamGram}),
+        |grams AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t) - ${PretrainOps.ContamGram - 1}),
+        |            i -> array_to_string(list_slice(t, i, i + ${PretrainOps.ContamGram - 1}), ' ')))) AS g FROM toks),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % ${PretrainOps.BenchMod} = 0),
         |hits AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_shared
-        |         FROM grams JOIN bench USING (g) WHERE doc_id % 97 <> 0 GROUP BY doc_id)
+        |         FROM grams JOIN bench USING (g) WHERE doc_id % ${PretrainOps.BenchMod} <> 0 GROUP BY doc_id)
         |SELECT t.doc_id AS doc_id, coalesce(h.n_shared, 0) AS n_shared,
         |       coalesce(h.n_shared, 0) > 0 AS contaminated
         |FROM toks t LEFT JOIN hits h ON t.doc_id = h.doc_id
-        |WHERE t.doc_id % 97 <> 0
+        |WHERE t.doc_id % ${PretrainOps.BenchMod} <> 0
         |ORDER BY doc_id""".stripMargin), headline = true),
     GraftQuery("x_pack_sequences", PretrainOps.packSequences, Some(
       """WITH d AS (SELECT source, doc_id,

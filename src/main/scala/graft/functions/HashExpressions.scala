@@ -287,6 +287,13 @@ case class SimHashPairs(left: Expression, right: Expression, maxHamming: Int)
   // is bounded to 4 regardless.
   require(maxHamming >= 0 && maxHamming < 4,
     s"SimHashPairs: 4-chunk pigeonhole banding requires 0 <= maxHamming <= 3, got $maxHamming")
+  // the chunk id is read with asInstanceOf[Int] — reject a BIGINT (or
+  // anything else) at analysis time instead of a per-row ClassCastException
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (right.dataType == IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"simhash_pairs chunk id must be INT, got ${right.dataType.sql}")
   override def dataType: DataType = ArrayType(
     StructType(Seq(
       StructField("doc_a", LongType, nullable = false),
@@ -371,6 +378,13 @@ case class MinHashBucketPairs(left: Expression, right: Expression,
     thresholdNum: Int, thresholdDen: Int)
     extends BinaryExpression with CodegenFallback {
   require(thresholdNum >= 0 && thresholdDen >= 1)
+  // the band id is read with asInstanceOf[Int] — reject a BIGINT (or
+  // anything else) at analysis time instead of a per-row ClassCastException
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (right.dataType == IntegerType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"minhash_bucket_pairs band id must be INT, got ${right.dataType.sql}")
   override def dataType: DataType = ArrayType(
     StructType(Seq(
       StructField("doc_a", LongType, nullable = false),

@@ -420,22 +420,25 @@ object CoreOps {
         |FROM e CROSS JOIN q ORDER BY vec_id""".stripMargin)
   }
 
-  /** The full exact n-gram near-dup pipeline written as ONE SQL string —
-    * the query surface the reference's users live in — with
-    * `shingle_hashes` and `posting_list_pairs` resolving through
+  /** The exact n-gram near-dup pipeline written as ONE SQL string — the
+    * query surface the reference's users live in — with `shingle_hashes`
+    * and `posting_list_pairs` resolving through
     * GraftExtensions.injectFunction to the same Catalyst kernels the
-    * DataFrame twin (DedupOps.ngramJaccard) uses: same inverted-index
-    * plan (one shuffle, df-capped posting lists, kernel pair expansion),
-    * same rows, same DuckDB oracle. */
+    * DataFrame twin (DedupOps.ngramJaccard) uses. This twin deliberately
+    * keeps the FULL-index count-based formulation (the DataFrame twin is
+    * PPJoin-prefix-filtered), so their row-for-row equality — asserted by
+    * spec and by the shared oracle — cross-checks the prefix filter's
+    * exactness from an independent plan. The df-cap is interpolated from
+    * `DedupOps.MaxBucket` so the twins cannot drift apart. */
   def sqlKernelDedup(spark: SparkSession, dir: String): DataFrame = {
     Tables.parallel(spark, dir, "documents").createOrReplaceTempView("graft_documents")
     spark.sql(
-      """WITH docs AS (SELECT doc_id, shingle_hashes(split(lower(text), ' '), 3) AS shs
+      s"""WITH docs AS (SELECT doc_id, shingle_hashes(split(lower(text), ' '), 3) AS shs
         |              FROM graft_documents WHERE size(split(text, ' ')) >= 3),
         |     tri AS (SELECT doc_id, size(shs) AS n, explode(shs) AS sh FROM docs),
         |     posting AS (SELECT sh, collect_list(struct(doc_id, n)) AS ds
         |                 FROM tri GROUP BY sh
-        |                 HAVING size(ds) BETWEEN 2 AND 2048),
+        |                 HAVING size(ds) BETWEEN 2 AND ${graft.ops.DedupOps.MaxBucket}),
         |     pairs AS (SELECT explode(posting_list_pairs(ds)) AS p FROM posting),
         |     agg AS (SELECT p.doc_a AS doc_a, p.na AS na, p.doc_b AS doc_b, p.nb AS nb,
         |                    count(1) AS n_common

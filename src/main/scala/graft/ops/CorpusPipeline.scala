@@ -43,12 +43,16 @@ object CorpusPipeline {
     val deduped = survivors.join(nearDupLosers, Seq("doc_id"), "left_anti")
 
     // 4. decontamination: the benchmark subset itself never trains, and
-    //    neither does anything sharing an n-gram with it
-    val contaminated = PretrainOps.decontaminate(spark, dir)
+    //    neither does anything sharing an n-gram with it. The gram check
+    //    runs on the DEDUP SURVIVORS only (checkAgainst, not the
+    //    whole-corpus operator) — the expensive explode sees the smallest
+    //    possible corpus, which is the point of the stage order.
+    val trainCandidates = deduped.filter(col("doc_id") % PretrainOps.BenchMod =!= 0)
+    val bench = PretrainOps.benchmarkGrams(
+      docs.filter(col("doc_id") % PretrainOps.BenchMod === 0))
+    val contaminated = PretrainOps.checkAgainst(trainCandidates, bench)
       .filter(col("contaminated")).select(col("doc_id"))
-    val clean = deduped
-      .filter(col("doc_id") % 97 =!= 0)
-      .join(contaminated, Seq("doc_id"), "left_anti")
+    val clean = trainCandidates.join(contaminated, Seq("doc_id"), "left_anti")
 
     // 5. narrow annotations on what remains: language id + split + stats
     val langs = TextOps.langId(spark, dir).select(col("doc_id"), col("pred_lang"))

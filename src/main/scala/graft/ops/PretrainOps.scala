@@ -62,6 +62,12 @@ object PretrainOps {
     * scope without changing the plan shape. */
   val ContamGram = 8
 
+  /** Benchmark-membership rule for the synthetic corpus: doc_id ≡ 0
+    * (mod BenchMod) stands in for "row belongs to the eval suite". One
+    * constant shared by the batch operator, the assembly pipeline, and
+    * the oracle SQL (interpolated) so the rule cannot drift. */
+  val BenchMod = 97
+
   /** Benchmark decontamination: flag every corpus document sharing at
     * least one `ContamGram`-token n-gram with the held-out benchmark set
     * (here: doc_id ≡ 0 (mod 97) — the deterministic stand-in for an eval
@@ -105,8 +111,8 @@ object PretrainOps {
 
   def decontaminate(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    val bench = benchmarkGrams(docs.filter(col("doc_id") % 97 === 0))
-    checkAgainst(docs.filter(col("doc_id") % 97 =!= 0), bench)
+    val bench = benchmarkGrams(docs.filter(col("doc_id") % BenchMod === 0))
+    checkAgainst(docs.filter(col("doc_id") % BenchMod =!= 0), bench)
       .orderBy("doc_id")
   }
 

@@ -22,7 +22,10 @@ import org.apache.spark.sql.functions._
   *      set, a moved key's stale row is read and anti-joined away — no
   *      duplicate keys after the merge.
   *   3. dynamic partition overwrite rewrites exactly the touched
-  *      partitions.
+  *      partitions; a touched partition left with ZERO rows (its only
+  *      keys moved away) is absent from the output and explicitly
+  *      deleted afterwards — dynamic overwrite alone would leave the
+  *      stale directory in place.
   * The merged slice is localCheckpoint-ed before the overwrite because
   * the write targets the same directory being read (classic
   * read-overwrite hazard); a production deployment swaps this seam for a
@@ -48,9 +51,26 @@ object UpsertOps {
       .join(updKeys, Seq(key), "left_anti") // drop rows being replaced
     val merged = survivors.unionByName(updates.select(survivors.columns.map(col): _*))
       .localCheckpoint(true)
+    // a touched partition can DRAIN: a moved key's old partition may have
+    // zero rows in `merged`, and dynamic overwrite only rewrites
+    // partitions PRESENT in the output — the stale directory would
+    // survive. Both sides of the diff are bounded by |touched| (small by
+    // construction), so the set difference is a safe driver-side step.
+    val drained = touched.collect().map(_.get(0)).toSet --
+      merged.select(partCol).distinct().collect().map(_.get(0)).toSet
     val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
     try merged.write.partitionBy(partCol).mode("overwrite").parquet(targetDir)
     finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    if (drained.nonEmpty) {
+      val conf = spark.sparkContext.hadoopConfiguration
+      val fs = new org.apache.hadoop.fs.Path(targetDir).getFileSystem(conf)
+      drained.foreach { v =>
+        val dir = new org.apache.hadoop.fs.Path(targetDir,
+          s"$partCol=" + org.apache.spark.sql.catalyst.catalog.ExternalCatalogUtils
+            .escapePathName(String.valueOf(v)))
+        fs.delete(dir, true)
+      }
+    }
   }
 }

@@ -15,19 +15,32 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * set, aggregate per doc. Stream-vs-batch agreement is pinned by spec.
   * At scale the benchmark set is an eval suite — KBs to MBs — so the
   * broadcast is cheap and the stream side never shuffles wider than its
-  * own per-batch doc-id aggregation. */
+  * own per-batch doc-id aggregation.
+  *
+  * Sink discipline (same as ForeachBatchUpsert): each epoch lands in its
+  * own `batch_id=<epoch>` partition with overwrite semantics and the
+  * query checkpoints its progress, so a replayed batch REPLACES its own
+  * output instead of appending duplicates, and a restarted query resumes
+  * from the checkpoint instead of re-gating already-processed files. */
 object StreamingDecontaminate {
 
+  /** The per-batch gate — public so replay behavior is testable. */
+  def writeBatch(
+      benchGrams: DataFrame, batch: DataFrame, batchId: Long,
+      sinkDir: String, k: Int = PretrainOps.ContamGram): Unit =
+    PretrainOps.checkAgainst(batch, benchGrams, k)
+      .write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
+
   /** Gate a document stream ((doc_id, text) schema) against a benchmark
-    * gram set into an append parquet sink. */
+    * gram set into an idempotent partitioned parquet sink. */
   def serve(
       benchGrams: DataFrame, docStream: DataFrame,
       sinkDir: String, k: Int = PretrainOps.ContamGram): StreamingQuery =
     docStream.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        PretrainOps.checkAgainst(batch, benchGrams, k)
-          .write.mode("append").parquet(sinkDir)
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        writeBatch(benchGrams, batch, id, sinkDir, k)
       }
       .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$sinkDir/_checkpoint")
       .start()
 }

@@ -111,6 +111,14 @@ class SourcesSpec extends SparkSpec {
       "id", "month", keysArePartitionStable = true)
     val r3 = spark.read.parquet(dir).filter($"id" === 3L).collect()(0)
     assert(r3.getDouble(r3.fieldIndex("v")) == 31.0)
+    // DRAINED partition: key 1 is jan's last row; moving it must delete
+    // the jan directory (dynamic overwrite alone would leave it stale)
+    UpsertOps.upsertByKey(spark, dir, Seq((1L, "mar", 11.0)).toDF("id", "month", "v"),
+      "id", "month")
+    val after = spark.read.parquet(dir).orderBy("id").collect()
+      .map(r => (r.getLong(0), r.getString(r.fieldIndex("month")), r.getDouble(r.fieldIndex("v"))))
+    assert(after.toSeq == Seq((1L, "mar", 11.0), (2L, "mar", 99.0), (3L, "feb", 31.0)))
+    assert(!new java.io.File(s"$dir/month=jan").exists(), "drained partition dir must be deleted")
   }
 
   test("approx_count_distinct within 5% of exact at rsd 1%") {

@@ -20,13 +20,17 @@ class StreamingDecontaminateSpec extends SparkSpec {
     val stream = spark.readStream.schema(incoming.schema).parquet(srcDir)
     StreamingDecontaminate.serve(bench, stream, sinkDir).awaitTermination()
 
-    val got = spark.read.parquet(sinkDir).orderBy("doc_id").collect()
+    def readSink() = spark.read.parquet(sinkDir).orderBy("doc_id").collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("n_shared"),
         r.getAs[Boolean]("contaminated"))).toSeq
+    val got = readSink()
     val want = PretrainOps.decontaminate(spark, Sf0001).collect()
       .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("n_shared"),
         r.getAs[Boolean]("contaminated"))).toSeq
     assert(got == want)
     assert(got.nonEmpty)
+    // at-least-once replay of an epoch must REPLACE its output, not append
+    StreamingDecontaminate.writeBatch(bench, incoming, 0L, sinkDir)
+    assert(readSink() == want, "replayed batch must not duplicate the sink")
   }
 }
