@@ -59,9 +59,36 @@ private[functions] trait LongArrayResult { self: Expression =>
   final val resultType: DataType = ArrayType(LongType, containsNull = false)
 }
 
+/** Analysis-time input typing: every eval path below reads its inputs
+  * with `asInstanceOf` (ArrayData element accessors, primitive casts), so
+  * a wrong argument type arriving from the SQL-string surface must be
+  * rejected at analysis with a readable message — not explode with a
+  * per-row ClassCastException mid-query. Struct-array inputs (posting
+  * lists, buckets) are excluded: their field NAMES vary by construction
+  * site, so they stay structurally checked by eval. */
+private[functions] trait StrictInputs { self: Expression =>
+  /** (argument description, expected type) per child, in child order. */
+  protected def expectedInputs: Seq[(String, DataType)]
+  private def matches(actual: DataType, expected: DataType): Boolean =
+    (actual, expected) match {
+      case (ArrayType(a, _), ArrayType(b, _)) => matches(a, b)
+      case (a, b) => a == b // nullability-insensitive for the array case above
+    }
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    children.zip(expectedInputs).find { case (c, (_, t)) => !matches(c.dataType, t) } match {
+      case Some((c, (what, t))) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"$what must be ${t.sql}, got ${c.dataType.sql}")
+      case None =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    }
+}
+
 /** array<string> tokens → sorted-distinct array<long> of token hashes. */
 case class TokenHashes(child: Expression)
-    extends UnaryExpression with CodegenFallback with LongArrayResult {
+    extends UnaryExpression with CodegenFallback with LongArrayResult with StrictInputs {
+  override protected def expectedInputs: Seq[(String, DataType)] =
+    Seq(("token_hashes tokens", ArrayType(StringType)))
   override def dataType: DataType = resultType
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(input: Any): Any = {
@@ -85,7 +112,9 @@ case class TokenHashes(child: Expression)
   * hashes (combined from per-token hashes — shingle strings are never
   * materialized). Documents shorter than k hash their full token list. */
 case class ShingleHashes(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback with LongArrayResult {
+    extends UnaryExpression with CodegenFallback with LongArrayResult with StrictInputs {
+  override protected def expectedInputs: Seq[(String, DataType)] =
+    Seq(("shingle_hashes tokens", ArrayType(StringType)))
   require(k >= 1)
   override def dataType: DataType = resultType
   override def nullIntolerant: Boolean = true
@@ -117,7 +146,9 @@ case class ShingleHashes(child: Expression, k: Int)
 /** array<long> element hashes → array<long> MinHash signature of length k:
   * sig[i] = min over h of mix64(h ^ seed_i). One pass, k×n integer mixes. */
 case class MinHashSignature(child: Expression, k: Int)
-    extends UnaryExpression with CodegenFallback with LongArrayResult {
+    extends UnaryExpression with CodegenFallback with LongArrayResult with StrictInputs {
+  override protected def expectedInputs: Seq[(String, DataType)] =
+    Seq(("minhash_signature hashes", ArrayType(LongType)))
   require(k >= 1)
   private lazy val seeds: Array[Long] = Array.tabulate(k)(i => Mix.mix64(0x5EED0000L + i))
   override def dataType: DataType = resultType
@@ -145,7 +176,9 @@ case class MinHashSignature(child: Expression, k: Int)
 /** array<long> signature → array<long> of per-chunk hashes (LSH bands):
   * band b = mix-combine of elements [b*chunk, (b+1)*chunk). */
 case class ChunkHashes(child: Expression, chunk: Int)
-    extends UnaryExpression with CodegenFallback with LongArrayResult {
+    extends UnaryExpression with CodegenFallback with LongArrayResult with StrictInputs {
+  override protected def expectedInputs: Seq[(String, DataType)] =
+    Seq(("chunk_hashes signature", ArrayType(LongType)))
   require(chunk >= 1)
   override def dataType: DataType = resultType
   override def nullIntolerant: Boolean = true
@@ -171,7 +204,9 @@ case class ChunkHashes(child: Expression, chunk: Int)
 /** array<long> element hashes → 64-bit SimHash: bit b set iff more
   * elements have bit b set than clear. One pass, n×64 adds. */
 case class SimHash64(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with CodegenFallback with StrictInputs {
+  override protected def expectedInputs: Seq[(String, DataType)] =
+    Seq(("simhash64 hashes", ArrayType(LongType)))
   override def dataType: DataType = LongType
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(input: Any): Any = {
@@ -246,7 +281,10 @@ case class PostingListPairs(child: Expression)
   * ShingleHashes) via linear merge — one pass, no hashing, no boxing.
   * Returns struct(n_common, n_union). */
 case class SortedJaccard(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with CodegenFallback with StrictInputs {
+  override protected def expectedInputs: Seq[(String, DataType)] =
+    Seq(("sorted_jaccard left", ArrayType(LongType)),
+      ("sorted_jaccard right", ArrayType(LongType)))
   override def dataType: DataType = StructType(Seq(
     StructField("n_common", IntegerType, nullable = false),
     StructField("n_union", IntegerType, nullable = false)))
@@ -478,7 +516,10 @@ object CosineSimilarity {
 }
 
 case class CosineSimilarity(left: Expression, right: Expression)
-    extends BinaryExpression {
+    extends BinaryExpression with StrictInputs {
+  override protected def expectedInputs: Seq[(String, DataType)] =
+    Seq(("cosine_similarity left", ArrayType(DoubleType)),
+      ("cosine_similarity right", ArrayType(DoubleType)))
   override def dataType: DataType = DoubleType
   override def nullIntolerant: Boolean = true
   override protected def nullSafeEval(l: Any, r: Any): Any =

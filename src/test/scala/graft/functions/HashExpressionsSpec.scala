@@ -150,6 +150,24 @@ class HashExpressionsSpec extends SparkSpec {
     assert(viaSql == viaDf)
   }
 
+  test("wrong input types fail at ANALYSIS with a readable message, not per-row CCE") {
+    // SQL-surface misuse: ints where the kernel reads longs / strings
+    val e1 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT simhash64(array(1, 2, 3))").collect()
+    }
+    assert(e1.getMessage.contains("simhash64"))
+    val e2 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("SELECT cosine_similarity(array(1.0, 2.0), array('a', 'b'))").collect()
+    }
+    assert(e2.getMessage.contains("cosine_similarity"))
+    val e3 = intercept[org.apache.spark.sql.AnalysisException] {
+      spark.sql("""SELECT minhash_bucket_pairs(array(named_struct(
+        |'doc_id', 1L, 'hs', array(1L), 'bhs', array(1L))), CAST(0 AS BIGINT), 1, 2)""".stripMargin)
+        .collect()
+    }
+    assert(e3.getMessage.contains("band id must be INT"))
+  }
+
   test("MinHashBucketPairs: first-agreeing-band ownership — exactly one band emits each pair") {
     import spark.implicits._
     // two docs agreeing on bands 1 and 3 (0-indexed band-hash vectors):
