@@ -458,6 +458,16 @@ object Registry {
         |       CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3) AS dup_3gram_frac
         |FROM g ORDER BY doc_id""".stripMargin)),
     GraftQuery("x_text_langid", TextOps.langId, None),
+    GraftQuery("x_text_pii_scrub", TextOps.scrubPii, Some(
+      """SELECT doc_id,
+        |       regexp_replace(regexp_replace(regexp_replace(text,
+        |         '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+', '<EMAIL>', 'g'),
+        |         '[0-9][0-9][0-9][- .][0-9][0-9][0-9][- .][0-9][0-9][0-9][0-9]', '<PHONE>', 'g'),
+        |         '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+', '<IPV4>', 'g') AS clean_text,
+        |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z][A-Za-z]+')) AS INTEGER) AS n_email,
+        |       CAST(len(regexp_extract_all(text, '[0-9][0-9][0-9][- .][0-9][0-9][0-9][- .][0-9][0-9][0-9][0-9]')) AS INTEGER) AS n_phone,
+        |       CAST(len(regexp_extract_all(text, '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+')) AS INTEGER) AS n_ipv4
+        |FROM documents ORDER BY doc_id""".stripMargin)),
     GraftQuery("x_text_fingerprint", TextOps.fingerprint, None),
     GraftQuery("x_dedup_exact", DedupOps.exact, Some(
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies

@@ -116,4 +116,36 @@ object TextOps {
                 (h, t) -> pmod(h * 31 + pmod(xxhash64(t), 2147483647), 2147483647))""")
           .as("fingerprint"))
       .orderBy("doc_id")
+
+  /** PII patterns for training-corpus redaction — emails, North-American
+    * phone shapes, IPv4 addresses. Written ONLY with explicit character
+    * classes and bounded repetition, the regex subset on which Java's
+    * engine (Spark) and RE2 (DuckDB) agree exactly, so the operator stays
+    * fully value-oracled; no \\w/\\b/lookaround. */
+  val PiiPatterns: Seq[(String, String)] = Seq(
+    ("email", "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z][A-Za-z]+"),
+    ("phone", "[0-9][0-9][0-9][- .][0-9][0-9][0-9][- .][0-9][0-9][0-9][0-9]"),
+    ("ipv4", "[0-9]+\\.[0-9]+\\.[0-9]+\\.[0-9]+"))
+
+  /** PII scrub: replace every match of each pattern with its `<TYPE>`
+    * sentinel and report per-type match counts — the redaction step a
+    * corpus runs before anything ships to a trainer. Pure per-row
+    * regex_replace/size(regexp_extract_all) projections: narrow,
+    * codegen'd, no shuffle, embarrassingly parallel at any corpus size.
+    * The synthetic corpus is clean (counts 0, text unchanged) — planted
+    * fixtures pin the redaction semantics in the spec; the oracle pins
+    * engine-equality of the regex subset on every row. */
+  def scrubPii(spark: SparkSession, dir: String): DataFrame = {
+    val scrubbed = PiiPatterns.foldLeft(col("text")) { case (c, (name, re)) =>
+      regexp_replace(c, re, s"<${name.toUpperCase}>")
+    }
+    val counts = PiiPatterns.map { case (name, re) =>
+      // Column-form regexp_extract_all: the pattern must NOT round-trip
+      // through SQL-string parsing, which would strip the \. escapes
+      size(regexp_extract_all(col("text"), lit(re), lit(0))).as(s"n_$name")
+    }
+    Tables(spark, dir, "documents")
+      .select(col("doc_id") +: scrubbed.as("clean_text") +: counts: _*)
+      .orderBy("doc_id")
+  }
 }

@@ -546,6 +546,23 @@ class PipelineOpsSpec extends SparkSpec {
       .forall(_.isNullAt(out.head.fieldIndex("seq_first"))))
   }
 
+  test("pii scrub: emails, phones, ipv4 redacted with sentinels and counted") {
+    import spark.implicits._
+    val dir = tempDir("pii_docs")
+    Seq(
+      (0L, "contact bob.smith+x@example.org or 555-867-5309 at 10.0.0.1 now", "en", "s", 1L),
+      (1L, "no pii here just words", "en", "s", 1L),
+      (2L, "two mails a@b.io c@d.net one ip 192.168.1.254", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextOps.scrubPii(spark, dir).collect()
+      .map(x => x.getLong(0) -> (x.getString(1), x.getAs[Int]("n_email"),
+        x.getAs[Int]("n_phone"), x.getAs[Int]("n_ipv4"))).toMap
+    assert(r(0L) == (("contact <EMAIL> or <PHONE> at <IPV4> now", 1, 1, 1)))
+    assert(r(1L) == (("no pii here just words", 0, 0, 0)))
+    assert(r(2L) == (("two mails <EMAIL> <EMAIL> one ip <IPV4>", 2, 0, 1)))
+  }
+
   test("langid: trigram profiles pick the right language on clear inputs") {
     import spark.implicits._
     val dir = tempDir("langid_docs")
