@@ -562,6 +562,18 @@ object Registry {
         |FROM toks t LEFT JOIN hits h ON t.doc_id = h.doc_id
         |WHERE t.doc_id % ${PretrainOps.BenchMod} <> 0
         |ORDER BY doc_id""".stripMargin), headline = true),
+    GraftQuery("x_text_chunk", PretrainOps.chunkWindows, Some(
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |c AS (SELECT doc_id, t,
+        |        1 + CAST(ceil(greatest(len(t) - 32, 0) / 24.0) AS INTEGER) AS nc
+        |      FROM toks),
+        |e AS (SELECT doc_id,
+        |        unnest(list_transform(generate_series(0, nc - 1),
+        |          i -> {'chunk_idx': i, 'chunk': array_to_string(list_slice(t, i*24 + 1, i*24 + 32), ' ')})) AS p
+        |      FROM c)
+        |SELECT doc_id, CAST(p.chunk_idx AS INTEGER) AS chunk_idx, p.chunk AS chunk,
+        |       CAST(len(string_split(p.chunk, ' ')) AS INTEGER) AS n_chunk_tokens
+        |FROM e ORDER BY doc_id, chunk_idx""".stripMargin)),
     GraftQuery("x_pack_sequences", PretrainOps.packSequences, Some(
       """WITH d AS (SELECT source, doc_id,
         |             CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens FROM documents),

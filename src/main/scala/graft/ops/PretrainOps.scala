@@ -116,6 +116,35 @@ object PretrainOps {
       .orderBy("doc_id")
   }
 
+  /** Chunking geometry: window of `ChunkTokens` tokens advancing by
+    * `ChunkStride` (25% overlap) — the retrieval/embedding-prep shape. */
+  val ChunkTokens = 32
+  val ChunkStride = 24
+
+  /** Overlapping-window chunking: each document fans out into token
+    * windows of `ChunkTokens` advancing by `ChunkStride` — how a corpus
+    * is prepared for embedding models and retrieval indexes (overlap
+    * preserves context across cuts). The last window starts at the final
+    * stride position that still adds new tokens, so every token lands in
+    * ≥1 chunk and no empty windows are emitted. Narrow per-row explode —
+    * no shuffle beyond the output sort; fully value-oracled. */
+  def chunkWindows(spark: SparkSession, dir: String): DataFrame = {
+    val (w, s) = (ChunkTokens, ChunkStride)
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    // number of windows = 1 + ceil(max(0, n - w) / s)
+    val n = size(col("t"))
+    val nChunks = (lit(1) +
+      ceil(greatest(n - w, lit(0)).cast(DoubleType) / s).cast(IntegerType)).as("nc")
+    toks.select(col("doc_id"), col("t"), nChunks)
+      .select(col("doc_id"),
+        posexplode(transform(sequence(lit(0), col("nc") - 1),
+          i => array_join(slice(col("t"), i * s + 1, lit(w)), " "))).as(Seq("chunk_idx", "chunk")))
+      .select(col("doc_id"), col("chunk_idx"), col("chunk"),
+        size(split(col("chunk"), " ")).as("n_chunk_tokens"))
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   /** Training-sequence length (tokens) for packing. */
   val SeqLen = 2048
 

@@ -248,6 +248,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == Seq((0L, 0L, 0, 0), (1L, 2000L, 0, 1), (2L, 0L, 0, 0)))
   }
 
+  test("chunk windows: every token covered, 25% overlap, short docs = one chunk") {
+    import spark.implicits._
+    val dir = tempDir("chunk_docs")
+    def toksOf(n: Int) = (1 to n).map(i => s"w$i").mkString(" ")
+    // 80 tokens → starts 0/24/48 (3 chunks); 10 tokens → 1 chunk; 33 → 2
+    Seq((0L, toksOf(80), "en", "s", 1L), (1L, toksOf(10), "en", "s", 1L),
+      (2L, toksOf(33), "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = PretrainOps.chunkWindows(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getString(2)))
+    val byDoc = rows.groupBy(_._1).view.mapValues(_.sortBy(_._2)).toMap
+    assert(byDoc(0L).length == 3 && byDoc(1L).length == 1 && byDoc(2L).length == 2)
+    // coverage: union of chunk tokens == document tokens, in order
+    assert(byDoc(1L).head._3 == toksOf(10))
+    val last80 = byDoc(0L).last._3.split(" ")
+    assert(last80.head == "w49" && last80.last == "w80")
+    // overlap: chunk i+1 repeats the final w-s=8 tokens of chunk i
+    val (c0, c1) = (byDoc(0L)(0)._3.split(" "), byDoc(0L)(1)._3.split(" "))
+    assert(c0.takeRight(8).toSeq == c1.take(8).toSeq)
+  }
+
   test("knn join: full top-k per vector, no self pairs, recall@5 >= 0.25 vs brute") {
     import graft.functions.exprs._
     val k = 5
