@@ -160,11 +160,9 @@ object SimilarityOps {
     * the (table, bucket) key — never |corpus|² pairs. Duplicate candidate
     * pairs collapse before ranking; ranking is a per-vector window top-k.
     * Approximate — recall vs the brute-force ranking is pinned by spec. */
-  /** Scored candidate pairs of the kNN join (q_id, neighbor_id, cos),
-    * globally deduplicated — shared by the ranked top-k form below and
-    * the ANN near-dup clustering path. */
-  def knnCandidates(spark: SparkSession, dir: String): DataFrame = {
-    val base = corpus(spark, dir)
+  /** The multi-table LSH index rows (vec_id, v, tbl, bkt) — one corpus
+    * pass, KnnTables rows per vector. */
+  private def knnIndexPlan(spark: SparkSession, dir: String): DataFrame = {
     val tableBuckets = (0 until KnnTables).map { t =>
       val bits = (0 until KnnPlanes).map { p =>
         val plane = array(knnPlanes(t)(p).map(lit).toIndexedSeq: _*)
@@ -172,9 +170,23 @@ object SimilarityOps {
       }
       struct(lit(t).as("tbl"), bits.reduce(_ bitwiseOR _).as("bkt"))
     }
-    val indexed = base
+    corpus(spark, dir)
       .select(col("vec_id"), col("v"), explode(array(tableBuckets: _*)).as("tb"))
       .select(col("vec_id"), col("v"), col("tb.tbl").as("tbl"), col("tb.bkt").as("bkt"))
+  }
+
+  /** Materialize the kNN index — the write-once / probe-many form: the
+    * hyperplane signatures are computed in ONE corpus pass and persisted
+    * bucket-partitioned, so every subsequent kNN join (or external query
+    * batch) reads parquet instead of recomputing 32 dot products per
+    * vector per side. This is the shape the PLANS.md audit calls for at
+    * 100 TB. */
+  def buildKnnIndex(spark: SparkSession, dir: String, indexDir: String): Unit =
+    knnIndexPlan(spark, dir).write.mode("overwrite").parquet(indexDir)
+
+  /** Candidate generation over any index DataFrame (from `knnIndexPlan`
+    * inline or `spark.read.parquet` of a built index). */
+  private def candidatesOf(indexed: DataFrame): DataFrame = {
     val probeMasks = array((lit(0L) +: (0 until KnnPlanes).map(p => lit(1L << p))).toIndexedSeq: _*)
     val probes = indexed.select(col("vec_id").as("q_id"), col("v").as("qv"), col("tbl"),
       explode(transform(probeMasks, m => col("bkt").bitwiseXOR(m))).as("bkt"))
@@ -183,6 +195,23 @@ object SimilarityOps {
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         cosine_similarity(col("qv"), col("v")).as("cos"))
       .dropDuplicates("q_id", "neighbor_id")
+  }
+
+  /** Scored candidate pairs of the kNN join (q_id, neighbor_id, cos),
+    * globally deduplicated — shared by the ranked top-k form below and
+    * the ANN near-dup clustering path. */
+  def knnCandidates(spark: SparkSession, dir: String): DataFrame =
+    candidatesOf(knnIndexPlan(spark, dir))
+
+  /** kNN join against a MATERIALIZED index (see `buildKnnIndex`): same
+    * rows as `knnJoin`, zero signature recomputation. */
+  def knnJoinFromIndex(spark: SparkSession, indexDir: String, k: Int = 5): DataFrame = {
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    candidatesOf(spark.read.parquet(indexDir))
+      .withColumn("rank", row_number().over(w).cast(IntegerType))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("neighbor_id"))
+      .orderBy("q_id", "rank")
   }
 
   def knnJoin(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {

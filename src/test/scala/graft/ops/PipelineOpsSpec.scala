@@ -310,6 +310,17 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("knn join from a materialized index == inline knn join") {
+    val idxDir = tempDir("knn_index") + "/idx"
+    SimilarityOps.buildKnnIndex(spark, Sf0001, idxDir)
+    val fromIndex = SimilarityOps.knnJoinFromIndex(spark, idxDir).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    val inline = SimilarityOps.knnJoin(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2))).toSeq
+    assert(fromIndex == inline)
+    assert(fromIndex.nonEmpty)
+  }
+
   test("topk brute: rank 1 is self with cosine 1; ann lsh rank-1 recall is perfect") {
     val brute = SimilarityOps.topkBrute(spark, Sf0001).collect()
     val rank1 = brute.filter(_.getAs[Int]("rank") == 1)
