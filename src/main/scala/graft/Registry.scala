@@ -529,8 +529,46 @@ object Registry {
     GraftQuery("x_sim_ann_lsh", SimilarityOps.annLsh, None),
     GraftQuery("x_sim_knn_join", (s, d) => SimilarityOps.knnJoin(s, d), None,
       headline = true),
+    // the write-once / probe-many form: signatures read from the
+    // materialized parquet index (built untimed in Bench setup) instead of
+    // being recomputed per run — same rows as x_sim_knn_join (spec-pinned)
+    GraftQuery("x_sim_knn_indexed", (s, d) => SimilarityOps.knnJoinIndexed(s, d), None,
+      headline = true),
+    // EXACT all-corpus kNN — the value-checked accuracy anchor for the ANN
+    // family (size-gated all-pairs; ranks only, so the oracle's
+    // list_cosine_similarity 1-ulp formula difference vs the kernel cannot
+    // flip a hash: neighbor cosines are many ulps apart in random data and
+    // exact ties break on neighbor_id in both engines)
+    GraftQuery("x_sim_knn_exact", (s, d) => SimilarityOps.knnExact(s, d), Some(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+        |         list_cosine_similarity(a.v, b.v) AS cos
+        |      FROM e a JOIN e b ON a.vec_id <> b.vec_id)
+        |SELECT q_id,
+        |       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
+        |       neighbor_id
+        |FROM s QUALIFY rank <= 5 ORDER BY q_id, rank""".stripMargin)),
     GraftQuery("x_dedup_embed_clusters",
       (s, d) => SimilarityOps.annEmbedClusters(s, d), None),
+    // hash-green anchor for the clustering path: components over the exact
+    // (gated) all-pairs cosine edge set, recursive-CTE transitive closure
+    // as the oracle — same pattern as x_dedup_clusters
+    GraftQuery("x_dedup_embed_clusters_exact",
+      (s, d) => SimilarityOps.embedClustersExact(s, d), Some(
+      """WITH RECURSIVE
+        | e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        | good AS (SELECT a.vec_id AS va, b.vec_id AS vb
+        |          FROM e a JOIN e b ON a.vec_id < b.vec_id
+        |          WHERE list_cosine_similarity(a.v, b.v) >= 0.5),
+        | edges AS (SELECT va AS src, vb AS dst FROM good
+        |           UNION SELECT vb, va FROM good),
+        | walk AS (
+        |   SELECT src AS id, src AS reach FROM edges
+        |   UNION
+        |   SELECT w.id, g.dst FROM walk w JOIN edges g ON w.reach = g.src
+        | )
+        |SELECT min(reach) AS cluster_id, id AS vec_id FROM walk GROUP BY id
+        |ORDER BY cluster_id, vec_id""".stripMargin)),
     GraftQuery("x_dedup_paragraph", PretrainOps.paragraphDedup, Some(
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |paras AS (SELECT doc_id,
