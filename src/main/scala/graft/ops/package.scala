@@ -49,7 +49,24 @@ package ops {
       "region", "nation", "customer", "supplier", "part",
       "orders", "lineitem", "events", "documents", "embeddings")
 
-    def apply(spark: SparkSession, dir: String, name: String): DataFrame = {
+    /** Opt-in cross-query input cache. Verify evaluates 100+ registry
+      * entries against the same ten tables in one session — persisting
+      * each table on first touch turns per-entry file scans into
+      * in-memory columnar reads. Off by default (specs assert on
+      * FileScan plan shapes; Bench times the real scan path). */
+    @volatile private var cacheInputs = false
+    private val cached =
+      scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
+    def enableInputCache(): Unit = { cacheInputs = true }
+
+    def apply(spark: SparkSession, dir: String, name: String): DataFrame =
+      if (cacheInputs)
+        cached.getOrElseUpdate((dir, name),
+          load(spark, dir, name)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      else load(spark, dir, name)
+
+    private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
       val df = spark.read.parquet(s"$dir/$name.parquet")
       // events.ts is parquet TIMESTAMP(NANOS); with
       // spark.sql.legacy.parquet.nanosAsLong it arrives as nanos-since-epoch

@@ -21,18 +21,29 @@ object ProfileQuery {
     // warmup: absorb codegen/classloading before measuring
     Tables(spark, dir, "documents").queryExecution.toRdd.count()
 
-    val docs = Tables(spark, dir, "documents")
+    import org.apache.spark.sql.types.IntegerType
+    val docs = Tables.parallel(spark, dir, "documents")
       .filter(size(split(col("text"), " ")) >= 3)
       .select(col("doc_id"), shingle_hashes(split(lower(col("text")), " "), 3).as("shs"))
+      .repartition(spark.sparkContext.defaultParallelism)
+      .withColumn("n", size(col("shs")))
     time("shingle-hash-arrays") { docs.queryExecution.toRdd.count() }
-    val tri = docs.select(col("doc_id"), size(col("shs")).as("n"), explode(col("shs")).as("sh"))
-    time("explode") { tri.queryExecution.toRdd.count() }
-    val posting = tri.groupBy(col("sh"))
-      .agg(collect_list(struct(col("doc_id"), col("n"))).as("ds"))
+    // the REAL prefix pipeline stages (mirrors DedupOps.ngramJaccard)
+    val pre = docs.select(col("doc_id"), col("n"),
+      posexplode(slice(col("shs"), lit(1), (col("n") / lit(2)).cast(IntegerType) + lit(1))).as(Seq("p0", "sh")))
+    time("prefix-explode") { pre.queryExecution.toRdd.count() }
+    val posting = pre.groupBy(col("sh"))
+      .agg(collect_list(struct(col("doc_id"), col("n"),
+        (col("p0") + lit(1)).cast(IntegerType).as("pos"))).as("ds"))
       .filter(size(col("ds")) > 1)
-    time("posting-lists") { posting.queryExecution.toRdd.count() }
-    time("pair-expansion") {
-      posting.select(explode(posting_list_pairs(col("ds"))).as("p"))
+    time("prefix-posting") { posting.queryExecution.toRdd.count() }
+    time("ppjoin-cands") {
+      posting.select(explode(prefix_candidate_pairs(col("ds"), 1, 2)).as("p"))
+        .queryExecution.toRdd.count()
+    }
+    time("ppjoin-cands-distinct") {
+      posting.select(explode(prefix_candidate_pairs(col("ds"), 1, 2)).as("p"))
+        .select(col("p.doc_a"), col("p.doc_b")).distinct()
         .queryExecution.toRdd.count()
     }
     time("full-ngram-jaccard") { DedupOps.ngramJaccard(spark, dir).queryExecution.toRdd.count() }

@@ -74,6 +74,67 @@ class HashExpressionsSpec extends SparkSpec {
     assert(r.contains((1L, 10, 3L, 30)))
   }
 
+  test("PrefixCandidatePairs: length + positional bounds prune in-loop, recall stays exact") {
+    import spark.implicits._
+    // entries: (doc_id, n, pos) — pos = the shingle's 1-based position in
+    // the doc's sorted shingle set. Threshold 1/2 → α = ⌈(na+nb)/3⌉.
+    // (1,2): n=9 each, pos 1 → ub = 0 + 9 = 9 ≥ α=6 → kept
+    // (1,3): length filter kills it (2·4 < 9)
+    // (2,3): same
+    // (4,5): n=12 each but meeting shingle at pos 12 of a / 2 of b →
+    //        ub = min(11,1) + min(1,11) = 2 < α=8 → positionally pruned
+    val ds = Seq(Seq(
+      (1L, 9, 1), (2L, 9, 1), (3L, 4, 1), (4L, 12, 12), (5L, 12, 2))).toDF("ds")
+    val got = ds.select(explode(prefix_candidate_pairs(col("ds"), 1, 2)).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got.contains((1L, 2L)))
+    assert(!got.exists(p => p._1 == 3L || p._2 == 3L), "length filter must prune doc 3")
+    assert(!got.contains((4L, 5L)), "positional bound must prune (4,5)")
+    // pairs doc 4/5 with 1/2 pass both filters at these positions:
+    // e.g. (1,4): min(0,11)+min(9,1)=1 < α=7 → pruned too
+    assert(!got.contains((1L, 4L)))
+    // subset property: never emits a pair PostingListPairs wouldn't
+    val full = ds.select(explode(posting_list_pairs(
+      expr("transform(ds, e -> named_struct('doc_id', e._1, 'n', e._2))"))).as("p"))
+      .select(col("p.doc_a"), col("p.doc_b"))
+      .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+    assert(got.subsetOf(full))
+  }
+
+  test("PrefixCandidatePairs ∀ random corpora: pruning never loses a qualifying pair") {
+    import spark.implicits._
+    // brute-force equivalence on random small corpora: the full prefix
+    // pipeline (prefix slice + posexplode + kernel) must generate a
+    // candidate SUPERSET of the true Jaccard ≥ 1/2 pairs
+    val rnd = new scala.util.Random(42)
+    (1 to 20).foreach { _ =>
+      val docs = (1 to 12).map { id =>
+        val set = (1 to (3 + rnd.nextInt(10))).map(_ => rnd.nextInt(24).toLong)
+          .distinct.sorted
+        (id.toLong, set)
+      }
+      val truth = (for {
+        (ia, sa) <- docs; (ib, sb) <- docs if ia < ib
+        c = sa.intersect(sb).size; u = sa.union(sb).distinct.size
+        if 2 * c >= u
+      } yield (ia, ib)).toSet
+      val df = docs.toDF("doc_id", "hs").withColumn("n", size(col("hs")))
+      val cands = df.select(col("doc_id"), col("n"),
+        posexplode(slice(col("hs"), lit(1),
+          (col("n") / lit(2)).cast("int") + lit(1))).as(Seq("p0", "sh")))
+        .groupBy("sh")
+        .agg(collect_list(struct(col("doc_id"), col("n"),
+          (col("p0") + lit(1)).cast("int").as("pos"))).as("ds"))
+        .filter(size(col("ds")) >= 2)
+        .select(explode(prefix_candidate_pairs(col("ds"), 1, 2)).as("p"))
+        .select(col("p.doc_a"), col("p.doc_b")).distinct()
+        .collect().map(x => (x.getLong(0), x.getLong(1))).toSet
+      assert(truth.subsetOf(cands),
+        s"lost qualifying pairs: ${truth.diff(cands)} docs=$docs")
+    }
+  }
+
   test("kernels registered as SQL functions via GraftExtensions") {
     // (3,4) has exact norm 5, so self-cosine is exactly 1.0
     val one = spark.sql(
