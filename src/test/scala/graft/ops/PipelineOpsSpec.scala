@@ -292,8 +292,10 @@ class PipelineOpsSpec extends SparkSpec {
     assert(recall >= 0.25, s"knn-join recall@5 too low: $recall") // measured ~0.40
   }
 
-  test("ann embed clusters: components agree with the candidate edge graph") {
-    val edges = SimilarityOps.knnCandidates(spark, Sf0001)
+  test("ann embed clusters: components agree with the ClusterRecallConfig edge graph") {
+    // derive the edge set with the SAME config the operator uses — a
+    // default-config edge set only coincidentally matches
+    val edges = SimilarityOps.knnCandidates(spark, Sf0001, SimilarityOps.ClusterRecallConfig)
       .filter(col("cos") >= 0.5)
       .collect().map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id")))
     val clusters = SimilarityOps.annEmbedClusters(spark, Sf0001).collect()
@@ -308,6 +310,54 @@ class PipelineOpsSpec extends SparkSpec {
     clusters.groupBy(_._2).foreach { case (label, members) =>
       assert(label == members.keys.min, s"cluster $label is not its min member")
     }
+  }
+
+  /** Planted 64-dim embedding corpus: cluster A = three vectors with
+    * pairwise cosine ≥ 0.995, a transitive CHAIN C1–C2–C3 (both edges at
+    * cosine 0.7, but C1·C3 = 0.49 < threshold — only connectivity can put
+    * all three in one cluster), and ten mutually-orthogonal background
+    * vectors with zero cosine to everything (must stay unclustered). */
+  private lazy val plantedEmbedDir: String = {
+    import spark.implicits._
+    def unit(parts: (Int, Double)*): Array[Float] = {
+      val v = new Array[Float](64)
+      parts.foreach { case (i, x) => v(i) = x.toFloat }
+      v
+    }
+    val a = 0.07
+    val ca = math.sqrt(1 - a * a) // cos between A-members ≈ 0.9975
+    val s = math.sqrt(0.51)      // (0.7, √0.51) is unit-norm
+    val vecs = Seq(
+      10L -> unit(0 -> 1.0),
+      11L -> unit(0 -> ca, 1 -> a),
+      12L -> unit(0 -> ca, 2 -> a),
+      20L -> unit(10 -> 1.0),
+      21L -> unit(10 -> 0.7, 11 -> s),
+      22L -> unit(10 -> 0.49, 11 -> 0.7 * s, 12 -> s)) ++
+      (0 until 10).map(i => (30L + i) -> unit((20 + i) -> 1.0))
+    val dir = tempDir("planted_embed")
+    vecs.toDF("vec_id", "embedding").repartition(3)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("ann embed clusters: planted near-dups found, equal to the exact twin, chain bridged") {
+    val ann = SimilarityOps.annEmbedClusters(spark, plantedEmbedDir).collect()
+      .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("vec_id"))).toSet
+    assert(ann.nonEmpty, "planted near-dup clusters must be found")
+    // recall floor vs the exact-edge twin: the candidate generator must
+    // recover EVERY exact edge here (ClusterRecallConfig's 8-table ×
+    // Hamming-2 miss odds at cos 0.7 are ~1e-4, ~0 at 0.995; seeds are
+    // fixed, so this is deterministic) — clusterings must be identical.
+    // This is the test that fails if the generator's recall collapses.
+    val exact = SimilarityOps.embedClustersExact(spark, plantedEmbedDir).collect()
+      .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("vec_id"))).toSet
+    assert(ann == exact, s"ann clustering diverged from exact: ann=$ann exact=$exact")
+    // pin the expected shape outright: two clusters, chain bridged through
+    // C2, background vectors absent
+    assert(ann == Set(
+      (10L, 10L), (10L, 11L), (10L, 12L),
+      (20L, 20L), (20L, 21L), (20L, 22L)))
   }
 
   test("knn join from a materialized index == inline knn join") {
