@@ -634,6 +634,12 @@ object Registry {
         |            ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin)),
     GraftQuery("x_sample_stratified", (s, d) => SamplingOps.stratifiedSample(s, d), None),
+    GraftQuery("x_sample_stratified_hash", SamplingOps.stratifiedSampleHash, Some(
+      """SELECT doc_id, lang, source FROM documents
+        |WHERE CAST(('0x' || substr(md5(text), 1, 4)) AS INTEGER) % 1000 <
+        |      CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0 WHEN 'es' THEN 1.0
+        |                WHEN 'fr' THEN 1.0 WHEN 'zh' THEN 0.8 ELSE 0.0 END * 1000.0
+        |ORDER BY doc_id""".stripMargin)),
     GraftQuery("x_mix_sources", SamplingOps.mixSources, Some(
       """WITH m AS (
         |  SELECT doc_id, source,

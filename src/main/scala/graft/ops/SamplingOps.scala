@@ -46,6 +46,28 @@ object SamplingOps {
       .select(col("doc_id"), col("lang"), col("source"))
       .orderBy("doc_id")
 
+  /** Stratified sampling, deterministic twin: the SAME per-language rates
+    * as `stratifiedSample`, but the keep/drop decision is the document's
+    * content-hash bucket (md5, engine-identical) against its stratum's
+    * rate instead of a seeded RNG draw — the `mixSources` mechanism with a
+    * strata column. Exactly reproducible across engines, partitionings
+    * and re-runs, leakage-resistant (byte-identical texts decide
+    * together), and fully value-oracled — the check `stratifiedSample`'s
+    * RNG draws structurally cannot have. Languages outside the rate map
+    * sample at 0, matching `sampleBy` semantics. Narrow, no shuffle. */
+  def stratifiedSampleHash(spark: SparkSession, dir: String): DataFrame = {
+    val rate = LangFractions.foldLeft(lit(0.0)) { case (acc, (l, f)) =>
+      when(col("lang") === l, lit(f)).otherwise(acc)
+    }
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        (conv(substring(md5(col("text")), 1, 4), 16, 10).cast(IntegerType) % 1000).as("bucket"),
+        rate.as("rate"))
+      .filter(col("bucket") < col("rate") * 1000.0)
+      .select(col("doc_id"), col("lang"), col("source"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic source-mixture sampling — the data-mixing step that
     * turns raw shard sizes into target mixture weights (downsample the
     * glut, keep the scarce): each document is kept iff its CONTENT-hash

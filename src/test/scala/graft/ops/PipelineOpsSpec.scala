@@ -559,6 +559,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!diff.map(_.toString).sameElements(s1.map(_.toString)), "different seed → different sample")
   }
 
+  test("stratified hash twin: same rate targets, content-keyed, full-rate strata kept whole") {
+    val base = Tables(spark, Sf0001, "documents")
+      .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val rows = SamplingOps.stratifiedSampleHash(spark, Sf0001).collect()
+    val got = rows.groupBy(_.getString(1)).view.mapValues(_.length).toMap
+    // only mapped languages survive; rate-1.0 strata are kept whole;
+    // fractional strata land near target (md5 buckets ≈ uniform)
+    assert(got.keySet.subsetOf(SamplingOps.LangFractions.keySet))
+    SamplingOps.LangFractions.foreach { case (lang, f) =>
+      if (f == 1.0) assert(got(lang).toLong == base(lang), s"$lang kept whole")
+      else {
+        val sd = math.sqrt(base(lang) * f * (1 - f))
+        assert(math.abs(got.getOrElse(lang, 0) - base(lang) * f) <= 4 * sd + 2,
+          s"$lang got ${got.getOrElse(lang, 0)} expected ~${base(lang) * f}")
+      }
+    }
+    // content-keyed: byte-identical planted docs 0/2 (lang en, rate 0.5)
+    // decide TOGETHER — the leakage-resistance sampleBy's RNG cannot give
+    val p = SamplingOps.stratifiedSampleHash(spark, plantedDir).collect()
+      .map(_.getLong(0)).toSet
+    assert(p.contains(0L) == p.contains(2L), s"identical texts split: $p")
+  }
+
   test("repetition: degenerate text scores high, varied text scores 0") {
     import spark.implicits._
     val dir = tempDir("rep_docs")
