@@ -624,6 +624,19 @@ object Registry {
         |       CAST((cum - n_tokens) // 2048 AS INTEGER) AS seq_first,
         |       CAST((cum - 1) // 2048 AS INTEGER) AS seq_last
         |FROM c ORDER BY source, doc_id""".stripMargin)),
+    GraftQuery("x_pack_sequences_bpe", PretrainOps.packSequencesBpe, Some(
+      """WITH d AS (SELECT source, doc_id,
+        |             CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS INTEGER) AS n_tokens
+        |           FROM documents),
+        |c AS (SELECT source, doc_id, n_tokens,
+        |        CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |      FROM d)
+        |SELECT source, doc_id, n_tokens,
+        |       cum - n_tokens AS tok_offset,
+        |       CAST((cum - n_tokens) // 2048 AS INTEGER) AS seq_first,
+        |       CAST((cum - 1) // 2048 AS INTEGER) AS seq_last
+        |FROM c ORDER BY source, doc_id""".stripMargin)),
     GraftQuery("x_sim_ann_multiprobe", SimilarityOps.annLshMultiProbe, None),
     GraftQuery("x_sim_ann_ivf", (s, d) => SimilarityOps.annIvf(s, d), None),
     GraftQuery("x_split_hash", SamplingOps.splitHash, Some(

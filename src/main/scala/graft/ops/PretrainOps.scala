@@ -158,10 +158,23 @@ object PretrainOps {
     * sort) — shards pack independently exactly like a real pipeline, so
     * the window parallelizes across shards and adds one shuffle on
     * `source`. Pure integer arithmetic → value-oracled. */
-  def packSequences(spark: SparkSession, dir: String): DataFrame = {
+  def packSequences(spark: SparkSession, dir: String): DataFrame =
+    packWith(spark, dir, size(split(col("text"), " ")))
+
+  /** Tokenizer-consistent packing: identical plan, but the packing
+    * currency is the BPE-ish regex token count `TextOps.tokenStats`
+    * publishes (`TextOps.BpeTokenRe` — one shared constant, so counting
+    * and packing cannot drift). A trainer packs BPE tokens, not
+    * whitespace tokens; with this twin the sequence boundaries line up
+    * with what the token counter reports. Fully value-oracled (the regex
+    * stays in the Java/RE2-agreeing subset). */
+  def packSequencesBpe(spark: SparkSession, dir: String): DataFrame =
+    packWith(spark, dir, TextOps.bpeTokenCount(col("text")))
+
+  private def packWith(spark: SparkSession, dir: String,
+      nTokens: org.apache.spark.sql.Column): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-      .select(col("source"), col("doc_id"),
-        size(split(col("text"), " ")).as("n_tokens"))
+      .select(col("source"), col("doc_id"), nTokens.as("n_tokens"))
     val w = Window.partitionBy(col("source")).orderBy(col("doc_id"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     docs.withColumn("cum", sum(col("n_tokens")).over(w))

@@ -16,16 +16,26 @@ object TextOps {
 
   private def toks: Column = split(col("text"), " ")
 
-  /** Token + char counting: whitespace tokenizer plus a BPE-ish regex
-    * segmentation (word runs / single punctuation — the pre-tokenization
-    * shape GPT-style BPE applies before merges). */
+  /** BPE-ish pre-tokenization regex: word runs / single punctuation — the
+    * segmentation GPT-style BPE applies before merges. ONE constant shared
+    * by `tokenStats` and `PretrainOps.packSequencesBpe` so the token
+    * currency cannot drift between counting and packing. Stays inside the
+    * Java/RE2-agreeing subset (explicit char classes only) so the DuckDB
+    * oracle computes identical counts. */
+  val BpeTokenRe = "[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"
+
+  /** The `BpeTokenRe` token count of a text column. */
+  def bpeTokenCount(text: Column): Column =
+    size(regexp_extract_all(text, lit(BpeTokenRe), lit(0)))
+
+  /** Token + char counting: whitespace tokenizer plus the BPE-ish regex
+    * segmentation. */
   def tokenStats(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
       .select(
         col("doc_id"),
         size(toks).as("n_tokens"),
-        size(regexp_extract_all(col("text"), lit("[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]"), lit(0)))
-          .as("n_bpe_tokens"),
+        bpeTokenCount(col("text")).as("n_bpe_tokens"),
         length(col("text")).as("n_chars_m"))
       .orderBy("doc_id")
 

@@ -248,6 +248,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == Seq((0L, 0L, 0, 0), (1L, 2000L, 0, 1), (2L, 0L, 0, 0)))
   }
 
+  test("pack sequences (BPE currency): straddle decided by regex tokens, not whitespace") {
+    import spark.implicits._
+    val dir = tempDir("pack_bpe_docs")
+    // each "wi," whitespace token is TWO BPE tokens (word + comma): 1100
+    // whitespace tokens = 2200 BPE tokens — the doc straddles the 2048
+    // boundary ONLY under the BPE currency
+    val punct = (1 to 1100).map(i => s"w$i,").mkString(" ")
+    Seq((0L, punct, "en", "s1", 0L), (1L, "tail doc", "en", "s1", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val ws = PretrainOps.packSequences(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("n_tokens"),
+        r.getAs[Long]("tok_offset"), r.getAs[Int]("seq_first"), r.getAs[Int]("seq_last"))).toSeq
+    val bpe = PretrainOps.packSequencesBpe(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("n_tokens"),
+        r.getAs[Long]("tok_offset"), r.getAs[Int]("seq_first"), r.getAs[Int]("seq_last"))).toSeq
+    // whitespace: 1100 tokens, no straddle; BPE: 2200 tokens, doc 0 spans
+    // sequences 0-1 and doc 1 starts inside sequence 1
+    assert(ws == Seq((0L, 1100, 0L, 0, 0), (1L, 2, 1100L, 0, 0)))
+    assert(bpe == Seq((0L, 2200, 0L, 0, 1), (1L, 2, 2200L, 1, 1)))
+    // currency agreement: packing counts == tokenStats' published counts
+    val stats = TextOps.tokenStats(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_bpe_tokens")).toMap
+    bpe.foreach { case (id, n, _, _, _) => assert(stats(id) == n) }
+  }
+
   test("chunk windows: every token covered, 25% overlap, short docs = one chunk") {
     import spark.implicits._
     val dir = tempDir("chunk_docs")
