@@ -548,6 +548,22 @@ object Registry {
         |       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
         |       neighbor_id
         |FROM s QUALIFY rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+    // ANN accuracy inside CORRECTNESS: raw recall telemetry (rows-only —
+    // DuckDB cannot rerun the LSH side) + a value-checked floor gate (the
+    // oracle expects passes=true, so a recall collapse goes red per-round)
+    GraftQuery("x_sim_knn_recall", (s, d) => SimilarityOps.knnRecall(s, d), None),
+    GraftQuery("x_sim_knn_recall_gate", (s, d) => SimilarityOps.knnRecallGate(s, d), Some(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |s AS (SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+        |         list_cosine_similarity(a.v, b.v) AS cos
+        |      FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |t AS (SELECT q_id,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+        |      FROM s QUALIFY rank <= 5)
+        |SELECT CAST(count(*) AS INTEGER) AS n_exact,
+        |       CAST(0.25 AS DOUBLE) AS floor,
+        |       true AS passes
+        |FROM t""".stripMargin)),
     GraftQuery("x_dedup_embed_clusters",
       (s, d) => SimilarityOps.annEmbedClusters(s, d), None),
     // hash-green anchor for the clustering path: components over the exact

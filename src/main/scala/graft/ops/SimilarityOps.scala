@@ -296,6 +296,38 @@ object SimilarityOps {
       .orderBy("q_id", "rank")
   }
 
+  /** Recall floor the approximate kNN join must clear against the exact
+    * anchor — the accuracy SLO enforced by the hash-green gate entry
+    * `x_sim_knn_recall_gate` (measured ~0.4 at the default config; the
+    * floor leaves headroom for data drift, not for a broken generator). */
+  val KnnRecallFloor = 0.25
+
+  /** Recall@k of the LSH kNN join against the exact anchor, aggregated to
+    * ONE row — ANN accuracy as a per-round CORRECTNESS observable instead
+    * of a spec-only number. Both sides are deterministic (seeded planes,
+    * tie-broken windows), so the value is stable per dataset. */
+  def knnRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val exact = knnExact(spark, dir, k).select(col("q_id"), col("neighbor_id"))
+    val ann = knnJoin(spark, dir, k)
+      .select(col("q_id"), col("neighbor_id"), lit(1).as("hit"))
+    exact.join(ann, Seq("q_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).cast(IntegerType).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).cast(IntegerType).as("n_hit"))
+      .select(col("n_exact"), col("n_hit"),
+        (col("n_hit").cast(DoubleType) / col("n_exact")).as("recall_at_k"))
+  }
+
+  /** The value-checked ANN accuracy gate: (n_exact, floor, passes) with
+    * passes = recall@k ≥ `KnnRecallFloor`. The DuckDB oracle computes
+    * n_exact exactly and expects passes = true, so a recall collapse in
+    * the candidate generator turns a CORRECTNESS row red — accuracy is
+    * gated per round, not just in the spec suite. */
+  def knnRecallGate(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    knnRecall(spark, dir, k).select(
+      col("n_exact"),
+      lit(KnnRecallFloor).as("floor"),
+      (col("recall_at_k") >= KnnRecallFloor).as("passes"))
+
   def knnJoin(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
     val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id"))
     knnCandidates(spark, dir)
