@@ -149,9 +149,12 @@ object SimilarityOps {
       (0L until (1L << planes)).filter(java.lang.Long.bitCount(_) <= probeHamming)
   }
 
-  /** kNN-join layout: 4×8-bit tables with Hamming-1 probes — a cos≈0.5
-    * pair collides in ≥1 table with probability ≈0.6 (vs ≈0.02 for one
-    * 16-bit table) while random pairs stay a tiny corpus fraction. */
+  /** kNN-join layout: 4×8-bit tables with Hamming-1 probes. MEASURED
+    * (TuneLsh sweep, sf0.01, vs the hash-green exact anchor — frontier
+    * table in PLANS.md §x_sim_knn_join): recall@5 = 0.40 at 37k
+    * candidates — the cheap rank-quality point; doubling tables buys
+    * 0.61 at 66k, Hamming-2 buys 0.80 at 118k. 8-bit tables dominate
+    * 12/16-bit at this corpus size (wider buckets go empty). */
   val KnnJoinConfig: LshIndexConfig = LshIndexConfig(4, 8, 1, 1337)
 
   private val planeCache =
@@ -343,7 +346,10 @@ object SimilarityOps {
     * Hamming-2 probes put the per-table collision odds for a cos=0.5
     * pair at ≈0.48, i.e. miss ≈ 0.52⁸ ≈ 0.5% (vs ≈41% for KnnJoinConfig,
     * which is tuned for ranked top-k where a miss only costs rank
-    * quality, not a wrong dedup decision). */
+    * quality, not a wrong dedup decision). MEASURED (TuneLsh, sf0.01):
+    * recovers both directions of the corpus's threshold edge at 175k
+    * candidates, recall@5 = 0.96; every cheaper 8-bit config misses the
+    * edge entirely (frontier table in PLANS.md §x_sim_knn_join). */
   val ClusterRecallConfig: LshIndexConfig = LshIndexConfig(8, 8, 2, 1337)
 
   /** ANN embedding near-dup CLUSTERS — the production-scale twin of the
