@@ -438,6 +438,25 @@ object Registry {
         |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS INTEGER) AS n_bpe_tokens,
         |       CAST(length(text) AS INTEGER) AS n_chars_m
         |FROM documents ORDER BY doc_id""".stripMargin)),
+    GraftQuery("x_text_df_top", (s, d) => TextOps.termDf(s, d), Some(
+      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |             FROM documents),
+        |tf AS (SELECT doc_id, term FROM tok GROUP BY doc_id, term)
+        |SELECT term, CAST(count(*) AS INTEGER) AS df
+        |FROM tf GROUP BY term
+        |ORDER BY df DESC, term LIMIT 50""".stripMargin)),
+    GraftQuery("x_text_salient", (s, d) => TextOps.salientTerms(s, d), Some(
+      """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |             FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS INTEGER) AS tf
+        |       FROM tok GROUP BY doc_id, term),
+        |df AS (SELECT term, CAST(count(*) AS INTEGER) AS df FROM tf GROUP BY term)
+        |SELECT doc_id,
+        |       CAST(row_number() OVER (PARTITION BY doc_id
+        |              ORDER BY tf DESC, df ASC, term) AS INTEGER) AS rank,
+        |       term, tf, df
+        |FROM tf JOIN df USING (term)
+        |QUALIFY rank <= 5 ORDER BY doc_id, rank""".stripMargin)),
     GraftQuery("x_text_quality", TextOps.qualityScore, Some(
       """SELECT doc_id,
         |       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
@@ -548,6 +567,39 @@ object Registry {
         |       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
         |       neighbor_id
         |FROM s QUALIFY rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+    // SemDeDup-style dedup DECISION: cap each near-dup cluster at one
+    // representative; same recursive-CTE closure as x_dedup_clusters,
+    // ranked and left-joined back onto the corpus
+    GraftQuery("x_dedup_cluster_cap", (s, d) => ClusterOps.clusterCapSample(s, d), Some(
+      """WITH RECURSIVE
+        | toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        | tri AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+        |         FROM toks WHERE len(t) >= 3),
+        | cnt AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+        | prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |         FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        | good AS (SELECT doc_a, doc_b FROM prs
+        |          JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+        |          WHERE 3 * n_common >= ca.n + cb.n),
+        | edges AS (SELECT doc_a AS src, doc_b AS dst FROM good
+        |           UNION SELECT doc_b, doc_a FROM good),
+        | walk AS (
+        |   SELECT src AS id, src AS reach FROM edges
+        |   UNION
+        |   SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+        | ),
+        | cl AS (SELECT min(reach) AS cluster_id, id AS doc_id FROM walk GROUP BY id),
+        | rk AS (SELECT cluster_id, doc_id,
+        |          CAST(row_number() OVER (PARTITION BY cluster_id ORDER BY doc_id) AS INTEGER)
+        |            AS rank_in_cluster
+        |        FROM cl)
+        |SELECT d.doc_id,
+        |       coalesce(rk.cluster_id, d.doc_id) AS cluster_id,
+        |       coalesce(rk.rank_in_cluster, 1) AS rank_in_cluster,
+        |       coalesce(rk.rank_in_cluster, 1) <= 1 AS kept
+        |FROM documents d LEFT JOIN rk USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
     // ANN accuracy inside CORRECTNESS: raw recall telemetry (rows-only —
     // DuckDB cannot rerun the LSH side) + a value-checked floor gate (the
     // oracle expects passes=true, so a recall collapse goes red per-round)

@@ -66,4 +66,32 @@ object ClusterOps {
       .select(col("component").as("cluster_id"), col("id").as("doc_id"))
       .orderBy("cluster_id", "doc_id")
   }
+
+  /** Cluster-capped downsampling (SemDeDup-style, Abbas et al. '23): the
+    * dedup DECISION applied to the whole corpus — each near-dup cluster
+    * keeps only its `keep` lowest-id members; documents outside any
+    * cluster are their own singleton and always survive. Output is one
+    * row per document with its cluster, in-cluster rank, and keep flag,
+    * so the caller filters `kept` for the survivor corpus or inspects
+    * the drop set.
+    *
+    * Scale shape: clusters are a vanishing fraction of the corpus, so the
+    * rank window runs on the (tiny) cluster table and the corpus-side
+    * join broadcasts it — the full corpus is never shuffled. Fully
+    * value-oracled (components via the recursive-CTE oracle, rank via
+    * row_number — deterministic by (cluster_id, doc_id)). */
+  def clusterCapSample(spark: SparkSession, dir: String, keep: Int = 1): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("cluster_id")).orderBy(col("doc_id"))
+    val ranked = nearDupClusters(spark, dir)
+      .withColumn("rank_in_cluster",
+        row_number().over(w).cast(org.apache.spark.sql.types.IntegerType))
+    Tables(spark, dir, "documents").select(col("doc_id"))
+      .join(broadcast(ranked), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("cluster_id"), col("doc_id")).as("cluster_id"),
+        coalesce(col("rank_in_cluster"), lit(1)).as("rank_in_cluster"),
+        (coalesce(col("rank_in_cluster"), lit(1)) <= keep).as("kept"))
+      .orderBy("doc_id")
+  }
 }

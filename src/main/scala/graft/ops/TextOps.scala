@@ -39,6 +39,54 @@ object TextOps {
         length(col("text")).as("n_chars_m"))
       .orderBy("doc_id")
 
+  /** Exploded (doc_id, term) token stream — the shared front of the
+    * corpus term-statistics operators. */
+  private def tokenStream(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+
+  /** Per-(doc, term) counts — ONE token shuffle; `termDf` and
+    * `salientTerms` both derive from this aggregate, so the raw token
+    * stream never shuffles twice (df(term) = #rows per term HERE, because
+    * this table has exactly one row per (doc, term)). */
+  private def termTf(spark: SparkSession, dir: String): DataFrame =
+    tokenStream(spark, dir)
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast(IntegerType).as("tf"))
+
+  /** Corpus vocabulary statistics: the `top` terms by document frequency
+    * (boilerplate/stopword discovery — what a pipeline inspects before
+    * choosing filter lists). Two keyed aggregations, then a distributed
+    * partial top-k (TakeOrderedAndProject — no global sort); ties broken
+    * by term so the cut is deterministic. Fully value-oracled. */
+  def termDf(spark: SparkSession, dir: String, top: Int = 50): DataFrame =
+    termTf(spark, dir)
+      .groupBy(col("term"))
+      .agg(count(lit(1)).cast(IntegerType).as("df"))
+      .orderBy(col("df").desc, col("term"))
+      .limit(top)
+
+  /** Per-document salient terms: top-k by (tf DESC, df ASC, term) — term
+    * frequency first, corpus rarity as the discriminator, the integer
+    * TF-IDF ordering that both engines compute bit-identically (a
+    * deployment swaps in tf·ln(N/df) scoring — same plan, but ln is libm-
+    * dependent so the oracle pins the rational form; see the
+    * transcendentals rule in the determinism policy). Plan: the one token
+    * shuffle behind `termTf` (reused via AQE exchange reuse), a df join
+    * AQE broadcasts when vocabulary is small, one per-doc window. */
+  def salientTerms(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
+    val tf = termTf(spark, dir)
+    val df = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast(IntegerType).as("df"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      .orderBy(col("tf").desc, col("df").asc, col("term"))
+    tf.join(df, Seq("term"))
+      .withColumn("rank", row_number().over(w).cast(IntegerType))
+      .filter(col("rank") <= k)
+      .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"))
+      .orderBy("doc_id", "rank")
+  }
+
   /** Quality scoring: stopword ratio, average token length, short-doc
     * flag — the length/punct/stopword heuristics of C4/Gopher-style
     * filtering, as pure column arithmetic. */

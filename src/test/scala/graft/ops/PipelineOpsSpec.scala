@@ -608,6 +608,40 @@ class PipelineOpsSpec extends SparkSpec {
     assert(p.contains(0L) == p.contains(2L), s"identical texts split: $p")
   }
 
+  test("salient terms: tf ranks first, corpus rarity breaks ties; df counts exact") {
+    import spark.implicits._
+    val dir = tempDir("salient_docs")
+    Seq(
+      (0L, "apple banana banana cherry", "en", "s", 26L),
+      (1L, "banana cherry", "en", "s", 13L),
+      (2L, "cherry", "en", "s", 6L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // df: apple 1, banana 2, cherry 3
+    val df = TextOps.termDf(spark, dir).collect()
+      .map(r => r.getString(0) -> r.getInt(1)).toMap
+    assert(df == Map("apple" -> 1, "banana" -> 2, "cherry" -> 3))
+    // doc0: banana (tf 2) first; then tf-1 tie broken by rarity:
+    // apple (df 1) before cherry (df 3)
+    val d0 = TextOps.salientTerms(spark, dir).collect()
+      .filter(_.getLong(0) == 0L).sortBy(_.getInt(1)).map(_.getString(2)).toSeq
+    assert(d0 == Seq("banana", "apple", "cherry"))
+  }
+
+  test("cluster cap: one survivor per near-dup cluster, singletons pass through") {
+    // plantedDir: docs 0/1/2 form one near-dup cluster (0-1 near, 0-2
+    // exact, 1-2 near), 3/4 are unrelated singletons
+    val r = ClusterOps.clusterCapSample(spark, plantedDir).collect()
+      .map(x => x.getLong(0) -> ((x.getLong(1), x.getInt(2), x.getBoolean(3)))).toMap
+    assert(r(0L) == ((0L, 1, true)))   // cluster rep survives
+    assert(r(1L) == ((0L, 2, false)))  // capped out
+    assert(r(2L) == ((0L, 3, false)))
+    assert(r(3L) == ((3L, 1, true)))   // singletons are their own cluster
+    assert(r(4L) == ((4L, 1, true)))
+    // survivor corpus = one per cluster
+    assert(r.values.count(_._3) == 3)
+  }
+
   test("repetition: degenerate text scores high, varied text scores 0") {
     import spark.implicits._
     val dir = tempDir("rep_docs")
