@@ -600,6 +600,16 @@ object Registry {
         |       coalesce(rk.rank_in_cluster, 1) <= 1 AS kept
         |FROM documents d LEFT JOIN rk USING (doc_id)
         |ORDER BY doc_id""".stripMargin)),
+    GraftQuery("x_embed_centroids", (s, d) => SimilarityOps.labelCentroids(s, d), Some(
+      """WITH e AS (SELECT label,
+        |                  unnest(embedding) AS x,
+        |                  unnest(generate_series(0, len(embedding) - 1)) AS dim
+        |           FROM embeddings)
+        |SELECT label, CAST(dim AS INTEGER) AS dim,
+        |       CAST(sum(CAST(floor(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS DOUBLE)
+        |         / count(*) / 1000000 AS centroid
+        |FROM e GROUP BY label, dim
+        |ORDER BY label, dim""".stripMargin)),
     // ANN accuracy inside CORRECTNESS: raw recall telemetry (rows-only —
     // DuckDB cannot rerun the LSH side) + a value-checked floor gate (the
     // oracle expects passes=true, so a recall collapse goes red per-round)

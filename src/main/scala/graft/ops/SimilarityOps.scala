@@ -299,6 +299,30 @@ object SimilarityOps {
       .orderBy("q_id", "rank")
   }
 
+  /** Per-label embedding CENTROIDS — element-wise mean per group, the
+    * primitive behind IVF coarse-quantizer seeding, cluster balancing and
+    * per-source embedding drift monitoring. Long output form (label, dim,
+    * centroid) — one row per vector component.
+    *
+    * Scale shape: posexplode is narrow (×Dim rows, no data movement);
+    * groupBy(label, dim) partial-aggregates map-side, so the shuffle
+    * carries |labels|·Dim rows PER PARTITION, never the corpus.
+    *
+    * Determinism: float sums are order-dependent, so components are
+    * scaled to exact int64 (`floor(x·10⁶)` — floor because DuckDB rounds
+    * double→BIGINT while Spark truncates), summed exactly, and divided
+    * back in double (two IEEE ops) — bit-identical across engines and
+    * partitionings, with a documented 1e-6 quantization. */
+  def labelCentroids(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings")
+      .select(col("label"), posexplode(col("embedding")).as(Seq("dim", "x")))
+      .groupBy(col("label"), col("dim"))
+      .agg(count(lit(1)).as("n"),
+        sum(floor(col("x").cast(DoubleType) * 1000000).cast(LongType)).as("s"))
+      .select(col("label"), col("dim"),
+        (col("s").cast(DoubleType) / col("n") / 1000000).as("centroid"))
+      .orderBy("label", "dim")
+
   /** Recall floor the approximate kNN join must clear against the exact
     * anchor — the accuracy SLO enforced by the hash-green gate entry
     * `x_sim_knn_recall_gate` (measured ~0.4 at the default config; the

@@ -642,6 +642,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r.values.count(_._3) == 3)
   }
 
+  test("label centroids: exact int64-scaled means, negative components floor-quantized") {
+    import spark.implicits._
+    val dir = tempDir("centroid_embeds")
+    def v(parts: (Int, Float)*): Array[Float] = {
+      val a = new Array[Float](4)
+      parts.foreach { case (i, x) => a(i) = x }
+      a
+    }
+    // label 0: e0 and e1 → centroid (0.5, 0.5, 0, 0); label 1: one vector
+    // with a negative component exercising the floor (-0.25 → -250000)
+    Seq((0L, v(0 -> 1f), 0), (1L, v(1 -> 1f), 0), (2L, v(2 -> -0.25f), 1))
+      .toDF("vec_id", "embedding", "label")
+      .repartition(3)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = SimilarityOps.labelCentroids(spark, dir).collect()
+      .map(x => (x.getInt(0), x.getInt(1)) -> x.getDouble(2)).toMap
+    assert(r((0, 0)) == 0.5 && r((0, 1)) == 0.5 && r((0, 2)) == 0.0 && r((0, 3)) == 0.0)
+    assert(r((1, 2)) == -0.25 && r((1, 0)) == 0.0)
+    assert(r.size == 8)
+  }
+
   test("repetition: degenerate text scores high, varied text scores 0") {
     import spark.implicits._
     val dir = tempDir("rep_docs")
