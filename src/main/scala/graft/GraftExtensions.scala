@@ -41,6 +41,9 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     reg("simhash64") { case Seq(h) => SimHash64(h) }
     reg("chunk_hashes") { case Seq(s, c) => ChunkHashes(s, intLit(c, "chunk_hashes")) }
     reg("posting_list_pairs") { case Seq(ds) => PostingListPairs(ds) }
+    reg("prefix_candidate_pairs") { case Seq(ds, num, den) =>
+      PrefixCandidatePairs(ds,
+        intLit(num, "prefix_candidate_pairs"), intLit(den, "prefix_candidate_pairs")) }
     reg("simhash_pairs") { case Seq(ms, chunk, maxH) =>
       SimHashPairs(ms, chunk, intLit(maxH, "simhash_pairs")) }
     reg("minhash_bucket_pairs") { case Seq(ms, band, num, den) =>

@@ -731,6 +731,14 @@ object Registry {
         |      CASE lang WHEN 'en' THEN 0.5 WHEN 'de' THEN 1.0 WHEN 'es' THEN 1.0
         |                WHEN 'fr' THEN 1.0 WHEN 'zh' THEN 0.8 ELSE 0.0 END * 1000.0
         |ORDER BY doc_id""".stripMargin)),
+    GraftQuery("x_sample_cap_source", (s, d) => SamplingOps.capPerSource(s, d), Some(
+      """SELECT doc_id, source, rank_in_source FROM (
+        |  SELECT doc_id, source,
+        |         CAST(row_number() OVER (PARTITION BY source
+        |                ORDER BY md5(text), doc_id) AS INTEGER) AS rank_in_source
+        |  FROM documents)
+        |WHERE rank_in_source <= 20
+        |ORDER BY doc_id""".stripMargin)),
     GraftQuery("x_mix_sources", SamplingOps.mixSources, Some(
       """WITH m AS (
         |  SELECT doc_id, source,

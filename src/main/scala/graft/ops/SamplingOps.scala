@@ -68,6 +68,25 @@ object SamplingOps {
       .orderBy("doc_id")
   }
 
+  /** Per-source document cap for the balanced-corpus step: no single
+    * shard may contribute more than `cap` documents. Which documents
+    * survive is decided by CONTENT-hash order within the shard (md5 of
+    * text, doc_id tiebreak) — deterministic, engine-identical, and
+    * unbiased by ingestion order, unlike "first N per file". One shuffle
+    * on source for the rank window; at 100 TB a skewed mega-shard bounds
+    * its window state to a running count (rank windows stream). Fully
+    * value-oracled. */
+  def capPerSource(spark: SparkSession, dir: String, cap: Int = 20): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("hash_key"), col("doc_id"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"), md5(col("text")).as("hash_key"))
+      .withColumn("rank_in_source", row_number().over(w).cast(IntegerType))
+      .filter(col("rank_in_source") <= cap)
+      .select(col("doc_id"), col("source"), col("rank_in_source"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic source-mixture sampling — the data-mixing step that
     * turns raw shard sizes into target mixture weights (downsample the
     * glut, keep the scarce): each document is kept iff its CONTENT-hash

@@ -203,8 +203,11 @@ class HashExpressionsSpec extends SparkSpec {
         |         named_struct('doc_id', 2L, 'simhash', 5L)), 0, 3)) AS ns,
         |       size(posting_list_pairs(array(named_struct('doc_id', 1L, 'n', 2),
         |         named_struct('doc_id', 2L, 'n', 3)))) AS npp,
+        |       size(prefix_candidate_pairs(array(named_struct('doc_id', 1L, 'n', 9, 'pos', 1),
+        |         named_struct('doc_id', 2L, 'n', 9, 'pos', 1)), 1, 2)) AS npc,
         |       size(chunk_hashes(array(1L, 2L, 3L, 4L), 2)) AS nch""".stripMargin).collect()(0)
-    assert(one.getInt(0) == 1 && one.getInt(1) == 1 && one.getInt(2) == 1 && one.getInt(3) == 2)
+    assert(one.getInt(0) == 1 && one.getInt(1) == 1 && one.getInt(2) == 1
+      && one.getInt(3) == 1 && one.getInt(4) == 2)
     // the full SQL-string dedup pipeline matches the DataFrame twin row for row
     val viaSql = CoreOps.sqlKernelDedup(spark, Sf0001).collect().toSeq
     val viaDf = DedupOps.ngramJaccard(spark, Sf0001).collect().toSeq

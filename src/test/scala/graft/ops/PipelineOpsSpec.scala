@@ -642,6 +642,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r.values.count(_._3) == 3)
   }
 
+  test("per-source cap: bites every shard, content-hash order, deterministic") {
+    val rows = SamplingOps.capPerSource(spark, Sf0001, cap = 10).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    val bySrc = rows.groupBy(_._2)
+    assert(bySrc.values.forall(_.length == 10), "every 25-doc shard caps at exactly 10")
+    // ranks are 1..10 per source and survivors are hash-order, not id-order:
+    // the kept set must differ from "lowest 10 doc_ids per source"
+    bySrc.values.foreach(rs => assert(rs.map(_._3).sorted.toSeq == (1 to 10)))
+    val firstByIds = Tables(spark, Sf0001, "documents")
+      .select(col("doc_id"), col("source")).collect()
+      .map(r => (r.getLong(0), r.getString(1)))
+      .groupBy(_._2).values.flatMap(_.map(_._1).sorted.take(10)).toSet
+    assert(rows.map(_._1).toSet != firstByIds, "cap must be hash-ordered, not ingestion-ordered")
+    val again = SamplingOps.capPerSource(spark, Sf0001, cap = 10).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getInt(2)))
+    assert(rows.toSeq == again.toSeq)
+  }
+
   test("label centroids: exact int64-scaled means, negative components floor-quantized") {
     import spark.implicits._
     val dir = tempDir("centroid_embeds")
