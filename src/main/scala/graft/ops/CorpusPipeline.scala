@@ -8,7 +8,8 @@ import org.apache.spark.sql.functions._
   *
   *   quality filter → exact dedup (survivors) → near-dup removal
   *   (n-gram Jaccard canonical keep) → benchmark decontamination →
-  *   language id → content-hash split → per-shard sequence packing.
+  *   per-source balance cap → language id → content-hash split →
+  *   per-shard sequence packing.
   *
   * Every stage is one of the registered operators; the composition stays
   * ONE declarative plan, so Catalyst sees through all of it: the quality
@@ -23,6 +24,10 @@ import org.apache.spark.sql.functions._
   * driver check; the invariants (dedup, leakage-free split, filter
   * soundness, decontamination, packing continuity) are pinned by spec. */
 object CorpusPipeline {
+
+  /** Per-source contribution cap for the balance stage (see
+    * `SamplingOps.capPerSource` — content-hash ranked, deterministic). */
+  val SourceCap = 20
 
   def assemble(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
@@ -54,18 +59,25 @@ object CorpusPipeline {
       .filter(col("contaminated")).select(col("doc_id"))
     val clean = trainCandidates.join(contaminated, Seq("doc_id"), "left_anti")
 
-    // 5. narrow annotations on what remains: language id + split + stats
+    // 5. balance: no shard over-contributes — the content-hash-ranked
+    //    per-source cap runs on the CLEAN survivors (after the corpus has
+    //    already shrunk), so the rank window is as small as it can be
+    val sources = docs.select(col("doc_id"), col("source"))
+    val withSource = clean.join(sources, Seq("doc_id"))
+    val capped = SamplingOps.capPerSourceOf(withSource, SourceCap)
+      .select(col("doc_id"))
+    val balanced = withSource.join(capped, Seq("doc_id"), "left_semi")
+
+    // 6. narrow annotations on what remains: language id + split + stats
     val langs = TextOps.langId(spark, dir).select(col("doc_id"), col("pred_lang"))
     val splits = SamplingOps.splitHash(spark, dir).select(col("doc_id"), col("split"))
-    val sources = docs.select(col("doc_id"), col("source"))
-    val annotated = clean
+    val annotated = balanced
       .join(langs, Seq("doc_id"))
       .join(splits, Seq("doc_id"))
-      .join(sources, Seq("doc_id"))
       .select(col("doc_id"), col("source"), col("pred_lang"), col("split"),
         size(split(col("text"), " ")).as("n_tokens"))
 
-    // 6. pack the SURVIVING train-split docs into fixed-length sequences
+    // 7. pack the SURVIVING train-split docs into fixed-length sequences
     //    per source shard (eval splits are served unpacked → null seq)
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("doc_id"))

@@ -76,15 +76,19 @@ object SamplingOps {
     * on source for the rank window; at 100 TB a skewed mega-shard bounds
     * its window state to a running count (rank windows stream). Fully
     * value-oracled. */
-  def capPerSource(spark: SparkSession, dir: String, cap: Int = 20): DataFrame = {
+  def capPerSource(spark: SparkSession, dir: String, cap: Int = 20): DataFrame =
+    capPerSourceOf(Tables(spark, dir, "documents"), cap).orderBy("doc_id")
+
+  /** The composable form over any (doc_id, source, text) set —
+    * `CorpusPipeline.assemble` caps its dedup survivors with this. */
+  def capPerSourceOf(docs: DataFrame, cap: Int): DataFrame = {
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("source")).orderBy(col("hash_key"), col("doc_id"))
-    Tables(spark, dir, "documents")
+    docs
       .select(col("doc_id"), col("source"), md5(col("text")).as("hash_key"))
       .withColumn("rank_in_source", row_number().over(w).cast(IntegerType))
       .filter(col("rank_in_source") <= cap)
       .select(col("doc_id"), col("source"), col("rank_in_source"))
-      .orderBy("doc_id")
   }
 
   /** Deterministic source-mixture sampling — the data-mixing step that

@@ -738,6 +738,11 @@ class PipelineOpsSpec extends SparkSpec {
       .filter(org.apache.spark.sql.functions.col("contaminated"))
       .collect().map(_.getLong(0)).toSet
     assert(ids.forall(!contaminated.contains(_)))
+    // balance: no source shard contributes more than the cap
+    out.groupBy(_.getAs[String]("source")).foreach { case (src, rows) =>
+      assert(rows.length <= CorpusPipeline.SourceCap,
+        s"$src over-contributes: ${rows.length} > ${CorpusPipeline.SourceCap}")
+    }
     // packing: train docs get contiguous-from-zero per-shard sequence ids,
     // eval docs stay unpacked (null)
     val bySource = out.filter(_.getAs[String]("split") == "train")
