@@ -46,9 +46,8 @@ object TextOps {
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
 
   /** Per-(doc, term) counts — ONE token shuffle; `termDf` and
-    * `salientTerms` both derive from this aggregate, so the raw token
-    * stream never shuffles twice (df(term) = #rows per term HERE, because
-    * this table has exactly one row per (doc, term)). */
+    * `salientTerms` both derive from this aggregate (df(term) = #rows per
+    * term HERE, because this table has exactly one row per (doc, term)). */
   private def termTf(spark: SparkSession, dir: String): DataFrame =
     tokenStream(spark, dir)
       .groupBy(col("doc_id"), col("term"))
@@ -71,17 +70,22 @@ object TextOps {
     * TF-IDF ordering that both engines compute bit-identically (a
     * deployment swaps in tf·ln(N/df) scoring — same plan, but ln is libm-
     * dependent so the oracle pins the rational form; see the
-    * transcendentals rule in the determinism policy). Plan: the one token
-    * shuffle behind `termTf` (reused via AQE exchange reuse), a df join
-    * AQE broadcasts when vocabulary is small, one per-doc window. */
+    * transcendentals rule in the determinism policy).
+    *
+    * Plan: df is a WINDOW COUNT over the tf table, not a self-join — the
+    * corpus is tokenized and shuffled exactly once, then two keyed window
+    * exchanges (term, then doc_id); a join-based df would re-explode the
+    * corpus per branch (column pruning rewrites the second reference into
+    * a different canonical aggregate, so exchange reuse cannot save it —
+    * measured before switching). The rank window prunes early via
+    * Spark 4's partial WindowGroupLimit. */
   def salientTerms(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val tf = termTf(spark, dir)
-    val df = tf.groupBy(col("term"))
-      .agg(count(lit(1)).cast(IntegerType).as("df"))
-    val w = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+    val wd = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+    val wr = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
       .orderBy(col("tf").desc, col("df").asc, col("term"))
-    tf.join(df, Seq("term"))
-      .withColumn("rank", row_number().over(w).cast(IntegerType))
+    termTf(spark, dir)
+      .withColumn("df", count(lit(1)).over(wd).cast(IntegerType))
+      .withColumn("rank", row_number().over(wr).cast(IntegerType))
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"))
       .orderBy("doc_id", "rank")
