@@ -445,7 +445,7 @@ object Registry {
         |SELECT term, CAST(count(*) AS INTEGER) AS df
         |FROM tf GROUP BY term
         |ORDER BY df DESC, term LIMIT 50""".stripMargin)),
-    GraftQuery("x_text_salient", (s, d) => TextOps.salientTerms(s, d), Some(
+    GraftQuery("x_text_salient", (s, d) => TextOps.salientTerms(s, d), headline = true, oracle = Some(
       """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
         |             FROM documents),
         |tf AS (SELECT doc_id, term, CAST(count(*) AS INTEGER) AS tf
