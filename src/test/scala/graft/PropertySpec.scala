@@ -108,7 +108,9 @@ class PropertySpec extends SparkSpec {
     // total-order policy must make results invariant to shuffle width
     val prev = spark.conf.get("spark.sql.shuffle.partitions")
     val sample = Seq("a1_monthly_agg_lineitem", "g1_rollup", "j3_star_join", "j6_asof_join",
-      "w5_rolling_time", "a12_topk_agg", "x_dedup_ngram_jaccard", "a9_stddev_exact")
+      "w5_rolling_time", "a12_topk_agg", "x_dedup_ngram_jaccard", "a9_stddev_exact",
+      // round-5 entries whose core claim IS partitioning-invariance
+      "x_embed_centroids", "x_text_salient", "x_sample_cap_source")
     val wide = sample.map(n => n -> Registry.byName(n).build(spark, Sf0001).collect())
     try {
       spark.conf.set("spark.sql.shuffle.partitions", "7")
