@@ -179,10 +179,12 @@ object SimilarityOps {
     * SimHashPairs), so candidates arrive globally unique with no
     * cross-bucket dropDuplicates exchange. Ranking is a per-vector window
     * top-k. Approximate — recall vs brute-force ranking pinned by spec. */
-  /** The multi-table LSH index rows (vec_id, v, bkts, tbl, bkt) — one
-    * corpus pass, `cfg.tables` rows per vector; `bkts` is the full
-    * signature vector that makes pair ownership locally decidable. */
-  private def knnIndexPlan(spark: SparkSession, dir: String,
+  /** Multi-table LSH index rows (vec_id, v, bkts, tbl, bkt) for ANY
+    * (vec_id, v) vector set — one pass, `cfg.tables` rows per vector;
+    * `bkts` is the full signature vector that makes pair ownership
+    * locally decidable. Shared by the corpus index build and external
+    * query sets (the serving probe / streaming twin). */
+  private def indexRowsOf(vecs: DataFrame,
       cfg: LshIndexConfig = KnnJoinConfig): DataFrame = {
     val ps = planesFor(cfg)
     val sigs = (0 until cfg.tables).map { t =>
@@ -191,11 +193,15 @@ object SimilarityOps {
         when(cosine_similarity(col("v"), plane) > 0, lit(1L << p)).otherwise(lit(0L))
       }.reduce(_ bitwiseOR _)
     }
-    corpus(spark, dir)
+    vecs
       .select(col("vec_id"), col("v"), array(sigs: _*).as("bkts"))
       .select(col("vec_id"), col("v"), col("bkts"),
         posexplode(col("bkts")).as(Seq("tbl", "bkt")))
   }
+
+  private def knnIndexPlan(spark: SparkSession, dir: String,
+      cfg: LshIndexConfig = KnnJoinConfig): DataFrame =
+    indexRowsOf(corpus(spark, dir), cfg)
 
   /** Materialize the kNN index — the write-once / probe-many form: the
     * hyperplane signatures are computed in ONE corpus pass and persisted
@@ -217,9 +223,17 @@ object SimilarityOps {
     * (Within one table at most one probe mask can match — the XOR
     * difference is a fixed value — so ownership only needs the table.) */
   private def candidatesOf(indexed: DataFrame,
+      cfg: LshIndexConfig = KnnJoinConfig): DataFrame =
+    candidatesAgainst(indexed, indexed, cfg)
+
+  /** Candidates of an arbitrary query index-row set against a (possibly
+    * materialized) corpus index — the self-join form above is the
+    * queries-ARE-the-corpus special case. A query sharing its id with a
+    * corpus vector excludes that vector (self-match suppression). */
+  private def candidatesAgainst(indexed: DataFrame, queryRows: DataFrame,
       cfg: LshIndexConfig = KnnJoinConfig): DataFrame = {
     val masks = array(cfg.probeMasks.map(lit).toIndexedSeq: _*)
-    val probes = indexed.select(col("vec_id").as("q_id"), col("v").as("qv"),
+    val probes = queryRows.select(col("vec_id").as("q_id"), col("v").as("qv"),
       col("bkts").as("qbkts"), col("tbl"),
       explode(transform(masks, m => col("bkt").bitwiseXOR(m))).as("bkt"))
     val firstCollidingTbl = array_position(
@@ -231,6 +245,23 @@ object SimilarityOps {
       .filter(col("tbl") === firstCollidingTbl)
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         cosine_similarity(col("qv"), col("v")).as("cos"))
+  }
+
+  /** Serving probe: top-k neighbors from a MATERIALIZED index for an
+    * EXTERNAL (q_id, v) query set — the read side of the write-once /
+    * probe-many shape (`buildKnnIndex` writes, this probes; the streaming
+    * twin `graft.streaming.StreamingKnnServe` feeds micro-batches here).
+    * The query batch is signature-hashed in one narrow pass and joined on
+    * (table, bucket); at serving scale the query side is small, so AQE
+    * broadcasts it and the index is read bucket-pruned. */
+  def probeIndex(index: DataFrame, queries: DataFrame, k: Int = 5,
+      cfg: LshIndexConfig = KnnJoinConfig): DataFrame = {
+    val qRows = indexRowsOf(queries.select(col("q_id").as("vec_id"), col("v")), cfg)
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    candidatesAgainst(index, qRows, cfg)
+      .withColumn("rank", row_number().over(w).cast(IntegerType))
+      .filter(col("rank") <= k)
+      .select(col("q_id"), col("rank"), col("neighbor_id"))
   }
 
   /** Scored candidate pairs of the kNN join (q_id, neighbor_id, cos),
