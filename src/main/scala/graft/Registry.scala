@@ -438,6 +438,18 @@ object Registry {
         |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS INTEGER) AS n_bpe_tokens,
         |       CAST(length(text) AS INTEGER) AS n_chars_m
         |FROM documents ORDER BY doc_id""".stripMargin)),
+    GraftQuery("x_text_quality_cut", TextOps.qualityCut, Some(
+      """WITH s AS (SELECT doc_id, lang,
+        |             len(list_filter(string_split(text, ' '),
+        |                 t -> t IN ('the','a','of','and','to','in','is','or','for','on')))
+        |               / len(string_split(text, ' ')) AS stop_ratio
+        |           FROM documents),
+        |m AS (SELECT lang, quantile_cont(stop_ratio, 0.5) AS lang_median
+        |      FROM s GROUP BY lang)
+        |SELECT doc_id, lang, stop_ratio, lang_median
+        |FROM s JOIN m USING (lang)
+        |WHERE stop_ratio <= lang_median
+        |ORDER BY doc_id""".stripMargin)),
     GraftQuery("x_text_df_top", (s, d) => TextOps.termDf(s, d), Some(
       """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
         |             FROM documents),

@@ -111,6 +111,28 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Distribution-based quality cut (the FineWeb-style refinement of
+    * fixed-threshold filtering): keep documents whose stopword ratio is
+    * at or below their LANGUAGE's median — thresholds adapt to each
+    * stratum's distribution instead of hard-coding one corpus-wide
+    * constant. Spark `percentile` and DuckDB `quantile_cont` interpolate
+    * identically (exact IEEE midpoint), so the cut is fully
+    * value-oracled. Plan: one narrow scoring pass, a per-language median
+    * aggregate (|langs| rows), AQE broadcasts it back — the corpus never
+    * shuffles. */
+  def qualityCut(spark: SparkSession, dir: String): DataFrame = {
+    val inList = stopwords.map(s => s"'$s'").mkString(", ")
+    val nStop = expr(s"size(filter(split(text, ' '), t -> t IN ($inList)))")
+    val scored = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), (nStop / size(toks)).as("stop_ratio"))
+    val medians = scored.groupBy(col("lang"))
+      .agg(percentile(col("stop_ratio"), lit(0.5)).as("lang_median"))
+    scored.join(medians, Seq("lang"))
+      .filter(col("stop_ratio") <= col("lang_median"))
+      .select(col("doc_id"), col("lang"), col("stop_ratio"), col("lang_median"))
+      .orderBy("doc_id")
+  }
+
   /** Repetition scoring (the Gopher "repetitious text" signal): fraction
     * of duplicate 2-gram / 3-gram occurrences per document. Boilerplate
     * and degenerate generations repeat n-grams; natural prose mostly

@@ -608,6 +608,25 @@ class PipelineOpsSpec extends SparkSpec {
     assert(p.contains(0L) == p.contains(2L), s"identical texts split: $p")
   }
 
+  test("quality cut: per-language median thresholds, singleton stratum survives") {
+    import spark.implicits._
+    val dir = tempDir("qcut_docs")
+    // en ratios: 0/4, 2/4, 4/4 → median 0.5 → docs 0,1 survive, 2 drops;
+    // de singleton: median = own ratio → survives
+    Seq(
+      (0L, "fox river bank jumps", "en", "s", 1L),
+      (1L, "the fox of river", "en", "s", 1L),
+      (2L, "the a of and", "en", "s", 1L),
+      (3L, "der fuchs the a", "de", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextOps.qualityCut(spark, dir).collect()
+      .map(x => x.getLong(0) -> ((x.getDouble(2), x.getDouble(3)))).toMap
+    assert(r.keySet == Set(0L, 1L, 3L))
+    assert(r(0L) == ((0.0, 0.5)) && r(1L) == ((0.5, 0.5)))
+    assert(r(3L) == ((0.5, 0.5)))
+  }
+
   test("salient terms: tf ranks first, corpus rarity breaks ties; df counts exact") {
     import spark.implicits._
     val dir = tempDir("salient_docs")
