@@ -59,6 +59,14 @@ package ops {
       scala.collection.concurrent.TrieMap.empty[(String, String), DataFrame]
     def enableInputCache(): Unit = { cacheInputs = true }
 
+    /** Turn the cache off and release every persisted table (spec hygiene
+      * — plan-shape tests assert on FileScan nodes). */
+    def disableInputCache(): Unit = {
+      cacheInputs = false
+      cached.values.foreach(_.unpersist())
+      cached.clear()
+    }
+
     def apply(spark: SparkSession, dir: String, name: String): DataFrame =
       if (cacheInputs)
         cached.getOrElseUpdate((dir, name),

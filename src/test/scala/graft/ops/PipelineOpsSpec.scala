@@ -608,6 +608,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(p.contains(0L) == p.contains(2L), s"identical texts split: $p")
   }
 
+  test("Verify input cache: identical values, in-memory second read, clean toggle-off") {
+    val before = Tables(spark, Sf0001, "documents").collect().map(_.toString).sorted
+    Tables.enableInputCache()
+    try {
+      val cached = Tables(spark, Sf0001, "documents")
+      assert(cached.collect().map(_.toString).sorted.sameElements(before))
+      assert(cached.queryExecution.optimizedPlan.toString.contains("InMemoryRelation"),
+        "cached read must come from the persisted relation")
+      // the events ns→µs normalization must survive caching
+      assert(Tables(spark, Sf0001, "events").schema("ts").dataType ==
+        org.apache.spark.sql.types.TimestampType)
+    } finally Tables.disableInputCache()
+    // off again: back to the file scan (plan-shape specs depend on it)
+    assert(!Tables(spark, Sf0001, "documents")
+      .queryExecution.optimizedPlan.toString.contains("InMemoryRelation"))
+  }
+
   test("quality cut: per-language median thresholds, singleton stratum survives") {
     import spark.implicits._
     val dir = tempDir("qcut_docs")
