@@ -73,4 +73,39 @@ object UpsertOps {
       }
     }
   }
+
+  /** Partition compaction — the small-files maintenance pass every
+    * long-lived lake needs: repeated upserts / streaming epochs leave
+    * partitions holding many sub-row-group files, and at 100 TB scan cost
+    * becomes file-open-bound long before it is byte-bound.
+    *
+    * Only partitions whose file count exceeds `filesPerPartition` are
+    * touched (discovered from the `_metadata.file_path` column — a
+    * file-listing aggregation, no payload I/O); each is clustered to one
+    * task by a partition-key repartition and rewritten via dynamic
+    * overwrite, so every other partition keeps its files BYTE-IDENTICAL
+    * (spec-pinned, same property as the upsert). Values are unchanged —
+    * compaction is pure layout. Returns the compacted partition values
+    * (bounded by |partitions|, a safe driver-side set). */
+  def compact(spark: SparkSession, targetDir: String, partCol: String,
+      filesPerPartition: Int = 1): Seq[Any] = {
+    val counts = spark.read.parquet(targetDir)
+      .select(col(partCol), col("_metadata.file_path").as("f"))
+      .groupBy(col(partCol)).agg(countDistinct(col("f")).as("nf"))
+    val toCompact = counts.filter(col("nf") > filesPerPartition).select(col(partCol))
+    val vals = toCompact.collect().map(_.get(0)).toSeq
+    if (vals.nonEmpty) {
+      // localCheckpoint: the rewrite targets the directory being read
+      // (same read-overwrite hazard seam as upsertByKey)
+      val slice = spark.read.parquet(targetDir)
+        .join(broadcast(toCompact), Seq(partCol), "left_semi")
+        .repartition(col(partCol))
+        .localCheckpoint(true)
+      val prev = spark.conf.get("spark.sql.sources.partitionOverwriteMode")
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try slice.write.partitionBy(partCol).mode("overwrite").parquet(targetDir)
+      finally spark.conf.set("spark.sql.sources.partitionOverwriteMode", prev)
+    }
+    vals
+  }
 }

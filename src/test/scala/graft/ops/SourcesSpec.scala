@@ -121,6 +121,33 @@ class SourcesSpec extends SparkSpec {
     assert(!new java.io.File(s"$dir/month=jan").exists(), "drained partition dir must be deleted")
   }
 
+  test("compact: fragmented partitions collapse to one file, others stay byte-identical") {
+    import spark.implicits._
+    val dir = tempDir("compact_lake") + "/t"
+    // jan and feb fragmented (3 epochs × 4 tasks); mar written once, tight
+    (1 to 3).foreach { epoch =>
+      (1 to 8).map(i => (epoch * 100L + i, if (i % 2 == 0) "jan" else "feb", i.toDouble))
+        .toDF("id", "month", "v").repartition(4)
+        .write.mode("append").partitionBy("month").parquet(dir)
+    }
+    Seq((1L, "mar", 9.0)).toDF("id", "month", "v").coalesce(1)
+      .write.mode("append").partitionBy("month").parquet(dir)
+    def files(p: String) = new java.io.File(s"$dir/month=$p").listFiles()
+      .filter(_.getName.endsWith(".parquet")).map(f => (f.getName, f.lastModified)).sorted.toSeq
+    val marBefore = files("mar")
+    assert(files("jan").length > 1 && files("feb").length > 1)
+    val before = spark.read.parquet(dir).collect().map(_.toString).sorted
+
+    val compacted = UpsertOps.compact(spark, dir, "month")
+    assert(compacted.toSet == Set("jan", "feb"), s"got $compacted")
+    assert(files("jan").length == 1 && files("feb").length == 1)
+    assert(files("mar") == marBefore, "tight partition must keep its files untouched")
+    assert(spark.read.parquet(dir).collect().map(_.toString).sorted.sameElements(before),
+      "compaction must not change values")
+    // idempotent: nothing left to compact
+    assert(UpsertOps.compact(spark, dir, "month").isEmpty)
+  }
+
   test("approx_count_distinct within 5% of exact at rsd 1%") {
     val approx = SetOps.g3ApproxDistinct(spark, Sf0001).collect()(0)
     val exact = SetOps.g2CountDistinct(spark, Sf0001).collect()(0).getAs[Long]("n_parts")
