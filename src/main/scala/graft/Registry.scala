@@ -438,6 +438,19 @@ object Registry {
         |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS INTEGER) AS n_bpe_tokens,
         |       CAST(length(text) AS INTEGER) AS n_chars_m
         |FROM documents ORDER BY doc_id""".stripMargin)),
+    GraftQuery("x_event_funnel", EventOps.funnelStages, Some(
+      """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
+        |           WHERE event_type = 'view' GROUP BY user_id),
+        |c AS (SELECT e.user_id, min(e.ts) AS t_click FROM events e JOIN v USING (user_id)
+        |      WHERE e.event_type = 'click' AND e.ts > v.t_view GROUP BY e.user_id),
+        |p AS (SELECT e.user_id, min(e.ts) AS t_purchase FROM events e JOIN c USING (user_id)
+        |      WHERE e.event_type = 'purchase' AND e.ts > c.t_click GROUP BY e.user_id)
+        |SELECT v.user_id,
+        |       1 + CAST(c.user_id IS NOT NULL AS INTEGER)
+        |         + CAST(p.user_id IS NOT NULL AS INTEGER) AS stage
+        |FROM v LEFT JOIN c ON v.user_id = c.user_id
+        |       LEFT JOIN p ON v.user_id = p.user_id
+        |ORDER BY v.user_id""".stripMargin)),
     GraftQuery("x_text_quality_cut", TextOps.qualityCut, Some(
       """WITH s AS (SELECT doc_id, lang,
         |             len(list_filter(string_split(text, ' '),

@@ -608,6 +608,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(p.contains(0L) == p.contains(2L), s"identical texts split: $p")
   }
 
+  test("funnel: strict temporal progression — out-of-order steps do not count") {
+    import spark.implicits._
+    val dir = tempDir("funnel_events")
+    def t(m: Int) = java.sql.Timestamp.valueOf(f"2024-01-01 10:$m%02d:00")
+    Seq(
+      // user 1: full ordered funnel → stage 3
+      (1L, t(1), 1L, "view", 0.0, "{}"), (2L, t(2), 1L, "click", 0.0, "{}"),
+      (3L, t(3), 1L, "purchase", 0.0, "{}"),
+      // user 2: click BEFORE first view → stage 1
+      (4L, t(1), 2L, "click", 0.0, "{}"), (5L, t(2), 2L, "view", 0.0, "{}"),
+      // user 3: view only → stage 1
+      (6L, t(1), 3L, "view", 0.0, "{}"),
+      // user 4: no view → excluded entirely
+      (7L, t(1), 4L, "purchase", 0.0, "{}"),
+      // user 5: view then purchase WITHOUT a qualifying click → stage 1
+      (8L, t(1), 5L, "view", 0.0, "{}"), (9L, t(2), 5L, "purchase", 0.0, "{}"),
+      // user 6: view, early click ignored, later click + purchase → stage 3
+      (10L, t(2), 6L, "view", 0.0, "{}"), (11L, t(1), 6L, "click", 0.0, "{}"),
+      (12L, t(3), 6L, "click", 0.0, "{}"), (13L, t(4), 6L, "purchase", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = EventOps.funnelStages(spark, dir).collect()
+      .map(x => x.getLong(0) -> x.getInt(1)).toMap
+    assert(r == Map(1L -> 3, 2L -> 1, 3L -> 1, 5L -> 1, 6L -> 3))
+  }
+
   test("Verify input cache: identical values, in-memory second read, clean toggle-off") {
     val before = Tables(spark, Sf0001, "documents").collect().map(_.toString).sorted
     Tables.enableInputCache()
