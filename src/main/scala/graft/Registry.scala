@@ -1,6 +1,7 @@
 package graft
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions.{array_join, col, transform}
 import graft.ops._
 
 /** One engine operator exposed through the driver contract.
@@ -264,6 +265,24 @@ object Registry {
         |       coalesce(n_err, 0) AS n_err, coalesce(n_pur, 0) AS n_pur
         |FROM e FULL OUTER JOIN p ON e.user_id = p.user_id
         |ORDER BY user_id""".stripMargin)),
+    GraftQuery("j9_bloom_semi", JoinOps.j9BloomSemi, Some(
+      """SELECT l_orderkey, l_linenumber, l_extendedprice
+        |FROM lineitem
+        |WHERE l_orderkey IN
+        |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0)
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+    GraftQuery("q18_big_orders", JoinOps.q18BigOrders, Some(
+      """WITH big AS (
+        |  SELECT l_orderkey,
+        |         CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS total_qty
+        |  FROM lineitem GROUP BY l_orderkey
+        |  HAVING CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) > 250.0)
+        |SELECT c.c_custkey, c.c_name, o.o_orderkey, o.o_orderdate,
+        |       o.o_totalprice, b.total_qty
+        |FROM big b JOIN orders o ON o.o_orderkey = b.l_orderkey
+        |JOIN customer c ON o.o_custkey = c.c_custkey
+        |ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+        |LIMIT 100""".stripMargin)),
     GraftQuery("j6_asof_join", JoinOps.j6AsofJoin, Some(
       """WITH p AS (SELECT user_id, ts, max(event_id) AS pid FROM events
         |           WHERE event_type = 'purchase' GROUP BY 1, 2),
@@ -451,6 +470,55 @@ object Registry {
         |FROM v LEFT JOIN c ON v.user_id = c.user_id
         |       LEFT JOIN p ON v.user_id = p.user_id
         |ORDER BY v.user_id""".stripMargin)),
+    GraftQuery("x_event_retention", EventOps.retentionCohorts, Some(
+      """WITH um AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS activity_day
+        |            FROM events),
+        |co AS (SELECT user_id, min(activity_day) AS cohort_day FROM um GROUP BY user_id)
+        |SELECT co.cohort_day, um.activity_day,
+        |       CAST(date_diff('day', co.cohort_day, um.activity_day) AS INTEGER)
+        |         AS day_offset,
+        |       count(*) AS n_users
+        |FROM um JOIN co USING (user_id)
+        |GROUP BY co.cohort_day, um.activity_day
+        |ORDER BY cohort_day, activity_day""".stripMargin)),
+    GraftQuery("x_text_boilerplate", PretrainOps.boilerplateStrip, Some(
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |paras AS (SELECT doc_id,
+        |            unnest(list_transform(generate_series(0, CAST(ceil(len(t) / 16.0) AS INTEGER) - 1),
+        |              i -> {'para_idx': i, 'para': array_to_string(list_slice(t, i*16 + 1, i*16 + 16), ' ')})) AS pp
+        |          FROM toks),
+        |p2 AS (SELECT doc_id, CAST(pp.para_idx AS INTEGER) AS para_idx, pp.para AS para FROM paras),
+        |df AS (SELECT para, count(DISTINCT doc_id) AS df FROM p2 GROUP BY para),
+        |kept AS (SELECT p2.* FROM p2 JOIN df USING (para) WHERE df.df < 2),
+        |agg AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_kept,
+        |               string_agg(para, ' ' ORDER BY para_idx) AS clean_text
+        |        FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, CAST(ceil(len(string_split(text, ' ')) / 16.0) AS INTEGER) AS n_paras
+        |        FROM documents)
+        |SELECT t.doc_id AS doc_id, t.n_paras AS n_paras,
+        |       coalesce(a.n_kept, 0) AS n_kept, coalesce(a.clean_text, '') AS clean_text
+        |FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
+        |ORDER BY doc_id""".stripMargin)),
+    // qvec rendered as CSV for the oracle hash: the driver's value compare
+    // is proven on scalars; the operator itself returns the real int array.
+    GraftQuery("x_embed_quantize", (s, d) => SimilarityOps.quantizeInt8(s, d)
+      .select(col("vec_id"), col("scale"),
+        array_join(transform(col("qvec"),
+          x => x.cast(org.apache.spark.sql.types.StringType)), ",")
+          .as("qvec_csv")), Some(
+      """WITH d AS (SELECT vec_id,
+        |             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+        |           FROM embeddings),
+        |s AS (SELECT vec_id, dv,
+        |        list_max(list_transform(dv, x -> abs(x))) / 127.0 AS scale
+        |      FROM d)
+        |SELECT vec_id, scale,
+        |       array_to_string(
+        |         CASE WHEN scale = 0
+        |              THEN list_transform(dv, x -> 0)
+        |              ELSE list_transform(dv, x -> CAST(floor(x / scale + 0.5) AS INTEGER))
+        |         END, ',') AS qvec_csv
+        |FROM s ORDER BY vec_id""".stripMargin)),
     GraftQuery("x_text_quality_cut", TextOps.qualityCut, Some(
       """WITH s AS (SELECT doc_id, lang,
         |             len(list_filter(string_split(text, ' '),

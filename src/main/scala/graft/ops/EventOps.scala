@@ -43,4 +43,31 @@ object EventOps {
           .cast(IntegerType).as("stage"))
       .orderBy("user_id")
   }
+
+  /** Daily cohort retention: cohort = day of the user's FIRST activity;
+    * one row per (cohort_day, activity_day) with the distinct-user count
+    * and the day offset — the classic retention-triangle query.
+    *
+    * Scale shape: the (user, day) pairs are distinct-ed FIRST (map-side
+    * partial aggregation collapses the event volume to ≤ |users|×|days|
+    * before anything shuffles), the cohort min is a keyed aggregate on
+    * user_id, and the join back is co-partitioned on the same key. The
+    * final aggregate's count(*) is already distinct-by-construction, so
+    * no count-distinct state survives to the (tiny) last shuffle. Offsets
+    * are exact integer day arithmetic on day-start timestamps. */
+  def retentionCohorts(spark: SparkSession, dir: String): DataFrame = {
+    val um = Tables(spark, dir, "events")
+      .select(col("user_id"), date_trunc("day", col("ts")).as("activity_day"))
+      .distinct()
+    val cohorts = um.groupBy(col("user_id"))
+      .agg(min(col("activity_day")).as("cohort_day"))
+    um.join(cohorts, Seq("user_id"))
+      .groupBy(col("cohort_day"), col("activity_day"))
+      .agg(count(lit(1)).as("n_users"))
+      .select(col("cohort_day"), col("activity_day"),
+        datediff(col("activity_day"), col("cohort_day"))
+          .cast(IntegerType).as("day_offset"),
+        col("n_users"))
+      .orderBy("cohort_day", "activity_day")
+  }
 }

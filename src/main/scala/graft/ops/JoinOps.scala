@@ -209,4 +209,57 @@ object JoinOps {
         col("purchase_id"), col("purchase_ts"))
       .orderBy("user_id", "error_id", "purchase_id")
   }
+
+  /** J9 — bloom-pruned semi join: lineitem rows whose order is in the
+    * high-value order set. The build side's keys are aggregated into a
+    * serialized bloom filter (one 64 KiB row on the driver — bounded by
+    * the sizing, never by |orders|), the probe side is pre-filtered with
+    * the codegen'd `might_contain` kernel, and an exact semi join removes
+    * the false positives.
+    *
+    * Scale rationale: when the filtered dim outgrows the broadcast
+    * threshold, a plain semi join shuffles the FULL fact table; the bloom
+    * prunes the fact to ~|matching| × (1 + fpp) rows BEFORE that shuffle,
+    * so the exchange shrinks by the filter's selectivity (~10× here).
+    * This is Catalyst's own runtime row-level filtering pattern, applied
+    * explicitly because the build side is only selective after a
+    * predicate the injection heuristics don't size. Results are exact —
+    * the oracle is the plain semi join. */
+  def j9BloomSemi(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BloomFunctions
+    val hot = Tables(spark, dir, "orders")
+      .filter(col("o_totalprice") > 450000.0)
+    val bloom = hot
+      .agg(BloomFunctions
+        .bloomFilterAgg(col("o_orderkey"), 100000L, 8L * 64 * 1024).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    Tables(spark, dir, "lineitem")
+      .filter(BloomFunctions.mightContain(bloom, col("l_orderkey")))
+      .join(hot, col("l_orderkey") === hot("o_orderkey"), "left_semi")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** TPC-H Q18 shape (large-volume orders): aggregate-then-join-back —
+    * a HAVING subquery feeding a join, the reporting pattern the
+    * monthly_agg table invites. The per-order quantity aggregate reduces
+    * lineitem to |orders| rows BEFORE any join (reduce-then-join, one
+    * fact shuffle on the group key); AQE picks broadcast for the
+    * post-HAVING survivor set when it fits, a shuffle join when it
+    * doesn't. Sort keys (price desc, date, orderkey) end unique → the
+    * LIMIT is deterministic. */
+  def q18BigOrders(spark: SparkSession, dir: String): DataFrame = {
+    val big = Tables(spark, dir, "lineitem")
+      .groupBy(col("l_orderkey"))
+      .agg(sumExact(col("l_quantity")).as("total_qty"))
+      .filter(col("total_qty") > 250.0)
+    val orders = Tables(spark, dir, "orders")
+    val customer = Tables(spark, dir, "customer")
+    orders.join(big, orders("o_orderkey") === big("l_orderkey"))
+      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .select(col("c_custkey"), col("c_name"), col("o_orderkey"),
+        col("o_orderdate"), col("o_totalprice"), col("total_qty"))
+      .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
+      .limit(100)
+  }
 }

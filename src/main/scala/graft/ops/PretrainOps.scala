@@ -57,6 +57,51 @@ object PretrainOps {
       .orderBy("doc_id")
   }
 
+  /** Corpus-frequency boilerplate threshold: a paragraph present in this
+    * many (or more) DISTINCT documents is boilerplate (C4/CCNet-style
+    * repeated-line removal — headers, footers, licence blurbs). */
+  val BoilerplateDf = 2
+
+  /** Boilerplate removal: drop every paragraph (16-token block, see
+    * [[ParaTokens]]) whose corpus document-frequency ≥ [[BoilerplateDf]],
+    * keeping ALL occurrences of corpus-unique paragraphs — the complement
+    * of [[paragraphDedup]], which keeps the first occurrence of every
+    * paragraph. Output is a drop-in replacement corpus with per-document
+    * survival counts.
+    *
+    * Scale shape: paragraph df is a two-level keyed aggregate
+    * ((para, doc) distinct → para count), both partial-aggregatable; the
+    * verdict joins back on the paragraph key, co-partitioned with the df
+    * aggregate's own shuffle, then one shuffle on doc_id reassembles. At
+    * 100 TB the join/aggregate key becomes a 128-bit digest of the
+    * paragraph (cf. DedupOps.exactDigest) so the exchanges carry 16-byte
+    * keys, not text. No self-join, no cartesian. */
+  def boilerplateStrip(spark: SparkSession, dir: String): DataFrame = {
+    val k = ParaTokens
+    val toks = Tables(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+    val paras = toks.select(col("doc_id"),
+      posexplode(transform(
+        sequence(lit(0), ceil(size(col("t")) / lit(k.toDouble)).cast(IntegerType) - 1),
+        i => array_join(slice(col("t"), i * k + 1, lit(k)), " "))).as(Seq("para_idx", "para")))
+    val df = paras.select(col("para"), col("doc_id")).distinct()
+      .groupBy(col("para")).agg(count(lit(1)).as("df"))
+    val kept = paras.join(df, Seq("para")).filter(col("df") < lit(BoilerplateDf))
+    val reassembled = kept.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(IntegerType).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(struct(col("para_idx"), col("para")))),
+            s => s.getField("para")), " ").as("clean_text"))
+    toks
+      .select(col("doc_id"),
+        ceil(size(col("t")) / lit(k.toDouble)).cast(IntegerType).as("n_paras"))
+      .join(reassembled, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_paras"),
+        coalesce(col("n_kept"), lit(0)).as("n_kept"),
+        coalesce(col("clean_text"), lit("")).as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** Decontamination n-gram width (tokens). Real pipelines use ~13-gram;
     * the synthetic docs bottom out at 10 tokens, so 8 keeps every doc in
     * scope without changing the plan shape. */

@@ -1,0 +1,148 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantics tests for the round-5 analytics additions: cohort retention,
+  * boilerplate stripping, int8 embedding quantization, the bloom-pruned
+  * semi join, and the aggregate-join-back (Q18) shape. */
+class AnalyticsOpsSpec extends SparkSpec {
+
+  // ---------------------------------------------------------------- retention
+
+  test("retention: day-0 cohort sizes sum to the distinct-user count") {
+    val r = EventOps.retentionCohorts(spark, Sf0001)
+    val rows = r.collect()
+    assert(rows.nonEmpty)
+    val day0 = rows.filter(_.getAs[Int]("day_offset") == 0)
+      .map(_.getAs[Long]("n_users")).sum
+    val users = Tables(spark, Sf0001, "events")
+      .select(col("user_id")).distinct().count()
+    assert(day0 == users) // every user enters exactly one cohort at offset 0
+    // offsets are non-negative and consistent with the timestamps
+    rows.foreach { row =>
+      val off = row.getAs[Int]("day_offset")
+      assert(off >= 0)
+      val coh = row.getAs[java.sql.Timestamp]("cohort_day")
+      val act = row.getAs[java.sql.Timestamp]("activity_day")
+      assert((act.getTime - coh.getTime) == off * 86400000L)
+    }
+  }
+
+  test("retention: no activity row below its user's cohort day") {
+    // each cohort's day-0 row exists (a cohort is BORN from activity)
+    val r = EventOps.retentionCohorts(spark, Sf0001).collect()
+    val cohorts = r.map(_.getAs[java.sql.Timestamp]("cohort_day")).distinct
+    cohorts.foreach { c =>
+      assert(r.exists(row => row.getAs[java.sql.Timestamp]("cohort_day") == c
+        && row.getAs[Int]("day_offset") == 0))
+    }
+  }
+
+  // ------------------------------------------------------------- boilerplate
+
+  /** Fixture: docs 0 and 1 share their first 16-token paragraph
+    * (boilerplate, df=2); every other paragraph is unique to its doc. */
+  private lazy val boilerDir: String = {
+    import spark.implicits._
+    val plate = (1 to 16).map(i => s"plate$i").mkString(" ")
+    val a = plate + " " + (1 to 16).map(i => s"alpha$i").mkString(" ")
+    val b = plate + " " + (1 to 16).map(i => s"beta$i").mkString(" ")
+    val c = (1 to 16).map(i => s"gamma$i").mkString(" ")
+    val docs = Seq(
+      (0L, a, "en", "src0", a.length.toLong),
+      (1L, b, "en", "src0", b.length.toLong),
+      (2L, c, "en", "src1", c.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tempDir("boiler_docs")
+    docs.repartition(2).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("boilerplate: the shared paragraph is stripped from BOTH docs") {
+    val r = PretrainOps.boilerplateStrip(spark, boilerDir).collect()
+      .map(x => x.getAs[Long]("doc_id") ->
+        (x.getAs[Int]("n_paras"), x.getAs[Int]("n_kept"), x.getAs[String]("clean_text"))).toMap
+    assert(r(0L)._1 == 2 && r(0L)._2 == 1) // plate dropped, alpha kept
+    assert(r(0L)._3.startsWith("alpha1 "))
+    assert(!r(0L)._3.contains("plate"))
+    assert(r(1L)._2 == 1 && r(1L)._3.startsWith("beta1 "))
+    assert(r(2L) == ((1, 1, (1 to 16).map(i => s"gamma$i").mkString(" "))))
+  }
+
+  test("boilerplate: complements paragraphDedup (first occurrence vs none)") {
+    // paragraphDedup keeps ONE copy of the shared paragraph; boilerplate
+    // strips ALL copies — the df>=2 paragraph must survive in exactly one
+    // of doc 0/1 under dedup and in neither under boilerplate.
+    val dedup = PretrainOps.paragraphDedup(spark, boilerDir).collect()
+      .map(x => x.getAs[Long]("doc_id") -> x.getAs[String]("clean_text")).toMap
+    assert(dedup(0L).contains("plate1") ^ dedup(1L).contains("plate1"))
+  }
+
+  // ------------------------------------------------------------ quantization
+
+  test("quantize: codes in [-127,127], dequant error <= scale/2, zero vector safe") {
+    import spark.implicits._
+    val dir = tempDir("quant_emb")
+    val vecs = Seq(
+      (0L, Array(0.5f, -1.0f, 0.25f, 0.0f), 0),
+      (1L, Array(0.0f, 0.0f, 0.0f, 0.0f), 1), // zero vector edge
+      (2L, Array(1e-8f, -1e-8f, 1e-8f, -1e-8f), 2)) // tiny but nonzero scale
+      .toDF("vec_id", "embedding", "label")
+    vecs.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = SimilarityOps.quantizeInt8(spark, dir).collect()
+      .map(x => x.getAs[Long]("vec_id") ->
+        (x.getAs[Double]("scale"), x.getAs[scala.collection.Seq[Int]]("qvec"))).toMap
+    // zero vector: scale 0, all-zero codes (no NaN/overflow)
+    assert(r(1L)._1 == 0.0 && r(1L)._2.forall(_ == 0))
+    // codes bounded; max|x| quantizes to exactly +/-127
+    assert(r(0L)._2.forall(q => q >= -127 && q <= 127))
+    assert(r(0L)._2(1) == -127)
+    // reconstruction error bounded by half a step
+    val (s0, q0) = r(0L)
+    val orig = Array(0.5, -1.0, 0.25, 0.0)
+    q0.zipWithIndex.foreach { case (q, i) =>
+      assert(math.abs(q * s0 - orig(i)) <= s0 / 2 + 1e-12)
+    }
+  }
+
+  test("quantize: quantized cosine approximates exact cosine on real data") {
+    val r = SimilarityOps.quantizeInt8(spark, Sf0001)
+      .join(Tables(spark, Sf0001, "embeddings"), "vec_id")
+      .limit(50).collect()
+    r.foreach { row =>
+      val scale = row.getAs[Double]("scale")
+      val q = row.getAs[scala.collection.Seq[Int]]("qvec").map(_ * scale)
+      val x = row.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble)
+      val dot = q.zip(x).map { case (a, b) => a * b }.sum
+      val cos = dot / math.sqrt(q.map(a => a * a).sum * x.map(b => b * b).sum)
+      assert(cos > 0.999) // int8 keeps cosine structure to ~3 decimals
+    }
+  }
+
+  // ----------------------------------------------------------- bloom/Q18
+
+  test("bloom semi join: exactly equals the plain semi join") {
+    val got = JoinOps.j9BloomSemi(spark, Sf0001).collect().toSeq
+    val hot = Tables(spark, Sf0001, "orders").filter(col("o_totalprice") > 450000.0)
+    val want = Tables(spark, Sf0001, "lineitem")
+      .join(hot, col("l_orderkey") === col("o_orderkey"), "left_semi")
+      .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
+      .orderBy("l_orderkey", "l_linenumber")
+      .collect().toSeq
+    assert(got == want) // bloom prunes, never drops (no false negatives)
+    assert(got.nonEmpty)
+  }
+
+  test("q18: every surviving order's quantity sum exceeds the threshold") {
+    val rows = JoinOps.q18BigOrders(spark, Sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 100)
+    rows.foreach(r => assert(r.getAs[Double]("total_qty") > 250.0))
+    // join-back consistency: recompute one order's quantity sum
+    val k = rows.head.getAs[Long]("o_orderkey")
+    val want = Tables(spark, Sf0001, "lineitem")
+      .filter(col("l_orderkey") === k)
+      .agg(sumExact(col("l_quantity"))).collect()(0).getDouble(0)
+    assert(rows.head.getAs[Double]("total_qty") == want)
+  }
+}
