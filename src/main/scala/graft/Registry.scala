@@ -707,6 +707,33 @@ object Registry {
     // DuckDB cannot rerun the LSH side) + a value-checked floor gate (the
     // oracle expects passes=true, so a recall collapse goes red per-round)
     GraftQuery("x_sim_knn_recall", (s, d) => SimilarityOps.knnRecall(s, d), None),
+    GraftQuery("x_sim_topk_quantized", SimilarityOps.topkQuantized, Some(
+      """WITH d AS (SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS dv
+        |           FROM embeddings),
+        |s0 AS (SELECT vec_id, dv,
+        |         list_max(list_transform(dv, x -> abs(x))) / 127.0 AS scale
+        |       FROM d),
+        |e AS (SELECT vec_id,
+        |        CASE WHEN scale = 0 THEN list_transform(dv, x -> CAST(0 AS DOUBLE))
+        |             ELSE list_transform(dv, x -> CAST(CAST(floor(x / scale + 0.5) AS INTEGER) AS DOUBLE))
+        |        END AS v
+        |      FROM s0),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+        |s AS (SELECT q_id, vec_id AS neighbor_id, list_cosine_similarity(qv, v) AS cos FROM q, e)
+        |SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
+        |       neighbor_id
+        |FROM s QUALIFY rank <= 10 ORDER BY q_id, rank""".stripMargin)),
+    GraftQuery("x_sim_quant_recall_gate", (s, d) => SimilarityOps.quantRecallGate(s, d), Some(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+        |s AS (SELECT q_id, vec_id AS neighbor_id, list_cosine_similarity(qv, v) AS cos FROM q, e),
+        |t AS (SELECT q_id,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+        |      FROM s QUALIFY rank <= 10)
+        |SELECT CAST(count(*) AS INTEGER) AS n_exact,
+        |       CAST(0.9 AS DOUBLE) AS floor,
+        |       true AS passes
+        |FROM t""".stripMargin)),
     GraftQuery("x_sim_knn_recall_gate", (s, d) => SimilarityOps.knnRecallGate(s, d), Some(
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |s AS (SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,

@@ -366,7 +366,10 @@ object SimilarityOps {
     * is exact) with floor(x+0.5) rounding, so Spark and the DuckDB
     * oracle produce bit-identical integers; the zero-vector edge is
     * handled explicitly (scale 0 → all-zero codes). */
-  def quantizeInt8(spark: SparkSession, dir: String): DataFrame = {
+  def quantizeInt8(spark: SparkSession, dir: String): DataFrame =
+    int8Codes(spark, dir).orderBy("vec_id")
+
+  private def int8Codes(spark: SparkSession, dir: String): DataFrame = {
     val dv = transform(col("embedding"), x => x.cast(DoubleType))
     Tables(spark, dir, "embeddings")
       .select(col("vec_id"), dv.as("dv"),
@@ -376,7 +379,54 @@ object SimilarityOps {
           .otherwise(transform(col("dv"),
             x => floor(x / col("scale") + 0.5).cast(IntegerType)))
           .as("qvec"))
-      .orderBy("vec_id")
+  }
+
+  /** Exact top-k cosine over the int8-QUANTIZED codes — the serving-side
+    * payoff of [[quantizeInt8]]: cosine is invariant to a positive
+    * per-vector scale, so the integer codes are compared directly (no
+    * dequantization), which is what lets a 100 TB embedding store serve
+    * top-k from a 4×-smaller, SIMD-friendly representation. Same
+    * broadcast-queries × one-corpus-pass plan as [[topkBrute]]; the
+    * accuracy cost of the 8-bit rounding is pinned per-round by
+    * `x_sim_quant_recall_gate` against the full-precision anchor. */
+  def topkQuantized(spark: SparkSession, dir: String): DataFrame = {
+    val base = int8Codes(spark, dir)
+      .select(col("vec_id"), transform(col("qvec"), x => x.cast(DoubleType)).as("v"))
+    val queries = base.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val scored = base.join(broadcast(queries))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        cosine_similarity(col("qv"), col("v")).as("cos"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id"))
+    scored
+      .withColumn("rank", row_number().over(w).cast(IntegerType))
+      .filter(col("rank") <= K)
+      .select(col("q_id"), col("rank"), col("neighbor_id"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Recall floor for int8-quantized top-k vs the full-precision anchor.
+    * 8-bit symmetric rounding on 64-dim unit-ish vectors perturbs cosine
+    * by ~1e-3 — neighbor sets barely move; the floor is far above any
+    * LSH-style approximation but below 1.0 so rank swaps between
+    * near-ties don't flap the gate. */
+  val QuantRecallFloor = 0.9
+
+  /** Value-checked accuracy gate for the quantized serving path:
+    * recall@K of [[topkQuantized]] against [[topkBrute]], one row
+    * (n_exact, floor, passes) — same pattern as [[knnRecallGate]], so a
+    * quantization regression turns a CORRECTNESS row red. */
+  def quantRecallGate(spark: SparkSession, dir: String): DataFrame = {
+    val exact = topkBrute(spark, dir).select(col("q_id"), col("neighbor_id"))
+    val quant = topkQuantized(spark, dir)
+      .select(col("q_id"), col("neighbor_id"), lit(1).as("hit"))
+    exact.join(quant, Seq("q_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).cast(IntegerType).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).cast(IntegerType).as("n_hit"))
+      .select(col("n_exact"),
+        lit(QuantRecallFloor).as("floor"),
+        (col("n_hit").cast(DoubleType) / col("n_exact") >= QuantRecallFloor)
+          .as("passes"))
   }
 
   /** Recall floor the approximate kNN join must clear against the exact

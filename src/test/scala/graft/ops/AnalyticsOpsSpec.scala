@@ -120,6 +120,20 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("quantized top-k: self is rank 1 and recall clears the gate floor") {
+    val q = SimilarityOps.topkQuantized(spark, Sf0001).collect()
+    // a vector's quantized twin still has cosine 1 with itself → rank 1
+    q.filter(_.getAs[Int]("rank") == 1)
+      .foreach(r => assert(r.getAs[Long]("q_id") == r.getAs[Long]("neighbor_id")))
+    val exact = SimilarityOps.topkBrute(spark, Sf0001).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    val hit = q.count(r => exact((r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))))
+    assert(hit.toDouble / exact.size >= SimilarityOps.QuantRecallFloor)
+    // and the gate entry itself agrees
+    val gate = SimilarityOps.quantRecallGate(spark, Sf0001).collect()(0)
+    assert(gate.getAs[Boolean]("passes"))
+  }
+
   // ----------------------------------------------------------- bloom/Q18
 
   test("bloom semi join: exactly equals the plain semi join") {
