@@ -265,6 +265,33 @@ object Registry {
         |       coalesce(n_err, 0) AS n_err, coalesce(n_pur, 0) AS n_pur
         |FROM e FULL OUTER JOIN p ON e.user_id = p.user_id
         |ORDER BY user_id""".stripMargin)),
+    GraftQuery("q1_pricing_summary", JoinOps.q1PricingSummary, Some(
+      """SELECT l_returnflag, l_linestatus,
+        |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100 AS sum_qty,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100 AS sum_base_price,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        |         * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000 AS sum_disc_price,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+        |         * (100 - CAST(round(l_discount*100) AS BIGINT))
+        |         * (100 + CAST(round(l_tax*100) AS BIGINT))) AS DOUBLE)/1000000 AS sum_charge,
+        |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100/count(*) AS avg_qty,
+        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100/count(*) AS avg_price,
+        |  CAST(sum(CAST(round(l_discount*100) AS BIGINT)) AS DOUBLE)/100/count(*) AS avg_disc,
+        |  count(*) AS count_order
+        |FROM lineitem
+        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+        |GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+    GraftQuery("q4_priority_count", JoinOps.q4PriorityCount, Some(
+      """SELECT o_orderpriority, count(*) AS order_count
+        |FROM orders o
+        |WHERE o.o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o.o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |  AND EXISTS (SELECT 1 FROM lineitem l
+        |              WHERE l.l_orderkey = o.o_orderkey
+        |                AND l.l_shipdate > o.o_orderdate + INTERVAL 90 DAY)
+        |GROUP BY o_orderpriority
+        |ORDER BY o_orderpriority""".stripMargin)),
     GraftQuery("j9_bloom_semi", JoinOps.j9BloomSemi, Some(
       """SELECT l_orderkey, l_linenumber, l_extendedprice
         |FROM lineitem

@@ -1,9 +1,9 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{IntegerType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructField, StructType}
 
 /** Join operators. The reference has no joins (SURVEY.md §2, "What the
   * reference does NOT have"), but a complete analytics engine over its
@@ -238,6 +238,60 @@ object JoinOps {
       .join(hot, col("l_orderkey") === hot("o_orderkey"), "left_semi")
       .select(col("l_orderkey"), col("l_linenumber"), col("l_extendedprice"))
       .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  /** TPC-H Q1 shape (pricing summary): one filtered scan, eight aggregate
+    * measures per (returnflag, linestatus) — including the three-factor
+    * charge term price·(1−disc)·(1+tax). All measures run in SCALED INT64
+    * (inputs are exact 2-decimal values, so ×100 + round is lossless):
+    * the per-row product is ≤ ~1.2e11 and the sums stay far inside int64
+    * at bench scale, giving bit-identical results in any engine and any
+    * partitioning. At warehouse scale the same plan swaps the int64 sums
+    * for DECIMAL(38,x) — plan shape (partial+final hash agg over a
+    * pushed-down scan, ~6 output rows) is unchanged. */
+  def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
+    def c100(c: Column): Column = round(c * 100).cast(LongType)
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+      .select(col("l_returnflag"), col("l_linestatus"),
+        c100(col("l_quantity")).as("qty_c"),
+        c100(col("l_extendedprice")).as("price_c"),
+        c100(col("l_discount")).as("disc_c"),
+        c100(col("l_tax")).as("tax_c"))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        (sum(col("qty_c")).cast(DoubleType) / 100).as("sum_qty"),
+        (sum(col("price_c")).cast(DoubleType) / 100).as("sum_base_price"),
+        (sum(col("price_c") * (lit(100L) - col("disc_c"))).cast(DoubleType) / 10000)
+          .as("sum_disc_price"),
+        (sum(col("price_c") * (lit(100L) - col("disc_c")) * (lit(100L) + col("tax_c")))
+          .cast(DoubleType) / 1000000).as("sum_charge"),
+        (sum(col("qty_c")).cast(DoubleType) / 100 / count(lit(1))).as("avg_qty"),
+        (sum(col("price_c")).cast(DoubleType) / 100 / count(lit(1))).as("avg_price"),
+        (sum(col("disc_c")).cast(DoubleType) / 100 / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** TPC-H Q4 shape (order-priority checking): EXISTS over a correlated
+    * inequality — orders in a window having at least one lineitem shipped
+    * more than 90 days after the order date (the dataset has no
+    * commit/receipt dates; shipped-late carries the same plan). The semi
+    * join keys on orderkey with the date comparison as a residual — one
+    * keyed exchange, no pair blowup, count per priority after the
+    * existence test collapses duplicates. */
+  def q4PriorityCount(spark: SparkSession, dir: String): DataFrame = {
+    val o = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+    val li = Tables(spark, dir, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+    o.join(li,
+        o("o_orderkey") === li("l_orderkey") &&
+          li("l_shipdate") > o("o_orderdate") + expr("INTERVAL 90 DAYS"),
+        "left_semi")
+      .groupBy(col("o_orderpriority"))
+      .agg(count(lit(1)).as("order_count"))
+      .orderBy("o_orderpriority")
   }
 
   /** TPC-H Q18 shape (large-volume orders): aggregate-then-join-back —

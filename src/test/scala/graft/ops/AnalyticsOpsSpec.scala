@@ -148,6 +148,48 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("q1: scaled-int64 measures agree with the decimal aggregation path") {
+    val r = JoinOps.q1PricingSummary(spark, Sf0001).collect()
+    assert(r.nonEmpty)
+    val cutoff = java.sql.Timestamp.valueOf("1998-09-02 00:00:00")
+    val want = Tables(spark, Sf0001, "lineitem")
+      .filter(col("l_shipdate") <= lit(cutoff))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(sumExact(col("l_quantity")).as("sq"),
+        sumExact(col("l_extendedprice")).as("sp"),
+        revenueExact(col("l_extendedprice"), col("l_discount")).as("sd"),
+        count(lit(1)).as("n"))
+      .collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        (x.getDouble(2), x.getDouble(3), x.getDouble(4), x.getLong(5))).toMap
+    r.foreach { row =>
+      val k = (row.getAs[String]("l_returnflag"), row.getAs[String]("l_linestatus"))
+      val (sq, sp, sd, n) = want(k)
+      assert(row.getAs[Double]("sum_qty") == sq)
+      assert(row.getAs[Double]("sum_base_price") == sp)
+      assert(row.getAs[Double]("sum_disc_price") == sd)
+      assert(row.getAs[Long]("count_order") == n)
+      // charge >= disc price (tax is non-negative)
+      assert(row.getAs[Double]("sum_charge") >= row.getAs[Double]("sum_disc_price"))
+    }
+  }
+
+  test("q4: priority counts equal a distinct-count formulation") {
+    val got = JoinOps.q4PriorityCount(spark, Sf0001).collect()
+      .map(r => r.getAs[String]("o_orderpriority") -> r.getAs[Long]("order_count")).toMap
+    val o = Tables(spark, Sf0001, "orders")
+      .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+    val li = Tables(spark, Sf0001, "lineitem").select(col("l_orderkey"), col("l_shipdate"))
+    val want = o.join(li,
+        o("o_orderkey") === li("l_orderkey") &&
+          li("l_shipdate") > o("o_orderdate") + expr("INTERVAL 90 DAYS"))
+      .groupBy(col("o_orderpriority"))
+      .agg(countDistinct(col("o_orderkey")).as("n"))
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(got == want && got.nonEmpty)
+  }
+
   test("q18: every surviving order's quantity sum exceeds the threshold") {
     val rows = JoinOps.q18BigOrders(spark, Sf0001).collect()
     assert(rows.nonEmpty && rows.length <= 100)
