@@ -377,6 +377,15 @@ object Registry {
         |       / count(value) OVER (PARTITION BY user_id ORDER BY event_id
         |                            ROWS BETWEEN 3 PRECEDING AND CURRENT ROW) AS mavg_4
         |FROM events ORDER BY user_id, event_id""".stripMargin)),
+    GraftQuery("w8_first_last", WindowOps.w8FirstLast, Some(
+      """SELECT user_id, event_id,
+        |  first_value(event_type) OVER w AS first_type,
+        |  last_value(event_type) OVER w AS last_type,
+        |  nth_value(event_type, 2) OVER w AS second_type
+        |FROM events
+        |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+        |ORDER BY user_id, event_id""".stripMargin)),
     GraftQuery("w7_rank_family", WindowOps.w7RankFamily, Some(
       """SELECT o_orderpriority, o_orderkey,
         |       CAST(dense_rank() OVER w AS INTEGER) AS drank,
@@ -412,6 +421,20 @@ object Registry {
     GraftQuery("set2_except", SetOps.set2Except, Some(
       """SELECT c_custkey AS custkey FROM customer
         |EXCEPT SELECT o_custkey FROM orders ORDER BY custkey""".stripMargin)),
+    GraftQuery("set4_except_all", SetOps.set4ExceptAll, Some(
+      """WITH d AS (
+        |  SELECT user_id FROM events WHERE event_type = 'error'
+        |  EXCEPT ALL
+        |  SELECT user_id FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, count(*) AS surplus_errors
+        |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin)),
+    GraftQuery("set5_intersect_all", SetOps.set5IntersectAll, Some(
+      """WITH d AS (
+        |  SELECT user_id FROM events WHERE event_type = 'error'
+        |  INTERSECT ALL
+        |  SELECT user_id FROM events WHERE event_type = 'purchase')
+        |SELECT user_id, count(*) AS n_common
+        |FROM d GROUP BY user_id ORDER BY user_id""".stripMargin)),
     GraftQuery("set3_intersect", SetOps.set3Intersect, Some(
       """SELECT user_id FROM events WHERE event_type = 'error'
         |INTERSECT SELECT user_id FROM events WHERE event_type = 'purchase'

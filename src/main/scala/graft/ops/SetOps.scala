@@ -29,6 +29,29 @@ object SetOps {
       .orderBy("user_id")
   }
 
+  /** EXCEPT ALL (bag semantics): per-user error events minus a matching
+    * COUNT of purchase events — multiplicities subtract instead of the
+    * set collapse of [[set2Except]]. Spark plans both bag variants as a
+    * single hash aggregation on the value with a count-difference
+    * generator — one shuffle, no join. */
+  def set4ExceptAll(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    ev.filter(col("event_type") === "error").select(col("user_id"))
+      .exceptAll(ev.filter(col("event_type") === "purchase").select(col("user_id")))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("surplus_errors"))
+      .orderBy("user_id")
+  }
+
+  /** INTERSECT ALL (bag semantics): min(multiplicity) per user across the
+    * error and purchase event streams. */
+  def set5IntersectAll(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    ev.filter(col("event_type") === "error").select(col("user_id"))
+      .intersectAll(ev.filter(col("event_type") === "purchase").select(col("user_id")))
+      .groupBy(col("user_id")).agg(count(lit(1)).as("n_common"))
+      .orderBy("user_id")
+  }
+
   /** ROLLUP over (returnflag, linestatus) with exact sums; null grouping
     * keys are folded to 'ALL' so the sort order is engine-independent
     * (Spark sorts nulls first ASC, DuckDB last). */

@@ -101,6 +101,25 @@ object WindowOps {
       .orderBy("o_orderpriority", "o_orderkey")
   }
 
+  /** W8 — navigation family over the FULL partition frame: each event
+    * annotated with its user's first, last, and second event type
+    * (first_value / last_value / nth_value with an explicit
+    * unbounded-both-ways ROWS frame — last_value under the default frame
+    * is the current row, the classic window gotcha). Deterministic via
+    * the unique (ts, event_id) sort; one shuffle on user_id shared by all
+    * three measures. */
+  def w8FirstLast(spark: SparkSession, dir: String): DataFrame = {
+    val full = Window.partitionBy(col("user_id"))
+      .orderBy(col("ts"), col("event_id"))
+      .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"),
+        first(col("event_type")).over(full).as("first_type"),
+        last(col("event_type")).over(full).as("last_type"),
+        nth_value(col("event_type"), 2).over(full).as("second_type"))
+      .orderBy("user_id", "event_id")
+  }
+
   /** W5 — rolling time-RANGE window: trailing 1-hour sum of value per
     * user. The frame is defined on the time axis (µs since epoch), not on
     * row counts, so it is insensitive to event density — the same frame

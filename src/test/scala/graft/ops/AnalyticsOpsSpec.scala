@@ -134,6 +134,33 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(gate.getAs[Boolean]("passes"))
   }
 
+  // ------------------------------------------------------ set-all / window
+
+  test("exceptAll/intersectAll: multiplicities subtract and min, not collapse") {
+    import spark.implicits._
+    val a = Seq(1L, 1L, 1L, 2L, 3L).toDF("user_id")
+    val b = Seq(1L, 2L, 2L).toDF("user_id")
+    val surplus = a.exceptAll(b).groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(surplus == Map(1L -> 2L, 3L -> 1L)) // 3-1 ones, 1-2 twos (floor 0), 1-0 threes
+    val common = a.intersectAll(b).groupBy("user_id").count().collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(common == Map(1L -> 1L, 2L -> 1L)) // min(3,1), min(1,2)
+  }
+
+  test("w8: per-user first/last/second are frame-wide, not running") {
+    val rows = WindowOps.w8FirstLast(spark, Sf0001).collect()
+    val byUser = rows.groupBy(_.getAs[Long]("user_id"))
+    byUser.foreach { case (_, rs) =>
+      // every row of a user carries the SAME first/last/second annotation
+      assert(rs.map(_.getAs[String]("first_type")).distinct.length == 1)
+      assert(rs.map(_.getAs[String]("last_type")).distinct.length == 1)
+      assert(rs.map(_.getAs[String]("second_type")).distinct.length == 1)
+      // and a single-event user has no second event
+      if (rs.length == 1) assert(rs.head.getAs[String]("second_type") == null)
+    }
+  }
+
   // ----------------------------------------------------------- bloom/Q18
 
   test("bloom semi join: exactly equals the plain semi join") {
