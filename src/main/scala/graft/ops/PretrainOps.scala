@@ -69,36 +69,41 @@ object PretrainOps {
     * paragraph. Output is a drop-in replacement corpus with per-document
     * survival counts.
     *
-    * Scale shape: paragraph df is a two-level keyed aggregate
-    * ((para, doc) distinct → para count), both partial-aggregatable; the
-    * verdict joins back on the paragraph key, co-partitioned with the df
-    * aggregate's own shuffle, then one shuffle on doc_id reassembles. At
-    * 100 TB the join/aggregate key becomes a 128-bit digest of the
-    * paragraph (cf. DedupOps.exactDigest) so the exchanges carry 16-byte
-    * keys, not text. No self-join, no cartesian. */
+    * Scale shape: ONE corpus scan, zero joins. The exploded paragraph
+    * table is hash-partitioned by `para` once; that single distribution
+    * satisfies BOTH window passes (hash(para) clusters (para, doc_id)
+    * subsets too), so df — distinct-doc count per paragraph — is a
+    * first-occurrence flag summed over the para partition, the
+    * salientTerms df-as-window-count trick. The verdict, the kept count,
+    * the paragraph total AND the reassembly then fold into one doc_id
+    * aggregation (every document has ≥ 1 paragraph, so no left join is
+    * needed to resurrect fully-stripped docs — their collect_list is
+    * simply empty). At 100 TB the paragraph partition key becomes a
+    * 128-bit digest (cf. DedupOps.exactDigest) so the exchange carries
+    * 16-byte keys, not text. */
   def boilerplateStrip(spark: SparkSession, dir: String): DataFrame = {
     val k = ParaTokens
-    val toks = Tables(spark, dir, "documents")
+    val paras = Tables.parallel(spark, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("t"))
-    val paras = toks.select(col("doc_id"),
-      posexplode(transform(
-        sequence(lit(0), ceil(size(col("t")) / lit(k.toDouble)).cast(IntegerType) - 1),
-        i => array_join(slice(col("t"), i * k + 1, lit(k)), " "))).as(Seq("para_idx", "para")))
-    val df = paras.select(col("para"), col("doc_id")).distinct()
-      .groupBy(col("para")).agg(count(lit(1)).as("df"))
-    val kept = paras.join(df, Seq("para")).filter(col("df") < lit(BoilerplateDf))
-    val reassembled = kept.groupBy(col("doc_id"))
-      .agg(count(lit(1)).cast(IntegerType).as("n_kept"),
-        array_join(
-          transform(array_sort(collect_list(struct(col("para_idx"), col("para")))),
-            s => s.getField("para")), " ").as("clean_text"))
-    toks
       .select(col("doc_id"),
-        ceil(size(col("t")) / lit(k.toDouble)).cast(IntegerType).as("n_paras"))
-      .join(reassembled, Seq("doc_id"), "left")
-      .select(col("doc_id"), col("n_paras"),
-        coalesce(col("n_kept"), lit(0)).as("n_kept"),
-        coalesce(col("clean_text"), lit("")).as("clean_text"))
+        posexplode(transform(
+          sequence(lit(0), ceil(size(col("t")) / lit(k.toDouble)).cast(IntegerType) - 1),
+          i => array_join(slice(col("t"), i * k + 1, lit(k)), " "))).as(Seq("para_idx", "para")))
+      .repartition(col("para"))
+    val wFirst = Window.partitionBy(col("para"), col("doc_id")).orderBy(col("para_idx"))
+    val wPara = Window.partitionBy(col("para"))
+    val withDf = paras
+      .withColumn("first_in_doc", when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
+      .withColumn("df", sum(col("first_in_doc")).over(wPara))
+    withDf.groupBy(col("doc_id"))
+      .agg(
+        (max(col("para_idx")) + 1).cast(IntegerType).as("n_paras"),
+        sum(when(col("df") < BoilerplateDf, 1L).otherwise(0L))
+          .cast(IntegerType).as("n_kept"),
+        array_join(
+          transform(array_sort(collect_list(
+            when(col("df") < BoilerplateDf, struct(col("para_idx"), col("para"))))),
+            s => s.getField("para")), " ").as("clean_text"))
       .orderBy("doc_id")
   }
 
