@@ -310,6 +310,49 @@ object Registry {
         |JOIN customer c ON o.o_custkey = c.c_custkey
         |ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
         |LIMIT 100""".stripMargin)),
+    GraftQuery("q5_local_supplier", JoinOps.q5LocalSupplier, Some(
+      """SELECT n_name,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM lineitem
+        |JOIN orders ON l_orderkey = o_orderkey
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'ASIA'
+        |  AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND o_orderdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY n_name
+        |ORDER BY revenue DESC, n_name""".stripMargin)),
+    GraftQuery("q10_returned_items", JoinOps.q10ReturnedItems, Some(
+      """WITH lost AS (
+        |  SELECT o_custkey,
+        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  WHERE l_returnflag = 'R'
+        |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |    AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+        |  GROUP BY o_custkey)
+        |SELECT c_custkey, c_name, revenue, c_acctbal, n_name
+        |FROM lost
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |ORDER BY revenue DESC, c_custkey
+        |LIMIT 20""".stripMargin)),
+    GraftQuery("x_scd2_merge", UpsertOps.scd2Merge, Some(
+      """WITH upd AS (
+        |  SELECT c_custkey AS u_key,
+        |         CAST(CAST(c_acctbal AS DECIMAL(18,2)) + CAST(100 AS DECIMAL(18,2)) AS DOUBLE) AS new_bal
+        |  FROM customer WHERE c_custkey % 7 = 0)
+        |SELECT c.c_custkey AS c_custkey, c.c_acctbal AS c_acctbal,
+        |       TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+        |       CASE WHEN u.u_key IS NOT NULL
+        |            THEN TIMESTAMP '2024-06-01 00:00:00' END AS valid_to,
+        |       1 AS version
+        |FROM customer c LEFT JOIN upd u ON c.c_custkey = u.u_key
+        |UNION ALL
+        |SELECT u_key, new_bal, TIMESTAMP '2024-06-01 00:00:00', NULL, 2 FROM upd
+        |ORDER BY c_custkey, version""".stripMargin)),
     GraftQuery("j6_asof_join", JoinOps.j6AsofJoin, Some(
       """WITH p AS (SELECT user_id, ts, max(event_id) AS pid FROM events
         |           WHERE event_type = 'purchase' GROUP BY 1, 2),
@@ -531,6 +574,34 @@ object Registry {
         |FROM um JOIN co USING (user_id)
         |GROUP BY co.cohort_day, um.activity_day
         |ORDER BY cohort_day, activity_day""".stripMargin)),
+    GraftQuery("x_event_anomaly", EventOps.anomalyZscore, Some(
+      """WITH s AS (
+        |  SELECT event_type AS et,
+        |         CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) / CAST(count(value) AS DOUBLE) AS mean_v,
+        |         sqrt((CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE)
+        |               - CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) * CAST(sum(CAST(value AS DECIMAL(28,2))) AS DOUBLE) / CAST(count(value) AS DOUBLE))
+        |              / (CAST(count(value) AS DOUBLE) - 1.0)) AS stddev_v
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, event_type, value, (value - mean_v) / stddev_v AS zscore
+        |FROM events JOIN s ON event_type = et
+        |WHERE abs((value - mean_v) / stddev_v) > 2.0
+        |ORDER BY event_id""".stripMargin)),
+    GraftQuery("x_event_gapfill", EventOps.gapFillHourly, Some(
+      """WITH spine AS (
+        |  SELECT user_id, unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+        |                                         TIMESTAMP '2024-01-30 23:00:00',
+        |                                         INTERVAL 1 HOUR)) AS hour_ts
+        |  FROM (SELECT DISTINCT user_id FROM events)),
+        |hr AS (SELECT user_id AS u, date_trunc('hour', ts) AS hh,
+        |              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS v
+        |       FROM events WHERE event_type = 'view' GROUP BY 1, 2)
+        |SELECT s.user_id AS user_id, s.hour_ts AS hour_ts,
+        |       last_value(hr.v IGNORE NULLS) OVER (
+        |         PARTITION BY s.user_id ORDER BY s.hour_ts
+        |         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS value_filled,
+        |       hr.v IS NOT NULL AS is_observed
+        |FROM spine s LEFT JOIN hr ON s.user_id = hr.u AND s.hour_ts = hr.hh
+        |ORDER BY user_id, hour_ts""".stripMargin)),
     GraftQuery("x_text_boilerplate", PretrainOps.boilerplateStrip, Some(
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |paras AS (SELECT doc_id,
@@ -637,6 +708,14 @@ object Registry {
     GraftQuery("x_dedup_exact_digest", DedupOps.exactDigest, Some(
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin)),
+    GraftQuery("x_dedup_incremental", DedupOps.incremental, Some(
+      """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
+        |FROM documents b
+        |WHERE source = 'src0'
+        |  AND NOT EXISTS (SELECT 1 FROM documents c
+        |                  WHERE c.source <> 'src0' AND c.text = b.text)
+        |GROUP BY b.text
+        |ORDER BY keep_id""".stripMargin)),
     GraftQuery("x_dedup_ngram_jaccard", DedupOps.ngramJaccard, Some(
       """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
         |tri AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t) - 2),
@@ -885,6 +964,15 @@ object Registry {
         |       CAST((cum - n_tokens) // 2048 AS INTEGER) AS seq_first,
         |       CAST((cum - 1) // 2048 AS INTEGER) AS seq_last
         |FROM c ORDER BY source, doc_id""".stripMargin)),
+    GraftQuery("x_pack_length_buckets", PretrainOps.lengthBuckets, Some(
+      """WITH d AS (SELECT CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS INTEGER) AS n_tokens
+        |           FROM documents)
+        |SELECT CAST(floor(n_tokens / 16) AS INTEGER) * 16 AS bucket_lo,
+        |       count(*) AS n_docs,
+        |       CAST(sum(n_tokens) AS BIGINT) AS sum_tokens,
+        |       min(n_tokens) AS min_tokens,
+        |       max(n_tokens) AS max_tokens
+        |FROM d GROUP BY bucket_lo ORDER BY bucket_lo""".stripMargin)),
     GraftQuery("x_sim_ann_multiprobe", SimilarityOps.annLshMultiProbe, None),
     GraftQuery("x_sim_ann_ivf", (s, d) => SimilarityOps.annIvf(s, d), None),
     GraftQuery("x_split_hash", SamplingOps.splitHash, Some(

@@ -47,6 +47,35 @@ object DedupOps {
       .select(col("keep_id"), col("n_copies"))
       .orderBy("keep_id")
 
+  /** Incremental (new-batch vs corpus) exact dedup — the production
+    * pattern: a daily crawl is deduplicated against the existing corpus
+    * WITHOUT re-deduplicating the corpus itself. The batch (source
+    * `src0` stands in for today's arrivals) anti-joins the corpus on a
+    * 128-bit text digest, then collapses within-batch duplicates; output
+    * is the surviving new documents.
+    *
+    * Scale shape: the corpus side of the anti join carries ONLY the
+    * 16-byte digest (never the text — |corpus| × 16 B shuffle, and on a
+    * digest-bucketed corpus table the exchange disappears entirely); the
+    * batch, typically orders of magnitude smaller, shuffles once on the
+    * same key and the within-batch group-by reuses that partitioning.
+    * Value-oracled via text equality (digest ≡ text modulo ~2⁻¹²⁹
+    * collisions, same argument as `exactDigest`). */
+  def incremental(spark: SparkSession, dir: String): DataFrame = {
+    def digest(c: Column): Column = struct(
+      xxhash64(c).as("h1"), xxhash64(c, lit(0x5EED)).as("h2"))
+    val docs = Tables(spark, dir, "documents")
+    val corpus = docs.filter(col("source") =!= "src0")
+      .select(digest(col("text")).as("d"))
+    val batch = docs.filter(col("source") === "src0")
+      .select(col("doc_id"), digest(col("text")).as("d"))
+    batch.join(corpus, Seq("d"), "left_anti")
+      .groupBy(col("d"))
+      .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
+      .select(col("keep_id"), col("n_copies"))
+      .orderBy("keep_id")
+  }
+
   /** Exact n-gram (3-token shingle) Jaccard near-dup pairs, threshold 0.5,
     * via a PPJoin-style PREFIX-FILTERED inverted index (Xiao et al.,
     * "Efficient Similarity Joins for Near Duplicate Detection", WWW'08):

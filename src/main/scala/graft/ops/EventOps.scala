@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -42,6 +43,78 @@ object EventOps {
           + when(col("t_purchase").isNotNull, 1).otherwise(0))
           .cast(IntegerType).as("stage"))
       .orderBy("user_id")
+  }
+
+  /** Z-score anomaly detection: events whose value sits more than 2
+    * sample standard deviations from their type's mean — the outlier
+    * screen a weather/metrics warehouse runs before aggregates are
+    * trusted (a −40° reading in a Stockton summer is a sensor fault,
+    * not climate).
+    *
+    * Determinism: mean and stddev come from EXACT decimal sums (the
+    * a9_stddev_exact formulation — sum, sum-of-squares, count), so both
+    * engines compute bit-identical doubles; the per-row z-score is then
+    * plain IEEE arithmetic, identical everywhere, and the |z| > 2 cut
+    * agrees exactly.
+    *
+    * Scale shape: the stats table is |event_types| rows — broadcast back
+    * over the fact scan, so the ONLY shuffle is the tiny grouped
+    * aggregate; the flagging pass is a map over the corpus. */
+  def anomalyZscore(spark: SparkSession, dir: String): DataFrame = {
+    val sx = sum(col("value").cast(DecimalType(28, 2))).cast(DoubleType)
+    val sxx = sum(dec2(col("value")) * dec2(col("value"))).cast(DoubleType)
+    val n = count(col("value")).cast(DoubleType)
+    val ev = Tables(spark, dir, "events")
+    // singleton groups have no sample stddev and constant groups a zero
+    // one — both guards return null, and a null z-score is never flagged
+    // (ANSI mode would otherwise raise on the zero division)
+    val stats = ev.groupBy(col("event_type").as("et"))
+      .agg((sx / n).as("mean_v"),
+        when(n > 1.0, sqrt((sxx - sx * sx / n) / (n - lit(1.0)))).as("stddev_v"))
+    ev.join(broadcast(stats), col("event_type") === col("et"))
+      .withColumn("zscore",
+        when(col("stddev_v") > 0.0,
+          (col("value") - col("mean_v")) / col("stddev_v")))
+      .filter(abs(col("zscore")) > 2.0)
+      .select(col("event_id"), col("event_type"), col("value"), col("zscore"))
+      .orderBy("event_id")
+  }
+
+  /** Hourly gap-fill with forward fill (LOCF): every (user, hour) slot in
+    * the month gets the user's most recent observed hourly mean — the
+    * time-series regularization step a weather warehouse needs before
+    * resampling sparse sensor feeds (the reference stores hourly rows and
+    * its dashboard assumes a dense series; this is how a lake makes one).
+    *
+    * Spine bounds are pinned to the dataset's month so both engines
+    * generate identical slots. Observed slots carry the exact-decimal
+    * hourly mean; `is_observed` distinguishes carried values.
+    *
+    * Scale shape: the spine is |users| × |hours| rows generated
+    * DISTRIBUTED (sequence+explode per user — no driver loop, no
+    * collect); the hourly aggregate collapses the event volume before
+    * the join; forward fill is ONE window shuffle on user_id with a
+    * running `last(ignoreNulls)` — O(hours) state per user, and at 100 TB
+    * the spine join and the window share the user_id distribution. */
+  def gapFillHourly(spark: SparkSession, dir: String): DataFrame = {
+    val start = lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    val end = lit(java.sql.Timestamp.valueOf("2024-01-30 23:00:00"))
+    val ev = Tables(spark, dir, "events")
+    val spine = ev.select(col("user_id")).distinct()
+      .select(col("user_id"),
+        explode(sequence(start, end, expr("INTERVAL 1 HOUR"))).as("hour_ts"))
+    val hourly = ev.filter(col("event_type") === "view")
+      .groupBy(col("user_id").as("u"), date_trunc("hour", col("ts")).as("h"))
+      .agg(avgExact(col("value")).as("v"))
+    val w = Window.partitionBy(col("user_id")).orderBy(col("hour_ts"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    spine
+      .join(hourly, col("user_id") === col("u") && col("hour_ts") === col("h"), "left")
+      .select(col("user_id"), col("hour_ts"), col("v"))
+      .withColumn("value_filled", last(col("v"), ignoreNulls = true).over(w))
+      .withColumn("is_observed", col("v").isNotNull)
+      .drop("v")
+      .orderBy("user_id", "hour_ts")
   }
 
   /** Daily cohort retention: cohort = day of the user's FIRST activity;

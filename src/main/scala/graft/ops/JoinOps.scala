@@ -294,6 +294,65 @@ object JoinOps {
       .orderBy("o_orderpriority")
   }
 
+  /** TPC-H Q5 shape (local supplier volume): the full six-table join with
+    * the LOCAL-supplier condition c_nationkey = s_nationkey — the edge j3
+    * (plain star) lacks. That condition is what keeps Q5 interesting: the
+    * supplier side cannot be folded into the star, it joins the fact on
+    * l_suppkey AND constrains against the customer branch.
+    *
+    * Scale shape: supplier/customer/nation/region all broadcast (dims);
+    * lineitem⋈orders is the ONE fact shuffle, on orderkey. The nation
+    * equality is applied as a residual on the broadcast rows, so no
+    * second fact exchange appears. Revenue sums in exact decimal; the
+    * revenue-desc output order is tie-broken by n_name. */
+  def q5LocalSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+    val orders = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00")))
+    val customer = Tables(spark, dir, "customer")
+    val supplier = Tables(spark, dir, "supplier")
+    val nation = Tables(spark, dir, "nation")
+    val region = Tables(spark, dir, "region").filter(col("r_name") === "ASIA")
+    li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+      .join(broadcast(supplier),
+        li("l_suppkey") === supplier("s_suppkey") &&
+          customer("c_nationkey") === supplier("s_nationkey"))
+      .join(broadcast(nation), supplier("s_nationkey") === nation("n_nationkey"))
+      .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
+      .groupBy(col("n_name"))
+      .agg(revenueExact(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy(col("revenue").desc, col("n_name"))
+  }
+
+  /** TPC-H Q10 shape (returned-item reporting): customers ranked by
+    * revenue lost to returns in a quarter. Customer is the dimension that
+    * at warehouse scale may NOT broadcast — here it does (AQE would pick
+    * shuffle-hash past the threshold; the plan is the same shape either
+    * way); the fact shuffle is lineitem⋈orders on orderkey, then ONE
+    * reduce on custkey before the dim join — reduce-then-join keeps the
+    * customer exchange at |customers with returns|, not |return rows|.
+    * Top-20 by exact-decimal revenue, custkey tiebreak → deterministic. */
+  def q10ReturnedItems(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem").filter(col("l_returnflag") === "R")
+    val orders = Tables(spark, dir, "orders")
+      .filter(col("o_orderdate") >= lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")) &&
+        col("o_orderdate") < lit(java.sql.Timestamp.valueOf("1996-04-01 00:00:00")))
+    val customer = Tables(spark, dir, "customer")
+    val nation = Tables(spark, dir, "nation")
+    val lost = li.join(orders, li("l_orderkey") === orders("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(revenueExact(col("l_extendedprice"), col("l_discount")).as("revenue"))
+    lost
+      .join(broadcast(customer), lost("o_custkey") === customer("c_custkey"))
+      .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
+      .select(col("c_custkey"), col("c_name"), col("revenue"),
+        col("c_acctbal"), col("n_name"))
+      .orderBy(col("revenue").desc, col("c_custkey"))
+      .limit(20)
+  }
+
   /** TPC-H Q18 shape (large-volume orders): aggregate-then-join-back —
     * a HAVING subquery feeding a join, the reporting pattern the
     * monthly_agg table invites. The per-order quantity aggregate reduces

@@ -221,6 +221,29 @@ object PretrainOps {
   def packSequencesBpe(spark: SparkSession, dir: String): DataFrame =
     packWith(spark, dir, TextOps.bpeTokenCount(col("text")))
 
+  /** Length-bucketed batching stats: documents binned by BPE-regex token
+    * count into fixed-width buckets — the histogram a training scheduler
+    * uses to build length-homogeneous batches (padding waste ∝ in-batch
+    * length spread) and the sanity check before choosing `SeqLen`.
+    *
+    * Scale shape: a single hash aggregate on the derived bucket key —
+    * partial aggregation collapses each partition to ≤ |buckets| rows
+    * before the (tiny) shuffle; nothing else moves. Integer bucket
+    * arithmetic → value-oracled. */
+  val BucketWidth = 16
+
+  def lengthBuckets(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(TextOps.bpeTokenCount(col("text")).as("n_tokens"))
+      .groupBy((floor(col("n_tokens") / BucketWidth).cast(IntegerType) * BucketWidth)
+        .as("bucket_lo"))
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_tokens")).cast(LongType).as("sum_tokens"),
+        min(col("n_tokens")).as("min_tokens"),
+        max(col("n_tokens")).as("max_tokens"))
+      .orderBy("bucket_lo")
+
   private def packWith(spark: SparkSession, dir: String,
       nTokens: org.apache.spark.sql.Column): DataFrame = {
     val docs = Tables(spark, dir, "documents")

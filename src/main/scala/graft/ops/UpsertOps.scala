@@ -2,6 +2,7 @@ package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DoubleType, TimestampType}
 
 /** Key-based upsert (MERGE) into a partitioned parquet lake — the
   * transaction-log-free form: updates replace current rows by key,
@@ -72,6 +73,49 @@ object UpsertOps {
         fs.delete(dir, true)
       }
     }
+  }
+
+  /** SCD2 (type-2 slowly-changing-dimension) merge — the versioned
+    * counterpart of `upsertByKey`: instead of replacing a changed row,
+    * the current version is CLOSED (`valid_to` stamped with the effective
+    * instant) and a new open version appended, so history stays
+    * queryable as-of any date.
+    *
+    * The registry query derives both inputs deterministically from the
+    * customer dimension (current = every customer at version 1; changes =
+    * keys ≡ 0 mod 7 with the balance moved by +100 in exact decimal) so
+    * the whole merge is value-oracled against DuckDB.
+    *
+    * Scale shape: ONE keyed left join of the dimension against the
+    * (broadcast) change set decides closed-vs-untouched per row, and the
+    * new versions are the change set re-projected — no window, no
+    * self-join, no full-dimension shuffle. On a key-bucketed dimension
+    * table the join co-locates and the merge rewrites only the buckets
+    * holding changed keys (same touched-partition discipline as
+    * `upsertByKey`). */
+  def scd2Merge(spark: SparkSession, dir: String): DataFrame = {
+    val open = lit(java.sql.Timestamp.valueOf("2024-01-01 00:00:00"))
+    val eff = lit(java.sql.Timestamp.valueOf("2024-06-01 00:00:00"))
+    val customer = Tables(spark, dir, "customer")
+    val changes = customer
+      .filter(col("c_custkey") % 7 === 0)
+      .select(col("c_custkey").as("u_key"),
+        (dec2(col("c_acctbal")) + lit(BigDecimal(100)).cast(Dec2))
+          .cast(DoubleType).as("new_bal"))
+    val current = customer.select(
+      col("c_custkey"), col("c_acctbal"),
+      open.as("valid_from"), lit(null).cast(TimestampType).as("valid_to"),
+      lit(1).as("version"))
+    val closedOrKept = current
+      .join(broadcast(changes), current("c_custkey") === changes("u_key"), "left")
+      .select(col("c_custkey"), col("c_acctbal"), col("valid_from"),
+        when(col("u_key").isNotNull, eff).otherwise(col("valid_to")).as("valid_to"),
+        col("version"))
+    val newVersions = changes.select(
+      col("u_key").as("c_custkey"), col("new_bal").as("c_acctbal"),
+      eff.as("valid_from"), lit(null).cast(TimestampType).as("valid_to"),
+      lit(2).as("version"))
+    closedOrKept.unionByName(newVersions).orderBy("c_custkey", "version")
   }
 
   /** Partition compaction — the small-files maintenance pass every

@@ -1,0 +1,121 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantics tests for the dimension/corpus maintenance operators: SCD2
+  * merge, incremental (batch-vs-corpus) dedup, length-bucketed batching
+  * stats, and the Q5/Q10 join shapes. */
+class MaintenanceOpsSpec extends SparkSpec {
+
+  // ------------------------------------------------------------------ scd2
+
+  test("scd2: changed keys get a closed v1 and an open v2; others untouched") {
+    val dim = Tables(spark, Sf0001, "customer")
+    val nCust = dim.count()
+    val nChanged = dim.filter(col("c_custkey") % 7 === 0).count()
+    val r = UpsertOps.scd2Merge(spark, Sf0001)
+    assert(r.count() == nCust + nChanged)
+
+    val byKey = r.collect().groupBy(_.getAs[Long]("c_custkey"))
+    byKey.foreach { case (key, rows) =>
+      if (key % 7 == 0) {
+        assert(rows.length == 2, s"changed key $key")
+        val v1 = rows.find(_.getAs[Int]("version") == 1).get
+        val v2 = rows.find(_.getAs[Int]("version") == 2).get
+        // v1 closes exactly where v2 opens — history is seamless
+        assert(v1.getAs[java.sql.Timestamp]("valid_to") ==
+          v2.getAs[java.sql.Timestamp]("valid_from"))
+        assert(v2.getAs[java.sql.Timestamp]("valid_to") == null)
+        // the new version carries the exact-decimal +100 balance
+        val expected = (BigDecimal(v1.getAs[Double]("c_acctbal"))
+          .setScale(2) + 100).toDouble
+        assert(v2.getAs[Double]("c_acctbal") == expected)
+      } else {
+        assert(rows.length == 1, s"unchanged key $key")
+        assert(rows.head.getAs[Int]("version") == 1)
+        assert(rows.head.getAs[java.sql.Timestamp]("valid_to") == null)
+      }
+    }
+  }
+
+  // ---------------------------------------------------- incremental dedup
+
+  /** Batch (src0) vs corpus (src1): one batch doc duplicates the corpus,
+    * two batch docs duplicate each other, one is genuinely new. */
+  private lazy val incDir: String = {
+    import spark.implicits._
+    val docs = Seq(
+      (1L, "alpha text body", "en", "src1", 15L),
+      (2L, "beta text body", "en", "src1", 14L),
+      (10L, "alpha text body", "en", "src0", 15L), // dup of corpus → dropped
+      (11L, "gamma text body", "en", "src0", 15L), // new, first copy
+      (12L, "gamma text body", "en", "src0", 15L), // within-batch dup
+      (13L, "delta text body", "en", "src0", 15L)) // new, unique
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tempDir("inc_docs")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("incremental dedup: corpus dups dropped, batch dups collapsed") {
+    val r = DedupOps.incremental(spark, incDir).collect()
+      .map(row => (row.getAs[Long]("keep_id"), row.getAs[Long]("n_copies")))
+    assert(r.toSeq == Seq((11L, 2L), (13L, 1L)))
+  }
+
+  test("incremental dedup: agrees with exact dedup when the corpus is empty") {
+    // with no prior corpus the incremental path degenerates to plain
+    // within-batch exact dedup — same survivors as DedupOps.exact
+    import spark.implicits._
+    val docs = Seq(
+      (11L, "gamma text body", "en", "src0", 15L),
+      (12L, "gamma text body", "en", "src0", 15L),
+      (13L, "delta text body", "en", "src0", 15L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tempDir("inc_docs_empty")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val inc = DedupOps.incremental(spark, dir).collect().map(_.toSeq).toSeq
+    val ex = DedupOps.exact(spark, dir).collect().map(_.toSeq).toSeq
+    assert(inc == ex)
+  }
+
+  // -------------------------------------------------------- length buckets
+
+  test("length buckets: partition the corpus, bounds honored") {
+    val docs = Tables(spark, Sf0001, "documents")
+    val total = docs.count()
+    val r = PretrainOps.lengthBuckets(spark, Sf0001).collect()
+    assert(r.map(_.getAs[Long]("n_docs")).sum == total) // every doc in one bucket
+    r.foreach { row =>
+      val lo = row.getAs[Int]("bucket_lo")
+      assert(lo % PretrainOps.BucketWidth == 0)
+      assert(row.getAs[Int]("min_tokens") >= lo)
+      assert(row.getAs[Int]("max_tokens") < lo + PretrainOps.BucketWidth)
+      assert(row.getAs[Int]("min_tokens") <= row.getAs[Int]("max_tokens"))
+    }
+    // token mass conserved against the token counter (same currency)
+    val totalTokens = docs
+      .select(sum(TextOps.bpeTokenCount(col("text")))).head().getLong(0)
+    assert(r.map(_.getAs[Long]("sum_tokens")).sum == totalTokens)
+  }
+
+  // -------------------------------------------------------- q5 / q10 shapes
+
+  test("q5: local-supplier condition is strictly more selective than j3") {
+    val q5 = JoinOps.q5LocalSupplier(spark, Sf0001).collect()
+    assert(q5.nonEmpty)
+    // revenue-descending output order
+    val revs = q5.map(_.getAs[Double]("revenue")).toSeq
+    assert(revs == revs.sortBy(-_))
+    assert(revs.forall(_ > 0))
+  }
+
+  test("q10: top-20 returned-item customers, deterministic order") {
+    val rows = JoinOps.q10ReturnedItems(spark, Sf0001).collect()
+    assert(rows.nonEmpty && rows.length <= 20)
+    val keys = rows.map(r =>
+      (-r.getAs[Double]("revenue"), r.getAs[Long]("c_custkey"))).toSeq
+    assert(keys == keys.sorted) // desc revenue, custkey tiebreak
+  }
+}

@@ -1,0 +1,94 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantics tests for the time-series event operators: z-score anomaly
+  * detection and hourly gap-fill with forward fill. */
+class TimeSeriesOpsSpec extends SparkSpec {
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  /** Planted fixture inside the operator's pinned 2024-01 spine window:
+    * user 10 has hourly view means at hours 0 (= 5.0) and 2 (= 7.0);
+    * user 20 never views; the error series is tight around 10 except one
+    * planted 1000.0 outlier. */
+  private lazy val evDir: String = {
+    import spark.implicits._
+    val rows = Seq(
+      (1L, ts("2024-01-01 00:10:00"), 10L, "view", 4.0, "{}"),
+      (2L, ts("2024-01-01 00:50:00"), 10L, "view", 6.0, "{}"),
+      (3L, ts("2024-01-01 02:15:00"), 10L, "view", 7.0, "{}"),
+      (4L, ts("2024-01-05 12:00:00"), 20L, "click", 1.0, "{}"),
+      (5L, ts("2024-01-02 00:00:00"), 10L, "error", 10.0, "{}"),
+      (6L, ts("2024-01-02 01:00:00"), 10L, "error", 10.2, "{}"),
+      (7L, ts("2024-01-02 02:00:00"), 20L, "error", 9.8, "{}"),
+      (8L, ts("2024-01-02 03:00:00"), 20L, "error", 10.1, "{}"),
+      (9L, ts("2024-01-02 04:00:00"), 20L, "error", 9.9, "{}"),
+      (10L, ts("2024-01-02 05:00:00"), 20L, "error", 1000.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = tempDir("ts_events")
+    rows.write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  // ------------------------------------------------------------- anomaly
+
+  test("anomaly: the planted outlier is flagged, nothing else") {
+    val flagged = EventOps.anomalyZscore(spark, evDir).collect()
+    assert(flagged.map(_.getAs[Long]("event_id")).toSeq == Seq(10L))
+    val z = flagged.head.getAs[Double]("zscore")
+    assert(z > 2.0) // a high outlier flags positive
+  }
+
+  test("anomaly: every flagged row really deviates > 2 sample stddevs") {
+    val flagged = EventOps.anomalyZscore(spark, Sf0001)
+    assert(flagged.count() > 0) // the synthetic data has tails
+    // recompute the per-type stats independently (Spark's own stddev_samp)
+    val stats = Tables(spark, Sf0001, "events")
+      .groupBy(col("event_type").as("et"))
+      .agg(avg(col("value")).as("m"), stddev_samp(col("value")).as("s"))
+    val bad = flagged.join(stats, col("event_type") === col("et"))
+      .filter(abs((col("value") - col("m")) / col("s")) <= 2.0 - 1e-9)
+    assert(bad.count() == 0)
+  }
+
+  // ------------------------------------------------------------- gap-fill
+
+  test("gapfill: planted series forward-fills between observations") {
+    val r = EventOps.gapFillHourly(spark, evDir)
+    val u10 = r.filter(col("user_id") === 10L).orderBy("hour_ts").collect()
+    assert(u10.length == 720) // full January spine
+    def filled(i: Int) = Option(u10(i).getAs[java.lang.Double]("value_filled"))
+    assert(filled(0).contains(5.0)) // hour 0: mean(4, 6)
+    assert(filled(1).contains(5.0)) // hour 1: carried forward
+    assert(u10(1).getAs[Boolean]("is_observed") == false)
+    assert(filled(2).contains(7.0)) // hour 2: new observation
+    assert(filled(719).contains(7.0)) // carried to the end of the month
+    assert(u10(0).getAs[Boolean]("is_observed"))
+    assert(u10(2).getAs[Boolean]("is_observed"))
+  }
+
+  test("gapfill: users with no observations stay null; spine is dense") {
+    val r = EventOps.gapFillHourly(spark, evDir)
+    val u20 = r.filter(col("user_id") === 20L)
+    assert(u20.count() == 720)
+    assert(u20.filter(col("value_filled").isNotNull).count() == 0)
+    assert(u20.filter(col("is_observed")).count() == 0)
+  }
+
+  test("gapfill: spine covers every user exactly once per hour (sf0.001)") {
+    val r = EventOps.gapFillHourly(spark, Sf0001)
+    val users = Tables(spark, Sf0001, "events")
+      .select(col("user_id")).distinct().count()
+    assert(r.count() == users * 720)
+    // once a user has an observation, the fill never reverts to null
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("user_id")).orderBy(col("hour_ts"))
+      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+    val reverted = r
+      .withColumn("seen", max(col("is_observed").cast("int")).over(w))
+      .filter(col("seen") === 1 && col("value_filled").isNull)
+    assert(reverted.count() == 0)
+  }
+}
