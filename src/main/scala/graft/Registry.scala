@@ -586,6 +586,16 @@ object Registry {
         |FROM events JOIN s ON event_type = et
         |WHERE abs((value - mean_v) / stddev_v) > 2.0
         |ORDER BY event_id""".stripMargin)),
+    GraftQuery("x_event_winsorize", EventOps.winsorize, Some(
+      """WITH b AS (
+        |  SELECT event_type AS et,
+        |         quantile_cont(value, 0.05) AS p_lo,
+        |         quantile_cont(value, 0.95) AS p_hi
+        |  FROM events GROUP BY event_type)
+        |SELECT event_id, event_type, value,
+        |       least(greatest(value, p_lo), p_hi) AS value_clipped
+        |FROM events JOIN b ON event_type = et
+        |ORDER BY event_id""".stripMargin)),
     GraftQuery("x_event_gapfill", EventOps.gapFillHourly, Some(
       """WITH spine AS (
         |  SELECT user_id, unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
@@ -708,6 +718,19 @@ object Registry {
     GraftQuery("x_dedup_exact_digest", DedupOps.exactDigest, Some(
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin)),
+    GraftQuery("x_dedup_quality_survivor", DedupOps.qualitySurvivor, Some(
+      """WITH s AS (
+        |  SELECT doc_id, text,
+        |         len(list_filter(string_split(text, ' '),
+        |             t -> t IN ('the','a','of','and','to','in','is','or','for','on')))
+        |           / len(string_split(text, ' ')) AS sr
+        |  FROM documents),
+        |r AS (SELECT doc_id, sr,
+        |        row_number() OVER (PARTITION BY lower(text) ORDER BY sr, doc_id) AS rn,
+        |        count(*) OVER (PARTITION BY lower(text)) AS n_copies
+        |      FROM s)
+        |SELECT doc_id AS keep_id, sr AS stop_ratio, n_copies
+        |FROM r WHERE rn = 1 ORDER BY keep_id""".stripMargin)),
     GraftQuery("x_dedup_incremental", DedupOps.incremental, Some(
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents b

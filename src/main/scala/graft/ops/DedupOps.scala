@@ -47,6 +47,33 @@ object DedupOps {
       .select(col("keep_id"), col("n_copies"))
       .orderBy("keep_id")
 
+  /** Normalized dedup with QUALITY survivorship: duplicates under a
+    * CASE-INSENSITIVE key (lower(text)) collapse to the copy with the
+    * lowest stopword ratio (tiebreak: min doc_id) — the realistic
+    * collapse rule when near-identical copies differ in formatting and
+    * the pipeline wants the best-scored witness, not an arbitrary id.
+    * The quality currency is `TextOps.stopRatio` (one shared definition
+    * with the quality filters; its stopword match is case-sensitive, so
+    * case variants genuinely score differently).
+    *
+    * Plan: the survivor is a `min(struct(score, id))` aggregate —
+    * partial-aggregatable, so map-side combine collapses duplicates
+    * before the one hash shuffle (same optimal shape as `exact`; a
+    * window/rank formulation would sort whole groups instead). The
+    * group key here is the normalized text; at corpus scale swap it for
+    * a 128-bit digest of it exactly as in `exactDigest`. */
+  def qualitySurvivor(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        graft.ops.TextOps.stopRatio(col("text")).as("sr"),
+        lower(col("text")).as("key"))
+      .groupBy(col("key"))
+      .agg(min(struct(col("sr"), col("doc_id"))).as("w"),
+        count(lit(1)).as("n_copies"))
+      .select(col("w.doc_id").as("keep_id"), col("w.sr").as("stop_ratio"),
+        col("n_copies"))
+      .orderBy("keep_id")
+
   /** Incremental (new-batch vs corpus) exact dedup — the production
     * pattern: a daily crawl is deduplicated against the existing corpus
     * WITHOUT re-deduplicating the corpus itself. The batch (source

@@ -80,6 +80,29 @@ object EventOps {
       .orderBy("event_id")
   }
 
+  /** Winsorization: clip each value to its event type's [p05, p95]
+    * percentile band — the outlier-limiting step a metrics pipeline runs
+    * where `anomalyZscore` only FLAGS. Spark's exact `percentile` and
+    * DuckDB's `quantile_cont` interpolate identically (IEEE midpoint),
+    * so the clip bounds — and therefore every clipped value — are fully
+    * value-oracled.
+    *
+    * Scale shape: same as the anomaly screen — a |types|-row exact
+    * percentile aggregate broadcast back over the fact scan; clipping is
+    * a pure map. (Exact percentile state is O(group size) on the agg
+    * side; at warehouse scale the drop-in is approx_percentile with a
+    * documented error bound, same plan.) */
+  def winsorize(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val bounds = ev.groupBy(col("event_type").as("et"))
+      .agg(percentile(col("value"), lit(0.05)).as("p_lo"),
+        percentile(col("value"), lit(0.95)).as("p_hi"))
+    ev.join(broadcast(bounds), col("event_type") === col("et"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        least(greatest(col("value"), col("p_lo")), col("p_hi")).as("value_clipped"))
+      .orderBy("event_id")
+  }
+
   /** Hourly gap-fill with forward fill (LOCF): every (user, hour) slot in
     * the month gets the user's most recent observed hourly mean — the
     * time-series regularization step a weather warehouse needs before

@@ -16,6 +16,14 @@ object TextOps {
 
   private def toks: Column = split(col("text"), " ")
 
+  /** Stopword ratio of a text column — ONE shared definition across
+    * qualityScore / qualityCut / DedupOps.qualitySurvivor so the quality
+    * currency cannot drift between the scorer and its consumers. */
+  def stopRatio(text: Column): Column = {
+    val t = split(text, " ")
+    size(filter(t, x => x.isInCollection(stopwords))) / size(t)
+  }
+
   /** BPE-ish pre-tokenization regex: word runs / single punctuation — the
     * segmentation GPT-style BPE applies before merges. ONE constant shared
     * by `tokenStats` and `PretrainOps.packSequencesBpe` so the token

@@ -80,6 +80,55 @@ class MaintenanceOpsSpec extends SparkSpec {
     assert(inc == ex)
   }
 
+  // ------------------------------------------------- quality survivorship
+
+  test("quality survivor: the best-scored case variant wins") {
+    import spark.implicits._
+    // "the of and to" scores sr=1.0; "The Of And To" scores 0.0 (stopword
+    // match is case-sensitive) — the capitalized copy must survive even
+    // though its doc_id is larger
+    val docs = Seq(
+      (1L, "the of and to", "en", "src0", 13L),
+      (2L, "The Of And To", "en", "src0", 13L),
+      (3L, "unique body here", "en", "src0", 16L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tempDir("qs_docs")
+    docs.write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = DedupOps.qualitySurvivor(spark, dir).collect()
+      .map(row => (row.getAs[Long]("keep_id"), row.getAs[Long]("n_copies")))
+    assert(r.toSeq == Seq((2L, 2L), (3L, 1L)))
+  }
+
+  test("quality survivor: survivor count equals the normalized-key count") {
+    val r = DedupOps.qualitySurvivor(spark, Sf0001)
+    val distinctKeys = Tables(spark, Sf0001, "documents")
+      .select(lower(col("text"))).distinct().count()
+    assert(r.count() == distinctKeys)
+  }
+
+  // ------------------------------------------------------------ winsorize
+
+  test("winsorize: clipped to the per-type band, interior values untouched") {
+    val r = EventOps.winsorize(spark, Sf0001)
+    assert(r.count() == Tables(spark, Sf0001, "events").count())
+    // per type: clipped range is within [min, max] of the clipped column
+    // and every untouched row satisfies value == value_clipped
+    val touched = r.filter(col("value") =!= col("value_clipped"))
+    assert(touched.count() > 0) // 5% tails exist in the synthetic data
+    // clipping never moves a value PAST the band: clipped values are
+    // order-preserving (monotone map)
+    val perType = r.groupBy(col("event_type"))
+      .agg(min(col("value_clipped")).as("lo"), max(col("value_clipped")).as("hi"),
+        count(when(col("value") < col("value_clipped"), 1)).as("n_raised"),
+        count(when(col("value") > col("value_clipped"), 1)).as("n_lowered"))
+      .collect()
+    perType.foreach { row =>
+      assert(row.getAs[Long]("n_raised") > 0) // both tails clip
+      assert(row.getAs[Long]("n_lowered") > 0)
+      assert(row.getAs[Double]("lo") <= row.getAs[Double]("hi"))
+    }
+  }
+
   // -------------------------------------------------------- length buckets
 
   test("length buckets: partition the corpus, bounds honored") {
