@@ -417,6 +417,13 @@ object Registry {
         |FROM supplier JOIN revenue ON s_suppkey = l_suppkey
         |WHERE total_revenue = (SELECT max(total_revenue) FROM revenue)
         |ORDER BY s_suppkey""".stripMargin)),
+    GraftQuery("q16_supplier_variety", TpchOps.q16SupplierVariety, Some(
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM lineitem JOIN part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5'
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin)),
     GraftQuery("q17_small_qty", TpchOps.q17SmallQty, Some(
       """WITH part_avg AS (
         |  SELECT l_partkey AS a_partkey,

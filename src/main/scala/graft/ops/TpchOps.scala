@@ -166,6 +166,28 @@ object TpchOps {
       .orderBy("s_suppkey")
   }
 
+  /** TPC-H Q16 shape (supplier variety): distinct suppliers per part
+    * brand/size, excluding one brand and a supplier blocklist expressed
+    * as NOT IN — which Spark plans as a NULL-AWARE anti join (the one
+    * join variant nothing else in this library exercises; here the
+    * blocklist key is non-null so NAAJ ≡ anti join, and the single-key
+    * build side broadcasts as one null-checked set). Via the SQL surface
+    * because the DataFrame API has no NOT-IN form. The lineitem bridge
+    * stands in for the schema's missing partsupp. */
+  def q16SupplierVariety(spark: SparkSession, dir: String): DataFrame = {
+    Tables(spark, dir, "lineitem").createOrReplaceTempView("graft_q16_li")
+    Tables(spark, dir, "part").createOrReplaceTempView("graft_q16_part")
+    Tables(spark, dir, "supplier").createOrReplaceTempView("graft_q16_supp")
+    spark.sql(
+      """SELECT p_brand, p_size, count(DISTINCT l_suppkey) AS supplier_cnt
+        |FROM graft_q16_li JOIN graft_q16_part ON l_partkey = p_partkey
+        |WHERE p_brand <> 'Brand#5'
+        |  AND l_suppkey NOT IN (SELECT s_suppkey FROM graft_q16_supp
+        |                        WHERE s_acctbal < 0)
+        |GROUP BY p_brand, p_size
+        |ORDER BY supplier_cnt DESC, p_brand, p_size""".stripMargin)
+  }
+
   /** TPC-H Q17 (small-quantity-order revenue): revenue from Brand#3 lines
     * whose quantity is below 20% of that part's average, scaled to a
     * yearly figure. The correlated scalar subquery becomes a per-part

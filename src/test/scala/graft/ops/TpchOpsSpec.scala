@@ -71,6 +71,25 @@ class TpchOpsSpec extends SparkSpec {
     assert(got == viaDecimal)
   }
 
+  test("q16 NOT IN plans as a null-aware anti join and excludes the blocklist") {
+    val df = TpchOps.q16SupplierVariety(spark, Sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("LeftAnti"), plan)
+    // values: no blocklisted supplier survives the NOT IN
+    val blocked = Tables(spark, Sf0001, "supplier")
+      .filter(col("s_acctbal") < 0).select("s_suppkey")
+      .collect().map(_.getLong(0)).toSet
+    val survivors = Tables(spark, Sf0001, "lineitem")
+      .join(Tables(spark, Sf0001, "part"), col("l_partkey") === col("p_partkey"))
+      .filter(col("p_brand") =!= "Brand#5" && !col("l_suppkey").isInCollection(blocked))
+      .groupBy(col("p_brand"), col("p_size"))
+      .agg(countDistinct(col("l_suppkey")).as("supplier_cnt"))
+      .orderBy(col("supplier_cnt").desc, col("p_brand"), col("p_size"))
+      .collect()
+    assert(df.collect().map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq ==
+      survivors.map(r => (r.getString(0), r.getInt(1), r.getLong(2))).toSeq)
+  }
+
   test("q7/q9: dims broadcast, the fact edge is the only non-broadcast join") {
     Seq(
       TpchOps.q7VolumeShipping(spark, Sf0001),
