@@ -1151,6 +1151,17 @@ object Registry {
         |  FROM documents)
         |WHERE rank_in_source <= 20
         |ORDER BY doc_id""".stripMargin)),
+    GraftQuery("x_sample_quality_weighted", SamplingOps.qualityWeightedSample, Some(
+      """WITH s AS (
+        |  SELECT doc_id, lang, source,
+        |         CAST(('0x' || substr(md5(text), 1, 4)) AS INTEGER) % 1000 AS bucket,
+        |         0.2 + 0.8 * (1.0 - len(list_filter(string_split(text, ' '),
+        |             t -> t IN ('the','a','of','and','to','in','is','or','for','on')))
+        |           / len(string_split(text, ' '))) AS rate
+        |  FROM documents)
+        |SELECT doc_id, lang, source, rate FROM s
+        |WHERE bucket < rate * 1000.0
+        |ORDER BY doc_id""".stripMargin)),
     GraftQuery("x_mix_sources", SamplingOps.mixSources, Some(
       """WITH m AS (
         |  SELECT doc_id, source,

@@ -91,6 +91,30 @@ object SamplingOps {
       .select(col("doc_id"), col("source"), col("rank_in_source"))
   }
 
+  /** Quality-weighted deterministic sampling: a document's keep
+    * probability RISES with its quality score instead of being a flat
+    * per-stratum rate — the curriculum/filtering middle ground between
+    * "drop below threshold" (loses all low-quality signal) and "keep
+    * everything" (drowns the good data). rate = 0.2 + 0.8·q keeps the
+    * best documents always and the worst at 20%; the score here is the
+    * shared `TextOps.stopRatio` currency (q = 1 − sr, a stand-in for any
+    * scorer — model perplexity, length mix, dedup cluster size). The
+    * keep/drop decision is the content-hash bucket against the rate
+    * (the `mixSources` mechanism), so the sample is exactly
+    * reproducible, leakage-resistant, and fully value-oracled — all
+    * arithmetic is IEEE-exact division/multiply, no transcendentals.
+    * Narrow, codegen'd, no shuffle. */
+  def qualityWeightedSample(spark: SparkSession, dir: String): DataFrame = {
+    val q = lit(1.0) - graft.ops.TextOps.stopRatio(col("text"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), col("source"),
+        (conv(substring(md5(col("text")), 1, 4), 16, 10).cast(IntegerType) % 1000).as("bucket"),
+        (lit(0.2) + lit(0.8) * q).as("rate"))
+      .filter(col("bucket") < col("rate") * 1000.0)
+      .select(col("doc_id"), col("lang"), col("source"), col("rate"))
+      .orderBy("doc_id")
+  }
+
   /** Deterministic source-mixture sampling — the data-mixing step that
     * turns raw shard sizes into target mixture weights (downsample the
     * glut, keep the scarce): each document is kept iff its CONTENT-hash

@@ -608,6 +608,22 @@ class PipelineOpsSpec extends SparkSpec {
     assert(p.contains(0L) == p.contains(2L), s"identical texts split: $p")
   }
 
+  test("quality-weighted sample: perfect-quality docs always kept, rate tracks quality") {
+    val rows = SamplingOps.qualityWeightedSample(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    // rate stays inside [0.2, 1.0] by construction
+    val rates = rows.map(_.getAs[Double]("rate"))
+    assert(rates.forall(r => r >= 0.2 && r <= 1.0))
+    // every zero-stopword document (rate exactly 1.0) must be kept: its
+    // bucket < 1000 always — the "best data always survives" guarantee
+    val docs = Tables(spark, Sf0001, "documents")
+    val perfect = docs
+      .filter(graft.ops.TextOps.stopRatio(col("text")) === 0.0)
+      .select("doc_id").collect().map(_.getLong(0)).toSet
+    val kept = rows.map(_.getLong(0)).toSet
+    assert(perfect.subsetOf(kept), s"perfect-quality docs dropped: ${perfect -- kept}")
+  }
+
   test("funnel: strict temporal progression — out-of-order steps do not count") {
     import spark.implicits._
     val dir = tempDir("funnel_events")
