@@ -33,4 +33,32 @@ object IntervalJoin {
       .select(col("user_id"), col("error_id"), col("error_ts"),
         col("purchase_id"), col("purchase_ts"))
   }
+
+  /** LEFT OUTER variant: every error emits — matched rows eagerly, like
+    * the inner join; UNMATCHED errors with null purchase columns only
+    * once the purchase-side watermark passes the error's interval end
+    * (before that, a matching purchase could still arrive — the
+    * null-extension is a state-TIMEOUT decision, not a per-batch one).
+    * This is the semantics gap between the inner twin and batch left
+    * joins: correctness depends on the engine holding the error row in
+    * state until its horizon provably closes. State stays bounded by the
+    * same eviction math as the inner join. */
+  def errorsWithRecentPurchasesLeftOuter(
+      errors: DataFrame, purchases: DataFrame,
+      watermarkDelay: String = "1 hour"): DataFrame = {
+    val e = errors
+      .select(col("user_id"), col("event_id").as("error_id"), col("ts").as("error_ts"))
+      .withWatermark("error_ts", watermarkDelay)
+    val p = purchases
+      .select(col("user_id").as("p_user_id"), col("event_id").as("purchase_id"),
+        col("ts").as("purchase_ts"))
+      .withWatermark("purchase_ts", watermarkDelay)
+    e.join(p,
+        col("user_id") === col("p_user_id") &&
+          col("purchase_ts") >= col("error_ts") - expr("INTERVAL 30 MINUTES") &&
+          col("purchase_ts") <= col("error_ts"),
+        "leftOuter")
+      .select(col("user_id"), col("error_id"), col("error_ts"),
+        col("purchase_id"), col("purchase_ts"))
+  }
 }
