@@ -339,6 +339,23 @@ object Registry {
         |JOIN nation ON c_nationkey = n_nationkey
         |ORDER BY revenue DESC, c_custkey
         |LIMIT 20""".stripMargin)),
+    GraftQuery("q2_min_cost_supplier", TpchOps.q2MinCostSupplier, Some(
+      """WITH ps AS (SELECT DISTINCT l_partkey, l_suppkey FROM lineitem),
+        |esupp AS (
+        |  SELECT s_suppkey, s_name, s_acctbal, n_name
+        |  FROM supplier
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  WHERE r_name = 'EUROPE')
+        |SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
+        |FROM part
+        |JOIN ps ON p_partkey = l_partkey
+        |JOIN esupp ON l_suppkey = s_suppkey
+        |WHERE p_size BETWEEN 10 AND 20 AND p_type = 'LARGE'
+        |  AND s_acctbal = (SELECT min(s2.s_acctbal)
+        |                   FROM ps ps2 JOIN esupp s2 ON ps2.l_suppkey = s2.s_suppkey
+        |                   WHERE ps2.l_partkey = p_partkey)
+        |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""".stripMargin)),
     GraftQuery("q7_volume_shipping", TpchOps.q7VolumeShipping, Some(
       """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |       CAST(year(l_shipdate) AS BIGINT) AS l_year,

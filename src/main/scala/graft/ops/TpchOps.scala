@@ -25,6 +25,40 @@ object TpchOps {
   private val Y97 = lit(java.sql.Timestamp.valueOf("1997-01-01 00:00:00"))
   private val Y98 = lit(java.sql.Timestamp.valueOf("1998-01-01 00:00:00"))
 
+  /** TPC-H Q2 shape (minimum-cost supplier): for each part in a
+    * size/type slice, the EUROPE supplier(s) with the LOWEST account
+    * balance among those who supply it (s_acctbal stands in for the
+    * missing partsupp.ps_supplycost; the part–supplier bridge is the
+    * distinct (l_partkey, l_suppkey) projection of lineitem — at
+    * warehouse scale that IS the partsupp table, maintained not
+    * derived). The correlated min subquery becomes a per-part aggregate
+    * joined back on (partkey, balance) — reduce-then-join; ties all
+    * surface, exactly like the original. Balance equality is safe: min
+    * SELECTS a raw 2-decimal value, no arithmetic touches it. The
+    * bridge dedup is the one fact shuffle; everything downstream
+    * broadcasts. */
+  def q2MinCostSupplier(spark: SparkSession, dir: String): DataFrame = {
+    val bridge = Tables(spark, dir, "lineitem")
+      .select(col("l_partkey"), col("l_suppkey")).distinct()
+    val esupp = Tables(spark, dir, "supplier")
+      .join(Tables(spark, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables(spark, dir, "region").filter(col("r_name") === "EUROPE"),
+        col("n_regionkey") === col("r_regionkey"))
+      .select(col("s_suppkey"), col("s_name"), col("s_acctbal"), col("n_name"))
+    val supplied = bridge.join(broadcast(esupp), col("l_suppkey") === col("s_suppkey"))
+    val minBal = supplied.groupBy(col("l_partkey").as("m_partkey"))
+      .agg(min(col("s_acctbal")).as("min_bal"))
+    val part = Tables(spark, dir, "part")
+      .filter(col("p_size").between(10, 20) && col("p_type") === "LARGE")
+    supplied
+      .join(broadcast(part), col("l_partkey") === col("p_partkey"))
+      .join(minBal, col("l_partkey") === col("m_partkey") &&
+        col("s_acctbal") === col("min_bal"))
+      .select(col("s_acctbal"), col("s_name"), col("n_name"),
+        col("p_partkey"), col("p_brand"))
+      .orderBy(col("s_acctbal").desc, col("n_name"), col("s_name"), col("p_partkey"))
+  }
+
   /** TPC-H Q7 (volume shipping): revenue flowing between two nations, by
     * direction and ship year — supplier in one nation, customer in the
     * other. The two nation joins land on OPPOSITE sides of the fact
