@@ -152,4 +152,34 @@ object UpsertOps {
     }
     vals
   }
+
+  /** Partition retention (TTL) — compaction's sibling maintenance pass:
+    * drop whole partitions whose partition VALUE falls before the
+    * retention horizon. Expiry is decided by a payload-free scan of the
+    * partition column alone (its values come from directory names, so
+    * ReadSchema is empty — footer row counts are the only I/O; the
+    * horizon comparison is lexicographic on the string form, i.e. the
+    * partition scheme must be ISO-date-style ordered, which date
+    * partitions are), and removal is
+    * a directory delete per expired partition: surviving partitions are
+    * never read, never rewritten, byte-identical after the pass. At
+    * 100 TB this is the only affordable shape for retention — any
+    * row-level formulation rewrites the whole table to delete old rows,
+    * which is why retention policies should align with the partition
+    * key. Returns the expired partition values (bounded by
+    * |partitions|). Idempotent: a second pass finds nothing. */
+  def expirePartitions(
+      spark: SparkSession, targetDir: String, partCol: String,
+      keepFrom: String): Seq[String] = {
+    val parts = spark.read.parquet(targetDir)
+      .select(col(partCol).cast("string")).distinct()
+      .filter(col(partCol) < keepFrom)
+    val vals = parts.collect().map(_.getString(0)).toSeq
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      java.net.URI.create(targetDir), spark.sparkContext.hadoopConfiguration)
+    vals.foreach { v =>
+      fs.delete(new org.apache.hadoop.fs.Path(s"$targetDir/$partCol=$v"), true)
+    }
+    vals
+  }
 }

@@ -148,6 +148,31 @@ class SourcesSpec extends SparkSpec {
     assert(UpsertOps.compact(spark, dir, "month").isEmpty)
   }
 
+  test("expire: partitions before the horizon removed, survivors byte-identical") {
+    import spark.implicits._
+    val dir = tempDir("expire_lake") + "/t"
+    Seq((1L, "2024-01", 1.0), (2L, "2024-02", 2.0), (3L, "2024-03", 3.0),
+        (4L, "2024-03", 4.0))
+      .toDF("id", "day", "v").repartition(2)
+      .write.mode("append").partitionBy("day").parquet(dir)
+    def files(p: String) = {
+      val d = new java.io.File(s"$dir/day=$p")
+      if (!d.exists()) Seq.empty
+      else d.listFiles().filter(_.getName.endsWith(".parquet"))
+        .map(f => (f.getName, f.lastModified)).sorted.toSeq
+    }
+    val marBefore = files("2024-03")
+    val expired = UpsertOps.expirePartitions(spark, dir, "day", "2024-03")
+    assert(expired.toSet == Set("2024-01", "2024-02"), s"got $expired")
+    assert(files("2024-01").isEmpty && files("2024-02").isEmpty,
+      "expired partition dirs must be gone")
+    assert(files("2024-03") == marBefore, "surviving partition untouched")
+    assert(spark.read.parquet(dir).select("id").collect().map(_.getLong(0)).sorted.toSeq
+      == Seq(3L, 4L))
+    // idempotent: second pass finds nothing
+    assert(UpsertOps.expirePartitions(spark, dir, "day", "2024-03").isEmpty)
+  }
+
   test("approx_count_distinct within 5% of exact at rsd 1%") {
     val approx = SetOps.g3ApproxDistinct(spark, Sf0001).collect()(0)
     val exact = SetOps.g2CountDistinct(spark, Sf0001).collect()(0).getAs[Long]("n_parts")
