@@ -461,7 +461,7 @@ object Registry {
         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
         |   OR (p_brand = 'Brand#2' AND p_size BETWEEN 1 AND 25 AND l_quantity BETWEEN 10 AND 20)
         |   OR (p_brand = 'Brand#3' AND p_size BETWEEN 1 AND 35 AND l_quantity BETWEEN 20 AND 30)""".stripMargin)),
-    GraftQuery("q21_waiting_supplier", TpchOps.q21WaitingSupplier, Some(
+    GraftQuery("q21_waiting_supplier", TpchOps.q21WaitingSupplier, headline = true, oracle = Some(
       """SELECT s_name, count(*) AS numwait
         |FROM supplier, lineitem l1, orders
         |WHERE s_suppkey = l1.l_suppkey
