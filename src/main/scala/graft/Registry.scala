@@ -162,6 +162,17 @@ object Registry {
         |       CAST(len(list_distinct(toks)) AS INTEGER) AS n_distinct,
         |       list_min(toks) AS min_tok, list_max(toks) AS max_tok
         |FROM t ORDER BY doc_id""".stripMargin)),
+    GraftQuery("f14_map_funcs", CoreOps.f14MapFuncs, Some(
+      """WITH per_lang AS (
+        |  SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
+        |entries AS (
+        |  SELECT source, lang AS key, n AS value FROM per_lang
+        |  UNION ALL
+        |  SELECT source, '__total' AS key, CAST(sum(n) AS BIGINT) AS value
+        |  FROM per_lang GROUP BY source)
+        |SELECT source, key, value FROM entries
+        |WHERE value >= 2
+        |ORDER BY source, key""".stripMargin)),
     GraftQuery("a9_stddev_exact", CoreOps.a9StddevExact, Some(
       """SELECT event_type,
         |       sqrt((CAST(sum(CAST(value AS DECIMAL(18,2)) * CAST(value AS DECIMAL(18,2))) AS DOUBLE)

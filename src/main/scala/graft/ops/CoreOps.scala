@@ -352,6 +352,35 @@ object CoreOps {
       .orderBy("doc_id")
   }
 
+  /** Map-column function family: per-source language histograms BUILT as
+    * map columns (`map_from_entries` over collected entries), extended
+    * with a computed entry (`map_concat` of a single-entry map holding
+    * the source total), thresholded per-entry (`map_filter`), and
+    * EXPLODED back to rows — which is also how a map column is
+    * value-checked at all: hash gates cannot compare raw maps (entry
+    * order is unspecified), so the exploded (key, value) form is the
+    * map's canonical oracle surface. The collected entry list is
+    * sort_array-ed first purely so the intermediate is deterministic
+    * under any partitioning; map semantics never depend on it. Two small
+    * keyed aggregations on already-reduced rows — the map assembly adds
+    * no exchange. */
+  def f14MapFuncs(spark: SparkSession, dir: String): DataFrame = {
+    val perLang = Tables(spark, dir, "documents")
+      .groupBy(col("source"), col("lang"))
+      .agg(count(lit(1)).as("n"))
+    perLang
+      .groupBy(col("source"))
+      .agg(
+        map_from_entries(sort_array(collect_list(struct(col("lang"), col("n")))))
+          .as("m"),
+        sum(col("n")).as("total"))
+      .select(col("source"),
+        map_concat(col("m"), map(lit("__total"), col("total"))).as("m"))
+      .select(col("source"),
+        explode(map_filter(col("m"), (_, v) => v >= 2)).as(Seq("key", "value")))
+      .orderBy("source", "key")
+  }
+
   /** Deterministic standard deviation: assembled from exact decimal
     * sums (Σx, Σx²) in the closed form √((Σx² − (Σx)²/n)/(n−1)) — the
     * same double arithmetic in any engine, unlike built-in stddev whose
