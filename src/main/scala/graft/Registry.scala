@@ -668,6 +668,21 @@ object Registry {
         |       (sxy - sx * sy / n) / (n - 1.0) AS covar_s,
         |       (n * sxy - sx * sy) / (sqrt(n * sxx - sx * sx) * sqrt(n * syy - sy * sy)) AS corr_xy
         |FROM m ORDER BY l_returnflag""".stripMargin)),
+    GraftQuery("a16_regression_exact", SetOps.a16RegressionExact, Some(
+      """WITH mm AS (
+        |  SELECT l_returnflag,
+        |         CAST(count(*) AS DOUBLE) AS n,
+        |         CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS sx,
+        |         CAST(CAST(sum(CAST(l_discount AS DECIMAL(38,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS sy,
+        |         CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,4)) * CAST(l_quantity AS DECIMAL(38,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS sxx,
+        |         CAST(CAST(sum(CAST(l_quantity AS DECIMAL(38,4)) * CAST(l_discount AS DECIMAL(38,4))) * 10000 AS BIGINT) AS DOUBLE) / 10000.0 AS sxy
+        |  FROM lineitem GROUP BY l_returnflag),
+        |sl AS (
+        |  SELECT l_returnflag, n, sx, sy,
+        |         (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope
+        |  FROM mm)
+        |SELECT l_returnflag, slope, (sy - slope * sx) / n AS intercept
+        |FROM sl ORDER BY l_returnflag""".stripMargin)),
     GraftQuery("a15_mode", SetOps.a15Mode, Some(
       """WITH c AS (SELECT l_returnflag, l_quantity, count(*) AS cnt
         |           FROM lineitem GROUP BY 1, 2)

@@ -139,6 +139,34 @@ object SetOps {
       .orderBy("l_returnflag")
   }
 
+  /** A16 — deterministic OLS regression (slope + intercept) of discount
+    * on quantity per return flag, assembled from the SAME exact scaled-
+    * int64 moments as a14CorrExact: slope = (nΣxy − ΣxΣy)/(nΣx² − (Σx)²),
+    * intercept = (Σy − slope·Σx)/n. Built-in regr_slope/regr_intercept
+    * merge partial float states in partition order — not reproducible
+    * across partitionings; this closed form is, and matches any engine's
+    * bits. The regression triple completes the two-variable statistics
+    * family (corr, covar, slope, intercept) on one partial+final hash
+    * aggregate — a single fact shuffle of 6 scaled-int64 moments. */
+  def a16RegressionExact(spark: SparkSession, dir: String): DataFrame = {
+    val Dec4 = DecimalType(38, 4)
+    val x = col("l_quantity").cast(Dec4)
+    val y = col("l_discount").cast(Dec4)
+    def m(c: Column): Column = (sum(c) * lit(10000)).cast(LongType).cast(DoubleType) / 10000.0
+    Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"))
+      .agg(
+        count(lit(1)).cast(DoubleType).as("n"),
+        m(x).as("sx"), m(y).as("sy"),
+        m(x * x).as("sxx"), m(x * y).as("sxy"))
+      .withColumn("slope",
+        (col("n") * col("sxy") - col("sx") * col("sy")) /
+          (col("n") * col("sxx") - col("sx") * col("sx")))
+      .select(col("l_returnflag"), col("slope"),
+        ((col("sy") - col("slope") * col("sx")) / col("n")).as("intercept"))
+      .orderBy("l_returnflag")
+  }
+
   /** A15 — deterministic mode: most frequent quantity per flag, ties
     * resolved to the smallest value (argmax over (count, -value) structs
     * — one extra reduce, no window sort). */
