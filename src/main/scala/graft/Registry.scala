@@ -592,6 +592,7 @@ object Registry {
       """SELECT o_orderpriority, o_orderkey,
         |       CAST(dense_rank() OVER w AS INTEGER) AS drank,
         |       percent_rank() OVER w AS prank,
+        |       cume_dist() OVER w AS cdist,
         |       CAST(ntile(4) OVER w AS INTEGER) AS quartile
         |FROM orders
         |WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice DESC, o_orderkey)
@@ -650,6 +651,13 @@ object Registry {
       """SELECT count(DISTINCT l_partkey) AS n_parts FROM lineitem""")),
     GraftQuery("g3_approx_distinct", SetOps.g3ApproxDistinct, None),
     GraftQuery("g4b_approx_percentiles", SetOps.g4bApproxPercentiles, None),
+    GraftQuery("g4c_disc_percentiles", SetOps.g4cDiscPercentiles, Some(
+      """SELECT l_returnflag,
+        |       quantile_disc(l_quantity, 0.5) AS p50,
+        |       quantile_disc(l_quantity, 0.9) AS p90,
+        |       quantile_disc(l_quantity, 0.99) AS p99
+        |FROM lineitem GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)),
     GraftQuery("g4_percentiles", SetOps.g4Percentiles, Some(
       """SELECT l_returnflag, quantile_cont(l_quantity, 0.5) AS p50,
         |       quantile_cont(l_quantity, 0.9) AS p90, quantile_cont(l_quantity, 0.99) AS p99

@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -82,6 +83,26 @@ object SetOps {
         expr("percentile(l_quantity, 0.9)").as("p90"),
         expr("percentile(l_quantity, 0.99)").as("p99"))
       .orderBy("l_returnflag")
+
+  /** Discrete-percentile twin of `g4Percentiles`: the value RETURNED is
+    * always an actual data point (quantile_disc semantics — what SLO/tail
+    * reporting wants, where an interpolated latency that nobody observed
+    * is misleading). Spark has no percentile_disc; the standard
+    * formulation is a rank window: the smallest row whose cume_dist
+    * reaches p, per group and percentile — one shuffle on the group key,
+    * rank windows stream. Value-oracled against DuckDB quantile_disc
+    * (identical "lowest value at cumulative rank ≥ p" definition). */
+  def g4cDiscPercentiles(spark: SparkSession, dir: String): DataFrame = {
+    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+    val ranked = Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"))
+      .withColumn("cd", cume_dist().over(w))
+    def disc(p: Double): Column =
+      min(when(col("cd") >= p, col("l_quantity"))).as(s"p${(p * 100).toInt}")
+    ranked.groupBy(col("l_returnflag"))
+      .agg(disc(0.5), disc(0.9), disc(0.99))
+      .orderBy("l_returnflag")
+  }
 
   /** Approx-percentile sketch twin of `g4Percentiles` — the form that
     * survives 100 TB: a bounded-memory mergeable sketch (Greenwald-Khanna

@@ -87,9 +87,10 @@ object WindowOps {
       .orderBy("user_id", "event_id")
   }
 
-  /** W7 — rank family: dense_rank, percent_rank and ntile(4) over order
-    * price per priority class (deterministic total order; percent_rank is
-    * an exact small-integer division, engine-identical). */
+  /** W7 — rank family: dense_rank, percent_rank, cume_dist and ntile(4)
+    * over order price per priority class (deterministic total order;
+    * percent_rank and cume_dist are exact small-integer divisions,
+    * engine-identical). */
   def w7RankFamily(spark: SparkSession, dir: String): DataFrame = {
     val w = Window.partitionBy(col("o_orderpriority"))
       .orderBy(col("o_totalprice").desc, col("o_orderkey"))
@@ -97,6 +98,7 @@ object WindowOps {
       .select(col("o_orderpriority"), col("o_orderkey"),
         dense_rank().over(w).cast(IntegerType).as("drank"),
         percent_rank().over(w).as("prank"),
+        cume_dist().over(w).as("cdist"),
         ntile(4).over(w).cast(IntegerType).as("quartile"))
       .orderBy("o_orderpriority", "o_orderkey")
   }
