@@ -1132,6 +1132,21 @@ object Registry {
         |FROM toks t LEFT JOIN hits h ON t.doc_id = h.doc_id
         |WHERE t.doc_id % ${PretrainOps.BenchMod} <> 0
         |ORDER BY doc_id""".stripMargin), headline = true),
+    GraftQuery("x_contam_score", PretrainOps.contaminationScore, Some(
+      s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        |              WHERE len(string_split(text, ' ')) >= ${PretrainOps.ContamGram}),
+        |gsets AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - ${PretrainOps.ContamGram - 1}),
+        |            i -> array_to_string(list_slice(t, i, i + ${PretrainOps.ContamGram - 1}), ' '))) AS gs FROM toks),
+        |grams AS (SELECT doc_id, unnest(gs) AS g FROM gsets),
+        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % ${PretrainOps.BenchMod} = 0),
+        |hits AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_shared
+        |         FROM grams JOIN bench USING (g) WHERE doc_id % ${PretrainOps.BenchMod} <> 0 GROUP BY doc_id)
+        |SELECT s.doc_id AS doc_id, CAST(len(s.gs) AS INTEGER) AS n_grams,
+        |       coalesce(h.n_shared, 0) AS n_shared,
+        |       CAST(coalesce(h.n_shared, 0) AS DOUBLE) / len(s.gs) AS contam_frac
+        |FROM gsets s LEFT JOIN hits h ON s.doc_id = h.doc_id
+        |WHERE s.doc_id % ${PretrainOps.BenchMod} <> 0
+        |ORDER BY doc_id""".stripMargin)),
     GraftQuery("x_text_chunk", PretrainOps.chunkWindows, Some(
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |c AS (SELECT doc_id, t,

@@ -129,10 +129,14 @@ object PretrainOps {
     * exploded corpus n-grams; ONE aggregation shuffle on doc_id. N-grams
     * flow as strings here to stay value-oracleable; the production swap
     * is a 64-bit n-gram hash (ShingleHashes), identical plan. */
+  /** Tokens column → distinct k-gram string set (one array per doc). */
+  private def gramSet(k: Int) =
+    array_distinct(transform(sequence(lit(0), size(col("t")) - k),
+      i => array_join(slice(col("t"), i + 1, lit(k)), " ")))
+
   /** (doc_id, tokens) → exploded distinct k-gram strings per doc. */
-  private def grams(df: DataFrame, k: Int): DataFrame = df.select(col("doc_id"),
-    explode(array_distinct(transform(sequence(lit(0), size(col("t")) - k),
-      i => array_join(slice(col("t"), i + 1, lit(k)), " ")))).as("g"))
+  private def grams(df: DataFrame, k: Int): DataFrame =
+    df.select(col("doc_id"), explode(gramSet(k)).as("g"))
 
   private def tokenized(docs: DataFrame, k: Int): DataFrame = docs
     .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
@@ -163,6 +167,32 @@ object PretrainOps {
     val docs = Tables(spark, dir, "documents")
     val bench = benchmarkGrams(docs.filter(col("doc_id") % BenchMod === 0))
     checkAgainst(docs.filter(col("doc_id") % BenchMod =!= 0), bench)
+      .orderBy("doc_id")
+  }
+
+  /** Per-document contamination FRACTION — the score form of
+    * `decontaminate`'s boolean: shared benchmark grams over the doc's
+    * distinct grams. Thresholding at >0 reproduces the boolean; real
+    * pipelines instead drop frac > τ outright and route the low-score
+    * tail to review, because one shared gram in a long document is
+    * usually phrase coincidence while densely shared docs are true eval
+    * leaks. Same plan as decontaminate (tiny broadcast gram index, one
+    * doc_id aggregation) plus the per-doc gram cardinality carried from
+    * the same gram-set expression — no extra pass. */
+  def contaminationScore(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val bench = benchmarkGrams(docs.filter(col("doc_id") % BenchMod === 0))
+    val gs = tokenized(docs.filter(col("doc_id") % BenchMod =!= 0), ContamGram)
+      .select(col("doc_id"), gramSet(ContamGram).as("gs"))
+    val hits = gs.select(col("doc_id"), explode(col("gs")).as("g"))
+      .join(broadcast(bench), Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).cast(IntegerType).as("n_shared"))
+    gs.select(col("doc_id"), size(col("gs")).as("n_grams"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n_grams"),
+        coalesce(col("n_shared"), lit(0)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0)).cast(DoubleType) / col("n_grams"))
+          .as("contam_frac"))
       .orderBy("doc_id")
   }
 
