@@ -43,6 +43,27 @@ object OpenMeteoIngest {
       "&temperature_unit=celsius&wind_speed_unit=ms&precipitation_unit=mm" +
       "&timezone=America%2FLos_Angeles"
 
+  /** F1 — execute the archive fetch: GET the URL and stage the response
+    * body as one JSON document file (the reference's axios.get →
+    * document insert, `fetchStocktonWeather.js:51-71`). The fetch is a
+    * driver-edge concern BY DESIGN — one small response per call —
+    * while everything after the body is distributed via `readRaw`. The
+    * zero-egress build environment cannot reach the real API, so the
+    * spec exercises this exact client against a loopback HttpServer
+    * serving the canned archive response; only the hostname differs in
+    * production. Returns the staged file path. */
+  def fetch(url: String, stagingDir: String): String = {
+    val client = java.net.http.HttpClient.newHttpClient()
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET().build()
+    val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
+    require(resp.statusCode() == 200, s"fetch failed: HTTP ${resp.statusCode()}")
+    val dir = java.nio.file.Paths.get(stagingDir)
+    java.nio.file.Files.createDirectories(dir)
+    val f = dir.resolve(s"response_${Integer.toHexString(url.hashCode)}.json")
+    java.nio.file.Files.writeString(f, resp.body())
+    f.toString
+  }
+
   /** Read raw API response files (one JSON object per file). */
   def readRaw(spark: SparkSession, path: String): DataFrame =
     spark.read.schema(openMeteoSchema).option("multiLine", true).json(path)

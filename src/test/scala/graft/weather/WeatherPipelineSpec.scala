@@ -168,6 +168,33 @@ class WeatherPipelineSpec extends SparkSpec {
     assert(q.count() == 4)
   }
 
+  test("F1: fetch executes the HTTP GET end-to-end against a loopback server") {
+    // loopback HttpServer serving the canned archive body at the same
+    // path/query shape as the real API — zero egress, real client code
+    val body = new String(java.nio.file.Files.readAllBytes(
+      java.nio.file.Paths.get(getClass.getResource("/openmeteo_sample.json").getPath)))
+    val server = com.sun.net.httpserver.HttpServer.create(
+      new java.net.InetSocketAddress("127.0.0.1", 0), 0)
+    server.createContext("/v1/archive", (ex: com.sun.net.httpserver.HttpExchange) => {
+      val bytes = body.getBytes("UTF-8")
+      ex.sendResponseHeaders(200, bytes.length)
+      ex.getResponseBody.write(bytes)
+      ex.close()
+    })
+    server.start()
+    try {
+      val port = server.getAddress.getPort
+      // the production URL with only the host swapped for the loopback
+      val url = OpenMeteoIngest
+        .buildUrl(startDate = "2025-12-01", endDate = "2025-12-01")
+        .replace("https://archive-api.open-meteo.com", s"http://127.0.0.1:$port")
+      val staged = OpenMeteoIngest.fetch(url, tempDir("f1_staging"))
+      val rows = OpenMeteoIngest.explodeHourly(
+        OpenMeteoIngest.readRaw(spark, staged)).collect()
+      assert(rows.length == 5, "fetched body must flow through the full explode path")
+    } finally server.stop(0)
+  }
+
   test("D1-D5: diagnostics over catalog state") {
     Warehouse.bootstrap(spark)
     spark.sql(s"DROP TABLE IF EXISTS ${Model.MonthlyAggTable}") // clean slate across sbt runs
