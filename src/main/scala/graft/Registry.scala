@@ -894,6 +894,7 @@ object Registry {
         |       CAST(len(regexp_extract_all(text, '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+')) AS INTEGER) AS n_ipv4
         |FROM documents ORDER BY doc_id""".stripMargin)),
     GraftQuery("x_text_fingerprint", TextOps.fingerprint, None),
+    GraftQuery("x_text_unigram_nll", TextOps.unigramNll, None),
     GraftQuery("x_dedup_exact", DedupOps.exact, Some(
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin)),

@@ -240,4 +240,32 @@ object TextOps {
       .select(col("doc_id") +: scrubbed.as("clean_text") +: counts: _*)
       .orderBy("doc_id")
   }
+
+  /** Unigram language-model quality score: mean negative log-probability
+    * per document under a unigram LM trained on the corpus itself — the
+    * model-based quality signal (CCNet/"perplexity bucket" style) that
+    * complements the rule-based stop-ratio/repetition heuristics: docs
+    * made of corpus-typical words score LOW (good), rare-word soup
+    * scores HIGH. A real deployment swaps the corpus-trained unigram
+    * table for a KenLM-style external model; the plan is identical —
+    * the model is a broadcast (term, count) table either way.
+    *
+    * Plan: the (doc, term, tf) table is the one token shuffle; the vocab
+    * aggregate reuses its term partitioning; scoring is a BROADCAST join
+    * of the vocab back onto the tf rows (|V| ≪ corpus) + one doc_id
+    * reduce of already-collapsed rows. ln is libm-dependent → rows-only
+    * oracle; ordering/monotonicity pinned by a planted spec. */
+  def unigramNll(spark: SparkSession, dir: String): DataFrame = {
+    val tf = termTf(spark, dir)
+    val vocab = tf.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
+    val total = vocab.agg(sum(col("cf")).as("n_total"))
+    tf.join(broadcast(vocab), Seq("term"))
+      .crossJoin(broadcast(total))
+      .groupBy(col("doc_id"))
+      .agg(
+        (sum(col("tf") * -log(col("cf").cast(DoubleType) / col("n_total"))) /
+          sum(col("tf"))).as("nll"),
+        sum(col("tf")).cast(IntegerType).as("n_tokens"))
+      .orderBy("doc_id")
+  }
 }

@@ -608,6 +608,27 @@ class PipelineOpsSpec extends SparkSpec {
     assert(p.contains(0L) == p.contains(2L), s"identical texts split: $p")
   }
 
+  test("unigram NLL: corpus-typical docs score lower than rare-word docs") {
+    import spark.implicits._
+    val dir = tempDir("unigram_docs")
+    // doc 1: five corpus-dominant tokens; doc 2: five hapaxes; doc 3 mixes
+    val docs = Seq(
+      (1L, "the the the the the", "en", "s0", 19L),
+      (2L, "zyx qwv jkl mnp rst", "en", "s0", 19L),
+      (3L, "the the the jkl rst", "en", "s0", 19L)) ++
+      (10L to 29L).map(i => (i, "the and of to in", "en", "s1", 16L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.unigramNll(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("nll")).toMap
+    assert(got.keySet.size == 23)
+    assert(got(1L) < got(3L) && got(3L) < got(2L),
+      s"monotonicity violated: ${got(1L)} / ${got(3L)} / ${got(2L)}")
+    // scores are finite and positive (every token is in-vocab by
+    // construction — the LM is trained on the same corpus)
+    assert(got.values.forall(v => v > 0 && !v.isInfinite && !v.isNaN))
+  }
+
   test("quality-weighted sample: perfect-quality docs always kept, rate tracks quality") {
     val rows = SamplingOps.qualityWeightedSample(spark, Sf0001).collect()
     assert(rows.nonEmpty)
