@@ -73,6 +73,28 @@ object WindowOps {
       .orderBy("user_id", "session_id")
   }
 
+  /** W4b — native `session_window` aggregation: the same 30-minute-gap
+    * sessions as w4Sessionize but through Spark's built-in session
+    * operator (SessionWindow + UpdatingSessionsExec merge — a different
+    * physical plan from the lag/cumsum window formulation, and the one
+    * that carries over to Structured Streaming unchanged). Boundary
+    * semantics differ from w4 at EXACT gap multiples: session_window's
+    * end (last event + gap) is EXCLUSIVE, so an event arriving exactly
+    * 30 minutes after the last starts a NEW session, where w4's strict
+    * `>` break keeps it — the oracle encodes the `>=` rule, and both
+    * formulations are kept precisely because the two tie rules are both
+    * real (reference analytics vs Spark-native streaming parity). */
+  def w4bSessionWindow(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(col("user_id"), session_window(col("ts"), "30 minutes").as("sw"))
+      .agg(
+        count(lit(1)).as("n_events"),
+        sum(dec2(col("value"))).cast(DoubleType).as("total_value"))
+      .select(col("user_id"),
+        col("sw.start").as("session_start"), col("sw.end").as("session_end"),
+        col("n_events"), col("total_value"))
+      .orderBy("user_id", "session_start")
+
   /** W6 — ROWS-frame moving average: last-4-events mean per user (frame
     * counted in rows, not time — the other frame family). Exact decimal
     * numerator over an integer denominator; count() over the same frame
