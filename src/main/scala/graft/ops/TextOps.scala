@@ -241,6 +241,12 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Hard cap on the broadcast unigram-LM vocabulary: corpus vocabulary
+    * grows with corpus size (Heaps' law), so an uncapped corpus-trained
+    * vocab broadcast is a driver/executor OOM at web scale; 2^16 terms
+    * at ~30 bytes each is a ~2 MB broadcast at ANY corpus size. */
+  val UnigramVocabCap = 65536
+
   /** Unigram language-model quality score: mean negative log-probability
     * per document under a unigram LM trained on the corpus itself — the
     * model-based quality signal (CCNet/"perplexity bucket" style) that
@@ -251,19 +257,38 @@ object TextOps {
     * the model is a broadcast (term, count) table either way.
     *
     * Plan: the (doc, term, tf) table is the one token shuffle; the vocab
-    * aggregate reuses its term partitioning; scoring is a BROADCAST join
-    * of the vocab back onto the tf rows (|V| ≪ corpus) + one doc_id
-    * reduce of already-collapsed rows. ln is libm-dependent → rows-only
-    * oracle; ordering/monotonicity pinned by a planted spec. */
+    * aggregate reuses its term partitioning. The LM itself is BOUNDED:
+    * only the top [[UnigramVocabCap]] terms by corpus frequency (ties
+    * broken on term) are kept — a distributed partial top-k
+    * (TakeOrderedAndProject, the `termDf` shape), never a global sort —
+    * and every dropped term folds into ONE out-of-vocabulary bucket
+    * scored at p = oov_mass / n_total (the bucket is a single
+    * pseudo-term: the standard closed-vocabulary treatment, and exactly
+    * the MaxBucket discipline the dedup caps use). The dropped mass is
+    * published per-run via `observe("unigram_vocab", ...)`, so a cap
+    * that starts to bite is visible, not silent. Scoring is a broadcast
+    * join of the ≤cap vocab onto the tf rows + one doc_id reduce of
+    * already-collapsed rows; the broadcast is provably ≤ cap entries at
+    * ANY corpus size. At test scale |V| < cap, so the output is
+    * identical to the uncapped form (spec-pinned). ln is libm-dependent
+    * → rows-only oracle; ordering/monotonicity pinned by a planted
+    * spec. */
   def unigramNll(spark: SparkSession, dir: String): DataFrame = {
     val tf = termTf(spark, dir)
     val vocab = tf.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
-    val total = vocab.agg(sum(col("cf")).as("n_total"))
-    tf.join(broadcast(vocab), Seq("term"))
-      .crossJoin(broadcast(total))
+    val kept = vocab.orderBy(col("cf").desc, col("term")).limit(UnigramVocabCap)
+    // one row: total token mass and the mass falling outside the kept
+    // vocab (the OOV bucket's frequency) — two bounded scalar aggregates
+    val totals = vocab.agg(sum(col("cf")).as("n_total"))
+      .crossJoin(kept.agg(sum(col("cf")).as("kept_mass")))
+      .select(col("n_total"), (col("n_total") - col("kept_mass")).as("oov_mass"))
+      .observe("unigram_vocab", sum(col("oov_mass")).as("oov_mass"))
+    tf.join(broadcast(kept), Seq("term"), "left")
+      .crossJoin(broadcast(totals))
       .groupBy(col("doc_id"))
       .agg(
-        (sum(col("tf") * -log(col("cf").cast(DoubleType) / col("n_total"))) /
+        (sum(col("tf") * -log(
+          coalesce(col("cf"), col("oov_mass")).cast(DoubleType) / col("n_total"))) /
           sum(col("tf"))).as("nll"),
         sum(col("tf")).cast(IntegerType).as("n_tokens"))
       .orderBy("doc_id")

@@ -9,10 +9,12 @@ import org.apache.spark.sql.types.LongType
   * them are re-keyed onto the columns that exist; see each query's doc).
   * Together with JoinOps (Q1/3/4/5/6/10/18) this completes the classic
   * join/agg/subquery taxonomy: two-sided nation joins (Q7), conditional
-  * market share (Q8), multi-dim profit rollup (Q9), outer-join histogram
-  * (Q13), conditional ratio (Q14), scalar-subquery join-back (Q15, Q17),
-  * disjunctive predicate pushdown (Q19), double-correlated existence
-  * (Q21), and anti-join over a global scalar (Q22).
+  * market share (Q8), multi-dim profit rollup (Q9), scalar-subquery
+  * global ratio (Q11), conditional priority counts (Q12), outer-join
+  * histogram (Q13), conditional ratio (Q14), scalar-subquery join-back
+  * (Q15, Q17), disjunctive predicate pushdown (Q19), nested correlated
+  * semi join (Q20), double-correlated existence (Q21), and anti-join
+  * over a global scalar (Q22).
   *
   * Scale strategy is uniform: dimensions broadcast, the ONE fact shuffle
   * is lineitem⋈orders on orderkey (or a reduce on the group key), scalar
@@ -141,6 +143,98 @@ object TpchOps {
       .groupBy(col("nation"), year(col("o_orderdate")).cast(LongType).as("o_year"))
       .agg(revenueExact(col("l_extendedprice"), col("l_discount")).as("sum_profit"))
       .orderBy(col("nation"), col("o_year").desc)
+  }
+
+  /** TPC-H Q11 (important stock): parts whose supplied value from one
+    * nation's suppliers exceeds a fixed fraction of that nation's TOTAL
+    * supplied value — the scalar-subquery global-ratio shape (the one
+    * decorrelation form the engine hadn't demonstrated): a per-part
+    * reduce, a 1-ROW total broadcast back, and a ratio filter. Value =
+    * Σ extendedprice·(1−discount) over NATION_1 supplier lines (the
+    * lineitem bridge stands in for the schema's missing
+    * partsupp.ps_supplycost·ps_availqty, as in Q2/Q16).
+    *
+    * The ratio cut is evaluated in exact INTEGER units — both sides are
+    * int64 sums of cents·(100−disc_cents), and `v·1000 > total` ⟺
+    * `v > 0.001·total` — so no float boundary can flip a row between
+    * engines (the Q17 trick). Plan: suppliers broadcast, ONE keyed
+    * lineitem shuffle on partkey, the total is a 1-row aggregate
+    * broadcast back — no collect, no window. */
+  def q11ImportantStock(spark: SparkSession, dir: String): DataFrame = {
+    val cents = round(col("l_extendedprice") * 100).cast(LongType) *
+      (lit(100L) - round(col("l_discount") * 100).cast(LongType))
+    val supp1 = Tables(spark, dir, "supplier")
+      .join(Tables(spark, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .filter(col("n_name") === "NATION_1")
+      .select(col("s_suppkey"))
+    val perPart = Tables(spark, dir, "lineitem")
+      .join(broadcast(supp1), col("l_suppkey") === col("s_suppkey"))
+      .groupBy(col("l_partkey"))
+      .agg(sum(cents).as("v_cents"))
+    val total = perPart.agg(sum(col("v_cents")).as("t_cents"))
+    perPart.join(broadcast(total), col("v_cents") * 1000 > col("t_cents"))
+      .select(col("l_partkey").as("ps_partkey"),
+        (col("v_cents").cast("double") / 10000.0).as("value"))
+      .orderBy(col("value").desc, col("ps_partkey"))
+  }
+
+  /** TPC-H Q12 (shipping modes and order priority): per "ship mode",
+    * how many 1996-shipped lines belonged to critical-priority orders
+    * vs the rest — the conditional-CASE-counts shape. The schema has no
+    * l_shipmode, so the return flag (A/N/R) keys the mode dimension;
+    * the CASE tests o_orderpriority exactly as the original. One fact
+    * join (lineitem⋈orders on orderkey — the shipdate filter prunes the
+    * scan first), one tiny reduce. */
+  def q12ShipPriority(spark: SparkSession, dir: String): DataFrame = {
+    val hi = col("o_orderpriority") === "1-URGENT" || col("o_orderpriority") === "2-HIGH"
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= Y96 && col("l_shipdate") < Y97)
+      .join(Tables(spark, dir, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .groupBy(col("l_returnflag"))
+      .agg(sum(when(hi, 1L).otherwise(0L)).as("high_line_count"),
+        sum(when(hi, 0L).otherwise(1L)).as("low_line_count"))
+      .orderBy("l_returnflag")
+  }
+
+  /** TPC-H Q20 (potential part promotion): AFRICA-region suppliers whose
+    * NEXT-year supply of 'red'-named parts exceeded half their
+    * 1996 supply of the same part — the nested correlated semi-join
+    * shape (supplier ← semi [part–supplier rows filtered by a
+    * correlated per-(part,supplier) scalar aggregate ← semi part]), the
+    * hardest decorrelation form in the suite. 1997 quantity stands in
+    * for the schema's missing ps_availqty; both it and the 1996
+    * baseline fall out of ONE conditional aggregate over the same
+    * (partkey, suppkey) groups, so the whole nest costs a single keyed
+    * lineitem shuffle (the oracle runs the literal correlated-subquery
+    * form, pinning the rewrite). The threshold compares exact integer
+    * centi-units (`2·q97 > q96` ⟺ `q97 > 0.5·q96`); a (part,supplier)
+    * with no rows on either side yields NULL and drops in both engines
+    * (SQL comparison semantics, preserved by the no-otherwise
+    * conditional sums). Red parts prune via broadcast semi join BEFORE
+    * the aggregate; the supplier probe is a broadcast semi join of
+    * |suppliers|-bounded keys. (Region scope rather than the original's
+    * single nation: this synthetic corpus spreads ~4 suppliers per
+    * nation, and a region keeps the result set non-trivial — the
+    * supplier→nation→region dim chain is the q5 adaptation.) */
+  def q20PromotionParts(spark: SparkSession, dir: String): DataFrame = {
+    val qc = round(col("l_quantity") * 100).cast(LongType)
+    val in96 = col("l_shipdate") >= Y96 && col("l_shipdate") < Y97
+    val in97 = col("l_shipdate") >= Y97 && col("l_shipdate") < Y98
+    val redParts = Tables(spark, dir, "part")
+      .filter(col("p_name").contains("red")).select(col("p_partkey"))
+    val qualified = Tables(spark, dir, "lineitem")
+      .join(broadcast(redParts), col("l_partkey") === col("p_partkey"), "left_semi")
+      .groupBy(col("l_partkey"), col("l_suppkey"))
+      .agg(sum(when(in97, qc)).as("avail_qc"), sum(when(in96, qc)).as("q96_qc"))
+      .filter(col("avail_qc") * 2 > col("q96_qc"))
+      .select(col("l_suppkey")).distinct()
+    Tables(spark, dir, "supplier")
+      .join(Tables(spark, dir, "nation"), col("s_nationkey") === col("n_nationkey"))
+      .join(Tables(spark, dir, "region").filter(col("r_name") === "AFRICA"),
+        col("n_regionkey") === col("r_regionkey"))
+      .join(broadcast(qualified), col("s_suppkey") === col("l_suppkey"), "left_semi")
+      .select(col("s_name"), col("s_acctbal"))
+      .orderBy("s_name")
   }
 
   /** TPC-H Q13 (customer distribution): how many customers placed 0, 1,
