@@ -164,7 +164,8 @@ object Registry {
         |FROM t ORDER BY doc_id""".stripMargin)),
     GraftQuery("f14_map_funcs", CoreOps.f14MapFuncs, Some(
       """WITH per_lang AS (
-        |  SELECT source, lang, count(*) AS n FROM documents GROUP BY 1, 2),
+        |  SELECT source, lang, count(*) AS n FROM documents
+        |  WHERE lang <> '__total' GROUP BY 1, 2),
         |entries AS (
         |  SELECT source, lang AS key, n AS value FROM per_lang
         |  UNION ALL
@@ -961,7 +962,7 @@ object Registry {
         |       CAST(len(regexp_extract_all(text, '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+')) AS INTEGER) AS n_ipv4
         |FROM documents ORDER BY doc_id""".stripMargin)),
     GraftQuery("x_text_fingerprint", TextOps.fingerprint, None),
-    GraftQuery("x_text_unigram_nll", TextOps.unigramNll, None),
+    GraftQuery("x_text_unigram_nll", (s, d) => TextOps.unigramNll(s, d), None),
     GraftQuery("x_dedup_exact", DedupOps.exact, Some(
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin)),
@@ -1136,6 +1137,42 @@ object Registry {
         |       CAST(0.9 AS DOUBLE) AS floor,
         |       true AS passes
         |FROM t""".stripMargin)),
+    // value-checked accuracy gates for the three remaining ANN serving
+    // paths (previously rows-only): the oracle recomputes the exact-side
+    // count and expects passes=true, so a recall collapse goes red
+    GraftQuery("x_sim_ann_lsh_gate", SimilarityOps.annLshGate, Some(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+        |s AS (SELECT q_id, vec_id AS neighbor_id, list_cosine_similarity(qv, v) AS cos FROM q, e),
+        |t AS (SELECT q_id,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+        |      FROM s QUALIFY rank <= 10)
+        |SELECT CAST(count(*) AS INTEGER) AS n_exact,
+        |       CAST(0.05 AS DOUBLE) AS floor,
+        |       true AS passes
+        |FROM t""".stripMargin)),
+    GraftQuery("x_sim_ann_multiprobe_gate", SimilarityOps.annMultiProbeGate, Some(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+        |s AS (SELECT q_id, vec_id AS neighbor_id, list_cosine_similarity(qv, v) AS cos FROM q, e),
+        |t AS (SELECT q_id,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+        |      FROM s QUALIFY rank <= 10)
+        |SELECT CAST(count(*) AS INTEGER) AS n_exact,
+        |       CAST(0.05 AS DOUBLE) AS floor,
+        |       true AS passes
+        |FROM t""".stripMargin)),
+    GraftQuery("x_sim_ann_ivf_gate", SimilarityOps.annIvfGate, Some(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+        |s AS (SELECT q_id, vec_id AS neighbor_id, list_cosine_similarity(qv, v) AS cos FROM q, e),
+        |t AS (SELECT q_id,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+        |      FROM s QUALIFY rank <= 10)
+        |SELECT CAST(count(*) AS INTEGER) AS n_exact,
+        |       CAST(0.30 AS DOUBLE) AS floor,
+        |       true AS passes
+        |FROM t""".stripMargin)),
     GraftQuery("x_sim_knn_recall_gate", (s, d) => SimilarityOps.knnRecallGate(s, d), Some(
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |s AS (SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
@@ -1187,6 +1224,27 @@ object Registry {
         |       coalesce(a.n_kept, 0) AS n_kept, coalesce(a.clean_text, '') AS clean_text
         |FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
         |ORDER BY doc_id""".stripMargin), headline = true),
+    // 100 TB twin of x_dedup_paragraph: the window keys are 128-bit
+    // digests (16-byte exchange keys); shares the text-keyed oracle
+    // because a digest collision is the only way the outputs can differ
+    GraftQuery("x_dedup_paragraph_digest", PretrainOps.paragraphDedupDigest, Some(
+      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |paras AS (SELECT doc_id,
+        |            unnest(list_transform(generate_series(0, CAST(ceil(len(t) / 16.0) AS INTEGER) - 1),
+        |              i -> {'para_idx': i, 'para': array_to_string(list_slice(t, i*16 + 1, i*16 + 16), ' ')})) AS pp
+        |          FROM toks),
+        |p2 AS (SELECT doc_id, CAST(pp.para_idx AS INTEGER) AS para_idx, pp.para AS para FROM paras),
+        |kept AS (SELECT * FROM p2
+        |         QUALIFY row_number() OVER (PARTITION BY para ORDER BY doc_id, para_idx) = 1),
+        |agg AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_kept,
+        |               string_agg(para, ' ' ORDER BY para_idx) AS clean_text
+        |        FROM kept GROUP BY doc_id),
+        |tot AS (SELECT doc_id, CAST(ceil(len(string_split(text, ' ')) / 16.0) AS INTEGER) AS n_paras
+        |        FROM documents)
+        |SELECT t.doc_id AS doc_id, t.n_paras AS n_paras,
+        |       coalesce(a.n_kept, 0) AS n_kept, coalesce(a.clean_text, '') AS clean_text
+        |FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
+        |ORDER BY doc_id""".stripMargin)),
     GraftQuery("x_decontaminate", PretrainOps.decontaminate, Some(
       s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
         |              WHERE len(string_split(text, ' ')) >= ${PretrainOps.ContamGram}),
@@ -1343,6 +1401,11 @@ object Registry {
         |                       * CAST(greatest(1, trunc(h * scale)) AS INTEGER)) // 8)
         |            AS INTEGER) AS n_thumb_bytes
         |FROM f ORDER BY doc_id""".stripMargin)),
+    // headline maintenance timing: rebuild a deterministic fragmented
+    // lake and compact it — keeps the 100 TB maintenance path honest
+    // round-over-round (rows-only: file layout is engine-internal; the
+    // byte-identical-survivor property is spec-pinned)
+    GraftQuery("x_maint_compact", UpsertOps.compactBench, None, headline = true),
     GraftQuery("x_corpus_assemble", CorpusPipeline.assemble, None))
 
   def all: Seq[GraftQuery] = core ++ joins ++ windows ++ sets ++ extensions

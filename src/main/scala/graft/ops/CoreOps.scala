@@ -365,7 +365,12 @@ object CoreOps {
     * keyed aggregations on already-reduced rows — the map assembly adds
     * no exchange. */
   def f14MapFuncs(spark: SparkSession, dir: String): DataFrame = {
+    // '__total' is a RESERVED key (the rollup sentinel merged in below);
+    // a lang literally named '__total' would make map_concat throw a
+    // duplicate-key error under Spark's default EXCEPTION policy, so it
+    // is excluded from the per-lang domain up front
     val perLang = Tables(spark, dir, "documents")
+      .filter(col("lang") =!= "__total")
       .groupBy(col("source"), col("lang"))
       .agg(count(lit(1)).as("n"))
     perLang

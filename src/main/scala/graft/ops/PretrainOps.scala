@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -32,7 +32,26 @@ object PretrainOps {
     * one shuffle back on doc_id for reassembly. No self-join, no
     * cartesian; every document is preserved (possibly empty) so the
     * output is a drop-in replacement corpus. */
-  def paragraphDedup(spark: SparkSession, dir: String): DataFrame = {
+  def paragraphDedup(spark: SparkSession, dir: String): DataFrame =
+    paragraphDedupKeyed(spark, dir, identity)
+
+  /** The 100 TB form of [[paragraphDedup]]: the first-occurrence window
+    * partitions on a 128-BIT DIGEST of the paragraph (two
+    * independently-seeded xxhash64s — the `DedupOps.exactDigest` key)
+    * instead of the paragraph text, so the dedup exchange hashes,
+    * compares and sorts 16-byte keys rather than arbitrary-length
+    * strings. Plan and output are otherwise IDENTICAL to the text-keyed
+    * form barring a digest collision (~n²/2¹²⁹, negligible at any
+    * corpus size) — which is why it shares the text-keyed DuckDB oracle,
+    * and the suite pins row-for-row equality of the two forms. */
+  def paragraphDedupDigest(spark: SparkSession, dir: String): DataFrame =
+    paragraphDedupKeyed(spark, dir, para =>
+      struct(xxhash64(para).as("h1"), xxhash64(para, lit(0x5EED)).as("h2")))
+
+  /** Shared paragraph-dedup plan; `keyOf` maps the paragraph column to
+    * the window partition key (text, or its 128-bit digest). */
+  private def paragraphDedupKeyed(spark: SparkSession, dir: String,
+      keyOf: Column => Column): DataFrame = {
     val k = ParaTokens
     val toks = Tables(spark, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("t"))
@@ -40,7 +59,7 @@ object PretrainOps {
       posexplode(transform(
         sequence(lit(0), ceil(size(col("t")) / lit(k.toDouble)).cast(IntegerType) - 1),
         i => array_join(slice(col("t"), i * k + 1, lit(k)), " "))).as(Seq("para_idx", "para")))
-    val firstWin = Window.partitionBy(col("para")).orderBy(col("doc_id"), col("para_idx"))
+    val firstWin = Window.partitionBy(keyOf(col("para"))).orderBy(col("doc_id"), col("para_idx"))
     val kept = paras.withColumn("rn", row_number().over(firstWin)).filter(col("rn") === 1)
     val reassembled = kept.groupBy(col("doc_id"))
       .agg(count(lit(1)).cast(IntegerType).as("n_kept"),

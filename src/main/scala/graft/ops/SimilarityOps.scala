@@ -440,6 +440,50 @@ object SimilarityOps {
           .as("passes"))
   }
 
+  /** Recall@K of an approximate top-k result against the exact
+    * [[topkBrute]] anchor, folded to the standard one-row gate
+    * (n_exact, floor, passes) — the DuckDB oracle computes n_exact from
+    * the exact side alone and expects passes = true, so a recall
+    * collapse in ANY gated ANN path turns a CORRECTNESS row red
+    * per-round. Shared by the LSH / multi-probe / IVF gates below and
+    * structurally identical to [[quantRecallGate]]. */
+  private def annRecallGate(spark: SparkSession, dir: String,
+      approx: DataFrame, floor: Double): DataFrame = {
+    val exact = topkBrute(spark, dir).select(col("q_id"), col("neighbor_id"))
+    val hits = approx.select(col("q_id"), col("neighbor_id"), lit(1).as("hit"))
+    exact.join(hits, Seq("q_id", "neighbor_id"), "left")
+      .agg(count(lit(1)).cast(IntegerType).as("n_exact"),
+        sum(coalesce(col("hit"), lit(0))).cast(IntegerType).as("n_hit"))
+      .select(col("n_exact"),
+        lit(floor).as("floor"),
+        (col("n_hit").cast(DoubleType) / col("n_exact") >= floor).as("passes"))
+  }
+
+  /** Floors for the single-table LSH, multi-probe LSH and IVF serving
+    * paths vs the exact anchor. MEASURED (MeasureAnnRecall, seeded
+    * planes/kmeans, sf0.001/0.01/0.1): lsh = multiprobe = 0.10 at every
+    * sf — on THIS corpus the query set's true neighbors are random
+    * (cos ≈ 0.3-0.5), essentially never sharing a 16-plane bucket, so
+    * the hit set is the guaranteed self-match; IVF at nprobe=2 reads
+    * ~nprobe/k of the corpus and measures 0.56-0.62. Floors sit under
+    * the measured values with drift headroom (the [[KnnRecallFloor]]
+    * philosophy: they catch a broken generator — e.g. a signature
+    * change that loses even the self-bucket — not noise). */
+  val AnnLshRecallFloor = 0.05
+  val AnnMultiProbeRecallFloor = 0.05
+  val AnnIvfRecallFloor = 0.30
+
+  /** Value-checked per-round accuracy gates for the three remaining ANN
+    * serving paths (previously rows-only + spec-level floors). */
+  def annLshGate(spark: SparkSession, dir: String): DataFrame =
+    annRecallGate(spark, dir, annLsh(spark, dir), AnnLshRecallFloor)
+
+  def annMultiProbeGate(spark: SparkSession, dir: String): DataFrame =
+    annRecallGate(spark, dir, annLshMultiProbe(spark, dir), AnnMultiProbeRecallFloor)
+
+  def annIvfGate(spark: SparkSession, dir: String): DataFrame =
+    annRecallGate(spark, dir, annIvf(spark, dir), AnnIvfRecallFloor)
+
   /** Recall floor the approximate kNN join must clear against the exact
     * anchor — the accuracy SLO enforced by the hash-green gate entry
     * `x_sim_knn_recall_gate` (measured ~0.4 at the default config; the

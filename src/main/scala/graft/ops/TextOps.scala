@@ -273,10 +273,11 @@ object TextOps {
     * identical to the uncapped form (spec-pinned). ln is libm-dependent
     * → rows-only oracle; ordering/monotonicity pinned by a planted
     * spec. */
-  def unigramNll(spark: SparkSession, dir: String): DataFrame = {
+  def unigramNll(spark: SparkSession, dir: String,
+      vocabCap: Int = UnigramVocabCap): DataFrame = {
     val tf = termTf(spark, dir)
     val vocab = tf.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
-    val kept = vocab.orderBy(col("cf").desc, col("term")).limit(UnigramVocabCap)
+    val kept = vocab.orderBy(col("cf").desc, col("term")).limit(vocabCap)
     // one row: total token mass and the mass falling outside the kept
     // vocab (the OOV bucket's frequency) — two bounded scalar aggregates
     val totals = vocab.agg(sum(col("cf")).as("n_total"))

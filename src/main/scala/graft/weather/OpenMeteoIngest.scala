@@ -53,13 +53,23 @@ object OpenMeteoIngest {
     * serving the canned archive response; only the hostname differs in
     * production. Returns the staged file path. */
   def fetch(url: String, stagingDir: String): String = {
-    val client = java.net.http.HttpClient.newHttpClient()
-    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url)).GET().build()
+    // bounded waits on both connect and response: a hung archive server
+    // must fail the ingest call, never block the driver indefinitely
+    val client = java.net.http.HttpClient.newBuilder()
+      .connectTimeout(java.time.Duration.ofSeconds(10)).build()
+    val req = java.net.http.HttpRequest.newBuilder(java.net.URI.create(url))
+      .timeout(java.time.Duration.ofSeconds(60)).GET().build()
     val resp = client.send(req, java.net.http.HttpResponse.BodyHandlers.ofString())
     require(resp.statusCode() == 200, s"fetch failed: HTTP ${resp.statusCode()}")
     val dir = java.nio.file.Paths.get(stagingDir)
     java.nio.file.Files.createDirectories(dir)
-    val f = dir.resolve(s"response_${Integer.toHexString(url.hashCode)}.json")
+    // full SHA-256 of the URL: two distinct URLs staged into the same dir
+    // can never collide (32-bit String.hashCode could, silently
+    // overwriting the other response)
+    val digest = java.security.MessageDigest.getInstance("SHA-256")
+      .digest(url.getBytes(java.nio.charset.StandardCharsets.UTF_8))
+      .map(b => f"$b%02x").mkString
+    val f = dir.resolve(s"response_$digest.json")
     java.nio.file.Files.writeString(f, resp.body())
     f.toString
   }

@@ -215,6 +215,15 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == Seq((0L, 2, 2, s"$a $b"), (1L, 2, 1, c), (2L, 1, 0, "")))
   }
 
+  test("paragraph dedup digest twin: row-for-row equal to the text-keyed form") {
+    // the digest form only re-keys the first-occurrence window; any
+    // divergence from the text-keyed plan means the swap changed
+    // semantics, not just the exchange key width
+    val text = PretrainOps.paragraphDedup(spark, Sf0001).collect().toSeq
+    val dig = PretrainOps.paragraphDedupDigest(spark, Sf0001).collect().toSeq
+    assert(text.nonEmpty && text == dig)
+  }
+
   test("decontaminate: doc sharing an 8-gram with a benchmark doc is flagged") {
     import spark.implicits._
     val dir = tempDir("contam_docs")
@@ -627,6 +636,40 @@ class PipelineOpsSpec extends SparkSpec {
     // scores are finite and positive (every token is in-vocab by
     // construction — the LM is trained on the same corpus)
     assert(got.values.forall(v => v > 0 && !v.isInfinite && !v.isNaN))
+  }
+
+  test("unigram NLL: vocab cap folds the tail into a finite OOV bucket, in-vocab scores unchanged") {
+    import spark.implicits._
+    val dir = tempDir("unigram_cap_docs")
+    val docs = Seq(
+      (1L, "the the the the the", "en", "s0", 19L),
+      (2L, "zyx qwv jkl mnp rst", "en", "s0", 19L),
+      (3L, "the the the jkl rst", "en", "s0", 19L)) ++
+      (10L to 29L).map(i => (i, "the and of to in", "en", "s1", 16L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    def nllMap(cap: Int): Map[Long, Double] =
+      TextOps.unigramNll(spark, dir, vocabCap = cap).collect()
+        .map(r => r.getLong(0) -> r.getAs[Double]("nll")).toMap
+    val full = nllMap(Int.MaxValue)
+    // cap = 3 keeps {the, and, in} (cf desc, term asc ties); everything
+    // else — including doc 2's hapaxes — falls into the OOV bucket
+    val capped = nllMap(3)
+    assert(capped.keySet == full.keySet, "cap must not change the row set")
+    // every score stays finite: OOV tokens score at oov_mass/total, not 0
+    assert(capped.values.forall(v => v > 0 && !v.isInfinite && !v.isNaN))
+    // a document made entirely of kept-vocab terms is scored by the same
+    // cf/total probabilities — the cap cannot move it
+    assert(math.abs(capped(1L) - full(1L)) < 1e-12,
+      s"in-vocab doc moved under cap: ${capped(1L)} vs ${full(1L)}")
+    // the OOV bucket carries the dropped tail's AGGREGATE mass: kept =
+    // {the:28, and:20, in:20} of 115 total tokens → oov_mass = 47, and
+    // the all-OOV doc scores exactly -ln(47/115) per token (far below
+    // its exact-LM hapax score of ln(115) — with this tiny fixture the
+    // bucket is deliberately fat; at the real 2^16 cap the dropped tail
+    // is the rare fringe and the bucket stays improbable)
+    assert(math.abs(capped(2L) - -math.log(47.0 / 115.0)) < 1e-12, s"got ${capped(2L)}")
+    assert(capped(2L) < full(2L))
   }
 
   test("quality-weighted sample: perfect-quality docs always kept, rate tracks quality") {

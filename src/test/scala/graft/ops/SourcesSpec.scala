@@ -173,6 +173,33 @@ class SourcesSpec extends SparkSpec {
     assert(UpsertOps.expirePartitions(spark, dir, "day", "2024-03").isEmpty)
   }
 
+  test("expire: escaped partition values (spaces/colons) are actually deleted and reported") {
+    import spark.implicits._
+    val dir = tempDir("expire_escaped_lake") + "/t"
+    // timestamp-style partition values: Spark %-escapes ' ' and ':' in the
+    // directory name, so an unescaped delete path would miss them
+    Seq((1L, "2024-01-01 00:00", 1.0), (2L, "2024-06-01 00:00", 2.0))
+      .toDF("id", "ts_part", "v").coalesce(1)
+      .write.mode("append").partitionBy("ts_part").parquet(dir)
+    val expired = UpsertOps.expirePartitions(spark, dir, "ts_part", "2024-02")
+    assert(expired == Seq("2024-01-01 00:00"), s"got $expired")
+    assert(spark.read.parquet(dir).select("id").collect().map(_.getLong(0)).toSeq
+      == Seq(2L), "expired escaped-value partition must be gone from reads")
+    assert(UpsertOps.expirePartitions(spark, dir, "ts_part", "2024-02").isEmpty)
+  }
+
+  test("compactBench: fragmented partitions compacted, tight partitions untouched, repeatable") {
+    def run() = UpsertOps.compactBench(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getBoolean(2))).toSeq
+    val got = run()
+    // every partition ends at one file; exactly the fixture's fragmented
+    // event types were touched by the pass
+    assert(got.nonEmpty && got.forall(_._2 == 1), s"got $got")
+    assert(got.filter(_._3).map(_._1).toSet == UpsertOps.BenchFragTypes.toSet, s"got $got")
+    // the fixture rebuild makes the op idempotent under Bench's min-of-3
+    assert(run() == got)
+  }
+
   test("approx_count_distinct within 5% of exact at rsd 1%") {
     val approx = SetOps.g3ApproxDistinct(spark, Sf0001).collect()(0)
     val exact = SetOps.g2CountDistinct(spark, Sf0001).collect()(0).getAs[Long]("n_parts")
