@@ -2,7 +2,6 @@ package graft.ops
 
 import graft.functions.exprs._
 import org.apache.spark.sql.{DataFrame, SparkSession}
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -42,14 +41,19 @@ object SimilarityOps {
     * ENTIRE scored corpus for its query — the canonical 100×-scale
     * killer. Tie-break (cos desc, neighbor_id asc) is identical, so the
     * output rows — and the DuckDB oracle hash — are unchanged. */
-  private def topkMapSide(scored: DataFrame, k: Int): DataFrame = {
+  private def topkMapSide(scored: DataFrame, k: Int): DataFrame =
+    topkMapSideUnordered(scored, k).orderBy("q_id", "rank")
+
+  /** The same bounded aggregate without the terminal presentation sort —
+    * for serving paths (index probe) whose consumers don't need a
+    * globally ordered frame. */
+  private def topkMapSideUnordered(scored: DataFrame, k: Int): DataFrame = {
     val topk = udaf(graft.functions.TopKPairsAggregator(k))
     scored.groupBy(col("q_id"))
       .agg(topk(col("cos"), col("neighbor_id")).as("top"))
       .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "p")))
       .select(col("q_id"), (col("pos") + 1).cast(IntegerType).as("rank"),
         col("p.neighborId").as("neighbor_id"))
-      .orderBy("q_id", "rank")
   }
 
   /** Exact top-k cosine neighbors for the first NumQueries vectors.
@@ -112,12 +116,7 @@ object SimilarityOps {
     val scored = assigned.join(broadcast(probes), "cell")
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         cosine_similarity(col("qv"), col("v")).as("cos"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w).cast(IntegerType))
-      .filter(col("rank") <= K)
-      .select(col("q_id"), col("rank"), col("neighbor_id"))
-      .orderBy("q_id", "rank")
+    topkMapSide(scored, K)
   }
 
   private def withBucket(spark: SparkSession, dir: String): DataFrame = {
@@ -129,14 +128,8 @@ object SimilarityOps {
     corpus(spark, dir).withColumn("bucket", bits.reduce(_ bitwiseOR _))
   }
 
-  private def rankWithin(scored: DataFrame): DataFrame = {
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w).cast(IntegerType))
-      .filter(col("rank") <= K)
-      .select(col("q_id"), col("rank"), col("neighbor_id"))
-      .orderBy("q_id", "rank")
-  }
+  private def rankWithin(scored: DataFrame): DataFrame =
+    topkMapSide(scored, K)
 
   /** ANN top-k: probe only the query's LSH bucket. Approximate — recall
     * measured against topkBrute in the test suite. */
@@ -273,11 +266,7 @@ object SimilarityOps {
   def probeIndex(index: DataFrame, queries: DataFrame, k: Int = 5,
       cfg: LshIndexConfig = KnnJoinConfig): DataFrame = {
     val qRows = indexRowsOf(queries.select(col("q_id").as("vec_id"), col("v")), cfg)
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    candidatesAgainst(index, qRows, cfg)
-      .withColumn("rank", row_number().over(w).cast(IntegerType))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("neighbor_id"))
+    topkMapSideUnordered(candidatesAgainst(index, qRows, cfg), k)
   }
 
   /** Scored candidate pairs of the kNN join (q_id, neighbor_id, cos),
@@ -290,14 +279,8 @@ object SimilarityOps {
   /** kNN join against a MATERIALIZED index (see `buildKnnIndex`): same
     * rows as `knnJoin`, zero signature recomputation. */
   def knnJoinFromIndex(spark: SparkSession, indexDir: String, k: Int = 5,
-      cfg: LshIndexConfig = KnnJoinConfig): DataFrame = {
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    candidatesOf(spark.read.parquet(indexDir), cfg)
-      .withColumn("rank", row_number().over(w).cast(IntegerType))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("neighbor_id"))
-      .orderBy("q_id", "rank")
-  }
+      cfg: LshIndexConfig = KnnJoinConfig): DataFrame =
+    topkMapSide(candidatesOf(spark.read.parquet(indexDir), cfg), k)
 
   /** Deterministic on-disk location of the materialized kNN index for a
     * data directory — tagged with the index version AND the source file's
@@ -336,14 +319,10 @@ object SimilarityOps {
     require(n <= DedupOps.ExactAllPairsMaxRows,
       s"knnExact is the exact all-pairs validation anchor (n=$n > " +
         s"${DedupOps.ExactAllPairsMaxRows}); use knnJoin for the approximate scale path")
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    emb.as("a").join(emb.as("b"), col("a.vec_id") =!= col("b.vec_id"))
-      .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("neighbor_id"),
-        cosine_similarity(col("a.v"), col("b.v")).as("cos"))
-      .withColumn("rank", row_number().over(w).cast(IntegerType))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("neighbor_id"))
-      .orderBy("q_id", "rank")
+    topkMapSide(
+      emb.as("a").join(emb.as("b"), col("a.vec_id") =!= col("b.vec_id"))
+        .select(col("a.vec_id").as("q_id"), col("b.vec_id").as("neighbor_id"),
+          cosine_similarity(col("a.v"), col("b.v")).as("cos")), k)
   }
 
   /** Per-label embedding CENTROIDS — element-wise mean per group, the
@@ -516,14 +495,8 @@ object SimilarityOps {
       lit(KnnRecallFloor).as("floor"),
       (col("recall_at_k") >= KnnRecallFloor).as("passes"))
 
-  def knnJoin(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    knnCandidates(spark, dir)
-      .withColumn("rank", row_number().over(w).cast(IntegerType))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("neighbor_id"))
-      .orderBy("q_id", "rank")
-  }
+  def knnJoin(spark: SparkSession, dir: String, k: Int = 5): DataFrame =
+    topkMapSide(knnCandidates(spark, dir), k)
 
   /** Near-dup clustering layout: recall-tuned — at the cos≈0.5 decision
     * threshold a missed edge silently splits a cluster, so this path
