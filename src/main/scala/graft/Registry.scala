@@ -1354,6 +1354,64 @@ object Registry {
         |SELECT doc_id, lang, source, rate FROM s
         |WHERE bucket < rate * 1000.0
         |ORDER BY doc_id""".stripMargin)),
+    GraftQuery("x_span_dup", PretrainOps.spanDupProfile, Some(
+      s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        |              WHERE len(string_split(text, ' ')) >= ${PretrainOps.SpanTokens}),
+        |grams AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t) - ${PretrainOps.SpanTokens - 1}),
+        |            i -> array_to_string(list_slice(t, i, i + ${PretrainOps.SpanTokens - 1}), ' ')))) AS g FROM toks),
+        |d AS (SELECT doc_id, count(*) OVER (PARTITION BY g) AS df FROM grams)
+        |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_spans,
+        |       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS INTEGER) AS n_dup,
+        |       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac
+        |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+    GraftQuery("x_span_dedup_filter", PretrainOps.spanDedupFilter, Some(
+      s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        |              WHERE len(string_split(text, ' ')) >= ${PretrainOps.SpanTokens}),
+        |grams AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t) - ${PretrainOps.SpanTokens - 1}),
+        |            i -> array_to_string(list_slice(t, i, i + ${PretrainOps.SpanTokens - 1}), ' ')))) AS g FROM toks),
+        |d AS (SELECT doc_id, count(*) OVER (PARTITION BY g) AS df FROM grams),
+        |p AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_spans,
+        |        CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac
+        |      FROM d GROUP BY doc_id)
+        |SELECT doc_id, n_spans, dup_frac FROM p
+        |WHERE dup_frac <= ${PretrainOps.SpanDupMax}
+        |ORDER BY doc_id""".stripMargin)),
+    GraftQuery("x_budget_select", CurationOps.budgetSelect, Some(
+      s"""WITH s AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
+        |             1.0 - len(list_filter(string_split(text, ' '),
+        |                 t -> t IN ('the','a','of','and','to','in','is','or','for','on')))
+        |               / len(string_split(text, ' ')) AS q
+        |           FROM documents),
+        |c AS (SELECT doc_id, n_tokens,
+        |        CAST(sum(n_tokens) OVER (ORDER BY q DESC, doc_id
+        |                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |      FROM s)
+        |SELECT doc_id, n_tokens, cum FROM c
+        |WHERE cum <= ${CurationOps.TokenBudget}
+        |ORDER BY doc_id""".stripMargin)),
+    GraftQuery("x_mix_epochs", CurationOps.epochMix, Some(
+      s"""WITH s AS (SELECT doc_id, source,
+        |             CAST(('0x' || substr(md5(text), 1, 4)) AS INTEGER) % 1000 AS bucket,
+        |             CASE WHEN CAST(substr(source, 4) AS INTEGER) < 5 THEN ${CurationOps.permille(CurationOps.EpochHi)}
+        |                  WHEN CAST(substr(source, 4) AS INTEGER) < 10 THEN ${CurationOps.permille(CurationOps.EpochMid)}
+        |                  ELSE ${CurationOps.permille(CurationOps.EpochLo)} END AS pm
+        |           FROM documents),
+        |r AS (SELECT doc_id, source,
+        |        pm // 1000 + CASE WHEN bucket < pm % 1000 THEN 1 ELSE 0 END AS reps
+        |      FROM s),
+        |e AS (SELECT doc_id, source, unnest(generate_series(1, reps)) AS epoch FROM r)
+        |SELECT doc_id, source, CAST(epoch AS INTEGER) AS epoch
+        |FROM e ORDER BY doc_id, epoch""".stripMargin)),
+    GraftQuery("x_shuffle_shards", CurationOps.shuffleShards, Some(
+      s"""WITH s AS (SELECT doc_id,
+        |             md5(CAST(doc_id AS VARCHAR) || ':graft-shuffle-42') AS h
+        |           FROM documents),
+        |p AS (SELECT doc_id, h,
+        |        CAST(('0x' || substr(h, 1, 4)) AS INTEGER) % ${CurationOps.NumShards} AS shard
+        |      FROM s)
+        |SELECT doc_id, shard,
+        |       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS INTEGER) AS pos
+        |FROM p ORDER BY doc_id""".stripMargin)),
     GraftQuery("x_mix_sources", SamplingOps.mixSources, Some(
       """WITH m AS (
         |  SELECT doc_id, source,

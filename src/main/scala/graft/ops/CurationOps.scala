@@ -1,0 +1,144 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Corpus-curation operators for the final assembly stage of a training
+  * run: selecting under a token budget, scheduling fractional epochs per
+  * source, and fixing a reproducible global shuffle order. These are the
+  * decisions a pretraining data pipeline makes AFTER dedup/filtering and
+  * BEFORE tokenization (cf. the mixture/epoch tables in the Llama, Pile
+  * and Dolma reports).
+  *
+  * All three are deterministic hash/integer/exact-division pipelines —
+  * fully value-oracled against DuckDB. No RNG anywhere: repeat counts and
+  * shuffle positions derive from content/id hashes, so a re-run (or a
+  * different partitioning) reproduces the exact same corpus.
+  */
+object CurationOps {
+
+  /** Global token budget for [[budgetSelect]] — selects roughly half the
+    * corpus at sf0.01 and the top ~6% at sf0.1, so both oracle scales
+    * exercise a non-trivial cut. */
+  val TokenBudget = 15000L
+
+  /** Quality quantization for the scalable greedy: floor(q·1000) — fine
+    * enough that the boundary bucket is a sliver of the corpus. */
+  val QualityBuckets = 1000
+
+  /** Greedy token-budget selection: take documents in quality order
+    * (q = 1 − stop-ratio, the shared `TextOps.stopRatio` currency;
+    * doc_id tie-break) until the cumulative token count exceeds
+    * [[TokenBudget]] — "best data that fits the compute budget", the
+    * canonical data-constrained-scaling selection rule.
+    *
+    * Scale shape: the textbook form is a cumulative sum over ONE global
+    * quality ordering — a single-partition window, the classic driver
+    * bottleneck. This plan never builds that ordering. Quality is
+    * quantized to [[QualityBuckets]] buckets (floor is monotone, so
+    * bucket-desc → exact-q-desc → doc_id is THE greedy order); per-bucket
+    * token totals aggregate to a ≤1001-row table whose bucket-prefix sums
+    * broadcast back; each document then needs only its WITHIN-bucket
+    * running sum (window partitioned by bucket — parallel, and any one
+    * bucket is ~1/1000 of the corpus unless quality is degenerate).
+    * cum = bucket-prefix + within-bucket running sum equals the global
+    * cumulative exactly, which is what the DuckDB oracle computes with
+    * the naive global window — the equivalence is the check. */
+  def budgetSelect(spark: SparkSession, dir: String): DataFrame = {
+    val q = lit(1.0) - TextOps.stopRatio(col("text"))
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"), q.as("q"))
+      .withColumn("bucket", floor(col("q") * QualityBuckets).cast(IntegerType))
+    val wb = Window.orderBy(col("bucket").desc)
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val cumBefore = docs.groupBy(col("bucket"))
+      .agg(sum(col("n_tokens")).as("btok"))
+      .withColumn("cum_before", coalesce(sum(col("btok")).over(wb), lit(0L)))
+      .select(col("bucket"), col("cum_before"))
+    val wd = Window.partitionBy(col("bucket"))
+      .orderBy(col("q").desc, col("doc_id"))
+    docs.join(broadcast(cumBefore), Seq("bucket"))
+      .withColumn("cum", col("cum_before") + sum(col("n_tokens")).over(wd))
+      .filter(col("cum") <= TokenBudget)
+      .select(col("doc_id"), col("n_tokens"), col("cum"))
+      .orderBy("doc_id")
+  }
+
+  /** Per-source epoch weights for [[epochMix]]: scarce high-value shards
+    * train 2.4 epochs, the mid tier 1.2, the glut 0.4 — the standard
+    * "upsample the good, downsample the web crawl" mixture table (a
+    * stand-in for a configured weights table; the index rule keeps it
+    * SQL-expressible for the oracle). */
+  val EpochHi = 2.4
+  val EpochMid = 1.2
+  val EpochLo = 0.4
+
+  /** Weights enter the plan as exact integer PERMILLE (2.4 → base 2,
+    * extra-bucket threshold 400), not as doubles: `0.4 * 1000` in IEEE
+    * arithmetic lands a hair ABOVE 400, so a float threshold would admit
+    * bucket 400 where exact decimal arithmetic (DuckDB's) excludes it —
+    * integer thresholds make the keep rule engine-exact by construction. */
+  def permille(w: Double): Int = math.round(w * 1000).toInt
+
+  /** Fractional-epoch mixing: materialize the training-mixture repeat
+    * plan — each document appears floor(w) times, plus once more iff its
+    * content-hash bucket falls under frac(w), so a source with w = 2.4
+    * contributes each document 2 or 3 times and EXACTLY 2.4× in
+    * expectation over content hashes. Documents whose repeat count lands
+    * on 0 (w < 1) drop out — mixing subsumes downsampling. The decision
+    * is md5-of-text (engine-identical, leakage-resistant: byte-identical
+    * duplicates repeat together), not RNG, so the epoch plan is exactly
+    * reproducible across runs, engines and partitionings.
+    *
+    * Scale shape: narrow per-row arithmetic + an explode bounded by
+    * ceil(max w) — no shuffle beyond the output sort, embarrassingly
+    * parallel at any corpus size. */
+  def epochMix(spark: SparkSession, dir: String): DataFrame = {
+    val idx = substring(col("source"), 4, 10).cast(IntegerType)
+    val pm = when(idx < 5, permille(EpochHi))
+      .when(idx < 10, permille(EpochMid)).otherwise(permille(EpochLo))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("source"),
+        (conv(substring(md5(col("text")), 1, 4), 16, 10).cast(IntegerType) % 1000).as("bucket"),
+        pm.as("pm"))
+      .withColumn("repeats",
+        (col("pm") / 1000).cast(IntegerType) +
+          when(col("bucket") < col("pm") % 1000, 1).otherwise(0))
+      .filter(col("repeats") >= 1)
+      .select(col("doc_id"), col("source"),
+        explode(sequence(lit(1), col("repeats"))).as("epoch"))
+      .orderBy("doc_id", "epoch")
+  }
+
+  /** Shard count for [[shuffleShards]] — fixed here; in production it
+    * scales with the corpus (one shard per output file), keeping
+    * per-shard volume constant. */
+  val NumShards = 16
+
+  /** Deterministic global shuffle for training-order export: every
+    * document gets a (shard, position) from a seeded content-independent
+    * id hash — the reproducible "shuffle once, write sharded" step every
+    * trainer needs so a restarted job reads the identical byte order.
+    * Hashing doc_id (not text) keeps duplicate texts in DIFFERENT
+    * positions — a shuffle must separate copies, the opposite concern of
+    * the sampling ops' content hashing.
+    *
+    * Scale shape: one exchange on the shard key; the per-shard position
+    * window orders |corpus|/[[NumShards]] rows per reducer, and shard
+    * count grows with the corpus in production, so per-reducer volume is
+    * flat — this is exactly how a 1000-executor job writes a shuffled
+    * 100 TB corpus without any global sort. */
+  def shuffleShards(spark: SparkSession, dir: String): DataFrame = {
+    val h = md5(concat(col("doc_id").cast(StringType), lit(":graft-shuffle-42")))
+    val shard = (conv(substring(col("h"), 1, 4), 16, 10).cast(IntegerType) % NumShards)
+    val wp = Window.partitionBy(col("shard")).orderBy(col("h"), col("doc_id"))
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), h.as("h"))
+      .withColumn("shard", shard)
+      .withColumn("pos", row_number().over(wp).cast(IntegerType))
+      .select(col("doc_id"), col("shard"), col("pos"))
+      .orderBy("doc_id")
+  }
+}

@@ -215,6 +215,59 @@ object PretrainOps {
       .orderBy("doc_id")
   }
 
+  /** Span width (tokens) for substring-level dedup. Real pipelines use
+    * ~50-token spans (Lee et al., "Deduplicating Training Data Makes
+    * Language Models Better"); the synthetic docs bottom out at 10
+    * tokens, so 8 keeps every doc in scope with the same plan shape. */
+  val SpanTokens = 8
+
+  /** Duplicated-span fraction threshold for [[spanDedupFilter]]. */
+  val SpanDupMax = 0.5
+
+  /** Substring-level duplication profile — the dedup granularity BETWEEN
+    * document level (DedupOps) and aligned paragraph blocks
+    * ([[paragraphDedup]]): every stride-1 window of [[SpanTokens]] tokens
+    * is a span; a span present in ≥2 documents is duplicated text even
+    * when no paragraph boundary aligns with it. Output per document: its
+    * distinct-span count, how many of those spans recur elsewhere in the
+    * corpus, and the duplicated fraction — the signal substring-level
+    * dedup thresholds on.
+    *
+    * Scale shape: one exchange keyed by the span (the exploded span table
+    * is hash-partitioned by `g` once; corpus document-frequency is a
+    * plain count over that partition since spans are distinct per doc),
+    * then one doc_id aggregation — the `boilerplateStrip` shape at
+    * stride 1. Span fan-out is ~|tokens| rows/doc; at 100 TB the span
+    * key becomes a 64/128-bit shingle digest (`ShingleHashes`) so the
+    * exchange carries fixed-width keys, and the df count caps with the
+    * `MaxBucket` pattern — identical plan. */
+  def spanDupProfile(spark: SparkSession, dir: String): DataFrame =
+    spanProfileOf(Tables.parallel(spark, dir, "documents")).orderBy("doc_id")
+
+  private def spanProfileOf(docs: DataFrame): DataFrame = {
+    val spans = grams(tokenized(docs, SpanTokens), SpanTokens)
+      .repartition(col("g"))
+    val wg = Window.partitionBy(col("g"))
+    spans.withColumn("df", count(lit(1)).over(wg))
+      .groupBy(col("doc_id"))
+      .agg(
+        count(lit(1)).cast(IntegerType).as("n_spans"),
+        sum(when(col("df") >= 2, 1L).otherwise(0L)).cast(IntegerType).as("n_dup"))
+      .withColumn("dup_frac",
+        col("n_dup").cast(DoubleType) / col("n_spans"))
+  }
+
+  /** Substring-level dedup filter: drop documents whose duplicated-span
+    * fraction exceeds [[SpanDupMax]] — mostly-recycled text is removed
+    * whole (stitching partial spans back together mid-document mangles
+    * grammar; pipelines cut at the document once duplication dominates).
+    * Same plan as [[spanDupProfile]] plus the final filter. */
+  def spanDedupFilter(spark: SparkSession, dir: String): DataFrame =
+    spanProfileOf(Tables.parallel(spark, dir, "documents"))
+      .filter(col("dup_frac") <= SpanDupMax)
+      .select(col("doc_id"), col("n_spans"), col("dup_frac"))
+      .orderBy("doc_id")
+
   /** Chunking geometry: window of `ChunkTokens` tokens advancing by
     * `ChunkStride` (25% overlap) — the retrieval/embedding-prep shape. */
   val ChunkTokens = 32

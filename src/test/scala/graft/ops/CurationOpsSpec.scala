@@ -1,0 +1,100 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantics tests for the corpus-curation operators (CurationOps) and
+  * substring-level span dedup (PretrainOps.spanDupProfile): planted
+  * fixtures with known duplicated spans, greedy-order invariants for the
+  * token-budget cut, exact-expectation repeat counts for epoch mixing,
+  * and permutation invariants for the deterministic shuffle. */
+class CurationOpsSpec extends SparkSpec {
+
+  /** Planted corpus for span dedup: docs 0 and 1 share an 8-token run
+    * embedded at DIFFERENT offsets with no aligned paragraph boundary —
+    * exactly the case document- and block-level dedup both miss; docs 2
+    * and 3 share no 8-token span with anything. */
+  private lazy val spanDir: String = {
+    import spark.implicits._
+    val shared = "alpha beta gamma delta epsilon zeta eta theta" // 8 tokens
+    val docs = Seq(
+      (0L, s"one two $shared tail words here", "en", "src0", 1L),
+      (1L, s"prefix $shared and then something else entirely four", "en", "src1", 1L),
+      (2L, "completely different words about spark query engines and shuffles everywhere today", "en", "src0", 1L),
+      (3L, "unrelated text mentioning databases clusters and partitions in production systems", "en", "src1", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tempDir("span_docs")
+    docs.repartition(3).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("span dedup: unaligned shared 8-token run is flagged in both docs, clean docs at zero") {
+    val r = PretrainOps.spanDupProfile(spark, spanDir).collect()
+      .map(x => x.getLong(0) -> (x.getInt(1), x.getInt(2))).toMap
+    assert(r(0L)._2 >= 1 && r(1L)._2 >= 1) // the planted span recurs
+    assert(r(2L)._2 == 0 && r(3L)._2 == 0) // clean docs untouched
+    // doc 0: 13 tokens -> 6 distinct spans; exactly one is shared
+    assert(r(0L)._1 == 6 && r(0L)._2 == 1)
+  }
+
+  test("span dedup filter keeps exactly the docs under the dup_frac threshold") {
+    val profile = PretrainOps.spanDupProfile(spark, spanDir).collect()
+      .map(x => x.getLong(0) -> x.getDouble(3)).toMap
+    val kept = PretrainOps.spanDedupFilter(spark, spanDir).collect()
+      .map(_.getLong(0)).toSet
+    profile.foreach { case (id, frac) =>
+      assert(kept.contains(id) == (frac <= PretrainOps.SpanDupMax))
+    }
+  }
+
+  test("budget select: output is the exact greedy quality prefix within budget") {
+    val docs = Tables(spark, Sf0001, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"),
+        (lit(1.0) - TextOps.stopRatio(col("text"))).as("q"))
+      .collect().map(r => (r.getLong(0), r.getInt(1), r.getDouble(2)))
+    val greedy = docs.sortBy { case (id, _, q) => (-q, id) }
+    val prefix = greedy.scanLeft(0L) { case (acc, (_, n, _)) => acc + n }.tail
+      .zip(greedy).takeWhile(_._1 <= CurationOps.TokenBudget).map(_._2._1).toSet
+
+    val got = CurationOps.budgetSelect(spark, Sf0001).collect()
+    assert(got.map(_.getLong(0)).toSet == prefix)
+    // cum really is the global running sum: max cum == sum of selected tokens
+    val totTokens = got.map(_.getInt(1).toLong).sum
+    assert(got.map(_.getLong(2)).max == totTokens)
+    assert(totTokens <= CurationOps.TokenBudget)
+  }
+
+  test("epoch mix: repeats bracket the weight and hit its expectation in aggregate") {
+    val r = CurationOps.epochMix(spark, Sf0001)
+    val perDoc = r.groupBy("doc_id", "source").agg(max("epoch").as("reps"))
+      .collect().map(x => (x.getString(1), x.getInt(2)))
+    perDoc.foreach { case (src, reps) =>
+      val idx = src.drop(3).toInt
+      val w = if (idx < 5) CurationOps.EpochHi
+              else if (idx < 10) CurationOps.EpochMid else CurationOps.EpochLo
+      assert(reps == math.floor(w).toInt || reps == math.ceil(w).toInt,
+        s"$src repeats $reps outside [floor,ceil] of $w")
+    }
+    // epochs are dense 1..reps per doc (explode emits every epoch)
+    val dense = r.groupBy("doc_id", "source")
+      .agg(max("epoch").as("reps"), count(lit(1)).as("n"))
+      .filter(col("reps") =!= col("n")).count()
+    assert(dense == 0)
+  }
+
+  test("shuffle shards: a permutation — every doc exactly once, dense per-shard positions") {
+    val r = CurationOps.shuffleShards(spark, Sf0001)
+    val n = Tables(spark, Sf0001, "documents").count()
+    assert(r.count() == n)
+    assert(r.select("doc_id").distinct().count() == n)
+    // positions are dense 1..count within every shard
+    val bad = r.groupBy("shard")
+      .agg(count(lit(1)).as("n"), max("pos").as("mx"), min("pos").as("mn"))
+      .filter(col("mx") =!= col("n") || col("mn") =!= 1).count()
+    assert(bad == 0)
+    // id-hash shuffling separates byte-identical duplicate texts: shard
+    // order is independent of doc order (doc_id 0 need not be pos 1)
+    val det = CurationOps.shuffleShards(spark, Sf0001).collect().toSeq
+    assert(det == r.collect().toSeq) // deterministic across re-runs
+  }
+}
