@@ -1354,6 +1354,22 @@ object Registry {
         |SELECT doc_id, lang, source, rate FROM s
         |WHERE bucket < rate * 1000.0
         |ORDER BY doc_id""".stripMargin)),
+    GraftQuery("x_bpe_pair_stats", BpeOps.pairStats, Some(
+      """WITH w AS (SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS word
+        |           FROM documents),
+        |wf AS (SELECT word, count(*) AS freq FROM w GROUP BY word),
+        |cs AS (SELECT freq, regexp_extract_all(word, '.') AS c FROM wf WHERE len(word) >= 2),
+        |p AS (SELECT c[i] AS l, c[i+1] AS r, freq
+        |      FROM (SELECT freq, c, unnest(generate_series(1, len(c) - 1)) AS i FROM cs))
+        |SELECT l, r, CAST(sum(freq) AS BIGINT) AS pair_freq
+        |FROM p GROUP BY l, r ORDER BY l, r""".stripMargin)),
+    GraftQuery("x_bpe_merges", BpeOps.merges, None),
+    GraftQuery("x_bpe_encode", BpeOps.encode, None),
+    GraftQuery("x_bpe_compression_gate", BpeOps.compressionGate, Some(
+      """WITH w AS (SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS word
+        |           FROM documents)
+        |SELECT CAST(sum(len(word)) AS BIGINT) AS char_tokens, true AS passes
+        |FROM w""".stripMargin)),
     GraftQuery("x_span_dup", PretrainOps.spanDupProfile, Some(
       s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
         |              WHERE len(string_split(text, ' ')) >= ${PretrainOps.SpanTokens}),
