@@ -1370,6 +1370,15 @@ object Registry {
         |           FROM documents)
         |SELECT CAST(sum(len(word)) AS BIGINT) AS char_tokens, true AS passes
         |FROM w""".stripMargin)),
+    GraftQuery("x_heavy_hitters", SketchOps.heavyHitters, None),
+    GraftQuery("x_heavy_hitters_gate", SketchOps.heavyHittersGate, Some(
+      s"""WITH t AS (SELECT unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |f AS (SELECT term, count(*) AS freq FROM t GROUP BY term),
+        |n AS (SELECT CAST(sum(freq) AS BIGINT) AS n FROM f)
+        |SELECT n.n AS n_tokens,
+        |       CAST((SELECT count(*) FROM f WHERE freq * ${SketchOps.SketchK + 1} > n.n) AS INTEGER) AS n_heavy,
+        |       true AS passes
+        |FROM n""".stripMargin)),
     GraftQuery("x_span_dup", PretrainOps.spanDupProfile, Some(
       s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
         |              WHERE len(string_split(text, ' ')) >= ${PretrainOps.SpanTokens}),
@@ -1379,7 +1388,41 @@ object Registry {
         |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_spans,
         |       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS INTEGER) AS n_dup,
         |       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac
+        |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin), headline = true),
+    // 100 TB twin of x_span_dup: the span exchange keys are 128-bit
+    // digests (16 bytes) instead of 8-token strings — same plan, same
+    // rows, so it shares the text-keyed oracle verbatim.
+    GraftQuery("x_span_dup_digest", PretrainOps.spanDupProfileDigest, Some(
+      s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+        |              WHERE len(string_split(text, ' ')) >= ${PretrainOps.SpanTokens}),
+        |grams AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t) - ${PretrainOps.SpanTokens - 1}),
+        |            i -> array_to_string(list_slice(t, i, i + ${PretrainOps.SpanTokens - 1}), ' ')))) AS g FROM toks),
+        |d AS (SELECT doc_id, count(*) OVER (PARTITION BY g) AS df FROM grams)
+        |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_spans,
+        |       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS INTEGER) AS n_dup,
+        |       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac
         |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+    GraftQuery("x_split_leakage", CurationOps.splitLeakage, Some(
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |tri AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+        |        FROM toks WHERE len(t) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+        |prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |        FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |good AS (SELECT doc_a, doc_b FROM prs
+        |         JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+        |         WHERE 3 * n_common >= ca.n + cb.n),
+        |sp AS (SELECT doc_id,
+        |         CASE WHEN CAST(('0x' || substr(md5(text), 1, 4)) AS INTEGER) % 100 < 90 THEN 'train'
+        |              WHEN CAST(('0x' || substr(md5(text), 1, 4)) AS INTEGER) % 100 < 95 THEN 'val'
+        |              ELSE 'test' END AS split
+        |       FROM documents)
+        |SELECT sa.split AS split_a, sb.split AS split_b, count(*) AS n_pairs,
+        |       sa.split <> sb.split AS leaked
+        |FROM good JOIN sp sa ON good.doc_a = sa.doc_id
+        |          JOIN sp sb ON good.doc_b = sb.doc_id
+        |GROUP BY 1, 2 ORDER BY split_a, split_b""".stripMargin)),
     GraftQuery("x_span_dedup_filter", PretrainOps.spanDedupFilter, Some(
       s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
         |              WHERE len(string_split(text, ' ')) >= ${PretrainOps.SpanTokens}),

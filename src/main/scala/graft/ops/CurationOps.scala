@@ -130,6 +130,36 @@ object CurationOps {
     * count grows with the corpus in production, so per-reducer volume is
     * flat — this is exactly how a 1000-executor job writes a shuffled
     * 100 TB corpus without any global sort. */
+  /** Cross-split leakage audit: near-duplicate pairs whose members
+    * landed in DIFFERENT train/val/test splits — the QA query run after
+    * splitting, because a validation doc with a near-dup twin in train
+    * silently inflates eval. The content-hash split (`splitHash`) makes
+    * byte-IDENTICAL duplicates split together by construction; NEAR-dups
+    * (one token off) can still cross — exactly what this measures.
+    * Output: the (split_a, split_b) pair-count matrix with a `leaked`
+    * flag on off-diagonal cells.
+    *
+    * Scale shape: pair discovery IS the oracled PPJoin plan
+    * (`DedupOps.ngramJaccard` — one corpus scan, prefix-filtered
+    * candidates); split labels are a narrow md5 map over the corpus; the
+    * pair set (≪ corpus) drives two keyed joins against the labels, and
+    * the final aggregate is ≤ 9 rows. Nothing here adds a corpus-sized
+    * shuffle beyond what the dedup pass already paid. */
+  def splitLeakage(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = DedupOps.ngramJaccard(spark, dir)
+      .select(col("doc_a"), col("doc_b"))
+    val splits = SamplingOps.splitHash(spark, dir)
+      .select(col("doc_id"), col("split"))
+    pairs
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")), Seq("doc_a"))
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")), Seq("doc_b"))
+      .groupBy(col("split_a"), col("split_b"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .select(col("split_a"), col("split_b"), col("n_pairs"),
+        (col("split_a") =!= col("split_b")).as("leaked"))
+      .orderBy("split_a", "split_b")
+  }
+
   def shuffleShards(spark: SparkSession, dir: String): DataFrame = {
     val h = md5(concat(col("doc_id").cast(StringType), lit(":graft-shuffle-42")))
     val shard = (conv(substring(col("h"), 1, 4), 16, 10).cast(IntegerType) % NumShards)

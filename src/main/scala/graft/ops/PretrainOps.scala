@@ -244,10 +244,24 @@ object PretrainOps {
   def spanDupProfile(spark: SparkSession, dir: String): DataFrame =
     spanProfileOf(Tables.parallel(spark, dir, "documents")).orderBy("doc_id")
 
-  private def spanProfileOf(docs: DataFrame): DataFrame = {
+  /** The 100 TB form of [[spanDupProfile]]: the df exchange and window
+    * key on a 128-BIT DIGEST of the span (two independently-seeded
+    * xxhash64s — the `exactDigest`/`paragraphDedupDigest` key) instead
+    * of the span text, so the one big shuffle carries 16-byte keys
+    * rather than 8-token strings. Identical output barring a digest
+    * collision (~n²/2¹²⁹) — which is why it shares the text-keyed
+    * DuckDB oracle, and the suite pins row equality of the two forms. */
+  def spanDupProfileDigest(spark: SparkSession, dir: String): DataFrame =
+    spanProfileOf(Tables.parallel(spark, dir, "documents"), g =>
+      struct(xxhash64(g).as("h1"), xxhash64(g, lit(0x5EED)).as("h2")))
+      .orderBy("doc_id")
+
+  private def spanProfileOf(docs: DataFrame,
+      keyOf: Column => Column = identity): DataFrame = {
     val spans = grams(tokenized(docs, SpanTokens), SpanTokens)
-      .repartition(col("g"))
-    val wg = Window.partitionBy(col("g"))
+      .withColumn("gk", keyOf(col("g")))
+      .repartition(col("gk"))
+    val wg = Window.partitionBy(col("gk"))
     spans.withColumn("df", count(lit(1)).over(wg))
       .groupBy(col("doc_id"))
       .agg(

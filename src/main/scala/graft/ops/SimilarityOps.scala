@@ -41,7 +41,7 @@ object SimilarityOps {
     * ENTIRE scored corpus for its query — the canonical 100×-scale
     * killer. Tie-break (cos desc, neighbor_id asc) is identical, so the
     * output rows — and the DuckDB oracle hash — are unchanged. */
-  private def topkMapSide(scored: DataFrame, k: Int): DataFrame =
+  def topkMapSide(scored: DataFrame, k: Int): DataFrame =
     topkMapSideUnordered(scored, k).orderBy("q_id", "rank")
 
   /** The same bounded aggregate without the terminal presentation sort —

@@ -1,0 +1,69 @@
+package graft.ops
+
+import graft.functions.MisraGriesAggregator
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Bounded-memory frequency sketching over the corpus token stream —
+  * the approximate sibling of the exact `TextOps.termDf` family. The
+  * exact form shuffles the full |vocab| (unbounded at web scale, Heaps'
+  * law); the Misra–Gries aggregate shuffles at most [[SketchK]] counters
+  * per partition and still GUARANTEES every term above the n/(k+1)
+  * frequency floor surfaces — the right trade for "what dominates this
+  * 100 TB crawl" monitoring queries.
+  */
+object SketchOps {
+
+  /** Sketch width: counters kept per partial. Every term with frequency
+    * > n/(k+1) is guaranteed present; estimates undercount by at most
+    * n/(k+1). */
+  val SketchK = 64
+
+  private def tokens(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("term"))
+
+  /** Heavy-hitter candidates: ONE pass, one k-bounded partial per
+    * partition, one k-bounded merge — the whole shuffle is
+    * ≤ k·|partitions| counters regardless of vocabulary size. Estimates
+    * are the MG lower bounds (deterministic for a given partitioning);
+    * rows-only oracle — the value-checked signal is
+    * [[heavyHittersGate]]. */
+  def heavyHitters(spark: SparkSession, dir: String): DataFrame = {
+    val mg = udaf(MisraGriesAggregator(SketchK))
+    tokens(spark, dir)
+      .agg(mg(col("term")).as("sketch"))
+      .select(explode(col("sketch")).as(Seq("term", "est_count")))
+      .orderBy(col("est_count").desc, col("term"))
+  }
+
+  /** Value-oracled guarantee gate (the recall-gate pattern): joins the
+    * sketch against the EXACT token frequencies (a validation anchor —
+    * affordable at oracle scale exactly like `knnExact`) and checks the
+    * two Misra–Gries theorems: every term with freq·(k+1) > n is present
+    * in the sketch, and every estimate is a lower bound within n/(k+1)
+    * of truth. Integer arithmetic throughout, so the oracle can compute
+    * n_tokens and n_heavy independently and expect the literal
+    * passes=true. */
+  def heavyHittersGate(spark: SparkSession, dir: String): DataFrame = {
+    val exact = tokens(spark, dir).groupBy(col("term"))
+      .agg(count(lit(1)).as("freq"))
+    val total = exact.agg(sum(col("freq")).as("n")).select(col("n"))
+    val sketch = heavyHitters(spark, dir)
+    exact
+      .join(sketch, Seq("term"), "left")
+      .crossJoin(broadcast(total))
+      .agg(
+        max(col("n")).as("n_tokens"),
+        sum(when(col("freq") * (SketchK + 1) > col("n"), 1L).otherwise(0L))
+          .cast(IntegerType).as("n_heavy"),
+        sum(when(col("freq") * (SketchK + 1) > col("n") &&
+          col("est_count").isNull, 1L).otherwise(0L)).as("missed"),
+        sum(when(col("est_count") > col("freq") ||
+          (col("freq") - coalesce(col("est_count"), col("freq"))) * (SketchK + 1) > col("n"),
+          1L).otherwise(0L)).as("violated"))
+      .select(col("n_tokens"), col("n_heavy"),
+        (col("missed") === 0L && col("violated") === 0L).as("passes"))
+  }
+}

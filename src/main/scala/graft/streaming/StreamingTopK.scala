@@ -2,10 +2,8 @@ package graft.streaming
 
 import graft.functions.exprs._
 import org.apache.spark.sql.DataFrame
-import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
-import org.apache.spark.sql.types._
 
 /** Streaming similarity serving: a stream of query vectors ranked against
   * the STATIC embedding corpus — the stream-static join shape. The corpus
@@ -21,16 +19,16 @@ import org.apache.spark.sql.types._
   * kernel inside whole-stage codegen. */
 object StreamingTopK {
 
-  /** Rank one micro-batch of queries against the corpus (batch-land). */
+  /** Rank one micro-batch of queries against the corpus (batch-land):
+    * the same `TopKPairsAggregator` map-side bounded ranking the batch
+    * family uses (round 6 retired the per-query window here too — the
+    * scored set is |corpus|·|batch| rows and the window funneled all of
+    * them into |batch| reducers). */
   def rankBatch(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
     val scored = corpus.join(broadcast(queries))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         cosine_similarity(col("qv"), col("v")).as("cos"))
-    val w = Window.partitionBy(col("q_id")).orderBy(col("cos").desc, col("neighbor_id"))
-    scored
-      .withColumn("rank", row_number().over(w).cast(IntegerType))
-      .filter(col("rank") <= k)
-      .select(col("q_id"), col("rank"), col("neighbor_id"))
+    graft.ops.SimilarityOps.topkMapSide(scored, k)
   }
 
   /** Serve a query-vector stream against the static corpus into an

@@ -47,6 +47,26 @@ class CurationOpsSpec extends SparkSpec {
     }
   }
 
+  test("digest-keyed span twin emits identical rows to the text-keyed form") {
+    assert(PretrainOps.spanDupProfileDigest(spark, spanDir).collect().toSeq ==
+      PretrainOps.spanDupProfile(spark, spanDir).collect().toSeq)
+    assert(PretrainOps.spanDupProfileDigest(spark, Sf0001).collect().toSeq ==
+      PretrainOps.spanDupProfile(spark, Sf0001).collect().toSeq)
+  }
+
+  test("split leakage matrix is the exact composition of pairs × split labels") {
+    val split = SamplingOps.splitHash(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val expected = DedupOps.ngramJaccard(spark, Sf0001).collect()
+      .map(r => (split(r.getLong(0)), split(r.getLong(1))))
+      .groupBy(identity).map { case ((a, b), v) => (a, b, v.length.toLong, a != b) }
+      .toSeq.sortBy(x => (x._1, x._2))
+    val got = CurationOps.splitLeakage(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2), r.getBoolean(3))).toSeq
+    assert(got == expected)
+    assert(got.map(_._3).sum == DedupOps.ngramJaccard(spark, Sf0001).count())
+  }
+
   test("budget select: output is the exact greedy quality prefix within budget") {
     val docs = Tables(spark, Sf0001, "documents")
       .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"),
