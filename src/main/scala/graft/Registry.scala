@@ -1471,6 +1471,32 @@ object Registry {
         |SELECT doc_id, shard,
         |       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS INTEGER) AS pos
         |FROM p ORDER BY doc_id""".stripMargin)),
+    GraftQuery("x_resample_target", CurationOps.resampleToTarget, Some(
+      """WITH c AS (SELECT lang, count(*) AS cnt,
+        |             CASE lang WHEN 'en' THEN 300 WHEN 'de' THEN 175 WHEN 'es' THEN 175
+        |                       WHEN 'fr' THEN 175 WHEN 'zh' THEN 175 ELSE 0 END AS pm
+        |           FROM documents GROUP BY lang),
+        |lim AS (SELECT cnt AS cnt_lim, pm AS pm_lim FROM c WHERE pm > 0
+        |        ORDER BY CAST(cnt AS DOUBLE) / pm, lang LIMIT 1)
+        |SELECT d.doc_id, d.lang
+        |FROM documents d JOIN c USING (lang), lim
+        |WHERE pm > 0
+        |  AND (CAST(('0x' || substr(md5(d.text), 1, 4)) AS INTEGER) % 1000) * pm_lim * cnt
+        |      < 1000 * pm * cnt_lim
+        |ORDER BY doc_id""".stripMargin)),
+    GraftQuery("x_quality_terciles", CurationOps.qualityTerciles, Some(
+      """WITH s AS (SELECT doc_id, lang,
+        |             1.0 - len(list_filter(string_split(text, ' '),
+        |                 t -> t IN ('the','a','of','and','to','in','is','or','for','on')))
+        |               / len(string_split(text, ' ')) AS q
+        |           FROM documents),
+        |b AS (SELECT lang, quantile_cont(q, 0.3333333333333333) AS p33,
+        |             quantile_cont(q, 0.6666666666666666) AS p66
+        |      FROM s GROUP BY lang)
+        |SELECT doc_id, lang, q,
+        |       CASE WHEN q > p66 THEN 'head' WHEN q > p33 THEN 'middle' ELSE 'tail' END AS bucket
+        |FROM s JOIN b USING (lang)
+        |ORDER BY doc_id""".stripMargin)),
     GraftQuery("x_mix_sources", SamplingOps.mixSources, Some(
       """WITH m AS (
         |  SELECT doc_id, source,

@@ -112,6 +112,77 @@ object CurationOps {
       .orderBy("doc_id", "epoch")
   }
 
+  /** Target language shares (permille) for [[resampleToTarget]] — the
+    * distribution the curated corpus should have, as opposed to the
+    * crawl's accidental one. Integer permille for the same engine-exact
+    * reason as [[epochMix]]. */
+  val TargetSharePm: Map[String, Int] =
+    Map("en" -> 300, "de" -> 175, "es" -> 175, "fr" -> 175, "zh" -> 175)
+
+  /** Importance resampling to a TARGET distribution: downsample each
+    * language so the surviving corpus matches [[TargetSharePm]] as
+    * closely as downsampling-only allows — the scarcest language
+    * (relative to its target share) keeps everything, every other
+    * language keeps the rate that preserves the target proportions.
+    * This is the general distribution-matching step behind "rebalance
+    * the crawl to the product mix" (CCNet, mC4 language balancing).
+    *
+    * Engine-exactness: the keep rule is fully cross-multiplied —
+    * bucket · pm_limiting · count_lang < 1000 · pm_lang · count_limiting
+    * — all int64, so no float boundary exists anywhere (the limiting
+    * language itself is an argmin of an IEEE-identical double ratio
+    * with a lang tie-break). Scale shape: one tiny per-lang aggregate,
+    * its 1-row argmin broadcast back, then a narrow per-row hash
+    * decision — the corpus never shuffles. */
+  def resampleToTarget(spark: SparkSession, dir: String): DataFrame = {
+    val pm = TargetSharePm.foldLeft(lit(0)) { case (acc, (l, p)) =>
+      when(col("lang") === l, p).otherwise(acc)
+    }
+    val counts = Tables(spark, dir, "documents")
+      .groupBy(col("lang")).agg(count(lit(1)).as("cnt"))
+      .withColumn("pm", pm)
+      .filter(col("pm") > 0)
+    val lim = counts
+      .orderBy((col("cnt").cast(DoubleType) / col("pm")).asc, col("lang"))
+      .limit(1)
+      .select(col("cnt").as("cnt_lim"), col("pm").as("pm_lim"))
+    Tables(spark, dir, "documents")
+      .join(counts.select(col("lang"), col("cnt"), col("pm")), Seq("lang"))
+      .crossJoin(broadcast(lim))
+      .filter(
+        (conv(substring(md5(col("text")), 1, 4), 16, 10).cast(LongType) % 1000) *
+          col("pm_lim") * col("cnt") < lit(1000L) * col("pm") * col("cnt_lim"))
+      .select(col("doc_id"), col("lang"))
+      .orderBy("doc_id")
+  }
+
+  /** CCNet-style per-language quality terciles: label every document
+    * head / middle / tail by where its quality sits within ITS OWN
+    * language's distribution (cross-language score scales never agree,
+    * so the split must be per-language — the core CCNet observation).
+    * The currency is the shared exact `TextOps.stopRatio` quality, and
+    * the boundaries are exact percentiles (Spark `percentile` ≡ DuckDB
+    * `quantile_cont`, the parity `winsorize` already proves) — so the
+    * whole labeling is value-oracled, unlike a perplexity bucket.
+    *
+    * Scale shape: the tercile table is |langs| rows (one small
+    * aggregate), broadcast back over the corpus scan; labeling is a
+    * pure map. The corpus never shuffles. */
+  def qualityTerciles(spark: SparkSession, dir: String): DataFrame = {
+    val q = lit(1.0) - TextOps.stopRatio(col("text"))
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("lang"), q.as("q"))
+    val bands = docs.groupBy(col("lang")).agg(
+      expr("percentile(q, 0.3333333333333333)").as("p33"),
+      expr("percentile(q, 0.6666666666666666)").as("p66"))
+    docs.join(broadcast(bands), Seq("lang"))
+      .select(col("doc_id"), col("lang"), col("q"),
+        when(col("q") > col("p66"), "head")
+          .when(col("q") > col("p33"), "middle")
+          .otherwise("tail").as("bucket"))
+      .orderBy("doc_id")
+  }
+
   /** Shard count for [[shuffleShards]] — fixed here; in production it
     * scales with the corpus (one shard per output file), keeping
     * per-shard volume constant. */

@@ -84,6 +84,47 @@ class CurationOpsSpec extends SparkSpec {
     assert(totTokens <= CurationOps.TokenBudget)
   }
 
+  test("resample to target: limiting language keeps everything, shares approach the target") {
+    val before = Tables(spark, Sf0001, "documents")
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val after = CurationOps.resampleToTarget(spark, Sf0001)
+      .groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // the limiting language (min count/share ratio) survives intact
+    val limiting = before.keys.minBy(l =>
+      (before(l).toDouble / CurationOps.TargetSharePm(l), l))
+    assert(after(limiting) == before(limiting))
+    // every language is downsampled-only and the share error shrinks:
+    // achieved share within a few points of target (hash-bucket noise)
+    val n = after.values.sum.toDouble
+    after.foreach { case (l, c) =>
+      assert(c <= before(l))
+      val share = c / n
+      val target = CurationOps.TargetSharePm(l) / 1000.0
+      assert(math.abs(share - target) < 0.06, s"$l share $share vs target $target")
+    }
+  }
+
+  test("quality terciles: per-language buckets are balanced and boundary-consistent") {
+    val r = CurationOps.qualityTerciles(spark, Sf0001).collect()
+      .map(x => (x.getString(1), x.getDouble(2), x.getString(3)))
+    r.groupBy(_._1).foreach { case (lang, rows) =>
+      val byBucket = rows.groupBy(_._3).view.mapValues(_.length).toMap
+      // ~n/3 per bucket; ties on q can shift a few docs across a boundary
+      val n = rows.length
+      Seq("head", "middle", "tail").foreach { b =>
+        assert(byBucket.getOrElse(b, 0) > 0, s"$lang has no $b docs")
+        assert(math.abs(byBucket(b) - n / 3.0) <= n / 3.0,
+          s"$lang bucket $b wildly unbalanced")
+      }
+      // ordering consistency: every head q > every tail q
+      val minHead = rows.filter(_._3 == "head").map(_._2).min
+      val maxTail = rows.filter(_._3 == "tail").map(_._2).max
+      assert(minHead > maxTail)
+    }
+  }
+
   test("epoch mix: repeats bracket the weight and hit its expectation in aggregate") {
     val r = CurationOps.epochMix(spark, Sf0001)
     val perDoc = r.groupBy("doc_id", "source").agg(max("epoch").as("reps"))
