@@ -26,21 +26,27 @@ object Bench {
     catch { case _: Throwable => () }
 
     val results = headline.map { q =>
-      val samples = (1 to Reps).map { _ =>
+      // only SUCCESSFUL reps become samples: a fast-failing rep would
+      // otherwise win the min and record a bogus "speedup" where the
+      // honest reading is breakage. A query with zero successes records
+      // -1 (unmistakably a failure marker) and is excluded from total.
+      val samples = (1 to Reps).flatMap { _ =>
         val t0 = System.nanoTime()
         // execute the *physical* plan as planned (df.count() would let the
         // optimizer drop sorts/projections above the agg and under-measure)
-        try q.build(spark, sfDir).queryExecution.toRdd.count()
-        catch { case e: Throwable =>
+        try {
+          q.build(spark, sfDir).queryExecution.toRdd.count()
+          Some((System.nanoTime() - t0) / 1e9)
+        } catch { case e: Throwable =>
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+          None
         }
-        (System.nanoTime() - t0) / 1e9
       }
-      q.name -> samples.min
+      q.name -> (if (samples.nonEmpty) samples.min else -1.0)
     }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
-    val total = results.map(_._2).sum
+    val total = results.map(_._2).filter(_ >= 0).sum
     println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }

@@ -27,8 +27,17 @@ case class TopKPairsAggregator(k: Int)
     extends Aggregator[ScoredNeighbor, Seq[ScoredNeighbor], Seq[ScoredNeighbor]] {
   require(k >= 1)
 
-  private val ord: Ordering[ScoredNeighbor] =
-    Ordering.by((p: ScoredNeighbor) => (-p.cos, p.neighborId))
+  // NOT Ordering.by(-cos, id): negating a Double flips NaN from
+  // "greatest" to "sorts worst", which would rank a NaN score (e.g. a
+  // zero-norm embedding's cosine) LAST where the SQL window — and the
+  // DuckDB oracle — rank it FIRST. java.lang.Double.compare keeps
+  // Spark's total order (NaN greatest, -0.0 < 0.0) under descending.
+  private val ord: Ordering[ScoredNeighbor] = new Ordering[ScoredNeighbor] {
+    def compare(a: ScoredNeighbor, b: ScoredNeighbor): Int = {
+      val c = java.lang.Double.compare(b.cos, a.cos)
+      if (c != 0) c else java.lang.Long.compare(a.neighborId, b.neighborId)
+    }
+  }
 
   override def zero: Seq[ScoredNeighbor] = Nil
 

@@ -101,11 +101,13 @@ object BpeOps {
       nMerges: Int = NumMerges): Seq[Merge] = {
     var symbols = initialSymbols(spark, dir).cache()
     val merges = Seq.newBuilder[Merge]
-    for (rank <- 1 to nMerges) {
+    var dry = false
+    for (rank <- 1 to nMerges if !dry) {
       val top = pairFreqs(symbols)
         .orderBy(col("pair_freq").desc, col("l"), col("r"))
         .limit(1).collect()
-      if (top.nonEmpty) {
+      if (top.isEmpty) dry = true // no pairs left: every further job is a no-op
+      else {
         val (l, r, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += Merge(rank, l, r, f)
         val next = symbols

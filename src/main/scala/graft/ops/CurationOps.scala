@@ -188,19 +188,6 @@ object CurationOps {
     * per-shard volume constant. */
   val NumShards = 16
 
-  /** Deterministic global shuffle for training-order export: every
-    * document gets a (shard, position) from a seeded content-independent
-    * id hash — the reproducible "shuffle once, write sharded" step every
-    * trainer needs so a restarted job reads the identical byte order.
-    * Hashing doc_id (not text) keeps duplicate texts in DIFFERENT
-    * positions — a shuffle must separate copies, the opposite concern of
-    * the sampling ops' content hashing.
-    *
-    * Scale shape: one exchange on the shard key; the per-shard position
-    * window orders |corpus|/[[NumShards]] rows per reducer, and shard
-    * count grows with the corpus in production, so per-reducer volume is
-    * flat — this is exactly how a 1000-executor job writes a shuffled
-    * 100 TB corpus without any global sort. */
   /** Cross-split leakage audit: near-duplicate pairs whose members
     * landed in DIFFERENT train/val/test splits — the QA query run after
     * splitting, because a validation doc with a near-dup twin in train
@@ -231,6 +218,19 @@ object CurationOps {
       .orderBy("split_a", "split_b")
   }
 
+  /** Deterministic global shuffle for training-order export: every
+    * document gets a (shard, position) from a seeded content-independent
+    * id hash — the reproducible "shuffle once, write sharded" step every
+    * trainer needs so a restarted job reads the identical byte order.
+    * Hashing doc_id (not text) keeps duplicate texts in DIFFERENT
+    * positions — a shuffle must separate copies, the opposite concern of
+    * the sampling ops' content hashing.
+    *
+    * Scale shape: one exchange on the shard key; the per-shard position
+    * window orders |corpus|/[[NumShards]] rows per reducer, and shard
+    * count grows with the corpus in production, so per-reducer volume is
+    * flat — this is exactly how a 1000-executor job writes a shuffled
+    * 100 TB corpus without any global sort. */
   def shuffleShards(spark: SparkSession, dir: String): DataFrame = {
     val h = md5(concat(col("doc_id").cast(StringType), lit(":graft-shuffle-42")))
     val shard = (conv(substring(col("h"), 1, 4), 16, 10).cast(IntegerType) % NumShards)

@@ -32,17 +32,26 @@ object DedupOps {
       .select(col("keep_id"), col("n_copies"))
       .orderBy("keep_id")
 
+  /** 128-bit content digest: two xxhash64 passes over the value as a
+    * 16-byte struct key. The second pass PREPENDS a distinct constant
+    * child — `xxhash64(lit(0x5EED), c)` — which re-seeds the hash chain
+    * before `c` is folded in, so h2 is a hash of `c` under a different
+    * effective seed and is independent of h1. (The tempting
+    * `xxhash64(c, lit(0x5EED))` is NOT independent: Spark folds children
+    * sequentially, making that form a deterministic function of h1 and
+    * silently collapsing the key back to 64 bits.) */
+  def digest128(c: Column): Column = struct(
+    xxhash64(c).as("h1"), xxhash64(lit(0x5EED), c).as("h2"))
+
   /** Exact dedup, scale form: group on a 128-bit digest of the text (two
-    * independently-seeded 64-bit hashes as a struct key) so the shuffle
-    * carries 16 bytes per row instead of the document body. Same result
-    * as `exact` barring a collision (~n²/2¹²⁹ — negligible at any corpus
-    * size; the 64-bit form would start colliding around 2³² docs).
-    * Shares the text-grouped oracle. */
+    * independently-seeded 64-bit hashes as a struct key, [[digest128]])
+    * so the shuffle carries 16 bytes per row instead of the document
+    * body. Same result as `exact` barring a collision (~n²/2¹²⁹ —
+    * negligible at any corpus size; a 64-bit key would start colliding
+    * around 2³² docs). Shares the text-grouped oracle. */
   def exactDigest(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
-      .groupBy(struct(
-        xxhash64(col("text")).as("h1"),
-        xxhash64(col("text"), lit(0x5EED)).as("h2")).as("digest"))
+      .groupBy(digest128(col("text")).as("digest"))
       .agg(min(col("doc_id")).as("keep_id"), count(lit(1)).as("n_copies"))
       .select(col("keep_id"), col("n_copies"))
       .orderBy("keep_id")
@@ -89,8 +98,7 @@ object DedupOps {
     * Value-oracled via text equality (digest ≡ text modulo ~2⁻¹²⁹
     * collisions, same argument as `exactDigest`). */
   def incremental(spark: SparkSession, dir: String): DataFrame = {
-    def digest(c: Column): Column = struct(
-      xxhash64(c).as("h1"), xxhash64(c, lit(0x5EED)).as("h2"))
+    def digest(c: Column): Column = digest128(c)
     val docs = Tables(spark, dir, "documents")
     val corpus = docs.filter(col("source") =!= "src0")
       .select(digest(col("text")).as("d"))

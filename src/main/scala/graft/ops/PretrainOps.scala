@@ -45,8 +45,7 @@ object PretrainOps {
     * corpus size) — which is why it shares the text-keyed DuckDB oracle,
     * and the suite pins row-for-row equality of the two forms. */
   def paragraphDedupDigest(spark: SparkSession, dir: String): DataFrame =
-    paragraphDedupKeyed(spark, dir, para =>
-      struct(xxhash64(para).as("h1"), xxhash64(para, lit(0x5EED)).as("h2")))
+    paragraphDedupKeyed(spark, dir, DedupOps.digest128)
 
   /** Shared paragraph-dedup plan; `keyOf` maps the paragraph column to
     * the window partition key (text, or its 128-bit digest). */
@@ -252,8 +251,7 @@ object PretrainOps {
     * collision (~n²/2¹²⁹) — which is why it shares the text-keyed
     * DuckDB oracle, and the suite pins row equality of the two forms. */
   def spanDupProfileDigest(spark: SparkSession, dir: String): DataFrame =
-    spanProfileOf(Tables.parallel(spark, dir, "documents"), g =>
-      struct(xxhash64(g).as("h1"), xxhash64(g, lit(0x5EED)).as("h2")))
+    spanProfileOf(Tables.parallel(spark, dir, "documents"), DedupOps.digest128)
       .orderBy("doc_id")
 
   private def spanProfileOf(docs: DataFrame,

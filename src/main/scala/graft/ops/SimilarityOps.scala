@@ -45,9 +45,9 @@ object SimilarityOps {
     topkMapSideUnordered(scored, k).orderBy("q_id", "rank")
 
   /** The same bounded aggregate without the terminal presentation sort —
-    * for serving paths (index probe) whose consumers don't need a
-    * globally ordered frame. */
-  private def topkMapSideUnordered(scored: DataFrame, k: Int): DataFrame = {
+    * for serving paths (index probe, streaming sinks) whose consumers
+    * don't need a globally ordered frame. */
+  def topkMapSideUnordered(scored: DataFrame, k: Int): DataFrame = {
     val topk = udaf(graft.functions.TopKPairsAggregator(k))
     scored.groupBy(col("q_id"))
       .agg(topk(col("cos"), col("neighbor_id")).as("top"))
@@ -426,17 +426,24 @@ object SimilarityOps {
     * collapse in ANY gated ANN path turns a CORRECTNESS row red
     * per-round. Shared by the LSH / multi-probe / IVF gates below and
     * structurally identical to [[quantRecallGate]]. */
-  private def annRecallGate(spark: SparkSession, dir: String,
-      approx: DataFrame, floor: Double): DataFrame = {
-    val exact = topkBrute(spark, dir).select(col("q_id"), col("neighbor_id"))
+  /** (n_exact, n_hit) of an approximate (q_id, neighbor_id) set against
+    * an exact one — THE recall definition, shared by every gate, the
+    * per-round telemetry and the `MeasureAnnRecall` calibration tool so
+    * the floors and the measurements can never drift apart. */
+  def recallCounts(exact: DataFrame, approx: DataFrame): DataFrame = {
     val hits = approx.select(col("q_id"), col("neighbor_id"), lit(1).as("hit"))
-    exact.join(hits, Seq("q_id", "neighbor_id"), "left")
+    exact.select(col("q_id"), col("neighbor_id"))
+      .join(hits, Seq("q_id", "neighbor_id"), "left")
       .agg(count(lit(1)).cast(IntegerType).as("n_exact"),
         sum(coalesce(col("hit"), lit(0))).cast(IntegerType).as("n_hit"))
+  }
+
+  private def annRecallGate(spark: SparkSession, dir: String,
+      approx: DataFrame, floor: Double): DataFrame =
+    recallCounts(topkBrute(spark, dir), approx)
       .select(col("n_exact"),
         lit(floor).as("floor"),
         (col("n_hit").cast(DoubleType) / col("n_exact") >= floor).as("passes"))
-  }
 
   /** Floors for the single-table LSH, multi-probe LSH and IVF serving
     * paths vs the exact anchor. MEASURED (MeasureAnnRecall, seeded
@@ -474,12 +481,7 @@ object SimilarityOps {
     * of a spec-only number. Both sides are deterministic (seeded planes,
     * tie-broken windows), so the value is stable per dataset. */
   def knnRecall(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val exact = knnExact(spark, dir, k).select(col("q_id"), col("neighbor_id"))
-    val ann = knnJoin(spark, dir, k)
-      .select(col("q_id"), col("neighbor_id"), lit(1).as("hit"))
-    exact.join(ann, Seq("q_id", "neighbor_id"), "left")
-      .agg(count(lit(1)).cast(IntegerType).as("n_exact"),
-        sum(coalesce(col("hit"), lit(0))).cast(IntegerType).as("n_hit"))
+    recallCounts(knnExact(spark, dir, k), knnJoin(spark, dir, k))
       .select(col("n_exact"), col("n_hit"),
         (col("n_hit").cast(DoubleType) / col("n_exact")).as("recall_at_k"))
   }

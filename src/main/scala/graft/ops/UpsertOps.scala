@@ -206,7 +206,11 @@ object UpsertOps {
     * on every call, so the op stays idempotent under Bench's min-of-3
     * repetition. */
   def compactBench(spark: SparkSession, dir: String): DataFrame = {
+    // the lake path carries the Spark application id: two concurrent
+    // executions (bench + test suite) would otherwise race on
+    // delete/rebuild/compact of ONE shared fixture directory
     val lake = s"${System.getProperty("java.io.tmpdir")}/graft_maint_lake_" +
+      spark.sparkContext.applicationId + "_" +
       dir.replaceAll("[^A-Za-z0-9.]+", "_")
     val fs = new org.apache.hadoop.fs.Path(lake)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)

@@ -28,7 +28,9 @@ object StreamingTopK {
     val scored = corpus.join(broadcast(queries))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         cosine_similarity(col("qv"), col("v")).as("cos"))
-    graft.ops.SimilarityOps.topkMapSide(scored, k)
+    // unordered: the parquet append sink has no row order — a terminal
+    // sort would pay a range exchange per micro-batch for nothing
+    graft.ops.SimilarityOps.topkMapSideUnordered(scored, k)
   }
 
   /** Serve a query-vector stream against the static corpus into an

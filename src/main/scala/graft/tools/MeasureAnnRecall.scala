@@ -15,13 +15,11 @@ object MeasureAnnRecall {
     val spark = GraftSession.get("graft-ann-recall")
     dirs.foreach { dir =>
       val exact = SimilarityOps.topkBrute(spark, dir)
-        .select(col("q_id"), col("neighbor_id"))
+      // the ONE recall definition — shared with the gates it calibrates
       def recall(name: String, approx: DataFrame): Unit = {
-        val hits = approx.select(col("q_id"), col("neighbor_id"), lit(1).as("hit"))
-        val r = exact.join(hits, Seq("q_id", "neighbor_id"), "left")
-          .agg(count(lit(1)).as("n"), sum(coalesce(col("hit"), lit(0))).as("h"))
-          .head()
-        println(f"[ann-recall] $dir $name%-12s recall@10 = ${r.getLong(1).toDouble / r.getLong(0)}%.3f (${r.getLong(1)}/${r.getLong(0)})")
+        val r = SimilarityOps.recallCounts(exact, approx).head()
+        val (n, h) = (r.getInt(0).toLong, r.getInt(1).toLong)
+        println(f"[ann-recall] $dir $name%-12s recall@10 = ${h.toDouble / n}%.3f ($h/$n)")
       }
       recall("lsh", SimilarityOps.annLsh(spark, dir))
       recall("multiprobe", SimilarityOps.annLshMultiProbe(spark, dir))

@@ -123,6 +123,60 @@ class PropertySpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.shuffle.partitions", prev)
   }
 
+  test("MisraGries ∀ streams × partitionings: k-bound, lower-bound, n/(k+1) error, coverage") {
+    import graft.functions.MisraGriesAggregator
+    val gen = for {
+      items <- Gen.listOf(Gen.chooseNum(0, 12).map(i => s"t$i"))
+      k <- Gen.chooseNum(2, 8)
+      cuts <- Gen.listOfN(3, Gen.chooseNum(0, math.max(items.size, 1)))
+    } yield (items, k, cuts.sorted)
+    check("misragries", Prop.forAll(gen) { case (items, k, cuts) =>
+      val agg = MisraGriesAggregator(k)
+      // fold each slice separately (a "partition"), then merge — any
+      // slicing must satisfy the same guarantees
+      val bounds = (0 +: cuts :+ items.size).distinct.sorted
+      val slices = bounds.zip(bounds.tail).map { case (a, b) => items.slice(a, b) }
+      val sketch = slices
+        .map(_.foldLeft(agg.zero)(agg.reduce))
+        .foldLeft(agg.zero)(agg.merge)
+      val truth = items.groupBy(identity).view.mapValues(_.size.toLong).toMap
+      val n = items.size.toLong
+      val bound = n / (k + 1)
+      sketch.size <= k &&
+        sketch.forall { case (t, est) =>
+          est <= truth(t) && truth(t) - est <= bound } &&
+        truth.forall { case (t, f) => f <= bound || sketch.contains(t) }
+    }, n = 60)
+  }
+
+  test("TopKPairs ∀ streams × partitionings: equals sorted-take-k, NaN ranks first") {
+    import graft.functions.{ScoredNeighbor, TopKPairsAggregator}
+    val pairGen = for {
+      cos <- Gen.oneOf(Gen.chooseNum(-1.0, 1.0), Gen.const(Double.NaN))
+      id <- Gen.chooseNum(0L, 20L)
+    } yield ScoredNeighbor(cos, id)
+    val gen = for {
+      pairs <- Gen.listOf(pairGen)
+      k <- Gen.chooseNum(1, 6)
+      cut <- Gen.chooseNum(0, math.max(pairs.size, 1))
+    } yield (pairs, k, cut)
+    check("topkpairs", Prop.forAll(gen) { case (pairs, k, cut) =>
+      val agg = TopKPairsAggregator(k)
+      val (a, b) = pairs.splitAt(cut)
+      val got = agg.merge(
+        a.foldLeft(agg.zero)(agg.reduce), b.foldLeft(agg.zero)(agg.reduce))
+      // the SQL total order: cos DESC with NaN greatest, then id ASC
+      val want = pairs.sortWith { (x, y) =>
+        val c = java.lang.Double.compare(y.cos, x.cos)
+        if (c != 0) c < 0 else x.neighborId < y.neighborId
+      }.take(k)
+      // compare via bit patterns so NaN == NaN
+      def key(p: ScoredNeighbor) =
+        (java.lang.Double.doubleToLongBits(p.cos), p.neighborId)
+      got.map(key) == want.map(key)
+    }, n = 60)
+  }
+
   test("explodeHourly row count equals hourly array length (all-null metrics)") {
     import spark.implicits._
     check("explode", Prop.forAll(Gen.chooseNum(0, 24)) { n =>
