@@ -1379,6 +1379,39 @@ object Registry {
         |       CAST((SELECT count(*) FROM f WHERE freq * ${SketchOps.SketchK + 1} > n.n) AS INTEGER) AS n_heavy,
         |       true AS passes
         |FROM n""".stripMargin)),
+    GraftQuery("x_heavy_hitters_by_lang", SketchOps.heavyHittersByLang, None),
+    GraftQuery("x_heavy_hitters_by_lang_gate", SketchOps.heavyHittersByLangGate, Some(
+      s"""WITH t AS (SELECT lang, unnest(string_split(lower(text), ' ')) AS term FROM documents),
+        |f AS (SELECT lang, term, count(*) AS freq FROM t GROUP BY lang, term),
+        |n AS (SELECT lang, CAST(sum(freq) AS BIGINT) AS n FROM f GROUP BY lang)
+        |SELECT n.lang, n.n AS n_tokens,
+        |       CAST(sum(CASE WHEN freq * ${SketchOps.SketchK + 1} > n.n THEN 1 ELSE 0 END) AS INTEGER) AS n_heavy,
+        |       true AS passes
+        |FROM f JOIN n ON f.lang = n.lang
+        |GROUP BY n.lang, n.n ORDER BY n.lang""".stripMargin)),
+    GraftQuery("x_embed_mrl_head", EmbedOps.mrlHeadMass, Some(
+      s"""WITH q AS (SELECT vec_id,
+        |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${EmbedOps.Scale}) AS BIGINT)) AS qv
+        |       FROM embeddings),
+        |s AS (SELECT vec_id,
+        |        CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT) AS total_q,
+        |        CAST(list_sum(list_transform(qv[1:${EmbedOps.HeadDims}], v -> v * v)) AS BIGINT) AS head_q
+        |      FROM q)
+        |SELECT vec_id, total_q,
+        |       CAST(CASE WHEN total_q = 0 THEN 0 ELSE head_q * 1000000 // total_q END AS BIGINT) AS head_ppm
+        |FROM s ORDER BY vec_id""".stripMargin)),
+    GraftQuery("x_embed_mrl_head_by_label", EmbedOps.headMassByLabel, Some(
+      s"""WITH q AS (SELECT vec_id, label,
+        |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${EmbedOps.Scale}) AS BIGINT)) AS qv
+        |       FROM embeddings),
+        |s AS (SELECT label,
+        |        CAST(list_sum(list_transform(qv, v -> v * v)) AS BIGINT) AS total_q,
+        |        CAST(list_sum(list_transform(qv[1:${EmbedOps.HeadDims}], v -> v * v)) AS BIGINT) AS head_q
+        |      FROM q),
+        |p AS (SELECT label, CASE WHEN total_q = 0 THEN 0 ELSE head_q * 1000000 // total_q END AS ppm FROM s)
+        |SELECT label, count(*) AS n_vecs, CAST(sum(ppm) AS BIGINT) AS sum_ppm,
+        |       CAST(sum(ppm) AS DOUBLE) / count(*) AS avg_head_ppm
+        |FROM p GROUP BY label ORDER BY label""".stripMargin)),
     GraftQuery("x_span_dup", PretrainOps.spanDupProfile, Some(
       s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
         |              WHERE len(string_split(text, ' ')) >= ${PretrainOps.SpanTokens}),

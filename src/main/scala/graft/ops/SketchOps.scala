@@ -38,6 +38,59 @@ object SketchOps {
       .orderBy(col("est_count").desc, col("term"))
   }
 
+  /** Per-language heavy hitters: the same Misra–Gries aggregate scoped
+    * to `groupBy(lang)` — one k-bounded sketch PER GROUP, so the shuffle
+    * is ≤ k·|partitions|·|langs| counters and the n/(k+1) guarantee holds
+    * independently inside every language (the monitoring question a
+    * multilingual 100 TB crawl actually asks: "what dominates the Farsi
+    * slice" — a global sketch drowns low-resource languages under
+    * English mass). Rows-only; the value-checked signal is
+    * [[heavyHittersByLangGate]]. */
+  def heavyHittersByLang(spark: SparkSession, dir: String): DataFrame = {
+    val mg = udaf(MisraGriesAggregator(SketchK))
+    langTokens(spark, dir)
+      .groupBy(col("lang"))
+      .agg(mg(col("term")).as("sketch"))
+      .select(col("lang"), explode(col("sketch")).as(Seq("term", "est_count")))
+      .orderBy(col("lang"), col("est_count").desc, col("term"))
+  }
+
+  private def langTokens(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("lang"), explode(split(lower(col("text")), " ")).as("term"))
+
+  /** Grouped twin of [[heavyHittersGate]]: one row PER LANGUAGE with the
+    * language's exact token count, its count of guaranteed-heavy terms
+    * (freq·(k+1) > n within the group), and `passes` asserting both MG
+    * theorems group-locally — no heavy term missing from that language's
+    * sketch, every estimate a lower bound within n_lang/(k+1). The
+    * oracle recomputes n_tokens/n_heavy per language independently and
+    * expects the literal passes=true row set, making per-group sketch
+    * correctness a hash-checked CORRECTNESS signal rather than a
+    * spec-only claim. */
+  def heavyHittersByLangGate(spark: SparkSession, dir: String): DataFrame = {
+    val exact = langTokens(spark, dir).groupBy(col("lang"), col("term"))
+      .agg(count(lit(1)).as("freq"))
+    val totals = exact.groupBy(col("lang")).agg(sum(col("freq")).as("n"))
+    val sketch = heavyHittersByLang(spark, dir)
+    exact
+      .join(sketch, Seq("lang", "term"), "left")
+      .join(broadcast(totals), Seq("lang"))
+      .groupBy(col("lang"))
+      .agg(
+        max(col("n")).as("n_tokens"),
+        sum(when(col("freq") * (SketchK + 1) > col("n"), 1L).otherwise(0L))
+          .cast(IntegerType).as("n_heavy"),
+        sum(when(col("freq") * (SketchK + 1) > col("n") &&
+          col("est_count").isNull, 1L).otherwise(0L)).as("missed"),
+        sum(when(col("est_count") > col("freq") ||
+          (col("freq") - coalesce(col("est_count"), col("freq"))) * (SketchK + 1) > col("n"),
+          1L).otherwise(0L)).as("violated"))
+      .select(col("lang"), col("n_tokens"), col("n_heavy"),
+        (col("missed") === 0L && col("violated") === 0L).as("passes"))
+      .orderBy(col("lang"))
+  }
+
   /** Value-oracled guarantee gate (the recall-gate pattern): joins the
     * sketch against the EXACT token frequencies (a validation anchor —
     * affordable at oracle scale exactly like `knnExact`) and checks the

@@ -46,4 +46,32 @@ class MisraGriesSpec extends SparkSpec {
     assert(g.getBoolean(2), "MG guarantee violated on corpus")
     assert(g.getInt(1) >= 1, "fixture should have at least one heavy hitter")
   }
+
+  test("grouped gate: the MG guarantee holds independently inside every language") {
+    val rows = SketchOps.heavyHittersByLangGate(spark, Sf0001).collect()
+    assert(rows.length >= 2, "fixture should span multiple languages")
+    rows.foreach { r =>
+      assert(r.getBoolean(3), s"MG guarantee violated for lang ${r.getString(0)}")
+    }
+  }
+
+  test("grouped sketch isolates a group-local heavy hitter a global sketch drowns") {
+    import spark.implicits._
+    // 'minor' language: 30 tokens, 12 of them "pivot" (40% locally,
+    // but only 12/1030 ≈ 1.2% globally — far below the global floor)
+    val major = (1 to 1000).map(i => ("major", s"word${i % 500}"))
+    val minor = Seq.fill(12)(("minor", "pivot")) ++ (1 to 18).map(i => ("minor", s"m$i"))
+    val docs = (major ++ minor).groupBy(_._1).toSeq.map { case (lang, ts) =>
+      (lang.hashCode.toLong, ts.map(_._2).mkString(" "), lang, "src0", 1L)
+    }.toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tempDir("hh_lang")
+    docs.repartition(4).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val grouped = SketchOps.heavyHittersByLang(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getLong(2)).toMap
+    // group-local floor: n_minor/(k+1) = 30/65 < 1 -> "pivot" guaranteed
+    assert(grouped.contains(("minor", "pivot")), "group-local heavy hitter missing")
+    assert(grouped(("minor", "pivot")) <= 12L)
+    val gate = SketchOps.heavyHittersByLangGate(spark, dir).collect()
+    gate.foreach(r => assert(r.getBoolean(3), s"gate failed for ${r.getString(0)}"))
+  }
 }

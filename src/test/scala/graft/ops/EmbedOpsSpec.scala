@@ -1,0 +1,57 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantics tests for the embedding head-mass diagnostics (EmbedOps):
+  * planted basis vectors with hand-computed ppm values, the zero-vector
+  * edge, and per-vector/by-label consistency on the real store. */
+class EmbedOpsSpec extends SparkSpec {
+
+  private def basis(hot: Seq[Int]): Seq[Float] =
+    (0 until 64).map(i => if (hot.contains(i)) 1.0f else 0.0f)
+
+  private lazy val fixtureDir: String = {
+    import spark.implicits._
+    val vecs = Seq(
+      (0L, basis(Seq(0)), 0),       // all mass in dim 0 -> head_ppm 1e6
+      (1L, basis(Seq(63)), 0),      // all mass in the tail -> head_ppm 0
+      (2L, basis(Seq(0, 32)), 1),   // split head/tail -> head_ppm 500000
+      (3L, Seq.fill(64)(0.0f), 1))  // zero vector -> defined as 0
+      .toDF("vec_id", "embedding", "label")
+    val dir = tempDir("embed_fixture")
+    vecs.repartition(2).write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("planted basis vectors produce the hand-computed ppm values") {
+    val r = EmbedOps.mrlHeadMass(spark, fixtureDir).collect()
+      .map(x => x.getLong(0) -> (x.getLong(1), x.getLong(2))).toMap
+    val unit = EmbedOps.Scale.toLong * EmbedOps.Scale // one 1.0f dim's q^2
+    assert(r(0L) == (unit, 1000000L))
+    assert(r(1L) == (unit, 0L))
+    assert(r(2L) == (2 * unit, 500000L))
+    assert(r(3L) == (0L, 0L))
+  }
+
+  test("real store: ppm stays in range and by-label aggregates match per-vector rows") {
+    val per = EmbedOps.mrlHeadMass(spark, Sf0001).collect()
+    assert(per.nonEmpty)
+    per.foreach { x =>
+      assert(x.getLong(1) > 0L, s"vec ${x.getLong(0)} has zero norm")
+      val ppm = x.getLong(2)
+      assert(ppm >= 0L && ppm <= 1000000L, s"ppm $ppm out of range")
+    }
+    // recompute the label roll-up from the per-vector rows
+    val withLabel = EmbedOps.mrlHeadMass(spark, Sf0001)
+      .join(Tables(spark, Sf0001, "embeddings").select("vec_id", "label"), "vec_id")
+      .groupBy("label").agg(count(lit(1)).as("n"), sum("head_ppm").as("s"))
+      .collect().map(r => r.getInt(0) -> (r.getLong(1), r.getLong(2))).toMap
+    val rolled = EmbedOps.headMassByLabel(spark, Sf0001).collect()
+    rolled.foreach { r =>
+      val (n, s) = withLabel(r.getInt(0))
+      assert(r.getLong(1) == n && r.getLong(2) == s)
+      assert(math.abs(r.getDouble(3) - s.toDouble / n) == 0.0)
+    }
+  }
+}
