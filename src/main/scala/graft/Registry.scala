@@ -718,7 +718,15 @@ object Registry {
     GraftQuery("g2_count_distinct", SetOps.g2CountDistinct, Some(
       """SELECT count(DISTINCT l_partkey) AS n_parts FROM lineitem""")),
     GraftQuery("g3_approx_distinct", SetOps.g3ApproxDistinct, None),
+    GraftQuery("g3_approx_distinct_gate", SetOps.g3ApproxDistinctGate, Some(
+      """SELECT count(DISTINCT l_partkey) AS n_parts,
+        |       count(DISTINCT l_orderkey) AS n_orders,
+        |       true AS passes
+        |FROM lineitem""".stripMargin)),
     GraftQuery("g4b_approx_percentiles", SetOps.g4bApproxPercentiles, None),
+    GraftQuery("g4b_approx_pct_gate", SetOps.g4bApproxPercentileGate, Some(
+      """SELECT l_returnflag, count(*) AS n_rows, true AS passes
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
     GraftQuery("g4c_disc_percentiles", SetOps.g4cDiscPercentiles, Some(
       """SELECT l_returnflag,
         |       quantile_disc(l_quantity, 0.5) AS p50,
@@ -1041,6 +1049,14 @@ object Registry {
         |SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
         |       neighbor_id
         |FROM s QUALIFY rank <= 10 ORDER BY q_id, rank""".stripMargin), headline = true),
+    GraftQuery("x_sim_hard_negatives", SimilarityOps.hardNegatives, Some(
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, label AS q_label, v AS qv FROM e WHERE vec_id < 10),
+        |s AS (SELECT q_id, vec_id AS neighbor_id, list_cosine_similarity(qv, v) AS cos
+        |      FROM q JOIN e ON e.label <> q.q_label)
+        |SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
+        |       neighbor_id
+        |FROM s QUALIFY rank <= 10 ORDER BY q_id, rank""".stripMargin)),
     GraftQuery("x_sim_ann_lsh", SimilarityOps.annLsh, None),
     GraftQuery("x_sim_knn_join", (s, d) => SimilarityOps.knnJoin(s, d), None,
       headline = true),

@@ -111,10 +111,12 @@ object SetOps {
     * error ≤ n/10000; pinned against the exact values by spec. Sketch
     * internals are engine-specific → rows-only oracle (same split as
     * g2/g3 for distinct counts). */
+  val PercentileAccuracy = 10000
+
   def g4bApproxPercentiles(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")
       .groupBy(col("l_returnflag"))
-      .agg(expr("approx_percentile(l_quantity, array(0.5, 0.9, 0.99), 10000)").as("ps"))
+      .agg(expr(s"approx_percentile(l_quantity, array(0.5, 0.9, 0.99), $PercentileAccuracy)").as("ps"))
       .select(
         col("l_returnflag"),
         col("ps")(0).as("p50"), col("ps")(1).as("p90"), col("ps")(2).as("p99"))
@@ -249,4 +251,60 @@ object SetOps {
       .agg(
         approx_count_distinct(col("l_partkey"), 0.01).as("approx_parts"),
         approx_count_distinct(col("l_orderkey"), 0.01).as("approx_orders"))
+
+  /** Value-oracled accuracy gate for [[g3ApproxDistinct]] (the recall-gate
+    * pattern): ONE pass computes both the HLL++ sketches and the exact
+    * distinct counts (the validation anchor, affordable at oracle scale),
+    * and `passes` asserts each approximation within 5× the configured
+    * 1% rsd — a ≥5σ bound the deterministic sketch clears with room. The
+    * comparison is pure int64 arithmetic (|approx−exact|·100 ≤ exact·5),
+    * and the oracle recomputes the exact counts independently and expects
+    * the literal passes=true — HLL accuracy becomes a per-round hash
+    * CORRECTNESS signal instead of a spec-only claim. */
+  def g3ApproxDistinctGate(spark: SparkSession, dir: String): DataFrame = {
+    def inBound(approx: Column, exact: Column): Column =
+      abs(approx - exact) * 100L <= exact * 5L
+    Tables(spark, dir, "lineitem")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_orderkey")).as("n_orders"),
+        approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
+        approx_count_distinct(col("l_orderkey"), 0.01).as("ao"))
+      .select(col("n_parts"), col("n_orders"),
+        (inBound(col("ap"), col("n_parts")) &&
+          inBound(col("ao"), col("n_orders"))).as("passes"))
+  }
+
+  /** Value-oracled rank-error gate for [[g4bApproxPercentiles]]: the
+    * Greenwald–Khanna contract is that the returned value's rank is
+    * within n/accuracy of the target rank p·n. For each group and each
+    * p ∈ {.5, .9, .99} the gate recounts the approx value's true rank
+    * interval [#{x < v}+1, #{x ≤ v}] over the SAME scan (broadcast-back
+    * of the |groups|-row sketch output — the winsorize shape) and
+    * `passes` asserts the interval intersects [p·n − ε, p·n + ε],
+    * ε = n/accuracy + 1. Oracle recomputes per-group n independently and
+    * expects the literal passes=true per group. */
+  def g4bApproxPercentileGate(spark: SparkSession, dir: String): DataFrame = {
+    val ap = g4bApproxPercentiles(spark, dir)
+    def lo(v: Column): Column = sum(when(col("l_quantity") < v, 1L).otherwise(0L)) + 1L
+    def hi(v: Column): Column = sum(when(col("l_quantity") <= v, 1L).otherwise(0L))
+    val agg = Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity"))
+      .join(broadcast(ap), Seq("l_returnflag"))
+      .groupBy(col("l_returnflag"))
+      .agg(count(lit(1)).as("n_rows"),
+        lo(col("p50")).as("lo50"), hi(col("p50")).as("hi50"),
+        lo(col("p90")).as("lo90"), hi(col("p90")).as("hi90"),
+        lo(col("p99")).as("lo99"), hi(col("p99")).as("hi99"))
+    // rank interval [lo, hi] must touch [p·n − ε, p·n + ε]
+    def ok(p: Double, l: Column, h: Column): Column = {
+      val target = col("n_rows") * p
+      val eps = col("n_rows") / PercentileAccuracy + 1.0
+      l.cast(DoubleType) <= target + eps && h.cast(DoubleType) >= target - eps
+    }
+    agg.select(col("l_returnflag"), col("n_rows"),
+      (ok(0.5, col("lo50"), col("hi50")) && ok(0.9, col("lo90"), col("hi90")) &&
+        ok(0.99, col("lo99"), col("hi99"))).as("passes"))
+      .orderBy(col("l_returnflag"))
+  }
 }

@@ -69,6 +69,29 @@ object SimilarityOps {
     topkMapSide(scored, K)
   }
 
+  /** Hard-negative mining for contrastive training: per query vector,
+    * the top-k most-similar vectors carrying a DIFFERENT label — the
+    * near-misses a retrieval/embedding model learns the most from
+    * (in-batch random negatives are trivially separable; the hard set is
+    * what sharpens the margin). Same plan as [[topkBrute]] — queries
+    * broadcast over ONE corpus pass (the label-mismatch predicate rides
+    * the broadcast join, pruning before scoring), then the map-side
+    * bounded top-k aggregate. No window, no full-score shuffle; at
+    * 100 TB this is the mining pass run per training epoch. */
+  def hardNegatives(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.parallel(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+    val queries = base.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("label").as("q_label"),
+        col("v").as("qv"))
+    val scored = base
+      .join(broadcast(queries), col("label") =!= col("q_label"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        cosine_similarity(col("qv"), col("v")).as("cos"))
+    topkMapSide(scored, K)
+  }
+
   /** Random-hyperplane LSH: 16 seeded pseudo-random planes → 16-bit bucket
     * signature. Deterministic (fixed seed), engine-internal → rows-only. */
   private val NumPlanes = 16

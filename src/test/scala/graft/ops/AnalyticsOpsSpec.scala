@@ -228,4 +228,42 @@ class AnalyticsOpsSpec extends SparkSpec {
       .agg(sumExact(col("l_quantity"))).collect()(0).getDouble(0)
     assert(rows.head.getAs[Double]("total_qty") == want)
   }
+
+  // ------------------------------------------------- approx-accuracy gates
+
+  test("HLL distinct gate: sketch within 5x rsd of the exact anchor") {
+    val g = SetOps.g3ApproxDistinctGate(spark, Sf0001).collect()(0)
+    assert(g.getAs[Boolean]("passes"))
+    // and the anchor itself agrees with a direct recount
+    val exact = Tables(spark, Sf0001, "lineitem")
+      .agg(countDistinct(col("l_partkey"))).collect()(0).getLong(0)
+    assert(g.getAs[Long]("n_parts") == exact)
+  }
+
+  test("approx percentile gate: GK rank error within n/accuracy per group") {
+    val rows = SetOps.g4bApproxPercentileGate(spark, Sf0001).collect()
+    assert(rows.length >= 2)
+    rows.foreach(r => assert(r.getAs[Boolean]("passes"),
+      s"rank bound violated for flag ${r.getString(0)}"))
+  }
+
+  test("hard negatives: no neighbor shares the query's label, ranks descend by cosine") {
+    val labels = Tables(spark, Sf0001, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val rows = SimilarityOps.hardNegatives(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(labels(r.getAs[Long]("neighbor_id")) != labels(r.getAs[Long]("q_id")),
+        s"neighbor shares label with query ${r.getAs[Long]("q_id")}")
+    }
+    // hard-negative set = brute-force top-k restricted to other labels
+    val brute = SimilarityOps.topkBrute(spark, Sf0001).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Long]("neighbor_id"))).toSet
+    // a query's top hard negative can't outrank its global top-1 twin (self)
+    rows.filter(_.getAs[Int]("rank") == 1).foreach { r =>
+      assert(r.getAs[Long]("neighbor_id") != r.getAs[Long]("q_id"))
+    }
+    assert(brute.nonEmpty) // anchor sanity
+  }
 }
