@@ -797,6 +797,49 @@ object Registry {
         |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
         |ORDER BY status, priority""".stripMargin)))
 
+  /** Shared oracle prelude for the k-means family: DuckDB unrolls the
+    * SAME three integer-exact Lloyd rounds KmeansOps runs (scale-floor to
+    * int64, squared-int distances, argmin ties to lowest cid, floor-div
+    * centroid means in double, empty clusters keep coordinates), so the
+    * iterative algorithm is hash-checkable end-to-end. `a3` = final
+    * (vec_id, cid, d) assignment under the round-3 centroids. */
+  private val kmeansCte: String =
+    """WITH u AS (
+      |  SELECT vec_id, pos, CAST(floor(CAST(x AS DOUBLE) * 100000) AS BIGINT) AS val
+      |  FROM (SELECT vec_id, unnest(embedding) AS x,
+      |               unnest(generate_series(0, len(embedding) - 1)) AS pos
+      |        FROM embeddings)),
+      |c0 AS (SELECT vec_id AS cid, pos, val AS cval FROM u WHERE vec_id < 8),
+      |d1 AS (SELECT u.vec_id, c.cid, sum((u.val - c.cval) * (u.val - c.cval)) AS d
+      |       FROM u JOIN c0 c USING (pos) GROUP BY u.vec_id, c.cid),
+      |a1 AS (SELECT vec_id, cid, d FROM
+      |        (SELECT vec_id, cid, d,
+      |                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |         FROM d1) WHERE rn = 1),
+      |s1 AS (SELECT a.cid, u.pos,
+      |              CAST(floor(CAST(sum(u.val) AS DOUBLE) / count(*)) AS BIGINT) AS cval
+      |       FROM u JOIN a1 a USING (vec_id) GROUP BY a.cid, u.pos),
+      |c1 AS (SELECT p.cid, p.pos, coalesce(s.cval, p.cval) AS cval
+      |       FROM c0 p LEFT JOIN s1 s USING (cid, pos)),
+      |d2 AS (SELECT u.vec_id, c.cid, sum((u.val - c.cval) * (u.val - c.cval)) AS d
+      |       FROM u JOIN c1 c USING (pos) GROUP BY u.vec_id, c.cid),
+      |a2 AS (SELECT vec_id, cid, d FROM
+      |        (SELECT vec_id, cid, d,
+      |                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |         FROM d2) WHERE rn = 1),
+      |s2 AS (SELECT a.cid, u.pos,
+      |              CAST(floor(CAST(sum(u.val) AS DOUBLE) / count(*)) AS BIGINT) AS cval
+      |       FROM u JOIN a2 a USING (vec_id) GROUP BY a.cid, u.pos),
+      |c2 AS (SELECT p.cid, p.pos, coalesce(s.cval, p.cval) AS cval
+      |       FROM c1 p LEFT JOIN s2 s USING (cid, pos)),
+      |d3 AS (SELECT u.vec_id, c.cid, sum((u.val - c.cval) * (u.val - c.cval)) AS d
+      |       FROM u JOIN c2 c USING (pos) GROUP BY u.vec_id, c.cid),
+      |a3 AS (SELECT vec_id, cid, d FROM
+      |        (SELECT vec_id, cid, d,
+      |                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
+      |         FROM d3) WHERE rn = 1)
+      |""".stripMargin
+
   /** LLM-training-data pipeline extensions (BASELINE.json north star):
     * dedup, similarity search, text analysis, multimodal columns.
     * Engine-internal hashes/heuristics (minhash, simhash, lsh, langid,
@@ -1112,6 +1155,29 @@ object Registry {
         |       coalesce(rk.rank_in_cluster, 1) <= 1 AS kept
         |FROM documents d LEFT JOIN rk USING (doc_id)
         |ORDER BY doc_id""".stripMargin)),
+    // distributed Lloyd's k-means, hash-checked end-to-end: the DuckDB
+    // oracle unrolls the same three integer-exact rounds (see kmeansCte)
+    GraftQuery("x_cluster_kmeans", KmeansOps.kmeansAssign, Some(
+      kmeansCte +
+        """SELECT vec_id, CAST(cid AS INTEGER) AS cluster
+          |FROM a3 ORDER BY vec_id""".stripMargin)),
+    GraftQuery("x_cluster_kmeans_profile", KmeansOps.kmeansProfile, Some(
+      kmeansCte +
+        """SELECT CAST(cid AS INTEGER) AS cluster, count(*) AS n_vecs,
+          |       CAST(sum(d) AS BIGINT) AS inertia
+          |FROM a3 GROUP BY cid ORDER BY cluster""".stripMargin)),
+    GraftQuery("x_cluster_kmeans_purity", KmeansOps.kmeansPurity, Some(
+      kmeansCte +
+        """, l AS (SELECT a.cid, e.label, count(*) AS cnt
+          |        FROM a3 a JOIN embeddings e USING (vec_id)
+          |        GROUP BY a.cid, e.label),
+          |p AS (SELECT cid, label, cnt,
+          |             row_number() OVER (PARTITION BY cid ORDER BY cnt DESC, label) AS rn,
+          |             CAST(sum(cnt) OVER (PARTITION BY cid) AS BIGINT) AS n_vecs
+          |      FROM l)
+          |SELECT CAST(cid AS INTEGER) AS cluster, n_vecs, label AS top_label,
+          |       cnt * 1000000 // n_vecs AS top_share_ppm
+          |FROM p WHERE rn = 1 ORDER BY cluster""".stripMargin)),
     GraftQuery("x_embed_centroids", (s, d) => SimilarityOps.labelCentroids(s, d), Some(
       """WITH e AS (SELECT label,
         |                  unnest(embedding) AS x,

@@ -1,0 +1,139 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+import org.apache.spark.storage.StorageLevel
+
+/** Distributed Lloyd's k-means over the embedding store — the clustering
+  * pass a curation pipeline runs before cluster-balanced sampling,
+  * SemDeDup-style pruning (Abbas et al. '23), or domain discovery over a
+  * web-scale corpus. Reference analogue: none (the reference has no
+  * vector ops); this is part of the LLM-training-data surface the brief
+  * mandates alongside the reference's own operators.
+  *
+  * Determinism (the whole point of this implementation): every float
+  * widens exactly to double, is scaled by [[EmbedOps.Scale]] and floored
+  * to int64 (the [[EmbedOps]] currency), and EVERYTHING after — distances,
+  * argmin tie-breaks, centroid updates — is integer or exact-IEEE
+  * arithmetic reproduced step-for-step by a DuckDB CTE oracle, so a
+  * multi-iteration iterative algorithm lands hash-green. Centroid means
+  * floor-divide in double (sums ≤ 2⁵³, division exactly rounded, floor
+  * exact), argmin ties break to the lowest centroid id, empty clusters
+  * keep their previous coordinates. Seeding is the first K vectors by
+  * vec_id — deterministic, no RNG.
+  *
+  * Scale shape (what Lloyd's looks like done right on Spark, cf. MLlib
+  * KMeans): per iteration the ASSIGNMENT is a pure map — the K·d centroid
+  * table rides into the closure as literals (k·d ≈ 512 longs; production
+  * would broadcast), each row computes its K distances and argmin in one
+  * codegen'd projection, NO shuffle, no join, no window. The UPDATE is one
+  * keyed hash aggregate on (cluster, dim) with map-side combine — shuffle
+  * volume K·d rows per partition regardless of corpus size — and the
+  * driver collects exactly K·d int64 sums per iteration (bounded,
+  * corpus-size-independent). Total: I scans + I tiny aggregates for I
+  * iterations; at 100 TB the scan dominates and the input would be
+  * persisted once (here: [[StorageLevel.MEMORY_AND_DISK]] for the loop,
+  * released before returning).
+  */
+object KmeansOps {
+
+  /** Cluster count (the 10-label store resolves well under 8; a planted
+    * spec pins exact blob recovery at k=2 shapes). */
+  val K = 8
+
+  /** Lloyd rounds: assignment under c₀, two centroid updates, final
+    * assignment under c₂ — enough for near-convergence on this store and
+    * cheap enough that the unrolled SQL oracle stays readable. */
+  val Iters = 3
+
+  private val Scale = EmbedOps.Scale
+
+  /** (vec_id, label, v: array<long>) — the scaled-int64 view. */
+  private def scaledVecs(spark: SparkSession, dir: String): DataFrame =
+    Tables.parallel(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"),
+          x => floor(x.cast(DoubleType) * Scale).cast(LongType)).as("v"))
+
+  private def distTo(cvec: Array[Long]): Column =
+    aggregate(
+      zip_with(col("v"), array(cvec.map(lit(_)): _*), (a, b) => (a - b) * (a - b)),
+      lit(0L), (acc, x) => acc + x)
+
+  /** Adds (cluster: int, dist: long) — argmin over the centroid set with
+    * ties to the lowest cid. `least` over structs compares
+    * lexicographically: (distance, cid). Pure projection, no shuffle. */
+  private def assign(vecs: DataFrame, cents: Seq[(Int, Array[Long])]): DataFrame = {
+    val best = least(cents.map { case (cid, cvec) =>
+      struct(distTo(cvec).as("d"), lit(cid).as("cid"))
+    }: _*)
+    vecs.withColumn("best", best)
+      .select(col("vec_id"), col("label"), col("v"),
+        col("best.cid").as("cluster"), col("best.d").as("dist"))
+  }
+
+  /** Runs the Lloyd loop and returns the FINAL assignment (vec_id, label,
+    * cluster, dist) built over a fresh (un-persisted) scan so the loop's
+    * cached input can be released eagerly. */
+  private def fit(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = scaledVecs(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    var cents: Seq[(Int, Array[Long])] =
+      vecs.filter(col("vec_id") < K).orderBy("vec_id").collect().toSeq
+        .map(r => (r.getLong(0).toInt, r.getSeq[Long](2).toArray))
+    require(cents.nonEmpty, "embeddings table has no vec_id < K seed rows")
+    for (_ <- 1 until Iters) {
+      // K·d bounded collect: the per-(cluster,dim) sums and sizes
+      val sums = assign(vecs, cents)
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "val")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("val")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val upd = sums.map { r =>
+        // floor-div in double: |s| ≤ n·6e4·1e5 ≪ 2^53, exactly representable;
+        // floor(s/n) is the engine-identical integral mean both sides use
+        (r.getInt(0), r.getInt(1)) ->
+          math.floor(r.getLong(2).toDouble / r.getLong(3)).toLong
+      }.toMap
+      cents = cents.map { case (cid, cvec) =>
+        (cid, Array.tabulate(cvec.length)(i => upd.getOrElse((cid, i), cvec(i))))
+      }
+    }
+    val out = assign(scaledVecs(spark, dir), cents)
+    vecs.unpersist()
+    out
+  }
+
+  /** Final per-vector cluster assignment — the table every downstream
+    * curation op (balanced sampling, per-cluster dedup, domain mixing)
+    * keys on. Hash-oracled against a DuckDB CTE that unrolls the same
+    * three integer-exact Lloyd rounds. */
+  def kmeansAssign(spark: SparkSession, dir: String): DataFrame =
+    fit(spark, dir).select(col("vec_id"), col("cluster")).orderBy("vec_id")
+
+  /** Per-cluster size + exact int64 inertia (sum of squared scaled
+    * distances to the final centroids) — the convergence/skew dashboard
+    * row: one |K|-row hash aggregate over the final assignment. */
+  def kmeansProfile(spark: SparkSession, dir: String): DataFrame =
+    fit(spark, dir)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("dist")).as("inertia"))
+      .orderBy("cluster")
+
+  /** Cluster↔label agreement: each cluster's dominant label and its share
+    * in ppm (integer floor division — the [[EmbedOps]] ppm currency).
+    * The "did unsupervised structure recover the known taxonomy" check a
+    * curation run reads before trusting cluster-keyed decisions. Two hash
+    * aggregates, both map-side combined; argmax ties break to the lowest
+    * label via min(struct(-cnt, label)). */
+  def kmeansPurity(spark: SparkSession, dir: String): DataFrame =
+    fit(spark, dir)
+      .groupBy(col("cluster"), col("label")).agg(count(lit(1)).as("cnt"))
+      .groupBy(col("cluster"))
+      .agg(sum(col("cnt")).as("n_vecs"),
+        min(struct((-col("cnt")).as("neg"), col("label"))).as("top"))
+      .select(col("cluster"), col("n_vecs"),
+        col("top.label").as("top_label"),
+        expr("(-top.neg) * 1000000 div n_vecs").as("top_share_ppm"))
+      .orderBy("cluster")
+}

@@ -1,0 +1,72 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** KmeansOps: planted-structure recovery, determinism, and internal
+  * consistency between the three served projections. The hash oracle
+  * (Registry `x_cluster_kmeans*` vs the unrolled DuckDB CTE) pins the
+  * exact arithmetic; these specs pin the SEMANTICS on a fixture where the
+  * right answer is known by construction. */
+class KmeansOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Two orthogonal blobs in 64-dim space. Seed rows (vec_id < 8) split
+    * 4/4 across the blobs, so Lloyd must keep the blobs in disjoint
+    * cluster sets; labels encode blob membership (A=0, B=1). */
+  private lazy val blobDir: String = {
+    def vec(axis: Int, jitter: Float): Array[Float] = {
+      val v = Array.fill(64)(0.0f)
+      v(axis) = 1.0f
+      v((axis + 1) % 64) = jitter
+      v
+    }
+    val a = (0L to 3L) ++ (100L to 109L)
+    val b = (4L to 7L) ++ (200L to 209L)
+    val rows =
+      a.map(id => (id, vec(0, 0.01f * (id % 5)), 0)) ++
+        b.map(id => (id, vec(10, 0.01f * (id % 5)), 1))
+    val dir = tempDir("kmeans_blobs")
+    rows.toDF("vec_id", "embedding", "label").repartition(3)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    dir
+  }
+
+  test("kmeans: planted blobs never share a cluster; purity is exact") {
+    val assign = KmeansOps.kmeansAssign(spark, blobDir).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(assign.size == 28)
+    val aClusters = assign.collect {
+      case (id, c) if id <= 3 || (id >= 100 && id <= 109) => c
+    }.toSet
+    val bClusters = assign.collect {
+      case (id, c) if (id >= 4 && id <= 7) || id >= 200 => c
+    }.toSet
+    assert((aClusters & bClusters).isEmpty,
+      s"blobs share clusters: $aClusters vs $bClusters")
+    // every cluster is pure → dominant-label share is exactly 1e6 ppm
+    val purity = KmeansOps.kmeansPurity(spark, blobDir).collect()
+    purity.foreach(r => assert(r.getAs[Long]("top_share_ppm") == 1000000L,
+      s"cluster ${r.getInt(0)} impure"))
+  }
+
+  test("kmeans: deterministic across runs and consistent across projections") {
+    val a1 = KmeansOps.kmeansAssign(spark, Sf0001).collect().toSeq
+    val a2 = KmeansOps.kmeansAssign(spark, Sf0001).collect().toSeq
+    assert(a1 == a2)
+    a1.foreach { r =>
+      val c = r.getInt(1)
+      assert(c >= 0 && c < KmeansOps.K)
+    }
+    val prof = KmeansOps.kmeansProfile(spark, Sf0001).collect()
+    assert(prof.map(_.getAs[Long]("n_vecs")).sum == a1.size)
+    prof.foreach(r => assert(r.getAs[Long]("inertia") >= 0L))
+    // profile sizes agree with the assignment's own cluster histogram
+    val hist = a1.groupBy(_.getInt(1)).view.mapValues(_.size.toLong).toMap
+    prof.foreach(r => assert(hist(r.getInt(0)) == r.getAs[Long]("n_vecs")))
+    // purity row-count and sizes agree too
+    val pur = KmeansOps.kmeansPurity(spark, Sf0001).collect()
+    assert(pur.map(_.getInt(0)).toSeq == prof.map(_.getInt(0)).toSeq)
+    pur.foreach(r => assert(hist(r.getInt(0)) == r.getAs[Long]("n_vecs")))
+  }
+}
