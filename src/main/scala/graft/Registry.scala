@@ -1471,6 +1471,40 @@ object Registry {
         |       true AS passes
         |FROM f JOIN n ON f.lang = n.lang
         |GROUP BY n.lang, n.n ORDER BY n.lang""".stripMargin)),
+    // one-pass exact Gram/covariance (GramAggregator): the oracle takes
+    // the self-join-on-dimension road the Spark plan deliberately avoids
+    GraftQuery("x_embed_gram", EmbedOps.embedGram, Some(
+      """WITH u AS (
+        |  SELECT vec_id, pos, CAST(floor(CAST(x AS DOUBLE) * 100000) AS BIGINT) AS val
+        |  FROM (SELECT vec_id, unnest(embedding) AS x,
+        |               unnest(generate_series(0, len(embedding) - 1)) AS pos
+        |        FROM embeddings))
+        |SELECT CAST(a.pos AS INTEGER) AS i, CAST(b.pos AS INTEGER) AS j,
+        |       CAST(sum(a.val * b.val) AS BIGINT) AS sxy
+        |FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+        |GROUP BY a.pos, b.pos ORDER BY i, j""".stripMargin)),
+    GraftQuery("x_embed_cov", EmbedOps.embedCovariance, Some(
+      """WITH u AS (
+        |  SELECT vec_id, pos, CAST(floor(CAST(x AS DOUBLE) * 100000) AS BIGINT) AS val
+        |  FROM (SELECT vec_id, unnest(embedding) AS x,
+        |               unnest(generate_series(0, len(embedding) - 1)) AS pos
+        |        FROM embeddings)),
+        |g AS (SELECT a.pos AS i, b.pos AS j, sum(a.val * b.val) AS q
+        |      FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.pos <= b.pos
+        |      GROUP BY a.pos, b.pos),
+        |s AS (SELECT pos, sum(val) AS sv FROM u GROUP BY pos),
+        |n AS (SELECT count(*) AS n FROM embeddings)
+        |SELECT CAST(g.i AS INTEGER) AS i, CAST(g.j AS INTEGER) AS j,
+        |       CAST(n.n * g.q - si.sv * sj.sv AS BIGINT) AS cov_num
+        |FROM g CROSS JOIN n
+        |JOIN s si ON si.pos = g.i JOIN s sj ON sj.pos = g.j
+        |ORDER BY i, j""".stripMargin)),
+    // PCA top-eigenpair self-consistency gate: hash-green n_vecs anchor +
+    // literal passes=true (driver-side power iteration on the bounded
+    // moment row — no SQL can recompute the eigenvector, the contract can
+    // still be value-checked)
+    GraftQuery("x_embed_pca_gate", EmbedOps.embedPcaGate, Some(
+      """SELECT count(*) AS n_vecs, true AS passes FROM embeddings""")),
     GraftQuery("x_embed_mrl_head", EmbedOps.mrlHeadMass, Some(
       s"""WITH q AS (SELECT vec_id,
         |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${EmbedOps.Scale}) AS BIGINT)) AS qv

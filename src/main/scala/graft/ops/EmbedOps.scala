@@ -81,4 +81,100 @@ object EmbedOps {
       .select(col("label"), col("n_vecs"), col("sum_ppm"),
         (col("sum_ppm").cast(DoubleType) / col("n_vecs")).as("avg_head_ppm"))
       .orderBy(col("label"))
+
+  // ------------------------------------------------------------------
+  // One-pass exact Gram / covariance (graft.functions.GramAggregator)
+  // ------------------------------------------------------------------
+
+  /** Store dimensionality (the synthetic embeddings table is 64-wide;
+    * the aggregator itself is d-generic). */
+  val Dim = 64
+
+  /** The single global moment row: [n, s_0…s_63, q_00, q_01, …] from ONE
+    * mergeable aggregation over the scaled-int64 vectors — map-side
+    * combine folds every partition to one 2145-long buffer, the shuffle
+    * carries |partitions| buffers, the driver never sees row data. */
+  private def momentRow(spark: SparkSession, dir: String): DataFrame = {
+    val gram = udaf(graft.functions.GramAggregator(Dim))
+    Tables.parallel(spark, dir, "embeddings")
+      .select(transform(col("embedding"),
+        x => floor(x.cast(DoubleType) * Scale).cast(LongType)).as("v"))
+      .agg(gram(col("v")).as("m"))
+  }
+
+  /** Upper-triangle index pairs (i ≤ j) with their offset into the moment
+    * buffer — a 2080-row local relation broadcast against the 1-row
+    * aggregate. */
+  private def pairIndex(spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    val rows = for {
+      i <- 0 until Dim
+      j <- i until Dim
+    } yield (i, j, 1 + Dim + (i * (2 * Dim - i - 1)) / 2 + j)
+    rows.toDF("i", "j", "off")
+  }
+
+  /** Exact int64 Gram matrix of the scaled store: (i, j, sxy) for i ≤ j —
+    * the raw second moments a PCA/whitening/covariance consumer wants
+    * kept EXACT at any corpus size (sums stay inside int64 to n ≈ 2.5e9
+    * rows at this scale factor's value range). One aggregation pass, no
+    * self-join; the pair expansion is a d²-row local table against the
+    * single moment row. */
+  def embedGram(spark: SparkSession, dir: String): DataFrame =
+    pairIndex(spark).crossJoin(broadcast(momentRow(spark, dir)))
+      .select(col("i"), col("j"), element_at(col("m"), col("off") + 1).as("sxy"))
+      .orderBy("i", "j")
+
+  /** Exact covariance NUMERATORS: cov_num(i,j) = n·q_ij − s_i·s_j (the
+    * n²-scaled covariance, so no division ever happens and the oracle
+    * compare is integer equality). Headroom: |cov_num| ≤ 2·n²·3.6e9 —
+    * exact inside int64 to n ≈ 1.1e6 rows; beyond that a production run
+    * derives covariance in double from [[embedGram]]'s raw moments
+    * (exact to 2.5e9 rows) instead. Same single-pass plan. */
+  def embedCovariance(spark: SparkSession, dir: String): DataFrame =
+    pairIndex(spark).crossJoin(broadcast(momentRow(spark, dir)))
+      .select(col("i"), col("j"),
+        (element_at(col("m"), lit(1)) * element_at(col("m"), col("off") + 1) -
+          element_at(col("m"), col("i") + 2) * element_at(col("m"), col("j") + 2))
+          .as("cov_num"))
+      .orderBy("i", "j")
+
+  /** Top-principal-component self-consistency gate (the knnRecallGate
+    * pattern: value-oracled `passes=true` + a hash-green anchor). The
+    * driver collects the single bounded moment row (2145 longs), forms
+    * the double covariance matrix, and runs deterministic power
+    * iteration (fixed start, fixed 2000 steps — the store's thinnest
+    * observed eigengap λ₂/λ₁ ≈ 0.987 converges the residual below 1e-10
+    * by then, 10⁶× inside the gate). `passes` asserts the eigenpair
+    * residual ‖Cv − λv‖ ≤ 1e-4·λ and 0 < λ ≤ trace(C) — i.e.
+    * the store HAS a coherent top direction and the one-pass moments are
+    * internally consistent. Driver-side numerics on O(d²) state is the
+    * production shape: no per-row data ever reaches the driver. */
+  def embedPcaGate(spark: SparkSession, dir: String): DataFrame = {
+    val m = momentRow(spark, dir).collect()(0).getSeq[Long](0)
+    val n = m(0).toDouble
+    val s = Array.tabulate(Dim)(i => m(1 + i).toDouble)
+    val c = Array.ofDim[Double](Dim, Dim)
+    for (i <- 0 until Dim; j <- i until Dim) {
+      val q = m(1 + Dim + (i * (2 * Dim - i - 1)) / 2 + j).toDouble
+      val cov = (q - s(i) * s(j) / n) / n
+      c(i)(j) = cov; c(j)(i) = cov
+    }
+    var v = Array.tabulate(Dim)(i => if (i == 0) 1.0 else 1e-3)
+    var lambda = 0.0
+    for (_ <- 1 to 2000) {
+      val w = Array.tabulate(Dim)(i => (0 until Dim).map(j => c(i)(j) * v(j)).sum)
+      val norm = math.sqrt(w.map(x => x * x).sum)
+      v = w.map(_ / norm)
+      lambda = (0 until Dim).map(i => (0 until Dim).map(j => v(i) * c(i)(j) * v(j)).sum).sum
+    }
+    val resid = math.sqrt((0 until Dim).map { i =>
+      val cvi = (0 until Dim).map(j => c(i)(j) * v(j)).sum
+      val r = cvi - lambda * v(i); r * r
+    }.sum)
+    val trace = (0 until Dim).map(i => c(i)(i)).sum
+    val passes = lambda > 0 && lambda <= trace + 1e-9 && resid <= 1e-4 * lambda
+    import spark.implicits._
+    Seq((m(0), passes)).toDF("n_vecs", "passes")
+  }
 }

@@ -58,7 +58,7 @@ object KmeansOps {
 
   private def distTo(cvec: Array[Long]): Column =
     aggregate(
-      zip_with(col("v"), array(cvec.map(lit(_)): _*), (a, b) => (a - b) * (a - b)),
+      zip_with(col("v"), array(cvec.toIndexedSeq.map(lit(_)): _*), (a, b) => (a - b) * (a - b)),
       lit(0L), (acc, x) => acc + x)
 
   /** Adds (cluster: int, dist: long) — argmin over the centroid set with

@@ -54,4 +54,45 @@ class EmbedOpsSpec extends SparkSpec {
       assert(math.abs(r.getDouble(3) - s.toDouble / n) == 0.0)
     }
   }
+
+  // ---------------------------------------- one-pass Gram / covariance
+
+  test("gram on planted basis vectors matches hand-computed products") {
+    val unit = EmbedOps.Scale.toLong * EmbedOps.Scale
+    val g = EmbedOps.embedGram(spark, fixtureDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(g.size == 64 * 65 / 2)
+    assert(g((0, 0)) == 2 * unit)   // e0 appears in v0 and v2
+    assert(g((0, 32)) == unit)      // co-occurs only in v2
+    assert(g((0, 63)) == 0L)        // never co-occur
+    assert(g((32, 32)) == unit)
+    assert(g((63, 63)) == unit)
+    assert(g((1, 2)) == 0L)
+  }
+
+  test("covariance numerators: n*q - s_i*s_j on the planted fixture") {
+    val unit = EmbedOps.Scale.toLong * EmbedOps.Scale
+    val c = EmbedOps.embedCovariance(spark, fixtureDir).collect()
+      .map(r => (r.getInt(0), r.getInt(1)) -> r.getLong(2)).toMap
+    assert(c((0, 0)) == 4 * 2 * unit - 4 * unit)  // n=4, s_0=2e5
+    assert(c((0, 32)) == 4 * unit - 2 * unit)
+    assert(c((0, 63)) == 0 - 2 * unit)
+    assert(c((5, 7)) == 0L)
+  }
+
+  test("gram trace equals the head-mass total_q sum; partitioning-invariant") {
+    val trace = EmbedOps.embedGram(spark, Sf0001).collect()
+      .collect { case r if r.getInt(0) == r.getInt(1) => r.getLong(2) }.sum
+    val totalQ = EmbedOps.mrlHeadMass(spark, Sf0001).collect()
+      .map(_.getLong(1)).sum
+    assert(trace == totalQ)
+    val again = EmbedOps.embedGram(spark, Sf0001).collect().toSeq
+    assert(again == EmbedOps.embedGram(spark, Sf0001).collect().toSeq)
+  }
+
+  test("pca gate passes and reports the store size") {
+    val r = EmbedOps.embedPcaGate(spark, Sf0001).collect()(0)
+    assert(r.getAs[Boolean]("passes"))
+    assert(r.getAs[Long]("n_vecs") == 500L)
+  }
 }
