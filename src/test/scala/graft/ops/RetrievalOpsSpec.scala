@@ -1,0 +1,73 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** BM25 semantics on a planted corpus where the right ranking is known
+  * by construction, plus invariants on the real store. The Registry hash
+  * oracle pins the exact integer scores; these specs pin WHY they rank
+  * the way they do. */
+class RetrievalOpsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val plantedDir: String = {
+    // doc 0: 'hash' twice in a short doc  -> highest tf saturation
+    // doc 1: 'hash' once                  -> lower
+    // doc 2: no query terms               -> absent from results
+    // doc 3: 'hash' once in a LONG doc    -> length-penalized below doc 1
+    val docs = Seq(
+      (0L, "hash hash join", "en", "w", 3L),
+      (1L, "hash table scan", "en", "w", 3L),
+      (2L, "sort merge batch", "en", "w", 3L),
+      (3L, "hash " + Seq.fill(40)("value").mkString(" "), "en", "w", 41L))
+    val dir = tempDir("bm25_planted")
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars").repartition(2)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("bm25: planted tf and length effects rank as BM25 must") {
+    val r = RetrievalOps.bm25For(spark, plantedDir, Seq(0 -> "hash")).collect()
+    val ranked = r.map(x => x.getAs[Long]("doc_id"))
+    assert(ranked.toSeq == Seq(0L, 1L, 3L)) // tf=2 first, short tf=1, long tf=1
+    assert(!ranked.contains(2L))            // no query term -> never scored
+    val scores = r.map(_.getAs[Long]("score"))
+    assert(scores.toSeq == scores.sortBy(-_).toSeq && scores.forall(_ > 0))
+  }
+
+  test("bm25: rarer terms out-rank common ones at equal tf") {
+    // 'dup' appears in one doc, 'table' in three -> idf(dup) > idf(table)
+    val docs = Seq(
+      (0L, "dup line", "en", "w", 2L),
+      (1L, "table line", "en", "w", 2L),
+      (2L, "table row", "en", "w", 2L),
+      (3L, "table key", "en", "w", 2L))
+    val dir = tempDir("bm25_idf")
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars").repartition(2)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = RetrievalOps.bm25For(spark, dir, Seq(0 -> "dup table")).collect()
+    val byDoc = r.map(x => x.getAs[Long]("doc_id") -> x.getAs[Long]("score")).toMap
+    assert(byDoc(0L) > byDoc(1L)) // same tf=1, same dl -> idf decides
+  }
+
+  test("bm25: real store — returned docs contain a query term, scores descend, deterministic") {
+    val rows = RetrievalOps.bm25(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getAs[Int]("q_id"))
+    byQ.foreach { case (_, rs) =>
+      val ordered = rs.sortBy(_.getAs[Int]("rank"))
+      val scores = ordered.map(_.getAs[Long]("score"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+    }
+    // membership: every returned doc really contains >= 1 term of its query
+    val terms = RetrievalOps.DefaultQueries.toMap
+    val docs = Tables(spark, Sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.split(" ").toSet).toMap
+    rows.foreach { r =>
+      val qset = terms(r.getAs[Int]("q_id")).split(" ").toSet
+      assert((docs(r.getAs[Long]("doc_id")) & qset).nonEmpty)
+    }
+    assert(RetrievalOps.bm25(spark, Sf0001).collect().toSeq == rows.toSeq)
+  }
+}
