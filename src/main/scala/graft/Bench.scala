@@ -24,6 +24,10 @@ object Bench {
     // the probe-many regime (the write-once cost is the point of the shape)
     try graft.ops.SimilarityOps.ensureKnnIndex(spark, sfDir)
     catch { case _: Throwable => () }
+    // ditto for the lexical index: x_retrieval_bm25_indexed measures the
+    // probe-many regime against the pre-built term-sorted statistics
+    try graft.ops.RetrievalOps.ensureLexIndex(spark, sfDir)
+    catch { case _: Throwable => () }
 
     val results = headline.map { q =>
       // only SUCCESSFUL reps become samples: a fast-failing rep would

@@ -70,4 +70,18 @@ class RetrievalOpsSpec extends SparkSpec {
     }
     assert(RetrievalOps.bm25(spark, Sf0001).collect().toSeq == rows.toSeq)
   }
+
+  test("bm25 index probe: identical rows to inline, term filter pushed to parquet") {
+    val idx = tempDir("lex_index")
+    RetrievalOps.buildLexIndex(spark, Sf0001, idx)
+    val probe = RetrievalOps.bm25FromIndex(spark, idx)
+    assert(probe.collect().toSeq == RetrievalOps.bm25(spark, Sf0001).collect().toSeq)
+    // the probe's tf scan must push the term predicate into the scan
+    val tfScan = spark.read.parquet(s"$idx/tf").filter(col("term") === "hash")
+    val plan = tfScan.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("term"))
+    // a non-default query workload works against the same index
+    val custom = RetrievalOps.bm25FromIndex(spark, idx, Seq(7 -> "vector stream"))
+    custom.collect().foreach(r => assert(r.getAs[Int]("q_id") == 7))
+  }
 }
