@@ -310,6 +310,15 @@ object Registry {
         |WHERE l_orderkey IN
         |  (SELECT o_orderkey FROM orders WHERE o_totalprice > 450000.0)
         |ORDER BY l_orderkey, l_linenumber""".stripMargin)),
+    // skew-salted shuffle join: the salt exists only in the plan — the
+    // oracle is the plain unsalted join, pinning semantic neutrality
+    GraftQuery("j10_salted_join", JoinOps.j10SaltedJoin, Some(
+      """WITH dim AS (SELECT event_type, count(*) AS type_n FROM events GROUP BY event_type)
+        |SELECT e.event_type, d.type_n,
+        |       CAST(sum(CAST(e.value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+        |       count(*) AS n_rows
+        |FROM events e JOIN dim d USING (event_type)
+        |GROUP BY e.event_type, d.type_n ORDER BY e.event_type""".stripMargin)),
     GraftQuery("q18_big_orders", JoinOps.q18BigOrders, Some(
       """WITH big AS (
         |  SELECT l_orderkey,

@@ -240,6 +240,37 @@ object JoinOps {
       .orderBy("l_orderkey", "l_linenumber")
   }
 
+  /** Skew-salted shuffle join — the fallback when BOTH join sides exceed
+    * the broadcast threshold AND the key distribution is skewed (here:
+    * events keyed by event_type, FIVE distinct values — a naive shuffle
+    * join lands the entire fact table on five reducers). The fact side
+    * gets a deterministic 16-way salt (xxhash64 of its unique id, the
+    * a1SaltedAgg currency); the dim side replicates ×16 via
+    * explode(sequence); the join key becomes (event_type, salt), fanning
+    * each hot key across 16 partitions. Replication cost is
+    * 16·|dim| — the knob trades dim duplication for reducer fan-out and
+    * only pays on the keys that need it when combined with AQE skew
+    * stats; here it is applied uniformly for determinism.
+    *
+    * The dim is derived small (per-type totals), so Spark would
+    * BROADCAST it and no skew would exist — the `shuffle_hash` hint pins
+    * the shuffled plan this operator exists to demonstrate (at 100 TB
+    * the dim is past the broadcast threshold and the hint is the
+    * planner's own choice). The salt never reaches the output; the
+    * oracle is the plain unsalted join — salting is plan-level only. */
+  def j10SaltedJoin(spark: SparkSession, dir: String): DataFrame = {
+    val salts = 16
+    val fact = Tables(spark, dir, "events")
+      .withColumn("salt", pmod(xxhash64(col("event_id")), lit(salts)))
+    val dim = Tables(spark, dir, "events")
+      .groupBy(col("event_type")).agg(count(lit(1)).as("type_n"))
+      .withColumn("salt", explode(sequence(lit(0L), lit(salts - 1L))))
+    fact.join(dim.hint("shuffle_hash"), Seq("event_type", "salt"))
+      .groupBy(col("event_type"), col("type_n"))
+      .agg(sumExact(col("value")).as("total_value"), count(lit(1)).as("n_rows"))
+      .orderBy("event_type")
+  }
+
   /** TPC-H Q1 shape (pricing summary): one filtered scan, eight aggregate
     * measures per (returnflag, linestatus) — including the three-factor
     * charge term price·(1−disc)·(1+tax). All measures run in SCALED INT64

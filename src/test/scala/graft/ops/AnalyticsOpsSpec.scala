@@ -175,6 +175,23 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("salted join: shuffled (not broadcast) plan keyed on salt; rows equal plain join") {
+    val df = JoinOps.j10SaltedJoin(spark, Sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("ShuffledHashJoin"), "salted join must shuffle, not broadcast")
+    assert(!plan.contains("BroadcastHashJoin"))
+    assert(plan.contains("salt"), "join keys must include the salt column")
+    // semantic neutrality: identical to the plain unsalted broadcast join
+    val plain = Tables(spark, Sf0001, "events")
+      .join(Tables(spark, Sf0001, "events")
+        .groupBy(col("event_type")).agg(count(lit(1)).as("type_n")),
+        Seq("event_type"))
+      .groupBy(col("event_type"), col("type_n"))
+      .agg(sumExact(col("value")).as("total_value"), count(lit(1)).as("n_rows"))
+      .orderBy("event_type")
+    assert(df.collect().toSeq == plain.collect().toSeq)
+  }
+
   test("q1: scaled-int64 measures agree with the decimal aggregation path") {
     val r = JoinOps.q1PricingSummary(spark, Sf0001).collect()
     assert(r.nonEmpty)
