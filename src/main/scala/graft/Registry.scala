@@ -1205,6 +1205,34 @@ object Registry {
         |       coalesce(rk.rank_in_cluster, 1) <= 1 AS kept
         |FROM documents d LEFT JOIN rk USING (doc_id)
         |ORDER BY doc_id""".stripMargin)),
+    // PageRank with integer-exact damping/teleport arithmetic — the
+    // kmeans playbook applied to iterative graph analytics: the oracle
+    // unrolls the same three rounds, ranks hash-match bit-for-bit
+    GraftQuery("x_graph_pagerank", GraphOps.pageRank, Some(
+      """WITH e0 AS (SELECT DISTINCT l_suppkey*2 AS src, o_custkey*2+1 AS dst
+        |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e1 AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |d AS (SELECT src, count(*) AS deg FROM e1 GROUP BY src),
+        |e AS (SELECT e1.src, e1.dst, d.deg FROM e1 JOIN d USING (src)),
+        |nn AS (SELECT count(*) AS n FROM d),
+        |r0 AS (SELECT d.src AS node, 1000000000000 // nn.n AS rank
+        |       FROM d CROSS JOIN nn),
+        |c1 AS (SELECT e.dst, sum(r.rank // e.deg) AS s
+        |       FROM e JOIN r0 r ON e.src = r.node GROUP BY e.dst),
+        |r1 AS (SELECT r0.node,
+        |              CAST(1000000000000*15//100//nn.n + 85 * coalesce(c1.s, 0) // 100 AS BIGINT) AS rank
+        |       FROM r0 CROSS JOIN nn LEFT JOIN c1 ON c1.dst = r0.node),
+        |c2 AS (SELECT e.dst, sum(r.rank // e.deg) AS s
+        |       FROM e JOIN r1 r ON e.src = r.node GROUP BY e.dst),
+        |r2 AS (SELECT r1.node,
+        |              CAST(1000000000000*15//100//nn.n + 85 * coalesce(c2.s, 0) // 100 AS BIGINT) AS rank
+        |       FROM r1 CROSS JOIN nn LEFT JOIN c2 ON c2.dst = r1.node),
+        |c3 AS (SELECT e.dst, sum(r.rank // e.deg) AS s
+        |       FROM e JOIN r2 r ON e.src = r.node GROUP BY e.dst),
+        |r3 AS (SELECT r2.node,
+        |              CAST(1000000000000*15//100//nn.n + 85 * coalesce(c3.s, 0) // 100 AS BIGINT) AS rank
+        |       FROM r2 CROSS JOIN nn LEFT JOIN c3 ON c3.dst = r2.node)
+        |SELECT node, rank FROM r3 ORDER BY node""".stripMargin)),
     // distributed Lloyd's k-means, hash-checked end-to-end: the DuckDB
     // oracle unrolls the same three integer-exact rounds (see kmeansCte)
     GraftQuery("x_cluster_kmeans", KmeansOps.kmeansAssign, Some(

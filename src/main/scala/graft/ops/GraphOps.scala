@@ -1,0 +1,75 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** PageRank over the supplier↔customer purchase graph — "which entities
+  * anchor the trade network": nodes are suppliers (even ids, 2k) and
+  * customers (odd ids, 2k+1) that co-occur on an order line; edges are
+  * the distinct (supplier, customer) pairs, symmetrized so the walk has
+  * no dangling nodes. Reference analogue: none — this is the engine's
+  * iterative-graph-analytics surface next to ClusterOps' connected
+  * components.
+  *
+  * Determinism (same playbook as [[KmeansOps]]): ranks live in scaled
+  * int64 units (1e12 total mass), every step is integer floor division
+  * and integer sums — `rank div deg` per edge, `(85·Σ) div 100` damping,
+  * `((1e12·15) div 100) div N` teleport — so three iterations of an
+  * iterative algorithm are reproduced bit-for-bit by an unrolled DuckDB
+  * CTE and the final ranks hash-match. Floor loss per step is ≤ 1 unit
+  * per edge/node on a 1e12 scale — irrelevant analytically, identical
+  * in both engines.
+  *
+  * Scale shape per iteration: one keyed join (edges ⋈ ranks on src —
+  * both sides hash-partitioned on the same key, AQE reuses the
+  * exchange) and one map-side-combined sum on dst; nothing ever reaches
+  * the driver but the node count (one scalar). Edge degrees ride ON the
+  * edge rows (joined once up front), so the per-iteration join is
+  * binary. At 100 TB the edge list persists once
+  * (MEMORY_AND_DISK — the ClusterOps pattern); at test scale the 3×
+  * rescan is cheaper than the cache churn, and the plan is otherwise
+  * identical. */
+object GraphOps {
+
+  /** Total rank mass in scaled units (1e12: floor losses are 1-unit). */
+  val RankScale = 1000000000000L
+  val Iters = 3
+
+  /** Symmetrized distinct purchase edges. */
+  private def edgesOf(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val e0 = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") * 2).as("src"), (col("o_custkey") * 2 + 1).as("dst"))
+      .distinct()
+    // src is always even, dst always odd, so the reverse set is disjoint
+    e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+  }
+
+  def pageRank(spark: SparkSession, dir: String): DataFrame =
+    pageRankOf(edgesOf(spark, dir))
+
+  /** Core loop over any symmetric (src, dst) edge pair set: attaches
+    * out-degrees, then runs [[Iters]] integer-exact rank rounds. */
+  def pageRankOf(rawEdges: DataFrame): DataFrame = {
+    val deg = rawEdges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    val edges = rawEdges.join(deg, Seq("src"))
+    val nodes = edges.select(col("src").as("node"), col("deg")).distinct()
+    // the ONLY driver value: |V| (one scalar)
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    val base = RankScale * 15 / 100 / n
+    var ranks = nodes.select(col("node"), lit(RankScale / n).as("rank"))
+    for (_ <- 1 to Iters) {
+      val sums = edges.as("e")
+        .join(ranks.as("r"), col("e.src") === col("r.node"))
+        .select(col("e.dst").as("dst"), expr("r.rank div e.deg").as("contrib"))
+        .groupBy(col("dst")).agg(sum(col("contrib")).as("s"))
+      ranks = nodes.as("nd")
+        .join(sums.as("sm"), col("nd.node") === col("sm.dst"), "left")
+        .select(col("nd.node").as("node"),
+          (lit(base) + expr("85 * coalesce(sm.s, 0L) div 100")).as("rank"))
+    }
+    ranks.orderBy("node")
+  }
+}
