@@ -1549,6 +1549,15 @@ object Registry {
         |       true AS passes
         |FROM f JOIN n ON f.lang = n.lang
         |GROUP BY n.lang, n.n ORDER BY n.lang""".stripMargin)),
+    // mergeable HLL distinct-count tiles (DataSketches bytes — unlike
+    // approx_count_distinct, storable and unionable across partitions);
+    // estimates are engine-internal → rows-only, the gate is the signal
+    GraftQuery("x_sketch_cube", SketchOps.sketchCube, None),
+    GraftQuery("x_sketch_cube_gate", SketchOps.sketchCubeGate, Some(
+      """SELECT count(DISTINCT l_partkey) AS n_parts, true AS passes
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'""".stripMargin)),
     // one-pass exact Gram/covariance (GramAggregator): the oracle takes
     // the self-join-on-dimension road the Spark plan deliberately avoids
     GraftQuery("x_embed_gram", EmbedOps.embedGram, Some(

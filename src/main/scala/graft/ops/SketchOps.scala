@@ -119,4 +119,48 @@ object SketchOps {
       .select(col("n_tokens"), col("n_heavy"),
         (col("missed") === 0L && col("violated") === 0L).as("passes"))
   }
+
+  // ------------------------------------------------------------------
+  // Mergeable distinct-count sketch cube (Spark 4 DataSketches HLL)
+  // ------------------------------------------------------------------
+
+  /** Per-month DataSketches HLL tiles over lineitem's part keys — the
+    * pre-aggregated distinct-count CUBE a 100 TB warehouse stores so
+    * "distinct parts shipped in any date range" never rescans raw data:
+    * sketches are mergeable BYTES (unlike `approx_count_distinct`, whose
+    * sketch dies inside one query), so tiles materialize once per
+    * partition and arbitrary ranges union in O(|months| · sketch size).
+    * Estimates are deterministic for fixed data (the union is
+    * associative/commutative), but engine-internal → rows-only; the
+    * value-checked signal is [[sketchCubeGate]]. */
+  def sketchCube(spark: SparkSession, dir: String): DataFrame =
+    monthlyTiles(spark, dir)
+      .select(col("month"), hll_sketch_estimate(col("sk")).as("est_parts"))
+      .orderBy("month")
+
+  private def monthlyTiles(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "lineitem")
+      .groupBy(date_trunc("month", col("l_shipdate")).as("month"))
+      .agg(hll_sketch_agg(col("l_partkey"), lit(14)).as("sk"))
+
+  /** Value-oracled accuracy gate for the sketch cube: a RANGE query
+    * (calendar 1995) answered by unioning the monthly tiles is checked
+    * against the exact distinct count over the same range — the
+    * merge-then-estimate path is the one production trusts, so that is
+    * the path gated (lgK=14 → rse ≈ 0.65%; the int64 bound allows 4%,
+    * a ≥6σ margin). Oracle recomputes the exact anchor independently
+    * and expects the literal passes=true. */
+  def sketchCubeGate(spark: SparkSession, dir: String): DataFrame = {
+    val y1995 = (col("month") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00"))) &&
+      (col("month") < lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")))
+    val est = monthlyTiles(spark, dir).filter(y1995)
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+    val exact = Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")))
+      .agg(countDistinct(col("l_partkey")).as("n_parts"))
+    exact.crossJoin(broadcast(est))
+      .select(col("n_parts"),
+        (abs(col("est") - col("n_parts")) * 100L <= col("n_parts") * 4L).as("passes"))
+  }
 }

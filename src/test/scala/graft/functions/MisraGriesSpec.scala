@@ -74,4 +74,39 @@ class MisraGriesSpec extends SparkSpec {
     val gate = SketchOps.heavyHittersByLangGate(spark, dir).collect()
     gate.foreach(r => assert(r.getBoolean(3), s"gate failed for ${r.getString(0)}"))
   }
+
+  // ------------------------------- HLL sketch cube (DataSketches tiles)
+
+  test("sketch cube: per-month estimates track exact counts within 5%") {
+    import org.apache.spark.sql.functions._
+    val est = SketchOps.sketchCube(spark, Sf0001).collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    val exact = graft.ops.Tables(spark, Sf0001, "lineitem")
+      .groupBy(date_trunc("month", col("l_shipdate")).as("month"))
+      .agg(countDistinct(col("l_partkey")).as("n")).collect()
+      .map(r => r.getTimestamp(0) -> r.getLong(1)).toMap
+    assert(est.keySet == exact.keySet && est.nonEmpty)
+    est.foreach { case (m, e) =>
+      assert(math.abs(e - exact(m)) * 100 <= exact(m) * 5, s"month $m: $e vs ${exact(m)}")
+    }
+  }
+
+  test("sketch tiles survive parquet storage and union to the same range answer") {
+    import org.apache.spark.sql.functions._
+    // the storability point: write the monthly tiles, read them back,
+    // merge ACROSS the storage boundary — approx_count_distinct can't
+    val tiles = graft.ops.Tables(spark, Sf0001, "lineitem")
+      .groupBy(date_trunc("month", col("l_shipdate")).as("month"))
+      .agg(hll_sketch_agg(col("l_partkey"), lit(14)).as("sk"))
+    val dir = tempDir("hll_tiles")
+    tiles.write.mode("overwrite").parquet(s"$dir/tiles")
+    val merged = spark.read.parquet(s"$dir/tiles")
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .collect()(0).getLong(0)
+    val exact = graft.ops.Tables(spark, Sf0001, "lineitem")
+      .agg(countDistinct(col("l_partkey"))).collect()(0).getLong(0)
+    assert(math.abs(merged - exact) * 100 <= exact * 4, s"$merged vs $exact")
+    val gate = SketchOps.sketchCubeGate(spark, Sf0001).collect()(0)
+    assert(gate.getAs[Boolean]("passes"))
+  }
 }
