@@ -1150,6 +1150,10 @@ object Registry {
     // Bench pre-builds the index untimed and times the probe regime)
     GraftQuery("x_retrieval_bm25_indexed", RetrievalOps.bm25Indexed,
       Some(bm25Oracle), headline = true),
+    // incremental maintenance ≡ rebuild: base index + folded crawl batch
+    // must satisfy the SAME oracle as the full forms
+    GraftQuery("x_retrieval_bm25_incremental", RetrievalOps.bm25Incremental,
+      Some(bm25Oracle)),
     GraftQuery("x_sim_ann_lsh", SimilarityOps.annLsh, None),
     GraftQuery("x_sim_knn_join", (s, d) => SimilarityOps.knnJoin(s, d), None,
       headline = true),

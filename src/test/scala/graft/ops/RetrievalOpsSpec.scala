@@ -84,4 +84,33 @@ class RetrievalOpsSpec extends SparkSpec {
     val custom = RetrievalOps.bm25FromIndex(spark, idx, Seq(7 -> "vector stream"))
     custom.collect().foreach(r => assert(r.getAs[Int]("q_id") == 7))
   }
+
+  test("incremental index update: equals rebuild, serves batch-only terms") {
+    val baseDocs = Seq(
+      (0L, "hash join table", "en", "w", 3L),
+      (1L, "scan filter row", "en", "w", 3L))
+    val batchDocs = Seq(
+      (10L, "hash zzznew zzznew", "en", "w", 3L),  // new doc, brand-new term
+      (11L, "join scan", "en", "w", 2L))
+    val all = baseDocs ++ batchDocs
+    def writeDocs(rows: Seq[(Long, String, String, String, Long)]): String = {
+      val d = tempDir("incr_docs")
+      rows.toDF("doc_id", "text", "lang", "source", "n_chars").repartition(2)
+        .write.mode("overwrite").parquet(s"$d/documents.parquet")
+      d
+    }
+    val baseIdx = tempDir("incr_base"); val outIdx = tempDir("incr_out")
+    RetrievalOps.buildLexIndex(spark, writeDocs(baseDocs), baseIdx)
+    val batchDf = batchDocs.toDF("doc_id", "text", "lang", "source", "n_chars")
+    RetrievalOps.updateLexIndex(spark, baseIdx, batchDf, outIdx)
+    val rebuilt = tempDir("incr_full")
+    RetrievalOps.buildLexIndex(spark, writeDocs(all), rebuilt)
+    val qs = Seq(0 -> "hash join", 1 -> "zzznew")
+    val inc = RetrievalOps.bm25FromIndex(spark, outIdx, qs).collect().toSeq
+    val full = RetrievalOps.bm25FromIndex(spark, rebuilt, qs).collect().toSeq
+    assert(inc == full, "incremental update must equal a from-scratch rebuild")
+    // the batch-only term resolves and points at the batch doc
+    val zzz = inc.filter(_.getAs[Int]("q_id") == 1)
+    assert(zzz.map(_.getAs[Long]("doc_id")).toSeq == Seq(10L))
+  }
 }
