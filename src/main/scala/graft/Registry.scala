@@ -1248,6 +1248,16 @@ object Registry {
         """SELECT CAST(cid AS INTEGER) AS cluster, count(*) AS n_vecs,
           |       CAST(sum(d) AS BIGINT) AS inertia
           |FROM a3 GROUP BY cid ORDER BY cluster""".stripMargin)),
+    GraftQuery("x_cluster_kmeans_balanced", (s, d) => KmeansOps.kmeansBalancedSample(s, d), Some(
+      kmeansCte +
+        """, sz AS (SELECT cid, count(*) AS n_vecs FROM a3 GROUP BY cid)
+          |SELECT a.vec_id, CAST(a.cid AS INTEGER) AS cluster,
+          |       CAST(('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 4)) AS INTEGER) % 1000 AS bucket,
+          |       least(1.0, 64.0 / sz.n_vecs) AS rate
+          |FROM a3 a JOIN sz USING (cid)
+          |WHERE CAST(('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 4)) AS INTEGER) % 1000
+          |      < least(1.0, 64.0 / sz.n_vecs) * 1000.0
+          |ORDER BY a.vec_id""".stripMargin)),
     GraftQuery("x_cluster_kmeans_purity", KmeansOps.kmeansPurity, Some(
       kmeansCte +
         """, l AS (SELECT a.cid, e.label, count(*) AS cnt

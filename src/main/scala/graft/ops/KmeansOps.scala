@@ -120,6 +120,28 @@ object KmeansOps {
       .agg(count(lit(1)).as("n_vecs"), sum(col("dist")).as("inertia"))
       .orderBy("cluster")
 
+  /** Cluster-balanced downsampling — the curation step k-means exists to
+    * feed (Abbas et al. '23 SemDeDup / cluster-balanced data diets): big
+    * clusters downsample toward [[target]] expected survivors, small
+    * clusters keep everything, so no region of embedding space drowns
+    * the mix. The keep decision is the CONTENT-hash bucket against the
+    * per-cluster rate (the mixSources currency: md5 is engine-identical,
+    * no RNG) and the rates are a |K|-row broadcast-back (the winsorize
+    * shape) — NO window over the corpus, no extra shuffle beyond the
+    * assignment itself; expected-size cap, exactly reproducible. */
+  def kmeansBalancedSample(spark: SparkSession, dir: String,
+      target: Int = 64): DataFrame = {
+    val assign = fit(spark, dir)
+    val sizes = assign.groupBy(col("cluster")).agg(count(lit(1)).as("n_vecs"))
+    assign.join(broadcast(sizes), Seq("cluster"))
+      .select(col("vec_id"), col("cluster"),
+        (conv(substring(md5(col("vec_id").cast(StringType)), 1, 4), 16, 10)
+          .cast(IntegerType) % 1000).as("bucket"),
+        least(lit(1.0), lit(target.toDouble) / col("n_vecs")).as("rate"))
+      .filter(col("bucket") < col("rate") * 1000.0)
+      .orderBy("vec_id")
+  }
+
   /** Cluster↔label agreement: each cluster's dominant label and its share
     * in ppm (integer floor division — the [[EmbedOps]] ppm currency).
     * The "did unsupervised structure recover the known taxonomy" check a

@@ -69,4 +69,20 @@ class KmeansOpsSpec extends SparkSpec {
     assert(pur.map(_.getInt(0)).toSeq == prof.map(_.getInt(0)).toSeq)
     pur.foreach(r => assert(hist(r.getInt(0)) == r.getAs[Long]("n_vecs")))
   }
+
+  test("balanced sample: big clusters thin toward the target, decisions reproducible") {
+    // target 2 on ~62-vector clusters -> rate ~3%: the sample must
+    // collapse hard but stay non-empty and hash-deterministic
+    val thin = KmeansOps.kmeansBalancedSample(spark, Sf0001, target = 2).collect()
+    assert(thin.nonEmpty && thin.length < 60, s"kept ${thin.length} of 500")
+    thin.foreach { r =>
+      assert(r.getAs[Int]("bucket") < r.getAs[Double]("rate") * 1000.0)
+    }
+    assert(KmeansOps.kmeansBalancedSample(spark, Sf0001, target = 2).collect().toSeq
+      == thin.toSeq)
+    // clusters at-or-under the target keep everything (rate 1.0)
+    val all = KmeansOps.kmeansBalancedSample(spark, Sf0001, target = 500).collect()
+    assert(all.length == 500)
+    all.foreach(r => assert(r.getAs[Double]("rate") == 1.0))
+  }
 }
