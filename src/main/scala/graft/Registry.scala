@@ -1758,6 +1758,12 @@ object Registry {
         |SELECT doc_id, source, bucket, weight FROM m
         |WHERE bucket < weight * 1000.0
         |ORDER BY doc_id""".stripMargin)),
+    // perceptual image hashes (aHash): real pixel decode for image
+    // blobs, byte-plane fallback for the synthetic corpus; the NEAR-DUP
+    // PAIRS pipeline over these hashes (SimHash pigeonhole banding) is
+    // pinned by the planted-PNG spec — the synthetic corpus's closest
+    // pair sits at Hamming 7, outside the d<=3 pigeonhole guarantee
+    GraftQuery("x_mm_image_hash", MultimodalOps.imageHashCorpus, None),
     GraftQuery("x_mm_binary_meta", MultimodalOps.binaryMeta, Some(
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         |       CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'img' WHEN 1 THEN 'audio'

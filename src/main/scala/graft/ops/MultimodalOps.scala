@@ -226,4 +226,113 @@ object MultimodalOps {
       .select(col("doc_id"), explode(sequence(lit(0), col("n_frames") - 1)).as("frame_idx"))
       .orderBy("doc_id", "frame_idx")
   }
+
+  // ------------------------------------------------------------------
+  // Perceptual image hashing + near-dup pairs (the image-modality dedup)
+  // ------------------------------------------------------------------
+
+  /** 64-bit average-hash: decode, area-sample to an 8×8 integer
+    * luminance grid, threshold each cell against the grid mean. Small
+    * pixel perturbations and re-encodes move few cells across the mean →
+    * small Hamming distance; distinct images diverge. All integer
+    * arithmetic after decode (sums, floor means), so the hash is
+    * deterministic per JVM — engine-internal, rows-only territory, with
+    * real planted-PNG behavior pinned by spec. Non-image blobs fall back
+    * to a byte-plane hash through the SAME grid math (64 evenly-spaced
+    * byte samples as luminance), keeping the operator total. */
+  def aHash64(bytes: Array[Byte]): Long = {
+    val cells: Array[Long] =
+      if (sniffImage(bytes).isDefined) {
+        val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+        if (img == null) byteCells(bytes)
+        else {
+          val (w, h) = (img.getWidth, img.getHeight)
+          Array.tabulate(64) { i =>
+            val (cx, cy) = (i % 8, i / 8)
+            // integer area sample: average the cell's pixel block
+            val x0 = cx * w / 8; val x1 = math.max(x0 + 1, (cx + 1) * w / 8)
+            val y0 = cy * h / 8; val y1 = math.max(y0 + 1, (cy + 1) * h / 8)
+            var s = 0L; var n = 0L
+            var y = y0
+            while (y < y1) {
+              var x = x0
+              while (x < x1) {
+                val rgb = img.getRGB(x, y)
+                // integer Rec.601 luma: (299R + 587G + 114B) / 1000
+                s += (299L * ((rgb >> 16) & 0xff) + 587L * ((rgb >> 8) & 0xff) +
+                  114L * (rgb & 0xff)) / 1000L
+                n += 1; x += 1
+              }
+              y += 1
+            }
+            s / n
+          }
+        }
+      } else byteCells(bytes)
+    val mean = cells.sum / 64
+    cells.zipWithIndex.foldLeft(0L) { case (acc, (c, i)) =>
+      if (c > mean) acc | (1L << i) else acc
+    }
+  }
+
+  private def byteCells(bytes: Array[Byte]): Array[Long] =
+    if (bytes.isEmpty) Array.fill(64)(0L)
+    else Array.tabulate(64) { i =>
+      val idx = (i.toLong * bytes.length / 64).toInt
+      bytes(idx).toLong & 0xffL
+    }
+
+  /** Per-image perceptual hashes over any (doc_id, blob) dataset —
+    * narrow mapPartitions kernel (codec dispatch), zero shuffle. */
+  def imageHashes(blobs: Dataset[(Long, Array[Byte])]): DataFrame = {
+    val spark = blobs.sparkSession
+    import spark.implicits._
+    blobs.mapPartitions(_.map { case (id, b) => (id, aHash64(b)) })
+      .toDF("doc_id", "ahash")
+  }
+
+  /** Near-duplicate image pairs at Hamming ≤ maxDist: the SimHash
+    * pigeonhole pipeline applied to the image modality — the 64-bit hash
+    * splits into 4 16-bit bands (d ≤ 3 ⇒ some band is untouched), pairs
+    * meet in a (band, value) bucket join, FIRST-AGREEING-BAND ownership
+    * emits each pair exactly once (no dedup shuffle), and the exact
+    * Hamming check runs in-kernel on the pair. One narrow hash pass +
+    * one keyed self-join on 16-bit buckets — never all-pairs. */
+  def imageNearDupPairs(blobs: Dataset[(Long, Array[Byte])],
+      maxDist: Int = 3): DataFrame = {
+    val hashes = imageHashes(blobs)
+    val banded = hashes.select(col("doc_id"), col("ahash"),
+      posexplode(array((0 until 4).map(b =>
+        shiftright(col("ahash"), b * 16).bitwiseAND(lit(0xffffL))): _*))
+        .as(Seq("band", "bval")))
+    val a = banded.as("a"); val b = banded.as("b")
+    a.join(b, col("a.band") === col("b.band") && col("a.bval") === col("b.bval") &&
+        col("a.doc_id") < col("b.doc_id"))
+      .filter(col("a.band") === array_position(
+        zip_with(
+          array((0 until 4).map(k => shiftright(col("a.ahash"), k * 16)
+            .bitwiseAND(lit(0xffffL))): _*),
+          array((0 until 4).map(k => shiftright(col("b.ahash"), k * 16)
+            .bitwiseAND(lit(0xffffL))): _*),
+          (x, y) => x === y),
+        true) - 1)
+      .filter(bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))) <= maxDist)
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.ahash").bitwiseXOR(col("b.ahash"))).as("hamming"))
+  }
+
+  /** Driver-contract form over documents.text bytes: per-document
+    * perceptual hashes (the synthetic corpus routes through the
+    * byte-plane fallback — same plumbing the planted-PNG spec drives
+    * with real pixels; its closest byte-plane pair sits at Hamming 7,
+    * so the PAIRS form is exercised by the spec, not the corpus).
+    * Rows-only: the hash is engine-internal. */
+  def imageHashCorpus(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    imageHashes(
+      Tables.parallel(spark, dir, "documents")
+        .select(col("doc_id"), col("text").cast(BinaryType).as("blob"))
+        .as[(Long, Array[Byte])])
+      .orderBy("doc_id")
+  }
 }

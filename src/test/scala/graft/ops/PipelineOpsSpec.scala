@@ -929,4 +929,43 @@ class PipelineOpsSpec extends SparkSpec {
       .map(x => x.getLong(0) -> x.getString(1)).toMap
     assert(r == Map(0L -> "en", 1L -> "es", 2L -> "de", 3L -> "fr"), r.toString)
   }
+
+  test("image near-dup: perturbed PNG pairs with its source; distinct images do not") {
+    import spark.implicits._
+    def gradient(seed: Int): java.awt.image.BufferedImage = {
+      val img = new java.awt.image.BufferedImage(64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 64).foreach(x => (0 until 64).foreach { y =>
+        val v = ((x * 4 + seed) & 0xff); img.setRGB(x, y, (v << 16) | (v << 8) | v)
+      })
+      img
+    }
+    def png(img: java.awt.image.BufferedImage): Array[Byte] = {
+      val baos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "png", baos); baos.toByteArray
+    }
+    val base = gradient(0)
+    val near = gradient(0)
+    near.setRGB(5, 5, 0xffffff)                       // one hot pixel
+    val checker = new java.awt.image.BufferedImage(64, 64, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 64).foreach(x => (0 until 64).foreach { y =>
+      checker.setRGB(x, y, if (((x / 8) + (y / 8)) % 2 == 0) 0xffffff else 0)
+    })
+    val blobs = Seq((0L, png(base)), (1L, png(near)), (2L, png(checker))).toDS()
+    val pairs = MultimodalOps.imageNearDupPairs(blobs).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(pairs.exists(p => p._1 == 0L && p._2 == 1L && p._3 <= 3),
+      s"perturbed copy not found: $pairs")
+    assert(!pairs.exists(p => p._1 == 2L || p._2 == 2L),
+      s"checkerboard wrongly paired: $pairs")
+    // identical bytes -> identical hash, hamming 0; hashing is stable
+    val h = MultimodalOps.aHash64(png(base))
+    assert(h == MultimodalOps.aHash64(png(base)))
+    assert(java.lang.Long.bitCount(h ^ MultimodalOps.aHash64(png(near))) <= 3)
+    // corpus form: one stable hash per document via the byte-plane
+    // fallback (closest corpus pair is Hamming 7 -> pairs are a spec
+    // concern, hashes are the served surface)
+    val corpus = MultimodalOps.imageHashCorpus(spark, Sf0001).collect()
+    assert(corpus.length == 500)
+    assert(corpus.map(_.getLong(1)).distinct.length > 1)
+  }
 }
