@@ -1209,6 +1209,43 @@ object Registry {
         |       coalesce(rk.rank_in_cluster, 1) <= 1 AS kept
         |FROM documents d LEFT JOIN rk USING (doc_id)
         |ORDER BY doc_id""".stripMargin)),
+    // label propagation over the exact-kNN graph: integer majority votes,
+    // ties to lowest label, seeds clamped — 2 unrolled rounds, hash-green
+    GraftQuery("x_graph_labelprop", GraphOps.labelProp, Some(
+      """WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |sc AS (SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
+        |              list_cosine_similarity(a.v, b.v) AS cos
+        |       FROM e a JOIN e b ON a.vec_id <> b.vec_id),
+        |ed AS (SELECT q_id AS node, neighbor_id FROM
+        |        (SELECT q_id, neighbor_id,
+        |                row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rn
+        |         FROM sc) WHERE rn <= 5),
+        |s0 AS (SELECT vec_id, CASE WHEN vec_id % 5 = 0 THEN label END AS lbl FROM e),
+        |v1 AS (SELECT ed.node, l.lbl AS vlbl, count(*) AS c
+        |       FROM ed JOIN s0 l ON ed.neighbor_id = l.vec_id AND l.lbl IS NOT NULL
+        |       GROUP BY ed.node, l.lbl),
+        |w1 AS (SELECT node, vlbl FROM
+        |        (SELECT node, vlbl,
+        |                row_number() OVER (PARTITION BY node ORDER BY c DESC, vlbl) AS rn
+        |         FROM v1) WHERE rn = 1),
+        |s1 AS (SELECT e.vec_id,
+        |              CASE WHEN e.vec_id % 5 = 0 THEN e.label
+        |                   ELSE coalesce(w1.vlbl, s0.lbl) END AS lbl
+        |       FROM e JOIN s0 ON s0.vec_id = e.vec_id
+        |       LEFT JOIN w1 ON w1.node = e.vec_id),
+        |v2 AS (SELECT ed.node, l.lbl AS vlbl, count(*) AS c
+        |       FROM ed JOIN s1 l ON ed.neighbor_id = l.vec_id AND l.lbl IS NOT NULL
+        |       GROUP BY ed.node, l.lbl),
+        |w2 AS (SELECT node, vlbl FROM
+        |        (SELECT node, vlbl,
+        |                row_number() OVER (PARTITION BY node ORDER BY c DESC, vlbl) AS rn
+        |         FROM v2) WHERE rn = 1),
+        |s2 AS (SELECT e.vec_id,
+        |              CASE WHEN e.vec_id % 5 = 0 THEN e.label
+        |                   ELSE coalesce(w2.vlbl, s1.lbl) END AS lbl
+        |       FROM e JOIN s1 ON s1.vec_id = e.vec_id
+        |       LEFT JOIN w2 ON w2.node = e.vec_id)
+        |SELECT vec_id, coalesce(lbl, -1) AS label_pred FROM s2 ORDER BY vec_id""".stripMargin)),
     // PageRank with integer-exact damping/teleport arithmetic — the
     // kmeans playbook applied to iterative graph analytics: the oracle
     // unrolls the same three rounds, ranks hash-match bit-for-bit

@@ -72,4 +72,53 @@ object GraphOps {
     }
     ranks.orderBy("node")
   }
+
+  // ------------------------------------------------------------------
+  // Semi-supervised label propagation over the exact kNN graph
+  // ------------------------------------------------------------------
+
+  /** Pseudo-labeling (the curation move when only a slice of the store
+    * carries labels): a deterministic 20% seed set keeps its true label
+    * clamped; every other vector takes the majority label of its k=5
+    * nearest LABELED neighbors, synchronously, for [[LpRounds]] rounds —
+    * standard label propagation (Zhu & Ghahramani '02) with integer
+    * majority votes and ties to the lowest label, so the output is
+    * hash-checkable end-to-end (the edge set is the exact-kNN anchor the
+    * oracle already reproduces rank-for-rank in `x_sim_knn_exact`; at
+    * production scale the one-line swap to LSH `knnJoin` edges trades
+    * the oracle for throughput — documented, not served). Unreached
+    * vectors report label −1.
+    *
+    * Scale shape per round: edges ⋈ current labels (keyed join), one
+    * (node, label) count aggregate, one argmax reduce — all map-side
+    * combined; nothing reaches the driver. */
+  val LpRounds = 2
+
+  def labelProp(spark: SparkSession, dir: String): DataFrame = {
+    val emb = Tables(spark, dir, "embeddings").select(col("vec_id"), col("label"))
+    val edges = SimilarityOps.knnExact(spark, dir)
+      .select(col("q_id").as("node"), col("neighbor_id"))
+    val isSeed = col("vec_id") % 5 === 0
+    var labels = emb.select(col("vec_id"),
+      when(isSeed, col("label")).otherwise(lit(null)).as("lbl"))
+    for (_ <- 1 to LpRounds) {
+      val votes = edges.as("e")
+        .join(labels.filter(col("lbl").isNotNull).as("l"),
+          col("e.neighbor_id") === col("l.vec_id"))
+        .groupBy(col("e.node").as("node"), col("l.lbl").as("vlbl"))
+        .agg(count(lit(1)).as("c"))
+        .groupBy(col("node"))
+        .agg(min(struct((-col("c")).as("nc"), col("vlbl").as("lbl"))).as("top"))
+        .select(col("node"), col("top.lbl").as("wlbl"))
+      labels = emb.as("m")
+        .join(labels.as("cur"), col("m.vec_id") === col("cur.vec_id"))
+        .join(votes.as("v"), col("m.vec_id") === col("v.node"), "left")
+        .select(col("m.vec_id").as("vec_id"),
+          when(col("m.vec_id") % 5 === 0, col("m.label"))
+            .otherwise(coalesce(col("v.wlbl"), col("cur.lbl"))).as("lbl"))
+    }
+    labels
+      .select(col("vec_id"), coalesce(col("lbl"), lit(-1)).as("label_pred"))
+      .orderBy("vec_id")
+  }
 }

@@ -45,6 +45,38 @@ class GraphOpsSpec extends SparkSpec {
     assert(math.abs(pair - GraphOps.RankScale * 2 / 5) < 1000)
   }
 
+  test("label propagation: blob structure recovers labels from 20% seeds") {
+    def unit(axis: Int, jitter: Float, j2: Int): Array[Float] = {
+      val v = Array.fill(64)(0.0f); v(axis) = 1.0f; v(j2 % 64) = jitter; v
+    }
+    // blob A: ids 0-9 (seeds 0,5 -> label 0); blob B: 100-109 (seeds 100,105 -> label 1)
+    val rows =
+      (0L to 9L).map(i => (i, unit(0, 0.01f * (i % 4), 1 + (i % 4).toInt), 0)) ++
+        (100L to 109L).map(i => (i, unit(30, 0.01f * (i % 4), 31 + (i % 4).toInt), 1))
+    val dir = tempDir("lp_blobs")
+    rows.toDF("vec_id", "embedding", "label").repartition(3)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val pred = GraphOps.labelProp(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(pred.size == 20)
+    (0L to 9L).foreach(i => assert(pred(i) == 0, s"vec $i got ${pred(i)}"))
+    (100L to 109L).foreach(i => assert(pred(i) == 1, s"vec $i got ${pred(i)}"))
+  }
+
+  test("label propagation: seeds clamp to truth, predictions stay in the label domain") {
+    val emb = graft.ops.Tables(spark, Sf0001, "embeddings")
+      .select("vec_id", "label").collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    val pred = GraphOps.labelProp(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    assert(pred.size == emb.size)
+    val domain = emb.values.toSet + (-1)
+    pred.foreach { case (id, p) =>
+      assert(domain.contains(p))
+      if (id % 5 == 0) assert(p == emb(id), s"seed $id drifted to $p")
+    }
+  }
+
   test("real purchase graph: deterministic, node ids partition by parity") {
     val a = GraphOps.pageRank(spark, Sf0001).collect()
     val b = GraphOps.pageRank(spark, Sf0001).collect()
