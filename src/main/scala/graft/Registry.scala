@@ -1295,6 +1295,26 @@ object Registry {
           |WHERE CAST(('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 4)) AS INTEGER) % 1000
           |      < least(1.0, 64.0 / sz.n_vecs) * 1000.0
           |ORDER BY a.vec_id""".stripMargin)),
+    // cross-modal curation capstone: text quality cut ∧ embedding
+    // cluster balance, joined on the aligned doc/vec id space
+    GraftQuery("x_curate_multimodal", KmeansOps.curateMultimodal, Some(
+      kmeansCte +
+        """, sz AS (SELECT cid, count(*) AS n_vecs FROM a3 GROUP BY cid),
+          |bal AS (SELECT a.vec_id, CAST(a.cid AS INTEGER) AS cluster
+          |        FROM a3 a JOIN sz USING (cid)
+          |        WHERE CAST(('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 4)) AS INTEGER) % 1000
+          |              < least(1.0, 64.0 / sz.n_vecs) * 1000.0),
+          |s AS (SELECT doc_id, lang,
+          |        len(list_filter(string_split(text, ' '),
+          |            t -> t IN ('the','a','of','and','to','in','is','or','for','on')))
+          |          / len(string_split(text, ' ')) AS stop_ratio
+          |      FROM documents),
+          |m AS (SELECT lang, quantile_cont(stop_ratio, 0.5) AS lang_median
+          |      FROM s GROUP BY lang)
+          |SELECT s.doc_id, bal.cluster, s.lang, s.stop_ratio
+          |FROM s JOIN m USING (lang) JOIN bal ON bal.vec_id = s.doc_id
+          |WHERE s.stop_ratio <= m.lang_median
+          |ORDER BY s.doc_id""".stripMargin)),
     GraftQuery("x_cluster_kmeans_purity", KmeansOps.kmeansPurity, Some(
       kmeansCte +
         """, l AS (SELECT a.cid, e.label, count(*) AS cnt

@@ -158,4 +158,19 @@ object KmeansOps {
         col("top.label").as("top_label"),
         expr("(-top.neg) * 1000000 div n_vecs").as("top_share_ppm"))
       .orderBy("cluster")
+
+  /** Cross-modal curation capstone: a document survives iff its TEXT
+    * passes the per-language quality cut (stop-ratio ≤ language median —
+    * the TextOps.qualityCut criterion, shared currency) AND its
+    * EMBEDDING survives cluster-balanced sampling — the two halves a
+    * real curation run composes: lexical quality gates junk, vector
+    * balance stops any region of embedding space from dominating. One
+    * keyed join on the aligned doc/vec id space; both inputs keep their
+    * own scale shapes. */
+  def curateMultimodal(spark: SparkSession, dir: String): DataFrame =
+    TextOps.qualityCut(spark, dir)
+      .join(kmeansBalancedSample(spark, dir)
+        .withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
+      .select(col("doc_id"), col("cluster"), col("lang"), col("stop_ratio"))
+      .orderBy("doc_id")
 }

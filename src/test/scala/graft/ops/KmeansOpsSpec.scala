@@ -85,4 +85,15 @@ class KmeansOpsSpec extends SparkSpec {
     assert(all.length == 500)
     all.foreach(r => assert(r.getAs[Double]("rate") == 1.0))
   }
+
+  test("multimodal curation: exactly the quality∩balance intersection") {
+    val kept = KmeansOps.curateMultimodal(spark, Sf0001).collect()
+      .map(_.getLong(0)).toSet
+    val quality = TextOps.qualityCut(spark, Sf0001).collect()
+      .map(_.getLong(0)).toSet
+    val balanced = KmeansOps.kmeansBalancedSample(spark, Sf0001).collect()
+      .map(_.getLong(0)).toSet
+    assert(kept == (quality & balanced))
+    assert(kept.nonEmpty && kept.size < quality.size && kept.size < balanced.size)
+  }
 }
