@@ -49,7 +49,12 @@ object RetrievalOps {
 
   def bm25For(spark: SparkSession, dir: String,
       queries: Seq[(Int, String)]): DataFrame = {
+    // the explicit isNotNull matches the IsNotNull(doc_id) predicate the
+    // downstream inner join pushes into the tf branch — with it, the df
+    // branch's subtree is bit-identical and AQE's ReusedExchange collapses
+    // the two tokenization passes into ONE executed corpus scan
     val toks = Tables.parallel(spark, dir, "documents")
+      .filter(col("doc_id").isNotNull)
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     val vocab = queries.flatMap(_._2.split(" ")).distinct
