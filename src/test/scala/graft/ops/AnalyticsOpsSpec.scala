@@ -175,6 +175,22 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("top-k family plans: partial map-side aggregate, never a q_id window") {
+    // the r5-flagged scale killer must stay dead: every top-k consumer
+    // ranks through the k-bounded pairs aggregate (partial before the
+    // exchange), not a row_number window over the |queries|-value key
+    Seq(
+      SimilarityOps.topkBrute(spark, Sf0001),
+      SimilarityOps.hardNegatives(spark, Sf0001),
+      RetrievalOps.bm25(spark, Sf0001)
+    ).foreach { df =>
+      val plan = df.queryExecution.executedPlan.toString
+      assert(plan.contains("partial_topkpairsaggregator"),
+        "map-side partial top-k missing from plan")
+      assert(!plan.contains("Window"), "q_id window crept back into a top-k plan")
+    }
+  }
+
   test("salted join: shuffled (not broadcast) plan keyed on salt; rows equal plain join") {
     val df = JoinOps.j10SaltedJoin(spark, Sf0001)
     val plan = df.queryExecution.executedPlan.toString
