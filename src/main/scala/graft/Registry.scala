@@ -1093,6 +1093,10 @@ object Registry {
         |WHERE 3 * n_common >= ca.n + cb.n
         |ORDER BY doc_a, doc_b""".stripMargin), headline = true),
     GraftQuery("x_dedup_minhash_lsh", DedupOps.minhashLsh, None, headline = true),
+    // write-once/probe-many text dedup: crawl batch vs materialized
+    // signature index; rows-only (engine-internal hashes), cross-split
+    // equality with the full pipeline pinned by spec
+    GraftQuery("x_dedup_minhash_probe", DedupOps.minhashProbe, None),
     // component labels are min-reachable doc ids over the (already
     // oracled) ngram-jaccard pair set — value-checkable via DuckDB's
     // recursive CTE transitive closure

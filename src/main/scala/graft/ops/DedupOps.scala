@@ -218,6 +218,80 @@ object DedupOps {
     * kernels in graft.functions (one tight-loop eval per document instead
     * of ~64×|shingles| interpreted lambda calls). Deterministic seeded
     * hash family; engine-internal hashes → rows-only oracle. */
+  /** Shingle + signature rows shared by the full-corpus pipeline, the
+    * materialized index build, and probe batches — ONE definition so the
+    * signature currency cannot drift between writer and prober. */
+  private def signedRowsOf(docs: DataFrame): DataFrame = {
+    import graft.functions.exprs._
+    docs.filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"),
+        shingle_hashes(split(lower(col("text")), " "), 3).as("hs"))
+      .select(col("doc_id"), col("hs"),
+        chunk_hashes(minhash_signature(col("hs"), NumHashes), Rows).as("bhs"))
+  }
+
+  /** Materialize the corpus's MinHash posting rows (doc_id, hs, bhs,
+    * band, bh), band/bucket-clustered — the write-once half of the
+    * daily-crawl dedup serving path: signatures are computed ONCE per
+    * corpus snapshot; every incoming batch probes parquet instead of
+    * re-hashing 100 TB. */
+  def buildMinhashIndex(spark: SparkSession, dir: String, indexDir: String): Unit =
+    buildMinhashIndexOf(Tables.parallel(spark, dir, "documents"), indexDir)
+
+  def buildMinhashIndexOf(docs: DataFrame, indexDir: String): Unit =
+    signedRowsOf(docs)
+      .select(col("doc_id"), col("hs"), col("bhs"),
+        posexplode(col("bhs")).as(Seq("band", "bh")))
+      .repartition(col("band"), col("bh"))
+      .sortWithinPartitions(col("band"), col("bh"))
+      .write.mode("overwrite").parquet(indexDir)
+
+  /** Probe a crawl batch against the materialized index: the batch is
+    * signature-hashed in one narrow pass, meets the index on (band, bh)
+    * — AQE broadcasts the small batch side, the index read prunes on the
+    * band/bucket clustering — pair ownership is the FIRST band where the
+    * two band-hash vectors agree (locally decidable from the carried
+    * `bhs`, the MinHashBucketPairs rule, so cross-bucket duplicates
+    * never need a dedup exchange), and exact Jaccard ≥ [[threshold]]
+    * verifies in-kernel on the carried shingle sets. Emits
+    * (batch_doc, corpus_doc, jaccard) — the "which incoming docs are
+    * near-dups of the corpus" decision a daily ingest gate runs. */
+  def probeMinhashIndex(spark: SparkSession, indexDir: String,
+      batch: DataFrame, thresholdNum: Int = 1, thresholdDen: Int = 2): DataFrame = {
+    import graft.functions.exprs._
+    val idx = spark.read.parquet(indexDir)
+    val q = signedRowsOf(batch)
+      .select(col("doc_id").as("q_id"), col("hs").as("qhs"),
+        col("bhs").as("qbhs"), posexplode(col("bhs")).as(Seq("band", "bh")))
+    val firstAgree = array_position(
+      zip_with(col("qbhs"), col("bhs"), (a, b) => a === b), true) - 1
+    idx.join(q, Seq("band", "bh"))
+      .filter(col("q_id") =!= col("doc_id"))
+      .filter(col("band") === firstAgree)
+      .withColumn("jc", sorted_jaccard(col("qhs"), col("hs")))
+      // exact rational threshold (common/union >= num/den), the same
+      // cross-multiplied form minhash_bucket_pairs applies in-kernel
+      .filter(col("jc.n_common") * thresholdDen >= col("jc.n_union") * thresholdNum)
+      .select(col("q_id").as("batch_doc"), col("doc_id").as("corpus_doc"),
+        (col("jc.n_common").cast(DoubleType) / col("jc.n_union")).as("jaccard"))
+  }
+
+  /** Registry form: deterministic 90/10 corpus/batch split, stamped
+    * index built iff absent (the lexIndexDirFor convention), batch
+    * probed — the cross-split slice of the full minhashLsh pair set,
+    * equality pinned by spec. Rows-only (engine-internal hashes). */
+  def minhashProbe(spark: SparkSession, dir: String): DataFrame = {
+    val all = Tables.parallel(spark, dir, "documents")
+    val tag = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_minhash_index_v1_" +
+      s"${tag}_${src.length()}_${src.lastModified()}"
+    if (!new java.io.File(idx).exists())
+      buildMinhashIndexOf(all.filter(col("doc_id") % 10 =!= 0), idx)
+    probeMinhashIndex(spark, idx, all.filter(col("doc_id") % 10 === 0))
+      .orderBy("batch_doc", "corpus_doc")
+  }
+
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
     minhashLsh(spark, dir, MaxBucket)
 

@@ -50,6 +50,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(lsh.subsetOf(Set((0L, 1L), (0L, 2L), (1L, 2L)))) // verified jaccard ≥ 0.5 only
   }
 
+  test("minhash probe: batch-vs-index pairs match the full pipeline's cross-split slice") {
+    // planted: corpus = docs 0,3 indexed; batch = docs 1,2 probed.
+    // doc 2 is doc 0's exact dup (jaccard 1), doc 1 its near-dup.
+    val all = spark.read.parquet(s"$plantedDir/documents.parquet")
+    val idxDir = tempDir("mh_probe_idx") + "/idx"
+    DedupOps.buildMinhashIndexOf(
+      all.filter(org.apache.spark.sql.functions.col("doc_id").isin(0L, 3L)), idxDir)
+    val hits = DedupOps.probeMinhashIndex(spark,
+        idxDir, all.filter(org.apache.spark.sql.functions.col("doc_id").isin(1L, 2L)))
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+    val pairs = hits.map(h => (h._1, h._2)).toSet
+    assert(pairs.contains((2L, 0L)), s"exact dup not probed: $pairs")
+    assert(hits.find(h => (h._1, h._2) == (2L, 0L)).get._3 == 1.0)
+    assert(!pairs.exists(p => p._2 == 3L), "unrelated corpus doc matched")
+    // real data: the probe over a 90/10 split equals the full pipeline's
+    // cross-split pair slice, reoriented (batch side first)
+    val full = DedupOps.minhashLsh(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    val crossFull = full.collect {
+      case (a, b) if a % 10 == 0 && b % 10 != 0 => (a, b)
+      case (a, b) if b % 10 == 0 && a % 10 != 0 => (b, a)
+    }
+    val probed = DedupOps.minhashProbe(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(probed == crossFull, s"probe $probed != full-pipeline slice $crossFull")
+  }
+
   test("simhash: identical docs at hamming 0; near-dups within 3") {
     val r = DedupOps.simhash(spark, plantedDir).collect()
       .map(x => ((x.getLong(0), x.getLong(1)), x.getAs[Number]("hamming").intValue())).toMap
