@@ -1253,7 +1253,7 @@ object Registry {
     // PageRank with integer-exact damping/teleport arithmetic — the
     // kmeans playbook applied to iterative graph analytics: the oracle
     // unrolls the same three rounds, ranks hash-match bit-for-bit
-    GraftQuery("x_graph_pagerank", GraphOps.pageRank, Some(
+    GraftQuery("x_graph_pagerank", GraphOps.pageRank, headline = true, oracle = Some(
       """WITH e0 AS (SELECT DISTINCT l_suppkey*2 AS src, o_custkey*2+1 AS dst
         |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
         |e1 AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),

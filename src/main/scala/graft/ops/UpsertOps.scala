@@ -230,4 +230,39 @@ object UpsertOps {
       .withColumn("compacted", col("event_type").isin(compacted: _*))
       .orderBy("event_type")
   }
+
+  /** Vacuum superseded materialized-index snapshots. Every index family
+    * (kNN hyperplane signatures, lexical BM25 statistics, MinHash
+    * posting rows) stamps its directory with the SOURCE file's
+    * (size, mtime), so regenerated data silently strands the previous
+    * snapshot — this is the retention pass that reclaims them. Keeps
+    * exactly the stamp that matches the current source; deletes the
+    * rest, CHECKING the delete result (an undeleted dir is reported
+    * `delete_failed`, never silently claimed reclaimed — the
+    * expirePartitions discipline). Driver-side filesystem walk bounded
+    * by |tmp entries|; no Spark job. */
+  def vacuumStaleIndexes(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val tag = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
+    val families = Seq(
+      ("knn", "graft_knn_index_v2_", s"$dir/embeddings.parquet"),
+      ("lex", "graft_lex_index_v1_", s"$dir/documents.parquet"),
+      ("minhash", "graft_minhash_index_v1_", s"$dir/documents.parquet"))
+    def rmRec(f: java.io.File): Boolean = {
+      if (f.isDirectory) f.listFiles().forall(rmRec)
+      f.delete()
+    }
+    val rows = families.flatMap { case (fam, prefix, srcPath) =>
+      val src = new java.io.File(srcPath)
+      val current = s"$prefix${tag}_${src.length()}_${src.lastModified()}"
+      Option(tmp.listFiles()).getOrElse(Array.empty).toSeq
+        .filter(_.getName.startsWith(prefix + tag + "_"))
+        .map { f =>
+          if (f.getName == current) (fam, f.getName, "kept")
+          else (fam, f.getName, if (rmRec(f)) "deleted" else "delete_failed")
+        }
+    }
+    rows.toDF("family", "index_dir", "action").orderBy("family", "index_dir")
+  }
 }

@@ -167,4 +167,25 @@ class MaintenanceOpsSpec extends SparkSpec {
       (-r.getAs[Double]("revenue"), r.getAs[Long]("c_custkey"))).toSeq
     assert(keys == keys.sorted) // desc revenue, custkey tiebreak
   }
+
+  test("vacuumStaleIndexes: stale stamps reclaimed, the current snapshot survives") {
+    val dir = Sf0001
+    val tag = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val tmp = System.getProperty("java.io.tmpdir")
+    // current lex index (stamp matches the live source file)
+    val currentIdx = graft.ops.RetrievalOps.ensureLexIndex(spark, dir)
+    // a stranded snapshot with a stale stamp
+    val stale = new java.io.File(s"$tmp/graft_lex_index_v1_${tag}_1_1")
+    stale.mkdirs()
+    new java.io.FileOutputStream(new java.io.File(stale, "orphan")).close()
+    val report = UpsertOps.vacuumStaleIndexes(spark, dir).collect()
+      .map(r => r.getString(1) -> r.getString(2)).toMap
+    assert(report(stale.getName) == "deleted")
+    assert(!stale.exists(), "stale index dir must actually be gone")
+    val curName = new java.io.File(currentIdx).getName
+    assert(report(curName) == "kept")
+    assert(new java.io.File(currentIdx, "stats").exists(), "live index must survive")
+    // and the survivor still serves queries
+    assert(graft.ops.RetrievalOps.bm25FromIndex(spark, currentIdx).collect().nonEmpty)
+  }
 }
