@@ -53,7 +53,13 @@ object GraphOps {
     * out-degrees, then runs [[Iters]] integer-exact rank rounds. */
   def pageRankOf(rawEdges: DataFrame): DataFrame = {
     val deg = rawEdges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    // persist the degree-annotated edge list: every one of the Iters
+    // rounds joins it, and without the cache the whole upstream lineage
+    // (fact join + distinct + symmetrize) re-executes per round — the
+    // production pattern (ClusterOps does the same); the cache lives for
+    // the session like any materialized index
     val edges = rawEdges.join(deg, Seq("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val nodes = edges.select(col("src").as("node"), col("deg")).distinct()
     // the ONLY driver value: |V| (one scalar)
     val n = nodes.count()
