@@ -1624,6 +1624,28 @@ object Registry {
         |       true AS passes
         |FROM f JOIN n ON f.lang = n.lang
         |GROUP BY n.lang, n.n ORDER BY n.lang""".stripMargin)),
+    // ANALYZE-style column statistics + equi-width histogram (CBO food)
+    GraftQuery("x_stats_analyze", StatsOps.analyzeLineitem, Some(
+      """WITH s AS (
+        |  SELECT 'l_discount' AS "column", count(*) AS n_rows,
+        |         count(*) - count(l_discount) AS n_null,
+        |         count(DISTINCT l_discount) AS n_distinct,
+        |         min(l_discount) AS min_v, max(l_discount) AS max_v FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_extendedprice', count(*), count(*) - count(l_extendedprice),
+        |         count(DISTINCT l_extendedprice), min(l_extendedprice), max(l_extendedprice) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_quantity', count(*), count(*) - count(l_quantity),
+        |         count(DISTINCT l_quantity), min(l_quantity), max(l_quantity) FROM lineitem
+        |  UNION ALL
+        |  SELECT 'l_tax', count(*), count(*) - count(l_tax),
+        |         count(DISTINCT l_tax), min(l_tax), max(l_tax) FROM lineitem)
+        |SELECT * FROM s ORDER BY "column"""".stripMargin)),
+    GraftQuery("x_stats_histogram", StatsOps.histogramQuantity, Some(
+      """WITH b AS (SELECT min(l_quantity) AS mn, max(l_quantity) AS mx FROM lineitem)
+        |SELECT CAST(least(9, floor((l_quantity - mn) * 10.0 / (mx - mn))) AS INTEGER) AS bucket,
+        |       count(*) AS n
+        |FROM lineitem CROSS JOIN b GROUP BY bucket ORDER BY bucket""".stripMargin)),
     // mergeable HLL distinct-count tiles (DataSketches bytes — unlike
     // approx_count_distinct, storable and unionable across partitions);
     // estimates are engine-internal → rows-only, the gate is the signal

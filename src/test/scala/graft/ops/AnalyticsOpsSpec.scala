@@ -175,6 +175,22 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(got.nonEmpty)
   }
 
+  test("column stats: consistent bounds, histogram mass conserves and respects min/max") {
+    val stats = StatsOps.analyzeLineitem(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> r).toMap
+    assert(stats.size == 4)
+    stats.values.foreach { r =>
+      assert(r.getAs[Long]("n_null") == 0L)
+      assert(r.getAs[Long]("n_distinct") <= r.getAs[Long]("n_rows"))
+      assert(r.getAs[Double]("min_v") <= r.getAs[Double]("max_v"))
+    }
+    val hist = StatsOps.histogramQuantity(spark, Sf0001).collect()
+      .map(r => r.getInt(0) -> r.getAs[Long]("n")).toMap
+    assert(hist.keySet.subsetOf((0 to 9).toSet))
+    assert(hist.values.sum == stats("l_quantity").getAs[Long]("n_rows"))
+    assert(hist.contains(0) && hist.contains(9), "extreme buckets must hold min/max rows")
+  }
+
   test("top-k family plans: partial map-side aggregate, never a q_id window") {
     // the r5-flagged scale killer must stay dead: every top-k consumer
     // ranks through the k-bounded pairs aggregate (partial before the
