@@ -1284,6 +1284,11 @@ object Registry {
       kmeansCte +
         """SELECT vec_id, CAST(cid AS INTEGER) AS cluster
           |FROM a3 ORDER BY vec_id""".stripMargin)),
+    GraftQuery("x_cluster_kmeans_centroids", KmeansOps.kmeansCentroids, Some(
+      kmeansCte +
+        """SELECT CAST(cid AS INTEGER) AS cluster, CAST(pos AS INTEGER) AS dim,
+          |       cval AS coord
+          |FROM c2 ORDER BY cluster, dim""".stripMargin)),
     GraftQuery("x_cluster_kmeans_profile", KmeansOps.kmeansProfile, Some(
       kmeansCte +
         """SELECT CAST(cid AS INTEGER) AS cluster, count(*) AS n_vecs,

@@ -76,33 +76,8 @@ object KmeansOps {
   /** Runs the Lloyd loop and returns the FINAL assignment (vec_id, label,
     * cluster, dist) built over a fresh (un-persisted) scan so the loop's
     * cached input can be released eagerly. */
-  private def fit(spark: SparkSession, dir: String): DataFrame = {
-    val vecs = scaledVecs(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
-    var cents: Seq[(Int, Array[Long])] =
-      vecs.filter(col("vec_id") < K).orderBy("vec_id").collect().toSeq
-        .map(r => (r.getLong(0).toInt, r.getSeq[Long](2).toArray))
-    require(cents.nonEmpty, "embeddings table has no vec_id < K seed rows")
-    for (_ <- 1 until Iters) {
-      // K·d bounded collect: the per-(cluster,dim) sums and sizes
-      val sums = assign(vecs, cents)
-        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "val")))
-        .groupBy(col("cluster"), col("pos"))
-        .agg(sum(col("val")).as("s"), count(lit(1)).as("n"))
-        .collect()
-      val upd = sums.map { r =>
-        // floor-div in double: |s| ≤ n·6e4·1e5 ≪ 2^53, exactly representable;
-        // floor(s/n) is the engine-identical integral mean both sides use
-        (r.getInt(0), r.getInt(1)) ->
-          math.floor(r.getLong(2).toDouble / r.getLong(3)).toLong
-      }.toMap
-      cents = cents.map { case (cid, cvec) =>
-        (cid, Array.tabulate(cvec.length)(i => upd.getOrElse((cid, i), cvec(i))))
-      }
-    }
-    val out = assign(scaledVecs(spark, dir), cents)
-    vecs.unpersist()
-    out
-  }
+  private def fit(spark: SparkSession, dir: String): DataFrame =
+    assign(scaledVecs(spark, dir), fitCentroids(spark, dir))
 
   /** Final per-vector cluster assignment — the table every downstream
     * curation op (balanced sampling, per-cluster dedup, domain mixing)
@@ -110,6 +85,49 @@ object KmeansOps {
     * three integer-exact Lloyd rounds. */
   def kmeansAssign(spark: SparkSession, dir: String): DataFrame =
     fit(spark, dir).select(col("vec_id"), col("cluster")).orderBy("vec_id")
+
+  /** The trained coarse quantizer itself: final centroid coordinates in
+    * long form (cluster, dim, coord — scaled int64), the artifact an
+    * IVF index or vector store ships. K·d rows built from the driver's
+    * bounded centroid state; hash-oracled directly against the oracle
+    * CTE's final-centroid table. */
+  def kmeansCentroids(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    // re-run the loop; centroids are the loop's driver state (K·d longs)
+    val cents = fitCentroids(spark, dir)
+    cents.flatMap { case (cid, cvec) =>
+      cvec.toIndexedSeq.zipWithIndex.map { case (v, i) => (cid, i, v) }
+    }.toDF("cluster", "dim", "coord").orderBy("cluster", "dim")
+  }
+
+  /** The final centroid set (shared by [[kmeansCentroids]]; factored so
+    * the loop runs once per call, not per row). */
+  private def fitCentroids(spark: SparkSession, dir: String): Seq[(Int, Array[Long])] = {
+    val vecs = scaledVecs(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
+    var cents: Seq[(Int, Array[Long])] =
+      vecs.filter(col("vec_id") < K).orderBy("vec_id").collect().toSeq
+        .map(r => (r.getLong(0).toInt, r.getSeq[Long](2).toArray))
+    require(cents.nonEmpty, "embeddings table has no vec_id < K seed rows")
+    for (_ <- 1 until Iters) {
+      // K·d bounded collect: the per-(cluster,dim) sums and sizes;
+      // floor-div in double: |s| ≤ n·6e4·1e5 ≪ 2^53, exactly
+      // representable — the engine-identical integral mean both sides use
+      val sums = assign(vecs, cents)
+        .select(col("cluster"), posexplode(col("v")).as(Seq("pos", "val")))
+        .groupBy(col("cluster"), col("pos"))
+        .agg(sum(col("val")).as("s"), count(lit(1)).as("n"))
+        .collect()
+      val upd = sums.map { r =>
+        (r.getInt(0), r.getInt(1)) ->
+          math.floor(r.getLong(2).toDouble / r.getLong(3)).toLong
+      }.toMap
+      cents = cents.map { case (cid, cvec) =>
+        (cid, Array.tabulate(cvec.length)(i => upd.getOrElse((cid, i), cvec(i))))
+      }
+    }
+    vecs.unpersist()
+    cents
+  }
 
   /** Per-cluster size + exact int64 inertia (sum of squared scaled
     * distances to the final centroids) — the convergence/skew dashboard

@@ -86,6 +86,26 @@ class KmeansOpsSpec extends SparkSpec {
     all.foreach(r => assert(r.getAs[Double]("rate") == 1.0))
   }
 
+  test("exported centroids reproduce the assignment as a nearest-centroid rule") {
+    val cents = KmeansOps.kmeansCentroids(spark, Sf0001).collect()
+      .groupBy(_.getInt(0)).view
+      .mapValues(_.sortBy(_.getInt(1)).map(_.getLong(2)).toArray).toMap
+    assert(cents.size == KmeansOps.K && cents.values.forall(_.length == 64))
+    val vecs = Tables(spark, Sf0001, "embeddings").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 100000).toLong).toArray)
+      .toMap
+    val assign = KmeansOps.kmeansAssign(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getInt(1))
+    assign.foreach { case (id, cluster) =>
+      val v = vecs(id)
+      val best = cents.toSeq.map { case (cid, c) =>
+        (c.indices.map(i => (v(i) - c(i)) * (v(i) - c(i))).sum, cid)
+      }.min
+      assert(best._2 == cluster, s"vec $id assigned $cluster but nearest is ${best._2}")
+    }
+  }
+
   test("multimodal curation: exactly the quality∩balance intersection") {
     val kept = KmeansOps.curateMultimodal(spark, Sf0001).collect()
       .map(_.getLong(0)).toSet
