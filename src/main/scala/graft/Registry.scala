@@ -1629,6 +1629,22 @@ object Registry {
         |       true AS passes
         |FROM f JOIN n ON f.lang = n.lang
         |GROUP BY n.lang, n.n ORDER BY n.lang""".stripMargin)),
+    // market-basket affinity: co-purchase pair counts + lift
+    GraftQuery("x_basket_affinity", BasketOps.basketAffinity, Some(
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |n AS (SELECT count(DISTINCT l_orderkey) AS n_orders FROM li),
+        |pc AS (SELECT l_partkey, count(*) AS c FROM li GROUP BY l_partkey),
+        |pairs AS (SELECT a.l_partkey AS part_a, b.l_partkey AS part_b,
+        |                 count(*) AS c_ab
+        |          FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |                             AND a.l_partkey < b.l_partkey
+        |          GROUP BY a.l_partkey, b.l_partkey)
+        |SELECT part_a, part_b, c_ab, pa.c AS c_a, pb.c AS c_b,
+        |       CAST(c_ab * n.n_orders AS DOUBLE) / (pa.c * pb.c) AS lift
+        |FROM pairs JOIN pc pa ON pa.l_partkey = part_a
+        |           JOIN pc pb ON pb.l_partkey = part_b
+        |CROSS JOIN n
+        |ORDER BY c_ab DESC, part_a, part_b LIMIT 50""".stripMargin)),
     // ANALYZE-style column statistics + equi-width histogram (CBO food)
     GraftQuery("x_stats_analyze", StatsOps.analyzeLineitem, Some(
       """WITH s AS (
