@@ -121,14 +121,20 @@ object BpeOps {
     merges.result()
   }
 
-  /** Training is deterministic per corpus dir, so the three registry
-    * surfaces over the same training run (merge table, encode, gate)
-    * share one memoized result instead of re-iterating. */
+  /** Training is deterministic per corpus SNAPSHOT, so the three
+    * registry surfaces over the same training run (merge table, encode,
+    * gate) share one memoized result instead of re-iterating. The memo
+    * key carries the source file's (size, mtime) — the stamped-index
+    * staleness rule — so a regenerated corpus in the same JVM session
+    * retrains instead of serving stale merges. */
   private val trained =
     scala.collection.concurrent.TrieMap.empty[String, Seq[Merge]]
 
-  def trainedMerges(spark: SparkSession, dir: String): Seq[Merge] =
-    trained.getOrElseUpdate(dir, trainMerges(spark, dir))
+  def trainedMerges(spark: SparkSession, dir: String): Seq[Merge] = {
+    val src = new java.io.File(s"$dir/documents.parquet")
+    val key = s"$dir@${src.length()}_${src.lastModified()}"
+    trained.getOrElseUpdate(key, trainMerges(spark, dir))
+  }
 
   /** The trained merge table as a DataFrame (rank, l, r, pair_freq) —
     * deterministic for a given corpus, but the training loop has no SQL

@@ -282,11 +282,10 @@ object DedupOps {
     * equality pinned by spec. Rows-only (engine-internal hashes). */
   def minhashProbe(spark: SparkSession, dir: String): DataFrame = {
     val all = Tables.parallel(spark, dir, "documents")
-    val tag = dir.replaceAll("[^A-Za-z0-9.]+", "_")
-    val src = new java.io.File(s"$dir/documents.parquet")
-    val idx = s"${System.getProperty("java.io.tmpdir")}/graft_minhash_index_v1_" +
-      s"${tag}_${src.length()}_${src.lastModified()}"
-    if (!new java.io.File(idx).exists())
+    val idx = stampedIndexDir("graft_minhash_index_v1_", dir, "documents.parquet")
+    // completion marker, not bare existence: a crashed build's partial
+    // directory must be rebuilt, not served (the ensureKnnIndex rule)
+    if (!new java.io.File(idx, "_SUCCESS").exists())
       buildMinhashIndexOf(all.filter(col("doc_id") % 10 =!= 0), idx)
     probeMinhashIndex(spark, idx, all.filter(col("doc_id") % 10 === 0))
       .orderBy("batch_doc", "corpus_doc")

@@ -17,9 +17,12 @@ import org.apache.spark.sql.types._
   * [[EmbedOps.Scale]] and floored to int64 — identical IEEE steps in
   * Spark and DuckDB — and everything after is integer arithmetic
   * (squares, sums, floor division), so the oracle matches bit-for-bit.
-  * Overflow headroom: |x| ≤ ~9.5 keeps q² ≤ 9e11, the 64-dim sum
-  * ≤ 5.8e13, and the ppm numerator ≤ 5.8e19/1e2 — inside int64 for the
-  * unit-norm vectors this store holds (total_q ≈ 1e10 observed).
+  * Overflow headroom: the binding term is the ppm numerator
+  * head_q·1e6 ≤ 2⁶³, which requires head_q ≤ ~9.2e12 — i.e. per-dim
+  * |x| ≲ 5.4 at 32 head dims (q ≤ 5.4e5, q² ≤ 2.9e11, 32·q² ≤ 9.2e12).
+  * Far above the unit-norm vectors this store holds (total_q ≈ 1e10
+  * observed); a store with larger coordinates must drop [[Scale]] a
+  * decade before serving head_ppm.
   */
 object EmbedOps {
 

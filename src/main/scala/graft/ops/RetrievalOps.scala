@@ -153,12 +153,8 @@ object RetrievalOps {
     * (size, mtime) — the [[SimilarityOps.knnIndexDirFor]] convention:
     * neither a config change nor regenerated source data can silently
     * serve a stale index. */
-  def lexIndexDirFor(dir: String): String = {
-    val tag = dir.replaceAll("[^A-Za-z0-9.]+", "_")
-    val src = new java.io.File(s"$dir/documents.parquet")
-    val stamp = s"${src.length()}_${src.lastModified()}"
-    s"${System.getProperty("java.io.tmpdir")}/graft_lex_index_v1_${tag}_$stamp"
-  }
+  def lexIndexDirFor(dir: String): String =
+    stampedIndexDir("graft_lex_index_v1_", dir, "documents.parquet")
 
   /** Build the materialized index iff absent; returns its location. */
   def ensureLexIndex(spark: SparkSession, dir: String): String = {
@@ -221,16 +217,20 @@ object RetrievalOps {
     * [[updateLexIndex]], and the probe must hash-match the SAME oracle
     * as the full inline/indexed forms. */
   def bm25Incremental(spark: SparkSession, dir: String): DataFrame = {
-    val base = java.nio.file.Files.createTempDirectory("lex_incr_base").toString
-    val out = java.nio.file.Files.createTempDirectory("lex_incr_out").toString
+    // stamped like every other materialized snapshot (vacuum-visible,
+    // rebuilt iff the completion marker is missing — no tmp leak)
+    val base = stampedIndexDir("graft_lex_incr_base_v1_", dir, "documents.parquet")
+    val out = stampedIndexDir("graft_lex_incr_out_v1_", dir, "documents.parquet")
     val docs = Tables.parallel(spark, dir, "documents")
-    val (tfB, dfB, dlB) = statsOf(docs.filter(col("doc_id") % 10 =!= 0))
-    tfB.write.mode("overwrite").parquet(s"$base/tf")
-    dfB.write.mode("overwrite").parquet(s"$base/df")
-    dlB.write.mode("overwrite").parquet(s"$base/dl")
-    dlB.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot"))
-      .write.mode("overwrite").parquet(s"$base/stats")
-    updateLexIndex(spark, base, docs.filter(col("doc_id") % 10 === 0), out)
+    if (!new java.io.File(s"$out/stats/_SUCCESS").exists()) {
+      val (tfB, dfB, dlB) = statsOf(docs.filter(col("doc_id") % 10 =!= 0))
+      tfB.write.mode("overwrite").parquet(s"$base/tf")
+      dfB.write.mode("overwrite").parquet(s"$base/df")
+      dlB.write.mode("overwrite").parquet(s"$base/dl")
+      dlB.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot"))
+        .write.mode("overwrite").parquet(s"$base/stats")
+      updateLexIndex(spark, base, docs.filter(col("doc_id") % 10 === 0), out)
+    }
     bm25FromIndex(spark, out)
   }
 }

@@ -309,12 +309,8 @@ object SimilarityOps {
     * data directory — tagged with the index version AND the source file's
     * (size, mtime) stamp, so neither a config change nor regenerated
     * source data can ever silently serve a stale index. */
-  def knnIndexDirFor(dir: String): String = {
-    val tag = dir.replaceAll("[^A-Za-z0-9.]+", "_")
-    val src = new java.io.File(s"$dir/embeddings.parquet")
-    val stamp = s"${src.length()}_${src.lastModified()}"
-    s"${System.getProperty("java.io.tmpdir")}/graft_knn_index_v2_${tag}_$stamp"
-  }
+  def knnIndexDirFor(dir: String): String =
+    stampedIndexDir("graft_knn_index_v2_", dir, "embeddings.parquet")
 
   /** Build the materialized index iff absent; returns its location. */
   def ensureKnnIndex(spark: SparkSession, dir: String): String = {

@@ -246,16 +246,25 @@ object UpsertOps {
     val tag = dir.replaceAll("[^A-Za-z0-9.]+", "_")
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
     val families = Seq(
-      ("knn", "graft_knn_index_v2_", s"$dir/embeddings.parquet"),
-      ("lex", "graft_lex_index_v1_", s"$dir/documents.parquet"),
-      ("minhash", "graft_minhash_index_v1_", s"$dir/documents.parquet"))
+      ("knn", "graft_knn_index_v2_", "embeddings.parquet"),
+      ("lex", "graft_lex_index_v1_", "documents.parquet"),
+      ("lex_incr_base", "graft_lex_incr_base_v1_", "documents.parquet"),
+      ("lex_incr_out", "graft_lex_incr_out_v1_", "documents.parquet"),
+      ("minhash", "graft_minhash_index_v1_", "documents.parquet"))
+    // attempt EVERY child (no forall short-circuit), tolerate unreadable
+    // listings (File.listFiles returns null, not empty) — a failure
+    // surfaces as delete_failed, never as an exception
     def rmRec(f: java.io.File): Boolean = {
-      if (f.isDirectory) f.listFiles().forall(rmRec)
-      f.delete()
+      val childrenOk =
+        if (f.isDirectory)
+          Option(f.listFiles()).getOrElse(Array.empty).map(rmRec).forall(identity)
+        else true
+      f.delete() && childrenOk
     }
-    val rows = families.flatMap { case (fam, prefix, srcPath) =>
-      val src = new java.io.File(srcPath)
-      val current = s"$prefix${tag}_${src.length()}_${src.lastModified()}"
+    val rows = families.flatMap { case (fam, prefix, srcName) =>
+      // "current" reconstructed through the SAME shared helper the
+      // producers use — the stamp format cannot drift
+      val current = new java.io.File(stampedIndexDir(prefix, dir, srcName)).getName
       Option(tmp.listFiles()).getOrElse(Array.empty).toSeq
         .filter(_.getName.startsWith(prefix + tag + "_"))
         .map { f =>

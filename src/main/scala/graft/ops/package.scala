@@ -36,6 +36,19 @@ package object ops {
     * in decimal (both operands are 2-decimal) — exact product, exact sum. */
   def revenueExact(price: Column, discount: Column): Column =
     sum(dec2(price) * (lit(BigDecimal(1)).cast(Dec2) - dec2(discount))).cast(DoubleType)
+
+  /** THE stamped-index path rule, shared by every materialized-index
+    * producer (kNN signatures, lexical BM25 statistics, MinHash posting
+    * rows, incremental-index snapshots) AND by the vacuum pass that
+    * reconstructs the "current" name — one definition so a format tweak
+    * cannot desynchronize producers from retention. The stamp is the
+    * source file's (size, mtime): regenerated data can never silently
+    * serve a stale snapshot. */
+  def stampedIndexDir(prefix: String, dir: String, srcName: String): String = {
+    val tag = dir.replaceAll("[^A-Za-z0-9.]+", "_")
+    val src = new java.io.File(s"$dir/$srcName")
+    s"${System.getProperty("java.io.tmpdir")}/$prefix${tag}_${src.length()}_${src.lastModified()}"
+  }
 }
 
 package ops {
