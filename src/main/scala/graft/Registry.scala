@@ -1629,6 +1629,30 @@ object Registry {
         |       true AS passes
         |FROM f JOIN n ON f.lang = n.lang
         |GROUP BY n.lang, n.n ORDER BY n.lang""".stripMargin)),
+    // declarative data-quality audit: exact violation counts, literal
+    // passes — the ingest gate a lake runs before promoting a snapshot
+    GraftQuery("x_dq_audit", QualityAuditOps.dqAudit, Some(
+      """WITH rules AS (
+        |  SELECT 'lineitem.discount_in_0_0.1' AS rule,
+        |         (SELECT count(*) FROM lineitem WHERE l_discount < 0.0 OR l_discount > 0.1) AS violations
+        |  UNION ALL
+        |  SELECT 'lineitem.line_key_unique',
+        |         (SELECT count(*) - count(DISTINCT (l_orderkey, l_linenumber)) FROM lineitem)
+        |  UNION ALL
+        |  SELECT 'lineitem.orderkey_in_orders',
+        |         (SELECT count(*) FROM lineitem WHERE l_orderkey NOT IN (SELECT o_orderkey FROM orders))
+        |  UNION ALL
+        |  SELECT 'lineitem.quantity_in_1_50',
+        |         (SELECT count(*) FROM lineitem WHERE l_quantity < 1.0 OR l_quantity > 50.0)
+        |  UNION ALL
+        |  SELECT 'lineitem.shipdate_not_null',
+        |         (SELECT count(*) FROM lineitem WHERE l_shipdate IS NULL)
+        |  UNION ALL
+        |  SELECT 'orders.orderkey_unique',
+        |         (SELECT count(*) - count(DISTINCT o_orderkey) FROM orders))
+        |SELECT rule, CAST(violations AS BIGINT) AS violations,
+        |       violations = 0 AS passes
+        |FROM rules ORDER BY rule""".stripMargin)),
     // market-basket affinity: co-purchase pair counts + lift
     GraftQuery("x_basket_affinity", BasketOps.basketAffinity, Some(
       """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
