@@ -1629,6 +1629,18 @@ object Registry {
         |       true AS passes
         |FROM f JOIN n ON f.lang = n.lang
         |GROUP BY n.lang, n.n ORDER BY n.lang""".stripMargin)),
+    // item-to-item recs: per-part top-3 co-purchase partners via the
+    // bounded pairs aggregate (the oracle takes the window road)
+    GraftQuery("x_basket_also_bought", BasketOps.alsoBought, Some(
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |c AS (SELECT a.l_partkey AS part, b.l_partkey AS rec, count(*) AS together
+        |      FROM li a JOIN li b ON a.l_orderkey = b.l_orderkey
+        |                         AND a.l_partkey <> b.l_partkey
+        |      GROUP BY a.l_partkey, b.l_partkey)
+        |SELECT part,
+        |       CAST(row_number() OVER (PARTITION BY part ORDER BY together DESC, rec) AS INTEGER) AS rank,
+        |       rec, together
+        |FROM c QUALIFY rank <= 3 ORDER BY part, rank""".stripMargin)),
     // declarative data-quality audit: exact violation counts, literal
     // passes — the ingest gate a lake runs before promoting a snapshot
     GraftQuery("x_dq_audit", QualityAuditOps.dqAudit, Some(

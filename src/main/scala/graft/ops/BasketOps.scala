@@ -44,4 +44,32 @@ object BasketOps {
       .orderBy(col("c_ab").desc, col("part_a"), col("part_b"))
       .limit(TopPairs)
   }
+
+  /** Item-to-item recommendations ("customers also bought"): for every
+    * part, its [[RecK]] strongest co-purchase partners by pair count
+    * (ties to the lowest partner id). Ranking goes through the bounded
+    * [[graft.functions.TopKPairsAggregator]] — k rows per part per
+    * partition cross the exchange, never a part's full partner list, and
+    * never a row_number window over |parts| (the guarded anti-pattern).
+    * Counts ≤ |orders| ≪ 2^53, so the double ride through the pair
+    * aggregator is exact. */
+  val RecK = 3
+
+  def alsoBought(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val counts = li.as("a")
+      .join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") =!= col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("part"), col("b.l_partkey").as("rec"))
+      .agg(count(lit(1)).as("together"))
+    val topk = udaf(graft.functions.TopKPairsAggregator(RecK))
+    counts.groupBy(col("part"))
+      .agg(topk(col("together").cast(DoubleType), col("rec")).as("top"))
+      .select(col("part"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("part"), (col("pos") + 1).cast(IntegerType).as("rank"),
+        col("p.neighborId").as("rec"), col("p.cos").cast(LongType).as("together"))
+      .orderBy("part", "rank")
+  }
 }

@@ -27,5 +27,18 @@ class BasketOpsSpec extends SparkSpec {
     assert(got((20L, 30L)) == ((1L, 2L, 2L, 1.0 * 4 / (2 * 2))))
     // the singleton order contributes no pair
     assert(!got.keySet.exists(p => p._1 == 40L || p._2 == 40L))
+
+    // also-bought on the same baskets: 10's partners ranked (20,30 tie at
+    // 2 -> lower id first); 40 never appears; plan must stay windowless
+    val recs = BasketOps.alsoBought(spark, dir)
+    val plan = recs.queryExecution.executedPlan.toString
+    assert(plan.contains("partial_topkpairsaggregator") && !plan.contains("Window"))
+    val byPart = recs.collect()
+      .groupBy(_.getLong(0)).view
+      .mapValues(_.sortBy(_.getInt(1)).map(r => (r.getLong(2), r.getLong(3))).toSeq)
+      .toMap
+    assert(byPart(10L) == Seq((20L, 2L), (30L, 2L)))
+    assert(byPart(20L).head == ((10L, 2L)))
+    assert(!byPart.contains(40L))
   }
 }
