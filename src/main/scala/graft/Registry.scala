@@ -849,10 +849,12 @@ object Registry {
       |         FROM d3) WHERE rn = 1)
       |""".stripMargin
 
-  /** Shared BM25 oracle (inline and index-probe forms serve identical
-    * rows): mirrors RetrievalOps' integer-scaled scoring step for step. */
-  private val bm25Oracle: String =
-    """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+  /** BM25 scoring CTE chain (through the per-(query, doc) integer score
+    * `sc`) — shared by the three BM25 oracle forms AND the RRF hybrid
+    * oracle, one definition so the scoring SQL cannot drift between
+    * them. Mirrors RetrievalOps' integer-scaled scoring step for step. */
+  private val bm25ScoreCtes: String =
+    """tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
       |             FROM documents),
       |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
       |st AS (SELECT CAST(count(*) AS DOUBLE) AS n_docs,
@@ -873,11 +875,41 @@ object Registry {
       |         ) AS BIGINT) AS score
       |       FROM tf JOIN q USING (term) JOIN dft USING (term)
       |            JOIN dl USING (doc_id) CROSS JOIN st
-      |       GROUP BY q.q_id, tf.doc_id)
+      |       GROUP BY q.q_id, tf.doc_id)""".stripMargin
+
+  /** Shared BM25 oracle (inline and index-probe forms serve identical
+    * rows). */
+  private val bm25Oracle: String =
+    s"""WITH $bm25ScoreCtes
       |SELECT q_id,
       |       CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS INTEGER) AS rank,
       |       doc_id, score
       |FROM sc QUALIFY rank <= 10 ORDER BY q_id, rank""".stripMargin
+
+  /** RRF hybrid oracle: BM25 lexical top-10 fused with cosine-kNN dense
+    * top-10 via exact-integer reciprocal-rank contributions
+    * (lcm(61..70) // (60 + rank) — divides evenly for every rank). */
+  private val rrfOracle: String =
+    s"""WITH $bm25ScoreCtes,
+      |lex AS (SELECT q_id, doc_id,
+      |          CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS INTEGER) AS lex_rank
+      |        FROM sc QUALIFY lex_rank <= 10),
+      |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |dq AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 5),
+      |ds AS (SELECT q_id, vec_id AS doc_id, list_cosine_similarity(qv, v) AS cos FROM dq, e),
+      |dense AS (SELECT q_id, doc_id,
+      |            CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, doc_id) AS INTEGER) AS dense_rank
+      |          FROM ds QUALIFY dense_rank <= 10),
+      |fused AS (SELECT coalesce(lex.q_id, dense.q_id) AS q_id,
+      |            coalesce(lex.doc_id, dense.doc_id) AS doc_id,
+      |            coalesce(CAST(142813628717760 // (60 + lex_rank) AS BIGINT), 0) +
+      |            coalesce(CAST(142813628717760 // (60 + dense_rank) AS BIGINT), 0) AS rrf
+      |          FROM lex FULL OUTER JOIN dense
+      |            ON lex.q_id = dense.q_id AND lex.doc_id = dense.doc_id)
+      |SELECT q_id,
+      |       CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS INTEGER) AS rank,
+      |       doc_id, rrf AS rrf_score
+      |FROM fused QUALIFY rank <= 10 ORDER BY q_id, rank""".stripMargin
 
   /** LLM-training-data pipeline extensions (BASELINE.json north star):
     * dedup, similarity search, text analysis, multimodal columns.
@@ -1158,6 +1190,11 @@ object Registry {
     // must satisfy the SAME oracle as the full forms
     GraftQuery("x_retrieval_bm25_incremental", RetrievalOps.bm25Incremental,
       Some(bm25Oracle)),
+    // hybrid RAG-stack retrieval: lexical + dense lists fused by
+    // reciprocal rank with exact-integer contributions (lcm-scaled) —
+    // both inputs are k-bounded map-side aggregates, so fusion cost is
+    // k·|queries| regardless of corpus size
+    GraftQuery("x_retrieval_rrf", RetrievalOps.rrfHybrid, Some(rrfOracle)),
     GraftQuery("x_sim_ann_lsh", SimilarityOps.annLsh, None),
     GraftQuery("x_sim_knn_join", (s, d) => SimilarityOps.knnJoin(s, d), None,
       headline = true),

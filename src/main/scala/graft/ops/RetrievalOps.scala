@@ -233,4 +233,69 @@ object RetrievalOps {
     }
     bm25FromIndex(spark, out)
   }
+
+  // ------------------------------------------------------------------
+  // Hybrid retrieval: reciprocal-rank fusion of lexical + dense lists
+  // ------------------------------------------------------------------
+
+  /** RRF smoothing constant (Cormack & Clarke's k = 60). */
+  val RrfK0 = 60
+
+  /** lcm(61..70) — the common denominator that makes every possible
+    * contribution `1/(K0 + rank)`, rank ∈ 1..TopK, an EXACT int64
+    * (`RrfScale / (K0 + rank)` divides evenly). The fused score is a sum
+    * of two such integers, so it is order-independent, partial-
+    * aggregation-safe, and bit-identical in DuckDB — the same
+    * integer-scoring discipline as BM25's micro-unit factors. Max fused
+    * value 2·lcm/61 ≈ 4.7e12 ≪ 2^52, so the double round-trip through
+    * [[graft.functions.TopKPairsAggregator]] is exact. */
+  val RrfScale: Long = (61L to 70L).foldLeft(1L) { (l, n) =>
+    l / BigInt(l).gcd(BigInt(n)).toLong * n
+  }
+
+  /** How many of BM25's DefaultQueries participate in the hybrid run
+    * (dense queries are the embeddings of the same ids). */
+  private val HybridQueries = DefaultQueries.length
+
+  /** Hybrid retrieval — the standard RAG-stack fusion: the BM25 lexical
+    * top-k and the cosine-kNN dense top-k (query i's vector is
+    * embedding i, the corpus convention the cross-modal curation op
+    * established) are fused per (query, doc) by reciprocal-rank fusion
+    * `Σ 1/(60 + rank)`, docs missing from one list contribute 0 from it.
+    *
+    * Scale shape: both input rankings are already k-bounded map-side
+    * aggregates (k·|queries| rows each), so the fusion join, however
+    * executed, touches k·|queries| rows — the corpus is scanned exactly
+    * twice (once tokenized, once dotted), never joined row-to-row. The
+    * final rank is again the bounded pair aggregator, not a window. */
+  def rrfHybrid(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.exprs._
+    val lex = bm25(spark, dir)
+      .select(col("q_id"), col("doc_id"), col("rank").as("lex_rank"))
+
+    val emb = Tables.parallel(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+    val queries = emb.filter(col("vec_id") < HybridQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val scored = emb.join(broadcast(queries))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        cosine_similarity(col("qv"), col("v")).as("cos"))
+    val dense = graft.ops.SimilarityOps.topkMapSideUnordered(scored, TopK)
+      .select(col("q_id"), col("neighbor_id").as("doc_id"),
+        col("rank").as("dense_rank"))
+
+    val fused = lex.join(dense, Seq("q_id", "doc_id"), "full_outer")
+      .select(col("q_id"), col("doc_id"),
+        (coalesce(expr(s"$RrfScale div ($RrfK0 + lex_rank)"), lit(0L)) +
+          coalesce(expr(s"$RrfScale div ($RrfK0 + dense_rank)"), lit(0L)))
+          .as("rrf"))
+    val topk = udaf(graft.functions.TopKPairsAggregator(TopK))
+    fused.groupBy(col("q_id"))
+      .agg(topk(col("rrf").cast(DoubleType), col("doc_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("q_id"), (col("pos") + 1).cast(IntegerType).as("rank"),
+        col("p.neighborId").as("doc_id"), col("p.cos").cast(LongType).as("rrf_score"))
+      .orderBy("q_id", "rank")
+  }
 }

@@ -113,4 +113,50 @@ class RetrievalOpsSpec extends SparkSpec {
     val zzz = inc.filter(_.getAs[Int]("q_id") == 1)
     assert(zzz.map(_.getAs[Long]("doc_id")).toSeq == Seq(10L))
   }
+
+  test("rrf scale constant: every possible contribution is an exact integer") {
+    for (r <- 1 to RetrievalOps.TopK)
+      assert(RetrievalOps.RrfScale % (RetrievalOps.RrfK0 + r) == 0,
+        s"lcm must divide evenly at rank $r")
+    // the double round-trip through the pair aggregator stays exact
+    assert(2 * (RetrievalOps.RrfScale / 61).toDouble < math.pow(2, 52))
+  }
+
+  test("rrf hybrid: equals an independent driver-side fusion of the two lists") {
+    val got = RetrievalOps.rrfHybrid(spark, Sf0001).collect()
+      .map(r => (r.getAs[Int]("q_id"), r.getAs[Int]("rank"),
+        r.getAs[Long]("doc_id"), r.getAs[Long]("rrf_score"))).toSeq
+
+    // independent reference: collect both component rankings and fuse in
+    // plain Scala (no Spark arithmetic shared with the operator)
+    val lex = RetrievalOps.bm25(spark, Sf0001).collect()
+      .map(r => ((r.getAs[Int]("q_id"), r.getAs[Long]("doc_id")), r.getAs[Int]("rank"))).toMap
+    val emb = spark.read.parquet(s"$Sf0001/embeddings.parquet").collect()
+      .map(r => r.getAs[Long]("vec_id") ->
+        r.getAs[scala.collection.Seq[Float]]("embedding").map(_.toDouble).toArray).toMap
+    def cos(a: Array[Double], b: Array[Double]): Double = {
+      var d = 0.0; var na = 0.0; var nb = 0.0
+      for (i <- a.indices) { d += a(i) * b(i); na += a(i) * a(i); nb += b(i) * b(i) }
+      d / math.sqrt(na * nb)
+    }
+    val dense = (0 until 5).flatMap { q =>
+      emb.toSeq.map { case (id, v) => (q.toLong, id, cos(emb(q.toLong), v)) }
+        .sortBy { case (_, id, c) => (-c, id) }.take(10).zipWithIndex
+        .map { case ((qq, id, _), i) => ((qq.toInt, id), i + 1) }
+    }.toMap
+    val L = RetrievalOps.RrfScale
+    val want = (0 until 5).flatMap { q =>
+      val docs = (lex.keySet ++ dense.keySet).filter(_._1 == q)
+      docs.toSeq.map { k =>
+        val s = lex.get(k).map(r => L / (60 + r)).getOrElse(0L) +
+          dense.get(k).map(r => L / (60 + r)).getOrElse(0L)
+        (q, k._2, s)
+      }.sortBy { case (_, id, s) => (-s, id) }.take(10).zipWithIndex
+        .map { case ((qq, id, s), i) => (qq, i + 1, id, s) }
+    }
+    assert(got == want, "operator fusion must equal the reference fusion")
+    // a doc present in BOTH lists at decent ranks beats any single-list doc
+    // whose one rank is no better than either of its ranks (monotonicity)
+    assert(got.forall(_._4 > 0))
+  }
 }
