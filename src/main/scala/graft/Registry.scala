@@ -573,6 +573,18 @@ object Registry {
         |UNION ALL
         |SELECT u_key, new_bal, TIMESTAMP '2024-06-01 00:00:00', NULL, 2 FROM upd
         |ORDER BY c_custkey, version""".stripMargin)),
+    // CDC changelog compaction: last-writer-wins by sequence number with
+    // delete tombstones — ONE map-side-combined argmax aggregate (the
+    // oracle takes the row_number window road the plan avoids)
+    GraftQuery("x_cdc_apply", UpsertOps.cdcApply, Some(
+      """WITH log AS (SELECT event_id % 997 AS key, event_id AS seq,
+        |                    event_type = 'error' AS tombstone, value, user_id
+        |             FROM events),
+        |w AS (SELECT key, seq, tombstone, value, user_id,
+        |             row_number() OVER (PARTITION BY key ORDER BY seq DESC) AS rn
+        |      FROM log)
+        |SELECT key, seq AS last_seq, value, user_id FROM w
+        |WHERE rn = 1 AND NOT tombstone ORDER BY key""".stripMargin)),
     GraftQuery("j6_asof_join", JoinOps.j6AsofJoin, Some(
       """WITH p AS (SELECT user_id, ts, max(event_id) AS pid FROM events
         |           WHERE event_type = 'purchase' GROUP BY 1, 2),
@@ -946,6 +958,23 @@ object Registry {
         |FROM um JOIN co USING (user_id)
         |GROUP BY co.cohort_day, um.activity_day
         |ORDER BY cohort_day, activity_day""".stripMargin)),
+    // EWMA recurrence (α = 1/2): every step is one IEEE add + an exact
+    // halving, and the oracle's recursive CTE replays the identical
+    // operation sequence in the identical per-user order → bit-equal
+    // doubles without a decimal detour. Spark side is the secondary-sort
+    // pattern: one exchange, O(1) state per partition, no window.
+    GraftQuery("x_ts_ewma", EventOps.ewmaSmooth, Some(
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, value, rn, value AS ewma FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.event_id, e.value, e.rn, (e.value + s.ewma) / 2
+        |  FROM e JOIN s ON e.user_id = s.user_id AND e.rn = s.rn + 1)
+        |SELECT user_id, event_id, value, ewma FROM s
+        |ORDER BY user_id, event_id""".stripMargin)),
     GraftQuery("x_event_anomaly", EventOps.anomalyZscore, Some(
       """WITH s AS (
         |  SELECT event_type AS et,
@@ -1315,6 +1344,23 @@ object Registry {
         |              CAST(1000000000000*15//100//nn.n + 85 * coalesce(c3.s, 0) // 100 AS BIGINT) AS rank
         |       FROM r2 CROSS JOIN nn LEFT JOIN c3 ON c3.dst = r2.node)
         |SELECT node, rank FROM r3 ORDER BY node""".stripMargin)),
+    // per-part triangle participation over the thresholded co-purchase
+    // graph: Spark enumerates via degree-ordered orientation (wedge work
+    // bounded by degeneracy), the oracle by id order — the triangle SET
+    // is orientation-independent, so the hashes agree
+    GraftQuery("x_graph_triangles", GraphOps.triangleCounts, Some(
+      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+        |e AS (SELECT pa, pb FROM (
+        |        SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n
+        |        FROM li a JOIN li b
+        |          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |        GROUP BY 1, 2) WHERE n >= 2),
+        |t AS (SELECT e1.pa AS v1, e1.pb AS v2, e2.pb AS v3
+        |      FROM e e1 JOIN e e2 ON e2.pa = e1.pa AND e2.pb > e1.pb
+        |           JOIN e e3 ON e3.pa = e1.pb AND e3.pb = e2.pb),
+        |x AS (SELECT unnest([v1, v2, v3]) AS l_partkey FROM t)
+        |SELECT l_partkey, count(*) AS n_triangles FROM x
+        |GROUP BY 1 ORDER BY 1""".stripMargin)),
     // distributed Lloyd's k-means, hash-checked end-to-end: the DuckDB
     // oracle unrolls the same three integer-exact rounds (see kmeansCte)
     GraftQuery("x_cluster_kmeans", KmeansOps.kmeansAssign, Some(
@@ -1740,6 +1786,19 @@ object Registry {
         |SELECT CAST(least(9, floor((l_quantity - mn) * 10.0 / (mx - mn))) AS INTEGER) AS bucket,
         |       count(*) AS n
         |FROM lineitem CROSS JOIN b GROUP BY bucket ORDER BY bucket""".stripMargin)),
+    // equi-depth sibling: bucket by the rank of each VALUE's first row —
+    // the prefix sum runs over |distinct values| (domain-bounded), never
+    // |rows|; continuous columns route through the GK sketch (g4b)
+    GraftQuery("x_stats_histogram_depth", StatsOps.histogramEquiDepth, Some(
+      """WITH c AS (SELECT l_quantity, count(*) AS cnt FROM lineitem GROUP BY 1),
+        |n AS (SELECT CAST(sum(cnt) AS BIGINT) AS n FROM c),
+        |b AS (SELECT least(7, ((CAST(sum(cnt) OVER (ORDER BY l_quantity) AS BIGINT) - cnt) * 8) // n)
+        |               AS bucket,
+        |             l_quantity, cnt
+        |      FROM c CROSS JOIN n)
+        |SELECT CAST(bucket AS INTEGER) AS bucket, min(l_quantity) AS lo,
+        |       max(l_quantity) AS hi, CAST(sum(cnt) AS BIGINT) AS n_rows
+        |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin)),
     // mergeable HLL distinct-count tiles (DataSketches bytes — unlike
     // approx_count_distinct, storable and unionable across partitions);
     // estimates are engine-internal → rows-only, the gate is the signal

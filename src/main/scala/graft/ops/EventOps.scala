@@ -166,4 +166,41 @@ object EventOps {
         col("n_users"))
       .orderBy("cohort_day", "activity_day")
   }
+
+  /** Exponentially-weighted moving average over each user's value
+    * series (α = 1/2): s₁ = x₁, sₜ = (xₜ + sₜ₋₁)/2 — the classic
+    * streaming smoother (trend lines, rate limiters, anomaly baselines).
+    *
+    * Determinism: α = 1/2 makes every recurrence step one IEEE addition
+    * followed by an EXACT halving (scaling by 2⁻¹ never rounds), and the
+    * DuckDB oracle's recursive CTE evaluates the identical operation
+    * sequence in the identical (ts, event_id) order, so the doubles are
+    * bit-equal — no decimal detour needed.
+    *
+    * Scale shape: a recurrence cannot be a hash aggregate, but it needs
+    * only SEQUENTIAL access per entity: ONE exchange on user_id, a
+    * within-partition secondary sort on (user_id, ts, event_id), then a
+    * single O(1)-state pass per partition (the classic secondary-sort
+    * pattern — no per-group buffering, no window over an unbounded
+    * frame, no driver involvement). Per-user series length never
+    * matters: state is one double regardless. */
+  def ewmaSmooth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id").cast(LongType), col("event_id").cast(LongType),
+        col("ts"), col("value").cast(DoubleType))
+      .as[(Long, Long, java.sql.Timestamp, Double)]
+    ev.repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts"), col("event_id"))
+      .mapPartitions { it =>
+        var cur = 0L; var first = true; var s = 0.0
+        it.map { case (u, id, _, v) =>
+          if (first || u != cur) { s = v; cur = u; first = false }
+          else s = (v + s) / 2
+          (u, id, v, s)
+        }
+      }
+      .toDF("user_id", "event_id", "value", "ewma")
+      .orderBy("user_id", "event_id")
+  }
 }

@@ -127,4 +127,67 @@ object GraphOps {
       .select(col("vec_id"), coalesce(col("lbl"), lit(-1)).as("label_pred"))
       .orderBy("vec_id")
   }
+
+  /** Per-part triangle participation counts over the co-purchase graph
+    * (parts co-occurring in ≥ [[TriMinSupport]] orders) — the local
+    * clustering signal behind community detection and recommendation
+    * diversity. Output: (l_partkey, n_triangles) for every part in at
+    * least one triangle.
+    *
+    * Scale shape — the three standard bounds, in order:
+    *  1. pair generation self-joins ON THE ORDER KEY (co-partitioned,
+    *     per-order fan-out ≤ (basket choose 2) — the basket-affinity
+    *     plan), never part×part;
+    *  2. the support threshold is the density control that keeps the
+    *     edge list sparse (the MaxBucket role);
+    *  3. triangle enumeration orients each edge from its LOWER-DEGREE
+    *     endpoint (ties → lower id), so every triangle is emitted
+    *     exactly once and wedge fan-out is bounded by the graph's
+    *     degeneracy, not by hub degrees — a hub of degree d generates
+    *     wedges only from the ≤ √m edges it RECEIVES, the classic
+    *     compact-forward guarantee. The oracle enumerates by id order
+    *     instead; the triangle SET is orientation-independent, so the
+    *     hashes agree while the plans differ — exactly the freedom a
+    *     100 TB plan needs.
+    */
+  val TriMinSupport = 2L
+
+  def triangleCounts(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem")
+      .select(col("l_orderkey"), col("l_partkey")).distinct()
+    val und = li.as("a").join(li.as("b"),
+        col("a.l_orderkey") === col("b.l_orderkey") &&
+          col("a.l_partkey") < col("b.l_partkey"))
+      .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
+      .agg(count(lit(1)).as("n"))
+      .filter(col("n") >= TriMinSupport)
+      .select(col("pa"), col("pb"))
+    // degree-ordered orientation: src = lower-degree endpoint
+    val deg = und.select(explode(array(col("pa"), col("pb"))).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("d"))
+    // orientation points FORWARD in the (degree, id) total order; each
+    // edge carries its dst's order key so wedges can be ordered by the
+    // SAME relation — then the closing edge of wedge (u→v, u→w), v ≺ w,
+    // is oriented v→w by construction and closure is a pure equi-join
+    // (an OR-of-orientations condition would fall off the hash-join path)
+    val oriented = und
+      .join(deg.as("da"), col("pa") === col("da.p"))
+      .join(deg.as("db"), col("pb") === col("db.p"))
+      .select(
+        when(struct(col("da.d"), col("pa")) <= struct(col("db.d"), col("pb")),
+          struct(col("pa").as("src"), col("pb").as("dst"),
+            struct(col("db.d").as("d"), col("pb").as("id")).as("dk")))
+          .otherwise(struct(col("pb").as("src"), col("pa").as("dst"),
+            struct(col("da.d").as("d"), col("pa").as("id")).as("dk"))).as("e"))
+      .select(col("e.src"), col("e.dst"), col("e.dk"))
+    val tri = oriented.as("e1")
+      .join(oriented.as("e2"),
+        col("e1.src") === col("e2.src") && col("e1.dk") < col("e2.dk"))
+      .join(oriented.as("e3"),
+        col("e3.src") === col("e1.dst") && col("e3.dst") === col("e2.dst"))
+      .select(col("e1.src").as("v1"), col("e1.dst").as("v2"), col("e2.dst").as("v3"))
+    tri.select(explode(array(col("v1"), col("v2"), col("v3"))).as("l_partkey"))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_triangles"))
+      .orderBy("l_partkey")
+  }
 }

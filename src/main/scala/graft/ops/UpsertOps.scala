@@ -274,4 +274,35 @@ object UpsertOps {
     }
     rows.toDF("family", "index_dir", "action").orderBy("family", "index_dir")
   }
+
+  /** CDC changelog apply — collapse an out-of-order upsert/delete
+    * changelog to its final table state by last-writer-wins: for each
+    * key keep only the row with the highest sequence number, and drop
+    * the key entirely if that winner is a delete. The events stream
+    * plays the changelog (key = event_id mod 997 so keys carry multiple
+    * versions, seq = event_id, 'error' events are tombstones).
+    *
+    * Scale shape: ONE keyed hash aggregate — the winner is
+    * max(struct(seq, …)), which partial-aggregates map-side (each
+    * partition ships one candidate row per key it saw, never the full
+    * version history), then a cheap post-filter on the tombstone flag.
+    * This is the standard compaction a CDC sink (Debezium→lake) runs,
+    * and the same plan applies unchanged whether the log arrives sorted,
+    * shuffled, or partially compacted — seq, not arrival order, decides.
+    * A `row_number` window over key would sort every version per key in
+    * |keys| reducers; the aggregate form never materializes an ordering. */
+  def cdcApply(spark: SparkSession, dir: String): DataFrame = {
+    val log = Tables(spark, dir, "events").select(
+      (col("event_id") % 997).as("key"),
+      col("event_id").as("seq"),
+      (col("event_type") === "error").as("tombstone"),
+      col("value"), col("user_id"))
+    log.groupBy(col("key"))
+      .agg(max(struct(col("seq"), col("tombstone"), col("value"),
+        col("user_id"))).as("w"))
+      .filter(!col("w.tombstone"))
+      .select(col("key"), col("w.seq").as("last_seq"),
+        col("w.value").as("value"), col("w.user_id").as("user_id"))
+      .orderBy("key")
+  }
 }

@@ -315,4 +315,29 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
     assert(brute.nonEmpty) // anchor sanity
   }
+
+  test("equi-depth histogram: skewed mass isolates, tail shares a bucket") {
+    import spark.implicits._
+    // 80 rows of value 1 + one row each of 2..9: equi-width would put
+    // 81/88 rows in bucket 0; equi-depth isolates the hot value in
+    // bucket 0 and packs the 8-row tail into bucket 7 (first-row-rank
+    // rule: cum_before(2)=80 → (80·8)//88 = 7)
+    val qs = Seq.fill(80)(1.0) ++ (2 to 9).map(_.toDouble)
+    val fix = tempDir("eqdepth")
+    qs.toDF("l_quantity").repartition(4)
+      .write.mode("overwrite").parquet(s"$fix/lineitem.parquet")
+    val got = StatsOps.histogramEquiDepth(spark, fix).collect()
+      .map(r => (r.getInt(0), r.getDouble(1), r.getDouble(2), r.getLong(3))).toSeq
+    assert(got == Seq((0, 1.0, 1.0, 80L), (7, 2.0, 9.0, 8L)))
+  }
+
+  test("equi-depth histogram: uniform distinct values spread evenly") {
+    import spark.implicits._
+    val fix = tempDir("eqdepth_u")
+    (1 to 16).map(_.toDouble).toDF("l_quantity").repartition(3)
+      .write.mode("overwrite").parquet(s"$fix/lineitem.parquet")
+    val got = StatsOps.histogramEquiDepth(spark, fix).collect()
+      .map(r => (r.getInt(0), r.getLong(3))).toSeq
+    assert(got == (0 to 7).map(b => (b, 2L)), s"got $got") // 16 values / 8 buckets
+  }
 }

@@ -85,4 +85,26 @@ class GraphOpsSpec extends SparkSpec {
     val (supp, cust) = a.partition(_.getLong(0) % 2 == 0)
     assert(supp.nonEmpty && cust.nonEmpty)
   }
+
+  test("triangles: planted triangle counted once per vertex, 4-cycle and weak edges excluded") {
+    import spark.implicits._
+    // orders as baskets; an edge needs co-purchase support >= 2:
+    //  - parts 1,2,3 pairwise co-bought twice        → one triangle
+    //  - parts 11..14 form a 4-cycle (support 2 each) → chordless, none
+    //  - parts 1,99 co-bought ONCE                    → below threshold
+    val baskets = Seq(
+      100L -> Seq(1L, 2L, 3L), 101L -> Seq(1L, 2L, 3L),
+      110L -> Seq(11L, 12L), 111L -> Seq(11L, 12L),
+      112L -> Seq(12L, 13L), 113L -> Seq(12L, 13L),
+      114L -> Seq(13L, 14L), 115L -> Seq(13L, 14L),
+      116L -> Seq(14L, 11L), 117L -> Seq(14L, 11L),
+      120L -> Seq(1L, 99L))
+    val rows = baskets.flatMap { case (o, ps) => ps.map(p => (o, p)) }
+    val fix = tempDir("tri")
+    rows.toDF("l_orderkey", "l_partkey").repartition(3)
+      .write.mode("overwrite").parquet(s"$fix/lineitem.parquet")
+    val got = GraphOps.triangleCounts(spark, fix).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSeq
+    assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L)))
+  }
 }

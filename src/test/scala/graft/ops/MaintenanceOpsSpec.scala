@@ -188,4 +188,24 @@ class MaintenanceOpsSpec extends SparkSpec {
     // and the survivor still serves queries
     assert(graft.ops.RetrievalOps.bm25FromIndex(spark, currentIdx).collect().nonEmpty)
   }
+
+  test("cdc apply: last writer wins, tombstones delete, out-of-order arrival is irrelevant") {
+    import spark.implicits._
+    val ts0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    // key 5: upsert seq 5 then tombstone seq 1002 (=5 mod 997)  → gone
+    // key 7: tombstone seq 7 then upsert seq 1004 (=7 mod 997)  → lives
+    // key 3: single upsert                                      → lives
+    val rows = Seq(
+      (1002L, ts0, 1L, "error", 0.0, "{}"),
+      (5L, ts0, 1L, "view", 50.0, "{}"),
+      (1004L, ts0, 2L, "purchase", 70.0, "{}"),
+      (7L, ts0, 2L, "error", 0.0, "{}"),
+      (3L, ts0, 3L, "click", 30.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = tempDir("cdc_events")
+    rows.repartition(3).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = UpsertOps.cdcApply(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    assert(got == Seq((3L, 3L, 30.0), (7L, 1004L, 70.0)))
+  }
 }

@@ -34,6 +34,26 @@ class TimeSeriesOpsSpec extends SparkSpec {
 
   // ------------------------------------------------------------- anomaly
 
+  test("ewma: planted recurrence, per-user reset, ts order with event_id tie-break") {
+    import spark.implicits._
+    // written deliberately OUT of time order; user 1: x=[2,4,8] by ts
+    // → s=[2,3,5.5]; the two user-2 rows share a ts, so event_id decides
+    val rows = Seq(
+      (12L, ts("2024-01-01 02:00:00"), 1L, "view", 8.0, "{}"),
+      (10L, ts("2024-01-01 00:00:00"), 1L, "view", 2.0, "{}"),
+      (11L, ts("2024-01-01 01:00:00"), 1L, "view", 4.0, "{}"),
+      (21L, ts("2024-01-01 00:00:00"), 2L, "view", 10.0, "{}"),
+      (20L, ts("2024-01-01 00:00:00"), 2L, "view", 6.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = tempDir("ewma_events")
+    rows.repartition(3).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventOps.ewmaSmooth(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3)))
+    assert(got.toSeq == Seq(
+      (1L, 10L, 2.0), (1L, 11L, 3.0), (1L, 12L, 5.5),
+      (2L, 20L, 6.0), (2L, 21L, 8.0))) // (10+6)/2 — 20 first by event_id
+  }
+
   test("anomaly: the planted outlier is flagged, nothing else") {
     val flagged = EventOps.anomalyZscore(spark, evDir).collect()
     assert(flagged.map(_.getAs[Long]("event_id")).toSeq == Seq(10L))
