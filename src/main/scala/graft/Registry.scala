@@ -1808,6 +1808,17 @@ object Registry {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
         |  AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'""".stripMargin)),
+    // Count-Min point frequencies: engine-internal hash → rows-only;
+    // the dual one-sided-bound gate below is the value-checked signal
+    GraftQuery("x_sketch_cms", SketchOps.cmsEstimates, None),
+    GraftQuery("x_sketch_cms_gate", SketchOps.cmsGate, Some(
+      """WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS term
+        |             FROM documents)
+        |SELECT term, count(*) AS freq, true AS overestimates, true AS within_bound
+        |FROM tok
+        |WHERE term IN ('agg','batch','dup','fast','hash','join','merge','query',
+        |               'scan','slow','sort','table','vector','window')
+        |GROUP BY term ORDER BY term""".stripMargin)),
     // one-pass exact Gram/covariance (GramAggregator): the oracle takes
     // the self-join-on-dimension road the Spark plan deliberately avoids
     GraftQuery("x_embed_gram", EmbedOps.embedGram, Some(

@@ -163,4 +163,58 @@ object SketchOps {
       .select(col("n_parts"),
         (abs(col("est") - col("n_parts")) * 100L <= col("n_parts") * 4L).as("passes"))
   }
+
+  // ------------------------------------------------------------------
+  // Count-Min point-frequency sketch
+  // ------------------------------------------------------------------
+
+  /** 4×1024 counters = 32 KB per partial — the fixed budget that
+    * replaces an unbounded |vocab| shuffle for point-frequency queries. */
+  val CmsDepth = 4
+  val CmsWidth = 1024
+
+  /** Deterministic probe workload: the BM25 query vocabulary. */
+  private def cmsProbeTerms: Seq[String] =
+    RetrievalOps.DefaultQueries.flatMap(_._2.split(" ")).distinct.sorted
+
+  /** Point-frequency estimates for the probe terms from ONE global
+    * Count-Min aggregate: each partition ships its 32 KB matrix, merges
+    * are elementwise sums, and the driver holds exactly one matrix (the
+    * bounded-scalar discipline — compare the |vocab|-row shuffle the
+    * exact count pays). Estimates depend on the engine-internal hash →
+    * rows-only; the value-checked signal is [[cmsGate]]. */
+  def cmsEstimates(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cms = udaf(graft.functions.CountMinAggregator(CmsDepth, CmsWidth))
+    val sk = tokens(spark, dir).agg(cms(col("term")).as("sketch"))
+      .collect()(0).getAs[scala.collection.Seq[Long]]("sketch").toArray
+    cmsProbeTerms
+      .map(t => (t, graft.functions.CountMinAggregator.estimate(sk, t, CmsDepth, CmsWidth)))
+      .toDF("term", "est_count")
+      .orderBy("term")
+  }
+
+  /** Value-oracled CMS guarantee gate (the heavy-hitters-gate pattern):
+    * joins the sketch estimates against the exact probe-term counts and
+    * checks both one-sided bounds — `est ≥ true` (an occurrence can
+    * never be lost) and `est ≤ true + depth·n/width` (excess is
+    * collision mass; the deterministic band is depth× the expected
+    * n/width). Integer arithmetic throughout, so the oracle recomputes
+    * the exact frequencies independently and expects the literal
+    * passes-pair TRUE/TRUE per term. */
+  def cmsGate(spark: SparkSession, dir: String): DataFrame = {
+    val probes = cmsProbeTerms
+    val toks = tokens(spark, dir)
+    val exact = toks.filter(col("term").isin(probes: _*))
+      .groupBy(col("term")).agg(count(lit(1)).as("freq"))
+    val total = toks.agg(count(lit(1)).as("n"))
+    exact
+      .join(broadcast(cmsEstimates(spark, dir)), Seq("term"))
+      .crossJoin(broadcast(total))
+      .select(col("term"), col("freq"),
+        (col("est_count") >= col("freq")).as("overestimates"),
+        ((col("est_count") - col("freq")) * CmsWidth <= lit(CmsDepth.toLong) * col("n"))
+          .as("within_bound"))
+      .orderBy("term")
+  }
 }
