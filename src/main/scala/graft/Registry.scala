@@ -1808,6 +1808,42 @@ object Registry {
         |FROM lineitem
         |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
         |  AND l_shipdate <  TIMESTAMP '1996-01-01 00:00:00'""".stripMargin)),
+    // z-grid layout probe: result is layout-independent (oracle runs the
+    // plain filter over raw lineitem with the same derived rectangle);
+    // the PLAN reads only intersecting partition dirs — spec-pinned via
+    // the files-read census
+    GraftQuery("x_layout_zorder", LayoutOps.zProbe, Some(
+      """WITH m AS (SELECT max(l_partkey) AS mp, max(l_suppkey) AS ms FROM lineitem),
+        |r AS (SELECT mp*2//10 AS p1, mp*4//10 AS p2, ms*1//10 AS s1, ms*4//10 AS s2 FROM m)
+        |SELECT l_returnflag,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_rows
+        |FROM lineitem, r
+        |WHERE l_partkey >= p1 AND l_partkey < p2
+        |  AND l_suppkey >= s1 AND l_suppkey < s2
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
+    // pruning-benefit gate: partitions touched under the z-grid vs a
+    // linear layout with the same 128-directory budget — exact integer
+    // grid arithmetic both engines reproduce
+    GraftQuery("x_layout_zorder_gate", LayoutOps.zLayoutGate, Some(
+      """WITH m AS (SELECT max(l_partkey) AS mp, max(l_suppkey) AS ms FROM lineitem),
+        |g AS (SELECT mp//16 + 1 AS wp, ms//8 + 1 AS ws, mp//128 + 1 AS wl,
+        |             mp*2//10 AS p1, mp*4//10 AS p2, ms*1//10 AS s1, ms*4//10 AS s2 FROM m),
+        |c AS (SELECT l_partkey // wp * 1048576 + l_suppkey // ws AS zc,
+        |             l_partkey // wl AS lc, l_partkey AS p, l_suppkey AS s
+        |      FROM lineitem, g)
+        |SELECT
+        |  CAST(count(DISTINCT CASE WHEN p >= g.p1 AND p < g.p2 AND s >= g.s1 AND s < g.s2
+        |                           THEN zc END) AS INTEGER) AS z_touched,
+        |  CAST(count(DISTINCT zc) AS INTEGER) AS z_total,
+        |  CAST(count(DISTINCT CASE WHEN p >= g.p1 AND p < g.p2 THEN lc END) AS INTEGER) AS linear_touched,
+        |  CAST(count(DISTINCT lc) AS INTEGER) AS linear_total,
+        |  count(DISTINCT CASE WHEN p >= g.p1 AND p < g.p2 AND s >= g.s1 AND s < g.s2
+        |                      THEN zc END) * count(DISTINCT lc)
+        |    <= count(DISTINCT CASE WHEN p >= g.p1 AND p < g.p2 THEN lc END)
+        |       * count(DISTINCT zc) AS passes
+        |FROM c, g GROUP BY g.p1, g.p2, g.s1, g.s2""".stripMargin)),
     // Count-Min point frequencies: engine-internal hash → rows-only;
     // the dual one-sided-bound gate below is the value-checked signal
     GraftQuery("x_sketch_cms", SketchOps.cmsEstimates, None),
