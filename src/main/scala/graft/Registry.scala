@@ -23,6 +23,17 @@ final case class GraftQuery(
   * SURVEY.md §2 operator id they implement. */
 object Registry {
 
+  /** Shared by a1_monthly_agg_events AND the incremental-MV twin
+    * (x_mv_incremental): one SQL so "incremental ≡ recompute" is a hash
+    * equality against the same oracle, not two drifting copies. */
+  private val monthlyAggEventsOracle: String =
+    """SELECT event_type, date_trunc('month', ts) AS month,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS avg_value,
+      |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+      |       count(*) AS rows_loaded
+      |FROM events GROUP BY event_type, date_trunc('month', ts)
+      |ORDER BY event_type, month""".stripMargin
+
   val core: Seq[GraftQuery] = Seq(
     GraftQuery("f2_explode_tokens", CoreOps.f2ExplodeTokens, Some(
       """SELECT doc_id, CAST(generate_subscripts(string_split(text, ' '), 1) - 1 AS INTEGER) AS pos,
@@ -53,13 +64,8 @@ object Registry {
         |FROM documents ORDER BY doc_id""".stripMargin)),
     GraftQuery("e2_nested_filter", CoreOps.e2NestedFilter, Some(
       """SELECT doc_id, n_chars FROM documents WHERE lang = 'en' ORDER BY doc_id""")),
-    GraftQuery("a1_monthly_agg_events", CoreOps.a1MonthlyAggEvents, Some(
-      """SELECT event_type, date_trunc('month', ts) AS month,
-        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS avg_value,
-        |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
-        |       count(*) AS rows_loaded
-        |FROM events GROUP BY event_type, date_trunc('month', ts)
-        |ORDER BY event_type, month""".stripMargin), headline = true),
+    GraftQuery("a1_monthly_agg_events", CoreOps.a1MonthlyAggEvents,
+      Some(monthlyAggEventsOracle), headline = true),
     GraftQuery("a1_monthly_agg_lineitem", CoreOps.a1MonthlyAggLineitem, Some(
       """SELECT l_returnflag, date_trunc('month', l_shipdate) AS month,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity) AS avg_qty,
@@ -573,6 +579,11 @@ object Registry {
         |UNION ALL
         |SELECT u_key, new_bal, TIMESTAMP '2024-06-01 00:00:00', NULL, 2 FROM upd
         |ORDER BY c_custkey, version""".stripMargin)),
+    // incremental materialized-view maintenance: base partial states ⊕
+    // delta batch must hash-match the full-recompute oracle (the SAME
+    // SQL as a1_monthly_agg_events) — refresh cost tracks batch size
+    GraftQuery("x_mv_incremental", UpsertOps.mvIncrementalMonthly,
+      Some(monthlyAggEventsOracle)),
     // CDC changelog compaction: last-writer-wins by sequence number with
     // delete tombstones — ONE map-side-combined argmax aggregate (the
     // oracle takes the row_number window road the plan avoids)
@@ -958,6 +969,15 @@ object Registry {
         |FROM um JOIN co USING (user_id)
         |GROUP BY co.cohort_day, um.activity_day
         |ORDER BY cohort_day, activity_day""".stripMargin)),
+    // first-order journey transitions: the secondary-sort pass (no
+    // per-user window frame), counted over the |types|² pair domain
+    GraftQuery("x_event_transitions", EventOps.eventTransitions, Some(
+      """WITH s AS (SELECT user_id, event_type,
+        |             lead(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nxt
+        |           FROM events)
+        |SELECT event_type AS prev_type, nxt AS next_type, count(*) AS n
+        |FROM s WHERE nxt IS NOT NULL
+        |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin)),
     // EWMA recurrence (α = 1/2): every step is one IEEE add + an exact
     // halving, and the oracle's recursive CTE replays the identical
     // operation sequence in the identical per-user order → bit-equal
@@ -1844,6 +1864,18 @@ object Registry {
         |    <= count(DISTINCT CASE WHEN p >= g.p1 AND p < g.p2 THEN lc END)
         |       * count(DISTINCT zc) AS passes
         |FROM c, g GROUP BY g.p1, g.p2, g.s1, g.s2""".stripMargin)),
+    // file-level data skipping: range probe through the min/max stats
+    // index over the shipdate-clustered lake — result is
+    // skipping-independent (plain-filter oracle), file census spec-pinned
+    GraftQuery("x_skip_filestats", LayoutOps.skipProbe, Some(
+      """SELECT l_returnflag,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))
+        |                * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_rows
+        |FROM lineitem
+        |WHERE l_shipdate >= TIMESTAMP '1995-01-01 00:00:00'
+        |  AND l_shipdate <  TIMESTAMP '1995-04-01 00:00:00'
+        |GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin)),
     // Count-Min point frequencies: engine-internal hash → rows-only;
     // the dual one-sided-bound gate below is the value-checked signal
     GraftQuery("x_sketch_cms", SketchOps.cmsEstimates, None),

@@ -203,4 +203,39 @@ object EventOps {
       .toDF("user_id", "event_id", "value", "ewma")
       .orderBy("user_id", "event_id")
   }
+
+  /** First-order transition counts between consecutive event types in
+    * each user's journey — the Markov statistics behind next-action
+    * prediction and funnel-drop diagnosis. Output: (prev_type,
+    * next_type, n) over all adjacent pairs.
+    *
+    * Scale shape: the same secondary-sort pass as [[ewmaSmooth]] (one
+    * exchange on user_id, O(1) carry state per partition — the previous
+    * row's type), then a map-side-combined count over the |types|²
+    * pair domain. The window-`lead` formulation the oracle uses would
+    * buffer/sort per user inside |users| window groups; the
+    * mapPartitions form never materializes a per-user frame. */
+  def eventTransitions(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id").cast(LongType), col("event_id").cast(LongType),
+        col("ts"), col("event_type"))
+      .as[(Long, Long, java.sql.Timestamp, String)]
+    ev.repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts"), col("event_id"))
+      .mapPartitions { it =>
+        var cur = 0L; var first = true; var prev: String = null
+        it.flatMap { case (u, _, _, et) =>
+          val out =
+            if (first || u != cur) Iterator.empty
+            else Iterator((prev, et))
+          cur = u; prev = et; first = false
+          out
+        }
+      }
+      .toDF("prev_type", "next_type")
+      .groupBy(col("prev_type"), col("next_type"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("prev_type", "next_type")
+  }
 }

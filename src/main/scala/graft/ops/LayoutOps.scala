@@ -120,4 +120,58 @@ object LayoutOps {
         (col("z_touched") * col("linear_total") <=
           col("linear_touched") * col("z_total")).as("passes"))
   }
+
+  // ------------------------------------------------------------------
+  // File-level data skipping: the min/max stats index
+  // ------------------------------------------------------------------
+
+  /** Build the range-clustered lake iff absent: lineitem range-
+    * partitioned AND sorted by l_shipdate, so each file covers a tight
+    * shipdate interval — the precondition that makes min/max stats
+    * selective (a randomly-laid-out file spans the whole domain and
+    * skips nothing). */
+  def ensureSortedLake(spark: SparkSession, dir: String): String = {
+    val lake = stampedIndexDir("graft_sorted_lake_v1_", dir, "lineitem.parquet")
+    if (!new java.io.File(s"$lake/_SUCCESS").exists()) {
+      Tables(spark, dir, "lineitem")
+        .select(col("l_shipdate"), col("l_returnflag"),
+          col("l_extendedprice"), col("l_discount"))
+        .repartitionByRange(16, col("l_shipdate"))
+        .sortWithinPartitions(col("l_shipdate"))
+        .write.mode("overwrite").parquet(lake)
+    }
+    lake
+  }
+
+  /** Per-file (min, max) shipdate statistics — the catalog a production
+    * writer materializes from parquet footers at commit time; rebuilt
+    * here with one column-pruned scan. |files|-bounded. */
+  def fileStats(spark: SparkSession, lake: String): DataFrame =
+    spark.read.parquet(lake)
+      .groupBy(col("_metadata.file_path").as("file"))
+      .agg(min(col("l_shipdate")).as("lo"), max(col("l_shipdate")).as("hi"))
+
+  private val SkipLo = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
+  private val SkipHi = java.sql.Timestamp.valueOf("1995-04-01 00:00:00")
+
+  /** Range probe through the stats index: consult the |files|-bounded
+    * stats table on the driver, read ONLY the files whose [lo, hi]
+    * interval intersects the predicate range, then apply the exact
+    * filter. Result is skipping-independent (the oracle runs the plain
+    * filter); the file census is spec-pinned. At 100 TB the stats table
+    * is itself a parquet table probed with a broadcast join — the
+    * driver collect here is |files|, the same bound Spark's own
+    * file-listing pays. */
+  def skipProbe(spark: SparkSession, dir: String): DataFrame = {
+    val lake = ensureSortedLake(spark, dir)
+    val keep = fileStats(spark, lake)
+      .filter(col("lo") < lit(SkipHi) && col("hi") >= lit(SkipLo))
+      .collect().map(_.getString(0))
+    spark.read.parquet(keep.toIndexedSeq: _*)
+      .filter(col("l_shipdate") >= lit(SkipLo) && col("l_shipdate") < lit(SkipHi))
+      .groupBy(col("l_returnflag"))
+      .agg(revenueExact(col("l_extendedprice"), col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag")
+  }
 }

@@ -52,4 +52,34 @@ class LayoutOpsSpec extends SparkSpec {
       s"z ${r.getInt(0)}/${r.getInt(1)} vs linear ${r.getInt(2)}/${r.getInt(3)}")
     assert(r.getInt(0) >= 1 && r.getInt(1) >= r.getInt(0))
   }
+
+  // -------------------------------------------------- file-stat skipping
+
+  test("skip probe: equals the plain filtered aggregate (skipping transparency)") {
+    val got = LayoutOps.skipProbe(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    val lo = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1995-04-01 00:00:00")
+    val want = Tables(spark, Sf0001, "lineitem")
+      .filter(col("l_shipdate") >= lit(lo) && col("l_shipdate") < lit(hi))
+      .groupBy(col("l_returnflag"))
+      .agg(revenueExact(col("l_extendedprice"), col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("l_returnflag").collect()
+      .map(r => (r.getString(0), r.getDouble(1), r.getLong(2))).toSeq
+    assert(got == want && got.nonEmpty)
+  }
+
+  test("skip probe: the stats index admits strictly fewer files than the lake") {
+    val lake = LayoutOps.ensureSortedLake(spark, Sf0001)
+    val stats = LayoutOps.fileStats(spark, lake)
+    val total = stats.count()
+    val lo = java.sql.Timestamp.valueOf("1995-01-01 00:00:00")
+    val hi = java.sql.Timestamp.valueOf("1995-04-01 00:00:00")
+    val kept = stats.filter(col("lo") < lit(hi) && col("hi") >= lit(lo)).count()
+    // a 3-month probe over a ~7-year domain split into 16 sorted ranges
+    // must skip most files — the whole point of the stats index
+    assert(kept >= 1 && kept < total, s"kept $kept of $total")
+    assert(kept <= total / 2, s"skipping too weak: kept $kept of $total")
+  }
 }

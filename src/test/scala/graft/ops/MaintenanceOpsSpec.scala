@@ -208,4 +208,28 @@ class MaintenanceOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
     assert(got == Seq((3L, 3L, 30.0), (7L, 1004L, 70.0)))
   }
+
+  // ------------------------------------------------- incremental MV
+
+  test("mv incremental: base ⊕ delta is bit-identical to the full recompute") {
+    val inc = UpsertOps.mvIncrementalMonthly(spark, Sf0001).collect()
+    val full = CoreOps.a1MonthlyAggEvents(spark, Sf0001).collect()
+    assert(inc.length == full.length && inc.length > 0)
+    inc.zip(full).foreach { case (a, b) =>
+      assert(a.getString(0) == b.getString(0))
+      assert(a.getTimestamp(1) == b.getTimestamp(1))
+      // exact equality, not tolerance: the mergeable state is decimal
+      assert(a.getDouble(2) == b.getDouble(2), s"avg for ${a.getString(0)}")
+      assert(a.getDouble(3) == b.getDouble(3), s"sum for ${a.getString(0)}")
+      assert(a.getLong(4) == b.getLong(4))
+    }
+  }
+
+  test("mv incremental: second call reuses the materialized base (no rebuild)") {
+    UpsertOps.mvIncrementalMonthly(spark, Sf0001).collect() // ensure built
+    val base = graft.ops.stampedIndexDir("graft_mv_base_v1_", Sf0001, "events.parquet")
+    val stamp = new java.io.File(s"$base/_SUCCESS").lastModified()
+    UpsertOps.mvIncrementalMonthly(spark, Sf0001).collect()
+    assert(new java.io.File(s"$base/_SUCCESS").lastModified() == stamp)
+  }
 }

@@ -111,4 +111,35 @@ class TimeSeriesOpsSpec extends SparkSpec {
       .filter(col("seen") === 1 && col("value_filled").isNull)
     assert(reverted.count() == 0)
   }
+
+  // -------------------------------------------------------- transitions
+
+  test("transitions: planted journeys count adjacent pairs, never cross users") {
+    import spark.implicits._
+    // user 1: view→click→view ; user 2: click→purchase ; user 3: single
+    // event (no pair). Written out of order; the (ts, event_id) sort and
+    // per-user reset decide adjacency.
+    val rows = Seq(
+      (12L, ts("2024-01-01 02:00:00"), 1L, "view", 0.0, "{}"),
+      (10L, ts("2024-01-01 00:00:00"), 1L, "view", 0.0, "{}"),
+      (11L, ts("2024-01-01 01:00:00"), 1L, "click", 0.0, "{}"),
+      (21L, ts("2024-01-01 00:30:00"), 2L, "purchase", 0.0, "{}"),
+      (20L, ts("2024-01-01 00:00:00"), 2L, "click", 0.0, "{}"),
+      (30L, ts("2024-01-01 00:00:00"), 3L, "error", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = tempDir("trans_events")
+    rows.repartition(3).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventOps.eventTransitions(spark, dir).collect()
+      .map(r => (r.getString(0), r.getString(1), r.getLong(2))).toSeq
+    assert(got == Seq(
+      ("click", "purchase", 1L), ("click", "view", 1L), ("view", "click", 1L)))
+  }
+
+  test("transitions: totals balance — pairs = events − users (sf0.001)") {
+    val ev = Tables(spark, Sf0001, "events")
+    val want = ev.count() - ev.select(col("user_id")).distinct().count()
+    val got = EventOps.eventTransitions(spark, Sf0001)
+      .agg(sum(col("n"))).collect()(0).getLong(0)
+    assert(got == want)
+  }
 }
