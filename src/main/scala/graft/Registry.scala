@@ -995,6 +995,24 @@ object Registry {
         |  FROM e JOIN s ON e.user_id = s.user_id AND e.rn = s.rn + 1)
         |SELECT user_id, event_id, value, ewma FROM s
         |ORDER BY user_id, event_id""".stripMargin)),
+    // Holt linear smoothing (α = β = 1/2): additions + exact halvings
+    // replayed by the recursive CTE in identical order → bit-equal
+    GraftQuery("x_ts_holt", EventOps.holtSmooth, Some(
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, event_id, value,
+        |         row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |s AS (
+        |  SELECT user_id, event_id, value, rn, value AS level,
+        |         CAST(0.0 AS DOUBLE) AS trend
+        |  FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.event_id, e.value, e.rn,
+        |         (e.value + (s.level + s.trend)) / 2,
+        |         (((e.value + (s.level + s.trend)) / 2 - s.level) + s.trend) / 2
+        |  FROM e JOIN s ON e.user_id = s.user_id AND e.rn = s.rn + 1)
+        |SELECT user_id, event_id, value, level, trend FROM s
+        |ORDER BY user_id, event_id""".stripMargin)),
     GraftQuery("x_event_anomaly", EventOps.anomalyZscore, Some(
       """WITH s AS (
         |  SELECT event_type AS et,
@@ -1209,6 +1227,15 @@ object Registry {
         |FROM e a JOIN e b ON a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(a.v, b.v) >= 0.5
         |ORDER BY vec_a, vec_b""".stripMargin)),
+    // edit-distance ≤ 1 ER pairs via wildcard (deletion-neighborhood)
+    // hashing — alphabet-bounded buckets; the oracle brute-forces the
+    // quadratic pair space the Spark plan never materializes
+    GraftQuery("x_dedup_editdist_pairs", DedupOps.editDistPairs, Some(
+      """SELECT a.c_custkey AS key_a, b.c_custkey AS key_b,
+        |       CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS dist
+        |FROM customer a JOIN customer b ON a.c_custkey < b.c_custkey
+        |WHERE levenshtein(a.c_name, b.c_name) <= 1
+        |ORDER BY key_a, key_b""".stripMargin)),
     GraftQuery("x_sim_topk_brute", SimilarityOps.topkBrute, Some(
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
@@ -1686,6 +1713,17 @@ object Registry {
         |  FROM documents)
         |WHERE rank_in_source <= 20
         |ORDER BY doc_id""".stripMargin)),
+    // bottom-k-by-md5 reproducible sample: the oracle takes the window
+    // road; the Spark plan is the k-bounded map-side pairs aggregate
+    GraftQuery("x_sample_bottomk", SamplingOps.bottomKSample, Some(
+      """WITH h AS (SELECT source, doc_id,
+        |             CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 12)) AS BIGINT) AS h
+        |           FROM documents)
+        |SELECT source,
+        |       CAST(row_number() OVER (PARTITION BY source ORDER BY h, doc_id) AS INTEGER) AS sample_rank,
+        |       doc_id, h
+        |FROM h QUALIFY sample_rank <= 10
+        |ORDER BY source, sample_rank""".stripMargin)),
     GraftQuery("x_sample_quality_weighted", SamplingOps.qualityWeightedSample, Some(
       """WITH s AS (
         |  SELECT doc_id, lang, source,
@@ -1819,6 +1857,28 @@ object Registry {
         |SELECT CAST(bucket AS INTEGER) AS bucket, min(l_quantity) AS lo,
         |       max(l_quantity) AS hi, CAST(sum(cnt) AS BIGINT) AS n_rows
         |FROM b GROUP BY bucket ORDER BY bucket""".stripMargin)),
+    // per-cell χ² drift contributions: all double arithmetic is per-row
+    // and correctly rounded, so both engines are bit-equal
+    GraftQuery("x_drift_cells", StatsOps.driftCells, Some(
+      """WITH ev AS (SELECT date_trunc('month', ts) AS month, event_type FROM events),
+        |c AS (SELECT month, event_type, count(*) AS observed FROM ev GROUP BY 1, 2),
+        |m AS (SELECT month, count(*) AS n_month FROM ev GROUP BY 1),
+        |t AS (SELECT event_type, count(*) AS n_type FROM ev GROUP BY 1),
+        |g AS (SELECT count(*) AS n_all FROM ev)
+        |SELECT month, event_type, observed, expected,
+        |       (observed - expected) * (observed - expected) / expected AS chi2_cell
+        |FROM (SELECT c.month, c.event_type, c.observed,
+        |             CAST(m.n_month AS DOUBLE) * t.n_type / g.n_all AS expected
+        |      FROM c JOIN m USING (month) JOIN t USING (event_type) CROSS JOIN g)
+        |ORDER BY month, event_type""".stripMargin)),
+    // engine-portable order-independent content fingerprint (md5-prefix
+    // sum) — the cross-system replication check, recomputed by DuckDB
+    GraftQuery("x_table_checksum", StatsOps.tableChecksum, Some(
+      """SELECT source, count(*) AS n_rows,
+        |       CAST(sum(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR) || '|' || text || '|' ||
+        |                                     lang || '|' || CAST(n_chars AS VARCHAR)), 1, 8)) AS BIGINT))
+        |            AS BIGINT) AS checksum
+        |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
     // mergeable HLL distinct-count tiles (DataSketches bytes — unlike
     // approx_count_distinct, storable and unionable across partitions);
     // estimates are engine-internal → rows-only, the gate is the signal
@@ -1887,6 +1947,20 @@ object Registry {
         |WHERE term IN ('agg','batch','dup','fast','hash','join','merge','query',
         |               'scan','slow','sort','table','vector','window')
         |GROUP BY term ORDER BY term""".stripMargin)),
+    // CMS inner-product join-size estimates (engine-internal hash →
+    // rows-only); the dual one-sided-bound gate below is value-checked
+    GraftQuery("x_sketch_joinsize", SketchOps.joinSizeEstimates, None),
+    GraftQuery("x_sketch_joinsize_gate", SketchOps.joinSizeGate, Some(
+      """WITH sj AS (SELECT CAST(sum(n * n) AS BIGINT) AS v
+        |            FROM (SELECT count(*) AS n FROM lineitem GROUP BY l_partkey)),
+        |     jo AS (SELECT count(*) AS v FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |     nl AS (SELECT count(*) AS v FROM lineitem),
+        |     no AS (SELECT count(*) AS v FROM orders)
+        |SELECT 'l_partkey_self' AS pair, nl.v AS n_left, nl.v AS n_right,
+        |       sj.v AS exact_size, TRUE AS passes FROM sj, nl
+        |UNION ALL
+        |SELECT 'lineitem_orders', nl.v, no.v, jo.v, TRUE FROM jo, nl, no
+        |ORDER BY pair""".stripMargin)),
     // one-pass exact Gram/covariance (GramAggregator): the oracle takes
     // the self-join-on-dimension road the Spark plan deliberately avoids
     GraftQuery("x_embed_gram", EmbedOps.embedGram, Some(

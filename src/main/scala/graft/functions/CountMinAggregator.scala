@@ -77,6 +77,28 @@ object CountMinAggregator {
   def cell(term: String, d: Int, width: Int): Int =
     java.lang.Math.floorMod(splitmix(fnv64(term) ^ (d * Golden)), width)
 
+  /** Join-size (inner-product) estimate from two same-shape sketches
+    * (Cormode & Muthukrishnan §4.2): row d's dot product
+    * Σ_j A_d[j]·B_d[j] equals the true join size Σ_k n_A(k)·n_B(k) plus
+    * non-negative collision mass, so min over rows is one-sided —
+    * `est ≥ true` always, with excess the colliding cross mass
+    * (expected |A|·|B|/width per row). Self-join size (the F2 moment
+    * that drives aggregate/join cardinality planning) is the a == b
+    * case. */
+  def innerProduct(a: Array[Long], b: Array[Long], depth: Int, width: Int): Long = {
+    var est = Long.MaxValue
+    var d = 0
+    while (d < depth) {
+      var dot = 0L
+      var j = d * width
+      val end = j + width
+      while (j < end) { dot += a(j) * b(j); j += 1 }
+      if (dot < est) est = dot
+      d += 1
+    }
+    est
+  }
+
   /** Point-frequency estimate: min over the `depth` counted cells. */
   def estimate(sketch: Array[Long], term: String, depth: Int, width: Int): Long = {
     var est = Long.MaxValue

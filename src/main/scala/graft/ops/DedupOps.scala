@@ -400,4 +400,40 @@ object DedupOps {
       .filter(col("cos") >= 0.5)
       .orderBy("vec_a", "vec_b")
   }
+
+  /** Edit-distance ≤ 1 entity-resolution pairs over the customer-name
+    * column via WILDCARD (deletion-neighborhood) HASHING — the FastSS
+    * family (Bocek et al. 2007): each name emits one variant per
+    * position with that position blanked; two equal-length names are
+    * within one substitution iff they share a variant. Candidates
+    * therefore form inside variant buckets whose size is bounded by the
+    * ALPHABET (≤ 10 digit choices here), never by data volume — unlike
+    * prefix blocking, which collapses under low-entropy prefixes
+    * (sequential IDs all share "000…"), this cannot skew: bucket size
+    * is ≤ |Σ| by construction at ANY corpus size. One explode (10×
+    * emission on just the 9-digit tail), one shuffle on the variant,
+    * ≤ |Σ|²/2 pair evals per bucket, then the exact levenshtein filter.
+    * Names are fixed-length, so levenshtein ≤ 1 ⇔ hamming ≤ 1 and the
+    * neighborhood is provably complete — the brute-force oracle agrees
+    * exactly. */
+  def editDistPairs(spark: SparkSession, dir: String): DataFrame = {
+    val named = Tables(spark, dir, "customer")
+      .select(col("c_custkey"), col("c_name"),
+        substring(col("c_name"), 10, 9).as("digits"))
+    val variants = named.select(col("c_custkey"), col("c_name"),
+      explode(sequence(lit(1), lit(9))).as("pos"))
+      .select(col("c_custkey"), col("c_name"),
+        concat(col("pos").cast(StringType), lit(":"),
+          expr("overlay(substring(c_name, 10, 9) PLACING '_' FROM pos FOR 1)"))
+          .as("variant"))
+    variants.as("a")
+      .join(variants.as("b"),
+        col("a.variant") === col("b.variant") &&
+          col("a.c_custkey") < col("b.c_custkey"))
+      .select(col("a.c_custkey").as("key_a"), col("b.c_custkey").as("key_b"),
+        levenshtein(col("a.c_name"), col("b.c_name")).as("dist"))
+      .distinct() // two names CAN share several variants only if equal — keep the guard anyway
+      .filter(col("dist") <= 1)
+      .orderBy("key_a", "key_b")
+  }
 }

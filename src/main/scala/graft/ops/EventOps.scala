@@ -204,6 +204,42 @@ object EventOps {
       .orderBy("user_id", "event_id")
   }
 
+  /** Holt linear (double-exponential) smoothing per user — [[ewmaSmooth]]
+    * plus a TREND component, the forecasting baseline for metrics that
+    * drift (ℓ = level, b = slope; the one-step forecast is ℓ + b):
+    * ℓ₁ = x₁, b₁ = 0; ℓₜ = (xₜ + (ℓₜ₋₁ + bₜ₋₁))/2,
+    * bₜ = ((ℓₜ − ℓₜ₋₁) + bₜ₋₁)/2 — i.e. α = β = 1/2.
+    *
+    * Determinism: every step is IEEE additions/subtractions and exact
+    * halvings, and the oracle's recursive CTE replays the identical
+    * sequence in the identical (ts, event_id) order → bit-equal doubles
+    * (the [[ewmaSmooth]] argument, applied to a 2-component state).
+    * Scale shape: same secondary-sort pass — one exchange on user_id,
+    * two doubles of carry state per partition, series length free. */
+  def holtSmooth(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id").cast(LongType), col("event_id").cast(LongType),
+        col("ts"), col("value").cast(DoubleType))
+      .as[(Long, Long, java.sql.Timestamp, Double)]
+    ev.repartition(col("user_id"))
+      .sortWithinPartitions(col("user_id"), col("ts"), col("event_id"))
+      .mapPartitions { it =>
+        var cur = 0L; var first = true; var l = 0.0; var b = 0.0
+        it.map { case (u, id, _, v) =>
+          if (first || u != cur) { l = v; b = 0.0; cur = u; first = false }
+          else {
+            val lPrev = l
+            l = (v + (l + b)) / 2
+            b = ((l - lPrev) + b) / 2
+          }
+          (u, id, v, l, b)
+        }
+      }
+      .toDF("user_id", "event_id", "value", "level", "trend")
+      .orderBy("user_id", "event_id")
+  }
+
   /** First-order transition counts between consecutive event types in
     * each user's journey — the Markov statistics behind next-action
     * prediction and funnel-drop diagnosis. Output: (prev_type,

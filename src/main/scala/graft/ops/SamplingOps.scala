@@ -134,4 +134,38 @@ object SamplingOps {
       .filter(col("bucket") < col("weight") * 1000.0)
       .orderBy("doc_id")
   }
+
+  /** How many documents per source the bottom-k sample keeps. */
+  val BottomK = 10
+
+  /** Bottom-k-by-hash sampling: per source, the [[BottomK]] documents
+    * with the smallest md5(doc_id) rank — the reproducible uniform
+    * sample every training-data pipeline needs (eyeball panels,
+    * held-out audits) with three properties a `rand()` sample lacks:
+    * engine-portable (any system that can md5 reproduces the exact
+    * rows), stable under reruns/partitioning, and CONSISTENT under
+    * corpus growth (a doc leaves the sample only when a smaller-hash
+    * doc arrives — bottom-k sketches compose under union, so per-shard
+    * samples merge into the global sample for free).
+    *
+    * Scale shape: the k-bounded pairs aggregate, NOT a row_number
+    * window — partial bottom-k per partition map-side, so the exchange
+    * carries ≤ k pairs per (partition, source) instead of shuffling
+    * every row into |sources| reducers. The 48-bit hash prefix is
+    * exactly representable in the aggregator's Double score. */
+  def bottomKSample(spark: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(graft.functions.TopKPairsAggregator(BottomK))
+    Tables(spark, dir, "documents")
+      .select(col("source"), col("doc_id"),
+        conv(substring(md5(col("doc_id").cast(StringType)), 1, 12), 16, 10)
+          .cast(LongType).as("h"))
+      .groupBy(col("source"))
+      // ScoredNeighbor orders (score DESC, id ASC); negate for hash ASC
+      .agg(topk((-col("h")).cast(DoubleType), col("doc_id")).as("picks"))
+      .select(col("source"), posexplode(col("picks")).as(Seq("i", "pick")))
+      .select(col("source"), (col("i") + 1).cast(IntegerType).as("sample_rank"),
+        col("pick.neighborId").as("doc_id"),
+        (-col("pick.cos")).cast(LongType).as("h"))
+      .orderBy("source", "sample_rank")
+  }
 }

@@ -217,4 +217,72 @@ object SketchOps {
           .as("within_bound"))
       .orderBy("term")
   }
+
+  // ------------------------------------------------------------------
+  // Join-size estimation: the CMS inner product
+  // ------------------------------------------------------------------
+
+  /** Join-size sketch shape. Wider than the point-frequency sketch
+    * because inner-product excess scales with |A|·|B|/width, not n/width:
+    * at width 2^16 the expected excess on a 600k-row self-join is ~n²/2^16
+    * ≈ 0.3·F2 — usable; at the point sketch's 2^10 it would be 64× and
+    * swamp the signal. 4×65536×8 B = 2 MB per partial — each of 1000
+    * executors ships one 2 MB matrix instead of its key histogram. */
+  val JoinDepth = 4
+  val JoinWidth = 65536
+
+  private def keySketch(df: DataFrame, key: String): Array[Long] = {
+    val cms = udaf(graft.functions.CountMinAggregator(JoinDepth, JoinWidth))
+    df.select(col(key).cast(StringType).as("k"))
+      .agg(cms(col("k")).as("sketch"))
+      .collect()(0).getAs[scala.collection.Seq[Long]]("sketch").toArray
+  }
+
+  /** The two join-size questions the optimizer asks before picking a
+    * strategy, answered from sketches alone (never materializing the
+    * join): the l_partkey self-join size (the F2 moment — skew signal
+    * and grace-hash sizing input) and |lineitem ⋈ orders| on orderkey.
+    * One scan per input, one 2 MB mergeable matrix each, inner product
+    * on the driver. Estimates depend on the engine-internal hash →
+    * rows-only; the value-checked signal is [[joinSizeGate]]. */
+  def joinSizeEstimates(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    import graft.functions.CountMinAggregator.innerProduct
+    val li = keySketch(Tables(spark, dir, "lineitem"), "l_partkey")
+    val lo = keySketch(Tables(spark, dir, "lineitem"), "l_orderkey")
+    val oo = keySketch(Tables(spark, dir, "orders"), "o_orderkey")
+    Seq(
+      ("l_partkey_self", innerProduct(li, li, JoinDepth, JoinWidth)),
+      ("lineitem_orders", innerProduct(lo, oo, JoinDepth, JoinWidth)))
+      .toDF("pair", "est_size")
+      .orderBy("pair")
+  }
+
+  /** Value-oracled join-size gate: per pair, the exact join size (a
+    * count the oracle recomputes by actually joining) alongside the
+    * sketch estimate's two one-sided bounds — `est ≥ true` (collision
+    * mass is non-negative) and `est ≤ true + depth·|A|·|B|/width` (the
+    * deterministic band, depth× the expected excess). Integer
+    * arithmetic throughout; the oracle expects the literal TRUE pair. */
+  def joinSizeGate(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val est = joinSizeEstimates(spark, dir).as[(String, Long)].collect().toMap
+    val li = Tables(spark, dir, "lineitem")
+    val or = Tables(spark, dir, "orders")
+    val selfExact = li.groupBy(col("l_partkey")).agg(count(lit(1)).as("n"))
+      .agg(sum(col("n") * col("n"))).collect()(0).getLong(0)
+    val joinExact = li.select(col("l_orderkey"))
+      .join(or.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey")).count()
+    val nLi = li.count(); val nOr = or.count()
+    def row(pair: String, exact: Long, na: Long, nb: Long): (String, Long, Long, Long, Boolean) = {
+      val e = est(pair)
+      (pair, na, nb, exact,
+        e >= exact && (e - exact) * JoinWidth <= JoinDepth.toLong * na * nb)
+    }
+    Seq(row("l_partkey_self", selfExact, nLi, nLi),
+      row("lineitem_orders", joinExact, nLi, nOr))
+      .toDF("pair", "n_left", "n_right", "exact_size", "passes")
+      .orderBy("pair")
+  }
 }

@@ -94,4 +94,58 @@ object StatsOps {
         sum(col("cnt")).as("n_rows"))
       .orderBy("bucket")
   }
+
+  /** Distribution-drift monitor: each month's event-type mix tested
+    * against the all-time mix, reported as per-cell χ² contributions
+    * (observed, expected = n_month · p_overall, (o−e)²/e) — the
+    * detector a 100 TB ingest runs on every new partition to catch a
+    * source going sideways before it poisons training mix ratios.
+    *
+    * Scale shape: two integer aggregates over the |months|·|types| cell
+    * domain (one shuffle on the fact table) and a broadcast of the
+    * |types|-row overall mix; all double arithmetic is per-row and
+    * correctly rounded (counts → one division, one multiply, one
+    * square), so no cross-row float summation order exists and the
+    * DuckDB oracle is bit-identical. The χ² total is left to the
+    * consumer (or a decimal sum) precisely to keep that property. */
+  def driftCells(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(date_trunc("month", col("ts")).as("month"), col("event_type"))
+    val cells = ev.groupBy(col("month"), col("event_type"))
+      .agg(count(lit(1)).as("observed"))
+    val monthTotals = ev.groupBy(col("month")).agg(count(lit(1)).as("n_month"))
+    val typeTotals = ev.groupBy(col("event_type")).agg(count(lit(1)).as("n_type"))
+    val grandTotal = ev.agg(count(lit(1)).as("n_all"))
+    cells
+      .join(broadcast(monthTotals), Seq("month"))
+      .join(broadcast(typeTotals), Seq("event_type"))
+      .crossJoin(broadcast(grandTotal))
+      .withColumn("expected",
+        col("n_month").cast(DoubleType) * col("n_type") / col("n_all"))
+      .select(col("month"), col("event_type"), col("observed"),
+        col("expected"),
+        ((col("observed") - col("expected")) * (col("observed") - col("expected"))
+          / col("expected")).as("chi2_cell"))
+      .orderBy("month", "event_type")
+  }
+
+  /** Order-independent, ENGINE-PORTABLE table fingerprint: per source,
+    * the row count plus the bigint sum of each row's canonical-string
+    * md5 prefix (first 8 hex chars → 32-bit value). Commutative sum ⇒
+    * partitioning/ordering cannot change it; md5 over a '|'-joined
+    * canonical form ⇒ any engine (DuckDB, Trino, a Python validator)
+    * reproduces it byte-for-byte — the cross-system replication check
+    * you run after copying 100 TB between lakes, at the cost of one
+    * map-side-combined scan. (Spark's own `hash`/`xxhash64` are faster
+    * but engine-private — useless as a cross-system invariant.) */
+  def tableChecksum(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("source"),
+        conv(substring(md5(concat_ws("|",
+          col("doc_id").cast(StringType), col("text"), col("lang"),
+          col("n_chars").cast(StringType))), 1, 8), 16, 10)
+          .cast(LongType).as("h"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("checksum"))
+      .orderBy("source")
 }

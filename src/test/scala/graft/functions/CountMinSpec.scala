@@ -41,6 +41,23 @@ class CountMinSpec extends SparkSpec {
     assert(a.toSeq == b.toSeq, "elementwise-sum merge must be partition-count-invariant")
   }
 
+  test("inner product: exact join size when collision-free, never below truth") {
+    // A = {a×3, b×2, c×1}, B = {b×4, c×5, d×7} → true join size
+    // Σ n_A(k)·n_B(k) = 2·4 + 1·5 = 13; 4 distinct terms in 4×1024
+    // cells → some row is collision-free and min() recovers it exactly
+    val a = sketchOf(Seq.fill(3)("a") ++ Seq.fill(2)("b") ++ Seq("c"), 2)
+    val b = sketchOf(Seq.fill(4)("b") ++ Seq.fill(5)("c") ++ Seq.fill(7)("d"), 3)
+    assert(CountMinAggregator.innerProduct(a, b, D, W) == 13L)
+    // self-join size (F2): 9 + 4 + 1 = 14
+    assert(CountMinAggregator.innerProduct(a, a, D, W) == 14L)
+  }
+
+  test("join-size gate: both bounds hold on the real tables at sf0.001") {
+    val rows = graft.ops.SketchOps.joinSizeGate(spark, Sf0001).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("l_partkey_self", "lineitem_orders"))
+    rows.foreach(r => assert(r.getAs[Boolean]("passes"), r.getString(0)))
+  }
+
   test("gate passes on the real corpus at sf0.001") {
     val rows = graft.ops.SketchOps.cmsGate(spark, Sf0001).collect()
     assert(rows.nonEmpty)

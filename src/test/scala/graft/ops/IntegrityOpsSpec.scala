@@ -1,0 +1,159 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Semantics tests for the data-integrity / reliability operators:
+  * χ² drift cells, engine-portable table checksums, wildcard-hash
+  * edit-distance pairs, and bottom-k-by-hash sampling. */
+class IntegrityOpsSpec extends SparkSpec {
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+
+  // ------------------------------------------------------------- drift
+
+  test("drift: identical monthly mixes give expected == observed, chi2 == 0") {
+    import spark.implicits._
+    // two months, both with 2 views + 1 click → overall mix equals each
+    // month's mix exactly, so every cell's expectation is its count
+    val rows = Seq(
+      (1L, ts("2024-01-05 00:00:00"), 1L, "view", 0.0, "{}"),
+      (2L, ts("2024-01-06 00:00:00"), 1L, "view", 0.0, "{}"),
+      (3L, ts("2024-01-07 00:00:00"), 1L, "click", 0.0, "{}"),
+      (4L, ts("2024-02-05 00:00:00"), 1L, "view", 0.0, "{}"),
+      (5L, ts("2024-02-06 00:00:00"), 1L, "view", 0.0, "{}"),
+      (6L, ts("2024-02-07 00:00:00"), 1L, "click", 0.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = tempDir("drift_flat")
+    rows.repartition(3).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val cells = StatsOps.driftCells(spark, dir).collect()
+    assert(cells.length == 4)
+    cells.foreach { r =>
+      assert(r.getAs[Double]("expected") == r.getAs[Long]("observed").toDouble)
+      assert(r.getAs[Double]("chi2_cell") == 0.0)
+    }
+  }
+
+  test("drift: marginals reconcile on real data (sf0.001)") {
+    val cells = StatsOps.driftCells(spark, Sf0001)
+    // per month: observed sums to the month total the expectation used
+    val bad = cells
+      .groupBy(col("month"))
+      .agg(sum(col("observed")).as("o"), sum(col("expected")).as("e"))
+      .filter(abs(col("o") - col("e")) > 1e-6)
+    assert(bad.count() == 0)
+    assert(cells.filter(col("chi2_cell") < 0.0).count() == 0)
+  }
+
+  // ---------------------------------------------------------- checksum
+
+  test("checksum: invariant under partitioning and row order") {
+    import spark.implicits._
+    val docs = (0L until 50L).map(i =>
+      (i, s"text body $i", "en", s"src${i % 3}", 10L + i))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val d1 = tempDir("ck_a"); val d2 = tempDir("ck_b")
+    docs.repartition(1).write.mode("overwrite").parquet(s"$d1/documents.parquet")
+    docs.orderBy(desc("doc_id")).repartition(7)
+      .write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    val a = StatsOps.tableChecksum(spark, d1).collect().map(_.toString).toSeq
+    val b = StatsOps.tableChecksum(spark, d2).collect().map(_.toString).toSeq
+    assert(a == b)
+  }
+
+  test("checksum: one changed byte moves exactly its source's checksum") {
+    import spark.implicits._
+    val base = (0L until 50L).map(i =>
+      (i, s"text body $i", "en", s"src${i % 3}", 10L + i))
+    val mutated = base.map { case r @ (i, t, l, s, n) =>
+      if (i == 7L) (i, t + "!", l, s, n) else r } // doc 7 lives in src1
+    val d1 = tempDir("ck_c"); val d2 = tempDir("ck_d")
+    base.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d1/documents.parquet")
+    mutated.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    val a = StatsOps.tableChecksum(spark, d1).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    val b = StatsOps.tableChecksum(spark, d2).collect()
+      .map(r => r.getString(0) -> r.getLong(2)).toMap
+    assert(a("src1") != b("src1"))
+    assert(a.filterNot(_._1 == "src1") == b.filterNot(_._1 == "src1"))
+  }
+
+  // ------------------------------------------------------ edit distance
+
+  test("editdist pairs: planted neighborhood — dist 0 and 1 kept, 2 dropped") {
+    import spark.implicits._
+    // names share the reference TPC-H shape: 9-char prefix + 9 digits
+    val cust = Seq(
+      (1L, "Customer#000000001"),
+      (2L, "Customer#000000002"), // vs 1: one substitution
+      (3L, "Customer#000000011"), // vs 1: one; vs 2: two
+      (4L, "Customer#999999999"), // far from everything
+      (5L, "Customer#000000001")) // duplicate of 1 → dist 0
+      .toDF("c_custkey", "c_name")
+    val dir = tempDir("ed_cust")
+    cust.repartition(3).write.mode("overwrite").parquet(s"$dir/customer.parquet")
+    val got = DedupOps.editDistPairs(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getInt(2))).toSeq
+    assert(got == Seq(
+      (1L, 2L, 1), (1L, 3L, 1), (1L, 5L, 0),
+      (2L, 5L, 1), (3L, 5L, 1)))
+  }
+
+  test("editdist pairs: complete vs the brute-force quadratic (sf0.001)") {
+    val got = DedupOps.editDistPairs(spark, Sf0001)
+    val c = Tables(spark, Sf0001, "customer").select(col("c_custkey"), col("c_name"))
+    val brute = c.as("a").join(c.as("b"), col("a.c_custkey") < col("b.c_custkey"))
+      .select(col("a.c_custkey").as("key_a"), col("b.c_custkey").as("key_b"),
+        levenshtein(col("a.c_name"), col("b.c_name")).as("dist"))
+      .filter(col("dist") <= 1)
+    assert(got.count() == brute.count())
+    assert(got.exceptAll(brute).count() == 0)
+  }
+
+  // ---------------------------------------------------------- bottom-k
+
+  test("bottom-k sample: equals the per-source hash-order head (sf0.001)") {
+    val got = SamplingOps.bottomKSample(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    // recompute independently: full sort per source by (h, doc_id)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    val want = Tables(spark, Sf0001, "documents")
+      .select(col("source"), col("doc_id"),
+        conv(substring(md5(col("doc_id").cast("string")), 1, 12), 16, 10)
+          .cast("long").as("h"))
+      .withColumn("sample_rank", row_number().over(w).cast("int"))
+      .filter(col("sample_rank") <= SamplingOps.BottomK)
+      .select(col("source"), col("sample_rank"), col("doc_id"), col("h"))
+      .orderBy("source", "sample_rank").collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == want)
+  }
+
+  test("bottom-k sample: per-shard samples merge into the global sample") {
+    import spark.implicits._
+    // bottom-k composes under union: bk(A ∪ B) = bk(bk(A) ∪ bk(B)) —
+    // the property that lets 1000 executors sample shards independently
+    val docs = Tables(spark, Sf0001, "documents")
+    val d1 = tempDir("bk_even"); val d2 = tempDir("bk_odd")
+    docs.filter(col("doc_id") % 2 === 0)
+      .write.mode("overwrite").parquet(s"$d1/documents.parquet")
+    docs.filter(col("doc_id") % 2 === 1)
+      .write.mode("overwrite").parquet(s"$d2/documents.parquet")
+    val merged = SamplingOps.bottomKSample(spark, d1)
+      .unionAll(SamplingOps.bottomKSample(spark, d2))
+      .select(col("source"), col("doc_id"), col("h"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("source")).orderBy(col("h"), col("doc_id"))
+    val remerged = merged
+      .withColumn("sample_rank", row_number().over(w).cast("int"))
+      .filter(col("sample_rank") <= SamplingOps.BottomK)
+      .select(col("source"), col("sample_rank"), col("doc_id"), col("h"))
+      .orderBy("source", "sample_rank").collect().map(_.toString).toSeq
+    val full = SamplingOps.bottomKSample(spark, Sf0001)
+      .collect().map(_.toString).toSeq
+    assert(remerged == full)
+  }
+}

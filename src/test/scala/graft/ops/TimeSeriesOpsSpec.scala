@@ -112,6 +112,43 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(reverted.count() == 0)
   }
 
+  test("holt: planted recurrence, trend starts at zero, per-user reset") {
+    import spark.implicits._
+    // user 1: x=[2,4,8] → l=[2,3,5.75], b=[0,0.5,1.625] by hand:
+    //   t2: l=(4+(2+0))/2=3,      b=((3−2)+0)/2=0.5
+    //   t3: l=(8+(3+0.5))/2=5.75, b=((5.75−3)+0.5)/2=1.625
+    // user 2's single row must reset the carry exactly (l=x, b=0)
+    val rows = Seq(
+      (12L, ts("2024-01-01 02:00:00"), 1L, "view", 8.0, "{}"),
+      (10L, ts("2024-01-01 00:00:00"), 1L, "view", 2.0, "{}"),
+      (11L, ts("2024-01-01 01:00:00"), 1L, "view", 4.0, "{}"),
+      (20L, ts("2024-01-01 00:00:00"), 2L, "view", 6.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    val dir = tempDir("holt_events")
+    rows.repartition(3).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventOps.holtSmooth(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(3), r.getDouble(4)))
+    assert(got.toSeq == Seq(
+      (1L, 10L, 2.0, 0.0), (1L, 11L, 3.0, 0.5), (1L, 12L, 5.75, 1.625),
+      (2L, 20L, 6.0, 0.0)))
+  }
+
+  test("holt: constant-slope series is tracked exactly after convergence") {
+    import spark.implicits._
+    // on x_t = t the recurrence converges to level=x, trend=1; seed far
+    // off and check the planted tail is within numerical snap distance
+    val rows = (1 to 40).map(i =>
+      (i.toLong, ts(f"2024-01-01 ${i / 60}%02d:${i % 60}%02d:00"), 1L, "v", i.toDouble, "{}"))
+    val dir = tempDir("holt_slope")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(2).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    // error contracts by |λ| = √½ per step (complex pair of the 2×2
+    // update matrix) → ~0.707³⁹ ≈ 1e-6 of the initial offset
+    val last = EventOps.holtSmooth(spark, dir).collect().last
+    assert(math.abs(last.getDouble(3) - 40.0) < 1e-4)
+    assert(math.abs(last.getDouble(4) - 1.0) < 1e-4)
+  }
+
   // -------------------------------------------------------- transitions
 
   test("transitions: planted journeys count adjacent pairs, never cross users") {
