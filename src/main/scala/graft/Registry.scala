@@ -1013,6 +1013,80 @@ object Registry {
         |  FROM e JOIN s ON e.user_id = s.user_id AND e.rn = s.rn + 1)
         |SELECT user_id, event_id, value, level, trend FROM s
         |ORDER BY user_id, event_id""".stripMargin)),
+    // exact lag-k autocorrelation: integer moments over the dense hour
+    // spine, Pearson assembled in the same IEEE expression both sides
+    GraftQuery("x_ts_acf", EventOps.acfHourly, Some(
+      """WITH spine AS (
+        |  SELECT et.event_type, h.hour_ts
+        |  FROM (SELECT DISTINCT event_type FROM events) et
+        |  CROSS JOIN (SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+        |                                            TIMESTAMP '2024-01-30 23:00:00',
+        |                                            INTERVAL 1 HOUR)) AS hour_ts) h),
+        |c AS (SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS c
+        |      FROM events GROUP BY 1, 2),
+        |s AS (SELECT spine.event_type,
+        |             CAST(epoch(spine.hour_ts) AS BIGINT) // 3600
+        |               - CAST(epoch(TIMESTAMP '2024-01-01 00:00:00') AS BIGINT) // 3600 AS t,
+        |             coalesce(c.c, 0) AS x
+        |      FROM spine LEFT JOIN c ON spine.event_type = c.event_type AND spine.hour_ts = c.h),
+        |p AS (SELECT a.event_type, CAST(b.t - a.t AS INTEGER) AS lag, a.x AS xa, b.x AS xb
+        |      FROM s a JOIN s b ON a.event_type = b.event_type AND b.t - a.t BETWEEN 1 AND 3),
+        |m AS (SELECT event_type, lag, count(*) AS n_pairs,
+        |             CAST(sum(xa) AS BIGINT) AS sx, CAST(sum(xb) AS BIGINT) AS sy,
+        |             CAST(sum(xa*xa) AS BIGINT) AS sxx, CAST(sum(xb*xb) AS BIGINT) AS syy,
+        |             CAST(sum(xa*xb) AS BIGINT) AS sxy
+        |      FROM p GROUP BY 1, 2)
+        |SELECT event_type, lag, n_pairs, sx, sy, sxx, syy, sxy,
+        |       CASE WHEN n_pairs*sxx - sx*sx > 0 AND n_pairs*syy - sy*sy > 0
+        |            THEN CAST(n_pairs*sxy - sx*sy AS DOUBLE) /
+        |                 (sqrt(CAST(n_pairs*sxx - sx*sx AS DOUBLE)) * sqrt(CAST(n_pairs*syy - sy*sy AS DOUBLE)))
+        |            END AS acf
+        |FROM m ORDER BY event_type, lag""".stripMargin)),
+    // CUSUM changepoint statistic: exact integer counts, IEEE add/max
+    // steps replayed in hour order by the recursive CTE → bit-equal
+    GraftQuery("x_ts_cusum", EventOps.cusumCounts, Some(
+      """WITH RECURSIVE spine AS (
+        |  SELECT et.event_type, h.hour_ts
+        |  FROM (SELECT DISTINCT event_type FROM events) et
+        |  CROSS JOIN (SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+        |                                            TIMESTAMP '2024-01-30 23:00:00',
+        |                                            INTERVAL 1 HOUR)) AS hour_ts) h),
+        |c AS (SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS c
+        |      FROM events GROUP BY 1, 2),
+        |s AS (SELECT spine.event_type,
+        |             CAST(epoch(spine.hour_ts) AS BIGINT) // 3600
+        |               - CAST(epoch(TIMESTAMP '2024-01-01 00:00:00') AS BIGINT) // 3600 + 1 AS rn,
+        |             spine.hour_ts, coalesce(c.c, 0) AS x
+        |      FROM spine LEFT JOIN c ON spine.event_type = c.event_type AND spine.hour_ts = c.h),
+        |tg AS (SELECT event_type, CAST(sum(x) AS DOUBLE) / 720 AS target FROM s GROUP BY 1),
+        |r AS (
+        |  SELECT s.event_type, s.rn, s.hour_ts, s.x,
+        |         greatest(CAST(0 AS DOUBLE), s.x - tg.target) AS cusum
+        |  FROM s JOIN tg USING (event_type) WHERE s.rn = 1
+        |  UNION ALL
+        |  SELECT s.event_type, s.rn, s.hour_ts, s.x,
+        |         greatest(CAST(0 AS DOUBLE), r.cusum + (s.x - tg.target))
+        |  FROM s JOIN r ON s.event_type = r.event_type AND s.rn = r.rn + 1
+        |  JOIN tg ON tg.event_type = s.event_type)
+        |SELECT r.event_type, r.hour_ts, r.x, r.cusum,
+        |       r.cusum > 5 * sqrt(tg.target) AS alarm
+        |FROM r JOIN tg USING (event_type)
+        |ORDER BY event_type, hour_ts""".stripMargin)),
+    // median/MAD robust bands: discrete medians are actual data values,
+    // deviations and the flag comparison exact → fully hash-oracled
+    GraftQuery("x_event_anomaly_mad", EventOps.anomalyMad, Some(
+      """WITH med AS (SELECT event_type, quantile_disc(value, 0.5) AS med
+        |             FROM events GROUP BY 1),
+        |d AS (SELECT e.event_id, e.event_type, e.value, m.med,
+        |             abs(e.value - m.med) AS dev
+        |      FROM events e JOIN med m USING (event_type)),
+        |mad AS (SELECT event_type, med, quantile_disc(dev, 0.5) AS mad
+        |        FROM d GROUP BY 1, 2)
+        |SELECT d.event_id, d.event_type, d.value, mad.med, mad.mad,
+        |       CASE WHEN mad.mad > 0 THEN d.dev / mad.mad END AS score
+        |FROM d JOIN mad ON d.event_type = mad.event_type
+        |WHERE d.dev > 5 * mad.mad
+        |ORDER BY event_id""".stripMargin)),
     GraftQuery("x_event_anomaly", EventOps.anomalyZscore, Some(
       """WITH s AS (
         |  SELECT event_type AS et,

@@ -240,6 +240,144 @@ object EventOps {
       .orderBy("user_id", "event_id")
   }
 
+  /** Pinned dense hour spine shared by the series operators: January
+    * 2024, 720 hourly slots (the [[gapFillHourly]] window). */
+  private val SpineStart = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+  private val SpineEnd = java.sql.Timestamp.valueOf("2024-01-30 23:00:00")
+  private val SpineHours = 720L
+
+  /** Per-type hourly count series on the dense spine: (event_type, t,
+    * hour_ts, x) with t the hour index 0..719 and x = 0 on silent hours.
+    * Integer counts keep every downstream moment exact. */
+  private def hourlySeries(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val spine = ev.select(col("event_type")).distinct()
+      .select(col("event_type"),
+        explode(sequence(lit(SpineStart), lit(SpineEnd), expr("INTERVAL 1 HOUR")))
+          .as("hour_ts"))
+    val counts = ev
+      .groupBy(col("event_type").as("et"), date_trunc("hour", col("ts")).as("h"))
+      .agg(count(lit(1)).as("c"))
+    spine
+      .join(counts, col("event_type") === col("et") && col("hour_ts") === col("h"), "left")
+      .select(col("event_type"),
+        expr(s"(unix_timestamp(hour_ts) - unix_timestamp(TIMESTAMP '2024-01-01 00:00:00')) div 3600")
+          .as("t"),
+        col("hour_ts"), coalesce(col("c"), lit(0L)).as("x"))
+  }
+
+  /** Max lag for [[acfHourly]]. */
+  val AcfMaxLag = 3
+
+  /** Exact lag-1..[[AcfMaxLag]] autocorrelation of each event type's
+    * hourly count series — the seasonality/burstiness diagnostic behind
+    * capacity planning and anomaly-window choice. Counts are integers,
+    * so every moment (Σx, Σx², Σxy and the lagged edge sums) is an exact
+    * int64; the Pearson value is assembled from those moments in a
+    * handful of IEEE double ops written identically in the oracle —
+    * bit-equal (the a14_corr_exact argument, applied to a lagged pair).
+    *
+    * Scale shape: the series domain is |types|·|hours| — bounded by the
+    * calendar, not by event volume; the only scan of the fact table is
+    * the map-side-combined hourly count. The lag pairing is a self-join
+    * on (type, t+lag) over that bounded series, then one tiny aggregate.
+    * No windows, no per-row state. */
+  def acfHourly(spark: SparkSession, dir: String): DataFrame = {
+    val s = hourlySeries(spark, dir).cache()
+    val pairs = s.as("a")
+      .join(s.as("b"),
+        col("a.event_type") === col("b.event_type") &&
+          col("b.t") - col("a.t") >= 1 && col("b.t") - col("a.t") <= AcfMaxLag)
+      .select(col("a.event_type"), (col("b.t") - col("a.t")).cast(IntegerType).as("lag"),
+        col("a.x").as("xa"), col("b.x").as("xb"))
+    val m = pairs.groupBy(col("event_type"), col("lag"))
+      .agg(count(lit(1)).as("n_pairs"),
+        sum(col("xa")).as("sx"), sum(col("xb")).as("sy"),
+        sum(col("xa") * col("xa")).as("sxx"),
+        sum(col("xb") * col("xb")).as("syy"),
+        sum(col("xa") * col("xb")).as("sxy"))
+    val vx = m("n_pairs") * m("sxx") - m("sx") * m("sx")
+    val vy = m("n_pairs") * m("syy") - m("sy") * m("sy")
+    m.select(col("event_type"), col("lag"), col("n_pairs"),
+      col("sx"), col("sy"), col("sxx"), col("syy"), col("sxy"),
+      when(vx > 0 && vy > 0,
+        (m("n_pairs") * m("sxy") - m("sx") * m("sy")).cast(DoubleType) /
+          (sqrt(vx.cast(DoubleType)) * sqrt(vy.cast(DoubleType))))
+        .as("acf"))
+      .orderBy("event_type", "lag")
+  }
+
+  /** One-sided CUSUM drift detector over each type's hourly count
+    * series: sₜ = max(0, sₜ₋₁ + (xₜ − target)) with target the series
+    * mean — the classic sequential changepoint statistic (Page 1954); an
+    * alarm fires when the cumulative excess clears 5·√target (five
+    * Poisson standard deviations). This is the monitor a 100 TB ingest
+    * runs per source to catch a rate change the χ² snapshot
+    * ([[StatsOps.driftCells]]) only sees after the month closes.
+    *
+    * Determinism: target is one exact int64÷int64 division; each step is
+    * an IEEE add and a max, replayed in the identical hour order by the
+    * oracle's recursive CTE → bit-equal (the [[ewmaSmooth]] argument).
+    * Scale shape: one fact-table scan (map-side hourly counts), one
+    * exchange of the bounded series on event_type, O(1) carry state. */
+  def cusumCounts(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val targets = hourlySeries(spark, dir)
+      .groupBy(col("event_type").as("tt"))
+      .agg((sum(col("x")).cast(DoubleType) / lit(SpineHours.toDouble)).as("target"))
+    val s = hourlySeries(spark, dir)
+      .join(broadcast(targets), col("event_type") === col("tt"))
+      .select(col("event_type"), col("t"), col("hour_ts"), col("x"), col("target"))
+      .as[(String, Long, java.sql.Timestamp, Long, Double)]
+    s.repartition(col("event_type"))
+      .sortWithinPartitions(col("event_type"), col("t"))
+      .mapPartitions { it =>
+        var cur: String = null; var acc = 0.0
+        it.map { case (et, _, h, x, target) =>
+          if (et != cur) { cur = et; acc = 0.0 }
+          acc = math.max(0.0, acc + (x - target))
+          (et, h, x, acc, acc > 5.0 * math.sqrt(target))
+        }
+      }
+      .toDF("event_type", "hour_ts", "x", "cusum", "alarm")
+      .orderBy("event_type", "hour_ts")
+  }
+
+  /** Robust (median/MAD) anomaly twin of [[anomalyZscore]]: per type,
+    * med = discrete median of value, mad = discrete median of
+    * |value − med|, and a row is flagged when |value − med| > 5·mad.
+    * Mean/stddev bands move when the outlier itself is large (masking);
+    * the MAD band has a 50% breakdown point — the estimator monitoring
+    * actually wants. Discrete medians are ACTUAL data values (the
+    * cume_dist ≥ ½ minimum, the g4c mechanism), so both medians, every
+    * deviation, and the flag comparison are exact — fully hash-oracled,
+    * score included (one IEEE division, NULL when mad = 0).
+    *
+    * Scale shape: two sort-based percentile passes over the fact table
+    * keyed by event_type + a broadcast-back of the |types|-row band
+    * table; the flagged output is |anomalies|-bounded. */
+  def anomalyMad(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_id"), col("event_type"), col("value"))
+    val w1 = Window.partitionBy(col("event_type")).orderBy(col("value"))
+    val med = ev.withColumn("cd", cume_dist().over(w1))
+      .groupBy(col("event_type").as("t1"))
+      .agg(min(when(col("cd") >= 0.5, col("value"))).as("med"))
+    val dev = ev.join(broadcast(med), col("event_type") === col("t1"))
+      .withColumn("dev", abs(col("value") - col("med")))
+    val w2 = Window.partitionBy(col("event_type")).orderBy(col("dev"))
+    val mad = dev.withColumn("cd", cume_dist().over(w2))
+      .groupBy(col("event_type").as("t2"), col("med").as("med2"))
+      .agg(min(when(col("cd") >= 0.5, col("dev"))).as("mad"))
+    ev.join(broadcast(mad), col("event_type") === col("t2"))
+      .withColumn("dev", abs(col("value") - col("med2")))
+      .filter(col("dev") > lit(5.0) * col("mad"))
+      .select(col("event_id"), col("event_type"), col("value"),
+        col("med2").as("med"), col("mad"),
+        when(col("mad") > 0.0, col("dev") / col("mad")).as("score"))
+      .orderBy("event_id")
+  }
+
   /** First-order transition counts between consecutive event types in
     * each user's journey — the Markov statistics behind next-action
     * prediction and funnel-drop diagnosis. Output: (prev_type,

@@ -149,6 +149,98 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(math.abs(last.getDouble(4) - 1.0) < 1e-4)
   }
 
+  // ---------------------------------------------------------- acf/cusum
+
+  /** Period-2 series: hours 0,2,4,… carry two 'tick' events, odd hours
+    * none — lag-1 ACF ≈ −1, lag-2 ≈ +1. A second 'step' type runs
+    * 1/hour for the first 360 hours then 3/hour — the planted
+    * changepoint for CUSUM (target = 2, excess +1/hour after the step). */
+  private lazy val acfDir: String = {
+    import spark.implicits._
+    val tick = (0 until 360).flatMap { k =>
+      val h = 2 * k
+      Seq((10000L + 2 * k, ts(f"2024-01-${1 + h / 24}%02d ${h % 24}%02d:05:00"), 1L, "tick", 1.0, "{}"),
+        (10001L + 2 * k, ts(f"2024-01-${1 + h / 24}%02d ${h % 24}%02d:35:00"), 1L, "tick", 1.0, "{}"))
+    }
+    val step = (0 until 720).flatMap { h =>
+      val base = Seq((20000L + 3 * h, ts(f"2024-01-${1 + h / 24}%02d ${h % 24}%02d:10:00"), 2L, "step", 1.0, "{}"))
+      if (h < 360) base
+      else base ++ Seq(
+        (20001L + 3 * h, ts(f"2024-01-${1 + h / 24}%02d ${h % 24}%02d:20:00"), 2L, "step", 1.0, "{}"),
+        (20002L + 3 * h, ts(f"2024-01-${1 + h / 24}%02d ${h % 24}%02d:40:00"), 2L, "step", 1.0, "{}"))
+    }
+    val dir = tempDir("acf_events")
+    (tick ++ step).toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(4).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    dir
+  }
+
+  test("acf: planted period-2 series anticorrelates at lag 1, correlates at lag 2") {
+    val byLag = EventOps.acfHourly(spark, acfDir).collect()
+      .filter(_.getString(0) == "tick")
+      .map(r => r.getInt(1) -> r.getDouble(8)).toMap
+    assert(byLag(1) < -0.99 && byLag(3) < -0.99)
+    assert(byLag(2) > 0.99)
+  }
+
+  test("acf: moments are exact integers and r stays in [-1, 1] (sf0.001)") {
+    val rows = EventOps.acfHourly(spark, Sf0001).collect()
+    val types = Tables(spark, Sf0001, "events")
+      .select(col("event_type")).distinct().count()
+    assert(rows.length == types * EventOps.AcfMaxLag)
+    rows.foreach { r =>
+      assert(r.getLong(2) == 720 - r.getInt(1)) // n_pairs = 720 − lag
+      if (!r.isNullAt(8)) assert(math.abs(r.getDouble(8)) <= 1.0 + 1e-12)
+    }
+  }
+
+  test("cusum: flat half stays at zero, step half climbs and alarms") {
+    val s = EventOps.cusumCounts(spark, acfDir).collect()
+      .filter(_.getString(0) == "step")
+    assert(s.length == 720)
+    val firstHalf = s.take(360)
+    assert(firstHalf.forall(_.getDouble(3) == 0.0), "pre-step CUSUM must sit at 0")
+    assert(firstHalf.forall(!_.getBoolean(4)))
+    // post-step: +1 excess per hour, exactly 360.0 at the end; the alarm
+    // fires once 5·√2 ≈ 7.07 is cleared and never clears again
+    assert(s.last.getDouble(3) == 360.0)
+    val alarms = s.map(_.getBoolean(4))
+    // s at hour 360+j is j+1; first j+1 > 5√2 ≈ 7.07 is s=8 at index 367
+    val firstAlarm = alarms.indexOf(true)
+    assert(firstAlarm == 367, s"firstAlarm=$firstAlarm")
+    assert(alarms.drop(firstAlarm).forall(identity), "alarm must latch while excess persists")
+  }
+
+  // --------------------------------------------------------- robust MAD
+
+  test("mad anomaly: zero-MAD type flags only the outlier, score null") {
+    import spark.implicits._
+    val rows = (Seq.tabulate(4)(i => (100L + i, ts("2024-01-01 00:00:00"), 1L, "flat", 10.0, "{}")) :+
+      (104L, ts("2024-01-01 01:00:00"), 1L, "flat", 1000.0, "{}")) ++
+      (Seq.tabulate(9)(i => (200L + i, ts("2024-01-01 02:00:00"), 2L, "spread", 1.0 + i, "{}")) :+
+        (209L, ts("2024-01-01 03:00:00"), 2L, "spread", 100.0, "{}"))
+    val dir = tempDir("mad_events")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(3).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventOps.anomalyMad(spark, dir).collect()
+    assert(got.map(_.getLong(0)).toSeq == Seq(104L, 209L))
+    val flat = got(0)
+    assert(flat.getDouble(3) == 10.0 && flat.getDouble(4) == 0.0 && flat.isNullAt(5))
+    val spread = got(1) // med 5 (lower discrete), devs sorted → mad 2
+    assert(spread.getDouble(3) == 5.0 && spread.getDouble(4) == 2.0)
+    assert(spread.getDouble(5) == 47.5)
+  }
+
+  test("mad anomaly: every flagged row clears 5 MADs (sf0.001)") {
+    val got = EventOps.anomalyMad(spark, Sf0001).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val dev = math.abs(r.getDouble(2) - r.getDouble(3))
+      assert(dev > 5.0 * r.getDouble(4))
+      if (!r.isNullAt(5)) assert(r.getDouble(5) > 5.0)
+    }
+  }
+
   // -------------------------------------------------------- transitions
 
   test("transitions: planted journeys count adjacent pairs, never cross users") {
