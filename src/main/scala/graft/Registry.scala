@@ -1953,6 +1953,33 @@ object Registry {
         |                                     lang || '|' || CAST(n_chars AS VARCHAR)), 1, 8)) AS BIGINT))
         |            AS BIGINT) AS checksum
         |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+    // row-level snapshot diff: (key, md5-digest) fold per side, one
+    // full outer join, change rows only — the checksum's escalation
+    GraftQuery("x_table_diff", StatsOps.snapshotDiff, Some(
+      """WITH v2 AS (
+        |  SELECT doc_id,
+        |         CASE WHEN doc_id % 101 = 0 THEN text || ' (rev2)' ELSE text END AS text,
+        |         lang, source, n_chars
+        |  FROM documents WHERE doc_id % 97 <> 0
+        |  UNION ALL
+        |  SELECT doc_id + 10000000, text, lang, source, n_chars
+        |  FROM documents WHERE doc_id % 103 = 0),
+        |b AS (SELECT doc_id, source,
+        |             md5(concat_ws('|', CAST(doc_id AS VARCHAR), text, lang, source,
+        |                           CAST(n_chars AS VARCHAR))) AS dg
+        |      FROM documents),
+        |r AS (SELECT doc_id, source,
+        |             md5(concat_ws('|', CAST(doc_id AS VARCHAR), text, lang, source,
+        |                           CAST(n_chars AS VARCHAR))) AS dg
+        |      FROM v2)
+        |SELECT coalesce(b.doc_id, r.doc_id) AS doc_id,
+        |       coalesce(b.source, r.source) AS source,
+        |       CASE WHEN b.doc_id IS NULL THEN 'added'
+        |            WHEN r.doc_id IS NULL THEN 'removed'
+        |            ELSE 'changed' END AS change
+        |FROM b FULL OUTER JOIN r ON b.doc_id = r.doc_id
+        |WHERE b.doc_id IS NULL OR r.doc_id IS NULL OR b.dg <> r.dg
+        |ORDER BY change, doc_id""".stripMargin)),
     // mergeable HLL distinct-count tiles (DataSketches bytes — unlike
     // approx_count_distinct, storable and unionable across partitions);
     // estimates are engine-internal → rows-only, the gate is the signal
@@ -2021,6 +2048,22 @@ object Registry {
         |WHERE term IN ('agg','batch','dup','fast','hash','join','merge','query',
         |               'scan','slow','sort','table','vector','window')
         |GROUP BY term ORDER BY term""".stripMargin)),
+    // HLL inclusion-exclusion audience overlap (estimates engine-
+    // internal → rows-only); the exact-anchored gate is value-checked
+    GraftQuery("x_sketch_overlap", SketchOps.typeOverlap, None),
+    GraftQuery("x_sketch_overlap_gate", SketchOps.typeOverlapGate, Some(
+      """WITH ut AS (SELECT DISTINCT user_id, event_type FROM events),
+        |p AS (SELECT a.event_type AS type_a, b.event_type AS type_b,
+        |             count(*) AS exact_overlap
+        |      FROM ut a JOIN ut b
+        |        ON a.user_id = b.user_id AND a.event_type < b.event_type
+        |      GROUP BY 1, 2),
+        |n AS (SELECT event_type, count(*) AS n FROM ut GROUP BY 1)
+        |SELECT p.type_a, p.type_b, na.n AS n_a, nb.n AS n_b,
+        |       p.exact_overlap, TRUE AS passes
+        |FROM p JOIN n na ON p.type_a = na.event_type
+        |       JOIN n nb ON p.type_b = nb.event_type
+        |ORDER BY type_a, type_b""".stripMargin)),
     // CMS inner-product join-size estimates (engine-internal hash →
     // rows-only); the dual one-sided-bound gate below is value-checked
     GraftQuery("x_sketch_joinsize", SketchOps.joinSizeEstimates, None),

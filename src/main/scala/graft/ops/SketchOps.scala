@@ -231,11 +231,15 @@ object SketchOps {
   val JoinDepth = 4
   val JoinWidth = 65536
 
-  private def keySketch(df: DataFrame, key: String): Array[Long] = {
+  /** One scan, one sketch per requested key column — the two lineitem
+    * sketches below share a single pass over the fact table. */
+  private def keySketches(df: DataFrame, keys: String*): Seq[Array[Long]] = {
     val cms = udaf(graft.functions.CountMinAggregator(JoinDepth, JoinWidth))
-    df.select(col(key).cast(StringType).as("k"))
-      .agg(cms(col("k")).as("sketch"))
-      .collect()(0).getAs[scala.collection.Seq[Long]]("sketch").toArray
+    val row = df
+      .agg(cms(col(keys.head).cast(StringType)).as(keys.head),
+        keys.tail.map(k => cms(col(k).cast(StringType)).as(k)): _*)
+      .collect()(0)
+    keys.map(k => row.getAs[scala.collection.Seq[Long]](k).toArray)
   }
 
   /** The two join-size questions the optimizer asks before picking a
@@ -248,14 +252,74 @@ object SketchOps {
   def joinSizeEstimates(spark: SparkSession, dir: String): DataFrame = {
     import spark.implicits._
     import graft.functions.CountMinAggregator.innerProduct
-    val li = keySketch(Tables(spark, dir, "lineitem"), "l_partkey")
-    val lo = keySketch(Tables(spark, dir, "lineitem"), "l_orderkey")
-    val oo = keySketch(Tables(spark, dir, "orders"), "o_orderkey")
+    val Seq(li, lo) = keySketches(Tables(spark, dir, "lineitem"), "l_partkey", "l_orderkey")
+    val Seq(oo) = keySketches(Tables(spark, dir, "orders"), "o_orderkey")
     Seq(
       ("l_partkey_self", innerProduct(li, li, JoinDepth, JoinWidth)),
       ("lineitem_orders", innerProduct(lo, oo, JoinDepth, JoinWidth)))
       .toDF("pair", "est_size")
       .orderBy("pair")
+  }
+
+  // ------------------------------------------------------------------
+  // Distinct-overlap estimation: HLL inclusion–exclusion
+  // ------------------------------------------------------------------
+
+  /** lgK for the overlap sketches: 2¹⁴ registers → rse ≈ 0.81%. */
+  val OverlapLgK = 14
+
+  /** Per-type HLL sketch over distinct users — built once, reused by
+    * estimate and union sides below. */
+  private def userSketches(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(hll_sketch_agg(col("user_id"), lit(OverlapLgK)).as("sk"))
+
+  /** Audience-overlap estimates between every event-type pair via
+    * inclusion–exclusion over mergeable HLL sketches:
+    * |A∩B| ≈ |A| + |B| − |A∪B|. HLL cannot intersect directly, but its
+    * union is lossless-mergeable, so the overlap needs only the three
+    * estimates — and the sketches are the SAME per-type tiles a 100 TB
+    * deployment already stores (one fact scan, |types| sketches of 2¹⁴
+    * registers; the pair expansion happens on sketches, never on data).
+    * Estimates are engine-internal → rows-only; [[typeOverlapGate]] is
+    * the value-checked signal. */
+  def typeOverlap(spark: SparkSession, dir: String): DataFrame = {
+    val sk = userSketches(spark, dir)
+    sk.as("a").join(sk.as("b"), col("a.event_type") < col("b.event_type"))
+      .select(col("a.event_type").as("type_a"), col("b.event_type").as("type_b"),
+        (hll_sketch_estimate(col("a.sk")) + hll_sketch_estimate(col("b.sk")) -
+          hll_sketch_estimate(hll_union(col("a.sk"), col("b.sk"))))
+          .as("overlap_est"))
+      .orderBy("type_a", "type_b")
+  }
+
+  /** Value-oracled overlap gate: per overlapping pair, the exact
+    * distinct-user intersection alongside a deterministic accuracy
+    * band — the inclusion–exclusion error is bounded by the three
+    * estimates' rse against their own set sizes, so the gate allows 4%
+    * of (|A|+|B|) (≥ 5σ across all three terms at lgK 14). The oracle
+    * recomputes the exact overlap and expects the literal TRUE. */
+  def typeOverlapGate(spark: SparkSession, dir: String): DataFrame = {
+    val ut = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_type")).distinct()
+    val exact = ut.as("a")
+      .join(ut.as("b"),
+        col("a.user_id") === col("b.user_id") &&
+          col("a.event_type") < col("b.event_type"))
+      .groupBy(col("a.event_type").as("ta"), col("b.event_type").as("tb"))
+      .agg(count(lit(1)).as("exact_overlap"))
+    val sizes = ut.groupBy(col("event_type")).agg(count(lit(1)).as("n"))
+    val est = typeOverlap(spark, dir)
+    exact
+      .join(est, col("ta") === col("type_a") && col("tb") === col("type_b"))
+      .join(sizes.select(col("event_type").as("sa"), col("n").as("n_a")), col("ta") === col("sa"))
+      .join(sizes.select(col("event_type").as("sb"), col("n").as("n_b")), col("tb") === col("sb"))
+      .select(col("ta").as("type_a"), col("tb").as("type_b"),
+        col("n_a"), col("n_b"), col("exact_overlap"),
+        (abs(col("overlap_est") - col("exact_overlap")) * 100.0 <=
+          (col("n_a") + col("n_b")) * 4.0).as("passes"))
+      .orderBy("type_a", "type_b")
   }
 
   /** Value-oracled join-size gate: per pair, the exact join size (a

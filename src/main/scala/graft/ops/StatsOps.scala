@@ -138,6 +138,49 @@ object StatsOps {
     * you run after copying 100 TB between lakes, at the cost of one
     * map-side-combined scan. (Spark's own `hash`/`xxhash64` are faster
     * but engine-private — useless as a cross-system invariant.) */
+  /** Row-level diff between two snapshots of the same keyed table —
+    * what [[tableChecksum]] escalates to once a source's checksum
+    * mismatches: WHICH rows were added / removed / changed. Digests are
+    * the same engine-portable md5 canonical form, so any system can
+    * reproduce the verdicts.
+    *
+    * Scale shape: each side folds to (key, digest) in its scan — 16-ish
+    * bytes per row cross the wire — then ONE co-partitioned full outer
+    * join on the key; output is bounded by |changes|, never |table|.
+    * The registry entry derives "revision 2" deterministically from the
+    * base snapshot (drops, amendments, inserts below) so the oracle can
+    * replay it; production passes two real snapshot dirs. */
+  def diffSnapshots(base: DataFrame, revised: DataFrame): DataFrame = {
+    def keyed(df: DataFrame, side: String): DataFrame = df.select(
+      col("doc_id").as(s"${side}_id"), col("source").as(s"${side}_src"),
+      md5(concat_ws("|", col("doc_id").cast(StringType), col("text"),
+        col("lang"), col("source"), col("n_chars").cast(StringType)))
+        .as(s"${side}_dg"))
+    keyed(base, "b").join(keyed(revised, "r"), col("b_id") === col("r_id"), "full_outer")
+      .filter(col("b_id").isNull || col("r_id").isNull || col("b_dg") =!= col("r_dg"))
+      .select(coalesce(col("b_id"), col("r_id")).as("doc_id"),
+        coalesce(col("b_src"), col("r_src")).as("source"),
+        when(col("b_id").isNull, "added")
+          .when(col("r_id").isNull, "removed")
+          .otherwise("changed").as("change"))
+      .orderBy("change", "doc_id")
+  }
+
+  /** Deterministic "revision 2" of the documents snapshot: every
+    * doc_id ≡ 0 (mod 97) dropped, ≡ 0 (mod 101) amended, and for each
+    * ≡ 0 (mod 103) a new row inserted under key doc_id + 10⁷ — a
+    * replayable stand-in for a day of lake churn. */
+  def snapshotDiff(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables(spark, dir, "documents")
+    val revised = base.filter(col("doc_id") % 97 =!= 0)
+      .withColumn("text",
+        when(col("doc_id") % 101 === 0, concat(col("text"), lit(" (rev2)")))
+          .otherwise(col("text")))
+      .unionAll(base.filter(col("doc_id") % 103 === 0)
+        .withColumn("doc_id", col("doc_id") + 10000000L))
+    diffSnapshots(base, revised)
+  }
+
   def tableChecksum(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
       .select(col("source"),

@@ -80,6 +80,57 @@ class IntegrityOpsSpec extends SparkSpec {
     assert(a.filterNot(_._1 == "src1") == b.filterNot(_._1 == "src1"))
   }
 
+  // -------------------------------------------------------------- diff
+
+  test("diff: planted snapshots classify added/removed/changed exactly") {
+    import spark.implicits._
+    def df(rows: Seq[(Long, String)]) =
+      rows.map { case (id, t) => (id, t, "en", "src0", t.length.toLong) }
+        .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val base = df(Seq(1L -> "one", 2L -> "two", 3L -> "three"))
+    val revised = df(Seq(2L -> "two", 3L -> "three (rev2)", 4L -> "four"))
+    val got = StatsOps.diffSnapshots(base, revised).collect()
+      .map(r => (r.getLong(0), r.getString(2))).toSeq
+    assert(got == Seq((4L, "added"), (3L, "changed"), (1L, "removed")))
+    assert(StatsOps.diffSnapshots(base, base).count() == 0)
+  }
+
+  test("diff: change counts follow the modular revision rules (sf0.001)") {
+    val ids = Tables(spark, Sf0001, "documents").select(col("doc_id"))
+    def n(m: Int) = ids.filter(col("doc_id") % m === 0).count()
+    val alsoRemoved = ids.filter(col("doc_id") % 97 === 0 && col("doc_id") % 101 === 0).count()
+    val byChange = StatsOps.snapshotDiff(spark, Sf0001).groupBy(col("change")).count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(byChange.getOrElse("removed", 0L) == n(97))
+    assert(byChange.getOrElse("changed", 0L) == n(101) - alsoRemoved)
+    assert(byChange.getOrElse("added", 0L) == n(103))
+  }
+
+  // ----------------------------------------------------- HLL overlap
+
+  test("overlap: planted half-overlapping audiences estimate within the band") {
+    import spark.implicits._
+    // type A: users 1..100; type B: users 51..150 → exact overlap 50
+    val rows = (1 to 100).map(u => (u.toLong, ts("2024-01-01 00:00:00"), u.toLong, "A", 0.0, "{}")) ++
+      (51 to 150).map(u => (1000L + u, ts("2024-01-01 01:00:00"), u.toLong, "B", 0.0, "{}"))
+    val dir = tempDir("ovl_events")
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(4).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val est = SketchOps.typeOverlap(spark, dir).collect()
+    assert(est.length == 1)
+    assert(math.abs(est(0).getLong(2) - 50L) <= 8L) // 4% of n_a+n_b
+    val gate = SketchOps.typeOverlapGate(spark, dir).collect()
+    assert(gate.length == 1 && gate(0).getAs[Boolean]("passes"))
+    assert(gate(0).getAs[Long]("exact_overlap") == 50L)
+  }
+
+  test("overlap: every pair's gate passes on real data (sf0.001)") {
+    val rows = SketchOps.typeOverlapGate(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach(r => assert(r.getAs[Boolean]("passes"),
+      s"${r.getString(0)}/${r.getString(1)}"))
+  }
+
   // ------------------------------------------------------ edit distance
 
   test("editdist pairs: planted neighborhood — dist 0 and 1 kept, 2 dropped") {
