@@ -2270,6 +2270,42 @@ object Registry {
     // pinned by the planted-PNG spec — the synthetic corpus's closest
     // pair sits at Hamming 7, outside the d<=3 pigeonhole guarantee
     GraftQuery("x_mm_image_hash", MultimodalOps.imageHashCorpus, None),
+    // PCM frame analysis: Spark walks real RIFF bytes; the oracle
+    // re-derives every integer from the closed-form sample generator —
+    // agreement proves the parser, not just the arithmetic
+    GraftQuery("x_mm_audio_frames", MultimodalOps.audioFrames, Some(
+      """WITH d AS (SELECT doc_id, 400 + (doc_id % 5) * 80 AS n FROM documents),
+        |t AS (SELECT doc_id, unnest(generate_series(0, CAST(n - 1 AS INTEGER))) AS t FROM d),
+        |s AS (SELECT doc_id, CAST(t // 160 AS INTEGER) AS frame_idx,
+        |             CASE WHEN (t // 160) % 4 = 3 THEN 0
+        |                  ELSE CAST((doc_id * 31 + t * 17) % 65536 - 32768 AS INTEGER)
+        |             END AS smp
+        |      FROM t)
+        |SELECT doc_id, frame_idx, count(*) AS n_samples,
+        |       CAST(sum(CAST(smp AS BIGINT) * smp) AS BIGINT) AS energy,
+        |       max(abs(smp)) AS peak,
+        |       CAST(sum(CAST(smp AS BIGINT) * smp) AS BIGINT) < count(*) AS silent
+        |FROM s GROUP BY doc_id, frame_idx
+        |ORDER BY doc_id, frame_idx""".stripMargin)),
+    GraftQuery("x_mm_audio_stats", MultimodalOps.audioStats, Some(
+      """WITH d AS (SELECT doc_id, CAST(400 + (doc_id % 5) * 80 AS BIGINT) AS n FROM documents),
+        |t AS (SELECT doc_id, unnest(generate_series(0, CAST(n - 1 AS INTEGER))) AS t FROM d),
+        |s AS (SELECT doc_id, t // 160 AS frame_idx,
+        |             CASE WHEN (t // 160) % 4 = 3 THEN 0
+        |                  ELSE CAST((doc_id * 31 + t * 17) % 65536 - 32768 AS INTEGER)
+        |             END AS smp
+        |      FROM t),
+        |fr AS (SELECT doc_id, frame_idx, count(*) AS cnt,
+        |              CAST(sum(CAST(smp AS BIGINT) * smp) AS BIGINT) AS energy
+        |       FROM s GROUP BY 1, 2)
+        |SELECT fr.doc_id, 16000 AS sample_rate, 1 AS channels, 16 AS bits,
+        |       d.n AS n_samples, d.n * 1000 // 16000 AS duration_ms,
+        |       count(*) AS n_frames,
+        |       CAST(sum(CASE WHEN fr.energy < fr.cnt THEN 1 ELSE 0 END) AS BIGINT) AS n_silent,
+        |       CAST(sum(CASE WHEN fr.energy < fr.cnt THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS silence_ratio
+        |FROM fr JOIN d ON fr.doc_id = d.doc_id
+        |GROUP BY fr.doc_id, d.n
+        |ORDER BY fr.doc_id""".stripMargin)),
     GraftQuery("x_mm_binary_meta", MultimodalOps.binaryMeta, Some(
       """SELECT doc_id, CAST(octet_length(encode(text)) AS INTEGER) AS n_bytes,
         |       CASE octet_length(encode(text)) % 3 WHEN 0 THEN 'img' WHEN 1 THEN 'audio'

@@ -335,4 +335,143 @@ object MultimodalOps {
         .as[(Long, Array[Byte])])
       .orderBy("doc_id")
   }
+
+  // ------------------------------------------------------------------
+  // Audio: RIFF/WAVE parsing and PCM frame analysis
+  // ------------------------------------------------------------------
+
+  /** PCM frame length for [[audioFrames]]: 160 samples = 10 ms at the
+    * 16 kHz synthetic rate — the VAD-standard hop. */
+  val AudioFrameSize = 160
+
+  /** Canonical synthetic clip shape: 400 + (doc_id mod 5)·80 mono
+    * 16-bit samples at 16 kHz. */
+  def synthSampleCount(docId: Long): Int = 400 + (docId % 5).toInt * 80
+
+  /** Sample t of clip docId: every 4th 160-sample frame is digital
+    * silence (the planted VAD target); the rest is a full-scale
+    * deterministic sawtooth ((docId·31 + t·17) mod 2¹⁶ − 2¹⁵). The
+    * closed form is what lets DuckDB re-derive frame energies without
+    * parsing a byte — the Spark side must go bytes → RIFF walk → PCM. */
+  def synthSample(docId: Long, t: Int): Int =
+    if ((t / AudioFrameSize) % 4 == 3) 0
+    else (java.lang.Math.floorMod(docId * 31L + t.toLong * 17L, 65536L) - 32768L).toInt
+
+  /** A complete PCM WAV container for the synthetic clip: 44-byte
+    * canonical header (RIFF/WAVE, fmt 16-byte PCM block, data chunk)
+    * plus little-endian 16-bit samples — byte-valid for any WAV reader
+    * including `javax.sound.sampled` (spec-pinned). */
+  def synthWav(docId: Long): Array[Byte] = {
+    val n = synthSampleCount(docId)
+    val dataBytes = n * 2
+    val bb = java.nio.ByteBuffer.allocate(44 + dataBytes)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataBytes)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(1) // PCM, mono
+      .putInt(16000).putInt(16000 * 2) // sample rate, byte rate
+      .putShort(2).putShort(16) // block align, bits per sample
+      .put("data".getBytes("US-ASCII")).putInt(dataBytes)
+    var t = 0
+    while (t < n) { bb.putShort(synthSample(docId, t).toShort); t += 1 }
+    bb.array()
+  }
+
+  /** Parsed WAV layout: format fields from the fmt chunk plus the data
+    * chunk's position — enough to slice PCM without copying. */
+  final case class WavInfo(sampleRate: Int, channels: Int, bitsPerSample: Int,
+      dataOffset: Int, dataBytes: Int)
+
+  /** RIFF chunk walk (not a fixed 44-byte assumption): scans the chunk
+    * list for `fmt ` (must be PCM format 1) and `data`, tolerating
+    * extra chunks and odd-size padding per the RIFF spec. Returns None
+    * on anything malformed — truncated header, non-PCM, missing
+    * chunks — so corrupt blobs degrade to a skipped row, never a task
+    * failure (the decodeStub discipline). */
+  def parseWav(bytes: Array[Byte]): Option[WavInfo] = {
+    if (bytes.length < 12 || sniffAudio(bytes) != Some("wav")) return None
+    val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    var pos = 12
+    var fmt: Option[(Int, Int, Int)] = None
+    var data: Option[(Int, Int)] = None
+    while (pos + 8 <= bytes.length && (fmt.isEmpty || data.isEmpty)) {
+      val id = new String(bytes, pos, 4, "US-ASCII")
+      val size = bb.getInt(pos + 4)
+      if (size < 0 || pos + 8 + size > bytes.length) return None
+      if (id == "fmt " && size >= 16) {
+        val audioFormat = bb.getShort(pos + 8).toInt
+        if (audioFormat != 1) return None // PCM only
+        fmt = Some((bb.getShort(pos + 10).toInt, bb.getInt(pos + 12), bb.getShort(pos + 22).toInt))
+      } else if (id == "data") data = Some((pos + 8, size))
+      pos += 8 + size + (size & 1) // RIFF pads odd chunks
+    }
+    for ((channels, rate, bits) <- fmt; (off, len) <- data)
+      yield WavInfo(rate, channels, bits, off, len)
+  }
+
+  /** Per-frame PCM analysis over parsed WAV blobs: exact int64 energy
+    * (Σ s²), peak amplitude, and a VAD silence flag (mean square < 1).
+    * The synthetic corpus is generated in-flight from doc_id — the
+    * REAL work this op demonstrates is the byte-level path every
+    * audio-curation pipeline needs: container walk → PCM slice →
+    * windowed integer reduction, all inside one mapPartitions with no
+    * shuffle (frames inherit the scan's partitioning).
+    *
+    * All outputs are integers (counts, Σ s², max |s|) → fully
+    * hash-oracled: DuckDB re-derives them from the closed-form sample
+    * generator, never seeing a byte — agreement proves the parser. */
+  def audioFrames(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables.parallel(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .flatMap { docId =>
+        val bytes = synthWav(docId)
+        parseWav(bytes).toSeq.flatMap { info =>
+          val bb = java.nio.ByteBuffer.wrap(bytes).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          val n = info.dataBytes / 2
+          (0 until (n + AudioFrameSize - 1) / AudioFrameSize).map { f =>
+            val lo = f * AudioFrameSize
+            val hi = math.min(lo + AudioFrameSize, n)
+            var energy = 0L; var peak = 0; var t = lo
+            while (t < hi) {
+              val s = bb.getShort(info.dataOffset + 2 * t).toInt
+              energy += s.toLong * s
+              if (math.abs(s) > peak) peak = math.abs(s)
+              t += 1
+            }
+            (docId, f, (hi - lo).toLong, energy, peak,
+              energy < (hi - lo).toLong)
+          }
+        }
+      }
+      .toDF("doc_id", "frame_idx", "n_samples", "energy", "peak", "silent")
+      .orderBy("doc_id", "frame_idx")
+  }
+
+  /** Clip-level rollup: header fields (from the PARSE, proving the
+    * container round-trip), duration, and the silence ratio — the
+    * audio-curation quality signals (trim candidates, dead-air cut).
+    * One aggregate over [[audioFrames]]'s shuffle-free output. */
+  def audioStats(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val meta = Tables.parallel(spark, dir, "documents")
+      .select(col("doc_id")).as[Long]
+      .flatMap { docId =>
+        parseWav(synthWav(docId)).map(i =>
+          (docId, i.sampleRate, i.channels, i.bitsPerSample, (i.dataBytes / 2).toLong))
+      }
+      .toDF("doc_id", "sample_rate", "channels", "bits", "n_samples")
+    val frames = audioFrames(spark, dir)
+      .groupBy(col("doc_id").as("fd"))
+      .agg(count(lit(1)).as("n_frames"),
+        sum(when(col("silent"), 1L).otherwise(0L)).as("n_silent"))
+    meta.join(frames, col("doc_id") === col("fd"))
+      .select(col("doc_id"), col("sample_rate"), col("channels"), col("bits"),
+        col("n_samples"),
+        (col("n_samples") * 1000L / lit(16000L)).cast(LongType).as("duration_ms"),
+        col("n_frames"), col("n_silent"),
+        (col("n_silent").cast(DoubleType) / col("n_frames")).as("silence_ratio"))
+      .orderBy("doc_id")
+  }
 }
