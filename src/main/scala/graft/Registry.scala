@@ -1226,6 +1226,9 @@ object Registry {
         |FROM documents ORDER BY doc_id""".stripMargin)),
     GraftQuery("x_text_fingerprint", TextOps.fingerprint, None),
     GraftQuery("x_text_unigram_nll", (s, d) => TextOps.unigramNll(s, d), None),
+    // deflate-compressibility quality band (zlib engine-internal →
+    // rows-only; ordering + determinism contracts spec-pinned)
+    GraftQuery("x_text_compress", TextOps.compressionRatio, None),
     GraftQuery("x_dedup_exact", DedupOps.exact, Some(
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin)),

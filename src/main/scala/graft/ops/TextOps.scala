@@ -294,4 +294,38 @@ object TextOps {
         sum(col("tf")).cast(IntegerType).as("n_tokens"))
       .orderBy("doc_id")
   }
+
+  /** Deflate level for [[compressionRatio]] — pinned so the signal is
+    * reproducible across runs and partitionings. */
+  val DeflateLevel = 6
+
+  /** Deflate-compressibility quality signal (the Gopher/CCNet
+    * "compression ratio" heuristic): machine-generated boilerplate and
+    * copy-paste spam compress far below natural prose, and near-random
+    * noise barely compresses at all — so deflated/raw byte ratio is a
+    * cheap two-sided quality band no token statistic replicates
+    * (repetition at ranges longer than the [[repetitionScore]] n-grams
+    * still shows up here). Per-row kernel with ONE Deflater reused per
+    * partition (allocation amortized, `reset()` between docs), no
+    * shuffle. zlib output is engine-internal → rows-only; the planted
+    * ordering and determinism contracts are spec-pinned. */
+  def compressionRatio(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), col("text")).as[(Long, String)]
+      .mapPartitions { it =>
+        val d = new java.util.zip.Deflater(DeflateLevel, true)
+        val buf = new Array[Byte](8192)
+        it.map { case (id, text) =>
+          val raw = text.getBytes("UTF-8")
+          d.reset(); d.setInput(raw); d.finish()
+          var out = 0
+          while (!d.finished()) out += d.deflate(buf)
+          (id, raw.length.toLong, out.toLong,
+            if (raw.length == 0) 1.0 else out.toDouble / raw.length)
+        }
+      }
+      .toDF("doc_id", "n_bytes", "n_deflate", "ratio")
+      .orderBy("doc_id")
+  }
 }

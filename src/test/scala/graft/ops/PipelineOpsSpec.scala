@@ -227,6 +227,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!q.getAs[Boolean]("is_short"))
   }
 
+  test("compression ratio: repetitive < prose < noise, deterministic, exact byte counts") {
+    import spark.implicits._
+    val rng = new scala.util.Random(42)
+    val rows = Seq(
+      (0L, "spam spam spam " * 50, "en", "s", 1L),
+      (1L, "The quick brown fox jumps over the lazy dog while seventeen " +
+        "meandering philosophers debated whether compression entropy " +
+        "could possibly characterize document quality in practice.", "en", "s", 1L),
+      (2L, rng.alphanumeric.take(750).mkString, "en", "s", 1L),
+      (3L, "", "en", "s", 1L))
+    val dir = tempDir("compress_docs")
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(3).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.compressionRatio(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(got(0L)._3 < got(1L)._3 && got(1L)._3 < got(2L)._3,
+      s"quality band ordering violated: $got")
+    assert(got(0L)._3 < 0.05, "boilerplate must crush")
+    assert(got(2L)._3 > 0.7, "alphanumeric noise barely compresses")
+    assert(got(3L) == ((0L, 2L, 1.0))) // empty doc: 2-byte empty deflate block, ratio pinned 1.0
+    got.foreach { case (_, (nb, nd, r)) => if (nb > 0) assert(r == nd.toDouble / nb) }
+    // deterministic across partitionings
+    val again = TextOps.compressionRatio(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getLong(1), r.getLong(2), r.getDouble(3))).toMap
+    assert(again == got)
+  }
+
   test("paragraph dedup: first occurrence survives, later copies drop, text reassembles") {
     import spark.implicits._
     val dir = tempDir("para_docs")
