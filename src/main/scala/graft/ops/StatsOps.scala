@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -127,6 +128,40 @@ object StatsOps {
         ((col("observed") - col("expected")) * (col("observed") - col("expected"))
           / col("expected")).as("chi2_cell"))
       .orderBy("month", "event_type")
+  }
+
+  /** Month-over-month movers: per event type, the monthly event count,
+    * its absolute and percent change vs the previous month, and the
+    * top-3 movers per month by |Δ| — the "what changed in the mix this
+    * month" dashboard query every warehouse serves. First months (no
+    * predecessor) are excluded, zero-base percent changes are NULL.
+    *
+    * Scale shape: ONE map-side-combined shuffle of the fact table down
+    * to the |months|·|types| cell domain; the lag and rank windows then
+    * run over that bounded aggregate — window-over-aggregate is fine at
+    * any scale precisely because the domain is calendar-bounded, the
+    * anti-pattern is windows over raw fact rows. Counts are integers
+    * and pct is one IEEE division → fully hash-oracled. */
+  def momMovers(spark: SparkSession, dir: String): DataFrame = {
+    val monthly = Tables(spark, dir, "lineitem")
+      .groupBy(date_trunc("month", col("l_shipdate")).as("month"),
+        col("l_shipmode").as("ship_mode"))
+      .agg(count(lit(1)).as("n"))
+    val lagW = Window.partitionBy(col("ship_mode")).orderBy(col("month"))
+    val withDelta = monthly
+      .withColumn("prev_n", lag(col("n"), 1).over(lagW))
+      .filter(col("prev_n").isNotNull)
+      .withColumn("delta", col("n") - col("prev_n"))
+      .withColumn("pct_change",
+        when(col("prev_n") > 0, col("delta").cast(DoubleType) / col("prev_n")))
+    val rankW = Window.partitionBy(col("month"))
+      .orderBy(abs(col("delta")).desc, col("ship_mode"))
+    withDelta
+      .withColumn("mover_rank", row_number().over(rankW).cast(IntegerType))
+      .filter(col("mover_rank") <= 3)
+      .select(col("month"), col("mover_rank"), col("ship_mode"),
+        col("n"), col("prev_n"), col("delta"), col("pct_change"))
+      .orderBy("month", "mover_rank")
   }
 
   /** Order-independent, ENGINE-PORTABLE table fingerprint: per source,
