@@ -28,6 +28,10 @@ object Bench {
     // probe-many regime against the pre-built term-sorted statistics
     try graft.ops.RetrievalOps.ensureLexIndex(spark, sfDir)
     catch { case _: Throwable => () }
+    // and the co-bucketed join twins: j11_bucket_join measures the
+    // shuffle-free recurring join, not the one-time bucketed write
+    try graft.ops.JoinOps.ensureBucketedTables(spark, sfDir)
+    catch { case _: Throwable => () }
 
     val results = headline.map { q =>
       // only SUCCESSFUL reps become samples: a fast-failing rep would

@@ -325,6 +325,19 @@ object Registry {
         |       count(*) AS n_rows
         |FROM events e JOIN dim d USING (event_type)
         |GROUP BY e.event_type, d.type_n ORDER BY e.event_type""".stripMargin)),
+    // bucketed co-located join: layout changes, answer doesn't — the
+    // oracle is deliberately the SAME SQL as j2 (plain parquet join in
+    // DuckDB), so a hash match proves bucketing is pure physical-plan
+    // optimization; the zero-exchange plan itself is pinned by
+    // BucketingSpec. Headline: times the probe-many regime (the twins
+    // are built in the Bench warmup, like the kNN/lexical indexes).
+    GraftQuery("j11_bucket_join", JoinOps.j11BucketJoin, Some(
+      """SELECT o_orderpriority,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_items
+        |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
+      headline = true),
     GraftQuery("q18_big_orders", JoinOps.q18BigOrders, Some(
       """WITH big AS (
         |  SELECT l_orderkey,

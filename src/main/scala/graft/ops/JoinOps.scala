@@ -406,4 +406,118 @@ object JoinOps {
       .orderBy(col("o_totalprice").desc, col("o_orderdate"), col("o_orderkey"))
       .limit(100)
   }
+
+  // ------------------------------------------------------------------
+  // Bucketed co-location: pay the join shuffle ONCE, at write time
+  // ------------------------------------------------------------------
+
+  /** Bucket count for the co-located twins. At 100 TB this is sized so
+    * each bucket file lands in the hundreds of MB (thousands of buckets);
+    * the mechanism under test — hash-aligned layouts joined without an
+    * exchange — is bucket-count-invariant. */
+  val JoinBuckets = 8
+
+  /** Session-catalog names for the bucketed twins, tagged per source dir
+    * so a multi-SF test session cannot cross-serve layouts. */
+  private def bucketedNames(dir: String): (String, String) = {
+    val tag = dir.replaceAll("[^A-Za-z0-9]+", "_")
+    (s"b_lineitem_$tag", s"b_orders_$tag")
+  }
+
+  /** Materialize orders and lineitem as co-bucketed catalog tables
+    * (`bucketBy(JoinBuckets, key)`), iff absent — the write-once half of
+    * the recurring-join contract. The `repartition(JoinBuckets, key)`
+    * ahead of the bucketed write uses the SAME murmur3-pmod placement as
+    * bucketBy, so every bucket is exactly ONE file: the scan then also
+    * satisfies the sort order (`sortBy`) and the downstream sort-merge
+    * join needs neither an Exchange NOR a per-bucket re-sort. On a lake
+    * this is the nightly-compaction layout for every fact table that
+    * joins on its key more than once. */
+  def ensureBucketedTables(spark: SparkSession, dir: String): (String, String) = {
+    val (liName, ordName) = bucketedNames(dir)
+    if (!spark.catalog.tableExists(liName))
+      Tables(spark, dir, "lineitem")
+        .repartition(JoinBuckets, col("l_orderkey"))
+        .write.bucketBy(JoinBuckets, "l_orderkey").sortBy("l_orderkey")
+        .mode("overwrite").saveAsTable(liName)
+    if (!spark.catalog.tableExists(ordName))
+      Tables(spark, dir, "orders")
+        .repartition(JoinBuckets, col("o_orderkey"))
+        .write.bucketBy(JoinBuckets, "o_orderkey").sortBy("o_orderkey")
+        .mode("overwrite").saveAsTable(ordName)
+    (liName, ordName)
+  }
+
+  /** The probe-many half: j2's fact-fact join over the co-bucketed
+    * layout. The `merge` hint pins sort-merge (a broadcast at test scale
+    * would silently bypass the co-location under test); because both
+    * scans report hash-aligned bucket partitioning on the join key, the
+    * executed plan has ZERO exchanges below the join — the only shuffle
+    * left is the reducing aggregate's |groups|-wide one. Identical
+    * output to [[j2FactJoinAgg]] (same oracle), which is the point:
+    * bucketing changes the layout, never the answer, and the per-query
+    * saving is the entire lineitem+orders shuffle. Plan shape pinned by
+    * BucketingSpec. */
+  def j11BucketJoin(spark: SparkSession, dir: String): DataFrame = {
+    val (liName, ordName) = ensureBucketedTables(spark, dir)
+    val li = spark.table(liName)
+    val ord = spark.table(ordName)
+    li.hint("merge")
+      .join(ord.hint("merge"), li("l_orderkey") === ord("o_orderkey"))
+      .groupBy(col("o_orderpriority"))
+      .agg(
+        revenueExact(col("l_extendedprice"), col("l_discount")).as("revenue"),
+        count(lit(1)).as("n_items"))
+      .orderBy("o_orderpriority")
+  }
+
+  // ------------------------------------------------------------------
+  // Grid-bucketed range join: point-in-interval without a nested loop
+  // ------------------------------------------------------------------
+
+  /** Grid cell width in seconds (one week) — equal to the interval
+    * length, so every interval covers at most TWO cells and the
+    * per-interval emission is O(1) by construction. */
+  private val RangeGridSec = 7L * 86400L
+
+  /** Point-in-interval range join: shipments that fall inside a 7-day
+    * campaign window starting at an order's date (every 97th orderkey
+    * hosts a campaign — a deterministic, modulo-expressible sample so
+    * the DuckDB oracle can re-derive the interval set exactly).
+    *
+    * A join whose ONLY predicate is a range lands on
+    * BroadcastNestedLoopJoin — O(|points|·|intervals|) compares, the
+    * classic 100 TB cliff. The grid decomposition makes it an EQUI join:
+    * each interval explodes into the (≤ 2) week cells it overlaps, each
+    * point maps to exactly ONE cell, the shuffle is hash(cell), and the
+    * exact [start, start+7d) predicate filters inside the matched cell.
+    * Compares drop from |points|·|intervals| to Σ_cell points(cell) ·
+    * intervals(cell); because a point owns one cell, no (point,interval)
+    * pair can meet twice — no post-join dedup. Cell skew is bounded by
+    * intervals-per-week, a data property the campaign sample fixes at
+    * ~|orders|/97/|weeks| here; a skewed production calendar would salt
+    * the hot cells (the j10 pattern composes). */
+  def j12RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    val campaigns = Tables(spark, dir, "orders")
+      .filter(col("o_orderkey") % 97 === 0)
+      .select(col("o_orderkey"), col("o_orderdate"),
+        unix_timestamp(col("o_orderdate")).as("start_s"))
+      .withColumn("cell",
+        // integer `div`, never `/`: float division + cast truncates wrong
+        // for values this large only by luck; div is exact by contract
+        explode(sequence(expr(s"start_s div $RangeGridSec"),
+          expr(s"(start_s + ${RangeGridSec - 1L}) div $RangeGridSec"))))
+    val shipments = Tables(spark, dir, "lineitem")
+      .select(col("l_shipdate"), col("l_extendedprice"), col("l_discount"),
+        expr(s"unix_timestamp(l_shipdate) div $RangeGridSec").as("cell"))
+    shipments
+      .join(campaigns, Seq("cell"))
+      .filter(col("l_shipdate") >= col("o_orderdate") &&
+        col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 7 DAYS"))
+      .groupBy(col("o_orderkey"))
+      .agg(
+        count(lit(1)).as("n_shipments"),
+        revenueExact(col("l_extendedprice"), col("l_discount")).as("revenue"))
+      .orderBy("o_orderkey")
+  }
 }

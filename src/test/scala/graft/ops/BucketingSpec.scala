@@ -46,6 +46,23 @@ class BucketingSpec extends SparkSpec {
     } finally spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prevThreshold)
   }
 
+  test("j11_bucket_join: zero exchanges below the join, rows match j2") {
+    val plan = JoinOps.j11BucketJoin(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("SortMergeJoin"), plan)
+    assert(!plan.contains("Exchange hashpartitioning(l_orderkey"),
+      s"join shuffled the lineitem side — bucketing not picked up:\n$plan")
+    assert(!plan.contains("Exchange hashpartitioning(o_orderkey"),
+      s"join shuffled the orders side — bucketing not picked up:\n$plan")
+    // single-file buckets were written sorted, so the SMJ also needs no
+    // per-bucket re-sort on either scan
+    assert(!plan.contains("Sort [l_orderkey"), s"unexpected re-sort:\n$plan")
+
+    val got = JoinOps.j11BucketJoin(spark, Sf0001).collect().map(_.toSeq)
+    val want = JoinOps.j2FactJoinAgg(spark, Sf0001).collect().map(_.toSeq)
+    assert(got.toSeq == want.toSeq)
+  }
+
   /** The other half of the skew story (a1_salted_agg covers single-key
     * aggregation): for JOINS, AQE's runtime skew handling splits an
     * oversized shuffle partition into parallel sub-tasks. Manufacture a
