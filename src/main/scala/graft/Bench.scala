@@ -17,21 +17,26 @@ object Bench {
     val spark = GraftSession.get("graft-bench")
 
     val headline = Registry.all.filter(_.headline)
-    // warmup: small full pipeline, untimed (codegen + classloading)
-    try Registry.byName("d4_count").build(spark, sfDir).count()
-    catch { case _: Throwable => () }
+    // Warmups are untimed but NEVER silent: a failed index/layout build
+    // pushes the one-time write into the first timed rep (min-of-3 mostly
+    // masks it; a persistent failure yields -1 with the root cause
+    // hidden), so the swallowed exception is logged like the per-rep path.
+    def warmup(what: String)(body: => Any): Unit =
+      try { body; () }
+      catch { case e: Throwable =>
+        System.err.println(s"[bench] warmup '$what' failed: ${e.getMessage}")
+      }
+    // small full pipeline (codegen + classloading)
+    warmup("d4_count")(Registry.byName("d4_count").build(spark, sfDir).count())
     // build the materialized kNN index untimed: x_sim_knn_indexed measures
     // the probe-many regime (the write-once cost is the point of the shape)
-    try graft.ops.SimilarityOps.ensureKnnIndex(spark, sfDir)
-    catch { case _: Throwable => () }
+    warmup("knn_index")(graft.ops.SimilarityOps.ensureKnnIndex(spark, sfDir))
     // ditto for the lexical index: x_retrieval_bm25_indexed measures the
     // probe-many regime against the pre-built term-sorted statistics
-    try graft.ops.RetrievalOps.ensureLexIndex(spark, sfDir)
-    catch { case _: Throwable => () }
+    warmup("lex_index")(graft.ops.RetrievalOps.ensureLexIndex(spark, sfDir))
     // and the co-bucketed join twins: j11_bucket_join measures the
     // shuffle-free recurring join, not the one-time bucketed write
-    try graft.ops.JoinOps.ensureBucketedTables(spark, sfDir)
-    catch { case _: Throwable => () }
+    warmup("bucketed_tables")(graft.ops.JoinOps.ensureBucketedTables(spark, sfDir))
 
     val results = headline.map { q =>
       // only SUCCESSFUL reps become samples: a fast-failing rep would

@@ -29,6 +29,12 @@ object GraftSession {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // bucketed twins are written one-file-per-bucket + sortBy, so the
+      // scan's output order IS the sort order; default-off since 3.0,
+      // without it every bucketed SMJ re-sorts every bucket on every query
+      // (Spark still only reports the order when files-per-bucket == 1,
+      // so this cannot mis-claim sortedness on multi-file buckets)
+      .config("spark.sql.legacy.bucketedTableScan.outputOrdering", "true")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.sql.parquet.compression.codec", "snappy")
       .config("spark.ui.enabled", "false")

@@ -1973,18 +1973,18 @@ object Registry {
     // aggregate domain; counts integer, pct one IEEE division
     GraftQuery("x_mom_movers", StatsOps.momMovers, Some(
       """WITH m AS (SELECT date_trunc('month', l_shipdate) AS month,
-        |                  l_shipmode AS ship_mode, count(*) AS n
+        |                  l_returnflag AS segment, count(*) AS n
         |           FROM lineitem GROUP BY 1, 2),
-        |d AS (SELECT month, ship_mode, n,
-        |             lag(n) OVER (PARTITION BY ship_mode ORDER BY month) AS prev_n
+        |d AS (SELECT month, segment, n,
+        |             lag(n) OVER (PARTITION BY segment ORDER BY month) AS prev_n
         |      FROM m),
-        |r AS (SELECT month, ship_mode, n, prev_n, n - prev_n AS delta,
+        |r AS (SELECT month, segment, n, prev_n, n - prev_n AS delta,
         |             CASE WHEN prev_n > 0
         |                  THEN CAST(n - prev_n AS DOUBLE) / prev_n END AS pct_change,
         |             CAST(row_number() OVER (PARTITION BY month
-        |               ORDER BY abs(n - prev_n) DESC, ship_mode) AS INTEGER) AS mover_rank
+        |               ORDER BY abs(n - prev_n) DESC, segment) AS INTEGER) AS mover_rank
         |      FROM d WHERE prev_n IS NOT NULL)
-        |SELECT month, mover_rank, ship_mode, n, prev_n, delta, pct_change
+        |SELECT month, mover_rank, segment, n, prev_n, delta, pct_change
         |FROM r WHERE mover_rank <= 3
         |ORDER BY month, mover_rank""".stripMargin)),
     // row-level snapshot diff: (key, md5-digest) fold per side, one

@@ -5,6 +5,31 @@ import java.nio.file.{Files, Paths}
 /** Driver-run correctness dump: each SparkEntry.queries result → parquet,
   * plus oracle_sql.json, for the driver's DuckDB compare. */
 object Verify {
+
+  /** Dump one registry query to `$outDir/$name`. On failure, writes the
+    * one-row `__graft_error` marker parquet in its place (so the driver
+    * records a red row, never an absence) and returns the message. */
+  private[graft] def dumpOne(
+      spark: org.apache.spark.sql.SparkSession, name: String,
+      fn: (org.apache.spark.sql.SparkSession, String) => org.apache.spark.sql.DataFrame,
+      sfDir: String, outDir: String): Option[String] =
+    try {
+      fn(spark, sfDir).coalesce(1).write.mode("overwrite")
+        .parquet(s"$outDir/$name")
+      None
+    } catch { case e: Throwable =>
+      val msg = s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage).take(500)}"
+      System.err.println(s"[verify] $name failed: $msg")
+      try {
+        import spark.implicits._
+        Seq(msg).toDF("__graft_error").coalesce(1)
+          .write.mode("overwrite").parquet(s"$outDir/$name")
+      } catch { case m: Throwable =>
+        System.err.println(s"[verify] $name marker write failed: ${m.getMessage}")
+      }
+      Some(msg)
+    }
+
   def main(args: Array[String]): Unit = {
     val sfDir = args(0)
     val outDir = args(1)
@@ -18,15 +43,17 @@ object Verify {
     // x_dedup/x_text families each re-read `documents`)
     graft.ops.Tables.enableInputCache()
     new java.io.File(outDir).mkdirs()
+    // A registered query must NEVER disappear silently: a throwing query
+    // still writes a one-row parquet whose single `__graft_error` column
+    // carries the exception — the driver's compare then records a red
+    // row (schema mismatch) instead of omitting the entry, and the
+    // _errors.json sidecar gives the full story in one place.
+    val errors = scala.collection.mutable.LinkedHashMap.empty[String, String]
     SparkEntry.queries.toSeq.sortBy(_._1)
       .filter { case (name, _) => only.forall(_.contains(name)) }
       .foreach { case (name, fn) =>
-      try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
-        .parquet(s"$outDir/$name")
-      catch { case e: Throwable =>
-        System.err.println(s"[verify] $name failed: ${e.getMessage}")
+        dumpOne(spark, name, fn, sfDir, outDir).foreach(errors(name) = _)
       }
-    }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.
@@ -42,6 +69,9 @@ object Verify {
     val json = SparkEntry.oracleSql
       .map { case (k, v) => s"${q(k)}: ${q(v)}" }.mkString("{", ",", "}")
     Files.writeString(Paths.get(s"$outDir/oracle_sql.json"), json)
+    val errJson = errors.map { case (k, v) => s"${q(k)}: ${q(v)}" }
+      .mkString("{", ",", "}")
+    Files.writeString(Paths.get(s"$outDir/_errors.json"), errJson)
     spark.stop()
   }
 }

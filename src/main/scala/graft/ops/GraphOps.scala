@@ -75,6 +75,13 @@ object GraphOps {
         .join(sums.as("sm"), col("nd.node") === col("sm.dst"), "left")
         .select(col("nd.node").as("node"),
           (lit(base) + expr("85 * coalesce(sm.s, 0L) div 100")).as("rank"))
+        // truncate the lineage each round: without this the rank plan
+        // nests one join+agg PER iteration — fine at Iters=3, a
+        // stack/planning cliff the first time someone runs 20 rounds at
+        // scale. localCheckpoint materializes |V| scaled-int rows to the
+        // block store (integer ranks ⇒ bit-identical replay, oracle
+        // untouched); plan depth is now O(1) in Iters.
+        .localCheckpoint()
     }
     ranks.orderBy("node")
   }

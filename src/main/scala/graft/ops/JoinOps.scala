@@ -411,11 +411,17 @@ object JoinOps {
   // Bucketed co-location: pay the join shuffle ONCE, at write time
   // ------------------------------------------------------------------
 
-  /** Bucket count for the co-located twins. At 100 TB this is sized so
-    * each bucket file lands in the hundreds of MB (thousands of buckets);
-    * the mechanism under test — hash-aligned layouts joined without an
-    * exchange — is bucket-count-invariant. */
-  val JoinBuckets = 8
+  /** Bucket count for the co-located twins. Buckets are the scan's task
+    * granularity (bucketed files don't split), so the count must be ≥ the
+    * available cores or the layout CAPS parallelism — r8 shipped 8 buckets
+    * on a 32-core box and the "shuffle-free" join ran 9× slower than its
+    * shuffling twin. Locally: the core count. At 100 TB: thousands, sized
+    * so each bucket file lands in the hundreds of MB; the mechanism under
+    * test — hash-aligned layouts joined without an exchange — is
+    * bucket-count-invariant, the throughput is not. */
+  val JoinBuckets: Int =
+    sys.env.get("SPARK_GRAFT_CPUS").flatMap(_.toIntOption)
+      .getOrElse(math.max(8, Runtime.getRuntime.availableProcessors()))
 
   /** Session-catalog names for the bucketed twins, tagged per source dir
     * so a multi-SF test session cannot cross-serve layouts. */

@@ -130,11 +130,13 @@ object StatsOps {
       .orderBy("month", "event_type")
   }
 
-  /** Month-over-month movers: per event type, the monthly event count,
-    * its absolute and percent change vs the previous month, and the
-    * top-3 movers per month by |Δ| — the "what changed in the mix this
-    * month" dashboard query every warehouse serves. First months (no
-    * predecessor) are excluded, zero-base percent changes are NULL.
+  /** Month-over-month movers: per return-flag segment (A/N/R — the
+    * categorical dimension the lineitem testdata actually carries), the
+    * monthly line count, its absolute and percent change vs the previous
+    * month, and the top-3 movers per month by |Δ| — the "what changed in
+    * the mix this month" dashboard query every warehouse serves. First
+    * months (no predecessor) are excluded, zero-base percent changes are
+    * NULL.
     *
     * Scale shape: ONE map-side-combined shuffle of the fact table down
     * to the |months|·|types| cell domain; the lag and rank windows then
@@ -145,9 +147,9 @@ object StatsOps {
   def momMovers(spark: SparkSession, dir: String): DataFrame = {
     val monthly = Tables(spark, dir, "lineitem")
       .groupBy(date_trunc("month", col("l_shipdate")).as("month"),
-        col("l_shipmode").as("ship_mode"))
+        col("l_returnflag").as("segment"))
       .agg(count(lit(1)).as("n"))
-    val lagW = Window.partitionBy(col("ship_mode")).orderBy(col("month"))
+    val lagW = Window.partitionBy(col("segment")).orderBy(col("month"))
     val withDelta = monthly
       .withColumn("prev_n", lag(col("n"), 1).over(lagW))
       .filter(col("prev_n").isNotNull)
@@ -155,11 +157,11 @@ object StatsOps {
       .withColumn("pct_change",
         when(col("prev_n") > 0, col("delta").cast(DoubleType) / col("prev_n")))
     val rankW = Window.partitionBy(col("month"))
-      .orderBy(abs(col("delta")).desc, col("ship_mode"))
+      .orderBy(abs(col("delta")).desc, col("segment"))
     withDelta
       .withColumn("mover_rank", row_number().over(rankW).cast(IntegerType))
       .filter(col("mover_rank") <= 3)
-      .select(col("month"), col("mover_rank"), col("ship_mode"),
+      .select(col("month"), col("mover_rank"), col("segment"),
         col("n"), col("prev_n"), col("delta"), col("pct_change"))
       .orderBy("month", "mover_rank")
   }

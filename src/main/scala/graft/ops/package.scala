@@ -89,12 +89,22 @@ package ops {
 
     private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
       val df = spark.read.parquet(s"$dir/$name.parquet")
-      // events.ts is parquet TIMESTAMP(NANOS); with
-      // spark.sql.legacy.parquet.nanosAsLong it arrives as nanos-since-epoch
-      // (LongType). Truncate to micros — exactly what DuckDB's µs-internal
-      // TIMESTAMP does on read — so oracle comparisons line up.
-      if (name == "events" && df.schema("ts").dataType == LongType)
-        df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      // events.ts must land as session-TZ TimestampType regardless of how
+      // the parquet writer annotated it — the storage annotation is the
+      // producer's choice, not ours, and a 100 TB lake changes it under
+      // you. Two observed variants:
+      //  - TIMESTAMP(NANOS) + spark.sql.legacy.parquet.nanosAsLong →
+      //    nanos-since-epoch LongType; truncate to micros (exactly what
+      //    DuckDB's µs-internal TIMESTAMP does on read).
+      //  - isAdjustedToUTC=false → TIMESTAMP_NTZ; the session is pinned
+      //    UTC, so casting to TimestampType is lossless and oracle-neutral.
+      if (name == "events") df.schema("ts").dataType match {
+        case LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case TimestampNTZType =>
+          df.withColumn("ts", col("ts").cast(TimestampType))
+        case _ => df
+      }
       else df
     }
 

@@ -54,9 +54,11 @@ class BucketingSpec extends SparkSpec {
       s"join shuffled the lineitem side — bucketing not picked up:\n$plan")
     assert(!plan.contains("Exchange hashpartitioning(o_orderkey"),
       s"join shuffled the orders side — bucketing not picked up:\n$plan")
-    // single-file buckets were written sorted, so the SMJ also needs no
-    // per-bucket re-sort on either scan
-    assert(!plan.contains("Sort [l_orderkey"), s"unexpected re-sort:\n$plan")
+    // single-file buckets were written sorted and GraftSession enables
+    // legacy.bucketedTableScan.outputOrdering, so the SMJ needs no
+    // per-bucket re-sort on EITHER scan
+    assert(!plan.contains("Sort [l_orderkey"), s"unexpected lineitem re-sort:\n$plan")
+    assert(!plan.contains("Sort [o_orderkey"), s"unexpected orders re-sort:\n$plan")
 
     val got = JoinOps.j11BucketJoin(spark, Sf0001).collect().map(_.toSeq)
     val want = JoinOps.j2FactJoinAgg(spark, Sf0001).collect().map(_.toSeq)

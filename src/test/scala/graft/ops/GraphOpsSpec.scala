@@ -77,6 +77,18 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("rank lineage is truncated per iteration: final plan is O(1) in Iters") {
+    // each round ends in localCheckpoint, so the returned frame's plan is
+    // a sort over the checkpointed RDD — no nested per-iteration joins.
+    // Without the checkpoint this plan would hold Iters join+agg layers.
+    val ranks = GraphOps.pageRankOf(
+      Seq((0L, 1L), (1L, 0L), (1L, 2L), (2L, 1L)).toDF("src", "dst"))
+    val plan = ranks.queryExecution.executedPlan.toString
+    assert(plan.contains("ExistingRDD") || plan.contains("Scan ExistingRDD"),
+      s"expected checkpointed scan:\n$plan")
+    assert(!plan.contains("Join"), s"lineage not truncated:\n$plan")
+  }
+
   test("real purchase graph: deterministic, node ids partition by parity") {
     val a = GraphOps.pageRank(spark, Sf0001).collect()
     val b = GraphOps.pageRank(spark, Sf0001).collect()
