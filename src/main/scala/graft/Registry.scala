@@ -338,6 +338,20 @@ object Registry {
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
       headline = true),
+    // grid-bucketed range join: the week-cell decomposition exists only
+    // in the plan (turns the range-only predicate into an equi join);
+    // the oracle is the plain range join DuckDB can evaluate directly,
+    // pinning that the grid changes the plan shape, never the answer.
+    // Plan (no BroadcastNestedLoopJoin) pinned by RangeJoinSpec.
+    GraftQuery("j12_range_join", JoinOps.j12RangeJoin, Some(
+      """SELECT o_orderkey,
+        |       count(*) AS n_shipments,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |FROM orders JOIN lineitem
+        |  ON l_shipdate >= o_orderdate
+        | AND l_shipdate < o_orderdate + INTERVAL 7 DAY
+        |WHERE o_orderkey % 97 = 0
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin)),
     GraftQuery("q18_big_orders", JoinOps.q18BigOrders, Some(
       """WITH big AS (
         |  SELECT l_orderkey,
