@@ -1241,6 +1241,14 @@ object Registry {
         |       CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3) AS dup_3gram_frac
         |FROM g ORDER BY doc_id""".stripMargin)),
     GraftQuery("x_text_langid", TextOps.langId, None),
+    // gate twins for the engine-internal text signals: one row of
+    // oracle-derivable counts + passes=true asserting coverage,
+    // determinism (equal texts → equal signal) and bounds — the
+    // recall-gate pattern, so every rows-only family contributes a
+    // hash-checkable CORRECTNESS row per round
+    GraftQuery("x_text_langid_gate", TextOps.langIdGate, Some(
+      """SELECT count(*) AS n_docs, count(DISTINCT text) AS n_texts,
+        |       true AS passes FROM documents""".stripMargin)),
     GraftQuery("x_text_pii_scrub", TextOps.scrubPii, Some(
       """SELECT doc_id,
         |       regexp_replace(regexp_replace(regexp_replace(text,
@@ -1252,10 +1260,21 @@ object Registry {
         |       CAST(len(regexp_extract_all(text, '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+')) AS INTEGER) AS n_ipv4
         |FROM documents ORDER BY doc_id""".stripMargin)),
     GraftQuery("x_text_fingerprint", TextOps.fingerprint, None),
+    GraftQuery("x_text_fingerprint_gate", TextOps.fingerprintGate, Some(
+      """SELECT count(*) AS n_docs, count(DISTINCT text) AS n_texts,
+        |       true AS passes FROM documents""".stripMargin)),
     GraftQuery("x_text_unigram_nll", (s, d) => TextOps.unigramNll(s, d), None),
+    GraftQuery("x_text_unigram_nll_gate", TextOps.unigramNllGate, Some(
+      """SELECT count(*) AS n_docs, true AS passes FROM documents""")),
     // deflate-compressibility quality band (zlib engine-internal →
     // rows-only; ordering + determinism contracts spec-pinned)
     GraftQuery("x_text_compress", TextOps.compressionRatio, None),
+    // the raw-byte side of the deflate signal IS oracle-derivable
+    // (UTF-8 lengths), so the gate pins it exactly alongside the bounds
+    GraftQuery("x_text_compress_gate", TextOps.compressionRatioGate, Some(
+      """SELECT count(*) AS n_docs,
+        |       CAST(sum(octet_length(encode(text))) AS BIGINT) AS total_bytes,
+        |       true AS passes FROM documents""".stripMargin)),
     GraftQuery("x_dedup_exact", DedupOps.exact, Some(
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin)),
@@ -1849,6 +1868,11 @@ object Registry {
         |SELECT l, r, CAST(sum(freq) AS BIGINT) AS pair_freq
         |FROM p GROUP BY l, r ORDER BY l, r""".stripMargin)),
     GraftQuery("x_bpe_merges", BpeOps.merges, None),
+    // merge-table contract gate (compression_gate covers the encode
+    // side): contiguous ranks, positive pick frequencies, no pair
+    // merged twice, budget respected
+    GraftQuery("x_bpe_merges_gate", BpeOps.mergesGate, Some(
+      s"SELECT CAST(${BpeOps.NumMerges} AS INTEGER) AS max_merges, true AS passes")),
     GraftQuery("x_bpe_encode", BpeOps.encode, None),
     GraftQuery("x_bpe_compression_gate", BpeOps.compressionGate, Some(
       """WITH w AS (SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS word
@@ -2318,6 +2342,11 @@ object Registry {
     // pinned by the planted-PNG spec — the synthetic corpus's closest
     // pair sits at Hamming 7, outside the d<=3 pigeonhole guarantee
     GraftQuery("x_mm_image_hash", MultimodalOps.imageHashCorpus, None),
+    // perceptual-hash kernel gate: coverage + blob-functionality
+    // (identical payloads hash identically — integer-exact contract)
+    GraftQuery("x_mm_image_hash_gate", MultimodalOps.imageHashGate, Some(
+      """SELECT count(*) AS n_docs, count(DISTINCT text) AS n_texts,
+        |       true AS passes FROM documents""".stripMargin)),
     // PCM frame analysis: Spark walks real RIFF bytes; the oracle
     // re-derives every integer from the closed-form sample generator —
     // agreement proves the parser, not just the arithmetic
@@ -2395,7 +2424,21 @@ object Registry {
     // round-over-round (rows-only: file layout is engine-internal; the
     // byte-identical-survivor property is spec-pinned)
     GraftQuery("x_maint_compact", UpsertOps.compactBench, None, headline = true),
-    GraftQuery("x_corpus_assemble", CorpusPipeline.assemble, None))
+    // compaction content gate: after rebuild+compact, one file per
+    // partition, only the fragmented fixtures rewritten, and the lake
+    // reconciles with the source table (count / partition count /
+    // integer id sum — the invariant a file-rewrite op must never lose)
+    GraftQuery("x_maint_compact_gate", UpsertOps.compactGate, Some(
+      """SELECT count(*) AS n_rows,
+        |       CAST(count(DISTINCT event_type) AS INTEGER) AS n_types,
+        |       CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+        |       true AS passes FROM events""".stripMargin)),
+    GraftQuery("x_corpus_assemble", CorpusPipeline.assemble, None),
+    // assembled-corpus contract gate: unique ids ⊆ input, per-source
+    // cap respected, split domain, quality floor, packed-seq annotation
+    GraftQuery("x_corpus_assemble_gate", CorpusPipeline.assembleGate, Some(
+      """SELECT count(*) AS n_docs_in, CAST(20 AS INTEGER) AS cap,
+        |       true AS passes FROM documents""".stripMargin)))
 
   def all: Seq[GraftQuery] = core ++ joins ++ windows ++ sets ++ extensions
 

@@ -183,6 +183,28 @@ object BpeOps {
     * the literal passes=true row, making tokenizer-training quality a
     * per-round CORRECTNESS signal even though the loop itself has no SQL
     * form. */
+  /** Value-checked gate for the merge TABLE itself (compressionGate
+    * covers the encode side): ranks are contiguous from 1, every merge
+    * was chosen off a positive pair frequency, no (l, r) pair is merged
+    * twice, and training never exceeds its [[NumMerges]] budget. The
+    * oracle pins the budget constant and expects passes = true, so a
+    * broken training loop (duplicate merges, rank gaps, zero-frequency
+    * picks) turns a CORRECTNESS row red. */
+  def mergesGate(spark: SparkSession, dir: String): DataFrame = {
+    merges(spark, dir).agg(
+      count(lit(1)).as("n"),
+      coalesce(min(col("rank")), lit(0)).as("min_rank"),
+      coalesce(max(col("rank")), lit(0)).as("max_rank"),
+      countDistinct(col("rank")).as("n_ranks"),
+      countDistinct(struct(col("l"), col("r"))).as("n_pairs"),
+      sum(when(col("pair_freq") <= 0L, 1L).otherwise(0L)).as("bad"))
+      .select(lit(NumMerges).as("max_merges"),
+        (col("n") > 0L && col("n") <= NumMerges &&
+          col("min_rank") === 1 && col("max_rank") === col("n") &&
+          col("n_ranks") === col("n") && col("n_pairs") === col("n") &&
+          col("bad") === 0L).as("passes"))
+  }
+
   def compressionGate(spark: SparkSession, dir: String): DataFrame = {
     val e = encode(spark, dir)
     e.agg(

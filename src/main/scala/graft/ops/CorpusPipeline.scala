@@ -94,4 +94,38 @@ object CorpusPipeline {
         col("n_tokens"), col("seq_first"))
       .orderBy("doc_id")
   }
+
+  /** Value-checked gate over the assembled corpus (the recall-gate
+    * pattern — the pipeline's exact survivor set is engine-internal, its
+    * CONTRACT is not): output ids unique and ⊆ input, no source over its
+    * [[SourceCap]], splits inside the {train,val,test} domain, every
+    * survivor at or above the 5-token quality floor, train docs carry a
+    * non-negative packed-sequence id and eval docs none. The oracle
+    * recomputes n_docs_in/cap from the input and expects passes = true. */
+  def assembleGate(spark: SparkSession, dir: String): DataFrame = {
+    val out = assemble(spark, dir)
+    val rowChecks = out.agg(
+      count(lit(1)).as("n_out"),
+      countDistinct(col("doc_id")).as("n_ids"),
+      sum(when(!col("split").isin("train", "val", "test") ||
+        col("n_tokens") < 5 ||
+        (col("split") === "train" && (col("seq_first").isNull || col("seq_first") < 0)) ||
+        (col("split") =!= "train" && col("seq_first").isNotNull), 1L)
+        .otherwise(0L)).as("bad_rows"))
+    val capCheck = out.groupBy(col("source")).agg(count(lit(1)).as("n"))
+      .agg(coalesce(max(col("n")), lit(0L)).as("max_per_source"))
+    val docs = Tables(spark, dir, "documents")
+    val strays = out.select(col("doc_id"))
+      .join(docs.select(col("doc_id")), Seq("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("n_strays"))
+    val inCount = docs.agg(count(lit(1)).as("n_docs_in"))
+    inCount.crossJoin(rowChecks).crossJoin(capCheck).crossJoin(strays)
+      .select(col("n_docs_in"),
+        lit(SourceCap).as("cap"),
+        (col("bad_rows") === 0L &&
+          col("n_ids") === col("n_out") &&
+          col("n_out") > 0L && col("n_out") <= col("n_docs_in") &&
+          col("n_strays") === 0L &&
+          col("max_per_source") <= SourceCap).as("passes"))
+  }
 }

@@ -336,6 +336,25 @@ object MultimodalOps {
       .orderBy("doc_id")
   }
 
+  /** Value-checked gate for the perceptual-hash kernel (the recall-gate
+    * pattern): full corpus coverage, every hash non-null, and
+    * blob-functionality — identical payloads hash identically (the
+    * first thing a partitioning or kernel-state regression breaks; the
+    * aHash is integer-exact, so bitwise equality is the contract). The
+    * oracle recomputes the doc/text counts from the input and expects
+    * passes = true. */
+  def imageHashGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    docs.join(imageHashCorpus(spark, dir), Seq("doc_id"), "left")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_texts"),
+        countDistinct(struct(col("text"), col("ahash"))).as("n_pairs"),
+        sum(when(col("ahash").isNull, 1L).otherwise(0L)).as("bad"))
+      .select(col("n_docs"), col("n_texts"),
+        (col("bad") === 0L && col("n_pairs") === col("n_texts")).as("passes"))
+  }
+
   // ------------------------------------------------------------------
   // Audio: RIFF/WAVE parsing and PCM frame analysis
   // ------------------------------------------------------------------

@@ -328,4 +328,96 @@ object TextOps {
       .toDF("doc_id", "n_bytes", "n_deflate", "ratio")
       .orderBy("doc_id")
   }
+
+  // ------------------------------------------------------------------
+  // Value-checked gates for the engine-internal text signals
+  // ------------------------------------------------------------------
+  // The recall-gate pattern applied to heuristics whose VALUES no SQL
+  // oracle can recompute (trigram profiles, xxhash64, zlib, libm ln):
+  // fold each signal to ONE row of oracle-derivable counts plus a
+  // `passes` boolean asserting the signal's checkable contract —
+  // coverage (every doc scored), determinism (equal texts score equal:
+  // a partitioning/codegen regression breaks this first), domain and
+  // bounds. The oracle recomputes the counts from the INPUT table and
+  // expects passes = true, so a regression turns a CORRECTNESS row red
+  // even though the heuristic itself stays engine-internal.
+
+  /** langid gate: full coverage, predictions inside the profile domain,
+    * equal texts → equal predictions. (The synthetic corpus's `lang`
+    * labels are independent of its text, so an ACCURACY floor is not
+    * meaningful here; on a real corpus it would join this row.) */
+  def langIdGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    val domain = langProfiles.map(_._1)
+    docs.join(langId(spark, dir), Seq("doc_id"), "left")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_texts"),
+        countDistinct(struct(col("text"), col("pred_lang"))).as("n_pairs"),
+        sum(when(col("pred_lang").isNull ||
+          !col("pred_lang").isin(domain: _*) || col("score") < 0, 1L)
+          .otherwise(0L)).as("bad"))
+      .select(col("n_docs"), col("n_texts"),
+        (col("bad") === 0L && col("n_pairs") === col("n_texts")).as("passes"))
+  }
+
+  /** fingerprint gate: full coverage and text-functionality — every
+    * distinct text maps to exactly ONE fingerprint (cross-text
+    * collisions are allowed; the rolling hash is 31 bits). */
+  def fingerprintGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    docs.join(fingerprint(spark, dir), Seq("doc_id"), "left")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_texts"),
+        countDistinct(struct(col("text"), col("fingerprint"))).as("n_pairs"),
+        sum(when(col("fingerprint").isNull || col("fingerprint") < 0, 1L)
+          .otherwise(0L)).as("bad"))
+      .select(col("n_docs"), col("n_texts"),
+        (col("bad") === 0L && col("n_pairs") === col("n_texts")).as("passes"))
+  }
+
+  /** deflate-ratio gate: full coverage, the raw-byte side reconciles
+    * with the input (sum of UTF-8 lengths — the one column DuckDB CAN
+    * recompute via octet_length), and every ratio obeys the zlib
+    * contract: positive, = deflated/raw, and under 1.5 (deflate's
+    * worst-case expansion on incompressible input is ~0.03% + 5 bytes
+    * per 16 KiB block — 1.5 only trips if the kernel breaks). */
+  def compressionRatioGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    docs.join(compressionRatio(spark, dir), Seq("doc_id"), "left")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(col("n_bytes")).as("total_bytes"),
+        sum(when(col("ratio").isNull || col("n_deflate") <= 0 ||
+          col("n_bytes") =!= octet_length(col("text")) ||
+          col("ratio") <= 0 || col("ratio") > 1.5 ||
+          (col("n_bytes") > 0 &&
+            col("ratio") =!= col("n_deflate").cast(DoubleType) / col("n_bytes")), 1L)
+          .otherwise(0L)).as("bad"))
+      .select(col("n_docs"), col("total_bytes"),
+        (col("bad") === 0L).as("passes"))
+  }
+
+  /** NLL ceiling for [[unigramNllGate]]: -ln of the smallest probability
+    * any token can carry is ln(n_total) ≤ ln(2^63); 50 nats is far above
+    * any real corpus and only trips on a sign/∞/NaN kernel break. */
+  val NllCeiling = 50.0
+
+  /** unigram-NLL gate: every document scores (the tokenizer finds ≥ 1
+    * token per doc on this corpus), scores are finite, non-negative and
+    * under [[NllCeiling]]. (No equal-text-equal-score clause: the per-doc
+    * double sum is order-sensitive in its last ulp, so identical texts
+    * may differ by rounding across partitions — a bounds gate, not a
+    * bitwise one.) */
+  def unigramNllGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
+    docs.join(unigramNll(spark, dir), Seq("doc_id"), "left")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(when(col("nll").isNull || isnan(col("nll")) ||
+          col("nll") < 0 || col("nll") > NllCeiling ||
+          col("n_tokens") <= 0, 1L).otherwise(0L)).as("bad"))
+      .select(col("n_docs"), (col("bad") === 0L).as("passes"))
+  }
 }

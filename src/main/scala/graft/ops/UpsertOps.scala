@@ -205,13 +205,18 @@ object UpsertOps {
     * the spec pins their bytes). The fixture is recreated from scratch
     * on every call, so the op stays idempotent under Bench's min-of-3
     * repetition. */
-  def compactBench(spark: SparkSession, dir: String): DataFrame = {
-    // the lake path carries the Spark application id: two concurrent
-    // executions (bench + test suite) would otherwise race on
-    // delete/rebuild/compact of ONE shared fixture directory
-    val lake = s"${System.getProperty("java.io.tmpdir")}/graft_maint_lake_" +
+  /** The maintenance-bench fixture's lake directory. Carries the Spark
+    * application id: two concurrent executions (bench + test suite)
+    * would otherwise race on delete/rebuild/compact of ONE shared
+    * fixture directory. Shared with [[compactGate]], which reads the
+    * lake back after a [[compactBench]] pass. */
+  def benchLakePath(spark: SparkSession, dir: String): String =
+    s"${System.getProperty("java.io.tmpdir")}/graft_maint_lake_" +
       spark.sparkContext.applicationId + "_" +
       dir.replaceAll("[^A-Za-z0-9.]+", "_")
+
+  def compactBench(spark: SparkSession, dir: String): DataFrame = {
+    val lake = benchLakePath(spark, dir)
     val fs = new org.apache.hadoop.fs.Path(lake)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
     fs.delete(new org.apache.hadoop.fs.Path(lake), true)
@@ -229,6 +234,30 @@ object UpsertOps {
       .agg(countDistinct(col("f")).cast(IntegerType).as("n_files"))
       .withColumn("compacted", col("event_type").isin(compacted: _*))
       .orderBy("event_type")
+  }
+
+  /** Value-checked gate for the compaction pass (the recall-gate
+    * pattern): after a full [[compactBench]] rebuild+compact cycle,
+    * every partition is exactly one file, the rewritten set is exactly
+    * the fragmented fixtures ([[BenchFragTypes]]), and — the invariant a
+    * file-rewrite op must NEVER lose — the lake's content reconciles
+    * with the source: row count, partition count and the integer
+    * event_id sum all match what the oracle recomputes from `events`
+    * directly. */
+  def compactGate(spark: SparkSession, dir: String): DataFrame = {
+    val census = compactBench(spark, dir)
+    val censusBad = census.agg(
+      sum(when(col("n_files") =!= 1, 1L).otherwise(0L)).as("frag_left"),
+      sum(when(col("compacted") =!=
+        col("event_type").isin(BenchFragTypes: _*), 1L).otherwise(0L))
+        .as("wrong_touched"))
+    val content = spark.read.parquet(benchLakePath(spark, dir)).agg(
+      count(lit(1)).as("n_rows"),
+      countDistinct(col("event_type")).cast(IntegerType).as("n_types"),
+      sum(col("event_id")).as("sum_event_id"))
+    content.crossJoin(censusBad)
+      .select(col("n_rows"), col("n_types"), col("sum_event_id"),
+        (col("frag_left") === 0L && col("wrong_touched") === 0L).as("passes"))
   }
 
   /** Vacuum superseded materialized-index snapshots. Every index family
