@@ -129,6 +129,9 @@ object GraphOps {
         .select(col("m.vec_id").as("vec_id"),
           when(col("m.vec_id") % 5 === 0, col("m.label"))
             .otherwise(coalesce(col("v.wlbl"), col("cur.lbl"))).as("lbl"))
+        // same lineage truncation as pageRank: plan depth O(1) in
+        // LpRounds (integer majority votes ⇒ bit-identical replay)
+        .localCheckpoint()
     }
     labels
       .select(col("vec_id"), coalesce(col("lbl"), lit(-1)).as("label_pred"))
