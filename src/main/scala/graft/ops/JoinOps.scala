@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructField, StructType}
+import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructField, StructType, TimestampType}
 
 /** Join operators. The reference has no joins (SURVEY.md §2, "What the
   * reference does NOT have"), but a complete analytics engine over its
@@ -504,10 +504,18 @@ object JoinOps {
     * ~|orders|/97/|weeks| here; a skewed production calendar would salt
     * the hot cells (the j10 pattern composes). */
   def j12RangeJoin(spark: SparkSession, dir: String): DataFrame = {
+    // epoch seconds via CAST(ts AS TIMESTAMP AS LONG), not
+    // unix_timestamp(ts): the NTZ→timestamp cast is free under the
+    // pinned-UTC session and timestamp→long is a bare integer divide
+    // inside codegen, while unix_timestamp routes through the
+    // format-string code path — on the full-fact probe side that is
+    // the difference between the scan being compute-bound and not
+    def epochS(c: Column): Column =
+      c.cast(TimestampType).cast(LongType)
     val campaigns = Tables(spark, dir, "orders")
       .filter(col("o_orderkey") % 97 === 0)
       .select(col("o_orderkey"), col("o_orderdate"),
-        unix_timestamp(col("o_orderdate")).as("start_s"))
+        epochS(col("o_orderdate")).as("start_s"))
       .withColumn("cell",
         // integer `div`, never `/`: float division + cast truncates wrong
         // for values this large only by luck; div is exact by contract
@@ -515,7 +523,8 @@ object JoinOps {
           expr(s"(start_s + ${RangeGridSec - 1L}) div $RangeGridSec"))))
     val shipments = Tables(spark, dir, "lineitem")
       .select(col("l_shipdate"), col("l_extendedprice"), col("l_discount"),
-        expr(s"unix_timestamp(l_shipdate) div $RangeGridSec").as("cell"))
+        expr(s"cast(cast(l_shipdate as timestamp) as long) div $RangeGridSec")
+          .as("cell"))
     shipments
       .join(campaigns, Seq("cell"))
       .filter(col("l_shipdate") >= col("o_orderdate") &&
