@@ -89,23 +89,28 @@ package ops {
 
     private def load(spark: SparkSession, dir: String, name: String): DataFrame = {
       val df = spark.read.parquet(s"$dir/$name.parquet")
-      // events.ts must land as session-TZ TimestampType regardless of how
-      // the parquet writer annotated it — the storage annotation is the
-      // producer's choice, not ours, and a 100 TB lake changes it under
-      // you. Two observed variants:
+      // Every timestamp column must land as session-TZ TimestampType
+      // regardless of how the parquet writer annotated it — the storage
+      // annotation is the producer's choice, not ours, and a 100 TB lake
+      // changes it under you (round 8: regenerated testdata flipped
+      // events.ts to TIMESTAMP_NTZ and broke every watermark and
+      // unix_micros consumer). Two observed variants:
       //  - TIMESTAMP(NANOS) + spark.sql.legacy.parquet.nanosAsLong →
-      //    nanos-since-epoch LongType; truncate to micros (exactly what
-      //    DuckDB's µs-internal TIMESTAMP does on read).
+      //    nanos-since-epoch LongType (events.ts only); truncate to
+      //    micros — exactly what DuckDB's µs-internal TIMESTAMP does on
+      //    read.
       //  - isAdjustedToUTC=false → TIMESTAMP_NTZ; the session is pinned
-      //    UTC, so casting to TimestampType is lossless and oracle-neutral.
-      if (name == "events") df.schema("ts").dataType match {
-        case LongType =>
+      //    UTC, so casting to TimestampType is lossless and
+      //    oracle-neutral.
+      val nanosFixed =
+        if (name == "events" && df.schema("ts").dataType == LongType)
           df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
-        case TimestampNTZType =>
-          df.withColumn("ts", col("ts").cast(TimestampType))
-        case _ => df
+        else df
+      nanosFixed.schema.fields.collect {
+        case f if f.dataType == TimestampNTZType => f.name
+      }.foldLeft(nanosFixed) { (d, c) =>
+        d.withColumn(c, col(c).cast(TimestampType))
       }
-      else df
     }
 
     /** Loader for CPU-heavy narrow pipelines (hash kernels, dot products).
