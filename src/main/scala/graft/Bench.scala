@@ -24,7 +24,11 @@ object Bench {
     def warmup(what: String)(body: => Any): Unit =
       try { body; () }
       catch { case e: Throwable =>
-        System.err.println(s"[bench] warmup '$what' failed: ${e.getMessage}")
+        // class + String.valueOf like Verify.dumpOne: getMessage alone is
+        // null for NPEs, which would hide exactly the root cause this
+        // log line exists to surface
+        System.err.println(s"[bench] warmup '$what' failed: " +
+          s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage)}")
       }
     // small full pipeline (codegen + classloading)
     warmup("d4_count")(Registry.byName("d4_count").build(spark, sfDir).count())

@@ -2437,7 +2437,8 @@ object Registry {
     // assembled-corpus contract gate: unique ids ⊆ input, per-source
     // cap respected, split domain, quality floor, packed-seq annotation
     GraftQuery("x_corpus_assemble_gate", CorpusPipeline.assembleGate, Some(
-      """SELECT count(*) AS n_docs_in, CAST(20 AS INTEGER) AS cap,
+      s"""SELECT count(*) AS n_docs_in,
+        |       CAST(${CorpusPipeline.SourceCap} AS INTEGER) AS cap,
         |       true AS passes FROM documents""".stripMargin)))
 
   def all: Seq[GraftQuery] = core ++ joins ++ windows ++ sets ++ extensions

@@ -103,7 +103,13 @@ object CorpusPipeline {
     * non-negative packed-sequence id and eval docs none. The oracle
     * recomputes n_docs_in/cap from the input and expects passes = true. */
   def assembleGate(spark: SparkSession, dir: String): DataFrame = {
+    // three independent check subplans (row bounds, per-source cap,
+    // stray ids) read the assembled corpus; persist it or the whole
+    // multi-shuffle assembly subtree re-executes once per subplan
+    // (ReuseExchange only dedups canonically-identical exchanges, not
+    // the windows and joins above them). Bounded: ≤ |documents| rows.
     val out = assemble(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val rowChecks = out.agg(
       count(lit(1)).as("n_out"),
       countDistinct(col("doc_id")).as("n_ids"),

@@ -521,10 +521,14 @@ object JoinOps {
         // for values this large only by luck; div is exact by contract
         explode(sequence(expr(s"start_s div $RangeGridSec"),
           expr(s"(start_s + ${RangeGridSec - 1L}) div $RangeGridSec"))))
+    // SAME epochS on both sides — point cells and interval cells must
+    // come from one definition or an edit to either silently breaks the
+    // grid-coverage invariant the join depends on
     val shipments = Tables(spark, dir, "lineitem")
       .select(col("l_shipdate"), col("l_extendedprice"), col("l_discount"),
-        expr(s"cast(cast(l_shipdate as timestamp) as long) div $RangeGridSec")
-          .as("cell"))
+        epochS(col("l_shipdate")).as("ship_s"))
+      .withColumn("cell", expr(s"ship_s div $RangeGridSec"))
+      .drop("ship_s")
     shipments
       .join(campaigns, Seq("cell"))
       .filter(col("l_shipdate") >= col("o_orderdate") &&

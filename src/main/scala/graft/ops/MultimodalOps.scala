@@ -343,17 +343,12 @@ object MultimodalOps {
     * aHash is integer-exact, so bitwise equality is the contract). The
     * oracle recomputes the doc/text counts from the input and expects
     * passes = true. */
-  def imageHashGate(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
-    docs.join(imageHashCorpus(spark, dir), Seq("doc_id"), "left")
-      .agg(
-        count(lit(1)).as("n_docs"),
-        countDistinct(col("text")).as("n_texts"),
-        countDistinct(struct(col("text"), col("ahash"))).as("n_pairs"),
-        sum(when(col("ahash").isNull, 1L).otherwise(0L)).as("bad"))
-      .select(col("n_docs"), col("n_texts"),
-        (col("bad") === 0L && col("n_pairs") === col("n_texts")).as("passes"))
-  }
+  def imageHashGate(spark: SparkSession, dir: String): DataFrame =
+    TextOps.coverageFunctionalityGate(
+      Tables(spark, dir, "documents").select(col("doc_id"), col("text")),
+      imageHashCorpus(spark, dir),
+      col("ahash"),
+      col("ahash").isNull)
 
   // ------------------------------------------------------------------
   // Audio: RIFF/WAVE parsing and PCM frame analysis

@@ -342,47 +342,58 @@ object TextOps {
   // expects passes = true, so a regression turns a CORRECTNESS row red
   // even though the heuristic itself stays engine-internal.
 
+  /** THE coverage+functionality gate kernel, shared by every per-doc
+    * engine-internal signal (langid, fingerprint, image hash): left-join
+    * the signal onto the corpus, then one aggregate asserting full
+    * coverage, no bad rows, and text-functionality — every distinct text
+    * maps to exactly ONE signal value (the first thing a partitioning or
+    * kernel-state regression breaks). One definition so a contract fix
+    * cannot be applied to one gate and missed in another. */
+  private[ops] def coverageFunctionalityGate(
+      docs: DataFrame, signal: DataFrame,
+      value: Column, bad: Column): DataFrame =
+    docs.join(signal, Seq("doc_id"), "left")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        countDistinct(col("text")).as("n_texts"),
+        countDistinct(struct(col("text"), value)).as("n_pairs"),
+        sum(when(bad, 1L).otherwise(0L)).as("bad"))
+      .select(col("n_docs"), col("n_texts"),
+        (col("bad") === 0L && col("n_pairs") === col("n_texts")).as("passes"))
+
   /** langid gate: full coverage, predictions inside the profile domain,
     * equal texts → equal predictions. (The synthetic corpus's `lang`
     * labels are independent of its text, so an ACCURACY floor is not
     * meaningful here; on a real corpus it would join this row.) */
   def langIdGate(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
     val domain = langProfiles.map(_._1)
-    docs.join(langId(spark, dir), Seq("doc_id"), "left")
-      .agg(
-        count(lit(1)).as("n_docs"),
-        countDistinct(col("text")).as("n_texts"),
-        countDistinct(struct(col("text"), col("pred_lang"))).as("n_pairs"),
-        sum(when(col("pred_lang").isNull ||
-          !col("pred_lang").isin(domain: _*) || col("score") < 0, 1L)
-          .otherwise(0L)).as("bad"))
-      .select(col("n_docs"), col("n_texts"),
-        (col("bad") === 0L && col("n_pairs") === col("n_texts")).as("passes"))
+    coverageFunctionalityGate(
+      Tables(spark, dir, "documents").select(col("doc_id"), col("text")),
+      langId(spark, dir),
+      col("pred_lang"),
+      col("pred_lang").isNull ||
+        !col("pred_lang").isin(domain: _*) || col("score") < 0)
   }
 
-  /** fingerprint gate: full coverage and text-functionality — every
-    * distinct text maps to exactly ONE fingerprint (cross-text
+  /** fingerprint gate: full coverage and text-functionality (cross-text
     * collisions are allowed; the rolling hash is 31 bits). */
-  def fingerprintGate(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
-    docs.join(fingerprint(spark, dir), Seq("doc_id"), "left")
-      .agg(
-        count(lit(1)).as("n_docs"),
-        countDistinct(col("text")).as("n_texts"),
-        countDistinct(struct(col("text"), col("fingerprint"))).as("n_pairs"),
-        sum(when(col("fingerprint").isNull || col("fingerprint") < 0, 1L)
-          .otherwise(0L)).as("bad"))
-      .select(col("n_docs"), col("n_texts"),
-        (col("bad") === 0L && col("n_pairs") === col("n_texts")).as("passes"))
-  }
+  def fingerprintGate(spark: SparkSession, dir: String): DataFrame =
+    coverageFunctionalityGate(
+      Tables(spark, dir, "documents").select(col("doc_id"), col("text")),
+      fingerprint(spark, dir),
+      col("fingerprint"),
+      col("fingerprint").isNull || col("fingerprint") < 0)
 
   /** deflate-ratio gate: full coverage, the raw-byte side reconciles
     * with the input (sum of UTF-8 lengths — the one column DuckDB CAN
-    * recompute via octet_length), and every ratio obeys the zlib
-    * contract: positive, = deflated/raw, and under 1.5 (deflate's
-    * worst-case expansion on incompressible input is ~0.03% + 5 bytes
-    * per 16 KiB block — 1.5 only trips if the kernel breaks). */
+    * recompute via octet_length), and every output obeys the zlib
+    * contract: positive deflated size, ratio = deflated/raw, and
+    * deflated ≤ raw·1.03 + 16 BYTES — an absolute bound, because
+    * deflate's worst case is ~0.03% expansion PLUS a constant ~5-byte
+    * stored-block overhead, and on short documents the constant
+    * dominates (a 2-byte doc deflates to ~4 bytes: ratio 2.0, still a
+    * correct kernel — a ratio ceiling would false-red it the first time
+    * the corpus generator emits a short doc). */
   def compressionRatioGate(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents").select(col("doc_id"), col("text"))
     docs.join(compressionRatio(spark, dir), Seq("doc_id"), "left")
@@ -391,7 +402,8 @@ object TextOps {
         sum(col("n_bytes")).as("total_bytes"),
         sum(when(col("ratio").isNull || col("n_deflate") <= 0 ||
           col("n_bytes") =!= octet_length(col("text")) ||
-          col("ratio") <= 0 || col("ratio") > 1.5 ||
+          col("n_deflate").cast(DoubleType) >
+            col("n_bytes").cast(DoubleType) * 1.03 + 16.0 ||
           (col("n_bytes") > 0 &&
             col("ratio") =!= col("n_deflate").cast(DoubleType) / col("n_bytes")), 1L)
           .otherwise(0L)).as("bad"))
