@@ -8,6 +8,19 @@ import org.apache.spark.sql.functions._
   * serving-layer schema, and approximate distinct stays within its rsd. */
 class SourcesSpec extends SparkSpec {
 
+  test("Tables.load surfaces every timestamp as session-TZ TimestampType, never NTZ") {
+    // THE loader armor (round 8: the driver's regenerated testdata
+    // flipped events.ts to TIMESTAMP_NTZ and broke every watermark and
+    // unix_micros consumer). Whatever the parquet writer annotated,
+    // downstream operators must see exactly one timestamp type.
+    import org.apache.spark.sql.types.TimestampNTZType
+    Tables.all.foreach { t =>
+      val ntz = Tables(spark, Sf0001, t).schema.fields
+        .filter(_.dataType == TimestampNTZType).map(_.name)
+      assert(ntz.isEmpty, s"$t surfaces TIMESTAMP_NTZ columns: ${ntz.mkString(",")}")
+    }
+  }
+
   test("JSON and CSV sinks/sources round-trip the monthly aggregate") {
     val agg = CoreOps.a1MonthlyAggEvents(spark, Sf0001)
       .withColumn("month", date_format(col("month"), "yyyy-MM-dd HH:mm:ss"))
