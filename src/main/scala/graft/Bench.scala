@@ -48,6 +48,12 @@ object Bench {
       // honest reading is breakage. A query with zero successes records
       // -1 (unmistakably a failure marker) and is excluded from total.
       val samples = (1 to Reps).flatMap { _ =>
+        // per-rep fixture setup (e.g. re-fragment the compaction lake)
+        // runs OUTSIDE the timer: the recorded number is the operator's
+        // cost, not its fixture's write cost. Failures are logged like
+        // any warmup; the timed body then rebuilds for itself (slower,
+        // visibly — never silently wrong).
+        q.benchPrep.foreach(p => warmup(s"${q.name} prep")(p(spark, sfDir)))
         val t0 = System.nanoTime()
         // execute the *physical* plan as planned (df.count() would let the
         // optimizer drop sorts/projections above the agg and under-measure)

@@ -11,12 +11,18 @@ import graft.ops._
   *               rows-only check (used for ops whose hash functions /
   *               heuristics are not SQL-expressible).
   * @param headline included in the Bench headline timing set.
+  * @param benchPrep untimed per-rep fixture setup run by Bench before
+  *                  every timed repetition (e.g. re-fragmenting the
+  *                  compaction lake), so the timed number measures the
+  *                  operator, not its fixture I/O. Verify ignores it:
+  *                  `build` must stay self-sufficient for correctness.
   */
 final case class GraftQuery(
     name: String,
     build: (SparkSession, String) => DataFrame,
     oracle: Option[String] = None,
-    headline: Boolean = false)
+    headline: Boolean = false,
+    benchPrep: Option[(SparkSession, String) => Unit] = None)
 
 /** The operator registry — the single source of truth behind
   * SparkEntry.queries / oracleSql and Bench. Names are prefixed with the
@@ -26,6 +32,23 @@ object Registry {
   /** Shared by a1_monthly_agg_events AND the incremental-MV twin
     * (x_mv_incremental): one SQL so "incremental ≡ recompute" is a hash
     * equality against the same oracle, not two drifting copies. */
+  /** Exact n-gram-Jaccard ≥ 1/2 pair set — shared by
+    * x_dedup_ngram_jaccard AND the minhash verify gate (one SQL so
+    * "banded ⊆ exact" is judged against the very set the exact query is
+    * hash-checked on, not a drifting copy). */
+  private val ngramJaccardOracle: String =
+    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |tri AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t) - 2),
+      |          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+      |        FROM toks WHERE len(t) >= 3),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+      |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      |          FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
+      |SELECT doc_a, doc_b, CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) AS jaccard
+      |FROM pairs JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+      |WHERE 3 * n_common >= ca.n + cb.n
+      |ORDER BY doc_a, doc_b""".stripMargin
+
   private val monthlyAggEventsOracle: String =
     """SELECT event_type, date_trunc('month', ts) AS month,
       |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS avg_value,
@@ -351,7 +374,7 @@ object Registry {
         |  ON l_shipdate >= o_orderdate
         | AND l_shipdate < o_orderdate + INTERVAL 7 DAY
         |WHERE o_orderkey % 97 = 0
-        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin)),
+        |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin), headline = true),
     GraftQuery("q18_big_orders", JoinOps.q18BigOrders, Some(
       """WITH big AS (
         |  SELECT l_orderkey,
@@ -1302,19 +1325,23 @@ object Registry {
         |                  WHERE c.source <> 'src0' AND c.text = b.text)
         |GROUP BY b.text
         |ORDER BY keep_id""".stripMargin)),
-    GraftQuery("x_dedup_ngram_jaccard", DedupOps.ngramJaccard, Some(
-      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-        |tri AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t) - 2),
-        |          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
-        |        FROM toks WHERE len(t) >= 3),
-        |cnt AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
-        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-        |          FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
-        |SELECT doc_a, doc_b, CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) AS jaccard
-        |FROM pairs JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
-        |WHERE 3 * n_common >= ca.n + cb.n
-        |ORDER BY doc_a, doc_b""".stripMargin), headline = true),
+    GraftQuery("x_dedup_ngram_jaccard", DedupOps.ngramJaccard,
+      Some(ngramJaccardOracle), headline = true),
     GraftQuery("x_dedup_minhash_lsh", DedupOps.minhashLsh, None, headline = true),
+    // end-to-end LSH equivalence gate: the banded pair set must be a
+    // zero-false-positive subset of the exact Jaccard-threshold pair set
+    // (which DuckDB recomputes — same SQL as the ngram oracle) at or
+    // above the recall floor; the first value-level proof of the banding
+    // pipeline itself (round-9 verdict's top verification gap)
+    GraftQuery("x_dedup_minhash_verify_gate", DedupOps.minhashVerifyGate, Some(
+      s"""SELECT CAST(count(*) AS BIGINT) AS n_exact,
+         |       CAST(0 AS BIGINT) AS false_pos, true AS passes
+         |FROM ($ngramJaccardOracle)""".stripMargin)),
+    // pigeonhole banding is exhaustive for Hamming <= 3, so the banded
+    // set must EQUAL the size-guarded brute-force pair set — signatures
+    // are engine-internal, hence the docs-count anchor + literal true
+    GraftQuery("x_dedup_simhash_verify_gate", DedupOps.simhashVerifyGate, Some(
+      "SELECT CAST(count(*) AS BIGINT) AS n_docs, true AS passes FROM documents")),
     // write-once/probe-many text dedup: crawl batch vs materialized
     // signature index; rows-only (engine-internal hashes), cross-split
     // equality with the full pipeline pinned by spec
@@ -1874,6 +1901,14 @@ object Registry {
     GraftQuery("x_bpe_merges_gate", BpeOps.mergesGate, Some(
       s"SELECT CAST(${BpeOps.NumMerges} AS INTEGER) AS max_merges, true AS passes")),
     GraftQuery("x_bpe_encode", BpeOps.encode, None),
+    // encoder round-trip gate: re-joining each word's BPE symbols must
+    // reproduce the word byte-identically (merges concatenate, nothing
+    // else) — the direct pin on merge APPLICATION that the compression
+    // gate's aggregate counts only imply (round-9 verdict item 5)
+    GraftQuery("x_bpe_encode_gate", BpeOps.encodeGate, Some(
+      """WITH w AS (SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS word
+        |           FROM documents)
+        |SELECT CAST(count(*) AS BIGINT) AS n_words, true AS passes FROM w""".stripMargin)),
     GraftQuery("x_bpe_compression_gate", BpeOps.compressionGate, Some(
       """WITH w AS (SELECT unnest(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS word
         |           FROM documents)
@@ -2423,7 +2458,8 @@ object Registry {
     // lake and compact it — keeps the 100 TB maintenance path honest
     // round-over-round (rows-only: file layout is engine-internal; the
     // byte-identical-survivor property is spec-pinned)
-    GraftQuery("x_maint_compact", UpsertOps.compactBench, None, headline = true),
+    GraftQuery("x_maint_compact", UpsertOps.compactBench, None, headline = true,
+      benchPrep = Some(UpsertOps.rebuildBenchLake)),
     // compaction content gate: after rebuild+compact, one file per
     // partition, only the fragmented fixtures rewritten, and the lake
     // reconciles with the source table (count / partition count /

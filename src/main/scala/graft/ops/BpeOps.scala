@@ -205,6 +205,37 @@ object BpeOps {
           col("bad") === 0L).as("passes"))
   }
 
+  /** Round-trip gate for the ENCODER itself (compressionGate only pins
+    * aggregate counts; round 9 flagged the encoder as indirectly gated):
+    * BPE merges concatenate adjacent symbols and nothing else, so
+    * re-joining each word's encoded symbols must reproduce the word
+    * BYTE-IDENTICALLY, no word's symbol count may grow, and no word may
+    * encode to zero symbols. One corpus scan, one global aggregate; the
+    * oracle recomputes the word count with the same regex and expects
+    * passes = true — a merge-application bug that drops, duplicates, or
+    * reorders characters turns the row red. */
+  def encodeGate(spark: SparkSession, dir: String): DataFrame = {
+    val encoded = trainedMerges(spark, dir).sortBy(_.rank)
+      .foldLeft(col("syms")) { (c, m) => applyMerge(c, m.l, m.r) }
+    Tables(spark, dir, "documents")
+      .select(explode(regexp_extract_all(col("text"),
+        lit(TextOps.BpeTokenRe), lit(0))).as("word"))
+      .select(col("word"),
+        regexp_extract_all(col("word"), lit("."), lit(0)).as("syms"))
+      .select(col("word"), col("syms"), encoded.as("enc"))
+      .agg(
+        count(lit(1)).as("n_words"),
+        sum(when(array_join(col("enc"), "") =!= col("word"), 1L)
+          .otherwise(0L)).as("bad_decode"),
+        sum(when(size(col("enc")) > size(col("syms")), 1L)
+          .otherwise(0L)).as("grown"),
+        sum(when(size(col("enc")) < 1, 1L).otherwise(0L)).as("vanished"))
+      .select(col("n_words"),
+        (coalesce(col("bad_decode"), lit(0L)) === 0L &&
+          coalesce(col("grown"), lit(0L)) === 0L &&
+          coalesce(col("vanished"), lit(0L)) === 0L).as("passes"))
+  }
+
   def compressionGate(spark: SparkSession, dir: String): DataFrame = {
     val e = encode(spark, dir)
     e.agg(

@@ -125,7 +125,7 @@ object CorpusPipeline {
       .join(docs.select(col("doc_id")), Seq("doc_id"), "left_anti")
       .agg(count(lit(1)).as("n_strays"))
     val inCount = docs.agg(count(lit(1)).as("n_docs_in"))
-    inCount.crossJoin(rowChecks).crossJoin(capCheck).crossJoin(strays)
+    val gate = inCount.crossJoin(rowChecks).crossJoin(capCheck).crossJoin(strays)
       .select(col("n_docs_in"),
         lit(SourceCap).as("cap"),
         (col("bad_rows") === 0L &&
@@ -133,5 +133,12 @@ object CorpusPipeline {
           col("n_out") > 0L && col("n_out") <= col("n_docs_in") &&
           col("n_strays") === 0L &&
           col("max_per_source") <= SourceCap).as("passes"))
+    // materialize the single gate row while the cache is live, then drop
+    // the cached assembly — without this every gate invocation in a
+    // long-lived session (tests + Verify + bench share one JVM) leaks
+    // another cached copy of the corpus for the session lifetime
+    val row = gate.collect()
+    out.unpersist()
+    spark.createDataFrame(java.util.Arrays.asList(row: _*), gate.schema)
   }
 }

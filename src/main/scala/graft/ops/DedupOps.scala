@@ -373,6 +373,81 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Recall floor (percent) for [[minhashVerifyGate]]: the banded
+    * pipeline must recover at least this share of the exact
+    * Jaccard-threshold pair set. Banding is the only lossy step (its
+    * S-curve at j = 0.5 admits ~64% per pair, rising steeply above);
+    * the seeded hash family makes the realized recall deterministic per
+    * corpus, and on the synthetic corpora it is 100% — the floor exists
+    * so the gate states the contract, not to absorb flakiness. */
+  val LshRecallFloorPct = 95L
+
+  /** End-to-end equivalence gate for the MinHash+LSH pipeline (the
+    * x_sim_knn_recall_gate pattern, closing round-9's top verification
+    * gap): at oracle scale DuckDB can compute the EXACT n-gram
+    * Jaccard ≥ 1/2 pair set, and because LSH banding only FILTERS
+    * candidates (verification is exact, in-kernel, on the same shingle
+    * sets), the banded output must be a SUBSET of the exact set with
+    * identical jaccard values — zero false positives — and recall at or
+    * above [[LshRecallFloorPct]]. The oracle recomputes |exact| in SQL
+    * and pins false_pos = 0, passes = true; a banding bug that invents,
+    * corrupts, or over-drops pairs turns the row red. */
+  def minhashVerifyGate(spark: SparkSession, dir: String): DataFrame = {
+    val exact = ngramJaccard(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("jaccard").as("j_exact"))
+    val lsh = minhashLsh(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("jaccard").as("j_lsh"))
+    // j_exact === j_lsh is exact, not tolerance-based: both sides divide
+    // the SAME integer (n_common, n_union) pair from the same shingle
+    // sets, so the doubles are bit-identical by construction
+    exact.join(lsh, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(
+        sum(when(col("j_exact").isNotNull, 1L).otherwise(0L)).as("ne"),
+        sum(when(col("j_lsh").isNotNull &&
+          (col("j_exact").isNull || col("j_exact") =!= col("j_lsh")), 1L)
+          .otherwise(0L)).as("fp"),
+        sum(when(col("j_exact").isNotNull && col("j_exact") === col("j_lsh"), 1L)
+          .otherwise(0L)).as("hits"))
+      .select(
+        coalesce(col("ne"), lit(0L)).as("n_exact"),
+        coalesce(col("fp"), lit(0L)).as("false_pos"),
+        (coalesce(col("fp"), lit(0L)) === 0L &&
+          coalesce(col("hits"), lit(0L)) * 100L >=
+            coalesce(col("ne"), lit(0L)) * LshRecallFloorPct).as("passes"))
+  }
+
+  /** End-to-end equivalence gate for the SimHash pipeline: 4×16-bit
+    * pigeonhole banding is EXHAUSTIVE for Hamming ≤ 3 (a pair within
+    * distance 3 agrees on ≥ 1 of 4 chunks by pigeonhole), so unlike
+    * MinHash the banded pair set must EQUAL the brute-force all-pairs
+    * set — same pairs, same distances, no recall floor. The brute-force
+    * side is the size-guarded validation anchor (the embedCosine rule:
+    * n² compares is a gate tool, never a production plan); signatures
+    * are engine-internal, so the oracle pins |docs| plus the literal
+    * passes = true. */
+  def simhashVerifyGate(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.exprs._
+    val sigs = Tables.parallel(spark, dir, "documents")
+      .select(col("doc_id"),
+        simhash64(token_hashes(split(lower(col("text")), " "))).as("simhash"))
+    val n = sigs.count()
+    require(n <= ExactAllPairsMaxRows,
+      s"simhashVerifyGate is the exact all-pairs validation anchor (n=$n > " +
+        s"$ExactAllPairsMaxRows); the production path is the banded simhash()")
+    val exact = sigs.as("a")
+      .join(sigs.as("b"), col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("doc_a"), col("b.doc_id").as("doc_b"),
+        bit_count(col("a.simhash").bitwiseXOR(col("b.simhash"))).as("h_exact"))
+      .filter(col("h_exact") <= 3)
+    val banded = simhash(spark, dir)
+      .select(col("doc_a"), col("doc_b"), col("hamming").as("h_band"))
+    exact.join(banded, Seq("doc_a", "doc_b"), "full_outer")
+      .agg(sum(when(col("h_exact").isNull || col("h_band").isNull ||
+        col("h_exact") =!= col("h_band"), 1L).otherwise(0L)).as("mismatch"))
+      .select(lit(n).as("n_docs"),
+        (coalesce(col("mismatch"), lit(0L)) === 0L).as("passes"))
+  }
+
   /** Hard ceiling for the exact all-pairs cosine path: n² pair evals is a
     * cartesian — a validation tool, never a production plan. */
   val ExactAllPairsMaxRows: Long = 1000000L

@@ -420,7 +420,7 @@ object JoinOps {
     * test — hash-aligned layouts joined without an exchange — is
     * bucket-count-invariant, the throughput is not. */
   val JoinBuckets: Int =
-    sys.env.get("SPARK_GRAFT_CPUS").flatMap(_.toIntOption)
+    sys.env.get("SPARK_GRAFT_CPUS").flatMap(_.toIntOption).filter(_ > 0)
       .getOrElse(math.max(8, Runtime.getRuntime.availableProcessors()))
 
   /** Session-catalog names for the bucketed twins, tagged per source dir

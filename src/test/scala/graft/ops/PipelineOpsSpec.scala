@@ -210,6 +210,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.toSet == want, s"got ${got.length} want ${want.size}")
   }
 
+  test("minhash verify gate: zero false positives, recall over floor, n_exact anchored") {
+    val g = DedupOps.minhashVerifyGate(spark, Sf0001).collect()(0)
+    assert(g.getBoolean(2), s"gate failed: $g")
+    assert(g.getLong(1) == 0L, s"false positives: $g")
+    assert(g.getLong(0) == DedupOps.ngramJaccard(spark, Sf0001).count())
+  }
+
+  test("simhash verify gate: banded pair set equals the brute-force set") {
+    val g = DedupOps.simhashVerifyGate(spark, Sf0001).collect()(0)
+    assert(g.getBoolean(1), s"gate failed: $g")
+    assert(g.getLong(0) == Tables(spark, Sf0001, "documents").count())
+  }
+
   test("fingerprint: stable across partition counts and run-to-run") {
     val a = graft.ops.TextOps.fingerprint(spark, plantedDir).collect().map(r => (r.getLong(0), r.getLong(1)))
     val b = graft.ops.TextOps.fingerprint(spark, plantedDir).collect().map(r => (r.getLong(0), r.getLong(1)))

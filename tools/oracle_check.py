@@ -19,6 +19,24 @@ def main(sf_dir, out_dir):
         con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    # A throwing query writes a 1-row marker parquet whose only column is
+    # __graft_error. Oracled entries fail the schema compare anyway, but a
+    # rows-only (oracle=None) entry would look like an ordinary 1-row
+    # result — scan EVERY dump dir for the marker so no failure hides.
+    for d in sorted(glob.glob(f"{out_dir}/*/")):
+        name = os.path.basename(d.rstrip("/"))
+        files = glob.glob(f"{d}*.parquet")
+        if not files:
+            continue
+        cols = list(pd.read_parquet(files[0]).columns)
+        if cols == ["__graft_error"]:
+            msg = pd.read_parquet(files[0]).iloc[0, 0]
+            print(f"FAIL {name}: query threw: {msg}")
+            n_fail += 1
+    errs_path = f"{out_dir}/_errors.json"
+    if os.path.exists(errs_path):
+        for name, msg in sorted(json.load(open(errs_path)).items()):
+            print(f"ERROR {name}: {msg}")
     for name in sorted(oracle):
         sql = oracle[name]
         files = glob.glob(f"{out_dir}/{name}/*.parquet")
