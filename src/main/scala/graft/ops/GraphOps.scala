@@ -88,38 +88,51 @@ object GraphOps {
     // (fact join + distinct + symmetrize) re-executes per round — the
     // production pattern (ClusterOps does the same); the cache lives for
     // the session like any materialized index
-    val edges = rawEdges.join(deg, Seq("src"))
-      .withColumn("salt",
+    val edges0 = rawEdges.join(deg, Seq("src"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nodes = edges0.select(col("src").as("node"), col("deg")).distinct()
+    // driver values: |V| and max out-degree (two bounded scalars; the
+    // max reads the cache and decides whether the salted machinery
+    // exists in the plan AT ALL — a uniform graph pays zero for the
+    // armor, in plan shape and in work)
+    val n = nodes.count()
+    require(n > 0, "empty graph")
+    val salted = edges0.agg(max(col("deg"))).head.getLong(0) >= hotDegree
+    val edges =
+      if (!salted) edges0
+      // cheap projection over the cached rows — one hash per edge per
+      // use, not worth a second persist
+      else edges0.withColumn("salt",
         when(col("deg") >= hotDegree,
           pmod(xxhash64(col("dst")), lit(Salts.toLong)).cast("int"))
           .otherwise(lit(0)))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val nodes = edges.select(col("src").as("node"), col("deg")).distinct()
     // replica spine for the rank side of the per-iteration join: a hot
     // node carries one row per salt (its rank value is identical in all
     // replicas — each edge meets exactly the replica its salt selects);
-    // cold nodes ride salt 0, so with nothing over the threshold this IS
-    // the node list and the plan is unchanged. Persisted like edges:
-    // every iteration's rebuild joins it.
-    val nodeSalts = nodes.select(col("node"), col("deg"),
-      explode(when(col("deg") >= hotDegree, sequence(lit(0), lit(Salts - 1)))
-        .otherwise(array(lit(0)))).as("salt"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // the ONLY driver value: |V| (one scalar)
-    val n = nodes.count()
-    require(n > 0, "empty graph")
+    // cold nodes ride salt 0. Persisted because every iteration's rank
+    // rebuild joins it (nodes itself is a distinct-agg over the cache).
+    val spine =
+      if (!salted) nodes
+      else nodes.select(col("node"),
+        explode(when(col("deg") >= hotDegree, sequence(lit(0), lit(Salts - 1)))
+          .otherwise(array(lit(0)))).as("salt"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val saltCols = if (salted) Seq(col("salt")) else Seq.empty
     val base = RankScale * 15 / 100 / n
-    var ranks = nodeSalts.select(col("node"), col("salt"), lit(RankScale / n).as("rank"))
+    var ranks = spine.select((col("node") +: saltCols) :+
+      lit(RankScale / n).as("rank"): _*)
     for (i <- 1 to Iters) {
+      val joinCond =
+        if (salted) col("e.src") === col("r.node") && col("e.salt") === col("r.salt")
+        else col("e.src") === col("r.node")
       val sums = edges.as("e")
-        .join(ranks.as("r"),
-          col("e.src") === col("r.node") && col("e.salt") === col("r.salt"))
+        .join(ranks.as("r"), joinCond)
         .select(col("e.dst").as("dst"), expr("r.rank div e.deg").as("contrib"))
         .groupBy(col("dst")).agg(sum(col("contrib")).as("s"))
-      ranks = nodeSalts.as("nd")
+      ranks = spine.as("nd")
         .join(sums.as("sm"), col("nd.node") === col("sm.dst"), "left")
-        .select(col("nd.node").as("node"), col("nd.salt").as("salt"),
-          (lit(base) + expr("85 * coalesce(sm.s, 0L) div 100")).as("rank"))
+        .select(col("nd.node").as("node") +: saltCols.map(_ => col("nd.salt").as("salt")) :+
+          (lit(base) + expr("85 * coalesce(sm.s, 0L) div 100")).as("rank"): _*)
       // truncate the lineage every CheckpointEvery rounds (and at the
       // end): without this the rank plan nests one join+agg PER
       // iteration — fine at Iters=3, a stack/planning cliff the first
@@ -134,7 +147,8 @@ object GraphOps {
       if (i % CheckpointEvery == 0 || i == Iters)
         ranks = ranks.localCheckpoint()
     }
-    ranks.filter(col("salt") === 0).select(col("node"), col("rank")).orderBy("node")
+    (if (salted) ranks.filter(col("salt") === 0) else ranks)
+      .select(col("node"), col("rank")).orderBy("node")
   }
 
   // ------------------------------------------------------------------

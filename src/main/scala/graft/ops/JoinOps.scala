@@ -514,8 +514,7 @@ object JoinOps {
       c.cast(TimestampType).cast(LongType)
     val campaigns = Tables(spark, dir, "orders")
       .filter(col("o_orderkey") % 97 === 0)
-      .select(col("o_orderkey"), col("o_orderdate"),
-        epochS(col("o_orderdate")).as("start_s"))
+      .select(col("o_orderkey"), epochS(col("o_orderdate")).as("start_s"))
       .withColumn("cell",
         // integer `div`, never `/`: float division + cast truncates wrong
         // for values this large only by luck; div is exact by contract
@@ -523,16 +522,23 @@ object JoinOps {
           expr(s"(start_s + ${RangeGridSec - 1L}) div $RangeGridSec"))))
     // SAME epochS on both sides — point cells and interval cells must
     // come from one definition or an edit to either silently breaks the
-    // grid-coverage invariant the join depends on
-    val shipments = Tables(spark, dir, "lineitem")
-      .select(col("l_shipdate"), col("l_extendedprice"), col("l_discount"),
+    // grid-coverage invariant the join depends on. Tables.parallel: the
+    // probe side is the narrow-pipeline shape (per-row cast + div, then
+    // the broadcast probe and partial agg IN THE SCAN TASK — a broadcast
+    // join adds no exchange that would re-parallelize a single-row-group
+    // test file; the documented Tables.parallel trade).
+    val shipments = Tables.parallel(spark, dir, "lineitem")
+      .select(col("l_extendedprice"), col("l_discount"),
         epochS(col("l_shipdate")).as("ship_s"))
       .withColumn("cell", expr(s"ship_s div $RangeGridSec"))
-      .drop("ship_s")
     shipments
       .join(campaigns, Seq("cell"))
-      .filter(col("l_shipdate") >= col("o_orderdate") &&
-        col("l_shipdate") < col("o_orderdate") + expr("INTERVAL 7 DAYS"))
+      // residual on the ALREADY-COMPUTED epoch longs: two integer
+      // compares per candidate pair instead of re-deriving
+      // timestamp-vs-(timestamp + INTERVAL) arithmetic; [start, start+7d)
+      // at second precision is exactly [start_s, start_s + RangeGridSec)
+      .filter(col("ship_s") >= col("start_s") &&
+        col("ship_s") < col("start_s") + lit(RangeGridSec))
       .groupBy(col("o_orderkey"))
       .agg(
         count(lit(1)).as("n_shipments"),
