@@ -375,6 +375,21 @@ object Registry {
         | AND l_shipdate < o_orderdate + INTERVAL 7 DAY
         |WHERE o_orderkey % 97 = 0
         |GROUP BY o_orderkey ORDER BY o_orderkey""".stripMargin), headline = true),
+    // interval×interval overlap join, the general form of j12: both
+    // window sets decompose into week cells → hash equi join; pairs are
+    // emitted exactly once by the overlap-start cell (ownership filter,
+    // no distinct). Oracle = the bare overlap predicate DuckDB evaluates
+    // directly, pinning that the grid changes the plan, not the answer.
+    GraftQuery("j13_interval_overlap", JoinOps.j13IntervalOverlap, Some(
+      """WITH a AS (SELECT o_orderkey AS campaign_key, o_orderdate AS s
+        |           FROM orders WHERE o_orderkey % 97 = 0),
+        |     b AS (SELECT o_orderkey AS promo_key, o_orderdate AS s
+        |           FROM orders WHERE o_orderkey % 89 = 0)
+        |SELECT campaign_key, promo_key,
+        |       CAST(date_diff('day', greatest(a.s, b.s),
+        |            least(a.s + INTERVAL 7 DAY, b.s + INTERVAL 10 DAY)) AS INTEGER) AS overlap_days
+        |FROM a JOIN b ON a.s < b.s + INTERVAL 10 DAY AND b.s < a.s + INTERVAL 7 DAY
+        |ORDER BY campaign_key, promo_key""".stripMargin)),
     GraftQuery("q18_big_orders", JoinOps.q18BigOrders, Some(
       """WITH big AS (
         |  SELECT l_orderkey,

@@ -545,4 +545,57 @@ object JoinOps {
         revenueExact(col("l_extendedprice"), col("l_discount")).as("revenue"))
       .orderBy("o_orderkey")
   }
+
+  /** Campaign (7-day) / promo (10-day) window lengths for the
+    * interval-overlap join — two deterministic modulo samples of orders
+    * so the DuckDB oracle re-derives both interval sets exactly. */
+  private val CampaignSec = 7L * 86400L
+  private val PromoSec = 10L * 86400L
+
+  /** Interval×interval OVERLAP join — the general form of [[j12RangeJoin]]
+    * (point-in-interval is the zero-length special case): which promo
+    * windows overlap which campaign windows, with the exact overlap
+    * length. Same cliff, same cure: a bare overlap predicate
+    * (`a.start < b.end AND b.start < a.end`) is a
+    * BroadcastNestedLoopJoin; decomposing BOTH interval sets into the
+    * week cells they cover turns it into a hash equi join on the cell
+    * (≤ 2 cells per campaign, ≤ ⌈10/7⌉+1 = 3 per promo — O(1) emission
+    * either side).
+    *
+    * Exactly-once without a dedup shuffle: two intervals can now share
+    * SEVERAL cells, so unlike j12 the pair needs an owner — the cell
+    * containing `greatest(a_start, b_start)`. That instant lies in both
+    * intervals (it is where the overlap begins), so both sides exploded
+    * its cell and the pair is guaranteed to meet there; every other
+    * shared cell drops the pair via the ownership filter. The same rule
+    * an interval join in any shared-nothing engine uses (cf. the
+    * overlap-interval joins in Flink/Trino docs), and the reason no
+    * `distinct` appears below. */
+  def j13IntervalOverlap(spark: SparkSession, dir: String): DataFrame = {
+    def epochS(c: Column): Column = c.cast(TimestampType).cast(LongType)
+    def windows(mod: Int, lenSec: Long, keyName: String, startName: String) =
+      Tables(spark, dir, "orders")
+        .filter(col("o_orderkey") % mod === 0)
+        .select(col("o_orderkey").as(keyName),
+          epochS(col("o_orderdate")).as(startName))
+        .withColumn("cell",
+          explode(sequence(expr(s"$startName div $RangeGridSec"),
+            expr(s"($startName + ${lenSec - 1L}) div $RangeGridSec"))))
+    val camp = windows(97, CampaignSec, "campaign_key", "a_start")
+    val promo = windows(89, PromoSec, "promo_key", "b_start")
+    camp.join(promo, Seq("cell"))
+      // half-open overlap on the epoch longs (midnight-aligned dates, so
+      // second-precision arithmetic is exact)
+      .filter(col("a_start") < col("b_start") + lit(PromoSec) &&
+        col("b_start") < col("a_start") + lit(CampaignSec))
+      // ownership: only the cell where the overlap BEGINS emits the pair
+      .filter(col("cell") ===
+        expr(s"greatest(a_start, b_start) div $RangeGridSec"))
+      .select(col("campaign_key"), col("promo_key"),
+        // integer `div`: starts and lengths are whole days, so the
+        // overlap is an exact multiple of 86400 — no float division
+        expr(s"CAST((least(a_start + $CampaignSec, b_start + $PromoSec) - " +
+          s"greatest(a_start, b_start)) div 86400 AS INT)").as("overlap_days"))
+      .orderBy("campaign_key", "promo_key")
+  }
 }

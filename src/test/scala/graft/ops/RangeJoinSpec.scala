@@ -36,4 +36,37 @@ class RangeJoinSpec extends SparkSpec {
     assert(got.nonEmpty)
     assert(got.toSeq == want.toSeq)
   }
+
+  test("j13: overlap join stays an equi join; pairs arrive exactly once") {
+    val df = JoinOps.j13IntervalOverlap(spark, Sf0001)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"),
+      s"overlap join fell back to a nested loop:\n$plan")
+    val rows = df.collect()
+    assert(rows.nonEmpty)
+    // exactly-once is structural (overlap-start-cell ownership), so the
+    // key pairs must already be unique without any distinct in the plan
+    val keys = rows.map(r => (r.getLong(0), r.getLong(1)))
+    assert(keys.length == keys.toSet.size, "pair emitted from more than one shared cell")
+    assert(!plan.contains("Deduplicate") && !df.queryExecution.logical.toString.contains("Deduplicate"))
+  }
+
+  test("j13 == the naive overlap-predicate join, row for row") {
+    val got = JoinOps.j13IntervalOverlap(spark, Sf0001).collect().map(_.toSeq)
+    def win(mod: Int) = Tables(spark, Sf0001, "orders")
+      .filter(col("o_orderkey") % mod === 0)
+      .select(col("o_orderkey"), col("o_orderdate"))
+    val a = win(97).select(col("o_orderkey").as("campaign_key"), col("o_orderdate").as("sa"))
+    val b = win(89).select(col("o_orderkey").as("promo_key"), col("o_orderdate").as("sb"))
+    val want = a.join(b,
+        col("sa") < col("sb") + expr("INTERVAL 10 DAYS") &&
+          col("sb") < col("sa") + expr("INTERVAL 7 DAYS"))
+      .select(col("campaign_key"), col("promo_key"),
+        (least(col("sa") + expr("INTERVAL 7 DAYS"), col("sb") + expr("INTERVAL 10 DAYS"))
+          .cast("long") - greatest(col("sa"), col("sb")).cast("long"))
+          .divide(86400L).cast("int").as("overlap_days"))
+      .orderBy("campaign_key", "promo_key").collect().map(_.toSeq)
+    assert(got.nonEmpty)
+    assert(got.toSeq == want.toSeq)
+  }
 }
