@@ -23,13 +23,15 @@ def main(sf_dir, out_dir):
     # __graft_error. Oracled entries fail the schema compare anyway, but a
     # rows-only (oracle=None) entry would look like an ordinary 1-row
     # result — scan EVERY dump dir for the marker so no failure hides.
+    import pyarrow.parquet as pq
     for d in sorted(glob.glob(f"{out_dir}/*/")):
         name = os.path.basename(d.rstrip("/"))
         files = glob.glob(f"{d}*.parquet")
         if not files:
             continue
-        cols = list(pd.read_parquet(files[0]).columns)
-        if cols == ["__graft_error"]:
+        # schema-only read: scanning 200+ dumps' data just for column
+        # names would double the gate's I/O
+        if pq.ParquetFile(files[0]).schema_arrow.names == ["__graft_error"]:
             msg = pd.read_parquet(files[0]).iloc[0, 0]
             print(f"FAIL {name}: query threw: {msg}")
             n_fail += 1
