@@ -669,6 +669,33 @@ object Registry {
         |       p.pid AS last_purchase_id, p.ts AS last_purchase_ts
         |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts
         |ORDER BY user_id, error_id""".stripMargin), headline = true),
+    GraftQuery("j6c_asof_forward", JoinOps.j6cAsofForward, Some(
+      """WITH p AS (SELECT user_id, ts, max(event_id) AS pid FROM events
+        |           WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |     e AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error')
+        |SELECT e.user_id AS user_id, e.event_id AS error_id, e.ts AS error_ts,
+        |       p.pid AS next_purchase_id, p.ts AS next_purchase_ts
+        |FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts <= p.ts
+        |ORDER BY user_id, error_id""".stripMargin)),
+    GraftQuery("j6d_asof_nearest", JoinOps.j6dAsofNearest, Some(
+      """WITH p AS (SELECT user_id, ts, max(event_id) AS pid FROM events
+        |           WHERE event_type = 'purchase' GROUP BY 1, 2),
+        |     e AS (SELECT user_id, event_id, ts FROM events WHERE event_type = 'error'),
+        |     b AS (SELECT e.user_id, e.event_id, e.ts, p.pid AS b_id, p.ts AS b_ts
+        |           FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts >= p.ts),
+        |     f AS (SELECT e.user_id, e.event_id, p.pid AS f_id, p.ts AS f_ts
+        |           FROM e ASOF LEFT JOIN p ON e.user_id = p.user_id AND e.ts < p.ts)
+        |SELECT b.user_id AS user_id, b.event_id AS error_id, b.ts AS error_ts,
+        |       CASE WHEN b_ts IS NULL THEN f_id
+        |            WHEN f_ts IS NULL THEN b_id
+        |            WHEN epoch_us(b.ts) - epoch_us(b_ts) <= epoch_us(f_ts) - epoch_us(b.ts)
+        |            THEN b_id ELSE f_id END AS near_purchase_id,
+        |       CASE WHEN b_ts IS NULL THEN f_ts
+        |            WHEN f_ts IS NULL THEN b_ts
+        |            WHEN epoch_us(b.ts) - epoch_us(b_ts) <= epoch_us(f_ts) - epoch_us(b.ts)
+        |            THEN b_ts ELSE f_ts END AS near_purchase_ts
+        |FROM b JOIN f ON b.user_id = f.user_id AND b.event_id = f.event_id
+        |ORDER BY user_id, error_id""".stripMargin)),
     GraftQuery("j6b_asof_payload", JoinOps.j6bAsofPayload, Some(
       """WITH p0 AS (SELECT user_id, ts, event_id, value, props,
         |              row_number() OVER (PARTITION BY user_id, ts

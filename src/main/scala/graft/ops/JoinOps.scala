@@ -162,6 +162,44 @@ object JoinOps {
       .orderBy("user_id", "error_id")
   }
 
+  /** J6c — FORWARD as-of: each error enriched with the NEXT purchase
+    * (earliest at-or-after) — "did the user recover", the mirror of
+    * j6's "what preceded the error". Same tie rule (max event_id among
+    * same-timestamp purchases), same one-shuffle union+window plan;
+    * DuckDB's ASOF accepts `<=` so the oracle is native. */
+  def j6cAsofForward(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("error_id"), col("ts").as("error_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("next_purchase_id"))
+      .select(col("user_id"), col("ts").as("next_purchase_ts"), col("next_purchase_id"))
+    AsofOps.asofJoinForward(errors, purchases, Seq("user_id"), "error_ts", "next_purchase_ts")
+      .select(col("user_id"), col("error_id"), col("error_ts"),
+        col("next_purchase_id"), col("next_purchase_ts"))
+      .orderBy("user_id", "error_id")
+  }
+
+  /** J6d — NEAREST as-of: each error paired with its temporally closest
+    * purchase either side (µs distances; exact ties and equal-time
+    * matches resolve backward). DuckDB has no nearest ASOF — the oracle
+    * composes a backward (`>=`) and a strictly-forward (`<`) ASOF join
+    * and picks by epoch_us distance with the same tie rule. */
+  def j6dAsofNearest(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("event_id").as("error_id"), col("ts").as("error_ts"))
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts"))
+      .agg(max(col("event_id")).as("near_purchase_id"))
+      .select(col("user_id"), col("ts").as("near_purchase_ts"), col("near_purchase_id"))
+    AsofOps.asofJoinNearest(errors, purchases, Seq("user_id"), "error_ts", "near_purchase_ts")
+      .select(col("user_id"), col("error_id"), col("error_ts"),
+        col("near_purchase_id"), col("near_purchase_ts"))
+      .orderBy("user_id", "error_id")
+  }
+
   /** J6b — AS-OF join carrying a MULTI-COLUMN payload with nullable
     * fields: the torn-row hazard case. `p_big_value` is null on most
     * purchase rows (value ≤ 100), so a per-column carry would back-fill

@@ -31,6 +31,59 @@ class AsofOpsSpec extends SparkSpec {
     }
   }
 
+  test("asofJoinForward == brute-force earliest-at-or-after (seeded random)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(2025)
+    val leftRows = (1 to 300).map(i => (rnd.nextInt(10).toLong, i.toLong, rnd.nextInt(1000)))
+    val right = (1 to 200).map(i => (rnd.nextInt(10).toLong, rnd.nextInt(1000), i.toLong))
+      .groupBy(r => (r._1, r._2))
+      .map { case ((k, t), rows) => (k, t, rows.map(_._3).max) }.toSeq
+    val got = AsofOps.asofJoinForward(
+        leftRows.toDF("k", "lid", "lt"), right.toDF("k", "rt", "rid"),
+        Seq("k"), "lt", "rt")
+      .collect()
+      .map(x => (x.getAs[Long]("k"), x.getAs[Long]("lid")) ->
+        (Option(x.getAs[Any]("rid")), Option(x.getAs[Any]("rt")))).toMap
+    assert(got.size == leftRows.size)
+    leftRows.foreach { case (k, lid, lt) =>
+      val cand = right.filter(r => r._1 == k && r._2 >= lt)
+      if (cand.isEmpty) assert(got((k, lid))._1.isEmpty, s"k=$k lid=$lid expected no match")
+      else {
+        val best = cand.minBy(_._2)
+        assert(got((k, lid)) == ((Some(best._3), Some(best._2))), s"k=$k lid=$lid")
+      }
+    }
+  }
+
+  test("asofJoinNearest == brute-force closest either side, ties backward (seeded random)") {
+    import spark.implicits._
+    val rnd = new scala.util.Random(2026)
+    val leftRows = (1 to 300).map(i => (rnd.nextInt(10).toLong, i.toLong, rnd.nextInt(1000)))
+    val right = (1 to 200).map(i => (rnd.nextInt(10).toLong, rnd.nextInt(1000), i.toLong))
+      .groupBy(r => (r._1, r._2))
+      .map { case ((k, t), rows) => (k, t, rows.map(_._3).max) }.toSeq
+    val got = AsofOps.asofJoinNearest(
+        leftRows.toDF("k", "lid", "lt"), right.toDF("k", "rt", "rid"),
+        Seq("k"), "lt", "rt")
+      .collect()
+      .map(x => (x.getAs[Long]("k"), x.getAs[Long]("lid")) ->
+        (Option(x.getAs[Any]("rid")), Option(x.getAs[Any]("rt")))).toMap
+    assert(got.size == leftRows.size)
+    leftRows.foreach { case (k, lid, lt) =>
+      val back = right.filter(r => r._1 == k && r._2 <= lt)
+        .sortBy(_._2).lastOption
+      val fwd = right.filter(r => r._1 == k && r._2 > lt)
+        .sortBy(_._2).headOption
+      val want = (back, fwd) match {
+        case (None, f) => f
+        case (b, None) => b
+        case (Some(b), Some(f)) =>
+          if (lt - b._2 <= f._2 - lt) Some(b) else Some(f)
+      }
+      assert(got((k, lid)) == ((want.map(_._3), want.map(_._2))), s"k=$k lid=$lid lt=$lt")
+    }
+  }
+
   test("asofJoin: null payload FIELD in the matched right row stays null (no torn rows)") {
     import spark.implicits._
     // right at t=1 has a=A1,b=B1; right at t=2 has a=null,b=B2.
