@@ -49,6 +49,19 @@ object Registry {
       |WHERE 3 * n_common >= ca.n + cb.n
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** Shared by x_quality_classifier AND its broadcast-join twin: the
+    * hashing trick (md5 → 20-bit bucket) and the pseudo-weight derivation
+    * (md5 of 'w'+bucket → [-500000, 500000]) replayed in DuckDB, so both
+    * physical plans hash against one logit definition. */
+  private val qualityClassifierOracle: String =
+    """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      |s AS (SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens,
+      |        CAST(list_sum(list_transform(t,
+      |          tok -> CAST(('0x' || substr(md5('w' || CAST(CAST(('0x' || substr(md5(tok), 1, 5)) AS BIGINT) % 4096 AS VARCHAR)), 1, 8)) AS BIGINT) % 1000001 - 500000)) AS BIGINT) AS logit
+      |      FROM d)
+      |SELECT doc_id, n_tokens, logit, logit > 0 AS keep
+      |FROM s ORDER BY doc_id""".stripMargin
+
   private val monthlyAggEventsOracle: String =
     """SELECT event_type, date_trunc('month', ts) AS month,
       |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS avg_value,
@@ -964,6 +977,43 @@ object Registry {
       |         FROM d3) WHERE rn = 1)
       |""".stripMargin
 
+  /** Grouped-Lloyd CTE for the PQ family — [[graft.ops.PqOps]]'s two
+    * integer-exact assignment rounds replayed with the subspace index m
+    * as a grouping column (m = pos div 16, spos = pos mod 16): c0 seeds
+    * from the first 16 vectors' sub-slices, a1/a2 argmin per (vec_id, m)
+    * with ties to the lowest code, s1 floor-div means per (m, cid, spos),
+    * empty clusters carry c0. Shared by codebooks / encode / ADC top-k so
+    * the three surfaces are judged against ONE training trajectory. */
+  private val pqCte: String =
+    """WITH u AS (
+      |  SELECT vec_id, CAST(pos // 8 AS INTEGER) AS m, CAST(pos % 8 AS INTEGER) AS spos,
+      |         CAST(floor(CAST(x AS DOUBLE) * 100000) AS BIGINT) AS val
+      |  FROM (SELECT vec_id, unnest(embedding) AS x,
+      |               unnest(generate_series(0, len(embedding) - 1)) AS pos
+      |        FROM embeddings)),
+      |c0 AS (SELECT m, CAST(vec_id AS INTEGER) AS cid, spos, val AS cval FROM u WHERE vec_id < 16),
+      |d1 AS (SELECT u.vec_id, u.m, c.cid, sum((u.val - c.cval) * (u.val - c.cval)) AS d
+      |       FROM u JOIN c0 c ON u.m = c.m AND u.spos = c.spos
+      |       GROUP BY u.vec_id, u.m, c.cid),
+      |a1 AS (SELECT vec_id, m, cid FROM
+      |        (SELECT vec_id, m, cid,
+      |                row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
+      |         FROM d1) WHERE rn = 1),
+      |s1 AS (SELECT a.m, a.cid, u.spos,
+      |              CAST(floor(CAST(sum(u.val) AS DOUBLE) / count(*)) AS BIGINT) AS cval
+      |       FROM u JOIN a1 a ON u.vec_id = a.vec_id AND u.m = a.m
+      |       GROUP BY a.m, a.cid, u.spos),
+      |c1 AS (SELECT p.m, p.cid, p.spos, coalesce(s.cval, p.cval) AS cval
+      |       FROM c0 p LEFT JOIN s1 s ON p.m = s.m AND p.cid = s.cid AND p.spos = s.spos),
+      |d2 AS (SELECT u.vec_id, u.m, c.cid, sum((u.val - c.cval) * (u.val - c.cval)) AS d
+      |       FROM u JOIN c1 c ON u.m = c.m AND u.spos = c.spos
+      |       GROUP BY u.vec_id, u.m, c.cid),
+      |a2 AS (SELECT vec_id, m, cid FROM
+      |        (SELECT vec_id, m, cid,
+      |                row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
+      |         FROM d2) WHERE rn = 1)
+      |""".stripMargin
+
   /** BM25 scoring CTE chain (through the per-(query, doc) integer score
     * `sc`) — shared by the three BM25 oracle forms AND the RRF hybrid
     * oracle, one definition so the scoring SQL cannot drift between
@@ -1295,6 +1345,14 @@ object Registry {
         |       length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) / length(text) AS punct_ratio,
         |       len(string_split(text, ' ')) < 5 AS is_short
         |FROM documents ORDER BY doc_id""".stripMargin)),
+    // hashed-linear-classifier inference (fastText shape): the inline
+    // expression plan and the broadcast-weight-table plan must both
+    // reproduce the same logits — ONE oracle string so the two physical
+    // strategies are judged against the identical row set
+    GraftQuery("x_quality_classifier", TextOps.qualityClassifier,
+      Some(qualityClassifierOracle)),
+    GraftQuery("x_quality_classifier_join", TextOps.qualityClassifierJoined,
+      Some(qualityClassifierOracle)),
     GraftQuery("x_text_repetition", TextOps.repetition, Some(
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
         |g AS (SELECT doc_id,
@@ -1688,6 +1746,31 @@ object Registry {
         |SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
         |       neighbor_id
         |FROM s QUALIFY rank <= 10 ORDER BY q_id, rank""".stripMargin)),
+    // product quantization: the oracle re-runs the SAME grouped Lloyd
+    // rounds (subspace m as a grouping column of one CTE — not M copies),
+    // so codebooks, codes AND the ADC ranking are all value equalities
+    GraftQuery("x_sim_pq_codebooks", PqOps.pqCodebooks, Some(
+      pqCte +
+        """SELECT m, cid, spos AS dim, cval AS coord
+          |FROM c1 ORDER BY m, cid, dim""".stripMargin)),
+    GraftQuery("x_sim_pq_encode", PqOps.pqEncode, Some(
+      pqCte +
+        """SELECT vec_id, m, cid AS code FROM a2 ORDER BY vec_id, m""".stripMargin)),
+    GraftQuery("x_sim_topk_pq", PqOps.topkPq, Some(
+      pqCte +
+        """, qd AS (SELECT q.vec_id AS q_id, c.m, c.cid,
+          |            sum((q.val - c.cval) * (q.val - c.cval)) AS td
+          |          FROM u q JOIN c1 c ON q.m = c.m AND q.spos = c.spos
+          |          WHERE q.vec_id < 10 GROUP BY q.vec_id, c.m, c.cid),
+          |adc AS (SELECT t.q_id, a.vec_id AS neighbor_id, CAST(sum(t.td) AS BIGINT) AS adc_dist
+          |        FROM a2 a JOIN qd t ON a.m = t.m AND a.cid = t.cid
+          |        GROUP BY t.q_id, a.vec_id)
+          |SELECT q_id, CAST(rn AS INTEGER) AS rank, neighbor_id, adc_dist FROM
+          | (SELECT q_id, neighbor_id, adc_dist,
+          |         row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, neighbor_id) AS rn
+          |  FROM adc) WHERE rn <= 10 ORDER BY q_id, rank""".stripMargin)),
+    GraftQuery("x_sim_pq_recall_gate", PqOps.pqRecallGate, Some(
+      """SELECT 10 AS n_queries, 10 AS k, true AS passes""")),
     GraftQuery("x_sim_quant_recall_gate", (s, d) => SimilarityOps.quantRecallGate(s, d), Some(
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
@@ -1847,6 +1930,26 @@ object Registry {
         |SELECT doc_id, CAST(p.chunk_idx AS INTEGER) AS chunk_idx, p.chunk AS chunk,
         |       CAST(len(string_split(p.chunk, ' ')) AS INTEGER) AS n_chunk_tokens
         |FROM e ORDER BY doc_id, chunk_idx""".stripMargin)),
+    // content-defined chunking: boundaries are local window hashes, so
+    // the oracle recomputes them position-by-position with the same md5
+    GraftQuery("x_text_cdc_chunks", PretrainOps.cdcChunks, Some(
+      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |b AS (SELECT doc_id, t, len(t) AS n,
+        |        list_filter(generate_series(4, len(t)),
+        |          i -> CAST(('0x' || substr(md5(array_to_string(t[i-3:i], ' ')), 1, 5)) AS BIGINT) % 8 = 0) AS cuts
+        |      FROM d),
+        |e AS (SELECT doc_id, t, n,
+        |        CASE WHEN len(cuts) > 0 AND cuts[len(cuts)] = n THEN cuts
+        |             ELSE list_append(cuts, n) END AS ends
+        |      FROM b),
+        |u AS (SELECT doc_id, t, ends, unnest(generate_series(1, len(ends))) AS j FROM e),
+        |s AS (SELECT doc_id, t, ends, j,
+        |        CASE WHEN j = 1 THEN 1 ELSE ends[CAST(j - 1 AS INTEGER)] + 1 END AS sp
+        |      FROM u)
+        |SELECT doc_id, CAST(j AS INTEGER) AS chunk_idx, CAST(sp AS INTEGER) AS start_pos,
+        |       CAST(ends[CAST(j AS INTEGER)] - sp + 1 AS INTEGER) AS n_chunk_tokens,
+        |       md5(array_to_string(t[CAST(sp AS INTEGER):CAST(ends[CAST(j AS INTEGER)] AS INTEGER)], ' ')) AS digest
+        |FROM s ORDER BY doc_id, chunk_idx""".stripMargin)),
     GraftQuery("x_pack_sequences", PretrainOps.packSequences, Some(
       """WITH d AS (SELECT source, doc_id,
         |             CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens FROM documents),

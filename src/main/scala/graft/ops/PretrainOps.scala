@@ -371,4 +371,71 @@ object PretrainOps {
         expr(s"CAST((cum - 1) div $SeqLen AS INT)").as("seq_last"))
       .orderBy("source", "doc_id")
   }
+
+  // ------------------------------------------------------------------
+  // Content-defined chunking (gear/FastCDC family)
+  // ------------------------------------------------------------------
+
+  /** CDC boundary geometry: a chunk boundary falls after token i whenever
+    * the hash of the [[CdcWindow]]-token window ending at i is ≡ 0 mod
+    * [[CdcMask]] — expected chunk length [[CdcMask]] tokens. */
+  val CdcWindow = 4
+  val CdcMask = 8
+
+  /** Content-defined chunking — the insertion-robust alternative to
+    * [[chunkWindows]]'s fixed stride (Muthitacharoen et al. LBFS '01;
+    * FastCDC '16): boundaries depend only on the LOCAL token window, so
+    * inserting a prefix into a document shifts every fixed-stride chunk
+    * but leaves every content-defined chunk after the first post-edit
+    * boundary byte-identical — which is what makes shifted/near-dup
+    * content dedupable at chunk granularity (the `spanDupProfile`
+    * family's stride-1 cost, without the stride-1 fan-out: one output
+    * row per ~[[CdcMask]] tokens instead of one per token).
+    *
+    * A boundary closes a chunk after token i (i ≥ [[CdcWindow]]) when
+    * md5 of the window ending at i maps to 0 mod [[CdcMask]]; the final
+    * token always closes the last chunk. Emitted per chunk: ordinal,
+    * 1-based token start, token count, and the md5 digest of the chunk
+    * text (the dedup key). md5 keeps every step engine-bit-identical →
+    * fully value-oracled.
+    *
+    * Scale shape: pure per-row array arithmetic (window hashes, one
+    * filter, one explode) — no shuffle beyond the output sort, and the
+    * per-doc work is O(n_tokens · [[CdcWindow]]). The production variant
+    * adds min/max chunk-size clamps (a sequential scan per doc — same
+    * per-row shape, documented not served: the clamp makes boundaries
+    * depend on the previous boundary, which costs the pure-filter form
+    * below without changing the plan's scale behavior). */
+  def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .withColumn("n", size(col("t")))
+    // candidate boundary positions: window hash ≡ 0 (mod CdcMask).
+    // sequence(a, b) auto-reverses when b < a, so the n < CdcWindow case
+    // must short-circuit to an empty array, not sequence(4, n)
+    val cuts = filter(
+      when(col("n") >= CdcWindow, sequence(lit(CdcWindow), col("n")))
+        .otherwise(array().cast(ArrayType(IntegerType, containsNull = false))),
+      i => conv(substring(md5(array_join(
+        slice(col("t"), i - lit(CdcWindow - 1), lit(CdcWindow)), " ")),
+        1, 5), 16, 10).cast(LongType) % CdcMask === 0L)
+    // the last token always ends the final chunk; array_max(empty) is
+    // null so the comparison safely falls to the append branch
+    val withEnds = docs.withColumn("cuts", cuts)
+      .withColumn("ends",
+        when(array_max(col("cuts")) === col("n"), col("cuts"))
+          .otherwise(concat(col("cuts"), array(col("n")))))
+    withEnds
+      .select(col("doc_id"), col("t"), col("ends"),
+        explode(sequence(lit(1), size(col("ends")))).as("chunk_idx"))
+      .withColumn("start_pos",
+        when(col("chunk_idx") === 1, lit(1))
+          .otherwise(element_at(col("ends"), col("chunk_idx") - 1) + 1))
+      .withColumn("n_chunk_tokens",
+        element_at(col("ends"), col("chunk_idx")) - col("start_pos") + 1)
+      .select(col("doc_id"), col("chunk_idx"), col("start_pos"), col("n_chunk_tokens"),
+        md5(array_join(slice(col("t"), col("start_pos"), col("n_chunk_tokens")), " "))
+          .as("digest"))
+      .orderBy("doc_id", "chunk_idx")
+  }
 }

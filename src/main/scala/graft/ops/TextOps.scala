@@ -432,4 +432,77 @@ object TextOps {
           col("n_tokens") <= 0, 1L).otherwise(0L)).as("bad"))
       .select(col("n_docs"), (col("bad") === 0L).as("passes"))
   }
+
+  // ------------------------------------------------------------------
+  // Hashed linear quality classifier (fastText/CCNet inference shape)
+  // ------------------------------------------------------------------
+
+  /** Feature-space size of the hashing trick (2^12 buckets). */
+  val ClassifierBuckets = 4096
+  /** Weight magnitude bound: weights live in [-500000, 500000] integer
+    * micro-units, so a document's logit is an exact int64 sum. */
+  val ClassifierWeightMod = 1000001L
+
+  /** Token → feature bucket: md5 is the one hash both engines compute
+    * bit-identically (the `splitHash` pattern), so the hashing trick —
+    * the part fastText actually relies on — is fully value-oracled.
+    * 5 hex chars = 20 bits, reduced mod [[ClassifierBuckets]]. */
+  private def featBucket(tok: Column): Column =
+    conv(substring(md5(tok), 1, 5), 16, 10).cast(LongType) % ClassifierBuckets
+
+  /** Deterministic per-bucket weight in [-500000, 500000]: derived from
+    * md5 of the bucket id, standing in for trained parameters (no model
+    * ships in this container). The INFERENCE PLAN — hash, look up, sum,
+    * threshold — is exactly what a trained fastText/CCNet filter runs;
+    * swapping these pseudo-weights for a learned table changes one
+    * column expression (or the joined twin's weight table load). */
+  private def bucketWeight(bucket: Column): Column =
+    conv(substring(md5(concat(lit("w"), bucket.cast(StringType))), 1, 8), 16, 10)
+      .cast(LongType) % ClassifierWeightMod - 500000L
+
+  /** Linear text classifier over hashed bag-of-words features — the
+    * fastText-style quality filter (Joulin et al. '16; the CCNet / LLaMA
+    * data-pipeline quality gate), in the zero-shuffle inline form: each
+    * token hashes to one of [[ClassifierBuckets]] feature buckets, the
+    * bucket's weight is computed INSIDE the row expression, and the
+    * document's logit is the exact int64 weight sum (keep ⇔ logit > 0 —
+    * the sign of the logit needs no libm sigmoid, so the decision is
+    * engine-bit-identical). Pure per-row map: no shuffle, no UDF, one
+    * whole-stage-codegen'd projection — the 100 TB-sized shape for a
+    * model small enough to inline. */
+  def qualityClassifier(spark: SparkSession, dir: String): DataFrame = {
+    val t = split(lower(col("text")), " ")
+    Tables(spark, dir, "documents")
+      .select(
+        col("doc_id"),
+        size(t).as("n_tokens"),
+        aggregate(transform(t, tok => bucketWeight(featBucket(tok))),
+          lit(0L), (acc, w) => acc + w).as("logit"))
+      .withColumn("keep", col("logit") > 0L)
+      .orderBy("doc_id")
+  }
+
+  /** The same classifier with the weights as a MATERIALIZED table — the
+    * production form when parameters come from a trained-model file
+    * instead of an expression: tokens explode, the ≤
+    * [[ClassifierBuckets]]-row weight table broadcasts into the hash
+    * lookup (never a shuffle of the corpus side), and one map-side-
+    * combined sum per document rebuilds the logit. Output is
+    * row-identical to [[qualityClassifier]] (same oracle SQL) — the
+    * hash equality across two genuinely different physical plans is the
+    * point: inline for tiny models, broadcast-join for real ones,
+    * same semantics at any corpus size. */
+  def qualityClassifierJoined(spark: SparkSession, dir: String): DataFrame = {
+    val weights = spark.range(ClassifierBuckets.toLong)
+      .select(col("id").as("bucket"), bucketWeight(col("id")).as("w"))
+    val tokens = Tables(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("tok"))
+      .select(col("doc_id"), featBucket(col("tok")).as("bucket"))
+    tokens.join(broadcast(weights), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(IntegerType).as("n_tokens"), sum(col("w")).as("logit"))
+      .withColumn("keep", col("logit") > 0L)
+      .select(col("doc_id"), col("n_tokens"), col("logit"), col("keep"))
+      .orderBy("doc_id")
+  }
 }

@@ -1035,4 +1035,97 @@ class PipelineOpsSpec extends SparkSpec {
     assert(corpus.length == 500)
     assert(corpus.map(_.getLong(1)).distinct.length > 1)
   }
+
+  /** JVM replay of the classifier's md5 hashing trick, for hand-checked
+    * logits: bucket = first 5 md5 hex chars mod 4096, weight = first 8
+    * md5 hex chars of "w"+bucket mod 1000001 - 500000. */
+  private def md5hex(s: String): String =
+    java.security.MessageDigest.getInstance("MD5").digest(s.getBytes("UTF-8"))
+      .map("%02x".format(_)).mkString
+
+  private def classifierWeight(tok: String): Long = {
+    val bucket = java.lang.Long.parseLong(md5hex(tok).take(5), 16) % 4096L
+    java.lang.Long.parseLong(md5hex("w" + bucket).take(8), 16) % 1000001L - 500000L
+  }
+
+  test("quality classifier: hand-computed logits, sign decision, join twin equality") {
+    import spark.implicits._
+    val dir = tempDir("clf_docs")
+    Seq(
+      (0L, "hello hello hello", "en", "s", 17L),
+      (1L, "the quick brown fox", "en", "s", 19L),
+      (2L, "Mixed CASE Tokens", "en", "s", 17L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.qualityClassifier(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getLong(2), r.getBoolean(3)))).toMap
+    // doc 0: one token three times — logit is exactly 3x its weight
+    assert(got(0L) == ((3, 3 * classifierWeight("hello"), 3 * classifierWeight("hello") > 0)))
+    // doc 1: independent tokens sum
+    val w1 = Seq("the", "quick", "brown", "fox").map(classifierWeight).sum
+    assert(got(1L) == ((4, w1, w1 > 0)))
+    // doc 2: features hash the LOWERCASED token stream
+    val w2 = Seq("mixed", "case", "tokens").map(classifierWeight).sum
+    assert(got(2L)._2 == w2)
+    // the broadcast-weight-table plan reproduces the inline plan row-for-row
+    val a = TextOps.qualityClassifier(spark, dir).collect().toSeq
+    val b = TextOps.qualityClassifierJoined(spark, dir).collect().toSeq
+    assert(a == b)
+  }
+
+  test("quality classifier: join twin equality holds on the real corpus") {
+    val a = TextOps.qualityClassifier(spark, Sf0001).collect().toSeq
+    val b = TextOps.qualityClassifierJoined(spark, Sf0001).collect().toSeq
+    assert(a.length == 500 && a == b)
+    // a hash-derived weight table splits the corpus: both classes occur
+    val keeps = a.count(_.getBoolean(3))
+    assert(keeps > 0 && keeps < a.length)
+  }
+
+  test("cdc chunks: full coverage — chunks partition the token stream in order") {
+    val toks = PretrainOps.cdcChunks(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
+    val n = TextOps.tokenStats(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getInt(1)).toMap
+    toks.groupBy(_._1).foreach { case (doc, cs) =>
+      val sorted = cs.sortBy(_._2)
+      // chunk 1 starts at token 1; each next chunk starts where the
+      // previous ended + 1; the last chunk ends at n_tokens
+      assert(sorted.head._3 == 1)
+      sorted.sliding(2).foreach {
+        case Array(p, c) => assert(c._3 == p._3 + p._4)
+        case _ =>
+      }
+      assert(sorted.last._3 + sorted.last._4 - 1 == n(doc))
+      assert(sorted.map(_._2).toSeq == (1 to sorted.length))
+    }
+  }
+
+  test("cdc chunks: boundaries are content-defined — prefix insertion leaves the suffix chunks intact") {
+    import spark.implicits._
+    val r = new scala.util.Random(7)
+    val s = Seq.fill(60)(s"tok${r.nextInt(40)}")
+    val p = Seq.fill(7)(s"pre${r.nextInt(40)}")
+    val doc1 = s.mkString(" ")
+    val doc2 = (p ++ s).mkString(" ")
+    val dir = tempDir("cdc_docs")
+    Seq((1L, doc1, "en", "s", doc1.length.toLong), (2L, doc2, "en", "s", doc2.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = PretrainOps.cdcChunks(spark, dir).collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getInt(2), x.getInt(3), x.getString(4)))
+    val c1 = rows.filter(_._1 == 1L).sortBy(_._2)
+    val c2 = rows.filter(_._1 == 2L).sortBy(_._2)
+    // the fixture must actually exercise the property: doc1 needs an
+    // interior boundary (≥ 2 chunks) for a shared suffix to exist
+    assert(c1.length >= 2, s"fixture has no interior boundary: ${c1.toSeq}")
+    // first cut of doc1 is where its chunk 1 ends; the same 4-token
+    // window exists in doc2 shifted by |p|, so doc2 cuts there too and
+    // every chunk after that point is identical — fixed-stride chunking
+    // (chunkWindows) has NO such chunks after a 7-token insertion
+    val cStar = c1.head._3 + c1.head._4 - 1
+    val tail1 = c1.filter(_._3 > cStar).map(c => (c._4, c._5))
+    val tail2 = c2.filter(_._3 > p.length + cStar).map(c => (c._4, c._5))
+    assert(tail1.nonEmpty && tail1.toSeq == tail2.toSeq)
+  }
 }
