@@ -940,42 +940,50 @@ object Registry {
     * centroid means in double, empty clusters keep coordinates), so the
     * iterative algorithm is hash-checkable end-to-end. `a3` = final
     * (vec_id, cid, d) assignment under the round-3 centroids. */
-  private val kmeansCte: String =
-    """WITH u AS (
+  /** The kmeans CTE chain with every CTE name prefixed by `p` — the
+    * prefix exists so composed oracles (IVF-PQ) can embed this chain
+    * next to the PQ chain without name collisions while both families
+    * keep ONE source of SQL truth. `p = ""` reproduces the historical
+    * names (u … a3) for the kmeans-family oracles (inner references go
+    * through local aliases, so any prefix leaves them untouched). */
+  private def kmeansCtes(p: String): String =
+    s"""${p}u AS (
       |  SELECT vec_id, pos, CAST(floor(CAST(x AS DOUBLE) * 100000) AS BIGINT) AS val
       |  FROM (SELECT vec_id, unnest(embedding) AS x,
       |               unnest(generate_series(0, len(embedding) - 1)) AS pos
       |        FROM embeddings)),
-      |c0 AS (SELECT vec_id AS cid, pos, val AS cval FROM u WHERE vec_id < 8),
-      |d1 AS (SELECT u.vec_id, c.cid, sum((u.val - c.cval) * (u.val - c.cval)) AS d
-      |       FROM u JOIN c0 c USING (pos) GROUP BY u.vec_id, c.cid),
-      |a1 AS (SELECT vec_id, cid, d FROM
+      |${p}c0 AS (SELECT vec_id AS cid, pos, val AS cval FROM ${p}u WHERE vec_id < 8),
+      |${p}d1 AS (SELECT u.vec_id, c.cid, sum((u.val - c.cval) * (u.val - c.cval)) AS d
+      |       FROM ${p}u u JOIN ${p}c0 c USING (pos) GROUP BY u.vec_id, c.cid),
+      |${p}a1 AS (SELECT vec_id, cid, d FROM
       |        (SELECT vec_id, cid, d,
       |                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-      |         FROM d1) WHERE rn = 1),
-      |s1 AS (SELECT a.cid, u.pos,
+      |         FROM ${p}d1) WHERE rn = 1),
+      |${p}s1 AS (SELECT a.cid, u.pos,
       |              CAST(floor(CAST(sum(u.val) AS DOUBLE) / count(*)) AS BIGINT) AS cval
-      |       FROM u JOIN a1 a USING (vec_id) GROUP BY a.cid, u.pos),
-      |c1 AS (SELECT p.cid, p.pos, coalesce(s.cval, p.cval) AS cval
-      |       FROM c0 p LEFT JOIN s1 s USING (cid, pos)),
-      |d2 AS (SELECT u.vec_id, c.cid, sum((u.val - c.cval) * (u.val - c.cval)) AS d
-      |       FROM u JOIN c1 c USING (pos) GROUP BY u.vec_id, c.cid),
-      |a2 AS (SELECT vec_id, cid, d FROM
+      |       FROM ${p}u u JOIN ${p}a1 a USING (vec_id) GROUP BY a.cid, u.pos),
+      |${p}c1 AS (SELECT p.cid, p.pos, coalesce(s.cval, p.cval) AS cval
+      |       FROM ${p}c0 p LEFT JOIN ${p}s1 s USING (cid, pos)),
+      |${p}d2 AS (SELECT u.vec_id, c.cid, sum((u.val - c.cval) * (u.val - c.cval)) AS d
+      |       FROM ${p}u u JOIN ${p}c1 c USING (pos) GROUP BY u.vec_id, c.cid),
+      |${p}a2 AS (SELECT vec_id, cid, d FROM
       |        (SELECT vec_id, cid, d,
       |                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-      |         FROM d2) WHERE rn = 1),
-      |s2 AS (SELECT a.cid, u.pos,
+      |         FROM ${p}d2) WHERE rn = 1),
+      |${p}s2 AS (SELECT a.cid, u.pos,
       |              CAST(floor(CAST(sum(u.val) AS DOUBLE) / count(*)) AS BIGINT) AS cval
-      |       FROM u JOIN a2 a USING (vec_id) GROUP BY a.cid, u.pos),
-      |c2 AS (SELECT p.cid, p.pos, coalesce(s.cval, p.cval) AS cval
-      |       FROM c1 p LEFT JOIN s2 s USING (cid, pos)),
-      |d3 AS (SELECT u.vec_id, c.cid, sum((u.val - c.cval) * (u.val - c.cval)) AS d
-      |       FROM u JOIN c2 c USING (pos) GROUP BY u.vec_id, c.cid),
-      |a3 AS (SELECT vec_id, cid, d FROM
+      |       FROM ${p}u u JOIN ${p}a2 a USING (vec_id) GROUP BY a.cid, u.pos),
+      |${p}c2 AS (SELECT p.cid, p.pos, coalesce(s.cval, p.cval) AS cval
+      |       FROM ${p}c1 p LEFT JOIN ${p}s2 s USING (cid, pos)),
+      |${p}d3 AS (SELECT u.vec_id, c.cid, sum((u.val - c.cval) * (u.val - c.cval)) AS d
+      |       FROM ${p}u u JOIN ${p}c2 c USING (pos) GROUP BY u.vec_id, c.cid),
+      |${p}a3 AS (SELECT vec_id, cid, d FROM
       |        (SELECT vec_id, cid, d,
       |                row_number() OVER (PARTITION BY vec_id ORDER BY d, cid) AS rn
-      |         FROM d3) WHERE rn = 1)
+      |         FROM ${p}d3) WHERE rn = 1)
       |""".stripMargin
+
+  private val kmeansCte: String = "WITH " + kmeansCtes("")
 
   /** Grouped-Lloyd CTE for the PQ family — [[graft.ops.PqOps]]'s two
     * integer-exact assignment rounds replayed with the subspace index m
@@ -984,35 +992,37 @@ object Registry {
     * with ties to the lowest code, s1 floor-div means per (m, cid, spos),
     * empty clusters carry c0. Shared by codebooks / encode / ADC top-k so
     * the three surfaces are judged against ONE training trajectory. */
-  private val pqCte: String =
-    """WITH u AS (
+  private def pqCtes(p: String): String =
+    s"""${p}u AS (
       |  SELECT vec_id, CAST(pos // 8 AS INTEGER) AS m, CAST(pos % 8 AS INTEGER) AS spos,
       |         CAST(floor(CAST(x AS DOUBLE) * 100000) AS BIGINT) AS val
       |  FROM (SELECT vec_id, unnest(embedding) AS x,
       |               unnest(generate_series(0, len(embedding) - 1)) AS pos
       |        FROM embeddings)),
-      |c0 AS (SELECT m, CAST(vec_id AS INTEGER) AS cid, spos, val AS cval FROM u WHERE vec_id < 16),
-      |d1 AS (SELECT u.vec_id, u.m, c.cid, sum((u.val - c.cval) * (u.val - c.cval)) AS d
-      |       FROM u JOIN c0 c ON u.m = c.m AND u.spos = c.spos
+      |${p}c0 AS (SELECT m, CAST(vec_id AS INTEGER) AS cid, spos, val AS cval FROM ${p}u WHERE vec_id < 16),
+      |${p}d1 AS (SELECT u.vec_id, u.m, c.cid, sum((u.val - c.cval) * (u.val - c.cval)) AS d
+      |       FROM ${p}u u JOIN ${p}c0 c ON u.m = c.m AND u.spos = c.spos
       |       GROUP BY u.vec_id, u.m, c.cid),
-      |a1 AS (SELECT vec_id, m, cid FROM
+      |${p}a1 AS (SELECT vec_id, m, cid FROM
       |        (SELECT vec_id, m, cid,
       |                row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
-      |         FROM d1) WHERE rn = 1),
-      |s1 AS (SELECT a.m, a.cid, u.spos,
+      |         FROM ${p}d1) WHERE rn = 1),
+      |${p}s1 AS (SELECT a.m, a.cid, u.spos,
       |              CAST(floor(CAST(sum(u.val) AS DOUBLE) / count(*)) AS BIGINT) AS cval
-      |       FROM u JOIN a1 a ON u.vec_id = a.vec_id AND u.m = a.m
+      |       FROM ${p}u u JOIN ${p}a1 a ON u.vec_id = a.vec_id AND u.m = a.m
       |       GROUP BY a.m, a.cid, u.spos),
-      |c1 AS (SELECT p.m, p.cid, p.spos, coalesce(s.cval, p.cval) AS cval
-      |       FROM c0 p LEFT JOIN s1 s ON p.m = s.m AND p.cid = s.cid AND p.spos = s.spos),
-      |d2 AS (SELECT u.vec_id, u.m, c.cid, sum((u.val - c.cval) * (u.val - c.cval)) AS d
-      |       FROM u JOIN c1 c ON u.m = c.m AND u.spos = c.spos
+      |${p}c1 AS (SELECT p.m, p.cid, p.spos, coalesce(s.cval, p.cval) AS cval
+      |       FROM ${p}c0 p LEFT JOIN ${p}s1 s ON p.m = s.m AND p.cid = s.cid AND p.spos = s.spos),
+      |${p}d2 AS (SELECT u.vec_id, u.m, c.cid, sum((u.val - c.cval) * (u.val - c.cval)) AS d
+      |       FROM ${p}u u JOIN ${p}c1 c ON u.m = c.m AND u.spos = c.spos
       |       GROUP BY u.vec_id, u.m, c.cid),
-      |a2 AS (SELECT vec_id, m, cid FROM
+      |${p}a2 AS (SELECT vec_id, m, cid FROM
       |        (SELECT vec_id, m, cid,
       |                row_number() OVER (PARTITION BY vec_id, m ORDER BY d, cid) AS rn
-      |         FROM d2) WHERE rn = 1)
+      |         FROM ${p}d2) WHERE rn = 1)
       |""".stripMargin
+
+  private val pqCte: String = "WITH " + pqCtes("")
 
   /** BM25 scoring CTE chain (through the per-(query, doc) integer score
     * `sc`) — shared by the three BM25 oracle forms AND the RRF hybrid
@@ -1770,6 +1780,33 @@ object Registry {
           |         row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, neighbor_id) AS rn
           |  FROM adc) WHERE rn <= 10 ORDER BY q_id, rank""".stripMargin)),
     GraftQuery("x_sim_pq_recall_gate", PqOps.pqRecallGate, Some(
+      """SELECT 10 AS n_queries, 10 AS k, true AS passes""")),
+    // the composed IVF-PQ serving stack: the oracle chains the kmeans
+    // CTE (prefixed k) and the PQ CTE — both single-sourced with their
+    // own families — and replays the nprobe-of-K probe rule, so the
+    // END-TO-END served ranking is a value equality across engines
+    GraftQuery("x_sim_ivfpq_topk", PqOps.ivfPqTopk, Some(
+      "WITH " + kmeansCtes("k") + "," + pqCtes("") +
+        """, qcd AS (SELECT q.vec_id AS q_id, c.cid, sum((q.val - c.cval) * (q.val - c.cval)) AS d
+          |          FROM ku q JOIN kc2 c USING (pos) WHERE q.vec_id < 10
+          |          GROUP BY q.vec_id, c.cid),
+          |qcell AS (SELECT q_id, cid AS cell FROM
+          |           (SELECT q_id, cid, d,
+          |                   row_number() OVER (PARTITION BY q_id ORDER BY d, cid) AS rn
+          |            FROM qcd) WHERE rn <= 3),
+          |cand AS (SELECT qc.q_id, a.vec_id FROM ka3 a JOIN qcell qc ON a.cid = qc.cell),
+          |qd AS (SELECT q.vec_id AS q_id, c.m, c.cid, sum((q.val - c.cval) * (q.val - c.cval)) AS td
+          |       FROM u q JOIN c1 c ON q.m = c.m AND q.spos = c.spos
+          |       WHERE q.vec_id < 10 GROUP BY q.vec_id, c.m, c.cid),
+          |adc AS (SELECT cd.q_id, a.vec_id AS neighbor_id, CAST(sum(t.td) AS BIGINT) AS adc_dist
+          |        FROM cand cd JOIN a2 a ON cd.vec_id = a.vec_id
+          |        JOIN qd t ON a.m = t.m AND a.cid = t.cid AND t.q_id = cd.q_id
+          |        GROUP BY cd.q_id, a.vec_id)
+          |SELECT q_id, CAST(rn AS INTEGER) AS rank, neighbor_id, adc_dist FROM
+          | (SELECT q_id, neighbor_id, adc_dist,
+          |         row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, neighbor_id) AS rn
+          |  FROM adc) WHERE rn <= 10 ORDER BY q_id, rank""".stripMargin)),
+    GraftQuery("x_sim_ivfpq_recall_gate", PqOps.ivfPqRecallGate, Some(
       """SELECT 10 AS n_queries, 10 AS k, true AS passes""")),
     GraftQuery("x_sim_quant_recall_gate", (s, d) => SimilarityOps.quantRecallGate(s, d), Some(
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),

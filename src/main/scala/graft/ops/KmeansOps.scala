@@ -102,7 +102,7 @@ object KmeansOps {
 
   /** The final centroid set (shared by [[kmeansCentroids]]; factored so
     * the loop runs once per call, not per row). */
-  private def fitCentroids(spark: SparkSession, dir: String): Seq[(Int, Array[Long])] = {
+  private[ops] def fitCentroids(spark: SparkSession, dir: String): Seq[(Int, Array[Long])] = {
     val vecs = scaledVecs(spark, dir).persist(StorageLevel.MEMORY_AND_DISK)
     var cents: Seq[(Int, Array[Long])] =
       vecs.filter(col("vec_id") < K).orderBy("vec_id").collect().toSeq

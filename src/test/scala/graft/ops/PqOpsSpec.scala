@@ -62,13 +62,56 @@ class PqOpsSpec extends SparkSpec {
     val pq = PqOps.topkPq(spark, Sf0001).collect()
       .map(r => (r.getLong(0), r.getLong(2))).toSet
     // exact scaled-L2 top-10 via the same integer currency
-    val scaled = graft.ops.Tables.parallel(spark, Sf0001, "embeddings")
+    val exact = exactTopkPairs(Sf0001)
+    val recallPpm = pq.intersect(exact).size.toLong * 1000000L / exact.size
+    info(s"PQ ADC recall@10 = ${recallPpm / 10000.0}%")
+    assert(recallPpm >= PqOps.PqRecallFloorPpm,
+      s"measured $recallPpm ppm under floor ${PqOps.PqRecallFloorPpm}")
+    // and the served gate row agrees
+    val gate = PqOps.pqRecallGate(spark, Sf0001).collect()(0)
+    assert(gate.getInt(0) == 10 && gate.getInt(1) == 10 && gate.getBoolean(2))
+  }
+
+  test("ivf-pq: probed ranking is ADC-consistent with the unprobed ranking and clears its floor") {
+    val ivf = PqOps.ivfPqTopk(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3)))
+    // shape: K ranked rows per query (nprobe 3 of 8 cells leaves ≥ K
+    // candidates on this store), ranks dense from 1, distances ascend
+    ivf.groupBy(_._1).foreach { case (_, rows) =>
+      val s = rows.sortBy(_._2)
+      assert(s.map(_._2).toSeq == (1 to s.length) && s.length == 10)
+      assert(s.sliding(2).forall {
+        case Array(a, b) => a._4 < b._4 || (a._4 == b._4 && a._3 < b._3)
+        case _ => true
+      })
+    }
+    // the ADC distance of a pair is probe-independent: pairs served by
+    // both rankings carry the identical integer distance
+    val full = PqOps.topkPq(spark, Sf0001).collect()
+      .map(r => ((r.getLong(0), r.getLong(2)), r.getLong(3))).toMap
+    val shared = ivf.filter(t => full.contains((t._1, t._3)))
+    assert(shared.nonEmpty)
+    shared.foreach(t => assert(full((t._1, t._3)) == t._4))
+    // measured end-to-end recall vs exact scaled-L2, then the served gate
+    val served = ivf.map(t => (t._1, t._3)).toSet
+    val exact = exactTopkPairs(Sf0001)
+    val recallPpm = served.intersect(exact).size.toLong * 1000000L / exact.size
+    info(s"IVF-PQ (nprobe ${PqOps.NProbe}/8) recall@10 = ${recallPpm / 10000.0}%")
+    assert(recallPpm >= PqOps.IvfPqRecallFloorPpm)
+    val gate = PqOps.ivfPqRecallGate(spark, Sf0001).collect()(0)
+    assert(gate.getInt(0) == 10 && gate.getInt(1) == 10 && gate.getBoolean(2))
+  }
+
+  /** Exact scaled-L2 top-10 pair set — the accuracy anchor both recall
+    * measurements in this suite compare against. */
+  private def exactTopkPairs(dir: String): Set[(Long, Long)] = {
+    val scaled = graft.ops.Tables.parallel(spark, dir, "embeddings")
       .select(col("vec_id"),
         transform(col("embedding"),
           x => floor(x.cast("double") * 100000).cast("long")).as("fv"))
     val q = scaled.filter(col("vec_id") < 10)
       .select(col("vec_id").as("q_id"), col("fv").as("qv"))
-    val exact = scaled.join(broadcast(q))
+    scaled.join(broadcast(q))
       .select(col("q_id"), col("vec_id").as("neighbor_id"),
         aggregate(zip_with(col("fv"), col("qv"), (a, b) => (a - b) * (a - b)),
           lit(0L), (acc, x) => acc + x).as("d"))
@@ -78,12 +121,5 @@ class PqOpsSpec extends SparkSpec {
       .filter(col("rank") <= 10)
       .select(col("q_id"), col("neighbor_id")).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
-    val recallPpm = pq.intersect(exact).size.toLong * 1000000L / exact.size
-    info(s"PQ ADC recall@10 = ${recallPpm / 10000.0}%")
-    assert(recallPpm >= PqOps.PqRecallFloorPpm,
-      s"measured $recallPpm ppm under floor ${PqOps.PqRecallFloorPpm}")
-    // and the served gate row agrees
-    val gate = PqOps.pqRecallGate(spark, Sf0001).collect()(0)
-    assert(gate.getInt(0) == 10 && gate.getInt(1) == 10 && gate.getBoolean(2))
   }
 }
