@@ -38,6 +38,9 @@ object Bench {
     // ditto for the lexical index: x_retrieval_bm25_indexed measures the
     // probe-many regime against the pre-built term-sorted statistics
     warmup("lex_index")(graft.ops.RetrievalOps.ensureLexIndex(spark, sfDir))
+    // and the PQ index: x_sim_topk_pq_indexed measures ADC probing, not
+    // codebook training (paid once at build time)
+    warmup("pq_index")(graft.ops.PqOps.ensurePqIndex(spark, sfDir))
     // and the co-bucketed join twins: j11_bucket_join measures the
     // shuffle-free recurring join, not the one-time bucketed write
     warmup("bucketed_tables")(graft.ops.JoinOps.ensureBucketedTables(spark, sfDir))

@@ -1024,6 +1024,23 @@ object Registry {
 
   private val pqCte: String = "WITH " + pqCtes("")
 
+  /** ADC top-k oracle — shared by the retrain-inline and the
+    * probe-from-index PQ entries (one SQL so their agreement is a hash
+    * equality, the qualityClassifier pattern). */
+  private val pqTopkSql: String =
+    pqCte +
+      """, qd AS (SELECT q.vec_id AS q_id, c.m, c.cid,
+        |            sum((q.val - c.cval) * (q.val - c.cval)) AS td
+        |          FROM u q JOIN c1 c ON q.m = c.m AND q.spos = c.spos
+        |          WHERE q.vec_id < 10 GROUP BY q.vec_id, c.m, c.cid),
+        |adc AS (SELECT t.q_id, a.vec_id AS neighbor_id, CAST(sum(t.td) AS BIGINT) AS adc_dist
+        |        FROM a2 a JOIN qd t ON a.m = t.m AND a.cid = t.cid
+        |        GROUP BY t.q_id, a.vec_id)
+        |SELECT q_id, CAST(rn AS INTEGER) AS rank, neighbor_id, adc_dist FROM
+        | (SELECT q_id, neighbor_id, adc_dist,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, neighbor_id) AS rn
+        |  FROM adc) WHERE rn <= 10 ORDER BY q_id, rank""".stripMargin
+
   /** BM25 scoring CTE chain (through the per-(query, doc) integer score
     * `sc`) — shared by the three BM25 oracle forms AND the RRF hybrid
     * oracle, one definition so the scoring SQL cannot drift between
@@ -1766,19 +1783,13 @@ object Registry {
     GraftQuery("x_sim_pq_encode", PqOps.pqEncode, Some(
       pqCte +
         """SELECT vec_id, m, cid AS code FROM a2 ORDER BY vec_id, m""".stripMargin)),
-    GraftQuery("x_sim_topk_pq", PqOps.topkPq, Some(
-      pqCte +
-        """, qd AS (SELECT q.vec_id AS q_id, c.m, c.cid,
-          |            sum((q.val - c.cval) * (q.val - c.cval)) AS td
-          |          FROM u q JOIN c1 c ON q.m = c.m AND q.spos = c.spos
-          |          WHERE q.vec_id < 10 GROUP BY q.vec_id, c.m, c.cid),
-          |adc AS (SELECT t.q_id, a.vec_id AS neighbor_id, CAST(sum(t.td) AS BIGINT) AS adc_dist
-          |        FROM a2 a JOIN qd t ON a.m = t.m AND a.cid = t.cid
-          |        GROUP BY t.q_id, a.vec_id)
-          |SELECT q_id, CAST(rn AS INTEGER) AS rank, neighbor_id, adc_dist FROM
-          | (SELECT q_id, neighbor_id, adc_dist,
-          |         row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, neighbor_id) AS rn
-          |  FROM adc) WHERE rn <= 10 ORDER BY q_id, rank""".stripMargin)),
+    GraftQuery("x_sim_topk_pq", PqOps.topkPq, Some(pqTopkSql)),
+    // the write-once/probe-many twin serves off the materialized
+    // (codebooks, codes) parquet — SAME oracle, so "retrain-inline and
+    // probe-from-index agree" is a hash equality; headline so the probe
+    // regime's cost (the number a serving tier pays) is the one measured
+    GraftQuery("x_sim_topk_pq_indexed", PqOps.topkPqIndexed, Some(pqTopkSql),
+      headline = true),
     GraftQuery("x_sim_pq_recall_gate", PqOps.pqRecallGate, Some(
       """SELECT 10 AS n_queries, 10 AS k, true AS passes""")),
     // the composed IVF-PQ serving stack: the oracle chains the kmeans

@@ -102,6 +102,15 @@ class PqOpsSpec extends SparkSpec {
     assert(gate.getInt(0) == 10 && gate.getInt(1) == 10 && gate.getBoolean(2))
   }
 
+  test("pq index: probe-from-index equals retrain-inline row-for-row") {
+    val inline = PqOps.topkPq(spark, Sf0001).collect().toSeq
+    val probed = PqOps.topkPqIndexed(spark, Sf0001).collect().toSeq
+    assert(inline == probed)
+    // second probe serves the already-built index (idempotent ensure)
+    val again = PqOps.topkPqIndexed(spark, Sf0001).collect().toSeq
+    assert(again == probed)
+  }
+
   /** Exact scaled-L2 top-10 pair set — the accuracy anchor both recall
     * measurements in this suite compare against. */
   private def exactTopkPairs(dir: String): Set[(Long, Long)] = {
