@@ -1041,6 +1041,26 @@ object Registry {
         |         row_number() OVER (PARTITION BY q_id ORDER BY adc_dist, neighbor_id) AS rn
         |  FROM adc) WHERE rn <= 10 ORDER BY q_id, rank""".stripMargin
 
+  /** Sign-bit binary code CTE chain: `bc` = (vec_id, lo, hi) packed sign
+    * words, `bq` = the first-NumQueries query codes, `bs` = per-pair
+    * Hamming distances. Shared by the code dump, the Hamming top-k and
+    * the two-stage rerank oracle so the packing SQL cannot drift between
+    * them. Mirrors SimilarityOps.signCodes bit for bit: bit (pos mod 32)
+    * of the lo (pos < 32) / hi word ⇔ coordinate strictly positive. */
+  private val binaryCtes: String =
+    """bc AS (SELECT vec_id,
+      |         CAST(sum(CASE WHEN pos < 32 AND x > 0 THEN CAST(1 AS BIGINT) << pos ELSE 0 END) AS BIGINT) AS lo,
+      |         CAST(sum(CASE WHEN pos >= 32 AND x > 0 THEN CAST(1 AS BIGINT) << (pos - 32) ELSE 0 END) AS BIGINT) AS hi
+      |       FROM (SELECT vec_id, CAST(unnest(embedding) AS DOUBLE) AS x,
+      |                    unnest(generate_series(0, len(embedding) - 1)) AS pos
+      |             FROM embeddings)
+      |       GROUP BY vec_id),
+      |bq AS (SELECT vec_id AS q_id, lo AS q_lo, hi AS q_hi FROM bc WHERE vec_id < 10),
+      |bs AS (SELECT q_id, bc.vec_id AS neighbor_id,
+      |         CAST(bit_count(xor(lo, q_lo)) + bit_count(xor(hi, q_hi)) AS INTEGER) AS hamming
+      |       FROM bq, bc)
+      |""".stripMargin
+
   /** BM25 scoring CTE chain (through the per-(query, doc) integer score
     * `sc`) — shared by the three BM25 oracle forms AND the RRF hybrid
     * oracle, one definition so the scoring SQL cannot drift between
@@ -1828,6 +1848,46 @@ object Registry {
         |      FROM s QUALIFY rank <= 10)
         |SELECT CAST(count(*) AS INTEGER) AS n_exact,
         |       CAST(0.9 AS DOUBLE) AS floor,
+        |       true AS passes
+        |FROM t""".stripMargin)),
+    // sign-bit binary quantization: the packed code table, the Hamming
+    // first-stage ranking AND the two-stage rerank are all deterministic
+    // (integer distances, id tie-breaks), so unlike the LSH family the
+    // whole binary serving path is value-oracled end-to-end; the recall
+    // gate pins its accuracy vs the full-precision anchor on top
+    GraftQuery("x_embed_quantize_binary", SimilarityOps.quantizeBinary, Some(
+      "WITH " + binaryCtes + "SELECT vec_id, lo, hi FROM bc ORDER BY vec_id")),
+    GraftQuery("x_sim_topk_hamming", SimilarityOps.topkHamming, Some(
+      "WITH " + binaryCtes +
+        """SELECT q_id, CAST(rn AS INTEGER) AS rank, neighbor_id, hamming FROM
+          | (SELECT q_id, neighbor_id, hamming,
+          |         row_number() OVER (PARTITION BY q_id ORDER BY hamming, neighbor_id) AS rn
+          |  FROM bs) WHERE rn <= 10 ORDER BY q_id, rank""".stripMargin),
+      headline = true),
+    GraftQuery("x_sim_topk_binary_rerank", SimilarityOps.topkBinaryRerank, Some(
+      "WITH " + binaryCtes +
+        """, bshort AS (SELECT q_id, neighbor_id FROM
+          |   (SELECT q_id, neighbor_id,
+          |           row_number() OVER (PARTITION BY q_id ORDER BY hamming, neighbor_id) AS rn
+          |    FROM bs) WHERE rn <= 64),
+          |be AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |br AS (SELECT sh.q_id, sh.neighbor_id,
+          |         list_cosine_similarity(qe.v, ne.v) AS cos
+          |       FROM bshort sh JOIN be qe ON qe.vec_id = sh.q_id
+          |                      JOIN be ne ON ne.vec_id = sh.neighbor_id)
+          |SELECT q_id, CAST(rn AS INTEGER) AS rank, neighbor_id FROM
+          | (SELECT q_id, neighbor_id, cos,
+          |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rn
+          |  FROM br) WHERE rn <= 10 ORDER BY q_id, rank""".stripMargin)),
+    GraftQuery("x_sim_binary_recall_gate", SimilarityOps.binaryRecallGate, Some(
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+        |s AS (SELECT q_id, vec_id AS neighbor_id, list_cosine_similarity(qv, v) AS cos FROM q, e),
+        |t AS (SELECT q_id,
+        |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+        |      FROM s QUALIFY rank <= 10)
+        |SELECT CAST(count(*) AS INTEGER) AS n_exact,
+        |       CAST(0.4 AS DOUBLE) AS floor,
         |       true AS passes
         |FROM t""".stripMargin)),
     // value-checked accuracy gates for the three remaining ANN serving

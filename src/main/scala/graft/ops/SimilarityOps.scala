@@ -1,7 +1,7 @@
 package graft.ops
 
 import graft.functions.exprs._
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -586,4 +586,124 @@ object SimilarityOps {
         cosine_similarity(col("qv"), col("v")).as("cos"))
     rankWithin(scored)
   }
+
+  // ------------------------------------------------- binary (sign-bit) codes
+
+  /** One 32-bit sign word: bit i set iff coordinate `off + i` is strictly
+    * positive. A sum of 32 literal-shift `when`s — pure codegen'd integer
+    * arithmetic, and a packed half can never touch a 64-bit sign bit, so
+    * the DuckDB oracle's `CAST(1 AS BIGINT) << pos` sums land on the
+    * identical non-negative BIGINT values. */
+  private def signWord(dv: Column, off: Int): Column =
+    (0 until 32).map(i =>
+      when(element_at(dv, off + i + 1) > 0d, lit(1L << i)).otherwise(lit(0L)))
+      .reduce(_ + _)
+
+  /** Sign-bit binary quantization: 64-dim float32 (256 B/vector) packed
+    * to TWO bigint words of 32 sign bits each (8 B/vector, 32×) — the
+    * first-stage representation modern vector stores serve from; part of
+    * the beyond-reference LLM-pipeline surface (the reference has no
+    * vector path). Hamming
+    * distance between codes (xor + popcount per word) is a monotone proxy
+    * for angular distance on centered data, so a Hamming shortlist plus
+    * an exact rerank of the survivors recovers most of the exact top-k at
+    * a tiny fraction of the scan cost. Strictly-positive test: a 0.0
+    * coordinate contributes a 0 bit in both engines (float→double cast is
+    * exact, so the sign predicate can never disagree with the oracle). */
+  private def signCodes(spark: SparkSession, dir: String): DataFrame = {
+    val dv = transform(col("embedding"), x => x.cast(DoubleType))
+    Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), dv.as("dv"))
+      .select(col("vec_id"), signWord(col("dv"), 0).as("lo"),
+        signWord(col("dv"), 32).as("hi"))
+  }
+
+  /** The materialized code table, value-oracled (DuckDB replays the
+    * shift-sum per position). At 100 TB this is a written column pair —
+    * 8 bytes — that first-stage retrieval scans INSTEAD of the vectors. */
+  def quantizeBinary(spark: SparkSession, dir: String): DataFrame =
+    signCodes(spark, dir).orderBy("vec_id")
+
+  /** (q_id, neighbor_id, hamming) over the packed codes: queries
+    * broadcast, ONE narrow corpus pass, two xor+popcount per pair. */
+  private def hammingScored(spark: SparkSession, dir: String): DataFrame = {
+    val codes = signCodes(spark, dir)
+    val queries = codes.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("lo").as("q_lo"), col("hi").as("q_hi"))
+    codes.join(broadcast(queries))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        (bit_count(col("lo").bitwiseXOR(col("q_lo"))) +
+          bit_count(col("hi").bitwiseXOR(col("q_hi")))).cast(IntegerType).as("hamming"))
+  }
+
+  /** Exact top-k by Hamming distance over the binary codes — the
+    * first-stage ranking a binary-quantized store serves directly.
+    * Distances are integers in [0, 64], so the ranking (hamming asc,
+    * neighbor_id asc) is deterministic and the WHOLE result — ranks AND
+    * distances — is a cross-engine value equality, not a recall claim.
+    * Ranks through the map-side bounded aggregator: the negated distance
+    * is exact in double, so (cos desc, id asc) ≡ (hamming asc, id asc). */
+  def topkHamming(spark: SparkSession, dir: String): DataFrame = {
+    val topk = udaf(graft.functions.TopKPairsAggregator(K))
+    hammingScored(spark, dir)
+      .select(col("q_id"), col("neighbor_id"),
+        (-col("hamming")).cast(DoubleType).as("cos"))
+      .groupBy(col("q_id"))
+      .agg(topk(col("cos"), col("neighbor_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("q_id"), (col("pos") + 1).cast(IntegerType).as("rank"),
+        col("p.neighborId").as("neighbor_id"),
+        (-col("p.cos")).cast(IntegerType).as("hamming"))
+      .orderBy("q_id", "rank")
+  }
+
+  /** Hamming shortlist size for the rerank path: 64 candidates per query
+    * feed the exact top-10 — the standard two-stage serving ratio (probe
+    * ~6× k). Bigger shortlists buy recall linearly in rerank cost. */
+  val BinaryShortlist = 64
+
+  /** Two-stage binary serving: Hamming shortlist (top-`BinaryShortlist`
+    * per query over the 8-byte codes) → exact cosine rerank of the
+    * survivors → top-K. Every stage is deterministic (integer distances,
+    * id tie-breaks), so unlike the LSH paths the END-TO-END result is
+    * hash-oracled, not just recall-gated. Plan shape: codes pass is one
+    * narrow corpus scan (queries broadcast, map-side bounded top-64);
+    * the rerank joins the |q|·64-row shortlist BACK to the corpus by
+    * broadcast — the full vectors are only ever read for shortlisted
+    * rows, which is the entire economics of two-stage retrieval at
+    * 100 TB (8-byte scan everywhere, 256-byte reads for ~nothing). */
+  def topkBinaryRerank(spark: SparkSession, dir: String): DataFrame = {
+    val short = udaf(graft.functions.TopKPairsAggregator(BinaryShortlist))
+    val shortlist = hammingScored(spark, dir)
+      .select(col("q_id"), col("neighbor_id"),
+        (-col("hamming")).cast(DoubleType).as("cos"))
+      .groupBy(col("q_id"))
+      .agg(short(col("cos"), col("neighbor_id")).as("top"))
+      .select(col("q_id"), explode(col("top")).as("p"))
+      .select(col("q_id"), col("p.neighborId").as("neighbor_id"))
+    val base = corpus(spark, dir)
+    val queries = base.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val scored = base
+      .join(broadcast(shortlist), col("vec_id") === col("neighbor_id"))
+      .join(broadcast(queries), "q_id")
+      .select(col("q_id"), col("neighbor_id"),
+        cosine_similarity(col("qv"), col("v")).as("cos"))
+    topkMapSide(scored, K)
+  }
+
+  /** Recall floor for the binary two-stage path vs the full-precision
+    * anchor. MEASURED (MeasureAnnRecall): 0.77 at sf0.001, 0.76 at
+    * sf0.01 — the best approximate path in the file (sign bits on
+    * isotropic 64-dim vectors keep most of the angular order; the
+    * 64-wide shortlist recovers the rest). Floor 0.4 is set against the
+    * failure mode (a scrambled packing ⇒ recall ≈ k/N ≈ 0.01), with
+    * ~2× headroom under the measurement for data drift. */
+  val BinaryRecallFloor = 0.4
+
+  /** The standard one-row accuracy gate for the binary rerank path:
+    * (n_exact, floor, passes) vs [[topkBrute]] — a packing or shortlist
+    * regression turns a CORRECTNESS row red per round. */
+  def binaryRecallGate(spark: SparkSession, dir: String): DataFrame =
+    annRecallGate(spark, dir, topkBinaryRerank(spark, dir), BinaryRecallFloor)
 }

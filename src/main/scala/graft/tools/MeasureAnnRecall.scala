@@ -24,6 +24,7 @@ object MeasureAnnRecall {
       recall("lsh", SimilarityOps.annLsh(spark, dir))
       recall("multiprobe", SimilarityOps.annLshMultiProbe(spark, dir))
       recall("ivf", SimilarityOps.annIvf(spark, dir))
+      recall("binary", SimilarityOps.topkBinaryRerank(spark, dir))
     }
     spark.stop()
   }

@@ -134,6 +134,70 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(gate.getAs[Boolean]("passes"))
   }
 
+  // ------------------------------------------------- binary (sign-bit) codes
+
+  test("binary quantize: packed words round-trip the coordinate signs") {
+    val rows = SimilarityOps.quantizeBinary(spark, Sf0001)
+      .join(Tables(spark, Sf0001, "embeddings"), "vec_id")
+      .limit(20).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val lo = r.getAs[Long]("lo"); val hi = r.getAs[Long]("hi")
+      val x = r.getAs[scala.collection.Seq[Float]]("embedding")
+      assert(x.length == 64)
+      // both words use only their low 32 bits
+      assert((lo >>> 32) == 0L && (hi >>> 32) == 0L)
+      x.zipWithIndex.foreach { case (v, i) =>
+        val word = if (i < 32) lo else hi
+        val bit = (word >> (i % 32)) & 1L
+        assert(bit == (if (v > 0f) 1L else 0L),
+          s"dim $i of vec ${r.getAs[Long]("vec_id")}: coord $v, bit $bit")
+      }
+    }
+  }
+
+  test("hamming top-k: self pair is present at distance 0") {
+    val rows = SimilarityOps.topkHamming(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val self = rows.filter(r => r.getAs[Long]("q_id") == r.getAs[Long]("neighbor_id"))
+    assert(self.length == 10) // all 10 queries retain their own code
+    self.foreach(r => assert(r.getAs[Int]("hamming") == 0))
+    // distances are bounded by the code width and non-decreasing in rank
+    rows.groupBy(_.getAs[Long]("q_id")).values.foreach { g =>
+      val byRank = g.sortBy(_.getAs[Int]("rank")).map(_.getAs[Int]("hamming"))
+      assert(byRank.forall(h => h >= 0 && h <= 64))
+      assert(byRank.zip(byRank.tail).forall { case (a, b) => a <= b })
+    }
+  }
+
+  test("binary rerank: exact on a ±1 corpus where sign bits lose nothing") {
+    import spark.implicits._
+    val dir = tempDir("bin_emb")
+    val rnd = new scala.util.Random(7)
+    // ±1 vectors: cos = (64 - 2·hamming)/64, so the Hamming order IS the
+    // cosine order and the 64-wide shortlist covers the whole corpus —
+    // the two-stage path must reproduce the brute-force anchor exactly
+    val vecs = (0L until 40L).map { id =>
+      (id, Array.fill(64)(if (rnd.nextBoolean()) 1.0f else -1.0f), (id % 3).toInt)
+    }.toDF("vec_id", "embedding", "label")
+    vecs.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val rerank = SimilarityOps.topkBinaryRerank(spark, dir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id")))
+    val brute = SimilarityOps.topkBrute(spark, dir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id")))
+    assert(rerank.sorted.sameElements(brute.sorted))
+    // ...and the first-stage Hamming ranking already agrees pair-for-pair
+    val ham = SimilarityOps.topkHamming(spark, dir).collect()
+      .map(r => (r.getAs[Long]("q_id"), r.getAs[Int]("rank"), r.getAs[Long]("neighbor_id")))
+    assert(ham.sorted.sameElements(brute.sorted))
+  }
+
+  test("binary rerank: recall clears the gate floor on real data") {
+    val gate = SimilarityOps.binaryRecallGate(spark, Sf0001).collect()(0)
+    assert(gate.getAs[Int]("n_exact") == 100)
+    assert(gate.getAs[Boolean]("passes"))
+  }
+
   // ------------------------------------------------------ set-all / window
 
   test("exceptAll/intersectAll: multiplicities subtract and min, not collapse") {
