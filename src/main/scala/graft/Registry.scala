@@ -1123,6 +1123,67 @@ object Registry {
       |       doc_id, rrf AS rrf_score
       |FROM fused QUALIFY rank <= 10 ORDER BY q_id, rank""".stripMargin
 
+  /** Ranking-evaluation CTE chain on top of the BM25 scores: the run
+    * (top-10), conjunctive qrels (doc holds EVERY query term), cumulative
+    * hit counts, and the per-query scaled-integer metrics — mirrors
+    * EvalOps.rankingMetrics term for term (2520 = lcm(1..10), so every
+    * reciprocal-rank and P@i term is an exact integer; `(2520*h)//rank`
+    * is exact because rank divides 2520·h's factor structure the same
+    * way EvalOps' double path is exact). */
+  private val evalPerQueryCtes: String =
+    s"""$bm25ScoreCtes,
+      |runr AS (SELECT q_id, doc_id,
+      |           CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+      |         FROM sc QUALIFY rank <= 10),
+      |dterm AS (SELECT DISTINCT t.doc_id, t.term FROM tok t
+      |          WHERE t.term IN (SELECT DISTINCT term FROM q)),
+      |qsize AS (SELECT q_id, count(DISTINCT term) AS n_terms FROM q GROUP BY q_id),
+      |qrel AS (SELECT qt.q_id, dt.doc_id
+      |         FROM (SELECT DISTINCT q_id, term FROM q) qt
+      |         JOIN dterm dt USING (term) JOIN qsize USING (q_id)
+      |         GROUP BY qt.q_id, dt.doc_id HAVING count(*) = max(n_terms)),
+      |mk AS (SELECT r.q_id, r.rank,
+      |         CASE WHEN qr.doc_id IS NULL THEN 0 ELSE 1 END AS rel
+      |       FROM runr r LEFT JOIN qrel qr
+      |         ON r.q_id = qr.q_id AND r.doc_id = qr.doc_id),
+      |cum AS (SELECT q_id, rank, rel,
+      |          sum(rel) OVER (PARTITION BY q_id ORDER BY rank) AS hits_at
+      |        FROM mk),
+      |nrel AS (SELECT q_id, count(*) AS n_rel FROM qrel GROUP BY q_id),
+      |pq2 AS (SELECT c.q_id,
+      |          CAST(sum(rel) AS INTEGER) AS n_hit,
+      |          CAST(coalesce(min(CASE WHEN rel = 1 THEN rank END), 0) AS INTEGER) AS first_rel_rank,
+      |          CAST(coalesce(sum(CASE WHEN rel = 1 THEN (2520 * hits_at) // rank END), 0) AS BIGINT) AS ap_scaled
+      |        FROM cum c GROUP BY c.q_id),
+      |per AS (SELECT p.q_id, CAST(coalesce(n.n_rel, 0) AS INTEGER) AS n_rel,
+      |          p.n_hit, p.first_rel_rank,
+      |          CAST(CASE WHEN p.first_rel_rank > 0 THEN 2520 // p.first_rel_rank ELSE 0 END AS BIGINT) AS rr_scaled,
+      |          p.ap_scaled
+      |        FROM pq2 p LEFT JOIN nrel n USING (q_id))""".stripMargin
+
+  private val evalPerQueryOracle: String =
+    s"""WITH $evalPerQueryCtes
+      |SELECT q_id, n_rel, n_hit, first_rel_rank, rr_scaled, ap_scaled,
+      |       CAST(n_hit AS DOUBLE) / 10 AS precision_at_k,
+      |       CASE WHEN n_rel > 0 THEN CAST(n_hit AS DOUBLE) / n_rel ELSE 0.0 END AS recall
+      |FROM per ORDER BY q_id""".stripMargin
+
+  private val evalSummaryOracle: String =
+    s"""WITH $evalPerQueryCtes,
+      |s AS (SELECT count(*) AS n_queries, sum(n_rel) AS n_rel_total,
+      |        sum(n_hit) AS n_hit_total, sum(rr_scaled) AS rr_sum,
+      |        sum(CASE WHEN least(n_rel, 10) > 0
+      |                 THEN ap_scaled * (2520 // least(n_rel, 10)) ELSE 0 END) AS ap_sum
+      |      FROM per)
+      |SELECT CAST(n_queries AS INTEGER) AS n_queries,
+      |       CAST(n_rel_total AS BIGINT) AS n_rel_total,
+      |       CAST(n_hit_total AS BIGINT) AS n_hit_total,
+      |       CAST(rr_sum AS DOUBLE) / (2520.0 * n_queries) AS mrr,
+      |       CAST(ap_sum AS DOUBLE) / (2520.0 * 2520 * n_queries) AS map_at_k,
+      |       CASE WHEN n_rel_total > 0 THEN CAST(n_hit_total AS DOUBLE) / n_rel_total ELSE 0.0 END AS micro_recall,
+      |       CAST(n_hit_total AS DOUBLE) / (n_queries * 10) AS micro_precision
+      |FROM s""".stripMargin
+
   /** LLM-training-data pipeline extensions (BASELINE.json north star):
     * dedup, similarity search, text analysis, multimodal columns.
     * Engine-internal hashes/heuristics (minhash, simhash, lsh, langid,
@@ -1568,6 +1629,14 @@ object Registry {
     // both inputs are k-bounded map-side aggregates, so fusion cost is
     // k·|queries| regardless of corpus size
     GraftQuery("x_retrieval_rrf", RetrievalOps.rrfHybrid, Some(rrfOracle)),
+    // ranking-quality evaluation of the BM25 run against conjunctive
+    // (ALL-terms) relevance: MRR / AP / P@k / recall carried as
+    // lcm(1..10)-scaled exact integers per query, divided once in the
+    // summary — order-independent, so both surfaces are value-oracled
+    GraftQuery("x_eval_retrieval_per_query", EvalOps.bm25EvalPerQuery,
+      Some(evalPerQueryOracle)),
+    GraftQuery("x_eval_retrieval_summary", EvalOps.bm25EvalSummary,
+      Some(evalSummaryOracle)),
     GraftQuery("x_sim_ann_lsh", SimilarityOps.annLsh, None),
     GraftQuery("x_sim_knn_join", (s, d) => SimilarityOps.knnJoin(s, d), None,
       headline = true),

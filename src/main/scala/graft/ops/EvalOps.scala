@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types._
+
+/** Ranking-quality evaluation for the retrieval surfaces (BM25 lexical,
+  * ANN/dense, hybrid) — the measurement half a retrieval stack ships
+  * with: given a run (q_id, rank, doc_id) and a relevance set
+  * (q_id, doc_id), compute MRR, average precision, precision@k and
+  * recall per query plus corpus-level micro aggregates.
+  *
+  * Hash-oracle strategy: reciprocal ranks and precision-at-i terms are
+  * rationals with denominators in 1..k. Averaged naively in double they
+  * are order-dependent (float addition), so every per-query metric is
+  * carried as an EXACT integer scaled by lcm(1..10) = 2520 — 2520/rank
+  * and 2520·hits/i are integers for every rank, i ≤ 10 — and summaries
+  * divide ONCE at the end (a single IEEE division of exact integers is
+  * deterministic across engines). The same discipline as the BM25
+  * micro-unit scores and the RRF lcm fusion.
+  *
+  * Scale shape: the run is |q|·k rows (tiny, serving output); the
+  * relevance pass is ONE corpus tokenization filtered to the broadcast
+  * query vocabulary BEFORE any shuffle (the BM25 plan's trick), so at
+  * 100 TB evaluation costs one filtered scan plus joins on |q|·k rows.
+  * No window ever sees more than k rows per query. */
+object EvalOps {
+
+  /** lcm(1..10): scaling reciprocal ranks and P@i terms by this makes
+    * them exact integers for every denominator ≤ 10. */
+  val RrScale = 2520L
+
+  private val K = RetrievalOps.TopK
+
+  /** Conjunctive relevance: a document is relevant to a query iff it
+    * contains EVERY query term — the boolean-AND judgment BM25 should
+    * rank highest, recomputable exactly by the DuckDB oracle. The
+    * distinct (doc, term) pass filters to the broadcast query
+    * vocabulary before grouping, so the corpus never shuffles full
+    * token lists. */
+  def conjunctiveQrels(spark: SparkSession, dir: String,
+      queries: Seq[(Int, String)] = RetrievalOps.DefaultQueries): DataFrame = {
+    import spark.implicits._
+    val vocab = queries.flatMap(_._2.split(" ")).distinct
+    val qTerms = queries
+      .flatMap { case (q, s) => s.split(" ").distinct.map(t => (q, t)) }
+      .toDF("q_id", "term")
+    val qSize = queries
+      .map { case (q, s) => (q, s.split(" ").distinct.length.toLong) }
+      .toDF("q_id", "n_terms")
+    val docTerms = Tables.parallel(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+      .filter(col("term").isin(vocab: _*))
+      .distinct()
+    docTerms.join(broadcast(qTerms), Seq("term"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(count(lit(1)).as("n_match"))
+      .join(broadcast(qSize), Seq("q_id"))
+      .filter(col("n_match") === col("n_terms"))
+      .select(col("q_id"), col("doc_id"))
+  }
+
+  /** Per-query ranking metrics of a (q_id, rank, doc_id) run against a
+    * (q_id, doc_id) relevance set. Exact-integer columns: rr_scaled =
+    * 2520/first_rel_rank (0 when nothing relevant retrieved) and
+    * ap_scaled = Σ_{rel i} 2520·hits@i / i — both divisions are exact
+    * because every denominator divides 2520, so the double arithmetic
+    * they pass through cannot round. precision/recall are single
+    * divisions of exact integers. Queries are taken from the RUN side:
+    * a query the engine returned nothing for does not appear (the
+    * summary's n_queries counts the run's queries). */
+  def rankingMetrics(run: DataFrame, qrels: DataFrame, k: Int = K): DataFrame = {
+    require(k <= 10, s"RrScale covers denominators 1..10, got k=$k")
+    val w = Window.partitionBy(col("q_id")).orderBy(col("rank"))
+    val marked = run.select(col("q_id"), col("rank"), col("doc_id"))
+      .filter(col("rank") <= k)
+      .join(qrels.select(col("q_id"), col("doc_id"), lit(1L).as("rel")),
+        Seq("q_id", "doc_id"), "left")
+      .withColumn("rel", coalesce(col("rel"), lit(0L)))
+      .withColumn("hits_at", sum(col("rel")).over(w))
+    val nRel = qrels.groupBy(col("q_id"))
+      .agg(count(lit(1)).cast(IntegerType).as("n_rel"))
+    marked.groupBy(col("q_id"))
+      .agg(
+        sum(col("rel")).cast(IntegerType).as("n_hit"),
+        coalesce(min(when(col("rel") === 1L, col("rank"))), lit(0))
+          .cast(IntegerType).as("first_rel_rank"),
+        // exact: first_rel_rank divides 2520, so the double quotient is
+        // the integer itself
+        coalesce(sum(when(col("rel") === 1L,
+            (lit(RrScale) * col("hits_at") / col("rank")).cast(LongType))),
+          lit(0L)).as("ap_scaled"))
+      .withColumn("rr_scaled",
+        when(col("first_rel_rank") > 0,
+          (lit(RrScale) / col("first_rel_rank")).cast(LongType))
+          .otherwise(lit(0L)))
+      .join(nRel, Seq("q_id"), "left")
+      .withColumn("n_rel", coalesce(col("n_rel"), lit(0)))
+      .select(col("q_id"), col("n_rel"), col("n_hit"), col("first_rel_rank"),
+        col("rr_scaled"), col("ap_scaled"),
+        (col("n_hit").cast(DoubleType) / k).as("precision_at_k"),
+        when(col("n_rel") > 0, col("n_hit").cast(DoubleType) / col("n_rel"))
+          .otherwise(lit(0.0)).as("recall"))
+      .orderBy("q_id")
+  }
+
+  /** One-row corpus summary. MRR and MAP fold the per-query scaled
+    * integers to a COMMON denominator before summing — ap_scaled has
+    * per-query denominator 2520·min(n_rel, k), and min(n_rel, k) ≤ 10
+    * divides 2520, so ap_scaled·(2520/min(n_rel,k)) is exact over
+    * denominator 2520² — then divide once. recall/precision are micro
+    * (summed counts, one division): macro averages of arbitrary-
+    * denominator rationals are not representable exactly, so they live
+    * in the per-query surface instead. */
+  def summaryMetrics(run: DataFrame, qrels: DataFrame, k: Int = K): DataFrame =
+    rankingMetrics(run, qrels, k)
+      .withColumn("m", least(col("n_rel"), lit(k)))
+      .withColumn("ap2",
+        when(col("m") > 0,
+          (col("ap_scaled") * (lit(RrScale) / col("m")).cast(LongType)))
+          .otherwise(lit(0L)))
+      .agg(
+        count(lit(1)).cast(IntegerType).as("n_queries"),
+        sum(col("n_rel")).cast(LongType).as("n_rel_total"),
+        sum(col("n_hit")).cast(LongType).as("n_hit_total"),
+        sum(col("rr_scaled")).as("rr_sum"),
+        sum(col("ap2")).as("ap_sum"))
+      .select(col("n_queries"), col("n_rel_total"), col("n_hit_total"),
+        (col("rr_sum").cast(DoubleType) / (lit(RrScale.toDouble) * col("n_queries")))
+          .as("mrr"),
+        (col("ap_sum").cast(DoubleType)
+          / (lit(RrScale.toDouble * RrScale) * col("n_queries"))).as("map_at_k"),
+        when(col("n_rel_total") > 0,
+          col("n_hit_total").cast(DoubleType) / col("n_rel_total"))
+          .otherwise(lit(0.0)).as("micro_recall"),
+        (col("n_hit_total").cast(DoubleType) / (col("n_queries") * k))
+          .as("micro_precision"))
+
+  /** The wired surfaces: the BM25 run judged against conjunctive
+    * relevance. */
+  def bm25EvalPerQuery(spark: SparkSession, dir: String): DataFrame =
+    rankingMetrics(RetrievalOps.bm25(spark, dir), conjunctiveQrels(spark, dir))
+
+  def bm25EvalSummary(spark: SparkSession, dir: String): DataFrame =
+    summaryMetrics(RetrievalOps.bm25(spark, dir), conjunctiveQrels(spark, dir))
+}

@@ -159,4 +159,55 @@ class RetrievalOpsSpec extends SparkSpec {
     // whose one rank is no better than either of its ranks (monotonicity)
     assert(got.forall(_._4 > 0))
   }
+
+  // --------------------------------------------------------- ranking metrics
+
+  test("ranking metrics: hand-computed values on a planted run") {
+    import spark.implicits._
+    // q1: rel {1,2,3}, hits at ranks 2 and 4; q2: rel {9}, no hits;
+    // q3: no relevant docs at all
+    val run = Seq(
+      (1, 1, 7L), (1, 2, 2L), (1, 3, 8L), (1, 4, 3L), (1, 5, 9L),
+      (2, 1, 4L), (2, 2, 5L), (2, 3, 6L),
+      (3, 1, 1L)).toDF("q_id", "rank", "doc_id")
+    val qrels = Seq((1, 1L), (1, 2L), (1, 3L), (2, 9L)).toDF("q_id", "doc_id")
+    val per = EvalOps.rankingMetrics(run, qrels).collect()
+      .map(r => r.getAs[Int]("q_id") -> r).toMap
+    assert(per.keySet == Set(1, 2, 3))
+    val p1 = per(1)
+    assert(p1.getAs[Int]("n_rel") == 3 && p1.getAs[Int]("n_hit") == 2)
+    assert(p1.getAs[Int]("first_rel_rank") == 2)
+    assert(p1.getAs[Long]("rr_scaled") == 1260L) // 2520/2
+    // AP terms: rank 2 → 2520·1/2 = 1260; rank 4 → 2520·2/4 = 1260
+    assert(p1.getAs[Long]("ap_scaled") == 2520L)
+    assert(p1.getAs[Double]("precision_at_k") == 0.2)
+    assert(p1.getAs[Double]("recall") == 2.0 / 3)
+    val p2 = per(2)
+    assert(p2.getAs[Int]("n_hit") == 0 && p2.getAs[Long]("rr_scaled") == 0L)
+    assert(p2.getAs[Int]("n_rel") == 1 && p2.getAs[Double]("recall") == 0.0)
+    val p3 = per(3)
+    assert(p3.getAs[Int]("n_rel") == 0 && p3.getAs[Double]("recall") == 0.0)
+    val s = EvalOps.summaryMetrics(run, qrels).collect()(0)
+    assert(s.getAs[Int]("n_queries") == 3)
+    assert(s.getAs[Long]("n_rel_total") == 4L && s.getAs[Long]("n_hit_total") == 2L)
+    assert(s.getAs[Double]("mrr") == 1260.0 / (2520.0 * 3)) // = 1/6
+    // MAP: only q1 contributes — 2520 · (2520/3) over 2520²·3 = 1/9
+    assert(s.getAs[Double]("map_at_k") == 2116800.0 / (2520.0 * 2520 * 3))
+    assert(s.getAs[Double]("micro_recall") == 0.5)
+    assert(s.getAs[Double]("micro_precision") == 2.0 / 30)
+  }
+
+  test("bm25 eval: per-query metrics are internally consistent on real data") {
+    val rows = EvalOps.bm25EvalPerQuery(spark, Sf0001).collect()
+    assert(rows.length == 5) // one row per default query
+    rows.foreach { r =>
+      val (nRel, nHit) = (r.getAs[Int]("n_rel"), r.getAs[Int]("n_hit"))
+      val first = r.getAs[Int]("first_rel_rank")
+      assert(nHit >= 0 && nHit <= 10 && nHit <= math.max(nRel, 0))
+      // reciprocal-rank scaling is exactly invertible
+      if (first > 0) assert(r.getAs[Long]("rr_scaled") * first == 2520L)
+      else assert(r.getAs[Long]("rr_scaled") == 0L && nHit == 0)
+      assert(r.getAs[Double]("precision_at_k") == nHit / 10.0)
+    }
+  }
 }
