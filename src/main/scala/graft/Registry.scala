@@ -1757,6 +1757,38 @@ object Registry {
         |              CAST(1000000000000*15//100//nn.n + 85 * coalesce(c3.s, 0) // 100 AS BIGINT) AS rank
         |       FROM r2 CROSS JOIN nn LEFT JOIN c3 ON c3.dst = r2.node)
         |SELECT node, rank FROM r3 ORDER BY node""".stripMargin)),
+    // personalized PageRank: the same unrolled integer trajectory with
+    // teleport AND initial mass restricted to the seed slice (supplier
+    // nodes with suppkey % 5 = 0 ⇒ node % 10 = 0), denominator |S|
+    GraftQuery("x_graph_ppr", GraphOps.personalizedPageRank, Some(
+      """WITH e0 AS (SELECT DISTINCT l_suppkey*2 AS src, o_custkey*2+1 AS dst
+        |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e1 AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |d AS (SELECT src, count(*) AS deg FROM e1 GROUP BY src),
+        |e AS (SELECT e1.src, e1.dst, d.deg FROM e1 JOIN d USING (src)),
+        |ns AS (SELECT count(*) AS n FROM d WHERE src % 10 = 0),
+        |r0 AS (SELECT d.src AS node,
+        |              CASE WHEN d.src % 10 = 0 THEN 1000000000000 // ns.n ELSE 0 END AS rank
+        |       FROM d CROSS JOIN ns),
+        |c1 AS (SELECT e.dst, sum(r.rank // e.deg) AS s
+        |       FROM e JOIN r0 r ON e.src = r.node GROUP BY e.dst),
+        |r1 AS (SELECT r0.node,
+        |              CAST(CASE WHEN r0.node % 10 = 0 THEN 1000000000000*15//100//ns.n ELSE 0 END
+        |                   + 85 * coalesce(c1.s, 0) // 100 AS BIGINT) AS rank
+        |       FROM r0 CROSS JOIN ns LEFT JOIN c1 ON c1.dst = r0.node),
+        |c2 AS (SELECT e.dst, sum(r.rank // e.deg) AS s
+        |       FROM e JOIN r1 r ON e.src = r.node GROUP BY e.dst),
+        |r2 AS (SELECT r1.node,
+        |              CAST(CASE WHEN r1.node % 10 = 0 THEN 1000000000000*15//100//ns.n ELSE 0 END
+        |                   + 85 * coalesce(c2.s, 0) // 100 AS BIGINT) AS rank
+        |       FROM r1 CROSS JOIN ns LEFT JOIN c2 ON c2.dst = r1.node),
+        |c3 AS (SELECT e.dst, sum(r.rank // e.deg) AS s
+        |       FROM e JOIN r2 r ON e.src = r.node GROUP BY e.dst),
+        |r3 AS (SELECT r2.node,
+        |              CAST(CASE WHEN r2.node % 10 = 0 THEN 1000000000000*15//100//ns.n ELSE 0 END
+        |                   + 85 * coalesce(c3.s, 0) // 100 AS BIGINT) AS rank
+        |       FROM r2 CROSS JOIN ns LEFT JOIN c3 ON c3.dst = r2.node)
+        |SELECT node, rank FROM r3 ORDER BY node""".stripMargin)),
     // per-part triangle participation over the thresholded co-purchase
     // graph: Spark enumerates via degree-ordered orientation (wedge work
     // bounded by degeneracy), the oracle by id order — the triangle SET

@@ -73,6 +73,18 @@ object GraphOps {
   def pageRankOf(rawEdges: DataFrame): DataFrame =
     pageRankOf(rawEdges, HotDegree)
 
+  /** Personalized PageRank (random walk with restart): identical integer
+    * trajectory to [[pageRank]], except teleport mass restarts ONLY at
+    * the seed set — the "importance relative to these nodes" ranking
+    * behind graph-based curation (expand a trusted seed corpus along
+    * co-occurrence edges) and related-item serving. Seeds here: supplier
+    * nodes whose suppkey is divisible by 5 (node % 10 == 0 under the
+    * even/odd encoding) — a deterministic, oracle-replayable slice.
+    * Initial mass sits entirely on the seeds, so round r ranks are
+    * exactly "restart-discounted r-step walk mass from the seed set". */
+  def personalizedPageRank(spark: SparkSession, dir: String): DataFrame =
+    pageRankCore(edgesOf(spark, dir), HotDegree, Some(col("node") % 10 === 0))
+
   /** Core loop over any symmetric (src, dst) edge pair set: attaches
     * out-degrees, then runs [[Iters]] integer-exact rank rounds.
     * `hotDegree` gates the skew armor (see [[HotDegree]]): edges whose
@@ -81,7 +93,16 @@ object GraphOps {
     * rows spread over Salts join tasks instead of one. Integer sums are
     * order-independent, so the salted and unsalted plans produce
     * bit-identical ranks (pinned by spec). */
-  def pageRankOf(rawEdges: DataFrame, hotDegree: Long): DataFrame = {
+  def pageRankOf(rawEdges: DataFrame, hotDegree: Long): DataFrame =
+    pageRankCore(rawEdges, hotDegree, None)
+
+  /** Shared loop. `seed = None` is uniform PageRank (teleport and initial
+    * mass spread over ALL nodes — the historical behavior, bit-for-bit);
+    * `seed = Some(p)` restricts both to the nodes satisfying `p` over
+    * `col("node")` (personalized PageRank). Uniform ≡ `Some(lit(true))`
+    * exactly — spec-pinned — because the mass denominator is then |V|. */
+  private[graft] def pageRankCore(rawEdges: DataFrame, hotDegree: Long,
+      seed: Option[org.apache.spark.sql.Column]): DataFrame = {
     val deg = rawEdges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
     // persist the degree-annotated edge list: every one of the Iters
     // rounds joins it, and without the cache the whole upstream lineage
@@ -118,9 +139,17 @@ object GraphOps {
           .otherwise(array(lit(0)))).as("salt"))
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val saltCols = if (salted) Seq(col("salt")) else Seq.empty
-    val base = RankScale * 15 / 100 / n
+    // mass denominator: |V| for uniform, |S| for personalized — teleport
+    // and initial mass are RankScale-scaled integer shares over it
+    val massDen = seed match {
+      case None => n
+      case Some(p) => nodes.filter(p).count()
+    }
+    require(massDen > 0, "empty seed set")
+    val isSeed = seed.getOrElse(lit(true))
+    val base = RankScale * 15 / 100 / massDen
     var ranks = spine.select((col("node") +: saltCols) :+
-      lit(RankScale / n).as("rank"): _*)
+      when(isSeed, lit(RankScale / massDen)).otherwise(lit(0L)).as("rank"): _*)
     for (i <- 1 to Iters) {
       val joinCond =
         if (salted) col("e.src") === col("r.node") && col("e.salt") === col("r.salt")
@@ -132,7 +161,8 @@ object GraphOps {
       ranks = spine.as("nd")
         .join(sums.as("sm"), col("nd.node") === col("sm.dst"), "left")
         .select(col("nd.node").as("node") +: saltCols.map(_ => col("nd.salt").as("salt")) :+
-          (lit(base) + expr("85 * coalesce(sm.s, 0L) div 100")).as("rank"): _*)
+          (when(isSeed, lit(base)).otherwise(lit(0L)) +
+            expr("85 * coalesce(sm.s, 0L) div 100")).as("rank"): _*)
       // truncate the lineage every CheckpointEvery rounds (and at the
       // end): without this the rank plan nests one join+agg PER
       // iteration — fine at Iters=3, a stack/planning cliff the first

@@ -114,6 +114,37 @@ class GraphOpsSpec extends SparkSpec {
     assert(supp.nonEmpty && cust.nonEmpty)
   }
 
+  test("ppr: uniform seed set reproduces plain pagerank bit-for-bit") {
+    import spark.implicits._
+    val e0 = Seq((2L, 3L), (2L, 5L), (4L, 3L), (4L, 7L), (6L, 7L))
+    val sym = (e0 ++ e0.map(_.swap)).toDF("src", "dst")
+    val plain = GraphOps.pageRankOf(sym).collect().toSeq
+    val ppr = GraphOps.pageRankCore(sym, GraphOps.HotDegree,
+      Some(org.apache.spark.sql.functions.lit(true))).collect().toSeq
+    assert(ppr == plain)
+  }
+
+  test("ppr: teleport mass restarts only at the seeds") {
+    val rows = GraphOps.personalizedPageRank(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val ranks = rows.map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val seeds = ranks.keys.filter(_ % 10 == 0)
+    assert(seeds.nonEmpty)
+    // node set identical to the uniform walk's (same graph, same spine)
+    val uni = GraphOps.pageRank(spark, Sf0001).collect().map(_.getLong(0)).toSet
+    assert(ranks.keySet == uni)
+    // every rank non-negative; every seed holds at least its teleport
+    // share (the 15% restart never leaves the seed set)
+    val base = GraphOps.RankScale * 15 / 100 / seeds.size
+    assert(ranks.values.forall(_ >= 0L))
+    seeds.foreach(s => assert(ranks(s) >= base))
+    // total mass is bounded by the injected mass (floor losses only
+    // shrink it): initial RankScale decays ×0.85/round plus 3 teleports
+    val total = ranks.values.sum
+    assert(total <= GraphOps.RankScale * 2)
+    assert(total > 0L)
+  }
+
   test("triangles: planted triangle counted once per vertex, 4-cycle and weak edges excluded") {
     import spark.implicits._
     // orders as baskets; an edge needs co-purchase support >= 2:
