@@ -1184,6 +1184,28 @@ object Registry {
       |       CAST(n_hit_total AS DOUBLE) / (n_queries * 10) AS micro_precision
       |FROM s""".stripMargin
 
+  /** Content-defined chunking CTE chain (through `s` = per-chunk doc_id,
+    * token array `t`, boundary list `ends`, chunk ordinal `j`, start
+    * `sp`) — mirrors PretrainOps.cdcChunks' gear rule (boundary after
+    * token i ⇔ md5 of the 4-token window ≡ 0 mod 8, last token closes
+    * the final chunk). A def, not a val: it is referenced from inside
+    * the query-list vals below and defs are initialization-order-proof.
+    * Shared by the chunk dump and the chunk-level dedup pair oracle. */
+  private def cdcChunkCtes: String =
+    """d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |b AS (SELECT doc_id, t, len(t) AS n,
+      |        list_filter(generate_series(4, len(t)),
+      |          i -> CAST(('0x' || substr(md5(array_to_string(t[i-3:i], ' ')), 1, 5)) AS BIGINT) % 8 = 0) AS cuts
+      |      FROM d),
+      |e AS (SELECT doc_id, t, n,
+      |        CASE WHEN len(cuts) > 0 AND cuts[len(cuts)] = n THEN cuts
+      |             ELSE list_append(cuts, n) END AS ends
+      |      FROM b),
+      |u AS (SELECT doc_id, t, ends, unnest(generate_series(1, len(ends))) AS j FROM e),
+      |s AS (SELECT doc_id, t, ends, j,
+      |        CASE WHEN j = 1 THEN 1 ELSE ends[CAST(j - 1 AS INTEGER)] + 1 END AS sp
+      |      FROM u)""".stripMargin
+
   /** LLM-training-data pipeline extensions (BASELINE.json north star):
     * dedup, similarity search, text analysis, multimodal columns.
     * Engine-internal hashes/heuristics (minhash, simhash, lsh, langid,
@@ -2142,23 +2164,34 @@ object Registry {
     // content-defined chunking: boundaries are local window hashes, so
     // the oracle recomputes them position-by-position with the same md5
     GraftQuery("x_text_cdc_chunks", PretrainOps.cdcChunks, Some(
-      """WITH d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |b AS (SELECT doc_id, t, len(t) AS n,
-        |        list_filter(generate_series(4, len(t)),
-        |          i -> CAST(('0x' || substr(md5(array_to_string(t[i-3:i], ' ')), 1, 5)) AS BIGINT) % 8 = 0) AS cuts
-        |      FROM d),
-        |e AS (SELECT doc_id, t, n,
-        |        CASE WHEN len(cuts) > 0 AND cuts[len(cuts)] = n THEN cuts
-        |             ELSE list_append(cuts, n) END AS ends
-        |      FROM b),
-        |u AS (SELECT doc_id, t, ends, unnest(generate_series(1, len(ends))) AS j FROM e),
-        |s AS (SELECT doc_id, t, ends, j,
-        |        CASE WHEN j = 1 THEN 1 ELSE ends[CAST(j - 1 AS INTEGER)] + 1 END AS sp
-        |      FROM u)
+      s"""WITH $cdcChunkCtes
         |SELECT doc_id, CAST(j AS INTEGER) AS chunk_idx, CAST(sp AS INTEGER) AS start_pos,
         |       CAST(ends[CAST(j AS INTEGER)] - sp + 1 AS INTEGER) AS n_chunk_tokens,
         |       md5(array_to_string(t[CAST(sp AS INTEGER):CAST(ends[CAST(j AS INTEGER)] AS INTEGER)], ' ')) AS digest
         |FROM s ORDER BY doc_id, chunk_idx""".stripMargin)),
+    // chunk-level near-dup pairs: the capped inverted index over the CDC
+    // digests (same CTE chain — the chunking SQL cannot drift between
+    // the chunk dump and the pair generator); exact-integer counts, one
+    // IEEE division for the Jaccard
+    GraftQuery("x_dedup_cdc_pairs", PretrainOps.cdcNearDupPairs, Some(
+      s"""WITH $cdcChunkCtes,
+        |ch AS (SELECT DISTINCT doc_id,
+        |         md5(array_to_string(t[CAST(sp AS INTEGER):CAST(ends[CAST(j AS INTEGER)] AS INTEGER)], ' ')) AS digest
+        |       FROM s),
+        |fr AS (SELECT digest, count(*) AS n_docs FROM ch GROUP BY digest),
+        |kp AS (SELECT ch.doc_id, ch.digest FROM ch JOIN fr USING (digest)
+        |       WHERE fr.n_docs <= 50),
+        |cnt AS (SELECT doc_id, count(*) AS n_chunks FROM kp GROUP BY doc_id),
+        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+        |       FROM kp a JOIN kp b ON a.digest = b.digest AND a.doc_id < b.doc_id
+        |       GROUP BY a.doc_id, b.doc_id)
+        |SELECT doc_a, doc_b, CAST(n_shared AS INTEGER) AS n_shared,
+        |       CAST(ca.n_chunks AS INTEGER) AS n_a, CAST(cb.n_chunks AS INTEGER) AS n_b,
+        |       CAST(n_shared AS DOUBLE) / (ca.n_chunks + cb.n_chunks - n_shared) AS jaccard
+        |FROM pr JOIN cnt ca ON ca.doc_id = pr.doc_a
+        |        JOIN cnt cb ON cb.doc_id = pr.doc_b
+        |WHERE n_shared >= 2
+        |ORDER BY doc_a, doc_b""".stripMargin)),
     GraftQuery("x_pack_sequences", PretrainOps.packSequences, Some(
       """WITH d AS (SELECT source, doc_id,
         |             CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens FROM documents),

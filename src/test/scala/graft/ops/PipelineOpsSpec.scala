@@ -1128,4 +1128,27 @@ class PipelineOpsSpec extends SparkSpec {
     val tail2 = c2.filter(_._3 > p.length + cStar).map(c => (c._4, c._5))
     assert(tail1.nonEmpty && tail1.toSeq == tail2.toSeq)
   }
+
+  test("cdc near-dup pairs: a prefix-edited copy pairs with its original, strangers don't") {
+    import spark.implicits._
+    val r = new scala.util.Random(11)
+    val s = Seq.fill(120)(s"tok${r.nextInt(40)}")
+    val p = Seq.fill(7)(s"pre${r.nextInt(40)}")
+    val stranger = Seq.fill(120)(s"oth${r.nextInt(40)}")
+    val docs = Seq(
+      (1L, s.mkString(" ")),
+      (2L, (p ++ s).mkString(" ")), // edited copy: shares the post-edit chunks
+      (3L, stranger.mkString(" "))) // disjoint vocabulary: shares nothing
+      .map { case (id, t) => (id, t, "en", "s", t.length.toLong) }
+    val dir = tempDir("cdc_pairs")
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val pairs = PretrainOps.cdcNearDupPairs(spark, dir).collect()
+      .map(x => ((x.getAs[Long]("doc_a"), x.getAs[Long]("doc_b")),
+        (x.getAs[Int]("n_shared"), x.getAs[Double]("jaccard")))).toMap
+    assert(pairs.keySet == Set((1L, 2L)), s"got ${pairs.keySet}")
+    val (nShared, jac) = pairs((1L, 2L))
+    assert(nShared >= PretrainOps.CdcMinSharedChunks)
+    assert(jac > 0.3 && jac <= 1.0) // most chunks survive a 7-token prefix edit
+  }
 }
