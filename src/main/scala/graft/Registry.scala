@@ -1519,6 +1519,16 @@ object Registry {
     GraftQuery("x_text_unigram_nll", (s, d) => TextOps.unigramNll(s, d), None),
     GraftQuery("x_text_unigram_nll_gate", TextOps.unigramNllGate, Some(
       """SELECT count(*) AS n_docs, true AS passes FROM documents""")),
+    // bigram interpolated-LM perplexity (ln → rows-only); its gate
+    // value-checks the exact integer side: corpus-wide Σ(n_tokens − 1)
+    // must equal the engine's summed bigram counts, plus bounds
+    GraftQuery("x_text_bigram_nll", TextOps.bigramNll, None),
+    GraftQuery("x_text_bigram_nll_gate", TextOps.bigramNllGate, Some(
+      """SELECT count(*) AS n_docs,
+        |       CAST(sum(CASE WHEN len(string_split(text, ' ')) >= 2
+        |                     THEN len(string_split(text, ' ')) - 1 ELSE 0 END) AS BIGINT) AS total_bigrams,
+        |       true AS passes
+        |FROM documents""".stripMargin)),
     // deflate-compressibility quality band (zlib engine-internal →
     // rows-only; ordering + determinism contracts spec-pinned)
     GraftQuery("x_text_compress", TextOps.compressionRatio, None),

@@ -433,6 +433,86 @@ object TextOps {
       .select(col("n_docs"), (col("bad") === 0L).as("passes"))
   }
 
+  /** Bigram interpolated-LM quality score — the next model size up from
+    * [[unigramNll]] and the closest in-engine analogue of the KenLM
+    * perplexity filter (CCNet): per document, the mean negative log of
+    * p(wᵢ | wᵢ₋₁) = ½·c(wᵢ₋₁wᵢ)/c(wᵢ₋₁·) + ½·p_uni(wᵢ)
+    * (Jelinek-Mercer interpolation, λ = ½) over the doc's n−1 bigrams.
+    * The context count c(wᵢ₋₁·) is the bigram-table row sum — the model
+    * is self-consistent by construction, and since the corpus contains
+    * the doc, every bigram has c ≥ 1: no zero probabilities even
+    * without the interpolation floor. Repetitive/templated text scores
+    * LOW (its transitions are corpus-typical), shuffled word soup
+    * scores HIGH even when its unigrams are common — the signal the
+    * unigram model cannot see (spec-pinned).
+    *
+    * Plan: one bigram explode → (doc, prev, cur) count is the only
+    * corpus-sized shuffle; the corpus bigram table and context sums
+    * derive from it by keyed reaggregation (no second scan), and
+    * scoring joins them back BY KEY — bigram vocabularies grow too fast
+    * to broadcast at web scale, so unlike the capped unigram broadcast
+    * this is a co-partitioned shuffle join on (prev, cur)/(prev), which
+    * AQE plans from the already-partitioned aggregates. The unigram
+    * interpolant reuses [[termTf]]'s aggregate; only the 1-row totals
+    * cross the driver. ln is libm-dependent → rows-only; the gate
+    * value-checks the exact integer side (coverage + Σ bigram counts)
+    * and bounds. */
+  def bigramNll(spark: SparkSession, dir: String): DataFrame = {
+    // lowercased to match [[tokenStream]] — the unigram interpolant and
+    // the bigram table must share one token definition
+    val toks = Tables.parallel(spark, dir, "documents")
+      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+    val bi = toks.filter(size(col("t")) >= 2)
+      .select(col("doc_id"),
+        explode(arrays_zip(
+          slice(col("t"), lit(1), size(col("t")) - 1).as("prev"),
+          slice(col("t"), lit(2), size(col("t")) - 1).as("cur"))).as("b"))
+      .select(col("doc_id"), col("b.prev").as("prev"), col("b.cur").as("cur"))
+    val dtf = bi.groupBy(col("doc_id"), col("prev"), col("cur"))
+      .agg(count(lit(1)).as("dtf"))
+    val cb = dtf.groupBy(col("prev"), col("cur")).agg(sum(col("dtf")).as("cb"))
+    val cctx = cb.groupBy(col("prev")).agg(sum(col("cb")).as("cctx"))
+    val cf = termTf(spark, dir).groupBy(col("term")).agg(sum(col("tf")).as("cf"))
+    val totals = cf.agg(sum(col("cf")).as("n_total"))
+    dtf
+      .join(cb, Seq("prev", "cur"))
+      .join(cctx, Seq("prev"))
+      .join(cf.withColumnRenamed("term", "cur"), Seq("cur"))
+      .crossJoin(broadcast(totals))
+      .groupBy(col("doc_id"))
+      .agg(
+        (sum(col("dtf") * -log(
+          lit(0.5) * col("cb").cast(DoubleType) / col("cctx") +
+            lit(0.5) * col("cf").cast(DoubleType) / col("n_total"))) /
+          sum(col("dtf"))).as("nll"),
+        sum(col("dtf")).cast(IntegerType).as("n_bigrams"))
+      .orderBy("doc_id")
+  }
+
+  /** Bigram-NLL gate: exact-integer reconciliation + bounds. Every doc
+    * with ≥ 2 tokens scores; its n_bigrams is EXACTLY n_tokens − 1
+    * (DuckDB recomputes the corpus-wide sum — a chunking/zip bug cannot
+    * hide); single-token docs score null; values finite in
+    * [0, NllCeiling]. Same no-bitwise-clause rationale as
+    * [[unigramNllGate]]: the per-doc double sum is order-sensitive in
+    * its last ulp. */
+  def bigramNllGate(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), size(split(col("text"), " ")).as("n_toks"))
+    docs.join(bigramNll(spark, dir), Seq("doc_id"), "left")
+      .agg(
+        count(lit(1)).as("n_docs"),
+        sum(coalesce(col("n_bigrams").cast(LongType), lit(0L))).as("total_bigrams"),
+        sum(when(
+          (col("n_toks") >= 2 && (col("nll").isNull || isnan(col("nll")) ||
+            col("nll") < 0 || col("nll") > NllCeiling ||
+            col("n_bigrams") =!= col("n_toks") - 1)) ||
+            (col("n_toks") < 2 && col("nll").isNotNull), 1L)
+          .otherwise(0L)).as("bad"))
+      .select(col("n_docs"), col("total_bigrams"),
+        (col("bad") === 0L).as("passes"))
+  }
+
   // ------------------------------------------------------------------
   // Hashed linear quality classifier (fastText/CCNet inference shape)
   // ------------------------------------------------------------------

@@ -705,6 +705,59 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.values.forall(v => v > 0 && !v.isInfinite && !v.isNaN))
   }
 
+  test("bigram NLL: hand-computed on a micro corpus; single-token docs don't score") {
+    import spark.implicits._
+    val dir = tempDir("bigram_micro")
+    // corpus = {"a b a", "z"}: bigrams (a,b) and (b,a) once each,
+    // contexts c(a·)=c(b·)=1, unigrams a:2 b:1 z:1, total 4
+    Seq((1L, "a b a", "en", "s", 5L), (2L, "z", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.bigramNll(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getAs[Double]("nll"), r.getAs[Int]("n_bigrams"))).toMap
+    assert(got.keySet == Set(1L), "the 1-token doc must not score")
+    val pBA = 0.5 * 1 / 1 + 0.5 * (1.0 / 4) // p(b|a): cb/cctx=1, cf(b)/N=1/4
+    val pAB = 0.5 * 1 / 1 + 0.5 * (2.0 / 4) // p(a|b): cf(a)/N=2/4
+    val want = -(math.log(pBA) + math.log(pAB)) / 2
+    assert(got(1L)._2 == 2)
+    assert(math.abs(got(1L)._1 - want) < 1e-9, s"got ${got(1L)._1} want $want")
+  }
+
+  test("bigram NLL: separates transition order where the unigram model cannot") {
+    import spark.implicits._
+    val dir = tempDir("bigram_docs")
+    // docs 1 and 2 have IDENTICAL unigram counts (4×a, 4×b) but doc 1
+    // follows the corpus-dominant alternating transition pattern while
+    // doc 2's a→a / b→b transitions are corpus-rare
+    val docs = Seq(
+      (1L, "a b a b a b a b", "en", "s0", 15L),
+      (2L, "a a b b a a b b", "en", "s0", 15L)) ++
+      (10L to 39L).map(i => (i, "a b a b a b", "en", "s1", 11L))
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val bi = TextOps.bigramNll(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("nll")).toMap
+    val uni = TextOps.unigramNll(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getAs[Double]("nll")).toMap
+    // unigram LM is blind to order: identical multiset, identical score
+    assert(math.abs(uni(1L) - uni(2L)) < 1e-9)
+    // bigram LM sees it: rare transitions cost
+    assert(bi(1L) < bi(2L), s"${bi(1L)} !< ${bi(2L)}")
+    assert(bi.values.forall(v => v > 0 && !v.isInfinite && !v.isNaN))
+  }
+
+  test("bigram NLL gate: passes with exact bigram-count reconciliation on real data") {
+    val g = TextOps.bigramNllGate(spark, Sf0001).collect()(0)
+    assert(g.getAs[Boolean]("passes"))
+    // cross-check the reconciled total independently
+    val want = Tables(spark, Sf0001, "documents")
+      .select(org.apache.spark.sql.functions.size(
+        org.apache.spark.sql.functions.split(
+          org.apache.spark.sql.functions.col("text"), " ")).as("n"))
+      .collect().map(r => math.max(r.getInt(0) - 1, 0).toLong).sum
+    assert(g.getAs[Long]("total_bigrams") == want)
+  }
+
   test("unigram NLL: vocab cap folds the tail into a finite OOV bucket, in-vocab scores unchanged") {
     import spark.implicits._
     val dir = tempDir("unigram_cap_docs")
