@@ -1184,6 +1184,28 @@ object Registry {
       |       CAST(n_hit_total AS DOUBLE) / (n_queries * 10) AS micro_precision
       |FROM s""".stripMargin
 
+  /** Nearest-class-centroid CTE chain (through `ca` = per-vector
+    * vec_id, true label, pred, dist): scaled-int64 view, floor-div
+    * class means, integer squared distances, argmin ties to the lowest
+    * label — mirrors EmbedOps.centroidClassify step for step. Shared by
+    * the assignment dump and the confusion-matrix oracle. */
+  private def classifyCtes: String =
+    """cu AS (SELECT vec_id, label, pos,
+      |         CAST(floor(CAST(x AS DOUBLE) * 100000) AS BIGINT) AS val
+      |       FROM (SELECT vec_id, label, unnest(embedding) AS x,
+      |                    unnest(generate_series(0, len(embedding) - 1)) AS pos
+      |             FROM embeddings)),
+      |cc AS (SELECT label AS clabel, pos,
+      |         CAST(floor(CAST(sum(val) AS DOUBLE) / count(*)) AS BIGINT) AS cval
+      |       FROM cu GROUP BY label, pos),
+      |cd AS (SELECT u.vec_id, u.label, c.clabel,
+      |         sum((u.val - c.cval) * (u.val - c.cval)) AS d
+      |       FROM cu u JOIN cc c USING (pos) GROUP BY u.vec_id, u.label, c.clabel),
+      |ca AS (SELECT vec_id, label, clabel AS pred, CAST(d AS BIGINT) AS dist FROM
+      |        (SELECT vec_id, label, clabel, d,
+      |                row_number() OVER (PARTITION BY vec_id ORDER BY d, clabel) AS rn
+      |         FROM cd) WHERE rn = 1)""".stripMargin
+
   /** Content-defined chunking CTE chain (through `s` = per-chunk doc_id,
     * token array `t`, boundary list `ends`, chunk ordinal `j`, start
     * `sp`) — mirrors PretrainOps.cdcChunks' gear rule (boundary after
@@ -1906,6 +1928,17 @@ object Registry {
         |         / count(*) / 1000000 AS centroid
         |FROM e GROUP BY label, dim
         |ORDER BY label, dim""".stripMargin)),
+    // nearest-class-centroid classification (Rocchio "domain tagger"):
+    // floor-div scaled-int centroids per label, integer-exact argmin
+    // assignment, and its confusion surface — both value-oracled via the
+    // same CTE chain
+    GraftQuery("x_embed_centroid_classify", EmbedOps.centroidClassify, Some(
+      s"""WITH $classifyCtes
+        |SELECT vec_id, label, pred, dist FROM ca ORDER BY vec_id""".stripMargin)),
+    GraftQuery("x_eval_confusion", EmbedOps.confusionMatrix, Some(
+      s"""WITH $classifyCtes
+        |SELECT label, pred, CAST(count(*) AS BIGINT) AS n
+        |FROM ca GROUP BY label, pred ORDER BY label, pred""".stripMargin)),
     // ANN accuracy inside CORRECTNESS: raw recall telemetry (rows-only —
     // DuckDB cannot rerun the LSH side) + a value-checked floor gate (the
     // oracle expects passes=true, so a recall collapse goes red per-round)

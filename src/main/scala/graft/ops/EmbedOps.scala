@@ -180,4 +180,75 @@ object EmbedOps {
     import spark.implicits._
     Seq((m(0), passes)).toDF("n_vecs", "passes")
   }
+
+  // ----------------------------------------------- nearest-centroid classify
+
+  /** (vec_id, label, v: array<long>) — the scaled-int64 labeled view
+    * (the [[graft.ops.KmeansOps]] currency: float widens exactly to
+    * double, ×[[Scale]], floor to int64). */
+  private def scaledLabeled(spark: SparkSession, dir: String): DataFrame =
+    Tables.parallel(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"),
+          x => floor(x.cast(DoubleType) * Scale).cast(LongType)).as("v"))
+
+  /** One centroid per LABEL: integer floor-div means over the scaled
+    * view — the supervised sibling of the k-means update, collected as
+    * bounded driver state (|labels|·64 longs at any corpus size). */
+  private def classCentroids(spark: SparkSession, dir: String): Seq[(Int, Array[Long])] = {
+    val rows = scaledLabeled(spark, dir)
+      .select(col("label"), posexplode(col("v")).as(Seq("pos", "val")))
+      .groupBy(col("label"), col("pos"))
+      .agg(sum(col("val")).as("s"), count(lit(1)).as("n"))
+      .collect()
+    require(rows.nonEmpty, "embeddings table is empty")
+    val dims = rows.map(_.getInt(1)).max + 1
+    rows.groupBy(_.getInt(0)).toSeq.sortBy(_._1).map { case (lbl, rs) =>
+      val arr = new Array[Long](dims)
+      // floor-div in double: |s| ≤ n·Scale·|x|max ≪ 2^53, exactly
+      // representable — the engine-identical integral mean
+      rs.foreach(r => arr(r.getInt(1)) =
+        math.floor(r.getLong(2).toDouble / r.getLong(3)).toLong)
+      (lbl, arr)
+    }
+  }
+
+  /** Nearest-class-centroid classification — the cheapest supervised
+    * "domain tagger" a curation pipeline runs when a labeled slice
+    * exists (Rocchio/NCC): train one centroid per label, assign every
+    * vector to its nearest class mean, integer-exact end to end
+    * (squared scaled-int distances, argmin ties to the lowest label —
+    * the `least`-over-structs kernel shared with [[KmeansOps]]).
+    *
+    * Scale shape: training is one keyed (label, dim) aggregate with
+    * map-side combine (reduce side ≤ |labels|·dims rows at any corpus
+    * size); inference is a PURE MAP — the centroid table rides into the
+    * closure (production broadcasts), each row computes |labels|
+    * distances and an argmin in one codegen'd projection. No shuffle,
+    * no join anywhere in the inference path. */
+  def centroidClassify(spark: SparkSession, dir: String): DataFrame = {
+    val cents = classCentroids(spark, dir)
+    val best = least(cents.map { case (lbl, cvec) =>
+      struct(
+        aggregate(
+          zip_with(col("v"), array(cvec.toIndexedSeq.map(lit(_)): _*),
+            (a, b) => (a - b) * (a - b)),
+          lit(0L), (acc, x) => acc + x).as("d"),
+        lit(lbl).as("lbl"))
+    }: _*)
+    scaledLabeled(spark, dir).withColumn("best", best)
+      .select(col("vec_id"), col("label"),
+        col("best.lbl").as("pred"), col("best.d").as("dist"))
+      .orderBy("vec_id")
+  }
+
+  /** The (label, pred) confusion surface of [[centroidClassify]] — the
+    * evaluation artifact the tagger ships with: diagonal mass is
+    * self-consistency, off-diagonal cells say which domains the
+    * embedding geometry conflates. One |labels|²-bounded aggregate. */
+  def confusionMatrix(spark: SparkSession, dir: String): DataFrame =
+    centroidClassify(spark, dir)
+      .groupBy(col("label"), col("pred"))
+      .agg(count(lit(1)).as("n"))
+      .orderBy("label", "pred")
 }

@@ -95,4 +95,39 @@ class EmbedOpsSpec extends SparkSpec {
     assert(r.getAs[Boolean]("passes"))
     assert(r.getAs[Long]("n_vecs") == 500L)
   }
+
+  test("centroid classify: separable planted classes recover perfectly") {
+    import spark.implicits._
+    val dir = tempDir("ncc_emb")
+    val rnd = new scala.util.Random(3)
+    // label 0 lives near +e1, label 1 near -e1 — tight noise, wide margin
+    val vecs = (0L until 40L).map { id =>
+      val lbl = (id % 2).toInt
+      val base = if (lbl == 0) 1.0f else -1.0f
+      val v = Array.tabulate(64)(d =>
+        (if (d == 0) base else 0.0f) + (rnd.nextFloat() - 0.5f) * 0.02f)
+      (id, v, lbl)
+    }.toDF("vec_id", "embedding", "label")
+    vecs.write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = EmbedOps.centroidClassify(spark, dir).collect()
+    assert(got.length == 40)
+    got.foreach(r => assert(r.getAs[Int]("pred") == r.getAs[Int]("label"),
+      s"vec ${r.getAs[Long]("vec_id")} misclassified"))
+    val cm = EmbedOps.confusionMatrix(spark, dir).collect()
+      .map(r => ((r.getAs[Int]("label"), r.getAs[Int]("pred")), r.getAs[Long]("n"))).toMap
+    assert(cm == Map((0, 0) -> 20L, (1, 1) -> 20L))
+  }
+
+  test("centroid classify: confusion row sums reconcile with label counts on real data") {
+    val cm = EmbedOps.confusionMatrix(spark, Sf0001).collect()
+    val rowSums = cm.groupBy(_.getAs[Int]("label"))
+      .map { case (l, rs) => l -> rs.map(_.getAs[Long]("n")).sum }
+    val want = Tables(spark, Sf0001, "embeddings").groupBy(col("label")).count()
+      .collect().map(r => r.getAs[Int]("label") -> r.getAs[Long]("count")).toMap
+    assert(rowSums == want)
+    // distances are non-negative and the assignment is total
+    val asg = EmbedOps.centroidClassify(spark, Sf0001).collect()
+    assert(asg.length == want.values.sum)
+    assert(asg.forall(_.getAs[Long]("dist") >= 0L))
+  }
 }
