@@ -41,6 +41,9 @@ object Bench {
     // and the PQ index: x_sim_topk_pq_indexed measures ADC probing, not
     // codebook training (paid once at build time)
     warmup("pq_index")(graft.ops.PqOps.ensurePqIndex(spark, sfDir))
+    // and the binary-code index: x_sim_topk_hamming_indexed measures the
+    // 8-byte-per-vector probe scan, not the sign-packing pass
+    warmup("bin_index")(graft.ops.SimilarityOps.ensureBinaryIndex(spark, sfDir))
     // and the co-bucketed join twins: j11_bucket_join measures the
     // shuffle-free recurring join, not the one-time bucketed write
     warmup("bucketed_tables")(graft.ops.JoinOps.ensureBucketedTables(spark, sfDir))

@@ -1061,6 +1061,16 @@ object Registry {
       |       FROM bq, bc)
       |""".stripMargin
 
+  /** The Hamming top-10 ranking over [[binaryCtes]] — shared by the
+    * inline and the index-served forms so their agreement is a hash
+    * equality against ONE oracle. */
+  private val binaryTopkSql: String =
+    "WITH " + binaryCtes +
+      """SELECT q_id, CAST(rn AS INTEGER) AS rank, neighbor_id, hamming FROM
+        | (SELECT q_id, neighbor_id, hamming,
+        |         row_number() OVER (PARTITION BY q_id ORDER BY hamming, neighbor_id) AS rn
+        |  FROM bs) WHERE rn <= 10 ORDER BY q_id, rank""".stripMargin
+
   /** BM25 scoring CTE chain (through the per-(query, doc) integer score
     * `sc`) — shared by the three BM25 oracle forms AND the RRF hybrid
     * oracle, one definition so the scoring SQL cannot drift between
@@ -2023,13 +2033,14 @@ object Registry {
     // gate pins its accuracy vs the full-precision anchor on top
     GraftQuery("x_embed_quantize_binary", SimilarityOps.quantizeBinary, Some(
       "WITH " + binaryCtes + "SELECT vec_id, lo, hi FROM bc ORDER BY vec_id")),
-    GraftQuery("x_sim_topk_hamming", SimilarityOps.topkHamming, Some(
-      "WITH " + binaryCtes +
-        """SELECT q_id, CAST(rn AS INTEGER) AS rank, neighbor_id, hamming FROM
-          | (SELECT q_id, neighbor_id, hamming,
-          |         row_number() OVER (PARTITION BY q_id ORDER BY hamming, neighbor_id) AS rn
-          |  FROM bs) WHERE rn <= 10 ORDER BY q_id, rank""".stripMargin),
-      headline = true),
+    GraftQuery("x_sim_topk_hamming", SimilarityOps.topkHamming,
+      Some(binaryTopkSql), headline = true),
+    // the write-once/probe-many twin serves off the materialized 8-byte
+    // code table — SAME oracle, so "pack-inline and probe-from-index
+    // agree" is a hash equality; headline so the probe regime's cost
+    // (what a binary-quantized tier pays per workload) is measured
+    GraftQuery("x_sim_topk_hamming_indexed", SimilarityOps.topkHammingIndexed,
+      Some(binaryTopkSql), headline = true),
     GraftQuery("x_sim_topk_binary_rerank", SimilarityOps.topkBinaryRerank, Some(
       "WITH " + binaryCtes +
         """, bshort AS (SELECT q_id, neighbor_id FROM

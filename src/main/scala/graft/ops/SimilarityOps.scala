@@ -624,10 +624,11 @@ object SimilarityOps {
   def quantizeBinary(spark: SparkSession, dir: String): DataFrame =
     signCodes(spark, dir).orderBy("vec_id")
 
-  /** (q_id, neighbor_id, hamming) over the packed codes: queries
-    * broadcast, ONE narrow corpus pass, two xor+popcount per pair. */
-  private def hammingScored(spark: SparkSession, dir: String): DataFrame = {
-    val codes = signCodes(spark, dir)
+  /** (q_id, neighbor_id, hamming) over a packed (vec_id, lo, hi) code
+    * table: queries broadcast, ONE narrow pass, two xor+popcount per
+    * pair. Shared by the inline path (codes computed in the same plan)
+    * and the indexed path (codes read from the materialized parquet). */
+  private def hammingScoredOver(codes: DataFrame): DataFrame = {
     val queries = codes.filter(col("vec_id") < NumQueries)
       .select(col("vec_id").as("q_id"), col("lo").as("q_lo"), col("hi").as("q_hi"))
     codes.join(broadcast(queries))
@@ -636,6 +637,9 @@ object SimilarityOps {
           bit_count(col("hi").bitwiseXOR(col("q_hi")))).cast(IntegerType).as("hamming"))
   }
 
+  private def hammingScored(spark: SparkSession, dir: String): DataFrame =
+    hammingScoredOver(signCodes(spark, dir))
+
   /** Exact top-k by Hamming distance over the binary codes — the
     * first-stage ranking a binary-quantized store serves directly.
     * Distances are integers in [0, 64], so the ranking (hamming asc,
@@ -643,9 +647,12 @@ object SimilarityOps {
     * distances — is a cross-engine value equality, not a recall claim.
     * Ranks through the map-side bounded aggregator: the negated distance
     * is exact in double, so (cos desc, id asc) ≡ (hamming asc, id asc). */
-  def topkHamming(spark: SparkSession, dir: String): DataFrame = {
+  def topkHamming(spark: SparkSession, dir: String): DataFrame =
+    rankHamming(hammingScored(spark, dir))
+
+  private def rankHamming(scored: DataFrame): DataFrame = {
     val topk = udaf(graft.functions.TopKPairsAggregator(K))
-    hammingScored(spark, dir)
+    scored
       .select(col("q_id"), col("neighbor_id"),
         (-col("hamming")).cast(DoubleType).as("cos"))
       .groupBy(col("q_id"))
@@ -656,6 +663,35 @@ object SimilarityOps {
         (-col("p.cos")).cast(IntegerType).as("hamming"))
       .orderBy("q_id", "rank")
   }
+
+  /** Stamped location of the materialized binary-code index (the shared
+    * (size, mtime) rule — a regenerated store can never serve stale
+    * codes). */
+  def binaryIndexDirFor(dir: String): String =
+    stampedIndexDir("graft_bin_index_v1_", dir, "embeddings.parquet")
+
+  /** Persist the packed sign words once: 8 B/vector, the artifact a
+    * binary-quantized store serves first-stage retrieval from. */
+  def buildBinaryIndex(spark: SparkSession, dir: String, idx: String): Unit =
+    signCodes(spark, dir).write.mode("overwrite").parquet(idx)
+
+  /** Build the binary-code index iff absent; returns its location. */
+  def ensureBinaryIndex(spark: SparkSession, dir: String): String = {
+    val idx = binaryIndexDirFor(dir)
+    if (!new java.io.File(idx, "_SUCCESS").exists()) buildBinaryIndex(spark, dir, idx)
+    idx
+  }
+
+  /** Hamming top-k served OFF the materialized code index — same rows
+    * (and same oracle) as [[topkHamming]], but the packing pass is paid
+    * once at build time and the probe scans a 3-column 8-byte-per-vector
+    * table instead of re-deriving codes from the 256-byte vectors: the
+    * number a binary-quantized serving tier actually pays per query
+    * workload, and the regime where the 32× compression shows up as scan
+    * time. Bench pre-builds the index untimed (the kNN/lex/PQ pattern). */
+  def topkHammingIndexed(spark: SparkSession, dir: String): DataFrame =
+    rankHamming(hammingScoredOver(
+      spark.read.parquet(ensureBinaryIndex(spark, dir))))
 
   /** Hamming shortlist size for the rerank path: 64 candidates per query
     * feed the exact top-10 — the standard two-stage serving ratio (probe

@@ -192,6 +192,14 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(ham.sorted.sameElements(brute.sorted))
   }
 
+  test("binary index probe: identical rows to the inline form") {
+    val idx = SimilarityOps.binaryIndexDirFor(Sf0001)
+    val inline = SimilarityOps.topkHamming(spark, Sf0001).collect().toSeq
+    val probed = SimilarityOps.topkHammingIndexed(spark, Sf0001).collect().toSeq
+    assert(probed == inline)
+    assert(new java.io.File(idx, "_SUCCESS").exists())
+  }
+
   test("binary rerank: recall clears the gate floor on real data") {
     val gate = SimilarityOps.binaryRecallGate(spark, Sf0001).collect()(0)
     assert(gate.getAs[Int]("n_exact") == 100)
