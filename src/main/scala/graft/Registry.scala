@@ -1853,6 +1853,39 @@ object Registry {
         |                   + 85 * coalesce(c3.s, 0) // 100 AS BIGINT) AS rank
         |       FROM r2 CROSS JOIN ns LEFT JOIN c3 ON c3.dst = r2.node)
         |SELECT node, rank FROM r3 ORDER BY node""".stripMargin)),
+    // HITS on the directed (un-symmetrized) half of the purchase graph:
+    // hubs = suppliers, authorities = customers; integer mean
+    // normalization per half-step (x // max(Σx // 1e9, 1)) keeps every
+    // score an exact int64, so two unrolled rounds hash-match
+    GraftQuery("x_graph_hits", GraphOps.hits, Some(
+      """WITH e0 AS (SELECT DISTINCT l_suppkey*2 AS src, o_custkey*2+1 AS dst
+        |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |h0 AS (SELECT DISTINCT src AS node, CAST(1000000000 AS BIGINT) AS h FROM e0),
+        |a1 AS (SELECT e0.dst AS node, sum(h0.h) AS a
+        |       FROM e0 JOIN h0 ON e0.src = h0.node GROUP BY e0.dst),
+        |at1 AS (SELECT sum(a) AS t FROM a1),
+        |a1n AS (SELECT node, a // greatest(t // 1000000000, 1) AS a
+        |        FROM a1 CROSS JOIN at1),
+        |h1 AS (SELECT e0.src AS node, sum(a1n.a) AS h
+        |       FROM e0 JOIN a1n ON e0.dst = a1n.node GROUP BY e0.src),
+        |ht1 AS (SELECT sum(h) AS t FROM h1),
+        |h1n AS (SELECT node, h // greatest(t // 1000000000, 1) AS h
+        |        FROM h1 CROSS JOIN ht1),
+        |a2 AS (SELECT e0.dst AS node, sum(h1n.h) AS a
+        |       FROM e0 JOIN h1n ON e0.src = h1n.node GROUP BY e0.dst),
+        |at2 AS (SELECT sum(a) AS t FROM a2),
+        |a2n AS (SELECT node, a // greatest(t // 1000000000, 1) AS a
+        |        FROM a2 CROSS JOIN at2),
+        |h2 AS (SELECT e0.src AS node, sum(a2n.a) AS h
+        |       FROM e0 JOIN a2n ON e0.dst = a2n.node GROUP BY e0.src),
+        |ht2 AS (SELECT sum(h) AS t FROM h2),
+        |h2n AS (SELECT node, h // greatest(t // 1000000000, 1) AS h
+        |        FROM h2 CROSS JOIN ht2)
+        |SELECT node, role, score FROM (
+        |  SELECT node, 'hub' AS role, CAST(h AS BIGINT) AS score FROM h2n
+        |  UNION ALL
+        |  SELECT node, 'authority' AS role, CAST(a AS BIGINT) AS score FROM a2n)
+        |ORDER BY node""".stripMargin)),
     // per-part triangle participation over the thresholded co-purchase
     // graph: Spark enumerates via degree-ordered orientation (wedge work
     // bounded by degeneracy), the oracle by id order — the triangle SET

@@ -260,6 +260,71 @@ object GraphOps {
     */
   val TriMinSupport = 2L
 
+  // ------------------------------------------------------------------
+  // HITS hubs & authorities over the DIRECTED purchase graph
+  // ------------------------------------------------------------------
+
+  /** HITS score currency (1e9: small enough that a round's un-normalized
+    * authority sum deg·1e9 stays inside int64 to out-degrees of ~9e9 —
+    * far beyond any real graph's hub). */
+  val HitsScale = 1000000000L
+
+  /** Full (authority, hub) update rounds. */
+  val HitsIters = 2
+
+  /** Kleinberg HITS on the directed supplier→customer edge set (the
+    * UN-symmetrized half of the PageRank graph, so hubs are suppliers
+    * and authorities are customers — the bipartite reading is exact):
+    * auth(v) = Σ_{u→v} hub(u), hub(u) = Σ_{u→v} auth(v), with an
+    * integer MEAN normalization after each half-step — score // (Σ //
+    * HitsScale) — instead of the classical L2 norm: L2 needs a sqrt no
+    * integer currency survives, while the mean-divisor keeps every
+    * value an exact int64 both engines floor identically, and
+    * normalization only rescales (ranking is unchanged — what HITS
+    * normalization exists for). All sums are order-independent ⇒ the
+    * unrolled DuckDB CTE reproduces both score vectors bit-for-bit.
+    *
+    * Scale shape per half-step: one keyed join (edges ⋈ scores — same
+    * key pattern as the PageRank iteration, AQE reuses exchanges) and
+    * one map-side-combined sum; the normalizer is a 1-row aggregate
+    * broadcast back (never a driver round-trip). The edge list persists
+    * for the loop like PageRank's. */
+  def hits(spark: SparkSession, dir: String): DataFrame = {
+    val li = Tables(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val edges = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") * 2).as("src"), (col("o_custkey") * 2 + 1).as("dst"))
+      .distinct()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // integer mean normalization: x // max(Σx // HitsScale, 1)
+    def normalize(scores: DataFrame, c: String): DataFrame = {
+      val tot = scores.agg(sum(col(c)).as("t"))
+      scores.crossJoin(broadcast(tot))
+        .select(col("node"),
+          expr(s"$c div greatest(t div $HitsScale, 1L)").as(c))
+    }
+    var hubs = edges.select(col("src").as("node")).distinct()
+      .select(col("node"), lit(HitsScale).as("h"))
+    var auths: DataFrame = null
+    for (_ <- 1 to HitsIters) {
+      auths = normalize(
+        edges.join(hubs, col("src") === col("node"))
+          .groupBy(col("dst")).agg(sum(col("h")).as("a"))
+          .select(col("dst").as("node"), col("a")), "a")
+      hubs = normalize(
+        edges.join(auths, col("dst") === col("node"))
+          .groupBy(col("src")).agg(sum(col("a")).as("h"))
+          .select(col("src").as("node"), col("h")), "h")
+    }
+    // edges stays cached for the session (the pageRank/ClusterOps
+    // convention): the returned plan is lazy and re-reads it once per
+    // half-step when the consumer finally executes
+    hubs.select(col("node"), lit("hub").as("role"), col("h").as("score"))
+      .unionAll(auths.select(col("node"), lit("authority").as("role"),
+        col("a").as("score")))
+      .orderBy("node")
+  }
+
   def triangleCounts(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey")).distinct()

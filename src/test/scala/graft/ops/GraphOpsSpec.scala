@@ -145,6 +145,40 @@ class GraphOpsSpec extends SparkSpec {
     assert(total > 0L)
   }
 
+  test("hits: a supplier covering every customer is the top hub; roles partition by parity") {
+    import spark.implicits._
+    val fix = tempDir("hits_fix")
+    // supplier 1 sells to all 6 customers; suppliers 2..4 to one each
+    val li = (1L to 6L).map(c => (c, 1L)) ++ Seq((1L, 2L), (2L, 3L), (3L, 4L))
+    val ord = (1L to 6L).map(o => (o, o)) // order o belongs to customer o
+    li.toDF("l_orderkey", "l_suppkey")
+      .write.mode("overwrite").parquet(s"$fix/lineitem.parquet")
+    ord.toDF("o_orderkey", "o_custkey")
+      .write.mode("overwrite").parquet(s"$fix/orders.parquet")
+    val rows = GraphOps.hits(spark, fix).collect()
+      .map(r => (r.getLong(0), r.getString(1), r.getLong(2)))
+    val hubs = rows.filter(_._2 == "hub")
+    val auths = rows.filter(_._2 == "authority")
+    // bipartite reading is exact: hubs even (suppliers), auths odd
+    assert(hubs.nonEmpty && hubs.forall(_._1 % 2 == 0))
+    assert(auths.nonEmpty && auths.forall(_._1 % 2 == 1))
+    // the all-customer supplier (node 2) strictly dominates every other hub
+    val top = hubs.maxBy(_._3)
+    assert(top._1 == 2L, s"top hub ${top._1}")
+    assert(hubs.filter(_._1 != 2L).forall(_._3 < top._3))
+    // two-supplier customers (1,2,3 → nodes 3,5,7) tie as top
+    // authorities by symmetry; single-supplier customers rank strictly
+    // below them
+    val aScore = auths.map(r => r._1 -> r._3).toMap
+    val twoSupp = Seq(3L, 5L, 7L).map(aScore)
+    val oneSupp = Seq(9L, 11L, 13L).map(aScore)
+    assert(twoSupp.distinct.size == 1)
+    assert(oneSupp.forall(_ < twoSupp.head))
+    // determinism
+    assert(GraphOps.hits(spark, fix).collect().toSeq ==
+      GraphOps.hits(spark, fix).collect().toSeq)
+  }
+
   test("triangles: planted triangle counted once per vertex, 4-cycle and weak edges excluded") {
     import spark.implicits._
     // orders as baskets; an edge needs co-purchase support >= 2:
