@@ -466,9 +466,15 @@ object PretrainOps {
   def cdcNearDupPairs(spark: SparkSession, dir: String): DataFrame = {
     val chunks = cdcChunks(spark, dir).select(col("doc_id"), col("digest")).distinct()
     val freq = chunks.groupBy(col("digest")).agg(count(lit(1)).as("n_docs"))
+    // three consumers (a-side, b-side, per-doc counts) would otherwise
+    // re-derive the whole chunking chain three times; an EAGER local
+    // checkpoint materializes the small (doc, digest) table once and its
+    // blocks are GC-managed — no per-invocation cache leak (the
+    // assembleGate lesson)
     val kept = chunks
       .join(freq.filter(col("n_docs") <= CdcMaxDocsPerDigest), Seq("digest"))
       .select(col("doc_id"), col("digest"))
+      .localCheckpoint()
     val counts = kept.groupBy(col("doc_id")).agg(count(lit(1)).as("n_chunks"))
     kept.as("a")
       .join(kept.as("b"),
