@@ -266,6 +266,60 @@ object EventOps {
         col("hour_ts"), coalesce(col("c"), lit(0L)).as("x"))
   }
 
+  /** Seasonal period for [[holtWintersHourly]]: 24 hours — the daily
+    * cycle an hourly operational series carries. */
+  val HwPeriod = 24
+
+  /** Additive Holt-Winters (triple exponential smoothing) over the
+    * per-type hourly count series — the seasonal step up from
+    * [[holtSmooth]], with α = β = γ = ½ so every update is IEEE
+    * additions and EXACT halvings (the ewma/holt dyadic argument,
+    * extended to a 24-slot seasonal state):
+    * ℓ₀ = x₀, b₀ = 0, s[·] = 0;
+    * ℓₜ = ((xₜ − s[t mod 24]) + (ℓₜ₋₁ + bₜ₋₁))/2,
+    * bₜ = ((ℓₜ − ℓₜ₋₁) + bₜ₋₁)/2,
+    * s[t mod 24] ← ((xₜ − ℓₜ) + s[t mod 24])/2 (also applied at t = 0,
+    * where it is identically 0 — one uniform rule, no warm-up case).
+    * The DuckDB oracle replays the identical sequence with the seasonal
+    * vector carried as a LIST column through a recursive CTE → bit-equal
+    * doubles, hash-green.
+    *
+    * Scale shape: one exchange on event_type, then a sorted in-partition
+    * fold carrying (ℓ, b, s[24]) — constant state per series regardless
+    * of length; series count × 720 rows is the whole output. */
+  def holtWintersHourly(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val m = HwPeriod
+    val series = hourlySeries(spark, dir)
+      .select(col("event_type"), col("t").cast(IntegerType), col("x").cast(LongType))
+      .as[(String, Int, Long)]
+    series.repartition(col("event_type"))
+      .sortWithinPartitions(col("event_type"), col("t"))
+      .mapPartitions { it =>
+        var cur: String = null; var first = true
+        var l = 0.0; var b = 0.0
+        var seas: Array[Double] = Array.empty
+        it.map { case (et, t, xi) =>
+          val x = xi.toDouble
+          val j = ((t % m) + m) % m
+          if (first || et != cur) {
+            cur = et; first = false
+            l = x; b = 0.0; seas = Array.fill(m)(0.0)
+          } else {
+            val sOld = seas(j)
+            val lPrev = l
+            l = ((x - sOld) + (l + b)) / 2
+            b = ((l - lPrev) + b) / 2
+          }
+          val sNew = ((x - l) + seas(j)) / 2
+          seas(j) = sNew
+          (et, t, xi, l, b, sNew)
+        }
+      }
+      .toDF("event_type", "t", "x", "level", "trend", "seasonal")
+      .orderBy("event_type", "t")
+  }
+
   /** Max lag for [[acfHourly]]. */
   val AcfMaxLag = 3
 

@@ -271,4 +271,38 @@ class TimeSeriesOpsSpec extends SparkSpec {
       .agg(sum(col("n"))).collect()(0).getLong(0)
     assert(got == want)
   }
+
+  test("holt-winters: bit-equal to a driver-side replay of the recurrence") {
+    val rows = EventOps.holtWintersHourly(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getInt(1),
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+    val types = rows.map(_._1).distinct
+    assert(types.nonEmpty && rows.length == types.length * 720)
+    // independent replay: hourly counts from the raw events, then the
+    // exact fold — every level/trend/seasonal must match bit-for-bit
+    val counts = Tables(spark, Sf0001, "events")
+      .groupBy(col("event_type"),
+        ((unix_timestamp(date_trunc("hour", col("ts"))) -
+          unix_timestamp(lit("2024-01-01 00:00:00").cast("timestamp"))) / 3600)
+          .cast("int").as("t"))
+      .count().collect()
+      .map(r => (r.getString(0), r.getInt(1)) -> r.getLong(2)).toMap
+    types.foreach { et =>
+      var l = 0.0; var b = 0.0; val seas = Array.fill(24)(0.0)
+      val got = rows.filter(_._1 == et).sortBy(_._2)
+      got.foreach { case (_, t, (x, lv, tr, sn)) =>
+        assert(x == counts.getOrElse((et, t), 0L), s"count mismatch at ($et,$t)")
+        val xd = x.toDouble; val j = t % 24
+        if (t == 0) { l = xd; b = 0.0 }
+        else {
+          val lPrev = l
+          l = ((xd - seas(j)) + (l + b)) / 2
+          b = ((l - lPrev) + b) / 2
+        }
+        val sNew = ((xd - l) + seas(j)) / 2
+        seas(j) = sNew
+        assert(lv == l && tr == b && sn == sNew, s"state diverged at ($et,$t)")
+      }
+    }
+  }
 }
