@@ -650,8 +650,25 @@ object SimilarityOps {
   def topkHamming(spark: SparkSession, dir: String): DataFrame =
     rankHamming(hammingScored(spark, dir))
 
-  private def rankHamming(scored: DataFrame): DataFrame = {
-    val topk = udaf(graft.functions.TopKPairsAggregator(K))
+  /** Rank a (q_id, v: array<double>) query set against a packed
+    * (vec_id, lo, hi) code table: pack the batch (narrow — the same
+    * signWord expressions the index build ran), broadcast it, two
+    * xor+popcounts per pair, bounded top-k. The probe half of the
+    * binary serving path, shared by the batch indexed form's semantics
+    * and the streaming foreachBatch sink
+    * ([[graft.streaming.StreamingBinaryServe]]). */
+  def probeBinaryIndex(index: DataFrame, queries: DataFrame, k: Int = K): DataFrame = {
+    val qc = queries.select(col("q_id"),
+      signWord(col("v"), 0).as("q_lo"), signWord(col("v"), 32).as("q_hi"))
+    rankHamming(index.join(broadcast(qc))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        (bit_count(col("lo").bitwiseXOR(col("q_lo"))) +
+          bit_count(col("hi").bitwiseXOR(col("q_hi")))).cast(IntegerType).as("hamming")),
+      k)
+  }
+
+  private def rankHamming(scored: DataFrame, k: Int = K): DataFrame = {
+    val topk = udaf(graft.functions.TopKPairsAggregator(k))
     scored
       .select(col("q_id"), col("neighbor_id"),
         (-col("hamming")).cast(DoubleType).as("cos"))
