@@ -1340,12 +1340,16 @@ object Registry {
         |         CAST(x AS DOUBLE) AS level,
         |         CAST(0.0 AS DOUBLE) AS trend,
         |         CAST(0.0 AS DOUBLE) AS snew,
+        |         CAST(x AS DOUBLE) AS pred,
+        |         CAST(0.0 AS DOUBLE) AS resid,
         |         list_transform(generate_series(1, 24), i -> CAST(0.0 AS DOUBLE)) AS seas
         |  FROM hs WHERE t = 0
         |  UNION ALL
         |  SELECT event_type, t, x, lvl,
         |         ((lvl - plevel) + ptrend) / 2,
         |         ((x - lvl) + pseas) / 2,
+        |         (plevel + ptrend) + pseas,
+        |         x - ((plevel + ptrend) + pseas),
         |         seas0[1:j-1] || [((x - lvl) + pseas) / 2] || seas0[j+1:24]
         |  FROM (SELECT h.event_type, h.t, h.x,
         |               r.level AS plevel, r.trend AS ptrend, r.seas AS seas0,
@@ -1353,8 +1357,53 @@ object Registry {
         |               r.seas[(h.t % 24) + 1] AS pseas,
         |               ((h.x - r.seas[(h.t % 24) + 1]) + (r.level + r.trend)) / 2 AS lvl
         |        FROM hs h JOIN r ON h.event_type = r.event_type AND h.t = r.t + 1))
-        |SELECT event_type, t, CAST(x AS BIGINT) AS x, level, trend, snew AS seasonal
+        |SELECT event_type, t, CAST(x AS BIGINT) AS x, level, trend, snew AS seasonal,
+        |       pred, resid
         |FROM r ORDER BY event_type, t""".stripMargin)),
+    // forecast-based anomaly flags: |one-step-ahead residual| > 3σ from
+    // the exact integer moments — sqrt and division are single IEEE ops,
+    // so the boolean row set hash-matches
+    GraftQuery("x_ts_hw_anomaly", EventOps.hwAnomaly, Some(
+      """WITH RECURSIVE spine AS (
+        |  SELECT et.event_type, h.hour_ts
+        |  FROM (SELECT DISTINCT event_type FROM events) et
+        |  CROSS JOIN (SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+        |                                            TIMESTAMP '2024-01-30 23:00:00',
+        |                                            INTERVAL 1 HOUR)) AS hour_ts) h),
+        |c AS (SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS c
+        |      FROM events GROUP BY 1, 2),
+        |hs AS (SELECT spine.event_type,
+        |              CAST(CAST(epoch(spine.hour_ts) AS BIGINT) // 3600
+        |                - CAST(epoch(TIMESTAMP '2024-01-01 00:00:00') AS BIGINT) // 3600 AS INTEGER) AS t,
+        |              coalesce(c.c, 0) AS x
+        |       FROM spine LEFT JOIN c ON spine.event_type = c.event_type AND spine.hour_ts = c.h),
+        |r AS (
+        |  SELECT event_type, t, x,
+        |         CAST(x AS DOUBLE) AS level,
+        |         CAST(0.0 AS DOUBLE) AS trend,
+        |         CAST(x AS DOUBLE) AS pred,
+        |         CAST(0.0 AS DOUBLE) AS resid,
+        |         list_transform(generate_series(1, 24), i -> CAST(0.0 AS DOUBLE)) AS seas
+        |  FROM hs WHERE t = 0
+        |  UNION ALL
+        |  SELECT event_type, t, x, lvl,
+        |         ((lvl - plevel) + ptrend) / 2,
+        |         (plevel + ptrend) + pseas,
+        |         x - ((plevel + ptrend) + pseas),
+        |         seas0[1:j-1] || [((x - lvl) + pseas) / 2] || seas0[j+1:24]
+        |  FROM (SELECT h.event_type, h.t, h.x,
+        |               r.level AS plevel, r.trend AS ptrend, r.seas AS seas0,
+        |               (h.t % 24) + 1 AS j,
+        |               r.seas[(h.t % 24) + 1] AS pseas,
+        |               ((h.x - r.seas[(h.t % 24) + 1]) + (r.level + r.trend)) / 2 AS lvl
+        |        FROM hs h JOIN r ON h.event_type = r.event_type AND h.t = r.t + 1)),
+        |st AS (SELECT event_type, count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |              CAST(sum(x*x) AS BIGINT) AS sxx
+        |       FROM hs GROUP BY event_type)
+        |SELECT r.event_type, r.t, CAST(r.x AS BIGINT) AS x, r.pred, r.resid,
+        |       abs(r.resid) > 3.0 * sqrt(CAST(st.n * st.sxx - st.sx * st.sx AS DOUBLE)) / st.n AS is_anomaly
+        |FROM r JOIN st ON r.event_type = st.event_type
+        |ORDER BY r.event_type, r.t""".stripMargin)),
     // exact lag-k autocorrelation: integer moments over the dense hour
     // spine, Pearson assembled in the same IEEE expression both sides
     GraftQuery("x_ts_acf", EventOps.acfHourly, Some(

@@ -302,21 +302,50 @@ object EventOps {
         it.map { case (et, t, xi) =>
           val x = xi.toDouble
           val j = ((t % m) + m) % m
+          // one-step-ahead forecast MADE AT t−1 for t: (ℓ+b) carried
+          // forward plus the season slot as it stood — the quantity a
+          // monitoring pipeline compares x against. At a series start
+          // there is no prior forecast; pred := x (residual 0).
+          var pred = x
           if (first || et != cur) {
             cur = et; first = false
             l = x; b = 0.0; seas = Array.fill(m)(0.0)
           } else {
             val sOld = seas(j)
+            pred = (l + b) + sOld
             val lPrev = l
             l = ((x - sOld) + (l + b)) / 2
             b = ((l - lPrev) + b) / 2
           }
           val sNew = ((x - l) + seas(j)) / 2
           seas(j) = sNew
-          (et, t, xi, l, b, sNew)
+          (et, t, xi, l, b, sNew, pred, x - pred)
         }
       }
-      .toDF("event_type", "t", "x", "level", "trend", "seasonal")
+      .toDF("event_type", "t", "x", "level", "trend", "seasonal", "pred", "resid")
+      .orderBy("event_type", "t")
+  }
+
+  /** Forecast-based anomaly flags: an hour is anomalous when its
+    * one-step-ahead Holt-Winters residual exceeds 3σ of the series'
+    * own values (σ from the exact integer moments n·Σx² − (Σx)² — one
+    * |types|-row aggregate broadcast back; sqrt and the division are
+    * single IEEE ops both engines round identically, so the boolean is
+    * deterministic and the whole row set hash-matches). The seasonal
+    * model is the point: a daily-periodic series' nightly troughs are
+    * EXPECTED (small residuals) where a plain mean-based z-score would
+    * flag every quiet hour. */
+  def hwAnomaly(spark: SparkSession, dir: String): DataFrame = {
+    val hw = holtWintersHourly(spark, dir)
+    val stats = hourlySeries(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"), sum(col("x")).as("sx"),
+        sum(col("x") * col("x")).as("sxx"))
+    hw.join(broadcast(stats), Seq("event_type"))
+      .select(col("event_type"), col("t"), col("x"), col("pred"), col("resid"),
+        (abs(col("resid")) >
+          lit(3.0) * sqrt((col("n") * col("sxx") - col("sx") * col("sx"))
+            .cast(DoubleType)) / col("n")).as("is_anomaly"))
       .orderBy("event_type", "t")
   }
 

@@ -275,7 +275,8 @@ class TimeSeriesOpsSpec extends SparkSpec {
   test("holt-winters: bit-equal to a driver-side replay of the recurrence") {
     val rows = EventOps.holtWintersHourly(spark, Sf0001).collect()
       .map(r => (r.getString(0), r.getInt(1),
-        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5))))
+        (r.getLong(2), r.getDouble(3), r.getDouble(4), r.getDouble(5),
+          r.getAs[Double]("pred"), r.getAs[Double]("resid"))))
     val types = rows.map(_._1).distinct
     assert(types.nonEmpty && rows.length == types.length * 720)
     // independent replay: hourly counts from the raw events, then the
@@ -290,11 +291,13 @@ class TimeSeriesOpsSpec extends SparkSpec {
     types.foreach { et =>
       var l = 0.0; var b = 0.0; val seas = Array.fill(24)(0.0)
       val got = rows.filter(_._1 == et).sortBy(_._2)
-      got.foreach { case (_, t, (x, lv, tr, sn)) =>
+      got.foreach { case (_, t, (x, lv, tr, sn, pd, rs)) =>
         assert(x == counts.getOrElse((et, t), 0L), s"count mismatch at ($et,$t)")
         val xd = x.toDouble; val j = t % 24
+        var pred = xd
         if (t == 0) { l = xd; b = 0.0 }
         else {
+          pred = (l + b) + seas(j)
           val lPrev = l
           l = ((xd - seas(j)) + (l + b)) / 2
           b = ((l - lPrev) + b) / 2
@@ -302,6 +305,7 @@ class TimeSeriesOpsSpec extends SparkSpec {
         val sNew = ((xd - l) + seas(j)) / 2
         seas(j) = sNew
         assert(lv == l && tr == b && sn == sNew, s"state diverged at ($et,$t)")
+        assert(pd == pred && rs == xd - pred, s"forecast diverged at ($et,$t)")
       }
     }
   }
