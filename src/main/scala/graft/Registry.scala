@@ -1360,6 +1360,49 @@ object Registry {
         |SELECT event_type, t, CAST(x AS BIGINT) AS x, level, trend, snew AS seasonal,
         |       pred, resid
         |FROM r ORDER BY event_type, t""".stripMargin)),
+    // interval union (temporal coverage): 30-min event windows merge by
+    // the running-max-end sweep; epoch-µs integers end to end
+    GraftQuery("x_ts_interval_union", EventOps.intervalUnion, Some(
+      """WITH ev AS (SELECT user_id, event_id,
+        |              epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+        |              epoch_us(CAST(ts AS TIMESTAMP)) + 1800000000 AS e
+        |            FROM events),
+        |g AS (SELECT user_id, event_id, s, e,
+        |        CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |               OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |             THEN 1 ELSE 0 END AS ng
+        |      FROM ev),
+        |g2 AS (SELECT user_id, s, e,
+        |         sum(ng) OVER (PARTITION BY user_id ORDER BY s, event_id) AS gid
+        |       FROM g)
+        |SELECT user_id, CAST(gid AS INTEGER) AS interval_idx,
+        |       make_timestamp(min(s)) AS start_ts,
+        |       make_timestamp(max(e)) AS end_ts,
+        |       CAST(count(*) AS INTEGER) AS n_events
+        |FROM g2 GROUP BY user_id, gid ORDER BY user_id, interval_idx""".stripMargin)),
+    GraftQuery("x_ts_coverage", EventOps.intervalCoverage, Some(
+      """WITH ev AS (SELECT user_id, event_id,
+        |              epoch_us(CAST(ts AS TIMESTAMP)) AS s,
+        |              epoch_us(CAST(ts AS TIMESTAMP)) + 1800000000 AS e
+        |            FROM events),
+        |g AS (SELECT user_id, event_id, s, e,
+        |        CASE WHEN max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) IS NULL
+        |               OR s > max(e) OVER (PARTITION BY user_id ORDER BY s, event_id
+        |                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+        |             THEN 1 ELSE 0 END AS ng
+        |      FROM ev),
+        |g2 AS (SELECT user_id, s, e,
+        |         sum(ng) OVER (PARTITION BY user_id ORDER BY s, event_id) AS gid
+        |       FROM g),
+        |m AS (SELECT user_id, gid, min(s) AS s0, max(e) AS e0, count(*) AS n
+        |      FROM g2 GROUP BY user_id, gid)
+        |SELECT user_id, CAST(count(*) AS INTEGER) AS n_intervals,
+        |       CAST(sum(n) AS INTEGER) AS n_events,
+        |       CAST(sum(e0 - s0) // 1000000 AS BIGINT) AS covered_s
+        |FROM m GROUP BY user_id ORDER BY user_id""".stripMargin)),
     // forecast-based anomaly flags: |one-step-ahead residual| > 3σ from
     // the exact integer moments — sqrt and division are single IEEE ops,
     // so the boolean row set hash-matches

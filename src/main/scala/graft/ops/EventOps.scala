@@ -349,6 +349,56 @@ object EventOps {
       .orderBy("event_type", "t")
   }
 
+  /** Half-open activity window each event opens: 30 minutes in µs. */
+  val IntervalMicros: Long = 1800L * 1000000L
+
+  /** Merged (user, gid, s0, e0, n_events) activity intervals in epoch
+    * µs — the classic sweep: an event starts a NEW interval iff its
+    * start lies strictly after the running max end of everything
+    * earlier in (ts, event_id) order; prefix-summing that flag labels
+    * the components, one keyed aggregate merges them. Overlap-or-touch
+    * coalesces (strict `>` starts a group). All integer µs — exact. */
+  private def mergedIntervals(spark: SparkSession, dir: String): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), col("event_id"), unix_micros(col("ts")).as("s"))
+      .withColumn("e", col("s") + IntervalMicros)
+    val w = Window.partitionBy(col("user_id")).orderBy(col("s"), col("event_id"))
+    val prevMax = max(col("e")).over(w.rowsBetween(Window.unboundedPreceding, -1))
+    ev.withColumn("ng",
+        when(prevMax.isNull || col("s") > prevMax, 1L).otherwise(0L))
+      .withColumn("gid", sum(col("ng")).over(w))
+      .groupBy(col("user_id"), col("gid"))
+      .agg(min(col("s")).as("s0"), max(col("e")).as("e0"),
+        count(lit(1)).as("n_events"))
+  }
+
+  /** Interval union per user: each event opens a 30-minute half-open
+    * activity window; overlapping-or-touching windows merge into
+    * maximal intervals — the temporal-coverage primitive behind session
+    * stitching, on-call coverage, and dedup of overlapping time grants.
+    * One window pass (the sweep) + one keyed aggregate; epoch-µs
+    * integer arithmetic end to end, so the merged boundaries are
+    * value-equal across engines. */
+  def intervalUnion(spark: SparkSession, dir: String): DataFrame =
+    mergedIntervals(spark, dir)
+      .select(col("user_id"), col("gid").cast(IntegerType).as("interval_idx"),
+        timestamp_micros(col("s0")).as("start_ts"),
+        timestamp_micros(col("e0")).as("end_ts"),
+        col("n_events").cast(IntegerType).as("n_events"))
+      .orderBy("user_id", "interval_idx")
+
+  /** Per-user coverage rollup of [[intervalUnion]]: interval count,
+    * events absorbed, and total covered seconds (Σ(e−s) of the MERGED
+    * set — overlap counted once, the quantity naive per-event sums
+    * overstate). Exact integer division by 1e6 via `div`. */
+  def intervalCoverage(spark: SparkSession, dir: String): DataFrame =
+    mergedIntervals(spark, dir)
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).cast(IntegerType).as("n_intervals"),
+        sum(col("n_events")).cast(IntegerType).as("n_events"),
+        expr("sum(e0 - s0) div 1000000").as("covered_s"))
+      .orderBy("user_id")
+
   /** Max lag for [[acfHourly]]. */
   val AcfMaxLag = 3
 

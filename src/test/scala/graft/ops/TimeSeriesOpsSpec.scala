@@ -272,6 +272,61 @@ class TimeSeriesOpsSpec extends SparkSpec {
     assert(got == want)
   }
 
+  test("interval union: overlap and touch merge, gaps split, coverage counts once") {
+    import spark.implicits._
+    val dir = tempDir("iu_fix")
+    val base = java.sql.Timestamp.valueOf("2024-01-05 00:00:00")
+    def at(s: Long) = new java.sql.Timestamp(base.getTime + s * 1000)
+    // user 1: 0s and 1000s overlap; 1800s touches the first window's end
+    // (0+1800) → still merges (strict-> rule); 5000s is past 1800+1800 →
+    // new interval. user 2: one event.
+    val ev = Seq(
+      (1L, 10L, at(0), "view", 1.0), (1L, 11L, at(1000), "view", 1.0),
+      (1L, 12L, at(1800), "view", 1.0), (1L, 13L, at(5000), "view", 1.0),
+      (2L, 20L, at(0), "view", 1.0))
+    ev.toDF("user_id", "event_id", "ts", "event_type", "value")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val got = EventOps.intervalUnion(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        r.getTimestamp(2).getTime, r.getTimestamp(3).getTime, r.getInt(4)))
+    val b = base.getTime
+    assert(got.toSeq == Seq(
+      (1L, 1, b, b + 3600000L, 3),          // [0, 1800+1800) absorbs 3 events
+      (1L, 2, b + 5000000L, b + 6800000L, 1),
+      (2L, 1, b, b + 1800000L, 1)))
+    val cov = EventOps.intervalCoverage(spark, dir).collect()
+      .map(r => r.getLong(0) -> (r.getInt(1), r.getInt(2), r.getLong(3))).toMap
+    assert(cov(1L) == ((2, 4, 3600L + 1800L))) // overlap counted once
+    assert(cov(2L) == ((1, 1, 1800L)))
+  }
+
+  test("interval union: real-data intervals are disjoint, ordered, and reconcile") {
+    def us(t: java.sql.Timestamp): Long =
+      t.toInstant.getEpochSecond * 1000000L + t.toInstant.getNano / 1000L
+    val ints = EventOps.intervalUnion(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1),
+        us(r.getTimestamp(2)), us(r.getTimestamp(3)), r.getInt(4)))
+    assert(ints.nonEmpty)
+    ints.groupBy(_._1).values.foreach { g =>
+      val s = g.sortBy(_._2)
+      s.foreach { case (_, _, st, en, n) => assert(en > st && n >= 1) }
+      s.zip(s.tail).foreach { case ((_, _, _, e1, _), (_, _, s2, _, _)) =>
+        assert(s2 > e1, "merged intervals must be strictly disjoint")
+      }
+    }
+    // events absorbed == total events; coverage == Σ lengths
+    val nEvents = Tables(spark, Sf0001, "events").count()
+    assert(ints.map(_._5.toLong).sum == nEvents)
+    val cov = EventOps.intervalCoverage(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(3)).toMap
+    // covered_s = (Σ µs-lengths) div 1e6 — sum BEFORE dividing (the
+    // op's rule; per-interval div would drop each boundary's sub-second
+    // remainder separately)
+    ints.groupBy(_._1).foreach { case (u, g) =>
+      assert(cov(u) == g.map(i => i._4 - i._3).sum / 1000000L)
+    }
+  }
+
   test("holt-winters: bit-equal to a driver-side replay of the recurrence") {
     val rows = EventOps.holtWintersHourly(spark, Sf0001).collect()
       .map(r => (r.getString(0), r.getInt(1),
