@@ -1140,11 +1140,15 @@ object Registry {
     * reciprocal-rank and P@i term is an exact integer; `(2520*h)//rank`
     * is exact because rank divides 2520·h's factor structure the same
     * way EvalOps' double path is exact). */
-  private val evalPerQueryCtes: String =
+  /** The run-independent half of the eval chain: given a CTE named
+    * `runr` = (q_id, doc_id, rank ≤ 10), derive conjunctive qrels and
+    * the per-query scaled-integer metrics (`per`). Parameterized by the
+    * run definition so the BM25 run and the RRF hybrid run are judged
+    * by ONE metrics SQL — the same single-source rule as the kmeans/PQ
+    * CTE builders. */
+  private def evalPerQueryCtesFor(runrDef: String): String =
     s"""$bm25ScoreCtes,
-      |runr AS (SELECT q_id, doc_id,
-      |           CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS INTEGER) AS rank
-      |         FROM sc QUALIFY rank <= 10),
+      |runr AS ($runrDef),
       |dterm AS (SELECT DISTINCT t.doc_id, t.term FROM tok t
       |          WHERE t.term IN (SELECT DISTINCT term FROM q)),
       |qsize AS (SELECT q_id, count(DISTINCT term) AS n_terms FROM q GROUP BY q_id),
@@ -1171,15 +1175,64 @@ object Registry {
       |          p.ap_scaled
       |        FROM pq2 p LEFT JOIN nrel n USING (q_id))""".stripMargin
 
+  /** The BM25 top-10 as the `runr` definition. */
+  private val bm25RunrDef: String =
+    """SELECT q_id, doc_id,
+      |           CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+      |         FROM sc QUALIFY rank <= 10""".stripMargin
+
+  /** The RRF hybrid top-10 as the `runr` definition — the same fused
+    * ranking rrfOracle serves, restated over the shared `sc` scores
+    * plus the dense cosine list. */
+  private val rrfRunrDef: String =
+    """WITH lex AS (SELECT q_id, doc_id,
+      |          CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS INTEGER) AS lex_rank
+      |        FROM sc QUALIFY lex_rank <= 10),
+      |be2 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |dq2 AS (SELECT vec_id AS q_id, v AS qv FROM be2 WHERE vec_id < 5),
+      |ds2 AS (SELECT q_id, vec_id AS doc_id, list_cosine_similarity(qv, v) AS cos FROM dq2, be2),
+      |dense AS (SELECT q_id, doc_id,
+      |            CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, doc_id) AS INTEGER) AS dense_rank
+      |          FROM ds2 QUALIFY dense_rank <= 10),
+      |fused AS (SELECT coalesce(lex.q_id, dense.q_id) AS q_id,
+      |            coalesce(lex.doc_id, dense.doc_id) AS doc_id,
+      |            coalesce(CAST(142813628717760 // (60 + lex_rank) AS BIGINT), 0) +
+      |            coalesce(CAST(142813628717760 // (60 + dense_rank) AS BIGINT), 0) AS rrf
+      |          FROM lex FULL OUTER JOIN dense
+      |            ON lex.q_id = dense.q_id AND lex.doc_id = dense.doc_id)
+      |SELECT q_id, doc_id,
+      |       CAST(row_number() OVER (PARTITION BY q_id ORDER BY rrf DESC, doc_id) AS INTEGER) AS rank
+      |FROM fused QUALIFY rank <= 10""".stripMargin
+
   private val evalPerQueryOracle: String =
-    s"""WITH $evalPerQueryCtes
+    s"""WITH ${evalPerQueryCtesFor(bm25RunrDef)}
       |SELECT q_id, n_rel, n_hit, first_rel_rank, rr_scaled, ap_scaled,
       |       CAST(n_hit AS DOUBLE) / 10 AS precision_at_k,
       |       CASE WHEN n_rel > 0 THEN CAST(n_hit AS DOUBLE) / n_rel ELSE 0.0 END AS recall
       |FROM per ORDER BY q_id""".stripMargin
 
+  /** The one-row summary tail shared by every evaluated run. */
+  private val evalSummaryTail: String =
+    """s AS (SELECT count(*) AS n_queries, sum(n_rel) AS n_rel_total,
+      |        sum(n_hit) AS n_hit_total, sum(rr_scaled) AS rr_sum,
+      |        sum(CASE WHEN least(n_rel, 10) > 0
+      |                 THEN ap_scaled * (2520 // least(n_rel, 10)) ELSE 0 END) AS ap_sum
+      |      FROM per)
+      |SELECT CAST(n_queries AS INTEGER) AS n_queries,
+      |       CAST(n_rel_total AS BIGINT) AS n_rel_total,
+      |       CAST(n_hit_total AS BIGINT) AS n_hit_total,
+      |       CAST(rr_sum AS DOUBLE) / (2520.0 * n_queries) AS mrr,
+      |       CAST(ap_sum AS DOUBLE) / (2520.0 * 2520 * n_queries) AS map_at_k,
+      |       CASE WHEN n_rel_total > 0 THEN CAST(n_hit_total AS DOUBLE) / n_rel_total ELSE 0.0 END AS micro_recall,
+      |       CAST(n_hit_total AS DOUBLE) / (n_queries * 10) AS micro_precision
+      |FROM s""".stripMargin
+
+  private val evalRrfSummaryOracle: String =
+    s"""WITH ${evalPerQueryCtesFor(rrfRunrDef)},
+      |$evalSummaryTail""".stripMargin
+
   private val evalSummaryOracle: String =
-    s"""WITH $evalPerQueryCtes,
+    s"""WITH ${evalPerQueryCtesFor(bm25RunrDef)},
       |s AS (SELECT count(*) AS n_queries, sum(n_rel) AS n_rel_total,
       |        sum(n_hit) AS n_hit_total, sum(rr_scaled) AS rr_sum,
       |        sum(CASE WHEN least(n_rel, 10) > 0
@@ -1831,6 +1884,10 @@ object Registry {
       Some(evalPerQueryOracle)),
     GraftQuery("x_eval_retrieval_summary", EvalOps.bm25EvalSummary,
       Some(evalSummaryOracle)),
+    // the RRF hybrid judged by the SAME metrics chain (run definition is
+    // the only thing that changes — single-source eval SQL)
+    GraftQuery("x_eval_rrf_summary", EvalOps.rrfEvalSummary,
+      Some(evalRrfSummaryOracle)),
     GraftQuery("x_sim_ann_lsh", SimilarityOps.annLsh, None),
     GraftQuery("x_sim_knn_join", (s, d) => SimilarityOps.knnJoin(s, d), None,
       headline = true),

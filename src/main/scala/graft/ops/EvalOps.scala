@@ -144,4 +144,11 @@ object EvalOps {
 
   def bm25EvalSummary(spark: SparkSession, dir: String): DataFrame =
     summaryMetrics(RetrievalOps.bm25(spark, dir), conjunctiveQrels(spark, dir))
+
+  /** The RRF hybrid run judged by the SAME metrics and the same
+    * conjunctive qrels — the comparison row a retrieval stack actually
+    * reads (does fusing the dense list help or hurt against the lexical
+    * judgment?), and the proof the metrics operator is run-agnostic. */
+  def rrfEvalSummary(spark: SparkSession, dir: String): DataFrame =
+    summaryMetrics(RetrievalOps.rrfHybrid(spark, dir), conjunctiveQrels(spark, dir))
 }
