@@ -1291,6 +1291,23 @@ object Registry {
       |        CASE WHEN j = 1 THEN 1 ELSE ends[CAST(j - 1 AS INTEGER)] + 1 END AS sp
       |      FROM u)""".stripMargin
 
+  /** CDC pair-generation CTE chain on top of [[cdcChunkCtes]] (through
+    * `pr` = doc pairs with shared-eligible-chunk counts and `cnt` =
+    * per-doc eligible totals) — shared by the pair dump and the
+    * survivor oracle. */
+  private def cdcPairCtes: String =
+    s"""$cdcChunkCtes,
+      |ch AS (SELECT DISTINCT doc_id,
+      |         md5(array_to_string(t[CAST(sp AS INTEGER):CAST(ends[CAST(j AS INTEGER)] AS INTEGER)], ' ')) AS digest
+      |       FROM s),
+      |fr AS (SELECT digest, count(*) AS n_docs FROM ch GROUP BY digest),
+      |kp AS (SELECT ch.doc_id, ch.digest FROM ch JOIN fr USING (digest)
+      |       WHERE fr.n_docs <= 50),
+      |cnt AS (SELECT doc_id, count(*) AS n_chunks FROM kp GROUP BY doc_id),
+      |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
+      |       FROM kp a JOIN kp b ON a.digest = b.digest AND a.doc_id < b.doc_id
+      |       GROUP BY a.doc_id, b.doc_id)""".stripMargin
+
   /** LLM-training-data pipeline extensions (BASELINE.json north star):
     * dedup, similarity search, text analysis, multimodal columns.
     * Engine-internal hashes/heuristics (minhash, simhash, lsh, langid,
@@ -2448,17 +2465,7 @@ object Registry {
     // the chunk dump and the pair generator); exact-integer counts, one
     // IEEE division for the Jaccard
     GraftQuery("x_dedup_cdc_pairs", PretrainOps.cdcNearDupPairs, Some(
-      s"""WITH $cdcChunkCtes,
-        |ch AS (SELECT DISTINCT doc_id,
-        |         md5(array_to_string(t[CAST(sp AS INTEGER):CAST(ends[CAST(j AS INTEGER)] AS INTEGER)], ' ')) AS digest
-        |       FROM s),
-        |fr AS (SELECT digest, count(*) AS n_docs FROM ch GROUP BY digest),
-        |kp AS (SELECT ch.doc_id, ch.digest FROM ch JOIN fr USING (digest)
-        |       WHERE fr.n_docs <= 50),
-        |cnt AS (SELECT doc_id, count(*) AS n_chunks FROM kp GROUP BY doc_id),
-        |pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_shared
-        |       FROM kp a JOIN kp b ON a.digest = b.digest AND a.doc_id < b.doc_id
-        |       GROUP BY a.doc_id, b.doc_id)
+      s"""WITH $cdcPairCtes
         |SELECT doc_a, doc_b, CAST(n_shared AS INTEGER) AS n_shared,
         |       CAST(ca.n_chunks AS INTEGER) AS n_a, CAST(cb.n_chunks AS INTEGER) AS n_b,
         |       CAST(n_shared AS DOUBLE) / (ca.n_chunks + cb.n_chunks - n_shared) AS jaccard
@@ -2466,6 +2473,31 @@ object Registry {
         |        JOIN cnt cb ON cb.doc_id = pr.doc_b
         |WHERE n_shared >= 2
         |ORDER BY doc_a, doc_b""".stripMargin)),
+    // survivor selection over the CDC graph: components (recursive-CTE
+    // closure, the x_dedup_clusters pattern) keep their lowest
+    // (stop-ratio, doc_id) member — edit chains collapse transitively
+    GraftQuery("x_dedup_cdc_survivor", PretrainOps.cdcSurvivor, Some(
+      s"""WITH RECURSIVE $cdcPairCtes,
+        |pp AS (SELECT doc_a, doc_b FROM pr WHERE n_shared >= 2),
+        |edges AS (SELECT doc_a AS src, doc_b AS dst FROM pp
+        |          UNION SELECT doc_b, doc_a FROM pp),
+        |walk AS (
+        |  SELECT src AS id, src AS reach FROM edges
+        |  UNION
+        |  SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src),
+        |comp AS (SELECT min(reach) AS cluster_id, id AS doc_id FROM walk GROUP BY id),
+        |qual AS (SELECT doc_id,
+        |           len(list_filter(string_split(text, ' '),
+        |               t -> t IN ('the','a','of','and','to','in','is','or','for','on')))
+        |             / len(string_split(text, ' ')) AS sr
+        |         FROM documents),
+        |rk AS (SELECT c.cluster_id, c.doc_id, q.sr,
+        |         row_number() OVER (PARTITION BY c.cluster_id ORDER BY q.sr, c.doc_id) AS rn,
+        |         count(*) OVER (PARTITION BY c.cluster_id) AS n_members
+        |       FROM comp c JOIN qual q USING (doc_id))
+        |SELECT cluster_id, doc_id AS keep_id, sr AS stop_ratio,
+        |       CAST(n_members AS INTEGER) AS n_members
+        |FROM rk WHERE rn = 1 ORDER BY cluster_id""".stripMargin)),
     GraftQuery("x_pack_sequences", PretrainOps.packSequences, Some(
       """WITH d AS (SELECT source, doc_id,
         |             CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens FROM documents),

@@ -39,10 +39,21 @@ object ClusterOps {
         .join(labels, sym("dst") === labels("id"))
         .groupBy(sym("src").as("id"))
         .agg(min(col("component")).as("n_comp"))
+      // Lineage truncation, not just caching: each round's plan embeds
+      // the previous labels TWICE (the propagation join and the changed
+      // count), so without truncation the analyzed plan doubles per
+      // round — exponential, and a deep component chain (long edit
+      // sequences in the CDC graph) overflows plan-string/driver memory
+      // long before the data is big. localCheckpoint materializes the
+      // |V|-row label table (which the changed-count forces anyway) and
+      // the plan restarts O(1) — the GraphOps.pageRank cadence lesson,
+      // applied every round because BOTH consumers need the
+      // materialization here. Labels are integer mins: plan-independent,
+      // so oracle rows are untouched.
       val next = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"),
           least(col("component"), coalesce(col("n_comp"), col("component"))).as("component"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
+        .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
         .filter(col("component") =!= col("old")).count()
       labels.unpersist()

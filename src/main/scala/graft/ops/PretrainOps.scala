@@ -496,4 +496,29 @@ object PretrainOps {
           / (col("n_a") + col("n_b") - col("n_shared"))).as("jaccard"))
       .orderBy("doc_a", "doc_b")
   }
+
+  /** Survivor selection over the CDC near-dup graph — the decision step
+    * the pair list exists for: connected components collapse transitive
+    * edit chains (A edited into B edited into C is ONE group even when
+    * A and C share too little directly), and each group keeps its
+    * lowest-(stop-ratio, doc_id) member — the [[DedupOps
+    * .qualitySurvivor]] rule applied at chunk-level-near-dup granularity
+    * instead of byte-identical granularity. Emits one row per
+    * multi-member group (singletons trivially survive and stay out of
+    * the report). Components run on the already-capped pair table, so
+    * nothing here is all-pairs either. */
+  def cdcSurvivor(spark: SparkSession, dir: String): DataFrame = {
+    val pairs = cdcNearDupPairs(spark, dir).select(col("doc_a"), col("doc_b"))
+    val comps = ClusterOps.connectedComponents(pairs)
+    val quality = Tables(spark, dir, "documents")
+      .select(col("doc_id"), TextOps.stopRatio(col("text")).as("sr"))
+    comps.join(quality, comps("id") === quality("doc_id"))
+      .groupBy(col("component"))
+      .agg(min(struct(col("sr"), col("doc_id"))).as("w"),
+        count(lit(1)).as("n_members"))
+      .select(col("component").as("cluster_id"),
+        col("w.doc_id").as("keep_id"), col("w.sr").as("stop_ratio"),
+        col("n_members").cast(IntegerType).as("n_members"))
+      .orderBy("cluster_id")
+  }
 }

@@ -1203,5 +1203,11 @@ class PipelineOpsSpec extends SparkSpec {
     val (nShared, jac) = pairs((1L, 2L))
     assert(nShared >= PretrainOps.CdcMinSharedChunks)
     assert(jac > 0.3 && jac <= 1.0) // most chunks survive a 7-token prefix edit
+    // survivor selection: docs 1,2 form one component; equal stop-ratio
+    // (no stopwords in the synthetic vocab) ties to the lower doc_id
+    val surv = PretrainOps.cdcSurvivor(spark, dir).collect()
+      .map(r => (r.getAs[Long]("cluster_id"), r.getAs[Long]("keep_id"),
+        r.getAs[Int]("n_members")))
+    assert(surv.toSeq == Seq((1L, 1L, 2)))
   }
 }
