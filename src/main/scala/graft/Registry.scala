@@ -1075,7 +1075,9 @@ object Registry {
     * `sc`) — shared by the three BM25 oracle forms AND the RRF hybrid
     * oracle, one definition so the scoring SQL cannot drift between
     * them. Mirrors RetrievalOps' integer-scaled scoring step for step. */
-  private val bm25ScoreCtes: String =
+  /** Corpus-side CTEs (tokens, doc lengths, corpus stats) plus the
+    * default query relation `q`. */
+  private val bm25BaseCtes: String =
     """tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
       |             FROM documents),
       |dl AS (SELECT doc_id, count(*) AS dl FROM tok GROUP BY doc_id),
@@ -1085,19 +1087,55 @@ object Registry {
       |                         (1,'table'),(1,'scan'),(1,'slow'),
       |                         (2,'window'),(2,'agg'),
       |                         (3,'sort'),(3,'merge'),(3,'batch'),
-      |                         (4,'vector'),(4,'query'),(4,'dup')),
-      |tf AS (SELECT t.doc_id, t.term, count(*) AS tf FROM tok t
-      |       WHERE t.term IN (SELECT DISTINCT term FROM q)
+      |                         (4,'vector'),(4,'query'),(4,'dup'))""".stripMargin
+
+  /** The micro-unit scoring chain over an arbitrary (q_id, term) query
+    * relation `qn`, CTE names suffixed by `sfx` — parameterized so the
+    * PRF oracle can score the EXPANDED query set with the identical
+    * formula (one scoring-SQL source, two rounds). `sfx = ""`, `qn =
+    * "q"` reproduces the historical chain for every existing consumer. */
+  private def bm25ScoringCtes(qn: String, sfx: String): String =
+    s"""tf$sfx AS (SELECT t.doc_id, t.term, count(*) AS tf FROM tok t
+      |       WHERE t.term IN (SELECT DISTINCT term FROM $qn)
       |       GROUP BY t.doc_id, t.term),
-      |dft AS (SELECT term, count(*) AS df FROM tf GROUP BY term),
-      |sc AS (SELECT q.q_id, tf.doc_id,
+      |dft$sfx AS (SELECT term, count(*) AS df FROM tf$sfx GROUP BY term),
+      |sc$sfx AS (SELECT qq.q_id, tf$sfx.doc_id,
       |         CAST(sum(
-      |           CAST(floor(ln(1 + (st.n_docs - dft.df + 0.5) / (dft.df + 0.5)) * 1000000) AS BIGINT) *
-      |           CAST(floor((tf.tf * 2.2 / (tf.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))) * 1000000) AS BIGINT)
+      |           CAST(floor(ln(1 + (st.n_docs - dft$sfx.df + 0.5) / (dft$sfx.df + 0.5)) * 1000000) AS BIGINT) *
+      |           CAST(floor((tf$sfx.tf * 2.2 / (tf$sfx.tf + 1.2 * (0.25 + 0.75 * dl.dl / st.avgdl))) * 1000000) AS BIGINT)
       |         ) AS BIGINT) AS score
-      |       FROM tf JOIN q USING (term) JOIN dft USING (term)
+      |       FROM tf$sfx JOIN $qn qq USING (term) JOIN dft$sfx USING (term)
       |            JOIN dl USING (doc_id) CROSS JOIN st
-      |       GROUP BY q.q_id, tf.doc_id)""".stripMargin
+      |       GROUP BY qq.q_id, tf$sfx.doc_id)""".stripMargin
+
+  private val bm25ScoreCtes: String =
+    bm25BaseCtes + ",\n" + bm25ScoringCtes("q", "")
+
+  /** The PRF oracle: round-1 scores → top-10 feedback docs → top-3 new
+    * terms by in-feedback frequency (original terms anti-joined away,
+    * ties on term) → round-2 scoring over q ∪ expansion. */
+  private val bm25PrfOracle: String =
+    s"""WITH $bm25ScoreCtes,
+      |top1 AS (SELECT q_id, doc_id FROM
+      |          (SELECT q_id, doc_id,
+      |                  row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rn
+      |           FROM sc) WHERE rn <= 10),
+      |exp0 AS (SELECT t1.q_id, t.term, count(*) AS tfsum
+      |         FROM top1 t1 JOIN tok t ON t.doc_id = t1.doc_id
+      |         LEFT JOIN q qo ON qo.q_id = t1.q_id AND qo.term = t.term
+      |         WHERE qo.term IS NULL
+      |         GROUP BY t1.q_id, t.term),
+      |exp AS (SELECT q_id, term FROM
+      |         (SELECT q_id, term,
+      |                 row_number() OVER (PARTITION BY q_id ORDER BY tfsum DESC, term) AS rn
+      |          FROM exp0) WHERE rn <= 3),
+      |q2 AS (SELECT q_id, term FROM q UNION SELECT q_id, term FROM exp),
+      |${bm25ScoringCtes("q2", "2")}
+      |SELECT q_id, CAST(rn AS INTEGER) AS rank, doc_id, score FROM
+      | (SELECT q_id, doc_id, score,
+      |         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rn
+      |  FROM sc2) WHERE rn <= 10
+      |ORDER BY q_id, rank""".stripMargin
 
   /** Shared BM25 oracle (inline and index-probe forms serve identical
     * rows). */
@@ -1888,6 +1926,10 @@ object Registry {
     // must satisfy the SAME oracle as the full forms
     GraftQuery("x_retrieval_bm25_incremental", RetrievalOps.bm25Incremental,
       Some(bm25Oracle)),
+    // pseudo-relevance feedback (RM3-lite): both rounds share one
+    // scoring-SQL source; the expansion choice is exact counts with
+    // deterministic ties, so the two-stage retrieval is value-oracled
+    GraftQuery("x_retrieval_bm25_prf", RetrievalOps.bm25Prf, Some(bm25PrfOracle)),
     // hybrid RAG-stack retrieval: lexical + dense lists fused by
     // reciprocal rank with exact-integer contributions (lcm-scaled) —
     // both inputs are k-bounded map-side aggregates, so fusion cost is

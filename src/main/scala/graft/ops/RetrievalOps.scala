@@ -64,6 +64,49 @@ object RetrievalOps {
     scoreAndRank(spark, queries, tf, dfT, dl)
   }
 
+  /** Expansion terms appended per query by [[bm25Prf]]. */
+  val PrfExpansionTerms = 3
+
+  /** Pseudo-relevance feedback (RM3-lite): run BM25, harvest the
+    * [[PrfExpansionTerms]] most-frequent NEW terms from each query's
+    * top-10 documents (original query terms anti-joined away; ties
+    * break on term), append them to the query, and score again — the
+    * classic recall move when the user's own words under-specify the
+    * intent. Both rounds use the same integer-scaled scoring, and the
+    * expansion choice is exact counts with deterministic ties, so the
+    * whole two-stage retrieval is value-oracled.
+    *
+    * Scale shape: the harvest pass re-reads tokens filtered by the
+    * BROADCAST top-doc set (|q|·10 ids) before any shuffle — the
+    * expansion aggregate only ever sees the feedback docs' tokens; the
+    * chosen terms are bounded driver state (|q|·3 rows), exactly like a
+    * query rewriter in a serving tier; round 2 is the ordinary BM25
+    * plan over the widened vocabulary. */
+  def bm25Prf(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val topDocs = bm25(spark, dir).select(col("q_id"), col("doc_id"))
+    val qTerms = DefaultQueries
+      .flatMap { case (q, s) => s.split(" ").distinct.map(t => (q, t)) }
+      .toDF("q_id", "term")
+    val toks = Tables.parallel(spark, dir, "documents")
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+    val cand = toks
+      .join(broadcast(topDocs), Seq("doc_id"))
+      .join(broadcast(qTerms), Seq("q_id", "term"), "left_anti")
+      .groupBy(col("q_id"), col("term")).agg(count(lit(1)).as("tfsum"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id")).orderBy(col("tfsum").desc, col("term"))
+    val chosen = cand.withColumn("rn", row_number().over(w))
+      .filter(col("rn") <= PrfExpansionTerms)
+      .select(col("q_id"), col("term")).collect()
+      .groupBy(_.getInt(0)).view.mapValues(_.map(_.getString(1)).sorted).toMap
+    val expanded = DefaultQueries.map { case (q, s) =>
+      (q, (s.split(" ") ++ chosen.getOrElse(q, Array.empty[String])).mkString(" "))
+    }
+    bm25For(spark, dir, expanded)
+  }
+
   /** Scoring + bounded ranking over any (tf, df, dl) source — shared by
     * the inline form above and the materialized-index probe below, so
     * "index probe ≡ inline" is true by construction above the storage
