@@ -1111,12 +1111,12 @@ object Registry {
   private val bm25ScoreCtes: String =
     bm25BaseCtes + ",\n" + bm25ScoringCtes("q", "")
 
-  /** The PRF oracle: round-1 scores → top-10 feedback docs → top-3 new
-    * terms by in-feedback frequency (original terms anti-joined away,
-    * ties on term) → round-2 scoring over q ∪ expansion. */
-  private val bm25PrfOracle: String =
-    s"""WITH $bm25ScoreCtes,
-      |top1 AS (SELECT q_id, doc_id FROM
+  /** The PRF CTE chain on top of the round-1 scores: top-10 feedback
+    * docs → top-3 new terms by in-feedback frequency (original terms
+    * anti-joined away, ties on term) → round-2 scoring over
+    * q ∪ expansion. Shared by the run dump and the PRF-eval runr. */
+  private val bm25PrfChain: String =
+    s"""top1 AS (SELECT q_id, doc_id FROM
       |          (SELECT q_id, doc_id,
       |                  row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rn
       |           FROM sc) WHERE rn <= 10),
@@ -1130,12 +1130,28 @@ object Registry {
       |                 row_number() OVER (PARTITION BY q_id ORDER BY tfsum DESC, term) AS rn
       |          FROM exp0) WHERE rn <= 3),
       |q2 AS (SELECT q_id, term FROM q UNION SELECT q_id, term FROM exp),
-      |${bm25ScoringCtes("q2", "2")}
+      |${bm25ScoringCtes("q2", "2")}""".stripMargin
+
+  private val bm25PrfOracle: String =
+    s"""WITH $bm25ScoreCtes,
+      |$bm25PrfChain
       |SELECT q_id, CAST(rn AS INTEGER) AS rank, doc_id, score FROM
       | (SELECT q_id, doc_id, score,
       |         row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS rn
       |  FROM sc2) WHERE rn <= 10
       |ORDER BY q_id, rank""".stripMargin
+
+  /** The PRF round-2 ranking as a `runr` definition (nested WITH — the
+    * inner chain resolves the outer tok/q/sc CTEs). */
+  private val prfRunrDef: String =
+    s"""WITH $bm25PrfChain
+      |SELECT q_id, doc_id,
+      |       CAST(row_number() OVER (PARTITION BY q_id ORDER BY score DESC, doc_id) AS INTEGER) AS rank
+      |FROM sc2 QUALIFY rank <= 10""".stripMargin
+
+  private val evalPrfSummaryOracle: String =
+    s"""WITH ${evalPerQueryCtesFor(prfRunrDef)},
+      |$evalSummaryTail""".stripMargin
 
   /** Shared BM25 oracle (inline and index-probe forms serve identical
     * rows). */
@@ -1250,7 +1266,7 @@ object Registry {
       |FROM per ORDER BY q_id""".stripMargin
 
   /** The one-row summary tail shared by every evaluated run. */
-  private val evalSummaryTail: String =
+  private def evalSummaryTail: String =
     """s AS (SELECT count(*) AS n_queries, sum(n_rel) AS n_rel_total,
       |        sum(n_hit) AS n_hit_total, sum(rr_scaled) AS rr_sum,
       |        sum(CASE WHEN least(n_rel, 10) > 0
@@ -1947,6 +1963,8 @@ object Registry {
     // the only thing that changes — single-source eval SQL)
     GraftQuery("x_eval_rrf_summary", EvalOps.rrfEvalSummary,
       Some(evalRrfSummaryOracle)),
+    GraftQuery("x_eval_prf_summary", EvalOps.prfEvalSummary,
+      Some(evalPrfSummaryOracle)),
     GraftQuery("x_sim_ann_lsh", SimilarityOps.annLsh, None),
     GraftQuery("x_sim_knn_join", (s, d) => SimilarityOps.knnJoin(s, d), None,
       headline = true),

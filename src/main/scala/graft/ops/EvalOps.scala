@@ -151,4 +151,10 @@ object EvalOps {
     * judgment?), and the proof the metrics operator is run-agnostic. */
   def rrfEvalSummary(spark: SparkSession, dir: String): DataFrame =
     summaryMetrics(RetrievalOps.rrfHybrid(spark, dir), conjunctiveQrels(spark, dir))
+
+  /** The PRF run under the same judgment — completes the three-way
+    * comparison table (plain BM25 / RRF fusion / expanded BM25) that a
+    * retrieval stack reads when deciding which serving path to enable. */
+  def prfEvalSummary(spark: SparkSession, dir: String): DataFrame =
+    summaryMetrics(RetrievalOps.bm25Prf(spark, dir), conjunctiveQrels(spark, dir))
 }
