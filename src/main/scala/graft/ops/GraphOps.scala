@@ -307,14 +307,21 @@ object GraphOps {
       .select(col("node"), lit(HitsScale).as("h"))
     var auths: DataFrame = null
     for (_ <- 1 to HitsIters) {
+      // truncate lineage each half-step (the connectedComponents
+      // lesson): the normalizer embeds the score plan twice (sum +
+      // rescale), so without truncation plan size doubles per
+      // half-step — irrelevant at HitsIters = 2, a cliff the first
+      // time someone runs 20. Integer scores are plan-independent.
       auths = normalize(
         edges.join(hubs, col("src") === col("node"))
           .groupBy(col("dst")).agg(sum(col("h")).as("a"))
           .select(col("dst").as("node"), col("a")), "a")
+        .localCheckpoint()
       hubs = normalize(
         edges.join(auths, col("dst") === col("node"))
           .groupBy(col("src")).agg(sum(col("a")).as("h"))
           .select(col("src").as("node"), col("h")), "h")
+        .localCheckpoint()
     }
     // edges stays cached for the session (the pageRank/ClusterOps
     // convention): the returned plan is lazy and re-reads it once per
