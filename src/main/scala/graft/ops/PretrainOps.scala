@@ -26,17 +26,19 @@ object PretrainOps {
     * the globally FIRST occurrence of each distinct paragraph (ordered by
     * (doc_id, para_idx)), reassemble the surviving text per document.
     *
-    * Scale shape: one shuffle keyed by paragraph text for the
-    * first-occurrence window (at 100 TB: key by a 128-bit digest instead
-    * of the text — same plan, thinner shuffle, cf. DedupOps.exactDigest),
-    * one shuffle back on doc_id for reassembly. No self-join, no
-    * cartesian; every document is preserved (possibly empty) so the
-    * output is a drop-in replacement corpus. */
+    * Scale shape: one PARTIAL-AGGREGATABLE min(struct) keyed by the
+    * paragraph for first-occurrence selection (hot boilerplate keys
+    * collapse map-side before the exchange; at 100 TB key by a 128-bit
+    * digest instead of the text — same plan, thinner shuffle, cf.
+    * DedupOps.exactDigest), one shuffle back on doc_id for reassembly.
+    * No window over the content key, no self-join, no cartesian; every
+    * document is preserved (possibly empty) so the output is a drop-in
+    * replacement corpus. */
   def paragraphDedup(spark: SparkSession, dir: String): DataFrame =
     paragraphDedupKeyed(spark, dir, identity)
 
-  /** The 100 TB form of [[paragraphDedup]]: the first-occurrence window
-    * partitions on a 128-BIT DIGEST of the paragraph (two
+  /** The 100 TB form of [[paragraphDedup]]: the first-occurrence
+    * aggregate keys on a 128-BIT DIGEST of the paragraph (two
     * independently-seeded xxhash64s — the `DedupOps.exactDigest` key)
     * instead of the paragraph text, so the dedup exchange hashes,
     * compares and sorts 16-byte keys rather than arbitrary-length
@@ -48,7 +50,7 @@ object PretrainOps {
     paragraphDedupKeyed(spark, dir, DedupOps.digest128)
 
   /** Shared paragraph-dedup plan; `keyOf` maps the paragraph column to
-    * the window partition key (text, or its 128-bit digest). */
+    * the dedup aggregation key (text, or its 128-bit digest). */
   private def paragraphDedupKeyed(spark: SparkSession, dir: String,
       keyOf: Column => Column): DataFrame = {
     val k = ParaTokens
@@ -58,8 +60,22 @@ object PretrainOps {
       posexplode(transform(
         sequence(lit(0), ceil(size(col("t")) / lit(k.toDouble)).cast(IntegerType) - 1),
         i => array_join(slice(col("t"), i * k + 1, lit(k)), " "))).as(Seq("para_idx", "para")))
-    val firstWin = Window.partitionBy(keyOf(col("para"))).orderBy(col("doc_id"), col("para_idx"))
-    val kept = paras.withColumn("rn", row_number().over(firstWin)).filter(col("rn") === 1)
+    // First occurrence per distinct paragraph as min(struct(doc_id,
+    // para_idx, para)) — (doc_id, para_idx) is globally unique, so the
+    // struct min IS the row that a row_number window ordered by (doc_id,
+    // para_idx) would rank 1, and it carries the paragraph text out of
+    // the aggregate so no join back on the content key is needed. Unlike
+    // a window PARTITIONED BY the content key (which lands every
+    // occurrence of a hot boilerplate paragraph in ONE task — dedup's
+    // hot keys are its duplicates by definition), a partial-aggregatable
+    // min collapses each map partition to one row per distinct key
+    // BEFORE the exchange: the hot key crosses the wire at most
+    // numPartitions times regardless of its corpus frequency.
+    val kept = paras
+      .groupBy(keyOf(col("para")).as("pk"))
+      .agg(min(struct(col("doc_id"), col("para_idx"), col("para"))).as("w"))
+      .select(col("w.doc_id").as("doc_id"), col("w.para_idx").as("para_idx"),
+        col("w.para").as("para"))
     val reassembled = kept.groupBy(col("doc_id"))
       .agg(count(lit(1)).cast(IntegerType).as("n_kept"),
         array_join(
@@ -87,17 +103,23 @@ object PretrainOps {
     * paragraph. Output is a drop-in replacement corpus with per-document
     * survival counts.
     *
-    * Scale shape: ONE corpus scan, zero joins. The exploded paragraph
-    * table is hash-partitioned by `para` once; that single distribution
-    * satisfies BOTH window passes (hash(para) clusters (para, doc_id)
-    * subsets too), so df — distinct-doc count per paragraph — is a
-    * first-occurrence flag summed over the para partition, the
-    * salientTerms df-as-window-count trick. The verdict, the kept count,
-    * the paragraph total AND the reassembly then fold into one doc_id
-    * aggregation (every document has ≥ 1 paragraph, so no left join is
-    * needed to resurrect fully-stripped docs — their collect_list is
-    * simply empty). At 100 TB the paragraph partition key becomes a
-    * 128-bit digest (cf. DedupOps.exactDigest) so the exchange carries
+    * Scale shape: df — distinct-doc count per paragraph — is TWO
+    * partial-aggregatable hash aggregates, not a window over the content
+    * key: the (para, doc_id) distinct spreads a hot paragraph across
+    * reducers (doc_id varies inside the composite key), and the df count
+    * then collapses map-side to one row per distinct paragraph per
+    * partition. Only paragraphs at df ≥ [[BoilerplateDf]] survive the
+    * filter, so the join back onto the occurrence table carries the
+    * (small) BOILERPLATE SET as its build side — broadcastable when it
+    * fits, and a one-row-per-key build side that AQE's skew-join split
+    * handles when the probe side is hot (a window partitioned by `para`
+    * offers neither escape: every occurrence of a hot paragraph lands in
+    * ONE task, not map-side combinable — the classic skew cliff at
+    * 100×). The verdict, kept count, paragraph total and reassembly fold
+    * into one doc_id aggregation (every document has ≥ 1 paragraph, so
+    * no left join is needed to resurrect fully-stripped docs — their
+    * collect_list is simply empty). At 100 TB the paragraph key becomes
+    * a 128-bit digest (cf. DedupOps.exactDigest) so the exchanges carry
     * 16-byte keys, not text. */
   def boilerplateStrip(spark: SparkSession, dir: String): DataFrame = {
     val k = ParaTokens
@@ -107,20 +129,19 @@ object PretrainOps {
         posexplode(transform(
           sequence(lit(0), ceil(size(col("t")) / lit(k.toDouble)).cast(IntegerType) - 1),
           i => array_join(slice(col("t"), i * k + 1, lit(k)), " "))).as(Seq("para_idx", "para")))
-      .repartition(col("para"))
-    val wFirst = Window.partitionBy(col("para"), col("doc_id")).orderBy(col("para_idx"))
-    val wPara = Window.partitionBy(col("para"))
-    val withDf = paras
-      .withColumn("first_in_doc", when(row_number().over(wFirst) === 1, 1L).otherwise(0L))
-      .withColumn("df", sum(col("first_in_doc")).over(wPara))
-    withDf.groupBy(col("doc_id"))
+    val boiler = paras.select(col("para"), col("doc_id")).distinct()
+      .groupBy(col("para")).agg(count(lit(1)).as("df"))
+      .filter(col("df") >= BoilerplateDf)
+      .select(col("para"), lit(true).as("is_boiler"))
+    paras.join(boiler, Seq("para"), "left")
+      .groupBy(col("doc_id"))
       .agg(
         (max(col("para_idx")) + 1).cast(IntegerType).as("n_paras"),
-        sum(when(col("df") < BoilerplateDf, 1L).otherwise(0L))
+        sum(when(col("is_boiler").isNull, 1L).otherwise(0L))
           .cast(IntegerType).as("n_kept"),
         array_join(
           transform(array_sort(collect_list(
-            when(col("df") < BoilerplateDf, struct(col("para_idx"), col("para"))))),
+            when(col("is_boiler").isNull, struct(col("para_idx"), col("para"))))),
             s => s.getField("para")), " ").as("clean_text"))
       .orderBy("doc_id")
   }
@@ -232,19 +253,24 @@ object PretrainOps {
     * corpus, and the duplicated fraction — the signal substring-level
     * dedup thresholds on.
     *
-    * Scale shape: one exchange keyed by the span (the exploded span table
-    * is hash-partitioned by `g` once; corpus document-frequency is a
-    * plain count over that partition since spans are distinct per doc),
-    * then one doc_id aggregation — the `boilerplateStrip` shape at
-    * stride 1. Span fan-out is ~|tokens| rows/doc; at 100 TB the span
-    * key becomes a 64/128-bit shingle digest (`ShingleHashes`) so the
-    * exchange carries fixed-width keys, and the df count caps with the
-    * `MaxBucket` pattern — identical plan. */
+    * Scale shape: ONE partial-aggregatable exchange keyed by the span
+    * (spans are distinct per doc, so count-per-key IS corpus document
+    * frequency, and a hot boilerplate span collapses map-side to one row
+    * per partition before the wire — no window over the content key
+    * anywhere). A span at df = 1 belongs to exactly ONE document,
+    * recoverable as min(doc_id) inside the SAME aggregate, so each doc's
+    * duplicated-span count is n_spans − n_unique with NO join back on
+    * the span key at all: the df = 1 groups re-aggregate by their owner
+    * doc (one tiny row per doc), and n_spans recomputes narrowly from
+    * the token arrays. Span fan-out is ~|tokens| rows/doc; at 100 TB the
+    * span key becomes a 64/128-bit shingle digest (`ShingleHashes`) so
+    * the exchange carries fixed-width keys, and the df count caps with
+    * the `MaxBucket` pattern — identical plan. */
   def spanDupProfile(spark: SparkSession, dir: String): DataFrame =
     spanProfileOf(Tables.parallel(spark, dir, "documents")).orderBy("doc_id")
 
-  /** The 100 TB form of [[spanDupProfile]]: the df exchange and window
-    * key on a 128-BIT DIGEST of the span (two independently-seeded
+  /** The 100 TB form of [[spanDupProfile]]: the df exchange keys on a
+    * 128-BIT DIGEST of the span (two independently-seeded
     * xxhash64s — the `exactDigest`/`paragraphDedupDigest` key) instead
     * of the span text, so the one big shuffle carries 16-byte keys
     * rather than 8-token strings. Identical output barring a digest
@@ -256,15 +282,19 @@ object PretrainOps {
 
   private def spanProfileOf(docs: DataFrame,
       keyOf: Column => Column = identity): DataFrame = {
-    val spans = grams(tokenized(docs, SpanTokens), SpanTokens)
-      .withColumn("gk", keyOf(col("g")))
-      .repartition(col("gk"))
-    val wg = Window.partitionBy(col("gk"))
-    spans.withColumn("df", count(lit(1)).over(wg))
-      .groupBy(col("doc_id"))
-      .agg(
-        count(lit(1)).cast(IntegerType).as("n_spans"),
-        sum(when(col("df") >= 2, 1L).otherwise(0L)).cast(IntegerType).as("n_dup"))
+    val toks = tokenized(docs, SpanTokens)
+    val spans = grams(toks, SpanTokens)
+      .select(col("doc_id"), keyOf(col("g")).as("gk"))
+    val uniq = spans.groupBy(col("gk"))
+      .agg(count(lit(1)).as("df"), min(col("doc_id")).as("doc_id"))
+      .filter(col("df") === 1)
+      .groupBy(col("doc_id")).agg(count(lit(1)).as("n_uniq"))
+    toks.select(col("doc_id"), size(gramSet(SpanTokens)).as("n_spans"))
+      .join(uniq, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("n_spans").cast(IntegerType).as("n_spans"),
+        (col("n_spans") - coalesce(col("n_uniq"), lit(0L)))
+          .cast(IntegerType).as("n_dup"))
       .withColumn("dup_frac",
         col("n_dup").cast(DoubleType) / col("n_spans"))
   }

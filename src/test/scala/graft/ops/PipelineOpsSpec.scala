@@ -291,6 +291,61 @@ class PipelineOpsSpec extends SparkSpec {
     assert(text.nonEmpty && text == dig)
   }
 
+  /** Planted hot key: ONE 16-token paragraph present in HALF the corpus —
+    * the boilerplate regime where a window PARTITIONED BY the content key
+    * would funnel every occurrence into a single task. The de-skewed
+    * plans (min(struct) / composite-key distinct + count aggregates)
+    * must keep answering correctly with the hot key spread over 8 input
+    * partitions. */
+  test("hot-key paragraph in 50% of docs: dedup keeps first copy, boilerplate strips all copies") {
+    import spark.implicits._
+    val dir = tempDir("hot_docs")
+    def block(p: String) = (1 to 16).map(i => s"$p$i").mkString(" ")
+    val hot = block("hot")
+    val rows = (0L until 200L).map { id =>
+      val uniq = block(s"u${id}x")
+      (id, if (id % 2 == 0) s"$hot $uniq" else uniq, "en", "s", 0L)
+    }
+    rows.toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(8).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val dedup = PretrainOps.paragraphDedup(spark, dir).collect()
+    // exactly one copy of the hot paragraph survives — in doc 0, its
+    // globally first (doc_id, para_idx) occurrence
+    val hotKeepers = dedup.filter(_.getAs[String]("clean_text").startsWith("hot1 "))
+    assert(hotKeepers.map(_.getAs[Long]("doc_id")).toSeq == Seq(0L))
+    // every doc keeps its unique filler; only doc 0 keeps 2 paragraphs
+    assert(dedup.forall(r =>
+      r.getAs[Int]("n_kept") == (if (r.getAs[Long]("doc_id") == 0L) 2 else 1)))
+    val strip = PretrainOps.boilerplateStrip(spark, dir).collect()
+    // df(hot) = 100 ≥ BoilerplateDf: stripped EVERYWHERE including doc 0;
+    // df(filler) = 1: kept everywhere
+    assert(strip.forall(r => !r.getAs[String]("clean_text").contains("hot1")))
+    assert(strip.forall(r => r.getAs[Int]("n_kept") == 1))
+    // digest twins agree row-for-row on the hot fixture too
+    assert(PretrainOps.paragraphDedupDigest(spark, dir).collect().toSeq == dedup.toSeq)
+    // span profile: even docs carry duplicated spans (the hot run), odd
+    // docs are fully corpus-unique
+    val span = PretrainOps.spanDupProfile(spark, dir).collect()
+      .map(r => r.getAs[Long]("doc_id") -> r.getAs[Int]("n_dup")).toMap
+    assert((0L until 200L).forall(id => (span(id) > 0) == (id % 2 == 0)))
+  }
+
+  test("de-skewed dedup plans: no content-key window, partial aggregation below the exchange") {
+    val para = PretrainOps.paragraphDedup(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!para.contains("Window"),
+      "first occurrence must be a partial-aggregatable min(struct), not a content-key window")
+    assert(para.contains("partial_min"), s"expected map-side partial min in:\n$para")
+    val strip = PretrainOps.boilerplateStrip(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!strip.contains("Window"))
+    assert(strip.contains("partial_count"), s"expected map-side partial df count in:\n$strip")
+    val span = PretrainOps.spanDupProfile(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!span.contains("Window"))
+    assert(span.contains("partial_count"), s"expected map-side partial df count in:\n$span")
+  }
+
   test("decontaminate: doc sharing an 8-gram with a benchmark doc is flagged") {
     import spark.implicits._
     val dir = tempDir("contam_docs")
