@@ -1287,19 +1287,7 @@ object Registry {
 
   private val evalSummaryOracle: String =
     s"""WITH ${evalPerQueryCtesFor(bm25RunrDef)},
-      |s AS (SELECT count(*) AS n_queries, sum(n_rel) AS n_rel_total,
-      |        sum(n_hit) AS n_hit_total, sum(rr_scaled) AS rr_sum,
-      |        sum(CASE WHEN least(n_rel, 10) > 0
-      |                 THEN ap_scaled * (2520 // least(n_rel, 10)) ELSE 0 END) AS ap_sum
-      |      FROM per)
-      |SELECT CAST(n_queries AS INTEGER) AS n_queries,
-      |       CAST(n_rel_total AS BIGINT) AS n_rel_total,
-      |       CAST(n_hit_total AS BIGINT) AS n_hit_total,
-      |       CAST(rr_sum AS DOUBLE) / (2520.0 * n_queries) AS mrr,
-      |       CAST(ap_sum AS DOUBLE) / (2520.0 * 2520 * n_queries) AS map_at_k,
-      |       CASE WHEN n_rel_total > 0 THEN CAST(n_hit_total AS DOUBLE) / n_rel_total ELSE 0.0 END AS micro_recall,
-      |       CAST(n_hit_total AS DOUBLE) / (n_queries * 10) AS micro_precision
-      |FROM s""".stripMargin
+      |$evalSummaryTail""".stripMargin
 
   /** Nearest-class-centroid CTE chain (through `ca` = per-vector
     * vec_id, true label, pred, dist): scaled-int64 view, floor-div
@@ -1330,6 +1318,40 @@ object Registry {
     * the final chunk). A def, not a val: it is referenced from inside
     * the query-list vals below and defs are initialization-order-proof.
     * Shared by the chunk dump and the chunk-level dedup pair oracle. */
+  /** Decontamination oracles — single source shared by the string-keyed
+    * operators and their digest-keyed 100 TB twins (the digest re-keys
+    * the broadcast index only; output rows are identical barring a
+    * ~n²/2¹²⁹ collision, so the twins must not drift apart in SQL). */
+  private def decontamOracle: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+      |              WHERE len(string_split(text, ' ')) >= ${PretrainOps.ContamGram}),
+      |grams AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t) - ${PretrainOps.ContamGram - 1}),
+      |            i -> array_to_string(list_slice(t, i, i + ${PretrainOps.ContamGram - 1}), ' ')))) AS g FROM toks),
+      |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % ${PretrainOps.BenchMod} = 0),
+      |hits AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_shared
+      |         FROM grams JOIN bench USING (g) WHERE doc_id % ${PretrainOps.BenchMod} <> 0 GROUP BY doc_id)
+      |SELECT t.doc_id AS doc_id, coalesce(h.n_shared, 0) AS n_shared,
+      |       coalesce(h.n_shared, 0) > 0 AS contaminated
+      |FROM toks t LEFT JOIN hits h ON t.doc_id = h.doc_id
+      |WHERE t.doc_id % ${PretrainOps.BenchMod} <> 0
+      |ORDER BY doc_id""".stripMargin
+
+  private def contamScoreOracle: String =
+    s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
+      |              WHERE len(string_split(text, ' ')) >= ${PretrainOps.ContamGram}),
+      |gsets AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - ${PretrainOps.ContamGram - 1}),
+      |            i -> array_to_string(list_slice(t, i, i + ${PretrainOps.ContamGram - 1}), ' '))) AS gs FROM toks),
+      |grams AS (SELECT doc_id, unnest(gs) AS g FROM gsets),
+      |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % ${PretrainOps.BenchMod} = 0),
+      |hits AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_shared
+      |         FROM grams JOIN bench USING (g) WHERE doc_id % ${PretrainOps.BenchMod} <> 0 GROUP BY doc_id)
+      |SELECT s.doc_id AS doc_id, CAST(len(s.gs) AS INTEGER) AS n_grams,
+      |       coalesce(h.n_shared, 0) AS n_shared,
+      |       CAST(coalesce(h.n_shared, 0) AS DOUBLE) / len(s.gs) AS contam_frac
+      |FROM gsets s LEFT JOIN hits h ON s.doc_id = h.doc_id
+      |WHERE s.doc_id % ${PretrainOps.BenchMod} <> 0
+      |ORDER BY doc_id""".stripMargin
+
   private def cdcChunkCtes: String =
     """d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
       |b AS (SELECT doc_id, t, len(t) AS n,
@@ -2472,34 +2494,18 @@ object Registry {
         |       coalesce(a.n_kept, 0) AS n_kept, coalesce(a.clean_text, '') AS clean_text
         |FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
         |ORDER BY doc_id""".stripMargin)),
-    GraftQuery("x_decontaminate", PretrainOps.decontaminate, Some(
-      s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
-        |              WHERE len(string_split(text, ' ')) >= ${PretrainOps.ContamGram}),
-        |grams AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t) - ${PretrainOps.ContamGram - 1}),
-        |            i -> array_to_string(list_slice(t, i, i + ${PretrainOps.ContamGram - 1}), ' ')))) AS g FROM toks),
-        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % ${PretrainOps.BenchMod} = 0),
-        |hits AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_shared
-        |         FROM grams JOIN bench USING (g) WHERE doc_id % ${PretrainOps.BenchMod} <> 0 GROUP BY doc_id)
-        |SELECT t.doc_id AS doc_id, coalesce(h.n_shared, 0) AS n_shared,
-        |       coalesce(h.n_shared, 0) > 0 AS contaminated
-        |FROM toks t LEFT JOIN hits h ON t.doc_id = h.doc_id
-        |WHERE t.doc_id % ${PretrainOps.BenchMod} <> 0
-        |ORDER BY doc_id""".stripMargin), headline = true),
-    GraftQuery("x_contam_score", PretrainOps.contaminationScore, Some(
-      s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents
-        |              WHERE len(string_split(text, ' ')) >= ${PretrainOps.ContamGram}),
-        |gsets AS (SELECT doc_id, list_distinct(list_transform(generate_series(1, len(t) - ${PretrainOps.ContamGram - 1}),
-        |            i -> array_to_string(list_slice(t, i, i + ${PretrainOps.ContamGram - 1}), ' '))) AS gs FROM toks),
-        |grams AS (SELECT doc_id, unnest(gs) AS g FROM gsets),
-        |bench AS (SELECT DISTINCT g FROM grams WHERE doc_id % ${PretrainOps.BenchMod} = 0),
-        |hits AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_shared
-        |         FROM grams JOIN bench USING (g) WHERE doc_id % ${PretrainOps.BenchMod} <> 0 GROUP BY doc_id)
-        |SELECT s.doc_id AS doc_id, CAST(len(s.gs) AS INTEGER) AS n_grams,
-        |       coalesce(h.n_shared, 0) AS n_shared,
-        |       CAST(coalesce(h.n_shared, 0) AS DOUBLE) / len(s.gs) AS contam_frac
-        |FROM gsets s LEFT JOIN hits h ON s.doc_id = h.doc_id
-        |WHERE s.doc_id % ${PretrainOps.BenchMod} <> 0
-        |ORDER BY doc_id""".stripMargin)),
+    GraftQuery("x_decontaminate", PretrainOps.decontaminate,
+      Some(decontamOracle), headline = true),
+    // 100 TB twin of x_decontaminate: the broadcast gram index and the
+    // probe key on 128-bit gram digests (16-byte keys) instead of
+    // 8-token strings — output identical barring a digest collision, so
+    // it shares the string-keyed oracle (cf. x_dedup_paragraph_digest)
+    GraftQuery("x_decontaminate_digest", PretrainOps.decontaminateDigest,
+      Some(decontamOracle)),
+    GraftQuery("x_contam_score", PretrainOps.contaminationScore,
+      Some(contamScoreOracle)),
+    GraftQuery("x_contam_score_digest", PretrainOps.contaminationScoreDigest,
+      Some(contamScoreOracle)),
     GraftQuery("x_text_chunk", PretrainOps.chunkWindows, Some(
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |c AS (SELECT doc_id, t,

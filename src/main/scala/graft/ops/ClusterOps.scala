@@ -31,6 +31,12 @@ object ClusterOps {
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    // handle to the superseded round's checkpointed block set: a
+    // localCheckpoint's blocks are NOT registered with the cacheManager,
+    // so Dataset.unpersist on a checkpointed round is a silent no-op and
+    // the |V|-row blocks would otherwise linger until the ContextCleaner
+    // GCs the old RDD — slow storage-memory release on long chains
+    var prevCkpt: Option[org.apache.spark.rdd.RDD[_]] = None
     var converged = false
     var it = 0
     while (!converged && it < maxIter) {
@@ -56,7 +62,15 @@ object ClusterOps {
         .localCheckpoint()
       val changed = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
         .filter(col("component") =!= col("old")).count()
+      // round 1: frees the persisted seed table; later rounds: inert for
+      // the checkpointed Dataset, so also unpersist the backing RDD whose
+      // handle was saved when that round was current
       labels.unpersist()
+      prevCkpt.foreach(_.unpersist(blocking = false))
+      prevCkpt = next.queryExecution.logical match {
+        case l: org.apache.spark.sql.execution.LogicalRDD => Some(l.rdd)
+        case _ => None
+      }
       labels = next
       converged = changed == 0
       it += 1

@@ -182,17 +182,24 @@ object PretrainOps {
     .filter(size(col("t")) >= k)
 
   /** The distinct benchmark n-gram set of a (doc_id, text) document set —
-    * the broadcastable contamination index. */
-  def benchmarkGrams(benchDocs: DataFrame, k: Int = ContamGram): DataFrame =
-    grams(tokenized(benchDocs, k), k).select(col("g")).distinct()
+    * the broadcastable contamination index. `keyOf` maps each gram to
+    * the index key (the gram text, or its 128-bit digest — the
+    * production contamination-index shape, see
+    * [[decontaminateDigest]]). */
+  def benchmarkGrams(benchDocs: DataFrame, k: Int = ContamGram,
+      keyOf: Column => Column = identity): DataFrame =
+    grams(tokenized(benchDocs, k), k).select(keyOf(col("g")).as("g")).distinct()
 
   /** Check a (doc_id, text) document set against a benchmark gram set.
     * Shared by the batch operator and the streaming twin
     * (graft.streaming.StreamingDecontaminate) — identical semantics per
-    * micro-batch because the check is per-document (no cross-doc state). */
-  def checkAgainst(docs: DataFrame, benchGrams: DataFrame, k: Int = ContamGram): DataFrame = {
+    * micro-batch because the check is per-document (no cross-doc state).
+    * `keyOf` must match the one the gram set was built with. */
+  def checkAgainst(docs: DataFrame, benchGrams: DataFrame, k: Int = ContamGram,
+      keyOf: Column => Column = identity): DataFrame = {
     val toks = tokenized(docs, k)
     val hits = grams(toks, k)
+      .select(col("doc_id"), keyOf(col("g")).as("g"))
       .join(broadcast(benchGrams), Seq("g"))
       .groupBy(col("doc_id")).agg(count(lit(1)).cast(IntegerType).as("n_shared"))
     toks.select(col("doc_id"))
@@ -202,10 +209,28 @@ object PretrainOps {
         (coalesce(col("n_shared"), lit(0)) > 0).as("contaminated"))
   }
 
-  def decontaminate(spark: SparkSession, dir: String): DataFrame = {
+  def decontaminate(spark: SparkSession, dir: String): DataFrame =
+    decontaminateKeyed(spark, dir, identity)
+
+  /** The 100 TB form of [[decontaminate]] its scale note promises: the
+    * broadcast contamination index and the corpus probe both key on a
+    * 128-BIT GRAM DIGEST (two independently-seeded xxhash64s — the
+    * `DedupOps.digest128` key) instead of the 8-token gram string, so
+    * the broadcast holds 16-byte keys and the probe compares
+    * fixed-width values — the shape a production n-gram contamination
+    * index ships at. Identical output barring a digest collision
+    * (~n²/2¹²⁹), which is why it shares the string-keyed DuckDB
+    * oracle; the suite pins row equality of the two forms. */
+  def decontaminateDigest(spark: SparkSession, dir: String): DataFrame =
+    decontaminateKeyed(spark, dir, DedupOps.digest128)
+
+  private def decontaminateKeyed(spark: SparkSession, dir: String,
+      keyOf: Column => Column): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    val bench = benchmarkGrams(docs.filter(col("doc_id") % BenchMod === 0))
-    checkAgainst(docs.filter(col("doc_id") % BenchMod =!= 0), bench)
+    val bench = benchmarkGrams(docs.filter(col("doc_id") % BenchMod === 0),
+      ContamGram, keyOf)
+    checkAgainst(docs.filter(col("doc_id") % BenchMod =!= 0), bench,
+      ContamGram, keyOf)
       .orderBy("doc_id")
   }
 
@@ -218,12 +243,26 @@ object PretrainOps {
     * leaks. Same plan as decontaminate (tiny broadcast gram index, one
     * doc_id aggregation) plus the per-doc gram cardinality carried from
     * the same gram-set expression — no extra pass. */
-  def contaminationScore(spark: SparkSession, dir: String): DataFrame = {
+  def contaminationScore(spark: SparkSession, dir: String): DataFrame =
+    contaminationScoreKeyed(spark, dir, identity)
+
+  /** Digest-keyed twin of [[contaminationScore]] — same 16-byte-key
+    * broadcast index as [[decontaminateDigest]]; the per-doc gram
+    * cardinality is unchanged (digesting a distinct gram set preserves
+    * its size barring collision), so it shares the string-keyed oracle
+    * and the suite pins twin equality. */
+  def contaminationScoreDigest(spark: SparkSession, dir: String): DataFrame =
+    contaminationScoreKeyed(spark, dir, DedupOps.digest128)
+
+  private def contaminationScoreKeyed(spark: SparkSession, dir: String,
+      keyOf: Column => Column): DataFrame = {
     val docs = Tables(spark, dir, "documents")
-    val bench = benchmarkGrams(docs.filter(col("doc_id") % BenchMod === 0))
+    val bench = benchmarkGrams(docs.filter(col("doc_id") % BenchMod === 0),
+      ContamGram, keyOf)
     val gs = tokenized(docs.filter(col("doc_id") % BenchMod =!= 0), ContamGram)
       .select(col("doc_id"), gramSet(ContamGram).as("gs"))
     val hits = gs.select(col("doc_id"), explode(col("gs")).as("g"))
+      .select(col("doc_id"), keyOf(col("g")).as("g"))
       .join(broadcast(bench), Seq("g"))
       .groupBy(col("doc_id")).agg(count(lit(1)).cast(IntegerType).as("n_shared"))
     gs.select(col("doc_id"), size(col("gs")).as("n_grams"))

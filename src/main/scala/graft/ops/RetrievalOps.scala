@@ -119,7 +119,12 @@ object RetrievalOps {
     val nDocs = st.getLong(0).toDouble
     val avgdl = st.getLong(1).toDouble / st.getLong(0)
 
-    val qTerms = queries.flatMap { case (q, s) => s.split(" ").map(t => (q, t)) }
+    // per-query distinct: every DuckDB oracle's query relation is a set
+    // (VALUES list / UNION), so a repeated term in a future query string
+    // must not double-count its score contribution — make the invariant
+    // structural rather than incidental (bm25Prf is safe only because
+    // expansion terms are anti-joined and distinct)
+    val qTerms = queries.flatMap { case (q, s) => s.split(" ").distinct.map(t => (q, t)) }
     val qDf = qTerms.toDF("q_id", "term")
 
     // Literal constants (2.2 = k1+1, 0.25 = 1−b) appear as the SAME

@@ -363,6 +363,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == Seq((1L, 1, true), (2L, 0, false)))
   }
 
+  test("digest-keyed decontamination twins: identical rows to the string-keyed forms") {
+    // the digest form re-keys the broadcast gram index only; any
+    // divergence means the 16-byte-key swap changed semantics, not just
+    // the index width
+    val decontam = PretrainOps.decontaminate(spark, Sf0001).collect().toSeq
+    assert(decontam.nonEmpty &&
+      PretrainOps.decontaminateDigest(spark, Sf0001).collect().toSeq == decontam)
+    val score = PretrainOps.contaminationScore(spark, Sf0001).collect().toSeq
+    assert(score.nonEmpty &&
+      PretrainOps.contaminationScoreDigest(spark, Sf0001).collect().toSeq == score)
+  }
+
   test("pack sequences: per-shard running offsets and straddling sequence ids") {
     import spark.implicits._
     val dir = tempDir("pack_docs")
