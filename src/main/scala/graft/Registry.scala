@@ -2526,6 +2526,35 @@ object Registry {
         |       CAST(ends[CAST(j AS INTEGER)] - sp + 1 AS INTEGER) AS n_chunk_tokens,
         |       md5(array_to_string(t[CAST(sp AS INTEGER):CAST(ends[CAST(j AS INTEGER)] AS INTEGER)], ' ')) AS digest
         |FROM s ORDER BY doc_id, chunk_idx""".stripMargin)),
+    // clamped (FastCDC min/max) variant: boundaries depend on the
+    // previous boundary, so the oracle replays the rule chunk-by-chunk
+    // with a recursive CTE — next end = first hash cut at least
+    // CdcMinChunk past the previous end, force-closed at CdcMaxChunk,
+    // capped at n (the final chunk is min-exempt)
+    GraftQuery("x_text_cdc_chunks_clamped", PretrainOps.cdcChunksClamped, Some {
+      val (mn, mx) = (PretrainOps.CdcMinChunk, PretrainOps.CdcMaxChunk)
+      s"""WITH RECURSIVE
+        |d AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+        |b AS (SELECT doc_id, t, len(t) AS n,
+        |        list_filter(generate_series(${PretrainOps.CdcWindow}, len(t)),
+        |          i -> CAST(('0x' || substr(md5(array_to_string(t[i-${PretrainOps.CdcWindow - 1}:i], ' ')), 1, 5)) AS BIGINT) % ${PretrainOps.CdcMask} = 0) AS cuts
+        |      FROM d),
+        |w AS (SELECT doc_id, 1 AS j, 1 AS sp,
+        |        least(coalesce(list_min(list_filter(cuts, c -> c >= $mn AND c <= ${mx - 1})), $mx), n) AS ep
+        |      FROM b
+        |      UNION ALL
+        |      SELECT w.doc_id, w.j + 1, w.ep + 1,
+        |        least(coalesce(list_min(list_filter(b.cuts,
+        |                c -> c >= w.ep + $mn AND c <= w.ep + ${mx - 1})), w.ep + $mx), b.n)
+        |      FROM w JOIN b ON w.doc_id = b.doc_id
+        |      WHERE w.ep < b.n)
+        |SELECT w.doc_id AS doc_id, CAST(w.j AS INTEGER) AS chunk_idx,
+        |       CAST(w.sp AS INTEGER) AS start_pos,
+        |       CAST(w.ep - w.sp + 1 AS INTEGER) AS n_chunk_tokens,
+        |       md5(array_to_string(b.t[CAST(w.sp AS INTEGER):CAST(w.ep AS INTEGER)], ' ')) AS digest
+        |FROM w JOIN b ON w.doc_id = b.doc_id
+        |ORDER BY doc_id, chunk_idx""".stripMargin
+    }),
     // chunk-level near-dup pairs: the capped inverted index over the CDC
     // digests (same CTE chain — the chunking SQL cannot drift between
     // the chunk dump and the pair generator); exact-integer counts, one

@@ -470,11 +470,8 @@ object PretrainOps {
     *
     * Scale shape: pure per-row array arithmetic (window hashes, one
     * filter, one explode) — no shuffle beyond the output sort, and the
-    * per-doc work is O(n_tokens · [[CdcWindow]]). The production variant
-    * adds min/max chunk-size clamps (a sequential scan per doc — same
-    * per-row shape, documented not served: the clamp makes boundaries
-    * depend on the previous boundary, which costs the pure-filter form
-    * below without changing the plan's scale behavior). */
+    * per-doc work is O(n_tokens · [[CdcWindow]]). The production
+    * min/max chunk-size clamp is served as [[cdcChunksClamped]]. */
   def cdcChunks(spark: SparkSession, dir: String): DataFrame = {
     val docs = Tables(spark, dir, "documents")
       .select(col("doc_id"), split(col("text"), " ").as("t"))
@@ -494,6 +491,15 @@ object PretrainOps {
       .withColumn("ends",
         when(array_max(col("cuts")) === col("n"), col("cuts"))
           .otherwise(concat(col("cuts"), array(col("n")))))
+    chunkRows(withEnds)
+  }
+
+  /** Shared chunk-emission tail: (doc_id, t, ends) → one row per chunk
+    * with ordinal, start, length and md5 digest — used by the pure
+    * filter form ([[cdcChunks]]) and the clamped fold
+    * ([[cdcChunksClamped]]), so the two variants cannot drift in how
+    * boundaries become rows. */
+  private def chunkRows(withEnds: DataFrame): DataFrame =
     withEnds
       .select(col("doc_id"), col("t"), col("ends"),
         explode(sequence(lit(1), size(col("ends")))).as("chunk_idx"))
@@ -506,6 +512,57 @@ object PretrainOps {
         md5(array_join(slice(col("t"), col("start_pos"), col("n_chunk_tokens")), " "))
           .as("digest"))
       .orderBy("doc_id", "chunk_idx")
+
+  /** Min/max chunk-size clamp for [[cdcChunksClamped]] — the FastCDC
+    * production guard: the min bound stops pathological boundary
+    * density (a hash that fires every position would otherwise emit
+    * 1-token chunks), the max bound guarantees progress through
+    * cut-free deserts (a chunk is force-closed at [[CdcMaxChunk]]
+    * tokens). Expected length stays ~[[CdcMask]]; the final chunk is
+    * exempt from the min (there is nothing left to merge it into). */
+  val CdcMinChunk = 4
+  val CdcMaxChunk = 16
+
+  /** Clamped content-defined chunking — the production variant of
+    * [[cdcChunks]] (FastCDC '16 normalized chunking, min/max form): a
+    * candidate hash cut closes a chunk only once the chunk holds ≥
+    * [[CdcMinChunk]] tokens, and a chunk reaching [[CdcMaxChunk]]
+    * tokens closes unconditionally. The clamp makes each boundary
+    * depend on the previous one, so the independent per-position
+    * filter of [[cdcChunks]] becomes a LEFT-TO-RIGHT FOLD over the
+    * token positions (`aggregate` higher-order function — still pure
+    * per-row array arithmetic, no shuffle beyond the output sort, same
+    * scale shape; the fold is O(n_tokens · [[CdcWindow]]) like the
+    * filter). Same md5 window rule, same emission tail, fully
+    * value-oracled against a DuckDB recursive CTE that replays the
+    * boundary rule chunk by chunk. */
+  def cdcChunksClamped(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), split(col("text"), " ").as("t"))
+      .withColumn("n", size(col("t")))
+    def isCut(i: Column): Column =
+      (i >= CdcWindow) &&
+        (conv(substring(md5(array_join(
+          slice(col("t"), i - lit(CdcWindow - 1), lit(CdcWindow)), " ")),
+          1, 5), 16, 10).cast(LongType) % CdcMask === 0L)
+    val emptyEnds = array().cast(ArrayType(IntegerType, containsNull = false))
+    val keep = (acc: Column) => struct(
+      acc.getField("last").as("last"), acc.getField("ends").as("ends"))
+    val ends = aggregate(
+      sequence(lit(1), col("n")),
+      struct(lit(0).as("last"), emptyEnds.as("ends")),
+      (acc, i) => {
+        val len = i - acc.getField("last")
+        val cutHere = (len >= CdcMaxChunk) || (isCut(i) && len >= CdcMinChunk)
+        when(cutHere, struct(i.as("last"),
+          concat(acc.getField("ends"), array(i)).as("ends")))
+          .otherwise(keep(acc))
+      },
+      // the last token always ends the final (min-exempt) chunk
+      acc => when(acc.getField("last") < col("n"),
+        concat(acc.getField("ends"), array(col("n"))))
+        .otherwise(acc.getField("ends")))
+    chunkRows(docs.withColumn("ends", ends))
   }
 
   /** Digest frequency cap for [[cdcNearDupPairs]]: a chunk shared by m

@@ -1221,6 +1221,44 @@ class PipelineOpsSpec extends SparkSpec {
     }
   }
 
+  test("cdc clamped chunks: lengths bounded, coverage exact, degenerate input tamed") {
+    import spark.implicits._
+    // degenerate doc: 64 identical tokens — every window hash is equal,
+    // so the UNCLAMPED rule either fires at every position (1-token
+    // chunks) or never (one 64-token chunk); the clamp must bound both
+    // regimes without losing coverage
+    val dir = tempDir("cdc_clamp")
+    val mono = Seq.fill(64)("x").mkString(" ")
+    val r = new scala.util.Random(13)
+    val normal = Seq.fill(100)(s"tok${r.nextInt(40)}").mkString(" ")
+    Seq((1L, mono, "en", "s", mono.length.toLong),
+      (2L, normal, "en", "s", normal.length.toLong))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val rows = PretrainOps.cdcChunksClamped(spark, dir).collect()
+      .map(x => (x.getLong(0), x.getInt(1), x.getInt(2), x.getInt(3)))
+    val nTok = Map(1L -> 64, 2L -> 100)
+    rows.groupBy(_._1).foreach { case (doc, cs) =>
+      val sorted = cs.sortBy(_._2)
+      // exact partition of the token stream, in order
+      assert(sorted.head._3 == 1)
+      sorted.sliding(2).foreach {
+        case Array(p, c) => assert(c._3 == p._3 + p._4)
+        case _ =>
+      }
+      assert(sorted.last._3 + sorted.last._4 - 1 == nTok(doc))
+      // the clamp contract: every chunk within [min, max] tokens except
+      // the final one, which is min-exempt but still max-bounded
+      sorted.init.foreach(c => assert(
+        c._4 >= PretrainOps.CdcMinChunk && c._4 <= PretrainOps.CdcMaxChunk,
+        s"doc $doc chunk ${c._2} has unclamped length ${c._4}"))
+      assert(sorted.last._4 <= PretrainOps.CdcMaxChunk)
+    }
+    // forced progress through the cut-free/cut-dense desert: the mono
+    // doc still splits (64 / CdcMaxChunk = at least 4 chunks)
+    assert(rows.count(_._1 == 1L) >= 4)
+  }
+
   test("cdc chunks: boundaries are content-defined — prefix insertion leaves the suffix chunks intact") {
     import spark.implicits._
     val r = new scala.util.Random(7)
