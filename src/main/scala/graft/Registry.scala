@@ -319,23 +319,13 @@ object Registry {
         |       coalesce(n_err, 0) AS n_err, coalesce(n_pur, 0) AS n_pur
         |FROM e FULL OUTER JOIN p ON e.user_id = p.user_id
         |ORDER BY user_id""".stripMargin)),
-    GraftQuery("q1_pricing_summary", JoinOps.q1PricingSummary, Some(
-      """SELECT l_returnflag, l_linestatus,
-        |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100 AS sum_qty,
-        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100 AS sum_base_price,
-        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
-        |         * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000 AS sum_disc_price,
-        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
-        |         * (100 - CAST(round(l_discount*100) AS BIGINT))
-        |         * (100 + CAST(round(l_tax*100) AS BIGINT))) AS DOUBLE)/1000000 AS sum_charge,
-        |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100/count(*) AS avg_qty,
-        |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100/count(*) AS avg_price,
-        |  CAST(sum(CAST(round(l_discount*100) AS BIGINT)) AS DOUBLE)/100/count(*) AS avg_disc,
-        |  count(*) AS count_order
-        |FROM lineitem
-        |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-        |GROUP BY l_returnflag, l_linestatus
-        |ORDER BY l_returnflag, l_linestatus""".stripMargin)),
+    GraftQuery("q1_pricing_summary", JoinOps.q1PricingSummary,
+      Some(q1PricingOracle)),
+    // warehouse-scale DECIMAL twin: exact decimal aggregation whose
+    // output doubles go through the same scaled-int extraction as the
+    // int64 form — bit parity is structural, so it shares q1's oracle
+    GraftQuery("q1_pricing_summary_decimal", JoinOps.q1PricingSummaryDecimal,
+      Some(q1PricingOracle)),
     GraftQuery("q4_priority_count", JoinOps.q4PriorityCount, Some(
       """SELECT o_orderpriority, count(*) AS order_count
         |FROM orders o
@@ -1318,6 +1308,28 @@ object Registry {
     * the final chunk). A def, not a val: it is referenced from inside
     * the query-list vals below and defs are initialization-order-proof.
     * Shared by the chunk dump and the chunk-level dedup pair oracle. */
+  /** Q1 pricing-summary oracle — single source shared by the scaled-int64
+    * form and the DECIMAL aggregation twin (both produce their output
+    * doubles through the identical scaled-integer → double → divide
+    * route this SQL spells out). */
+  private def q1PricingOracle: String =
+    """SELECT l_returnflag, l_linestatus,
+      |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100 AS sum_qty,
+      |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100 AS sum_base_price,
+      |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+      |         * (100 - CAST(round(l_discount*100) AS BIGINT))) AS DOUBLE)/10000 AS sum_disc_price,
+      |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)
+      |         * (100 - CAST(round(l_discount*100) AS BIGINT))
+      |         * (100 + CAST(round(l_tax*100) AS BIGINT))) AS DOUBLE)/1000000 AS sum_charge,
+      |  CAST(sum(CAST(round(l_quantity*100) AS BIGINT)) AS DOUBLE)/100/count(*) AS avg_qty,
+      |  CAST(sum(CAST(round(l_extendedprice*100) AS BIGINT)) AS DOUBLE)/100/count(*) AS avg_price,
+      |  CAST(sum(CAST(round(l_discount*100) AS BIGINT)) AS DOUBLE)/100/count(*) AS avg_disc,
+      |  count(*) AS count_order
+      |FROM lineitem
+      |WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      |GROUP BY l_returnflag, l_linestatus
+      |ORDER BY l_returnflag, l_linestatus""".stripMargin
+
   /** Decontamination oracles — single source shared by the string-keyed
     * operators and their digest-keyed 100 TB twins (the digest re-keys
     * the broadcast index only; output rows are identical barring a
@@ -2423,7 +2435,7 @@ object Registry {
         |       true AS passes
         |FROM t""".stripMargin)),
     GraftQuery("x_sim_knn_recall_gate", (s, d) => SimilarityOps.knnRecallGate(s, d), Some(
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |s AS (SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
         |         list_cosine_similarity(a.v, b.v) AS cos
         |      FROM e a JOIN e b ON a.vec_id <> b.vec_id),
@@ -2431,7 +2443,7 @@ object Registry {
         |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
         |      FROM s QUALIFY rank <= 5)
         |SELECT CAST(count(*) AS INTEGER) AS n_exact,
-        |       CAST(0.25 AS DOUBLE) AS floor,
+        |       CAST(${SimilarityOps.KnnRecallFloor} AS DOUBLE) AS floor,
         |       true AS passes
         |FROM t""".stripMargin)),
     GraftQuery("x_dedup_embed_clusters",

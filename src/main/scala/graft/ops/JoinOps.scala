@@ -3,7 +3,7 @@ package graft.ops
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
-import org.apache.spark.sql.types.{DoubleType, IntegerType, LongType, StructField, StructType, TimestampType}
+import org.apache.spark.sql.types.{DecimalType, DoubleType, IntegerType, LongType, StructField, StructType, TimestampType}
 
 /** Join operators. The reference has no joins (SURVEY.md §2, "What the
   * reference does NOT have"), but a complete analytics engine over its
@@ -315,9 +315,8 @@ object JoinOps {
     * (inputs are exact 2-decimal values, so ×100 + round is lossless):
     * the per-row product is ≤ ~1.2e11 and the sums stay far inside int64
     * at bench scale, giving bit-identical results in any engine and any
-    * partitioning. At warehouse scale the same plan swaps the int64 sums
-    * for DECIMAL(38,x) — plan shape (partial+final hash agg over a
-    * pushed-down scan, ~6 output rows) is unchanged. */
+    * partitioning. The warehouse-scale DECIMAL(38,x) swap is served as
+    * [[q1PricingSummaryDecimal]] (same plan shape, same oracle). */
   def q1PricingSummary(spark: SparkSession, dir: String): DataFrame = {
     def c100(c: Column): Column = round(c * 100).cast(LongType)
     Tables(spark, dir, "lineitem")
@@ -338,6 +337,47 @@ object JoinOps {
         (sum(col("qty_c")).cast(DoubleType) / 100 / count(lit(1))).as("avg_qty"),
         (sum(col("price_c")).cast(DoubleType) / 100 / count(lit(1))).as("avg_price"),
         (sum(col("disc_c")).cast(DoubleType) / 100 / count(lit(1))).as("avg_disc"),
+        count(lit(1)).as("count_order"))
+      .orderBy("l_returnflag", "l_linestatus")
+  }
+
+  /** DECIMAL-path twin of [[q1PricingSummary]] — the warehouse-scale
+    * arithmetic its Scaladoc promises, served and value-verified rather
+    * than only spec-asserted: every measure aggregates in EXACT DECIMAL
+    * (inputs at (12,2); the three-factor charge product lands exactly
+    * on the (38,6) cap — 2+2+2 fractional digits, nothing rounds).
+    * Output doubles are produced through the SAME scaled-integer →
+    * double → divide route as the int64 form: the decimal sums are
+    * exact, so multiplying out the scale and casting through long is
+    * lossless integer extraction, and the remaining double divisions
+    * are the identical IEEE operations the int64 form and the DuckDB
+    * oracle perform — bit-for-bit agreement is structural, which is
+    * what lets this entry share q1's oracle. Plan shape is unchanged:
+    * partial+final hash aggregate over the pushed-down scan, ~6 rows. */
+  def q1PricingSummaryDecimal(spark: SparkSession, dir: String): DataFrame = {
+    def d2(c: Column): Column = c.cast(DecimalType(12, 2))
+    // exact decimal sum (scale s) → the oracle's double: extract the
+    // scaled integer losslessly, then divide in double like everyone else
+    def asOracleDouble(sumDec: Column, scale: Int): Column = {
+      val m = math.pow(10, scale).toLong
+      (sumDec * m).cast(LongType).cast(DoubleType) / m
+    }
+    val price = d2(col("l_extendedprice"))
+    val disc = d2(col("l_discount"))
+    val tax = d2(col("l_tax"))
+    val qty = d2(col("l_quantity"))
+    val one = lit(1).cast(DecimalType(3, 2))
+    Tables(spark, dir, "lineitem")
+      .filter(col("l_shipdate") <= lit(java.sql.Timestamp.valueOf("1998-09-02 00:00:00")))
+      .groupBy(col("l_returnflag"), col("l_linestatus"))
+      .agg(
+        asOracleDouble(sum(qty), 2).as("sum_qty"),
+        asOracleDouble(sum(price), 2).as("sum_base_price"),
+        asOracleDouble(sum(price * (one - disc)), 4).as("sum_disc_price"),
+        asOracleDouble(sum(price * (one - disc) * (one + tax)), 6).as("sum_charge"),
+        (asOracleDouble(sum(qty), 2) / count(lit(1))).as("avg_qty"),
+        (asOracleDouble(sum(price), 2) / count(lit(1))).as("avg_price"),
+        (asOracleDouble(sum(disc), 2) / count(lit(1))).as("avg_disc"),
         count(lit(1)).as("count_order"))
       .orderBy("l_returnflag", "l_linestatus")
   }

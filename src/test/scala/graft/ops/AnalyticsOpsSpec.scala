@@ -320,6 +320,9 @@ class AnalyticsOpsSpec extends SparkSpec {
       // charge >= disc price (tax is non-negative)
       assert(row.getAs[Double]("sum_charge") >= row.getAs[Double]("sum_disc_price"))
     }
+    // the served DECIMAL-path twin is row-for-row (bit-for-bit) equal —
+    // the scaled-int extraction route makes parity structural
+    assert(JoinOps.q1PricingSummaryDecimal(spark, Sf0001).collect().toSeq == r.toSeq)
   }
 
   test("q4: priority counts equal a distinct-count formulation") {

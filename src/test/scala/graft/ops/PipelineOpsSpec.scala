@@ -439,7 +439,7 @@ class PipelineOpsSpec extends SparkSpec {
     assert(c0.takeRight(8).toSeq == c1.take(8).toSeq)
   }
 
-  test("knn join: full top-k per vector, no self pairs, recall@5 >= 0.25 vs brute") {
+  test("knn join: full top-k per vector, no self pairs, recall@5 over the gate floor vs brute") {
     import graft.functions.exprs._
     val k = 5
     val emb = Tables(spark, Sf0001, "embeddings")
@@ -458,7 +458,9 @@ class PipelineOpsSpec extends SparkSpec {
     val perQ = rows.groupBy(_.getAs[Long]("q_id"))
     assert(perQ.values.forall(rs => rs.map(_.getAs[Int]("rank")).sorted.toSeq == (1 to rs.length)))
     val recall = got.intersect(truth).size.toDouble / truth.size
-    assert(recall >= 0.25, s"knn-join recall@5 too low: $recall") // measured ~0.40
+    // same floor as the hash-green gate entry (0.35 after the round-11
+    // TuneLsh re-sweep; measured 0.396 at sf0.01, comfortably above here)
+    assert(recall >= SimilarityOps.KnnRecallFloor, s"knn-join recall@5 too low: $recall")
   }
 
   test("ann embed clusters: components agree with the ClusterRecallConfig edge graph") {
