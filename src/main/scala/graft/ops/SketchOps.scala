@@ -138,7 +138,9 @@ object SketchOps {
       .select(col("month"), hll_sketch_estimate(col("sk")).as("est_parts"))
       .orderBy("month")
 
-  private def monthlyTiles(spark: SparkSession, dir: String): DataFrame =
+  // private[ops] so the negative-control spec can drive the gate's
+  // range query with a deliberately broken tile set
+  private[ops] def monthlyTiles(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "lineitem")
       .groupBy(date_trunc("month", col("l_shipdate")).as("month"))
       .agg(hll_sketch_agg(col("l_partkey"), lit(14)).as("sk"))

@@ -66,4 +66,38 @@ class CountMinSpec extends SparkSpec {
       assert(r.getAs[Boolean]("within_bound"), s"excess blown at ${r.getString(0)}")
     }
   }
+
+  test("negative control: a scrambled sketch breaks the never-undercount bound the CMS gate checks") {
+    // failure mode: the hash→cell mapping the estimator assumes no
+    // longer matches the counters (a serialization/merge bug would look
+    // exactly like this). Rotating every row by one cell leaves all the
+    // mass in place but moves it off the probe cells — the estimate for
+    // a frequent term collapses, so the gate's `overestimates`
+    // (est >= freq) predicate reads FALSE and the correctness row reds.
+    val stream = Seq.fill(50)("alpha") ++ Seq.fill(30)("beta") ++
+      (1 to 200).map(i => s"t$i")
+    val sk = sketchOf(stream, 2)
+    val bad = new Array[Long](D * W)
+    for (d <- 0 until D; i <- 0 until W)
+      bad(d * W + i) = sk(d * W + (i + 1) % W)
+    val est = CountMinAggregator.estimate(bad, "alpha", D, W)
+    assert(est < 50, s"scrambled sketch still covers alpha's count: $est")
+  }
+
+  test("negative control: lost and inflated sketches red both join-size gate bounds") {
+    // exact |A ⋈ B| = 2·4 + 1·5 = 13 (from the planted streams above)
+    val a = sketchOf(Seq.fill(3)("a") ++ Seq.fill(2)("b") ++ Seq("c"), 2)
+    val b = sketchOf(Seq.fill(4)("b") ++ Seq.fill(5)("c") ++ Seq.fill(7)("d"), 3)
+    // failure mode 1 — lost rows (a scan that silently dropped a
+    // partition): the inner product undercounts, so the gate's
+    // `est >= exact` lower bound reds
+    val aLost = sketchOf(Seq("a", "b"), 1)
+    assert(CountMinAggregator.innerProduct(aLost, b, D, W) < 13L)
+    // failure mode 2 — double-counted partials (a merge applied twice):
+    // the excess blows the deterministic depth·|A|·|B|/width band, so
+    // `within_bound` reds (|A|=6, |B|=16)
+    val aDoubled = a.map(_ * 2L)
+    val inflated = CountMinAggregator.innerProduct(aDoubled, b, D, W)
+    assert(inflated > 13L && (inflated - 13L) * W > D.toLong * 6L * 16L)
+  }
 }

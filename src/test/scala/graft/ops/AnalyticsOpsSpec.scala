@@ -364,6 +364,28 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(g.getAs[Long]("n_parts") == exact)
   }
 
+  test("negative control: a tile set missing months reds the sketch-cube gate band") {
+    // failure mode: the tile materialization loses partitions (a
+    // partial overwrite, a month-boundary off-by-one). Answering the
+    // gate's full-1995 range query from January's tile alone must blow
+    // the 4% band — the exact predicate sketchCubeGate serves — so a
+    // broken tile pipeline reds the correctness row rather than
+    // shipping a silently-low distinct count.
+    val janOnly = SketchOps.monthlyTiles(spark, Sf0001)
+      .filter(col("month") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")) &&
+        col("month") < lit(java.sql.Timestamp.valueOf("1995-02-01 00:00:00")))
+      .agg(hll_sketch_estimate(hll_union_agg(col("sk"))).as("est"))
+      .collect()(0).getLong(0)
+    val exact1995 = Tables(spark, Sf0001, "lineitem")
+      .filter(col("l_shipdate") >= lit(java.sql.Timestamp.valueOf("1995-01-01 00:00:00")) &&
+        col("l_shipdate") < lit(java.sql.Timestamp.valueOf("1996-01-01 00:00:00")))
+      .agg(countDistinct(col("l_partkey"))).collect()(0).getLong(0)
+    assert(math.abs(janOnly - exact1995) * 100L > exact1995 * 4L,
+      s"one-month tile est $janOnly vs exact $exact1995 still inside the band")
+    // the healthy gate stays green on the same data, same predicate
+    assert(SketchOps.sketchCubeGate(spark, Sf0001).collect()(0).getAs[Boolean]("passes"))
+  }
+
   test("approx percentile gate: GK rank error within n/accuracy per group") {
     val rows = SetOps.g4bApproxPercentileGate(spark, Sf0001).collect()
     assert(rows.length >= 2)
