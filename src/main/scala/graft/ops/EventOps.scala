@@ -486,22 +486,40 @@ object EventOps {
     * deviation, and the flag comparison are exact — fully hash-oracled,
     * score included (one IEEE division, NULL when mad = 0).
     *
-    * Scale shape: two sort-based percentile passes over the fact table
-    * keyed by event_type + a broadcast-back of the |types|-row band
-    * table; the flagged output is |anomalies|-bounded. */
+    * Scale shape: the discrete medians run over (type, value) FREQUENCY
+    * tables, not raw fact rows — the g4cDiscPercentiles de-skew: a
+    * cume_dist window keyed by event_type alone would buffer 1/|types|
+    * of the fact table per task, while the composite-key frequency
+    * aggregate is map-side combinable and the rank arithmetic then
+    * touches only the distinct-value table. Plus a broadcast-back of
+    * the |types|-row band table; the flagged output is
+    * |anomalies|-bounded. */
   def anomalyMad(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir, "events")
       .select(col("event_id"), col("event_type"), col("value"))
-    val w1 = Window.partitionBy(col("event_type")).orderBy(col("value"))
-    val med = ev.withColumn("cd", cume_dist().over(w1))
-      .groupBy(col("event_type").as("t1"))
-      .agg(min(when(col("cd") >= 0.5, col("value"))).as("med"))
+    // discrete median over a value-frequency table: running row count /
+    // group total replicates cume_dist's rank/n division exactly (ties
+    // carry the high count in both formulations)
+    def discMedian(rows: DataFrame, keyCols: Seq[String], valueCol: String,
+        out: String): DataFrame = {
+      val keys = keyCols.map(col)
+      val counts = rows.groupBy(keys :+ col(valueCol): _*)
+        .agg(count(lit(1)).as("cnt"))
+      val wc = Window.partitionBy(keys: _*).orderBy(col(valueCol))
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+      val wn = Window.partitionBy(keys: _*)
+      counts
+        .withColumn("cd",
+          sum(col("cnt")).over(wc).cast(DoubleType) / sum(col("cnt")).over(wn))
+        .groupBy(keys: _*)
+        .agg(min(when(col("cd") >= 0.5, col(valueCol))).as(out))
+    }
+    val med = discMedian(ev, Seq("event_type"), "value", "med")
+      .withColumnRenamed("event_type", "t1")
     val dev = ev.join(broadcast(med), col("event_type") === col("t1"))
       .withColumn("dev", abs(col("value") - col("med")))
-    val w2 = Window.partitionBy(col("event_type")).orderBy(col("dev"))
-    val mad = dev.withColumn("cd", cume_dist().over(w2))
-      .groupBy(col("event_type").as("t2"), col("med").as("med2"))
-      .agg(min(when(col("cd") >= 0.5, col("dev"))).as("mad"))
+    val mad = discMedian(dev, Seq("event_type", "med"), "dev", "mad")
+      .withColumnRenamed("event_type", "t2").withColumnRenamed("med", "med2")
     ev.join(broadcast(mad), col("event_type") === col("t2"))
       .withColumn("dev", abs(col("value") - col("med2")))
       .filter(col("dev") > lit(5.0) * col("mad"))

@@ -87,16 +87,29 @@ object SetOps {
   /** Discrete-percentile twin of `g4Percentiles`: the value RETURNED is
     * always an actual data point (quantile_disc semantics — what SLO/tail
     * reporting wants, where an interpolated latency that nobody observed
-    * is misleading). Spark has no percentile_disc; the standard
-    * formulation is a rank window: the smallest row whose cume_dist
-    * reaches p, per group and percentile — one shuffle on the group key,
-    * rank windows stream. Value-oracled against DuckDB quantile_disc
-    * (identical "lowest value at cumulative rank ≥ p" definition). */
+    * is misleading). Spark has no percentile_disc; the textbook
+    * formulation is cume_dist over the RAW rows per group — which at
+    * 100 TB buffers a third of the fact table in each of three window
+    * tasks (3 returnflags). This plan instead aggregates to
+    * (group, value) FREQUENCIES first — a composite-key hash aggregate,
+    * map-side combinable, no skew — and runs the rank arithmetic over
+    * the tiny distinct-value table (~50 quantity levels per flag): the
+    * running count of rows ≤ v divided by the group total is exactly
+    * the cume_dist of v's last tied row, so `min value with cd ≥ p` is
+    * unchanged value-for-value. Value-oracled against DuckDB
+    * quantile_disc (identical "lowest value at cumulative rank ≥ p"
+    * definition). */
   def g4cDiscPercentiles(spark: SparkSession, dir: String): DataFrame = {
-    val w = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
-    val ranked = Tables(spark, dir, "lineitem")
-      .select(col("l_returnflag"), col("l_quantity"))
-      .withColumn("cd", cume_dist().over(w))
+    val counts = Tables(spark, dir, "lineitem")
+      .groupBy(col("l_returnflag"), col("l_quantity"))
+      .agg(count(lit(1)).as("cnt"))
+    val wc = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy(col("l_returnflag"))
+    // cd replicates cume_dist's rank/n double division exactly
+    val ranked = counts
+      .withColumn("cd",
+        sum(col("cnt")).over(wc).cast(DoubleType) / sum(col("cnt")).over(wn))
     def disc(p: Double): Column =
       min(when(col("cd") >= p, col("l_quantity"))).as(s"p${(p * 100).toInt}")
     ranked.groupBy(col("l_returnflag"))

@@ -80,19 +80,28 @@ object TextOps {
     * dependent so the oracle pins the rational form; see the
     * transcendentals rule in the determinism policy).
     *
-    * Plan: df is a WINDOW COUNT over the tf table, not a self-join — the
-    * corpus is tokenized and shuffled exactly once, then two keyed window
-    * exchanges (term, then doc_id); a join-based df would re-explode the
-    * corpus per branch (column pruning rewrites the second reference into
-    * a different canonical aggregate, so exchange reuse cannot save it —
-    * measured before switching). The rank window prunes early via
-    * Spark 4's partial WindowGroupLimit. */
+    * Plan: df is a partial-aggregatable groupBy over the tf table joined
+    * back on the term — NOT a window partitioned by the term. A stopword
+    * is a GUARANTEED hot key (it appears in ~every document, so its tf
+    * rows are ~|docs|), and a window partitioned by the term funnels all
+    * of them into one task — the same skew cliff the paragraph-dedup
+    * family was purged of in round 11. The groupBy collapses a hot term
+    * map-side to ≤ numPartitions rows before its exchange, and the join
+    * back has a ONE-row-per-term build side, which AQE's skew-join split
+    * can handle on the hot probe partitions (a window offers neither
+    * escape). tf is consumed by both branches, so an EAGER local
+    * checkpoint materializes the tokenize+count once (the
+    * cdcNearDupPairs pattern) — without it, column pruning rewrites the
+    * df branch into a different canonical aggregate and the corpus
+    * re-explodes per branch (measured in round 6). The rank window
+    * prunes early via Spark 4's partial WindowGroupLimit. */
   def salientTerms(spark: SparkSession, dir: String, k: Int = 5): DataFrame = {
-    val wd = org.apache.spark.sql.expressions.Window.partitionBy(col("term"))
+    val tf = termTf(spark, dir).localCheckpoint()
+    val df = tf.groupBy(col("term"))
+      .agg(count(lit(1)).cast(IntegerType).as("df"))
     val wr = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
       .orderBy(col("tf").desc, col("df").asc, col("term"))
-    termTf(spark, dir)
-      .withColumn("df", count(lit(1)).over(wd).cast(IntegerType))
+    tf.join(df, Seq("term"))
       .withColumn("rank", row_number().over(wr).cast(IntegerType))
       .filter(col("rank") <= k)
       .select(col("doc_id"), col("rank"), col("term"), col("tf"), col("df"))
