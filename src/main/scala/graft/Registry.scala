@@ -1308,6 +1308,24 @@ object Registry {
     * the final chunk). A def, not a val: it is referenced from inside
     * the query-list vals below and defs are initialization-order-proof.
     * Shared by the chunk dump and the chunk-level dedup pair oracle. */
+  /** Split-drift count CTEs (through `c` = per-length-bucket train/val
+    * counts and `t` = the two totals) — shared by the per-bucket χ²
+    * report and its order-independent summary so the two cannot drift.
+    * Mirrors SamplingOps.splitDriftCounts step for step. */
+  private def driftCountCtes: String =
+    s"""s AS (SELECT CAST(('0x' || substr(md5(text), 1, 4)) AS INTEGER) % 100 AS bucket,
+      |        CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS INTEGER) AS n_tok
+      |      FROM documents),
+      |d AS (SELECT CASE WHEN bucket < 90 THEN 'train'
+      |                  WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split,
+      |        (n_tok // ${PretrainOps.BucketWidth}) * ${PretrainOps.BucketWidth} AS bucket_lo
+      |      FROM s),
+      |c AS (SELECT bucket_lo,
+      |        sum(CASE WHEN split = 'train' THEN 1 ELSE 0 END) AS n_train,
+      |        sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS n_val
+      |      FROM d WHERE split IN ('train', 'val') GROUP BY bucket_lo),
+      |t AS (SELECT sum(n_train) AS tt, sum(n_val) AS tv FROM c)""".stripMargin
+
   /** Q1 pricing-summary oracle — single source shared by the scaled-int64
     * form and the DECIMAL aggregation twin (both produce their output
     * doubles through the identical scaled-integer → double → divide
@@ -2648,6 +2666,31 @@ object Registry {
         |            WHEN CAST(('0x' || substr(md5(text), 1, 4)) AS INTEGER) % 100 < 95 THEN 'val'
         |            ELSE 'test' END AS split
         |FROM documents ORDER BY doc_id""".stripMargin)),
+    // split-drift monitor: χ² chosen over PSI/KL because it is rational
+    // (no libm transcendentals) → fully value-oracled; summary twin is
+    // order-independent (count / count / max), never a double sum
+    GraftQuery("x_drift_chisq", SamplingOps.splitDriftChisq, Some(
+      s"""WITH $driftCountCtes
+        |SELECT CAST(bucket_lo AS INTEGER) AS bucket_lo,
+        |       CAST(n_train AS BIGINT) AS n_train, CAST(n_val AS BIGINT) AS n_val,
+        |       CASE WHEN n_train > 0 THEN CAST(tv * n_train AS DOUBLE) / tt END AS e_val,
+        |       CASE WHEN n_train > 0 THEN
+        |         (CAST(n_val AS DOUBLE) - CAST(tv * n_train AS DOUBLE) / tt)
+        |           * (CAST(n_val AS DOUBLE) - CAST(tv * n_train AS DOUBLE) / tt)
+        |           / (CAST(tv * n_train AS DOUBLE) / tt) END AS chi2_term
+        |FROM c CROSS JOIN t ORDER BY bucket_lo""".stripMargin)),
+    GraftQuery("x_drift_chisq_summary", SamplingOps.splitDriftSummary, Some(
+      s"""WITH $driftCountCtes,
+        |terms AS (SELECT n_train,
+        |            CASE WHEN n_train > 0 THEN
+        |              (CAST(n_val AS DOUBLE) - CAST(tv * n_train AS DOUBLE) / tt)
+        |                * (CAST(n_val AS DOUBLE) - CAST(tv * n_train AS DOUBLE) / tt)
+        |                / (CAST(tv * n_train AS DOUBLE) / tt) END AS chi2_term
+        |          FROM c CROSS JOIN t)
+        |SELECT CAST(count(*) AS INTEGER) AS n_buckets,
+        |       CAST(sum(CASE WHEN n_train = 0 THEN 1 ELSE 0 END) AS INTEGER) AS n_unseen_in_train,
+        |       max(chi2_term) AS max_chi2_term
+        |FROM terms""".stripMargin)),
     GraftQuery("x_sample_stratified", (s, d) => SamplingOps.stratifiedSample(s, d), None),
     GraftQuery("x_sample_stratified_hash", SamplingOps.stratifiedSampleHash, Some(
       """SELECT doc_id, lang, source FROM documents

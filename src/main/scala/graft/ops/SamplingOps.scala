@@ -30,6 +30,66 @@ object SamplingOps {
           .otherwise("test").as("split"))
       .orderBy("doc_id")
 
+  /** Split-drift monitor: per token-length bucket, the observed val-split
+    * count against its expectation under the train-split length
+    * distribution, with the χ² contribution (o−e)²/e — the
+    * goodness-of-fit statistic a pipeline watches to catch a broken or
+    * biased split (e.g. a split keyed on something length-correlated).
+    * χ² is chosen over PSI/KL precisely because it is RATIONAL: every
+    * term is integer counts through one multiply, two divides and a
+    * square — IEEE-deterministic in any engine, so the whole report is
+    * value-oracled (a log-based divergence would hit the libm
+    * transcendentals rule). Per-bucket terms only — a total χ² would be
+    * an order-dependent double sum, which hash-verification forbids; the
+    * driver can fold the column, and [[splitDriftSummary]] serves the
+    * order-independent aggregate signals.
+    *
+    * Scale shape: one narrow scan (hash-split + token count per row),
+    * one composite-key-free but TINY aggregation (≤ |length buckets|
+    * groups after map-side partials), a 1-row total broadcast back.
+    * Buckets unseen in train carry NULL e/χ² (flagged, not divided). */
+  def splitDriftChisq(spark: SparkSession, dir: String): DataFrame =
+    splitDriftCounts(spark, dir)
+      .select(col("bucket_lo"), col("n_train"), col("n_val"),
+        col("e_val"), col("chi2_term"))
+      .orderBy("bucket_lo")
+
+  /** Order-independent one-row summary of [[splitDriftChisq]]: bucket
+    * and unseen-bucket counts plus the MAX χ² term (max over doubles is
+    * permutation-safe where a sum is not) — the alerting scalar. */
+  def splitDriftSummary(spark: SparkSession, dir: String): DataFrame =
+    splitDriftCounts(spark, dir)
+      .agg(count(lit(1)).cast(IntegerType).as("n_buckets"),
+        sum(when(col("e_val").isNull, 1L).otherwise(0L))
+          .cast(IntegerType).as("n_unseen_in_train"),
+        max(col("chi2_term")).as("max_chi2_term"))
+
+  private def splitDriftCounts(spark: SparkSession, dir: String): DataFrame = {
+    val bucket = (conv(substring(md5(col("text")), 1, 4), 16, 10)
+      .cast(IntegerType) % 100)
+    val counts = Tables(spark, dir, "documents")
+      .select(
+        when(bucket < 90, "train").when(bucket < 95, "val")
+          .otherwise("test").as("split"),
+        (floor(TextOps.bpeTokenCount(col("text")) / PretrainOps.BucketWidth)
+          .cast(IntegerType) * PretrainOps.BucketWidth).as("bucket_lo"))
+      .filter(col("split").isin("train", "val"))
+      .groupBy(col("bucket_lo"))
+      .agg(
+        sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
+        sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"))
+    val totals = counts
+      .agg(sum(col("n_train")).as("tot_train"), sum(col("n_val")).as("tot_val"))
+    // e and every χ² term are the SAME IEEE expression sequence the
+    // DuckDB oracle spells out: exact integer product → double divide →
+    // subtract → self-multiply → divide
+    val e = (col("tot_val") * col("n_train")).cast(DoubleType) / col("tot_train")
+    val diff = col("n_val").cast(DoubleType) - e
+    counts.crossJoin(broadcast(totals))
+      .withColumn("e_val", when(col("n_train") > 0, e))
+      .withColumn("chi2_term", when(col("n_train") > 0, diff * diff / e))
+  }
+
   /** Per-language target sampling rates: the data-mixing knob (upweight
     * scarce languages, downsample the dominant one). */
   val LangFractions: Map[String, Double] =

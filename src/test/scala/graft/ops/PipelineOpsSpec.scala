@@ -709,6 +709,42 @@ class PipelineOpsSpec extends SparkSpec {
     assert(p(0L) == p(2L))
   }
 
+  test("split drift: counts reconcile with the split surfaces, χ² terms match a driver replay") {
+    val rows = SamplingOps.splitDriftChisq(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    // independent recomputation from the two surfaces the monitor joins:
+    // the hash split and the BPE token counter
+    val split = SamplingOps.splitHash(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    val nTok = TextOps.tokenStats(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getInt(2)).toMap
+    val want = nTok.toSeq
+      .filter { case (id, _) => split(id) == "train" || split(id) == "val" }
+      .groupBy { case (id, n) => (n / PretrainOps.BucketWidth) * PretrainOps.BucketWidth }
+      .view.mapValues { xs =>
+        (xs.count(x => split(x._1) == "train").toLong,
+          xs.count(x => split(x._1) == "val").toLong)
+      }.toMap
+    assert(rows.map(r => r.getInt(0) ->
+      (r.getLong(1), r.getLong(2))).toMap == want)
+    // exact χ² replay with the same IEEE op sequence
+    val tt = want.values.map(_._1).sum
+    val tv = want.values.map(_._2).sum
+    rows.foreach { r =>
+      val (ntr, nv) = (r.getLong(1), r.getLong(2))
+      if (ntr > 0) {
+        val e = (tv * ntr).toDouble / tt
+        val d = nv.toDouble - e
+        assert(r.getDouble(3) == e && r.getDouble(4) == d * d / e)
+      } else assert(r.isNullAt(3) && r.isNullAt(4))
+    }
+    // summary = order-independent folds of the per-bucket report
+    val s = SamplingOps.splitDriftSummary(spark, Sf0001).collect()(0)
+    assert(s.getInt(0) == rows.length)
+    assert(s.getInt(1) == rows.count(_.isNullAt(3)))
+    assert(s.getDouble(2) == rows.filter(!_.isNullAt(4)).map(_.getDouble(4)).max)
+  }
+
   test("stratified sample: per-stratum rates honored, deterministic per seed") {
     val base = Tables(spark, Sf0001, "documents")
       .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
