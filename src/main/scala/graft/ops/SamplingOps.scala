@@ -64,10 +64,14 @@ object SamplingOps {
           .cast(IntegerType).as("n_unseen_in_train"),
         max(col("chi2_term")).as("max_chi2_term"))
 
-  private def splitDriftCounts(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-length-bucket train/val counts of a (…, text) document set —
+    * the streaming-aggregatable core of the drift monitor (every column
+    * is a sum, so the SAME expression runs as a complete-mode streaming
+    * aggregation in graft.streaming.StreamingDriftMonitor). */
+  private[graft] def driftBucketCounts(docs: DataFrame): DataFrame = {
     val bucket = (conv(substring(md5(col("text")), 1, 4), 16, 10)
       .cast(IntegerType) % 100)
-    val counts = Tables(spark, dir, "documents")
+    docs
       .select(
         when(bucket < 90, "train").when(bucket < 95, "val")
           .otherwise("test").as("split"),
@@ -78,6 +82,12 @@ object SamplingOps {
       .agg(
         sum(when(col("split") === "train", 1L).otherwise(0L)).as("n_train"),
         sum(when(col("split") === "val", 1L).otherwise(0L)).as("n_val"))
+  }
+
+  /** χ² finishing step over a (bucket_lo, n_train, n_val) counts table —
+    * shared by the batch report and the streaming twin so the statistic
+    * cannot drift between them. */
+  private[graft] def chisqReport(counts: DataFrame): DataFrame = {
     val totals = counts
       .agg(sum(col("n_train")).as("tot_train"), sum(col("n_val")).as("tot_val"))
     // e and every χ² term are the SAME IEEE expression sequence the
@@ -89,6 +99,9 @@ object SamplingOps {
       .withColumn("e_val", when(col("n_train") > 0, e))
       .withColumn("chi2_term", when(col("n_train") > 0, diff * diff / e))
   }
+
+  private def splitDriftCounts(spark: SparkSession, dir: String): DataFrame =
+    chisqReport(driftBucketCounts(Tables(spark, dir, "documents")))
 
   /** Per-language target sampling rates: the data-mixing knob (upweight
     * scarce languages, downsample the dominant one). */
