@@ -1326,6 +1326,28 @@ object Registry {
       |      FROM d WHERE split IN ('train', 'val') GROUP BY bucket_lo),
       |t AS (SELECT sum(n_train) AS tt, sum(n_val) AS tv FROM c)""".stripMargin
 
+  /** Per-source drift CTE chain (through `cells` = the full
+    * source × length-bucket grid with observed counts, expectations and
+    * χ² terms) — shared by the cell report and the per-source summary.
+    * Mirrors SamplingOps.sourceDriftCells step for step. */
+  private def sourceDriftCtes: String =
+    s"""s AS (SELECT source,
+      |        (CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS INTEGER)
+      |           // ${PretrainOps.BucketWidth}) * ${PretrainOps.BucketWidth} AS bucket_lo
+      |      FROM documents),
+      |c AS (SELECT source, bucket_lo, count(*) AS n FROM s GROUP BY source, bucket_lo),
+      |bs AS (SELECT source, sum(n) AS tot_source FROM c GROUP BY source),
+      |bb AS (SELECT bucket_lo, sum(n) AS n_bucket FROM c GROUP BY bucket_lo),
+      |tot AS (SELECT sum(n) AS tot_all FROM c),
+      |cells AS (SELECT bs.source, bb.bucket_lo,
+      |            coalesce(c.n, 0) AS n_docs, bb.n_bucket,
+      |            CAST(bs.tot_source * bb.n_bucket AS DOUBLE) / tot.tot_all AS e_docs,
+      |            (CAST(coalesce(c.n, 0) AS DOUBLE) - CAST(bs.tot_source * bb.n_bucket AS DOUBLE) / tot.tot_all)
+      |              * (CAST(coalesce(c.n, 0) AS DOUBLE) - CAST(bs.tot_source * bb.n_bucket AS DOUBLE) / tot.tot_all)
+      |              / (CAST(bs.tot_source * bb.n_bucket AS DOUBLE) / tot.tot_all) AS chi2_term
+      |          FROM bs CROSS JOIN bb CROSS JOIN tot
+      |               LEFT JOIN c ON c.source = bs.source AND c.bucket_lo = bb.bucket_lo)""".stripMargin
+
   /** Q1 pricing-summary oracle — single source shared by the scaled-int64
     * form and the DECIMAL aggregation twin (both produce their output
     * doubles through the identical scaled-integer → double → divide
@@ -2691,6 +2713,21 @@ object Registry {
         |       CAST(sum(CASE WHEN n_train = 0 THEN 1 ELSE 0 END) AS INTEGER) AS n_unseen_in_train,
         |       max(chi2_term) AS max_chi2_term
         |FROM terms""".stripMargin)),
+    // per-source axis: observed vs corpus-wide length distribution over
+    // the full source × bucket grid (zero cells included — they ARE the
+    // drift signal); e > 0 on every cell so no null guard
+    GraftQuery("x_drift_source_chisq", SamplingOps.sourceDriftChisq, Some(
+      s"""WITH $sourceDriftCtes
+        |SELECT source, CAST(bucket_lo AS INTEGER) AS bucket_lo,
+        |       CAST(n_docs AS BIGINT) AS n_docs, CAST(n_bucket AS BIGINT) AS n_bucket,
+        |       e_docs, chi2_term
+        |FROM cells ORDER BY source, bucket_lo""".stripMargin)),
+    GraftQuery("x_drift_source_summary", SamplingOps.sourceDriftSummary, Some(
+      s"""WITH $sourceDriftCtes
+        |SELECT source, CAST(count(*) AS INTEGER) AS n_buckets,
+        |       CAST(sum(CASE WHEN n_docs = 0 THEN 1 ELSE 0 END) AS INTEGER) AS n_empty_buckets,
+        |       max(chi2_term) AS max_chi2_term
+        |FROM cells GROUP BY source ORDER BY source""".stripMargin)),
     GraftQuery("x_sample_stratified", (s, d) => SamplingOps.stratifiedSample(s, d), None),
     GraftQuery("x_sample_stratified_hash", SamplingOps.stratifiedSampleHash, Some(
       """SELECT doc_id, lang, source FROM documents

@@ -103,6 +103,58 @@ object SamplingOps {
   private def splitDriftCounts(spark: SparkSession, dir: String): DataFrame =
     chisqReport(driftBucketCounts(Tables(spark, dir, "documents")))
 
+  /** Per-SOURCE length-drift profile — the "which shard shifted" axis of
+    * corpus QA, complementing [[splitDriftChisq]]'s split axis: for
+    * every (source, length bucket) cell, the observed document count
+    * against its expectation under the CORPUS-WIDE length distribution,
+    * with the χ² contribution. The full source × bucket grid is emitted
+    * (zero cells included — a source missing a bucket the corpus has is
+    * exactly the drift signal), built by crossing the two TINY
+    * marginal tables, never the data: one narrow scan feeds a
+    * composite-key (source, bucket) count — map-side combinable, no
+    * skew — and every later step re-aggregates or joins that ≤
+    * |sources|·|buckets| table. Same rational-χ² determinism story as
+    * the split monitor → fully value-oracled. */
+  def sourceDriftChisq(spark: SparkSession, dir: String): DataFrame =
+    sourceDriftCells(spark, dir)
+      .select(col("source"), col("bucket_lo"), col("n_docs"),
+        col("n_bucket"), col("e_docs"), col("chi2_term"))
+      .orderBy("source", "bucket_lo")
+
+  /** Per-source one-row rollup of [[sourceDriftChisq]] — the alerting
+    * view, order-independent only (cell count, zero-cell count, max χ²
+    * term; never a double sum). */
+  def sourceDriftSummary(spark: SparkSession, dir: String): DataFrame =
+    sourceDriftCells(spark, dir)
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast(IntegerType).as("n_buckets"),
+        sum(when(col("n_docs") === 0L, 1L).otherwise(0L))
+          .cast(IntegerType).as("n_empty_buckets"),
+        max(col("chi2_term")).as("max_chi2_term"))
+      .orderBy("source")
+
+  private def sourceDriftCells(spark: SparkSession, dir: String): DataFrame = {
+    val counts = Tables(spark, dir, "documents")
+      .select(col("source"),
+        (floor(TextOps.bpeTokenCount(col("text")) / PretrainOps.BucketWidth)
+          .cast(IntegerType) * PretrainOps.BucketWidth).as("bucket_lo"))
+      .groupBy(col("source"), col("bucket_lo"))
+      .agg(count(lit(1)).as("n"))
+    val bySource = counts.groupBy(col("source")).agg(sum(col("n")).as("tot_source"))
+    val byBucket = counts.groupBy(col("bucket_lo")).agg(sum(col("n")).as("n_bucket"))
+    val total = counts.agg(sum(col("n")).as("tot_all"))
+    // e > 0 on every grid cell (both marginals are ≥ 1 by construction),
+    // so no null guard is needed — zero OBSERVED cells are the signal
+    val e = (col("tot_source") * col("n_bucket")).cast(DoubleType) / col("tot_all")
+    val nObs = coalesce(col("n"), lit(0L))
+    val diff = nObs.cast(DoubleType) - e
+    bySource.crossJoin(byBucket).crossJoin(broadcast(total))
+      .join(counts, Seq("source", "bucket_lo"), "left")
+      .select(col("source"), col("bucket_lo"),
+        nObs.as("n_docs"), col("n_bucket"),
+        e.as("e_docs"), (diff * diff / e).as("chi2_term"))
+  }
+
   /** Per-language target sampling rates: the data-mixing knob (upweight
     * scarce languages, downsample the dominant one). */
   val LangFractions: Map[String, Double] =

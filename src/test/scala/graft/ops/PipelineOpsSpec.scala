@@ -745,6 +745,36 @@ class PipelineOpsSpec extends SparkSpec {
     assert(s.getDouble(2) == rows.filter(!_.isNullAt(4)).map(_.getDouble(4)).max)
   }
 
+  test("source drift: full grid, marginals reconcile, χ² matches a driver replay") {
+    val cells = SamplingOps.sourceDriftChisq(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getLong(3),
+        r.getDouble(4), r.getDouble(5)))
+    val sources = cells.map(_._1).distinct
+    val buckets = cells.map(_._2).distinct
+    // the FULL grid is emitted — every source crosses every bucket
+    assert(cells.length == sources.length * buckets.length)
+    // marginal consistency: per bucket, observed sums to the bucket total
+    cells.groupBy(_._2).foreach { case (_, cs) =>
+      assert(cs.map(_._3).sum == cs.head._4)
+    }
+    // χ² replay with the same IEEE op sequence
+    val totSource = cells.groupBy(_._1).view.mapValues(_.map(_._3).sum).toMap
+    val totAll = cells.map(_._3).sum
+    cells.foreach { case (src, _, n, nBucket, e, term) =>
+      val eWant = (totSource(src) * nBucket).toDouble / totAll
+      val d = n.toDouble - eWant
+      assert(e == eWant && term == d * d / eWant)
+    }
+    // summary = per-source order-independent folds of the cells
+    val sum0 = SamplingOps.sourceDriftSummary(spark, Sf0001).collect()
+      .map(r => r.getString(0) -> (r.getInt(1), r.getInt(2), r.getDouble(3))).toMap
+    sources.foreach { src =>
+      val cs = cells.filter(_._1 == src)
+      assert(sum0(src) ==
+        ((cs.length, cs.count(_._3 == 0L), cs.map(_._6).max)))
+    }
+  }
+
   test("stratified sample: per-stratum rates honored, deterministic per seed") {
     val base = Tables(spark, Sf0001, "documents")
       .groupBy("lang").count().collect().map(r => r.getString(0) -> r.getLong(1)).toMap
