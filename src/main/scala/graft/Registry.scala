@@ -2554,6 +2554,34 @@ object Registry {
     // it shares the string-keyed oracle (cf. x_dedup_paragraph_digest)
     GraftQuery("x_decontaminate_digest", PretrainOps.decontaminateDigest,
       Some(decontamOracle)),
+    // surgical decontamination: redact exactly the tokens covered by a
+    // shared benchmark gram occurrence instead of dropping the doc;
+    // oracle replays the covered-set arithmetic with nested lambdas
+    GraftQuery("x_decontaminate_redact", PretrainOps.decontaminateRedact, Some(
+      s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t,
+        |                string_split(lower(text), ' ') AS tl FROM documents
+        |              WHERE len(string_split(text, ' ')) >= ${PretrainOps.ContamGram}),
+        |bgrams AS (SELECT DISTINCT unnest(list_transform(generate_series(1, len(tl) - ${PretrainOps.ContamGram - 1}),
+        |             i -> array_to_string(list_slice(tl, i, i + ${PretrainOps.ContamGram - 1}), ' '))) AS g
+        |           FROM toks WHERE doc_id % ${PretrainOps.BenchMod} = 0),
+        |occ AS (SELECT doc_id, i AS p,
+        |          array_to_string(list_slice(tl, i, i + ${PretrainOps.ContamGram - 1}), ' ') AS gram
+        |        FROM toks, unnest(generate_series(1, len(tl) - ${PretrainOps.ContamGram - 1})) AS u(i)
+        |        WHERE doc_id % ${PretrainOps.BenchMod} <> 0),
+        |st AS (SELECT doc_id, list_sort(list(p)) AS starts
+        |       FROM occ JOIN bgrams ON occ.gram = bgrams.g GROUP BY doc_id),
+        |r AS (SELECT t.doc_id, t.t, coalesce(st.starts, CAST([] AS BIGINT[])) AS starts
+        |      FROM toks t LEFT JOIN st USING (doc_id)
+        |      WHERE t.doc_id % ${PretrainOps.BenchMod} <> 0),
+        |f AS (SELECT doc_id, t, starts,
+        |        list_filter(generate_series(1, len(t)),
+        |          p -> len(list_filter(starts, s -> p >= s AND p <= s + ${PretrainOps.ContamGram - 1})) = 0) AS kept
+        |      FROM r)
+        |SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens,
+        |       CAST(len(starts) AS INTEGER) AS n_matches,
+        |       CAST(len(t) - len(kept) AS INTEGER) AS n_redacted,
+        |       coalesce(array_to_string(list_transform(kept, p -> t[CAST(p AS INTEGER)]), ' '), '') AS clean_text
+        |FROM f ORDER BY doc_id""".stripMargin)),
     GraftQuery("x_contam_score", PretrainOps.contaminationScore,
       Some(contamScoreOracle)),
     GraftQuery("x_contam_score_digest", PretrainOps.contaminationScoreDigest,

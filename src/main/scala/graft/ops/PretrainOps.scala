@@ -234,6 +234,58 @@ object PretrainOps {
       .orderBy("doc_id")
   }
 
+  /** SURGICAL decontamination — the span-level alternative to dropping
+    * a contaminated document whole: every token covered by ANY shared
+    * benchmark [[ContamGram]]-gram occurrence is redacted (removed) and
+    * the surviving tokens reassemble into a drop-in replacement text.
+    * Real pipelines prefer this when contamination is a quoted eval
+    * item inside an otherwise-good document — dropping the doc wastes
+    * the good tokens, keeping it leaks the eval item; excising exactly
+    * the covered span does neither.
+    *
+    * Matching runs on the lowercased tokens (the [[decontaminate]]
+    * rule); redaction removes the ORIGINAL-case tokens at the matched
+    * positions — lowercasing never moves a space, so positions align.
+    *
+    * Scale shape: same broadcast benchmark-gram index as
+    * [[decontaminate]]; matched START POSITIONS flow back to the doc
+    * through one doc_id aggregation (a list bounded by the doc's own
+    * gram count — per-doc state, never corpus-wide), and the covered-
+    * set arithmetic is narrow per-row array logic. Every step is
+    * deterministic integer/string work → fully value-oracled. */
+  def decontaminateRedact(spark: SparkSession, dir: String): DataFrame = {
+    val k = ContamGram
+    val docs = Tables(spark, dir, "documents")
+    val bench = benchmarkGrams(docs.filter(col("doc_id") % BenchMod === 0))
+    val toks = docs.filter(col("doc_id") % BenchMod =!= 0)
+      .select(col("doc_id"), split(col("text"), " ").as("t"),
+        split(lower(col("text")), " ").as("tl"))
+      .filter(size(col("tl")) >= k)
+    // ALL gram occurrences with 1-based start positions (no distinct —
+    // a benchmark phrase quoted twice redacts both sites)
+    val starts = toks
+      .select(col("doc_id"), posexplode(transform(
+        sequence(lit(0), size(col("tl")) - k),
+        i => array_join(slice(col("tl"), i + 1, lit(k)), " "))).as(Seq("p0", "g")))
+      .join(broadcast(bench), Seq("g"))
+      .groupBy(col("doc_id"))
+      .agg(sort_array(collect_list(col("p0") + 1)).as("starts"))
+    val emptyStarts = array().cast(ArrayType(IntegerType, containsNull = false))
+    val covered = (p: Column) =>
+      exists(col("starts"), s => p >= s && p <= s + lit(k - 1))
+    toks.join(starts, Seq("doc_id"), "left")
+      .withColumn("starts", coalesce(col("starts"), emptyStarts))
+      .withColumn("kept_pos",
+        filter(sequence(lit(1), size(col("t"))), p => !covered(p)))
+      .select(col("doc_id"),
+        size(col("t")).as("n_tokens"),
+        size(col("starts")).as("n_matches"),
+        (size(col("t")) - size(col("kept_pos"))).as("n_redacted"),
+        array_join(transform(col("kept_pos"), p => element_at(col("t"), p)), " ")
+          .as("clean_text"))
+      .orderBy("doc_id")
+  }
+
   /** Per-document contamination FRACTION — the score form of
     * `decontaminate`'s boolean: shared benchmark grams over the doc's
     * distinct grams. Thresholding at >0 reproduces the boolean; real

@@ -363,6 +363,34 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == Seq((1L, 1, true), (2L, 0, false)))
   }
 
+  test("surgical decontamination: exactly the covered tokens go, case preserved, repeats both redacted") {
+    import spark.implicits._
+    val dir = tempDir("redact_docs")
+    val gram = (1 to 8).map(i => s"g$i").mkString(" ")
+    val gramUp = (1 to 8).map(i => s"G$i").mkString(" ") // uppercase twin
+    val clean = (1 to 12).map(i => s"c$i").mkString(" ")
+    // doc 0 (id % 97 == 0) is benchmark; doc 1 quotes the gram once in
+    // UPPERCASE (match is case-folded, redaction keeps original case of
+    // survivors); doc 2 quotes it twice; doc 3 is clean; doc 4 is the
+    // gram alone (fully redacted, survives as an empty doc)
+    Seq(
+      (0L, s"$gram tail1 tail2", "en", "s", 0L),
+      (1L, s"lead1 lead2 $gramUp Tail3", "en", "s", 0L),
+      (2L, s"$gram mid1 $gram", "en", "s", 0L),
+      (3L, clean, "en", "s", 0L),
+      (4L, gram, "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = PretrainOps.decontaminateRedact(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getInt(3), r.getString(4))))
+      .toMap
+    assert(got(1L) == ((11, 1, 8, "lead1 lead2 Tail3"))) // original case kept
+    assert(got(2L) == ((17, 2, 16, "mid1")))             // both quote sites excised
+    assert(got(3L) == ((12, 0, 0, clean)))               // clean doc untouched
+    assert(got(4L) == ((8, 1, 8, "")))                   // fully redacted, not dropped
+    assert(!got.contains(0L))                            // benchmark docs stay out
+  }
+
   test("digest-keyed decontamination twins: identical rows to the string-keyed forms") {
     // the digest form re-keys the broadcast gram index only; any
     // divergence means the 16-byte-key swap changed semantics, not just
