@@ -1814,6 +1814,21 @@ object Registry {
         |SELECT term, CAST(count(*) AS INTEGER) AS df
         |FROM tf GROUP BY term
         |ORDER BY df DESC, term LIMIT 50""".stripMargin)),
+    // vocabulary-coverage profile: per-doc OOV occurrences against the
+    // deterministic top-V df vocabulary (V=16 bites on the 31-term
+    // synthetic vocab; production V ~1e5, same plan)
+    GraftQuery("x_text_oov", TextOps.oovProfile, Some(
+      s"""WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |             FROM documents),
+        |tf AS (SELECT doc_id, term FROM tok GROUP BY doc_id, term),
+        |vocab AS (SELECT term FROM (SELECT term, count(*) AS df FROM tf GROUP BY term
+        |                            ORDER BY df DESC, term LIMIT ${TextOps.VocabSize})),
+        |flag AS (SELECT t.doc_id, CASE WHEN v.term IS NULL THEN 1 ELSE 0 END AS oov
+        |         FROM tok t LEFT JOIN vocab v ON t.term = v.term)
+        |SELECT doc_id, CAST(count(*) AS INTEGER) AS n_tokens,
+        |       CAST(sum(oov) AS INTEGER) AS n_oov,
+        |       CAST(sum(oov) AS DOUBLE) / count(*) AS oov_frac
+        |FROM flag GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
     GraftQuery("x_text_salient", (s, d) => TextOps.salientTerms(s, d), headline = true, oracle = Some(
       """WITH tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
         |             FROM documents),

@@ -73,6 +73,39 @@ object TextOps {
       .orderBy(col("df").desc, col("term"))
       .limit(top)
 
+  /** Vocabulary size for [[oovProfile]]. The synthetic corpus bottoms
+    * out at 31 distinct terms, so 16 keeps the cut meaningful (half the
+    * vocabulary is out) — production runs ~10⁵ with the identical plan
+    * shape (the ContamGram-vs-13-gram precedent). */
+  val VocabSize = 16
+
+  /** Out-of-vocabulary profile: the corpus's top-[[VocabSize]] terms by
+    * document frequency (the deterministic [[termDf]] cut — df DESC,
+    * term) stand in for a tokenizer/filter-list vocabulary; each
+    * document reports its token count, how many token OCCURRENCES fall
+    * outside that vocabulary, and the OOV fraction — the coverage
+    * check a pipeline runs before freezing a vocabulary (high-OOV
+    * documents are the ones a lexical filter or tokenizer will mangle).
+    *
+    * Scale shape: the vocabulary is a distributed partial top-k of the
+    * df aggregate (V rows) and BROADCASTS; the stream side is one
+    * narrow scan, a broadcast membership flag, and a doc_id
+    * aggregation — no content-key shuffle anywhere (the df aggregate
+    * reuses [[termTf]]'s map-side-combinable shape). One IEEE division
+    * per doc → fully value-oracled. */
+  def oovProfile(spark: SparkSession, dir: String): DataFrame = {
+    val vocab = termDf(spark, dir, VocabSize)
+      .select(col("term"), lit(true).as("in_vocab"))
+    tokenStream(spark, dir)
+      .join(broadcast(vocab), Seq("term"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(IntegerType).as("n_tokens"),
+        sum(when(col("in_vocab").isNull, 1L).otherwise(0L))
+          .cast(IntegerType).as("n_oov"))
+      .withColumn("oov_frac", col("n_oov").cast(DoubleType) / col("n_tokens"))
+      .orderBy("doc_id")
+  }
+
   /** Per-document salient terms: top-k by (tf DESC, df ASC, term) — term
     * frequency first, corpus rarity as the discriminator, the integer
     * TF-IDF ordering that both engines compute bit-identically (a

@@ -330,6 +330,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert((0L until 200L).forall(id => (span(id) > 0) == (id % 2 == 0)))
   }
 
+  test("oov profile: counts match a driver replay against the served vocabulary cut") {
+    val vocab = TextOps.termDf(spark, Sf0001, TextOps.VocabSize).collect()
+      .map(_.getString(0)).toSet
+    assert(vocab.size == TextOps.VocabSize)
+    val got = TextOps.oovProfile(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> ((r.getInt(1), r.getInt(2), r.getDouble(3)))).toMap
+    val docs = Tables(spark, Sf0001, "documents").select("doc_id", "text").collect()
+    assert(docs.nonEmpty && got.size == docs.length)
+    var anyOov = false
+    docs.foreach { r =>
+      val toks = r.getString(1).toLowerCase.split(" ")
+      val oov = toks.count(t => !vocab.contains(t))
+      if (oov > 0) anyOov = true
+      assert(got(r.getLong(0)) ==
+        ((toks.length, oov, oov.toDouble / toks.length)))
+    }
+    // the cut must actually bite on this corpus, or the profile is vacuous
+    assert(anyOov, "VocabSize no longer excludes any term — raise the signal")
+  }
+
   test("de-skewed dedup plans: no content-key window, partial aggregation below the exchange") {
     val para = PretrainOps.paragraphDedup(spark, Sf0001)
       .queryExecution.executedPlan.toString
@@ -344,6 +364,15 @@ class PipelineOpsSpec extends SparkSpec {
       .queryExecution.executedPlan.toString
     assert(!span.contains("Window"))
     assert(span.contains("partial_count"), s"expected map-side partial df count in:\n$span")
+    // salientTerms keeps its doc_id rank window but must NOT window on
+    // the term (a stopword is a guaranteed hot key): df is a
+    // partial-aggregatable groupBy joined back
+    val sal = TextOps.salientTerms(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!sal.contains("windowspecdefinition(term"),
+      "term df must not be a content-key window")
+    assert(sal.contains("windowspecdefinition(doc_id"), s"rank window missing in:\n$sal")
+    assert(sal.contains("partial_count"), s"expected map-side partial df count in:\n$sal")
   }
 
   test("decontaminate: doc sharing an 8-gram with a benchmark doc is flagged") {
