@@ -2574,8 +2574,7 @@ object Registry {
     // oracle replays the covered-set arithmetic with nested lambdas
     GraftQuery("x_decontaminate_redact", PretrainOps.decontaminateRedact, Some(
       s"""WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t,
-        |                string_split(lower(text), ' ') AS tl FROM documents
-        |              WHERE len(string_split(text, ' ')) >= ${PretrainOps.ContamGram}),
+        |                string_split(lower(text), ' ') AS tl FROM documents),
         |bgrams AS (SELECT DISTINCT unnest(list_transform(generate_series(1, len(tl) - ${PretrainOps.ContamGram - 1}),
         |             i -> array_to_string(list_slice(tl, i, i + ${PretrainOps.ContamGram - 1}), ' '))) AS g
         |           FROM toks WHERE doc_id % ${PretrainOps.BenchMod} = 0),

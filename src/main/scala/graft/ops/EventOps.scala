@@ -497,28 +497,16 @@ object EventOps {
   def anomalyMad(spark: SparkSession, dir: String): DataFrame = {
     val ev = Tables(spark, dir, "events")
       .select(col("event_id"), col("event_type"), col("value"))
-    // discrete median over a value-frequency table: running row count /
-    // group total replicates cume_dist's rank/n division exactly (ties
-    // carry the high count in both formulations)
-    def discMedian(rows: DataFrame, keyCols: Seq[String], valueCol: String,
-        out: String): DataFrame = {
-      val keys = keyCols.map(col)
-      val counts = rows.groupBy(keys :+ col(valueCol): _*)
-        .agg(count(lit(1)).as("cnt"))
-      val wc = Window.partitionBy(keys: _*).orderBy(col(valueCol))
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-      val wn = Window.partitionBy(keys: _*)
-      counts
-        .withColumn("cd",
-          sum(col("cnt")).over(wc).cast(DoubleType) / sum(col("cnt")).over(wn))
-        .groupBy(keys: _*)
-        .agg(min(when(col("cd") >= 0.5, col(valueCol))).as(out))
-    }
-    val med = discMedian(ev, Seq("event_type"), "value", "med")
+    // discrete medians via the shared frequency-table core (the
+    // bit-for-bit cume_dist equivalence argument lives on
+    // StatsOps.discPercentiles)
+    val med = StatsOps.discPercentiles(ev, Seq("event_type"), "value",
+      Seq(0.5 -> "med"))
       .withColumnRenamed("event_type", "t1")
     val dev = ev.join(broadcast(med), col("event_type") === col("t1"))
       .withColumn("dev", abs(col("value") - col("med")))
-    val mad = discMedian(dev, Seq("event_type", "med"), "dev", "mad")
+    val mad = StatsOps.discPercentiles(dev, Seq("event_type", "med"), "dev",
+      Seq(0.5 -> "mad"))
       .withColumnRenamed("event_type", "t2").withColumnRenamed("med", "med2")
     ev.join(broadcast(mad), col("event_type") === col("t2"))
       .withColumn("dev", abs(col("value") - col("med2")))

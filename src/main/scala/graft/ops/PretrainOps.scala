@@ -257,16 +257,23 @@ object PretrainOps {
     val k = ContamGram
     val docs = Tables(spark, dir, "documents")
     val bench = benchmarkGrams(docs.filter(col("doc_id") % BenchMod === 0))
+    // NO length filter on the output path: a doc shorter than the gram
+    // width cannot contain a benchmark gram, so it passes through
+    // UNREDACTED — a drop-in replacement corpus must keep every doc
+    // (the paragraphDedup contract), unlike the boolean gate, whose
+    // report covers only gram-bearing docs by construction
     val toks = docs.filter(col("doc_id") % BenchMod =!= 0)
       .select(col("doc_id"), split(col("text"), " ").as("t"),
         split(lower(col("text")), " ").as("tl"))
-      .filter(size(col("tl")) >= k)
     // ALL gram occurrences with 1-based start positions (no distinct —
-    // a benchmark phrase quoted twice redacts both sites)
+    // a benchmark phrase quoted twice redacts both sites). The short-doc
+    // guard matters: sequence(0, negative) would auto-reverse, not empty
+    val gramsOf = when(size(col("tl")) >= k,
+      transform(sequence(lit(0), size(col("tl")) - k),
+        i => array_join(slice(col("tl"), i + 1, lit(k)), " ")))
+      .otherwise(array().cast(ArrayType(StringType, containsNull = false)))
     val starts = toks
-      .select(col("doc_id"), posexplode(transform(
-        sequence(lit(0), size(col("tl")) - k),
-        i => array_join(slice(col("tl"), i + 1, lit(k)), " "))).as(Seq("p0", "g")))
+      .select(col("doc_id"), posexplode(gramsOf).as(Seq("p0", "g")))
       .join(broadcast(bench), Seq("g"))
       .groupBy(col("doc_id"))
       .agg(sort_array(collect_list(col("p0") + 1)).as("starts"))

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -14,6 +14,16 @@ import org.apache.spark.sql.types._
   */
 object SamplingOps {
 
+  /** The content-hash split bucket and its 90/5/5 label — ONE definition
+    * shared by [[splitHash]] and the drift monitor, so the monitored
+    * rule can never silently diverge from the served split (the BenchMod
+    * one-constant convention). */
+  private[graft] def splitBucket: Column =
+    conv(substring(md5(col("text")), 1, 4), 16, 10).cast(IntegerType) % 100
+
+  private[graft] def splitOf(bucket: Column): Column =
+    when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
+
   /** Content-hash train/val/test split (90/5/5): the bucket is derived
     * from md5 of the TEXT, not the row id, so byte-identical documents
     * land in the same split no matter where they sit — the
@@ -22,12 +32,8 @@ object SamplingOps {
     * Narrow, codegen'd, no shuffle. */
   def splitHash(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "documents")
-      .select(col("doc_id"),
-        (conv(substring(md5(col("text")), 1, 4), 16, 10).cast(IntegerType) % 100).as("bucket"))
-      .select(col("doc_id"), col("bucket"),
-        when(col("bucket") < 90, "train")
-          .when(col("bucket") < 95, "val")
-          .otherwise("test").as("split"))
+      .select(col("doc_id"), splitBucket.as("bucket"))
+      .select(col("doc_id"), col("bucket"), splitOf(col("bucket")).as("split"))
       .orderBy("doc_id")
 
   /** Split-drift monitor: per token-length bucket, the observed val-split
@@ -69,12 +75,9 @@ object SamplingOps {
     * is a sum, so the SAME expression runs as a complete-mode streaming
     * aggregation in graft.streaming.StreamingDriftMonitor). */
   private[graft] def driftBucketCounts(docs: DataFrame): DataFrame = {
-    val bucket = (conv(substring(md5(col("text")), 1, 4), 16, 10)
-      .cast(IntegerType) % 100)
     docs
       .select(
-        when(bucket < 90, "train").when(bucket < 95, "val")
-          .otherwise("test").as("split"),
+        splitOf(splitBucket).as("split"),
         (floor(TextOps.bpeTokenCount(col("text")) / PretrainOps.BucketWidth)
           .cast(IntegerType) * PretrainOps.BucketWidth).as("bucket_lo"))
       .filter(col("split").isin("train", "val"))
@@ -88,14 +91,22 @@ object SamplingOps {
     * shared by the batch report and the streaming twin so the statistic
     * cannot drift between them. */
   private[graft] def chisqReport(counts: DataFrame): DataFrame = {
-    val totals = counts
+    // two consumers (the totals aggregate and the cross-join back) would
+    // otherwise re-execute the whole counts plan — a full corpus re-scan
+    // in batch, a double micro-batch evaluation in the streaming twin
+    // (column pruning gives each branch a different canonical aggregate,
+    // so exchange reuse cannot dedupe them — the salientTerms lesson).
+    // The table is ≤ |length buckets| rows, so the EAGER checkpoint is
+    // free; its blocks are ContextCleaner-managed.
+    val c = counts.localCheckpoint()
+    val totals = c
       .agg(sum(col("n_train")).as("tot_train"), sum(col("n_val")).as("tot_val"))
     // e and every χ² term are the SAME IEEE expression sequence the
     // DuckDB oracle spells out: exact integer product → double divide →
     // subtract → self-multiply → divide
     val e = (col("tot_val") * col("n_train")).cast(DoubleType) / col("tot_train")
     val diff = col("n_val").cast(DoubleType) - e
-    counts.crossJoin(broadcast(totals))
+    c.crossJoin(broadcast(totals))
       .withColumn("e_val", when(col("n_train") > 0, e))
       .withColumn("chi2_term", when(col("n_train") > 0, diff * diff / e))
   }
@@ -134,12 +145,18 @@ object SamplingOps {
       .orderBy("source")
 
   private def sourceDriftCells(spark: SparkSession, dir: String): DataFrame = {
+    // four consumers (both marginals, the total, the join back) would
+    // each re-derive the aggregate — four corpus scans with the regex
+    // tokenizer; the EAGER checkpoint of the ≤ |sources|·|buckets|-row
+    // table makes the scan happen once (the salientTerms/chisqReport
+    // pattern; blocks are ContextCleaner-managed)
     val counts = Tables(spark, dir, "documents")
       .select(col("source"),
         (floor(TextOps.bpeTokenCount(col("text")) / PretrainOps.BucketWidth)
           .cast(IntegerType) * PretrainOps.BucketWidth).as("bucket_lo"))
       .groupBy(col("source"), col("bucket_lo"))
       .agg(count(lit(1)).as("n"))
+      .localCheckpoint()
     val bySource = counts.groupBy(col("source")).agg(sum(col("n")).as("tot_source"))
     val byBucket = counts.groupBy(col("bucket_lo")).agg(sum(col("n")).as("n_bucket"))
     val total = counts.agg(sum(col("n")).as("tot_all"))

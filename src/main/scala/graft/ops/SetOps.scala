@@ -90,32 +90,18 @@ object SetOps {
     * is misleading). Spark has no percentile_disc; the textbook
     * formulation is cume_dist over the RAW rows per group — which at
     * 100 TB buffers a third of the fact table in each of three window
-    * tasks (3 returnflags). This plan instead aggregates to
-    * (group, value) FREQUENCIES first — a composite-key hash aggregate,
-    * map-side combinable, no skew — and runs the rank arithmetic over
-    * the tiny distinct-value table (~50 quantity levels per flag): the
-    * running count of rows ≤ v divided by the group total is exactly
-    * the cume_dist of v's last tied row, so `min value with cd ≥ p` is
-    * unchanged value-for-value. Value-oracled against DuckDB
-    * quantile_disc (identical "lowest value at cumulative rank ≥ p"
-    * definition). */
-  def g4cDiscPercentiles(spark: SparkSession, dir: String): DataFrame = {
-    val counts = Tables(spark, dir, "lineitem")
-      .groupBy(col("l_returnflag"), col("l_quantity"))
-      .agg(count(lit(1)).as("cnt"))
-    val wc = Window.partitionBy(col("l_returnflag")).orderBy(col("l_quantity"))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wn = Window.partitionBy(col("l_returnflag"))
-    // cd replicates cume_dist's rank/n double division exactly
-    val ranked = counts
-      .withColumn("cd",
-        sum(col("cnt")).over(wc).cast(DoubleType) / sum(col("cnt")).over(wn))
-    def disc(p: Double): Column =
-      min(when(col("cd") >= p, col("l_quantity"))).as(s"p${(p * 100).toInt}")
-    ranked.groupBy(col("l_returnflag"))
-      .agg(disc(0.5), disc(0.9), disc(0.99))
+    * tasks (3 returnflags). This plan instead runs the shared
+    * frequency-table core `StatsOps.discPercentiles` (~50 quantity
+    * levels per flag after the map-side composite-key aggregate; the
+    * bit-for-bit cume_dist equivalence argument lives there).
+    * Value-oracled against DuckDB quantile_disc (identical "lowest
+    * value at cumulative rank ≥ p" definition). */
+  def g4cDiscPercentiles(spark: SparkSession, dir: String): DataFrame =
+    StatsOps.discPercentiles(
+      Tables(spark, dir, "lineitem").select(col("l_returnflag"), col("l_quantity")),
+      Seq("l_returnflag"), "l_quantity",
+      Seq(0.5 -> "p50", 0.9 -> "p90", 0.99 -> "p99"))
       .orderBy("l_returnflag")
-  }
 
   /** Approx-percentile sketch twin of `g4Percentiles` — the form that
     * survives 100 TB: a bounded-memory mergeable sketch (Greenwald-Khanna

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -23,6 +23,37 @@ import org.apache.spark.sql.types._
   * is a pure projection, and the final count is one |buckets|-row
   * hash aggregate. */
 object StatsOps {
+
+  /** Discrete percentiles over a (keys, value) relation via the
+    * VALUE-FREQUENCY-TABLE cume_dist replication — the shared de-skew
+    * core of `SetOps.g4cDiscPercentiles` and `EventOps.anomalyMad`'s
+    * median/MAD passes (hoisted so the subtle equivalence argument
+    * lives once): the textbook cume_dist over raw rows partitioned by a
+    * low-cardinality key buffers 1/|keys| of the fact table per window
+    * task, while the composite-key frequency aggregate is map-side
+    * combinable and the rank arithmetic touches only the distinct-value
+    * table. The running row count divided by the group total is EXACTLY
+    * the cume_dist of a value's last tied row (ties carry the high
+    * count in both formulations, and the division is the same double
+    * op), so `min value with cd ≥ p` is unchanged value-for-value.
+    * Returns one row per key group with one column per requested
+    * (p, outputName). */
+  private[ops] def discPercentiles(rows: DataFrame, keyCols: Seq[String],
+      valueCol: String, ps: Seq[(Double, String)]): DataFrame = {
+    val keys = keyCols.map(col)
+    val counts = rows.groupBy(keys :+ col(valueCol): _*)
+      .agg(count(lit(1)).as("cnt"))
+    val wc = Window.partitionBy(keys: _*).orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val wn = Window.partitionBy(keys: _*)
+    val ranked = counts.withColumn("cd",
+      sum(col("cnt")).over(wc).cast(DoubleType) / sum(col("cnt")).over(wn))
+    def disc(p: Double, out: String): Column =
+      min(when(col("cd") >= p, col(valueCol))).as(out)
+    ranked.groupBy(keys: _*)
+      .agg(disc(ps.head._1, ps.head._2),
+        ps.tail.map { case (p, out) => disc(p, out) }: _*)
+  }
 
   private val Cols = Seq("l_quantity", "l_extendedprice", "l_discount", "l_tax")
 

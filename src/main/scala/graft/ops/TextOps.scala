@@ -124,7 +124,10 @@ object TextOps {
     * can handle on the hot probe partitions (a window offers neither
     * escape). tf is consumed by both branches, so an EAGER local
     * checkpoint materializes the tokenize+count once (the
-    * cdcNearDupPairs pattern) — without it, column pruning rewrites the
+    * cdcNearDupPairs pattern; the blocks are not cacheManager-registered
+    * — they free when the ContextCleaner GCs the RDD handle after the
+    * query result is consumed, the accepted lifecycle for per-invocation
+    * checkpoints in this repo) — without it, column pruning rewrites the
     * df branch into a different canonical aggregate and the corpus
     * re-explodes per branch (measured in round 6). The rank window
     * prunes early via Spark 4's partial WindowGroupLimit. */

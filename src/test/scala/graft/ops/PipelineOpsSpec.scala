@@ -407,7 +407,8 @@ class PipelineOpsSpec extends SparkSpec {
       (1L, s"lead1 lead2 $gramUp Tail3", "en", "s", 0L),
       (2L, s"$gram mid1 $gram", "en", "s", 0L),
       (3L, clean, "en", "s", 0L),
-      (4L, gram, "en", "s", 0L))
+      (4L, gram, "en", "s", 0L),
+      (5L, "tiny doc below gram width", "en", "s", 0L))
       .toDF("doc_id", "text", "lang", "source", "n_chars")
       .write.mode("overwrite").parquet(s"$dir/documents.parquet")
     val got = PretrainOps.decontaminateRedact(spark, dir).collect()
@@ -417,6 +418,9 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got(2L) == ((17, 2, 16, "mid1")))             // both quote sites excised
     assert(got(3L) == ((12, 0, 0, clean)))               // clean doc untouched
     assert(got(4L) == ((8, 1, 8, "")))                   // fully redacted, not dropped
+    // a doc shorter than the gram width cannot be contaminated: it
+    // passes through unredacted — a drop-in corpus keeps EVERY doc
+    assert(got(5L) == ((5, 0, 0, "tiny doc below gram width")))
     assert(!got.contains(0L))                            // benchmark docs stay out
   }
 
