@@ -254,15 +254,25 @@ object PretrainOps {
     * set arithmetic is narrow per-row array logic. Every step is
     * deterministic integer/string work → fully value-oracled. */
   def decontaminateRedact(spark: SparkSession, dir: String): DataFrame = {
-    val k = ContamGram
     val docs = Tables(spark, dir, "documents")
     val bench = benchmarkGrams(docs.filter(col("doc_id") % BenchMod === 0))
+    redactAgainst(docs.filter(col("doc_id") % BenchMod =!= 0), bench)
+      .orderBy("doc_id")
+  }
+
+  /** Redact a (doc_id, text) document set against a benchmark gram set —
+    * the core [[decontaminateRedact]] and its streaming twin
+    * (graft.streaming.StreamingDecontaminate.serveRedact) share;
+    * per-document semantics, so micro-batches compose exactly like the
+    * boolean gate's. */
+  def redactAgainst(docs: DataFrame, bench: DataFrame,
+      k: Int = ContamGram): DataFrame = {
     // NO length filter on the output path: a doc shorter than the gram
     // width cannot contain a benchmark gram, so it passes through
     // UNREDACTED — a drop-in replacement corpus must keep every doc
     // (the paragraphDedup contract), unlike the boolean gate, whose
     // report covers only gram-bearing docs by construction
-    val toks = docs.filter(col("doc_id") % BenchMod =!= 0)
+    val toks = docs
       .select(col("doc_id"), split(col("text"), " ").as("t"),
         split(lower(col("text")), " ").as("tl"))
     // ALL gram occurrences with 1-based start positions (no distinct —
@@ -290,7 +300,6 @@ object PretrainOps {
         (size(col("t")) - size(col("kept_pos"))).as("n_redacted"),
         array_join(transform(col("kept_pos"), p => element_at(col("t"), p)), " ")
           .as("clean_text"))
-      .orderBy("doc_id")
   }
 
   /** Per-document contamination FRACTION — the score form of

@@ -43,4 +43,29 @@ object StreamingDecontaminate {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", s"$sinkDir/_checkpoint")
       .start()
+
+  /** The surgical twin of the gate: each epoch's documents land
+    * REDACTED (covered spans excised, everything else verbatim — the
+    * `PretrainOps.redactAgainst` core) instead of merely flagged.
+    * Redaction is per-document like the boolean check, so micro-batch
+    * composition and the batch_id=<epoch> replace-on-replay sink
+    * discipline carry over unchanged. */
+  def writeRedactBatch(
+      benchGrams: DataFrame, batch: DataFrame, batchId: Long,
+      sinkDir: String, k: Int = PretrainOps.ContamGram): Unit =
+    PretrainOps.redactAgainst(batch, benchGrams, k)
+      .write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
+
+  /** Redact a document stream against a benchmark gram set — the
+    * ingestion-time form of `PretrainOps.decontaminateRedact`. */
+  def serveRedact(
+      benchGrams: DataFrame, docStream: DataFrame,
+      sinkDir: String, k: Int = PretrainOps.ContamGram): StreamingQuery =
+    docStream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        writeRedactBatch(benchGrams, batch, id, sinkDir, k)
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$sinkDir/_checkpoint")
+      .start()
 }
