@@ -1942,6 +1942,22 @@ object Registry {
         |ORDER BY keep_id""".stripMargin)),
     GraftQuery("x_dedup_ngram_jaccard", DedupOps.ngramJaccard,
       Some(ngramJaccardOracle), headline = true),
+    // directional subset-duplicate pairs (|A∩B|/|A| ≥ 4/5): the oracle
+    // recomputes every co-shingled pair and applies the same integer
+    // threshold on the contained side's set size — both orientations of
+    // an exact dup, one orientation of a true subset
+    GraftQuery("x_dedup_containment", DedupOps.containmentPairs, Some(
+      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |tri AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+        |        FROM toks WHERE len(t) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+        |          FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id <> b.doc_id GROUP BY 1, 2)
+        |SELECT doc_a, doc_b, n_common, CAST(n_common AS DOUBLE) / ca.n AS containment
+        |FROM pairs JOIN cnt ca ON doc_a = ca.doc_id
+        |WHERE 5 * n_common >= 4 * ca.n
+        |ORDER BY doc_a, doc_b""".stripMargin)),
     GraftQuery("x_dedup_minhash_lsh", DedupOps.minhashLsh, None, headline = true),
     // end-to-end LSH equivalence gate: the banded pair set must be a
     // zero-false-positive subset of the exact Jaccard-threshold pair set

@@ -344,6 +344,77 @@ case class PrefixCandidatePairs(child: Expression, num: Int, den: Int)
   override protected def withNewChildInternal(c: Expression): PrefixCandidatePairs = copy(c)
 }
 
+/** Candidate expansion for the ASYMMETRIC containment test
+  * |A ∩ B| / |A| ≥ num/den (A the contained doc) — the subset-duplicate
+  * relation Jaccard misses: a snippet quoted whole inside a much larger
+  * document has tiny Jaccard but containment ≈ 1. Input is the FULL
+  * posting list of one shingle, array<struct<doc_id:long, n:int, pos:int>>
+  * (pos = the shingle's 1-based position in the doc's sorted shingle
+  * set); output is array<struct<doc_a,doc_b>> of DIRECTIONAL candidates
+  * (doc_a = contained side). Pruning, all inside the loop so rejected
+  * pairs never materialize:
+  *  - prefix filter on the CONTAINED side only: a qualifying A shares
+  *    ≥ α = ⌈num·n_a/den⌉ shingles with B, so among A's first
+  *    n_a − α + 1 sorted shingles at least one is common — a pair is
+  *    kept only where this shingle sits inside A's containment prefix.
+  *    The container side has no prefix condition (its size is
+  *    unconstrained — that is the asymmetry).
+  *  - length filter: n_b ≥ α (B cannot hold α common shingles otherwise).
+  *  - positional upper bound (the PPJoin argument, containment form):
+  *    at a common shingle at (pa, pb), commons ≤ min(pa−1, pb−1) + 1 +
+  *    min(n_a−pa, n_b−pb); prune when that bound < α. The bound holds at
+  *    EVERY common shingle of a qualifying pair, so per-list pruning
+  *    never loses a pair globally — recall is exact.
+  * Both orientations of every (i, j) are tested: exact duplicates emit
+  * both directions, true subsets only one. */
+case class ContainmentCandidatePairs(child: Expression, num: Int, den: Int)
+    extends UnaryExpression with CodegenFallback {
+  require(num >= 1 && den >= num, s"threshold must be in (0,1]: $num/$den")
+  override def dataType: DataType = ArrayType(
+    StructType(Seq(
+      StructField("doc_a", LongType, nullable = false),
+      StructField("doc_b", LongType, nullable = false))),
+    containsNull = false)
+  override def nullIntolerant: Boolean = true
+  override protected def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val d = arr.numElements()
+    val ids = new Array[Long](d)
+    val ns = new Array[Int](d)
+    val ps = new Array[Int](d)
+    var i = 0
+    while (i < d) {
+      val row = arr.getStruct(i, 3)
+      ids(i) = row.getLong(0); ns(i) = row.getInt(1); ps(i) = row.getInt(2)
+      i += 1
+    }
+    val out = new scala.collection.mutable.ArrayBuffer[Any](d)
+    // directional test: can doc a (index ai) be contained in doc b (bi)?
+    def consider(ai: Int, bi: Int): Unit = {
+      val na = ns(ai); val nb = ns(bi)
+      val alpha = (num.toLong * na + den - 1) / den
+      val pa = ps(ai); val pb = ps(bi)
+      if (nb >= alpha && pa <= na - alpha + 1) {
+        val ubound = math.min(pa - 1, pb - 1).toLong + 1L +
+          math.min(na - pa, nb - pb).toLong
+        if (ubound >= alpha)
+          out += org.apache.spark.sql.catalyst.InternalRow(ids(ai), ids(bi))
+      }
+    }
+    i = 0
+    while (i < d) {
+      var j = i + 1
+      while (j < d) {
+        consider(i, j); consider(j, i)
+        j += 1
+      }
+      i += 1
+    }
+    new GenericArrayData(out.toArray)
+  }
+  override protected def withNewChildInternal(c: Expression): ContainmentCandidatePairs = copy(c)
+}
+
 /** Jaccard of two SORTED long arrays (as produced by TokenHashes /
   * ShingleHashes) via linear merge — one pass, no hashing, no boxing.
   * Returns struct(n_common, n_union). */
@@ -614,6 +685,8 @@ object exprs {
   def posting_list_pairs(ds: Column): Column = c(PostingListPairs(e(ds)))
   def prefix_candidate_pairs(ds: Column, num: Int, den: Int): Column =
     c(PrefixCandidatePairs(e(ds), num, den))
+  def containment_candidate_pairs(ds: Column, num: Int, den: Int): Column =
+    c(ContainmentCandidatePairs(e(ds), num, den))
   def simhash_pairs(ms: Column, chunk: Column, maxHamming: Int): Column =
     c(SimHashPairs(e(ms), e(chunk), maxHamming))
   def minhash_bucket_pairs(ms: Column, band: Column, num: Int, den: Int): Column =

@@ -194,6 +194,65 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Containment threshold |A∩B|/|A| ≥ 4/5 for [[containmentPairs]]. */
+  val ContainNum = 4
+  val ContainDen = 5
+
+  /** ASYMMETRIC containment near-dup pairs: directional (contained,
+    * container) pairs with |A∩B| / |A| ≥ [[ContainNum]]/[[ContainDen]]
+    * over the trigram shingle sets — the subset-duplicate relation that
+    * symmetric Jaccard misses. A short document quoted whole inside a
+    * much longer one (syndicated snippets, quoted posts, document
+    * revisions that only append) has Jaccard ≈ n_a/n_b → 0 as the
+    * container grows, but containment ≈ 1; a training-data dedup pass
+    * that only runs Jaccard keeps every such embedded copy.
+    *
+    * Plan shape (mirrors [[ngramJaccard]]'s single-scan discipline): one
+    * hashed spine terminated by its own exchange (ReuseExchange
+    * materializes the scanned+hashed corpus once for the index and both
+    * verification probes); the FULL posting list per shingle (containment
+    * has no symmetric prefix index — the container side must be fully
+    * posted), df-capped with the observed `containment_df_cap` metric;
+    * the ContainmentCandidatePairs kernel applies the contained-side
+    * prefix filter, the length filter and the positional bound INSIDE
+    * the expansion loop (see its doc for the exactness argument), so
+    * only viable directional candidates reach the distinct shuffle; each
+    * survivor is verified once with the SortedJaccard merge kernel under
+    * the integer test den·common ≥ num·n_a — no float boundary. */
+  def containmentPairs(spark: SparkSession, dir: String): DataFrame =
+    containmentPairs(spark, dir, MaxBucket)
+
+  def containmentPairs(spark: SparkSession, dir: String, dfCap: Int): DataFrame = {
+    import graft.functions.exprs._
+    val spine = Tables.parallel(spark, dir, "documents")
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), shingle_hashes(split(lower(col("text")), " "), 3).as("hs"))
+      .repartition(spark.sparkContext.defaultParallelism)
+    val docs = spine.withColumn("n", size(col("hs")))
+    val posting = docs
+      .select(col("doc_id"), col("n"), posexplode(col("hs")).as(Seq("p0", "sh")))
+      .groupBy(col("sh"))
+      .agg(collect_list(struct(
+        col("doc_id"), col("n"),
+        (col("p0") + lit(1)).cast(IntegerType).as("pos"))).as("ds"))
+      .observe("containment_df_cap",
+        sum(when(size(col("ds")) > dfCap, 1).otherwise(0)).as("dropped_hot_shingles"))
+      .filter(size(col("ds")).between(2, dfCap))
+    val cands = posting
+      .select(explode(containment_candidate_pairs(col("ds"), ContainNum, ContainDen)).as("p"))
+      .select(col("p.doc_a").as("doc_a"), col("p.doc_b").as("doc_b"))
+      .distinct()
+    cands
+      .join(spine.select(col("doc_id").as("doc_a"), col("hs").as("hs_a")), Seq("doc_a"))
+      .join(spine.select(col("doc_id").as("doc_b"), col("hs").as("hs_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"),
+        sorted_jaccard(col("hs_a"), col("hs_b")).as("j"), size(col("hs_a")).as("n_a"))
+      .filter(lit(ContainDen) * col("j.n_common") >= lit(ContainNum) * col("n_a"))
+      .select(col("doc_a"), col("doc_b"), col("j.n_common").as("n_common"),
+        (col("j.n_common").cast(DoubleType) / col("n_a")).as("containment"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** MinHash signature length / LSH band layout: 64 hashes = 16 bands × 4
     * rows → S-curve threshold ≈ (1/16)^(1/4) ≈ 0.5. */
   private val NumHashes = 64

@@ -43,6 +43,69 @@ class PipelineOpsSpec extends SparkSpec {
     assert(exactPair._3 == 1.0) // identical docs → jaccard exactly 1
   }
 
+  /** Planted subset corpus: doc 1 is a contiguous snippet of doc 0 (its
+    * trigram set is a strict subset), docs 2/3 are exact duplicates of
+    * each other, doc 4 unrelated. */
+  private lazy val containDir: String = {
+    import spark.implicits._
+    val big = "the quick brown fox jumps over the lazy dog near the old river bank today " +
+      "while herons watch the slow water drift past the broken wooden bridge"
+    val snippet = "quick brown fox jumps over the lazy dog"
+    val dup = "completely different words about spark query engines and shuffles everywhere"
+    val docs = Seq(
+      (0L, big, "en", "src0", big.length.toLong),
+      (1L, snippet, "en", "src0", snippet.length.toLong),
+      (2L, dup, "en", "src1", dup.length.toLong),
+      (3L, dup, "en", "src0", dup.length.toLong),
+      (4L, "unrelated text mentioning databases clusters and partitions in production", "en", "src1", 74L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tempDir("contain_docs")
+    docs.repartition(3).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    dir
+  }
+
+  test("containment: subset doc is caught one-way, exact dups both ways, asymmetry holds") {
+    val rows = DedupOps.containmentPairs(spark, containDir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    // snippet ⊂ big: contained orientation only — the Jaccard of this
+    // pair is far below 1/2 (6 common trigrams vs ~25 in the container),
+    // so the symmetric pipeline never sees it; containment = 1 exactly
+    assert(rows.keySet == Set((1L, 0L), (2L, 3L), (3L, 2L)),
+      s"unexpected pair set: ${rows.keySet}")
+    assert(rows((1L, 0L)) == 1.0)
+    assert(!rows.contains((0L, 1L)), "container must not be flagged as contained")
+    // exact duplicates: both orientations at containment 1
+    assert(rows((2L, 3L)) == 1.0 && rows((3L, 2L)) == 1.0)
+    // cross-check against the symmetric pipeline on the same fixture:
+    // Jaccard ≥ 1/2 finds ONLY the exact-dup pair, not the subset
+    val jac = DedupOps.ngramJaccard(spark, containDir).collect()
+      .map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(jac == Set((2L, 3L)), s"jaccard pipeline found $jac")
+  }
+
+  test("containment df-cap: hot shingle dropped before expansion, metric observed") {
+    // dedicated fixture: an exact-dup pair that avoids the boilerplate
+    // shingle (so the capped output stays NONEMPTY — an all-empty plan
+    // would let AQE's empty-relation propagation collapse the observe
+    // node away) + 200 docs sharing one df=200 shingle
+    import spark.implicits._
+    val base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    val hot = (0 until 200).map(i => (100L + i, s"hot alpha beta u${i}x u${i}y u${i}z", "en", "s", 30L))
+    val dir = tempDir("contain_hot_docs")
+    (Seq((0L, base, "en", "s", base.length.toLong),
+      (1L, base, "en", "s", base.length.toLong)) ++ hot)
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(4).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val capped = DedupOps.containmentPairs(spark, dir, 8)
+    val pairs = capped.collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    // the exact dup survives the cap (its shingles have df=2), the
+    // df=200 shingle is dropped BEFORE pair expansion
+    assert(pairs == Set((0L, 1L), (1L, 0L)), s"unexpected pairs: $pairs")
+    val dropped = capped.queryExecution.observedMetrics("containment_df_cap")
+      .getAs[Long]("dropped_hot_shingles")
+    assert(dropped == 1L, s"expected exactly the manufactured hot shingle dropped, got $dropped")
+  }
+
   test("minhash-lsh: catches exact dups always, and only true near-dups") {
     val lsh = DedupOps.minhashLsh(spark, plantedDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
