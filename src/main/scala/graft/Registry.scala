@@ -2612,6 +2612,30 @@ object Registry {
         |       CAST(len(t) - len(kept) AS INTEGER) AS n_redacted,
         |       coalesce(array_to_string(list_transform(kept, p -> t[CAST(p AS INTEGER)]), ' '), '') AS clean_text
         |FROM f ORDER BY doc_id""".stripMargin)),
+    // fuzzy decontamination: near-dup (trigram Jaccard >= 1/2) match of
+    // corpus docs against the benchmark set — catches paraphrased eval
+    // leakage the exact 8-gram rule misses; oracle recomputes every
+    // corpus-vs-bench co-shingled pair and the per-doc rollup
+    GraftQuery("x_decontaminate_fuzzy", PretrainOps.decontaminateFuzzy, Some(
+      s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |tri AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t) - 2),
+        |          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+        |        FROM toks WHERE len(t) >= 3),
+        |cnt AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+        |prs AS (SELECT a.doc_id AS did, b.doc_id AS bench_id, count(*) AS c
+        |        FROM tri a JOIN tri b ON a.sh = b.sh
+        |        WHERE a.doc_id % ${PretrainOps.FuzzyBenchMod} <> 0
+        |          AND b.doc_id % ${PretrainOps.FuzzyBenchMod} = 0 GROUP BY 1, 2),
+        |nd AS (SELECT did, CAST(count(*) AS INTEGER) AS n_bench_nd,
+        |              max(CAST(c AS DOUBLE) / (ca.n + cb.n - c)) AS best_jaccard
+        |       FROM prs JOIN cnt ca ON did = ca.doc_id JOIN cnt cb ON bench_id = cb.doc_id
+        |       WHERE 2 * c >= ca.n + cb.n - c GROUP BY 1)
+        |SELECT t.doc_id, coalesce(n_bench_nd, 0) AS n_bench_nd,
+        |       coalesce(best_jaccard, 0.0) AS best_jaccard,
+        |       coalesce(n_bench_nd, 0) > 0 AS contaminated
+        |FROM (SELECT doc_id FROM cnt WHERE doc_id % ${PretrainOps.FuzzyBenchMod} <> 0) t
+        |LEFT JOIN nd ON t.doc_id = nd.did
+        |ORDER BY t.doc_id""".stripMargin)),
     GraftQuery("x_contam_score", PretrainOps.contaminationScore,
       Some(contamScoreOracle)),
     GraftQuery("x_contam_score_digest", PretrainOps.contaminationScoreDigest,

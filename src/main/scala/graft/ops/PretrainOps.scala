@@ -342,6 +342,62 @@ object PretrainOps {
       .orderBy("doc_id")
   }
 
+  /** Benchmark-membership modulus for the FUZZY decontamination variant.
+    * Deliberately different from [[BenchMod]]: mod 97 places so few docs
+    * in the synthetic eval suite that no near-duplicate pair straddles
+    * the boundary at sf0.01 — a denser stand-in suite (mod 31) makes the
+    * fuzzy flag demonstrably fire at every test SF, so the value oracle
+    * exercises the hit path, not just the all-clear path. */
+  val FuzzyBenchMod = 31
+
+  /** FUZZY decontamination — the near-duplicate complement of the exact
+    * n-gram rule: a corpus document is contaminated when its trigram
+    * shingle set has Jaccard ≥ 1/2 with ANY benchmark document. Exact
+    * 8-gram matching ([[decontaminate]]) misses eval items that were
+    * lightly paraphrased or token-edited before landing in the crawl;
+    * near-dup matching against the suite is the standard second gate
+    * (the GPT-3/Llama report shape: 13-gram exact + fuzzy dedup of eval
+    * overlap).
+    *
+    * Scale shape: the eval suite is fixed-size, so its exploded shingle
+    * POSTING LIST broadcasts (never a corpus-side shuffle by shingle);
+    * corpus docs explode against it and one (doc, bench) aggregation —
+    * partial-aggregatable, bounded by |bench| rows per doc — recovers
+    * the common-shingle counts; the integer Jaccard test and a per-doc
+    * rollup finish the job. The corpus is scanned once; internal keys
+    * are 64-bit shingle hashes ([[graft.functions.ShingleHashes]]), and
+    * the full-corpus left join back makes the all-clear rows explicit
+    * (a decontamination report must list every kept doc, not only the
+    * flagged ones). */
+  def decontaminateFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.exprs._
+    val spine = Tables.parallel(spark, dir, "documents")
+      .filter(size(split(col("text"), " ")) >= 3)
+      .select(col("doc_id"), shingle_hashes(split(lower(col("text")), " "), 3).as("hs"))
+      .withColumn("n", size(col("hs")))
+    val bench = spine.filter(col("doc_id") % FuzzyBenchMod === 0)
+      .select(col("doc_id").as("bench_id"), col("n").as("n_b"), explode(col("hs")).as("sh"))
+    val corpus = spine.filter(col("doc_id") % FuzzyBenchMod =!= 0)
+    val hits = corpus
+      .select(col("doc_id"), col("n").as("n_a"), explode(col("hs")).as("sh"))
+      .join(broadcast(bench), Seq("sh"))
+      .groupBy(col("doc_id"), col("bench_id"), col("n_a"), col("n_b"))
+      .agg(count(lit(1)).cast(IntegerType).as("c"))
+      .filter(lit(2) * col("c") >= col("n_a") + col("n_b") - col("c"))
+      .select(col("doc_id"),
+        (col("c").cast(DoubleType) / (col("n_a") + col("n_b") - col("c"))).as("jac"))
+    val perDoc = hits.groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(IntegerType).as("n_bench_nd"),
+        max(col("jac")).as("best_jaccard"))
+    corpus.select(col("doc_id"))
+      .join(perDoc, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_bench_nd"), lit(0)).as("n_bench_nd"),
+        coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"),
+        (coalesce(col("n_bench_nd"), lit(0)) > 0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   /** Span width (tokens) for substring-level dedup. Real pipelines use
     * ~50-token spans (Lee et al., "Deduplicating Training Data Makes
     * Language Models Better"); the synthetic docs bottom out at 10

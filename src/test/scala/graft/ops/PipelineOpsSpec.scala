@@ -106,6 +106,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(dropped == 1L, s"expected exactly the manufactured hot shingle dropped, got $dropped")
   }
 
+  test("fuzzy decontamination: paraphrased bench copy flagged, exact copy at jaccard 1, clean doc clear") {
+    import spark.implicits._
+    val benchText = "the quick brown fox jumps over the lazy dog near the old river bank today"
+    val paraphrase = "the quick brown fox jumps over the lazy cat near the old river bank today"
+    val docs = Seq(
+      (31L, benchText, "en", "src0", 1L), // bench member (31 % 31 == 0)
+      (62L, "totally separate benchmark item with its own unique phrasing and words", "en", "src0", 1L),
+      (1L, paraphrase, "en", "src0", 1L), // one token differs → J = 10/16
+      (2L, "completely different words about spark query engines and shuffles everywhere", "en", "src1", 1L),
+      (3L, benchText, "en", "src1", 1L)) // verbatim eval leak
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tempDir("fuzzy_decontam_docs")
+    docs.repartition(2).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = PretrainOps.decontaminateFuzzy(spark, dir).collect()
+      .map(x => (x.getLong(0), (x.getInt(1), x.getDouble(2), x.getBoolean(3)))).toMap
+    // bench members are not scored against themselves — corpus rows only
+    assert(r.keySet == Set(1L, 2L, 3L), s"unexpected doc set ${r.keySet}")
+    assert(r(3L) == ((1, 1.0, true)), s"verbatim leak row: ${r(3L)}")
+    val (n1, j1, f1) = r(1L)
+    assert(n1 == 1 && f1 && j1 == 10.0 / 16.0, s"paraphrase row: ${r(1L)}")
+    assert(r(2L) == ((0, 0.0, false)), s"clean row: ${r(2L)}")
+  }
+
   test("minhash-lsh: catches exact dups always, and only true near-dups") {
     val lsh = DedupOps.minhashLsh(spark, plantedDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
