@@ -62,6 +62,31 @@ object Registry {
       |SELECT doc_id, n_tokens, logit, logit > 0 AS keep
       |FROM s ORDER BY doc_id""".stripMargin
 
+  /** Shared by x_dsir_weights AND x_dsir_select: one CTE chain replaying
+    * the hashed-bigram bucket counts (md5 → 20-bit → mod 4096, the
+    * quality-classifier feature rule), the add-one-smoothed integer
+    * affinity weights, the corpus prior, and the per-doc rollup — so the
+    * weights query and its selection cut are judged against the SAME
+    * score definition, never two drifting copies. */
+  private val dsirCtes: String =
+    s"""d AS (SELECT doc_id, lang, string_split(lower(text), ' ') AS t FROM documents),
+      |bg AS (SELECT doc_id, lang,
+      |         CAST(('0x' || substr(md5(array_to_string(list_slice(t, i, i + 1), ' ')), 1, 5)) AS BIGINT)
+      |           % ${TextOps.ClassifierBuckets} AS bucket
+      |       FROM d, unnest(generate_series(1, len(t) - 1)) AS u(i)
+      |       WHERE len(t) >= 2),
+      |db AS (SELECT doc_id, lang, bucket, count(*) AS n_db FROM bg GROUP BY 1, 2, 3),
+      |bt AS (SELECT bucket, sum(n_db) AS cq,
+      |              sum(CASE WHEN lang = '${CurationOps.DsirTargetLang}' THEN n_db ELSE 0 END) AS ct
+      |       FROM db GROUP BY 1),
+      |w AS (SELECT bucket,
+      |        CAST((${CurationOps.DsirScale} * (ct + 1)) // (ct + cq + 2) AS BIGINT) AS w FROM bt),
+      |pr AS (SELECT CAST(((sum(ct) + 1) * ${CurationOps.DsirScale})
+      |              // (sum(ct) + sum(cq) + 2) AS BIGINT) AS prior_ppm FROM bt),
+      |s AS (SELECT doc_id AS did, CAST(sum(n_db * w) AS BIGINT) AS sum_w,
+      |        CAST(sum(n_db) AS BIGINT) AS n_bigrams
+      |      FROM db JOIN w USING (bucket) GROUP BY 1)""".stripMargin
+
   private val monthlyAggEventsOracle: String =
     """SELECT event_type, date_trunc('month', ts) AS month,
       |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS avg_value,
@@ -3296,6 +3321,24 @@ object Registry {
         |SELECT doc_id, shard,
         |       CAST(row_number() OVER (PARTITION BY shard ORDER BY h, doc_id) AS INTEGER) AS pos
         |FROM p ORDER BY doc_id""".stripMargin)),
+    // DSIR importance weighting: hashed-bigram bucket counts (target =
+    // lang 'en' vs raw corpus), integer-exact affinity weights, one
+    // md5-replayed feature space shared with the quality classifier
+    GraftQuery("x_dsir_weights", CurationOps.dsirWeights, Some(
+      s"""WITH $dsirCtes
+        |SELECT dd.doc_id, CAST(coalesce(n_bigrams, 0) AS INTEGER) AS n_bigrams,
+        |       coalesce(sum_w, 0) AS sum_w,
+        |       coalesce(sum_w // n_bigrams, prior_ppm) AS score_ppm
+        |FROM (SELECT doc_id FROM documents) dd LEFT JOIN s ON dd.doc_id = s.did, pr
+        |ORDER BY dd.doc_id""".stripMargin), headline = true),
+    // the selection half: keep docs scoring above the corpus prior —
+    // deterministic importance-resampling cut, same CTE chain
+    GraftQuery("x_dsir_select", CurationOps.dsirSelect, Some(
+      s"""WITH $dsirCtes
+        |SELECT dd.doc_id, dd.lang, coalesce(sum_w // n_bigrams, prior_ppm) AS score_ppm
+        |FROM (SELECT doc_id, lang FROM documents) dd LEFT JOIN s ON dd.doc_id = s.did, pr
+        |WHERE coalesce(sum_w // n_bigrams, prior_ppm) > prior_ppm
+        |ORDER BY dd.doc_id""".stripMargin)),
     GraftQuery("x_resample_target", CurationOps.resampleToTarget, Some(
       """WITH c AS (SELECT lang, count(*) AS cnt,
         |             CASE lang WHEN 'en' THEN 300 WHEN 'de' THEN 175 WHEN 'es' THEN 175

@@ -242,4 +242,102 @@ object CurationOps {
       .select(col("doc_id"), col("shard"), col("pos"))
       .orderBy("doc_id")
   }
+
+  // ------------------------------------------------------------------
+  // DSIR-style domain-importance weighting (hashed n-gram features)
+  // ------------------------------------------------------------------
+
+  /** Fixed-point scale for the DSIR affinity score (parts-per-million).
+    * Int64 headroom: a bucket weight ≤ 10⁶ and per-doc sums of
+    * n_bigrams·w stay far under 2⁶³ for any feasible document; the
+    * bucket-table numerator 10⁶·(ct+1) would only approach overflow at
+    * ~10¹³ occurrences per SINGLE bucket — at that point the counts
+    * table moves to DECIMAL, same plan. */
+  val DsirScale = 1000000L
+
+  /** The target-domain rule for the synthetic corpus: lang = 'en' stands
+    * in for "the high-quality domain we want more of" (the Wikipedia/
+    * books side of the DSIR setup). One constant shared with the oracle
+    * SQL so the rule cannot drift. */
+  val DsirTargetLang = "en"
+
+  /** Hashed-bigram importance weights for data selection (Xie et al.,
+    * "Data Selection for Language Models via Importance Resampling",
+    * NeurIPS '23): score every document by how target-domain-like its
+    * hashed bigram features are, using two bucket count tables — target
+    * occurrences ct_b and raw-corpus occurrences cq_b over the same
+    * [[TextOps.ClassifierBuckets]] feature space (the hashing trick,
+    * md5-bucketed like the quality classifier so both engines agree
+    * bit-for-bit).
+    *
+    * The per-bucket weight here is the INTEGER-EXACT affinity
+    * w_b = ⌊Scale·(ct_b+1) / (ct_b+cq_b+2)⌋ — the add-one-smoothed
+    * probability that a bucket-b occurrence came from the target — and a
+    * document's score is the occurrence-weighted mean of its buckets'
+    * affinities (ppm). This is the monotone fixed-point stand-in for the
+    * paper's log-likelihood-ratio sum: log(p̂/q̂) bucket weights drop into
+    * the SAME broadcast-join plan but libm logs land rows-only; the
+    * affinity form keeps the whole operator value-oracled.
+    *
+    * Scale shape: ONE corpus scan → per-(doc, bucket) occurrence counts
+    * (partial-aggregatable; ≤4096 distinct buckets per doc); the global
+    * bucket table re-aggregates those rows to ≤4096 entries and
+    * BROADCASTS back; one doc_id rollup finishes. No shuffle ever keys
+    * on raw text. Documents too short for a bigram pass through at the
+    * corpus-prior score (they carry no domain evidence either way) —
+    * explicitly, not dropped. */
+  def dsirWeights(spark: SparkSession, dir: String): DataFrame =
+    dsirScored(spark, dir)
+      .select(col("doc_id"), col("n_bigrams"), col("sum_w"), col("score_ppm"))
+      .orderBy("doc_id")
+
+  /** The selection half of DSIR: keep documents scoring ABOVE the
+    * corpus-prior affinity — "more target-like than the average raw
+    * document", the deterministic top-group form of the paper's
+    * importance resampling (rank-then-cut needs no RNG, so a re-run
+    * selects the identical corpus). Emits the kept docs with their
+    * lang so the domain shift is visible in the output itself. */
+  def dsirSelect(spark: SparkSession, dir: String): DataFrame =
+    dsirScored(spark, dir)
+      .filter(col("score_ppm") > col("prior_ppm"))
+      .select(col("doc_id"), col("lang"), col("score_ppm"))
+      .orderBy("doc_id")
+
+  /** Shared scoring core: every document (bigram-bearing or not) with
+    * its score and the corpus prior carried alongside. */
+  private def dsirScored(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val toks = docs
+      .select(col("doc_id"), col("lang"), split(lower(col("text")), " ").as("t"))
+      .filter(size(col("t")) >= 2)
+    // per-(doc, bucket) OCCURRENCE counts — the one corpus-wide shuffle
+    val db = toks
+      .select(col("doc_id"), col("lang"),
+        explode(transform(sequence(lit(0), size(col("t")) - 2),
+          i => TextOps.featBucket(array_join(slice(col("t"), i + 1, lit(2)), " ")))).as("bucket"))
+      .groupBy(col("doc_id"), col("lang"), col("bucket"))
+      .agg(count(lit(1)).as("n_db"))
+    // global bucket table from the already-collapsed rows: ≤4096 entries
+    val bt = db.groupBy(col("bucket"))
+      .agg(sum(col("n_db")).as("cq"),
+        sum(when(col("lang") === DsirTargetLang, col("n_db")).otherwise(0L)).as("ct"))
+    val w = bt.select(col("bucket"),
+      expr(s"($DsirScale * (ct + 1)) div (ct + cq + 2)").as("w"))
+    // corpus prior: one-row aggregate, broadcast back (the neutral score
+    // for docs with no bigram evidence, and dsirSelect's cut line)
+    val prior = bt.agg(
+      expr(s"((sum(ct) + 1) * $DsirScale) div (sum(ct) + sum(cq) + 2)").as("prior_ppm"))
+    val scored = db.join(broadcast(w), Seq("bucket"))
+      .groupBy(col("doc_id"))
+      .agg(sum(col("n_db") * col("w")).as("sum_w"),
+        sum(col("n_db")).cast(IntegerType).as("n_bigrams"))
+    docs.select(col("doc_id"), col("lang"))
+      .join(scored, Seq("doc_id"), "left")
+      .crossJoin(broadcast(prior))
+      .select(col("doc_id"), col("lang"),
+        coalesce(col("n_bigrams"), lit(0)).as("n_bigrams"),
+        coalesce(col("sum_w"), lit(0L)).as("sum_w"),
+        coalesce(expr("sum_w div n_bigrams"), col("prior_ppm")).as("score_ppm"),
+        col("prior_ppm"))
+  }
 }

@@ -572,7 +572,7 @@ object TextOps {
     * bit-identically (the `splitHash` pattern), so the hashing trick —
     * the part fastText actually relies on — is fully value-oracled.
     * 5 hex chars = 20 bits, reduced mod [[ClassifierBuckets]]. */
-  private def featBucket(tok: Column): Column =
+  private[ops] def featBucket(tok: Column): Column =
     conv(substring(md5(tok), 1, 5), 16, 10).cast(LongType) % ClassifierBuckets
 
   /** Deterministic per-bucket weight in [-500000, 500000]: derived from

@@ -54,6 +54,39 @@ class CurationOpsSpec extends SparkSpec {
       PretrainOps.spanDupProfile(spark, Sf0001).collect().toSeq)
   }
 
+  test("dsir: target-vocab docs outscore off-vocab docs by CONTENT, short docs sit at the prior") {
+    import spark.implicits._
+    // disjoint vocabularies: A-words dominate the en target, B-words
+    // appear only outside it; doc 3 is A-content under a de label — the
+    // score must follow the content, not the label
+    val aText = "alpha beta gamma delta epsilon zeta"
+    val bText = "omega psi chi phi upsilon tau"
+    val docs = Seq(
+      (0L, aText, "en", "src0", 1L),
+      (1L, aText, "en", "src1", 1L),
+      (2L, bText, "de", "src0", 1L),
+      (3L, aText, "de", "src1", 1L),
+      (4L, "solo", "de", "src0", 1L)) // 1 token: no bigram evidence
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tempDir("dsir_docs")
+    docs.repartition(2).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val w = CurationOps.dsirWeights(spark, dir).collect()
+      .map(r => (r.getLong(0), (r.getInt(1), r.getLong(3)))).toMap
+    val score = (id: Long) => w(id)._2
+    // identical content → identical score, regardless of lang label
+    assert(score(0L) == score(1L) && score(0L) == score(3L))
+    // target-vocab content above the prior, off-vocab below it, and the
+    // evidence-free doc exactly between (it scores AT the corpus prior)
+    assert(score(0L) > score(4L) && score(4L) > score(2L),
+      s"ordering broke: a=${score(0L)} prior=${score(4L)} b=${score(2L)}")
+    assert(w(4L)._1 == 0, "1-token doc must carry zero bigrams")
+    // the selection cut keeps exactly the above-prior docs: A-content
+    // (including the de-labelled copy), never the off-vocab or
+    // evidence-free docs
+    val kept = CurationOps.dsirSelect(spark, dir).collect().map(_.getLong(0)).toSet
+    assert(kept == Set(0L, 1L, 3L), s"unexpected selection: $kept")
+  }
+
   test("split leakage matrix is the exact composition of pairs × split labels") {
     val split = SamplingOps.splitHash(spark, Sf0001).collect()
       .map(r => r.getLong(0) -> r.getString(2)).toMap
