@@ -2934,6 +2934,26 @@ object Registry {
         |FROM c QUALIFY rank <= 3 ORDER BY part, rank""".stripMargin)),
     // declarative data-quality audit: exact violation counts, literal
     // passes — the ingest gate a lake runs before promoting a snapshot
+    // k-anonymity release gate: QID = (event_type, hour), privacy unit
+    // = distinct users; below-k groups are flagged (audit) and their
+    // row mass summarized per type (suppress)
+    GraftQuery("x_kanon_audit", QualityAuditOps.kAnonymityAudit _, Some(
+      s"""SELECT event_type, date_trunc('hour', ts) AS qid_hour,
+        |       count(*) AS n_rows,
+        |       CAST(count(DISTINCT user_id) AS INTEGER) AS n_users,
+        |       count(DISTINCT user_id) >= ${QualityAuditOps.KAnonK} AS anonymous
+        |FROM events GROUP BY 1, 2
+        |ORDER BY event_type, qid_hour""".stripMargin)),
+    GraftQuery("x_kanon_suppress", QualityAuditOps.kAnonymitySuppress _, Some(
+      s"""WITH g AS (SELECT event_type, date_trunc('hour', ts) AS qid_hour,
+        |             count(*) AS n_rows, count(DISTINCT user_id) AS n_users
+        |           FROM events GROUP BY 1, 2)
+        |SELECT event_type,
+        |       CAST(sum(n_rows) AS BIGINT) AS n_total,
+        |       CAST(sum(CASE WHEN n_users < ${QualityAuditOps.KAnonK} THEN n_rows ELSE 0 END) AS BIGINT) AS n_suppressed,
+        |       CAST(sum(CASE WHEN n_users >= ${QualityAuditOps.KAnonK} THEN n_rows ELSE 0 END) AS BIGINT) AS n_kept,
+        |       CAST(sum(CASE WHEN n_users < ${QualityAuditOps.KAnonK} THEN 1 ELSE 0 END) AS INTEGER) AS n_groups_suppressed
+        |FROM g GROUP BY 1 ORDER BY event_type""".stripMargin)),
     GraftQuery("x_dq_audit", QualityAuditOps.dqAudit, Some(
       """WITH rules AS (
         |  SELECT 'lineitem.discount_in_0_0.1' AS rule,

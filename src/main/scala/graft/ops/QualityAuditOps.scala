@@ -56,4 +56,64 @@ object QualityAuditOps {
       .toDF("rule", "violations", "passes")
       .orderBy("rule")
   }
+
+  // ------------------------------------------------------------------
+  // k-anonymity audit (privacy release gate)
+  // ------------------------------------------------------------------
+
+  /** Anonymity floor for [[kAnonymityAudit]]: a quasi-identifier group
+    * is releasable only when ≥ K DISTINCT users share it (the privacy
+    * unit is the user, not the row — one chatty user in a bucket is
+    * still one identifiable person). 15 makes the flag bite in both
+    * directions at sf0.1 (hourly groups span ~12–51 users there). */
+  val KAnonK = 15
+
+  /** k-anonymity audit over the event stream (Sweeney '02, the release
+    * gate form): group by the quasi-identifier (event_type, hour) —
+    * the attribute combination an adversary could know from the
+    * outside — and flag every group whose distinct-user count is below
+    * [[KAnonK]]. Publishing a below-k group's rows (even "anonymized")
+    * narrows those users to a set smaller than k; a training-data
+    * export over behavioral logs runs exactly this audit before
+    * release, alongside the text-side PII scrub (TextOps.scrubPii).
+    *
+    * Scale shape: ONE exchange keyed by the QID. The row count is
+    * map-side combinable; the distinct-user count is Spark's two-phase
+    * distinct aggregate (partial distinct per partition before the
+    * wire). QID cardinality is bounded (types × hours), so the output
+    * is small at any corpus size; the approximate swap at extreme
+    * cardinality is the HLL sketch family (SketchOps), same plan. */
+  def kAnonymityAudit(spark: SparkSession, dir: String): DataFrame =
+    kAnonymityAudit(spark, dir, KAnonK)
+
+  def kAnonymityAudit(spark: SparkSession, dir: String, k: Int): DataFrame =
+    kAnonGroups(spark, dir)
+      .select(col("event_type"), col("qid_hour"), col("n_rows"), col("n_users"),
+        (col("n_users") >= k).as("anonymous"))
+      .orderBy("event_type", "qid_hour")
+
+  /** Row-suppression summary — the enforcement half of the audit: per
+    * event type, how many rows sit in below-k groups (suppressed on
+    * release) vs releasable rows. Derived from the audit's group table
+    * (no second event scan): a ~|QID|-row re-aggregation. */
+  def kAnonymitySuppress(spark: SparkSession, dir: String): DataFrame =
+    kAnonymitySuppress(spark, dir, KAnonK)
+
+  def kAnonymitySuppress(spark: SparkSession, dir: String, k: Int): DataFrame =
+    kAnonGroups(spark, dir)
+      .groupBy(col("event_type"))
+      .agg(
+        sum(col("n_rows")).as("n_total"),
+        sum(when(col("n_users") < k, col("n_rows")).otherwise(0L)).as("n_suppressed"),
+        sum(when(col("n_users") >= k, col("n_rows")).otherwise(0L)).as("n_kept"),
+        sum(when(col("n_users") < k, 1L).otherwise(0L)).cast(
+          org.apache.spark.sql.types.IntegerType).as("n_groups_suppressed"))
+      .orderBy("event_type")
+
+  private def kAnonGroups(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "events")
+      .groupBy(col("event_type"), date_trunc("hour", col("ts")).as("qid_hour"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("user_id")).cast(
+          org.apache.spark.sql.types.IntegerType).as("n_users"))
 }

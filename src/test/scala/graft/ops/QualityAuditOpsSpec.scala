@@ -33,4 +33,37 @@ class QualityAuditOpsSpec extends SparkSpec {
     assert(got("lineitem.shipdate_not_null") == ((1L, false)))
     assert(got("orders.orderkey_unique") == ((1L, false)))
   }
+
+  test("k-anonymity: the flag counts USERS not rows; suppression mass follows the flag") {
+    val dir = tempDir("kanon_events")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // hour H1 of 'view': 3 distinct users, one row each → anonymous at k=3
+    // hour H2 of 'view': ONE user posting 5 rows → row count clears k but
+    //   user count doesn't — the flag must fire (the privacy unit test)
+    // hour H1 of 'click': 2 users → below k
+    val rows = Seq(
+      (1L, ts("2024-03-01 10:05:00"), 11L, "view", 1.0, "{}"),
+      (2L, ts("2024-03-01 10:15:00"), 12L, "view", 1.0, "{}"),
+      (3L, ts("2024-03-01 10:45:00"), 13L, "view", 1.0, "{}"),
+      (4L, ts("2024-03-01 11:01:00"), 11L, "view", 1.0, "{}"),
+      (5L, ts("2024-03-01 11:02:00"), 11L, "view", 1.0, "{}"),
+      (6L, ts("2024-03-01 11:03:00"), 11L, "view", 1.0, "{}"),
+      (7L, ts("2024-03-01 11:04:00"), 11L, "view", 1.0, "{}"),
+      (8L, ts("2024-03-01 11:05:00"), 11L, "view", 1.0, "{}"),
+      (9L, ts("2024-03-01 10:20:00"), 21L, "click", 1.0, "{}"),
+      (10L, ts("2024-03-01 10:40:00"), 22L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    rows.repartition(3).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val audit = QualityAuditOps.kAnonymityAudit(spark, dir, 3).collect()
+      .map(r => ((r.getString(0), r.getTimestamp(1).toString),
+        (r.getLong(2), r.getInt(3), r.getBoolean(4)))).toMap
+    assert(audit(("view", "2024-03-01 10:00:00.0")) == ((3L, 3, true)))
+    assert(audit(("view", "2024-03-01 11:00:00.0")) == ((5L, 1, false)),
+      "5 rows from one user must NOT count as anonymous")
+    assert(audit(("click", "2024-03-01 10:00:00.0")) == ((2L, 2, false)))
+    val sup = QualityAuditOps.kAnonymitySuppress(spark, dir, 3).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2), r.getLong(3), r.getInt(4)))).toMap
+    assert(sup("view") == ((8L, 5L, 3L, 1)))
+    assert(sup("click") == ((2L, 2L, 0L, 1)))
+  }
 }
