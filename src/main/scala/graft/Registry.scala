@@ -2057,6 +2057,30 @@ object Registry {
         |SELECT q_id, CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
         |       neighbor_id
         |FROM s QUALIFY rank <= 10 ORDER BY q_id, rank""".stripMargin)),
+    // margin-based bitext mining: mutual-best cross-label pairs scored
+    // by the ratio margin; the oracle folds the k neighbor cosines in
+    // the same explicit left-associated rank order, so margins (not
+    // just ranks) hash bit-for-bit
+    GraftQuery("x_sim_bitext_margin", SimilarityOps.bitextMarginMine, Some(
+      s"""WITH e AS (SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |a AS (SELECT vec_id AS a_id, v AS av FROM e WHERE label = 0),
+        |b AS (SELECT vec_id AS b_id, v AS bv FROM e WHERE label = 1),
+        |s AS (SELECT a_id, b_id, list_cosine_similarity(av, bv) AS cos FROM a, b),
+        |fr AS (SELECT a_id, b_id, cos,
+        |         row_number() OVER (PARTITION BY a_id ORDER BY cos DESC, b_id) AS r FROM s),
+        |br AS (SELECT a_id, b_id, cos,
+        |         row_number() OVER (PARTITION BY b_id ORDER BY cos DESC, a_id) AS r FROM s),
+        |fa AS (SELECT a_id, list(cos ORDER BY r) AS l FROM fr WHERE r <= ${SimilarityOps.MineK} GROUP BY 1),
+        |fa2 AS (SELECT a_id, (((l[1] + l[2]) + l[3]) + l[4]) / ${SimilarityOps.MineK} AS favg FROM fa),
+        |ba AS (SELECT b_id, list(cos ORDER BY r) AS l FROM br WHERE r <= ${SimilarityOps.MineK} GROUP BY 1),
+        |ba2 AS (SELECT b_id, (((l[1] + l[2]) + l[3]) + l[4]) / ${SimilarityOps.MineK} AS bavg FROM ba),
+        |f1 AS (SELECT a_id, b_id, cos FROM fr WHERE r = 1),
+        |b1 AS (SELECT a_id, b_id FROM br WHERE r = 1),
+        |m AS (SELECT f1.a_id, f1.b_id, f1.cos, f1.cos / ((favg + bavg) / 2) AS margin
+        |      FROM f1 JOIN b1 ON f1.a_id = b1.a_id AND f1.b_id = b1.b_id
+        |      JOIN fa2 ON f1.a_id = fa2.a_id JOIN ba2 ON f1.b_id = ba2.b_id)
+        |SELECT a_id, b_id, cos, margin, margin >= ${SimilarityOps.MarginTau} AS accepted
+        |FROM m ORDER BY a_id""".stripMargin)),
     // BM25 lexical retrieval: per-term factors floor-scaled to int64 so
     // the per-doc score SUM is order-independent (a raw double sum would
     // be partial-aggregation-order-dependent and unhashable); constants

