@@ -2689,6 +2689,26 @@ object Registry {
       Some(contamScoreOracle)),
     GraftQuery("x_contam_score_digest", PretrainOps.contaminationScoreDigest,
       Some(contamScoreOracle)),
+    // eval-side novelty: per BENCH doc, the fraction of its grams never
+    // seen in the training corpus — the memorization-risk profile an
+    // eval release publishes next to the corpus-side report
+    GraftQuery("x_bench_novelty", PretrainOps.benchNovelty, Some {
+      val k1 = PretrainOps.ContamGram - 1
+      s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+        |bg AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t) - $k1),
+        |         i -> array_to_string(list_slice(t, i, i + $k1), ' ')))) AS g
+        |       FROM toks WHERE len(t) >= ${PretrainOps.ContamGram} AND doc_id % ${PretrainOps.BenchMod} = 0),
+        |cg AS (SELECT DISTINCT unnest(list_distinct(list_transform(generate_series(1, len(t) - $k1),
+        |         i -> array_to_string(list_slice(t, i, i + $k1), ' ')))) AS g
+        |       FROM toks WHERE len(t) >= ${PretrainOps.ContamGram} AND doc_id % ${PretrainOps.BenchMod} <> 0),
+        |sn AS (SELECT DISTINCT bg.g FROM bg JOIN cg USING (g)),
+        |p AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_grams,
+        |        CAST(count(sn.g) AS INTEGER) AS n_seen
+        |      FROM bg LEFT JOIN sn ON bg.g = sn.g GROUP BY 1)
+        |SELECT doc_id, n_grams, n_seen,
+        |       CAST(1 AS DOUBLE) - CAST(n_seen AS DOUBLE) / n_grams AS novelty_frac
+        |FROM p ORDER BY doc_id""".stripMargin
+    }),
     GraftQuery("x_text_chunk", PretrainOps.chunkWindows, Some(
       """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
         |c AS (SELECT doc_id, t,

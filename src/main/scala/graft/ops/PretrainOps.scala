@@ -342,6 +342,46 @@ object PretrainOps {
       .orderBy("doc_id")
   }
 
+  /** Benchmark NOVELTY audit — contamination viewed from the eval side:
+    * for each BENCHMARK document, what fraction of its distinct
+    * [[ContamGram]]-grams never occurs in the training corpus? An eval
+    * item whose grams are mostly present in training measures
+    * memorization, not capability, even when no single document tripped
+    * the per-doc decontamination rule (its grams can be scattered over
+    * MANY training docs). Eval-suite release notes publish exactly this
+    * per-item novelty profile next to the corpus-side report.
+    *
+    * Scale shape — the mirror image of [[decontaminate]]: the tiny
+    * bench gram set broadcasts against ONE corpus gram scan; the
+    * matched-gram set collapses to ≤|bench grams| rows via a distinct
+    * on the gram key BEFORE the per-bench-doc rollup (a gram seen in a
+    * million training docs contributes one row after the map-side
+    * partial distinct — hot grams cannot skew the exchange). The corpus
+    * never shuffles; only bench-sized relations do. */
+  def benchNovelty(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+    val benchDocs = tokenized(docs.filter(col("doc_id") % BenchMod === 0), ContamGram)
+      .select(col("doc_id"), gramSet(ContamGram).as("gs"))
+    val benchGrams = benchDocs.select(explode(col("gs")).as("g")).distinct()
+    // grams of the bench set that occur ANYWHERE in the training corpus:
+    // corpus grams stream past the broadcast bench set; distinct-on-gram
+    // is partially aggregated map-side, so the exchange carries at most
+    // |bench grams| rows regardless of corpus-side gram frequency
+    val seen = grams(tokenized(docs.filter(col("doc_id") % BenchMod =!= 0), ContamGram),
+        ContamGram)
+      .select(col("g"))
+      .join(broadcast(benchGrams), Seq("g"))
+      .distinct()
+    val perDoc = benchDocs.select(col("doc_id"), explode(col("gs")).as("g"))
+      .join(seen.withColumn("hit", lit(1)), Seq("g"), "left")
+      .groupBy(col("doc_id"))
+      .agg(count(lit(1)).cast(IntegerType).as("n_grams"),
+        sum(coalesce(col("hit"), lit(0))).cast(IntegerType).as("n_seen"))
+    perDoc.select(col("doc_id"), col("n_grams"), col("n_seen"),
+      (lit(1.0) - col("n_seen").cast(DoubleType) / col("n_grams")).as("novelty_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Benchmark-membership modulus for the FUZZY decontamination variant.
     * Deliberately different from [[BenchMod]]: mod 97 places so few docs
     * in the synthetic eval suite that no near-duplicate pair straddles
@@ -370,17 +410,42 @@ object PretrainOps {
     * (a decontamination report must list every kept doc, not only the
     * flagged ones). */
   def decontaminateFuzzy(spark: SparkSession, dir: String): DataFrame = {
+    val all = Tables.parallel(spark, dir, "documents")
+    fuzzyCheckAgainst(
+      all.filter(col("doc_id") % FuzzyBenchMod =!= 0),
+      benchShinglePosting(all.filter(col("doc_id") % FuzzyBenchMod === 0)))
+      .orderBy("doc_id")
+  }
+
+  /** Trigram shingle spine of a (doc_id, text) doc set: sorted 64-bit
+    * hash set + cardinality; ≥3-token docs only (a shorter doc has no
+    * trigram and is out of the fuzzy check's scope by construction). */
+  private def shingleSpine(docs: DataFrame): DataFrame = {
     import graft.functions.exprs._
-    val spine = Tables.parallel(spark, dir, "documents")
-      .filter(size(split(col("text"), " ")) >= 3)
+    docs.filter(size(split(col("text"), " ")) >= 3)
       .select(col("doc_id"), shingle_hashes(split(lower(col("text")), " "), 3).as("hs"))
       .withColumn("n", size(col("hs")))
-    val bench = spine.filter(col("doc_id") % FuzzyBenchMod === 0)
-      .select(col("doc_id").as("bench_id"), col("n").as("n_b"), explode(col("hs")).as("sh"))
-    val corpus = spine.filter(col("doc_id") % FuzzyBenchMod =!= 0)
+  }
+
+  /** Exploded benchmark shingle posting (bench_id, n_b, sh) — the
+    * broadcastable fuzzy-contamination index (the near-dup analogue of
+    * [[benchmarkGrams]]). Built ONCE per eval-suite snapshot; batch
+    * sweeps and the streaming gate both probe it. */
+  def benchShinglePosting(benchDocs: DataFrame): DataFrame =
+    shingleSpine(benchDocs)
+      .select(col("doc_id").as("bench_id"), col("n").as("n_b"),
+        explode(col("hs")).as("sh"))
+
+  /** Check a (doc_id, text) doc set against a benchmark shingle posting.
+    * Per-document (no cross-doc state) — shared by the batch operator
+    * and the streaming twin (graft.streaming.StreamingDecontaminate
+    * .serveFuzzy), so micro-batch composition preserves semantics
+    * exactly. */
+  def fuzzyCheckAgainst(docs: DataFrame, benchPosting: DataFrame): DataFrame = {
+    val corpus = shingleSpine(docs)
     val hits = corpus
       .select(col("doc_id"), col("n").as("n_a"), explode(col("hs")).as("sh"))
-      .join(broadcast(bench), Seq("sh"))
+      .join(broadcast(benchPosting), Seq("sh"))
       .groupBy(col("doc_id"), col("bench_id"), col("n_a"), col("n_b"))
       .agg(count(lit(1)).cast(IntegerType).as("c"))
       .filter(lit(2) * col("c") >= col("n_a") + col("n_b") - col("c"))
@@ -395,7 +460,6 @@ object PretrainOps {
         coalesce(col("n_bench_nd"), lit(0)).as("n_bench_nd"),
         coalesce(col("best_jaccard"), lit(0.0)).as("best_jaccard"),
         (coalesce(col("n_bench_nd"), lit(0)) > 0).as("contaminated"))
-      .orderBy("doc_id")
   }
 
   /** Span width (tokens) for substring-level dedup. Real pipelines use

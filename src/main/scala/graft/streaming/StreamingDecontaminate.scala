@@ -68,4 +68,30 @@ object StreamingDecontaminate {
       .trigger(Trigger.AvailableNow())
       .option("checkpointLocation", s"$sinkDir/_checkpoint")
       .start()
+
+  /** The FUZZY twin of the gate: each epoch's documents are checked for
+    * near-duplicate (trigram Jaccard ≥ 1/2) matches against the static
+    * benchmark shingle posting (`PretrainOps.benchShinglePosting`) —
+    * ingestion-time paraphrase-leak detection. The check is
+    * per-document like the exact gate, so the same micro-batch
+    * composition and batch_id=<epoch> replace-on-replay sink discipline
+    * carry over unchanged. */
+  def writeFuzzyBatch(
+      benchPosting: DataFrame, batch: DataFrame, batchId: Long,
+      sinkDir: String): Unit =
+    PretrainOps.fuzzyCheckAgainst(batch, benchPosting)
+      .write.mode("overwrite").parquet(s"$sinkDir/batch_id=$batchId")
+
+  /** Fuzzy-gate a document stream against a benchmark shingle posting —
+    * the ingestion-time form of `PretrainOps.decontaminateFuzzy`. */
+  def serveFuzzy(
+      benchPosting: DataFrame, docStream: DataFrame,
+      sinkDir: String): StreamingQuery =
+    docStream.writeStream
+      .foreachBatch { (batch: DataFrame, id: Long) =>
+        writeFuzzyBatch(benchPosting, batch, id, sinkDir)
+      }
+      .trigger(Trigger.AvailableNow())
+      .option("checkpointLocation", s"$sinkDir/_checkpoint")
+      .start()
 }

@@ -106,6 +106,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(dropped == 1L, s"expected exactly the manufactured hot shingle dropped, got $dropped")
   }
 
+  test("bench novelty: fully-leaked item at 0, unseen item at 1, half-leaked at exactly 1/2") {
+    import spark.implicits._
+    val leaked = "one two three four five six seven eight" // 8 tokens, 1 gram
+    // 9 tokens → two 8-grams; the corpus holds only the FIRST of them
+    val half = s"$leaked nine"
+    val docs = Seq(
+      (0L, leaked, "en", "src0", 1L),   // bench (0 % 97 == 0): gram in corpus
+      (97L, half, "en", "src0", 1L),    // bench: one of two grams leaked
+      (194L, "alpha beta gamma delta epsilon zeta eta theta", "en", "src0", 1L), // bench: unseen
+      (1L, s"intro words $leaked trailing text", "en", "src1", 1L), // corpus carrier
+      (2L, "unrelated corpus content entirely disjoint from benchmark grams here", "en", "src1", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tempDir("novelty_docs")
+    docs.repartition(2).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = PretrainOps.benchNovelty(spark, dir).collect()
+      .map(x => (x.getLong(0), (x.getInt(1), x.getInt(2), x.getDouble(3)))).toMap
+    assert(r.keySet == Set(0L, 97L, 194L), s"bench rows only: ${r.keySet}")
+    assert(r(0L) == ((1, 1, 0.0)), s"fully leaked: ${r(0L)}")
+    assert(r(97L) == ((2, 1, 0.5)), s"half leaked: ${r(97L)}")
+    assert(r(194L) == ((1, 0, 1.0)), s"unseen: ${r(194L)}")
+  }
+
   test("fuzzy decontamination: paraphrased bench copy flagged, exact copy at jaccard 1, clean doc clear") {
     import spark.implicits._
     val benchText = "the quick brown fox jumps over the lazy dog near the old river bank today"
