@@ -279,11 +279,17 @@ object CurationOps {
     * the SAME broadcast-join plan but libm logs land rows-only; the
     * affinity form keeps the whole operator value-oracled.
     *
-    * Scale shape: ONE corpus scan → per-(doc, bucket) occurrence counts
+    * Scale shape: per-(doc, bucket) occurrence counts
     * (partial-aggregatable; ≤4096 distinct buckets per doc); the global
     * bucket table re-aggregates those rows to ≤4096 entries and
     * BROADCASTS back; one doc_id rollup finishes. No shuffle ever keys
-    * on raw text. Documents too short for a bigram pass through at the
+    * on raw text. Statistics-then-score is inherently two phases, so
+    * the bigram-hash pass runs twice (once under the eager bucket-table
+    * job, once under scoring) — but only ONCE per phase: the terminal
+    * repartition spine on the counts keeps every in-phase consumer on
+    * one traversal. A production run materializes the counts as the
+    * reusable hashed-feature table and pays the hash exactly once.
+    * Documents too short for a bigram pass through at the
     * corpus-prior score (they carry no domain evidence either way) —
     * explicitly, not dropped. */
   def dsirWeights(spark: SparkSession, dir: String): DataFrame =
@@ -310,17 +316,27 @@ object CurationOps {
     val toks = docs
       .select(col("doc_id"), col("lang"), split(lower(col("text")), " ").as("t"))
       .filter(size(col("t")) >= 2)
-    // per-(doc, bucket) OCCURRENCE counts — the one corpus-wide shuffle
+    // per-(doc, bucket) OCCURRENCE counts — the one corpus-wide shuffle.
+    // The terminal round-robin exchange is the reuse spine (the
+    // ngramJaccard discipline): the bucket table below and the scoring
+    // join both canonicalize to THIS exchange, so the bigram md5 pass
+    // runs once — without it, their different column pruning makes the
+    // subtrees unequal and the corpus is hashed per consumer (the
+    // sourceDriftCells lesson from the drift family).
     val db = toks
       .select(col("doc_id"), col("lang"),
         explode(transform(sequence(lit(0), size(col("t")) - 2),
           i => TextOps.featBucket(array_join(slice(col("t"), i + 1, lit(2)), " ")))).as("bucket"))
       .groupBy(col("doc_id"), col("lang"), col("bucket"))
       .agg(count(lit(1)).as("n_db"))
-    // global bucket table from the already-collapsed rows: ≤4096 entries
+      .repartition(spark.sparkContext.defaultParallelism)
+    // global bucket table from the already-collapsed rows: ≤4096 entries,
+    // eagerly pinned so the weight table AND the prior read it without
+    // re-traversing the corpus chain
     val bt = db.groupBy(col("bucket"))
       .agg(sum(col("n_db")).as("cq"),
         sum(when(col("lang") === DsirTargetLang, col("n_db")).otherwise(0L)).as("ct"))
+      .localCheckpoint()
     val w = bt.select(col("bucket"),
       expr(s"($DsirScale * (ct + 1)) div (ct + cq + 2)").as("w"))
     // corpus prior: one-row aggregate, broadcast back (the neutral score
