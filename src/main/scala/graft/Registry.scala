@@ -3429,6 +3429,24 @@ object Registry {
         |       CASE WHEN q > p66 THEN 'head' WHEN q > p33 THEN 'middle' ELSE 'tail' END AS bucket
         |FROM s JOIN b USING (lang)
         |ORDER BY doc_id""".stripMargin)),
+    // temperature-scaled (α = 1/2) multilingual sampling shares: the one
+    // α where exactness is free — w = floor(sqrt(mass·1e12)) runs the
+    // same IEEE double sequence in both engines; shares/boosts are
+    // integer division after that
+    GraftQuery("x_temperature_shares", SamplingOps.temperatureShares, Some(
+      """WITH m AS (SELECT lang, CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS token_mass
+        |           FROM documents GROUP BY 1),
+        |w AS (SELECT lang, token_mass,
+        |        CAST(floor(sqrt(CAST(token_mass AS DOUBLE) * 1e12)) AS BIGINT) AS w FROM m),
+        |t AS (SELECT CAST(sum(token_mass) AS BIGINT) AS total_mass,
+        |             CAST(sum(w) AS BIGINT) AS total_w FROM w),
+        |sh AS (SELECT lang, token_mass,
+        |         (token_mass * 1000000) // total_mass AS raw_ppm,
+        |         (w * 1000000) // total_w AS temp_ppm
+        |       FROM w, t)
+        |SELECT lang, token_mass, raw_ppm, temp_ppm,
+        |       (temp_ppm * 1000000) // raw_ppm AS boost_ppm
+        |FROM sh ORDER BY lang""".stripMargin)),
     GraftQuery("x_mix_sources", SamplingOps.mixSources, Some(
       """WITH m AS (
         |  SELECT doc_id, source,

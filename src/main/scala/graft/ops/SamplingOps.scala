@@ -277,6 +277,39 @@ object SamplingOps {
       .orderBy("doc_id")
   }
 
+  /** Temperature-scaled multilingual sampling shares (the mBERT/XLM-R
+    * α-smoothing rule at α = 1/2): raw per-language token masses are
+    * exponentiated to mass^α and renormalized, boosting scarce
+    * languages and damping the glut — THE standard answer to "English
+    * is 40× Swahili, how often do I sample each?". This derives the
+    * weights that [[mixSources]]-style appliers then consume.
+    *
+    * Integer-exactness: mass^(1/2) is the one α where exactness is
+    * free — w = ⌊√(mass·10¹²)⌋ (≈10⁶·√mass) is computed with the SAME
+    * IEEE sequence in both engines (double multiply → correctly-rounded
+    * sqrt → floor), lands in int64, and every share/boost after it is
+    * integer division. Other α need pow (libm → rows-only); serving the
+    * α=1/2 point value-oracled pins the whole plan shape.
+    *
+    * Scale shape: one corpus scan → |langs|-row aggregate; the total is
+    * a 1-row aggregate broadcast back. Nothing corpus-sized shuffles. */
+  def temperatureShares(spark: SparkSession, dir: String): DataFrame = {
+    val mass = Tables(spark, dir, "documents")
+      .groupBy(col("lang"))
+      .agg(sum(size(split(col("text"), " ")).cast(LongType)).as("token_mass"))
+      .select(col("lang"), col("token_mass"),
+        floor(sqrt(col("token_mass").cast(DoubleType) * lit(1.0e12)))
+          .cast(LongType).as("w"))
+    val totals = mass.agg(sum(col("token_mass")).as("total_mass"),
+      sum(col("w")).as("total_w"))
+    mass.crossJoin(broadcast(totals))
+      .select(col("lang"), col("token_mass"),
+        expr("(token_mass * 1000000) div total_mass").as("raw_ppm"),
+        expr("(w * 1000000) div total_w").as("temp_ppm"))
+      .withColumn("boost_ppm", expr("(temp_ppm * 1000000) div raw_ppm"))
+      .orderBy("lang")
+  }
+
   /** How many documents per source the bottom-k sample keeps. */
   val BottomK = 10
 

@@ -87,6 +87,24 @@ class CurationOpsSpec extends SparkSpec {
     assert(kept == Set(0L, 1L, 3L), s"unexpected selection: $kept")
   }
 
+  test("temperature shares: α=1/2 on a 4:1 mass split gives exactly 2:1 shares") {
+    import spark.implicits._
+    // lang 'en': 4 docs × 25 tokens = 100; lang 'sw': 1 doc × 25 = 25.
+    // √ masses are 10:5 → temp shares exactly 2/3 and 1/3 (in ppm floor)
+    val t25 = (1 to 25).map(i => s"w$i").mkString(" ")
+    val docs = ((0 until 4).map(i => (i.toLong, t25, "en", "src0", 1L)) :+
+      (4L, t25, "sw", "src1", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tempDir("temp_share_docs")
+    docs.repartition(2).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = SamplingOps.temperatureShares(spark, dir).collect()
+      .map(x => (x.getString(0), (x.getLong(1), x.getLong(2), x.getLong(3), x.getLong(4)))).toMap
+    assert(r("en") == ((100L, 800000L, 666666L, 833332L)), s"en: ${r("en")}")
+    assert(r("sw") == ((25L, 200000L, 333333L, 1666665L)), s"sw: ${r("sw")}")
+    // the defining property: scarce language boosted, dominant damped
+    assert(r("sw")._4 > 1000000L && r("en")._4 < 1000000L)
+  }
+
   test("split leakage matrix is the exact composition of pairs × split labels") {
     val split = SamplingOps.splitHash(spark, Sf0001).collect()
       .map(r => r.getLong(0) -> r.getString(2)).toMap
