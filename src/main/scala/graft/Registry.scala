@@ -2337,6 +2337,21 @@ object Registry {
         """SELECT CAST(cid AS INTEGER) AS cluster, count(*) AS n_vecs,
           |       CAST(sum(d) AS BIGINT) AS inertia
           |FROM a3 GROUP BY cid ORDER BY cluster""".stripMargin)),
+    // SemDeDup: pair search bounded by the k-means cells, min-id
+    // survivorship; the oracle recomputes within-cell cosine pairs over
+    // the SAME unrolled-Lloyd assignment the kmeans queries hash on
+    GraftQuery("x_cluster_semdedup", KmeansOps.semDedup, Some(
+      kmeansCte +
+        s""", e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+          |sp AS (SELECT y.vec_id AS vec_id, min(x.vec_id) AS witness_id
+          |       FROM a3 x JOIN a3 y ON x.cid = y.cid AND x.vec_id < y.vec_id
+          |       JOIN e ex ON ex.vec_id = x.vec_id JOIN e ey ON ey.vec_id = y.vec_id
+          |       WHERE list_cosine_similarity(ex.v, ey.v) >= ${KmeansOps.SemTau}
+          |       GROUP BY 1)
+          |SELECT a3.vec_id, CAST(a3.cid AS INTEGER) AS cluster,
+          |       sp.vec_id IS NULL AS kept, witness_id
+          |FROM a3 LEFT JOIN sp ON a3.vec_id = sp.vec_id
+          |ORDER BY a3.vec_id""".stripMargin)),
     GraftQuery("x_cluster_kmeans_balanced", (s, d) => KmeansOps.kmeansBalancedSample(s, d), Some(
       kmeansCte +
         """, sz AS (SELECT cid, count(*) AS n_vecs FROM a3 GROUP BY cid)

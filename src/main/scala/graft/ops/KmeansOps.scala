@@ -191,4 +191,46 @@ object KmeansOps {
         .withColumnRenamed("vec_id", "doc_id"), Seq("doc_id"))
       .select(col("doc_id"), col("cluster"), col("lang"), col("stop_ratio"))
       .orderBy("doc_id")
+
+  /** Cosine threshold for [[semDedup]] — the `DedupOps.embedCosine`
+    * near-dup currency, so "semantic duplicate" means the same thing in
+    * both the exact-anchor and the cluster-bounded pipelines. */
+  val SemTau = 0.5
+
+  /** SemDeDup (Abbas et al. '23): semantic near-duplicate pruning with
+    * the pair search BOUNDED BY THE K-MEANS CELLS — the trick that makes
+    * embedding dedup feasible at corpus scale. Two vectors are compared
+    * only when the coarse quantizer puts them in the same cell; within a
+    * cell, a vector is pruned when a LOWER-ID cell-mate sits within
+    * cosine ≥ [[SemTau]] (min-id survivorship, the exact-dedup
+    * convention — deterministic, no RNG). Output: every vector with its
+    * cell, keep flag, and the witness that evicted it (null when kept).
+    *
+    * vs [[DedupOps.embedCosine]]: that is the size-guarded O(n²) exact
+    * anchor; vs `SimilarityOps.annEmbedClusters`: that buckets by LSH
+    * signature. This is the quantizer-bounded middle path the SemDeDup
+    * paper ships: pair work is Σ|cell|² ≈ n²/K, and K grows with the
+    * corpus so cells stay ~constant-sized — the same cap discipline as
+    * the LSH bucket caps, enforced by the quantizer itself. The cell
+    * self-join shuffles on the cell id; a pathologically hot cell is
+    * visible in `kmeansProfile` (its n_vecs) before this ever runs. */
+  def semDedup(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.exprs._
+    val asg = fit(spark, dir).select(col("vec_id"), col("cluster"))
+    val vecs = Tables.parallel(spark, dir, "embeddings")
+      .select(col("vec_id"), transform(col("embedding"), x => x.cast(DoubleType)).as("dv"))
+    val cell = asg.join(vecs, Seq("vec_id"))
+    val witness = cell
+      .select(col("cluster"), col("vec_id").as("a_id"), col("dv").as("va"))
+      .join(cell.select(col("cluster"), col("vec_id").as("b_id"), col("dv").as("vb")),
+        Seq("cluster"))
+      .filter(col("a_id") < col("b_id"))
+      .filter(cosine_similarity(col("va"), col("vb")) >= SemTau)
+      .groupBy(col("b_id").as("vec_id"))
+      .agg(min(col("a_id")).as("witness_id"))
+    asg.join(witness, Seq("vec_id"), "left")
+      .select(col("vec_id"), col("cluster"),
+        col("witness_id").isNull.as("kept"), col("witness_id"))
+      .orderBy("vec_id")
+  }
 }

@@ -116,4 +116,25 @@ class KmeansOpsSpec extends SparkSpec {
     assert(kept == (quality & balanced))
     assert(kept.nonEmpty && kept.size < quality.size && kept.size < balanced.size)
   }
+
+  test("semdedup: planted cell-mate duplicate pruned with min-id witness, everyone else kept") {
+    // 8 orthogonal seed vectors (one per cell under the vec_id<8 seeding)
+    // + vec 8 ≈ vec 0: same cell, cosine ≈ 1 ≫ τ → pruned, witness 0
+    def unit(axis: Int, minor: Float = 0f): Array[Float] = {
+      val v = Array.fill(16)(0.0f)
+      v(axis) = 1.0f
+      if (minor != 0f) v((axis + 1) % 16) = minor
+      v
+    }
+    val rows = (0 until 8).map(i => (i.toLong, unit(i), 0)) :+ (8L, unit(0, 0.05f), 0)
+    val dir = tempDir("semdedup_planted")
+    rows.toDF("vec_id", "embedding", "label").repartition(3)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val r = KmeansOps.semDedup(spark, dir).collect()
+      .map(x => (x.getLong(0), (x.getBoolean(2),
+        if (x.isNullAt(3)) -1L else x.getLong(3)))).toMap
+    assert(r.size == 9)
+    assert(r(8L) == ((false, 0L)), s"duplicate must be pruned by witness 0: ${r(8L)}")
+    (0L to 7L).foreach(id => assert(r(id) == ((true, -1L)), s"vec $id wrongly pruned: ${r(id)}"))
+  }
 }
