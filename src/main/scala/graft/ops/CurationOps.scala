@@ -279,16 +279,16 @@ object CurationOps {
     * the SAME broadcast-join plan but libm logs land rows-only; the
     * affinity form keeps the whole operator value-oracled.
     *
-    * Scale shape: per-(doc, bucket) occurrence counts
-    * (partial-aggregatable; ≤4096 distinct buckets per doc); the global
-    * bucket table re-aggregates those rows to ≤4096 entries and
-    * BROADCASTS back; one doc_id rollup finishes. No shuffle ever keys
-    * on raw text. Statistics-then-score is inherently two phases, so
-    * the bigram-hash pass runs twice (once under the eager bucket-table
-    * job, once under scoring) — but only ONCE per phase: the terminal
-    * repartition spine on the counts keeps every in-phase consumer on
-    * one traversal. A production run materializes the counts as the
-    * reusable hashed-feature table and pays the hash exactly once.
+    * Scale shape: fit aggregates bigram occurrences STRAIGHT into the
+    * ≤4096-row bucket table (map-side combinable — a hot bucket
+    * collapses per partition before the wire) and pins it; scoring
+    * joins each occurrence against the broadcast weight table and
+    * rolls up per doc. No shuffle ever keys on raw text.
+    * Statistics-then-score is inherently two phases, so the bigram-hash
+    * pass runs once per phase — twice total; a production run
+    * materializes the fitted tables ([[dsirFit]]) once per corpus
+    * snapshot and pays the fit exactly once, and the streaming scorer
+    * (graft.streaming.StreamingDsirScore) reuses them per micro-batch.
     * Documents too short for a bigram pass through at the
     * corpus-prior score (they carry no domain evidence either way) —
     * explicitly, not dropped. */
@@ -309,44 +309,49 @@ object CurationOps {
       .select(col("doc_id"), col("lang"), col("score_ppm"))
       .orderBy("doc_id")
 
-  /** Shared scoring core: every document (bigram-bearing or not) with
-    * its score and the corpus prior carried alongside. */
-  private def dsirScored(spark: SparkSession, dir: String): DataFrame = {
-    val docs = Tables(spark, dir, "documents")
-    val toks = docs
+  /** Per-occurrence hashed-bigram bucket stream of a (doc_id, lang,
+    * text) doc set — the ONE feature definition every DSIR phase (fit,
+    * batch score, streaming score) derives from. */
+  private def bigramBuckets(docs: DataFrame): DataFrame =
+    docs
       .select(col("doc_id"), col("lang"), split(lower(col("text")), " ").as("t"))
       .filter(size(col("t")) >= 2)
-    // per-(doc, bucket) OCCURRENCE counts — the one corpus-wide shuffle.
-    // The terminal round-robin exchange is the reuse spine (the
-    // ngramJaccard discipline): the bucket table below and the scoring
-    // join both canonicalize to THIS exchange, so the bigram md5 pass
-    // runs once — without it, their different column pruning makes the
-    // subtrees unequal and the corpus is hashed per consumer (the
-    // sourceDriftCells lesson from the drift family).
-    val db = toks
       .select(col("doc_id"), col("lang"),
         explode(transform(sequence(lit(0), size(col("t")) - 2),
           i => TextOps.featBucket(array_join(slice(col("t"), i + 1, lit(2)), " ")))).as("bucket"))
-      .groupBy(col("doc_id"), col("lang"), col("bucket"))
-      .agg(count(lit(1)).as("n_db"))
-      .repartition(spark.sparkContext.defaultParallelism)
-    // global bucket table from the already-collapsed rows: ≤4096 entries,
-    // eagerly pinned so the weight table AND the prior read it without
-    // re-traversing the corpus chain
-    val bt = db.groupBy(col("bucket"))
-      .agg(sum(col("n_db")).as("cq"),
-        sum(when(col("lang") === DsirTargetLang, col("n_db")).otherwise(0L)).as("ct"))
+
+  /** Fit the scorer: ONE hash pass over the corpus straight into the
+    * ≤4096-row bucket table (fully map-side combinable — no per-doc
+    * intermediate), eagerly pinned so the weight table and the prior
+    * both read it without re-traversing the corpus. Returns the fitted
+    * artifacts a serving path freezes: the weight table and the 1-row
+    * prior. */
+  def dsirFit(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    val bt = bigramBuckets(Tables(spark, dir, "documents"))
+      .groupBy(col("bucket"))
+      .agg(count(lit(1)).as("cq"),
+        sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("ct"))
       .localCheckpoint()
     val w = bt.select(col("bucket"),
       expr(s"($DsirScale * (ct + 1)) div (ct + cq + 2)").as("w"))
-    // corpus prior: one-row aggregate, broadcast back (the neutral score
-    // for docs with no bigram evidence, and dsirSelect's cut line)
     val prior = bt.agg(
       expr(s"((sum(ct) + 1) * $DsirScale) div (sum(ct) + sum(cq) + 2)").as("prior_ppm"))
-    val scored = db.join(broadcast(w), Seq("bucket"))
+    (w, prior)
+  }
+
+  /** Score a (doc_id, lang, text) doc set with FITTED weight/prior
+    * tables — per-document given the broadcasts (no cross-doc state),
+    * shared by the batch operators and the streaming twin
+    * (graft.streaming.StreamingDsirScore), so micro-batch composition
+    * preserves semantics exactly. One hash pass: occurrences join the
+    * broadcast weights, one doc_id rollup, explicit passthrough rows at
+    * the prior for evidence-free docs. */
+  def dsirScoreAgainst(docs: DataFrame, w: DataFrame, prior: DataFrame): DataFrame = {
+    val scored = bigramBuckets(docs)
+      .join(broadcast(w), Seq("bucket"))
       .groupBy(col("doc_id"))
-      .agg(sum(col("n_db") * col("w")).as("sum_w"),
-        sum(col("n_db")).cast(IntegerType).as("n_bigrams"))
+      .agg(sum(col("w")).as("sum_w"),
+        count(lit(1)).cast(IntegerType).as("n_bigrams"))
     docs.select(col("doc_id"), col("lang"))
       .join(scored, Seq("doc_id"), "left")
       .crossJoin(broadcast(prior))
@@ -355,5 +360,14 @@ object CurationOps {
         coalesce(col("sum_w"), lit(0L)).as("sum_w"),
         coalesce(expr("sum_w div n_bigrams"), col("prior_ppm")).as("score_ppm"),
         col("prior_ppm"))
+  }
+
+  /** Shared scoring core: fit, then score the same corpus — statistics-
+    * then-apply is inherently two hash passes, one per phase; a
+    * production run materializes the fitted tables once and pays the
+    * fit exactly once per corpus snapshot. */
+  private def dsirScored(spark: SparkSession, dir: String): DataFrame = {
+    val (w, prior) = dsirFit(spark, dir)
+    dsirScoreAgainst(Tables(spark, dir, "documents"), w, prior)
   }
 }
