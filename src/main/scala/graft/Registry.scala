@@ -87,6 +87,32 @@ object Registry {
       |        CAST(sum(n_db) AS BIGINT) AS n_bigrams
       |      FROM db JOIN w USING (bucket) GROUP BY 1)""".stripMargin
 
+  /** Transitive-closure clustering over the exact Jaccard ≥ 1/2 pair set
+    * (the ngramJaccardOracle threshold) ending in `cl` = (cluster_id,
+    * doc_id) — shared by x_dedup_clusters AND the per-cluster quality
+    * survivor so both hash against ONE clustering definition. */
+  private val nearDupClustersCtes: String =
+    """WITH RECURSIVE
+      | toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+      | tri AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t) - 2),
+      |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+      |         FROM toks WHERE len(t) >= 3),
+      | cnt AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+      | prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      |         FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      | good AS (SELECT doc_a, doc_b FROM prs
+      |          JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+      |          WHERE 3 * n_common >= ca.n + cb.n),
+      | edges AS (SELECT doc_a AS src, doc_b AS dst FROM good
+      |           UNION SELECT doc_b, doc_a FROM good),
+      | walk AS (
+      |   SELECT src AS id, src AS reach FROM edges
+      |   UNION
+      |   SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src
+      | ),
+      | cl AS (SELECT min(reach) AS cluster_id, id AS doc_id FROM walk GROUP BY id)
+      |""".stripMargin
+
   private val monthlyAggEventsOracle: String =
     """SELECT event_type, date_trunc('month', ts) AS month,
       |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS avg_value,
@@ -2006,26 +2032,27 @@ object Registry {
     // oracled) ngram-jaccard pair set — value-checkable via DuckDB's
     // recursive CTE transitive closure
     GraftQuery("x_dedup_clusters", ClusterOps.nearDupClusters, Some(
-      """WITH RECURSIVE
-        | toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-        | tri AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t) - 2),
-        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
-        |         FROM toks WHERE len(t) >= 3),
-        | cnt AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
-        | prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-        |         FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        | good AS (SELECT doc_a, doc_b FROM prs
-        |          JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
-        |          WHERE 3 * n_common >= ca.n + cb.n),
-        | edges AS (SELECT doc_a AS src, doc_b AS dst FROM good
-        |           UNION SELECT doc_b, doc_a FROM good),
-        | walk AS (
-        |   SELECT src AS id, src AS reach FROM edges
-        |   UNION
-        |   SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src
-        | )
-        |SELECT min(reach) AS cluster_id, id AS doc_id FROM walk GROUP BY id
-        |ORDER BY cluster_id, doc_id""".stripMargin)),
+      nearDupClustersCtes +
+        """SELECT cluster_id, doc_id FROM cl
+          |ORDER BY cluster_id, doc_id""".stripMargin)),
+    // per-cluster QUALITY survivor (min stop-ratio, id tie) — the same
+    // transitive-closure CTE chain, so the clustering and its decision
+    // rule are judged against one definition
+    GraftQuery("x_dedup_cluster_survivor", ClusterOps.nearDupQualitySurvivor, Some(
+      nearDupClustersCtes +
+        """, s AS (
+          |  SELECT doc_id,
+          |         len(list_filter(string_split(text, ' '),
+          |             t -> t IN ('the','a','of','and','to','in','is','or','for','on')))
+          |           / len(string_split(text, ' ')) AS sr
+          |  FROM documents),
+          |r AS (SELECT cluster_id, cl.doc_id, sr,
+          |        row_number() OVER (PARTITION BY cluster_id ORDER BY sr, cl.doc_id) AS rn,
+          |        count(*) OVER (PARTITION BY cluster_id) AS nm
+          |      FROM cl JOIN s ON cl.doc_id = s.doc_id)
+          |SELECT cluster_id, doc_id AS keep_id, sr AS keep_stop_ratio,
+          |       CAST(nm AS INTEGER) AS n_members
+          |FROM r WHERE rn = 1 ORDER BY cluster_id""".stripMargin)),
     GraftQuery("x_dedup_simhash", DedupOps.simhash, None),
     GraftQuery("x_dedup_embed_cosine", DedupOps.embedCosine, Some(
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings)

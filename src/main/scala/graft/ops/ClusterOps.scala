@@ -92,6 +92,31 @@ object ClusterOps {
       .orderBy("cluster_id", "doc_id")
   }
 
+  /** Quality survivorship over NEAR-dup clusters — the production
+    * decision rule after clustering: each cluster keeps its
+    * BEST-QUALITY member (min stop-ratio, doc_id tie — the
+    * `DedupOps.qualitySurvivor` currency applied transitively), not the
+    * smallest id ([[clusterCapSample]]) and not per-pair greedy (which
+    * can evict every member of a chain). Output: one row per cluster
+    * with the survivor, its quality, and the member count.
+    *
+    * Scale shape: clusters are a vanishing fraction of the corpus; the
+    * survivor is a `min(struct(sr, doc_id))` aggregate — map-side
+    * combinable, no window over the cluster key — and the quality
+    * column joins in on doc_id before the (tiny) cluster rollup. */
+  def nearDupQualitySurvivor(spark: SparkSession, dir: String): DataFrame = {
+    val q = Tables(spark, dir, "documents")
+      .select(col("doc_id"), TextOps.stopRatio(col("text")).as("sr"))
+    nearDupClusters(spark, dir)
+      .join(q, Seq("doc_id"))
+      .groupBy(col("cluster_id"))
+      .agg(count(lit(1)).cast(org.apache.spark.sql.types.IntegerType).as("n_members"),
+        min(struct(col("sr").as("sr"), col("doc_id").as("doc_id"))).as("best"))
+      .select(col("cluster_id"), col("best.doc_id").as("keep_id"),
+        col("best.sr").as("keep_stop_ratio"), col("n_members"))
+      .orderBy("cluster_id")
+  }
+
   /** Cluster-capped downsampling (SemDeDup-style, Abbas et al. '23): the
     * dedup DECISION applied to the whole corpus — each near-dup cluster
     * keeps only its `keep` lowest-id members; documents outside any

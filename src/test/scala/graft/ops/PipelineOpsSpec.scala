@@ -106,6 +106,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(dropped == 1L, s"expected exactly the manufactured hot shingle dropped, got $dropped")
   }
 
+  test("near-dup cluster survivor: quality beats id — the clean higher-id member survives") {
+    import spark.implicits._
+    val core = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
+    val docs = Seq(
+      (10L, s"$core the the", "en", "src0", 1L), // lowest id, 2 stopwords
+      (11L, core, "en", "src1", 1L),             // clean near-dup (J = 12/14)
+      (12L, "completely different words about spark query engines and shuffles everywhere", "en", "src0", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tempDir("cluster_surv_docs")
+    docs.repartition(2).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = ClusterOps.nearDupQualitySurvivor(spark, dir).collect()
+      .map(x => (x.getLong(0), (x.getLong(1), x.getInt(3)))).toMap
+    // one cluster, labelled by its min member id, survived by QUALITY:
+    // clusterCapSample would keep 10; the stop-ratio rule keeps 11
+    assert(r == Map(10L -> ((11L, 2))), s"unexpected survivor table: $r")
+  }
+
   test("bench novelty: fully-leaked item at 0, unseen item at 1, half-leaked at exactly 1/2") {
     import spark.implicits._
     val leaked = "one two three four five six seven eight" // 8 tokens, 1 gram
