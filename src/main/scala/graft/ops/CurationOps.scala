@@ -347,10 +347,19 @@ object CurationOps {
     * broadcast weights, one doc_id rollup, explicit passthrough rows at
     * the prior for evidence-free docs. */
   def dsirScoreAgainst(docs: DataFrame, w: DataFrame, prior: DataFrame): DataFrame = {
+    // LEFT join: a bucket the fit corpus never populated still scores —
+    // at the add-one-smoothed empty-bucket affinity ⌊S·(0+1)/(0+0+2)⌋ =
+    // S/2, exactly what the weight formula yields at ct = cq = 0. An
+    // inner join would silently DROP novel-vocabulary occurrences: the
+    // streaming deployment scores new data against a frozen fit, where
+    // unseen buckets are routine, and a doc of entirely novel bigrams
+    // must land at the smoothed neutral, not inherit the corpus prior
+    // with an empty evidence count. (Batch paths score the fit corpus
+    // itself, so every bucket exists there — rows unchanged.)
     val scored = bigramBuckets(docs)
-      .join(broadcast(w), Seq("bucket"))
+      .join(broadcast(w), Seq("bucket"), "left")
       .groupBy(col("doc_id"))
-      .agg(sum(col("w")).as("sum_w"),
+      .agg(sum(coalesce(col("w"), lit(DsirScale / 2))).as("sum_w"),
         count(lit(1)).cast(IntegerType).as("n_bigrams"))
     docs.select(col("doc_id"), col("lang"))
       .join(scored, Seq("doc_id"), "left")

@@ -92,8 +92,9 @@ object SimilarityOps {
     topkMapSide(scored, K)
   }
 
-  /** Neighborhood size for the bitext margin denominator (Artetxe &
-    * Schwenk use k=4); both mined sides must hold ≥ MineK vectors. */
+  /** Neighborhood size cap for the bitext margin denominator (Artetxe &
+    * Schwenk use k=4); a side smaller than MineK averages over however
+    * many cross-side neighbors it actually has. */
   val MineK = 4
 
   /** Margin acceptance threshold: ratio > 1 means the candidate pair is
@@ -145,8 +146,12 @@ object SimilarityOps {
       .select(col(key),
         element_at(col("top"), 1).getField("neighborId").as(s"best_$nbr"),
         element_at(col("top"), 1).getField("cos").as(s"cos_$key"),
+        // divide by the ACTUAL neighborhood size, not the constant k: a
+        // side with fewer than MineK vectors yields a shorter top list,
+        // and dividing its sum by k would deflate the mean and inflate
+        // every margin on that side
         (aggregate(transform(col("top"), s => s.getField("cos")),
-          lit(0.0), (acc, x) => acc + x) / MineK).as(s"avg_$key"))
+          lit(0.0), (acc, x) => acc + x) / size(col("top"))).as(s"avg_$key"))
     val fwd = side("a_id", "b_id")
     val bwd = side("b_id", "a_id")
     fwd.join(bwd,

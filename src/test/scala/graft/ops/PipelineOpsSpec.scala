@@ -210,7 +210,7 @@ class PipelineOpsSpec extends SparkSpec {
         .sortBy { case (id, c) => (-c, id) }
     val fwd = aSide.map(a => a._1 -> ranked(a, bSide)).toMap
     val bwd = bSide.map(b => b._1 -> ranked(b, aSide)).toMap
-    def avg4(l: Seq[(Long, Double)]) = l.take(4).map(_._2).sum / 4
+    def avg4(l: Seq[(Long, Double)]) = { val t = l.take(4); t.map(_._2).sum / t.size }
     val want = (for {
       (aId, fl) <- fwd
       (bId, c) = fl.head
@@ -228,6 +228,45 @@ class PipelineOpsSpec extends SparkSpec {
     got.collect { case ((a, b), (m, _)) if a != 100L => m }.foreach { m =>
       assert(m < got((100L, 200L))._1, "cluster margin must sit below the isolated pair's")
     }
+  }
+
+  test("bitext margin on a sub-k side: mean over ACTUAL neighbors, margins not inflated") {
+    import spark.implicits._
+    // side B holds only 2 vectors (< MineK = 4): the neighborhood mean
+    // must divide by 2 — a /k divisor would halve it and double margins
+    def v(xs: Double*): Array[Float] = xs.toArray.map(_.toFloat)
+    val rows = Seq(
+      (300L, v(1, 0, 0), 0), (301L, v(0, 1, 0), 0),
+      (302L, v(0.8, 0.6, 0), 0), (303L, v(0.6, 0.8, 0), 0),
+      (400L, v(0.95, 0.05, 0), 1), (401L, v(0.1, 0.9, 0), 1))
+    val dir = tempDir("bitext_small_side")
+    rows.toDF("vec_id", "embedding", "label").repartition(2)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = SimilarityOps.bitextMarginMine(spark, dir).collect()
+      .map(r => ((r.getLong(0), r.getLong(1)), r.getDouble(3))).toMap
+    // a-side vectors average over min(4, |B|) = 2 cross-side cosines;
+    // b-side over 4. The mutual-best pair (300,400): margin computed
+    // with true means must stay near 1.x, NOT the ~2x a /4 bug gives
+    def cos(x: Array[Float], y: Array[Float]): Double = {
+      var d = 0.0; var nx = 0.0; var ny = 0.0; var i = 0
+      while (i < x.length) {
+        val xi = x(i).toDouble; val yi = y(i).toDouble
+        d += xi * yi; nx += xi * xi; ny += yi * yi; i += 1
+      }
+      d / (math.sqrt(nx) * math.sqrt(ny))
+    }
+    val aSide = rows.filter(_._3 == 0).map(r => (r._1, r._2))
+    val bSide = rows.filter(_._3 == 1).map(r => (r._1, r._2))
+    def rank(self: Array[Float], others: Seq[(Long, Array[Float])]) =
+      others.map { case (id, e) => (id, cos(self, e)) }.sortBy { case (id, c) => (-c, id) }
+    def mean(l: Seq[(Long, Double)]) = { val t = l.take(4); t.map(_._2).sum / t.size }
+    for (((aId, bId), m) <- got) {
+      val fl = rank(aSide.find(_._1 == aId).get._2, bSide)
+      val bl = rank(bSide.find(_._1 == bId).get._2, aSide)
+      val want = fl.head._2 / ((mean(fl) + mean(bl)) / 2)
+      assert(math.abs(m - want) < 1e-12, s"margin at ($aId,$bId): $m vs $want")
+    }
+    assert(got.nonEmpty)
   }
 
   test("minhash-lsh: catches exact dups always, and only true near-dups") {

@@ -38,4 +38,33 @@ class StreamingDsirScoreSpec extends SparkSpec {
       w, prior, incoming.filter(col("doc_id").isin(epoch0Ids: _*)), 0L, sinkDir)
     assert(readSink() == want, "replayed epoch must not duplicate the sink")
   }
+
+  test("novel-vocabulary doc scores at the smoothed neutral, with full evidence count") {
+    import spark.implicits._
+    // the frozen fit has never seen these bigrams: every bucket misses
+    // the weight table, and each occurrence must score the add-one
+    // empty-bucket affinity S/2 — an inner join would drop them all and
+    // return the corpus prior over ZERO counted bigrams
+    val (w, prior) = CurationOps.dsirFit(spark, Sf0001)
+    val text = "zzq1 zzq2 zzq3 zzq4 zzq5"
+    val novel = Seq((9000L, "en", text)).toDF("doc_id", "lang", "text")
+    val r = CurationOps.dsirScoreAgainst(novel, w, prior).collect()(0)
+    assert(r.getAs[Int]("n_bigrams") == 4, s"all 4 novel bigrams must count: $r")
+    // independent recompute: replay the md5 bucket rule per bigram; a
+    // bucket absent from the fitted table scores the S/2 empty-bucket
+    // affinity (a novel bigram CAN collide into a populated bucket —
+    // the recompute handles either case, the drop bug neither)
+    val wm = w.collect().map(x => (x.getLong(0), x.getLong(1))).toMap
+    val toks = text.split(" ")
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val wantSum = toks.sliding(2).map { bg =>
+      val hex = md.digest(bg.mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString.substring(0, 5)
+      val bucket = java.lang.Long.parseLong(hex, 16) % 4096
+      wm.getOrElse(bucket, CurationOps.DsirScale / 2)
+    }.sum
+    assert(r.getAs[Long]("sum_w") == wantSum,
+      s"sum_w ${r.getAs[Long]("sum_w")} != recomputed $wantSum")
+    assert(r.getAs[Long]("score_ppm") == wantSum / 4)
+  }
 }
