@@ -3030,6 +3030,30 @@ object Registry {
         |       count(DISTINCT user_id) >= ${QualityAuditOps.KAnonK} AS anonymous
         |FROM events GROUP BY 1, 2
         |ORDER BY event_type, qid_hour""".stripMargin)),
+    // generalization ladder: release each hourly group at the finest
+    // grain (hour → day → month) clearing k distinct users, else
+    // suppress — maximal detail at a fixed privacy floor
+    GraftQuery("x_kanon_generalize", QualityAuditOps.kAnonymityGeneralize _, Some {
+      val k = QualityAuditOps.KAnonK
+      s"""WITH h AS (SELECT event_type, date_trunc('hour', ts) AS qid_hour,
+        |             CAST(count(DISTINCT user_id) AS INTEGER) AS n_hour
+        |           FROM events GROUP BY 1, 2),
+        |d AS (SELECT event_type, date_trunc('day', ts) AS qid_day,
+        |        CAST(count(DISTINCT user_id) AS INTEGER) AS n_day
+        |      FROM events GROUP BY 1, 2),
+        |m AS (SELECT event_type, date_trunc('month', ts) AS qid_month,
+        |        CAST(count(DISTINCT user_id) AS INTEGER) AS n_month
+        |      FROM events GROUP BY 1, 2)
+        |SELECT h.event_type, qid_hour, n_hour, n_day, n_month,
+        |       CASE WHEN n_hour >= $k THEN 'hour'
+        |            WHEN n_day >= $k THEN 'day'
+        |            WHEN n_month >= $k THEN 'month'
+        |            ELSE 'suppress' END AS release_level
+        |FROM h
+        |JOIN d ON h.event_type = d.event_type AND date_trunc('day', qid_hour) = qid_day
+        |JOIN m ON h.event_type = m.event_type AND date_trunc('month', qid_hour) = qid_month
+        |ORDER BY h.event_type, qid_hour""".stripMargin
+    }),
     GraftQuery("x_kanon_suppress", QualityAuditOps.kAnonymitySuppress _, Some(
       s"""WITH g AS (SELECT event_type, date_trunc('hour', ts) AS qid_hour,
         |             count(*) AS n_rows, count(DISTINCT user_id) AS n_users

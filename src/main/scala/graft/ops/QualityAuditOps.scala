@@ -116,4 +116,44 @@ object QualityAuditOps {
       .agg(count(lit(1)).as("n_rows"),
         countDistinct(col("user_id")).cast(
           org.apache.spark.sql.types.IntegerType).as("n_users"))
+
+  /** GENERALIZATION — the enforcement alternative to suppression: a
+    * below-k hourly group is not dropped but released at a coarser
+    * time grain (hour → day → month), the classic quasi-identifier
+    * generalization hierarchy (Sweeney's k-anonymity via
+    * generalization-and-suppression). Per hourly group: the distinct-
+    * user count at each grain and the FINEST grain clearing k; groups
+    * clearing nothing fall back to `suppress`. Maximizes released
+    * detail at a fixed privacy floor — what a real export pipeline
+    * ships instead of the blunt suppression rule.
+    *
+    * Scale shape: three QID-keyed aggregations over the scan (distinct
+    * users cannot fold upward from finer grains, so each grain
+    * aggregates independently — the grouping-sets EXPAND form is the
+    * single-scan swap when the input scan dominates); the two coarser
+    * tables are grain-bounded (≤ types × days/months rows) and
+    * broadcast into the hourly table. */
+  def kAnonymityGeneralize(spark: SparkSession, dir: String): DataFrame =
+    kAnonymityGeneralize(spark, dir, KAnonK)
+
+  def kAnonymityGeneralize(spark: SparkSession, dir: String, k: Int): DataFrame = {
+    val ev = Tables(spark, dir, "events")
+      .select(col("event_type"), col("ts"), col("user_id"))
+    def grains(g: String) = ev
+      .groupBy(col("event_type"), date_trunc(g, col("ts")).as(s"qid_$g"))
+      .agg(countDistinct(col("user_id")).cast(
+        org.apache.spark.sql.types.IntegerType).as(s"n_$g"))
+    grains("hour")
+      .withColumn("qid_day", date_trunc("day", col("qid_hour")))
+      .withColumn("qid_month", date_trunc("month", col("qid_hour")))
+      .join(broadcast(grains("day")), Seq("event_type", "qid_day"))
+      .join(broadcast(grains("month")), Seq("event_type", "qid_month"))
+      .select(col("event_type"), col("qid_hour"),
+        col("n_hour"), col("n_day"), col("n_month"),
+        when(col("n_hour") >= k, "hour")
+          .when(col("n_day") >= k, "day")
+          .when(col("n_month") >= k, "month")
+          .otherwise("suppress").as("release_level"))
+      .orderBy("event_type", "qid_hour")
+  }
 }

@@ -66,4 +66,31 @@ class QualityAuditOpsSpec extends SparkSpec {
     assert(sup("view") == ((8L, 5L, 3L, 1)))
     assert(sup("click") == ((2L, 2L, 0L, 1)))
   }
+
+  test("k-anonymity generalization: every rung of the ladder — hour, day, month, suppress") {
+    val dir = tempDir("kanon_gen_events")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    // view/Mar-01 10:00 — 3 users: releasable hourly.
+    // view/Mar-01 11:00 — 1 user, but the DAY holds {11,12,13}: day rung.
+    // view/Mar-02 09:00 — 1 new user, day has 1, MONTH holds 4: month rung.
+    // click — 2 users total at every grain: suppressed.
+    val rows = Seq(
+      (1L, ts("2024-03-01 10:05:00"), 11L, "view", 1.0, "{}"),
+      (2L, ts("2024-03-01 10:15:00"), 12L, "view", 1.0, "{}"),
+      (3L, ts("2024-03-01 10:45:00"), 13L, "view", 1.0, "{}"),
+      (4L, ts("2024-03-01 11:30:00"), 11L, "view", 1.0, "{}"),
+      (5L, ts("2024-03-02 09:00:00"), 21L, "view", 1.0, "{}"),
+      (6L, ts("2024-03-05 14:00:00"), 31L, "click", 1.0, "{}"),
+      (7L, ts("2024-03-05 14:20:00"), 32L, "click", 1.0, "{}"))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    rows.repartition(3).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = QualityAuditOps.kAnonymityGeneralize(spark, dir, 3).collect()
+      .map(x => ((x.getString(0), x.getTimestamp(1).toString),
+        (x.getInt(2), x.getInt(3), x.getInt(4), x.getString(5)))).toMap
+    assert(r(("view", "2024-03-01 10:00:00.0")) == ((3, 3, 4, "hour")))
+    assert(r(("view", "2024-03-01 11:00:00.0")) == ((1, 3, 4, "day")),
+      "one user in the hour, three in the day: must escalate exactly one rung")
+    assert(r(("view", "2024-03-02 09:00:00.0")) == ((1, 1, 4, "month")))
+    assert(r(("click", "2024-03-05 14:00:00.0")) == ((2, 2, 2, "suppress")))
+  }
 }
