@@ -1983,6 +1983,19 @@ object Registry {
         |      FROM s)
         |SELECT doc_id AS keep_id, sr AS stop_ratio, n_copies
         |FROM r WHERE rn = 1 ORDER BY keep_id""".stripMargin)),
+    // right-to-be-forgotten readmission: per dup group touched by the
+    // deletion request, whether the keeper itself is deleted and who
+    // re-enters — one conditional aggregation on the exact-dedup key
+    GraftQuery("x_dedup_forget_readmit", DedupOps.forgetReadmit, Some(
+      s"""WITH g AS (SELECT text, min(doc_id) AS old_keep_id,
+        |             min(CASE WHEN source <> '${DedupOps.ForgetSource}' THEN doc_id END) AS new_keep_id,
+        |             CAST(sum(CASE WHEN source = '${DedupOps.ForgetSource}' THEN 1 ELSE 0 END) AS INTEGER) AS n_deleted,
+        |             CAST(sum(CASE WHEN source <> '${DedupOps.ForgetSource}' THEN 1 ELSE 0 END) AS INTEGER) AS n_remaining
+        |           FROM documents GROUP BY text)
+        |SELECT old_keep_id,
+        |       new_keep_id IS NULL OR new_keep_id <> old_keep_id AS keeper_deleted,
+        |       new_keep_id, n_deleted, n_remaining
+        |FROM g WHERE n_deleted > 0 ORDER BY old_keep_id""".stripMargin)),
     GraftQuery("x_dedup_incremental", DedupOps.incremental, Some(
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents b

@@ -194,6 +194,44 @@ object DedupOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** Deletion-request rule for [[forgetReadmit]]: source = 'src0' stands
+    * in for "the provider whose documents must be forgotten" (an opt-out
+    * or takedown). Shared with the oracle SQL so the rule cannot drift. */
+  val ForgetSource = "src0"
+
+  /** Right-to-be-forgotten over the DEDUPLICATED corpus — the subtle
+    * half of a deletion request: dropping the requested rows is easy,
+    * but if a deleted document was the SURVIVOR of an exact-dup group,
+    * its non-deleted duplicates were suppressed on its behalf and must
+    * be RE-ADMITTED (next-best member becomes the keeper), or the
+    * corpus silently loses content nobody asked to remove. Per affected
+    * group (≥1 member deleted): the old keeper, whether the deletion
+    * takes the keeper itself, the re-admitted new keeper (null when the
+    * whole group is forgotten), and the deleted/remaining member split.
+    *
+    * Scale shape: ONE text-keyed hash aggregation (the exact-dedup
+    * shuffle) with every answer derived from conditional aggregates in
+    * the same pass — old keeper = min(id), new keeper = min(id over
+    * non-deleted), keeper_deleted ⇔ the two differ. No joins, no
+    * second scan; at 100 TB the key swaps to the 16-byte digest like
+    * [[exactDigest]]. */
+  def forgetReadmit(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .groupBy(col("text"))
+      .agg(
+        min(col("doc_id")).as("old_keep_id"),
+        min(when(col("source") =!= ForgetSource, col("doc_id"))).as("new_keep_id"),
+        sum(when(col("source") === ForgetSource, 1L).otherwise(0L))
+          .cast(IntegerType).as("n_deleted"),
+        sum(when(col("source") =!= ForgetSource, 1L).otherwise(0L))
+          .cast(IntegerType).as("n_remaining"))
+      .filter(col("n_deleted") > 0)
+      .select(col("old_keep_id"),
+        (col("new_keep_id").isNull || col("new_keep_id") =!= col("old_keep_id"))
+          .as("keeper_deleted"),
+        col("new_keep_id"), col("n_deleted"), col("n_remaining"))
+      .orderBy("old_keep_id")
+
   /** Containment threshold |A∩B|/|A| ≥ 4/5 for [[containmentPairs]]. */
   val ContainNum = 4
   val ContainDen = 5

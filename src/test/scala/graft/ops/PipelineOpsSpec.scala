@@ -106,6 +106,32 @@ class PipelineOpsSpec extends SparkSpec {
     assert(dropped == 1L, s"expected exactly the manufactured hot shingle dropped, got $dropped")
   }
 
+  test("forget/readmit: deleted keeper re-admits the next member; untouched groups silent") {
+    import spark.implicits._
+    val docs = Seq(
+      // keeper survives the deletion (keeper_deleted = false)
+      (1L, "shared text alpha", "en", "srcX", 1L),
+      (2L, "shared text alpha", "en", "src0", 1L),
+      // keeper IS deleted → doc 4 re-admitted
+      (3L, "shared text beta", "en", "src0", 1L),
+      (4L, "shared text beta", "en", "srcY", 1L),
+      // whole group forgotten → no new keeper
+      (5L, "lonely src0 text", "en", "src0", 1L),
+      // untouched group: must not appear at all
+      (6L, "clean text gamma", "en", "srcX", 1L),
+      (7L, "clean text gamma", "en", "srcY", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tempDir("forget_docs")
+    docs.repartition(3).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = DedupOps.forgetReadmit(spark, dir).collect()
+      .map(x => (x.getLong(0), (x.getBoolean(1),
+        if (x.isNullAt(2)) -1L else x.getLong(2), x.getInt(3), x.getInt(4)))).toMap
+    assert(r.keySet == Set(1L, 3L, 5L), s"affected groups only: ${r.keySet}")
+    assert(r(1L) == ((false, 1L, 1, 1)), s"surviving keeper: ${r(1L)}")
+    assert(r(3L) == ((true, 4L, 1, 1)), s"readmission: ${r(3L)}")
+    assert(r(5L) == ((true, -1L, 1, 0)), s"fully forgotten: ${r(5L)}")
+  }
+
   test("near-dup cluster survivor: quality beats id — the clean higher-id member survives") {
     import spark.implicits._
     val core = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda mu nu xi"
