@@ -2876,6 +2876,27 @@ object Registry {
         |       CAST((cum - n_tokens) // 2048 AS INTEGER) AS seq_first,
         |       CAST((cum - 1) // 2048 AS INTEGER) AS seq_last
         |FROM c ORDER BY source, doc_id""".stripMargin)),
+    // the trainer-facing inverse of packing: per (sequence, resident
+    // doc) the in-sequence fragment offsets cross-doc attention masks
+    // cut at; oracle replays the shard running sum + range explode
+    GraftQuery("x_pack_boundaries", PretrainOps.packBoundaries, Some(
+      s"""WITH d AS (SELECT source, doc_id,
+        |             CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens FROM documents),
+        |c AS (SELECT source, doc_id, n_tokens,
+        |        CAST(sum(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+        |                                 ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+        |      FROM d),
+        |p AS (SELECT source, doc_id, n_tokens, cum - n_tokens AS tok_offset,
+        |        CAST((cum - n_tokens) // ${PretrainOps.SeqLen} AS INTEGER) AS seq_first,
+        |        CAST((cum - 1) // ${PretrainOps.SeqLen} AS INTEGER) AS seq_last
+        |      FROM c),
+        |e AS (SELECT source, doc_id, n_tokens, tok_offset, CAST(s AS INTEGER) AS seq_idx
+        |      FROM p, unnest(generate_series(seq_first, seq_last)) AS u(s))
+        |SELECT source, seq_idx, doc_id,
+        |       CAST(greatest(tok_offset - CAST(seq_idx AS BIGINT) * ${PretrainOps.SeqLen}, 0) AS INTEGER) AS start_in_seq,
+        |       CAST(least(tok_offset + n_tokens, (CAST(seq_idx AS BIGINT) + 1) * ${PretrainOps.SeqLen})
+        |            - greatest(tok_offset, CAST(seq_idx AS BIGINT) * ${PretrainOps.SeqLen}) AS INTEGER) AS span_len
+        |FROM e ORDER BY source, seq_idx, start_in_seq""".stripMargin)),
     GraftQuery("x_pack_length_buckets", PretrainOps.lengthBuckets, Some(
       """WITH d AS (SELECT CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS INTEGER) AS n_tokens
         |           FROM documents)

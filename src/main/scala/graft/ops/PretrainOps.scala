@@ -615,6 +615,38 @@ object PretrainOps {
         max(col("n_tokens")).as("max_tokens"))
       .orderBy("bucket_lo")
 
+  /** Per-SEQUENCE document-boundary spans — the inverse view of
+    * [[packSequences]] and the artifact the TRAINER actually consumes:
+    * concat-and-split packing puts fragments of several documents into
+    * one fixed-length sequence, and cross-document attention must be
+    * masked at exactly these offsets (the "attention separator" table
+    * every packed-pretraining recipe ships next to the token shards).
+    * One row per (sequence, resident document): where the fragment
+    * starts inside the sequence and how many tokens it contributes —
+    * straddling documents appear once per sequence they touch, interior
+    * spans cover the full SeqLen, and per-sequence spans tile the
+    * sequence exactly (spec-pinned).
+    *
+    * Scale shape: the [[packSequences]] per-shard running sum, then a
+    * NARROW explode of each doc over its [seq_first, seq_last] range —
+    * fan-out = #sequences the doc touches (≈ n_tokens/SeqLen + 1), and
+    * the span arithmetic is per-row integer min/max. No new shuffle
+    * beyond packing's shard window and the output sort. */
+  def packBoundaries(spark: SparkSession, dir: String): DataFrame = {
+    val sl = lit(SeqLen.toLong)
+    packWith(spark, dir, size(split(col("text"), " ")))
+      .select(col("source"), col("doc_id"), col("n_tokens"), col("tok_offset"),
+        explode(sequence(col("seq_first"), col("seq_last"))).as("seq_idx"))
+      .select(col("source"), col("seq_idx"), col("doc_id"),
+        greatest(col("tok_offset") - col("seq_idx").cast(LongType) * sl, lit(0L))
+          .cast(IntegerType).as("start_in_seq"),
+        (least(col("tok_offset") + col("n_tokens"),
+            (col("seq_idx").cast(LongType) + 1L) * sl)
+          - greatest(col("tok_offset"), col("seq_idx").cast(LongType) * sl))
+          .cast(IntegerType).as("span_len"))
+      .orderBy("source", "seq_idx", "start_in_seq")
+  }
+
   private def packWith(spark: SparkSession, dir: String,
       nTokens: org.apache.spark.sql.Column): DataFrame = {
     val docs = Tables(spark, dir, "documents")

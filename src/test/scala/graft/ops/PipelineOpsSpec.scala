@@ -106,6 +106,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(dropped == 1L, s"expected exactly the manufactured hot shingle dropped, got $dropped")
   }
 
+  test("pack boundaries: spans tile each sequence gaplessly; fragments rebuild every doc") {
+    val rows = PretrainOps.packBoundaries(spark, Sf0001).collect()
+      .map(r => (r.getString(0), r.getInt(1), r.getLong(2), r.getInt(3), r.getInt(4)))
+    assert(rows.nonEmpty)
+    // per (shard, sequence): spans start at 0 and tile contiguously —
+    // cross-doc attention masks depend on there being no gaps/overlaps
+    rows.groupBy(r => (r._1, r._2)).foreach { case ((src, seq), spans) =>
+      val sorted = spans.sortBy(_._4)
+      assert(sorted.head._4 == 0, s"($src,$seq) must start at offset 0")
+      sorted.sliding(2).filter(_.length == 2).foreach { pair =>
+        val (_, _, _, s1, l1) = pair(0)
+        val (_, _, _, s2, _) = pair(1)
+        assert(s1 + l1 == s2, s"($src,$seq) gap/overlap at $s2")
+      }
+      val total = sorted.map(_._5).sum
+      val isLast = seq == rows.filter(_._1 == src).map(_._2).max
+      if (!isLast) assert(total == PretrainOps.SeqLen,
+        s"interior sequence ($src,$seq) must hold exactly SeqLen tokens, got $total")
+      else assert(total <= PretrainOps.SeqLen)
+    }
+    // per document: its fragments across sequences rebuild n_tokens
+    val want = PretrainOps.packSequences(spark, Sf0001).collect()
+      .map(r => (r.getLong(1), r.getInt(2))).toMap
+    val got = rows.groupBy(_._3).view.mapValues(_.map(_._5).sum).toMap
+    assert(got == want, "fragment lengths must reassemble every document exactly")
+  }
+
   test("forget/readmit: deleted keeper re-admits the next member; untouched groups silent") {
     import spark.implicits._
     val docs = Seq(
