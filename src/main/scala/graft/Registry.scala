@@ -2897,6 +2897,23 @@ object Registry {
         |       CAST(least(tok_offset + n_tokens, (CAST(seq_idx AS BIGINT) + 1) * ${PretrainOps.SeqLen})
         |            - greatest(tok_offset, CAST(seq_idx AS BIGINT) * ${PretrainOps.SeqLen}) AS INTEGER) AS span_len
         |FROM e ORDER BY source, seq_idx, start_in_seq""".stripMargin)),
+    // packing-regime capacity report: concat-split vs pad-per-doc
+    // sequence counts and padding waste per shard, one map-side
+    // combinable aggregation
+    GraftQuery("x_pack_waste", PretrainOps.packWaste, Some {
+      val l = PretrainOps.SeqLen
+      s"""WITH d AS (SELECT source,
+        |             CAST(len(string_split(text, ' ')) AS BIGINT) AS n FROM documents),
+        |g AS (SELECT source, CAST(count(*) AS INTEGER) AS n_docs,
+        |        CAST(sum(n) AS BIGINT) AS total_tokens,
+        |        CAST(sum((n + ${l - 1}) // $l) AS BIGINT) AS seqs_padded
+        |      FROM d GROUP BY 1)
+        |SELECT source, n_docs, total_tokens,
+        |       (total_tokens + ${l - 1}) // $l AS seqs_concat, seqs_padded,
+        |       ((total_tokens + ${l - 1}) // $l) * $l - total_tokens AS waste_concat,
+        |       seqs_padded * $l - total_tokens AS waste_padded
+        |FROM g ORDER BY source""".stripMargin
+    }),
     GraftQuery("x_pack_length_buckets", PretrainOps.lengthBuckets, Some(
       """WITH d AS (SELECT CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS INTEGER) AS n_tokens
         |           FROM documents)

@@ -647,6 +647,36 @@ object PretrainOps {
       .orderBy("source", "seq_idx", "start_in_seq")
   }
 
+  /** Packing-regime waste comparison — the capacity question a trainer
+    * answers before choosing a packing strategy: per shard, how many
+    * [[SeqLen]] sequences (and how much padding waste) does
+    * CONCAT-AND-SPLIT need versus PAD-PER-DOC (each document rounded up
+    * to whole sequences — no straddling, no cross-doc attention, the
+    * regime instruction-tuning typically uses)? Concat wastes only the
+    * final partial sequence per shard; pad-per-doc wastes the tail of
+    * every document, and the delta is exactly what the attention-mask
+    * machinery ([[packBoundaries]]) buys.
+    *
+    * Scale shape: ONE shard-keyed aggregation — both regimes reduce to
+    * sums of per-doc integer arithmetic (Σn and Σ⌈n/L⌉), fully
+    * map-side combinable; no window, no explode. */
+  def packWaste(spark: SparkSession, dir: String): DataFrame = {
+    val l = SeqLen.toLong
+    Tables(spark, dir, "documents")
+      .select(col("source"),
+        size(split(col("text"), " ")).cast(LongType).as("n"))
+      .groupBy(col("source"))
+      .agg(count(lit(1)).cast(IntegerType).as("n_docs"),
+        sum(col("n")).as("total_tokens"),
+        sum(expr(s"(n + ${l - 1}) div $l")).as("seqs_padded"))
+      .select(col("source"), col("n_docs"), col("total_tokens"),
+        expr(s"(total_tokens + ${l - 1}) div $l").as("seqs_concat"),
+        col("seqs_padded"))
+      .withColumn("waste_concat", expr(s"seqs_concat * $l") - col("total_tokens"))
+      .withColumn("waste_padded", expr(s"seqs_padded * $l") - col("total_tokens"))
+      .orderBy("source")
+  }
+
   private def packWith(spark: SparkSession, dir: String,
       nTokens: org.apache.spark.sql.Column): DataFrame = {
     val docs = Tables(spark, dir, "documents")

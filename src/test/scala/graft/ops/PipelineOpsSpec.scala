@@ -133,6 +133,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == want, "fragment lengths must reassemble every document exactly")
   }
 
+  test("pack waste: concat wastes only the shard tail, pad-per-doc pays every doc's tail") {
+    import spark.implicits._
+    val t1024 = (1 to 1024).map(i => "w").mkString(" ")
+    val t2048 = (1 to 2048).map(i => "w").mkString(" ")
+    val docs = Seq(
+      (0L, t2048, "en", "exact", 1L),  // one full sequence: zero waste, both regimes
+      (1L, t1024, "en", "halves", 1L), // two halves: concat packs them into ONE
+      (2L, t1024, "en", "halves", 1L)) //   sequence; padding pays a full 2048
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+    val dir = tempDir("pack_waste_docs")
+    docs.repartition(2).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = PretrainOps.packWaste(spark, dir).collect()
+      .map(x => (x.getString(0), (x.getInt(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5), x.getLong(6)))).toMap
+    assert(r("exact") == ((1, 2048L, 1L, 1L, 0L, 0L)), s"exact shard: ${r("exact")}")
+    assert(r("halves") == ((2, 2048L, 1L, 2L, 0L, 2048L)), s"halves shard: ${r("halves")}")
+  }
+
   test("forget/readmit: deleted keeper re-admits the next member; untouched groups silent") {
     import spark.implicits._
     val docs = Seq(
