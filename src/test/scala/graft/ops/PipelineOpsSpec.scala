@@ -83,6 +83,18 @@ class PipelineOpsSpec extends SparkSpec {
     assert(jac == Set((2L, 3L)), s"jaccard pipeline found $jac")
   }
 
+  test("containment plan: spine exchange reused (corpus hashed once), no window") {
+    val df = DedupOps.containmentPairs(spark, Sf0001)
+    df.collect()
+    val plan = df.queryExecution.executedPlan.toString
+    // the posting index and BOTH verification probes must read the one
+    // repartition-terminated spine — without reuse the scan+hash chain
+    // executes three times (the ngramJaccard rounds-3/4 regression)
+    assert(plan.contains("ReusedExchange"),
+      "spine exchange must be reused across posting + verification probes")
+    assert(!plan.contains("Window"), "no window may appear in the pair pipeline")
+  }
+
   test("containment df-cap: hot shingle dropped before expansion, metric observed") {
     // dedicated fixture: an exact-dup pair that avoids the boilerplate
     // shingle (so the capped output stays NONEMPTY — an all-empty plan
