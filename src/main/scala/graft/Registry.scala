@@ -703,6 +703,15 @@ object Registry {
     // SQL as a1_monthly_agg_events) — refresh cost tracks batch size
     GraftQuery("x_mv_incremental", UpsertOps.mvIncrementalMonthly,
       Some(monthlyAggEventsOracle)),
+    // JOIN-aggregate IVM: Δ(A⋈B) = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB folded into
+    // the stored base partials; the oracle is the plain recompute, so
+    // "delta algebra ≡ recompute" is a hash equality, not a claim
+    GraftQuery("x_mv_join_incremental", UpsertOps.mvJoinIncremental, Some(
+      """SELECT o_orderpriority, date_trunc('month', o_orderdate) AS month,
+        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
+        |       count(*) AS n_rows
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY 1, 2 ORDER BY o_orderpriority, month""".stripMargin)),
     // CDC changelog compaction: last-writer-wins by sequence number with
     // delete tombstones — ONE map-side-combined argmax aggregate (the
     // oracle takes the row_number window road the plan avoids)
@@ -2361,6 +2370,45 @@ object Registry {
         |x AS (SELECT unnest([v1, v2, v3]) AS l_partkey FROM t)
         |SELECT l_partkey, count(*) AS n_triangles FROM x
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
+    // k-core: iterative degree-threshold peel to the unique fixpoint;
+    // the oracle unrolls FOUR rounds (≥ rounds-to-fixpoint at every SF,
+    // extra rounds are no-ops on a fixpoint), degrees are exact integer
+    // counts so survivors + within-core degrees hash-match
+    GraftQuery("x_graph_kcore", GraphOps.kcore, Some(
+      s"""WITH e0 AS (SELECT DISTINCT l_suppkey*2 AS src, o_custkey*2+1 AS dst
+        |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e1 AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |s0 AS (SELECT DISTINCT src AS node FROM e1),
+        |d1 AS (SELECT e1.src AS node, count(*) AS deg FROM e1
+        |       JOIN s0 a ON e1.src = a.node JOIN s0 b ON e1.dst = b.node
+        |       GROUP BY e1.src),
+        |s1 AS (SELECT node FROM d1 WHERE deg >= ${GraphOps.KcoreK}),
+        |d2 AS (SELECT e1.src AS node, count(*) AS deg FROM e1
+        |       JOIN s1 a ON e1.src = a.node JOIN s1 b ON e1.dst = b.node
+        |       GROUP BY e1.src),
+        |s2 AS (SELECT node FROM d2 WHERE deg >= ${GraphOps.KcoreK}),
+        |d3 AS (SELECT e1.src AS node, count(*) AS deg FROM e1
+        |       JOIN s2 a ON e1.src = a.node JOIN s2 b ON e1.dst = b.node
+        |       GROUP BY e1.src),
+        |s3 AS (SELECT node FROM d3 WHERE deg >= ${GraphOps.KcoreK}),
+        |d4 AS (SELECT e1.src AS node, count(*) AS deg FROM e1
+        |       JOIN s3 a ON e1.src = a.node JOIN s3 b ON e1.dst = b.node
+        |       GROUP BY e1.src)
+        |SELECT node, deg FROM d4 WHERE deg >= ${GraphOps.KcoreK}
+        |ORDER BY node""".stripMargin)),
+    // log2-bucketed degree histogram — the skew diagnostic that sizes
+    // the hot-key armor; bucket = |bin(deg)|-1 is an integer formula
+    // shared verbatim with the oracle (floating log2 rounds differently
+    // across engines at exact powers of two)
+    GraftQuery("x_graph_degree_hist", GraphOps.degreeHistogram, Some(
+      """WITH e0 AS (SELECT DISTINCT l_suppkey*2 AS src, o_custkey*2+1 AS dst
+        |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+        |e1 AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+        |d AS (SELECT src, count(*) AS deg FROM e1 GROUP BY src)
+        |SELECT length(bin(deg)) - 1 AS bucket, count(*) AS n_nodes,
+        |       min(deg) AS min_deg, max(deg) AS max_deg,
+        |       CAST(sum(deg) AS BIGINT) AS sum_deg
+        |FROM d GROUP BY 1 ORDER BY bucket""".stripMargin)),
     // distributed Lloyd's k-means, hash-checked end-to-end: the DuckDB
     // oracle unrolls the same three integer-exact rounds (see kmeansCte)
     GraftQuery("x_cluster_kmeans", KmeansOps.kmeansAssign, Some(
@@ -2688,6 +2736,12 @@ object Registry {
     // 8-token strings — output identical barring a digest collision, so
     // it shares the string-keyed oracle (cf. x_dedup_paragraph_digest)
     GraftQuery("x_decontaminate_digest", PretrainOps.decontaminateDigest,
+      Some(decontamOracle)),
+    // post-broadcast-era twin: a 256 KiB bloom sketch of the benchmark
+    // grams prunes the exploded corpus-gram exchange BEFORE the exact
+    // shuffle-confirm join — bit-identical output (no false negatives +
+    // exact confirm), so it shares the string-keyed oracle
+    GraftQuery("x_decontaminate_bloom", PretrainOps.decontaminateBloom,
       Some(decontamOracle)),
     // surgical decontamination: redact exactly the tokens covered by a
     // shared benchmark gram occurrence instead of dropping the doc;

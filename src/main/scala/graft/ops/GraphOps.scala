@@ -370,4 +370,87 @@ object GraphOps {
       .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_triangles"))
       .orderBy("l_partkey")
   }
+
+  /** k-core threshold: 8 keeps the peel non-trivial at every SF on the
+    * purchase graph (it removes the thinnest suppliers/customers without
+    * emptying the core). */
+  val KcoreK = 8
+
+  /** Safety cap on peel rounds — a fixpoint loop needs a bound even
+    * though real graphs converge in O(core-diameter) rounds (≤ 2 on the
+    * purchase graph at every SF; the registry oracle unrolls 4). */
+  val KcoreMaxRounds = 20
+
+  /** k-core decomposition (the [[KcoreK]]-core): iteratively peel nodes
+    * with degree < k until fixpoint; output the surviving nodes with
+    * their WITHIN-CORE degree. The standard graph-curation primitive for
+    * "drop entities without enough corroborating connections" (spam
+    * subgraphs, thin crawl tendrils) before walking/ranking the rest.
+    *
+    * Scale shape per round: the survivor set (node-sized, ≪ edges)
+    * semi-joins the edge list on BOTH endpoints — two hash semi joins on
+    * the partitioning keys the edge list already shuffles on — then one
+    * map-side-combinable degree count. Nothing reaches the driver but
+    * the survivor count (one scalar per round). Each round's survivor
+    * set is localCheckpoint-ed so plan depth stays O(1) in rounds (the
+    * pageRank/ClusterOps lineage lesson) and the previous round's blocks
+    * are freed explicitly.
+    *
+    * Determinism: degrees are exact integer counts and the peel rule is
+    * a pure threshold — no ordering, no ties — so the fixpoint is
+    * unique and an unrolled DuckDB CTE with ≥ rounds-to-fixpoint rounds
+    * reproduces it bit-for-bit (extra unrolled rounds are no-ops). */
+  def kcore(spark: SparkSession, dir: String): DataFrame =
+    kcoreOf(edgesOf(spark, dir), KcoreK)
+
+  def kcoreOf(edges: DataFrame, k: Int): DataFrame = {
+    var surv = edges.select(col("src").as("node")).distinct().localCheckpoint()
+    var prevRdd: Option[org.apache.spark.rdd.RDD[_]] = None
+    var nSurv = surv.count()
+    var degrees = surv.select(col("node"), lit(0L).as("deg")).limit(0)
+    var rounds = 0
+    var done = nSurv == 0L
+    while (!done && rounds < KcoreMaxRounds) {
+      val deg = edges
+        .join(surv.select(col("node").as("src")), Seq("src"), "left_semi")
+        .join(surv.select(col("node").as("dst")), Seq("dst"), "left_semi")
+        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
+        .select(col("src").as("node"), col("deg"))
+      val next = deg.filter(col("deg") >= k).select(col("node")).localCheckpoint()
+      val nNext = next.count()
+      done = nNext == nSurv
+      degrees = deg
+      // free the round we just peeled past (localCheckpoint blocks are
+      // not in the cacheManager — unpersist the backing RDD directly,
+      // the ClusterOps pattern)
+      prevRdd.foreach(_.unpersist(false))
+      prevRdd = Some(surv.rdd)
+      surv = next
+      nSurv = nNext
+      rounds += 1
+    }
+    degrees.filter(col("deg") >= k).orderBy("node")
+  }
+
+  /** Log₂-bucketed degree histogram of the purchase graph — the skew
+    * diagnostic that SIZES the engine's hot-key armor (pageRank's
+    * [[HotDegree]] salting threshold, the dedup bucket caps): bucket
+    * b holds nodes with degree in [2ᵇ, 2ᵇ⁺¹), i.e. b = |bin(deg)| − 1 —
+    * an integer formula (length of the binary representation) shared
+    * verbatim with the DuckDB oracle, because floating log₂ rounds
+    * differently across engines at exact powers of two.
+    *
+    * One degree count (map-side combinable) + one 64-bucket rollup;
+    * output is O(log maxdeg) rows however big the graph. */
+  def degreeHistogram(spark: SparkSession, dir: String): DataFrame =
+    degreeHistogramOf(edgesOf(spark, dir))
+
+  def degreeHistogramOf(edges: DataFrame): DataFrame = {
+    val deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+    deg.groupBy((length(bin(col("deg"))) - 1).cast("long").as("bucket"))
+      .agg(count(lit(1)).as("n_nodes"),
+        min(col("deg")).as("min_deg"), max(col("deg")).as("max_deg"),
+        sum(col("deg")).as("sum_deg"))
+      .orderBy("bucket")
+  }
 }

@@ -234,6 +234,50 @@ object PretrainOps {
       .orderBy("doc_id")
   }
 
+  /** Bloom filter sizing for [[decontaminateBloom]]: 2²¹ bits (256 KiB)
+    * for ≤ ~200k benchmark grams ⇒ ~10 bits/key, ~1% false-positive
+    * rate — the sketch stays a constant-size driver scalar however big
+    * the corpus side grows. */
+  val ContamBloomBits: Long = 1L << 21
+  val ContamBloomItems: Long = 200000L
+
+  /** The post-broadcast-era form of [[decontaminate]]: when the eval
+    * universe outgrows a row-wise broadcast (many benchmarks × many
+    * grams), the exact confirm becomes a SHUFFLE join of corpus grams
+    * against the benchmark gram set — and the dominant cost is shuffling
+    * the exploded corpus grams (the 100 TB side). This twin prunes that
+    * exchange with a serialized bloom filter of the benchmark grams
+    * (bounded driver bytes, never the keys — the j9_bloom_semi
+    * pattern): the codegen'd `might_contain` kernel drops ~99% of
+    * non-matching grams BEFORE the shuffle, and the exact join removes
+    * the sketch's false positives, so the result is bit-identical to
+    * [[decontaminate]] and shares its DuckDB oracle.
+    *
+    * No broadcast hint on the confirm join on purpose: at test scale
+    * AQE may still pick broadcast-hash (fine — same rows); at eval-suite
+    * sizes past the threshold the plan degrades to a shuffle join whose
+    * probe side the bloom has already shrunk to ~|matching|·(1+fpp). */
+  def decontaminateBloom(spark: SparkSession, dir: String): DataFrame = {
+    import graft.functions.BloomFunctions
+    val docs = Tables(spark, dir, "documents")
+    val bench = benchmarkGrams(docs.filter(col("doc_id") % BenchMod === 0))
+    val bf = bench
+      .agg(BloomFunctions
+        .bloomFilterAgg(col("g"), ContamBloomItems, ContamBloomBits).as("bf"))
+      .head().getAs[Array[Byte]]("bf")
+    val toks = tokenized(docs.filter(col("doc_id") % BenchMod =!= 0), ContamGram)
+    val hits = grams(toks, ContamGram)
+      .filter(BloomFunctions.mightContain(bf, col("g")))
+      .join(bench, Seq("g"))
+      .groupBy(col("doc_id")).agg(count(lit(1)).cast(IntegerType).as("n_shared"))
+    toks.select(col("doc_id"))
+      .join(hits, Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        coalesce(col("n_shared"), lit(0)).as("n_shared"),
+        (coalesce(col("n_shared"), lit(0)) > 0).as("contaminated"))
+      .orderBy("doc_id")
+  }
+
   /** SURGICAL decontamination — the span-level alternative to dropping
     * a contaminated document whole: every token covered by ANY shared
     * benchmark [[ContamGram]]-gram occurrence is redacted (removed) and

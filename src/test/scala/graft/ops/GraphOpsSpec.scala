@@ -200,4 +200,39 @@ class GraphOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getLong(1))).toSeq
     assert(got == Seq((1L, 1L), (2L, 1L), (3L, 1L)))
   }
+
+  private def symEdges(pairs: Seq[(Long, Long)]) =
+    (pairs ++ pairs.map(_.swap)).distinct.toDF("src", "dst")
+
+  test("k-core: tail peels layer by layer, the cycle survives as the 2-core") {
+    // 5-cycle (0-4) with a 3-node tail 4-5-6-7: node 7 falls in round 1,
+    // 6 in round 2, 5 in round 3 — a cascade DEEPER than the corpus
+    // oracle's fixpoint, proving the loop iterates to convergence rather
+    // than stopping at a fixed round count
+    val g = Seq((0L, 1L), (1L, 2L), (2L, 3L), (3L, 4L), (4L, 0L),
+      (4L, 5L), (5L, 6L), (6L, 7L))
+    val core = GraphOps.kcoreOf(symEdges(g), 2).collect()
+      .map(r => r.getLong(0) -> r.getLong(1)).toMap
+    assert(core == (0L to 4L).map(_ -> 2L).toMap,
+      s"2-core must be exactly the cycle at degree 2, got $core")
+  }
+
+  test("k-core: a path has no 2-core — the cascade empties the graph") {
+    val path = (0L until 5L).map(i => (i, i + 1))
+    assert(GraphOps.kcoreOf(symEdges(path), 2).collect().isEmpty)
+  }
+
+  test("degree histogram: log2 buckets split star hub from leaves exactly") {
+    // star: hub 0 with 8 leaves (deg 8 → bucket 3), leaves deg 1 → bucket 0,
+    // plus a 4-cycle (deg 2 → bucket 1)
+    val g = (1L to 8L).map(l => (0L, l)) ++
+      Seq((10L, 11L), (11L, 12L), (12L, 13L), (13L, 10L))
+    val h = GraphOps.degreeHistogramOf(symEdges(g)).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4))))
+      .toMap
+    assert(h == Map(
+      0L -> ((8L, 1L, 1L, 8L)),   // 8 leaves, deg 1
+      1L -> ((4L, 2L, 2L, 8L)),   // cycle nodes, deg 2
+      3L -> ((1L, 8L, 8L, 8L)))) // the hub, deg 8
+  }
 }

@@ -232,4 +232,36 @@ class MaintenanceOpsSpec extends SparkSpec {
     UpsertOps.mvIncrementalMonthly(spark, Sf0001).collect()
     assert(new java.io.File(s"$base/_SUCCESS").lastModified() == stamp)
   }
+
+  test("mv join incremental: delta-join algebra is bit-identical to the recompute") {
+    import org.apache.spark.sql.functions._
+    val inc = UpsertOps.mvJoinIncremental(spark, Sf0001).collect()
+    val full = Tables(spark, Sf0001, "orders")
+      .join(Tables(spark, Sf0001, "lineitem"),
+        col("o_orderkey") === col("l_orderkey"))
+      .groupBy(col("o_orderpriority"),
+        date_trunc("month", col("o_orderdate")).as("month"))
+      .agg(sumExact(col("l_extendedprice")).as("revenue"),
+        count(lit(1)).as("n_rows"))
+      .orderBy("o_orderpriority", "month").collect()
+    assert(inc.length == full.length && inc.length > 0)
+    inc.zip(full).foreach { case (a, b) =>
+      assert(a.getString(0) == b.getString(0) && a.getTimestamp(1) == b.getTimestamp(1))
+      // exact equality: mergeable state is decimal, fold order-free
+      assert(a.getDouble(2) == b.getDouble(2), s"revenue for ${a.getString(0)}")
+      assert(a.getLong(3) == b.getLong(3))
+    }
+    // the split moduli must keep all THREE delta terms live — a split
+    // that empties one term would pass the equality above while silently
+    // no longer exercising the ΔA⋈ΔB (or cross) path
+    val ord = Tables(spark, Sf0001, "orders")
+    val li = Tables(spark, Sf0001, "lineitem")
+    def n(o: org.apache.spark.sql.DataFrame, l: org.apache.spark.sql.DataFrame) =
+      o.join(l, col("o_orderkey") === col("l_orderkey")).count()
+    val oD = ord.filter(col("o_orderkey") % 10 === 0)
+    val oB = ord.filter(col("o_orderkey") % 10 =!= 0)
+    val lD = li.filter(col("l_orderkey") % 7 === 0)
+    val lB = li.filter(col("l_orderkey") % 7 =!= 0)
+    assert(n(oD, lB) > 0 && n(oB, lD) > 0 && n(oD, lD) > 0)
+  }
 }

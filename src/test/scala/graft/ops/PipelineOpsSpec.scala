@@ -733,6 +733,28 @@ class PipelineOpsSpec extends SparkSpec {
     assert(!got.contains(0L))                            // benchmark docs stay out
   }
 
+  test("bloom decontamination: identical rows to the broadcast form, planted flags hold") {
+    import spark.implicits._
+    // twin equality on the corpus: the bloom prefilter admits false
+    // positives by design — the exact confirm join must remove every one
+    val base = PretrainOps.decontaminate(spark, Sf0001).collect().toSeq
+    assert(base.nonEmpty &&
+      PretrainOps.decontaminateBloom(spark, Sf0001).collect().toSeq == base)
+    // planted fixture: same shape as the broadcast-form spec above
+    val dir = tempDir("contam_bloom")
+    val gram = (1 to 8).map(i => s"g$i").mkString(" ")
+    val clean = (1 to 10).map(i => s"c$i").mkString(" ")
+    Seq((0L, s"$gram tail1 tail2", "en", "s", 0L),
+      (1L, s"lead1 lead2 $gram", "en", "s", 0L),
+      (2L, clean, "en", "s", 0L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = PretrainOps.decontaminateBloom(spark, dir).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Int]("n_shared"),
+        r.getAs[Boolean]("contaminated"))).toSeq
+    assert(got == Seq((1L, 1, true), (2L, 0, false)))
+  }
+
   test("digest-keyed decontamination twins: identical rows to the string-keyed forms") {
     // the digest form re-keys the broadcast gram index only; any
     // divergence means the 16-byte-key swap changed semantics, not just
