@@ -706,7 +706,8 @@ object Registry {
     // JOIN-aggregate IVM: Δ(A⋈B) = ΔA⋈B₀ ∪ A₀⋈ΔB ∪ ΔA⋈ΔB folded into
     // the stored base partials; the oracle is the plain recompute, so
     // "delta algebra ≡ recompute" is a hash equality, not a claim
-    GraftQuery("x_mv_join_incremental", UpsertOps.mvJoinIncremental, Some(
+    GraftQuery("x_mv_join_incremental", UpsertOps.mvJoinIncremental,
+      headline = true, oracle = Some(
       """SELECT o_orderpriority, date_trunc('month', o_orderdate) AS month,
         |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2))) AS DOUBLE) AS revenue,
         |       count(*) AS n_rows
@@ -1801,6 +1802,40 @@ object Registry {
         |       least(greatest(value, p_lo), p_hi) AS value_clipped
         |FROM events JOIN b ON event_type = et
         |ORDER BY event_id""".stripMargin)),
+    // CUPED variance reduction: per-user pre/post cent sums and the
+    // pooled moments are exact int64; θ and the adjusted means are a
+    // fixed IEEE double sequence on those integers — replayed verbatim,
+    // so the experimentation readout hash-matches (no transcendentals)
+    GraftQuery("x_ab_cuped", EventOps.abCuped, Some(
+      s"""WITH pu AS (
+        |  SELECT user_id,
+        |         CAST(coalesce(sum(CASE WHEN ts < TIMESTAMP '${EventOps.CupedCutoff}'
+        |           THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END), 0) AS BIGINT) AS x,
+        |         CAST(coalesce(sum(CASE WHEN ts >= TIMESTAMP '${EventOps.CupedCutoff}'
+        |           THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END), 0) AS BIGINT) AS y
+        |  FROM events GROUP BY user_id),
+        |p AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
+        |             CAST(sum(y) AS BIGINT) AS sy,
+        |             CAST(sum(x * x) AS BIGINT) AS sxx,
+        |             CAST(sum(x * y) AS BIGINT) AS sxy
+        |      FROM pu),
+        |t AS (SELECT n, sx,
+        |             coalesce((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+        |                        - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |                      / nullif(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+        |                               - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE), 0.0),
+        |                      0.0) AS theta
+        |      FROM p),
+        |a AS (SELECT user_id % 2 AS arm, count(*) AS n_users,
+        |             CAST(sum(x) AS BIGINT) AS sxa, CAST(sum(y) AS BIGINT) AS sya
+        |      FROM pu GROUP BY 1)
+        |SELECT arm, n_users,
+        |       CAST(sya AS DOUBLE) / 100.0 / n_users AS mean_y,
+        |       CAST(sya AS DOUBLE) / 100.0 / n_users
+        |         - theta * (CAST(sxa AS DOUBLE) / 100.0 / n_users
+        |                    - CAST(sx AS DOUBLE) / 100.0 / n) AS mean_y_cuped,
+        |       theta
+        |FROM a CROSS JOIN t ORDER BY arm""".stripMargin)),
     GraftQuery("x_event_gapfill", EventOps.gapFillHourly, Some(
       """WITH spine AS (
         |  SELECT user_id, unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
@@ -2374,7 +2409,7 @@ object Registry {
     // the oracle unrolls FOUR rounds (≥ rounds-to-fixpoint at every SF,
     // extra rounds are no-ops on a fixpoint), degrees are exact integer
     // counts so survivors + within-core degrees hash-match
-    GraftQuery("x_graph_kcore", GraphOps.kcore, Some(
+    GraftQuery("x_graph_kcore", GraphOps.kcore, headline = true, oracle = Some(
       s"""WITH e0 AS (SELECT DISTINCT l_suppkey*2 AS src, o_custkey*2+1 AS dst
         |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
         |e1 AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -550,5 +550,64 @@ object EventOps {
       .groupBy(col("prev_type"), col("next_type"))
       .agg(count(lit(1)).as("n"))
       .orderBy("prev_type", "next_type")
+  }
+
+  /** CUPED pre/post cutoff: the experiment "starts" mid-corpus so both
+    * periods hold real data at every SF (events span 2024-01-01..30). */
+  val CupedCutoff = "2024-01-15 00:00:00"
+
+  /** CUPED (Controlled-experiment Using Pre-Existing Data) variance
+    * reduction — the experimentation-platform readout: per experiment
+    * arm (user_id parity stands in for assignment), the post-period
+    * mean of the metric and its CUPED-adjusted mean
+    * ŷᵤ = yᵤ − θ·(xᵤ − x̄) with θ = cov(x,y)/var(x) fitted POOLED over
+    * all users' pre-period covariate x. The adjustment shrinks the
+    * between-user variance the randomization didn't balance, tightening
+    * the readout without biasing it (E[x] is arm-independent).
+    *
+    * Determinism across engines: per-user pre/post sums are exact int64
+    * CENTS (decimal-cast, ×100), the pooled moments (n, Σx, Σy, Σx²,
+    * Σxy) are exact int64 sums of those, and θ + the adjusted means are
+    * a FIXED sequence of IEEE double ops (cast, ×, −, ÷) on exact
+    * integers — each correctly rounded, so DuckDB replays the identical
+    * expression tree bit-for-bit. No transcendentals anywhere.
+    * θ's denominator is nullif-guarded: a constant covariate yields
+    * θ = 0 and the adjusted mean degrades to the raw mean (spec-pinned).
+    *
+    * Scale shape: ONE map-side-combinable groupBy(user_id) over the
+    * event stream, a 1-row pooled-moment aggregate broadcast back
+    * (bounded driver bytes), and a tiny per-arm rollup — no window, no
+    * per-user state beyond the aggregation. */
+  def abCuped(spark: SparkSession, dir: String): DataFrame = {
+    val cut = lit(java.sql.Timestamp.valueOf(CupedCutoff))
+    val cents = (dec2(col("value")) * 100).cast(LongType)
+    val perUser = Tables(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(
+        coalesce(sum(when(col("ts") < cut, cents)), lit(0L)).as("x"),
+        coalesce(sum(when(col("ts") >= cut, cents)), lit(0L)).as("y"))
+    val dbl = (c: Column) => c.cast(DoubleType)
+    val pooled = perUser.agg(
+      count(lit(1)).as("n"),
+      sum(col("x")).as("sx"), sum(col("y")).as("sy"),
+      sum(col("x") * col("x")).as("sxx"),
+      sum(col("x") * col("y")).as("sxy"))
+      .select(col("n"), col("sx"),
+        coalesce(
+          (dbl(col("n")) * dbl(col("sxy")) - dbl(col("sx")) * dbl(col("sy"))) /
+            nullif(dbl(col("n")) * dbl(col("sxx")) - dbl(col("sx")) * dbl(col("sx")),
+              lit(0.0)),
+          lit(0.0)).as("theta"))
+    perUser.groupBy((col("user_id") % 2).as("arm"))
+      .agg(count(lit(1)).as("n_users"),
+        sum(col("x")).as("sxa"), sum(col("y")).as("sya"))
+      .crossJoin(broadcast(pooled))
+      .select(col("arm"), col("n_users"),
+        (dbl(col("sya")) / 100.0 / col("n_users")).as("mean_y"),
+        (dbl(col("sya")) / 100.0 / col("n_users") -
+          col("theta") * (dbl(col("sxa")) / 100.0 / col("n_users") -
+            dbl(col("sx")) / 100.0 / col("n"))).as("mean_y_cuped"),
+        col("theta"))
+      .orderBy("arm")
   }
 }

@@ -436,6 +436,28 @@ object UpsertOps {
     * Splits: o_orderkey % 10 = 0 is the orders batch, l_orderkey % 7 = 0
     * the lineitem batch (different moduli so every one of the three
     * delta terms is non-empty — each contributes rows the others miss). */
+  /** Mergeable partial states of the join MV over an (orders slice,
+    * lineitem slice) pair: per (priority, order-month), exact decimal
+    * revenue sum + row count. Shared by the batch IVM below and the
+    * streaming maintainer (graft.streaming.StreamingMvJoin) — one
+    * definition, so batch ≡ streaming is structural. */
+  def mvJoinPartial(o: DataFrame, l: DataFrame): DataFrame = o
+    .join(l, col("o_orderkey") === col("l_orderkey"))
+    .groupBy(col("o_orderpriority"),
+      date_trunc("month", col("o_orderdate")).as("month"))
+    .agg(sum(dec2(col("l_extendedprice"))).as("s"), count(lit(1)).as("n"))
+
+  /** Merge any collection of [[mvJoinPartial]] rows (base ∪ deltas ∪
+    * micro-batch commits) and finalize to the read schema — decimal
+    * sums make the fold exact and order-free, so ANY grouping of the
+    * input rows into partials serves the same view. */
+  def mvJoinServe(partials: DataFrame): DataFrame = partials
+    .groupBy(col("o_orderpriority"), col("month"))
+    .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
+    .select(col("o_orderpriority"), col("month"),
+      col("s").cast(DoubleType).as("revenue"), col("n").as("n_rows"))
+    .orderBy("o_orderpriority", "month")
+
   def mvJoinIncremental(spark: SparkSession, dir: String): DataFrame = {
     val ord = Tables(spark, dir, "orders")
       .select(col("o_orderkey"), col("o_orderpriority"), col("o_orderdate"))
@@ -445,32 +467,12 @@ object UpsertOps {
     val ordDelta = ord.filter(col("o_orderkey") % 10 === 0)
     val liBase = li.filter(col("l_orderkey") % 7 =!= 0)
     val liDelta = li.filter(col("l_orderkey") % 7 === 0)
-    def partial(o: DataFrame, l: DataFrame): DataFrame = o
-      .join(l, col("o_orderkey") === col("l_orderkey"))
-      .groupBy(col("o_orderpriority"),
-        date_trunc("month", col("o_orderdate")).as("month"))
-      .agg(sum(dec2(col("l_extendedprice"))).as("s"), count(lit(1)).as("n"))
     val base = stampedIndexDir("graft_mvj_base_v1_", dir, "orders.parquet")
     if (!new java.io.File(s"$base/_SUCCESS").exists())
-      partial(ordBase, liBase).write.mode("overwrite").parquet(base)
-    val delta = partial(ordDelta, liBase)
-      .unionByName(partial(ordBase, liDelta))
-      .unionByName(partial(ordDelta, liDelta))
-      .groupBy(col("o_orderpriority"), col("month"))
-      .agg(sum(col("s")).as("s"), sum(col("n")).as("n"))
-    spark.read.parquet(base).as("b")
-      .join(delta.as("d"),
-        col("b.o_orderpriority") === col("d.o_orderpriority") &&
-          col("b.month") === col("d.month"), "full_outer")
-      .select(
-        coalesce(col("b.o_orderpriority"), col("d.o_orderpriority"))
-          .as("o_orderpriority"),
-        coalesce(col("b.month"), col("d.month")).as("month"),
-        (coalesce(col("b.s"), lit(BigDecimal(0)).cast(Dec2)) +
-          coalesce(col("d.s"), lit(BigDecimal(0)).cast(Dec2))).as("s"),
-        (coalesce(col("b.n"), lit(0L)) + coalesce(col("d.n"), lit(0L))).as("n"))
-      .select(col("o_orderpriority"), col("month"),
-        col("s").cast(DoubleType).as("revenue"), col("n").as("n_rows"))
-      .orderBy("o_orderpriority", "month")
+      mvJoinPartial(ordBase, liBase).write.mode("overwrite").parquet(base)
+    mvJoinServe(spark.read.parquet(base)
+      .unionByName(mvJoinPartial(ordDelta, liBase))
+      .unionByName(mvJoinPartial(ordBase, liDelta))
+      .unionByName(mvJoinPartial(ordDelta, liDelta)))
   }
 }

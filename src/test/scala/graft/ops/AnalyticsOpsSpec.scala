@@ -437,4 +437,42 @@ class AnalyticsOpsSpec extends SparkSpec {
       .map(r => (r.getInt(0), r.getLong(3))).toSeq
     assert(got == (0 to 7).map(b => (b, 2L)), s"got $got") // 16 values / 8 buckets
   }
+
+  private def ts(s: String) = java.sql.Timestamp.valueOf(s)
+  private val pre = ts("2024-01-10 00:00:00")
+  private val post = ts("2024-01-20 00:00:00")
+
+  test("CUPED: hand-computed theta and adjusted means on a planted cohort") {
+    import spark.implicits._
+    val fix = tempDir("cuped")
+    // per user (pre x, post y) in whole currency: (10,20) (20,30) (30,50)
+    // (40,60) → exact θ = (4·47e6 − 1e4·1.6e4)/(4·3e7 − 1e8) = 1.4
+    Seq((1L, pre, 10.0), (1L, post, 20.0),
+      (2L, pre, 20.0), (2L, post, 30.0),
+      (3L, pre, 30.0), (3L, post, 50.0),
+      (4L, pre, 40.0), (4L, post, 60.0))
+      .toDF("user_id", "ts", "value").repartition(3)
+      .write.mode("overwrite").parquet(s"$fix/events.parquet")
+    val got = EventOps.abCuped(spark, fix).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3),
+        r.getDouble(4))).toSeq
+    // raw arm gap 45 vs 35; CUPED shrinks it to 38 vs 42 — the pre-period
+    // imbalance (arm 0 drew heavier users) is exactly what θ removes
+    assert(got == Seq((0L, 2L, 45.0, 38.0, 1.4), (1L, 2L, 35.0, 42.0, 1.4)),
+      s"got $got")
+  }
+
+  test("CUPED: constant covariate degrades to the raw mean (theta = 0)") {
+    import spark.implicits._
+    val fix = tempDir("cuped_const")
+    Seq((1L, pre, 10.0), (1L, post, 20.0),
+      (2L, pre, 10.0), (2L, post, 40.0))
+      .toDF("user_id", "ts", "value")
+      .write.mode("overwrite").parquet(s"$fix/events.parquet")
+    val got = EventOps.abCuped(spark, fix).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3), r.getDouble(4))).toSeq
+    // var(x) = 0 would make θ undefined; the nullif guard pins θ = 0 so
+    // the adjusted mean equals the raw mean instead of NaN-poisoning
+    assert(got == Seq((0L, 40.0, 40.0, 0.0), (1L, 20.0, 20.0, 0.0)), s"got $got")
+  }
 }

@@ -755,6 +755,16 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got == Seq((1L, 1, true), (2L, 0, false)))
   }
 
+  test("bloom decontamination plan: the prefilter kernel survives to the executed plan") {
+    val plan = PretrainOps.decontaminateBloom(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    // the codegen'd might_contain probe must still be IN the plan (not
+    // optimized away) — it's the node that shrinks the gram exchange —
+    // and the confirm join must stay on the hash-join path
+    assert(plan.contains("might_contain"), s"bloom kernel missing in:\n$plan")
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"confirm join degraded:\n$plan")
+  }
+
   test("digest-keyed decontamination twins: identical rows to the string-keyed forms") {
     // the digest form re-keys the broadcast gram index only; any
     // divergence means the 16-byte-key swap changed semantics, not just
