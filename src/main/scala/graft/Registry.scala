@@ -1502,6 +1502,45 @@ object Registry {
     * Engine-internal hashes/heuristics (minhash, simhash, lsh, langid,
     * fingerprint) have no SQL oracle → rows-only driver check; their
     * semantics are pinned by the unit suite instead. */
+  /** Shared preference-contest CTE chain (uc → con → rel), generated
+    * from PrefOps' static item alphabet so Spark and the oracle can
+    * never disagree on the pair list or the fold order. `rel` is the
+    * both-orientation decided-pair relation (i, j, w = i's wins, n). */
+  private def prefCtes: String = {
+    val cnt = PrefOps.Items.map(t =>
+      s"sum(CASE WHEN event_type = '$t' THEN 1 ELSE 0 END) AS $t")
+      .mkString(",\n               ")
+    val blocks = PrefOps.Pairs.map { case (a, b) =>
+      s"""  SELECT '$a' AS i, '$b' AS j,
+         |         CAST(sum(CASE WHEN $a > $b THEN 1 ELSE 0 END) AS BIGINT) AS w_i,
+         |         CAST(sum(CASE WHEN $b > $a THEN 1 ELSE 0 END) AS BIGINT) AS w_j
+         |  FROM uc""".stripMargin
+    }.mkString("\n  UNION ALL\n")
+    s"""uc AS (SELECT user_id, $cnt
+       |       FROM events GROUP BY user_id),
+       |con AS (
+       |$blocks
+       |),
+       |rel AS (SELECT i, j, w_i AS w, w_i + w_j AS n FROM con WHERE w_i + w_j > 0
+       |        UNION ALL
+       |        SELECT j, i, w_j, w_i + w_j FROM con WHERE w_i + w_j > 0)""".stripMargin
+  }
+
+  /** One Bradley–Terry MM round as a CTE: strengths `prev` → `name`.
+    * The denominator is the same fixed left-associated item-order fold
+    * the Spark side computes (graft.ops.PrefOps.bradleyTerry). */
+  private def btRound(name: String, prev: String): String = {
+    val terms = PrefOps.Items.map(t =>
+      s"coalesce(max(CASE WHEN r.j = '$t' THEN CAST(r.n AS DOUBLE) / (a.p + b.p) END), 0.0)")
+      .mkString("\n            + ")
+    s"""$name AS (SELECT r.i AS t,
+       |         CAST(w.wins AS DOUBLE) /
+       |           ($terms) AS p
+       |       FROM rel r JOIN $prev a ON r.i = a.t JOIN $prev b ON r.j = b.t
+       |            JOIN w ON r.i = w.i
+       |       GROUP BY r.i, w.wins)""".stripMargin
+  }
+
   val extensions: Seq[GraftQuery] = Seq(
     GraftQuery("x_text_tokens", TextOps.tokenStats, Some(
       """SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
@@ -1836,6 +1875,63 @@ object Registry {
         |                    - CAST(sx AS DOUBLE) / 100.0 / n) AS mean_y_cuped,
         |       theta
         |FROM a CROSS JOIN t ORDER BY arm""".stripMargin)),
+    // Welch t on the per-user metric: exact decimal moments, then a
+    // fixed IEEE tree for mean/var/t/df (sqrt is the only root)
+    GraftQuery("x_ab_welch", EventOps.abWelch, Some(
+      """WITH pu AS (SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
+        |            FROM events GROUP BY user_id),
+        |a AS (SELECT user_id % 2 AS arm, count(*) AS n, sum(y) AS sy, sum(y * y) AS syy
+        |      FROM pu GROUP BY 1),
+        |m AS (SELECT arm, n,
+        |        CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_y,
+        |        (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        |          / (CAST(n AS DOUBLE) - 1.0) AS var_y
+        |      FROM a),
+        |wde AS (SELECT max(CASE WHEN arm = 0 THEN n END) AS n0, max(CASE WHEN arm = 1 THEN n END) AS n1,
+        |         max(CASE WHEN arm = 0 THEN mean_y END) AS mean0, max(CASE WHEN arm = 1 THEN mean_y END) AS mean1,
+        |         max(CASE WHEN arm = 0 THEN var_y END) AS v0, max(CASE WHEN arm = 1 THEN var_y END) AS v1
+        |       FROM m),
+        |s AS (SELECT n0, n1, mean0, mean1,
+        |        v0 / CAST(n0 AS DOUBLE) AS se0, v1 / CAST(n1 AS DOUBLE) AS se1 FROM wde)
+        |SELECT n0, n1, mean0, mean1, mean0 - mean1 AS diff,
+        |       (mean0 - mean1) / sqrt(se0 + se1) AS t_stat,
+        |       ((se0 + se1) * (se0 + se1))
+        |         / ((se0 * se0) / (CAST(n0 AS DOUBLE) - 1.0) + (se1 * se1) / (CAST(n1 AS DOUBLE) - 1.0)) AS df
+        |FROM s""".stripMargin)),
+    // Sample-ratio-mismatch guard: χ²(1) on the realized arm split
+    GraftQuery("x_ab_srm", EventOps.abSrm, Some(
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |c AS (SELECT CAST(sum(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |             CAST(sum(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1 FROM u),
+        |e AS (SELECT n0, n1, (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)) / 2.0 AS e FROM c),
+        |x AS (SELECT n0, n1,
+        |        ((CAST(n0 AS DOUBLE) - e) * (CAST(n0 AS DOUBLE) - e)) / e
+        |          + ((CAST(n1 AS DOUBLE) - e) * (CAST(n1 AS DOUBLE) - e)) / e AS chi2 FROM e)
+        |SELECT n0, n1, chi2, chi2 > 3.841 AS srm_flag FROM x""".stripMargin)),
+    // Pairwise preference mining: exact int64 contest counts from
+    // per-judge engagement pivots; Wilson bound is a fixed IEEE tree
+    GraftQuery("x_pref_winrate", PrefOps.winrate, Some(
+      s"""WITH $prefCtes
+        |SELECT i, j, w, n,
+        |       CAST(w AS DOUBLE) / CAST(n AS DOUBLE) AS winrate,
+        |       ((CAST(w AS DOUBLE) / CAST(n AS DOUBLE)) + (1.96 * 1.96) / (CAST(n AS DOUBLE) * 2.0)
+        |         - 1.96 * sqrt(((CAST(w AS DOUBLE) / CAST(n AS DOUBLE)) * (1.0 - (CAST(w AS DOUBLE) / CAST(n AS DOUBLE)))
+        |                        + (1.96 * 1.96) / (CAST(n AS DOUBLE) * 4.0)) / CAST(n AS DOUBLE)))
+        |         / (1.0 + (1.96 * 1.96) / CAST(n AS DOUBLE)) AS wilson_lb
+        |FROM rel ORDER BY i, j""".stripMargin)),
+    // Bradley–Terry strengths: 3 unrolled MM rounds, each a CTE whose
+    // denominator fold order is pinned to the static item order — the
+    // one thing IEEE addition is sensitive to — on BOTH engines
+    GraftQuery("x_pref_bradley_terry", PrefOps.bradleyTerry, Some(
+      s"""WITH $prefCtes,
+        |w AS (SELECT i, CAST(sum(w) AS BIGINT) AS wins, CAST(sum(n) AS BIGINT) AS games
+        |      FROM rel GROUP BY i),
+        |r0 AS (SELECT i AS t, 1.0 AS p FROM w),
+        |${btRound("r1", "r0")},
+        |${btRound("r2", "r1")},
+        |${btRound("r3", "r2")}
+        |SELECT w.i AS item, w.games, w.wins, r3.p AS strength
+        |FROM w JOIN r3 ON w.i = r3.t ORDER BY item""".stripMargin)),
     GraftQuery("x_event_gapfill", EventOps.gapFillHourly, Some(
       """WITH spine AS (
         |  SELECT user_id, unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',

@@ -610,4 +610,78 @@ object EventOps {
         col("theta"))
       .orderBy("arm")
   }
+
+  /** Welch two-sample t readout on the per-user total metric (arm =
+    * user_id parity, the same assignment [[abCuped]] reads out): per-arm
+    * user count, mean, the unpooled-variance t statistic and its
+    * Welch–Satterthwaite degrees of freedom — the significance surface
+    * an experimentation platform serves next to the CUPED point
+    * estimate.
+    *
+    * Determinism: per-user totals are exact decimal cents; the per-arm
+    * moments (n, Σy, Σy²) are exact decimal sums of those; mean,
+    * variance, t and df are a FIXED sequence of IEEE double ops
+    * (+ - * / sqrt, all correctly rounded — no transcendentals) on the
+    * exact moments, textually mirrored by the DuckDB oracle.
+    *
+    * Scale shape: one map-side-combinable groupBy(user_id), a 2-row arm
+    * rollup, a 1-row pivot. No window, no collect, nothing grows past
+    * the first aggregate. */
+  def abWelch(spark: SparkSession, dir: String): DataFrame = {
+    val dbl = (c: Column) => c.cast(DoubleType)
+    val perUser = Tables(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(sum(dec2(col("value"))).cast(Dec2).as("y"))
+    val arms = perUser
+      .groupBy((col("user_id") % 2).as("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
+        sum(col("y") * col("y")).as("syy"))
+      .select(col("arm"), col("n"),
+        (dbl(col("sy")) / dbl(col("n"))).as("mean_y"),
+        ((dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy")) / dbl(col("n"))) /
+          (dbl(col("n")) - lit(1.0))).as("var_y"))
+    def pick(c: String, arm: Int) = max(when(col("arm") === arm, col(c)))
+    arms.agg(
+      pick("n", 0).as("n0"), pick("n", 1).as("n1"),
+      pick("mean_y", 0).as("mean0"), pick("mean_y", 1).as("mean1"),
+      pick("var_y", 0).as("v0"), pick("var_y", 1).as("v1"))
+      .select(col("n0"), col("n1"), col("mean0"), col("mean1"),
+        col("v0"), col("v1"),
+        (col("v0") / dbl(col("n0"))).as("se0"),
+        (col("v1") / dbl(col("n1"))).as("se1"))
+      .select(col("n0"), col("n1"), col("mean0"), col("mean1"),
+        (col("mean0") - col("mean1")).as("diff"),
+        ((col("mean0") - col("mean1")) / sqrt(col("se0") + col("se1")))
+          .as("t_stat"),
+        (((col("se0") + col("se1")) * (col("se0") + col("se1"))) /
+          ((col("se0") * col("se0")) / (dbl(col("n0")) - lit(1.0)) +
+            (col("se1") * col("se1")) / (dbl(col("n1")) - lit(1.0))))
+          .as("df"))
+  }
+
+  /** Sample-ratio-mismatch guard: the χ² (df = 1) of the realized arm
+    * split against the designed 50/50 assignment, with the standard
+    * α = 0.05 trip wire (critical value 3.841). An experiment whose
+    * traffic split drifted is invalid BEFORE any metric is read — this
+    * is the gate that runs first. Counts are exact; χ² is four IEEE
+    * ops on them, oracle-mirrored; the flag is a comparison against a
+    * literal, so it cannot sit on a rounding boundary differently in
+    * the two engines unless χ² itself diverged (which the hash would
+    * catch first). */
+  def abSrm(spark: SparkSession, dir: String): DataFrame = {
+    val dbl = (c: Column) => c.cast(DoubleType)
+    Tables(spark, dir, "events")
+      .select(col("user_id")).distinct()
+      .agg(
+        sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("n0"),
+        sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L)).as("n1"))
+      .select(col("n0"), col("n1"),
+        ((dbl(col("n0")) + dbl(col("n1"))) / lit(2.0)).as("e"))
+      .select(col("n0"), col("n1"),
+        (((dbl(col("n0")) - col("e")) * (dbl(col("n0")) - col("e"))) / col("e") +
+          ((dbl(col("n1")) - col("e")) * (dbl(col("n1")) - col("e"))) / col("e"))
+          .as("chi2"))
+      .select(col("n0"), col("n1"), col("chi2"),
+        (col("chi2") > lit(3.841)).as("srm_flag"))
+  }
 }

@@ -475,4 +475,35 @@ class AnalyticsOpsSpec extends SparkSpec {
     // the adjusted mean equals the raw mean instead of NaN-poisoning
     assert(got == Seq((0L, 40.0, 40.0, 0.0), (1L, 20.0, 20.0, 0.0)), s"got $got")
   }
+
+  test("Welch t: hand-computed statistic and df on a planted 2x2 cohort") {
+    import spark.implicits._
+    val fix = tempDir("welch")
+    // arm1 = {u1: 20, u3: 40}, arm0 = {u2: 30, u4: 50} → both variances
+    // 200, diff 10 → t = 10/√200, Welch df degenerates to exactly 2
+    Seq((1L, pre, 20.0), (2L, pre, 30.0), (3L, pre, 40.0), (4L, pre, 50.0))
+      .toDF("user_id", "ts", "value").repartition(3)
+      .write.mode("overwrite").parquet(s"$fix/events.parquet")
+    val r = EventOps.abWelch(spark, fix).collect().head
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 2L)))
+    assert((r.getDouble(2), r.getDouble(3), r.getDouble(4)) == ((40.0, 30.0, 10.0)))
+    assert(r.getDouble(5) == 10.0 / math.sqrt(200.0), s"t = ${r.getDouble(5)}")
+    assert(r.getDouble(6) == 2.0, s"df = ${r.getDouble(6)}")
+  }
+
+  test("SRM guard: balanced split passes, 9:1 split trips the chi-square wire") {
+    import spark.implicits._
+    def srmOf(name: String, users: Seq[Long]): (Long, Long, Double, Boolean) = {
+      val fix = tempDir(name)
+      // duplicate one user's events: the guard must count DISTINCT users
+      (users ++ users.take(1)).map(u => (u, pre, 1.0))
+        .toDF("user_id", "ts", "value").repartition(2)
+        .write.mode("overwrite").parquet(s"$fix/events.parquet")
+      val r = EventOps.abSrm(spark, fix).collect().head
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getBoolean(3))
+    }
+    assert(srmOf("srm_ok", (1L to 10L)) == ((5L, 5L, 0.0, false)))
+    // 9 even vs 1 odd: χ² = 2·(4²/5) = 6.4 > 3.841
+    assert(srmOf("srm_bad", (1L to 9L).map(_ * 2L) :+ 1L) == ((9L, 1L, 6.4, true)))
+  }
 }
