@@ -53,14 +53,34 @@ object Registry {
     * hashing trick (md5 → 20-bit bucket) and the pseudo-weight derivation
     * (md5 of 'w'+bucket → [-500000, 500000]) replayed in DuckDB, so both
     * physical plans hash against one logit definition. */
-  private val qualityClassifierOracle: String =
-    """WITH d AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-      |s AS (SELECT doc_id, CAST(len(t) AS INTEGER) AS n_tokens,
+  private val qualityClassifierCtes: String =
+    """d AS (SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM documents),
+      |s AS (SELECT doc_id, text, CAST(len(t) AS INTEGER) AS n_tokens,
       |        CAST(list_sum(list_transform(t,
       |          tok -> CAST(('0x' || substr(md5('w' || CAST(CAST(('0x' || substr(md5(tok), 1, 5)) AS BIGINT) % 4096 AS VARCHAR)), 1, 8)) AS BIGINT) % 1000001 - 500000)) AS BIGINT) AS logit
-      |      FROM d)
+      |      FROM d)""".stripMargin
+
+  private val qualityClassifierOracle: String =
+    s"""WITH $qualityClassifierCtes
       |SELECT doc_id, n_tokens, logit, logit > 0 AS keep
       |FROM s ORDER BY doc_id""".stripMargin
+
+  /** Calibration oracle: bins over the SAME logit CTE the classifier
+    * pair is judged against, gold = the stop-ratio rule shared with
+    * x_text_quality — single-source on both signals. */
+  private val classifierCalibrationOracle: String =
+    s"""WITH $qualityClassifierCtes,
+      |g AS (SELECT doc_id, logit,
+      |        len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','to','in','is','or','for','on')))
+      |          / len(string_split(text, ' ')) AS stop_ratio
+      |      FROM s),
+      |b AS (SELECT least(greatest(CAST(floor(CAST(logit AS DOUBLE) / 2000000.0) AS BIGINT), -4), 4) AS bin,
+      |             logit, stop_ratio FROM g)
+      |SELECT bin, count(*) AS n_docs,
+      |       CAST(sum(CASE WHEN stop_ratio >= 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_gold,
+      |       CAST(sum(CASE WHEN stop_ratio >= 0.1 THEN 1 ELSE 0 END) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS gold_rate,
+      |       CAST(sum(logit) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_logit
+      |FROM b GROUP BY bin ORDER BY bin""".stripMargin
 
   /** Shared by x_dsir_weights AND x_dsir_select: one CTE chain replaying
     * the hashed-bigram bucket counts (md5 → 20-bit → mod 4096, the
@@ -1908,6 +1928,36 @@ object Registry {
         |        ((CAST(n0 AS DOUBLE) - e) * (CAST(n0 AS DOUBLE) - e)) / e
         |          + ((CAST(n1 AS DOUBLE) - e) * (CAST(n1 AS DOUBLE) - e)) / e AS chi2 FROM e)
         |SELECT n0, n1, chi2, chi2 > 3.841 AS srm_flag FROM x""".stripMargin)),
+    // Post-stratification: activity-quartile strata (exact discrete
+    // percentiles), full-population weights, fixed 4-term IEEE fold
+    GraftQuery("x_ab_poststrat", EventOps.abPostStrat, Some(
+      """WITH pu AS (SELECT user_id, count(*) AS n_events,
+        |              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
+        |            FROM events GROUP BY user_id),
+        |q AS (SELECT quantile_disc(n_events, 0.25) AS q1, quantile_disc(n_events, 0.5) AS q2,
+        |             quantile_disc(n_events, 0.75) AS q3 FROM pu),
+        |st AS (SELECT user_id % 2 AS arm, y,
+        |         CASE WHEN n_events <= q1 THEN 0 WHEN n_events <= q2 THEN 1
+        |              WHEN n_events <= q3 THEN 2 ELSE 3 END AS stratum
+        |       FROM pu CROSS JOIN q),
+        |pop AS (SELECT count(*) AS nt,
+        |          CAST(sum(CASE WHEN stratum = 0 THEN 1 ELSE 0 END) AS BIGINT) AS ns0,
+        |          CAST(sum(CASE WHEN stratum = 1 THEN 1 ELSE 0 END) AS BIGINT) AS ns1,
+        |          CAST(sum(CASE WHEN stratum = 2 THEN 1 ELSE 0 END) AS BIGINT) AS ns2,
+        |          CAST(sum(CASE WHEN stratum = 3 THEN 1 ELSE 0 END) AS BIGINT) AS ns3
+        |        FROM st),
+        |a AS (SELECT arm, count(*) AS n_users, sum(y) AS sy,
+        |        CAST(sum(CASE WHEN stratum = 0 THEN 1 ELSE 0 END) AS BIGINT) AS n0, sum(CASE WHEN stratum = 0 THEN y END) AS sy0,
+        |        CAST(sum(CASE WHEN stratum = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n1, sum(CASE WHEN stratum = 1 THEN y END) AS sy1,
+        |        CAST(sum(CASE WHEN stratum = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n2, sum(CASE WHEN stratum = 2 THEN y END) AS sy2,
+        |        CAST(sum(CASE WHEN stratum = 3 THEN 1 ELSE 0 END) AS BIGINT) AS n3, sum(CASE WHEN stratum = 3 THEN y END) AS sy3
+        |      FROM st GROUP BY arm)
+        |SELECT arm, n_users, CAST(sy AS DOUBLE) / CAST(n_users AS DOUBLE) AS mean_y,
+        |       coalesce((CAST(ns0 AS DOUBLE) / CAST(nt AS DOUBLE)) * (CAST(sy0 AS DOUBLE) / CAST(n0 AS DOUBLE)), 0.0)
+        |         + coalesce((CAST(ns1 AS DOUBLE) / CAST(nt AS DOUBLE)) * (CAST(sy1 AS DOUBLE) / CAST(n1 AS DOUBLE)), 0.0)
+        |         + coalesce((CAST(ns2 AS DOUBLE) / CAST(nt AS DOUBLE)) * (CAST(sy2 AS DOUBLE) / CAST(n2 AS DOUBLE)), 0.0)
+        |         + coalesce((CAST(ns3 AS DOUBLE) / CAST(nt AS DOUBLE)) * (CAST(sy3 AS DOUBLE) / CAST(n3 AS DOUBLE)), 0.0) AS mean_y_ps
+        |FROM a CROSS JOIN pop ORDER BY arm""".stripMargin)),
     // Pairwise preference mining: exact int64 contest counts from
     // per-judge engagement pivots; Wilson bound is a fixed IEEE tree
     GraftQuery("x_pref_winrate", PrefOps.winrate, Some(
@@ -2049,6 +2099,9 @@ object Registry {
       Some(qualityClassifierOracle)),
     GraftQuery("x_quality_classifier_join", TextOps.qualityClassifierJoined,
       Some(qualityClassifierOracle)),
+    // reliability bins: does the gold rate rise with the logit bin?
+    GraftQuery("x_quality_calibration", TextOps.classifierCalibration,
+      Some(classifierCalibrationOracle)),
     GraftQuery("x_text_repetition", TextOps.repetition, Some(
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
         |g AS (SELECT doc_id,

@@ -684,4 +684,57 @@ object EventOps {
       .select(col("n0"), col("n1"), col("chi2"),
         (col("chi2") > lit(3.841)).as("srm_flag"))
   }
+
+  /** Post-stratified arm means — the other standard variance/bias
+    * repair next to [[abCuped]]: strata are activity quartiles (exact
+    * discrete quartiles of the per-user event count via the shared
+    * frequency-table core in StatsOps), weights are the FULL-population
+    * stratum shares, and each arm's adjusted mean is Σ_s w_s · m_{s,arm}
+    * — the estimate that stands when randomization landed unevenly
+    * across activity levels (the spec plants a Simpson's-paradox cohort
+    * where post-stratification REVERSES the raw readout).
+    *
+    * Determinism: counts and decimal sums are exact; quartile cuts are
+    * exact integers (discrete percentiles); the weighted sum is a fixed
+    * left-associated four-term chain on both engines. A stratum absent
+    * from one arm contributes 0 (coalesce) — the estimator is then
+    * partially weighted, which the per-arm n exposes rather than hides.
+    *
+    * Scale shape: one map-side-combinable groupBy(user_id); quartiles
+    * touch only the distinct-count frequency table; one 2-row arm
+    * rollup with conditional per-stratum partials; one 1-row population
+    * rollup broadcast back. */
+  def abPostStrat(spark: SparkSession, dir: String): DataFrame = {
+    val dbl = (c: Column) => c.cast(DoubleType)
+    val perUser = Tables(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(count(lit(1)).as("n_events"),
+        sum(dec2(col("value"))).cast(Dec2).as("y"))
+    val qs = StatsOps.discPercentiles(
+      perUser.select(lit(1).as("k"), col("n_events")),
+      Seq("k"), "n_events", Seq(0.25 -> "q1", 0.5 -> "q2", 0.75 -> "q3"))
+      .drop("k")
+    val strat = perUser.crossJoin(broadcast(qs))
+      .select((col("user_id") % 2).as("arm"), col("y"),
+        when(col("n_events") <= col("q1"), 0L)
+          .when(col("n_events") <= col("q2"), 1L)
+          .when(col("n_events") <= col("q3"), 2L).otherwise(3L).as("stratum"))
+    val strata = 0 to 3
+    val popAggs = strata.map(s =>
+      sum(when(col("stratum") === s, 1L).otherwise(0L)).as(s"ns$s"))
+    val pop = strat.agg(count(lit(1)).as("nt"), popAggs: _*)
+    val armAggs = Seq(sum(col("y")).as("sy")) ++ strata.flatMap(s => Seq(
+      sum(when(col("stratum") === s, 1L).otherwise(0L)).as(s"n$s"),
+      sum(when(col("stratum") === s, col("y"))).as(s"sy$s")))
+    val arms = strat.groupBy(col("arm"))
+      .agg(count(lit(1)).as("n_users"), armAggs: _*)
+    val psTerms = strata.map(s => coalesce(
+      (dbl(col(s"ns$s")) / dbl(col("nt"))) *
+        (dbl(col(s"sy$s")) / dbl(col(s"n$s"))), lit(0.0)))
+    arms.crossJoin(broadcast(pop))
+      .select(col("arm"), col("n_users"),
+        (dbl(col("sy")) / dbl(col("n_users"))).as("mean_y"),
+        psTerms.reduceLeft(_ + _).as("mean_y_ps"))
+      .orderBy("arm")
+  }
 }

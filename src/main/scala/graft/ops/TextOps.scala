@@ -630,4 +630,35 @@ object TextOps {
       .select(col("doc_id"), col("n_tokens"), col("logit"), col("keep"))
       .orderBy("doc_id")
   }
+
+  /** Calibration/reliability readout for the hashed quality classifier:
+    * documents bin by classifier logit (fixed-width 2e6 bins clamped to
+    * [-4, 4]; floor over an exactly-representable double, so bin ids
+    * are engine-identical integers) and each bin reports its document
+    * count, heuristic-gold positives (gold = [[stopRatio]] ≥ 0.1 — the
+    * shared quality currency; stopword-bearing text is the CCNet-style
+    * naturalness signal), the exact gold rate and the mean logit. The
+    * readout to inspect BEFORE trusting the cheap filter on 100 TB: if
+    * gold rate does not rise with the logit bin, the classifier is
+    * noise on this corpus. One scan, one |bins|-row aggregate. */
+  def classifierCalibration(spark: SparkSession, dir: String): DataFrame = {
+    val dbl = (c: Column) => c.cast(DoubleType)
+    val t = split(lower(col("text")), " ")
+    Tables(spark, dir, "documents")
+      .select(
+        aggregate(transform(t, tok => bucketWeight(featBucket(tok))),
+          lit(0L), (acc, w) => acc + w).as("logit"),
+        stopRatio(col("text")).as("stop_ratio"))
+      .select(col("logit"), col("stop_ratio"),
+        least(greatest(floor(dbl(col("logit")) / lit(2000000.0)), lit(-4L)),
+          lit(4L)).as("bin"))
+      .groupBy(col("bin"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("stop_ratio") >= 0.1, 1L).otherwise(0L)).as("n_gold"),
+        sum(col("logit")).as("slogit"))
+      .select(col("bin"), col("n_docs"), col("n_gold"),
+        (dbl(col("n_gold")) / dbl(col("n_docs"))).as("gold_rate"),
+        (dbl(col("slogit")) / dbl(col("n_docs"))).as("mean_logit"))
+      .orderBy("bin")
+  }
 }

@@ -506,4 +506,32 @@ class AnalyticsOpsSpec extends SparkSpec {
     // 9 even vs 1 odd: χ² = 2·(4²/5) = 6.4 > 3.841
     assert(srmOf("srm_bad", (1L to 9L).map(_ * 2L) :+ 1L) == ((9L, 1L, 6.4, true)))
   }
+
+  test("post-stratification: planted Simpson cohort — adjustment reverses the raw readout") {
+    import spark.implicits._
+    val fix = tempDir("poststrat")
+    def ev(u: Long, n: Int, v: Double) = Seq.fill(n)((u, pre, v))
+    // stratum A = 1-event users {u1:10 | u2:20 u4:40 u6:60},
+    // stratum B = 3-event users {u3:90 u5:120 u7:150 | u8:180}
+    val rows = ev(1, 1, 10) ++ ev(2, 1, 20) ++ ev(4, 1, 40) ++ ev(6, 1, 60) ++
+      ev(3, 3, 30) ++ ev(5, 3, 40) ++ ev(7, 3, 50) ++ ev(8, 3, 60)
+    rows.toDF("user_id", "ts", "value").repartition(3)
+      .write.mode("overwrite").parquet(s"$fix/events.parquet")
+    val got = EventOps.abPostStrat(spark, fix).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))).toSeq
+    // raw: arm1 (92.5) looks better than arm0 (75); activity-stratified
+    // truth is the reverse: arm0 wins both strata (40 vs 10, 180 vs 120)
+    assert(got == Seq((0L, 4L, 75.0, 110.0), (1L, 4L, 92.5, 65.0)), s"got $got")
+  }
+
+  test("post-stratification: uniform activity degrades to the raw mean") {
+    import spark.implicits._
+    val fix = tempDir("poststrat_flat")
+    Seq((1L, pre, 10.0), (2L, pre, 30.0), (3L, pre, 50.0), (4L, pre, 70.0))
+      .toDF("user_id", "ts", "value").repartition(2)
+      .write.mode("overwrite").parquet(s"$fix/events.parquet")
+    val got = EventOps.abPostStrat(spark, fix).collect()
+      .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3))).toSeq
+    assert(got == Seq((0L, 50.0, 50.0), (1L, 30.0, 30.0)), s"got $got")
+  }
 }

@@ -1672,6 +1672,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(keeps > 0 && keeps < a.length)
   }
 
+  test("classifier calibration: bins replay from per-doc logits and the quality currency") {
+    val logits = TextOps.qualityClassifier(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getLong(2)).toMap
+    val ratios = TextOps.qualityScore(spark, Sf0001).collect()
+      .map(r => r.getLong(0) -> r.getDouble(3)).toMap
+    val expect = logits.toSeq.map { case (id, lg) =>
+      val bin = math.min(4L, math.max(-4L, math.floor(lg.toDouble / 2000000.0).toLong))
+      (bin, lg, ratios(id) >= 0.1)
+    }.groupBy(_._1).toSeq.sortBy(_._1).map { case (bin, xs) =>
+      (bin, xs.size.toLong, xs.count(_._3).toLong,
+        xs.count(_._3).toDouble / xs.size.toDouble,
+        xs.map(_._2).sum.toDouble / xs.size.toDouble)
+    }
+    val got = TextOps.classifierCalibration(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4))).toSeq
+    assert(got == expect, s"got $got\nexpect $expect")
+    assert(got.map(_._2).sum == logits.size) // bins partition the corpus
+  }
+
   test("cdc chunks: full coverage — chunks partition the token stream in order") {
     val toks = PretrainOps.cdcChunks(spark, Sf0001).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
