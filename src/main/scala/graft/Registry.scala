@@ -1928,6 +1928,26 @@ object Registry {
         |        ((CAST(n0 AS DOUBLE) - e) * (CAST(n0 AS DOUBLE) - e)) / e
         |          + ((CAST(n1 AS DOUBLE) - e) * (CAST(n1 AS DOUBLE) - e)) / e AS chi2 FROM e)
         |SELECT n0, n1, chi2, chi2 > 3.841 AS srm_flag FROM x""".stripMargin)),
+    // Quantile treatment effects: exact per-arm discrete quartiles of
+    // the per-user metric, double-cast, with arm-difference columns
+    GraftQuery("x_ab_qte", EventOps.abQuantileEffect, Some(
+      """WITH pu AS (SELECT user_id % 2 AS arm,
+        |              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
+        |            FROM events GROUP BY user_id),
+        |qa AS (SELECT arm, quantile_disc(y, 0.25) AS p25, quantile_disc(y, 0.5) AS p50,
+        |              quantile_disc(y, 0.75) AS p75
+        |       FROM pu GROUP BY arm),
+        |w AS (SELECT max(CASE WHEN arm = 0 THEN p25 END) AS q25_0, max(CASE WHEN arm = 1 THEN p25 END) AS q25_1,
+        |             max(CASE WHEN arm = 0 THEN p50 END) AS q50_0, max(CASE WHEN arm = 1 THEN p50 END) AS q50_1,
+        |             max(CASE WHEN arm = 0 THEN p75 END) AS q75_0, max(CASE WHEN arm = 1 THEN p75 END) AS q75_1
+        |      FROM qa)
+        |SELECT CAST(q25_0 AS DOUBLE) AS p25_0, CAST(q25_1 AS DOUBLE) AS p25_1,
+        |       CAST(q25_1 AS DOUBLE) - CAST(q25_0 AS DOUBLE) AS qte25,
+        |       CAST(q50_0 AS DOUBLE) AS p50_0, CAST(q50_1 AS DOUBLE) AS p50_1,
+        |       CAST(q50_1 AS DOUBLE) - CAST(q50_0 AS DOUBLE) AS qte50,
+        |       CAST(q75_0 AS DOUBLE) AS p75_0, CAST(q75_1 AS DOUBLE) AS p75_1,
+        |       CAST(q75_1 AS DOUBLE) - CAST(q75_0 AS DOUBLE) AS qte75
+        |FROM w""".stripMargin)),
     // Post-stratification: activity-quartile strata (exact discrete
     // percentiles), full-population weights, fixed 4-term IEEE fold
     GraftQuery("x_ab_poststrat", EventOps.abPostStrat, Some(

@@ -704,6 +704,36 @@ object EventOps {
     * touch only the distinct-count frequency table; one 2-row arm
     * rollup with conditional per-stratum partials; one 1-row population
     * rollup broadcast back. */
+  /** Quantile treatment effects: per-arm exact discrete quartiles of
+    * the per-user metric and their arm-1-minus-arm-0 differences — the
+    * distributional readout a mean-only t-test misses (a treatment that
+    * lifts the p75 while squashing the p25 nets to zero in [[abWelch]]
+    * but is NOT a null effect). Quartiles ride the shared
+    * frequency-table core; values are exact decimals, diffs a fixed
+    * double subtraction. One map-side-combinable per-user aggregate,
+    * then only the distinct-value table is touched. */
+  def abQuantileEffect(spark: SparkSession, dir: String): DataFrame = {
+    val dbl = (c: Column) => c.cast(DoubleType)
+    val perUser = Tables(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(sum(dec2(col("value"))).cast(Dec2).as("y"))
+      .select((col("user_id") % 2).as("arm"), col("y"))
+    val qa = StatsOps.discPercentiles(perUser, Seq("arm"), "y",
+      Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75"))
+    def pick(c: String, arm: Int) = max(when(col("arm") === arm, col(c)))
+    qa.agg(
+      pick("p25", 0).as("q25_0"), pick("p25", 1).as("q25_1"),
+      pick("p50", 0).as("q50_0"), pick("p50", 1).as("q50_1"),
+      pick("p75", 0).as("q75_0"), pick("p75", 1).as("q75_1"))
+      .select(
+        dbl(col("q25_0")).as("p25_0"), dbl(col("q25_1")).as("p25_1"),
+        (dbl(col("q25_1")) - dbl(col("q25_0"))).as("qte25"),
+        dbl(col("q50_0")).as("p50_0"), dbl(col("q50_1")).as("p50_1"),
+        (dbl(col("q50_1")) - dbl(col("q50_0"))).as("qte50"),
+        dbl(col("q75_0")).as("p75_0"), dbl(col("q75_1")).as("p75_1"),
+        (dbl(col("q75_1")) - dbl(col("q75_0"))).as("qte75"))
+  }
+
   def abPostStrat(spark: SparkSession, dir: String): DataFrame = {
     val dbl = (c: Column) => c.cast(DoubleType)
     val perUser = Tables(spark, dir, "events")

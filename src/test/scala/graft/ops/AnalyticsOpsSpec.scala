@@ -507,6 +507,22 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(srmOf("srm_bad", (1L to 9L).map(_ * 2L) :+ 1L) == ((9L, 1L, 6.4, true)))
   }
 
+  test("quantile treatment effect: exact per-arm quartiles and their gaps") {
+    import spark.implicits._
+    val fix = tempDir("qte")
+    // arm0 = {10,20,30,40}, arm1 = {5,25,35,75}: the tails move in
+    // OPPOSITE directions (qte25 = -5, qte75 = +5) — invisible to a mean
+    Seq((2L, 10.0), (4L, 20.0), (6L, 30.0), (8L, 40.0),
+      (1L, 5.0), (3L, 25.0), (5L, 35.0), (7L, 75.0))
+      .map { case (u, v) => (u, pre, v) }
+      .toDF("user_id", "ts", "value").repartition(3)
+      .write.mode("overwrite").parquet(s"$fix/events.parquet")
+    val r = EventOps.abQuantileEffect(spark, fix).collect().head
+    val got = (0 to 8).map(r.getDouble)
+    assert(got == Seq(10.0, 5.0, -5.0, 20.0, 25.0, 5.0, 30.0, 35.0, 5.0),
+      s"got $got")
+  }
+
   test("post-stratification: planted Simpson cohort — adjustment reverses the raw readout") {
     import spark.implicits._
     val fix = tempDir("poststrat")
