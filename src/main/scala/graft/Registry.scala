@@ -1522,6 +1522,18 @@ object Registry {
     * Engine-internal hashes/heuristics (minhash, simhash, lsh, langid,
     * fingerprint) have no SQL oracle → rows-only driver check; their
     * semantics are pinned by the unit suite instead. */
+  /** Shared pre/post per-user cent CTE (`pu`) — mirrors
+    * `EventOps.prePostPerUser` (one cutoff, one cent currency) so the
+    * CUPED and DiD oracles cannot drift on what pre/post mean. */
+  private def abPrePostCte: String =
+    s"""pu AS (
+      |  SELECT user_id,
+      |         CAST(coalesce(sum(CASE WHEN ts < TIMESTAMP '${EventOps.CupedCutoff}'
+      |           THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END), 0) AS BIGINT) AS x,
+      |         CAST(coalesce(sum(CASE WHEN ts >= TIMESTAMP '${EventOps.CupedCutoff}'
+      |           THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END), 0) AS BIGINT) AS y
+      |  FROM events GROUP BY user_id)""".stripMargin
+
   /** Shared preference-contest CTE chain (uc → con → rel), generated
     * from PrefOps' static item alphabet so Spark and the oracle can
     * never disagree on the pair list or the fold order. `rel` is the
@@ -1866,13 +1878,7 @@ object Registry {
     // fixed IEEE double sequence on those integers — replayed verbatim,
     // so the experimentation readout hash-matches (no transcendentals)
     GraftQuery("x_ab_cuped", EventOps.abCuped, Some(
-      s"""WITH pu AS (
-        |  SELECT user_id,
-        |         CAST(coalesce(sum(CASE WHEN ts < TIMESTAMP '${EventOps.CupedCutoff}'
-        |           THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END), 0) AS BIGINT) AS x,
-        |         CAST(coalesce(sum(CASE WHEN ts >= TIMESTAMP '${EventOps.CupedCutoff}'
-        |           THEN CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT) END), 0) AS BIGINT) AS y
-        |  FROM events GROUP BY user_id),
+      s"""WITH $abPrePostCte,
         |p AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
         |             CAST(sum(y) AS BIGINT) AS sy,
         |             CAST(sum(x * x) AS BIGINT) AS sxx,
@@ -1928,6 +1934,23 @@ object Registry {
         |        ((CAST(n0 AS DOUBLE) - e) * (CAST(n0 AS DOUBLE) - e)) / e
         |          + ((CAST(n1 AS DOUBLE) - e) * (CAST(n1 AS DOUBLE) - e)) / e AS chi2 FROM e)
         |SELECT n0, n1, chi2, chi2 > 3.841 AS srm_flag FROM x""".stripMargin)),
+    // Difference-in-differences on the shared pre/post cent currency
+    GraftQuery("x_ab_did", EventOps.abDid, Some(
+      s"""WITH $abPrePostCte,
+        |a AS (SELECT user_id % 2 AS arm, count(*) AS n,
+        |             CAST(sum(x) AS BIGINT) AS sx, CAST(sum(y) AS BIGINT) AS sy
+        |      FROM pu GROUP BY 1),
+        |m AS (SELECT arm, CAST(sx AS DOUBLE) / 100.0 / n AS mean_pre,
+        |             CAST(sy AS DOUBLE) / 100.0 / n AS mean_post FROM a),
+        |w AS (SELECT max(CASE WHEN arm = 0 THEN mean_pre END) AS pre0,
+        |             max(CASE WHEN arm = 0 THEN mean_post END) AS post0,
+        |             max(CASE WHEN arm = 1 THEN mean_pre END) AS pre1,
+        |             max(CASE WHEN arm = 1 THEN mean_post END) AS post1
+        |      FROM m)
+        |SELECT pre0, post0, post0 - pre0 AS delta0,
+        |       pre1, post1, post1 - pre1 AS delta1,
+        |       (post1 - pre1) - (post0 - pre0) AS did
+        |FROM w""".stripMargin)),
     // Quantile treatment effects: exact per-arm discrete quartiles of
     // the per-user metric, double-cast, with arm-difference columns
     GraftQuery("x_ab_qte", EventOps.abQuantileEffect, Some(

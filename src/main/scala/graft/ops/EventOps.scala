@@ -578,14 +578,21 @@ object EventOps {
     * event stream, a 1-row pooled-moment aggregate broadcast back
     * (bounded driver bytes), and a tiny per-arm rollup — no window, no
     * per-user state beyond the aggregation. */
-  def abCuped(spark: SparkSession, dir: String): DataFrame = {
+  /** Per-user (pre-cutoff, post-cutoff) exact cent totals — the ONE
+    * pre/post currency [[abCuped]] and [[abDid]] both read, so the two
+    * adjustment methods cannot drift on what "pre" and "post" mean. */
+  private def prePostPerUser(spark: SparkSession, dir: String): DataFrame = {
     val cut = lit(java.sql.Timestamp.valueOf(CupedCutoff))
     val cents = (dec2(col("value")) * 100).cast(LongType)
-    val perUser = Tables(spark, dir, "events")
+    Tables(spark, dir, "events")
       .groupBy(col("user_id"))
       .agg(
         coalesce(sum(when(col("ts") < cut, cents)), lit(0L)).as("x"),
         coalesce(sum(when(col("ts") >= cut, cents)), lit(0L)).as("y"))
+  }
+
+  def abCuped(spark: SparkSession, dir: String): DataFrame = {
+    val perUser = prePostPerUser(spark, dir)
     val dbl = (c: Column) => c.cast(DoubleType)
     val pooled = perUser.agg(
       count(lit(1)).as("n"),
@@ -668,10 +675,16 @@ object EventOps {
     * literal, so it cannot sit on a rounding boundary differently in
     * the two engines unless χ² itself diverged (which the hash would
     * catch first). */
-  def abSrm(spark: SparkSession, dir: String): DataFrame = {
+  def abSrm(spark: SparkSession, dir: String): DataFrame =
+    srmOfUsers(Tables(spark, dir, "events").select(col("user_id")))
+
+  /** The SRM core over ANY relation carrying user_id (distinct applied
+    * inside) — shared by the batch guard above and the streaming
+    * commit-log serve (graft.streaming.StreamingAbGuard), so the two
+    * verdicts are structurally one definition. */
+  def srmOfUsers(users: DataFrame): DataFrame = {
     val dbl = (c: Column) => c.cast(DoubleType)
-    Tables(spark, dir, "events")
-      .select(col("user_id")).distinct()
+    users.select(col("user_id")).distinct()
       .agg(
         sum(when(col("user_id") % 2 === 0, 1L).otherwise(0L)).as("n0"),
         sum(when(col("user_id") % 2 === 1, 1L).otherwise(0L)).as("n1"))
@@ -704,36 +717,6 @@ object EventOps {
     * touch only the distinct-count frequency table; one 2-row arm
     * rollup with conditional per-stratum partials; one 1-row population
     * rollup broadcast back. */
-  /** Quantile treatment effects: per-arm exact discrete quartiles of
-    * the per-user metric and their arm-1-minus-arm-0 differences — the
-    * distributional readout a mean-only t-test misses (a treatment that
-    * lifts the p75 while squashing the p25 nets to zero in [[abWelch]]
-    * but is NOT a null effect). Quartiles ride the shared
-    * frequency-table core; values are exact decimals, diffs a fixed
-    * double subtraction. One map-side-combinable per-user aggregate,
-    * then only the distinct-value table is touched. */
-  def abQuantileEffect(spark: SparkSession, dir: String): DataFrame = {
-    val dbl = (c: Column) => c.cast(DoubleType)
-    val perUser = Tables(spark, dir, "events")
-      .groupBy(col("user_id"))
-      .agg(sum(dec2(col("value"))).cast(Dec2).as("y"))
-      .select((col("user_id") % 2).as("arm"), col("y"))
-    val qa = StatsOps.discPercentiles(perUser, Seq("arm"), "y",
-      Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75"))
-    def pick(c: String, arm: Int) = max(when(col("arm") === arm, col(c)))
-    qa.agg(
-      pick("p25", 0).as("q25_0"), pick("p25", 1).as("q25_1"),
-      pick("p50", 0).as("q50_0"), pick("p50", 1).as("q50_1"),
-      pick("p75", 0).as("q75_0"), pick("p75", 1).as("q75_1"))
-      .select(
-        dbl(col("q25_0")).as("p25_0"), dbl(col("q25_1")).as("p25_1"),
-        (dbl(col("q25_1")) - dbl(col("q25_0"))).as("qte25"),
-        dbl(col("q50_0")).as("p50_0"), dbl(col("q50_1")).as("p50_1"),
-        (dbl(col("q50_1")) - dbl(col("q50_0"))).as("qte50"),
-        dbl(col("q75_0")).as("p75_0"), dbl(col("q75_1")).as("p75_1"),
-        (dbl(col("q75_1")) - dbl(col("q75_0"))).as("qte75"))
-  }
-
   def abPostStrat(spark: SparkSession, dir: String): DataFrame = {
     val dbl = (c: Column) => c.cast(DoubleType)
     val perUser = Tables(spark, dir, "events")
@@ -766,5 +749,64 @@ object EventOps {
         (dbl(col("sy")) / dbl(col("n_users"))).as("mean_y"),
         psTerms.reduceLeft(_ + _).as("mean_y_ps"))
       .orderBy("arm")
+  }
+
+  /** Quantile treatment effects: per-arm exact discrete quartiles of
+    * the per-user metric and their arm-1-minus-arm-0 differences — the
+    * distributional readout a mean-only t-test misses (a treatment that
+    * lifts the p75 while squashing the p25 nets to zero in [[abWelch]]
+    * but is NOT a null effect). Quartiles ride the shared
+    * frequency-table core; values are exact decimals, diffs a fixed
+    * double subtraction. One map-side-combinable per-user aggregate,
+    * then only the distinct-value table is touched. */
+  def abQuantileEffect(spark: SparkSession, dir: String): DataFrame = {
+    val dbl = (c: Column) => c.cast(DoubleType)
+    val perUser = Tables(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(sum(dec2(col("value"))).cast(Dec2).as("y"))
+      .select((col("user_id") % 2).as("arm"), col("y"))
+    val qa = StatsOps.discPercentiles(perUser, Seq("arm"), "y",
+      Seq(0.25 -> "p25", 0.5 -> "p50", 0.75 -> "p75"))
+    def pick(c: String, arm: Int) = max(when(col("arm") === arm, col(c)))
+    qa.agg(
+      pick("p25", 0).as("q25_0"), pick("p25", 1).as("q25_1"),
+      pick("p50", 0).as("q50_0"), pick("p50", 1).as("q50_1"),
+      pick("p75", 0).as("q75_0"), pick("p75", 1).as("q75_1"))
+      .select(
+        dbl(col("q25_0")).as("p25_0"), dbl(col("q25_1")).as("p25_1"),
+        (dbl(col("q25_1")) - dbl(col("q25_0"))).as("qte25"),
+        dbl(col("q50_0")).as("p50_0"), dbl(col("q50_1")).as("p50_1"),
+        (dbl(col("q50_1")) - dbl(col("q50_0"))).as("qte50"),
+        dbl(col("q75_0")).as("p75_0"), dbl(col("q75_1")).as("p75_1"),
+        (dbl(col("q75_1")) - dbl(col("q75_0"))).as("qte75"))
+  }
+
+  /** Difference-in-differences on the shared pre/post currency
+    * ([[prePostPerUser]] — the same cutoff and cent totals CUPED
+    * reads): per-arm pre and post means, each arm's pre→post delta, and
+    * DiD = Δ₁ − Δ₀ — the readout when assignment wasn't random and the
+    * pre-period gap must be netted out rather than variance-reduced.
+    * Exact int64 cent sums; means and differences use the same fixed
+    * /100.0/n IEEE form the CUPED oracle already proves green. One
+    * per-user aggregate, a 2-row arm rollup, a 1-row pivot. */
+  def abDid(spark: SparkSession, dir: String): DataFrame = {
+    val dbl = (c: Column) => c.cast(DoubleType)
+    val arms = prePostPerUser(spark, dir)
+      .groupBy((col("user_id") % 2).as("arm"))
+      .agg(count(lit(1)).as("n"),
+        sum(col("x")).as("sx"), sum(col("y")).as("sy"))
+      .select(col("arm"),
+        (dbl(col("sx")) / 100.0 / col("n")).as("mean_pre"),
+        (dbl(col("sy")) / 100.0 / col("n")).as("mean_post"))
+    def pick(c: String, arm: Int) = max(when(col("arm") === arm, col(c)))
+    arms.agg(
+      pick("mean_pre", 0).as("pre0"), pick("mean_post", 0).as("post0"),
+      pick("mean_pre", 1).as("pre1"), pick("mean_post", 1).as("post1"))
+      .select(col("pre0"), col("post0"),
+        (col("post0") - col("pre0")).as("delta0"),
+        col("pre1"), col("post1"),
+        (col("post1") - col("pre1")).as("delta1"),
+        ((col("post1") - col("pre1")) - (col("post0") - col("pre0")))
+          .as("did"))
   }
 }

@@ -507,6 +507,20 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(srmOf("srm_bad", (1L to 9L).map(_ * 2L) :+ 1L) == ((9L, 1L, 6.4, true)))
   }
 
+  test("diff-in-diff: planted pre-period gap nets out of the effect") {
+    import spark.implicits._
+    val fix = tempDir("did")
+    // arm0: pre {20,40}→30, post {30,50}→40, Δ=10
+    // arm1: pre {10,30}→20, post {40,60}→50, Δ=30 → DiD = 20
+    Seq((2L, pre, 20.0), (2L, post, 30.0), (4L, pre, 40.0), (4L, post, 50.0),
+      (1L, pre, 10.0), (1L, post, 40.0), (3L, pre, 30.0), (3L, post, 60.0))
+      .toDF("user_id", "ts", "value").repartition(3)
+      .write.mode("overwrite").parquet(s"$fix/events.parquet")
+    val r = EventOps.abDid(spark, fix).collect().head
+    val got = (0 to 6).map(r.getDouble)
+    assert(got == Seq(30.0, 40.0, 10.0, 20.0, 50.0, 30.0, 20.0), s"got $got")
+  }
+
   test("quantile treatment effect: exact per-arm quartiles and their gaps") {
     import spark.implicits._
     val fix = tempDir("qte")
