@@ -1877,7 +1877,7 @@ object Registry {
     // pooled moments are exact int64; θ and the adjusted means are a
     // fixed IEEE double sequence on those integers — replayed verbatim,
     // so the experimentation readout hash-matches (no transcendentals)
-    GraftQuery("x_ab_cuped", EventOps.abCuped, Some(
+    GraftQuery("x_ab_cuped", EventOps.abCuped, headline = true, oracle = Some(
       s"""WITH $abPrePostCte,
         |p AS (SELECT count(*) AS n, CAST(sum(x) AS BIGINT) AS sx,
         |             CAST(sum(y) AS BIGINT) AS sy,
@@ -1934,6 +1934,32 @@ object Registry {
         |        ((CAST(n0 AS DOUBLE) - e) * (CAST(n0 AS DOUBLE) - e)) / e
         |          + ((CAST(n1 AS DOUBLE) - e) * (CAST(n1 AS DOUBLE) - e)) / e AS chi2 FROM e)
         |SELECT n0, n1, chi2, chi2 > 3.841 AS srm_flag FROM x""".stripMargin)),
+    // Mann–Whitney U: tied ranks from the value-frequency table (no
+    // row-level ranking), exact doubled rank sums, fixed IEEE z
+    GraftQuery("x_ab_mannwhitney", EventOps.abMannWhitney, Some(
+      """WITH pu AS (SELECT user_id % 2 AS arm,
+        |              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
+        |            FROM events GROUP BY user_id),
+        |f AS (SELECT y, CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+        |             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |      FROM pu GROUP BY y),
+        |r AS (SELECT c0, c1,
+        |        CAST(coalesce(sum(c0 + c1) OVER (ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+        |      FROM f),
+        |a AS (SELECT CAST(sum(c0) AS BIGINT) AS n0, CAST(sum(c1) AS BIGINT) AS n1,
+        |        CAST(sum(c1 * (cb * 2 + c0 + c1 + 1)) AS BIGINT) AS r1x2,
+        |        CAST(sum((c0 + c1) * (c0 + c1) * (c0 + c1) - (c0 + c1)) AS BIGINT) AS ties
+        |      FROM r),
+        |s AS (SELECT n0, n1,
+        |        (CAST(r1x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0)) / 2.0 AS u1,
+        |        CAST(ties AS DOUBLE) AS tie_d,
+        |        CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE) AS nd
+        |      FROM a)
+        |SELECT n0, n1, u1,
+        |       (u1 - CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / 2.0)
+        |         / sqrt((CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / 12.0)
+        |                * ((nd + 1.0) - tie_d / (nd * (nd - 1.0)))) AS z
+        |FROM s""".stripMargin)),
     // Difference-in-differences on the shared pre/post cent currency
     GraftQuery("x_ab_did", EventOps.abDid, Some(
       s"""WITH $abPrePostCte,

@@ -781,6 +781,48 @@ object EventOps {
         (dbl(col("q75_1")) - dbl(col("q75_0"))).as("qte75"))
   }
 
+  /** Mann–Whitney U (Wilcoxon rank-sum) on the per-user metric — the
+    * nonparametric AB readout that survives the heavy-tailed revenue
+    * distributions where [[abWelch]]'s normality lean is weakest.
+    *
+    * Rank machinery WITHOUT ranking rows: the per-user metric collapses
+    * to a VALUE-FREQUENCY table (distinct y → per-arm counts), average
+    * tied ranks come from the running count before each value
+    * (avgRank·2 = 2·cumBefore + t + 1, an integer), and the rank sum
+    * doubles into exact int64 (`r1x2`). U, the tie-corrected variance
+    * and z are then a fixed IEEE tree (sqrt the only root) on exact
+    * integers — oracle-replayed bit-for-bit. The one window runs over
+    * the DISTINCT-VALUE table (the discPercentiles de-skew argument),
+    * never over users or events. */
+  def abMannWhitney(spark: SparkSession, dir: String): DataFrame = {
+    val dbl = (c: Column) => c.cast(DoubleType)
+    val perUser = Tables(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(sum(dec2(col("value"))).cast(Dec2).as("y"))
+      .select((col("user_id") % 2).as("arm"), col("y"))
+    val freq = perUser.groupBy(col("y"))
+      .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("c0"),
+        sum(when(col("arm") === 1, 1L).otherwise(0L)).as("c1"))
+    val w = Window.orderBy("y")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val t = col("c0") + col("c1")
+    val a = freq
+      .withColumn("cb", coalesce(sum(col("c0") + col("c1")).over(w), lit(0L)))
+      .agg(sum(col("c0")).as("n0"), sum(col("c1")).as("n1"),
+        sum(col("c1") * (col("cb") * 2 + col("c0") + col("c1") + 1)).as("r1x2"),
+        sum(t * t * t - t).as("ties"))
+    a.select(col("n0"), col("n1"),
+      ((dbl(col("r1x2")) - dbl(col("n1")) * (dbl(col("n1")) + lit(1.0))) / 2.0)
+        .as("u1"),
+      dbl(col("ties")).as("tie_d"),
+      (dbl(col("n0")) + dbl(col("n1"))).as("nd"))
+      .select(col("n0"), col("n1"), col("u1"),
+        ((col("u1") - dbl(col("n0")) * dbl(col("n1")) / 2.0) /
+          sqrt((dbl(col("n0")) * dbl(col("n1")) / 12.0) *
+            ((col("nd") + 1.0) - col("tie_d") / (col("nd") * (col("nd") - 1.0)))))
+          .as("z"))
+  }
+
   /** Difference-in-differences on the shared pre/post currency
     * ([[prePostPerUser]] — the same cutoff and cent totals CUPED
     * reads): per-arm pre and post means, each arm's pre→post delta, and

@@ -507,6 +507,40 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(srmOf("srm_bad", (1L to 9L).map(_ * 2L) :+ 1L) == ((9L, 1L, 6.4, true)))
   }
 
+  test("AB readout plans: window-free, map-side-combinable aggregates") {
+    // the family's scale claim is structural: per-user rollups must be
+    // partial-aggregated below the exchange and NO operator may fall
+    // back to a window (a window keyed by arm would buffer half the
+    // users in one task)
+    for (op <- Seq(EventOps.abCuped _, EventOps.abWelch _, EventOps.abSrm _,
+        EventOps.abDid _)) {
+      val plan = op(spark, Sf0001).queryExecution.executedPlan.toString
+      assert(!plan.contains("WindowExec"), s"window leaked into:\n$plan")
+      assert(plan.contains("partial_"), s"no partial aggregation in:\n$plan")
+    }
+  }
+
+  test("mann-whitney: complete separation and tied symmetry, hand-computed") {
+    import spark.implicits._
+    def mwOf(name: String, rows: Seq[(Long, Double)]) = {
+      val fix = tempDir(name)
+      rows.map { case (u, v) => (u, pre, v) }
+        .toDF("user_id", "ts", "value").repartition(3)
+        .write.mode("overwrite").parquet(s"$fix/events.parquet")
+      val r = EventOps.abMannWhitney(spark, fix).collect().head
+      (r.getLong(0), r.getLong(1), r.getDouble(2), r.getDouble(3))
+    }
+    // arm0 = {1,2,3} all below arm1 = {4,5,6}: U1 = n0·n1 = 9 (complete
+    // separation), z = 4.5/√5.25 — replayed in plain doubles
+    val sep = mwOf("mw_sep", Seq((2L, 1.0), (4L, 2.0), (6L, 3.0),
+      (1L, 4.0), (3L, 5.0), (5L, 6.0)))
+    assert(sep == ((3L, 3L, 9.0, 4.5 / math.sqrt(0.75 * 7.0))), s"got $sep")
+    // identical arms with ties: U1 = n0·n1/2, z = 0 — and the tie
+    // correction (Σ(t³−t) = 12) must not disturb the exact zero
+    val tie = mwOf("mw_tie", Seq((2L, 1.0), (4L, 2.0), (1L, 1.0), (3L, 2.0)))
+    assert(tie == ((2L, 2L, 2.0, 0.0)), s"got $tie")
+  }
+
   test("diff-in-diff: planted pre-period gap nets out of the effect") {
     import spark.implicits._
     val fix = tempDir("did")
