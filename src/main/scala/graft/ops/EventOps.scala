@@ -634,11 +634,17 @@ object EventOps {
     * Scale shape: one map-side-combinable groupBy(user_id), a 2-row arm
     * rollup, a 1-row pivot. No window, no collect, nothing grows past
     * the first aggregate. */
-  def abWelch(spark: SparkSession, dir: String): DataFrame = {
-    val dbl = (c: Column) => c.cast(DoubleType)
-    val perUser = Tables(spark, dir, "events")
+  def abWelch(spark: SparkSession, dir: String): DataFrame =
+    welchOfPerUser(Tables(spark, dir, "events")
       .groupBy(col("user_id"))
-      .agg(sum(dec2(col("value"))).cast(Dec2).as("y"))
+      .agg(sum(dec2(col("value"))).cast(Dec2).as("y")))
+
+  /** The Welch tail over any (user_id, y: DECIMAL(18,2)) relation —
+    * shared by the batch readout above and the streaming moment-log
+    * serve (graft.streaming.StreamingWelch), so the live t statistic is
+    * structurally the batch definition, not a reimplementation. */
+  def welchOfPerUser(perUser: DataFrame): DataFrame = {
+    val dbl = (c: Column) => c.cast(DoubleType)
     val arms = perUser
       .groupBy((col("user_id") % 2).as("arm"))
       .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
