@@ -809,11 +809,14 @@ object EventOps {
     val freq = perUser.groupBy(col("y"))
       .agg(sum(when(col("arm") === 0, 1L).otherwise(0L)).as("c0"),
         sum(when(col("arm") === 1, 1L).otherwise(0L)).as("c1"))
-    val w = Window.orderBy("y")
-      .rowsBetween(Window.unboundedPreceding, -1)
     val t = col("c0") + col("c1")
-    val a = freq
-      .withColumn("cb", coalesce(sum(col("c0") + col("c1")).over(w), lit(0L)))
+    // inclusive global running user count via the range-partitioned
+    // prefix-sum core (StatsOps.withRunningCount) — count-BEFORE is
+    // then run − t, still exact int64, and no one-task window exists
+    // even when distinct totals approach the user count
+    val a = StatsOps.withRunningCount(
+      freq.withColumn("cnt", t), Nil, "y", "cnt", "run")
+      .withColumn("cb", col("run") - t)
       .agg(sum(col("c0")).as("n0"), sum(col("c1")).as("n1"),
         sum(col("c1") * (col("cb") * 2 + col("c0") + col("c1") + 1)).as("r1x2"),
         sum(t * t * t - t).as("ties"))

@@ -24,18 +24,55 @@ import org.apache.spark.sql.types._
   * hash aggregate. */
 object StatsOps {
 
+  /** Global-order inclusive running counts over a frequency table
+    * WITHOUT a one-task window — the range-partitioned prefix-sum
+    * shape: range-repartition by (keys, value) so each task holds a
+    * contiguous, sampled-balanced slice of the value domain, roll each
+    * (key group, slice) to one partial count, prefix those partials
+    * with a TINY window (|key groups| × |slices| rows — driver-scale),
+    * broadcast the offsets back, and finish with a within-slice window
+    * whose partitions are the balanced slices. Exact integers at every
+    * step, so the result is bit-identical to the textbook global
+    * window — but a value domain as large as the user base (per-user
+    * revenue totals, distinct document lengths) no longer lands in one
+    * task. Shared by [[discPercentiles]] and the Mann–Whitney rank
+    * machinery (`EventOps.abMannWhitney`). */
+  private[ops] def withRunningCount(freq: DataFrame, keyCols: Seq[String],
+      valueCol: String, cntCol: String, outCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val ranged = freq
+      .repartitionByRange((keys :+ col(valueCol)): _*)
+      .withColumn("__pid", spark_partition_id())
+    val wOff = Window.partitionBy(keys: _*).orderBy(col("__pid"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val offsets = ranged.groupBy((keys :+ col("__pid")): _*)
+      .agg(sum(col(cntCol)).as("__ppart"))
+      .withColumn("__off", coalesce(sum(col("__ppart")).over(wOff), lit(0L)))
+      .select((keys :+ col("__pid") :+ col("__off")): _*)
+    val wIn = Window.partitionBy((keys :+ col("__pid")): _*)
+      .orderBy(col(valueCol))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    ranged.join(broadcast(offsets), keyCols :+ "__pid")
+      .withColumn(outCol, col("__off") + sum(col(cntCol)).over(wIn))
+      .drop("__pid", "__off")
+  }
+
   /** Discrete percentiles over a (keys, value) relation via the
     * VALUE-FREQUENCY-TABLE cume_dist replication — the shared de-skew
-    * core of `SetOps.g4cDiscPercentiles` and `EventOps.anomalyMad`'s
-    * median/MAD passes (hoisted so the subtle equivalence argument
-    * lives once): the textbook cume_dist over raw rows partitioned by a
-    * low-cardinality key buffers 1/|keys| of the fact table per window
-    * task, while the composite-key frequency aggregate is map-side
-    * combinable and the rank arithmetic touches only the distinct-value
-    * table. The running row count divided by the group total is EXACTLY
-    * the cume_dist of a value's last tied row (ties carry the high
-    * count in both formulations, and the division is the same double
-    * op), so `min value with cd ≥ p` is unchanged value-for-value.
+    * core of `SetOps.g4cDiscPercentiles`, `EventOps.anomalyMad`'s
+    * median/MAD passes and the AB family's quartiles (hoisted so the
+    * subtle equivalence argument lives once): the textbook cume_dist
+    * over raw rows partitioned by a low-cardinality key buffers
+    * 1/|keys| of the fact table per window task, while the
+    * composite-key frequency aggregate is map-side combinable and the
+    * rank arithmetic touches only the distinct-value table — and that
+    * table's own running count rides [[withRunningCount]]'s
+    * range-partitioned prefix sums, so even a value domain as large as
+    * the user base never concentrates in one task. The running row
+    * count divided by the group total is EXACTLY the cume_dist of a
+    * value's last tied row (ties carry the high count in both
+    * formulations, and the division is the same double op), so
+    * `min value with cd ≥ p` is unchanged value-for-value.
     * Returns one row per key group with one column per requested
     * (p, outputName). */
   private[ops] def discPercentiles(rows: DataFrame, keyCols: Seq[String],
@@ -43,11 +80,16 @@ object StatsOps {
     val keys = keyCols.map(col)
     val counts = rows.groupBy(keys :+ col(valueCol): _*)
       .agg(count(lit(1)).as("cnt"))
-    val wc = Window.partitionBy(keys: _*).orderBy(col(valueCol))
-      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val wn = Window.partitionBy(keys: _*)
-    val ranked = counts.withColumn("cd",
-      sum(col("cnt")).over(wc).cast(DoubleType) / sum(col("cnt")).over(wn))
+    val run = withRunningCount(counts, keyCols, valueCol, "cnt", "__run")
+    val totals =
+      if (keyCols.isEmpty)
+        counts.agg(sum(col("cnt")).as("__tot"))
+      else counts.groupBy(keys: _*).agg(sum(col("cnt")).as("__tot"))
+    val joined =
+      if (keyCols.isEmpty) run.crossJoin(broadcast(totals))
+      else run.join(broadcast(totals), keyCols)
+    val ranked = joined.withColumn("cd",
+      col("__run").cast(DoubleType) / col("__tot"))
     def disc(p: Double, out: String): Column =
       min(when(col("cd") >= p, col(valueCol))).as(out)
     ranked.groupBy(keys: _*)

@@ -520,6 +520,21 @@ class AnalyticsOpsSpec extends SparkSpec {
     }
   }
 
+  test("mann-whitney plan: running counts ride range-partitioned slices, not one global window") {
+    val plan = EventOps.abMannWhitney(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    // every window in the plan must involve the slice id — a
+    // windowspecdefinition without __pid would be the one-task global
+    // cumsum this core exists to avoid (distinct per-user totals can
+    // approach the user count)
+    val windows = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty, s"no window found in:\n$plan")
+    assert(windows.forall(_.contains("__pid")),
+      s"global window leaked:\n${windows.mkString("\n")}")
+    assert(plan.contains("rangepartitioning"), s"no range exchange in:\n$plan")
+  }
+
   test("mann-whitney: complete separation and tied symmetry, hand-computed") {
     import spark.implicits._
     def mwOf(name: String, rows: Seq[(Long, Double)]) = {
