@@ -1224,6 +1224,67 @@ object Registry {
     s"""WITH ${evalPerQueryCtesFor(prfRunrDef)},
       |$evalSummaryTail""".stripMargin
 
+  /** Ideal-DCG prefix-sum lookup as a CASE over the literal table
+    * generated from EvalOps.NdcgSW — the SAME constants the Spark plan
+    * carries, so the one transcendental (log2) never runs in either
+    * engine's query. */
+  private def ndcgSwCase(expr: String): String =
+    s"CASE least($expr, 10) " +
+      graft.ops.EvalOps.NdcgSW.zipWithIndex
+        .map { case (v, i) => s"WHEN $i THEN $v" }.mkString(" ") +
+      " ELSE 0 END"
+
+  /** NDCG CTE chain over the shared BM25 score CTEs: graded qrels
+    * (grade = distinct query terms present), literal-weight DCG, and
+    * ideal DCG folded over the per-(query, grade) COUNT table — the
+    * frequency-table form the Spark plan uses, mirrored. */
+  private def ndcgCtesFor(runrDef: String): String = {
+    val wCase = "CASE rank " +
+      graft.ops.EvalOps.NdcgW.zipWithIndex
+        .map { case (v, i) => s"WHEN ${i + 1} THEN $v" }.mkString(" ") +
+      " ELSE 0 END"
+    s"""$bm25ScoreCtes,
+      |runr AS ($runrDef),
+      |dterm AS (SELECT DISTINCT t.doc_id, t.term FROM tok t
+      |          WHERE t.term IN (SELECT DISTINCT term FROM q)),
+      |gq AS (SELECT qt.q_id, dt.doc_id, CAST(count(*) AS BIGINT) AS grade
+      |       FROM (SELECT DISTINCT q_id, term FROM q) qt
+      |       JOIN dterm dt USING (term)
+      |       GROUP BY qt.q_id, dt.doc_id),
+      |mk AS (SELECT r.q_id, r.rank, coalesce(g.grade, 0) AS grade
+      |       FROM runr r LEFT JOIN gq g ON r.q_id = g.q_id AND r.doc_id = g.doc_id),
+      |dc AS (SELECT q_id, CAST(sum(grade * ($wCase)) AS BIGINT) AS dcg_scaled
+      |       FROM mk WHERE rank <= 10 GROUP BY q_id),
+      |gcnt AS (SELECT q_id, grade, CAST(count(*) AS BIGINT) AS c
+      |         FROM gq GROUP BY q_id, grade),
+      |ccum AS (SELECT q_id, grade, c,
+      |           CAST(sum(c) OVER (PARTITION BY q_id ORDER BY grade DESC) AS BIGINT) AS cum
+      |         FROM gcnt),
+      |ic AS (SELECT q_id,
+      |         CAST(sum(grade * ((${ndcgSwCase("cum")}) - (${ndcgSwCase("cum - c")}))) AS BIGINT) AS idcg_scaled
+      |       FROM ccum GROUP BY q_id),
+      |nper AS (SELECT dc.q_id, dcg_scaled, idcg_scaled,
+      |           coalesce(CAST(dcg_scaled AS DOUBLE) / nullif(CAST(idcg_scaled AS DOUBLE), 0.0), 0.0) AS ndcg
+      |         FROM dc JOIN ic ON dc.q_id = ic.q_id)""".stripMargin
+  }
+
+  private lazy val ndcgPerQueryOracle: String =
+    s"""WITH ${ndcgCtesFor(bm25RunrDef)}
+      |SELECT q_id, dcg_scaled, idcg_scaled, ndcg FROM nper ORDER BY q_id""".stripMargin
+
+  /** Macro mean folds the per-query ndcg doubles as a LEFT-ASSOCIATED
+    * chain in static query order — parenthesized identically to the
+    * Spark fold (the Bradley–Terry IEEE-order discipline). */
+  private lazy val ndcgSummaryOracle: String = {
+    val chain = graft.ops.RetrievalOps.DefaultQueries.map { case (q, _) =>
+      s"coalesce(max(CASE WHEN q_id = $q THEN ndcg END), 0.0)"
+    }.reduceLeft((a, b) => s"($a + $b)")
+    s"""WITH ${ndcgCtesFor(bm25RunrDef)}
+      |SELECT CAST(count(*) AS INTEGER) AS n_queries,
+      |       $chain / ${graft.ops.RetrievalOps.DefaultQueries.size}.0 AS mean_ndcg
+      |FROM nper""".stripMargin
+  }
+
   /** Shared BM25 oracle (inline and index-probe forms serve identical
     * rows). */
   private val bm25Oracle: String =
@@ -1592,6 +1653,33 @@ object Registry {
         |FROM v LEFT JOIN c ON v.user_id = c.user_id
         |       LEFT JOIN p ON v.user_id = p.user_id
         |ORDER BY v.user_id""".stripMargin)),
+    // Nelson–Aalen cumulative churn hazard over right-censored user
+    // lifetimes: hazard increments are floor(1e12·d/n) in INTEGRAL
+    // division, the running sum is exact int64 — a value-oracled
+    // survival curve (the float KM product never could be)
+    GraftQuery("x_event_survival", EventOps.survivalHazard, Some(
+      s"""WITH sp AS (SELECT user_id, min(ts) AS first_ts, max(ts) AS last_ts
+        |            FROM events GROUP BY user_id),
+        |se AS (SELECT max(last_ts) AS study_end FROM sp),
+        |lv AS (SELECT CAST(date_diff('day', CAST(first_ts AS DATE), CAST(last_ts AS DATE)) AS BIGINT) AS t_days,
+        |              CASE WHEN last_ts < study_end - INTERVAL ${graft.ops.EventOps.ChurnHorizonDays} DAY
+        |                   THEN 1 ELSE 0 END AS churned
+        |       FROM sp CROSS JOIN se),
+        |fr AS (SELECT t_days, CAST(sum(churned) AS BIGINT) AS d,
+        |              CAST(sum(1 - churned) AS BIGINT) AS c
+        |       FROM lv GROUP BY t_days),
+        |tt AS (SELECT CAST(sum(d + c) AS BIGINT) AS n_total FROM fr),
+        |nr AS (SELECT t_days, d, c,
+        |         n_total - CAST(coalesce(sum(d + c) OVER (ORDER BY t_days
+        |             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS n_risk
+        |       FROM fr CROSS JOIN tt),
+        |hz AS (SELECT t_days, n_risk, d AS d_churn, c AS c_censored,
+        |         (d * 1000000000000) // n_risk AS hazard_micro
+        |       FROM nr WHERE d > 0)
+        |SELECT t_days, n_risk, d_churn, c_censored, hazard_micro,
+        |       CAST(sum(hazard_micro) OVER (ORDER BY t_days
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_hazard_micro
+        |FROM hz ORDER BY t_days""".stripMargin)),
     GraftQuery("x_event_retention", EventOps.retentionCohorts, Some(
       """WITH um AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS activity_day
         |            FROM events),
@@ -1977,6 +2065,46 @@ object Registry {
         |       pre1, post1, post1 - pre1 AS delta1,
         |       (post1 - pre1) - (post0 - pre0) AS did
         |FROM w""".stripMargin)),
+    // Poisson bootstrap CI for the arm-mean difference: deterministic
+    // md5-derived Poisson(1) weights per (user, replicate) through the
+    // literal integer CDF thresholds — the reshuffle-free bootstrap, and
+    // because the draws are content-hashed the whole CI is value-oracled
+    GraftQuery("x_ab_bootstrap", EventOps.abBootstrap, Some {
+      val wCase = "CASE " + EventOps.PoisCdfMicro.zipWithIndex
+        .map { case (t, k) => s"WHEN u < $t THEN $k" }.mkString(" ") +
+        s" ELSE ${EventOps.PoisCdfMicro.size} END"
+      val b = EventOps.BootstrapB
+      s"""WITH pu AS (SELECT user_id,
+        |              CAST(sum(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT)) AS BIGINT) AS y
+        |            FROM events GROUP BY user_id),
+        |r AS (SELECT user_id, y, unnest(range($b)) AS rep FROM pu),
+        |h AS (SELECT user_id, y, rep,
+        |        CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR) || ':' || CAST(rep AS VARCHAR)), 1, 15)) AS BIGINT) % 1000000 AS u
+        |      FROM r),
+        |p AS (SELECT user_id % 2 AS arm, rep, y, $wCase AS w FROM h),
+        |c AS (SELECT rep, arm, CAST(sum(w) AS BIGINT) AS n,
+        |             CAST(sum(w * y) AS BIGINT) AS s
+        |      FROM p GROUP BY rep, arm),
+        |d AS (SELECT rep,
+        |        coalesce(CAST(max(CASE WHEN arm = 0 THEN s END) AS DOUBLE)
+        |                   / nullif(CAST(max(CASE WHEN arm = 0 THEN n END) AS DOUBLE), 0.0) / 100.0, 0.0)
+        |      - coalesce(CAST(max(CASE WHEN arm = 1 THEN s END) AS DOUBLE)
+        |                   / nullif(CAST(max(CASE WHEN arm = 1 THEN n END) AS DOUBLE), 0.0) / 100.0, 0.0) AS d
+        |      FROM c GROUP BY rep),
+        |bt AS (SELECT CAST(count(*) AS INTEGER) AS b, list_sort(list(d)) AS ds FROM d),
+        |ea AS (SELECT user_id % 2 AS arm, count(*) AS n, CAST(sum(y) AS BIGINT) AS sy
+        |       FROM pu GROUP BY 1),
+        |e AS (SELECT CAST(max(CASE WHEN arm = 0 THEN n END)
+        |               + max(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n_users,
+        |        CAST(max(CASE WHEN arm = 0 THEN sy END) AS DOUBLE)
+        |          / CAST(max(CASE WHEN arm = 0 THEN n END) AS DOUBLE) / 100.0
+        |      - CAST(max(CASE WHEN arm = 1 THEN sy END) AS DOUBLE)
+        |          / CAST(max(CASE WHEN arm = 1 THEN n END) AS DOUBLE) / 100.0 AS est_diff
+        |      FROM ea)
+        |SELECT n_users, b, est_diff, ds[2] AS ci_lo, ds[${b - 1}] AS ci_hi,
+        |       (ds[2] <= 0.0 AND ds[${b - 1}] >= 0.0) AS covers_zero
+        |FROM e CROSS JOIN bt""".stripMargin
+    }),
     // Quantile treatment effects: exact per-arm discrete quartiles of
     // the per-user metric, double-cast, with arm-difference columns
     GraftQuery("x_ab_qte", EventOps.abQuantileEffect, Some(
@@ -2421,6 +2549,15 @@ object Registry {
       Some(evalRrfSummaryOracle)),
     GraftQuery("x_eval_prf_summary", EvalOps.prfEvalSummary,
       Some(evalPrfSummaryOracle)),
+    // graded-relevance NDCG@10 of the BM25 run: grade = distinct query
+    // terms present; DCG/IDCG are exact int64 over literal log2 weights
+    // (the one transcendental runs at class load, both engines get the
+    // same integers); ideal ranking folds over the per-(query, grade)
+    // COUNT table, never sorting documents
+    GraftQuery("x_eval_ndcg_per_query", EvalOps.bm25NdcgPerQuery,
+      Some(ndcgPerQueryOracle)),
+    GraftQuery("x_eval_ndcg_summary", EvalOps.bm25NdcgSummary,
+      Some(ndcgSummaryOracle)),
     GraftQuery("x_sim_ann_lsh", SimilarityOps.annLsh, None),
     GraftQuery("x_sim_knn_join", (s, d) => SimilarityOps.knnJoin(s, d), None,
       headline = true),

@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -136,6 +136,112 @@ object EvalOps {
           .otherwise(lit(0.0)).as("micro_recall"),
         (col("n_hit_total").cast(DoubleType) / (col("n_queries") * k))
           .as("micro_precision"))
+
+  // ---------------------------------------------------------------- NDCG
+
+  /** Discount weights for NDCG@10: floor(1e12 / log2(rank+1)) for ranks
+    * 1..10. The ONE transcendental (log2) runs here, once, at class
+    * load; both the Spark plan and the DuckDB oracle receive these as
+    * the same integer LITERALS (the PrefOps static-alphabet precedent),
+    * so no runtime float can diverge between engines. grade·weight sums
+    * stay far inside int64 (grade ≤ |query terms| ≤ 5, weight ≤ 1e12,
+    * ≤ 10 terms per query). */
+  val NdcgScale = 1000000000000L
+  val NdcgW: IndexedSeq[Long] =
+    (1 to 10).map(r => (NdcgScale / (math.log(r + 1.0) / math.log(2.0))).toLong)
+
+  /** Prefix sums SW(i) = Σ_{r ≤ i} NdcgW(r), SW(0) = 0 — the ideal-DCG
+    * lookup: a run of `c` equal-grade documents occupying ranks
+    * (a, b] contributes grade · (SW(b) − SW(a)). */
+  val NdcgSW: IndexedSeq[Long] = NdcgW.scanLeft(0L)(_ + _)
+
+  /** Graded relevance: grade = number of DISTINCT query terms the
+    * document contains (1..n_terms) — the natural graded judgment over
+    * the conjunctive one ([[conjunctiveQrels]] is exactly grade =
+    * n_terms). Same plan shape: corpus tokens filter to the broadcast
+    * query vocabulary BEFORE the distinct + group, so the corpus never
+    * shuffles full token lists. */
+  def gradedQrels(spark: SparkSession, dir: String,
+      queries: Seq[(Int, String)] = RetrievalOps.DefaultQueries): DataFrame = {
+    import spark.implicits._
+    val vocab = queries.flatMap(_._2.split(" ")).distinct
+    val qTerms = queries
+      .flatMap { case (q, s) => s.split(" ").distinct.map(t => (q, t)) }
+      .toDF("q_id", "term")
+    Tables.parallel(spark, dir, "documents")
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+      .filter(col("term").isin(vocab: _*))
+      .distinct()
+      .join(broadcast(qTerms), Seq("term"))
+      .groupBy(col("q_id"), col("doc_id"))
+      .agg(count(lit(1)).as("grade"))
+  }
+
+  /** NDCG@k of a (q_id, rank, doc_id) run against graded qrels. DCG and
+    * ideal DCG are EXACT int64 (grades × literal integer weights); ndcg
+    * is their single IEEE division — deterministic across engines.
+    *
+    * The ideal ranking never sorts documents: grades live in a tiny
+    * domain (1..n_terms), so IDCG folds over the per-(query, grade)
+    * COUNT table — the run of c docs at grade g fills ranks
+    * (cum−c, cum] and contributes g·(SW(min(cum,k)) − SW(min(cum−c,k))).
+    * The only window orders ≤ |grade domain| rows per query; the
+    * grade-count table itself is a map-side-combinable aggregate, so no
+    * operator ever materializes the per-document relevance list in one
+    * task — the discPercentiles frequency-table argument applied to
+    * ranking evaluation. */
+  def ndcgMetrics(run: DataFrame, graded: DataFrame, k: Int = K): DataFrame = {
+    require(k <= 10, s"NdcgW covers ranks 1..10, got k=$k")
+    val wArr = typedLit[Seq[Long]](NdcgW)
+    val swArr = typedLit[Seq[Long]](NdcgSW)
+    def swAt(i: Column): Column =
+      element_at(swArr, (least(i, lit(k.toLong)) + lit(1L)).cast(IntegerType))
+    val dcg = run.select(col("q_id"), col("rank"), col("doc_id"))
+      .filter(col("rank") <= k)
+      .join(graded, Seq("q_id", "doc_id"), "left")
+      .withColumn("grade", coalesce(col("grade"), lit(0L)))
+      .groupBy(col("q_id"))
+      .agg(sum(col("grade") * element_at(wArr, col("rank").cast(IntegerType)))
+        .as("dcg_scaled"))
+    val gradeCounts = graded.groupBy(col("q_id"), col("grade"))
+      .agg(count(lit(1)).as("c"))
+    val w = Window.partitionBy(col("q_id")).orderBy(col("grade").desc)
+    val idcg = gradeCounts
+      .withColumn("cum", sum(col("c")).over(w))
+      .groupBy(col("q_id"))
+      .agg(sum(col("grade") * (swAt(col("cum")) - swAt(col("cum") - col("c"))))
+        .as("idcg_scaled"))
+    dcg.join(idcg, Seq("q_id"))
+      .select(col("q_id"), col("dcg_scaled"), col("idcg_scaled"),
+        coalesce(col("dcg_scaled").cast(DoubleType) /
+          nullif(col("idcg_scaled").cast(DoubleType), lit(0.0)), lit(0.0))
+          .as("ndcg"))
+      .orderBy("q_id")
+  }
+
+  /** One-row macro NDCG summary. Per-query ndcg doubles are
+    * bit-identical across engines (exact ints + one division), but a
+    * SUM over them is order-dependent, so the mean folds them as a
+    * left-associated chain in the STATIC query order (the
+    * Bradley–Terry discipline) — the oracle parenthesizes identically. */
+  def ndcgSummary(run: DataFrame, graded: DataFrame,
+      queries: Seq[(Int, String)] = RetrievalOps.DefaultQueries,
+      k: Int = K): DataFrame = {
+    val per = ndcgMetrics(run, graded, k)
+    val picks = queries.map { case (q, _) =>
+      coalesce(max(when(col("q_id") === q, col("ndcg"))), lit(0.0))
+    }
+    val chain = picks.reduceLeft(_ + _)
+    per.agg(
+      count(lit(1)).cast(IntegerType).as("n_queries"),
+      (chain / lit(queries.size.toDouble)).as("mean_ndcg"))
+  }
+
+  def bm25NdcgPerQuery(spark: SparkSession, dir: String): DataFrame =
+    ndcgMetrics(RetrievalOps.bm25(spark, dir), gradedQrels(spark, dir))
+
+  def bm25NdcgSummary(spark: SparkSession, dir: String): DataFrame =
+    ndcgSummary(RetrievalOps.bm25(spark, dir), gradedQrels(spark, dir))
 
   /** The wired surfaces: the BM25 run judged against conjunctive
     * relevance. */

@@ -213,6 +213,56 @@ class RetrievalOpsSpec extends SparkSpec {
     assert(s.getAs[Double]("micro_precision") == 2.0 / 30)
   }
 
+  test("ndcg: hand-computed exact integers on a planted graded run") {
+    import spark.implicits._
+    val W = EvalOps.NdcgW // 1-based discount weights (literal int64)
+    val SW = EvalOps.NdcgSW // prefix sums, SW(0) = 0
+    // q1 retrieved doc2 (grade 1) at rank 1 and doc1 (grade 2) at rank 2;
+    // doc3 (grade 2) exists but was NOT retrieved — it still shapes IDCG.
+    val run = Seq((1, 1, 2L), (1, 2, 1L)).toDF("q_id", "rank", "doc_id")
+    val graded = Seq((1, 1L, 2L), (1, 2L, 1L), (1, 3L, 2L))
+      .toDF("q_id", "doc_id", "grade")
+    val r = EvalOps.ndcgMetrics(run, graded).collect()(0)
+    val dcg = 1L * W(0) + 2L * W(1)
+    // ideal grades desc = [2, 2, 1]: two grade-2 docs fill ranks 1-2,
+    // the grade-1 doc fills rank 3
+    val idcg = 2L * (SW(2) - SW(0)) + 1L * (SW(3) - SW(2))
+    assert(r.getAs[Long]("dcg_scaled") == dcg)
+    assert(r.getAs[Long]("idcg_scaled") == idcg)
+    assert(r.getAs[Double]("ndcg") == dcg.toDouble / idcg.toDouble)
+  }
+
+  test("ndcg: the ideal-ordered run scores exactly 1.0; real corpus in [0,1]") {
+    import spark.implicits._
+    val graded = EvalOps.gradedQrels(spark, Sf0001)
+    // build the ideal run: per query, top 10 docs by (grade desc, doc_id)
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("q_id"))
+      .orderBy(col("grade").desc, col("doc_id"))
+    val ideal = graded
+      .withColumn("rank", row_number().over(w).cast("int"))
+      .filter(col("rank") <= 10)
+      .select(col("q_id"), col("rank"), col("doc_id"))
+    val rows = EvalOps.ndcgMetrics(ideal, graded).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Double]("ndcg") == 1.0,
+        s"ideal run must score exactly 1.0, got $r")
+    }
+    // the real BM25 run: ndcg in [0, 1], dcg <= idcg
+    val real = EvalOps.bm25NdcgPerQuery(spark, Sf0001).collect()
+    assert(real.length == RetrievalOps.DefaultQueries.size)
+    real.foreach { r =>
+      assert(r.getAs[Long]("dcg_scaled") <= r.getAs[Long]("idcg_scaled"))
+      val n = r.getAs[Double]("ndcg")
+      assert(n >= 0.0 && n <= 1.0)
+    }
+    val sum = EvalOps.bm25NdcgSummary(spark, Sf0001).collect()(0)
+    assert(sum.getAs[Int]("n_queries") == RetrievalOps.DefaultQueries.size)
+    val m = sum.getAs[Double]("mean_ndcg")
+    assert(m > 0.0 && m <= 1.0)
+  }
+
   test("bm25 eval: per-query metrics are internally consistent on real data") {
     val rows = EvalOps.bm25EvalPerQuery(spark, Sf0001).collect()
     assert(rows.length == 5) // one row per default query
