@@ -860,4 +860,154 @@ object EventOps {
         ((col("post1") - col("pre1")) - (col("post0") - col("pre0")))
           .as("did"))
   }
+
+  // ------------------------------------------------------- Poisson bootstrap
+
+  /** Bootstrap replicate count. 64 keeps the replicate fold bounded and
+    * the rank-2 / rank-63 order statistics at ≈ the 2.5 / 97.5
+    * percentiles (a ~96.9% CI). */
+  val BootstrapB = 64
+
+  /** Poisson(1) CDF thresholds in micro-units: P(X ≤ k)·1e6 floored,
+    * k = 0..9 (w caps at 10 — P(X ≥ 10) < 1e-7). The ONE transcendental
+    * (e^{-1}) runs here at class load; both the Spark plan and the
+    * DuckDB oracle receive these as the same integer LITERALS, so the
+    * draw w(user, rep) = #{thresholds ≤ u} is pure integer comparison
+    * in both engines. */
+  val PoisCdfMicro: IndexedSeq[Long] = {
+    val pmf = (1 to 9).scanLeft(math.exp(-1.0))((p, k) => p / k)
+    pmf.scanLeft(0.0)(_ + _).tail
+      .map(c => math.floor(c * 1e6).toLong).toIndexedSeq
+  }
+
+  /** Poisson bootstrap CI for the arm-mean difference — the scalable
+    * bootstrap: instead of resampling |users| rows B times (impossible
+    * at 100 TB), every user carries an independent Poisson(1) weight
+    * per replicate, preserving the multinomial resample in
+    * distribution. Weights are DETERMINISTIC — the md5 content-hash
+    * currency (engine-identical) of (user_id, replicate) mapped through
+    * the literal integer CDF thresholds — so the whole CI is
+    * value-oracled, which no RNG bootstrap could be.
+    *
+    * Exactness: per-user totals are exact cents; per-(replicate, arm)
+    * Σw and Σw·y are exact int64; each replicate's mean difference is a
+    * fixed IEEE tree on those; the CI bounds are order statistics
+    * (rank 2 / rank B−1) of the B bit-identical doubles.
+    *
+    * Scale shape: ONE map-side-combinable groupBy(user_id) over events;
+    * the ×B explode runs on the PER-USER table (narrow, no shuffle);
+    * the (rep, arm) aggregate is map-side combinable into 2B rows; the
+    * final fold sorts B doubles. No window ever touches fact rows, and
+    * the driver sees one row. */
+  def abBootstrap(spark: SparkSession, dir: String): DataFrame = {
+    val dbl = (c: Column) => c.cast(DoubleType)
+    val perUser = Tables(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(sum((dec2(col("value")) * 100).cast(LongType)).as("y"))
+    val u = conv(substring(md5(concat(col("user_id").cast(StringType),
+      lit(":"), col("rep").cast(StringType))), 1, 15), 16, 10)
+      .cast(LongType) % lit(1000000L)
+    val weight = PoisCdfMicro.zipWithIndex.tail
+      .foldLeft(when(col("u") < PoisCdfMicro.head, 0L)) {
+        case (acc, (t, k)) => acc.when(col("u") < t, k.toLong)
+      }
+      .otherwise(lit(PoisCdfMicro.size.toLong))
+    val reps = perUser
+      .withColumn("rep", explode(sequence(lit(0), lit(BootstrapB - 1))))
+      .withColumn("u", u)
+      .withColumn("w", weight)
+    def pick(c: String, arm: Int) = max(when(col("arm") === arm, col(c)))
+    val mean = (s: String, n: String) =>
+      coalesce(dbl(col(s)) / nullif(dbl(col(n)), lit(0.0)) / lit(100.0),
+        lit(0.0))
+    val ds = reps
+      .groupBy(col("rep"), (col("user_id") % 2).as("arm"))
+      .agg(sum(col("w")).as("n"), sum(col("w") * col("y")).as("s"))
+      .groupBy(col("rep"))
+      .agg(pick("n", 0).as("n0"), pick("n", 1).as("n1"),
+        pick("s", 0).as("s0"), pick("s", 1).as("s1"))
+      .select(col("rep"), (mean("s0", "n0") - mean("s1", "n1")).as("d"))
+    val boot = ds.agg(
+      count(lit(1)).cast(IntegerType).as("b"),
+      sort_array(collect_list(col("d"))).as("dss"))
+      .select(col("b"),
+        element_at(col("dss"), 2).as("ci_lo"),
+        element_at(col("dss"), BootstrapB - 1).as("ci_hi"))
+    val est = perUser
+      .groupBy((col("user_id") % 2).as("arm"))
+      .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
+      .agg(pick("n", 0).as("n0"), pick("n", 1).as("n1"),
+        pick("sy", 0).as("sy0"), pick("sy", 1).as("sy1"))
+      .select((col("n0") + col("n1")).as("n_users"),
+        (dbl(col("sy0")) / dbl(col("n0")) / lit(100.0) -
+          dbl(col("sy1")) / dbl(col("n1")) / lit(100.0)).as("est_diff"))
+    est.crossJoin(boot)
+      .select(col("n_users"), col("b"), col("est_diff"),
+        col("ci_lo"), col("ci_hi"),
+        (col("ci_lo") <= 0.0 && col("ci_hi") >= 0.0).as("covers_zero"))
+  }
+
+  // --------------------------------------------- survival / churn hazard
+
+  /** A user whose last event is ≥ this many days before the corpus'
+    * final timestamp is counted as CHURNED (the event of interest);
+    * anyone active within the horizon is right-censored. (The synthetic
+    * corpus spans one month of hyper-active users, so one inactive day
+    * already marks the churn tail; a production deployment would dial
+    * this to its own activity cadence.) */
+  val ChurnHorizonDays = 1
+
+  /** Nelson–Aalen cumulative-hazard table over user lifetimes — the
+    * right-censored churn readout (retention curves without the
+    * "active users look churned" bias): lifetime t = days between a
+    * user's first and last event; churn is observed only when the last
+    * event predates the corpus end by [[ChurnHorizonDays]], otherwise
+    * the lifetime is censored at t. Per distinct lifetime with ≥ 1
+    * churn event: the at-risk count, churn/censor counts, the hazard
+    * increment d/n and its running sum Ĥ(t) = Σ_{s ≤ t} d(s)/n(s).
+    * (The Kaplan–Meier survivor is exp(−Ĥ) to first order; serving the
+    * hazard keeps the surface transcendental-free.)
+    *
+    * Exactness: hazard increments are floor(1e12·d/n) in INTEGRAL
+    * division (d·1e12 can exceed 2^53, where double `/` rounds), and
+    * the cumulative hazard is an exact int64 running sum — value-
+    * oracled bit-for-bit, which a float product never could be.
+    *
+    * Scale shape: one map-side-combinable groupBy(user_id) (min/max
+    * ts), a 1-row corpus-end aggregate broadcast back, then ALL
+    * remaining work happens on the (lifetime → counts) FREQUENCY
+    * table — the discPercentiles argument: windows order |distinct
+    * lifetimes| rows (bounded by the observation span in days), never
+    * user rows. */
+  def survivalHazard(spark: SparkSession, dir: String): DataFrame = {
+    val spans = Tables(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+    val end = spans.agg(max(col("last_ts")).as("study_end"))
+    val lives = spans.crossJoin(broadcast(end))
+      .select(
+        datediff(col("last_ts"), col("first_ts")).cast(LongType).as("t_days"),
+        when(col("last_ts") < col("study_end") -
+          expr(s"INTERVAL $ChurnHorizonDays DAYS"), 1L).otherwise(0L)
+          .as("churned"))
+    val freq = lives.groupBy(col("t_days"))
+      .agg(sum(col("churned")).as("d"),
+        sum(lit(1L) - col("churned")).as("c"))
+    val w = Window.orderBy(col("t_days"))
+      .rowsBetween(Window.unboundedPreceding, -1)
+    val total = freq.agg(sum(col("d") + col("c")).as("n_total"))
+    freq.crossJoin(broadcast(total))
+      .withColumn("n_risk",
+        col("n_total") - coalesce(sum(col("d") + col("c")).over(w), lit(0L)))
+      .filter(col("d") > 0)
+      .withColumn("hazard_micro", expr("(d * 1000000000000) div n_risk"))
+      .withColumn("cum_hazard_micro",
+        sum(col("hazard_micro")).over(
+          Window.orderBy(col("t_days"))
+            .rowsBetween(Window.unboundedPreceding, 0)))
+      .select(col("t_days"), col("n_risk"), col("d").as("d_churn"),
+        col("c").as("c_censored"), col("hazard_micro"),
+        col("cum_hazard_micro"))
+      .orderBy(col("t_days"))
+  }
 }

@@ -586,6 +586,87 @@ class AnalyticsOpsSpec extends SparkSpec {
       s"got $got")
   }
 
+  test("survival hazard: hand-computed Nelson-Aalen table with censoring") {
+    import spark.implicits._
+    val fix = tempDir("survival")
+    def t(d: Int) = ts(f"2024-01-${d + 1}%02d 12:00:00")
+    // u1,u2: lifetime 2 (churned); u3: lifetime 5 (churned); u4:
+    // lifetime 0 (churned); u5: active at the corpus end → CENSORED at 2
+    val rows = Seq(
+      (1L, t(0)), (1L, t(2)),
+      (2L, t(0)), (2L, t(2)),
+      (3L, t(0)), (3L, t(5)),
+      (4L, t(10)),
+      (5L, t(18)), (5L, t(20)))
+    rows.map { case (u, s) => (u, s, 1.0) }
+      .toDF("user_id", "ts", "value").repartition(3)
+      .write.mode("overwrite").parquet(s"$fix/events.parquet")
+    val got = EventOps.survivalHazard(spark, fix).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5))).toSeq
+    // study_end = day 20; horizon 1 → churn iff last event before day 19
+    // t=0: risk 5, d=1 → h = 1e12/5; t=2: risk 4, d=2, c=1 → h = 2e12/4;
+    // t=5: risk 1 (three lifetimes of 2 left), d=1 → h = 1e12
+    assert(got == Seq(
+      (0L, 5L, 1L, 0L, 200000000000L, 200000000000L),
+      (2L, 4L, 2L, 1L, 500000000000L, 700000000000L),
+      (5L, 1L, 1L, 0L, 1000000000000L, 1700000000000L)), s"got $got")
+  }
+
+  test("survival hazard: real corpus — risk counts strictly decrease, cum hazard rises") {
+    val rows = EventOps.survivalHazard(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.sliding(2).filter(_.length == 2).foreach { case Array(a, b) =>
+      assert(a.getAs[Long]("t_days") < b.getAs[Long]("t_days"))
+      assert(a.getAs[Long]("n_risk") > b.getAs[Long]("n_risk"))
+      assert(a.getAs[Long]("cum_hazard_micro") < b.getAs[Long]("cum_hazard_micro"))
+    }
+    rows.foreach { r =>
+      assert(r.getAs[Long]("d_churn") > 0)
+      assert(r.getAs[Long]("n_risk") >= r.getAs[Long]("d_churn"))
+    }
+  }
+
+  test("poisson bootstrap thresholds: strictly increasing, textbook CDF endpoints") {
+    val t = EventOps.PoisCdfMicro
+    assert(t.size == 10)
+    assert(t.head == 367879L, s"P(X=0) = e^-1 floored, got ${t.head}") // e^-1
+    assert(t(1) == 735758L) // 2·e^-1
+    assert(t.last == 999999L)
+    assert(t.sliding(2).forall(p => p(0) < p(1)), "CDF must be strictly increasing")
+  }
+
+  test("poisson bootstrap: constant arms give a degenerate CI at the true gap") {
+    import spark.implicits._
+    val fix = tempDir("boot_const")
+    // 16 users per arm, constant metric per arm: every replicate's
+    // weighted mean is the constant whenever the arm draws ANY weight,
+    // so all 64 replicate diffs collapse to the true gap (20.0)
+    val rows = (0 until 16).flatMap { i =>
+      Seq((2L * i + 2L, post, 30.0), (2L * i + 1L, post, 10.0))
+    }
+    rows.toDF("user_id", "ts", "value").repartition(3)
+      .write.mode("overwrite").parquet(s"$fix/events.parquet")
+    val r = EventOps.abBootstrap(spark, fix).collect()(0)
+    assert(r.getAs[Long]("n_users") == 32L)
+    assert(r.getAs[Int]("b") == EventOps.BootstrapB)
+    assert(r.getAs[Double]("est_diff") == 20.0)
+    assert(r.getAs[Double]("ci_lo") == 20.0, s"got $r")
+    assert(r.getAs[Double]("ci_hi") == 20.0, s"got $r")
+    assert(!r.getAs[Boolean]("covers_zero"))
+  }
+
+  test("poisson bootstrap: real corpus — CI brackets the estimate, replay-identical") {
+    val a = EventOps.abBootstrap(spark, Sf0001).collect()(0)
+    val b = EventOps.abBootstrap(spark, Sf0001).collect()(0)
+    assert(a == b, "content-hashed draws must make the CI deterministic")
+    assert(a.getAs[Int]("b") == EventOps.BootstrapB)
+    assert(a.getAs[Double]("ci_lo") <= a.getAs[Double]("ci_hi"))
+    assert(a.getAs[Double]("ci_lo") <= a.getAs[Double]("est_diff") &&
+      a.getAs[Double]("est_diff") <= a.getAs[Double]("ci_hi"),
+      s"percentile CI should bracket the point estimate: $a")
+  }
+
   test("post-stratification: planted Simpson cohort — adjustment reverses the raw readout") {
     import spark.implicits._
     val fix = tempDir("poststrat")
