@@ -82,6 +82,36 @@ object Registry {
       |       CAST(sum(logit) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_logit
       |FROM b GROUP BY bin ORDER BY bin""".stripMargin
 
+  /** Isotonic recalibration oracle: the SAME bin chain as the
+    * calibration readout (single-source rule), then DuckDB's
+    * independent replay of the minimax-PAV identity over the bounded
+    * bin table — every interval mean in integral 1e12 micro-units, so
+    * the comparison is integer equality. */
+  private val isotonicCalibrationOracle: String =
+    s"""WITH $qualityClassifierCtes,
+      |g AS (SELECT doc_id, logit,
+      |        len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','to','in','is','or','for','on')))
+      |          / len(string_split(text, ' ')) AS stop_ratio
+      |      FROM s),
+      |b AS (SELECT least(greatest(CAST(floor(CAST(logit AS DOUBLE) / 2000000.0) AS BIGINT), -4), 4) AS bin,
+      |             stop_ratio FROM g),
+      |bins AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
+      |                CAST(sum(CASE WHEN stop_ratio >= 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_gold
+      |         FROM b GROUP BY bin),
+      |iv AS (SELECT j.bin AS jb, k.bin AS kb,
+      |         CAST(sum(m.n_gold) AS BIGINT) AS g2, CAST(sum(m.n_docs) AS BIGINT) AS d2
+      |       FROM bins j JOIN bins k ON j.bin <= k.bin
+      |       JOIN bins m ON m.bin BETWEEN j.bin AND k.bin
+      |       GROUP BY j.bin, k.bin),
+      |vv AS (SELECT jb, kb, (g2 * 1000000000000) // d2 AS v FROM iv),
+      |mn AS (SELECT vv.jb, b2.bin, min(v) AS mnv
+      |       FROM vv JOIN bins b2 ON vv.jb <= b2.bin AND b2.bin <= vv.kb
+      |       GROUP BY vv.jb, b2.bin),
+      |cal AS (SELECT bin, CAST(max(mnv) AS BIGINT) AS cal_micro FROM mn GROUP BY bin)
+      |SELECT bins.bin, n_docs, n_gold,
+      |       (n_gold * 1000000000000) // n_docs AS raw_micro, cal_micro
+      |FROM bins JOIN cal ON bins.bin = cal.bin ORDER BY bins.bin""".stripMargin
+
   /** Shared by x_dsir_weights AND x_dsir_select: one CTE chain replaying
     * the hashed-bigram bucket counts (md5 → 20-bit → mod 4096, the
     * quality-classifier feature rule), the add-one-smoothed integer
@@ -2299,6 +2329,12 @@ object Registry {
     // reliability bins: does the gold rate rise with the logit bin?
     GraftQuery("x_quality_calibration", TextOps.classifierCalibration,
       Some(classifierCalibrationOracle)),
+    // Isotonic (PAV) recalibration via the exact minimax identity
+    // cal(i) = max_{j<=i} min_{k>=i} floor(1e12·gold/docs over [j,k]) —
+    // floor commutes with min/max, so the whole monotone fit is exact
+    // int64 and the hash equality IS the optimality proof
+    GraftQuery("x_quality_isotonic", TextOps.isotonicCalibration,
+      Some(isotonicCalibrationOracle)),
     GraftQuery("x_text_repetition", TextOps.repetition, Some(
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
         |g AS (SELECT doc_id,

@@ -643,6 +643,18 @@ object TextOps {
     * noise on this corpus. One scan, one |bins|-row aggregate. */
   def classifierCalibration(spark: SparkSession, dir: String): DataFrame = {
     val dbl = (c: Column) => c.cast(DoubleType)
+    calibrationBinsRaw(spark, dir)
+      .select(col("bin"), col("n_docs"), col("n_gold"),
+        (dbl(col("n_gold")) / dbl(col("n_docs"))).as("gold_rate"),
+        (dbl(col("slogit")) / dbl(col("n_docs"))).as("mean_logit"))
+      .orderBy("bin")
+  }
+
+  /** The shared bin-table currency behind [[classifierCalibration]] and
+    * [[isotonicCalibration]]: one corpus pass into ≤ 9 rows of
+    * (bin, n_docs, n_gold, Σlogit). */
+  private def calibrationBinsRaw(spark: SparkSession, dir: String): DataFrame = {
+    val dbl = (c: Column) => c.cast(DoubleType)
     val t = split(lower(col("text")), " ")
     Tables(spark, dir, "documents")
       .select(
@@ -656,9 +668,53 @@ object TextOps {
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("stop_ratio") >= 0.1, 1L).otherwise(0L)).as("n_gold"),
         sum(col("logit")).as("slogit"))
+  }
+
+  /** Isotonic (PAV) recalibration of the reliability bins — what a
+    * production filter DOES with the calibration readout: the
+    * monotone-nondecreasing gold-rate fit closest (weighted L2) to the
+    * observed per-bin rates, served next to the raw rates in exact
+    * micro-units.
+    *
+    * Instead of the sequential pool-adjacent-violators sweep (driver
+    * code an oracle cannot replay), this computes PAV's closed form —
+    * the minimax identity cal(i) = max_{j ≤ i} min_{k ≥ i}
+    * mean(gold[j..k]) / mean(docs[j..k]) (Robertson & Wright, "Order
+    * Restricted Statistical Inference") — as three joins over the
+    * BOUNDED bin table. Floor commutes with min/max (it is monotone),
+    * so computing every interval mean as floor(1e12·g/d) in INTEGRAL
+    * division makes the whole fit exact int64: value-oracled, no
+    * doubles anywhere, and the hash equality against DuckDB's
+    * independent replay of the same identity IS the optimality proof.
+    *
+    * Scale shape: the corpus cost is the ONE scan into ≤ 9 bins (the
+    * logit clamp bounds the domain at any corpus size); the O(|bins|³)
+    * interval expansion runs on broadcast 9-row tables — constant work
+    * regardless of scale. */
+  def isotonicCalibration(spark: SparkSession, dir: String): DataFrame =
+    isotonicOfBins(calibrationBinsRaw(spark, dir)
+      .select(col("bin"), col("n_docs"), col("n_gold")))
+
+  /** The minimax-PAV core over any (bin, n_docs, n_gold) table with
+    * n_docs > 0 — separated so specs can feed planted violator bins. */
+  def isotonicOfBins(bins: DataFrame): DataFrame = {
+    val b = bins.select(col("bin"), col("n_docs"), col("n_gold"))
+    val iv = broadcast(b.select(col("bin").as("jb")))
+      .join(broadcast(b.select(col("bin").as("kb"))), col("jb") <= col("kb"))
+      .join(broadcast(b), col("bin").between(col("jb"), col("kb")))
+      .groupBy(col("jb"), col("kb"))
+      .agg(sum(col("n_gold")).as("g"), sum(col("n_docs")).as("d"))
+      .withColumn("v", expr("(g * 1000000000000) div d"))
+    val mn = iv
+      .join(broadcast(b.select(col("bin"))),
+        col("jb") <= col("bin") && col("bin") <= col("kb"))
+      .groupBy(col("jb"), col("bin"))
+      .agg(min(col("v")).as("mnv"))
+    val cal = mn.groupBy(col("bin")).agg(max(col("mnv")).as("cal_micro"))
+    b.withColumn("raw_micro", expr("(n_gold * 1000000000000) div n_docs"))
+      .join(cal, Seq("bin"))
       .select(col("bin"), col("n_docs"), col("n_gold"),
-        (dbl(col("n_gold")) / dbl(col("n_docs"))).as("gold_rate"),
-        (dbl(col("slogit")) / dbl(col("n_docs"))).as("mean_logit"))
+        col("raw_micro"), col("cal_micro"))
       .orderBy("bin")
   }
 }

@@ -1692,6 +1692,59 @@ class PipelineOpsSpec extends SparkSpec {
     assert(got.map(_._2).sum == logits.size) // bins partition the corpus
   }
 
+  test("isotonic calibration: hand-computed PAV pooling on planted violator bins") {
+    import spark.implicits._
+    // rates 0.8, 0.2, 0.5 with equal weight: PAV pools all three to 0.5
+    val bins = Seq((0L, 10L, 8L), (1L, 10L, 2L), (2L, 10L, 5L))
+      .toDF("bin", "n_docs", "n_gold")
+    val got = TextOps.isotonicOfBins(bins).collect()
+      .map(r => (r.getLong(0), r.getLong(3), r.getLong(4))).toSeq
+    assert(got == Seq(
+      (0L, 800000000000L, 500000000000L),
+      (1L, 200000000000L, 500000000000L),
+      (2L, 500000000000L, 500000000000L)), s"got $got")
+    // rates 0.1, 0.7, 0.3: only the tail violator pool (0.7, 0.3) → 0.5
+    val bins2 = Seq((0L, 10L, 1L), (1L, 10L, 7L), (2L, 10L, 3L))
+      .toDF("bin", "n_docs", "n_gold")
+    val got2 = TextOps.isotonicOfBins(bins2).collect()
+      .map(r => (r.getLong(0), r.getLong(4))).toSeq
+    assert(got2 == Seq((0L, 100000000000L), (1L, 500000000000L),
+      (2L, 500000000000L)), s"got $got2")
+    // already-monotone input passes through untouched
+    val bins3 = Seq((0L, 10L, 1L), (1L, 10L, 5L), (2L, 10L, 9L))
+      .toDF("bin", "n_docs", "n_gold")
+    val got3 = TextOps.isotonicOfBins(bins3).collect()
+      .map(r => (r.getLong(3), r.getLong(4))).toSeq
+    got3.foreach { case (raw, cal) => assert(raw == cal) }
+  }
+
+  test("isotonic calibration: minimax fit equals the sequential PAV sweep on the real corpus") {
+    // reference implementation: the textbook pool-adjacent-violators
+    // sweep on exact (gold, docs) rationals, compared cross-multiplied
+    val rows = TextOps.isotonicCalibration(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val raw = rows.map(r => (r.getLong(0), r.getLong(2), r.getLong(1))) // bin, g, d
+    case class Block(var g: Long, var d: Long)
+    val stack = scala.collection.mutable.ArrayBuffer.empty[(Block, Int)]
+    raw.foreach { case (_, g, d) =>
+      var blk = Block(g, d)
+      var cnt = 1
+      // pool while the new block's mean is below the previous block's
+      while (stack.nonEmpty && stack.last._1.g * blk.d >= blk.g * stack.last._1.d) {
+        val (p, c) = stack.remove(stack.length - 1)
+        blk = Block(p.g + blk.g, p.d + blk.d); cnt += c
+      }
+      stack += ((blk, cnt))
+    }
+    val expected = stack.flatMap { case (b, c) =>
+      Seq.fill(c)((b.g * 1000000000000L) / b.d)
+    }.toSeq
+    val got = rows.map(_.getAs[Long]("cal_micro")).toSeq
+    assert(got == expected, s"minimax $got vs PAV sweep $expected")
+    // monotone by construction
+    got.sliding(2).filter(_.length == 2).foreach(p => assert(p(0) <= p(1)))
+  }
+
   test("cdc chunks: full coverage — chunks partition the token stream in order") {
     val toks = PretrainOps.cdcChunks(spark, Sf0001).collect()
       .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getInt(3)))
