@@ -82,6 +82,48 @@ object Registry {
       |       CAST(sum(logit) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_logit
       |FROM b GROUP BY bin ORDER BY bin""".stripMargin
 
+  /** The Holt-Winters recursive replay (spine → hourly counts → the
+    * per-hour (level, trend, seasonal-vector) fold, ending in CTE `r`
+    * with one-step-ahead pred/resid per hour) — shared by the forecast
+    * dump and the conformal band so both read the SAME residual
+    * definition. Callers prepend WITH RECURSIVE. */
+  private val hwRecursiveCtes: String =
+    """spine AS (
+      |  SELECT et.event_type, h.hour_ts
+      |  FROM (SELECT DISTINCT event_type FROM events) et
+      |  CROSS JOIN (SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
+      |                                            TIMESTAMP '2024-01-30 23:00:00',
+      |                                            INTERVAL 1 HOUR)) AS hour_ts) h),
+      |c AS (SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS c
+      |      FROM events GROUP BY 1, 2),
+      |hs AS (SELECT spine.event_type,
+      |              CAST(CAST(epoch(spine.hour_ts) AS BIGINT) // 3600
+      |                - CAST(epoch(TIMESTAMP '2024-01-01 00:00:00') AS BIGINT) // 3600 AS INTEGER) AS t,
+      |              coalesce(c.c, 0) AS x
+      |       FROM spine LEFT JOIN c ON spine.event_type = c.event_type AND spine.hour_ts = c.h),
+      |r AS (
+      |  SELECT event_type, t, x,
+      |         CAST(x AS DOUBLE) AS level,
+      |         CAST(0.0 AS DOUBLE) AS trend,
+      |         CAST(0.0 AS DOUBLE) AS snew,
+      |         CAST(x AS DOUBLE) AS pred,
+      |         CAST(0.0 AS DOUBLE) AS resid,
+      |         list_transform(generate_series(1, 24), i -> CAST(0.0 AS DOUBLE)) AS seas
+      |  FROM hs WHERE t = 0
+      |  UNION ALL
+      |  SELECT event_type, t, x, lvl,
+      |         ((lvl - plevel) + ptrend) / 2,
+      |         ((x - lvl) + pseas) / 2,
+      |         (plevel + ptrend) + pseas,
+      |         x - ((plevel + ptrend) + pseas),
+      |         seas0[1:j-1] || [((x - lvl) + pseas) / 2] || seas0[j+1:24]
+      |  FROM (SELECT h.event_type, h.t, h.x,
+      |               r.level AS plevel, r.trend AS ptrend, r.seas AS seas0,
+      |               (h.t % 24) + 1 AS j,
+      |               r.seas[(h.t % 24) + 1] AS pseas,
+      |               ((h.x - r.seas[(h.t % 24) + 1]) + (r.level + r.trend)) / 2 AS lvl
+      |        FROM hs h JOIN r ON h.event_type = r.event_type AND h.t = r.t + 1))""".stripMargin
+
   /** Isotonic recalibration oracle: the SAME bin chain as the
     * calibration readout (single-source rule), then DuckDB's
     * independent replay of the minimax-PAV identity over the bounded
@@ -1770,44 +1812,33 @@ object Registry {
     // recursive CTE as a LIST column, updated by slice-concat — the
     // identical dyadic-halving sequence as the Spark fold → bit-equal
     GraftQuery("x_ts_holt_winters", EventOps.holtWintersHourly, Some(
-      """WITH RECURSIVE spine AS (
-        |  SELECT et.event_type, h.hour_ts
-        |  FROM (SELECT DISTINCT event_type FROM events) et
-        |  CROSS JOIN (SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
-        |                                            TIMESTAMP '2024-01-30 23:00:00',
-        |                                            INTERVAL 1 HOUR)) AS hour_ts) h),
-        |c AS (SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS c
-        |      FROM events GROUP BY 1, 2),
-        |hs AS (SELECT spine.event_type,
-        |              CAST(CAST(epoch(spine.hour_ts) AS BIGINT) // 3600
-        |                - CAST(epoch(TIMESTAMP '2024-01-01 00:00:00') AS BIGINT) // 3600 AS INTEGER) AS t,
-        |              coalesce(c.c, 0) AS x
-        |       FROM spine LEFT JOIN c ON spine.event_type = c.event_type AND spine.hour_ts = c.h),
-        |r AS (
-        |  SELECT event_type, t, x,
-        |         CAST(x AS DOUBLE) AS level,
-        |         CAST(0.0 AS DOUBLE) AS trend,
-        |         CAST(0.0 AS DOUBLE) AS snew,
-        |         CAST(x AS DOUBLE) AS pred,
-        |         CAST(0.0 AS DOUBLE) AS resid,
-        |         list_transform(generate_series(1, 24), i -> CAST(0.0 AS DOUBLE)) AS seas
-        |  FROM hs WHERE t = 0
-        |  UNION ALL
-        |  SELECT event_type, t, x, lvl,
-        |         ((lvl - plevel) + ptrend) / 2,
-        |         ((x - lvl) + pseas) / 2,
-        |         (plevel + ptrend) + pseas,
-        |         x - ((plevel + ptrend) + pseas),
-        |         seas0[1:j-1] || [((x - lvl) + pseas) / 2] || seas0[j+1:24]
-        |  FROM (SELECT h.event_type, h.t, h.x,
-        |               r.level AS plevel, r.trend AS ptrend, r.seas AS seas0,
-        |               (h.t % 24) + 1 AS j,
-        |               r.seas[(h.t % 24) + 1] AS pseas,
-        |               ((h.x - r.seas[(h.t % 24) + 1]) + (r.level + r.trend)) / 2 AS lvl
-        |        FROM hs h JOIN r ON h.event_type = r.event_type AND h.t = r.t + 1))
+      s"""WITH RECURSIVE $hwRecursiveCtes
         |SELECT event_type, t, CAST(x AS BIGINT) AS x, level, trend, snew AS seasonal,
         |       pred, resid
         |FROM r ORDER BY event_type, t""".stripMargin)),
+    // split-conformal band on the Holt-Winters residuals: q_hat is the
+    // ceil(0.9·(n_cal+1))-th smallest calibration |resid| (integer rank
+    // arithmetic), coverage the exact hold-out fraction inside the band
+    GraftQuery("x_ts_conformal", EventOps.conformalCoverage, Some(
+      s"""WITH RECURSIVE $hwRecursiveCtes,
+        |a AS (SELECT event_type, t, abs(resid) AS s FROM r),
+        |cal AS (SELECT event_type, s FROM a WHERE t < ${graft.ops.EventOps.ConformalCalHours}),
+        |n AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n_cal FROM cal GROUP BY 1),
+        |rk AS (SELECT event_type, s,
+        |         row_number() OVER (PARTITION BY event_type ORDER BY s) AS rn
+        |       FROM cal),
+        |qh AS (SELECT rk.event_type, n.n_cal, rk.s AS q_hat
+        |       FROM rk JOIN n ON rk.event_type = n.event_type
+        |       WHERE rk.rn = (9 * (n.n_cal + 1) + 9) // 10),
+        |ev AS (SELECT a.event_type, qh.n_cal, qh.q_hat,
+        |         CAST(count(*) AS BIGINT) AS n_eval,
+        |         CAST(sum(CASE WHEN a.s <= qh.q_hat THEN 1 ELSE 0 END) AS BIGINT) AS n_covered
+        |       FROM a JOIN qh ON a.event_type = qh.event_type
+        |       WHERE a.t >= ${graft.ops.EventOps.ConformalCalHours}
+        |       GROUP BY a.event_type, qh.n_cal, qh.q_hat)
+        |SELECT event_type, n_cal, q_hat, n_eval, n_covered,
+        |       CAST(n_covered AS DOUBLE) / CAST(n_eval AS DOUBLE) AS coverage
+        |FROM ev ORDER BY event_type""".stripMargin)),
     // interval union (temporal coverage): 30-min event windows merge by
     // the running-max-end sweep; epoch-µs integers end to end
     GraftQuery("x_ts_interval_union", EventOps.intervalUnion, Some(

@@ -947,6 +947,52 @@ object EventOps {
         (col("ci_lo") <= 0.0 && col("ci_hi") >= 0.0).as("covers_zero"))
   }
 
+  // --------------------------------------------------- conformal band
+
+  /** Hours 0..479 calibrate the conformal band; the rest are held out. */
+  val ConformalCalHours = 480
+
+  /** Split-conformal prediction band on the Holt-Winters one-step
+    * residuals (Vovk et al.; the distribution-free finite-sample band):
+    * per series, q̂ is the ⌈(n_cal+1)·0.9⌉-th smallest calibration
+    * |residual| — computed with INTEGER rank arithmetic
+    * (9·(n+1)+9) div 10, so no float ceil sits on a boundary — and the
+    * hold-out hours report their exact coverage of |resid| ≤ q̂.
+    * Marginal coverage ≥ 90% holds in expectation over calibration
+    * draws; the served row is the realized split's audit.
+    *
+    * Determinism: residuals are the bit-identical doubles the
+    * hash-green HW replay pins; an order statistic of them is
+    * engine-exact (rank-k VALUE is tie-permutation-invariant), and
+    * coverage is counts + one division.
+    *
+    * Scale shape: rides [[holtWintersHourly]]'s plan (one exchange on
+    * event_type, constant fold state); the ranking window orders
+    * |calibration hours| rows per series — bounded by the series
+    * length, the same argument as the fold itself. Output is one row
+    * per series. */
+  def conformalCoverage(spark: SparkSession, dir: String): DataFrame = {
+    val hw = holtWintersHourly(spark, dir)
+      .select(col("event_type"), col("t"), abs(col("resid")).as("s"))
+    val cal = hw.filter(col("t") < ConformalCalHours)
+    val n = cal.groupBy(col("event_type")).agg(count(lit(1)).as("n_cal"))
+    val w = Window.partitionBy(col("event_type")).orderBy(col("s"))
+    val qh = cal.withColumn("rn", row_number().over(w))
+      .join(broadcast(n), Seq("event_type"))
+      .filter(col("rn") === expr("(9 * (n_cal + 1) + 9) div 10"))
+      .select(col("event_type"), col("n_cal"), col("s").as("q_hat"))
+    hw.filter(col("t") >= ConformalCalHours)
+      .join(broadcast(qh), Seq("event_type"))
+      .groupBy(col("event_type"), col("n_cal"), col("q_hat"))
+      .agg(count(lit(1)).as("n_eval"),
+        sum(when(col("s") <= col("q_hat"), 1L).otherwise(0L)).as("n_covered"))
+      .select(col("event_type"), col("n_cal"), col("q_hat"),
+        col("n_eval"), col("n_covered"),
+        (col("n_covered").cast(DoubleType) / col("n_eval").cast(DoubleType))
+          .as("coverage"))
+      .orderBy("event_type")
+  }
+
   // --------------------------------------------- survival / churn hazard
 
   /** A user whose last event is ≥ this many days before the corpus'

@@ -364,4 +364,28 @@ class TimeSeriesOpsSpec extends SparkSpec {
       }
     }
   }
+
+  test("conformal: q_hat is exactly the ceil(0.9(n+1))-th calibration residual") {
+    val hw = EventOps.holtWintersHourly(spark, Sf0001)
+      .select(col("event_type"), col("t"), abs(col("resid")).as("s"))
+      .collect()
+    val got = EventOps.conformalCoverage(spark, Sf0001).collect()
+    assert(got.nonEmpty)
+    got.foreach { r =>
+      val et = r.getAs[String]("event_type")
+      val cal = hw.filter(x => x.getString(0) == et &&
+        x.getInt(1) < EventOps.ConformalCalHours).map(_.getDouble(2)).sorted
+      val k = ((9L * (cal.length + 1) + 9) / 10).toInt
+      assert(r.getAs[Long]("n_cal") == cal.length.toLong)
+      assert(r.getAs[Double]("q_hat") == cal(k - 1),
+        s"$et: q_hat should be the rank-$k order statistic")
+      val eval = hw.filter(x => x.getString(0) == et &&
+        x.getInt(1) >= EventOps.ConformalCalHours).map(_.getDouble(2))
+      assert(r.getAs[Long]("n_eval") == eval.length.toLong)
+      assert(r.getAs[Long]("n_covered") ==
+        eval.count(_ <= r.getAs[Double]("q_hat")).toLong)
+      val cov = r.getAs[Double]("coverage")
+      assert(cov > 0.0 && cov <= 1.0)
+    }
+  }
 }
