@@ -3592,6 +3592,17 @@ object Registry {
         |       count(DISTINCT user_id) >= ${QualityAuditOps.KAnonK} AS anonymous
         |FROM events GROUP BY 1, 2
         |ORDER BY event_type, qid_hour""".stripMargin)),
+    // distinct l-diversity: the homogeneity-attack gate k-anonymity
+    // leaves open — distinct SENSITIVE values (props k mod 10) per QID
+    // group, flagged below the floor
+    GraftQuery("x_kanon_ldiversity", QualityAuditOps.lDiversityAudit _, Some(
+      s"""SELECT event_type, date_trunc('hour', ts) AS qid_hour,
+        |       count(*) AS n_rows,
+        |       CAST(count(DISTINCT CAST(json_extract_string(props, '$$.k') AS INTEGER) % 10) AS INTEGER) AS n_sensitive,
+        |       count(DISTINCT CAST(json_extract_string(props, '$$.k') AS INTEGER) % 10)
+        |         >= ${QualityAuditOps.LDiversityL} AS diverse
+        |FROM events GROUP BY 1, 2
+        |ORDER BY event_type, qid_hour""".stripMargin)),
     // generalization ladder: release each hourly group at the finest
     // grain (hour → day → month) clearing k distinct users, else
     // suppress — maximal detail at a fixed privacy floor

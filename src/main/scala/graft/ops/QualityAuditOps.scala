@@ -117,6 +117,38 @@ object QualityAuditOps {
         countDistinct(col("user_id")).cast(
           org.apache.spark.sql.types.IntegerType).as("n_users"))
 
+  /** Diversity floor for [[lDiversityAudit]]. */
+  val LDiversityL = 3
+
+  /** Distinct ℓ-diversity audit (Machanavajjhala et al. '07) — the
+    * gap k-anonymity leaves open: a group of ≥ k users whose SENSITIVE
+    * attribute is all one value still discloses that value for every
+    * member ("homogeneity attack"). Per quasi-identifier group (the
+    * [[kAnonymityAudit]] QID: event_type × hour), count distinct
+    * sensitive values — here the payload category carried in the JSON
+    * props (k mod 10, a 10-ary categorical) — and flag groups below
+    * [[LDiversityL]]. A release gate runs BOTH audits: k on who is in
+    * the group, ℓ on what the group says about them.
+    *
+    * Scale shape: identical to the k-audit — ONE exchange keyed by the
+    * bounded QID, two-phase distinct aggregate, |types × hours| output
+    * rows at any corpus size. */
+  def lDiversityAudit(spark: SparkSession, dir: String): DataFrame =
+    lDiversityAudit(spark, dir, LDiversityL)
+
+  def lDiversityAudit(spark: SparkSession, dir: String, l: Int): DataFrame =
+    Tables(spark, dir, "events")
+      .select(col("event_type"), date_trunc("hour", col("ts")).as("qid_hour"),
+        (get_json_object(col("props"), "$.k").cast(
+          org.apache.spark.sql.types.IntegerType) % 10).as("sensitive"))
+      .groupBy(col("event_type"), col("qid_hour"))
+      .agg(count(lit(1)).as("n_rows"),
+        countDistinct(col("sensitive")).cast(
+          org.apache.spark.sql.types.IntegerType).as("n_sensitive"))
+      .select(col("event_type"), col("qid_hour"), col("n_rows"),
+        col("n_sensitive"), (col("n_sensitive") >= l).as("diverse"))
+      .orderBy("event_type", "qid_hour")
+
   /** GENERALIZATION — the enforcement alternative to suppression: a
     * below-k hourly group is not dropped but released at a coarser
     * time grain (hour → day → month), the classic quasi-identifier

@@ -67,6 +67,47 @@ class QualityAuditOpsSpec extends SparkSpec {
     assert(sup("click") == ((2L, 2L, 0L, 1)))
   }
 
+  test("l-diversity: a k-anonymous homogeneous group still fails the diversity floor") {
+    val dir = tempDir("ldiv_events")
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    def k(v: Int) = s"""{"k": $v}"""
+    // hour 10 of 'view': 4 users, ALL with sensitive category 7 —
+    //   k-anonymous at k=3 yet discloses the category (homogeneity)
+    // hour 11 of 'view': 3 users with categories 1, 2, 3 → diverse
+    val rows = Seq(
+      (1L, ts("2024-03-01 10:05:00"), 11L, "view", 1.0, k(7)),
+      (2L, ts("2024-03-01 10:15:00"), 12L, "view", 1.0, k(17)),
+      (3L, ts("2024-03-01 10:25:00"), 13L, "view", 1.0, k(27)),
+      (4L, ts("2024-03-01 10:35:00"), 14L, "view", 1.0, k(97)),
+      (5L, ts("2024-03-01 11:05:00"), 11L, "view", 1.0, k(1)),
+      (6L, ts("2024-03-01 11:15:00"), 12L, "view", 1.0, k(2)),
+      (7L, ts("2024-03-01 11:25:00"), 13L, "view", 1.0, k(3)))
+      .toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+    rows.repartition(3).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val kAudit = QualityAuditOps.kAnonymityAudit(spark, dir, 3).collect()
+      .map(r => (r.getTimestamp(1).toString, r.getBoolean(4))).toMap
+    assert(kAudit("2024-03-01 10:00:00.0"), "hour 10 IS k-anonymous")
+    val lAudit = QualityAuditOps.lDiversityAudit(spark, dir, 3).collect()
+      .map(r => (r.getTimestamp(1).toString,
+        (r.getLong(2), r.getInt(3), r.getBoolean(4)))).toMap
+    assert(lAudit("2024-03-01 10:00:00.0") == ((4L, 1, false)),
+      "k mod 10 = 7 for all four rows: one sensitive value, not diverse")
+    assert(lAudit("2024-03-01 11:00:00.0") == ((3L, 3, true)))
+  }
+
+  test("l-diversity: real corpus — the floor bites in both directions") {
+    val rows = QualityAuditOps.lDiversityAudit(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getAs[Boolean]("diverse") ==
+        (r.getAs[Int]("n_sensitive") >= QualityAuditOps.LDiversityL))
+      assert(r.getAs[Int]("n_sensitive") <= 10)
+    }
+    assert(rows.exists(_.getAs[Boolean]("diverse")) &&
+      rows.exists(!_.getAs[Boolean]("diverse")),
+      "the floor should separate sparse hours from busy ones at sf0.001")
+  }
+
   test("k-anonymity generalization: every rung of the ladder — hour, day, month, suppress") {
     val dir = tempDir("kanon_gen_events")
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
