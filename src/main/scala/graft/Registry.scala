@@ -87,7 +87,9 @@ object Registry {
     * with one-step-ahead pred/resid per hour) — shared by the forecast
     * dump and the conformal band so both read the SAME residual
     * definition. Callers prepend WITH RECURSIVE. */
-  private val hwRecursiveCtes: String =
+  /** The dense per-type hourly spine (CTE `hs`: event_type, t, x) —
+    * shared by the HW replay and the changepoint scan. */
+  private val hourlySpineCtes: String =
     """spine AS (
       |  SELECT et.event_type, h.hour_ts
       |  FROM (SELECT DISTINCT event_type FROM events) et
@@ -100,7 +102,10 @@ object Registry {
       |              CAST(CAST(epoch(spine.hour_ts) AS BIGINT) // 3600
       |                - CAST(epoch(TIMESTAMP '2024-01-01 00:00:00') AS BIGINT) // 3600 AS INTEGER) AS t,
       |              coalesce(c.c, 0) AS x
-      |       FROM spine LEFT JOIN c ON spine.event_type = c.event_type AND spine.hour_ts = c.h),
+      |       FROM spine LEFT JOIN c ON spine.event_type = c.event_type AND spine.hour_ts = c.h)""".stripMargin
+
+  private val hwRecursiveCtes: String =
+    s"""$hourlySpineCtes,
       |r AS (
       |  SELECT event_type, t, x,
       |         CAST(x AS DOUBLE) AS level,
@@ -1816,6 +1821,31 @@ object Registry {
         |SELECT event_type, t, CAST(x AS BIGINT) AS x, level, trend, snew AS seasonal,
         |       pred, resid
         |FROM r ORDER BY event_type, t""".stripMargin)),
+    // offline single changepoint (binary-segmentation base step):
+    // argmax |S_tau| cross-multiplied to exact int64 |n·P − c·T|,
+    // earliest-hour tie-break, segment means in integral micro-units
+    GraftQuery("x_ts_changepoint", EventOps.changepointHourly, Some(
+      s"""WITH $hourlySpineCtes,
+        |pc AS (SELECT event_type, t, x,
+        |         CAST(sum(x) OVER (PARTITION BY event_type ORDER BY t) AS BIGINT) AS p,
+        |         CAST(count(*) OVER (PARTITION BY event_type ORDER BY t) AS BIGINT) AS c
+        |       FROM hs),
+        |tt AS (SELECT event_type, CAST(sum(x) AS BIGINT) AS tt,
+        |              CAST(count(*) AS BIGINT) AS n
+        |       FROM hs GROUP BY 1),
+        |sc AS (SELECT pc.event_type, t, p, c, tt.tt, tt.n,
+        |         abs(n * p - c * tt) AS score
+        |       FROM pc JOIN tt ON pc.event_type = tt.event_type
+        |       WHERE c < n),
+        |top AS (SELECT *, row_number() OVER (PARTITION BY event_type
+        |                    ORDER BY score DESC, t) AS rn
+        |        FROM sc)
+        |SELECT event_type, CAST(t AS BIGINT) AS tau, n AS n_hours, score,
+        |       (p * 1000000000000) // c AS mean_before_micro,
+        |       ((tt - p) * 1000000000000) // (n - c) AS mean_after_micro,
+        |       ((tt - p) * 1000000000000) // (n - c)
+        |         - (p * 1000000000000) // c AS shift_micro
+        |FROM top WHERE rn = 1 ORDER BY event_type""".stripMargin)),
     // split-conformal band on the Holt-Winters residuals: q_hat is the
     // ceil(0.9·(n_cal+1))-th smallest calibration |resid| (integer rank
     // arithmetic), coverage the exact hold-out fraction inside the band

@@ -947,6 +947,53 @@ object EventOps {
         (col("ci_lo") <= 0.0 && col("ci_hi") >= 0.0).as("covers_zero"))
   }
 
+  // --------------------------------------------------- changepoint
+
+  /** Offline single-changepoint detection over the hourly count series
+    * (the binary-segmentation base step): τ* = argmax_τ |S_τ| where
+    * S_τ = Σ_{t ≤ τ}(x_t − x̄) — the split that most separates the
+    * before/after means. The CUSUM op alarms ONLINE against a fixed
+    * target; this finds WHERE the level shifted after the fact.
+    *
+    * Exactness: S_τ involves the non-integer mean, so the score is
+    * cross-multiplied to |n·P_τ − c_τ·T| (P = prefix sum, c = prefix
+    * count, T = total) — exact int64; the argmax tie-breaks to the
+    * earliest hour in both engines. Segment means serve as
+    * floor(1e12·sum/count) integral divisions. Headroom: T·1e12 must
+    * stay inside int64 (T < 9.2e6 per series here); a larger
+    * deployment drops the mean scale to 1e9 or serves the rational
+    * (sum, count) pair raw.
+    *
+    * Scale shape: prefix sums ride ONE window per series over the
+    * bounded hourly spine (720 rows/series — the HW argument), the
+    * argmax is a rank-1 filter on the same partitioning, and the
+    * output is one row per series. */
+  def changepointHourly(spark: SparkSession, dir: String): DataFrame = {
+    val hs = hourlySeries(spark, dir)
+      .select(col("event_type"), col("t").cast(LongType), col("x"))
+    val wp = Window.partitionBy(col("event_type")).orderBy(col("t"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val tot = hs.groupBy(col("event_type"))
+      .agg(sum(col("x")).as("tt"), count(lit(1)).as("n"))
+    val scored = hs
+      .withColumn("p", sum(col("x")).over(wp))
+      .withColumn("c", sum(lit(1L)).over(wp))
+      .join(broadcast(tot), Seq("event_type"))
+      .filter(col("c") < col("n"))
+      .withColumn("score", abs(col("n") * col("p") - col("c") * col("tt")))
+    val wr = Window.partitionBy(col("event_type"))
+      .orderBy(col("score").desc, col("t"))
+    scored.withColumn("rn", row_number().over(wr))
+      .filter(col("rn") === 1)
+      .select(col("event_type"), col("t").as("tau"), col("n").as("n_hours"),
+        col("score"),
+        expr("(p * 1000000000000) div c").as("mean_before_micro"),
+        expr("((tt - p) * 1000000000000) div (n - c)").as("mean_after_micro"))
+      .withColumn("shift_micro",
+        col("mean_after_micro") - col("mean_before_micro"))
+      .orderBy("event_type")
+  }
+
   // --------------------------------------------------- conformal band
 
   /** Hours 0..479 calibrate the conformal band; the rest are held out. */

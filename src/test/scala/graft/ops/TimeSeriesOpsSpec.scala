@@ -365,6 +365,47 @@ class TimeSeriesOpsSpec extends SparkSpec {
     }
   }
 
+  test("changepoint: planted level shift found at the exact boundary hour") {
+    import spark.implicits._
+    val dir = tempDir("changepoint")
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:30:00").getTime
+    // hours 0..359 at one event/hour, hours 360..719 at three — the
+    // argmax |S| sits on the last low hour (tau = 359)
+    val rows = (0 until 720).flatMap { h =>
+      val copies = if (h < 360) 1 else 3
+      (0 until copies).map { i =>
+        (h.toLong * 10 + i, new java.sql.Timestamp(base + h * 3600000L),
+          7L, "view", 1.0, "{}")
+      }
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .repartition(3).write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = EventOps.changepointHourly(spark, dir).collect()(0)
+    assert(r.getAs[String]("event_type") == "view")
+    assert(r.getAs[Long]("tau") == 359L, s"got $r")
+    assert(r.getAs[Long]("n_hours") == 720L)
+    assert(r.getAs[Long]("mean_before_micro") == 1000000000000L)
+    assert(r.getAs[Long]("mean_after_micro") == 3000000000000L)
+    assert(r.getAs[Long]("shift_micro") == 2000000000000L)
+    // score = |n·P − c·T| at the boundary: |720·360 − 360·1440|
+    assert(r.getAs[Long]("score") == 259200L)
+  }
+
+  test("changepoint: a constant series scores zero everywhere, tau ties to hour 0") {
+    import spark.implicits._
+    val dir = tempDir("changepoint_const")
+    val base = java.sql.Timestamp.valueOf("2024-01-01 00:30:00").getTime
+    val rows = (0 until 720).map { h =>
+      (h.toLong, new java.sql.Timestamp(base + h * 3600000L), 7L, "view", 1.0, "{}")
+    }
+    rows.toDF("event_id", "ts", "user_id", "event_type", "value", "props")
+      .write.mode("overwrite").parquet(s"$dir/events.parquet")
+    val r = EventOps.changepointHourly(spark, dir).collect()(0)
+    assert(r.getAs[Long]("score") == 0L)
+    assert(r.getAs[Long]("tau") == 0L, "all scores tie at 0 → earliest hour wins")
+    assert(r.getAs[Long]("shift_micro") == 0L)
+  }
+
   test("conformal: q_hat is exactly the ceil(0.9(n+1))-th calibration residual") {
     val hw = EventOps.holtWintersHourly(spark, Sf0001)
       .select(col("event_type"), col("t"), abs(col("resid")).as("s"))
