@@ -45,6 +45,27 @@ class SourcesSpec extends SparkSpec {
     }
   }
 
+  test("ORC sink/source: typed round-trip is exact and filters push to the ORC scan") {
+    val ev = graft.ops.Tables(spark, Sf0001, "events")
+      .select("event_id", "ts", "user_id", "event_type", "value")
+    val orcDir = tempDir("events_orc") + "/out"
+    ev.write.mode("overwrite").orc(orcDir)
+    val back = spark.read.orc(orcDir)
+    // ORC is a typed columnar format: unlike the CSV text round-trip,
+    // every column (timestamps included) must come back bit-exact
+    assert(back.schema.map(f => (f.name, f.dataType)) ==
+      ev.schema.map(f => (f.name, f.dataType)))
+    val a = ev.orderBy("event_id").collect()
+    val b = back.orderBy("event_id").collect()
+    assert(a.sameElements(b), "ORC round-trip must be value-exact")
+    // predicate pushdown reaches the ORC reader like the parquet path
+    val q = back.filter(col("event_type") === "view").select("event_id")
+    val plan = q.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("event_type"),
+      s"expected the type predicate pushed into the ORC scan:\n$plan")
+    assert(q.count() == ev.filter(col("event_type") === "view").count())
+  }
+
   test("schema evolution: mergeSchema unifies old and new parquet batches") {
     import spark.implicits._
     val dir = tempDir("evolving_lake")
