@@ -3939,6 +3939,44 @@ object Registry {
     // still be value-checked)
     GraftQuery("x_embed_pca_gate", EmbedOps.embedPcaGate, Some(
       """SELECT count(*) AS n_vecs, true AS passes FROM embeddings""")),
+    // Johnson-Lindenstrauss 64→16 sign projection: the ±1 matrix is
+    // md5-derived (content-hash currency), so the 4× dimension shrink is
+    // fully value-oracled — exact int64 outputs, no shuffle
+    GraftQuery("x_embed_jl_project", EmbedOps.jlProject, Some(
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id, list_transform(v, x -> CAST(floor(x * ${EmbedOps.Scale}) AS BIGINT)) AS q FROM e),
+        |dims AS (SELECT j.j, i.i,
+        |           CASE WHEN CAST(('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' || CAST(i.i AS VARCHAR)), 1, 1)) AS INTEGER) % 2 = 0
+        |                THEN 1 ELSE -1 END AS s
+        |         FROM unnest(generate_series(0, ${EmbedOps.JlOutDims - 1})) AS j(j),
+        |              unnest(generate_series(0, ${EmbedOps.JlInDims - 1})) AS i(i)),
+        |u AS (SELECT vec_id, i.i AS i, q[i.i + 1] AS qi
+        |      FROM q, unnest(generate_series(0, ${EmbedOps.JlInDims - 1})) AS i(i)),
+        |p AS (SELECT u.vec_id, d.j AS dim, CAST(sum(d.s * u.qi) AS BIGINT) AS y
+        |      FROM u JOIN dims d ON d.i = u.i GROUP BY u.vec_id, d.j)
+        |SELECT vec_id, CAST(dim AS INTEGER) AS dim, y FROM p
+        |ORDER BY vec_id, dim""".stripMargin)),
+    // the JL energy gate: sum|y|^2 within ±20% of k·sum|q|^2, integer
+    // cross-multiplied bounds — a broken sign matrix moves it far out
+    GraftQuery("x_embed_jl_gate", EmbedOps.jlGate, Some(
+      s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |q AS (SELECT vec_id, list_transform(v, x -> CAST(floor(x * ${EmbedOps.Scale}) AS BIGINT)) AS q FROM e),
+        |dims AS (SELECT j.j, i.i,
+        |           CASE WHEN CAST(('0x' || substr(md5(CAST(j.j AS VARCHAR) || ':' || CAST(i.i AS VARCHAR)), 1, 1)) AS INTEGER) % 2 = 0
+        |                THEN 1 ELSE -1 END AS s
+        |         FROM unnest(generate_series(0, ${EmbedOps.JlOutDims - 1})) AS j(j),
+        |              unnest(generate_series(0, ${EmbedOps.JlInDims - 1})) AS i(i)),
+        |u AS (SELECT vec_id, i.i AS i, q[i.i + 1] AS qi
+        |      FROM q, unnest(generate_series(0, ${EmbedOps.JlInDims - 1})) AS i(i)),
+        |p AS (SELECT u.vec_id, d.j AS dim, CAST(sum(d.s * u.qi) AS BIGINT) AS y
+        |      FROM u JOIN dims d ON d.i = u.i GROUP BY u.vec_id, d.j),
+        |n1 AS (SELECT CAST(sum(y * y) AS BIGINT) AS num FROM p),
+        |d1 AS (SELECT (SELECT CAST(count(*) AS BIGINT) FROM q) AS n_vecs,
+        |              CAST(${EmbedOps.JlOutDims} * sum(qi * qi) AS BIGINT) AS den
+        |       FROM u)
+        |SELECT n_vecs, num, den,
+        |       (num >= (4 * den) // 5 AND num <= (6 * den) // 5) AS passes
+        |FROM d1 CROSS JOIN n1""".stripMargin)),
     GraftQuery("x_embed_mrl_head", EmbedOps.mrlHeadMass, Some(
       s"""WITH q AS (SELECT vec_id,
         |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${EmbedOps.Scale}) AS BIGINT)) AS qv

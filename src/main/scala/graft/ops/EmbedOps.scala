@@ -251,4 +251,76 @@ object EmbedOps {
       .groupBy(col("label"), col("pred"))
       .agg(count(lit(1)).as("n"))
       .orderBy("label", "pred")
+
+  // ------------------------------------------- JL sign projection (64→16)
+
+  /** Output dimensionality of the Johnson–Lindenstrauss sign
+    * projection — the 4× shrink step an embedding store runs before
+    * coarse ANN (scan IO and index size drop 4×; distances distort by
+    * the JL bound). */
+  val JlOutDims = 16
+  val JlInDims = 64
+
+  /** The ±1 projection matrix, derived from md5 of "j:i" (first hex
+    * nibble parity) — the content-hash currency, so the oracle replays
+    * the SAME matrix in SQL and the projection is fully value-checked;
+    * an RNG matrix never could be. Achlioptas (2003): ±1 entries
+    * satisfy the JL guarantee like Gaussians. Computed once at class
+    * load; 16×64 ints. */
+  lazy val JlSigns: IndexedSeq[IndexedSeq[Int]] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    (0 until JlOutDims).map { j =>
+      (0 until JlInDims).map { i =>
+        val hex = md.digest(s"$j:$i".getBytes("UTF-8"))
+          .map("%02x".format(_)).mkString
+        if (Integer.parseInt(hex.substring(0, 1), 16) % 2 == 0) 1 else -1
+      }
+    }
+  }
+
+  /** y_j = Σ_i s(j,i)·q_i over the scaled-int64 view — exact integer
+    * output (|y_j| ≤ 64·1e5 ≈ 6.4e6, far inside int64). Served
+    * exploded (vec_id, dim, y) for the value oracle.
+    *
+    * Scale shape: a narrow per-row projection against two LITERAL
+    * arrays — no shuffle, no join, no state; pipelines into the scan
+    * exactly like [[mrlHeadMass]]. At 100 TB this is the map stage
+    * that halves-and-halves again the store before the ANN index. */
+  def jlProject(spark: SparkSession, dir: String): DataFrame = {
+    val signs = typedLit[Seq[Seq[Int]]](JlSigns.map(_.toSeq))
+    val q = transform(col("embedding"),
+      x => floor(x.cast(DoubleType) * Scale).cast(LongType))
+    Tables(spark, dir, "embeddings")
+      .select(col("vec_id"), q.as("q"))
+      .select(col("vec_id"), posexplode(
+        transform(sequence(lit(0), lit(JlOutDims - 1)), j =>
+          aggregate(sequence(lit(0), lit(JlInDims - 1)), lit(0L), (acc, i) =>
+            acc + element_at(element_at(signs, (j + 1).cast(IntegerType)),
+              (i + 1).cast(IntegerType)).cast(LongType) *
+              element_at(col("q"), (i + 1).cast(IntegerType))))))
+      .select(col("vec_id"), col("pos").cast(IntegerType).as("dim"),
+        col("col").as("y"))
+      .orderBy("vec_id", "dim")
+  }
+
+  /** JL energy gate: with ±1 signs, E‖y‖² = k·‖q‖² over sign draws, so
+    * the store-wide ratio Σ‖y‖² / (k·Σ‖q‖²) must sit near 1 — the gate
+    * allows ±20%, checked with INTEGER cross-multiplied bounds
+    * ((4·den) div 5 ≤ num ≤ (6·den) div 5; the div-floor slack is < 1
+    * unit on a ~1e16 scale). A broken sign matrix or a dropped
+    * dimension moves the ratio far outside. Headroom: num stays inside
+    * int64 to ~1.4e4 vectors at d = 64; a full-scale store runs the
+    * gate per shard (the sums are trivially mergeable). */
+  def jlGate(spark: SparkSession, dir: String): DataFrame = {
+    val num = jlProject(spark, dir)
+      .agg(sum(col("y") * col("y")).as("num"))
+    val den = Tables(spark, dir, "embeddings")
+      .select(lsum(sq(col("embedding"))).as("qq"))
+      .agg(count(lit(1)).as("n_vecs"),
+        (sum(col("qq")) * JlOutDims).as("den"))
+    den.crossJoin(broadcast(num))
+      .select(col("n_vecs"), col("num"), col("den"),
+        (col("num") >= expr("(4 * den) div 5") &&
+          col("num") <= expr("(6 * den) div 5")).as("passes"))
+  }
 }

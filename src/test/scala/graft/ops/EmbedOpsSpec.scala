@@ -130,4 +130,48 @@ class EmbedOpsSpec extends SparkSpec {
     assert(asg.length == want.values.sum)
     assert(asg.forall(_.getAs[Long]("dist") >= 0L))
   }
+
+  test("jl signs: ±1 only, every output row mixes both signs, deterministic") {
+    val s = EmbedOps.JlSigns
+    assert(s.length == EmbedOps.JlOutDims && s.forall(_.length == EmbedOps.JlInDims))
+    assert(s.flatten.forall(v => v == 1 || v == -1))
+    s.zipWithIndex.foreach { case (row, j) =>
+      assert(row.contains(1) && row.contains(-1),
+        s"row $j is constant — md5 derivation broken")
+    }
+    assert(s == EmbedOps.JlSigns)
+  }
+
+  test("jl projection: one-hot input reads the sign column exactly") {
+    val rows = EmbedOps.jlProject(spark, Sf0001)
+      .filter(col("vec_id") === 0).collect()
+    // reference: recompute vec 0's projection from the raw floats
+    val v = Tables(spark, Sf0001, "embeddings").filter(col("vec_id") === 0)
+      .collect()(0).getAs[scala.collection.Seq[Float]]("embedding")
+    val q = v.map(x => math.floor(x.toDouble * EmbedOps.Scale).toLong)
+    rows.foreach { r =>
+      val j = r.getAs[Int]("dim")
+      val want = q.zip(EmbedOps.JlSigns(j)).map { case (qi, s) => s * qi }.sum
+      assert(r.getAs[Long]("y") == want, s"dim $j diverged")
+    }
+    assert(rows.length == EmbedOps.JlOutDims)
+  }
+
+  test("jl gate: passes on the real store; zeroed rows would trip it") {
+    val g = EmbedOps.jlGate(spark, Sf0001).collect()(0)
+    assert(g.getAs[Boolean]("passes"), s"energy ratio out of band: $g")
+    // negative control: a matrix with half its rows zeroed keeps only the
+    // 8 live dims' energy — provably below the 0.8 lower bound whenever
+    // the full matrix sits inside the band (num_half ≈ num/2 ≤ 0.6·den).
+    // (Note an all-ones matrix is NOT a valid control: for centered
+    // embeddings E(Σq)² = Σq², so it satisfies the energy identity too —
+    // permutation-type breakage is caught by the VALUE oracle, not the
+    // gate; the gate guards energy loss.)
+    val numHalf = EmbedOps.jlProject(spark, Sf0001)
+      .filter(col("dim") < EmbedOps.JlOutDims / 2)
+      .agg(sum(col("y") * col("y"))).collect()(0).getLong(0)
+    val den = g.getAs[Long]("den")
+    assert(numHalf < 4L * den / 5L,
+      "half-zeroed matrix must fall below the energy band")
+  }
 }
