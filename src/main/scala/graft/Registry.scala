@@ -2195,7 +2195,7 @@ object Registry {
         |SELECT n_users, b, est_diff, ds[2] AS ci_lo, ds[${b - 1}] AS ci_hi,
         |       (ds[2] <= 0.0 AND ds[${b - 1}] >= 0.0) AS covers_zero
         |FROM e CROSS JOIN bt""".stripMargin
-    }),
+    }, headline = true),
     // Quantile treatment effects: exact per-arm discrete quartiles of
     // the per-user metric, double-cast, with arm-difference columns
     GraftQuery("x_ab_qte", EventOps.abQuantileEffect, Some(
