@@ -1352,15 +1352,19 @@ object Registry {
   /** Macro mean folds the per-query ndcg doubles as a LEFT-ASSOCIATED
     * chain in static query order — parenthesized identically to the
     * Spark fold (the Bradley–Terry IEEE-order discipline). */
-  private lazy val ndcgSummaryOracle: String = {
+  private def ndcgSummaryOracleFor(runrDef: String): String = {
     val chain = graft.ops.RetrievalOps.DefaultQueries.map { case (q, _) =>
       s"coalesce(max(CASE WHEN q_id = $q THEN ndcg END), 0.0)"
     }.reduceLeft((a, b) => s"($a + $b)")
-    s"""WITH ${ndcgCtesFor(bm25RunrDef)}
+    s"""WITH ${ndcgCtesFor(runrDef)}
       |SELECT CAST(count(*) AS INTEGER) AS n_queries,
       |       $chain / ${graft.ops.RetrievalOps.DefaultQueries.size}.0 AS mean_ndcg
       |FROM nper""".stripMargin
   }
+
+  private lazy val ndcgSummaryOracle: String = ndcgSummaryOracleFor(bm25RunrDef)
+  private lazy val ndcgRrfSummaryOracle: String = ndcgSummaryOracleFor(rrfRunrDef)
+  private lazy val ndcgPrfSummaryOracle: String = ndcgSummaryOracleFor(prfRunrDef)
 
   /** Shared BM25 oracle (inline and index-probe forms serve identical
     * rows). */
@@ -2655,6 +2659,12 @@ object Registry {
       Some(ndcgPerQueryOracle)),
     GraftQuery("x_eval_ndcg_summary", EvalOps.bm25NdcgSummary,
       Some(ndcgSummaryOracle)),
+    // the RRF and PRF runs under the SAME graded judgment — the NDCG leg
+    // of the three-way serving-path comparison (single-source CTEs)
+    GraftQuery("x_eval_ndcg_rrf_summary", EvalOps.rrfNdcgSummary,
+      Some(ndcgRrfSummaryOracle)),
+    GraftQuery("x_eval_ndcg_prf_summary", EvalOps.prfNdcgSummary,
+      Some(ndcgPrfSummaryOracle)),
     GraftQuery("x_sim_ann_lsh", SimilarityOps.annLsh, None),
     GraftQuery("x_sim_knn_join", (s, d) => SimilarityOps.knnJoin(s, d), None,
       headline = true),

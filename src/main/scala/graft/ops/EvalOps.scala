@@ -243,6 +243,15 @@ object EvalOps {
   def bm25NdcgSummary(spark: SparkSession, dir: String): DataFrame =
     ndcgSummary(RetrievalOps.bm25(spark, dir), gradedQrels(spark, dir))
 
+  /** The RRF and PRF runs under the SAME graded judgment — the NDCG leg
+    * of the three-way serving-path comparison (the binary-relevance leg
+    * is [[rrfEvalSummary]]/[[prfEvalSummary]]). */
+  def rrfNdcgSummary(spark: SparkSession, dir: String): DataFrame =
+    ndcgSummary(RetrievalOps.rrfHybrid(spark, dir), gradedQrels(spark, dir))
+
+  def prfNdcgSummary(spark: SparkSession, dir: String): DataFrame =
+    ndcgSummary(RetrievalOps.bm25Prf(spark, dir), gradedQrels(spark, dir))
+
   /** The wired surfaces: the BM25 run judged against conjunctive
     * relevance. */
   def bm25EvalPerQuery(spark: SparkSession, dir: String): DataFrame =

@@ -1072,10 +1072,16 @@ object EventOps {
     * table — the discPercentiles argument: windows order |distinct
     * lifetimes| rows (bounded by the observation span in days), never
     * user rows. */
-  def survivalHazard(spark: SparkSession, dir: String): DataFrame = {
-    val spans = Tables(spark, dir, "events")
+  def survivalHazard(spark: SparkSession, dir: String): DataFrame =
+    hazardOfSpans(Tables(spark, dir, "events")
       .groupBy(col("user_id"))
-      .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts"))
+      .agg(min(col("ts")).as("first_ts"), max(col("ts")).as("last_ts")))
+
+  /** The hazard tail over any (user_id, first_ts, last_ts) relation —
+    * shared by the batch readout above and the streaming span-log serve
+    * (graft.streaming.StreamingSurvival), so the live curve is
+    * structurally the batch definition. */
+  def hazardOfSpans(spans: DataFrame): DataFrame = {
     val end = spans.agg(max(col("last_ts")).as("study_end"))
     val lives = spans.crossJoin(broadcast(end))
       .select(
