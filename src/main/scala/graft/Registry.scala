@@ -1507,12 +1507,15 @@ object Registry {
     * class means, integer squared distances, argmin ties to the lowest
     * label — mirrors EmbedOps.centroidClassify step for step. Shared by
     * the assignment dump and the confusion-matrix oracle. */
-  private def classifyCtes: String =
+  private def scaledVecCte: String =
     """cu AS (SELECT vec_id, label, pos,
       |         CAST(floor(CAST(x AS DOUBLE) * 100000) AS BIGINT) AS val
       |       FROM (SELECT vec_id, label, unnest(embedding) AS x,
       |                    unnest(generate_series(0, len(embedding) - 1)) AS pos
-      |             FROM embeddings)),
+      |             FROM embeddings))""".stripMargin
+
+  private def classifyCtes: String =
+    s"""$scaledVecCte,
       |cc AS (SELECT label AS clabel, pos,
       |         CAST(floor(CAST(sum(val) AS DOUBLE) / count(*)) AS BIGINT) AS cval
       |       FROM cu GROUP BY label, pos),
@@ -1523,6 +1526,36 @@ object Registry {
       |        (SELECT vec_id, label, clabel, d,
       |                row_number() OVER (PARTITION BY vec_id ORDER BY d, clabel) AS rn
       |         FROM cd) WHERE rn = 1)""".stripMargin
+
+  /** K-fold CV oracle: per fold, centroids from the complement
+    * (vec_id % K ≠ f), argmin assignment on the held-out slice —
+    * generated from the SAME fold count the Spark op uses. */
+  private def cvAccuracyOracle: String = {
+    val k = graft.ops.EmbedOps.CvFolds
+    val folds = (0 until k).map { f =>
+      s"""cc$f AS (SELECT label AS clabel, pos,
+        |         CAST(floor(CAST(sum(val) AS DOUBLE) / count(*)) AS BIGINT) AS cval
+        |       FROM cu WHERE vec_id % $k <> $f GROUP BY label, pos),
+        |cd$f AS (SELECT u.vec_id, u.label, c.clabel,
+        |         sum((u.val - c.cval) * (u.val - c.cval)) AS d
+        |       FROM cu u JOIN cc$f c USING (pos)
+        |       WHERE u.vec_id % $k = $f GROUP BY u.vec_id, u.label, c.clabel),
+        |ca$f AS (SELECT vec_id, label, clabel AS pred FROM
+        |        (SELECT vec_id, label, clabel,
+        |                row_number() OVER (PARTITION BY vec_id ORDER BY d, clabel) AS rn
+        |         FROM cd$f) WHERE rn = 1),
+        |r$f AS (SELECT CAST($f AS INTEGER) AS fold,
+        |          CAST(count(*) AS BIGINT) AS n_test,
+        |          CAST(sum(CASE WHEN label = pred THEN 1 ELSE 0 END) AS BIGINT) AS n_correct
+        |        FROM ca$f)""".stripMargin
+    }.mkString(",\n")
+    val union = (0 until k).map(f => s"SELECT * FROM r$f").mkString(" UNION ALL ")
+    s"""WITH $scaledVecCte,
+      |$folds
+      |SELECT fold, n_test, n_correct,
+      |       CAST(n_correct AS DOUBLE) / CAST(n_test AS DOUBLE) AS accuracy
+      |FROM ($union) ORDER BY fold""".stripMargin
+  }
 
   /** Content-defined chunking CTE chain (through `s` = per-chunk doc_id,
     * token array `t`, boundary list `ends`, chunk ordinal `j`, start
@@ -3000,6 +3033,10 @@ object Registry {
       s"""WITH $classifyCtes
         |SELECT label, pred, CAST(count(*) AS BIGINT) AS n
         |FROM ca GROUP BY label, pred ORDER BY label, pred""".stripMargin)),
+    // k-fold cross-validated accuracy: each fold held OUT of centroid
+    // training — generalization, not the confusion matrix's
+    // self-consistency; integer-exact end to end, folds by vec_id mod 5
+    GraftQuery("x_eval_cv_accuracy", EmbedOps.cvAccuracy, Some(cvAccuracyOracle)),
     // ANN accuracy inside CORRECTNESS: raw recall telemetry (rows-only —
     // DuckDB cannot rerun the LSH side) + a value-checked floor gate (the
     // oracle expects passes=true, so a recall collapse goes red per-round)

@@ -195,8 +195,13 @@ object EmbedOps {
   /** One centroid per LABEL: integer floor-div means over the scaled
     * view — the supervised sibling of the k-means update, collected as
     * bounded driver state (|labels|·64 longs at any corpus size). */
-  private def classCentroids(spark: SparkSession, dir: String): Seq[(Int, Array[Long])] = {
-    val rows = scaledLabeled(spark, dir)
+  private def classCentroids(spark: SparkSession, dir: String): Seq[(Int, Array[Long])] =
+    classCentroidsOf(scaledLabeled(spark, dir))
+
+  /** The centroid trainer over any (label, v) relation — separated so
+    * cross-validation can train on fold complements. */
+  private def classCentroidsOf(scaled: DataFrame): Seq[(Int, Array[Long])] = {
+    val rows = scaled
       .select(col("label"), posexplode(col("v")).as(Seq("pos", "val")))
       .groupBy(col("label"), col("pos"))
       .agg(sum(col("val")).as("s"), count(lit(1)).as("n"))
@@ -228,7 +233,17 @@ object EmbedOps {
     * no join anywhere in the inference path. */
   def centroidClassify(spark: SparkSession, dir: String): DataFrame = {
     val cents = classCentroids(spark, dir)
-    val best = least(cents.map { case (lbl, cvec) =>
+    scaledLabeled(spark, dir).withColumn("best", bestCentroid(cents))
+      .select(col("vec_id"), col("label"),
+        col("best.lbl").as("pred"), col("best.d").as("dist"))
+      .orderBy("vec_id")
+  }
+
+  /** The argmin-distance kernel over a literal centroid table (ties to
+    * the lowest label) — shared by the full classifier and the CV
+    * folds. */
+  private def bestCentroid(cents: Seq[(Int, Array[Long])]): Column =
+    least(cents.map { case (lbl, cvec) =>
       struct(
         aggregate(
           zip_with(col("v"), array(cvec.toIndexedSeq.map(lit(_)): _*),
@@ -236,10 +251,50 @@ object EmbedOps {
           lit(0L), (acc, x) => acc + x).as("d"),
         lit(lbl).as("lbl"))
     }: _*)
-    scaledLabeled(spark, dir).withColumn("best", best)
-      .select(col("vec_id"), col("label"),
-        col("best.lbl").as("pred"), col("best.d").as("dist"))
-      .orderBy("vec_id")
+
+  /** Number of cross-validation folds (vec_id mod [[CvFolds]] — a
+    * deterministic, engine-identical assignment). */
+  val CvFolds = 5
+
+  /** K-fold cross-validated accuracy of the centroid classifier — the
+    * methodologically honest readout: [[confusionMatrix]] measures
+    * self-consistency (every vector votes for its own centroid); this
+    * holds each fold OUT of training, so the accuracy is generalization,
+    * not memorization. Per fold: centroids from the complement, argmin
+    * assignment on the held-out slice, exact integer arithmetic end to
+    * end; accuracy is counts + one division.
+    *
+    * Scale shape: training per fold is the same keyed (label, dim)
+    * aggregate with map-side combine (≤ |labels|·dims rows to the
+    * driver per fold — bounded); inference stays a pure map. The
+    * scaled view persists across the 5 passes so the corpus is scanned
+    * once, not ten times. */
+  def cvAccuracy(spark: SparkSession, dir: String): DataFrame = {
+    val all = scaledLabeled(spark, dir)
+      .withColumn("fold", (col("vec_id") % CvFolds).cast(IntegerType))
+      .persist()
+    try {
+      val perFold = (0 until CvFolds).map { f =>
+        val cents = classCentroidsOf(all.filter(col("fold") =!= f))
+        all.filter(col("fold") === f)
+          .withColumn("best", bestCentroid(cents))
+          .agg(
+            count(lit(1)).as("n_test"),
+            sum(when(col("label") === col("best.lbl"), 1L).otherwise(0L))
+              .as("n_correct"))
+          .select(lit(f).as("fold"), col("n_test"), col("n_correct"))
+      }
+      val out = perFold.reduce(_.unionAll(_))
+        .select(col("fold"), col("n_test"), col("n_correct"),
+          (col("n_correct").cast(DoubleType) / col("n_test").cast(DoubleType))
+            .as("accuracy"))
+        .orderBy("fold")
+      // materialize before unpersist: the fold aggregates are tiny
+      val rows = out.collect()
+      import spark.implicits._
+      rows.map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+        .toSeq.toDF("fold", "n_test", "n_correct", "accuracy")
+    } finally all.unpersist()
   }
 
   /** The (label, pred) confusion surface of [[centroidClassify]] — the

@@ -131,6 +131,37 @@ class EmbedOpsSpec extends SparkSpec {
     assert(asg.forall(_.getAs[Long]("dist") >= 0L))
   }
 
+  test("cv accuracy: separable blobs score 1.0 on every held-out fold") {
+    import spark.implicits._
+    val dir = tempDir("cv_blobs")
+    val rows = (0 until 20).map { i =>
+      val lbl = i % 2
+      val v = if (lbl == 0) Array(1.0f, 0.1f, 0f, 0f) else Array(-1.0f, -0.1f, 0f, 0f)
+      (i.toLong, v.toSeq, lbl)
+    }
+    rows.toDF("vec_id", "embedding", "label").repartition(3)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = EmbedOps.cvAccuracy(spark, dir).collect()
+    assert(got.length == EmbedOps.CvFolds)
+    assert(got.map(_.getAs[Long]("n_test")).sum == 20L,
+      "folds must partition the store")
+    got.foreach { r =>
+      assert(r.getAs[Double]("accuracy") == 1.0, s"separable blobs: $r")
+      assert(r.getAs[Long]("n_correct") == r.getAs[Long]("n_test"))
+    }
+  }
+
+  test("cv accuracy: real store — folds partition, counts reconcile") {
+    val got = EmbedOps.cvAccuracy(spark, Sf0001).collect()
+    val total = Tables(spark, Sf0001, "embeddings").count()
+    assert(got.map(_.getAs[Long]("n_test")).sum == total)
+    got.foreach { r =>
+      val acc = r.getAs[Double]("accuracy")
+      assert(acc >= 0.0 && acc <= 1.0)
+      assert(acc == r.getAs[Long]("n_correct").toDouble / r.getAs[Long]("n_test"))
+    }
+  }
+
   test("jl signs: ±1 only, every output row mixes both signs, deterministic") {
     val s = EmbedOps.JlSigns
     assert(s.length == EmbedOps.JlOutDims && s.forall(_.length == EmbedOps.JlInDims))
