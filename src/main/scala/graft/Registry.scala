@@ -2463,6 +2463,24 @@ object Registry {
         |       CAST(len(regexp_extract_all(text, '[0-9]+\.[0-9]+\.[0-9]+\.[0-9]+')) AS INTEGER) AS n_ipv4
         |FROM documents ORDER BY doc_id""".stripMargin)),
     GraftQuery("x_text_fingerprint", TextOps.fingerprint, None),
+    // winnowing (MOSS) fingerprint selection: rightmost-min of every
+    // w-window over positional k-gram md5 hashes — any shared run of
+    // >= k+w-1 tokens shares a selected VALUE; fully value-oracled
+    GraftQuery("x_text_winnow", TextOps.winnowFingerprints, Some {
+      val k = TextOps.WinnowK
+      val w = TextOps.WinnowW
+      s"""WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+        |g AS (SELECT doc_id,
+        |        list_transform(generate_series(1, len(tk) - ${k - 1}),
+        |          i -> CAST(('0x' || substr(md5(array_to_string(tk[i:i+${k - 1}], ' ')), 1, 15)) AS BIGINT)) AS gs
+        |      FROM t WHERE len(tk) >= ${k + w - 1}),
+        |sel AS (SELECT doc_id,
+        |          CAST(i + ($w - list_position(list_reverse(gs[i:i+${w - 1}]), list_min(gs[i:i+${w - 1}]))) AS INTEGER) AS pos,
+        |          list_min(gs[i:i+${w - 1}]) AS fp
+        |        FROM g, unnest(generate_series(1, len(gs) - ${w - 1})) AS wi(i))
+        |SELECT DISTINCT doc_id, pos, fp FROM sel
+        |ORDER BY doc_id, pos, fp""".stripMargin
+    }),
     GraftQuery("x_text_fingerprint_gate", TextOps.fingerprintGate, Some(
       """SELECT count(*) AS n_docs, count(DISTINCT text) AS n_texts,
         |       true AS passes FROM documents""".stripMargin)),
