@@ -163,6 +163,48 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r("halves") == ((2, 2048L, 1L, 2L, 0L, 2048L)), s"halves shard: ${r("halves")}")
   }
 
+  test("pack plan: running sums ride range-partitioned slices, not one per-source window") {
+    // the packing family's 100 TB claim is structural: a
+    // Window.partitionBy(source) running sum serializes EVERY document
+    // of a source into one task. Every window in the plan must carry
+    // the slice id (__pid) and a range exchange must feed it.
+    val plan = PretrainOps.packSequences(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    val windows = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty, s"no window found in:\n$plan")
+    assert(windows.forall(_.contains("__pid")),
+      s"per-source global window leaked:\n${windows.mkString("\n")}")
+    assert(plan.contains("rangepartitioning"), s"no range exchange in:\n$plan")
+  }
+
+  test("pack offsets: bit-identical to the textbook per-source window under 100x source skew") {
+    import spark.implicits._
+    // one source 100x the other — the shape that melts a per-source
+    // window task; the range-partitioned prefix sum must agree on
+    // every offset anyway (integer sums ⇒ no float-order escape hatch)
+    val big = (0 until 300).map(i => (i.toLong, s"tok a b c d${i % 7}", "en", "big", 5L))
+    val small = (0 until 3).map(i => (1000L + i, s"x y$i", "en", "small", 2L))
+    val dir = tempDir("pack_skew_docs")
+    (big ++ small).toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(8).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = PretrainOps.packSequences(spark, dir).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getInt(2), r.getLong(3), r.getInt(4), r.getInt(5)))
+    // textbook reference: sequential per-source scan on the driver
+    val byDoc = (big ++ small).map(d => (d._1, (d._4, d._2.split(" ").length)))
+      .sortBy(_._1)
+    val want = byDoc.groupBy(_._2._1).flatMap { case (src, ds) =>
+      var cum = 0L
+      ds.sortBy(_._1).map { case (id, (_, n)) =>
+        val off = cum; cum += n
+        (src, id, n, off,
+          (off / PretrainOps.SeqLen).toInt, ((cum - 1) / PretrainOps.SeqLen).toInt)
+      }
+    }.toSet
+    assert(got.length == 303 && got.toSet == want,
+      s"range-partitioned offsets diverged from the sequential reference")
+  }
+
   test("forget/readmit: deleted keeper re-admits the next member; untouched groups silent") {
     import spark.implicits._
     val docs = Seq(
