@@ -82,11 +82,6 @@ object Registry {
       |       CAST(sum(logit) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_logit
       |FROM b GROUP BY bin ORDER BY bin""".stripMargin
 
-  /** The Holt-Winters recursive replay (spine → hourly counts → the
-    * per-hour (level, trend, seasonal-vector) fold, ending in CTE `r`
-    * with one-step-ahead pred/resid per hour) — shared by the forecast
-    * dump and the conformal band so both read the SAME residual
-    * definition. Callers prepend WITH RECURSIVE. */
   /** The dense per-type hourly spine (CTE `hs`: event_type, t, x) —
     * shared by the HW replay and the changepoint scan. */
   private val hourlySpineCtes: String =
@@ -104,6 +99,11 @@ object Registry {
       |              coalesce(c.c, 0) AS x
       |       FROM spine LEFT JOIN c ON spine.event_type = c.event_type AND spine.hour_ts = c.h)""".stripMargin
 
+  /** The Holt-Winters recursive replay (spine → hourly counts → the
+    * per-hour (level, trend, seasonal-vector) fold, ending in CTE `r`
+    * with one-step-ahead pred/resid per hour) — shared by the forecast
+    * dump and the conformal band so both read the SAME residual
+    * definition. Callers prepend WITH RECURSIVE. */
   private val hwRecursiveCtes: String =
     s"""$hourlySpineCtes,
       |r AS (
@@ -1357,7 +1357,8 @@ object Registry {
       s"coalesce(max(CASE WHEN q_id = $q THEN ndcg END), 0.0)"
     }.reduceLeft((a, b) => s"($a + $b)")
     s"""WITH ${ndcgCtesFor(runrDef)}
-      |SELECT CAST(count(*) AS INTEGER) AS n_queries,
+      |SELECT CAST(${graft.ops.RetrievalOps.DefaultQueries.size} AS INTEGER) AS n_queries,
+      |       CAST(count(*) AS INTEGER) AS n_scored,
       |       $chain / ${graft.ops.RetrievalOps.DefaultQueries.size}.0 AS mean_ndcg
       |FROM nper""".stripMargin
   }
@@ -2222,12 +2223,12 @@ object Registry {
         |bt AS (SELECT CAST(count(*) AS INTEGER) AS b, list_sort(list(d)) AS ds FROM d),
         |ea AS (SELECT user_id % 2 AS arm, count(*) AS n, CAST(sum(y) AS BIGINT) AS sy
         |       FROM pu GROUP BY 1),
-        |e AS (SELECT CAST(max(CASE WHEN arm = 0 THEN n END)
-        |               + max(CASE WHEN arm = 1 THEN n END) AS BIGINT) AS n_users,
-        |        CAST(max(CASE WHEN arm = 0 THEN sy END) AS DOUBLE)
-        |          / CAST(max(CASE WHEN arm = 0 THEN n END) AS DOUBLE) / 100.0
-        |      - CAST(max(CASE WHEN arm = 1 THEN sy END) AS DOUBLE)
-        |          / CAST(max(CASE WHEN arm = 1 THEN n END) AS DOUBLE) / 100.0 AS est_diff
+        |e AS (SELECT CAST(coalesce(max(CASE WHEN arm = 0 THEN n END), 0)
+        |               + coalesce(max(CASE WHEN arm = 1 THEN n END), 0) AS BIGINT) AS n_users,
+        |        coalesce(CAST(max(CASE WHEN arm = 0 THEN sy END) AS DOUBLE)
+        |          / nullif(CAST(max(CASE WHEN arm = 0 THEN n END) AS DOUBLE), 0.0) / 100.0, 0.0)
+        |      - coalesce(CAST(max(CASE WHEN arm = 1 THEN sy END) AS DOUBLE)
+        |          / nullif(CAST(max(CASE WHEN arm = 1 THEN n END) AS DOUBLE), 0.0) / 100.0, 0.0) AS est_diff
         |      FROM ea)
         |SELECT n_users, b, est_diff, ds[2] AS ci_lo, ds[${b - 1}] AS ci_hi,
         |       (ds[2] <= 0.0 AND ds[${b - 1}] >= 0.0) AS covers_zero

@@ -275,24 +275,36 @@ object EmbedOps {
       .persist()
     try {
       val perFold = (0 until CvFolds).map { f =>
-        val cents = classCentroidsOf(all.filter(col("fold") =!= f))
-        all.filter(col("fold") === f)
-          .withColumn("best", bestCentroid(cents))
-          .agg(
+        // a sparse/filtered store can leave a fold or its COMPLEMENT
+        // empty (dense vec_ids never do, but the operator must not
+        // assume its input's id distribution): an empty complement
+        // trains no centroids → zero hits; an empty test fold must
+        // yield n_correct 0 (sum over no rows is null) and a NULL
+        // accuracy rather than an NPE in the collect-and-rebuild
+        val train = all.filter(col("fold") =!= f)
+        val cents = if (train.isEmpty) Nil else classCentroidsOf(train)
+        val test = all.filter(col("fold") === f)
+        val scored =
+          if (cents.isEmpty) test.withColumn("hit", lit(0L))
+          else test.withColumn("best", bestCentroid(cents))
+            .withColumn("hit",
+              when(col("label") === col("best.lbl"), 1L).otherwise(0L))
+        scored.agg(
             count(lit(1)).as("n_test"),
-            sum(when(col("label") === col("best.lbl"), 1L).otherwise(0L))
-              .as("n_correct"))
+            coalesce(sum(col("hit")), lit(0L)).as("n_correct"))
           .select(lit(f).as("fold"), col("n_test"), col("n_correct"))
       }
       val out = perFold.reduce(_.unionAll(_))
         .select(col("fold"), col("n_test"), col("n_correct"),
-          (col("n_correct").cast(DoubleType) / col("n_test").cast(DoubleType))
+          when(col("n_test") > 0,
+            col("n_correct").cast(DoubleType) / col("n_test").cast(DoubleType))
             .as("accuracy"))
         .orderBy("fold")
       // materialize before unpersist: the fold aggregates are tiny
       val rows = out.collect()
       import spark.implicits._
-      rows.map(r => (r.getInt(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+      rows.map(r => (r.getInt(0), r.getLong(1), r.getLong(2),
+          if (r.isNullAt(3)) None else Some(r.getDouble(3))))
         .toSeq.toDF("fold", "n_test", "n_correct", "accuracy")
     } finally all.unpersist()
   }

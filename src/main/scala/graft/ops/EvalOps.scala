@@ -232,8 +232,13 @@ object EvalOps {
       coalesce(max(when(col("q_id") === q, col("ndcg"))), lit(0.0))
     }
     val chain = picks.reduceLeft(_ + _)
+    // n_queries is the mean's ACTUAL denominator (the static query
+    // set — absent queries count as 0); n_scored separately reports
+    // how many queries produced a per-query row, so the two columns
+    // can never silently disagree about what the mean divides by
     per.agg(
-      count(lit(1)).cast(IntegerType).as("n_queries"),
+      lit(queries.size).cast(IntegerType).as("n_queries"),
+      count(lit(1)).cast(IntegerType).as("n_scored"),
       (chain / lit(queries.size.toDouble)).as("mean_ndcg"))
   }
 

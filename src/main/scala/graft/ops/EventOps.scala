@@ -933,14 +933,20 @@ object EventOps {
       .select(col("b"),
         element_at(col("dss"), 2).as("ci_lo"),
         element_at(col("dss"), BootstrapB - 1).as("ci_hi"))
+    // the est leg coalesces exactly like the replicate leg: an
+    // all-one-parity store leaves one arm's pick() null, and without
+    // the guard n_users/est_diff/covers_zero all go silently null —
+    // the empty arm instead contributes mean 0 (degenerate but
+    // defined, and consistent with every replicate's treatment)
     val est = perUser
       .groupBy((col("user_id") % 2).as("arm"))
       .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"))
       .agg(pick("n", 0).as("n0"), pick("n", 1).as("n1"),
         pick("sy", 0).as("sy0"), pick("sy", 1).as("sy1"))
-      .select((col("n0") + col("n1")).as("n_users"),
-        (dbl(col("sy0")) / dbl(col("n0")) / lit(100.0) -
-          dbl(col("sy1")) / dbl(col("n1")) / lit(100.0)).as("est_diff"))
+      .select(
+        (coalesce(col("n0"), lit(0L)) + coalesce(col("n1"), lit(0L)))
+          .as("n_users"),
+        (mean("sy0", "n0") - mean("sy1", "n1")).as("est_diff"))
     est.crossJoin(boot)
       .select(col("n_users"), col("b"), col("est_diff"),
         col("ci_lo"), col("ci_hi"),

@@ -656,6 +656,22 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(!r.getAs[Boolean]("covers_zero"))
   }
 
+  test("poisson bootstrap: one empty arm stays defined (degenerate, never null)") {
+    import spark.implicits._
+    val fix = tempDir("boot_one_arm")
+    // every user_id even → arm 1 is empty; the est leg must coalesce
+    // like the replicate leg (empty arm contributes mean 0) instead of
+    // nulling n_users/est_diff/covers_zero
+    (0 until 8).map(i => (2L * i, post, 50.0))
+      .toDF("user_id", "ts", "value").repartition(3)
+      .write.mode("overwrite").parquet(s"$fix/events.parquet")
+    val r = EventOps.abBootstrap(spark, fix).collect()(0)
+    assert(r.getAs[Long]("n_users") == 8L)
+    assert(r.getAs[Double]("est_diff") == 50.0)
+    assert(r.getAs[Double]("ci_lo") == 50.0 && r.getAs[Double]("ci_hi") == 50.0)
+    assert(!r.getAs[Boolean]("covers_zero"))
+  }
+
   test("poisson bootstrap: real corpus — CI brackets the estimate, replay-identical") {
     val a = EventOps.abBootstrap(spark, Sf0001).collect()(0)
     val b = EventOps.abBootstrap(spark, Sf0001).collect()(0)

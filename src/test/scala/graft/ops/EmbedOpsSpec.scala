@@ -151,6 +151,31 @@ class EmbedOpsSpec extends SparkSpec {
     }
   }
 
+  test("cv accuracy: sparse vec_ids (empty folds + empty complement) stay total, never NPE") {
+    import spark.implicits._
+    // every vec_id ≡ 0 (mod CvFolds): fold 0 holds the whole store, so
+    // folds 1..4 have empty TEST slices (n_test 0 → null accuracy, not
+    // a getDouble NPE) and fold 0 has an empty COMPLEMENT (no training
+    // rows → no centroids → zero correct, not a require/least() crash)
+    val dir = tempDir("cv_sparse")
+    (0 until 4).map(i => ((i * EmbedOps.CvFolds).toLong,
+        Array(1.0f, 0f, 0f, 0f).toSeq, i % 2))
+      .toDF("vec_id", "embedding", "label").repartition(2)
+      .write.mode("overwrite").parquet(s"$dir/embeddings.parquet")
+    val got = EmbedOps.cvAccuracy(spark, dir).collect()
+    assert(got.length == EmbedOps.CvFolds)
+    val byFold = got.map(r => r.getAs[Int]("fold") -> r).toMap
+    assert(byFold(0).getAs[Long]("n_test") == 4L)
+    assert(byFold(0).getAs[Long]("n_correct") == 0L)
+    assert(byFold(0).getAs[Double]("accuracy") == 0.0)
+    (1 until EmbedOps.CvFolds).foreach { f =>
+      assert(byFold(f).getAs[Long]("n_test") == 0L)
+      assert(byFold(f).getAs[Long]("n_correct") == 0L)
+      assert(byFold(f).isNullAt(byFold(f).fieldIndex("accuracy")),
+        s"empty fold $f must report null accuracy")
+    }
+  }
+
   test("cv accuracy: real store — folds partition, counts reconcile") {
     val got = EmbedOps.cvAccuracy(spark, Sf0001).collect()
     val total = Tables(spark, Sf0001, "embeddings").count()

@@ -258,7 +258,10 @@ class RetrievalOpsSpec extends SparkSpec {
       assert(n >= 0.0 && n <= 1.0)
     }
     val sum = EvalOps.bm25NdcgSummary(spark, Sf0001).collect()(0)
+    // n_queries is the mean's static denominator; n_scored counts
+    // queries that produced a per-query row (equal on this corpus)
     assert(sum.getAs[Int]("n_queries") == RetrievalOps.DefaultQueries.size)
+    assert(sum.getAs[Int]("n_scored") == real.length)
     val m = sum.getAs[Double]("mean_ndcg")
     assert(m > 0.0 && m <= 1.0)
   }
