@@ -2584,6 +2584,13 @@ object Registry {
     // signature index; rows-only (engine-internal hashes), cross-split
     // equality with the full pipeline pinned by spec
     GraftQuery("x_dedup_minhash_probe", DedupOps.minhashProbe, None),
+    // hash-green twin for the probe path: probe ≡ inline cross-split
+    // slice, jaccard bit-identical; batch-count anchor + literal pins
+    // (the simhash gate convention — signatures are engine-internal)
+    GraftQuery("x_dedup_minhash_probe_gate", DedupOps.minhashProbeGate, Some(
+      """SELECT CAST(count(*) AS BIGINT) AS n_batch_docs,
+        |       CAST(0 AS BIGINT) AS mismatches, true AS passes
+        |FROM documents WHERE doc_id % 10 = 0""".stripMargin)),
     // component labels are min-reachable doc ids over the (already
     // oracled) ngram-jaccard pair set — value-checkable via DuckDB's
     // recursive CTE transitive closure

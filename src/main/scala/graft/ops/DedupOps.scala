@@ -388,6 +388,43 @@ object DedupOps {
       .orderBy("batch_doc", "corpus_doc")
   }
 
+  /** Direct per-round gate for the probe path — [[minhashProbe]] is the
+    * one near-dup entry whose correctness otherwise rides solely on a
+    * spec: the probe result must EQUAL the inline [[minhashLsh]] pair
+    * set restricted to cross-split pairs (batch side ≡ 0 mod 10,
+    * reoriented batch-first), jaccard bit-identical (both sides divide
+    * the SAME (n_common, n_union) integers). Signatures are
+    * engine-internal, so the oracle pins the batch-doc count anchor
+    * plus literal mismatches = 0 / passes = true — the
+    * simhashVerifyGate convention. */
+  def minhashProbeGate(spark: SparkSession, dir: String): DataFrame = {
+    val probe = minhashProbe(spark, dir)
+      .select(col("batch_doc"), col("corpus_doc"), col("jaccard").as("j_probe"))
+    val isBatchA = col("doc_a") % 10 === 0
+    val inline = minhashLsh(spark, dir)
+      .filter(isBatchA =!= (col("doc_b") % 10 === 0))
+      .select(
+        when(isBatchA, col("doc_a")).otherwise(col("doc_b")).as("batch_doc"),
+        when(isBatchA, col("doc_b")).otherwise(col("doc_a")).as("corpus_doc"),
+        col("jaccard").as("j_inline"))
+    val anchor = Tables.parallel(spark, dir, "documents")
+      .filter(col("doc_id") % 10 === 0)
+      .agg(count(lit(1)).as("n_batch_docs"))
+    probeGateOf(probe, inline, anchor)
+  }
+
+  /** The comparison core, separated so the negative-control spec can
+    * feed a doctored probe side and prove the gate actually reds. */
+  private[ops] def probeGateOf(probe: DataFrame, inline: DataFrame,
+      anchor: DataFrame): DataFrame =
+    probe.join(inline, Seq("batch_doc", "corpus_doc"), "full_outer")
+      .agg(coalesce(sum(when(col("j_probe").isNull || col("j_inline").isNull ||
+          col("j_probe") =!= col("j_inline"), 1L).otherwise(0L)), lit(0L))
+        .as("mismatches"))
+      .crossJoin(broadcast(anchor))
+      .select(col("n_batch_docs"), col("mismatches"),
+        (col("mismatches") === 0L).as("passes"))
+
   def minhashLsh(spark: SparkSession, dir: String): DataFrame =
     minhashLsh(spark, dir, MaxBucket)
 

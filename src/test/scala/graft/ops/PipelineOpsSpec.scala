@@ -428,6 +428,31 @@ class PipelineOpsSpec extends SparkSpec {
     assert(probed == crossFull, s"probe $probed != full-pipeline slice $crossFull")
   }
 
+  test("minhash probe gate: green on real data; reds on a doctored probe side") {
+    import spark.implicits._
+    val g = DedupOps.minhashProbeGate(spark, Sf0001).collect()(0)
+    assert(g.getAs[Boolean]("passes") && g.getAs[Long]("mismatches") == 0L,
+      s"probe ≡ inline cross-split slice must hold: $g")
+    assert(g.getAs[Long]("n_batch_docs") > 0L)
+    // negative controls: the gate must RED when the probe side drops a
+    // pair, adds a phantom pair, or perturbs one jaccard — otherwise
+    // "passes" proves nothing
+    val probe = DedupOps.minhashProbe(spark, Sf0001)
+      .select(col("batch_doc"), col("corpus_doc"), col("jaccard").as("j_probe"))
+    val inline = probe.select(col("batch_doc"), col("corpus_doc"),
+      col("j_probe").as("j_inline"))
+    val anchor = Seq(1L).toDF("n_batch_docs")
+    def gate(p: org.apache.spark.sql.DataFrame): Boolean =
+      DedupOps.probeGateOf(p, inline, anchor).collect()(0).getAs[Boolean]("passes")
+    assert(gate(probe), "identical sides must pass")
+    assert(!gate(probe.limit(probe.count().toInt - 1)), "dropped pair must red")
+    assert(!gate(probe.unionAll(Seq((-1L, -2L, 0.9)).toDF(
+      "batch_doc", "corpus_doc", "j_probe"))), "phantom pair must red")
+    assert(!gate(probe.withColumn("j_probe",
+      when(col("batch_doc") === probe.agg(min("batch_doc")).collect()(0).getLong(0),
+        col("j_probe") / 2).otherwise(col("j_probe")))), "perturbed jaccard must red")
+  }
+
   test("simhash: identical docs at hamming 0; near-dups within 3") {
     val r = DedupOps.simhash(spark, plantedDir).collect()
       .map(x => ((x.getLong(0), x.getLong(1)), x.getAs[Number]("hamming").intValue())).toMap
