@@ -12,6 +12,12 @@ package graft
 object Bench {
   private val Reps = 3
 
+  /** A mid-run canary fires before every CanaryEvery-th headline —
+    * ~4-5 readings across a 35-headline suite, each a fixed ~0.4 s of
+    * single-thread work (≈2 s total overhead for minute-level
+    * contention localization). */
+  private val CanaryEvery = 8
+
   /** Fixed-work CPU canary: a single-threaded deterministic xorshift
     * spin, timed at suite start and end. The work is constant, so the
     * reading depends ONLY on how much CPU the box actually gives one
@@ -70,7 +76,17 @@ object Bench {
 
     canarySec() // JIT warm — untimed, like the query warmups
     val canaryStart = canarySec()
-    val results = headline.map { q =>
+    // the endpoint canary pair cannot see MID-run contention (round 11:
+    // the builder's own 38.4 s vs 32.2 s back-to-back runs both showed
+    // idle endpoints); a canary between every CanaryEvery-th headline
+    // plus a wall-clock start offset per rep lets a reader LOCALIZE the
+    // contention window from the artifact alone
+    val suiteT0 = System.nanoTime()
+    def sinceStart(): Double = (System.nanoTime() - suiteT0) / 1e9
+    val midCanaries = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double)]
+    val results = headline.zipWithIndex.map { case (q, qi) =>
+      if (qi > 0 && qi % CanaryEvery == 0)
+        midCanaries += ((qi, sinceStart(), canarySec()))
       // only SUCCESSFUL reps become samples: a fast-failing rep would
       // otherwise win the min and record a bogus "speedup" where the
       // honest reading is breakage. A query with zero successes records
@@ -82,12 +98,13 @@ object Bench {
         // any warmup; the timed body then rebuilds for itself (slower,
         // visibly — never silently wrong).
         q.benchPrep.foreach(p => warmup(s"${q.name} prep")(p(spark, sfDir)))
+        val off = sinceStart()
         val t0 = System.nanoTime()
         // execute the *physical* plan as planned (df.count() would let the
         // optimizer drop sorts/projections above the agg and under-measure)
         try {
           q.build(spark, sfDir).queryExecution.toRdd.count()
-          Some((System.nanoTime() - t0) / 1e9)
+          Some((off, (System.nanoTime() - t0) / 1e9))
         } catch { case e: Throwable =>
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
           None
@@ -96,21 +113,32 @@ object Bench {
       q.name -> samples
     }
     val canaryEnd = canarySec()
-    val mins = results.map { case (k, ss) => k -> (if (ss.nonEmpty) ss.min else -1.0) }
+    val mins = results.map { case (k, ss) =>
+      k -> (if (ss.nonEmpty) ss.map(_._2).min else -1.0)
+    }
     val qs = mins.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     // raw per-rep samples ride along so a reader can tell a code
     // regression (all reps slow, canary normal) from box contention
     // (spread-out reps and/or an elevated canary) without re-running
     val samplesJson = results
-      .map { case (k, ss) => "\"" + k + "\":[" + ss.mkString(",") + "]" }
+      .map { case (k, ss) => "\"" + k + "\":[" + ss.map(_._2).mkString(",") + "]" }
       .mkString("{", ",", "}")
+    // per-rep wall-clock start offsets (seconds since suite start),
+    // index-aligned with samples; with the mid canaries these bound
+    // WHEN a contention window opened and closed
+    val offsetsJson = results
+      .map { case (k, ss) => "\"" + k + "\":[" + ss.map(_._1).mkString(",") + "]" }
+      .mkString("{", ",", "}")
+    val midJson = midCanaries
+      .map { case (i, at, s) => s"""{"before_query":$i,"at_sec":$at,"sec":$s}""" }
+      .mkString("[", ",", "]")
     val total = mins.map(_._2).filter(_ >= 0).sum
     // failed count rides in the record: a broken headline drops out of
     // the total, which would otherwise read as a round-over-round
     // "speedup" — failed>0 marks the total as incomparable
     val failed = mins.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"canary":{"start":$canaryStart,"end":$canaryEnd},"queries":$qs,"samples":$samplesJson,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"canary":{"start":$canaryStart,"end":$canaryEnd,"mid":$midJson},"queries":$qs,"samples":$samplesJson,"offsets":$offsetsJson,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
