@@ -294,6 +294,56 @@ object Registry {
         |            WHEN value / 200.0 < 0.6 THEN 'partial'
         |            ELSE 'full' END AS sync_status
         |FROM events ORDER BY event_id""".stripMargin)),
+    // Weather-fidelity bindings (graft.weather.WeatherFidelity): the
+    // REAL Warehouse/ServingCache code paths judged by the per-round
+    // DuckDB gate over an events-derived enriched fixture — E2-E6 row
+    // by row, A1-A6 through monthlyAgg (quarter-unit dyadics make the
+    // float aggregation exact), and the C4/C6/S4 TTL math at two
+    // injected clocks (cache-partial and expired-fallback)
+    GraftQuery("e3_weather_daily", graft.weather.WeatherFidelity.dailyWeather, Some(
+      s"""WITH ${graft.weather.WeatherFidelity.derivedEnrichedSql}
+        |SELECT * FROM dw ORDER BY etl_batch_id""".stripMargin)),
+    GraftQuery("a1_weather_monthly", graft.weather.WeatherFidelity.monthlyAgg, Some(
+      s"""WITH ${graft.weather.WeatherFidelity.derivedEnrichedSql}
+        |SELECT city, date_trunc('month', date) AS month,
+        |       CAST(avg(temperatureC) AS REAL) AS avg_temp_c,
+        |       CAST(sum(rainfallMm) AS REAL) AS total_rain_mm,
+        |       TIMESTAMP '2024-02-01 00:00:00' AS warehouse_load_time,
+        |       CAST(count(*) AS INTEGER) AS rows_loaded,
+        |       'incremental' AS load_mode,
+        |       CAST(0 AS INTEGER) AS sync_interval_min
+        |FROM dw GROUP BY city, date_trunc('month', date)
+        |ORDER BY month, city""".stripMargin)),
+    GraftQuery("s4_weather_serving_partial",
+      graft.weather.WeatherFidelity.servingPartial, Some(
+        s"""WITH ${graft.weather.WeatherFidelity.derivedEnrichedSql},
+          |ma AS (SELECT city, date_trunc('month', date) AS month,
+          |              CAST(avg(temperatureC) AS REAL) AS avg_temp_c,
+          |              CAST(sum(rainfallMm) AS REAL) AS total_rain_mm,
+          |              TIMESTAMP '2024-02-01 00:00:00' AS warehouse_load_time
+          |       FROM dw GROUP BY 1, 2)
+          |SELECT month, CAST(avg_temp_c AS DOUBLE) AS avg_temp_c,
+          |       CAST(total_rain_mm AS DOUBLE) AS total_rain_mm,
+          |       city, warehouse_load_time,
+          |       'cache' AS source, 'partial' AS sync_status,
+          |       CAST(1600 AS BIGINT) AS ttl_seconds,
+          |       count(*) OVER () AS n_rows
+          |FROM ma WHERE city = 'Stockton' ORDER BY month""".stripMargin)),
+    GraftQuery("s1_weather_serving_expired",
+      graft.weather.WeatherFidelity.servingExpired, Some(
+        s"""WITH ${graft.weather.WeatherFidelity.derivedEnrichedSql},
+          |ma AS (SELECT city, date_trunc('month', date) AS month,
+          |              CAST(avg(temperatureC) AS REAL) AS avg_temp_c,
+          |              CAST(sum(rainfallMm) AS REAL) AS total_rain_mm,
+          |              TIMESTAMP '2024-02-01 00:00:00' AS warehouse_load_time
+          |       FROM dw GROUP BY 1, 2)
+          |SELECT month, CAST(avg_temp_c AS DOUBLE) AS avg_temp_c,
+          |       CAST(total_rain_mm AS DOUBLE) AS total_rain_mm,
+          |       city, warehouse_load_time,
+          |       'warehouse' AS source, 'out-of-sync' AS sync_status,
+          |       CAST(0 AS BIGINT) AS ttl_seconds,
+          |       count(*) OVER () AS n_rows
+          |FROM ma WHERE city = 'Lodi' ORDER BY month""".stripMargin)),
     GraftQuery("d5_filtered_limit", CoreOps.d5FilteredLimit, Some(
       """SELECT * FROM events WHERE event_type = 'error' ORDER BY event_id LIMIT 1""")),
     GraftQuery("d6_profile", CoreOps.d6Profile, Some(

@@ -23,7 +23,7 @@ object Warehouse {
   /** E2-E6 — enriched → fact rows (`etlToClickHouse.js:74-122`):
     * nested-field author filter (pushed to the parquet scan), flattening
     * projection with renames, `timestamp.slice(0,10)` date, timestamp
-    * normalization (invalid → null, `to_timestamp`'s default), null-safe
+    * normalization (invalid → null via `try_to_timestamp`), null-safe
     * api_request_id default, audit columns.
     *
     * @param loadTime injectable clock (the reference's `nowCH`) so tests
@@ -45,7 +45,11 @@ object Warehouse {
         col("windGustMps").cast(FloatType),
         col("location.city").as("city"),
         col("location.state").as("state"),
-        to_timestamp(col("metadata.source_timestamp")).as("source_timestamp"),
+        // invalid → null (the reference's toCHDateTime contract,
+        // `etlToClickHouse.js:82-97`); under ANSI mode (Spark 4
+        // default) plain to_timestamp THROWS on malformed input, so
+        // the null-tolerant form must be explicit
+        try_to_timestamp(col("metadata.source_timestamp")).as("source_timestamp"),
         col("metadata.source_database").as("source_database"),
         col("metadata.data_quality").as("data_quality"),
         coalesce(col("metadata.api_request_id"), lit("")).as("api_request_id"),
@@ -103,11 +107,11 @@ object Warehouse {
       loadTime: java.sql.Timestamp,
       author: String = Model.Author): (DataFrame, java.sql.Timestamp) = {
     val fresh = highWatermark match {
-      case Some(wm) => enriched.filter(to_timestamp(col("metadata.source_timestamp")) > lit(wm))
+      case Some(wm) => enriched.filter(try_to_timestamp(col("metadata.source_timestamp")) > lit(wm))
       case None => enriched
     }
     val rows = toDailyWeather(fresh, loadTime, author)
-    val newWm = fresh.agg(max(to_timestamp(col("metadata.source_timestamp")))).collect()(0)
+    val newWm = fresh.agg(max(try_to_timestamp(col("metadata.source_timestamp")))).collect()(0)
     (rows, Option(newWm.getTimestamp(0)).orElse(highWatermark).getOrElse(loadTime))
   }
 }
