@@ -36,12 +36,60 @@ object Registry {
     * x_dedup_ngram_jaccard AND the minhash verify gate (one SQL so
     * "banded ⊆ exact" is judged against the very set the exact query is
     * hash-checked on, not a drifting copy). */
-  private val ngramJaccardOracle: String =
-    """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
+  /** Stopword-hit count over whitespace tokens, rendered from the SAME
+    * TextOps.stopwords list the Spark plans use — ten oracle sites
+    * previously carried verbatim copies of the IN-list, the exact drift
+    * shape the evalSummaryTail rule exists to prevent. */
+  private val stopCountSql: String =
+    "len(list_filter(string_split(text, ' '), t -> t IN (" +
+      graft.ops.TextOps.stopwords.map(w => s"'$w'").mkString(",") + ")))"
+
+  /** The bipartite supplier↔customer interaction graph (CTEs `e0`
+    * directed, `e1` symmetrized) shared by the five graph oracles —
+    * node ids are disjoint by parity (supplier·2, customer·2+1). */
+  private val graphEdgeCtes: String =
+    """e0 AS (SELECT DISTINCT l_suppkey*2 AS src, o_custkey*2+1 AS dst
+      |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
+      |e1 AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)""".stripMargin
+
+  /** Exact cosine-top-10 recall-gate oracle, parameterized by the
+    * serving path's recall floor — the same brute-force CTE chain was
+    * previously copied per gate (the drift hazard the evalSummaryTail
+    * refactor exists to prevent). n_exact counts the exact-side pairs;
+    * passes is pinned true. */
+  private def annRecallGateOracle(floorLit: String): String =
+    s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
+      |s AS (SELECT q_id, vec_id AS neighbor_id, list_cosine_similarity(qv, v) AS cos FROM q, e),
+      |t AS (SELECT q_id,
+      |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
+      |      FROM s QUALIFY rank <= 10)
+      |SELECT CAST(count(*) AS INTEGER) AS n_exact,
+      |       CAST($floorLit AS DOUBLE) AS floor,
+      |       true AS passes
+      |FROM t""".stripMargin
+
+  /** TPC-H revenue reduction `sum(extendedprice · (1 − discount))` in
+    * the exact-decimal currency, cast back to double — the single most
+    * repeated fragment of the TPC-H oracle family (14 sites), rendered
+    * once so a decimal-policy change cannot fork the definitions. */
+  private val revenueSql: String =
+    "CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)"
+
+  /** doc → distinct-trigram relation with per-doc counts (toks → tri →
+    * cnt) — the shared head of every n-gram near-dup / containment /
+    * fuzzy-decontamination / split-leakage oracle. Rendered ONCE (the
+    * evalSummaryTail rule applied to the dedup family): a threshold or
+    * shingling tweak edits one definition, never a drifted copy. */
+  private val trigramCtes: String =
+    """toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
       |tri AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t) - 2),
       |          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
       |        FROM toks WHERE len(t) >= 3),
-      |cnt AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+      |cnt AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id)""".stripMargin
+
+  private val ngramJaccardOracle: String =
+    s"""WITH $trigramCtes,
       |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
       |          FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
       |SELECT doc_a, doc_b, CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) AS jaccard
@@ -82,9 +130,11 @@ object Registry {
       |       CAST(sum(logit) AS DOUBLE) / CAST(count(*) AS DOUBLE) AS mean_logit
       |FROM b GROUP BY bin ORDER BY bin""".stripMargin
 
-  /** The dense per-type hourly spine (CTE `hs`: event_type, t, x) —
-    * shared by the HW replay and the changepoint scan. */
-  private val hourlySpineCtes: String =
+  /** Dense hourly cross-join spine + per-hour counts (CTEs `spine`,
+    * `c`) — the shared head of EVERY hourly time-series oracle (HW
+    * family, ACF, CUSUM, changepoint); the time window is the events
+    * table's generation span. */
+  private val spineHeadCtes: String =
     """spine AS (
       |  SELECT et.event_type, h.hour_ts
       |  FROM (SELECT DISTINCT event_type FROM events) et
@@ -92,7 +142,12 @@ object Registry {
       |                                            TIMESTAMP '2024-01-30 23:00:00',
       |                                            INTERVAL 1 HOUR)) AS hour_ts) h),
       |c AS (SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS c
-      |      FROM events GROUP BY 1, 2),
+      |      FROM events GROUP BY 1, 2)""".stripMargin
+
+  /** The dense per-type hourly spine (CTE `hs`: event_type, t, x) —
+    * shared by the HW replay and the changepoint scan. */
+  private val hourlySpineCtes: String =
+    s"""$spineHeadCtes,
       |hs AS (SELECT spine.event_type,
       |              CAST(CAST(epoch(spine.hour_ts) AS BIGINT) // 3600
       |                - CAST(epoch(TIMESTAMP '2024-01-01 00:00:00') AS BIGINT) // 3600 AS INTEGER) AS t,
@@ -189,12 +244,7 @@ object Registry {
     * doc_id) — shared by x_dedup_clusters AND the per-cluster quality
     * survivor so both hash against ONE clustering definition. */
   private val nearDupClustersCtes: String =
-    """WITH RECURSIVE
-      | toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-      | tri AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t) - 2),
-      |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
-      |         FROM toks WHERE len(t) >= 3),
-      | cnt AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+    s"""WITH RECURSIVE $trigramCtes,
       | prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
       |         FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
       | good AS (SELECT doc_a, doc_b FROM prs
@@ -251,10 +301,10 @@ object Registry {
     GraftQuery("a1_monthly_agg_events", CoreOps.a1MonthlyAggEvents,
       Some(monthlyAggEventsOracle), headline = true),
     GraftQuery("a1_monthly_agg_lineitem", CoreOps.a1MonthlyAggLineitem, Some(
-      """SELECT l_returnflag, date_trunc('month', l_shipdate) AS month,
+      s"""SELECT l_returnflag, date_trunc('month', l_shipdate) AS month,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) / count(l_quantity) AS avg_qty,
         |       CAST(sum(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS sum_qty,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+        |       $revenueSql AS revenue,
         |       count(*) AS n_rows
         |FROM lineitem GROUP BY l_returnflag, date_trunc('month', l_shipdate)
         |ORDER BY l_returnflag, month""".stripMargin), headline = true),
@@ -450,18 +500,9 @@ object Registry {
         |FROM s ORDER BY vec_id""".stripMargin)),
     // SQL-string twin of DedupOps.ngramJaccard — same kernels via
     // injectFunction, same inverted-index plan, same oracle
-    GraftQuery("sql_kernel_dedup", CoreOps.sqlKernelDedup, Some(
-      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-        |tri AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t) - 2),
-        |          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
-        |        FROM toks WHERE len(t) >= 3),
-        |cnt AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
-        |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-        |          FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2)
-        |SELECT doc_a, doc_b, CAST(n_common AS DOUBLE) / (ca.n + cb.n - n_common) AS jaccard
-        |FROM pairs JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
-        |WHERE 3 * n_common >= ca.n + cb.n
-        |ORDER BY doc_a, doc_b""".stripMargin)),
+    // byte-identical to the ngram oracle by construction: the SQL-entry
+    // twin reuses the named definition instead of a verbatim copy
+    GraftQuery("sql_kernel_dedup", CoreOps.sqlKernelDedup, Some(ngramJaccardOracle)),
     GraftQuery("sql_monthly_agg", CoreOps.sqlMonthlyAgg, Some(
       """SELECT event_type, date_trunc('month', ts) AS month,
         |       CAST(sum(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / count(value) AS avg_value,
@@ -478,14 +519,14 @@ object Registry {
         |FROM orders JOIN customer ON o_custkey = c_custkey
         |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin), headline = true),
     GraftQuery("j2_fact_join_agg", JoinOps.j2FactJoinAgg, Some(
-      """SELECT o_orderpriority,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      s"""SELECT o_orderpriority,
+        |       $revenueSql AS revenue,
         |       count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin), headline = true),
     GraftQuery("j3_star_join", JoinOps.j3StarJoin, Some(
-      """SELECT r_name, n_name,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      s"""SELECT r_name, n_name,
+        |       $revenueSql AS revenue,
         |       count(*) AS n_items
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
@@ -556,8 +597,8 @@ object Registry {
     // BucketingSpec. Headline: times the probe-many regime (the twins
     // are built in the Bench warmup, like the kNN/lexical indexes).
     GraftQuery("j11_bucket_join", JoinOps.j11BucketJoin, Some(
-      """SELECT o_orderpriority,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      s"""SELECT o_orderpriority,
+        |       $revenueSql AS revenue,
         |       count(*) AS n_items
         |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |GROUP BY o_orderpriority ORDER BY o_orderpriority""".stripMargin),
@@ -568,9 +609,9 @@ object Registry {
     // pinning that the grid changes the plan shape, never the answer.
     // Plan (no BroadcastNestedLoopJoin) pinned by RangeJoinSpec.
     GraftQuery("j12_range_join", JoinOps.j12RangeJoin, Some(
-      """SELECT o_orderkey,
+      s"""SELECT o_orderkey,
         |       count(*) AS n_shipments,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |       $revenueSql AS revenue
         |FROM orders JOIN lineitem
         |  ON l_shipdate >= o_orderdate
         | AND l_shipdate < o_orderdate + INTERVAL 7 DAY
@@ -604,8 +645,8 @@ object Registry {
         |ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
         |LIMIT 100""".stripMargin)),
     GraftQuery("q5_local_supplier", JoinOps.q5LocalSupplier, Some(
-      """SELECT n_name,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      s"""SELECT n_name,
+        |       $revenueSql AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -618,9 +659,9 @@ object Registry {
         |GROUP BY n_name
         |ORDER BY revenue DESC, n_name""".stripMargin)),
     GraftQuery("q10_returned_items", JoinOps.q10ReturnedItems, Some(
-      """WITH lost AS (
+      s"""WITH lost AS (
         |  SELECT o_custkey,
-        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |         $revenueSql AS revenue
         |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
         |  WHERE l_returnflag = 'R'
         |    AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
@@ -650,9 +691,9 @@ object Registry {
         |                   WHERE ps2.l_partkey = p_partkey)
         |ORDER BY s_acctbal DESC, n_name, s_name, p_partkey""".stripMargin)),
     GraftQuery("q7_volume_shipping", TpchOps.q7VolumeShipping, Some(
-      """SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+      s"""SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
         |       CAST(year(l_shipdate) AS BIGINT) AS l_year,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+        |       $revenueSql AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN supplier ON l_suppkey = s_suppkey
@@ -666,11 +707,11 @@ object Registry {
         |GROUP BY 1, 2, 3
         |ORDER BY 1, 2, 3""".stripMargin)),
     GraftQuery("q8_market_share", TpchOps.q8MarketShare, Some(
-      """SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
+      s"""SELECT CAST(year(o_orderdate) AS BIGINT) AS o_year,
         |       CAST(sum(CASE WHEN n2.n_name = 'NATION_2'
         |                     THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
         |                     ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-        |       / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |       / $revenueSql
         |       AS mkt_share
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
@@ -686,8 +727,8 @@ object Registry {
         |GROUP BY 1
         |ORDER BY 1""".stripMargin)),
     GraftQuery("q9_product_profit", TpchOps.q9ProductProfit, Some(
-      """SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS sum_profit
+      s"""SELECT n_name AS nation, CAST(year(o_orderdate) AS BIGINT) AS o_year,
+        |       $revenueSql AS sum_profit
         |FROM lineitem
         |JOIN part ON l_partkey = p_partkey
         |JOIN orders ON l_orderkey = o_orderkey
@@ -758,18 +799,18 @@ object Registry {
         |GROUP BY c_count
         |ORDER BY custdist DESC, c_count DESC""".stripMargin)),
     GraftQuery("q14_promo_revenue", TpchOps.q14PromoRevenue, Some(
-      """SELECT 100.00 * CAST(sum(CASE WHEN p_type = 'PROMO'
+      s"""SELECT 100.00 * CAST(sum(CASE WHEN p_type = 'PROMO'
         |                    THEN CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))
         |                    ELSE CAST(0 AS DECIMAL(18,2)) END) AS DOUBLE)
-        |       / CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE)
+        |       / $revenueSql
         |       AS promo_revenue
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
         |  AND l_shipdate < TIMESTAMP '1996-10-01 00:00:00'""".stripMargin)),
     GraftQuery("q15_top_supplier", TpchOps.q15TopSupplier, Some(
-      """WITH revenue AS (
+      s"""WITH revenue AS (
         |  SELECT l_suppkey,
-        |         CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS total_revenue
+        |         $revenueSql AS total_revenue
         |  FROM lineitem
         |  WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
         |    AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
@@ -799,7 +840,7 @@ object Registry {
         |WHERE p_brand = 'Brand#3'
         |  AND CAST(round(l_quantity * 100) AS BIGINT) * 5 * n_li < sum_qc""".stripMargin)),
     GraftQuery("q19_disjunctive", TpchOps.q19Disjunctive, Some(
-      """SELECT CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue,
+      s"""SELECT $revenueSql AS revenue,
         |       count(*) AS n_lines
         |FROM lineitem JOIN part ON l_partkey = p_partkey
         |WHERE (p_brand = 'Brand#1' AND p_size BETWEEN 1 AND 15 AND l_quantity BETWEEN 1 AND 11)
@@ -930,8 +971,8 @@ object Registry {
         | AND p.ts >= e.ts - INTERVAL 30 MINUTE AND p.ts <= e.ts
         |ORDER BY user_id, error_id, purchase_id""".stripMargin)),
     GraftQuery("q3_top_unshipped", JoinOps.q3TopUnshipped, Some(
-      """SELECT l_orderkey, o_orderdate, o_orderpriority,
-        |       CAST(sum(CAST(l_extendedprice AS DECIMAL(18,2)) * (CAST(1 AS DECIMAL(18,2)) - CAST(l_discount AS DECIMAL(18,2)))) AS DOUBLE) AS revenue
+      s"""SELECT l_orderkey, o_orderdate, o_orderpriority,
+        |       $revenueSql AS revenue
         |FROM lineitem
         |JOIN orders ON l_orderkey = o_orderkey
         |JOIN customer ON o_custkey = c_custkey
@@ -2004,19 +2045,7 @@ object Registry {
     // the exact integer moments — sqrt and division are single IEEE ops,
     // so the boolean row set hash-matches
     GraftQuery("x_ts_hw_anomaly", EventOps.hwAnomaly, Some(
-      """WITH RECURSIVE spine AS (
-        |  SELECT et.event_type, h.hour_ts
-        |  FROM (SELECT DISTINCT event_type FROM events) et
-        |  CROSS JOIN (SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
-        |                                            TIMESTAMP '2024-01-30 23:00:00',
-        |                                            INTERVAL 1 HOUR)) AS hour_ts) h),
-        |c AS (SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS c
-        |      FROM events GROUP BY 1, 2),
-        |hs AS (SELECT spine.event_type,
-        |              CAST(CAST(epoch(spine.hour_ts) AS BIGINT) // 3600
-        |                - CAST(epoch(TIMESTAMP '2024-01-01 00:00:00') AS BIGINT) // 3600 AS INTEGER) AS t,
-        |              coalesce(c.c, 0) AS x
-        |       FROM spine LEFT JOIN c ON spine.event_type = c.event_type AND spine.hour_ts = c.h),
+      s"""WITH RECURSIVE $hourlySpineCtes,
         |r AS (
         |  SELECT event_type, t, x,
         |         CAST(x AS DOUBLE) AS level,
@@ -2047,14 +2076,7 @@ object Registry {
     // exact lag-k autocorrelation: integer moments over the dense hour
     // spine, Pearson assembled in the same IEEE expression both sides
     GraftQuery("x_ts_acf", EventOps.acfHourly, Some(
-      """WITH spine AS (
-        |  SELECT et.event_type, h.hour_ts
-        |  FROM (SELECT DISTINCT event_type FROM events) et
-        |  CROSS JOIN (SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
-        |                                            TIMESTAMP '2024-01-30 23:00:00',
-        |                                            INTERVAL 1 HOUR)) AS hour_ts) h),
-        |c AS (SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS c
-        |      FROM events GROUP BY 1, 2),
+      s"""WITH $spineHeadCtes,
         |s AS (SELECT spine.event_type,
         |             CAST(epoch(spine.hour_ts) AS BIGINT) // 3600
         |               - CAST(epoch(TIMESTAMP '2024-01-01 00:00:00') AS BIGINT) // 3600 AS t,
@@ -2076,14 +2098,7 @@ object Registry {
     // CUSUM changepoint statistic: exact integer counts, IEEE add/max
     // steps replayed in hour order by the recursive CTE → bit-equal
     GraftQuery("x_ts_cusum", EventOps.cusumCounts, Some(
-      """WITH RECURSIVE spine AS (
-        |  SELECT et.event_type, h.hour_ts
-        |  FROM (SELECT DISTINCT event_type FROM events) et
-        |  CROSS JOIN (SELECT unnest(generate_series(TIMESTAMP '2024-01-01 00:00:00',
-        |                                            TIMESTAMP '2024-01-30 23:00:00',
-        |                                            INTERVAL 1 HOUR)) AS hour_ts) h),
-        |c AS (SELECT event_type, date_trunc('hour', ts) AS h, count(*) AS c
-        |      FROM events GROUP BY 1, 2),
+      s"""WITH RECURSIVE $spineHeadCtes,
         |s AS (SELECT spine.event_type,
         |             CAST(epoch(spine.hour_ts) AS BIGINT) // 3600
         |               - CAST(epoch(TIMESTAMP '2024-01-01 00:00:00') AS BIGINT) // 3600 + 1 AS rn,
@@ -2413,9 +2428,8 @@ object Registry {
         |         END, ',') AS qvec_csv
         |FROM s ORDER BY vec_id""".stripMargin)),
     GraftQuery("x_text_quality_cut", TextOps.qualityCut, Some(
-      """WITH s AS (SELECT doc_id, lang,
-        |             len(list_filter(string_split(text, ' '),
-        |                 t -> t IN ('the','a','of','and','to','in','is','or','for','on')))
+      s"""WITH s AS (SELECT doc_id, lang,
+        |             $stopCountSql
         |               / len(string_split(text, ' ')) AS stop_ratio
         |           FROM documents),
         |m AS (SELECT lang, quantile_cont(stop_ratio, 0.5) AS lang_median
@@ -2459,12 +2473,12 @@ object Registry {
         |FROM tf JOIN df USING (term)
         |QUALIFY rank <= 5 ORDER BY doc_id, rank""".stripMargin)),
     GraftQuery("x_text_quality", TextOps.qualityScore, Some(
-      """SELECT doc_id,
+      s"""SELECT doc_id,
         |       CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
-        |       CAST(len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','to','in','is','or','for','on'))) AS INTEGER) AS n_stopwords,
-        |       len(list_filter(string_split(text, ' '), t -> t IN ('the','a','of','and','to','in','is','or','for','on'))) / len(string_split(text, ' ')) AS stop_ratio,
+        |       CAST($stopCountSql AS INTEGER) AS n_stopwords,
+        |       $stopCountSql / len(string_split(text, ' ')) AS stop_ratio,
         |       (length(text) - (len(string_split(text, ' ')) - 1)) / len(string_split(text, ' ')) AS avg_token_len,
-        |       length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g')) / length(text) AS punct_ratio,
+        |       length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) / length(text) AS punct_ratio,
         |       len(string_split(text, ' ')) < 5 AS is_short
         |FROM documents ORDER BY doc_id""".stripMargin)),
     // hashed-linear-classifier inference (fastText shape): the inline
@@ -2564,10 +2578,9 @@ object Registry {
       """SELECT min(doc_id) AS keep_id, count(*) AS n_copies
         |FROM documents GROUP BY text ORDER BY keep_id""".stripMargin)),
     GraftQuery("x_dedup_quality_survivor", DedupOps.qualitySurvivor, Some(
-      """WITH s AS (
+      s"""WITH s AS (
         |  SELECT doc_id, text,
-        |         len(list_filter(string_split(text, ' '),
-        |             t -> t IN ('the','a','of','and','to','in','is','or','for','on')))
+        |         $stopCountSql
         |           / len(string_split(text, ' ')) AS sr
         |  FROM documents),
         |r AS (SELECT doc_id, sr,
@@ -2604,11 +2617,7 @@ object Registry {
     // threshold on the contained side's set size — both orientations of
     // an exact dup, one orientation of a true subset
     GraftQuery("x_dedup_containment", DedupOps.containmentPairs, Some(
-      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-        |tri AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t) - 2),
-        |          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
-        |        FROM toks WHERE len(t) >= 3),
-        |cnt AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+      s"""WITH $trigramCtes,
         |pairs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
         |          FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id <> b.doc_id GROUP BY 1, 2)
         |SELECT doc_a, doc_b, n_common, CAST(n_common AS DOUBLE) / ca.n AS containment
@@ -2653,10 +2662,9 @@ object Registry {
     // rule are judged against one definition
     GraftQuery("x_dedup_cluster_survivor", ClusterOps.nearDupQualitySurvivor, Some(
       nearDupClustersCtes +
-        """, s AS (
+        s""", s AS (
           |  SELECT doc_id,
-          |         len(list_filter(string_split(text, ' '),
-          |             t -> t IN ('the','a','of','and','to','in','is','or','for','on')))
+          |         $stopCountSql
           |           / len(string_split(text, ' ')) AS sr
           |  FROM documents),
           |r AS (SELECT cluster_id, cl.doc_id, sr,
@@ -2800,12 +2808,7 @@ object Registry {
     // representative; same recursive-CTE closure as x_dedup_clusters,
     // ranked and left-joined back onto the corpus
     GraftQuery("x_dedup_cluster_cap", (s, d) => ClusterOps.clusterCapSample(s, d), Some(
-      """WITH RECURSIVE
-        | toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-        | tri AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t) - 2),
-        |           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
-        |         FROM toks WHERE len(t) >= 3),
-        | cnt AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+      s"""WITH RECURSIVE $trigramCtes,
         | prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
         |         FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
         | good AS (SELECT doc_a, doc_b FROM prs
@@ -2870,9 +2873,7 @@ object Registry {
     // kmeans playbook applied to iterative graph analytics: the oracle
     // unrolls the same three rounds, ranks hash-match bit-for-bit
     GraftQuery("x_graph_pagerank", GraphOps.pageRank, headline = true, oracle = Some(
-      """WITH e0 AS (SELECT DISTINCT l_suppkey*2 AS src, o_custkey*2+1 AS dst
-        |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-        |e1 AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+      s"""WITH $graphEdgeCtes,
         |d AS (SELECT src, count(*) AS deg FROM e1 GROUP BY src),
         |e AS (SELECT e1.src, e1.dst, d.deg FROM e1 JOIN d USING (src)),
         |nn AS (SELECT count(*) AS n FROM d),
@@ -2898,9 +2899,7 @@ object Registry {
     // teleport AND initial mass restricted to the seed slice (supplier
     // nodes with suppkey % 5 = 0 ⇒ node % 10 = 0), denominator |S|
     GraftQuery("x_graph_ppr", GraphOps.personalizedPageRank, Some(
-      """WITH e0 AS (SELECT DISTINCT l_suppkey*2 AS src, o_custkey*2+1 AS dst
-        |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-        |e1 AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+      s"""WITH $graphEdgeCtes,
         |d AS (SELECT src, count(*) AS deg FROM e1 GROUP BY src),
         |e AS (SELECT e1.src, e1.dst, d.deg FROM e1 JOIN d USING (src)),
         |ns AS (SELECT count(*) AS n FROM d WHERE src % 10 = 0),
@@ -2981,9 +2980,7 @@ object Registry {
     // extra rounds are no-ops on a fixpoint), degrees are exact integer
     // counts so survivors + within-core degrees hash-match
     GraftQuery("x_graph_kcore", GraphOps.kcore, headline = true, oracle = Some(
-      s"""WITH e0 AS (SELECT DISTINCT l_suppkey*2 AS src, o_custkey*2+1 AS dst
-        |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-        |e1 AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+      s"""WITH $graphEdgeCtes,
         |s0 AS (SELECT DISTINCT src AS node FROM e1),
         |d1 AS (SELECT e1.src AS node, count(*) AS deg FROM e1
         |       JOIN s0 a ON e1.src = a.node JOIN s0 b ON e1.dst = b.node
@@ -3007,9 +3004,7 @@ object Registry {
     // shared verbatim with the oracle (floating log2 rounds differently
     // across engines at exact powers of two)
     GraftQuery("x_graph_degree_hist", GraphOps.degreeHistogram, Some(
-      """WITH e0 AS (SELECT DISTINCT l_suppkey*2 AS src, o_custkey*2+1 AS dst
-        |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
-        |e1 AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0),
+      s"""WITH $graphEdgeCtes,
         |d AS (SELECT src, count(*) AS deg FROM e1 GROUP BY src)
         |SELECT length(bin(deg)) - 1 AS bucket, count(*) AS n_nodes,
         |       min(deg) AS min_deg, max(deg) AS max_deg,
@@ -3060,14 +3055,13 @@ object Registry {
     // cluster balance, joined on the aligned doc/vec id space
     GraftQuery("x_curate_multimodal", KmeansOps.curateMultimodal, Some(
       kmeansCte +
-        """, sz AS (SELECT cid, count(*) AS n_vecs FROM a3 GROUP BY cid),
+        s""", sz AS (SELECT cid, count(*) AS n_vecs FROM a3 GROUP BY cid),
           |bal AS (SELECT a.vec_id, CAST(a.cid AS INTEGER) AS cluster
           |        FROM a3 a JOIN sz USING (cid)
           |        WHERE CAST(('0x' || substr(md5(CAST(a.vec_id AS VARCHAR)), 1, 4)) AS INTEGER) % 1000
           |              < least(1.0, 64.0 / sz.n_vecs) * 1000.0),
           |s AS (SELECT doc_id, lang,
-          |        len(list_filter(string_split(text, ' '),
-          |            t -> t IN ('the','a','of','and','to','in','is','or','for','on')))
+          |        $stopCountSql
           |          / len(string_split(text, ' ')) AS stop_ratio
           |      FROM documents),
           |m AS (SELECT lang, quantile_cont(stop_ratio, 0.5) AS lang_median
@@ -3179,17 +3173,7 @@ object Registry {
           |  FROM adc) WHERE rn <= 10 ORDER BY q_id, rank""".stripMargin)),
     GraftQuery("x_sim_ivfpq_recall_gate", PqOps.ivfPqRecallGate, Some(
       """SELECT 10 AS n_queries, 10 AS k, true AS passes""")),
-    GraftQuery("x_sim_quant_recall_gate", (s, d) => SimilarityOps.quantRecallGate(s, d), Some(
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
-        |s AS (SELECT q_id, vec_id AS neighbor_id, list_cosine_similarity(qv, v) AS cos FROM q, e),
-        |t AS (SELECT q_id,
-        |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
-        |      FROM s QUALIFY rank <= 10)
-        |SELECT CAST(count(*) AS INTEGER) AS n_exact,
-        |       CAST(0.9 AS DOUBLE) AS floor,
-        |       true AS passes
-        |FROM t""".stripMargin)),
+    GraftQuery("x_sim_quant_recall_gate", (s, d) => SimilarityOps.quantRecallGate(s, d), Some(annRecallGateOracle("0.9"))),
     // sign-bit binary quantization: the packed code table, the Hamming
     // first-stage ranking AND the two-stage rerank are all deterministic
     // (integer distances, id tie-breaks), so unlike the LSH family the
@@ -3220,53 +3204,13 @@ object Registry {
           | (SELECT q_id, neighbor_id, cos,
           |         row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rn
           |  FROM br) WHERE rn <= 10 ORDER BY q_id, rank""".stripMargin)),
-    GraftQuery("x_sim_binary_recall_gate", SimilarityOps.binaryRecallGate, Some(
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
-        |s AS (SELECT q_id, vec_id AS neighbor_id, list_cosine_similarity(qv, v) AS cos FROM q, e),
-        |t AS (SELECT q_id,
-        |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
-        |      FROM s QUALIFY rank <= 10)
-        |SELECT CAST(count(*) AS INTEGER) AS n_exact,
-        |       CAST(0.4 AS DOUBLE) AS floor,
-        |       true AS passes
-        |FROM t""".stripMargin)),
+    GraftQuery("x_sim_binary_recall_gate", SimilarityOps.binaryRecallGate, Some(annRecallGateOracle("0.4"))),
     // value-checked accuracy gates for the three remaining ANN serving
     // paths (previously rows-only): the oracle recomputes the exact-side
     // count and expects passes=true, so a recall collapse goes red
-    GraftQuery("x_sim_ann_lsh_gate", SimilarityOps.annLshGate, Some(
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
-        |s AS (SELECT q_id, vec_id AS neighbor_id, list_cosine_similarity(qv, v) AS cos FROM q, e),
-        |t AS (SELECT q_id,
-        |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
-        |      FROM s QUALIFY rank <= 10)
-        |SELECT CAST(count(*) AS INTEGER) AS n_exact,
-        |       CAST(0.05 AS DOUBLE) AS floor,
-        |       true AS passes
-        |FROM t""".stripMargin)),
-    GraftQuery("x_sim_ann_multiprobe_gate", SimilarityOps.annMultiProbeGate, Some(
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
-        |s AS (SELECT q_id, vec_id AS neighbor_id, list_cosine_similarity(qv, v) AS cos FROM q, e),
-        |t AS (SELECT q_id,
-        |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
-        |      FROM s QUALIFY rank <= 10)
-        |SELECT CAST(count(*) AS INTEGER) AS n_exact,
-        |       CAST(0.05 AS DOUBLE) AS floor,
-        |       true AS passes
-        |FROM t""".stripMargin)),
-    GraftQuery("x_sim_ann_ivf_gate", SimilarityOps.annIvfGate, Some(
-      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
-        |q AS (SELECT vec_id AS q_id, v AS qv FROM e WHERE vec_id < 10),
-        |s AS (SELECT q_id, vec_id AS neighbor_id, list_cosine_similarity(qv, v) AS cos FROM q, e),
-        |t AS (SELECT q_id,
-        |        row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS rank
-        |      FROM s QUALIFY rank <= 10)
-        |SELECT CAST(count(*) AS INTEGER) AS n_exact,
-        |       CAST(0.30 AS DOUBLE) AS floor,
-        |       true AS passes
-        |FROM t""".stripMargin)),
+    GraftQuery("x_sim_ann_lsh_gate", SimilarityOps.annLshGate, Some(annRecallGateOracle("0.05"))),
+    GraftQuery("x_sim_ann_multiprobe_gate", SimilarityOps.annMultiProbeGate, Some(annRecallGateOracle("0.05"))),
+    GraftQuery("x_sim_ann_ivf_gate", SimilarityOps.annIvfGate, Some(annRecallGateOracle("0.30"))),
     GraftQuery("x_sim_knn_recall_gate", (s, d) => SimilarityOps.knnRecallGate(s, d), Some(
       s"""WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
         |s AS (SELECT a.vec_id AS q_id, b.vec_id AS neighbor_id,
@@ -3385,11 +3329,7 @@ object Registry {
     // leakage the exact 8-gram rule misses; oracle recomputes every
     // corpus-vs-bench co-shingled pair and the per-doc rollup
     GraftQuery("x_decontaminate_fuzzy", PretrainOps.decontaminateFuzzy, Some(
-      s"""WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-        |tri AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t) - 2),
-        |          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
-        |        FROM toks WHERE len(t) >= 3),
-        |cnt AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+      s"""WITH $trigramCtes,
         |prs AS (SELECT a.doc_id AS did, b.doc_id AS bench_id, count(*) AS c
         |        FROM tri a JOIN tri b ON a.sh = b.sh
         |        WHERE a.doc_id % ${PretrainOps.FuzzyBenchMod} <> 0
@@ -3504,8 +3444,7 @@ object Registry {
         |  SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src),
         |comp AS (SELECT min(reach) AS cluster_id, id AS doc_id FROM walk GROUP BY id),
         |qual AS (SELECT doc_id,
-        |           len(list_filter(string_split(text, ' '),
-        |               t -> t IN ('the','a','of','and','to','in','is','or','for','on')))
+        |           $stopCountSql
         |             / len(string_split(text, ' ')) AS sr
         |         FROM documents),
         |rk AS (SELECT c.cluster_id, c.doc_id, q.sr,
@@ -3663,11 +3602,10 @@ object Registry {
         |FROM h QUALIFY sample_rank <= 10
         |ORDER BY source, sample_rank""".stripMargin)),
     GraftQuery("x_sample_quality_weighted", SamplingOps.qualityWeightedSample, Some(
-      """WITH s AS (
+      s"""WITH s AS (
         |  SELECT doc_id, lang, source,
         |         CAST(('0x' || substr(md5(text), 1, 4)) AS INTEGER) % 1000 AS bucket,
-        |         0.2 + 0.8 * (1.0 - len(list_filter(string_split(text, ' '),
-        |             t -> t IN ('the','a','of','and','to','in','is','or','for','on')))
+        |         0.2 + 0.8 * (1.0 - $stopCountSql
         |           / len(string_split(text, ' '))) AS rate
         |  FROM documents)
         |SELECT doc_id, lang, source, rate FROM s
@@ -4147,11 +4085,7 @@ object Registry {
         |       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac
         |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
     GraftQuery("x_split_leakage", CurationOps.splitLeakage, Some(
-      """WITH toks AS (SELECT doc_id, string_split(lower(text), ' ') AS t FROM documents),
-        |tri AS (SELECT doc_id, unnest(list_distinct(list_transform(generate_series(1, len(t) - 2),
-        |          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
-        |        FROM toks WHERE len(t) >= 3),
-        |cnt AS (SELECT doc_id, count(*) AS n FROM tri GROUP BY doc_id),
+      s"""WITH $trigramCtes,
         |prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
         |        FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
         |good AS (SELECT doc_a, doc_b FROM prs
@@ -4181,8 +4115,7 @@ object Registry {
         |ORDER BY doc_id""".stripMargin)),
     GraftQuery("x_budget_select", CurationOps.budgetSelect, Some(
       s"""WITH s AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS INTEGER) AS n_tokens,
-        |             1.0 - len(list_filter(string_split(text, ' '),
-        |                 t -> t IN ('the','a','of','and','to','in','is','or','for','on')))
+        |             1.0 - $stopCountSql
         |               / len(string_split(text, ' ')) AS q
         |           FROM documents),
         |c AS (SELECT doc_id, n_tokens,
@@ -4247,9 +4180,8 @@ object Registry {
         |      < 1000 * pm * cnt_lim
         |ORDER BY doc_id""".stripMargin)),
     GraftQuery("x_quality_terciles", CurationOps.qualityTerciles, Some(
-      """WITH s AS (SELECT doc_id, lang,
-        |             1.0 - len(list_filter(string_split(text, ' '),
-        |                 t -> t IN ('the','a','of','and','to','in','is','or','for','on')))
+      s"""WITH s AS (SELECT doc_id, lang,
+        |             1.0 - $stopCountSql
         |               / len(string_split(text, ' ')) AS q
         |           FROM documents),
         |b AS (SELECT lang, quantile_cont(q, 0.3333333333333333) AS p33,

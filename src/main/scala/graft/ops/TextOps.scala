@@ -11,7 +11,7 @@ import org.apache.spark.sql.types._
   */
 object TextOps {
 
-  private val stopwords =
+  private[graft] val stopwords =
     Seq("the", "a", "of", "and", "to", "in", "is", "or", "for", "on")
 
   private def toks: Column = split(col("text"), " ")
