@@ -1534,6 +1534,29 @@ object Registry {
       |          p.ap_scaled
       |        FROM pq2 p LEFT JOIN nrel n USING (q_id))""".stripMargin
 
+  /** RBO@10 oracle between the BM25 run and another runr definition:
+    * every (q_id, doc_id) match contributes the literal entry weight
+    * W(max rank) — the SAME integers EvalOps.RboW carries — summed per
+    * query, one division by 2^k·2520; the static query list backfills
+    * zero-overlap queries. */
+  private def rboOracleFor(runbDef: String): String = {
+    val wCase = "CASE greatest(a.rank, b.rank) " +
+      graft.ops.EvalOps.RboW.zipWithIndex
+        .map { case (v, m) => s"WHEN ${m + 1} THEN $v" }.mkString(" ") +
+      " ELSE 0 END"
+    val qIds = graft.ops.RetrievalOps.DefaultQueries.map(_._1).mkString(", ")
+    s"""WITH $bm25ScoreCtes,
+      |runa AS ($bm25RunrDef),
+      |runb AS ($runbDef),
+      |sq AS (SELECT a.q_id, CAST(sum($wCase) AS BIGINT) AS s_scaled
+      |       FROM runa a JOIN runb b ON a.q_id = b.q_id AND a.doc_id = b.doc_id
+      |       GROUP BY a.q_id),
+      |qs AS (SELECT unnest([$qIds]) AS q_id)
+      |SELECT qs.q_id, CAST(coalesce(s_scaled, 0) AS BIGINT) AS s_scaled,
+      |       CAST(coalesce(s_scaled, 0) AS DOUBLE) / ${graft.ops.EvalOps.RboDenom}.0 AS rbo
+      |FROM qs LEFT JOIN sq ON qs.q_id = sq.q_id ORDER BY qs.q_id""".stripMargin
+  }
+
   /** The BM25 top-10 as the `runr` definition. */
   private val bm25RunrDef: String =
     """SELECT q_id, doc_id,
@@ -2782,6 +2805,12 @@ object Registry {
       Some(ndcgRrfSummaryOracle)),
     GraftQuery("x_eval_ndcg_prf_summary", EvalOps.prfNdcgSummary,
       Some(ndcgPrfSummaryOracle)),
+    // rank-biased overlap (p = 1/2 ⇒ fully dyadic): how far fusion /
+    // expansion moved the served list — per-match entry weights are
+    // literal integers, per-query s is one combinable sum, rbo one
+    // division; identical runs score exactly 1023/1024
+    GraftQuery("x_eval_rbo_rrf", EvalOps.bm25RrfRbo, Some(rboOracleFor(rrfRunrDef))),
+    GraftQuery("x_eval_rbo_prf", EvalOps.bm25PrfRbo, Some(rboOracleFor(prfRunrDef))),
     GraftQuery("x_sim_ann_lsh", SimilarityOps.annLsh, None),
     GraftQuery("x_sim_knn_join", (s, d) => SimilarityOps.knnJoin(s, d), None,
       headline = true),

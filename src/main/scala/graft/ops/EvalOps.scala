@@ -242,6 +242,73 @@ object EvalOps {
       (chain / lit(queries.size.toDouble)).as("mean_ndcg"))
   }
 
+  // ----------------------------------------------------------------- RBO
+
+  /** Rank-biased overlap depth (= the serving top-k). */
+  val RboK = 10
+
+  /** Entry weights for RBO@10 with persistence p = 1/2 — the dyadic
+    * choice that makes the whole metric EXACT integer arithmetic: with
+    * p = 1/2, RBO = (1−p)·Σ_{d=1..k} p^{d−1}·X_d/d where X_d is the
+    * prefix-intersection size at depth d. A matched document entering
+    * the intersection at depth m (= max of its two ranks) contributes
+    * to every X_d, d ≥ m, so its total weight is
+    * W(m) = Σ_{d=m..k} 2^{k−d}·(2520/d) — an integer for every d ≤ 10
+    * (2520 = lcm(1..10), 2^{k−d} dyadic). Per-query scaled score
+    * s = Σ_matches W(m) is one map-side-combinable int64 sum — NO
+    * window, no per-depth pass — and rbo = s / (2^k·2520) is a single
+    * IEEE division of exact integers. Identical runs score exactly
+    * 1023/1024 (= 1 − 2^{−k}; the p-truncation mass), disjoint runs 0. */
+  val RboW: IndexedSeq[Long] = {
+    def term(d: Int): Long = (1L << (RboK - d)) * (RrScale / d)
+    (1 to RboK).map(m => (m to RboK).map(term).sum)
+  }
+
+  /** The exact-integer denominator 2^k · 2520. */
+  val RboDenom: Long = (1L << RboK) * RrScale
+
+  /** Per-query RBO@10 between two (q_id, rank, doc_id) runs — the
+    * "how much did the serving path change the ranking" readout a
+    * retrieval stack reads when it flips BM25 → hybrid or adds query
+    * expansion (Webber et al. 2010, truncated prefix form). Queries
+    * with zero overlap report 0 (the static query list backfills, so
+    * the output is total).
+    *
+    * Scale shape: one |q|·k ⋈ |q|·k equi join on (q_id, doc_id) —
+    * serving-output sized, broadcastable — then a map-side-combinable
+    * sum into |q| rows. */
+  def rboPerQuery(runA: DataFrame, runB: DataFrame,
+      queries: Seq[(Int, String)] = RetrievalOps.DefaultQueries): DataFrame = {
+    val spark = runA.sparkSession
+    import spark.implicits._
+    val wArr = typedLit[Seq[Long]](RboW)
+    def side(run: DataFrame, r: String) = run
+      .filter(col("rank") <= RboK)
+      .select(col("q_id"), col("doc_id"), col("rank").as(r))
+    val perQuery = side(runA, "rank_a")
+      .join(side(runB, "rank_b"), Seq("q_id", "doc_id"))
+      .select(col("q_id"),
+        element_at(wArr,
+          greatest(col("rank_a"), col("rank_b")).cast(IntegerType)).as("w"))
+      .groupBy(col("q_id"))
+      .agg(sum(col("w")).as("s_scaled"))
+    queries.map(_._1).toDF("q_id")
+      .join(perQuery, Seq("q_id"), "left")
+      .select(col("q_id"),
+        coalesce(col("s_scaled"), lit(0L)).as("s_scaled"),
+        (coalesce(col("s_scaled"), lit(0L)).cast(DoubleType)
+          / lit(RboDenom.toDouble)).as("rbo"))
+      .orderBy("q_id")
+  }
+
+  /** BM25 vs the RRF hybrid — how far fusion moved the served list. */
+  def bm25RrfRbo(spark: SparkSession, dir: String): DataFrame =
+    rboPerQuery(RetrievalOps.bm25(spark, dir), RetrievalOps.rrfHybrid(spark, dir))
+
+  /** BM25 vs its PRF-expanded round — how far expansion moved it. */
+  def bm25PrfRbo(spark: SparkSession, dir: String): DataFrame =
+    rboPerQuery(RetrievalOps.bm25(spark, dir), RetrievalOps.bm25Prf(spark, dir))
+
   def bm25NdcgPerQuery(spark: SparkSession, dir: String): DataFrame =
     ndcgMetrics(RetrievalOps.bm25(spark, dir), gradedQrels(spark, dir))
 

@@ -266,6 +266,38 @@ class RetrievalOpsSpec extends SparkSpec {
     assert(m > 0.0 && m <= 1.0)
   }
 
+  test("rbo: identity scores exactly 1023/1024, disjoint 0, one-swap hand-computed") {
+    import spark.implicits._
+    def run(rows: Seq[(Int, Int, Long)]) =
+      rows.toDF("q_id", "rank", "doc_id")
+    val ids = (1 to 10).map(r => (0, r, (100 + r).toLong))
+    val idsB = (1 to 10).map(r => (0, r, (200 + r).toLong))
+    def rboOf(a: Seq[(Int, Int, Long)], b: Seq[(Int, Int, Long)]): Double =
+      EvalOps.rboPerQuery(run(a), run(b), Seq(0 -> "x"))
+        .collect()(0).getAs[Double]("rbo")
+    // identical runs: every doc enters at its own rank → s = 2520·(2^10−1)
+    assert(rboOf(ids, ids) == 1023.0 / 1024.0)
+    assert(rboOf(ids, idsB) == 0.0)
+    // swap ranks 1↔2 in run B: both swapped docs now enter at depth 2
+    // (their max rank), so identity's W(1) + W(2) becomes 2·W(2) —
+    // s drops by exactly W(1) − W(2) (the depth-1 term, 2^9·2520)
+    val swapped = ids.map {
+      case (q, 1, d) => (q, 2, d)
+      case (q, 2, d) => (q, 1, d)
+      case r => r
+    }
+    val sIdent = EvalOps.RboW.sum // Σ_m W(m) — identity's scaled score
+    val sSwap = sIdent - (EvalOps.RboW(0) - EvalOps.RboW(1))
+    assert(rboOf(ids, swapped) == sSwap.toDouble / EvalOps.RboDenom)
+    // real runs: bounded, total over the query set, self-identity = max
+    val real = EvalOps.bm25RrfRbo(spark, Sf0001).collect()
+    assert(real.length == RetrievalOps.DefaultQueries.size)
+    real.foreach { r =>
+      val v = r.getAs[Double]("rbo")
+      assert(v >= 0.0 && v <= 1023.0 / 1024.0, s"rbo out of range: $r")
+    }
+  }
+
   test("bm25 eval: per-query metrics are internally consistent on real data") {
     val rows = EvalOps.bm25EvalPerQuery(spark, Sf0001).collect()
     assert(rows.length == 5) // one row per default query
