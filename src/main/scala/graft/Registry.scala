@@ -2531,6 +2531,34 @@ object Registry {
         |       CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2) AS dup_2gram_frac,
         |       CAST(len(g3) - len(list_distinct(g3)) AS DOUBLE) / len(g3) AS dup_3gram_frac
         |FROM g ORDER BY doc_id""".stripMargin)),
+    // top-n-gram concentration + immediate repeats (the Gopher signals
+    // x_text_repetition doesn't carry): modal-gram count over gram
+    // positions, bounded (0,1]; short docs report 0 by definition
+    GraftQuery("x_text_top_gram", TextOps.topGramConcentration, Some(
+      """WITH t2 AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
+        |base AS (SELECT doc_id, len(tk) AS n,
+        |           CASE WHEN len(tk) >= 2
+        |                THEN len(list_filter(generate_series(1, len(tk) - 1), i -> tk[i] = tk[i+1]))
+        |                ELSE 0 END AS n_imm
+        |         FROM t2),
+        |g2 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 1),
+        |                 i -> tk[i] || ' ' || tk[i+1])) AS g
+        |       FROM t2 WHERE len(tk) >= 2),
+        |c2 AS (SELECT doc_id, max(c) AS topc
+        |       FROM (SELECT doc_id, g, count(*) AS c FROM g2 GROUP BY 1, 2) GROUP BY doc_id),
+        |g3 AS (SELECT doc_id, unnest(list_transform(generate_series(1, len(tk) - 2),
+        |                 i -> tk[i] || ' ' || tk[i+1] || ' ' || tk[i+2])) AS g
+        |       FROM t2 WHERE len(tk) >= 3),
+        |c3 AS (SELECT doc_id, max(c) AS topc
+        |       FROM (SELECT doc_id, g, count(*) AS c FROM g3 GROUP BY 1, 2) GROUP BY doc_id)
+        |SELECT b.doc_id, CAST(b.n AS INTEGER) AS n_tokens,
+        |       CAST(b.n_imm AS INTEGER) AS n_immediate_repeats,
+        |       CAST(coalesce(c2.topc, 0) AS BIGINT) AS top2_count,
+        |       CASE WHEN b.n >= 2 THEN CAST(coalesce(c2.topc, 0) AS DOUBLE) / (b.n - 1) ELSE 0.0 END AS top2_frac,
+        |       CAST(coalesce(c3.topc, 0) AS BIGINT) AS top3_count,
+        |       CASE WHEN b.n >= 3 THEN CAST(coalesce(c3.topc, 0) AS DOUBLE) / (b.n - 2) ELSE 0.0 END AS top3_frac
+        |FROM base b LEFT JOIN c2 USING (doc_id) LEFT JOIN c3 USING (doc_id)
+        |ORDER BY doc_id""".stripMargin)),
     GraftQuery("x_text_langid", TextOps.langId, None),
     // gate twins for the engine-internal text signals: one row of
     // oracle-derivable counts + passes=true asserting coverage,

@@ -208,6 +208,52 @@ object TextOps {
       .orderBy("doc_id")
   }
 
+  /** Top-n-gram concentration + immediate-repeat count — the Gopher
+    * rule-set signals [[repetition]] doesn't carry: `repetition`
+    * measures how much of a document is ANY duplicate gram; these
+    * measure whether ONE gram dominates (degenerate generations loop a
+    * single phrase; "fraction of tokens in the most common n-gram",
+    * Rae et al. 2021 §A1.1) and how often a token immediately repeats.
+    * Concentration is reported over gram POSITIONS (top count / (n−k+1))
+    * so it is bounded in (0, 1] even for self-overlapping repeats.
+    *
+    * Scale shape: the modal count is a (doc_id, gram) composite-key
+    * hash aggregate — map-side combinable, doc_id in the key so no
+    * document concentrates a task — folded to one row per doc by a
+    * second tiny aggregate; the immediate-repeat count is pure per-row
+    * array arithmetic. Integer counts + single divisions → full
+    * oracle. */
+  def topGramConcentration(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables(spark, dir, "documents")
+      .select(col("doc_id"), split(lower(col("text")), " ").as("t"))
+      .withColumn("n", size(col("t")))
+    // Spark's sequence(a, b) auto-reverses when b < a, so single-token
+    // docs must short-circuit instead of scanning [1, 0]
+    val base = docs.select(col("doc_id"), col("n"),
+      when(col("n") >= 2,
+        size(filter(sequence(lit(1), col("n") - 1),
+          i => element_at(col("t"), i) === element_at(col("t"), i + 1))))
+        .otherwise(lit(0)).as("n_immediate_repeats"))
+    def topCount(k: Int) = docs.filter(col("n") >= k)
+      .select(col("doc_id"),
+        explode(transform(sequence(lit(0), col("n") - k),
+          i => array_join(slice(col("t"), i + 1, lit(k)), " "))).as("g"))
+      .groupBy(col("doc_id"), col("g")).agg(count(lit(1)).as("c"))
+      .groupBy(col("doc_id")).agg(max(col("c")).as(s"top${k}_count"))
+    base
+      .join(topCount(2), Seq("doc_id"), "left")
+      .join(topCount(3), Seq("doc_id"), "left")
+      .select(col("doc_id"), col("n").as("n_tokens"),
+        col("n_immediate_repeats"),
+        coalesce(col("top2_count"), lit(0L)).as("top2_count"),
+        when(col("n") >= 2, coalesce(col("top2_count"), lit(0L)).cast(DoubleType)
+          / (col("n") - 1)).otherwise(lit(0.0)).as("top2_frac"),
+        coalesce(col("top3_count"), lit(0L)).as("top3_count"),
+        when(col("n") >= 3, coalesce(col("top3_count"), lit(0L)).cast(DoubleType)
+          / (col("n") - 2)).otherwise(lit(0.0)).as("top3_frac"))
+      .orderBy("doc_id")
+  }
+
   /** Character-trigram profiles per language, derived from that
     * language's most frequent function words — the classic n-gram
     * language-id heuristic (Cavnar-Trenkle shape, profile fixed at

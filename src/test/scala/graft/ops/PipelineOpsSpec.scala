@@ -1561,6 +1561,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r(1L) == ((0.0, 0.0)))
   }
 
+  test("top-gram concentration: looped phrase dominates, short docs report 0") {
+    import spark.implicits._
+    val dir = tempDir("topgram_docs")
+    Seq(
+      // "spam spam ...": one distinct 2-gram holds all 5 positions;
+      // immediate repeats at every adjacent pair
+      (0L, "spam spam spam spam spam spam", "en", "s", 30L),
+      // looped phrase: "the cat sat" ×3 → top 2-gram "the cat" holds
+      // 3 of 8 positions, top 3-gram "the cat sat" 3 of 7
+      (1L, "the cat sat the cat sat the cat sat", "en", "s", 35L),
+      (2L, "solo", "en", "s", 4L),
+      (3L, "one two three four five six seven", "en", "s", 33L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextOps.topGramConcentration(spark, dir).collect()
+      .map(x => x.getLong(0) -> ((x.getInt(1), x.getInt(2), x.getLong(3),
+        x.getDouble(4), x.getLong(5), x.getDouble(6)))).toMap
+    assert(r(0L) == ((6, 5, 5L, 1.0, 4L, 1.0)), s"got ${r(0L)}")
+    assert(r(1L) == ((9, 0, 3L, 0.375, 3L, 3.0 / 7)), s"got ${r(1L)}")
+    assert(r(2L) == ((1, 0, 0L, 0.0, 0L, 0.0)), s"got ${r(2L)}")
+    assert(r(3L)._4 == 1.0 / 6 && r(3L)._3 == 1L, s"got ${r(3L)}")
+  }
+
   test("connected components: chain, triangle, isolated pair — exact clusters") {
     import spark.implicits._
     // chain 1-2-3 (no 1-3 edge), triangle 10-11-12, pair 20-21
