@@ -2513,6 +2513,31 @@ object Registry {
     GraftQuery("x_quality_classifier_join", TextOps.qualityClassifierJoined,
       Some(qualityClassifierOracle)),
     // reliability bins: does the gold rate rise with the logit bin?
+    // Cohen's kappa between the classifier's keep and the stopword
+    // gold: integer 2x2 confusion + a fixed IEEE tree (po/pe/kappa)
+    // replicated verbatim in SQL
+    GraftQuery("x_quality_kappa", TextOps.classifierKappa, Some(
+      s"""WITH $qualityClassifierCtes,
+        |g AS (SELECT logit > 0 AS a,
+        |             $stopCountSql / len(string_split(text, ' ')) >= 0.1 AS b
+        |      FROM s),
+        |cm AS (SELECT count(*) AS n,
+        |         CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+        |         CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+        |         CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+        |         CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00
+        |       FROM g),
+        |m AS (SELECT n, n11, n10, n01, n00,
+        |        (CAST(n11 AS DOUBLE) + CAST(n00 AS DOUBLE)) / n AS po,
+        |        (CAST(n11 AS DOUBLE) + CAST(n10 AS DOUBLE)) / n AS p_a,
+        |        (CAST(n11 AS DOUBLE) + CAST(n01 AS DOUBLE)) / n AS p_b
+        |      FROM cm)
+        |SELECT n, n11, n10, n01, n00, po,
+        |       p_a * p_b + (1.0 - p_a) * (1.0 - p_b) AS pe,
+        |       CASE WHEN p_a * p_b + (1.0 - p_a) * (1.0 - p_b) < 1.0
+        |            THEN (po - (p_a * p_b + (1.0 - p_a) * (1.0 - p_b)))
+        |                 / (1.0 - (p_a * p_b + (1.0 - p_a) * (1.0 - p_b))) END AS kappa
+        |FROM m""".stripMargin)),
     GraftQuery("x_quality_calibration", TextOps.classifierCalibration,
       Some(classifierCalibrationOracle)),
     // Isotonic (PAV) recalibration via the exact minimax identity

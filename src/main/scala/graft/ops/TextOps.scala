@@ -736,6 +736,43 @@ object TextOps {
       .orderBy("bin")
   }
 
+  /** Cohen's kappa between the hashed quality classifier's keep
+    * decision and the stopword gold rule — agreement BEYOND CHANCE,
+    * the number an annotation pipeline reads before trusting a cheap
+    * labeler: raw agreement (po) is inflated whenever both annotators
+    * share skewed marginals; kappa subtracts the chance floor
+    * pe = pA·pB + (1−pA)·(1−pB).
+    *
+    * Exactness: the 2×2 confusion counts are one map-side-combinable
+    * integer aggregate (the decisions themselves are exact int64 logit
+    * signs and an engine-identical ratio threshold); po/pe/kappa are a
+    * FIXED tree of IEEE ops over those integers, written identically
+    * in the oracle — deterministic at any partitioning. One scan. */
+  def classifierKappa(spark: SparkSession, dir: String): DataFrame = {
+    val dbl = (c: Column) => c.cast(DoubleType)
+    val t = split(lower(col("text")), " ")
+    val decisions = Tables(spark, dir, "documents")
+      .select(
+        (aggregate(transform(t, tok => bucketWeight(featBucket(tok))),
+          lit(0L), (acc, w) => acc + w) > 0L).as("a"),
+        (stopRatio(col("text")) >= 0.1).as("b"))
+    val cell = (pa: Boolean, pb: Boolean) =>
+      sum(when(col("a") === pa && col("b") === pb, 1L).otherwise(0L))
+    decisions
+      .agg(count(lit(1)).as("n"),
+        cell(true, true).as("n11"), cell(true, false).as("n10"),
+        cell(false, true).as("n01"), cell(false, false).as("n00"))
+      .withColumn("po", (dbl(col("n11")) + dbl(col("n00"))) / col("n"))
+      .withColumn("p_a", (dbl(col("n11")) + dbl(col("n10"))) / col("n"))
+      .withColumn("p_b", (dbl(col("n11")) + dbl(col("n01"))) / col("n"))
+      .withColumn("pe",
+        col("p_a") * col("p_b") + (lit(1.0) - col("p_a")) * (lit(1.0) - col("p_b")))
+      .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        col("po"), col("pe"),
+        when(col("pe") < 1.0, (col("po") - col("pe")) / (lit(1.0) - col("pe")))
+          .as("kappa"))
+  }
+
   /** The shared bin-table currency behind [[classifierCalibration]] and
     * [[isotonicCalibration]]: one corpus pass into ≤ 9 rows of
     * (bin, n_docs, n_gold, Σlogit). */

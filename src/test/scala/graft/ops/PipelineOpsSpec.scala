@@ -1584,6 +1584,23 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r(3L)._4 == 1.0 / 6 && r(3L)._3 == 1L, s"got ${r(3L)}")
   }
 
+  test("kappa: confusion cells reconcile, chance floor subtracts, bounds hold") {
+    val r = TextOps.classifierKappa(spark, Sf0001).collect()(0)
+    val (n, n11, n10, n01, n00) = (r.getAs[Long]("n"), r.getAs[Long]("n11"),
+      r.getAs[Long]("n10"), r.getAs[Long]("n01"), r.getAs[Long]("n00"))
+    assert(n == n11 + n10 + n01 + n00, "confusion cells must partition the corpus")
+    // replay the fixed IEEE tree — the spec proves the emitted po/pe/kappa
+    // are exactly the advertised functions of the integer cells
+    val po = (n11.toDouble + n00.toDouble) / n
+    val pA = (n11.toDouble + n10.toDouble) / n
+    val pB = (n11.toDouble + n01.toDouble) / n
+    val pe = pA * pB + (1.0 - pA) * (1.0 - pB)
+    assert(r.getAs[Double]("po") == po && r.getAs[Double]("pe") == pe)
+    val kappa = r.getAs[Double]("kappa")
+    assert(kappa == (po - pe) / (1.0 - pe))
+    assert(kappa >= -1.0 && kappa <= 1.0)
+  }
+
   test("connected components: chain, triangle, isolated pair — exact clusters") {
     import spark.implicits._
     // chain 1-2-3 (no 1-3 edge), triangle 10-11-12, pair 20-21
