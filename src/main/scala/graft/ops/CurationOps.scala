@@ -218,6 +218,54 @@ object CurationOps {
       .orderBy("split_a", "split_b")
   }
 
+  /** Cluster-respecting train/val/test split — the constructive FIX for
+    * what [[splitLeakage]] measures: a content-hash split puts two
+    * NEAR-duplicates (one token apart → different md5) on opposite
+    * sides, leaking train data into eval. Here every near-dup cluster
+    * is assigned as a UNIT (split derived from md5 of its component
+    * label — the same content-hash currency, so the whole assignment
+    * stays value-oracled), and unclustered documents keep the plain
+    * content-hash rule ([[SamplingOps.splitHash]]). Cross-split near-dup
+    * pairs are impossible by construction — [[clusterSplitGate]] pins
+    * that per round.
+    *
+    * Scale shape: the cluster table is a vanishing fraction of the
+    * corpus, so the assignment join broadcasts; everything else is the
+    * narrow per-row hash the plain split already pays. */
+  def clusterSplit(spark: SparkSession, dir: String): DataFrame = {
+    val clusters = ClusterOps.nearDupClusters(spark, dir)
+    val clusterBucket =
+      conv(substring(md5(concat(lit("c:"), col("cluster_id").cast(StringType))),
+        1, 4), 16, 10).cast(IntegerType) % 100
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"), SamplingOps.splitBucket.as("own_bucket"))
+      .join(broadcast(clusters), Seq("doc_id"), "left")
+      .select(col("doc_id"),
+        col("cluster_id").isNotNull.as("clustered"),
+        when(col("cluster_id").isNotNull, SamplingOps.splitOf(clusterBucket))
+          .otherwise(SamplingOps.splitOf(col("own_bucket"))).as("split"))
+      .orderBy("doc_id")
+  }
+
+  /** 1-row gate: under [[clusterSplit]] no verified near-dup pair may
+    * cross splits (under the plain hash split, [[splitLeakage]] shows
+    * they do). n_docs/n_pairs anchor the oracle; cross_pairs is pinned
+    * 0 and passes true. */
+  def clusterSplitGate(spark: SparkSession, dir: String): DataFrame = {
+    val splits = clusterSplit(spark, dir).select(col("doc_id"), col("split"))
+    val pairs = DedupOps.ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+      .join(splits.select(col("doc_id").as("doc_a"), col("split").as("split_a")), Seq("doc_a"))
+      .join(splits.select(col("doc_id").as("doc_b"), col("split").as("split_b")), Seq("doc_b"))
+    val nDocs = Tables(spark, dir, "documents").agg(count(lit(1)).as("n_docs"))
+    pairs.agg(
+        count(lit(1)).as("n_pairs"),
+        coalesce(sum(when(col("split_a") =!= col("split_b"), 1L).otherwise(0L)),
+          lit(0L)).as("cross_pairs"))
+      .crossJoin(broadcast(nDocs))
+      .select(col("n_docs"), col("n_pairs"), col("cross_pairs"),
+        (col("cross_pairs") === 0L).as("passes"))
+  }
+
   /** Deterministic global shuffle for training-order export: every
     * document gets a (shard, position) from a seeded content-independent
     * id hash — the reproducible "shuffle once, write sharded" step every

@@ -118,6 +118,44 @@ class CurationOpsSpec extends SparkSpec {
     assert(got.map(_._3).sum == DedupOps.ngramJaccard(spark, Sf0001).count())
   }
 
+  test("cluster split: near-dup pair co-splits where the plain hash split leaks") {
+    import spark.implicits._
+    def plainSplit(text: String): String = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+      val hex = md.digest(text.getBytes("UTF-8")).map("%02x".format(_)).mkString
+      val b = Integer.parseInt(hex.substring(0, 4), 16) % 100
+      if (b < 90) "train" else if (b < 95) "val" else "test"
+    }
+    // 12-token near-dup pair (last token differs → trigram jaccard
+    // 7/13 ≥ 0.5); search the deterministic suffix space for a pair the
+    // PLAIN content-hash split separates — the leak this op fixes
+    val head = "alpha beta gamma delta epsilon zeta eta theta iota kappa lambda"
+    val (base, near) = (0 until 10000).iterator
+      .map(i => (s"$head mu$i", s"$head nu$i"))
+      .find { case (a, b) => plainSplit(a) != plainSplit(b) }
+      .getOrElse(fail("no leaking pair found in the search space"))
+    val dir = tempDir("cluster_split")
+    Seq((0L, base, "en", "s", base.length.toLong),
+      (1L, near, "en", "s", near.length.toLong),
+      (2L, "totally different words about engines and shuffles everywhere ok", "en", "s", 60L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars").repartition(2)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    // plain split leaks the planted pair...
+    val plain = SamplingOps.splitHash(spark, dir).collect()
+      .map(r => r.getLong(0) -> r.getString(2)).toMap
+    assert(plain(0L) != plain(1L), "search guaranteed a leaking pair")
+    // ...the cluster split does not, and the singleton keeps its rule
+    val cs = CurationOps.clusterSplit(spark, dir).collect()
+      .map(r => r.getLong(0) -> ((r.getBoolean(1), r.getString(2)))).toMap
+    assert(cs(0L)._1 && cs(1L)._1 && cs(0L)._2 == cs(1L)._2,
+      s"near-dups must co-split: $cs")
+    assert(!cs(2L)._1 && cs(2L)._2 == plain(2L))
+    val g = CurationOps.clusterSplitGate(spark, dir).collect()(0)
+    // ngramJaccard emits each unordered pair once (doc_a < doc_b)
+    assert(g.getAs[Long]("n_pairs") == 1L && g.getAs[Long]("cross_pairs") == 0L
+      && g.getAs[Boolean]("passes"))
+  }
+
   test("budget select: output is the exact greedy quality prefix within budget") {
     val docs = Tables(spark, Sf0001, "documents")
       .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"),
