@@ -2538,6 +2538,28 @@ object Registry {
         |            THEN (po - (p_a * p_b + (1.0 - p_a) * (1.0 - p_b)))
         |                 / (1.0 - (p_a * p_b + (1.0 - p_a) * (1.0 - p_b))) END AS kappa
         |FROM m""".stripMargin)),
+    // Fleiss' kappa over three rule annotators: with 3 binary raters
+    // the per-doc agreement term is 1 or 1/3, so the mean is exact
+    // integers + one division (no order-dependent double fold)
+    GraftQuery("x_quality_fleiss", TextOps.fleissKappa, Some(
+      s"""WITH $qualityClassifierCtes,
+        |g AS (SELECT (CASE WHEN logit > 0 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN $stopCountSql / len(string_split(text, ' ')) >= 0.1 THEN 1 ELSE 0 END)
+        |           + (CASE WHEN length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) / length(text) < 0.1 THEN 1 ELSE 0 END) AS k
+        |      FROM s),
+        |a AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kv,
+        |             CAST(sum(CASE WHEN k = 0 OR k = 3 THEN 1 ELSE 0 END) AS BIGINT) AS u
+        |      FROM g),
+        |m AS (SELECT n, kv, u,
+        |        CAST(kv AS DOUBLE) / (n * 3) AS p_keep,
+        |        (CAST(n AS DOUBLE) + u * 2) / (n * 3) AS p_bar
+        |      FROM a)
+        |SELECT n AS n_docs, kv AS keep_votes, u AS n_unanimous, p_keep, p_bar,
+        |       p_keep * p_keep + (1.0 - p_keep) * (1.0 - p_keep) AS p_e,
+        |       CASE WHEN p_keep * p_keep + (1.0 - p_keep) * (1.0 - p_keep) < 1.0
+        |            THEN (p_bar - (p_keep * p_keep + (1.0 - p_keep) * (1.0 - p_keep)))
+        |                 / (1.0 - (p_keep * p_keep + (1.0 - p_keep) * (1.0 - p_keep))) END AS kappa
+        |FROM m""".stripMargin)),
     GraftQuery("x_quality_calibration", TextOps.classifierCalibration,
       Some(classifierCalibrationOracle)),
     // Isotonic (PAV) recalibration via the exact minimax identity
@@ -4166,6 +4188,31 @@ object Registry {
         |       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS INTEGER) AS n_dup,
         |       CAST(sum(CASE WHEN df >= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*) AS dup_frac
         |FROM d GROUP BY doc_id ORDER BY doc_id""".stripMargin)),
+    // per-source data card: volume, language spread, length envelope,
+    // exact-duplicate load — every figure an exact integer or a single
+    // division of exact integers
+    GraftQuery("x_curation_datasheet", CurationOps.corpusDatasheet, Some(
+      """WITH d AS (SELECT source, lang, text,
+        |             len(string_split(text, ' ')) AS n_tok, length(text) AS n_ch
+        |           FROM documents),
+        |dup AS (SELECT source,
+        |          CAST(sum(CASE WHEN c >= 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_texts,
+        |          CAST(coalesce(sum(CASE WHEN c >= 2 THEN c END), 0) AS BIGINT) AS n_dup_docs
+        |        FROM (SELECT source, text, count(*) AS c FROM d GROUP BY 1, 2)
+        |        GROUP BY source),
+        |m AS (SELECT source, count(*) AS n_docs,
+        |        CAST(count(DISTINCT lang) AS INTEGER) AS n_langs,
+        |        CAST(sum(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS BIGINT) AS n_en,
+        |        CAST(sum(n_tok) AS BIGINT) AS total_tokens,
+        |        CAST(min(n_tok) AS INTEGER) AS min_tokens,
+        |        CAST(max(n_tok) AS INTEGER) AS max_tokens,
+        |        CAST(sum(n_ch) AS BIGINT) AS total_chars
+        |      FROM d GROUP BY source)
+        |SELECT m.source, n_docs, n_langs,
+        |       CAST(n_en AS DOUBLE) / n_docs AS pct_en,
+        |       total_tokens, CAST(total_tokens AS DOUBLE) / n_docs AS mean_tokens,
+        |       min_tokens, max_tokens, total_chars, n_dup_texts, n_dup_docs
+        |FROM m JOIN dup USING (source) ORDER BY source""".stripMargin)),
     // cluster-respecting split: near-dup clusters assigned as a unit
     // (split from md5 of the component label), singletons keep the
     // content-hash rule — the constructive fix for x_split_leakage;

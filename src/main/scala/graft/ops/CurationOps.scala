@@ -1,6 +1,6 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
@@ -216,6 +216,47 @@ object CurationOps {
       .select(col("split_a"), col("split_b"), col("n_pairs"),
         (col("split_a") =!= col("split_b")).as("leaked"))
       .orderBy("split_a", "split_b")
+  }
+
+  /** Per-source corpus datasheet — the one-table "data card" summary a
+    * dataset release ships (Gebru et al., Datasheets for Datasets):
+    * volume (docs/tokens/chars), language spread, English share, token
+    * length envelope, and the within-source exact-duplicate load. One
+    * wide row per source, every figure an exact integer or a single
+    * division of exact integers → fully value-oracled.
+    *
+    * Scale shape: two map-side-combinable aggregates — the per-source
+    * rollup and a (source, text) duplicate count folded to per-source —
+    * joined on the |sources|-row key. The corpus is scanned once per
+    * aggregate and never shuffled wider than its composite keys. */
+  def corpusDatasheet(spark: SparkSession, dir: String): DataFrame = {
+    val dbl = (c: Column) => c.cast(DoubleType)
+    val docs = Tables(spark, dir, "documents")
+      .select(col("source"), col("lang"), col("text"),
+        size(split(col("text"), " ")).as("n_tok"),
+        length(col("text")).as("n_ch"))
+    val dups = docs.groupBy(col("source"), col("text"))
+      .agg(count(lit(1)).as("c"))
+      .groupBy(col("source"))
+      .agg(
+        sum(when(col("c") >= 2, 1L).otherwise(0L)).as("n_dup_texts"),
+        coalesce(sum(when(col("c") >= 2, col("c"))), lit(0L)).as("n_dup_docs"))
+    docs.groupBy(col("source"))
+      .agg(count(lit(1)).as("n_docs"),
+        countDistinct(col("lang")).cast(IntegerType).as("n_langs"),
+        sum(when(col("lang") === "en", 1L).otherwise(0L)).as("n_en"),
+        sum(col("n_tok").cast(LongType)).as("total_tokens"),
+        min(col("n_tok")).as("min_tokens"),
+        max(col("n_tok")).as("max_tokens"),
+        sum(col("n_ch").cast(LongType)).as("total_chars"))
+      .join(dups, Seq("source"))
+      .select(col("source"), col("n_docs"), col("n_langs"),
+        (dbl(col("n_en")) / col("n_docs")).as("pct_en"),
+        col("total_tokens"),
+        (dbl(col("total_tokens")) / col("n_docs")).as("mean_tokens"),
+        col("min_tokens"), col("max_tokens"), col("total_chars"),
+        col("n_dup_texts"), col("n_dup_docs"))
+      .orderBy("source")
   }
 
   /** Cluster-respecting train/val/test split — the constructive FIX for

@@ -773,6 +773,41 @@ object TextOps {
           .as("kappa"))
   }
 
+  /** Fleiss' kappa across THREE rule annotators (classifier keep,
+    * stopword gold, low-punctuation) — [[classifierKappa]]'s
+    * multi-rater generalization: with 3 binary raters every document's
+    * pairwise-agreement term P_i collapses to 1 (unanimous) or 1/3
+    * (2-1 split), so P̄ = (N + 2·unanimous)/(3N) is EXACT integers +
+    * one division — no order-dependent double mean anywhere. The
+    * chance floor uses the pooled keep share p = keep_votes/(3N);
+    * kappa = (P̄ − Pe)/(1 − Pe) is a fixed IEEE tree replicated in the
+    * oracle. One map-side-combinable scan. */
+  def fleissKappa(spark: SparkSession, dir: String): DataFrame = {
+    val dbl = (c: Column) => c.cast(DoubleType)
+    val t = split(lower(col("text")), " ")
+    val votes = Tables(spark, dir, "documents").select(
+      ((aggregate(transform(t, tok => bucketWeight(featBucket(tok))),
+        lit(0L), (acc, w) => acc + w) > 0L).cast(IntegerType)
+        + (stopRatio(col("text")) >= 0.1).cast(IntegerType)
+        + ((length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", ""))
+            / length(col("text"))) < 0.1).cast(IntegerType)).as("k"))
+    votes
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("k")).cast(LongType).as("keep_votes"),
+        sum(when(col("k") === 0 || col("k") === 3, 1L).otherwise(0L))
+          .as("n_unanimous"))
+      .withColumn("p_keep", dbl(col("keep_votes")) / (col("n_docs") * 3))
+      .withColumn("p_bar",
+        (dbl(col("n_docs")) + col("n_unanimous") * 2) / (col("n_docs") * 3))
+      .withColumn("p_e",
+        col("p_keep") * col("p_keep")
+          + (lit(1.0) - col("p_keep")) * (lit(1.0) - col("p_keep")))
+      .select(col("n_docs"), col("keep_votes"), col("n_unanimous"),
+        col("p_keep"), col("p_bar"), col("p_e"),
+        when(col("p_e") < 1.0,
+          (col("p_bar") - col("p_e")) / (lit(1.0) - col("p_e"))).as("kappa"))
+  }
+
   /** The shared bin-table currency behind [[classifierCalibration]] and
     * [[isotonicCalibration]]: one corpus pass into ≤ 9 rows of
     * (bin, n_docs, n_gold, Σlogit). */

@@ -156,6 +156,31 @@ class CurationOpsSpec extends SparkSpec {
       && g.getAs[Boolean]("passes"))
   }
 
+  test("datasheet: planted source with known volume, languages, and duplicate load") {
+    import spark.implicits._
+    val dir = tempDir("datasheet_docs")
+    Seq(
+      (0L, "a b c", "en", "sA", 5L),       // dup text ×3 in sA
+      (1L, "a b c", "en", "sA", 5L),
+      (2L, "a b c", "fr", "sA", 5L),
+      (3L, "d e f g", "en", "sA", 7L),
+      (4L, "a b c", "en", "sB", 5L))       // same text in sB — NOT a dup there
+      .toDF("doc_id", "text", "lang", "source", "n_chars").repartition(2)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = CurationOps.corpusDatasheet(spark, dir).collect()
+      .map(x => x.getString(0) -> x).toMap
+    val a = r("sA")
+    assert(a.getAs[Long]("n_docs") == 4L && a.getAs[Int]("n_langs") == 2)
+    assert(a.getAs[Double]("pct_en") == 0.75)
+    assert(a.getAs[Long]("total_tokens") == 13L)
+    assert(a.getAs[Double]("mean_tokens") == 13.0 / 4)
+    assert(a.getAs[Int]("min_tokens") == 3 && a.getAs[Int]("max_tokens") == 4)
+    assert(a.getAs[Long]("n_dup_texts") == 1L && a.getAs[Long]("n_dup_docs") == 3L)
+    val b = r("sB")
+    assert(b.getAs[Long]("n_dup_texts") == 0L && b.getAs[Long]("n_dup_docs") == 0L,
+      "duplicate load is WITHIN-source: sB's single copy is not a dup")
+  }
+
   test("budget select: output is the exact greedy quality prefix within budget") {
     val docs = Tables(spark, Sf0001, "documents")
       .select(col("doc_id"), size(split(col("text"), " ")).as("n_tokens"),

@@ -1601,6 +1601,21 @@ class PipelineOpsSpec extends SparkSpec {
     assert(kappa >= -1.0 && kappa <= 1.0)
   }
 
+  test("fleiss kappa: vote partition reconciles; exact P-bar identity; bounds") {
+    val r = TextOps.fleissKappa(spark, Sf0001).collect()(0)
+    val (n, kv, u) = (r.getAs[Long]("n_docs"), r.getAs[Long]("keep_votes"),
+      r.getAs[Long]("n_unanimous"))
+    assert(n > 0 && kv >= 0 && kv <= 3 * n && u <= n)
+    // replay the exact identities: with 3 binary raters P_i ∈ {1, 1/3}
+    val pBar = (n.toDouble + u * 2) / (n * 3)
+    val pKeep = kv.toDouble / (n * 3)
+    val pe = pKeep * pKeep + (1.0 - pKeep) * (1.0 - pKeep)
+    assert(r.getAs[Double]("p_bar") == pBar && r.getAs[Double]("p_keep") == pKeep)
+    assert(r.getAs[Double]("p_e") == pe)
+    val kappa = r.getAs[Double]("kappa")
+    assert(kappa == (pBar - pe) / (1.0 - pe) && kappa >= -1.0 && kappa <= 1.0)
+  }
+
   test("connected components: chain, triangle, isolated pair — exact clusters") {
     import spark.implicits._
     // chain 1-2-3 (no 1-3 edge), triangle 10-11-12, pair 20-21
