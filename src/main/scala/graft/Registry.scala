@@ -1869,6 +1869,18 @@ object Registry {
         |       CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]')) AS INTEGER) AS n_bpe_tokens,
         |       CAST(length(text) AS INTEGER) AS n_chars_m
         |FROM documents ORDER BY doc_id""".stripMargin)),
+    // tokenizer fertility per language: BPE tokens per whitespace word
+    // + chars per BPE token — exact sums, two single divisions
+    GraftQuery("x_text_fertility", TextOps.tokenizerFertility, Some(
+      """SELECT lang, count(*) AS n_docs,
+        |       CAST(sum(len(string_split(text, ' '))) AS BIGINT) AS ws_tokens,
+        |       CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]'))) AS BIGINT) AS bpe_tokens,
+        |       CAST(sum(length(text)) AS BIGINT) AS n_chars,
+        |       CAST(sum(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]'))) AS DOUBLE)
+        |         / sum(len(string_split(text, ' '))) AS fertility,
+        |       CAST(sum(length(text)) AS DOUBLE)
+        |         / sum(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\s]'))) AS chars_per_bpe
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin)),
     GraftQuery("x_event_funnel", EventOps.funnelStages, Some(
       """WITH v AS (SELECT user_id, min(ts) AS t_view FROM events
         |           WHERE event_type = 'view' GROUP BY user_id),
@@ -2722,6 +2734,19 @@ object Registry {
         |FROM pairs JOIN cnt ca ON doc_a = ca.doc_id
         |WHERE 5 * n_common >= 4 * ca.n
         |ORDER BY doc_a, doc_b""".stripMargin)),
+    // cross-source duplication matrix: the verified near-dup pair set
+    // rolled up by endpoint sources (diagonal = within-source dup load,
+    // off-diagonal = cross-source mirroring) — the dedup triage table
+    GraftQuery("x_dedup_source_profile", DedupOps.sourcePairProfile, Some(
+      s"""WITH pr AS ($ngramJaccardOracle),
+        |s AS (SELECT doc_id, source FROM documents)
+        |SELECT least(sa.source, sb.source) AS source_lo,
+        |       greatest(sa.source, sb.source) AS source_hi,
+        |       count(*) AS n_pairs,
+        |       least(sa.source, sb.source) = greatest(sa.source, sb.source) AS within_source
+        |FROM pr JOIN s sa ON pr.doc_a = sa.doc_id
+        |        JOIN s sb ON pr.doc_b = sb.doc_id
+        |GROUP BY 1, 2 ORDER BY source_lo, source_hi""".stripMargin)),
     GraftQuery("x_dedup_minhash_lsh", DedupOps.minhashLsh, None, headline = true),
     // end-to-end LSH equivalence gate: the banded pair set must be a
     // zero-false-positive subset of the exact Jaccard-threshold pair set

@@ -388,6 +388,31 @@ object DedupOps {
       .orderBy("batch_doc", "corpus_doc")
   }
 
+  /** Cross-source duplication matrix — WHERE the near-duplication comes
+    * from: verified n-gram near-dup pairs rolled up by their endpoints'
+    * (source, source) cell, symmetric cells normalized (lexicographic
+    * min first) so each unordered source pair reports once. Diagonal
+    * cells are within-source duplication (fix: dedup the source);
+    * off-diagonal cells are cross-source mirroring (fix: pick a
+    * canonical source) — the triage table a crawl operator reads before
+    * spending a dedup pass.
+    *
+    * Scale shape: the pair set is a vanishing fraction of the corpus;
+    * two broadcast-able joins attach endpoint sources, then one tiny
+    * |sources|² rollup. */
+  def sourcePairProfile(spark: SparkSession, dir: String): DataFrame = {
+    val src = Tables(spark, dir, "documents").select(col("doc_id"), col("source"))
+    ngramJaccard(spark, dir)
+      .join(src.select(col("doc_id").as("doc_a"), col("source").as("src_a")), Seq("doc_a"))
+      .join(src.select(col("doc_id").as("doc_b"), col("source").as("src_b")), Seq("doc_b"))
+      .groupBy(
+        least(col("src_a"), col("src_b")).as("source_lo"),
+        greatest(col("src_a"), col("src_b")).as("source_hi"))
+      .agg(count(lit(1)).as("n_pairs"))
+      .withColumn("within_source", col("source_lo") === col("source_hi"))
+      .orderBy("source_lo", "source_hi")
+  }
+
   /** Direct per-round gate for the probe path — [[minhashProbe]] is the
     * one near-dup entry whose correctness otherwise rides solely on a
     * spec: the probe result must EQUAL the inline [[minhashLsh]] pair

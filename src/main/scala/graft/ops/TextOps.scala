@@ -47,6 +47,31 @@ object TextOps {
         length(col("text")).as("n_chars_m"))
       .orderBy("doc_id")
 
+  /** Tokenizer fertility per language — the table a tokenizer choice is
+    * judged on: BPE-regex tokens per whitespace word (fertility; high
+    * values mean the tokenizer shreds that language) and characters per
+    * BPE token (compression). Sums are exact integers; the two ratios
+    * are single divisions — fully value-oracled. One map-side-combined
+    * |langs|-row aggregate. */
+  def tokenizerFertility(spark: SparkSession, dir: String): DataFrame = {
+    val dbl = (c: Column) => c.cast(DoubleType)
+    Tables(spark, dir, "documents")
+      .select(col("lang"),
+        size(toks).cast(LongType).as("ws"),
+        bpeTokenCount(col("text")).cast(LongType).as("bpe"),
+        length(col("text")).cast(LongType).as("ch"))
+      .groupBy(col("lang"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("ws")).as("ws_tokens"),
+        sum(col("bpe")).as("bpe_tokens"),
+        sum(col("ch")).as("n_chars"))
+      .select(col("lang"), col("n_docs"), col("ws_tokens"), col("bpe_tokens"),
+        col("n_chars"),
+        (dbl(col("bpe_tokens")) / col("ws_tokens")).as("fertility"),
+        (dbl(col("n_chars")) / col("bpe_tokens")).as("chars_per_bpe"))
+      .orderBy("lang")
+  }
+
   /** Exploded (doc_id, term) token stream — the shared front of the
     * corpus term-statistics operators. */
   private def tokenStream(spark: SparkSession, dir: String): DataFrame =

@@ -1601,6 +1601,37 @@ class PipelineOpsSpec extends SparkSpec {
     assert(kappa >= -1.0 && kappa <= 1.0)
   }
 
+  test("source profile: planted pairs land in the right (source, source) cells") {
+    // plantedDir: 0/1 near-dups in src0; 2 (src1) is 0's exact dup →
+    // pairs (0,1) within src0, (0,2) and (1,2) across src0/src1
+    val r = DedupOps.sourcePairProfile(spark, plantedDir).collect()
+      .map(x => (x.getString(0), x.getString(1)) ->
+        ((x.getLong(2), x.getBoolean(3)))).toMap
+    assert(r(("src0", "src0")) == ((1L, true)), s"got $r")
+    assert(r(("src0", "src1")) == ((2L, false)), s"got $r")
+    assert(r.size == 2)
+  }
+
+  test("tokenizer fertility: hand-counted regex segmentation per language") {
+    import spark.implicits._
+    val dir = tempDir("fertility_docs")
+    Seq(
+      // ws = 2 words; BPE-regex = [ab][,][cd][!] = 4; chars = 7
+      (0L, "ab, cd!", "en", "s", 7L),
+      // ws = 3; bpe = [x][y][z] = 3; chars = 5
+      (1L, "x y z", "en", "s", 5L),
+      (2L, "uno", "es", "s", 3L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars").repartition(2)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = TextOps.tokenizerFertility(spark, dir).collect()
+      .map(x => x.getString(0) -> x).toMap
+    val en = r("en")
+    assert(en.getAs[Long]("ws_tokens") == 5L && en.getAs[Long]("bpe_tokens") == 7L)
+    assert(en.getAs[Double]("fertility") == 7.0 / 5)
+    assert(en.getAs[Double]("chars_per_bpe") == 12.0 / 7)
+    assert(r("es").getAs[Double]("fertility") == 1.0)
+  }
+
   test("fleiss kappa: vote partition reconciles; exact P-bar identity; bounds") {
     val r = TextOps.fleissKappa(spark, Sf0001).collect()(0)
     val (n, kv, u) = (r.getAs[Long]("n_docs"), r.getAs[Long]("keep_votes"),
