@@ -263,12 +263,26 @@ object SetOps {
   def g3ApproxDistinctGate(spark: SparkSession, dir: String): DataFrame = {
     def inBound(approx: Column, exact: Column): Column =
       abs(approx - exact) * 100L <= exact * 5L
-    Tables(spark, dir, "lineitem")
+    // The exact and approximate counts run as SEPARATE aggregations,
+    // cross-joined (two 1-row sides). Mixing countDistinct with
+    // approx_count_distinct in ONE agg plans the HLL as a
+    // non-distinct aggregate inside the distinct-expand's sort-based
+    // aggregation, where every input row MERGES a full 2^p-register
+    // sketch instead of updating one register — O(rows · registers)
+    // work that the round-12 sf1 validation caught live (the one query
+    // in the registry that went super-linear at 10×: minutes of CPU on
+    // 6M rows). Split, the approx pass is a plain partial-aggregated
+    // HLL update per row and the exact pass is the standard two-phase
+    // distinct.
+    val approx = Tables(spark, dir, "lineitem")
       .agg(
-        countDistinct(col("l_partkey")).as("n_parts"),
-        countDistinct(col("l_orderkey")).as("n_orders"),
         approx_count_distinct(col("l_partkey"), 0.01).as("ap"),
         approx_count_distinct(col("l_orderkey"), 0.01).as("ao"))
+    val exact = Tables(spark, dir, "lineitem")
+      .agg(
+        countDistinct(col("l_partkey")).as("n_parts"),
+        countDistinct(col("l_orderkey")).as("n_orders"))
+    exact.crossJoin(broadcast(approx))
       .select(col("n_parts"), col("n_orders"),
         (inBound(col("ap"), col("n_parts")) &&
           inBound(col("ao"), col("n_orders"))).as("passes"))

@@ -364,6 +364,27 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(g.getAs[Long]("n_parts") == exact)
   }
 
+  test("HLL distinct gate plan: the sketch never rides inside the distinct-expand") {
+    // the sf1 scale validation caught the mixed form live: countDistinct
+    // + approx_count_distinct in ONE agg plans the HLL inside the
+    // distinct-expand's sort-based aggregation, where every input row
+    // MERGES a full register array (O(rows·registers)). The gate must
+    // keep the two passes as separate aggregations joined at one row.
+    val plan = SetOps.g3ApproxDistinctGate(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("Expand"), s"exact pass lost its distinct expand:\n$plan")
+    assert(plan.contains("approx_count_distinct"), s"HLL pass missing:\n$plan")
+    // the pathological plan lists both function families in ONE
+    // aggregate node ("functions=[count(distinct ...), ...,
+    // approx_count_distinct(...)]"); the fixed plan never does
+    val mixed = plan.linesIterator.filter(l =>
+      l.contains("approx_count_distinct") && l.contains("count(distinct")).toSeq
+    assert(mixed.isEmpty,
+      s"exact distinct and HLL share an aggregate node:\n${mixed.mkString("\n")}")
+    assert(plan.contains("BroadcastNestedLoopJoin") || plan.contains("CartesianProduct"),
+      s"expected a 1-row-x-1-row join of the two passes:\n$plan")
+  }
+
   test("negative control: a tile set missing months reds the sketch-cube gate band") {
     // failure mode: the tile materialization loses partitions (a
     // partial overwrite, a month-boundary off-by-one). Answering the
