@@ -56,8 +56,13 @@ object GenScaledData {
     import spark.implicits._
 
     def tbl(name: String): DataFrame = spark.read.parquet(s"$src/$name.parquet")
+    // many output files per table: a 100 TB table is NEVER one file, and
+    // a single-file fixture serializes every narrow plan onto one core —
+    // the first sf1 validation run measured the fixture, not the engine
+    // (x_text_winnow sat on one interpreted-eval task for 30+ minutes)
     def write(df: DataFrame, name: String): Unit = {
-      df.write.mode("overwrite").parquet(s"$out/$name.parquet")
+      val parts = if (Seq("region", "nation").contains(name)) 1 else 32
+      df.repartition(parts).write.mode("overwrite").parquet(s"$out/$name.parquet")
       println(s"[gen] $name: ${spark.read.parquet(s"$out/$name.parquet").count()} rows")
     }
 
