@@ -16,7 +16,10 @@ def main(sf_dir, out_dir):
     con = duckdb.connect()
     for p in glob.glob(f"{sf_dir}/*.parquet"):
         name = os.path.basename(p)[:-8]
-        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{p}'")
+        # driver testdata ships single-file tables; GenScaledData's sf1
+        # fixtures are Spark-style directories of part files
+        path = f"{p}/*.parquet" if os.path.isdir(p) else p
+        con.execute(f"CREATE VIEW {name} AS SELECT * FROM '{path}'")
     oracle = json.load(open(f"{out_dir}/oracle_sql.json"))
     n_pass = n_fail = 0
     # A throwing query writes a 1-row marker parquet whose only column is
