@@ -341,10 +341,22 @@ object TextOps {
     * every gram. Hashes are the md5 content currency (not xxhash64),
     * so the whole selection — positions included — is value-oracled.
     *
-    * Scale shape: pure per-row array expressions — no shuffle, no
-    * state; the selected set is the only thing that leaves the row.
-    * Docs shorter than k + w − 1 tokens carry no guarantee and are
-    * excluded (spec-pinned). */
+    * Scale shape: one narrow gram-hash projection, a window-index
+    * explode, the O(w) per-window argmin, and a distinct keyed by
+    * (doc, pos, fp) — the selected fingerprints (≈ 2/(w+1) of the gram
+    * stream) are the only thing that crosses a shuffle. Docs shorter
+    * than k + w − 1 tokens carry no guarantee and are excluded
+    * (spec-pinned).
+    *
+    * The explode between the gram projection and the window argmin is
+    * LOAD-BEARING, not style: with both in one projection the
+    * optimizer inlines the md5-transform alias into its (statically
+    * single, dynamically per-window) reference, and every window then
+    * recomputes the ENTIRE gram array — O(n²·w) md5 calls per
+    * document. The round-12 sf1 validation caught it live (179 s for
+    * 500 docs at sf0.001; the plan probe counted 7 inlined md5 sites);
+    * a Generate boundary is one CollapseProject cannot cross, so the
+    * gram array is hashed exactly once per document. */
   def winnowFingerprints(spark: SparkSession, dir: String): DataFrame = {
     val k = WinnowK
     val w = WinnowW
@@ -354,14 +366,15 @@ object TextOps {
       .withColumn("gs", expr(
         s"""transform(sequence(1, size(tk) - ${k - 1}), i ->
            |  cast(conv(substring(md5(array_join(slice(tk, i, $k), ' ')), 1, 15), 16, 10) as bigint))""".stripMargin))
-      .withColumn("sel", expr(
-        s"""array_distinct(transform(sequence(1, size(gs) - ${w - 1}), i ->
-           |  aggregate(sequence(i, i + ${w - 1}),
-           |    named_struct('v', cast(9223372036854775807 as bigint), 'p', cast(0 as int)),
-           |    (acc, j) -> if(element_at(gs, j) <= acc.v,
-           |                   named_struct('v', element_at(gs, j), 'p', j), acc))))""".stripMargin))
-      .select(col("doc_id"), explode(col("sel")).as("s"))
+      .select(col("doc_id"), col("gs"),
+        explode(expr(s"sequence(1, size(gs) - ${w - 1})")).as("i"))
+      .select(col("doc_id"), expr(
+        s"""aggregate(sequence(i, i + ${w - 1}),
+           |  named_struct('v', cast(9223372036854775807 as bigint), 'p', cast(0 as int)),
+           |  (acc, j) -> if(element_at(gs, j) <= acc.v,
+           |                 named_struct('v', element_at(gs, j), 'p', j), acc))""".stripMargin).as("s"))
       .select(col("doc_id"), col("s.p").as("pos"), col("s.v").as("fp"))
+      .distinct()
       .orderBy("doc_id", "pos", "fp")
   }
 

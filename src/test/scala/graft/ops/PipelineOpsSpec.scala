@@ -1632,6 +1632,29 @@ class PipelineOpsSpec extends SparkSpec {
     assert(r("es").getAs[Double]("fertility") == 1.0)
   }
 
+  test("winnow: shared-run guarantee holds; gram hashing runs once per document") {
+    import spark.implicits._
+    val dir = tempDir("winnow_docs")
+    val shared = "one two three four five six seven eight" // k+w-1 = 8 tokens
+    Seq((0L, s"prefix aa bb $shared", "en", "s", 1L),
+      (1L, s"$shared suffix cc dd ee", "en", "s", 1L),
+      (2L, "totally different words with no run shared at all here", "en", "s", 1L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars").repartition(2)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val fps = TextOps.winnowFingerprints(spark, dir).collect()
+      .groupBy(_.getLong(0)).view.mapValues(_.map(_.getLong(2)).toSet).toMap
+    // Schleimer-Wilkerson-Aiken guarantee: a shared token run of
+    // ≥ k + w − 1 forces at least one shared selected VALUE
+    assert((fps(0L) & fps(1L)).nonEmpty, "shared 8-token run must share a fingerprint")
+    // the plan computes the md5 gram array exactly ONCE: the round-12
+    // sf1 validation caught the collapsed-projection form recomputing
+    // it per window (7 inlined sites, 43× slower)
+    val plan = TextOps.winnowFingerprints(spark, Sf0001)
+      .queryExecution.optimizedPlan.toString
+    val n = "md5\\(".r.findAllIn(plan).length
+    assert(n == 1, s"gram transform inlined $n times:\n$plan")
+  }
+
   test("fleiss kappa: vote partition reconciles; exact P-bar identity; bounds") {
     val r = TextOps.fleissKappa(spark, Sf0001).collect()(0)
     val (n, kv, u) = (r.getAs[Long]("n_docs"), r.getAs[Long]("keep_votes"),
