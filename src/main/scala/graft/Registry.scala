@@ -113,6 +113,22 @@ object Registry {
       |SELECT doc_id, n_tokens, logit, logit > 0 AS keep
       |FROM s ORDER BY doc_id""".stripMargin
 
+  /** 2×2 confusion cells (classifier keep vs stopword gold, through
+    * `cm`) — shared by the Cohen-kappa and MCC oracles so the cell
+    * source cannot drift between agreement metrics. Mirrors
+    * TextOps.confusionCells. */
+  private val confusionCellCtes: String =
+    s"""$qualityClassifierCtes,
+      |g AS (SELECT logit > 0 AS a,
+      |             $stopCountSql / len(string_split(text, ' ')) >= 0.1 AS b
+      |      FROM s),
+      |cm AS (SELECT count(*) AS n,
+      |         CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
+      |         CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
+      |         CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
+      |         CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00
+      |       FROM g)""".stripMargin
+
   /** Calibration oracle: bins over the SAME logit CTE the classifier
     * pair is judged against, gold = the stop-ratio rule shared with
     * x_text_quality — single-source on both signals. */
@@ -1467,6 +1483,38 @@ object Registry {
       |       doc_id, score
       |FROM sc QUALIFY rank <= 10 ORDER BY q_id, rank""".stripMargin
 
+  /** Dirichlet query-likelihood oracle: candidates = docs matching ≥1
+    * query term, each scored over ALL its query's terms (absent terms
+    * contribute the background probability via the LEFT JOIN's
+    * coalesce-0 tf); the per-term ln is floor-scaled to int64 micro-units
+    * on an IEEE tree that mirrors RetrievalOps.qlm token for token
+    * (μ = 100.0, the same decimal literal). */
+  private val qlmOracle: String =
+    s"""WITH $bm25BaseCtes,
+      |tfq AS (SELECT t.doc_id, t.term, count(*) AS tf FROM tok t
+      |        WHERE t.term IN (SELECT DISTINCT term FROM q)
+      |        GROUP BY t.doc_id, t.term),
+      |cfq AS (SELECT t.term, count(*) AS cf FROM tok t
+      |        WHERE t.term IN (SELECT DISTINCT term FROM q)
+      |        GROUP BY t.term),
+      |tc AS (SELECT CAST(sum(dl) AS BIGINT) AS tot_c FROM dl),
+      |cand AS (SELECT DISTINCT q.q_id, tfq.doc_id FROM tfq JOIN q USING (term)),
+      |scq AS (SELECT c.q_id, c.doc_id,
+      |          CAST(sum(CAST(floor(ln(
+      |            (CAST(coalesce(tfq.tf, 0) AS DOUBLE) + 100.0 * cfq.cf / tc.tot_c)
+      |            / (dl.dl + 100.0)) * 1000000) AS BIGINT)) AS BIGINT) AS score_micro
+      |        FROM cand c JOIN q ON q.q_id = c.q_id
+      |             JOIN cfq ON cfq.term = q.term
+      |             LEFT JOIN tfq ON tfq.doc_id = c.doc_id AND tfq.term = q.term
+      |             JOIN dl ON dl.doc_id = c.doc_id
+      |             CROSS JOIN tc
+      |        GROUP BY c.q_id, c.doc_id)
+      |SELECT q_id, CAST(rn AS INTEGER) AS rank, doc_id, score_micro FROM
+      | (SELECT q_id, doc_id, score_micro,
+      |         row_number() OVER (PARTITION BY q_id ORDER BY score_micro DESC, doc_id) AS rn
+      |  FROM scq) WHERE rn <= 10
+      |ORDER BY q_id, rank""".stripMargin
+
   /** RRF hybrid oracle: BM25 lexical top-10 fused with cosine-kNN dense
     * top-10 via exact-integer reciprocal-rank contributions
     * (lcm(61..70) // (60 + rank) — divides evenly for every rank). */
@@ -1696,6 +1744,54 @@ object Registry {
       |        sum(CASE WHEN split = 'val' THEN 1 ELSE 0 END) AS n_val
       |      FROM d WHERE split IN ('train', 'val') GROUP BY bucket_lo),
       |t AS (SELECT sum(n_train) AS tt, sum(n_val) AS tv FROM c)""".stripMargin
+
+  /** KS drift CTE chain (through `d` = per-distinct-length cumulative
+    * counts per split and the cross-multiplied integer deviation
+    * |cum_train·n_val − cum_val·n_train|) — shared by the per-value
+    * table and the 1-row verdict. Mirrors SamplingOps.ksOf. */
+  private def ksDriftCtes: String =
+    """s AS (SELECT n_chars AS value,
+      |        CAST(('0x' || substr(md5(text), 1, 4)) AS INTEGER) % 100 AS bucket
+      |      FROM documents),
+      |f AS (SELECT value,
+      |        sum(CASE WHEN bucket < 90 THEN 1 ELSE 0 END) AS f_train,
+      |        sum(CASE WHEN bucket >= 90 AND bucket < 95 THEN 1 ELSE 0 END) AS f_val
+      |      FROM s WHERE bucket < 95 GROUP BY value),
+      |c AS (SELECT value,
+      |        CAST(sum(f_train) OVER (ORDER BY value) AS BIGINT) AS cum_train,
+      |        CAST(sum(f_val) OVER (ORDER BY value) AS BIGINT) AS cum_val
+      |      FROM f),
+      |t AS (SELECT CAST(sum(f_train) AS BIGINT) AS n_train,
+      |             CAST(sum(f_val) AS BIGINT) AS n_val FROM f),
+      |d AS (SELECT value, cum_train, cum_val,
+      |        abs(cum_train * n_val - cum_val * n_train) AS d_num
+      |      FROM c CROSS JOIN t)""".stripMargin
+
+  /** Gonzalez k-center CTE chain: c1 = smallest vec_id; round r picks
+    * the point with the largest min-distance to c1..c(r−1) (ties to the
+    * smallest vec_id) and dr carries each point's updated min-distance.
+    * Rounds are GENERATED (one template, KCenters instances) so a
+    * distance-formula tweak edits one definition — the evalSummaryTail
+    * rule. Shared by the centers table and the radius readout. Mirrors
+    * EmbedOps.kcenterSelect. */
+  private def kcenterCtes: String = {
+    def dist(p: String, c: String) =
+      s"CAST(list_sum(list_transform(generate_series(1, len($p.v)), " +
+        s"i -> ($p.v[i] - $c.v[i]) * ($p.v[i] - $c.v[i]))) AS BIGINT)"
+    val head =
+      s"""e AS (SELECT vec_id,
+        |        list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${EmbedOps.Scale}) AS BIGINT)) AS v
+        |      FROM embeddings),
+        |c1 AS (SELECT vec_id, v FROM e ORDER BY vec_id LIMIT 1),
+        |d1 AS (SELECT e.vec_id, e.v, ${dist("e", "c1")} AS d FROM e CROSS JOIN c1)""".stripMargin
+    val rounds = (2 to EmbedOps.KCenters).map { r =>
+      val p = s"d${r - 1}"
+      s"""c$r AS (SELECT vec_id, v, d FROM $p ORDER BY d DESC, vec_id LIMIT 1),
+        |d$r AS (SELECT $p.vec_id, $p.v, least($p.d, ${dist(p, s"c$r")}) AS d
+        |        FROM $p CROSS JOIN c$r)""".stripMargin
+    }
+    (head +: rounds).mkString(",\n")
+  }
 
   /** Per-source drift CTE chain (through `cells` = the full
     * source × length-bucket grid with observed counts, expectations and
@@ -2529,16 +2625,7 @@ object Registry {
     // gold: integer 2x2 confusion + a fixed IEEE tree (po/pe/kappa)
     // replicated verbatim in SQL
     GraftQuery("x_quality_kappa", TextOps.classifierKappa, Some(
-      s"""WITH $qualityClassifierCtes,
-        |g AS (SELECT logit > 0 AS a,
-        |             $stopCountSql / len(string_split(text, ' ')) >= 0.1 AS b
-        |      FROM s),
-        |cm AS (SELECT count(*) AS n,
-        |         CAST(sum(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n11,
-        |         CAST(sum(CASE WHEN a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n10,
-        |         CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
-        |         CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00
-        |       FROM g),
+      s"""WITH $confusionCellCtes,
         |m AS (SELECT n, n11, n10, n01, n00,
         |        (CAST(n11 AS DOUBLE) + CAST(n00 AS DOUBLE)) / n AS po,
         |        (CAST(n11 AS DOUBLE) + CAST(n10 AS DOUBLE)) / n AS p_a,
@@ -2550,6 +2637,19 @@ object Registry {
         |            THEN (po - (p_a * p_b + (1.0 - p_a) * (1.0 - p_b)))
         |                 / (1.0 - (p_a * p_b + (1.0 - p_a) * (1.0 - p_b))) END AS kappa
         |FROM m""".stripMargin)),
+    // Matthews correlation over the same 2×2 cells: exact HUGEINT/decimal
+    // numerator, double marginal products with sqrt the only root —
+    // the balance-robust companion kappa readers ask for
+    GraftQuery("x_quality_mcc", TextOps.classifierMcc, Some(
+      s"""WITH $confusionCellCtes
+        |SELECT n, n11, n10, n01, n00,
+        |       CASE WHEN n11 + n10 > 0 AND n11 + n01 > 0
+        |             AND n00 + n10 > 0 AND n00 + n01 > 0
+        |            THEN CAST(CAST(n11 AS HUGEINT) * n00 - CAST(n10 AS HUGEINT) * n01 AS DOUBLE)
+        |                 / sqrt(CAST(n11 + n10 AS DOUBLE) * CAST(n11 + n01 AS DOUBLE)
+        |                        * CAST(n00 + n10 AS DOUBLE) * CAST(n00 + n01 AS DOUBLE))
+        |       END AS mcc
+        |FROM cm""".stripMargin)),
     // Fleiss' kappa over three rule annotators: with 3 binary raters
     // the per-doc agreement term is 1 or 1/3, so the mean is exact
     // integers + one division (no order-dependent double fold)
@@ -2871,6 +2971,10 @@ object Registry {
     // scoring-SQL source; the expansion choice is exact counts with
     // deterministic ties, so the two-stage retrieval is value-oracled
     GraftQuery("x_retrieval_bm25_prf", RetrievalOps.bm25Prf, Some(bm25PrfOracle)),
+    // Dirichlet query-likelihood: the language-modeling scorer beside
+    // BM25 — same floor-ln-micro integer-sum trick, absent query terms
+    // contribute the background probability (coalesce-0 tf)
+    GraftQuery("x_retrieval_qlm", RetrievalOps.qlm, Some(qlmOracle)),
     // hybrid RAG-stack retrieval: lexical + dense lists fused by
     // reciprocal rank with exact-integer contributions (lcm-scaled) —
     // both inputs are k-bounded map-side aggregates, so fusion cost is
@@ -3704,6 +3808,27 @@ object Registry {
         |       CAST(sum(CASE WHEN n_docs = 0 THEN 1 ELSE 0 END) AS INTEGER) AS n_empty_buckets,
         |       max(chi2_term) AS max_chi2_term
         |FROM cells GROUP BY source ORDER BY source""".stripMargin)),
+    // distribution-free split drift: two-sample KS over the full length
+    // CDFs — catches the in-bucket shifts the binned χ² is blind to.
+    // Deviations are cross-multiplied integers (max is an integer max);
+    // the verdict's one division and one sqrt are IEEE-correctly-rounded
+    // in both engines (the same rule that picked χ² over PSI: ln is not)
+    GraftQuery("x_drift_ks", SamplingOps.splitDriftKs, Some(
+      s"""WITH $ksDriftCtes
+        |SELECT value, cum_train, cum_val, CAST(d_num AS BIGINT) AS d_num
+        |FROM d ORDER BY value""".stripMargin)),
+    GraftQuery("x_drift_ks_summary", SamplingOps.splitDriftKsSummary, Some(
+      s"""WITH $ksDriftCtes,
+        |m AS (SELECT max(d_num) AS d_max FROM d),
+        |p AS (SELECT min(value) AS ks_value FROM d, m WHERE d.d_num = m.d_max),
+        |v AS (SELECT t.n_train, t.n_val, CAST(m.d_max AS BIGINT) AS d_num_max, p.ks_value,
+        |        CAST(m.d_max AS DOUBLE) / (CAST(t.n_train AS DOUBLE) * CAST(t.n_val AS DOUBLE)) AS d_stat,
+        |        1.358 * sqrt((CAST(t.n_train AS DOUBLE) + CAST(t.n_val AS DOUBLE))
+        |                     / (CAST(t.n_train AS DOUBLE) * CAST(t.n_val AS DOUBLE))) AS d_crit
+        |      FROM t, m, p)
+        |SELECT n_train, n_val, d_num_max, ks_value, d_stat, d_crit,
+        |       d_stat > d_crit AS drifted
+        |FROM v""".stripMargin)),
     GraftQuery("x_sample_stratified", (s, d) => SamplingOps.stratifiedSample(s, d), None),
     GraftQuery("x_sample_stratified_hash", SamplingOps.stratifiedSampleHash, Some(
       """SELECT doc_id, lang, source FROM documents
@@ -3952,6 +4077,32 @@ object Registry {
         |                                     lang || '|' || CAST(n_chars AS VARCHAR)), 1, 8)) AS BIGINT))
         |            AS BIGINT) AS checksum
         |FROM documents GROUP BY source ORDER BY source""".stripMargin)),
+    // robust aggregates without a per-group sort: the value-frequency
+    // table + range-partitioned running counts turn trimmed/winsorized
+    // means into interval arithmetic over rank intervals; decimal sums,
+    // one division per mean
+    GraftQuery("x_stats_trimmed", StatsOps.trimmedMeans, Some(
+      """WITH f AS (SELECT l_returnflag AS key, l_quantity AS value, count(*) AS cnt
+        |           FROM lineitem GROUP BY 1, 2),
+        |r AS (SELECT key, value, cnt,
+        |        CAST(sum(cnt) OVER (PARTITION BY key ORDER BY value) AS BIGINT) AS cum_hi
+        |      FROM f),
+        |r2 AS (SELECT key, value, cnt, cum_hi, cum_hi - cnt AS cum_lo FROM r),
+        |t AS (SELECT key, CAST(sum(cnt) AS BIGINT) AS n,
+        |             CAST(sum(cnt) AS BIGINT) // 10 AS k FROM f GROUP BY key),
+        |j AS (SELECT r2.key, r2.value, cum_hi, cum_lo, t.n, t.k,
+        |        greatest(0, least(cum_hi, t.n - t.k) - greatest(cum_lo, t.k)) AS inc
+        |      FROM r2 JOIN t USING (key)),
+        |a AS (SELECT key, max(n) AS n, max(k) AS k,
+        |        min(CASE WHEN cum_hi >= k + 1 THEN value END) AS v_low,
+        |        max(CASE WHEN cum_lo < n - k THEN value END) AS v_high,
+        |        sum(CAST(value AS DECIMAL(18,2)) * inc) AS tsum
+        |      FROM j GROUP BY key)
+        |SELECT key, n, k, v_low, v_high,
+        |       CAST(tsum AS DOUBLE) / (n - 2 * k) AS trimmed_mean,
+        |       CAST(tsum + k * (CAST(v_low AS DECIMAL(18,2)) + CAST(v_high AS DECIMAL(18,2)))
+        |            AS DOUBLE) / n AS winsor_mean
+        |FROM a ORDER BY key""".stripMargin)),
     // month-over-month movers: lag + rank windows over the bounded
     // aggregate domain; counts integer, pct one IEEE division
     GraftQuery("x_mom_movers", StatsOps.momMovers, Some(
@@ -4167,6 +4318,24 @@ object Registry {
         |SELECT n_vecs, num, den,
         |       (num >= (4 * den) // 5 AND num <= (6 * den) // 5) AS passes
         |FROM d1 CROSS JOIN n1""".stripMargin)),
+    // Gonzalez k-center greedy: the oracle replays every selection round
+    // as an argmax CTE over exact integer distances (generated per round
+    // — the PrefOps pair-block pattern), so the chosen set, each pick's
+    // farthest-distance credential AND the final coverage radius are all
+    // value-checked
+    GraftQuery("x_embed_kcenter", EmbedOps.kcenterCenters, Some(
+      s"""WITH $kcenterCtes
+        |SELECT 1 AS round, vec_id, CAST(0 AS BIGINT) AS dist2 FROM c1
+        |${(2 to EmbedOps.KCenters).map(r =>
+             s"UNION ALL SELECT $r, vec_id, d FROM c$r").mkString("\n")}
+        |ORDER BY round""".stripMargin)),
+    GraftQuery("x_embed_kcenter_radius", EmbedOps.kcenterRadius, Some(
+      s"""WITH $kcenterCtes
+        |SELECT a.n_vecs, m.radius2, p.farthest_vec_id
+        |FROM (SELECT CAST(count(*) AS BIGINT) AS n_vecs FROM d${EmbedOps.KCenters}) a,
+        |     (SELECT CAST(max(d) AS BIGINT) AS radius2 FROM d${EmbedOps.KCenters}) m,
+        |     (SELECT min(vec_id) AS farthest_vec_id FROM d${EmbedOps.KCenters}
+        |      WHERE d = (SELECT max(d) FROM d${EmbedOps.KCenters})) p""".stripMargin)),
     GraftQuery("x_embed_mrl_head", EmbedOps.mrlHeadMass, Some(
       s"""WITH q AS (SELECT vec_id,
         |         list_transform(embedding, x -> CAST(floor(CAST(x AS DOUBLE) * ${EmbedOps.Scale}) AS BIGINT)) AS qv
@@ -4238,6 +4407,29 @@ object Registry {
         |       total_tokens, CAST(total_tokens AS DOUBLE) / n_docs AS mean_tokens,
         |       min_tokens, max_tokens, total_chars, n_dup_texts, n_dup_docs
         |FROM m JOIN dup USING (source) ORDER BY source""".stripMargin)),
+    // source-concentration audit: Gini via the sorted-weights identity
+    // with an exact integer numerator; HHI numerator on DECIMAL(38,0);
+    // one fixed IEEE tree per readout — the datasheet's inequality row
+    GraftQuery("x_curation_concentration", CurationOps.sourceConcentration, Some(
+      """WITH w AS (SELECT source, CAST(sum(n_chars) AS BIGINT) AS w
+        |           FROM documents GROUP BY source),
+        |r AS (SELECT source, w,
+        |        CAST(row_number() OVER (ORDER BY w, source) AS BIGINT) AS i
+        |      FROM w),
+        |top AS (SELECT source AS top_source, w AS top_w FROM r
+        |        ORDER BY w DESC, source DESC LIMIT 1),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_sources,
+        |        CAST(sum(w) AS BIGINT) AS total_chars,
+        |        CAST(sum(i * w) AS BIGINT) AS iw,
+        |        CAST(sum(CAST(w AS DECIMAL(38,0)) * CAST(w AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS s2
+        |      FROM r)
+        |SELECT n_sources, total_chars, top_source,
+        |       CAST(top_w AS DOUBLE) / CAST(total_chars AS DOUBLE) AS top_share,
+        |       CAST(2 * iw - (n_sources + 1) * total_chars AS DOUBLE)
+        |         / (CAST(n_sources AS DOUBLE) * CAST(total_chars AS DOUBLE)) AS gini,
+        |       (CAST(s2 AS DOUBLE) / CAST(total_chars AS DOUBLE))
+        |         / CAST(total_chars AS DOUBLE) AS hhi
+        |FROM a CROSS JOIN top""".stripMargin)),
     // cluster-respecting split: near-dup clusters assigned as a unit
     // (split from md5 of the component label), singletons keep the
     // content-hash rule — the constructive fix for x_split_leakage;

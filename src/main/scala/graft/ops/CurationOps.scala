@@ -468,4 +468,51 @@ object CurationOps {
     val (w, prior) = dsirFit(spark, dir)
     dsirScoreAgainst(Tables(spark, dir, "documents"), w, prior)
   }
+
+  /** Source-concentration audit: how unevenly the corpus mass (chars) is
+    * spread across sources — the datasheet companion a mixture designer
+    * reads before setting temperature weights. One row: Gini coefficient
+    * over the per-source char masses (0 = uniform, (n−1)/n = one source
+    * owns everything), Herfindahl–Hirschman index Σpᵢ², and the largest
+    * source's share.
+    *
+    * Determinism: the per-source masses are exact int64 sums; Gini rides
+    * the sorted-weights identity G = (2·Σ i·wᵢ − (n+1)·ΣW) / (n·ΣW) with
+    * an exact INTEGER numerator (ranks ascending by (mass, source)), and
+    * each of gini/hhi/top_share is a fixed 1-row IEEE tree over exact
+    * integers — bit-identical in DuckDB. Overflow headroom: Σ i·w ≤ n·W
+    * needs n·W ≤ 2⁶³ (at 100 sources that is ~9e16 chars ≈ 90 TB of
+    * text; beyond, masses switch to kilochar units — one literal); the
+    * HHI numerator Σw² rides DECIMAL(38,0), exact to 10³⁸.
+    *
+    * Scale shape: ONE map-side-combinable aggregate collapses the corpus
+    * to |sources| rows; the rank window runs over that bounded domain
+    * (the windows-over-aggregates rule), and the final fold is a 1-row
+    * aggregate. */
+  def sourceConcentration(spark: SparkSession, dir: String): DataFrame =
+    concentrationOf(Tables(spark, dir, "documents")
+      .groupBy(col("source")).agg(sum(col("n_chars")).as("w")))
+
+  private[graft] def concentrationOf(weights: DataFrame): DataFrame = {
+    val dbl = (c: Column) => c.cast(DoubleType)
+    val ranked = weights.withColumn("i",
+      row_number().over(Window.orderBy(col("w"), col("source"))).cast(LongType))
+    val folded = ranked.agg(
+      count(lit(1)).as("n_sources"),
+      sum(col("w")).as("total_chars"),
+      sum(col("i") * col("w")).as("iw"),
+      // ties on mass break to the lexicographically LAST source — the
+      // struct max order, mirrored by the oracle's (w DESC, source DESC)
+      max(struct(col("w"), col("source"))).as("top"),
+      sum(col("w").cast(DecimalType(38, 0)) * col("w").cast(DecimalType(38, 0)))
+        .as("s2"))
+    folded.select(
+      col("n_sources"), col("total_chars"),
+      col("top.source").as("top_source"),
+      (dbl(col("top.w")) / dbl(col("total_chars"))).as("top_share"),
+      (dbl(lit(2L) * col("iw") - (col("n_sources") + 1L) * col("total_chars"))
+        / (dbl(col("n_sources")) * dbl(col("total_chars")))).as("gini"),
+      ((dbl(col("s2")) / dbl(col("total_chars"))) / dbl(col("total_chars")))
+        .as("hhi"))
+  }
 }

@@ -390,4 +390,84 @@ object EmbedOps {
         (col("num") >= expr("(4 * den) div 5") &&
           col("num") <= expr("(6 * den) div 5")).as("passes"))
   }
+
+  /** Centers selected by [[kcenterSelect]] — Gonzalez' farthest-point
+    * greedy, the classic 2-approximation for k-center. */
+  val KCenters = 4
+
+  /** Scaled-int64 view shared by the k-center family (the [[Scale]]
+    * currency — exact squared distances; headroom: 64 dims × (2·1e5)²
+    * ≈ 2.6e12 per pair, far inside int64). */
+  private def scaledVecs(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "embeddings").select(col("vec_id"),
+      transform(col("embedding"),
+        x => floor(x.cast(DoubleType) * Scale).cast(LongType)).as("v"))
+
+  private def sqDistTo(c: Seq[Long]): Column = {
+    val cl = typedLit(c)
+    aggregate(sequence(lit(0), lit(c.length - 1)), lit(0L), (acc, i) => {
+      val d = element_at(col("v"), (i + 1).cast(IntegerType)) -
+        element_at(cl, (i + 1).cast(IntegerType))
+      acc + d * d
+    })
+  }
+
+  private def minDistTo(cents: Seq[Seq[Long]]): Column =
+    cents.map(sqDistTo).reduce(least(_, _))
+
+  /** Gonzalez k-center greedy over the scaled store: center 1 is the
+    * smallest vec_id (a deterministic stand-in for "arbitrary"); each
+    * later round adds the point FARTHEST from the chosen set (ties to
+    * the smallest vec_id). Returns (round, vec_id, dist2-at-selection,
+    * scaled vector) — K rows of driver state.
+    *
+    * Scale shape: K−1 full scans, each a narrow min-over-≤K literal
+    * integer distances folded by ONE 1-row struct-max aggregate
+    * (map-side combinable, no shuffle of rows, no sort) — the same
+    * bounded-driver-state pattern as [[classCentroidsOf]]. The greedy
+    * is inherently sequential in K (each pick conditions the next),
+    * which is fine: K is a constant, the CORPUS never serializes. */
+  private[graft] def kcenterSelect(vecs: DataFrame): Seq[(Int, Long, Long, Seq[Long])] = {
+    val f = vecs.agg(min(struct(col("vec_id"), col("v"))).as("m"))
+      .select(col("m.vec_id"), col("m.v")).collect()(0)
+    val first = (1, f.getLong(0), 0L, f.getSeq[Long](1))
+    (2 to KCenters).foldLeft(Vector(first)) { (chosen, r) =>
+      val d = minDistTo(chosen.map(_._4))
+      val p = vecs
+        .agg(max(struct(d.as("d"), (-col("vec_id")).as("nid"), col("v").as("v")))
+          .as("m"))
+        .select(col("m.d"), col("m.nid"), col("m.v")).collect()(0)
+      chosen :+ ((r, -p.getLong(1), p.getLong(0), p.getSeq[Long](2)))
+    }
+  }
+
+  /** The K selected centers as a table: (round, vec_id, dist2) where
+    * dist2 is the squared scaled distance to the previously-chosen set
+    * at selection time (0 for the seed) — monotonically non-increasing
+    * by the greedy invariant. */
+  def kcenterCenters(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = scaledVecs(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      import spark.implicits._
+      kcenterSelect(vecs).map { case (r, id, d, _) => (r, id, d) }
+        .toDF("round", "vec_id", "dist2").orderBy("round")
+    } finally vecs.unpersist()
+  }
+
+  /** Coverage readout for the selected centers: how far the farthest
+    * point sits from its nearest center (the k-center objective) and
+    * which point it is — the "is K enough" diagnostic. One extra scan. */
+  def kcenterRadius(spark: SparkSession, dir: String): DataFrame = {
+    val vecs = scaledVecs(spark, dir)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      val centers = kcenterSelect(vecs).map(_._4)
+      vecs.select(col("vec_id"), minDistTo(centers).as("d"))
+        .agg(count(lit(1)).as("n_vecs"),
+          max(struct(col("d"), (-col("vec_id")).as("nid"))).as("m"))
+        .select(col("n_vecs"), col("m.d").as("radius2"),
+          (-col("m.nid")).as("farthest_vec_id"))
+    } finally vecs.unpersist()
+  }
 }

@@ -107,6 +107,76 @@ object RetrievalOps {
     bm25For(spark, dir, expanded)
   }
 
+  /** Dirichlet smoothing mass for [[qlm]] (Zhai & Lafferty's μ; 100
+    * suits this corpus' short documents — production tunes per corpus).
+    * A DOUBLE literal: both engines must see the same decimal token. */
+  val QlmMu = 100.0
+
+  /** Query-likelihood retrieval with Dirichlet smoothing — the language-
+    * modeling scorer next to BM25's probabilistic one (useful where
+    * document priors / verbosity normalization behave differently):
+    * score(q,d) = Σ_{t∈q} ln((tf + μ·cf_t/|C|)/(dl + μ)). Candidates are
+    * docs matching ≥1 query term (the standard posting-driven cut), but
+    * each candidate is scored over ALL the query's terms — absent terms
+    * contribute the background probability, which is what separates QL
+    * from a tf-only heuristic. Query terms absent from the ENTIRE corpus
+    * drop out structurally (no cf row → inner join) in both engines.
+    *
+    * Hash-oracle strategy: the BM25 trick verbatim — each per-term ln is
+    * computed on an IEEE-identical input tree and floor-scaled to int64
+    * micro-units, so the per-doc score is an order-independent integer
+    * sum (the ln boundary hazard is the documented p ≈ 1e-10 per term).
+    *
+    * Scale shape: one tokenization; cf/tf see only query-term tokens
+    * (broadcast-vocabulary filter before the shuffle); the candidate ×
+    * query-term expansion is ≤ |q_terms| rows per candidate against a
+    * BROADCAST query relation; dl joins stream the big side once;
+    * ranking is the bounded map-side top-k aggregate. */
+  def qlm(spark: SparkSession, dir: String): DataFrame =
+    qlmFor(spark, dir, DefaultQueries)
+
+  def qlmFor(spark: SparkSession, dir: String,
+      queries: Seq[(Int, String)]): DataFrame = {
+    import spark.implicits._
+    val toks = Tables.parallel(spark, dir, "documents")
+      .filter(col("doc_id").isNotNull)
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val vocab = queries.flatMap(_._2.split(" ")).distinct
+    val qToks = toks.filter(col("term").isin(vocab: _*))
+    val tf = qToks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val cf = qToks.groupBy(col("term")).agg(count(lit(1)).as("cf"))
+    // bounded driver scalar: corpus token count (the BM25 N/avgdl move)
+    val totC = dl.agg(sum(col("dl"))).collect()(0).getLong(0)
+    val qDf = queries
+      .flatMap { case (q, s) => s.split(" ").distinct.map(t => (q, t)) }
+      .toDF("q_id", "term")
+    val cand = tf.join(broadcast(qDf), Seq("term"))
+      .select(col("q_id"), col("doc_id")).distinct()
+    val termMicro = floor(log(
+      (coalesce(col("tf"), lit(0L)).cast(DoubleType) +
+        lit(QlmMu) * col("cf") / lit(totC.toDouble)) /
+        (col("dl") + lit(QlmMu))) * ScaleM).cast(LongType)
+    val scored = cand
+      .join(broadcast(qDf), Seq("q_id"))
+      .join(broadcast(cf), Seq("term"))
+      .join(tf, Seq("doc_id", "term"), "left")
+      .join(dl, Seq("doc_id"))
+      .select(col("q_id"), col("doc_id"), termMicro.as("part"))
+      .groupBy(col("q_id"), col("doc_id")).agg(sum(col("part")).as("score_micro"))
+    // scores are negative integers of magnitude ≤ |q|·μ-free ln range
+    // ·1e6 ≪ 2^53, so the double round-trip through the aggregator is
+    // exact (the BM25 argument, sign flipped)
+    val topk = udaf(graft.functions.TopKPairsAggregator(TopK))
+    scored.groupBy(col("q_id"))
+      .agg(topk(col("score_micro").cast(DoubleType), col("doc_id")).as("top"))
+      .select(col("q_id"), posexplode(col("top")).as(Seq("pos", "p")))
+      .select(col("q_id"), (col("pos") + 1).cast(IntegerType).as("rank"),
+        col("p.neighborId").as("doc_id"),
+        col("p.cos").cast(LongType).as("score_micro"))
+      .orderBy("q_id", "rank")
+  }
+
   /** Scoring + bounded ranking over any (tf, df, dl) source — shared by
     * the inline form above and the materialized-index probe below, so
     * "index probe ≡ inline" is true by construction above the storage

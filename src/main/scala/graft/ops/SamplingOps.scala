@@ -343,4 +343,77 @@ object SamplingOps {
         (-col("pick.cos")).cast(LongType).as("h"))
       .orderBy("source", "sample_rank")
   }
+
+  /** Two-sample Kolmogorov–Smirnov drift test between the train and val
+    * splits over document length (`n_chars`) — the distribution-free
+    * companion to the binned χ² monitors above. Where χ² needs a bucket
+    * width (and is blind to in-bucket shifts), KS compares the full
+    * empirical CDFs: D = max_v |F_train(v) − F_val(v)|.
+    *
+    * Determinism: the per-value statistic is carried as the
+    * cross-multiplied INTEGER |cum_train·n_val − cum_val·n_train| (the
+    * common-denominator trick — no per-value division, so the max is an
+    * integer max, never a float comparison); the single division to D
+    * and the critical-value sqrt (IEEE-correctly-rounded, unlike ln)
+    * happen once in the summary. Overflow headroom: cum·n ≤ 2⁶³ needs
+    * n_train, n_val ≤ ~3e9 rows; a larger corpus KS-tests a
+    * hash-sampled slice — the statistic is an estimate either way.
+    *
+    * Scale shape: one narrow scan (hash split per row) → composite-key
+    * frequency aggregate (map-side combinable, ≤ |distinct lengths|
+    * rows) → running counts via [[StatsOps.withRunningCount]]'s
+    * range-partitioned prefix sums (a value domain as large as the
+    * longest document never lands in one task) → 1-row totals broadcast
+    * back. */
+  def splitDriftKs(spark: SparkSession, dir: String): DataFrame =
+    ksOf(splitValues(spark, dir))
+      .select(col("value"), col("cum_train"), col("cum_val"), col("d_num"))
+      .orderBy("value")
+
+  /** One-row KS verdict: the max statistic, WHERE it happens (smallest
+    * value attaining it — the drifted region a debugging run looks at
+    * first), D itself, and the α=0.05 two-sample critical value
+    * c(α)·√((n₁+n₂)/(n₁·n₂)) with c(0.05) = 1.358. */
+  def splitDriftKsSummary(spark: SparkSession, dir: String): DataFrame =
+    ksSummaryOf(ksOf(splitValues(spark, dir)))
+
+  private def splitValues(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents")
+      .select(col("n_chars").as("value"), splitOf(splitBucket).as("split"))
+      .filter(col("split") =!= "test")
+
+  /** Per-distinct-value KS table over a (value: long, split ∈
+    * {train, val}) relation: inclusive cumulative counts per side and
+    * the cross-multiplied deviation. Exposed for the planted-fixture
+    * spec. */
+  private[graft] def ksOf(values: DataFrame): DataFrame = {
+    val freq = values.groupBy("value").agg(
+      sum(when(col("split") === "train", 1L).otherwise(0L)).as("f_train"),
+      sum(when(col("split") === "val", 1L).otherwise(0L)).as("f_val"))
+    val run = StatsOps.withRunningCount(
+      StatsOps.withRunningCount(freq, Nil, "value", "f_train", "cum_train"),
+      Nil, "value", "f_val", "cum_val")
+    val totals = freq.agg(sum(col("f_train")).as("n_train"),
+      sum(col("f_val")).as("n_val"))
+    run.crossJoin(broadcast(totals))
+      .withColumn("d_num",
+        abs(col("cum_train") * col("n_val") - col("cum_val") * col("n_train")))
+  }
+
+  private[graft] def ksSummaryOf(perValue: DataFrame): DataFrame = {
+    val picked = perValue.agg(
+      max(col("n_train")).as("n_train"),
+      max(col("n_val")).as("n_val"),
+      // struct max: largest deviation, ties broken to the SMALLEST value
+      // (−value sorts descending) — mirrored by the oracle's min(value)
+      max(struct(col("d_num"), (-col("value")).as("neg_value"))).as("m"))
+    val nT = col("n_train").cast(DoubleType)
+    val nV = col("n_val").cast(DoubleType)
+    picked
+      .select(col("n_train"), col("n_val"),
+        col("m.d_num").as("d_num_max"), (-col("m.neg_value")).as("ks_value"))
+      .withColumn("d_stat", col("d_num_max").cast(DoubleType) / (nT * nV))
+      .withColumn("d_crit", lit(1.358) * sqrt((nT + nV) / (nT * nV)))
+      .withColumn("drifted", col("d_stat") > col("d_crit"))
+  }
 }

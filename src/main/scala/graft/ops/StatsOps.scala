@@ -301,4 +301,48 @@ object StatsOps {
       .groupBy(col("source"))
       .agg(count(lit(1)).as("n_rows"), sum(col("h")).as("checksum"))
       .orderBy("source")
+
+  /** Exact 10%-trimmed and winsorized MEANS per return-flag segment over
+    * `l_quantity` — the robust aggregates a metrics pipeline serves where
+    * `EventOps.winsorize` clips individual ROWS: trimming drops the k
+    * lowest and k highest observations (k = ⌊n/10⌋), winsorizing replaces
+    * them with the surviving boundary values.
+    *
+    * Both are rank statistics, so the textbook form is a per-group sort —
+    * the one-task-per-group shape. This implementation never sorts rows:
+    * the composite-key VALUE-FREQUENCY table (map-side combinable) plus
+    * [[withRunningCount]]'s range-partitioned running counts give each
+    * distinct value its inclusive rank interval (cum_lo, cum_hi]; the
+    * mass a value contributes to the trimmed interior [k+1, n−k] is then
+    * pure interval arithmetic — max(0, min(cum_hi, n−k) − max(cum_lo, k))
+    * — and the boundary values v_low (rank k+1) and v_high (rank n−k) are
+    * conditional min/max over the same table. Sums ride DECIMAL (2-dp
+    * inputs → exact, order-independent); each mean is ONE double
+    * division. Fully hash-oracled. */
+  def trimmedMeans(spark: SparkSession, dir: String): DataFrame =
+    trimmedOf(Tables(spark, dir, "lineitem")
+      .select(col("l_returnflag").as("key"), col("l_quantity").as("value")))
+
+  private[graft] def trimmedOf(rows: DataFrame): DataFrame = {
+    val freq = rows.groupBy("key", "value").agg(count(lit(1)).as("cnt"))
+    val run = withRunningCount(freq, Seq("key"), "value", "cnt", "cum_hi")
+      .withColumn("cum_lo", col("cum_hi") - col("cnt"))
+    val totals = freq.groupBy("key").agg(sum(col("cnt")).as("n"))
+      .withColumn("k", expr("n div 10"))
+    val j = run.join(broadcast(totals), Seq("key"))
+      .withColumn("inc", greatest(lit(0L),
+        least(col("cum_hi"), col("n") - col("k")) -
+          greatest(col("cum_lo"), col("k"))))
+    val agg = j.groupBy("key").agg(
+      max(col("n")).as("n"), max(col("k")).as("k"),
+      min(when(col("cum_hi") >= col("k") + 1L, col("value"))).as("v_low"),
+      max(when(col("cum_lo") < col("n") - col("k"), col("value"))).as("v_high"),
+      sum(dec2(col("value")) * col("inc")).as("tsum"))
+    agg.select(col("key"), col("n"), col("k"), col("v_low"), col("v_high"),
+        (col("tsum").cast(DoubleType) / (col("n") - lit(2L) * col("k")))
+          .as("trimmed_mean"),
+        ((col("tsum") + col("k") * (dec2(col("v_low")) + dec2(col("v_high"))))
+          .cast(DoubleType) / col("n")).as("winsor_mean"))
+      .orderBy("key")
+  }
 }

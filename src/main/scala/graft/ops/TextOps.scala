@@ -788,6 +788,24 @@ object TextOps {
     * in the oracle — deterministic at any partitioning. One scan. */
   def classifierKappa(spark: SparkSession, dir: String): DataFrame = {
     val dbl = (c: Column) => c.cast(DoubleType)
+    confusionCells(spark, dir)
+      .withColumn("po", (dbl(col("n11")) + dbl(col("n00"))) / col("n"))
+      .withColumn("p_a", (dbl(col("n11")) + dbl(col("n10"))) / col("n"))
+      .withColumn("p_b", (dbl(col("n11")) + dbl(col("n01"))) / col("n"))
+      .withColumn("pe",
+        col("p_a") * col("p_b") + (lit(1.0) - col("p_a")) * (lit(1.0) - col("p_b")))
+      .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        col("po"), col("pe"),
+        when(col("pe") < 1.0, (col("po") - col("pe")) / (lit(1.0) - col("pe")))
+          .as("kappa"))
+  }
+
+  /** The 2×2 confusion cells between the hashed classifier's keep
+    * decision (a) and the stopword gold rule (b) — ONE definition shared
+    * by [[classifierKappa]] and [[classifierMcc]] (the evalSummaryTail
+    * rule: an agreement-metric tweak edits one cell source). One
+    * map-side-combinable scan to a 1-row aggregate. */
+  private def confusionCells(spark: SparkSession, dir: String): DataFrame = {
     val t = split(lower(col("text")), " ")
     val decisions = Tables(spark, dir, "documents")
       .select(
@@ -800,15 +818,26 @@ object TextOps {
       .agg(count(lit(1)).as("n"),
         cell(true, true).as("n11"), cell(true, false).as("n10"),
         cell(false, true).as("n01"), cell(false, false).as("n00"))
-      .withColumn("po", (dbl(col("n11")) + dbl(col("n00"))) / col("n"))
-      .withColumn("p_a", (dbl(col("n11")) + dbl(col("n10"))) / col("n"))
-      .withColumn("p_b", (dbl(col("n11")) + dbl(col("n01"))) / col("n"))
-      .withColumn("pe",
-        col("p_a") * col("p_b") + (lit(1.0) - col("p_a")) * (lit(1.0) - col("p_b")))
+  }
+
+  /** Matthews correlation coefficient over the same 2×2 cells — the
+    * balance-robust agreement readout next to kappa (a 95%-keep corpus
+    * can show high accuracy and near-zero MCC at once). The numerator
+    * n11·n00 − n10·n01 is exact DECIMAL(38,0) (int64 would overflow at
+    * n ≈ 3e9 docs); the denominator's four marginal products run in
+    * double with sqrt the only root — one fixed IEEE tree, fully
+    * hash-oracled. Degenerate margins (an all-keep rater) yield NULL,
+    * never a zero division. */
+  def classifierMcc(spark: SparkSession, dir: String): DataFrame = {
+    val m = (a: String, b: String) => (col(a) + col(b)).cast(DoubleType)
+    val d38 = (c: String) => col(c).cast(DecimalType(38, 0))
+    confusionCells(spark, dir)
       .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
-        col("po"), col("pe"),
-        when(col("pe") < 1.0, (col("po") - col("pe")) / (lit(1.0) - col("pe")))
-          .as("kappa"))
+        when(col("n11") + col("n10") > 0L && col("n11") + col("n01") > 0L &&
+          col("n00") + col("n10") > 0L && col("n00") + col("n01") > 0L,
+          (d38("n11") * d38("n00") - d38("n10") * d38("n01")).cast(DoubleType)
+            / sqrt(m("n11", "n10") * m("n11", "n01")
+              * m("n00", "n10") * m("n00", "n01"))).as("mcc"))
   }
 
   /** Fleiss' kappa across THREE rule annotators (classifier keep,

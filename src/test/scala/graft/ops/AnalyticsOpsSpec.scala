@@ -731,4 +731,53 @@ class AnalyticsOpsSpec extends SparkSpec {
       .map(r => (r.getLong(0), r.getDouble(2), r.getDouble(3))).toSeq
     assert(got == Seq((0L, 50.0, 50.0), (1L, 30.0, 30.0)), s"got $got")
   }
+
+  // ------------------------------------------------- trimmed/winsorized
+
+  test("trimmed means: hand-computed fixture, k=1 and the k=0 degenerate") {
+    import spark.implicits._
+    // A: sorted 1,2,2,2,3,4,5,6,9,50 → n=10, k=1, interior ranks 2..9 sum
+    // 33 → trimmed 4.125; v_low=2 (rank 2), v_high=9 (rank 9) → winsor
+    // (33 + 2 + 9)/10 = 4.4. B: n=5 → k=0, both means = plain mean.
+    val a = Seq(50.0, 2.0, 1.0, 3.0, 2.0, 4.0, 9.0, 5.0, 2.0, 6.0).map(("A", _))
+    val b = Seq(1.0, 2.0, 3.0, 4.0, 5.0).map(("B", _))
+    val rows = (a ++ b).toDF("key", "value").repartition(3)
+    val got = StatsOps.trimmedOf(rows).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4), r.getDouble(5), r.getDouble(6))).toSeq
+    assert(got == Seq(
+      ("A", 10L, 1L, 2.0, 9.0, 4.125, 4.4),
+      ("B", 5L, 0L, 1.0, 5.0, 3.0, 3.0)), s"got $got")
+  }
+
+  test("trimmed means: tie mass spanning the trim boundary is cut exactly") {
+    import spark.implicits._
+    // nine 1s and one 2: the value-1 run covers ranks 1..9, so ONE unit
+    // of its mass is trimmed low and the value-2 row is trimmed high
+    val rows = (Seq.fill(9)(1.0) :+ 2.0).map(("T", _)).toDF("key", "value")
+    val r = StatsOps.trimmedOf(rows).collect()(0)
+    assert(r.getLong(1) == 10L && r.getLong(2) == 1L)
+    assert(r.getDouble(3) == 1.0 && r.getDouble(4) == 1.0)
+    assert(r.getDouble(5) == 1.0 && r.getDouble(6) == 1.0)
+  }
+
+  test("trimmed means: equals a driver-side sort on real data (sf0.001)") {
+    val got = StatsOps.trimmedMeans(spark, Sf0001).collect()
+    val byFlag = Tables(spark, Sf0001, "lineitem")
+      .select(col("l_returnflag"), col("l_quantity")).collect()
+      .map(r => (r.getString(0), r.getDouble(1))).groupBy(_._1)
+    got.foreach { r =>
+      val vals = byFlag(r.getString(0)).map(_._2).sorted
+      val n = vals.length; val k = n / 10
+      assert(r.getLong(1) == n && r.getLong(2) == k)
+      val interior = vals.slice(k, n - k)
+      // quantities are integer-valued, so BigDecimal sums replay the
+      // decimal route exactly
+      val tsum = interior.map(BigDecimal(_)).sum
+      assert(r.getDouble(3) == vals(k) && r.getDouble(4) == vals(n - k - 1))
+      assert(r.getDouble(5) == tsum.toDouble / (n - 2 * k))
+      val wsum = tsum + k * (BigDecimal(vals(k)) + BigDecimal(vals(n - k - 1)))
+      assert(r.getDouble(6) == wsum.toDouble / n)
+    }
+  }
 }

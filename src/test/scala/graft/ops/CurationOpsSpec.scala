@@ -272,4 +272,50 @@ class CurationOpsSpec extends SparkSpec {
     val det = CurationOps.shuffleShards(spark, Sf0001).collect().toSeq
     assert(det == r.collect().toSeq) // deterministic across re-runs
   }
+
+  // ------------------------------------------------------- concentration
+
+  test("concentration: uniform masses score gini 0, hhi 1/n") {
+    import spark.implicits._
+    val r = CurationOps.concentrationOf(
+      Seq(("a", 250L), ("b", 250L), ("c", 250L), ("d", 250L))
+        .toDF("source", "w")).collect()(0)
+    assert(r.getAs[Long]("n_sources") == 4L)
+    assert(r.getAs[Long]("total_chars") == 1000L)
+    assert(r.getAs[Double]("gini") == 0.0)
+    assert(r.getAs[Double]("hhi") == 250000.0 / 1000.0 / 1000.0) // = 1/4
+    assert(r.getAs[Double]("top_share") == 0.25)
+    // uniform ties: struct max picks the lexicographically last source
+    assert(r.getAs[String]("top_source") == "d")
+  }
+
+  test("concentration: hand-computed skewed fixture (1, 1, 998)") {
+    import spark.implicits._
+    val r = CurationOps.concentrationOf(
+      Seq(("a", 1L), ("b", 1L), ("c", 998L)).toDF("source", "w")).collect()(0)
+    // iw = 1·1 + 2·1 + 3·998 = 2997; gini = (5994 − 4000)/3000
+    assert(r.getAs[Double]("gini") == 1994.0 / (3.0 * 1000.0))
+    // s2 = 1 + 1 + 996004
+    assert(r.getAs[Double]("hhi") == 996006.0 / 1000.0 / 1000.0)
+    assert(r.getAs[String]("top_source") == "c")
+    assert(r.getAs[Double]("top_share") == 998.0 / 1000.0)
+  }
+
+  test("concentration: replays a driver-side fold on real data (sf0.001)") {
+    val r = CurationOps.sourceConcentration(spark, Sf0001).collect()(0)
+    val masses = Tables(spark, Sf0001, "documents")
+      .groupBy("source").agg(sum(col("n_chars")).as("w")).collect()
+      .map(x => (x.getString(0), x.getLong(1)))
+      .sortBy(identity) // (source asc) — re-sorted below by (w, source)
+      .sortBy(_._2)
+    val n = masses.length.toLong
+    val total = masses.map(_._2).sum
+    val iw = masses.zipWithIndex.map { case ((_, w), i) => (i + 1) * w }.sum
+    assert(r.getAs[Long]("n_sources") == n)
+    assert(r.getAs[Long]("total_chars") == total)
+    assert(r.getAs[Double]("gini") ==
+      (2 * iw - (n + 1) * total).toDouble / (n.toDouble * total.toDouble))
+    val s2 = masses.map(m => BigDecimal(m._2) * BigDecimal(m._2)).sum
+    assert(r.getAs[Double]("hhi") == s2.toDouble / total.toDouble / total.toDouble)
+  }
 }

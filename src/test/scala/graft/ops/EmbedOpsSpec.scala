@@ -230,4 +230,37 @@ class EmbedOpsSpec extends SparkSpec {
     assert(numHalf < 4L * den / 5L,
       "half-zeroed matrix must fall below the energy band")
   }
+
+  // ----------------------------------------------------------- k-center
+
+  test("k-center: greedy walks the planted clusters farthest-first") {
+    import spark.implicits._
+    // four tight 2-point clusters at the corners of a 100×100 square;
+    // seed = min id (0,0) → farthest corner (100,101) → the 10000-tie
+    // resolves to the smallest id (2) → remaining corner (4)
+    val vecs = Seq(
+      (0L, Seq(0L, 0L)), (1L, Seq(0L, 1L)),
+      (2L, Seq(100L, 0L)), (3L, Seq(100L, 1L)),
+      (4L, Seq(0L, 100L)), (5L, Seq(0L, 101L)),
+      (6L, Seq(100L, 100L)), (7L, Seq(100L, 101L)))
+      .toDF("vec_id", "v").repartition(3)
+    val got = EmbedOps.kcenterSelect(vecs).map(c => (c._1, c._2, c._3))
+    assert(got == Seq((1, 0L, 0L), (2, 7L, 20201L),
+      (3, 2L, 10000L), (4, 4L, 10000L)), s"got $got")
+  }
+
+  test("k-center: selection dist2 non-increasing; radius bounded by the last pick (sf0.001)") {
+    val centers = EmbedOps.kcenterCenters(spark, Sf0001).collect()
+    assert(centers.map(_.getAs[Int]("round")).toSeq == (1 to EmbedOps.KCenters))
+    assert(centers.map(_.getAs[Long]("vec_id")).distinct.length == EmbedOps.KCenters)
+    val dists = centers.drop(1).map(_.getAs[Long]("dist2"))
+    assert(dists.zip(dists.tail).forall { case (a, b) => a >= b },
+      "greedy picks must be farthest-first")
+    val r = EmbedOps.kcenterRadius(spark, Sf0001).collect()(0)
+    assert(r.getAs[Long]("n_vecs") ==
+      Tables(spark, Sf0001, "embeddings").count())
+    // adding center K only shrinks distances: radius ≤ pick K's dist2
+    assert(r.getAs[Long]("radius2") <= dists.last)
+    assert(r.getAs[Long]("radius2") > 0L)
+  }
 }

@@ -207,4 +207,52 @@ class IntegrityOpsSpec extends SparkSpec {
       .collect().map(_.toString).toSeq
     assert(remerged == full)
   }
+
+  // ---------------------------------------------------------- KS drift
+
+  test("ks drift: hand-computed D on a planted two-sample fixture") {
+    import spark.implicits._
+    // train {1,2,3,4}, val {3,4,4,5}: F_t = .25/.5/.75/1/1,
+    // F_v = 0/0/.25/.75/1 → |Δ|·16 = 4, 8, 8, 4, 0; D = 8/16 = 0.5 at
+    // value 2 (2 and 3 tie at 8 → smallest value wins)
+    val rows = (Seq(1L, 2L, 3L, 4L).map((_, "train")) ++
+      Seq(3L, 4L, 4L, 5L).map((_, "val"))).toDF("value", "split")
+    val per = SamplingOps.ksOf(rows)
+      .select("value", "cum_train", "cum_val", "d_num")
+      .orderBy("value").collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3)))
+    assert(per.toSeq == Seq((1L, 1L, 0L, 4L), (2L, 2L, 0L, 8L),
+      (3L, 3L, 1L, 8L), (4L, 4L, 3L, 4L), (5L, 4L, 4L, 0L)))
+    val s = SamplingOps.ksSummaryOf(SamplingOps.ksOf(rows)).collect()(0)
+    assert(s.getAs[Long]("n_train") == 4L && s.getAs[Long]("n_val") == 4L)
+    assert(s.getAs[Long]("d_num_max") == 8L)
+    assert(s.getAs[Long]("ks_value") == 2L)
+    assert(s.getAs[Double]("d_stat") == 0.5)
+  }
+
+  test("ks drift: identical samples give D = 0 and no drift flag") {
+    import spark.implicits._
+    val vals = Seq(1L, 2L, 2L, 3L, 7L)
+    val rows = (vals.map((_, "train")) ++ vals.map((_, "val")))
+      .toDF("value", "split")
+    val s = SamplingOps.ksSummaryOf(SamplingOps.ksOf(rows)).collect()(0)
+    assert(s.getAs[Long]("d_num_max") == 0L)
+    assert(s.getAs[Double]("d_stat") == 0.0)
+    assert(!s.getAs[Boolean]("drifted"))
+  }
+
+  test("ks drift: summary reconciles with the per-value table (sf0.001)") {
+    val per = SamplingOps.splitDriftKs(spark, Sf0001)
+    val maxD = per.agg(max(col("d_num"))).collect()(0).getLong(0)
+    val atMax = per.filter(col("d_num") === maxD)
+      .agg(min(col("value"))).collect()(0).getLong(0)
+    val s = SamplingOps.splitDriftKsSummary(spark, Sf0001).collect()(0)
+    assert(s.getAs[Long]("d_num_max") == maxD)
+    assert(s.getAs[Long]("ks_value") == atMax)
+    val expected = maxD.toDouble /
+      (s.getAs[Long]("n_train").toDouble * s.getAs[Long]("n_val").toDouble)
+    assert(s.getAs[Double]("d_stat") == expected)
+    // a healthy content-hash split must NOT drift on length
+    assert(!s.getAs[Boolean]("drifted"))
+  }
 }

@@ -1601,6 +1601,24 @@ class PipelineOpsSpec extends SparkSpec {
     assert(kappa >= -1.0 && kappa <= 1.0)
   }
 
+  test("mcc: cells shared with kappa; fixed IEEE tree replays; bounds hold") {
+    val k = TextOps.classifierKappa(spark, Sf0001).collect()(0)
+    val r = TextOps.classifierMcc(spark, Sf0001).collect()(0)
+    // SAME cell source as kappa — agreement metrics can't drift apart
+    Seq("n", "n11", "n10", "n01", "n00").foreach { c =>
+      assert(r.getAs[Long](c) == k.getAs[Long](c), s"cell $c diverged")
+    }
+    val (n11, n10, n01, n00) = (r.getAs[Long]("n11"), r.getAs[Long]("n10"),
+      r.getAs[Long]("n01"), r.getAs[Long]("n00"))
+    val num = (BigDecimal(n11) * BigDecimal(n00) -
+      BigDecimal(n10) * BigDecimal(n01)).toDouble
+    val den = math.sqrt((n11 + n10).toDouble * (n11 + n01).toDouble
+      * (n00 + n10).toDouble * (n00 + n01).toDouble)
+    val mcc = r.getAs[Double]("mcc")
+    assert(mcc == num / den)
+    assert(mcc >= -1.0 && mcc <= 1.0)
+  }
+
   test("source profile: planted pairs land in the right (source, source) cells") {
     // plantedDir: 0/1 near-dups in src0; 2 (src1) is 0's exact dup →
     // pairs (0,1) within src0, (0,2) and (1,2) across src0/src1

@@ -311,4 +311,70 @@ class RetrievalOpsSpec extends SparkSpec {
       assert(r.getAs[Double]("precision_at_k") == nHit / 10.0)
     }
   }
+
+  // -------------------------------------------------- query likelihood
+
+  test("qlm: planted corpus replays the Dirichlet formula exactly") {
+    import spark.implicits._
+    val docs = Seq(
+      (0L, "hash join hash", "en", "w", 3L),
+      (1L, "join scan", "en", "w", 2L),
+      (2L, "other words here", "en", "w", 3L))
+    val dir = tempDir("qlm_planted")
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars").repartition(2)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = RetrievalOps.qlmFor(spark, dir, Seq(0 -> "hash join")).collect()
+      .map(r => (r.getAs[Long]("doc_id"), r.getAs[Long]("score_micro")))
+    // driver replay of the exact IEEE tree: cf(hash)=2, cf(join)=2,
+    // |C|=8, dl(d0)=3, dl(d1)=2; d2 matches no term → absent
+    def term(tf: Long, cf: Long, dl: Long): Long =
+      math.floor(math.log((tf.toDouble + 100.0 * cf / 8.0) / (dl + 100.0))
+        * 1000000L).toLong
+    val d0 = term(2, 2, 3) + term(1, 2, 3)
+    val d1 = term(0, 2, 2) + term(1, 2, 2)
+    val want = Seq((0L, d0), (1L, d1)).sortBy(p => (-p._2, p._1))
+    assert(got.toSeq == want, s"got ${got.toSeq}, want $want")
+    assert(!got.map(_._1).contains(2L))
+  }
+
+  test("qlm: absent query terms still contribute background mass") {
+    import spark.implicits._
+    // both docs contain 'join' once and have EQUAL length; d0 also
+    // contains 'hash'. Under tf-only scoring d0 and d1 tie on 'join' and
+    // d1 never pays for missing 'hash'; under QL d1 is penalized by the
+    // background probability, so d0 must rank strictly first
+    val docs = Seq(
+      (0L, "hash join pad", "en", "w", 3L),
+      (1L, "scan join pad", "en", "w", 3L))
+    val dir = tempDir("qlm_bg")
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars").repartition(2)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = RetrievalOps.qlmFor(spark, dir, Seq(0 -> "hash join")).collect()
+    assert(got.map(_.getAs[Long]("doc_id")).toSeq == Seq(0L, 1L))
+    assert(got(0).getAs[Long]("score_micro") > got(1).getAs[Long]("score_micro"))
+  }
+
+  test("qlm: real store — candidates carry a query term, scores descend, deterministic") {
+    val rows = RetrievalOps.qlm(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val byQ = rows.groupBy(_.getAs[Int]("q_id"))
+    byQ.foreach { case (_, rs) =>
+      val ranks = rs.map(_.getAs[Int]("rank")).sorted.toSeq
+      assert(ranks == (1 to ranks.length))
+      val scores = rs.sortBy(_.getAs[Int]("rank")).map(_.getAs[Long]("score_micro"))
+      assert(scores.zip(scores.tail).forall { case (a, b) => a >= b })
+      assert(scores.forall(_ < 0L)) // log-probabilities are negative
+    }
+    val vocab = RetrievalOps.DefaultQueries.flatMap(_._2.split(" ")).toSet
+    val docTerms = Tables(spark, Sf0001, "documents").collect()
+      .map(r => r.getAs[Long]("doc_id") ->
+        r.getAs[String]("text").toLowerCase.split(" ").toSet).toMap
+    rows.foreach { r =>
+      val qt = RetrievalOps.DefaultQueries(r.getAs[Int]("q_id"))._2.split(" ").toSet
+      assert(docTerms(r.getAs[Long]("doc_id")).exists(qt.contains),
+        "candidate must match at least one query term")
+    }
+    assert(vocab.nonEmpty)
+    assert(RetrievalOps.qlm(spark, Sf0001).collect().toSeq == rows.toSeq)
+  }
 }
