@@ -3303,6 +3303,28 @@ object Registry {
           |FROM s JOIN m USING (lang) JOIN bal ON bal.vec_id = s.doc_id
           |WHERE s.stop_ratio <= m.lang_median
           |ORDER BY s.doc_id""".stripMargin)),
+    // Davies–Bouldin (squared-scatter variant): per-cluster worst-neighbor
+    // confusability over the SAME unrolled Lloyd trajectory — integral
+    // scatter, exact centroid separations, one IEEE division per pair
+    GraftQuery("x_cluster_db_index", KmeansOps.kmeansDbIndex, Some(
+      kmeansCte +
+        """, sc AS (SELECT cid, CAST(count(*) AS BIGINT) AS n_vecs,
+          |           CAST(sum(d) AS BIGINT) // count(*) AS scatter
+          |        FROM a3 GROUP BY cid),
+          |cd AS (SELECT a.cid AS ci, b.cid AS cj,
+          |         CAST(sum((a.cval - b.cval) * (a.cval - b.cval)) AS BIGINT) AS dc
+          |       FROM c2 a JOIN c2 b ON a.pos = b.pos AND a.cid <> b.cid
+          |       GROUP BY a.cid, b.cid),
+          |r AS (SELECT cd.ci, cd.cj,
+          |        CAST(si.scatter + sj.scatter AS DOUBLE) / CAST(cd.dc AS DOUBLE) AS rij
+          |      FROM cd JOIN sc si ON si.cid = cd.ci JOIN sc sj ON sj.cid = cd.cj),
+          |m AS (SELECT ci, max(rij) AS r_max FROM r GROUP BY ci),
+          |pick AS (SELECT r.ci, min(r.cj) AS worst_j
+          |         FROM r JOIN m ON r.ci = m.ci AND r.rij = m.r_max GROUP BY r.ci)
+          |SELECT CAST(sc.cid AS INTEGER) AS cluster, sc.n_vecs, sc.scatter,
+          |       CAST(pick.worst_j AS INTEGER) AS worst_j, m.r_max
+          |FROM sc JOIN m ON m.ci = sc.cid JOIN pick ON pick.ci = sc.cid
+          |ORDER BY cluster""".stripMargin)),
     GraftQuery("x_cluster_kmeans_purity", KmeansOps.kmeansPurity, Some(
       kmeansCte +
         """, l AS (SELECT a.cid, e.label, count(*) AS cnt

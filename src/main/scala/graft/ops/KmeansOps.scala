@@ -138,6 +138,49 @@ object KmeansOps {
       .agg(count(lit(1)).as("n_vecs"), sum(col("dist")).as("inertia"))
       .orderBy("cluster")
 
+  /** Davies–Bouldin cluster-quality index, per cluster (squared-scatter
+    * variant): scatter sᵢ = (Σ dist)//nᵢ over the final assignment's
+    * exact squared distances (integral division — floor loss < 1 on a
+    * ~1e10 scale, engine-identical), centroid separation d_ij the exact
+    * int64 squared distance between final centroids, and the readout
+    * R_i = max_{j≠i} (sᵢ+sⱼ)/d_ij — "how confusable is this cluster
+    * with its worst neighbor" (lower is better). The classic index
+    * averages R_i; the per-cluster rows are strictly more informative
+    * and avoid a K-term double fold, so the mean is left to the reader.
+    *
+    * Scale shape: one |K|-row aggregate over the assignment (the
+    * kmeansProfile shape); the K² pair table is driver math over the
+    * loop's own bounded centroid state; everything after is a K-row
+    * broadcast-size join. Headroom: Σ dist is the kmeansProfile int64
+    * inertia bound (~3.5e6 vectors/cluster at this store's distance
+    * scale). Ties on R break to the smallest j in both engines. */
+  def kmeansDbIndex(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val cents = fitCentroids(spark, dir)
+    val sc = assign(scaledVecs(spark, dir), cents)
+      .groupBy(col("cluster"))
+      .agg(count(lit(1)).as("n_vecs"), sum(col("dist")).as("sd"))
+      .withColumn("scatter", expr("sd div n_vecs"))
+      .select(col("cluster"), col("n_vecs"), col("scatter"))
+    val pairs = (for {
+      (ci, vi) <- cents; (cj, vj) <- cents if cj != ci
+    } yield (ci, cj,
+      vi.zip(vj).map { case (x, y) => (x - y) * (x - y) }.sum))
+      .toDF("ci", "cj", "dc")
+    val r = sc.select(col("cluster").as("ci"), col("scatter").as("si"))
+      .join(pairs, Seq("ci"))
+      .join(sc.select(col("cluster").as("cj"), col("scatter").as("sj")), Seq("cj"))
+      .select(col("ci"), col("cj"),
+        ((col("si") + col("sj")).cast(DoubleType) / col("dc").cast(DoubleType))
+          .as("rij"))
+    r.groupBy(col("ci").as("cluster"))
+      .agg(max(struct(col("rij"), (-col("cj")).as("nj"))).as("m"))
+      .join(sc, Seq("cluster"))
+      .select(col("cluster"), col("n_vecs"), col("scatter"),
+        (-col("m.nj")).cast(IntegerType).as("worst_j"), col("m.rij").as("r_max"))
+      .orderBy("cluster")
+  }
+
   /** Cluster-balanced downsampling — the curation step k-means exists to
     * feed (Abbas et al. '23 SemDeDup / cluster-balanced data diets): big
     * clusters downsample toward [[target]] expected survivors, small

@@ -137,4 +137,31 @@ class KmeansOpsSpec extends SparkSpec {
     assert(r(8L) == ((false, 0L)), s"duplicate must be pruned by witness 0: ${r(8L)}")
     (0L to 7L).foreach(id => assert(r(id) == ((true, -1L)), s"vec $id wrongly pruned: ${r(id)}"))
   }
+
+  test("db index: scatter reconciles with profile; worst-neighbor replay exact") {
+    val db = KmeansOps.kmeansDbIndex(spark, Sf0001).collect()
+    assert(db.nonEmpty)
+    val prof = KmeansOps.kmeansProfile(spark, Sf0001).collect()
+      .map(r => r.getAs[Int]("cluster") ->
+        ((r.getAs[Long]("n_vecs"), r.getAs[Long]("inertia")))).toMap
+    val cents = KmeansOps.fitCentroids(spark, Sf0001).toMap
+    val scat = db.map(r => r.getAs[Int]("cluster") -> r.getAs[Long]("scatter")).toMap
+    db.foreach { r =>
+      val c = r.getAs[Int]("cluster")
+      val (n, inert) = prof(c)
+      assert(r.getAs[Long]("n_vecs") == n)
+      assert(r.getAs[Long]("scatter") == inert / n,
+        "scatter must be the integral mean of the profile's inertia")
+      // driver replay of the fixed IEEE tree, ties to smallest j
+      val rij = scat.keys.filter(_ != c).map { j =>
+        val dc = cents(c).zip(cents(j))
+          .map { case (x, y) => (x - y) * (x - y) }.sum
+        (j, (scat(c) + scat(j)).toDouble / dc.toDouble)
+      }.toSeq
+      val rmax = rij.map(_._2).max
+      assert(r.getAs[Double]("r_max") == rmax)
+      assert(r.getAs[Int]("worst_j") == rij.filter(_._2 == rmax).map(_._1).min)
+      assert(rmax > 0.0 && r.getAs[Int]("worst_j") != c)
+    }
+  }
 }
