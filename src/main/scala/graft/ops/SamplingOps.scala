@@ -378,18 +378,36 @@ object SamplingOps {
     ksSummaryOf(ksOf(splitValues(spark, dir)))
 
   private def splitValues(spark: SparkSession, dir: String): DataFrame =
-    Tables(spark, dir, "documents")
-      .select(col("n_chars").as("value"), splitOf(splitBucket).as("split"))
+    ksValuesOf(Tables(spark, dir, "documents"))
+
+  /** The (value, split) derivation over a (…, text, n_chars) document
+    * relation — ONE definition shared by the batch entries and
+    * [[graft.streaming.StreamingKsDrift]] (the driftBucketCounts
+    * convention: the monitored rule can never diverge from the batch
+    * report). */
+  private[graft] def ksValuesOf(docs: DataFrame): DataFrame =
+    docs.select(col("n_chars").as("value"), splitOf(splitBucket).as("split"))
       .filter(col("split") =!= "test")
+
+  /** Per-distinct-value (f_train, f_val) frequency table — a plain
+    * two-sum aggregate, so the streaming twin can maintain it as a
+    * complete-mode streaming aggregation (state bounded by the length
+    * distribution's support, independent of document volume). */
+  private[graft] def ksFreqOf(values: DataFrame): DataFrame =
+    values.groupBy("value").agg(
+      sum(when(col("split") === "train", 1L).otherwise(0L)).as("f_train"),
+      sum(when(col("split") === "val", 1L).otherwise(0L)).as("f_val"))
 
   /** Per-distinct-value KS table over a (value: long, split ∈
     * {train, val}) relation: inclusive cumulative counts per side and
     * the cross-multiplied deviation. Exposed for the planted-fixture
     * spec. */
-  private[graft] def ksOf(values: DataFrame): DataFrame = {
-    val freq = values.groupBy("value").agg(
-      sum(when(col("split") === "train", 1L).otherwise(0L)).as("f_train"),
-      sum(when(col("split") === "val", 1L).otherwise(0L)).as("f_val"))
+  private[graft] def ksOf(values: DataFrame): DataFrame =
+    ksOfFreq(ksFreqOf(values))
+
+  /** The finishing step from the frequency table (shared by batch and
+    * the streaming twin's per-epoch publish). */
+  private[graft] def ksOfFreq(freq: DataFrame): DataFrame = {
     val run = StatsOps.withRunningCount(
       StatsOps.withRunningCount(freq, Nil, "value", "f_train", "cum_train"),
       Nil, "value", "f_val", "cum_val")
