@@ -2974,7 +2974,8 @@ object Registry {
     // Dirichlet query-likelihood: the language-modeling scorer beside
     // BM25 — same floor-ln-micro integer-sum trick, absent query terms
     // contribute the background probability (coalesce-0 tf)
-    GraftQuery("x_retrieval_qlm", RetrievalOps.qlm, Some(qlmOracle)),
+    GraftQuery("x_retrieval_qlm", RetrievalOps.qlm, Some(qlmOracle),
+      headline = true),
     // hybrid RAG-stack retrieval: lexical + dense lists fused by
     // reciprocal rank with exact-integer contributions (lcm-scaled) —
     // both inputs are k-bounded map-side aggregates, so fusion cost is

@@ -241,6 +241,21 @@ class IntegrityOpsSpec extends SparkSpec {
     assert(!s.getAs[Boolean]("drifted"))
   }
 
+  test("ks drift plan: running counts ride range-partitioned slices, not one global window") {
+    // the 100 TB claim is structural (the pack-plan rule): a global-order
+    // cumulative sum over the distinct-value table must never land in
+    // one task — every window carries the slice id, a range exchange
+    // feeds it
+    val plan = SamplingOps.splitDriftKs(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    val windows = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty, s"no window found in:\n$plan")
+    assert(windows.forall(_.contains("__pid")),
+      s"global-order window leaked:\n${windows.mkString("\n")}")
+    assert(plan.contains("rangepartitioning"), s"no range exchange in:\n$plan")
+  }
+
   test("ks drift: summary reconciles with the per-value table (sf0.001)") {
     val per = SamplingOps.splitDriftKs(spark, Sf0001)
     val maxD = per.agg(max(col("d_num"))).collect()(0).getLong(0)

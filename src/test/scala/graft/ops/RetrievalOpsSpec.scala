@@ -354,6 +354,18 @@ class RetrievalOpsSpec extends SparkSpec {
     assert(got(0).getAs[Long]("score_micro") > got(1).getAs[Long]("score_micro"))
   }
 
+  test("qlm plan: no cartesian/nested-loop anywhere; query relation broadcasts") {
+    // the candidate × query-term expansion and every stats join must be
+    // keyed: a relation this small tempts the planner into a nested
+    // loop only if a join lost its equi-condition
+    val plan = RetrievalOps.qlm(spark, Sf0001)
+      .queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), s"nested loop:\n$plan")
+    assert(!plan.contains("CartesianProduct"), s"cartesian:\n$plan")
+    assert(plan.contains("BroadcastHashJoin"),
+      s"query/cf relations must broadcast:\n$plan")
+  }
+
   test("qlm: real store — candidates carry a query term, scores descend, deterministic") {
     val rows = RetrievalOps.qlm(spark, Sf0001).collect()
     assert(rows.nonEmpty)
