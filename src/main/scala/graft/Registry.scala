@@ -1911,6 +1911,24 @@ object Registry {
   /** Shared pre/post per-user cent CTE (`pu`) — mirrors
     * `EventOps.prePostPerUser` (one cutoff, one cent currency) so the
     * CUPED and DiD oracles cannot drift on what pre/post mean. */
+  /** Mann–Whitney rank-machinery CTE chain (through `a` = the 1-row
+    * integer core n0/n1/r1x2/ties) — shared by the U/z test and the
+    * Cliff's-delta effect size. Mirrors EventOps.mwAggregates. */
+  private def mwCtes: String =
+    """pu AS (SELECT user_id % 2 AS arm,
+      |              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
+      |            FROM events GROUP BY user_id),
+      |f AS (SELECT y, CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
+      |             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
+      |      FROM pu GROUP BY y),
+      |r AS (SELECT c0, c1,
+      |        CAST(coalesce(sum(c0 + c1) OVER (ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
+      |      FROM f),
+      |a AS (SELECT CAST(sum(c0) AS BIGINT) AS n0, CAST(sum(c1) AS BIGINT) AS n1,
+      |        CAST(sum(c1 * (cb * 2 + c0 + c1 + 1)) AS BIGINT) AS r1x2,
+      |        CAST(sum((c0 + c1) * (c0 + c1) * (c0 + c1) - (c0 + c1)) AS BIGINT) AS ties
+      |      FROM r)""".stripMargin
+
   private def abPrePostCte: String =
     s"""pu AS (
       |  SELECT user_id,
@@ -2350,19 +2368,7 @@ object Registry {
     // Mann–Whitney U: tied ranks from the value-frequency table (no
     // row-level ranking), exact doubled rank sums, fixed IEEE z
     GraftQuery("x_ab_mannwhitney", EventOps.abMannWhitney, Some(
-      """WITH pu AS (SELECT user_id % 2 AS arm,
-        |              CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
-        |            FROM events GROUP BY user_id),
-        |f AS (SELECT y, CAST(sum(CASE WHEN arm = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c0,
-        |             CAST(sum(CASE WHEN arm = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c1
-        |      FROM pu GROUP BY y),
-        |r AS (SELECT c0, c1,
-        |        CAST(coalesce(sum(c0 + c1) OVER (ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS cb
-        |      FROM f),
-        |a AS (SELECT CAST(sum(c0) AS BIGINT) AS n0, CAST(sum(c1) AS BIGINT) AS n1,
-        |        CAST(sum(c1 * (cb * 2 + c0 + c1 + 1)) AS BIGINT) AS r1x2,
-        |        CAST(sum((c0 + c1) * (c0 + c1) * (c0 + c1) - (c0 + c1)) AS BIGINT) AS ties
-        |      FROM r),
+      s"""WITH $mwCtes,
         |s AS (SELECT n0, n1,
         |        (CAST(r1x2 AS DOUBLE) - CAST(n1 AS DOUBLE) * (CAST(n1 AS DOUBLE) + 1.0)) / 2.0 AS u1,
         |        CAST(ties AS DOUBLE) AS tie_d,
@@ -2373,6 +2379,22 @@ object Registry {
         |         / sqrt((CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE) / 12.0)
         |                * ((nd + 1.0) - tie_d / (nd * (nd - 1.0)))) AS z
         |FROM s""".stripMargin)),
+    // Cliff's delta effect size off the SAME rank core: fully-integer
+    // numerator (r1x2 − n1(n1+1) − n0·n1), one division; Romano bands
+    // as identical decimal literals — the "should anyone care" column
+    // next to the z-test's "is it noise"
+    GraftQuery("x_ab_cliffs_delta", EventOps.abCliffsDelta, Some(
+      s"""WITH $mwCtes,
+        |d AS (SELECT n0, n1,
+        |        CAST(r1x2 - n1 * (n1 + 1) - n0 * n1 AS DOUBLE)
+        |          / CAST(n0 * n1 AS DOUBLE) AS delta
+        |      FROM a)
+        |SELECT n0, n1, delta,
+        |       CASE WHEN abs(delta) < 0.147 THEN 'negligible'
+        |            WHEN abs(delta) < 0.33 THEN 'small'
+        |            WHEN abs(delta) < 0.474 THEN 'medium'
+        |            ELSE 'large' END AS magnitude
+        |FROM d""".stripMargin)),
     // Difference-in-differences on the shared pre/post cent currency
     GraftQuery("x_ab_did", EventOps.abDid, Some(
       s"""WITH $abPrePostCte,

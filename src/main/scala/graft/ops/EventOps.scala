@@ -802,6 +802,25 @@ object EventOps {
     * never over users or events. */
   def abMannWhitney(spark: SparkSession, dir: String): DataFrame = {
     val dbl = (c: Column) => c.cast(DoubleType)
+    mwAggregates(spark, dir).select(col("n0"), col("n1"),
+      ((dbl(col("r1x2")) - dbl(col("n1")) * (dbl(col("n1")) + lit(1.0))) / 2.0)
+        .as("u1"),
+      dbl(col("ties")).as("tie_d"),
+      (dbl(col("n0")) + dbl(col("n1"))).as("nd"))
+      .select(col("n0"), col("n1"), col("u1"),
+        ((col("u1") - dbl(col("n0")) * dbl(col("n1")) / 2.0) /
+          sqrt((dbl(col("n0")) * dbl(col("n1")) / 12.0) *
+            ((col("nd") + 1.0) - col("tie_d") / (col("nd") * (col("nd") - 1.0)))))
+          .as("z"))
+  }
+
+  /** The Mann–Whitney rank machinery reduced to its 1-row integer core
+    * (n0, n1, r1x2 = doubled tie-averaged arm-1 rank sum, ties = Σt³−t)
+    * — ONE definition shared by the U/z test and [[abCliffsDelta]]
+    * (the evalSummaryTail rule for the rank arithmetic). Composite-key
+    * frequency table, range-partitioned running counts, everything
+    * exact int64. */
+  private def mwAggregates(spark: SparkSession, dir: String): DataFrame = {
     val perUser = Tables(spark, dir, "events")
       .groupBy(col("user_id"))
       .agg(sum(dec2(col("value"))).cast(Dec2).as("y"))
@@ -814,22 +833,33 @@ object EventOps {
     // prefix-sum core (StatsOps.withRunningCount) — count-BEFORE is
     // then run − t, still exact int64, and no one-task window exists
     // even when distinct totals approach the user count
-    val a = StatsOps.withRunningCount(
+    StatsOps.withRunningCount(
       freq.withColumn("cnt", t), Nil, "y", "cnt", "run")
       .withColumn("cb", col("run") - t)
       .agg(sum(col("c0")).as("n0"), sum(col("c1")).as("n1"),
         sum(col("c1") * (col("cb") * 2 + col("c0") + col("c1") + 1)).as("r1x2"),
         sum(t * t * t - t).as("ties"))
-    a.select(col("n0"), col("n1"),
-      ((dbl(col("r1x2")) - dbl(col("n1")) * (dbl(col("n1")) + lit(1.0))) / 2.0)
-        .as("u1"),
-      dbl(col("ties")).as("tie_d"),
-      (dbl(col("n0")) + dbl(col("n1"))).as("nd"))
-      .select(col("n0"), col("n1"), col("u1"),
-        ((col("u1") - dbl(col("n0")) * dbl(col("n1")) / 2.0) /
-          sqrt((dbl(col("n0")) * dbl(col("n1")) / 12.0) *
-            ((col("nd") + 1.0) - col("tie_d") / (col("nd") * (col("nd") - 1.0)))))
-          .as("z"))
+  }
+
+  /** Cliff's delta — the EFFECT SIZE next to [[abMannWhitney]]'s
+    * significance: δ = P(Y₁ > Y₀) − P(Y₁ < Y₀) = 2U₁/(n₀n₁) − 1, read
+    * directly off the same rank core as the fully-integer numerator
+    * (r1x2 − n₁(n₁+1) − n₀n₁) over n₀n₁ — ONE division, hash-oracled.
+    * The magnitude band uses Romano et al.'s |δ| thresholds
+    * (0.147/0.33/0.474) as identical decimal literals in both engines.
+    * A trillion-row test can be "significant" at δ ≈ 0 — this is the
+    * column that says whether anyone should care. */
+  def abCliffsDelta(spark: SparkSession, dir: String): DataFrame = {
+    val dbl = (c: Column) => c.cast(DoubleType)
+    mwAggregates(spark, dir)
+      .select(col("n0"), col("n1"),
+        (dbl(col("r1x2") - col("n1") * (col("n1") + 1L) - col("n0") * col("n1"))
+          / dbl(col("n0") * col("n1"))).as("delta"))
+      .withColumn("magnitude",
+        when(abs(col("delta")) < 0.147, "negligible")
+          .when(abs(col("delta")) < 0.33, "small")
+          .when(abs(col("delta")) < 0.474, "medium")
+          .otherwise("large"))
   }
 
   /** Difference-in-differences on the shared pre/post currency

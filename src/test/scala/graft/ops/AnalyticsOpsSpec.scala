@@ -577,6 +577,34 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(tie == ((2L, 2L, 2.0, 0.0)), s"got $tie")
   }
 
+  test("cliff's delta: ±1 at complete separation, 0 at symmetry, real-data identity") {
+    import spark.implicits._
+    def deltaOf(name: String, rows: Seq[(Long, Double)]) = {
+      val fix = tempDir(name)
+      rows.map { case (u, v) => (u, pre, v) }
+        .toDF("user_id", "ts", "value").repartition(3)
+        .write.mode("overwrite").parquet(s"$fix/events.parquet")
+      val r = EventOps.abCliffsDelta(spark, fix).collect().head
+      (r.getAs[Double]("delta"), r.getAs[String]("magnitude"))
+    }
+    // arm1 strictly above arm0 → δ = +1; strictly below → δ = −1
+    assert(deltaOf("cd_up", Seq((2L, 1.0), (4L, 2.0), (1L, 3.0), (3L, 4.0)))
+      == ((1.0, "large")))
+    assert(deltaOf("cd_down", Seq((2L, 3.0), (4L, 4.0), (1L, 1.0), (3L, 2.0)))
+      == ((-1.0, "large")))
+    // identical arms (all ties) → δ = 0
+    assert(deltaOf("cd_sym", Seq((2L, 1.0), (4L, 2.0), (1L, 1.0), (3L, 2.0)))
+      == ((0.0, "negligible")))
+    // real data: δ must equal 2U1/(n0·n1) − 1 off the SAME rank core
+    val mw = EventOps.abMannWhitney(spark, Sf0001).collect().head
+    val cd = EventOps.abCliffsDelta(spark, Sf0001).collect().head
+    val (n0, n1, u1) = (mw.getLong(0), mw.getLong(1), mw.getDouble(2))
+    assert(cd.getLong(0) == n0 && cd.getLong(1) == n1)
+    // 2U1 and n0n1 are exact integers in double range — the identity is exact
+    assert(cd.getAs[Double]("delta") ==
+      (2.0 * u1 - n0.toDouble * n1).toDouble / (n0.toDouble * n1))
+  }
+
   test("diff-in-diff: planted pre-period gap nets out of the effect") {
     import spark.implicits._
     val fix = tempDir("did")
