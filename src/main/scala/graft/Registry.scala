@@ -4452,6 +4452,31 @@ object Registry {
         |       total_tokens, CAST(total_tokens AS DOUBLE) / n_docs AS mean_tokens,
         |       min_tokens, max_tokens, total_chars, n_dup_texts, n_dup_docs
         |FROM m JOIN dup USING (source) ORDER BY source""".stripMargin)),
+    // mass-weighted length percentiles: count-median vs char-mass
+    // median/p90 per source — the "where does the token budget sit"
+    // readout; weighted discPercentiles core, exact ints + one division
+    GraftQuery("x_curation_mass_median", CurationOps.massWeightedLength, Some(
+      """WITH f AS (SELECT source, n_chars AS value, count(*) AS cnt,
+        |             CAST(sum(n_chars) AS BIGINT) AS w
+        |           FROM documents GROUP BY 1, 2),
+        |r AS (SELECT source, value, cnt, w,
+        |        CAST(sum(cnt) OVER (PARTITION BY source ORDER BY value) AS BIGINT) AS rc,
+        |        CAST(sum(w) OVER (PARTITION BY source ORDER BY value) AS BIGINT) AS rw
+        |      FROM f),
+        |t AS (SELECT source, CAST(sum(cnt) AS BIGINT) AS n_docs,
+        |             CAST(sum(w) AS BIGINT) AS total_chars
+        |      FROM f GROUP BY source),
+        |j AS (SELECT r.source, r.value,
+        |        CAST(rc AS DOUBLE) / t.n_docs AS cd_docs,
+        |        CAST(rw AS DOUBLE) / t.total_chars AS cd_mass
+        |      FROM r JOIN t USING (source)),
+        |a AS (SELECT source,
+        |        min(CASE WHEN cd_docs >= 0.5 THEN value END) AS p50_docs,
+        |        min(CASE WHEN cd_mass >= 0.5 THEN value END) AS p50_mass,
+        |        min(CASE WHEN cd_mass >= 0.9 THEN value END) AS p90_mass
+        |      FROM j GROUP BY source)
+        |SELECT t.source, t.n_docs, t.total_chars, a.p50_docs, a.p50_mass, a.p90_mass
+        |FROM t JOIN a USING (source) ORDER BY source""".stripMargin)),
     // source-concentration audit: Gini via the sorted-weights identity
     // with an exact integer numerator; HHI numerator on DECIMAL(38,0);
     // one fixed IEEE tree per readout — the datasheet's inequality row

@@ -469,6 +469,44 @@ object CurationOps {
     dsirScoreAgainst(Tables(spark, dir, "documents"), w, prior)
   }
 
+  /** Mass-weighted length percentiles per source: where the corpus
+    * VOLUME sits, not where the documents sit — the count-median length
+    * and the char-mass-weighted median/p90 side by side. A source whose
+    * typical document is 200 chars can still spend most of its token
+    * budget inside 10k-char documents; mixture and packing decisions
+    * follow the mass column, dedup/quality ones the count column.
+    *
+    * Mechanism: the discPercentiles frequency-table core with a WEIGHT
+    * column — per-(source, length) exact int64 char masses, running
+    * counts for BOTH measures via [[StatsOps.withRunningCount]]'s
+    * range-partitioned prefix sums, cume-dist as one division each, and
+    * `min value with cd ≥ p` per percentile. Fully hash-oracled.
+    *
+    * Scale shape: one map-side-combinable composite-key aggregate, two
+    * range-partitioned prefix-sum passes over the distinct-length
+    * table, a broadcast totals join, one |sources|-row rollup. */
+  def massWeightedLength(spark: SparkSession, dir: String): DataFrame = {
+    val dbl = (c: Column) => c.cast(DoubleType)
+    val freq = Tables(spark, dir, "documents")
+      .groupBy(col("source"), col("n_chars").as("value"))
+      .agg(count(lit(1)).as("cnt"), sum(col("n_chars")).as("w"))
+    val run = StatsOps.withRunningCount(
+      StatsOps.withRunningCount(freq, Seq("source"), "value", "cnt", "rc"),
+      Seq("source"), "value", "w", "rw")
+    val totals = freq.groupBy(col("source"))
+      .agg(sum(col("cnt")).as("n_docs"), sum(col("w")).as("total_chars"))
+    run.join(broadcast(totals), Seq("source"))
+      .withColumn("cd_docs", dbl(col("rc")) / col("n_docs"))
+      .withColumn("cd_mass", dbl(col("rw")) / col("total_chars"))
+      .groupBy(col("source"))
+      .agg(max(col("n_docs")).as("n_docs"),
+        max(col("total_chars")).as("total_chars"),
+        min(when(col("cd_docs") >= 0.5, col("value"))).as("p50_docs"),
+        min(when(col("cd_mass") >= 0.5, col("value"))).as("p50_mass"),
+        min(when(col("cd_mass") >= 0.9, col("value"))).as("p90_mass"))
+      .orderBy("source")
+  }
+
   /** Source-concentration audit: how unevenly the corpus mass (chars) is
     * spread across sources — the datasheet companion a mixture designer
     * reads before setting temperature weights. One row: Gini coefficient

@@ -273,6 +273,33 @@ class CurationOpsSpec extends SparkSpec {
     assert(det == r.collect().toSeq) // deterministic across re-runs
   }
 
+  test("mass median: rare long docs carry the mass median, not the count median") {
+    import spark.implicits._
+    val dir = tempDir("mass_median")
+    // s: four 1-char docs + one 6-char doc → count-median 1, but 6/10 of
+    // the char mass lives in the long doc → mass-median 6
+    (Seq((0L, "a", 1L), (1L, "b", 1L), (2L, "c", 1L), (3L, "d", 1L),
+      (4L, "eeeeee", 6L)).map { case (i, t, n) => (i, t, "en", "s", n) } ++
+      Seq((5L, "xx", 2L), (6L, "yy", 2L)).map { case (i, t, n) => (i, t, "en", "u", n) })
+      .toDF("doc_id", "text", "lang", "source", "n_chars").repartition(3)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val r = CurationOps.massWeightedLength(spark, dir).collect()
+      .map(x => x.getString(0) -> ((x.getLong(1), x.getLong(2), x.getLong(3),
+        x.getLong(4), x.getLong(5)))).toMap
+    assert(r("s") == ((5L, 10L, 1L, 6L, 6L)), s"got ${r("s")}")
+    assert(r("u") == ((2L, 4L, 2L, 2L, 2L)), s"got ${r("u")}")
+  }
+
+  test("mass median: mass-weighting never moves a percentile down (sf0.001)") {
+    // weight = value is monotone, so the mass CDF is stochastically
+    // dominated by the count CDF — p50_mass ≥ p50_docs per source
+    CurationOps.massWeightedLength(spark, Sf0001).collect().foreach { r =>
+      assert(r.getAs[Long]("p50_mass") >= r.getAs[Long]("p50_docs"),
+        s"source ${r.getString(0)}")
+      assert(r.getAs[Long]("p90_mass") >= r.getAs[Long]("p50_mass"))
+    }
+  }
+
   // ------------------------------------------------------- concentration
 
   test("concentration: uniform masses score gini 0, hhi 1/n") {
