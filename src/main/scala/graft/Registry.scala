@@ -2598,6 +2598,22 @@ object Registry {
         |SELECT term, CAST(count(*) AS INTEGER) AS df
         |FROM tf GROUP BY term
         |ORDER BY df DESC, term LIMIT 50""".stripMargin)),
+    // vocabulary-coverage curve: types kept vs token share per
+    // frequency cutoff 2^0..2^10 — cutoff-parameterized so no global
+    // vocabulary rank exists; exact int64 counts, one division per row
+    GraftQuery("x_text_vocab_curve", TextOps.vocabCoverageCurve, Some(
+      """WITH tok AS (SELECT unnest(string_split(lower(text), ' ')) AS term
+        |             FROM documents),
+        |tc AS (SELECT term, count(*) AS c FROM tok GROUP BY term),
+        |tot AS (SELECT CAST(sum(c) AS BIGINT) AS tot FROM tc),
+        |g(theta) AS (VALUES (1),(2),(4),(8),(16),(32),(64),(128),(256),(512),(1024)),
+        |a AS (SELECT g.theta,
+        |        CAST(sum(CASE WHEN c >= g.theta THEN 1 ELSE 0 END) AS BIGINT) AS n_terms,
+        |        CAST(coalesce(sum(CASE WHEN c >= g.theta THEN c END), 0) AS BIGINT) AS covered
+        |      FROM tc CROSS JOIN g GROUP BY g.theta)
+        |SELECT CAST(theta AS BIGINT) AS theta, n_terms, covered,
+        |       CAST(covered AS DOUBLE) / CAST(tot AS DOUBLE) AS share
+        |FROM a CROSS JOIN tot ORDER BY theta""".stripMargin)),
     // vocabulary-coverage profile: per-doc OOV occurrences against the
     // deterministic top-V df vocabulary (V=16 bites on the 31-term
     // synthetic vocab; production V ~1e5, same plan)

@@ -942,4 +942,35 @@ object TextOps {
         col("raw_micro"), col("cal_micro"))
       .orderBy("bin")
   }
+
+  /** Vocabulary-coverage curve: for each frequency cutoff θ ∈ 2⁰..2¹⁰,
+    * how many distinct terms occur ≥ θ times and what share of ALL
+    * token occurrences they cover — the tokenizer/vocab-design readout
+    * ("a min-count of 8 keeps 1.2% of the types and 96% of the
+    * tokens"). Cutoff-parameterized rather than top-k-parameterized so
+    * no global rank over the vocabulary exists: each grid row is a
+    * conditional aggregate, exact int64 counts, ONE division per row.
+    *
+    * Scale shape: one tokenization → map-side-combinable term counts;
+    * the 11-row grid joins BROADCAST against the aggregated vocabulary
+    * (11·|vocab| rows into an 11-group combinable rollup), and the
+    * 1-row total broadcasts back. No rank window anywhere. */
+  def vocabCoverageCurve(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val counts = Tables.parallel(spark, dir, "documents")
+      .select(explode(split(lower(col("text")), " ")).as("term"))
+      .groupBy(col("term")).agg(count(lit(1)).as("c"))
+    val total = counts.agg(sum(col("c")).as("tot"))
+    val thetas = (0 to 10).map(k => Tuple1(1L << k)).toDF("theta")
+    counts.crossJoin(broadcast(thetas))
+      .groupBy(col("theta"))
+      .agg(sum(when(col("c") >= col("theta"), 1L).otherwise(0L)).as("n_terms"),
+        coalesce(sum(when(col("c") >= col("theta"), col("c"))), lit(0L))
+          .as("covered"))
+      .crossJoin(broadcast(total))
+      .select(col("theta"), col("n_terms"), col("covered"),
+        (col("covered").cast(DoubleType) / col("tot").cast(DoubleType))
+          .as("share"))
+      .orderBy("theta")
+  }
 }

@@ -230,6 +230,19 @@ class IntegrityOpsSpec extends SparkSpec {
     assert(s.getAs[Double]("d_stat") == 0.5)
   }
 
+  test("ks drift: disjoint supports trip the flag (negative control)") {
+    import spark.implicits._
+    // train on [1,100], val on [201,300]: D = 1, far above the critical
+    // value 1.358·√(200/10000) ≈ 0.19 — a monitor that cannot red on
+    // THIS shift is not a monitor
+    val rows = ((1L to 100L).map((_, "train")) ++
+      (201L to 300L).map((_, "val"))).toDF("value", "split")
+    val s = SamplingOps.ksSummaryOf(SamplingOps.ksOf(rows)).collect()(0)
+    assert(s.getAs[Double]("d_stat") == 1.0)
+    assert(s.getAs[Long]("ks_value") == 100L) // max deviation first attained at train's top
+    assert(s.getAs[Boolean]("drifted"))
+  }
+
   test("ks drift: identical samples give D = 0 and no drift flag") {
     import spark.implicits._
     val vals = Seq(1L, 2L, 2L, 3L, 7L)

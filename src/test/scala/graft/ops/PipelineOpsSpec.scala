@@ -1601,6 +1601,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(kappa >= -1.0 && kappa <= 1.0)
   }
 
+  test("vocab curve: hand counts, monotone decay, full coverage at theta=1") {
+    import spark.implicits._
+    val dir = tempDir("vocab_curve")
+    // counts: a=4, b=2, c=1, tot=7
+    Seq((0L, "a a a b", "en", "s", 7L), (1L, "a b c", "en", "s", 5L))
+      .toDF("doc_id", "text", "lang", "source", "n_chars").repartition(2)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.vocabCoverageCurve(spark, dir).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(got.take(4).toSeq == Seq(
+      (1L, 3L, 7L, 1.0), (2L, 2L, 6L, 6.0 / 7.0),
+      (4L, 1L, 4L, 4.0 / 7.0), (8L, 0L, 0L, 0.0)), s"got ${got.toSeq}")
+    assert(got.drop(4).forall(r => r._2 == 0L && r._3 == 0L))
+    // real corpus: curve is monotone non-increasing, theta=1 covers all
+    val real = TextOps.vocabCoverageCurve(spark, Sf0001).collect()
+      .map(r => (r.getLong(1), r.getLong(2), r.getDouble(3)))
+    assert(real.head._3 == 1.0)
+    assert(real.zip(real.tail).forall { case (a, b) => a._1 >= b._1 && a._2 >= b._2 })
+  }
+
   test("mcc: cells shared with kappa; fixed IEEE tree replays; bounds hold") {
     val k = TextOps.classifierKappa(spark, Sf0001).collect()(0)
     val r = TextOps.classifierMcc(spark, Sf0001).collect()(0)
