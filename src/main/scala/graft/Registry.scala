@@ -3890,6 +3890,33 @@ object Registry {
         |SELECT n_train, n_val, d_num_max, ks_value, d_stat, d_crit,
         |       d_stat > d_crit AS drifted
         |FROM v""".stripMargin)),
+    // Neyman allocation: variance-optimal eval-budget split across
+    // language strata (N_h·S_h weights) — decimal moments, ONE sqrt per
+    // stratum, then exact-integer apportionment with largest-remainder
+    // top-up; sum(n_alloc) = budget structurally
+    GraftQuery("x_sample_neyman", SamplingOps.neymanAllocation, Some(
+      s"""WITH s AS (SELECT lang AS stratum, count(*) AS n_docs,
+        |             CAST(sum(n_chars) AS DECIMAL(38,0)) AS sx,
+        |             CAST(sum(CAST(n_chars AS DECIMAL(38,0)) * CAST(n_chars AS DECIMAL(38,0))) AS DECIMAL(38,0)) AS sxx
+        |           FROM documents GROUP BY lang),
+        |w AS (SELECT stratum, CAST(n_docs AS BIGINT) AS n_docs,
+        |        sqrt(CAST(CAST(n_docs AS DECIMAL(38,0)) * sxx - sx * sx AS DOUBLE))
+        |          / CAST(n_docs AS DOUBLE) AS sd
+        |      FROM s),
+        |w2 AS (SELECT stratum, n_docs, sd,
+        |         greatest(CAST(floor(CAST(n_docs AS DOUBLE) * sd * 1000000.0) AS BIGINT), 1) AS weight_micro
+        |       FROM w),
+        |t AS (SELECT CAST(sum(weight_micro) AS BIGINT) AS w_tot FROM w2),
+        |b AS (SELECT stratum, n_docs, sd, weight_micro,
+        |        (${SamplingOps.NeymanBudget} * weight_micro) // w_tot AS base,
+        |        ${SamplingOps.NeymanBudget} * weight_micro
+        |          - ((${SamplingOps.NeymanBudget} * weight_micro) // w_tot) * w_tot AS rem
+        |      FROM w2 CROSS JOIN t),
+        |e AS (SELECT CAST(${SamplingOps.NeymanBudget} - sum(base) AS BIGINT) AS extra FROM b),
+        |r AS (SELECT b.*, row_number() OVER (ORDER BY rem DESC, stratum) AS rk FROM b)
+        |SELECT stratum, n_docs, sd, weight_micro,
+        |       CAST(base + CASE WHEN rk <= e.extra THEN 1 ELSE 0 END AS BIGINT) AS n_alloc
+        |FROM r CROSS JOIN e ORDER BY stratum""".stripMargin)),
     GraftQuery("x_sample_stratified", (s, d) => SamplingOps.stratifiedSample(s, d), None),
     GraftQuery("x_sample_stratified_hash", SamplingOps.stratifiedSampleHash, Some(
       """SELECT doc_id, lang, source FROM documents

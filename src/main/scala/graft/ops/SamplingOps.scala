@@ -1,6 +1,7 @@
 package graft.ops
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.types._
 
@@ -342,6 +343,62 @@ object SamplingOps {
         col("pick.neighborId").as("doc_id"),
         (-col("pick.cos")).cast(LongType).as("h"))
       .orderBy("source", "sample_rank")
+  }
+
+  /** Evaluation-sample budget for [[neymanAllocation]]. */
+  val NeymanBudget = 1000L
+
+  /** Neyman allocation: split a fixed eval-sample budget across strata
+    * (languages) proportionally to N_h·S_h — the variance-optimal
+    * stratified design, vs proportional allocation's N_h. The stratum
+    * whose lengths vary most gets oversampled; a constant stratum gets
+    * (nearly) nothing. This is how an eval set is sized when the metric
+    * variance differs by language.
+    *
+    * Determinism: per-stratum variance numerator N·Σx² − (Σx)² rides
+    * DECIMAL(38,0) (int64 dies at ~3e9 chars of mass); S_h pays ONE
+    * sqrt and one division; the weight is floored to integer
+    * micro-units with a 1-micro floor (zero-variance strata stay in the
+    * design, and the total weight is never 0), so the apportionment —
+    * integral bases plus largest-remainder top-up, ties to the first
+    * stratum — is EXACT integer arithmetic end to end. Σ n_alloc =
+    * budget structurally. Headroom: budget·weight ≤ 2⁶³ holds to
+    * N_h·S_h ≈ 9e9 char-units; beyond, the micro scale drops a decade.
+    *
+    * Scale shape: one map-side-combinable moments aggregate to
+    * |strata| rows; everything after (totals, ranks, top-up) lives on
+    * that bounded domain. */
+  def neymanAllocation(spark: SparkSession, dir: String): DataFrame =
+    neymanOf(Tables(spark, dir, "documents")
+      .select(col("lang").as("stratum"), col("n_chars").as("x")), NeymanBudget)
+
+  private[graft] def neymanOf(rows: DataFrame, budget: Long): DataFrame = {
+    val d38 = (c: Column) => c.cast(DecimalType(38, 0))
+    val dbl = (c: Column) => c.cast(DoubleType)
+    val stats = rows.groupBy("stratum").agg(
+      count(lit(1)).as("n_docs"),
+      sum(col("x")).as("sx"),
+      sum(d38(col("x")) * d38(col("x"))).as("sxx"))
+    val sd = sqrt((d38(col("n_docs")) * col("sxx") - d38(col("sx")) * d38(col("sx")))
+      .cast(DoubleType)) / dbl(col("n_docs"))
+    val withW = stats.withColumn("sd", sd)
+      .withColumn("weight_micro",
+        greatest(floor(dbl(col("n_docs")) * col("sd") * lit(1000000.0))
+          .cast(LongType), lit(1L)))
+      .select(col("stratum"), col("n_docs"), col("sd"), col("weight_micro"))
+    val tot = withW.agg(sum(col("weight_micro")).as("w_tot"))
+    val based = withW.crossJoin(broadcast(tot))
+      .withColumn("base", expr(s"($budget * weight_micro) div w_tot"))
+      .withColumn("rem", lit(budget) * col("weight_micro") - col("base") * col("w_tot"))
+    val extra = based.agg((lit(budget) - sum(col("base"))).as("extra"))
+    // bounded-domain window: |strata| rows
+    val rk = row_number().over(Window.orderBy(col("rem").desc, col("stratum")))
+    based.withColumn("rk", rk)
+      .crossJoin(broadcast(extra))
+      .select(col("stratum"), col("n_docs"), col("sd"), col("weight_micro"),
+        (col("base") + when(col("rk") <= col("extra"), 1L).otherwise(0L))
+          .as("n_alloc"))
+      .orderBy("stratum")
   }
 
   /** Two-sample Kolmogorov–Smirnov drift test between the train and val

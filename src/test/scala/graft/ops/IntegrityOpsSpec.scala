@@ -208,6 +208,36 @@ class IntegrityOpsSpec extends SparkSpec {
     assert(remerged == full)
   }
 
+  // ------------------------------------------------------------ Neyman
+
+  test("neyman: hand-computed apportionment; zero-variance stratum floors at 1 micro") {
+    import spark.implicits._
+    // A: x ∈ {1,3} → sd = 1, weight = 2e6; B: x ∈ {2,2} → sd = 0,
+    // weight floors at 1. budget 10: base_A = 2e7 div 2000001 = 9,
+    // base_B = 0, extra = 1 → A's remainder (1999991) wins → 10/0
+    val rows = Seq(("A", 1L), ("A", 3L), ("B", 2L), ("B", 2L))
+      .toDF("stratum", "x").repartition(2)
+    val got = SamplingOps.neymanOf(rows, 10L).collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getDouble(2),
+        r.getLong(3), r.getLong(4)))
+    assert(got.toSeq == Seq(("A", 2L, 1.0, 2000000L, 10L),
+      ("B", 2L, 0.0, 1L, 0L)), s"got ${got.toSeq}")
+  }
+
+  test("neyman: equal strata tie-break to the first stratum; budget always exhausted") {
+    import spark.implicits._
+    val rows = Seq(("A", 1L), ("A", 3L), ("B", 1L), ("B", 3L))
+      .toDF("stratum", "x").repartition(2)
+    val got = SamplingOps.neymanOf(rows, 5L).collect()
+      .map(r => (r.getString(0), r.getLong(4)))
+    // bases 2/2, one leftover, tied remainders → stratum-asc wins
+    assert(got.toSeq == Seq(("A", 3L), ("B", 2L)), s"got ${got.toSeq}")
+    // real data: the allocation is total by construction
+    val real = SamplingOps.neymanAllocation(spark, Sf0001).collect()
+    assert(real.map(_.getAs[Long]("n_alloc")).sum == SamplingOps.NeymanBudget)
+    assert(real.forall(_.getAs[Long]("weight_micro") >= 1L))
+  }
+
   // ---------------------------------------------------------- KS drift
 
   test("ks drift: hand-computed D on a planted two-sample fixture") {
