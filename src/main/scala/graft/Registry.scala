@@ -3869,6 +3869,45 @@ object Registry {
         |       CAST(sum(CASE WHEN n_docs = 0 THEN 1 ELSE 0 END) AS INTEGER) AS n_empty_buckets,
         |       max(chi2_term) AS max_chi2_term
         |FROM cells GROUP BY source ORDER BY source""".stripMargin)),
+    // per-source one-vs-rest KS: each source's length CDF against the
+    // rest of the corpus over the full source × length grid (the
+    // deviation can peak at a length the source never emits); rest
+    // counts are exact complements, so one global + one keyed running
+    // count suffice
+    GraftQuery("x_drift_source_ks", SamplingOps.sourceDriftKs, Some(
+      """WITH sf AS (SELECT source, n_chars AS value, count(*) AS c
+        |            FROM documents GROUP BY 1, 2),
+        |vals AS (SELECT value, CAST(sum(c) AS BIGINT) AS cg FROM sf GROUP BY value),
+        |g AS (SELECT value, CAST(sum(cg) OVER (ORDER BY value) AS BIGINT) AS cum_g FROM vals),
+        |src AS (SELECT DISTINCT source FROM sf),
+        |grid AS (SELECT src.source, g.value, g.cum_g,
+        |           CAST(coalesce(sf.c, 0) AS BIGINT) AS c
+        |         FROM g CROSS JOIN src
+        |         LEFT JOIN sf ON sf.source = src.source AND sf.value = g.value),
+        |sc AS (SELECT source, value, cum_g,
+        |         CAST(sum(c) OVER (PARTITION BY source ORDER BY value) AS BIGINT) AS cum_s
+        |       FROM grid),
+        |t AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM sf GROUP BY source),
+        |gg AS (SELECT CAST(sum(c) AS BIGINT) AS n_g FROM sf),
+        |d AS (SELECT sc.source, sc.value, t.n_s, gg.n_g - t.n_s AS n_rest,
+        |        abs(cum_s * (gg.n_g - t.n_s) - (cum_g - cum_s) * t.n_s) AS d_num
+        |      FROM sc JOIN t USING (source) CROSS JOIN gg),
+        |m AS (SELECT source, max(n_s) AS n_source, max(n_rest) AS n_rest,
+        |             max(d_num) AS d_max
+        |      FROM d GROUP BY source),
+        |p AS (SELECT d.source, min(d.value) AS ks_value
+        |      FROM d JOIN m ON d.source = m.source AND d.d_num = m.d_max
+        |      GROUP BY d.source),
+        |v AS (SELECT m.source, m.n_source, m.n_rest,
+        |        CAST(m.d_max AS BIGINT) AS d_num_max, p.ks_value,
+        |        CAST(m.d_max AS DOUBLE)
+        |          / (CAST(m.n_source AS DOUBLE) * CAST(m.n_rest AS DOUBLE)) AS d_stat,
+        |        1.358 * sqrt((CAST(m.n_source AS DOUBLE) + CAST(m.n_rest AS DOUBLE))
+        |                     / (CAST(m.n_source AS DOUBLE) * CAST(m.n_rest AS DOUBLE))) AS d_crit
+        |      FROM m JOIN p USING (source))
+        |SELECT source, n_source, n_rest, d_num_max, ks_value, d_stat, d_crit,
+        |       d_stat > d_crit AS drifted
+        |FROM v ORDER BY source""".stripMargin)),
     // distribution-free split drift: two-sample KS over the full length
     // CDFs — catches the in-bucket shifts the binned χ² is blind to.
     // Deviations are cross-multiplied integers (max is an integer max);

@@ -475,6 +475,49 @@ object SamplingOps {
         abs(col("cum_train") * col("n_val") - col("cum_val") * col("n_train")))
   }
 
+  /** Per-source KS drift: each source's length CDF against the REST of
+    * the corpus (one-vs-rest — the KS sibling of
+    * [[sourceDriftChisq]]'s binned χ²), one verdict row per source.
+    * The deviation can peak at a length the source never emits, so the
+    * statistic runs over the full source × distinct-length grid
+    * (bounded by |sources|·|length support|, independent of corpus
+    * rows — the sourceDrift grid argument); rest-CDF counts are exact
+    * complements cum_g − cum_s, so one global and one per-source
+    * running count suffice. Same cross-multiplied integer deviations,
+    * one division + sqrt per source. */
+  def sourceDriftKs(spark: SparkSession, dir: String): DataFrame =
+    sourceKsOf(Tables(spark, dir, "documents")
+      .select(col("source"), col("n_chars").as("value")))
+
+  private[graft] def sourceKsOf(rows: DataFrame): DataFrame = {
+    val sf = rows.groupBy("source", "value").agg(count(lit(1)).as("c"))
+    val gcum = StatsOps.withRunningCount(
+      sf.groupBy("value").agg(sum(col("c")).as("cg")),
+      Nil, "value", "cg", "cum_g")
+    val grid = gcum.crossJoin(broadcast(sf.select("source").distinct()))
+      .join(sf, Seq("source", "value"), "left")
+      .withColumn("c", coalesce(col("c"), lit(0L)))
+    val scum = StatsOps.withRunningCount(grid, Seq("source"), "value", "c", "cum_s")
+    val totals = sf.groupBy("source").agg(sum(col("c")).as("n_s"))
+    val grand = sf.agg(sum(col("c")).as("n_g"))
+    val d = scum.join(broadcast(totals), Seq("source"))
+      .crossJoin(broadcast(grand))
+      .withColumn("n_rest", col("n_g") - col("n_s"))
+      .withColumn("d_num", abs(col("cum_s") * col("n_rest")
+        - (col("cum_g") - col("cum_s")) * col("n_s")))
+    val nS = col("n_source").cast(DoubleType)
+    val nR = col("n_rest").cast(DoubleType)
+    d.groupBy(col("source"))
+      .agg(max(col("n_s")).as("n_source"), max(col("n_rest")).as("n_rest"),
+        max(struct(col("d_num"), (-col("value")).as("nv"))).as("m"))
+      .select(col("source"), col("n_source"), col("n_rest"),
+        col("m.d_num").as("d_num_max"), (-col("m.nv")).as("ks_value"))
+      .withColumn("d_stat", col("d_num_max").cast(DoubleType) / (nS * nR))
+      .withColumn("d_crit", lit(1.358) * sqrt((nS + nR) / (nS * nR)))
+      .withColumn("drifted", col("d_stat") > col("d_crit"))
+      .orderBy("source")
+  }
+
   private[graft] def ksSummaryOf(perValue: DataFrame): DataFrame = {
     val picked = perValue.agg(
       max(col("n_train")).as("n_train"),

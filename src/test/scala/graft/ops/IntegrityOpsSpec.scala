@@ -299,6 +299,41 @@ class IntegrityOpsSpec extends SparkSpec {
     assert(plan.contains("rangepartitioning"), s"no range exchange in:\n$plan")
   }
 
+  test("source ks: shifted source reds, identical sources clear, brute-force replay exact") {
+    import spark.implicits._
+    val data: Seq[(String, Long)] =
+      (1L to 20L).map(("A", _)) ++ (1L to 20L).map(("B", _)) ++
+        (200L to 204L).flatMap(v => Seq.fill(4)(("C", v)))
+    val got = SamplingOps.sourceKsOf(data.toDF("source", "value").repartition(3))
+      .collect().map(r => r.getString(0) -> r).toMap
+    assert(got("C").getAs[Boolean]("drifted"), "disjoint-support source must red")
+    // brute-force one-vs-rest replay over the union support, per source
+    val support = data.map(_._2).distinct.sorted
+    val nAll = data.size.toLong
+    got.foreach { case (s, r) =>
+      val nS = data.count(_._1 == s).toLong
+      val nR = nAll - nS
+      var (cs, cr) = (0L, 0L)
+      val ds = support.map { v =>
+        cs += data.count(p => p._1 == s && p._2 == v)
+        cr += data.count(p => p._1 != s && p._2 == v)
+        (v, math.abs(cs * nR - cr * nS))
+      }
+      val dMax = ds.map(_._2).max
+      assert(r.getAs[Long]("n_source") == nS && r.getAs[Long]("n_rest") == nR)
+      assert(r.getAs[Long]("d_num_max") == dMax, s"source $s")
+      assert(r.getAs[Long]("ks_value") == ds.filter(_._2 == dMax).map(_._1).min)
+      assert(r.getAs[Double]("d_stat") ==
+        dMax.toDouble / (nS.toDouble * nR.toDouble))
+    }
+    // two identical sources alone: neither drifts against the other
+    val calm = SamplingOps.sourceKsOf(
+      ((1L to 20L).map(("A", _)) ++ (1L to 20L).map(("B", _)))
+        .toDF("source", "value")).collect()
+    assert(calm.forall(!_.getAs[Boolean]("drifted")))
+    assert(calm.forall(_.getAs[Long]("d_num_max") == 0L))
+  }
+
   test("ks drift: summary reconciles with the per-value table (sf0.001)") {
     val per = SamplingOps.splitDriftKs(spark, Sf0001)
     val maxD = per.agg(max(col("d_num"))).collect()(0).getLong(0)
