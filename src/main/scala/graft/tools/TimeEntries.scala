@@ -6,15 +6,21 @@ package graft.tools
   * whose cost is wildly out of family at 500 rows is broken SHAPE, not
   * load. Prints one line per entry, slowest last.
   *
-  * Usage: runMain graft.tools.TimeEntries [sfDir] [minSecToPrint]
+  * Usage: runMain graft.tools.TimeEntries [sfDir] [minSecToPrint] [namesCsv]
+  * (namesCsv restricts the sweep — the scale-ratio workflow times a
+  * handful of entries at two SFs and diffs.)
   */
 object TimeEntries {
   def main(args: Array[String]): Unit = {
     val sfDir = if (args.length > 0) args(0) else "/root/testdata/sf0.001"
     val minSec = if (args.length > 1) args(1).toDouble else 0.5
+    val only: Option[Set[String]] =
+      if (args.length > 2) Some(args(2).split(",").toSet) else None
     val spark = graft.GraftSession.get("graft-time-entries")
     graft.ops.Tables.enableInputCache()
-    val times = graft.Registry.all.sortBy(_.name).flatMap { q =>
+    val times = graft.Registry.all.sortBy(_.name)
+      .filter(q => only.forall(_.contains(q.name)))
+      .flatMap { q =>
       q.benchPrep.foreach(p => try p(spark, sfDir) catch { case _: Throwable => })
       val t0 = System.nanoTime()
       try {
