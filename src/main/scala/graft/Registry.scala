@@ -3014,6 +3014,11 @@ object Registry {
     // contribute the background probability (coalesce-0 tf)
     GraftQuery("x_retrieval_qlm", RetrievalOps.qlm, Some(qlmOracle),
       headline = true),
+    // write-once / probe-many for the QL scorer: identical rows served
+    // from the materialized index's term-pruned tf/cf reads (same
+    // oracle pins the equivalence; Bench pre-builds untimed)
+    GraftQuery("x_retrieval_qlm_indexed", RetrievalOps.qlmIndexed,
+      Some(qlmOracle), headline = true),
     // hybrid RAG-stack retrieval: lexical + dense lists fused by
     // reciprocal rank with exact-integer contributions (lcm-scaled) —
     // both inputs are k-bounded map-side aggregates, so fusion cost is

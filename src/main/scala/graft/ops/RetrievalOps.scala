@@ -137,7 +137,6 @@ object RetrievalOps {
 
   def qlmFor(spark: SparkSession, dir: String,
       queries: Seq[(Int, String)]): DataFrame = {
-    import spark.implicits._
     val toks = Tables.parallel(spark, dir, "documents")
       .filter(col("doc_id").isNotNull)
       .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
@@ -148,6 +147,36 @@ object RetrievalOps {
     val cf = qToks.groupBy(col("term")).agg(count(lit(1)).as("cf"))
     // bounded driver scalar: corpus token count (the BM25 N/avgdl move)
     val totC = dl.agg(sum(col("dl"))).collect()(0).getLong(0)
+    qlmScoreAndRank(spark, queries, tf, cf, dl, totC)
+  }
+
+  /** QL over the materialized index — identical output to [[qlm]] (the
+    * same scoring/ranking path below the storage seam, the
+    * bm25FromIndex convention): tf and the background cf table are
+    * term-pruned parquet reads, |C| is the stats row. */
+  def qlmFromIndex(spark: SparkSession, indexDir: String,
+      queries: Seq[(Int, String)] = DefaultQueries): DataFrame = {
+    val vocab = queries.flatMap(_._2.split(" ")).distinct
+    val tf = spark.read.parquet(s"$indexDir/tf")
+      .filter(col("term").isin(vocab: _*))
+    val cf = spark.read.parquet(s"$indexDir/cf")
+      .filter(col("term").isin(vocab: _*))
+    val dl = spark.read.parquet(s"$indexDir/dl")
+    val totC = spark.read.parquet(s"$indexDir/stats")
+      .collect()(0).getAs[Long]("tot")
+    qlmScoreAndRank(spark, queries, tf, cf, dl, totC)
+  }
+
+  /** Registry/bench entry: probe the (pre-built) index. */
+  def qlmIndexed(spark: SparkSession, dir: String): DataFrame =
+    qlmFromIndex(spark, ensureLexIndex(spark, dir))
+
+  /** Scoring + bounded ranking over any (tf, cf, dl, |C|) source —
+    * shared by the inline and index-served forms so their agreement is
+    * a hash equality against ONE oracle. */
+  private def qlmScoreAndRank(spark: SparkSession, queries: Seq[(Int, String)],
+      tf: DataFrame, cf: DataFrame, dl: DataFrame, totC: Long): DataFrame = {
+    import spark.implicits._
     val qDf = queries
       .flatMap { case (q, s) => s.split(" ").distinct.map(t => (q, t)) }
       .toDF("q_id", "term")
@@ -246,6 +275,10 @@ object RetrievalOps {
       .write.mode("overwrite").parquet(s"$indexDir/tf")
     tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
       .write.mode("overwrite").parquet(s"$indexDir/df")
+    // corpus term frequencies (Σtf) — the language-modeling scorer's
+    // background distribution; BM25 never reads it, QLM must
+    tf.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
+      .write.mode("overwrite").parquet(s"$indexDir/cf")
     val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
     dl.write.mode("overwrite").parquet(s"$indexDir/dl")
     dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot"))
@@ -272,7 +305,7 @@ object RetrievalOps {
     * neither a config change nor regenerated source data can silently
     * serve a stale index. */
   def lexIndexDirFor(dir: String): String =
-    stampedIndexDir("graft_lex_index_v1_", dir, "documents.parquet")
+    stampedIndexDir("graft_lex_index_v2_", dir, "documents.parquet")
 
   /** Build the materialized index iff absent; returns its location. */
   def ensureLexIndex(spark: SparkSession, dir: String): String = {
@@ -321,6 +354,16 @@ object RetrievalOps {
       .select(coalesce(col("o.term"), col("n.term")).as("term"),
         (coalesce(col("o.df"), lit(0L)) + coalesce(col("n.df"), lit(0L))).as("df"))
       .write.mode("overwrite").parquet(s"$outDir/df")
+    // cf (QLM's background distribution) merges like df; the BM25-only
+    // incremental fixtures predate the column — propagate iff present
+    if (new java.io.File(s"$indexDir/cf").exists()) {
+      val cfN = tfN.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
+      spark.read.parquet(s"$indexDir/cf").as("o")
+        .join(cfN.as("n"), col("o.term") === col("n.term"), "full_outer")
+        .select(coalesce(col("o.term"), col("n.term")).as("term"),
+          (coalesce(col("o.cf"), lit(0L)) + coalesce(col("n.cf"), lit(0L))).as("cf"))
+        .write.mode("overwrite").parquet(s"$outDir/cf")
+    }
     spark.read.parquet(s"$indexDir/dl").unionByName(dlN)
       .write.mode("overwrite").parquet(s"$outDir/dl")
     spark.read.parquet(s"$indexDir/stats").as("o")

@@ -311,7 +311,7 @@ object UpsertOps {
     val tmp = new java.io.File(System.getProperty("java.io.tmpdir"))
     val families = Seq(
       ("knn", "graft_knn_index_v2_", "embeddings.parquet"),
-      ("lex", "graft_lex_index_v1_", "documents.parquet"),
+      ("lex", "graft_lex_index_v2_", "documents.parquet"),
       ("lex_incr_base", "graft_lex_incr_base_v1_", "documents.parquet"),
       ("lex_incr_out", "graft_lex_incr_out_v1_", "documents.parquet"),
       ("minhash", "graft_minhash_index_v1_", "documents.parquet"))

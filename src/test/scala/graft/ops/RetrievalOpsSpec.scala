@@ -354,6 +354,26 @@ class RetrievalOpsSpec extends SparkSpec {
     assert(got(0).getAs[Long]("score_micro") > got(1).getAs[Long]("score_micro"))
   }
 
+  test("qlm index probe: identical rows to inline; cf merges through an incremental fold") {
+    import spark.implicits._
+    val idx = tempDir("qlm_idx")
+    RetrievalOps.buildLexIndex(spark, Sf0001, idx)
+    assert(RetrievalOps.qlmFromIndex(spark, idx).collect().toSeq ==
+      RetrievalOps.qlm(spark, Sf0001).collect().toSeq)
+    // folding a crawl batch must merge the background distribution:
+    // touched terms gain exactly the batch occurrences, others are unchanged
+    val out = tempDir("qlm_idx_out")
+    RetrievalOps.updateLexIndex(spark, idx,
+      Seq((9000001L, "hash join hash")).toDF("doc_id", "text"), out)
+    val before = spark.read.parquet(s"$idx/cf").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val after = spark.read.parquet(s"$out/cf").collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(after("hash") == before.getOrElse("hash", 0L) + 2L)
+    assert(after("join") == before.getOrElse("join", 0L) + 1L)
+    assert((after - "hash" - "join") == (before - "hash" - "join"))
+  }
+
   test("qlm plan: no cartesian/nested-loop anywhere; query relation broadcasts") {
     // the candidate × query-term expansion and every stats join must be
     // keyed: a relation this small tempts the planner into a nested
