@@ -175,7 +175,7 @@ class MaintenanceOpsSpec extends SparkSpec {
     // current lex index (stamp matches the live source file)
     val currentIdx = graft.ops.RetrievalOps.ensureLexIndex(spark, dir)
     // a stranded snapshot with a stale stamp
-    val stale = new java.io.File(s"$tmp/graft_lex_index_v1_${tag}_1_1")
+    val stale = new java.io.File(s"$tmp/graft_lex_index_v2_${tag}_1_1")
     stale.mkdirs()
     new java.io.FileOutputStream(new java.io.File(stale, "orphan")).close()
     val report = UpsertOps.vacuumStaleIndexes(spark, dir).collect()
