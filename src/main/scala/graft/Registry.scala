@@ -44,6 +44,38 @@ object Registry {
     "len(list_filter(string_split(text, ' '), t -> t IN (" +
       graft.ops.TextOps.stopwords.map(w => s"'$w'").mkString(",") + ")))"
 
+  /** Filter-funnel oracle: rule booleans once in `b`, every readout a
+    * conditional sum in `a`, stage rows GENERATED from one template —
+    * mirrors CurationOps.filterFunnel/funnelRules (the stopword floor
+    * reuses [[stopCountSql]], the punct ceiling the fleiss third
+    * rater's expression). */
+  private val filterFunnelOracle: String = {
+    val rules = Seq("len_bounds", "stopword_floor", "punct_ceiling", "digit_ceiling")
+    val sums = rules.indices.flatMap { i =>
+      val prefix = (0 to i).map(j => s"b$j").mkString(" AND ")
+      val others = rules.indices.filterNot(_ == i).map(j => s"b$j").mkString(" AND ")
+      Seq(
+        s"CAST(sum(CASE WHEN b$i THEN 1 ELSE 0 END) AS BIGINT) AS p$i",
+        s"CAST(sum(CASE WHEN $prefix THEN 1 ELSE 0 END) AS BIGINT) AS s$i",
+        s"CAST(sum(CASE WHEN NOT b$i AND $others THEN 1 ELSE 0 END) AS BIGINT) AS k$i")
+    }.mkString(",\n        ")
+    val stages = rules.zipWithIndex.map { case (name, i) =>
+      s"SELECT ${i + 1} AS stage, '$name' AS rule, n_docs, " +
+        s"p$i AS n_pass_rule, s$i AS n_surviving, k$i AS n_sole_kill FROM a"
+    }.mkString("\nUNION ALL ")
+    s"""WITH b AS (SELECT
+      |        len(string_split(text, ' ')) BETWEEN 3 AND 10000 AS b0,
+      |        $stopCountSql / len(string_split(text, ' ')) >= 0.1 AS b1,
+      |        length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) / length(text) < 0.1 AS b2,
+      |        length(regexp_replace(text, '[^0-9]', '', 'g')) / length(text) < 0.3 AS b3
+      |      FROM documents),
+      |a AS (SELECT CAST(count(*) AS BIGINT) AS n_docs,
+      |        $sums
+      |      FROM b)
+      |$stages
+      |ORDER BY stage""".stripMargin
+  }
+
   /** The bipartite supplier↔customer interaction graph (CTEs `e0`
     * directed, `e1` symmetrized) shared by the five graph oracles —
     * node ids are disjoint by parity (supplier·2, customer·2+1). */
@@ -4539,6 +4571,12 @@ object Registry {
         |       total_tokens, CAST(total_tokens AS DOUBLE) / n_docs AS mean_tokens,
         |       min_tokens, max_tokens, total_chars, n_dup_texts, n_dup_docs
         |FROM m JOIN dup USING (source) ORDER BY source""".stripMargin)),
+    // filter-funnel attrition: pass-alone / survive-prefix / sole-killer
+    // per rule of the C4/Gopher-style chain — the rule-ablation table;
+    // one scan of conditional sums, stage rows generated from one
+    // template (the evalSummaryTail rule)
+    GraftQuery("x_curation_filter_funnel", CurationOps.filterFunnel, Some(
+      filterFunnelOracle)),
     // mass-weighted length percentiles: count-median vs char-mass
     // median/p90 per source — the "where does the token budget sit"
     // readout; weighted discPercentiles core, exact ints + one division

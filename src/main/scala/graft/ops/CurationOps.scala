@@ -469,6 +469,55 @@ object CurationOps {
     dsirScoreAgainst(Tables(spark, dir, "documents"), w, prior)
   }
 
+  /** The ordered rule chain behind [[filterFunnel]]: (name, predicate)
+    * over a document row. Reuses the engine's shared currencies — the
+    * stopword floor IS [[TextOps.stopRatio]] ≥ 0.1 (the kappa/fleiss
+    * gold rule) and the punctuation ceiling is the fleiss third
+    * rater's expression — so the funnel audits the rules the quality
+    * family actually applies. */
+  private def funnelRules: Seq[(String, Column)] = {
+    val nTok = size(split(col("text"), " "))
+    Seq(
+      "len_bounds" -> nTok.between(3, 10000),
+      "stopword_floor" -> (TextOps.stopRatio(col("text")) >= 0.1),
+      "punct_ceiling" ->
+        ((length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", ""))
+          / length(col("text"))) < 0.1),
+      "digit_ceiling" ->
+        ((length(regexp_replace(col("text"), "[^0-9]", ""))
+          / length(col("text"))) < 0.3))
+  }
+
+  /** Filter-funnel attrition: for each rule in the C4/Gopher-style
+    * chain, how many documents pass it ALONE, how many survive the
+    * prefix up to it, and how many it is the SOLE killer of (the
+    * "what happens if I drop this rule" column) — the ablation table a
+    * curation run reads before shipping a rule change. ONE scan: every
+    * readout is a conditional sum over the per-row rule booleans,
+    * unpivoted to a 4-row report. Exact integers throughout. */
+  def filterFunnel(spark: SparkSession, dir: String): DataFrame = {
+    val rules = funnelRules
+    val cnt = (c: Column) => sum(when(c, 1L).otherwise(0L))
+    val aggs = count(lit(1)).as("n_docs") +:
+      rules.zipWithIndex.flatMap { case ((_, b), i) =>
+        val prefix = rules.take(i + 1).map(_._2).reduce(_ && _)
+        val others = (rules.take(i) ++ rules.drop(i + 1)).map(_._2).reduce(_ && _)
+        Seq(cnt(b).as(s"p$i"), cnt(prefix).as(s"s$i"),
+          cnt(!b && others).as(s"k$i"))
+      }
+    val stackExpr = s"stack(${rules.length}, " +
+      rules.zipWithIndex.map { case ((name, _), i) =>
+        s"${i + 1}, '$name', p$i, s$i, k$i"
+      }.mkString(", ") +
+      ") as (stage, rule, n_pass_rule, n_surviving, n_sole_kill)"
+    Tables(spark, dir, "documents")
+      .agg(aggs.head, aggs.tail: _*)
+      .select(col("n_docs"), expr(stackExpr))
+      .select(col("stage").cast(IntegerType), col("rule"), col("n_docs"),
+        col("n_pass_rule"), col("n_surviving"), col("n_sole_kill"))
+      .orderBy("stage")
+  }
+
   /** Mass-weighted length percentiles per source: where the corpus
     * VOLUME sits, not where the documents sit — the count-median length
     * and the char-mass-weighted median/p90 side by side. A source whose

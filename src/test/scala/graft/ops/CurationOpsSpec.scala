@@ -273,6 +273,39 @@ class CurationOpsSpec extends SparkSpec {
     assert(det == r.collect().toSeq) // deterministic across re-runs
   }
 
+  test("filter funnel: per-rule sole kills, prefix attrition, and a two-rule victim") {
+    import spark.implicits._
+    val dir = tempDir("funnel")
+    val docs = Seq(
+      (0L, "the cat sat on a mat"),                      // clean
+      (1L, "the of"),                                    // sole kill: len_bounds
+      (2L, "cat sat mat jumps high"),                    // sole kill: stopword_floor
+      (3L, "the cat sat on !!!!!!!!!!!!!!!!!!!!"),       // sole kill: punct_ceiling
+      (4L, "the num is 99999999999999999999"),           // sole kill: digit_ceiling
+      (5L, "zz 11111111111111111111 qq"))                // fails stopword AND digit
+      .map { case (i, t) => (i, t, "en", "s", t.length.toLong) }
+    docs.toDF("doc_id", "text", "lang", "source", "n_chars").repartition(3)
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = CurationOps.filterFunnel(spark, dir).collect()
+      .map(r => (r.getInt(0), r.getString(1), r.getLong(2), r.getLong(3),
+        r.getLong(4), r.getLong(5)))
+    assert(got.toSeq == Seq(
+      (1, "len_bounds", 6L, 5L, 5L, 1L),
+      (2, "stopword_floor", 6L, 4L, 3L, 1L),
+      (3, "punct_ceiling", 6L, 5L, 2L, 1L),
+      (4, "digit_ceiling", 6L, 4L, 1L, 1L)), s"got ${got.toSeq}")
+  }
+
+  test("filter funnel: survivors are monotone and bounded by every rule's pass count") {
+    val rows = CurationOps.filterFunnel(spark, Sf0001).collect()
+    val surv = rows.map(_.getAs[Long]("n_surviving"))
+    assert(surv.zip(surv.tail).forall { case (a, b) => a >= b })
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_surviving") <= r.getAs[Long]("n_pass_rule"))
+      assert(r.getAs[Long]("n_sole_kill") <= r.getAs[Long]("n_docs") - r.getAs[Long]("n_pass_rule"))
+    }
+  }
+
   test("mass median: rare long docs carry the mass median, not the count median") {
     import spark.implicits._
     val dir = tempDir("mass_median")
