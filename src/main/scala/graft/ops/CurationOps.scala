@@ -495,7 +495,13 @@ object CurationOps {
     * curation run reads before shipping a rule change. ONE scan: every
     * readout is a conditional sum over the per-row rule booleans,
     * unpivoted to a 4-row report. Exact integers throughout. */
-  def filterFunnel(spark: SparkSession, dir: String): DataFrame = {
+  def filterFunnel(spark: SparkSession, dir: String): DataFrame =
+    funnelReport(funnelCounts(Tables(spark, dir, "documents")))
+
+  /** The funnel's 1-row conditional-sum aggregate over a document
+    * relation — a plain sum, so the streaming twin maintains it as a
+    * complete-mode streaming aggregation. */
+  private[graft] def funnelCounts(docs: DataFrame): DataFrame = {
     val rules = funnelRules
     val cnt = (c: Column) => sum(when(c, 1L).otherwise(0L))
     val aggs = count(lit(1)).as("n_docs") +:
@@ -505,13 +511,19 @@ object CurationOps {
         Seq(cnt(b).as(s"p$i"), cnt(prefix).as(s"s$i"),
           cnt(!b && others).as(s"k$i"))
       }
+    docs.agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Unpivot the counts row to the 4-row report (shared finishing
+    * step, batch and streaming). */
+  private[graft] def funnelReport(counts: DataFrame): DataFrame = {
+    val rules = funnelRules
     val stackExpr = s"stack(${rules.length}, " +
       rules.zipWithIndex.map { case ((name, _), i) =>
         s"${i + 1}, '$name', p$i, s$i, k$i"
       }.mkString(", ") +
       ") as (stage, rule, n_pass_rule, n_surviving, n_sole_kill)"
-    Tables(spark, dir, "documents")
-      .agg(aggs.head, aggs.tail: _*)
+    counts
       .select(col("n_docs"), expr(stackExpr))
       .select(col("stage").cast(IntegerType), col("rule"), col("n_docs"),
         col("n_pass_rule"), col("n_surviving"), col("n_sole_kill"))
