@@ -3954,6 +3954,19 @@ object Registry {
       s"""WITH $ksDriftCtes
         |SELECT value, cum_train, cum_val, CAST(d_num AS BIGINT) AS d_num
         |FROM d ORDER BY value""".stripMargin)),
+    // Wasserstein-1 drift: the magnitude readout beside KS's worst-gap —
+    // Σ|d_num|·gap on DECIMAL(38,0) over consecutive distinct lengths,
+    // one division; equals mean |sorted-sample difference| at equal n
+    GraftQuery("x_drift_emd", SamplingOps.splitDriftEmd, Some(
+      s"""WITH $ksDriftCtes,
+        |nx AS (SELECT value, d_num, lead(value) OVER (ORDER BY value) AS next_value FROM d),
+        |a AS (SELECT t.n_train, t.n_val,
+        |        CAST(sum(CAST(d_num AS HUGEINT)
+        |                 * (coalesce(next_value, value) - value)) AS DOUBLE) AS emd_num
+        |      FROM nx CROSS JOIN t GROUP BY t.n_train, t.n_val)
+        |SELECT n_train, n_val, emd_num,
+        |       emd_num / (CAST(n_train AS DOUBLE) * CAST(n_val AS DOUBLE)) AS w1
+        |FROM a""".stripMargin)),
     GraftQuery("x_drift_ks_summary", SamplingOps.splitDriftKsSummary, Some(
       s"""WITH $ksDriftCtes,
         |m AS (SELECT max(d_num) AS d_max FROM d),

@@ -518,6 +518,34 @@ object SamplingOps {
       .orderBy("source")
   }
 
+  /** Wasserstein-1 (earth-mover) drift distance between the train and
+    * val length distributions — KS's integral sibling: where D reports
+    * the WORST CDF gap, W₁ = ∫|F_t − F_v| dv reports the TOTAL
+    * transport cost in value units (for equal sample sizes it equals
+    * the mean |difference of sorted samples| — the magnitude readout D
+    * cannot give). Rides the KS table directly: per consecutive
+    * distinct values, |d_num|·gap summed exactly on DECIMAL(38,0)
+    * (d_num ≤ n_t·n_v already strains int64 before the gap multiply),
+    * with the gap lengths from [[StatsOps.withNextValue]]'s
+    * range-partitioned lead — no one-task window at any support size.
+    * ONE division at the end. */
+  def splitDriftEmd(spark: SparkSession, dir: String): DataFrame =
+    emdOf(splitValues(spark, dir))
+
+  private[graft] def emdOf(values: DataFrame): DataFrame = {
+    val d38 = (c: Column) => c.cast(DecimalType(38, 0))
+    val withNext = StatsOps.withNextValue(ksOf(values), Nil, "value", "next_value")
+    val agg = withNext.agg(
+      max(col("n_train")).as("n_train"), max(col("n_val")).as("n_val"),
+      sum(d38(col("d_num")) *
+        d38(coalesce(col("next_value"), col("value")) - col("value"))).as("s"))
+    val nT = col("n_train").cast(DoubleType)
+    val nV = col("n_val").cast(DoubleType)
+    agg.select(col("n_train"), col("n_val"),
+        col("s").cast(DoubleType).as("emd_num"))
+      .withColumn("w1", col("emd_num") / (nT * nV))
+  }
+
   private[graft] def ksSummaryOf(perValue: DataFrame): DataFrame = {
     val picked = perValue.agg(
       max(col("n_train")).as("n_train"),

@@ -57,6 +57,33 @@ object StatsOps {
       .drop("__pid", "__off")
   }
 
+  /** Global-order `lead(value)` over a frequency table WITHOUT a
+    * one-task window — [[withRunningCount]]'s sibling primitive: range-
+    * repartition by (keys, value), take each slice's in-partition lead,
+    * and stitch slice boundaries by broadcasting every slice's FIRST
+    * value back as the previous slice's boundary successor (a TINY
+    * |key groups| × |slices| relation). The last row per key group gets
+    * NULL, exactly like the textbook window. Needed wherever consecutive
+    * distinct values pair up (CDF gap lengths, equi-depth bin edges). */
+  private[ops] def withNextValue(freq: DataFrame, keyCols: Seq[String],
+      valueCol: String, outCol: String): DataFrame = {
+    val keys = keyCols.map(col)
+    val ranged = freq
+      .repartitionByRange((keys :+ col(valueCol)): _*)
+      .withColumn("__pid", spark_partition_id())
+    val wHead = Window.partitionBy(keys: _*).orderBy(col("__pid"))
+    val heads = ranged.groupBy((keys :+ col("__pid")): _*)
+      .agg(min(col(valueCol)).as("__head"))
+      .withColumn("__next_head", lead(col("__head"), 1).over(wHead))
+      .select((keys :+ col("__pid") :+ col("__next_head")): _*)
+    val wIn = Window.partitionBy((keys :+ col("__pid")): _*)
+      .orderBy(col(valueCol))
+    ranged.join(broadcast(heads), keyCols :+ "__pid")
+      .withColumn(outCol,
+        coalesce(lead(col(valueCol), 1).over(wIn), col("__next_head")))
+      .drop("__pid", "__next_head")
+  }
+
   /** Discrete percentiles over a (keys, value) relation via the
     * VALUE-FREQUENCY-TABLE cume_dist replication — the shared de-skew
     * core of `SetOps.g4cDiscPercentiles`, `EventOps.anomalyMad`'s

@@ -260,6 +260,37 @@ class IntegrityOpsSpec extends SparkSpec {
     assert(s.getAs[Double]("d_stat") == 0.5)
   }
 
+  test("emd drift: equals the mean sorted-sample difference; zero on identical samples") {
+    import spark.implicits._
+    // train {1,2,3,4} vs val {3,4,4,5}: W1 = (|1−3|+|2−4|+|3−4|+|4−5|)/4
+    // = 1.5; via the CDF integral: Σ|d|·gap = 4+8+8+4 = 24 over n_t·n_v=16
+    val rows = (Seq(1L, 2L, 3L, 4L).map((_, "train")) ++
+      Seq(3L, 4L, 4L, 5L).map((_, "val"))).toDF("value", "split")
+    val r = SamplingOps.emdOf(rows).collect()(0)
+    assert(r.getAs[Double]("emd_num") == 24.0)
+    assert(r.getAs[Double]("w1") == 1.5)
+    val same = (Seq(1L, 5L, 9L).map((_, "train")) ++
+      Seq(1L, 5L, 9L).map((_, "val"))).toDF("value", "split")
+    assert(SamplingOps.emdOf(same).collect()(0).getAs[Double]("w1") == 0.0)
+  }
+
+  test("next-value primitive: range-partitioned lead equals the textbook window") {
+    import spark.implicits._
+    // keyed, gappy, many partitions — boundaries must stitch exactly
+    val rows = (for (k <- Seq("a", "b"); v <- 1L to 400L if (v * 7 + k.length) % 3 != 0)
+      yield (k, v, v * 2 + k.length)).toDF("k", "value", "cnt")
+    val got = StatsOps.withNextValue(rows.repartition(7), Seq("k"), "value", "nv")
+      .select("k", "value", "nv").collect()
+      .map(r => (r.getString(0), r.getLong(1),
+        if (r.isNullAt(2)) -1L else r.getLong(2))).sorted.toSeq
+    val want = rows.collect().map(r => (r.getString(0), r.getLong(1)))
+      .groupBy(_._1).toSeq.flatMap { case (k, vs) =>
+        val s = vs.map(_._2).sorted
+        s.zip(s.tail :+ -1L).map { case (v, n) => (k, v, n) }
+      }.sorted
+    assert(got == want)
+  }
+
   test("ks drift: disjoint supports trip the flag (negative control)") {
     import spark.implicits._
     // train on [1,100], val on [201,300]: D = 1, far above the critical
