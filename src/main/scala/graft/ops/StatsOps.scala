@@ -181,11 +181,11 @@ object StatsOps {
     val counts = Tables(spark, dir, "lineitem")
       .groupBy(col("l_quantity")).agg(count(lit(1)).as("cnt"))
     val n = counts.agg(sum(col("cnt")).as("n"))
-    val w = org.apache.spark.sql.expressions.Window
-      .orderBy(col("l_quantity"))
-      .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
-    counts.crossJoin(broadcast(n))
-      .withColumn("cum", sum(col("cnt")).over(w))
+    // inclusive running count via the range-partitioned prefix-sum core:
+    // l_quantity's domain is tiny, but the op is the template for ANY
+    // column — a per-user-revenue equi-depth must not own one task
+    withRunningCount(counts, Nil, "l_quantity", "cnt", "cum")
+      .crossJoin(broadcast(n))
       .select(
         least(lit(B - 1), expr(s"((cum - cnt) * $B) div n"))
           .cast(IntegerType).as("bucket"),
