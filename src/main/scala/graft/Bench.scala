@@ -138,7 +138,19 @@ object Bench {
     // the total, which would otherwise read as a round-over-round
     // "speedup" — failed>0 marks the total as incomparable
     val failed = mins.count(_._2 < 0)
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"canary":{"start":$canaryStart,"end":$canaryEnd,"mid":$midJson},"queries":$qs,"samples":$samplesJson,"offsets":$offsetsJson,"sf":"$sfDir"}""")
+    // TWO lines, bulky-first: the driver's artifact pipeline stores only
+    // the LOG TAIL, and round 12's capture kept the trailing `offsets`
+    // map but cut the `canary`/`samples` sections printed earlier in the
+    // single line — discarding exactly the forensic fields added to make
+    // phantom contention self-adjudicating (BENCH_r12.json "parsed":
+    // null, fifth phantom round running). The forensics line (per-rep
+    // samples + wall-clock offsets) goes FIRST and deliberately carries
+    // no "metric" key, so any first-line-with-"metric" parser skips it;
+    // the canonical compact line (total + canaries + per-query mins,
+    // ~2 KB) goes LAST so any suffix-truncated capture retains it whole
+    // and it parses standalone.
+    println(s"""{"forensics":{"samples":$samplesJson,"offsets":$offsetsJson},"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"canary":{"start":$canaryStart,"end":$canaryEnd,"mid":$midJson},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -1940,9 +1940,6 @@ object Registry {
     * Engine-internal hashes/heuristics (minhash, simhash, lsh, langid,
     * fingerprint) have no SQL oracle → rows-only driver check; their
     * semantics are pinned by the unit suite instead. */
-  /** Shared pre/post per-user cent CTE (`pu`) — mirrors
-    * `EventOps.prePostPerUser` (one cutoff, one cent currency) so the
-    * CUPED and DiD oracles cannot drift on what pre/post mean. */
   /** Mann–Whitney rank-machinery CTE chain (through `a` = the 1-row
     * integer core n0/n1/r1x2/ties) — shared by the U/z test and the
     * Cliff's-delta effect size. Mirrors EventOps.mwAggregates. */
@@ -1961,6 +1958,9 @@ object Registry {
       |        CAST(sum((c0 + c1) * (c0 + c1) * (c0 + c1) - (c0 + c1)) AS BIGINT) AS ties
       |      FROM r)""".stripMargin
 
+  /** Shared pre/post per-user cent CTE (`pu`) — mirrors
+    * `EventOps.prePostPerUser` (one cutoff, one cent currency) so the
+    * CUPED and DiD oracles cannot drift on what pre/post mean. */
   private def abPrePostCte: String =
     s"""pu AS (
       |  SELECT user_id,
@@ -3030,9 +3030,11 @@ object Registry {
       headline = true),
     // write-once / probe-many: identical rows served from the
     // materialized term-sorted index (same oracle pins the equivalence;
-    // Bench pre-builds the index untimed and times the probe regime)
+    // benchPrep builds/refreshes the index untimed so every rep — not
+    // just ones after a stamped-cache hit — times the probe regime)
     GraftQuery("x_retrieval_bm25_indexed", RetrievalOps.bm25Indexed,
-      Some(bm25Oracle), headline = true),
+      Some(bm25Oracle), headline = true,
+      benchPrep = Some((s, d) => { RetrievalOps.ensureLexIndex(s, d); () })),
     // incremental maintenance ≡ rebuild: base index + folded crawl batch
     // must satisfy the SAME oracle as the full forms
     GraftQuery("x_retrieval_bm25_incremental", RetrievalOps.bm25Incremental,
@@ -3048,9 +3050,10 @@ object Registry {
       headline = true),
     // write-once / probe-many for the QL scorer: identical rows served
     // from the materialized index's term-pruned tf/cf reads (same
-    // oracle pins the equivalence; Bench pre-builds untimed)
+    // oracle pins the equivalence; benchPrep builds the index untimed)
     GraftQuery("x_retrieval_qlm_indexed", RetrievalOps.qlmIndexed,
-      Some(qlmOracle), headline = true),
+      Some(qlmOracle), headline = true,
+      benchPrep = Some((s, d) => { RetrievalOps.ensureLexIndex(s, d); () })),
     // hybrid RAG-stack retrieval: lexical + dense lists fused by
     // reciprocal rank with exact-integer contributions (lcm-scaled) —
     // both inputs are k-bounded map-side aggregates, so fusion cost is

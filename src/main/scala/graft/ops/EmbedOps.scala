@@ -441,33 +441,46 @@ object EmbedOps {
     }
   }
 
+  /** Per-directory memo of the Gonzalez selection (K rows of driver
+    * state). The x_embed_kcenter and x_embed_kcenter_radius registry
+    * entries both need the selected set; without sharing, the radius
+    * entry re-ran the seed aggregate + K−1 full-corpus scans before its
+    * own scan (r12 ADVICE). The fixture under a dir is immutable for a
+    * JVM's lifetime (the suites never rewrite embeddings.parquet), so
+    * dir is a sound key. */
+  private val kcenterMemo =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[(Int, Long, Long, Seq[Long])]]()
+
+  /** Selection for `dir`, computed once per JVM: runs the greedy over a
+    * persisted scaled store, then caches the K-row result. */
+  private def selectedCenters(spark: SparkSession, dir: String): Seq[(Int, Long, Long, Seq[Long])] =
+    kcenterMemo.computeIfAbsent(dir, _ => {
+      val vecs = scaledVecs(spark, dir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      try kcenterSelect(vecs) finally vecs.unpersist()
+    })
+
   /** The K selected centers as a table: (round, vec_id, dist2) where
     * dist2 is the squared scaled distance to the previously-chosen set
     * at selection time (0 for the seed) — monotonically non-increasing
     * by the greedy invariant. */
   def kcenterCenters(spark: SparkSession, dir: String): DataFrame = {
-    val vecs = scaledVecs(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      import spark.implicits._
-      kcenterSelect(vecs).map { case (r, id, d, _) => (r, id, d) }
-        .toDF("round", "vec_id", "dist2").orderBy("round")
-    } finally vecs.unpersist()
+    import spark.implicits._
+    selectedCenters(spark, dir).map { case (r, id, d, _) => (r, id, d) }
+      .toDF("round", "vec_id", "dist2").orderBy("round")
   }
 
   /** Coverage readout for the selected centers: how far the farthest
     * point sits from its nearest center (the k-center objective) and
-    * which point it is — the "is K enough" diagnostic. One extra scan. */
+    * which point it is — the "is K enough" diagnostic. One scan beyond
+    * the (memo-shared) selection. */
   def kcenterRadius(spark: SparkSession, dir: String): DataFrame = {
-    val vecs = scaledVecs(spark, dir)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    try {
-      val centers = kcenterSelect(vecs).map(_._4)
-      vecs.select(col("vec_id"), minDistTo(centers).as("d"))
-        .agg(count(lit(1)).as("n_vecs"),
-          max(struct(col("d"), (-col("vec_id")).as("nid"))).as("m"))
-        .select(col("n_vecs"), col("m.d").as("radius2"),
-          (-col("m.nid")).as("farthest_vec_id"))
-    } finally vecs.unpersist()
+    val centers = selectedCenters(spark, dir).map(_._4)
+    scaledVecs(spark, dir)
+      .select(col("vec_id"), minDistTo(centers).as("d"))
+      .agg(count(lit(1)).as("n_vecs"),
+        max(struct(col("d"), (-col("vec_id")).as("nid"))).as("m"))
+      .select(col("n_vecs"), col("m.d").as("radius2"),
+        (-col("m.nid")).as("farthest_vec_id"))
   }
 }
