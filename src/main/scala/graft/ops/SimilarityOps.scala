@@ -671,7 +671,12 @@ object SimilarityOps {
     * positive. A sum of 32 literal-shift `when`s — pure codegen'd integer
     * arithmetic, and a packed half can never touch a 64-bit sign bit, so
     * the DuckDB oracle's `CAST(1 AS BIGINT) << pos` sums land on the
-    * identical non-negative BIGINT values. */
+    * identical non-negative BIGINT values. Works on float OR double
+    * element types: the `> 0d` predicate inserts an exact widening cast
+    * per ELEMENT, so callers must NOT pre-transform the array — the r12
+    * inline form's `transform(_, cast)` wrapper was a non-codegen lambda
+    * Project that materialized a doubled copy of every vector and split
+    * the pack out of the scan's whole-stage span (profiled r13). */
   private def signWord(dv: Column, off: Int): Column =
     (0 until 32).map(i =>
       when(element_at(dv, off + i + 1) > 0d, lit(1L << i)).otherwise(lit(0L)))
@@ -688,13 +693,10 @@ object SimilarityOps {
     * a tiny fraction of the scan cost. Strictly-positive test: a 0.0
     * coordinate contributes a 0 bit in both engines (float→double cast is
     * exact, so the sign predicate can never disagree with the oracle). */
-  private def signCodes(spark: SparkSession, dir: String): DataFrame = {
-    val dv = transform(col("embedding"), x => x.cast(DoubleType))
+  private def signCodes(spark: SparkSession, dir: String): DataFrame =
     Tables(spark, dir, "embeddings")
-      .select(col("vec_id"), dv.as("dv"))
-      .select(col("vec_id"), signWord(col("dv"), 0).as("lo"),
-        signWord(col("dv"), 32).as("hi"))
-  }
+      .select(col("vec_id"), signWord(col("embedding"), 0).as("lo"),
+        signWord(col("embedding"), 32).as("hi"))
 
   /** The materialized code table, value-oracled (DuckDB replays the
     * shift-sum per position). At 100 TB this is a written column pair —
