@@ -412,6 +412,28 @@ object Registry {
         |       CAST(0 AS INTEGER) AS sync_interval_min
         |FROM dw GROUP BY city, date_trunc('month', date)
         |ORDER BY month, city""".stripMargin)),
+    // write-path roundtrips through the REAL sinks: E7's partitioned+
+    // sorted fact append (read back WITH the year_month partition
+    // column) and A6's overwrite idempotence (written twice, read once)
+    // — the last two §2 write anchors move from spec-only to the oracle
+    // gate
+    GraftQuery("e7_weather_writeback",
+      graft.weather.WeatherFidelity.dailyWeatherWriteback, Some(
+        s"""WITH ${graft.weather.WeatherFidelity.derivedEnrichedSql}
+          |SELECT dw.*, strftime(date, '%Y%m') AS year_month
+          |FROM dw ORDER BY etl_batch_id""".stripMargin)),
+    GraftQuery("a6_weather_overwrite",
+      graft.weather.WeatherFidelity.monthlyAggRewritten, Some(
+        s"""WITH ${graft.weather.WeatherFidelity.derivedEnrichedSql}
+          |SELECT city, date_trunc('month', date) AS month,
+          |       CAST(avg(temperatureC) AS REAL) AS avg_temp_c,
+          |       CAST(sum(rainfallMm) AS REAL) AS total_rain_mm,
+          |       TIMESTAMP '2024-02-01 00:00:00' AS warehouse_load_time,
+          |       CAST(count(*) AS INTEGER) AS rows_loaded,
+          |       'incremental' AS load_mode,
+          |       CAST(0 AS INTEGER) AS sync_interval_min
+          |FROM dw GROUP BY city, date_trunc('month', date)
+          |ORDER BY month, city""".stripMargin)),
     GraftQuery("s4_weather_serving_partial",
       graft.weather.WeatherFidelity.servingPartial, Some(
         s"""WITH ${graft.weather.WeatherFidelity.derivedEnrichedSql},

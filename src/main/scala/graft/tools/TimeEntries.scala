@@ -36,6 +36,14 @@ object TimeEntries {
       println(f"[time] $n%-40s $t%8.2f s")
     }
     println(f"[time] TOTAL ${times.map(_._2).sum}%.1f s over ${times.length} entries")
+    // Bench-compatible JSON line (ALL entries, one rep each) so
+    // tools/scale_ratios.py can diff two sweeps directly — the r12
+    // verdict's full-registry scale-ratio demand runs on this
+    val failed = graft.Registry.all
+      .count(q => only.forall(_.contains(q.name))) - times.length
+    val qs = times.map { case (n, t) => "\"" + n + "\":" + t }
+      .mkString("{", ",", "}")
+    println(s"""{"metric":"total","value":${times.map(_._2).sum},"unit":"sec","failed":$failed,"canary":{"start":0,"end":0},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }

@@ -153,6 +153,54 @@ object WeatherFidelity {
       lit(r.count).as("n_rows"))
   }
 
+  /** Per-fixture scratch store for the write-path roundtrips — rebuilt
+    * from empty on every call so append-mode writes stay deterministic
+    * across Verify reps. */
+  private def scratchDir(tag: String, dir: String): String = {
+    val d = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_weather_${tag}_" + Integer.toHexString(dir.hashCode))
+    def rm(f: java.io.File): Unit = {
+      if (f.isDirectory) f.listFiles().foreach(rm)
+      f.delete(); ()
+    }
+    if (d.exists()) rm(d)
+    d.getAbsolutePath
+  }
+
+  /** E7 through the REAL Warehouse.writeDailyWeather: the fact rows go
+    * to parquet with the MergeTree-equivalent layout (month partitions,
+    * city/date sort within), then the STORE is read back and dumped
+    * row-level — so the write+read roundtrip, including the derived
+    * year_month partition column, satisfies the same DuckDB recompute
+    * as the in-memory form. (The partition-pruning access path the
+    * layout buys is plan-spec-pinned in WeatherPipelineSpec; this entry
+    * pins the VALUES that survive the roundtrip.) */
+  def dailyWeatherWriteback(spark: SparkSession, dir: String): DataFrame = {
+    val path = scratchDir("wb", dir)
+    Warehouse.writeDailyWeather(
+      Warehouse.toDailyWeather(derivedEnriched(spark, dir), loadTime), path)
+    spark.read.parquet(path)
+      .withColumn("date", col("date").cast(TimestampType))
+      // partition-column type inference reads "202402" as INT; the
+      // layout's contract is the month LABEL, so pin it to string
+      .withColumn("year_month", col("year_month").cast(StringType))
+      .orderBy("etl_batch_id")
+  }
+
+  /** A6 idempotence through the REAL Warehouse.writeMonthlyAgg: the
+    * monthly aggregate is written TWICE to the same store (the
+    * documented divergence from the reference, whose INSERT-SELECT
+    * re-runs append duplicate months — SURVEY §1.5); the read-back must
+    * match the single-run aggregate exactly, proving overwrite
+    * semantics made the re-run a no-op. */
+  def monthlyAggRewritten(spark: SparkSession, dir: String): DataFrame = {
+    val path = scratchDir("ma", dir)
+    val ma = monthlyAgg(spark, dir)
+    Warehouse.writeMonthlyAgg(ma, path)
+    Warehouse.writeMonthlyAgg(ma, path)
+    spark.read.parquet(path).orderBy("month", "city")
+  }
+
   /** Fresh-but-aging cache: 2000 s of 3600 s TTL elapsed → remaining
     * 1600 s sits in [20%, 60%) of the interval → served from CACHE with
     * sync_status 'partial' (`monthly.js:35-42` thresholds). */

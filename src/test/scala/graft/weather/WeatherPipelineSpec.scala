@@ -168,6 +168,24 @@ class WeatherPipelineSpec extends SparkSpec {
     assert(q.count() == 4)
   }
 
+  test("E7/A6 fidelity bindings: write-path roundtrips preserve the in-memory result") {
+    // E7: the partitioned+sorted store read back carries exactly the
+    // in-memory fact rows, plus a year_month that is the date's label
+    val wb = WeatherFidelity.dailyWeatherWriteback(spark, Sf0001)
+    val inMem = WeatherFidelity.dailyWeather(spark, Sf0001)
+    assert(wb.count() == inMem.count())
+    assert(wb.filter(col("year_month") =!= date_format(col("date"), "yyyyMM"))
+      .count() == 0)
+    // the roundtrip loses no values: anti-join on the total key + one
+    // value column in each direction is empty
+    val k = Seq("etl_batch_id", "city", "temperatureC")
+    assert(wb.select(k.map(col): _*).exceptAll(inMem.select(k.map(col): _*)).count() == 0)
+    // A6: written twice, the store equals the single aggregate
+    val ma = WeatherFidelity.monthlyAggRewritten(spark, Sf0001).collect()
+    val once = WeatherFidelity.monthlyAgg(spark, Sf0001).collect()
+    assert(ma.toSeq == once.toSeq)
+  }
+
   test("F1: fetch executes the HTTP GET end-to-end against a loopback server") {
     // loopback HttpServer serving the canned archive body at the same
     // path/query shape as the real API — zero egress, real client code
