@@ -129,6 +129,41 @@ object Registry {
       |WHERE 3 * n_common >= ca.n + cb.n
       |ORDER BY doc_a, doc_b""".stripMargin
 
+  /** 16-token paragraph table (`toks` → `paras` → `p2`) — the sub-doc
+    * unit shared by paragraph dedup (both key widths) and boilerplate
+    * strip, so all three judge against ONE paragraphization. */
+  private val paragraphCtes: String =
+    """toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |paras AS (SELECT doc_id,
+      |            unnest(list_transform(generate_series(0, CAST(ceil(len(t) / 16.0) AS INTEGER) - 1),
+      |              i -> {'para_idx': i, 'para': array_to_string(list_slice(t, i*16 + 1, i*16 + 16), ' ')})) AS pp
+      |          FROM toks),
+      |p2 AS (SELECT doc_id, CAST(pp.para_idx AS INTEGER) AS para_idx, pp.para AS para FROM paras)""".stripMargin
+
+  /** Per-doc reassembly rollup over a `kept` paragraph relation — the
+    * (n_paras, n_kept, clean_text) readout every sub-doc filter ends
+    * in; the chooser of `kept` is the only thing that varies. */
+  private val paragraphRollupSql: String =
+    """agg AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_kept,
+      |               string_agg(para, ' ' ORDER BY para_idx) AS clean_text
+      |        FROM kept GROUP BY doc_id),
+      |tot AS (SELECT doc_id, CAST(ceil(len(string_split(text, ' ')) / 16.0) AS INTEGER) AS n_paras
+      |        FROM documents)
+      |SELECT t.doc_id AS doc_id, t.n_paras AS n_paras,
+      |       coalesce(a.n_kept, 0) AS n_kept, coalesce(a.clean_text, '') AS clean_text
+      |FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
+      |ORDER BY doc_id""".stripMargin
+
+  /** Full paragraph-dedup oracle: first doc (then first position) keeps
+    * each distinct paragraph. Shared VERBATIM by x_dedup_paragraph and
+    * its 128-bit-digest twin — a digest collision is the only way the
+    * two operators can differ, so one oracle pins both. */
+  private val paragraphDedupOracle: String =
+    s"""WITH $paragraphCtes,
+      |kept AS (SELECT * FROM p2
+      |         QUALIFY row_number() OVER (PARTITION BY para ORDER BY doc_id, para_idx) = 1),
+      |$paragraphRollupSql""".stripMargin
+
   /** Shared by x_quality_classifier AND its broadcast-join twin: the
     * hashing trick (md5 → 20-bit bucket) and the pseudo-weight derivation
     * (md5 of 'w'+bucket → [-500000, 500000]) replayed in DuckDB, so both
@@ -287,17 +322,24 @@ object Registry {
       |        CAST(sum(n_db) AS BIGINT) AS n_bigrams
       |      FROM db JOIN w USING (bucket) GROUP BY 1)""".stripMargin
 
+  /** The VERIFIED near-dup pair set (`prs` co-shingle counts → `good`
+    * Jaccard ≥ 1/2 pairs) — the decision boundary the clustering,
+    * capping, and split-leakage oracles all build on; one definition,
+    * no drifted copies. Assumes `tri`/`cnt` from [[trigramCtes]]. */
+  private val goodPairsCtes: String =
+    """prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+      |        FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |good AS (SELECT doc_a, doc_b FROM prs
+      |         JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
+      |         WHERE 3 * n_common >= ca.n + cb.n)""".stripMargin
+
   /** Transitive-closure clustering over the exact Jaccard ≥ 1/2 pair set
     * (the ngramJaccardOracle threshold) ending in `cl` = (cluster_id,
     * doc_id) — shared by x_dedup_clusters AND the per-cluster quality
     * survivor so both hash against ONE clustering definition. */
   private val nearDupClustersCtes: String =
     s"""WITH RECURSIVE $trigramCtes,
-      | prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-      |         FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
-      | good AS (SELECT doc_a, doc_b FROM prs
-      |          JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
-      |          WHERE 3 * n_common >= ca.n + cb.n),
+      |$goodPairsCtes,
       | edges AS (SELECT doc_a AS src, doc_b AS dst FROM good
       |           UNION SELECT doc_b, doc_a FROM good),
       | walk AS (
@@ -401,17 +443,8 @@ object Registry {
     GraftQuery("e3_weather_daily", graft.weather.WeatherFidelity.dailyWeather, Some(
       s"""WITH ${graft.weather.WeatherFidelity.derivedEnrichedSql}
         |SELECT * FROM dw ORDER BY etl_batch_id""".stripMargin)),
-    GraftQuery("a1_weather_monthly", graft.weather.WeatherFidelity.monthlyAgg, Some(
-      s"""WITH ${graft.weather.WeatherFidelity.derivedEnrichedSql}
-        |SELECT city, date_trunc('month', date) AS month,
-        |       CAST(avg(temperatureC) AS REAL) AS avg_temp_c,
-        |       CAST(sum(rainfallMm) AS REAL) AS total_rain_mm,
-        |       TIMESTAMP '2024-02-01 00:00:00' AS warehouse_load_time,
-        |       CAST(count(*) AS INTEGER) AS rows_loaded,
-        |       'incremental' AS load_mode,
-        |       CAST(0 AS INTEGER) AS sync_interval_min
-        |FROM dw GROUP BY city, date_trunc('month', date)
-        |ORDER BY month, city""".stripMargin)),
+    GraftQuery("a1_weather_monthly", graft.weather.WeatherFidelity.monthlyAgg,
+      Some(weatherMonthlyOracle)),
     // write-path roundtrips through the REAL sinks: E7's partitioned+
     // sorted fact append (read back WITH the year_month partition
     // column) and A6's overwrite idempotence (written twice, read once)
@@ -423,25 +456,12 @@ object Registry {
           |SELECT dw.*, strftime(date, '%Y%m') AS year_month
           |FROM dw ORDER BY etl_batch_id""".stripMargin)),
     GraftQuery("a6_weather_overwrite",
-      graft.weather.WeatherFidelity.monthlyAggRewritten, Some(
-        s"""WITH ${graft.weather.WeatherFidelity.derivedEnrichedSql}
-          |SELECT city, date_trunc('month', date) AS month,
-          |       CAST(avg(temperatureC) AS REAL) AS avg_temp_c,
-          |       CAST(sum(rainfallMm) AS REAL) AS total_rain_mm,
-          |       TIMESTAMP '2024-02-01 00:00:00' AS warehouse_load_time,
-          |       CAST(count(*) AS INTEGER) AS rows_loaded,
-          |       'incremental' AS load_mode,
-          |       CAST(0 AS INTEGER) AS sync_interval_min
-          |FROM dw GROUP BY city, date_trunc('month', date)
-          |ORDER BY month, city""".stripMargin)),
+      graft.weather.WeatherFidelity.monthlyAggRewritten,
+      Some(weatherMonthlyOracle)),
     GraftQuery("s4_weather_serving_partial",
       graft.weather.WeatherFidelity.servingPartial, Some(
         s"""WITH ${graft.weather.WeatherFidelity.derivedEnrichedSql},
-          |ma AS (SELECT city, date_trunc('month', date) AS month,
-          |              CAST(avg(temperatureC) AS REAL) AS avg_temp_c,
-          |              CAST(sum(rainfallMm) AS REAL) AS total_rain_mm,
-          |              TIMESTAMP '2024-02-01 00:00:00' AS warehouse_load_time
-          |       FROM dw GROUP BY 1, 2)
+          |$weatherMaCte
           |SELECT month, CAST(avg_temp_c AS DOUBLE) AS avg_temp_c,
           |       CAST(total_rain_mm AS DOUBLE) AS total_rain_mm,
           |       city, warehouse_load_time,
@@ -452,11 +472,7 @@ object Registry {
     GraftQuery("s1_weather_serving_expired",
       graft.weather.WeatherFidelity.servingExpired, Some(
         s"""WITH ${graft.weather.WeatherFidelity.derivedEnrichedSql},
-          |ma AS (SELECT city, date_trunc('month', date) AS month,
-          |              CAST(avg(temperatureC) AS REAL) AS avg_temp_c,
-          |              CAST(sum(rainfallMm) AS REAL) AS total_rain_mm,
-          |              TIMESTAMP '2024-02-01 00:00:00' AS warehouse_load_time
-          |       FROM dw GROUP BY 1, 2)
+          |$weatherMaCte
           |SELECT month, CAST(avg_temp_c AS DOUBLE) AS avg_temp_c,
           |       CAST(total_rain_mm AS DOUBLE) AS total_rain_mm,
           |       city, warehouse_load_time,
@@ -1255,12 +1271,19 @@ object Registry {
     * keep ONE source of SQL truth. `p = ""` reproduces the historical
     * names (u … a3) for the kmeans-family oracles (inner references go
     * through local aliases, so any prefix leaves them untouched). */
-  private def kmeansCtes(p: String): String =
+  /** The scaled-int64 unnested vector table (`u`): one row per
+    * (vec_id, pos) with val = floor(x·1e5) — the embedding currency
+    * every exact-integer vector oracle starts from. Prefix-
+    * parameterized like [[kmeansCtes]] so chains can nest it. */
+  private def scaledUnnestCte(p: String): String =
     s"""${p}u AS (
       |  SELECT vec_id, pos, CAST(floor(CAST(x AS DOUBLE) * 100000) AS BIGINT) AS val
       |  FROM (SELECT vec_id, unnest(embedding) AS x,
       |               unnest(generate_series(0, len(embedding) - 1)) AS pos
-      |        FROM embeddings)),
+      |        FROM embeddings))""".stripMargin
+
+  private def kmeansCtes(p: String): String =
+    s"""${scaledUnnestCte(p)},
       |${p}c0 AS (SELECT vec_id AS cid, pos, val AS cval FROM ${p}u WHERE vec_id < 8),
       |${p}d1 AS (SELECT u.vec_id, c.cid, sum((u.val - c.cval) * (u.val - c.cval)) AS d
       |       FROM ${p}u u JOIN ${p}c0 c USING (pos) GROUP BY u.vec_id, c.cid),
@@ -1980,6 +2003,32 @@ object Registry {
       |        CAST(sum((c0 + c1) * (c0 + c1) * (c0 + c1) - (c0 + c1)) AS BIGINT) AS ties
       |      FROM r)""".stripMargin
 
+  /** Full monthly-aggregate oracle over the weather fixture — shared
+    * verbatim by a1_weather_monthly (in-memory) and a6_weather_overwrite
+    * (the twice-written store read back): the idempotence claim IS that
+    * both satisfy the same SQL. */
+  private def weatherMonthlyOracle: String =
+    s"""WITH ${graft.weather.WeatherFidelity.derivedEnrichedSql}
+      |SELECT city, date_trunc('month', date) AS month,
+      |       CAST(avg(temperatureC) AS REAL) AS avg_temp_c,
+      |       CAST(sum(rainfallMm) AS REAL) AS total_rain_mm,
+      |       TIMESTAMP '2024-02-01 00:00:00' AS warehouse_load_time,
+      |       CAST(count(*) AS INTEGER) AS rows_loaded,
+      |       'incremental' AS load_mode,
+      |       CAST(0 AS INTEGER) AS sync_interval_min
+      |FROM dw GROUP BY city, date_trunc('month', date)
+      |ORDER BY month, city""".stripMargin
+
+  /** The serving entries' warehouse-side CTE (`ma`) — the monthly
+    * aggregate columns a ServingCache read exposes, shared by the
+    * partial-TTL and expired-TTL bindings. */
+  private def weatherMaCte: String =
+    """ma AS (SELECT city, date_trunc('month', date) AS month,
+      |              CAST(avg(temperatureC) AS REAL) AS avg_temp_c,
+      |              CAST(sum(rainfallMm) AS REAL) AS total_rain_mm,
+      |              TIMESTAMP '2024-02-01 00:00:00' AS warehouse_load_time
+      |       FROM dw GROUP BY 1, 2)""".stripMargin
+
   /** Shared pre/post per-user cent CTE (`pu`) — mirrors
     * `EventOps.prePostPerUser` (one cutoff, one cent currency) so the
     * CUPED and DiD oracles cannot drift on what pre/post mean. */
@@ -2597,23 +2646,10 @@ object Registry {
         |FROM spine s LEFT JOIN hr ON s.user_id = hr.u AND s.hour_ts = hr.hh
         |ORDER BY user_id, hour_ts""".stripMargin)),
     GraftQuery("x_text_boilerplate", PretrainOps.boilerplateStrip, Some(
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |paras AS (SELECT doc_id,
-        |            unnest(list_transform(generate_series(0, CAST(ceil(len(t) / 16.0) AS INTEGER) - 1),
-        |              i -> {'para_idx': i, 'para': array_to_string(list_slice(t, i*16 + 1, i*16 + 16), ' ')})) AS pp
-        |          FROM toks),
-        |p2 AS (SELECT doc_id, CAST(pp.para_idx AS INTEGER) AS para_idx, pp.para AS para FROM paras),
+      s"""WITH $paragraphCtes,
         |df AS (SELECT para, count(DISTINCT doc_id) AS df FROM p2 GROUP BY para),
         |kept AS (SELECT p2.* FROM p2 JOIN df USING (para) WHERE df.df < 2),
-        |agg AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_kept,
-        |               string_agg(para, ' ' ORDER BY para_idx) AS clean_text
-        |        FROM kept GROUP BY doc_id),
-        |tot AS (SELECT doc_id, CAST(ceil(len(string_split(text, ' ')) / 16.0) AS INTEGER) AS n_paras
-        |        FROM documents)
-        |SELECT t.doc_id AS doc_id, t.n_paras AS n_paras,
-        |       coalesce(a.n_kept, 0) AS n_kept, coalesce(a.clean_text, '') AS clean_text
-        |FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
-        |ORDER BY doc_id""".stripMargin)),
+        |$paragraphRollupSql""".stripMargin)),
     // qvec rendered as CSV for the oracle hash: the driver's value compare
     // is proven on scalars; the operator itself returns the real int array.
     GraftQuery("x_embed_quantize", (s, d) => SimilarityOps.quantizeInt8(s, d)
@@ -3142,20 +3178,7 @@ object Registry {
     // representative; same recursive-CTE closure as x_dedup_clusters,
     // ranked and left-joined back onto the corpus
     GraftQuery("x_dedup_cluster_cap", (s, d) => ClusterOps.clusterCapSample(s, d), Some(
-      s"""WITH RECURSIVE $trigramCtes,
-        | prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-        |         FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        | good AS (SELECT doc_a, doc_b FROM prs
-        |          JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
-        |          WHERE 3 * n_common >= ca.n + cb.n),
-        | edges AS (SELECT doc_a AS src, doc_b AS dst FROM good
-        |           UNION SELECT doc_b, doc_a FROM good),
-        | walk AS (
-        |   SELECT src AS id, src AS reach FROM edges
-        |   UNION
-        |   SELECT w.id, e.dst FROM walk w JOIN edges e ON w.reach = e.src
-        | ),
-        | cl AS (SELECT min(reach) AS cluster_id, id AS doc_id FROM walk GROUP BY id),
+      nearDupClustersCtes.stripSuffix("\n") + s""",
         | rk AS (SELECT cluster_id, doc_id,
         |          CAST(row_number() OVER (PARTITION BY cluster_id ORDER BY doc_id) AS INTEGER)
         |            AS rank_in_cluster
@@ -3600,45 +3623,13 @@ object Registry {
         | )
         |SELECT min(reach) AS cluster_id, id AS vec_id FROM walk GROUP BY id
         |ORDER BY cluster_id, vec_id""".stripMargin)),
-    GraftQuery("x_dedup_paragraph", PretrainOps.paragraphDedup, Some(
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |paras AS (SELECT doc_id,
-        |            unnest(list_transform(generate_series(0, CAST(ceil(len(t) / 16.0) AS INTEGER) - 1),
-        |              i -> {'para_idx': i, 'para': array_to_string(list_slice(t, i*16 + 1, i*16 + 16), ' ')})) AS pp
-        |          FROM toks),
-        |p2 AS (SELECT doc_id, CAST(pp.para_idx AS INTEGER) AS para_idx, pp.para AS para FROM paras),
-        |kept AS (SELECT * FROM p2
-        |         QUALIFY row_number() OVER (PARTITION BY para ORDER BY doc_id, para_idx) = 1),
-        |agg AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_kept,
-        |               string_agg(para, ' ' ORDER BY para_idx) AS clean_text
-        |        FROM kept GROUP BY doc_id),
-        |tot AS (SELECT doc_id, CAST(ceil(len(string_split(text, ' ')) / 16.0) AS INTEGER) AS n_paras
-        |        FROM documents)
-        |SELECT t.doc_id AS doc_id, t.n_paras AS n_paras,
-        |       coalesce(a.n_kept, 0) AS n_kept, coalesce(a.clean_text, '') AS clean_text
-        |FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
-        |ORDER BY doc_id""".stripMargin), headline = true),
+    GraftQuery("x_dedup_paragraph", PretrainOps.paragraphDedup,
+      Some(paragraphDedupOracle), headline = true),
     // 100 TB twin of x_dedup_paragraph: the window keys are 128-bit
     // digests (16-byte exchange keys); shares the text-keyed oracle
     // because a digest collision is the only way the outputs can differ
-    GraftQuery("x_dedup_paragraph_digest", PretrainOps.paragraphDedupDigest, Some(
-      """WITH toks AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
-        |paras AS (SELECT doc_id,
-        |            unnest(list_transform(generate_series(0, CAST(ceil(len(t) / 16.0) AS INTEGER) - 1),
-        |              i -> {'para_idx': i, 'para': array_to_string(list_slice(t, i*16 + 1, i*16 + 16), ' ')})) AS pp
-        |          FROM toks),
-        |p2 AS (SELECT doc_id, CAST(pp.para_idx AS INTEGER) AS para_idx, pp.para AS para FROM paras),
-        |kept AS (SELECT * FROM p2
-        |         QUALIFY row_number() OVER (PARTITION BY para ORDER BY doc_id, para_idx) = 1),
-        |agg AS (SELECT doc_id, CAST(count(*) AS INTEGER) AS n_kept,
-        |               string_agg(para, ' ' ORDER BY para_idx) AS clean_text
-        |        FROM kept GROUP BY doc_id),
-        |tot AS (SELECT doc_id, CAST(ceil(len(string_split(text, ' ')) / 16.0) AS INTEGER) AS n_paras
-        |        FROM documents)
-        |SELECT t.doc_id AS doc_id, t.n_paras AS n_paras,
-        |       coalesce(a.n_kept, 0) AS n_kept, coalesce(a.clean_text, '') AS clean_text
-        |FROM tot t LEFT JOIN agg a ON t.doc_id = a.doc_id
-        |ORDER BY doc_id""".stripMargin)),
+    GraftQuery("x_dedup_paragraph_digest", PretrainOps.paragraphDedupDigest,
+      Some(paragraphDedupOracle)),
     GraftQuery("x_decontaminate", PretrainOps.decontaminate,
       Some(decontamOracle), headline = true),
     // 100 TB twin of x_decontaminate: the broadcast gram index and the
@@ -4451,21 +4442,13 @@ object Registry {
     // one-pass exact Gram/covariance (GramAggregator): the oracle takes
     // the self-join-on-dimension road the Spark plan deliberately avoids
     GraftQuery("x_embed_gram", EmbedOps.embedGram, Some(
-      """WITH u AS (
-        |  SELECT vec_id, pos, CAST(floor(CAST(x AS DOUBLE) * 100000) AS BIGINT) AS val
-        |  FROM (SELECT vec_id, unnest(embedding) AS x,
-        |               unnest(generate_series(0, len(embedding) - 1)) AS pos
-        |        FROM embeddings))
+      s"""WITH ${scaledUnnestCte("")}
         |SELECT CAST(a.pos AS INTEGER) AS i, CAST(b.pos AS INTEGER) AS j,
         |       CAST(sum(a.val * b.val) AS BIGINT) AS sxy
         |FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.pos <= b.pos
         |GROUP BY a.pos, b.pos ORDER BY i, j""".stripMargin)),
     GraftQuery("x_embed_cov", EmbedOps.embedCovariance, Some(
-      """WITH u AS (
-        |  SELECT vec_id, pos, CAST(floor(CAST(x AS DOUBLE) * 100000) AS BIGINT) AS val
-        |  FROM (SELECT vec_id, unnest(embedding) AS x,
-        |               unnest(generate_series(0, len(embedding) - 1)) AS pos
-        |        FROM embeddings)),
+      s"""WITH ${scaledUnnestCte("")},
         |g AS (SELECT a.pos AS i, b.pos AS j, sum(a.val * b.val) AS q
         |      FROM u a JOIN u b ON a.vec_id = b.vec_id AND a.pos <= b.pos
         |      GROUP BY a.pos, b.pos),
@@ -4685,11 +4668,7 @@ object Registry {
         |       CAST(0 AS BIGINT) AS cross_pairs, true AS passes""".stripMargin)),
     GraftQuery("x_split_leakage", CurationOps.splitLeakage, Some(
       s"""WITH $trigramCtes,
-        |prs AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
-        |        FROM tri a JOIN tri b ON a.sh = b.sh AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        |good AS (SELECT doc_a, doc_b FROM prs
-        |         JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
-        |         WHERE 3 * n_common >= ca.n + cb.n),
+        |$goodPairsCtes,
         |sp AS (SELECT doc_id,
         |         CASE WHEN CAST(('0x' || substr(md5(text), 1, 4)) AS INTEGER) % 100 < 90 THEN 'train'
         |              WHEN CAST(('0x' || substr(md5(text), 1, 4)) AS INTEGER) % 100 < 95 THEN 'val'
