@@ -1874,6 +1874,29 @@ object Registry {
     * source × length-bucket grid with observed counts, expectations and
     * χ² terms) — shared by the cell report and the per-source summary.
     * Mirrors SamplingOps.sourceDriftCells step for step. */
+  /** Per-(source, value) one-vs-rest deviation grid (`sf` … `d`) —
+    * mirrors [[graft.ops.SamplingOps.sourceKsCells]]; shared by the
+    * per-source KS verdict and the per-source W₁ magnitude so both
+    * judge the same grid definition. */
+  private def sourceKsCtes: String =
+    """sf AS (SELECT source, n_chars AS value, count(*) AS c
+      |            FROM documents GROUP BY 1, 2),
+      |vals AS (SELECT value, CAST(sum(c) AS BIGINT) AS cg FROM sf GROUP BY value),
+      |g AS (SELECT value, CAST(sum(cg) OVER (ORDER BY value) AS BIGINT) AS cum_g FROM vals),
+      |src AS (SELECT DISTINCT source FROM sf),
+      |grid AS (SELECT src.source, g.value, g.cum_g,
+      |           CAST(coalesce(sf.c, 0) AS BIGINT) AS c
+      |         FROM g CROSS JOIN src
+      |         LEFT JOIN sf ON sf.source = src.source AND sf.value = g.value),
+      |sc AS (SELECT source, value, cum_g,
+      |         CAST(sum(c) OVER (PARTITION BY source ORDER BY value) AS BIGINT) AS cum_s
+      |       FROM grid),
+      |t AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM sf GROUP BY source),
+      |gg AS (SELECT CAST(sum(c) AS BIGINT) AS n_g FROM sf),
+      |d AS (SELECT sc.source, sc.value, t.n_s, gg.n_g - t.n_s AS n_rest,
+      |        abs(cum_s * (gg.n_g - t.n_s) - (cum_g - cum_s) * t.n_s) AS d_num
+      |      FROM sc JOIN t USING (source) CROSS JOIN gg)""".stripMargin
+
   private def sourceDriftCtes: String =
     s"""s AS (SELECT source,
       |        (CAST(len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS INTEGER)
@@ -3907,6 +3930,29 @@ object Registry {
         |       CAST(sum(CASE WHEN n_train = 0 THEN 1 ELSE 0 END) AS INTEGER) AS n_unseen_in_train,
         |       max(chi2_term) AS max_chi2_term
         |FROM terms""".stripMargin)),
+    // Cramér's V effect size over the same χ² report: per-bucket terms
+    // floor-scaled to int64 micro-units (a double SUM is permutation-
+    // unsafe to hash — the reason the summary max'es), one sqrt on the
+    // quantized total; N = val count, df = defined buckets − 1
+    GraftQuery("x_drift_cramers_v", SamplingOps.splitDriftCramersV, Some(
+      s"""WITH $driftCountCtes,
+        |terms AS (SELECT n_train, n_val,
+        |            CASE WHEN n_train > 0 THEN
+        |              (CAST(n_val AS DOUBLE) - CAST(tv * n_train AS DOUBLE) / tt)
+        |                * (CAST(n_val AS DOUBLE) - CAST(tv * n_train AS DOUBLE) / tt)
+        |                / (CAST(tv * n_train AS DOUBLE) / tt) END AS chi2_term
+        |          FROM c CROSS JOIN t),
+        |a AS (SELECT CAST(sum(CASE WHEN n_train > 0 THEN 1 ELSE 0 END) AS INTEGER) AS k_eff,
+        |             CAST(sum(CASE WHEN n_train = 0 THEN 1 ELSE 0 END) AS INTEGER) AS n_unseen_in_train,
+        |             CAST(sum(CASE WHEN n_train > 0
+        |                  THEN CAST(floor(chi2_term * 1000000.0) AS BIGINT) ELSE 0 END) AS BIGINT) AS chi2_micro,
+        |             CAST(sum(n_val) AS BIGINT) AS n_val
+        |      FROM terms)
+        |SELECT k_eff, n_unseen_in_train, chi2_micro, n_val,
+        |       CASE WHEN k_eff > 1 AND n_val > 0 THEN
+        |         sqrt((CAST(chi2_micro AS DOUBLE) / 1000000.0)
+        |              / (CAST(n_val AS DOUBLE) * CAST(k_eff - 1 AS DOUBLE))) END AS v
+        |FROM a""".stripMargin)),
     // per-source axis: observed vs corpus-wide length distribution over
     // the full source × bucket grid (zero cells included — they ARE the
     // drift signal); e > 0 on every cell so no null guard
@@ -3928,23 +3974,7 @@ object Registry {
     // counts are exact complements, so one global + one keyed running
     // count suffice
     GraftQuery("x_drift_source_ks", SamplingOps.sourceDriftKs, Some(
-      """WITH sf AS (SELECT source, n_chars AS value, count(*) AS c
-        |            FROM documents GROUP BY 1, 2),
-        |vals AS (SELECT value, CAST(sum(c) AS BIGINT) AS cg FROM sf GROUP BY value),
-        |g AS (SELECT value, CAST(sum(cg) OVER (ORDER BY value) AS BIGINT) AS cum_g FROM vals),
-        |src AS (SELECT DISTINCT source FROM sf),
-        |grid AS (SELECT src.source, g.value, g.cum_g,
-        |           CAST(coalesce(sf.c, 0) AS BIGINT) AS c
-        |         FROM g CROSS JOIN src
-        |         LEFT JOIN sf ON sf.source = src.source AND sf.value = g.value),
-        |sc AS (SELECT source, value, cum_g,
-        |         CAST(sum(c) OVER (PARTITION BY source ORDER BY value) AS BIGINT) AS cum_s
-        |       FROM grid),
-        |t AS (SELECT source, CAST(sum(c) AS BIGINT) AS n_s FROM sf GROUP BY source),
-        |gg AS (SELECT CAST(sum(c) AS BIGINT) AS n_g FROM sf),
-        |d AS (SELECT sc.source, sc.value, t.n_s, gg.n_g - t.n_s AS n_rest,
-        |        abs(cum_s * (gg.n_g - t.n_s) - (cum_g - cum_s) * t.n_s) AS d_num
-        |      FROM sc JOIN t USING (source) CROSS JOIN gg),
+      s"""WITH $sourceKsCtes,
         |m AS (SELECT source, max(n_s) AS n_source, max(n_rest) AS n_rest,
         |             max(d_num) AS d_max
         |      FROM d GROUP BY source),
@@ -3961,6 +3991,21 @@ object Registry {
         |SELECT source, n_source, n_rest, d_num_max, ks_value, d_stat, d_crit,
         |       d_stat > d_crit AS drifted
         |FROM v ORDER BY source""".stripMargin)),
+    // per-source W₁ magnitude beside the per-source KS verdict — the
+    // same one-vs-rest grid, gaps from the source-partitioned lead,
+    // Σ|d_num|·gap on DECIMAL(38,0), one division per source
+    GraftQuery("x_drift_source_emd", SamplingOps.sourceDriftEmd, Some(
+      s"""WITH $sourceKsCtes,
+        |nx AS (SELECT source, value, d_num, n_s, n_rest,
+        |         lead(value) OVER (PARTITION BY source ORDER BY value) AS next_value
+        |       FROM d),
+        |a AS (SELECT source, max(n_s) AS n_source, max(n_rest) AS n_rest,
+        |        CAST(sum(CAST(d_num AS HUGEINT)
+        |                 * (coalesce(next_value, value) - value)) AS DOUBLE) AS emd_num
+        |      FROM nx GROUP BY source)
+        |SELECT source, n_source, n_rest, emd_num,
+        |       emd_num / (CAST(n_source AS DOUBLE) * CAST(n_rest AS DOUBLE)) AS w1
+        |FROM a ORDER BY source""".stripMargin)),
     // distribution-free split drift: two-sample KS over the full length
     // CDFs — catches the in-bucket shifts the binned χ² is blind to.
     // Deviations are cross-multiplied integers (max is an integer max);

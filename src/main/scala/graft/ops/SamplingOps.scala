@@ -489,7 +489,11 @@ object SamplingOps {
     sourceKsOf(Tables(spark, dir, "documents")
       .select(col("source"), col("n_chars").as("value")))
 
-  private[graft] def sourceKsOf(rows: DataFrame): DataFrame = {
+  /** The per-(source, value) one-vs-rest deviation grid (`d_num` =
+    * |cum_s·n_rest − cum_rest·n_s|) — the shared core of the per-source
+    * KS verdict AND the per-source W₁ magnitude, bounded by
+    * |sources|·|support| regardless of corpus rows. */
+  private[graft] def sourceKsCells(rows: DataFrame): DataFrame = {
     val sf = rows.groupBy("source", "value").agg(count(lit(1)).as("c"))
     val gcum = StatsOps.withRunningCount(
       sf.groupBy("value").agg(sum(col("c")).as("cg")),
@@ -500,11 +504,15 @@ object SamplingOps {
     val scum = StatsOps.withRunningCount(grid, Seq("source"), "value", "c", "cum_s")
     val totals = sf.groupBy("source").agg(sum(col("c")).as("n_s"))
     val grand = sf.agg(sum(col("c")).as("n_g"))
-    val d = scum.join(broadcast(totals), Seq("source"))
+    scum.join(broadcast(totals), Seq("source"))
       .crossJoin(broadcast(grand))
       .withColumn("n_rest", col("n_g") - col("n_s"))
       .withColumn("d_num", abs(col("cum_s") * col("n_rest")
         - (col("cum_g") - col("cum_s")) * col("n_s")))
+  }
+
+  private[graft] def sourceKsOf(rows: DataFrame): DataFrame = {
+    val d = sourceKsCells(rows)
     val nS = col("n_source").cast(DoubleType)
     val nR = col("n_rest").cast(DoubleType)
     d.groupBy(col("source"))
@@ -544,6 +552,64 @@ object SamplingOps {
     agg.select(col("n_train"), col("n_val"),
         col("s").cast(DoubleType).as("emd_num"))
       .withColumn("w1", col("emd_num") / (nT * nV))
+  }
+
+  /** Per-source Wasserstein-1 drift: each source's length distribution
+    * against the REST of the corpus — the magnitude sibling of
+    * [[sourceDriftKs]] exactly as [[splitDriftEmd]] is of
+    * [[splitDriftKs]]. Rides the SAME one-vs-rest deviation grid
+    * ([[sourceKsCells]]); gap lengths come from the range-partitioned
+    * lead partitioned BY source (every source's support is the full
+    * grid, so no one-task window at any support size); Σ|d_num|·gap on
+    * DECIMAL(38,0); ONE division per source. */
+  def sourceDriftEmd(spark: SparkSession, dir: String): DataFrame =
+    sourceEmdOf(Tables(spark, dir, "documents")
+      .select(col("source"), col("n_chars").as("value")))
+
+  private[graft] def sourceEmdOf(rows: DataFrame): DataFrame = {
+    val d38 = (c: Column) => c.cast(DecimalType(38, 0))
+    val withNext = StatsOps.withNextValue(
+      sourceKsCells(rows), Seq("source"), "value", "next_value")
+    val agg = withNext.groupBy(col("source")).agg(
+      max(col("n_s")).as("n_source"), max(col("n_rest")).as("n_rest"),
+      sum(d38(col("d_num")) *
+        d38(coalesce(col("next_value"), col("value")) - col("value"))).as("s"))
+    val nS = col("n_source").cast(DoubleType)
+    val nR = col("n_rest").cast(DoubleType)
+    agg.select(col("source"), col("n_source"), col("n_rest"),
+        col("s").cast(DoubleType).as("emd_num"))
+      .withColumn("w1", col("emd_num") / (nS * nR))
+      .orderBy("source")
+  }
+
+  /** Cramér's V for the split-drift monitor: the EFFECT-SIZE readout
+    * beside the χ² report — how far the val length distribution sits
+    * from train on a 0..1 scale, comparable across corpus sizes where
+    * raw χ² is not. The χ² total is a sum of per-bucket doubles, which
+    * is permutation-UNSAFE to hash (the reason splitDriftSummary max'es
+    * instead of summing), so each term is floor-scaled to int64
+    * micro-units first — the BM25 order-independence trick — and the
+    * one sqrt runs on the quantized total: V = √(χ²_micro/10⁶ /
+    * (N·(k_eff−1))) with N = the val count and k_eff = buckets with a
+    * defined expectation. Unseen-in-train buckets are reported, not
+    * summed (their term is undefined), matching the χ² report. */
+  def splitDriftCramersV(spark: SparkSession, dir: String): DataFrame =
+    cramersVOf(chisqReport(driftBucketCounts(Tables(spark, dir, "documents"))))
+
+  private[graft] def cramersVOf(report: DataFrame): DataFrame = {
+    val agg = report.agg(
+      sum(when(col("e_val").isNotNull, 1L).otherwise(0L))
+        .cast(IntegerType).as("k_eff"),
+      sum(when(col("e_val").isNull, 1L).otherwise(0L))
+        .cast(IntegerType).as("n_unseen_in_train"),
+      sum(when(col("e_val").isNotNull,
+        floor(col("chi2_term") * lit(1000000.0)).cast(LongType))
+        .otherwise(0L)).as("chi2_micro"),
+      sum(col("n_val")).as("n_val"))
+    agg.withColumn("v",
+      when(col("k_eff") > 1 && col("n_val") > 0,
+        sqrt((col("chi2_micro").cast(DoubleType) / lit(1000000.0))
+          / (col("n_val").cast(DoubleType) * (col("k_eff") - 1).cast(DoubleType)))))
   }
 
   private[graft] def ksSummaryOf(perValue: DataFrame): DataFrame = {

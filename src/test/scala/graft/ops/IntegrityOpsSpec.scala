@@ -365,6 +365,57 @@ class IntegrityOpsSpec extends SparkSpec {
     assert(calm.forall(_.getAs[Long]("d_num_max") == 0L))
   }
 
+  test("source emd: brute one-vs-rest W1 replay exact; identical sources give 0") {
+    import spark.implicits._
+    val data: Seq[(String, Long)] =
+      (1L to 20L).map(("A", _)) ++ (1L to 20L).map(("B", _)) ++
+        (200L to 204L).flatMap(v => Seq.fill(4)(("C", v)))
+    val got = SamplingOps.sourceEmdOf(data.toDF("source", "value").repartition(3))
+      .collect().map(r => r.getString(0) -> r).toMap
+    val support = data.map(_._2).distinct.sorted
+    val nAll = data.size.toLong
+    got.foreach { case (s, r) =>
+      val nS = data.count(_._1 == s).toLong
+      val nR = nAll - nS
+      var (cs, cr, acc) = (0L, 0L, BigInt(0))
+      support.zip(support.tail).foreach { case (v, nv) =>
+        cs += data.count(p => p._1 == s && p._2 == v)
+        cr += data.count(p => p._1 != s && p._2 == v)
+        acc += BigInt((cs * nR - cr * nS).abs) * BigInt(nv - v)
+      }
+      assert(r.getAs[Long]("n_source") == nS && r.getAs[Long]("n_rest") == nR)
+      assert(r.getAs[Double]("emd_num") == acc.toDouble, s"source $s")
+      assert(r.getAs[Double]("w1") == acc.toDouble / (nS.toDouble * nR.toDouble))
+    }
+    // the shifted source carries ~200-unit transport cost; the twins don't
+    assert(got("C").getAs[Double]("w1") > 100.0)
+    assert(got("A").getAs[Double]("w1") < got("C").getAs[Double]("w1"))
+    val calm = SamplingOps.sourceEmdOf(
+      ((1L to 20L).map(("A", _)) ++ (1L to 20L).map(("B", _)))
+        .toDF("source", "value")).collect()
+    assert(calm.forall(_.getAs[Double]("w1") == 0.0))
+  }
+
+  test("cramers v: hand-computed on a planted counts table; 0 on identical distributions") {
+    import spark.implicits._
+    // planted (n_train, n_val) buckets incl. one unseen-in-train:
+    // tt=10, tv=10; e = 10·n_t/10 = n_t; terms: (6−4)²/4=1.0,
+    // (2−4)²/4=1.0, (1−2)²/2=0.5; unseen bucket (0, 1) excluded
+    val counts = Seq((0, 4L, 6L), (16, 4L, 2L), (32, 2L, 1L), (48, 0L, 1L))
+      .toDF("bucket_lo", "n_train", "n_val")
+    val r = SamplingOps.cramersVOf(SamplingOps.chisqReport(counts)).collect()(0)
+    assert(r.getAs[Int]("k_eff") == 3)
+    assert(r.getAs[Int]("n_unseen_in_train") == 1)
+    assert(r.getAs[Long]("chi2_micro") == 2500000L) // (1.0+1.0+0.5)·1e6 exact
+    assert(r.getAs[Long]("n_val") == 10L)
+    assert(r.getAs[Double]("v") == math.sqrt(2.5 / (10.0 * 2.0)))
+    // identical marginals → every term 0 → V = 0 (the no-drift anchor)
+    val same = Seq((0, 3L, 3L), (16, 5L, 5L), (32, 2L, 2L))
+      .toDF("bucket_lo", "n_train", "n_val")
+    val s = SamplingOps.cramersVOf(SamplingOps.chisqReport(same)).collect()(0)
+    assert(s.getAs[Long]("chi2_micro") == 0L && s.getAs[Double]("v") == 0.0)
+  }
+
   test("ks drift: summary reconciles with the per-value table (sf0.001)") {
     val per = SamplingOps.splitDriftKs(spark, Sf0001)
     val maxD = per.agg(max(col("d_num"))).collect()(0).getLong(0)
