@@ -55,14 +55,32 @@ object JoinOps {
     val customer = Tables(spark, dir, "customer")
     val nation = Tables(spark, dir, "nation")
     val region = Tables(spark, dir, "region")
-    li.join(orders, li("l_orderkey") === orders("o_orderkey"))
-      .join(broadcast(customer), orders("o_custkey") === customer("c_custkey"))
+    // Revenue rolls up per CUSTOMER before any dimension join: lineitem
+    // ⋈ orders is the only fact-sized join (co-keyed shuffle, linear),
+    // and the exact-decimal partial shrinks the probe into customer
+    // from |lineitem| rows to ≤|customer| rows. customer is a GROWING
+    // dimension (∝ SF — 1.5M rows at the sf10 fixture, billions at
+    // 100 TB), so it is NOT broadcast: the r13 sf10 spot-check measured
+    // the old broadcast(customer) plan at 52× per 10× data, dominated
+    // by the per-task hash build of the 1.5M-row broadcast. nation and
+    // region stay broadcast — they are the FIXED dims. Decimal partials
+    // re-aggregate exactly (no rounding until the final double cast),
+    // so the result is bit-identical to the single-level aggregate.
+    val perCust = li
+      .join(orders, li("l_orderkey") === orders("o_orderkey"))
+      .groupBy(col("o_custkey"))
+      .agg(
+        sum(dec2(col("l_extendedprice")) *
+          (lit(BigDecimal(1)).cast(Dec2) - dec2(col("l_discount")))).as("rev_part"),
+        count(lit(1)).as("n_part"))
+    perCust
+      .join(customer, col("o_custkey") === customer("c_custkey"))
       .join(broadcast(nation), customer("c_nationkey") === nation("n_nationkey"))
       .join(broadcast(region), nation("n_regionkey") === region("r_regionkey"))
       .groupBy(col("r_name"), col("n_name"))
       .agg(
-        revenueExact(col("l_extendedprice"), col("l_discount")).as("revenue"),
-        count(lit(1)).as("n_items"))
+        sum(col("rev_part")).cast(DoubleType).as("revenue"),
+        sum(col("n_part")).as("n_items"))
       .orderBy("r_name", "n_name")
   }
 
@@ -602,15 +620,35 @@ object JoinOps {
     // come from one definition or an edit to either silently breaks the
     // grid-coverage invariant the join depends on. Tables.parallel: the
     // probe side is the narrow-pipeline shape (per-row cast + div, then
-    // the broadcast probe and partial agg IN THE SCAN TASK — a broadcast
-    // join adds no exchange that would re-parallelize a single-row-group
-    // test file; the documented Tables.parallel trade).
-    val shipments = Tables.parallel(spark, dir, "lineitem")
+    // the partial agg IN THE SCAN TASK — no exchange that would
+    // re-parallelize a single-row-group test file; the documented
+    // Tables.parallel trade).
+    //
+    // The probe side rolls up to DAY grain BEFORE the grid join:
+    // l_shipdate is a date, so ship_s already has day granularity and
+    // the residual predicate depends on ship_s ALONE — count and the
+    // exact-decimal revenue are associative partials, so joining the
+    // (ship_s, day_n, day_rev) rollup is bit-identical to joining the
+    // raw fact. This changes the candidate-pair count from
+    // |campaigns|·|shipments-per-cell| (which grows ∝ SF² when the date
+    // DOMAIN is fixed and the data densifies — the r13 sf10 spot-check
+    // measured the raw form at 94× per 10× data) to
+    // |campaigns|·|days-per-window| (≤ 7 rows per campaign, ∝ SF).
+    // The rollup itself is a map-side-combinable aggregate on a
+    // bounded-domain key (|distinct ship days|, independent of SF).
+    val shipDays = Tables.parallel(spark, dir, "lineitem")
       .select(col("l_extendedprice"), col("l_discount"),
         epochS(col("l_shipdate")).as("ship_s"))
+      .groupBy(col("ship_s"))
+      .agg(
+        count(lit(1)).as("day_n"),
+        sum(dec2(col("l_extendedprice")) *
+          (lit(BigDecimal(1)).cast(Dec2) - dec2(col("l_discount")))).as("day_rev"))
       .withColumn("cell", expr(s"ship_s div $RangeGridSec"))
-    shipments
-      .join(campaigns, Seq("cell"))
+    campaigns
+      // the day table is bounded by the TIME domain, never by SF —
+      // broadcast it so the campaign side (∝ SF) needs no exchange
+      .join(broadcast(shipDays), Seq("cell"))
       // residual on the ALREADY-COMPUTED epoch longs: two integer
       // compares per candidate pair instead of re-deriving
       // timestamp-vs-(timestamp + INTERVAL) arithmetic; [start, start+7d)
@@ -619,8 +657,8 @@ object JoinOps {
         col("ship_s") < col("start_s") + lit(RangeGridSec))
       .groupBy(col("o_orderkey"))
       .agg(
-        count(lit(1)).as("n_shipments"),
-        revenueExact(col("l_extendedprice"), col("l_discount")).as("revenue"))
+        sum(col("day_n")).as("n_shipments"),
+        sum(col("day_rev")).cast(DoubleType).as("revenue"))
       .orderBy("o_orderkey")
   }
 
