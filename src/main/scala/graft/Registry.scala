@@ -196,6 +196,12 @@ object Registry {
       |         CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00
       |       FROM g)""".stripMargin
 
+  /** The fixed-width clamped logit bin (the calibration bucketing) —
+    * one definition shared by the calibration, isotonic, ECE and
+    * Kendall oracles. */
+  private val logitBinSql: String =
+    "least(greatest(CAST(floor(CAST(logit AS DOUBLE) / 2000000.0) AS BIGINT), -4), 4)"
+
   /** Calibration oracle: bins over the SAME logit CTE the classifier
     * pair is judged against, gold = the stop-ratio rule shared with
     * x_text_quality — single-source on both signals. */
@@ -205,7 +211,7 @@ object Registry {
       |        len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','to','in','is','or','for','on')))
       |          / len(string_split(text, ' ')) AS stop_ratio
       |      FROM s),
-      |b AS (SELECT least(greatest(CAST(floor(CAST(logit AS DOUBLE) / 2000000.0) AS BIGINT), -4), 4) AS bin,
+      |b AS (SELECT $logitBinSql AS bin,
       |             logit, stop_ratio FROM g)
       |SELECT bin, count(*) AS n_docs,
       |       CAST(sum(CASE WHEN stop_ratio >= 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_gold,
@@ -278,7 +284,7 @@ object Registry {
       |        len(list_filter(string_split(text, ' '), x -> x IN ('the','a','of','and','to','in','is','or','for','on')))
       |          / len(string_split(text, ' ')) AS stop_ratio
       |      FROM s),
-      |b AS (SELECT least(greatest(CAST(floor(CAST(logit AS DOUBLE) / 2000000.0) AS BIGINT), -4), 4) AS bin,
+      |b AS (SELECT $logitBinSql AS bin,
       |             stop_ratio FROM g),
       |bins AS (SELECT bin, CAST(count(*) AS BIGINT) AS n_docs,
       |                CAST(sum(CASE WHEN stop_ratio >= 0.1 THEN 1 ELSE 0 END) AS BIGINT) AS n_gold
@@ -1937,6 +1943,25 @@ object Registry {
       |GROUP BY l_returnflag, l_linestatus
       |ORDER BY l_returnflag, l_linestatus""".stripMargin
 
+  /** Per-arm Welch moment core (CTE chain ending in `wde`: n0, n1,
+    * mean0, mean1, v0, v1) — shared by the t test and the MDE/power
+    * readout, mirroring EventOps.welchMomentsOf so both oracles read
+    * the SAME variance definition. */
+  private val welchMomentsCtes: String =
+    """pu AS (SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
+      |            FROM events GROUP BY user_id),
+      |a AS (SELECT user_id % 2 AS arm, count(*) AS n, sum(y) AS sy, sum(y * y) AS syy
+      |      FROM pu GROUP BY 1),
+      |m AS (SELECT arm, n,
+      |        CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_y,
+      |        (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+      |          / (CAST(n AS DOUBLE) - 1.0) AS var_y
+      |      FROM a),
+      |wde AS (SELECT max(CASE WHEN arm = 0 THEN n END) AS n0, max(CASE WHEN arm = 1 THEN n END) AS n1,
+      |         max(CASE WHEN arm = 0 THEN mean_y END) AS mean0, max(CASE WHEN arm = 1 THEN mean_y END) AS mean1,
+      |         max(CASE WHEN arm = 0 THEN var_y END) AS v0, max(CASE WHEN arm = 1 THEN var_y END) AS v1
+      |       FROM m)""".stripMargin
+
   /** Decontamination oracles — single source shared by the string-keyed
     * operators and their digest-keyed 100 TB twins (the digest re-keys
     * the broadcast index only; output rows are identical barring a
@@ -2461,19 +2486,7 @@ object Registry {
     // Welch t on the per-user metric: exact decimal moments, then a
     // fixed IEEE tree for mean/var/t/df (sqrt is the only root)
     GraftQuery("x_ab_welch", EventOps.abWelch, Some(
-      """WITH pu AS (SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
-        |            FROM events GROUP BY user_id),
-        |a AS (SELECT user_id % 2 AS arm, count(*) AS n, sum(y) AS sy, sum(y * y) AS syy
-        |      FROM pu GROUP BY 1),
-        |m AS (SELECT arm, n,
-        |        CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_y,
-        |        (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
-        |          / (CAST(n AS DOUBLE) - 1.0) AS var_y
-        |      FROM a),
-        |wde AS (SELECT max(CASE WHEN arm = 0 THEN n END) AS n0, max(CASE WHEN arm = 1 THEN n END) AS n1,
-        |         max(CASE WHEN arm = 0 THEN mean_y END) AS mean0, max(CASE WHEN arm = 1 THEN mean_y END) AS mean1,
-        |         max(CASE WHEN arm = 0 THEN var_y END) AS v0, max(CASE WHEN arm = 1 THEN var_y END) AS v1
-        |       FROM m),
+      s"""WITH $welchMomentsCtes,
         |s AS (SELECT n0, n1, mean0, mean1,
         |        v0 / CAST(n0 AS DOUBLE) AS se0, v1 / CAST(n1 AS DOUBLE) AS se1 FROM wde)
         |SELECT n0, n1, mean0, mean1, mean0 - mean1 AS diff,
@@ -2481,6 +2494,22 @@ object Registry {
         |       ((se0 + se1) * (se0 + se1))
         |         / ((se0 * se0) / (CAST(n0 AS DOUBLE) - 1.0) + (se1 * se1) / (CAST(n1 AS DOUBLE) - 1.0)) AS df
         |FROM s""".stripMargin)),
+    // Minimum detectable effect at (α=0.05 two-sided, 80% power) on
+    // the SAME per-arm moment core as the Welch t — exact z literals,
+    // staged subexpressions (se_diff → mde_abs) identical in both
+    // engines so the powered flag cannot sit on a rounding boundary
+    GraftQuery("x_ab_mde", EventOps.abMde, Some(
+      s"""WITH $welchMomentsCtes,
+        |s AS (SELECT n0, n1, mean0, mean1,
+        |        v0 / CAST(n0 AS DOUBLE) AS se0, v1 / CAST(n1 AS DOUBLE) AS se1 FROM wde),
+        |t AS (SELECT n0, n1, mean0, mean1, sqrt(se0 + se1) AS se_diff FROM s),
+        |u AS (SELECT n0, n1, mean0, mean1, se_diff,
+        |        (${EventOps.ZAlphaHalf} + ${EventOps.ZBeta80}) * se_diff AS mde_abs FROM t)
+        |SELECT n0, n1, mean0, mean1, se_diff, mde_abs,
+        |       CASE WHEN mean0 <> 0.0 THEN mde_abs / abs(mean0) END AS mde_rel,
+        |       mean0 - mean1 AS diff,
+        |       abs(mean0 - mean1) >= mde_abs AS powered
+        |FROM u""".stripMargin)),
     // Sample-ratio-mismatch guard: χ²(1) on the realized arm split
     GraftQuery("x_ab_srm", EventOps.abSrm, Some(
       """WITH u AS (SELECT DISTINCT user_id FROM events),
@@ -2831,6 +2860,98 @@ object Registry {
     // int64 and the hash equality IS the optimality proof
     GraftQuery("x_quality_isotonic", TextOps.isotonicCalibration,
       Some(isotonicCalibrationOracle)),
+    // AUC-ROC of the logit ranking vs the stopword gold — the
+    // tie-averaged rank-sum identity (AUC = U/(n0·n1)) on the same
+    // de-skewed frequency-table machinery as the Mann–Whitney core;
+    // exact int64/decimal until ONE division, gini = 2·AUC − 1 rides
+    GraftQuery("x_quality_auc", TextOps.classifierAuc, Some(
+      s"""WITH $qualityClassifierCtes,
+        |g AS (SELECT logit, $stopCountSql / len(string_split(text, ' ')) >= 0.1 AS gold FROM s),
+        |f AS (SELECT logit, CAST(sum(CASE WHEN gold THEN 0 ELSE 1 END) AS BIGINT) AS c0,
+        |             CAST(sum(CASE WHEN gold THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |      FROM g GROUP BY logit),
+        |r AS (SELECT c0, c1,
+        |        coalesce(sum(c0 + c1) OVER (ORDER BY logit ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |      FROM f),
+        |a AS (SELECT CAST(sum(c0) AS BIGINT) AS n0, CAST(sum(c1) AS BIGINT) AS n1,
+        |             sum(CAST(c1 AS HUGEINT) * (cb * 2 + c0 + c1 + 1)) AS r1x2 FROM r),
+        |b AS (SELECT n0, n1,
+        |        CASE WHEN n0 > 0 AND n1 > 0
+        |             THEN CAST(r1x2 - CAST(n1 AS HUGEINT) * (CAST(n1 AS HUGEINT) + 1) AS DOUBLE)
+        |                  / (2.0 * CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)) END AS auc FROM a)
+        |SELECT n0, n1, auc, 2.0 * auc - 1.0 AS gini FROM b""".stripMargin)),
+    // ECE/MCE/Brier over the calibration bin table with the
+    // clamped-linear confidence numerator conf = clamp(logit,±4e6)+4e6:
+    // per-bin L1 gaps collapse to integer |Σconf − 8e6·n_gold|, the
+    // Brier expansion is three exact decimal moments — each summary is
+    // exact up to ONE final division (MCE: a max of fixed ratios)
+    GraftQuery("x_quality_ece", TextOps.calibrationEce, Some(
+      s"""WITH $qualityClassifierCtes,
+        |g AS (SELECT logit, least(greatest(logit, -4000000), 4000000) + 4000000 AS cnum,
+        |        $stopCountSql / len(string_split(text, ' ')) >= 0.1 AS gold FROM s),
+        |b AS (SELECT $logitBinSql AS bin, cnum, gold FROM g),
+        |bins AS (SELECT bin, count(*) AS n_docs,
+        |           CAST(sum(CASE WHEN gold THEN 1 ELSE 0 END) AS BIGINT) AS n_gold,
+        |           CAST(sum(cnum) AS BIGINT) AS sconf,
+        |           sum(CAST(cnum AS HUGEINT) * cnum) AS sconf2,
+        |           CAST(sum(CASE WHEN gold THEN cnum ELSE 0 END) AS BIGINT) AS sconfgold
+        |         FROM b GROUP BY bin),
+        |a AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_docs, count(*) AS n_bins,
+        |        CAST(sum(abs(sconf - 8000000 * n_gold)) AS BIGINT) AS ece_num,
+        |        max(CAST(abs(sconf - 8000000 * n_gold) AS DOUBLE) / (8000000.0 * CAST(n_docs AS DOUBLE))) AS mce,
+        |        sum(sconf2) AS sc2, CAST(sum(sconfgold) AS HUGEINT) AS scy,
+        |        CAST(sum(n_gold) AS HUGEINT) AS ngold
+        |      FROM bins)
+        |SELECT n_docs, n_bins,
+        |       CAST(ece_num AS DOUBLE) / (8000000.0 * CAST(n_docs AS DOUBLE)) AS ece,
+        |       mce,
+        |       CAST(sc2 - 16000000 * scy + 64000000000000 * ngold AS DOUBLE)
+        |         / (64000000000000.0 * CAST(n_docs AS DOUBLE)) AS brier
+        |FROM a""".stripMargin)),
+    // Spearman rho between logit and token count (the length-confounder
+    // audit): Pearson over exact DOUBLED tie-averaged ranks from two
+    // de-skewed frequency tables; moments exact, two sqrt one division
+    GraftQuery("x_quality_spearman", TextOps.classifierLengthSpearman, Some(
+      s"""WITH $qualityClassifierCtes,
+        |p AS (SELECT logit AS x, CAST(n_tokens AS BIGINT) AS y FROM s),
+        |fx AS (SELECT x, count(*) AS cnt FROM p GROUP BY x),
+        |rx AS (SELECT x, (coalesce(sum(cnt) OVER (ORDER BY x ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cnt) * 2 - cnt + 1 AS dx FROM fx),
+        |fy AS (SELECT y, count(*) AS cnt FROM p GROUP BY y),
+        |ry AS (SELECT y, (coalesce(sum(cnt) OVER (ORDER BY y ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) + cnt) * 2 - cnt + 1 AS dy FROM fy),
+        |j AS (SELECT dx, dy FROM p JOIN rx USING (x) JOIN ry USING (y)),
+        |a AS (SELECT count(*) AS n,
+        |        sum(CAST(dx AS HUGEINT)) AS sx, sum(CAST(dy AS HUGEINT)) AS sy,
+        |        sum(CAST(dx AS HUGEINT) * dx) AS sxx, sum(CAST(dy AS HUGEINT) * dy) AS syy,
+        |        sum(CAST(dx AS HUGEINT) * dy) AS sxy
+        |      FROM j)
+        |SELECT n,
+        |       CASE WHEN CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE) > 0.0
+        |             AND CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) > 0.0
+        |            THEN (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+        |                 / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+        |                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))) END AS rho
+        |FROM a""".stripMargin)),
+    // Kendall tau-b on the bounded (logit bin × length bucket) grid —
+    // the O(n²)-free concordance form: one scan to ≤ 9×16 cells, exact
+    // C/D/tie integers off the grid self-join, doubled-identity ratio
+    GraftQuery("x_quality_kendall", TextOps.classifierLengthKendall, Some(
+      s"""WITH $qualityClassifierCtes,
+        |q AS (SELECT $logitBinSql AS bx,
+        |             least(CAST(n_tokens AS BIGINT) // 16, 15) AS by FROM s),
+        |g AS (SELECT bx, by, count(*) AS cnt FROM q GROUP BY bx, by),
+        |cd AS (SELECT coalesce(sum(CASE WHEN l.by < r.by THEN CAST(l.cnt AS HUGEINT) * r.cnt END), 0) AS conc,
+        |              coalesce(sum(CASE WHEN l.by > r.by THEN CAST(l.cnt AS HUGEINT) * r.cnt END), 0) AS disc
+        |       FROM g l JOIN g r ON l.bx < r.bx),
+        |tx AS (SELECT sum(CAST(t AS HUGEINT) * (t - 1)) AS tx2 FROM (SELECT sum(cnt) AS t FROM g GROUP BY bx)),
+        |ty AS (SELECT sum(CAST(t AS HUGEINT) * (t - 1)) AS ty2 FROM (SELECT sum(cnt) AS t FROM g GROUP BY by)),
+        |nn AS (SELECT CAST(sum(cnt) AS BIGINT) AS n,
+        |              CAST(sum(cnt) AS HUGEINT) * (CAST(sum(cnt) AS HUGEINT) - 1) AS n0x2 FROM g)
+        |SELECT nn.n AS n, CAST(conc AS BIGINT) AS concordant, CAST(disc AS BIGINT) AS discordant,
+        |       CASE WHEN CAST(n0x2 AS DOUBLE) - CAST(tx2 AS DOUBLE) > 0.0
+        |             AND CAST(n0x2 AS DOUBLE) - CAST(ty2 AS DOUBLE) > 0.0
+        |            THEN (2.0 * (CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE)))
+        |                 / (sqrt(CAST(n0x2 AS DOUBLE) - CAST(tx2 AS DOUBLE)) * sqrt(CAST(n0x2 AS DOUBLE) - CAST(ty2 AS DOUBLE))) END AS tau_b
+        |FROM cd, tx, ty, nn""".stripMargin)),
     GraftQuery("x_text_repetition", TextOps.repetition, Some(
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
         |g AS (SELECT doc_id,

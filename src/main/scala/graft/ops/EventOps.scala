@@ -645,6 +645,28 @@ object EventOps {
     * structurally the batch definition, not a reimplementation. */
   def welchOfPerUser(perUser: DataFrame): DataFrame = {
     val dbl = (c: Column) => c.cast(DoubleType)
+    welchMomentsOf(perUser)
+      .select(col("n0"), col("n1"), col("mean0"), col("mean1"),
+        col("v0"), col("v1"),
+        (col("v0") / dbl(col("n0"))).as("se0"),
+        (col("v1") / dbl(col("n1"))).as("se1"))
+      .select(col("n0"), col("n1"), col("mean0"), col("mean1"),
+        (col("mean0") - col("mean1")).as("diff"),
+        ((col("mean0") - col("mean1")) / sqrt(col("se0") + col("se1")))
+          .as("t_stat"),
+        (((col("se0") + col("se1")) * (col("se0") + col("se1"))) /
+          ((col("se0") * col("se0")) / (dbl(col("n0")) - lit(1.0)) +
+            (col("se1") * col("se1")) / (dbl(col("n1")) - lit(1.0))))
+          .as("df"))
+  }
+
+  /** The 1-row per-arm moment core (n, mean, sample variance per arm)
+    * behind [[welchOfPerUser]] AND [[mdeOfPerUser]] — one definition so
+    * the t test and the power analysis read the SAME variance (the
+    * mwAggregates rule applied to the moment seam). Exact decimal
+    * sums; mean/var are the fixed IEEE tree the oracle replicates. */
+  private def welchMomentsOf(perUser: DataFrame): DataFrame = {
+    val dbl = (c: Column) => c.cast(DoubleType)
     val arms = perUser
       .groupBy((col("user_id") % 2).as("arm"))
       .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
@@ -658,18 +680,49 @@ object EventOps {
       pick("n", 0).as("n0"), pick("n", 1).as("n1"),
       pick("mean_y", 0).as("mean0"), pick("mean_y", 1).as("mean1"),
       pick("var_y", 0).as("v0"), pick("var_y", 1).as("v1"))
+  }
+
+  /** Two-sided z critical value at α = 0.05 and the 80%-power z — the
+    * standard design constants, as exact double literals mirrored in
+    * the oracle SQL. */
+  val ZAlphaHalf = 1.959963984540054
+  val ZBeta80 = 0.8416212335729143
+
+  /** Minimum detectable effect + power readout on the Welch seam — the
+    * question an experimenter asks BEFORE reading the t statistic: at
+    * this sample size and variance, what's the smallest true lift this
+    * test could have detected (α = 0.05 two-sided, 80% power)?
+    * mde = (z_{α/2} + z_β)·√(v₀/n₀ + v₁/n₁) over the SAME per-arm
+    * moments as [[abWelch]]; mde_rel scales by the control mean, and
+    * `powered` says whether the OBSERVED |Δ| clears the bar (an
+    * "insignificant" result below MDE is an underpowered design, not
+    * evidence of no effect). Fixed IEEE tree over the exact-decimal
+    * moment core, staged so the oracle's subexpressions are
+    * bit-identical. */
+  def abMde(spark: SparkSession, dir: String): DataFrame =
+    mdeOfPerUser(Tables(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(sum(dec2(col("value"))).cast(Dec2).as("y")))
+
+  /** The MDE tail over any (user_id, y: DECIMAL(18,2)) relation —
+    * shared seam with [[welchOfPerUser]], separated for planted-moment
+    * specs. */
+  private[ops] def mdeOfPerUser(perUser: DataFrame): DataFrame = {
+    val dbl = (c: Column) => c.cast(DoubleType)
+    welchMomentsOf(perUser)
       .select(col("n0"), col("n1"), col("mean0"), col("mean1"),
-        col("v0"), col("v1"),
         (col("v0") / dbl(col("n0"))).as("se0"),
         (col("v1") / dbl(col("n1"))).as("se1"))
       .select(col("n0"), col("n1"), col("mean0"), col("mean1"),
+        sqrt(col("se0") + col("se1")).as("se_diff"))
+      .select(col("n0"), col("n1"), col("mean0"), col("mean1"), col("se_diff"),
+        ((lit(ZAlphaHalf) + lit(ZBeta80)) * col("se_diff")).as("mde_abs"))
+      .select(col("n0"), col("n1"), col("mean0"), col("mean1"),
+        col("se_diff"), col("mde_abs"),
+        when(col("mean0") =!= 0.0, col("mde_abs") / abs(col("mean0")))
+          .as("mde_rel"),
         (col("mean0") - col("mean1")).as("diff"),
-        ((col("mean0") - col("mean1")) / sqrt(col("se0") + col("se1")))
-          .as("t_stat"),
-        (((col("se0") + col("se1")) * (col("se0") + col("se1"))) /
-          ((col("se0") * col("se0")) / (dbl(col("n0")) - lit(1.0)) +
-            (col("se1") * col("se1")) / (dbl(col("n1")) - lit(1.0))))
-          .as("df"))
+        (abs(col("mean0") - col("mean1")) >= col("mde_abs")).as("powered"))
   }
 
   /** Sample-ratio-mismatch guard: the χ² (df = 1) of the realized arm

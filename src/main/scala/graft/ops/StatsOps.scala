@@ -372,4 +372,84 @@ object StatsOps {
           .cast(DoubleType) / col("n")).as("winsor_mean"))
       .orderBy("key")
   }
+
+  /** Spearman rank correlation over any (x: int64, y: int64) pair
+    * relation — Pearson on DOUBLED tie-averaged ranks, so every rank is
+    * an exact integer (a value with count t and count-before cb has
+    * doubled average rank 2·cb + t + 1 = 2·run − t + 1) and every
+    * moment is an exact DECIMAL(38,0) sum. Both rank tables ride
+    * [[withRunningCount]]'s range-partitioned prefix sums (never a
+    * one-task window, even when the value domain is corpus-sized);
+    * ranks join back to rows by value (two co-keyed shuffles), and the
+    * correlation is ONE map-side-combinable aggregate finished by the
+    * a14-style fixed IEEE tree — two sqrt, one division. Doubling
+    * cancels in the ratio, so rho is the textbook Spearman exactly.
+    * Headroom: Σ(2r)² ≤ 4n³ holds in 38 digits to n ≈ 2.9e9 rows per
+    * call; beyond that the moments need a (38,6)-scaled cast. */
+  private[graft] def spearmanOf(pairs: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    def doubledRanks(c: String, out: String): DataFrame = {
+      val freq = pairs.groupBy(col(c)).agg(count(lit(1)).as("cnt"))
+      withRunningCount(freq, Nil, c, "cnt", "run")
+        .select(col(c), (col("run") * 2 - col("cnt") + 1).as(out))
+    }
+    val ranked = pairs
+      .join(doubledRanks("x", "dx"), Seq("x"))
+      .join(doubledRanks("y", "dy"), Seq("y"))
+    val a = ranked.agg(
+      count(lit(1)).as("n"),
+      sum(col("dx").cast(d38)).as("sx"),
+      sum(col("dy").cast(d38)).as("sy"),
+      sum(col("dx").cast(d38) * col("dx").cast(d38)).as("sxx"),
+      sum(col("dy").cast(d38) * col("dy").cast(d38)).as("syy"),
+      sum(col("dx").cast(d38) * col("dy").cast(d38)).as("sxy"))
+    val db = (c: String) => col(c).cast(DoubleType)
+    a.select(col("n"),
+      when(db("n") * db("sxx") - db("sx") * db("sx") > 0.0 &&
+           db("n") * db("syy") - db("sy") * db("sy") > 0.0,
+        (db("n") * db("sxy") - db("sx") * db("sy")) /
+          (sqrt(db("n") * db("sxx") - db("sx") * db("sx")) *
+            sqrt(db("n") * db("syy") - db("sy") * db("sy")))).as("rho"))
+  }
+
+  /** Kendall's tau-b over a BOUNDED joint frequency grid (bx, by, cnt)
+    * — the 100 TB shape for rank concordance: exact tau is O(n log n)
+    * sequential (inversion counting) and O(n²) distributed, so the
+    * corpus quantizes into ≤ |bx|·|by| cells first (ONE map-side
+    * combinable scan) and the concordant/discordant mass comes off the
+    * grid's broadcast self-join — constant work at any corpus size.
+    * Everything before the final tree is exact: C and D are
+    * DECIMAL(38,0) sums of cell-count products (each unordered pair
+    * counted once via the bx1 < bx2 join), ties come off the integer
+    * marginals, and the tau-b ratio uses the DOUBLED identities
+    * (2C − 2D) / (√(n(n−1) − Σtx(tx−1)) · √(n(n−1) − Σty(ty−1))) so no
+    * integer halving (and no decimal-scale drift) ever happens. */
+  private[graft] def kendallOfGrid(grid: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val g = grid.select(col("bx"), col("by"), col("cnt").cast(LongType).as("cnt"))
+    val l = g.select(col("bx").as("bx1"), col("by").as("by1"), col("cnt").as("c1"))
+    val r = g.select(col("bx").as("bx2"), col("by").as("by2"), col("cnt").as("c2"))
+    val cd = broadcast(l).join(broadcast(r), col("bx1") < col("bx2"))
+      .agg(
+        coalesce(sum(when(col("by1") < col("by2"),
+          col("c1").cast(d38) * col("c2").cast(d38))), lit(0).cast(d38)).as("conc"),
+        coalesce(sum(when(col("by1") > col("by2"),
+          col("c1").cast(d38) * col("c2").cast(d38))), lit(0).cast(d38)).as("disc"))
+    def tiePairsX2(c: String, out: String): DataFrame =
+      g.groupBy(col(c)).agg(sum(col("cnt")).as("t"))
+        .agg(sum(col("t").cast(d38) * (col("t").cast(d38) - 1)).as(out))
+    val tot = g.agg(sum(col("cnt")).as("n"))
+      .select(col("n"), (col("n").cast(d38) * (col("n").cast(d38) - 1)).as("n0x2"))
+    val a = cd.crossJoin(broadcast(tiePairsX2("bx", "tx2")))
+      .crossJoin(broadcast(tiePairsX2("by", "ty2")))
+      .crossJoin(broadcast(tot))
+    val db = (c: String) => col(c).cast(DoubleType)
+    a.select(col("n"),
+      col("conc").cast(LongType).as("concordant"),
+      col("disc").cast(LongType).as("discordant"),
+      when(db("n0x2") - db("tx2") > 0.0 && db("n0x2") - db("ty2") > 0.0,
+        (lit(2.0) * (db("conc") - db("disc"))) /
+          (sqrt(db("n0x2") - db("tx2")) * sqrt(db("n0x2") - db("ty2"))))
+        .as("tau_b"))
+  }
 }

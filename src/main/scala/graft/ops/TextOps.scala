@@ -875,11 +875,16 @@ object TextOps {
           (col("p_bar") - col("p_e")) / (lit(1.0) - col("p_e"))).as("kappa"))
   }
 
-  /** The shared bin-table currency behind [[classifierCalibration]] and
-    * [[isotonicCalibration]]: one corpus pass into ≤ 9 rows of
-    * (bin, n_docs, n_gold, Σlogit). */
+  /** The shared bin-table currency behind [[classifierCalibration]],
+    * [[isotonicCalibration]] and [[calibrationEce]]: one corpus pass
+    * into ≤ 9 rows of (bin, n_docs, n_gold, Σlogit, Σconf, Σconf²,
+    * Σconf·gold), where conf is the clamped-linear confidence
+    * NUMERATOR clamp(logit, ±4e6) + 4e6 ∈ [0, 8e6] — the deterministic,
+    * sigmoid-free probability surrogate p̂ = conf/8e6 whose per-bin and
+    * per-corpus moments stay exact int64/decimal. */
   private def calibrationBinsRaw(spark: SparkSession, dir: String): DataFrame = {
     val dbl = (c: Column) => c.cast(DoubleType)
+    val d38 = DecimalType(38, 0)
     val t = split(lower(col("text")), " ")
     Tables(spark, dir, "documents")
       .select(
@@ -888,11 +893,17 @@ object TextOps {
         stopRatio(col("text")).as("stop_ratio"))
       .select(col("logit"), col("stop_ratio"),
         least(greatest(floor(dbl(col("logit")) / lit(2000000.0)), lit(-4L)),
-          lit(4L)).as("bin"))
+          lit(4L)).as("bin"),
+        (least(greatest(col("logit"), lit(-4000000L)), lit(4000000L))
+          + lit(4000000L)).as("cnum"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("stop_ratio") >= 0.1, 1L).otherwise(0L)).as("n_gold"),
-        sum(col("logit")).as("slogit"))
+        sum(col("logit")).as("slogit"),
+        sum(col("cnum")).as("sconf"),
+        sum(col("cnum").cast(d38) * col("cnum").cast(d38)).as("sconf2"),
+        sum(when(col("stop_ratio") >= 0.1, col("cnum")).otherwise(0L))
+          .as("sconfgold"))
   }
 
   /** Isotonic (PAV) recalibration of the reliability bins — what a
@@ -941,6 +952,126 @@ object TextOps {
       .select(col("bin"), col("n_docs"), col("n_gold"),
         col("raw_micro"), col("cal_micro"))
       .orderBy("bin")
+  }
+
+  /** AUC-ROC of the hashed quality classifier's logit as a RANKING of
+    * the stopword gold rule — the threshold-free readout next to the
+    * thresholded kappa/MCC pair: AUC = P(score⁺ > score⁻) +
+    * ½P(score⁺ = score⁻), which is exactly the tie-averaged rank-sum
+    * identity (R₁ − n₁(n₁+1)/2)/(n₀n₁) — the same machinery as the
+    * Mann–Whitney U, because AUC IS U/(n₀n₁). Exact everything: logits
+    * are int64, the doubled rank sums ride the value-frequency table +
+    * range-partitioned prefix sums, and AUC is ONE division. The Gini
+    * coefficient 2·AUC − 1 rides along — it equals Cliff's δ between
+    * the positive and negative score distributions. */
+  def classifierAuc(spark: SparkSession, dir: String): DataFrame = {
+    val t = split(lower(col("text")), " ")
+    aucOf(Tables(spark, dir, "documents").select(
+      aggregate(transform(t, tok => bucketWeight(featBucket(tok))),
+        lit(0L), (acc, w) => acc + w).as("score"),
+      (stopRatio(col("text")) >= 0.1).as("gold")))
+  }
+
+  /** The rank-sum AUC core over any (score: int64, gold: boolean)
+    * relation — separated so specs can feed planted rankings with
+    * hand-computed areas (perfect = 1, inverted = 0, ties = ½ credit).
+    * One value-frequency aggregate, [[StatsOps.withRunningCount]]'s
+    * de-skewed running counts, one 1-row reduce. */
+  private[ops] def aucOf(scored: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val freq = scored.groupBy(col("score"))
+      .agg(sum(when(col("gold"), 0L).otherwise(1L)).as("c0"),
+        sum(when(col("gold"), 1L).otherwise(0L)).as("c1"))
+      .withColumn("cnt", col("c0") + col("c1"))
+    val run = StatsOps.withRunningCount(freq, Nil, "score", "cnt", "run")
+      .withColumn("cb", col("run") - col("cnt"))
+    val db = (c: String) => col(c).cast(DoubleType)
+    run
+      .agg(sum(col("c0")).as("n0"), sum(col("c1")).as("n1"),
+        sum(col("c1").cast(d38) *
+          (col("cb") * 2 + col("c0") + col("c1") + 1).cast(d38)).as("r1x2"))
+      .select(col("n0"), col("n1"),
+        when(col("n0") > 0L && col("n1") > 0L,
+          (col("r1x2") - col("n1").cast(d38) * (col("n1").cast(d38) + 1))
+            .cast(DoubleType) / (lit(2.0) * db("n0") * db("n1"))).as("auc"))
+      .withColumn("gini", lit(2.0) * col("auc") - lit(1.0))
+  }
+
+  /** Expected / maximum calibration error + Brier score of the hashed
+    * classifier against the stopword gold rule — the three standard
+    * calibration summaries over the SAME bin table as the reliability
+    * readout, with the clamped-linear confidence p̂ = (clamp(logit,
+    * ±4e6) + 4e6)/8e6 making all three EXACT up to one final division:
+    * per-bin |mean p̂ − gold rate|·n_b collapses to the integer
+    * |Σconf − 8e6·n_gold| (ECE = Σ_bins |·| / (8e6·N)), MCE is a max of
+    * per-bin fixed IEEE ratios (order-safe), and the Brier expansion
+    * Σ(conf − 8e6·y)² = Σconf² − 16e6·Σconf·y + 64e12·Σy is three
+    * exact decimal moments the bin scan already carries. One corpus
+    * pass, a ≤ 9-row reduce. */
+  def calibrationEce(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    calibrationSummaryOf(calibrationBinsRaw(spark, dir)
+      .select(col("bin"), col("n_docs"), col("n_gold"),
+        col("sconf"), col("sconf2").cast(d38).as("sconf2"), col("sconfgold")))
+  }
+
+  /** The ECE/MCE/Brier tail over any bin table carrying (n_docs,
+    * n_gold, sconf, sconf2, sconfgold) — separated so specs can plant
+    * perfectly-calibrated bins (ece = 0) and hand-computed gaps. */
+  private[ops] def calibrationSummaryOf(bins: DataFrame): DataFrame = {
+    val d38 = DecimalType(38, 0)
+    val db = (c: String) => col(c).cast(DoubleType)
+    bins
+      .withColumn("gap_num", abs(col("sconf") - lit(8000000L) * col("n_gold")))
+      .agg(sum(col("n_docs")).as("n_docs"), count(lit(1)).as("n_bins"),
+        sum(col("gap_num")).as("ece_num"),
+        max(col("gap_num").cast(DoubleType)
+          / (lit(8000000.0) * col("n_docs").cast(DoubleType))).as("mce"),
+        sum(col("sconf2")).as("sc2"), sum(col("sconfgold")).as("scy"),
+        sum(col("n_gold")).as("ngold"))
+      .select(col("n_docs"), col("n_bins"),
+        (db("ece_num") / (lit(8000000.0) * db("n_docs"))).as("ece"),
+        col("mce"),
+        ((col("sc2").cast(d38) - col("scy").cast(d38) * lit(16000000L)
+          + col("ngold").cast(d38) * lit(64000000000000L)).cast(DoubleType)
+          / (lit(64000000000000.0) * db("n_docs"))).as("brier"))
+  }
+
+  /** Spearman rank correlation between the classifier logit and the
+    * document's token count — the "is the cheap quality filter just
+    * measuring LENGTH?" confounder audit a curation pipeline runs
+    * before trusting keep-rates: |ρ| near 1 means the learned signal
+    * collapses to document size. Rides [[StatsOps.spearmanOf]]'s exact
+    * doubled-rank machinery over the two int64 signals. */
+  def classifierLengthSpearman(spark: SparkSession, dir: String): DataFrame = {
+    val t = split(lower(col("text")), " ")
+    StatsOps.spearmanOf(Tables(spark, dir, "documents").select(
+      aggregate(transform(t, tok => bucketWeight(featBucket(tok))),
+        lit(0L), (acc, w) => acc + w).as("x"),
+      size(t).cast(LongType).as("y")))
+  }
+
+  /** Kendall's tau-b between the classifier's logit BIN (the
+    * calibration bucketing) and the token-count BUCKET (width 16, cap
+    * 15) — the concordance companion to the Spearman audit, on the
+    * quantized grid because exact tau is O(n²) distributed: the grid
+    * form is ONE corpus scan into ≤ 9×16 cells and constant work after
+    * ([[StatsOps.kendallOfGrid]]). Quantization is the 100 TB design,
+    * not a shortcut — tau over deciles is what a petabyte audit runs. */
+  def classifierLengthKendall(spark: SparkSession, dir: String): DataFrame = {
+    val dbl = (c: Column) => c.cast(DoubleType)
+    val t = split(lower(col("text")), " ")
+    val grid = Tables(spark, dir, "documents")
+      .select(
+        aggregate(transform(t, tok => bucketWeight(featBucket(tok))),
+          lit(0L), (acc, w) => acc + w).as("logit"),
+        size(t).cast(LongType).as("n_tokens"))
+      .select(
+        least(greatest(floor(dbl(col("logit")) / lit(2000000.0)), lit(-4L)),
+          lit(4L)).as("bx"),
+        least(expr("n_tokens div 16"), lit(15L)).as("by"))
+      .groupBy(col("bx"), col("by")).agg(count(lit(1)).as("cnt"))
+    StatsOps.kendallOfGrid(grid)
   }
 
   /** Vocabulary-coverage curve: for each frequency cutoff θ ∈ 2⁰..2¹⁰,

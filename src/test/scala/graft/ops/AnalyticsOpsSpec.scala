@@ -808,4 +808,80 @@ class AnalyticsOpsSpec extends SparkSpec {
       assert(r.getDouble(6) == wsum.toDouble / n)
     }
   }
+
+  // ------------------------------------------------- rank correlation
+
+  test("spearman: monotone +1, antitone -1, tied and untied hand values, degenerate NULL") {
+    import spark.implicits._
+    def rho(pairs: Seq[(Long, Long)]): Double =
+      StatsOps.spearmanOf(pairs.toDF("x", "y").repartition(3))
+        .collect()(0).getDouble(1)
+    assert(math.abs(rho(Seq((1L, 10L), (2L, 20L), (5L, 21L), (9L, 90L))) - 1.0) < 1e-12)
+    assert(math.abs(rho(Seq((1L, 90L), (2L, 21L), (5L, 20L), (9L, 10L))) + 1.0) < 1e-12)
+    // classic no-tie example: d = (1,-1,... ), sum d^2 = 4 over n=5 → 0.8
+    assert(math.abs(rho(Seq((1L, 2L), (2L, 1L), (3L, 4L), (4L, 3L), (5L, 5L))) - 0.8) < 1e-12)
+    // ties: x=(1,1,2) vs y=(1,2,3) → doubled ranks (3,3,6)/(2,4,6) → √3/2
+    assert(math.abs(rho(Seq((1L, 1L), (1L, 2L), (2L, 3L))) - math.sqrt(3.0) / 2) < 1e-12)
+    // constant x: zero rank variance → NULL, never a division blowup
+    assert(StatsOps.spearmanOf(Seq((1L, 1L), (1L, 2L)).toDF("x", "y"))
+      .collect()(0).isNullAt(1))
+  }
+
+  test("spearman plan: both rank tables ride range-partitioned slices, no global window") {
+    val plan = StatsOps.spearmanOf(
+      Tables(spark, Sf0001, "documents")
+        .select(col("doc_id").as("x"), col("n_chars").as("y")))
+      .queryExecution.executedPlan.toString
+    val windows = plan.linesIterator
+      .filter(_.contains("windowspecdefinition")).toSeq
+    assert(windows.nonEmpty, s"no window found in:\n$plan")
+    assert(windows.forall(_.contains("__pid")),
+      s"global window leaked:\n${windows.mkString("\n")}")
+    assert(plan.contains("rangepartitioning"), s"no range exchange in:\n$plan")
+  }
+
+  test("kendall tau-b: identity grid, hand-computed tied grid, all-tied NULL") {
+    import spark.implicits._
+    def tau(cells: Seq[(Long, Long, Long)]) =
+      StatsOps.kendallOfGrid(cells.toDF("bx", "by", "cnt").repartition(2))
+        .collect()(0)
+    // perfectly concordant buckets: C = 3·2 = 6, D = 0, tau-b = 1
+    val id = tau(Seq((0L, 0L, 3L), (1L, 1L, 2L)))
+    assert((id.getLong(0), id.getLong(1), id.getLong(2)) == ((5L, 6L, 0L)))
+    assert(math.abs(id.getDouble(3) - 1.0) < 1e-12)
+    // x=(1,2,2,3), y=(1,2,3,3): C=4, D=0, n(n-1)=12, tx2=ty2=2 → 8/10
+    val h = tau(Seq((1L, 1L, 1L), (2L, 2L, 1L), (2L, 3L, 1L), (3L, 3L, 1L)))
+    assert((h.getLong(1), h.getLong(2)) == ((4L, 0L)))
+    assert(math.abs(h.getDouble(3) - 0.8) < 1e-12)
+    // discordance flips the sign exactly
+    val inv = tau(Seq((0L, 1L, 2L), (1L, 0L, 2L)))
+    assert((inv.getLong(1), inv.getLong(2)) == ((0L, 4L)))
+    assert(math.abs(inv.getDouble(3) + 1.0) < 1e-12)
+    // a single cell: every pair tied on both axes → NULL
+    assert(tau(Seq((0L, 0L, 4L))).isNullAt(3))
+  }
+
+  // ------------------------------------------------- power / MDE
+
+  test("mde: welch-seam identity on the planted 2x2 cohort; powered flag flips") {
+    import spark.implicits._
+    def mdeOf(name: String, rows: Seq[(Long, Double)]) = {
+      val fix = tempDir(name)
+      rows.map { case (u, v) => (u, pre, v) }.toDF("user_id", "ts", "value")
+        .repartition(3).write.mode("overwrite").parquet(s"$fix/events.parquet")
+      EventOps.abMde(spark, fix).collect().head
+    }
+    // same cohort as the Welch spec: v0 = v1 = 200, n = 2 each
+    val r = mdeOf("mde_under", Seq((1L, 20.0), (2L, 30.0), (3L, 40.0), (4L, 50.0)))
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 2L)))
+    assert((r.getDouble(2), r.getDouble(3)) == ((40.0, 30.0)))
+    assert(r.getDouble(4) == math.sqrt(200.0), s"se_diff ${r.getDouble(4)}")
+    val mde = (EventOps.ZAlphaHalf + EventOps.ZBeta80) * math.sqrt(200.0)
+    assert(r.getDouble(5) == mde && r.getDouble(6) == mde / 40.0)
+    assert(r.getDouble(7) == 10.0 && !r.getBoolean(8),
+      "diff 10 below mde ≈ 39.6 → the test was underpowered, not null")
+    // separation far beyond the bar → powered
+    val r2 = mdeOf("mde_over", Seq((1L, 10.0), (2L, 1000.0), (3L, 20.0), (4L, 1010.0)))
+    assert(r2.getDouble(7) == 990.0 && r2.getBoolean(8), "diff 990 ≫ mde → powered")
+  }
 }

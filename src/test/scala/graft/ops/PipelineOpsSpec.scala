@@ -1639,6 +1639,84 @@ class PipelineOpsSpec extends SparkSpec {
     assert(mcc >= -1.0 && mcc <= 1.0)
   }
 
+  test("auc: planted rankings — perfect 1, inverted 0, all-tied 1/2, mixed hand value") {
+    import spark.implicits._
+    def auc(rows: Seq[(Long, Boolean)]) = {
+      val r = TextOps.aucOf(rows.toDF("score", "gold").repartition(3)).collect()(0)
+      (r.getLong(0), r.getLong(1),
+        if (r.isNullAt(2)) Double.NaN else r.getDouble(2),
+        if (r.isNullAt(3)) Double.NaN else r.getDouble(3))
+    }
+    // every positive outranks every negative → exact 1 (gini 1)
+    assert(auc(Seq((1L, false), (2L, false), (3L, true), (4L, true))) ==
+      ((2L, 2L, 1.0, 1.0)))
+    // inverted ranking → exact 0 (gini −1)
+    assert(auc(Seq((4L, false), (3L, false), (1L, true), (2L, true))) ==
+      ((2L, 2L, 0.0, -1.0)))
+    // one giant tie: AUC must be exactly the coin-flip ½
+    assert(auc(Seq((5L, false), (5L, true))) == ((1L, 1L, 0.5, 0.0)))
+    // negatives {1,3}, positives {2,3}: 2 wins + 1 half-credit tie of
+    // 4 comparisons → 5/8
+    assert(auc(Seq((1L, false), (3L, false), (2L, true), (3L, true))) ==
+      ((2L, 2L, 0.625, 0.25)))
+    // single-class input: no ranking exists → NULL, not a 0/0
+    assert(auc(Seq((1L, true), (2L, true)))._3.isNaN)
+  }
+
+  test("auc: real corpus — bounds, and the rank core agrees with the confusion marginals") {
+    val r = TextOps.classifierAuc(spark, Sf0001).collect()(0)
+    val k = TextOps.classifierKappa(spark, Sf0001).collect()(0)
+    // n1 = gold positives = n11 + n01; n0 = n10 + n00 — same gold rule
+    assert(r.getLong(0) == k.getAs[Long]("n10") + k.getAs[Long]("n00"))
+    assert(r.getLong(1) == k.getAs[Long]("n11") + k.getAs[Long]("n01"))
+    val auc = r.getDouble(2)
+    assert(auc >= 0.0 && auc <= 1.0)
+    assert(r.getDouble(3) == 2.0 * auc - 1.0)
+  }
+
+  test("ece/brier: planted bins — perfectly calibrated is 0; hand gaps; brier replays") {
+    import spark.implicits._
+    // one bin, n=4, one gold, every conf 2e6 (p̂ = .25 = gold rate) →
+    // ece = mce = 0; brier = (.75² + 3·.25²)/4 = .1875
+    val calib = Seq((0L, 4L, 1L, 8000000L, 16000000000000L, 2000000L))
+      .toDF("bin", "n_docs", "n_gold", "sconf", "sconf2", "sconfgold")
+    val r = TextOps.calibrationSummaryOf(calib).collect()(0)
+    assert((r.getLong(0), r.getLong(1)) == ((4L, 1L)))
+    assert(r.getDouble(2) == 0.0 && r.getDouble(3) == 0.0)
+    assert(r.getDouble(4) == 0.1875, s"brier ${r.getDouble(4)}")
+    // two maximally-miscalibrated p̂=.5 bins (one all-gold, one no-gold):
+    // ece = mce = .5 and brier = .25 exactly
+    val off = Seq(
+      (0L, 2L, 2L, 8000000L, 32000000000000L, 8000000L),
+      (1L, 2L, 0L, 8000000L, 32000000000000L, 0L))
+      .toDF("bin", "n_docs", "n_gold", "sconf", "sconf2", "sconfgold")
+    val r2 = TextOps.calibrationSummaryOf(off).collect()(0)
+    assert((r2.getLong(0), r2.getLong(1)) == ((4L, 2L)))
+    assert(r2.getDouble(2) == 0.5 && r2.getDouble(3) == 0.5)
+    assert(r2.getDouble(4) == 0.25, s"brier ${r2.getDouble(4)}")
+  }
+
+  test("ece: real corpus — bin mass reconciles with the calibration readout; mce ≥ ece") {
+    val e = TextOps.calibrationEce(spark, Sf0001).collect()(0)
+    val bins = TextOps.classifierCalibration(spark, Sf0001).collect()
+    assert(e.getLong(0) == bins.map(_.getAs[Long]("n_docs")).sum)
+    assert(e.getLong(1) == bins.length.toLong)
+    val (ece, mce, brier) = (e.getDouble(2), e.getDouble(3), e.getDouble(4))
+    assert(ece >= 0.0 && ece <= 1.0 && brier >= 0.0 && brier <= 1.0)
+    assert(mce >= ece, "a max of per-bin gaps cannot undercut their weighted mean")
+  }
+
+  test("length-confound audits: spearman and grid kendall agree in sign on the real corpus") {
+    val rho = TextOps.classifierLengthSpearman(spark, Sf0001).collect()(0).getDouble(1)
+    val kt = TextOps.classifierLengthKendall(spark, Sf0001).collect()(0)
+    val tau = kt.getDouble(3)
+    assert(rho >= -1.0 && rho <= 1.0 && tau >= -1.0 && tau <= 1.0)
+    // both audits read the same monotone association; quantization may
+    // shrink it but must not flip it
+    assert(rho.sign == tau.sign, s"rho $rho vs tau $tau")
+    assert(kt.getLong(0) == 500L, "grid mass must cover the corpus")
+  }
+
   test("source profile: planted pairs land in the right (source, source) cells") {
     // plantedDir: 0/1 near-dups in src0; 2 (src1) is 0's exact dup →
     // pairs (0,1) within src0, (0,2) and (1,2) across src0/src1
