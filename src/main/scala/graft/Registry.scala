@@ -169,8 +169,8 @@ object Registry {
     * (md5 of 'w'+bucket → [-500000, 500000]) replayed in DuckDB, so both
     * physical plans hash against one logit definition. */
   private val qualityClassifierCtes: String =
-    """d AS (SELECT doc_id, text, string_split(lower(text), ' ') AS t FROM documents),
-      |s AS (SELECT doc_id, text, CAST(len(t) AS INTEGER) AS n_tokens,
+    """d AS (SELECT doc_id, text, lang, string_split(lower(text), ' ') AS t FROM documents),
+      |s AS (SELECT doc_id, text, lang, CAST(len(t) AS INTEGER) AS n_tokens,
       |        CAST(list_sum(list_transform(t,
       |          tok -> CAST(('0x' || substr(md5('w' || CAST(CAST(('0x' || substr(md5(tok), 1, 5)) AS BIGINT) % 4096 AS VARCHAR)), 1, 8)) AS BIGINT) % 1000001 - 500000)) AS BIGINT) AS logit
       |      FROM d)""".stripMargin
@@ -2952,6 +2952,39 @@ object Registry {
         |            THEN (2.0 * (CAST(conc AS DOUBLE) - CAST(disc AS DOUBLE)))
         |                 / (sqrt(CAST(n0x2 AS DOUBLE) - CAST(tx2 AS DOUBLE)) * sqrt(CAST(n0x2 AS DOUBLE) - CAST(ty2 AS DOUBLE))) END AS tau_b
         |FROM cd, tx, ty, nn""".stripMargin)),
+    // Per-language AUC: the ranking-fairness audit — same rank-sum
+    // identity as x_quality_auc with every stage keyed by lang
+    GraftQuery("x_quality_auc_by_lang", TextOps.classifierAucByLang, Some(
+      s"""WITH $qualityClassifierCtes,
+        |g AS (SELECT lang, logit, $stopCountSql / len(string_split(text, ' ')) >= 0.1 AS gold FROM s),
+        |f AS (SELECT lang, logit, CAST(sum(CASE WHEN gold THEN 0 ELSE 1 END) AS BIGINT) AS c0,
+        |             CAST(sum(CASE WHEN gold THEN 1 ELSE 0 END) AS BIGINT) AS c1
+        |      FROM g GROUP BY lang, logit),
+        |r AS (SELECT lang, c0, c1,
+        |        coalesce(sum(c0 + c1) OVER (PARTITION BY lang ORDER BY logit ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cb
+        |      FROM f),
+        |a AS (SELECT lang, CAST(sum(c0) AS BIGINT) AS n0, CAST(sum(c1) AS BIGINT) AS n1,
+        |             sum(CAST(c1 AS HUGEINT) * (cb * 2 + c0 + c1 + 1)) AS r1x2 FROM r GROUP BY lang),
+        |b AS (SELECT lang, n0, n1,
+        |        CASE WHEN n0 > 0 AND n1 > 0
+        |             THEN CAST(r1x2 - CAST(n1 AS HUGEINT) * (CAST(n1 AS HUGEINT) + 1) AS DOUBLE)
+        |                  / (2.0 * CAST(n0 AS DOUBLE) * CAST(n1 AS DOUBLE)) END AS auc FROM a)
+        |SELECT lang, n0, n1, auc, 2.0 * auc - 1.0 AS gini FROM b ORDER BY lang""".stripMargin)),
+    // Disparate-impact (four-fifths) audit of the keep decision by
+    // language: integer group counts, rate ratios vs the most-favored
+    // group — the curation-governance readout for a biased filter
+    GraftQuery("x_quality_disparity", TextOps.classifierDisparity, Some(
+      s"""WITH $qualityClassifierCtes,
+        |g AS (SELECT lang AS "group", count(*) AS n,
+        |             CAST(sum(CASE WHEN logit > 0 THEN 1 ELSE 0 END) AS BIGINT) AS n_keep
+        |      FROM s GROUP BY lang),
+        |r AS (SELECT "group", n, n_keep,
+        |             CAST(n_keep AS DOUBLE) / CAST(n AS DOUBLE) AS keep_rate FROM g),
+        |m AS (SELECT max(keep_rate) AS max_rate FROM r)
+        |SELECT "group", n, n_keep, keep_rate,
+        |       CASE WHEN max_rate > 0.0 THEN keep_rate / max_rate END AS impact_ratio,
+        |       CASE WHEN max_rate > 0.0 THEN keep_rate / max_rate END < 0.8 AS flagged
+        |FROM r, m ORDER BY "group"""".stripMargin)),
     GraftQuery("x_text_repetition", TextOps.repetition, Some(
       """WITH t AS (SELECT doc_id, string_split(lower(text), ' ') AS tk FROM documents),
         |g AS (SELECT doc_id,

@@ -977,24 +977,87 @@ object TextOps {
     * hand-computed areas (perfect = 1, inverted = 0, ties = ½ credit).
     * One value-frequency aggregate, [[StatsOps.withRunningCount]]'s
     * de-skewed running counts, one 1-row reduce. */
-  private[ops] def aucOf(scored: DataFrame): DataFrame = {
+  private[ops] def aucOf(scored: DataFrame): DataFrame = aucCore(scored, Nil)
+
+  /** Per-key AUC (the fairness-by-group form): the SAME rank machinery
+    * with every stage keyed — frequency rows carry the key, the
+    * running counts range-partition WITHIN each key group, and the
+    * reduce is one row per key. */
+  private[ops] def aucByKey(scored: DataFrame, key: String): DataFrame =
+    aucCore(scored, Seq(key))
+
+  private def aucCore(scored: DataFrame, keyCols: Seq[String]): DataFrame = {
     val d38 = DecimalType(38, 0)
-    val freq = scored.groupBy(col("score"))
+    val keys = keyCols.map(col)
+    val freq = scored.groupBy(keys :+ col("score"): _*)
       .agg(sum(when(col("gold"), 0L).otherwise(1L)).as("c0"),
         sum(when(col("gold"), 1L).otherwise(0L)).as("c1"))
       .withColumn("cnt", col("c0") + col("c1"))
-    val run = StatsOps.withRunningCount(freq, Nil, "score", "cnt", "run")
+    val run = StatsOps.withRunningCount(freq, keyCols, "score", "cnt", "run")
       .withColumn("cb", col("run") - col("cnt"))
     val db = (c: String) => col(c).cast(DoubleType)
-    run
-      .agg(sum(col("c0")).as("n0"), sum(col("c1")).as("n1"),
-        sum(col("c1").cast(d38) *
-          (col("cb") * 2 + col("c0") + col("c1") + 1).cast(d38)).as("r1x2"))
-      .select(col("n0"), col("n1"),
+    val aggs = Seq(sum(col("c0")).as("n0"), sum(col("c1")).as("n1"),
+      sum(col("c1").cast(d38) *
+        (col("cb") * 2 + col("c0") + col("c1") + 1).cast(d38)).as("r1x2"))
+    val grouped =
+      if (keyCols.isEmpty) run.agg(aggs.head, aggs.tail: _*)
+      else run.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+    val out = grouped
+      .select(keys ++ Seq(col("n0"), col("n1"),
         when(col("n0") > 0L && col("n1") > 0L,
           (col("r1x2") - col("n1").cast(d38) * (col("n1").cast(d38) + 1))
-            .cast(DoubleType) / (lit(2.0) * db("n0") * db("n1"))).as("auc"))
+            .cast(DoubleType) / (lit(2.0) * db("n0") * db("n1"))).as("auc")): _*)
       .withColumn("gini", lit(2.0) * col("auc") - lit(1.0))
+    if (keyCols.isEmpty) out else out.orderBy(keyCols.head, keyCols.tail: _*)
+  }
+
+  /** Per-language AUC of the classifier — the RANKING-fairness audit
+    * next to [[classifierDisparity]]'s selection-rate one: a filter can
+    * keep every language at the same rate and still rank one language's
+    * quality signal at chance (AUC ≈ ½ for that group means the
+    * threshold is effectively random there). One keyed frequency
+    * aggregate, per-language de-skewed rank sums, |langs| output rows. */
+  def classifierAucByLang(spark: SparkSession, dir: String): DataFrame = {
+    val t = split(lower(col("text")), " ")
+    aucByKey(Tables(spark, dir, "documents").select(
+      col("lang"),
+      aggregate(transform(t, tok => bucketWeight(featBucket(tok))),
+        lit(0L), (acc, w) => acc + w).as("score"),
+      (stopRatio(col("text")) >= 0.1).as("gold")), "lang")
+  }
+
+  /** Disparate-impact audit of the quality filter's keep decision by
+    * language — the governance readout a curation pipeline publishes
+    * with its datasheet: each group's keep rate, its ratio to the
+    * most-favored group's rate, and the EEOC four-fifths flag
+    * (ratio < 0.8). A quality filter that silently suppresses one
+    * language's data is a model-capability bug downstream; this is the
+    * one-scan check that catches it. Integer counts per group, rates
+    * and ratios a fixed IEEE tree mirrored in the oracle; the max rate
+    * broadcasts back over the |langs|-row table. */
+  def classifierDisparity(spark: SparkSession, dir: String): DataFrame = {
+    val t = split(lower(col("text")), " ")
+    keepDisparityOf(Tables(spark, dir, "documents").select(
+      col("lang").as("group"),
+      (aggregate(transform(t, tok => bucketWeight(featBucket(tok))),
+        lit(0L), (acc, w) => acc + w) > 0L).as("keep")))
+  }
+
+  /** The disparity tail over any (group, keep: boolean) relation —
+    * separated for planted-rate specs. */
+  private[ops] def keepDisparityOf(decisions: DataFrame): DataFrame = {
+    val rates = decisions.groupBy(col("group"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
+      .withColumn("keep_rate",
+        col("n_keep").cast(DoubleType) / col("n").cast(DoubleType))
+    val mx = rates.agg(max(col("keep_rate")).as("max_rate"))
+    rates.crossJoin(broadcast(mx))
+      .select(col("group"), col("n"), col("n_keep"), col("keep_rate"),
+        when(col("max_rate") > 0.0, col("keep_rate") / col("max_rate"))
+          .as("impact_ratio"))
+      .withColumn("flagged", col("impact_ratio") < 0.8)
+      .orderBy("group")
   }
 
   /** Expected / maximum calibration error + Brier score of the hashed

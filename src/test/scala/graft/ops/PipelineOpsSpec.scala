@@ -1706,6 +1706,55 @@ class PipelineOpsSpec extends SparkSpec {
     assert(mce >= ece, "a max of per-bin gaps cannot undercut their weighted mean")
   }
 
+  test("auc by key: planted per-group rankings — perfect and inverted groups coexist") {
+    import spark.implicits._
+    // group A ranks perfectly, group B exactly inverted — the keyed rank
+    // sums must not bleed across groups
+    val rows = Seq(
+      ("A", 1L, false), ("A", 2L, false), ("A", 3L, true), ("A", 4L, true),
+      ("B", 4L, false), ("B", 3L, false), ("B", 1L, true), ("B", 2L, true))
+    val got = TextOps.aucByKey(
+      rows.toDF("lang", "score", "gold").repartition(3), "lang").collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getDouble(4))).toSeq
+    assert(got == Seq(("A", 2L, 2L, 1.0, 1.0), ("B", 2L, 2L, 0.0, -1.0)),
+      s"got $got")
+  }
+
+  test("auc by lang: group marginals reconcile with the corpus; global auc is not a group mean") {
+    val per = TextOps.classifierAucByLang(spark, Sf0001).collect()
+    val byLang = Tables(spark, Sf0001, "documents")
+      .groupBy(col("lang")).count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    per.foreach { r =>
+      assert(r.getLong(1) + r.getLong(2) == byLang(r.getString(0)),
+        s"lang ${r.getString(0)} mass diverged")
+      val auc = r.getDouble(3)
+      assert(auc >= 0.0 && auc <= 1.0)
+    }
+  }
+
+  test("disparity: planted keep rates — four-fifths flag fires below 0.8 of the best group") {
+    import spark.implicits._
+    val rows =
+      Seq.fill(10)(("A", true)) ++
+        (Seq.fill(7)(("B", true)) ++ Seq.fill(3)(("B", false))) ++
+        (Seq.fill(9)(("C", true)) :+ (("C", false)))
+    val got = TextOps.keepDisparityOf(rows.toDF("group", "keep").repartition(3))
+      .collect()
+      .map(r => (r.getString(0), r.getLong(1), r.getLong(2), r.getDouble(3),
+        r.getDouble(4), r.getBoolean(5))).toSeq
+    assert(got == Seq(
+      ("A", 10L, 10L, 1.0, 1.0, false),
+      ("B", 10L, 7L, 0.7, 0.7, true),
+      ("C", 10L, 9L, 0.9, 0.9, false)), s"got $got")
+    // all-suppressed corpus: max rate 0 → ratio NULL, never a 0/0 NaN
+    val dead = TextOps.keepDisparityOf(
+      Seq(("A", false), ("B", false)).toDF("group", "keep"))
+      .collect()
+    assert(dead.forall(_.isNullAt(4)))
+  }
+
   test("length-confound audits: spearman and grid kendall agree in sign on the real corpus") {
     val rho = TextOps.classifierLengthSpearman(spark, Sf0001).collect()(0).getDouble(1)
     val kt = TextOps.classifierLengthKendall(spark, Sf0001).collect()(0)
