@@ -1035,22 +1035,37 @@ object TextOps {
     * one-scan check that catches it. Integer counts per group, rates
     * and ratios a fixed IEEE tree mirrored in the oracle; the max rate
     * broadcasts back over the |langs|-row table. */
-  def classifierDisparity(spark: SparkSession, dir: String): DataFrame = {
-    val t = split(lower(col("text")), " ")
+  def classifierDisparity(spark: SparkSession, dir: String): DataFrame =
     keepDisparityOf(Tables(spark, dir, "documents").select(
-      col("lang").as("group"),
-      (aggregate(transform(t, tok => bucketWeight(featBucket(tok))),
-        lit(0L), (acc, w) => acc + w) > 0L).as("keep")))
+      col("lang").as("group"), classifierKeep(col("text")).as("keep")))
+
+  /** The inline keep decision (exact int64 logit sign) as ONE column
+    * expression — shared by the batch disparity audit and its
+    * streaming twin so the live monitor cannot drift from the oracled
+    * decision rule. */
+  private[graft] def classifierKeep(text: Column): Column = {
+    val t = split(lower(text), " ")
+    aggregate(transform(t, tok => bucketWeight(featBucket(tok))),
+      lit(0L), (acc, w) => acc + w) > 0L
   }
 
   /** The disparity tail over any (group, keep: boolean) relation —
     * separated for planted-rate specs. */
-  private[ops] def keepDisparityOf(decisions: DataFrame): DataFrame = {
-    val rates = decisions.groupBy(col("group"))
+  private[ops] def keepDisparityOf(decisions: DataFrame): DataFrame =
+    disparityReport(disparityCounts(decisions))
+
+  /** Per-group integer (n, n_keep) counts — the streamable complete-mode
+    * state of the disparity audit (one row per group). */
+  private[graft] def disparityCounts(decisions: DataFrame): DataFrame =
+    decisions.groupBy(col("group"))
       .agg(count(lit(1)).as("n"),
         sum(when(col("keep"), 1L).otherwise(0L)).as("n_keep"))
-      .withColumn("keep_rate",
-        col("n_keep").cast(DoubleType) / col("n").cast(DoubleType))
+
+  /** Rates + four-fifths flags over the count state — republished per
+    * epoch by the streaming twin, final-select by the batch audit. */
+  private[graft] def disparityReport(counts: DataFrame): DataFrame = {
+    val rates = counts.withColumn("keep_rate",
+      col("n_keep").cast(DoubleType) / col("n").cast(DoubleType))
     val mx = rates.agg(max(col("keep_rate")).as("max_rate"))
     rates.crossJoin(broadcast(mx))
       .select(col("group"), col("n"), col("n_keep"), col("keep_rate"),
