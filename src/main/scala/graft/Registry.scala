@@ -84,6 +84,77 @@ object Registry {
       |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
       |e1 AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)""".stripMargin
 
+  /** Vocabulary-richness oracle: both gram lengths rendered from ONE
+    * panel template over a parameterized gram source (the
+    * filterFunnelOracle rule), mirroring TextOps.vocabRichness. */
+  private val richnessOracle: String = {
+    def panel(n: Int, gramSrc: String): String =
+      s"""SELECT CAST($n AS BIGINT) AS gram_n, n_tokens, n_types, n_hapax, n_dis,
+        |       CAST(n_types AS DOUBLE) / n_tokens AS ttr,
+        |       CAST(n_types AS DOUBLE)
+        |         + CAST(n_hapax AS DOUBLE) * (n_hapax - 1) / (2.0 * (n_dis + 1)) AS chao1,
+        |       CAST(n_hapax AS DOUBLE) / n_tokens AS gt_unseen
+        |FROM (SELECT CAST(sum(c) AS BIGINT) AS n_tokens,
+        |        CAST(count(*) AS BIGINT) AS n_types,
+        |        CAST(sum(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+        |        CAST(sum(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_dis
+        |      FROM (SELECT gram, count(*) AS c FROM ($gramSrc) GROUP BY gram))""".stripMargin
+    val uni = "SELECT unnest(string_split(lower(text), ' ')) AS gram FROM documents"
+    val tri =
+      """SELECT array_to_string(t[i:i+2], ' ') AS gram
+        |       FROM (SELECT t, unnest(range(1, len(t)-1)) AS i
+        |             FROM (SELECT string_split(lower(text), ' ') AS t FROM documents)
+        |             WHERE len(t) >= 3)""".stripMargin
+    s"${panel(1, uni)}\nUNION ALL\n${panel(3, tri)}\nORDER BY gram_n"
+  }
+
+  /** MMR re-rank oracle: DuckDB replays the exact-dot candidate pool
+    * and ALL greedy rounds — each round a generated CTE pair (max-sim
+    * against the selected union, then the argmax cut), the
+    * filterFunnelOracle template rule. Everything is integer on the
+    * EmbedOps.Scale grid, so the greedy trajectory hash-matches
+    * bit-for-bit. */
+  private val mmrOracle: String = {
+    val rounds = (2 to SimilarityOps.MmrTopK).map { r =>
+      val prev = (1 until r).map(i => s"SELECT q_id, cand, cv FROM s$i")
+        .mkString(" UNION ALL ")
+      s"""u${r - 1} AS ($prev),
+        |c$r AS (SELECT p.q_id, p.cand,
+        |          max(CAST(list_dot_product(p.cv, s.cv) AS BIGINT)) AS ms
+        |        FROM pool p JOIN u${r - 1} s USING (q_id)
+        |        WHERE NOT EXISTS (SELECT 1 FROM u${r - 1} x
+        |                          WHERE x.q_id = p.q_id AND x.cand = p.cand)
+        |        GROUP BY p.q_id, p.cand),
+        |s$r AS (SELECT q_id, cand, rel, ms, $r AS round, cv FROM (
+        |        SELECT c.q_id, c.cand, p.rel, c.ms, p.cv,
+        |               row_number() OVER (PARTITION BY c.q_id
+        |                 ORDER BY p.rel - c.ms DESC, c.cand) AS rn
+        |        FROM c$r c JOIN pool p ON p.q_id = c.q_id AND p.cand = c.cand)
+        |        WHERE rn = 1)""".stripMargin
+    }.mkString(",\n")
+    val sel = (1 to SimilarityOps.MmrTopK)
+      .map(i => s"SELECT q_id, cand, rel, ms, round FROM s$i")
+      .mkString(" UNION ALL ")
+    s"""WITH se AS (SELECT vec_id,
+      |        list_transform(CAST(embedding AS DOUBLE[]), x -> floor(x * ${graft.ops.EmbedOps.Scale})) AS v
+      |      FROM embeddings),
+      |q AS (SELECT vec_id AS q_id, v AS qv FROM se WHERE vec_id < 10),
+      |sc AS (SELECT q.q_id, e.vec_id AS cand,
+      |         CAST(list_dot_product(q.qv, e.v) AS BIGINT) AS rel, e.v AS cv
+      |       FROM q JOIN se e ON e.vec_id <> q.q_id),
+      |pool AS (SELECT q_id, cand, rel, cv FROM (
+      |         SELECT *, row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, cand) AS rn
+      |         FROM sc) WHERE rn <= ${SimilarityOps.MmrPool}),
+      |s1 AS (SELECT q_id, cand, rel, CAST(0 AS BIGINT) AS ms, 1 AS round, cv FROM (
+      |       SELECT q_id, cand, rel, cv,
+      |              row_number() OVER (PARTITION BY q_id ORDER BY rel DESC, cand) AS rn
+      |       FROM pool) WHERE rn = 1),
+      |$rounds
+      |SELECT q_id, round, cand AS neighbor_id, rel AS rel_dot, ms AS max_sim,
+      |       rel - ms AS score2
+      |FROM ($sel) ORDER BY q_id, round""".stripMargin
+  }
+
   /** Exact cosine-top-10 recall-gate oracle, parameterized by the
     * serving path's recall floor — the same brute-force CTE chain was
     * previously copied per gate (the drift hazard the evalSummaryTail
@@ -195,6 +266,17 @@ object Registry {
       |         CAST(sum(CASE WHEN NOT a AND b THEN 1 ELSE 0 END) AS BIGINT) AS n01,
       |         CAST(sum(CASE WHEN NOT a AND NOT b THEN 1 ELSE 0 END) AS BIGINT) AS n00
       |       FROM g)""".stripMargin
+
+  /** Three-rater binary vote count k ∈ {0..3} per document (classifier
+    * keep + stopword gold + low-punctuation) over the classifier scan
+    * `s` — shared by the Fleiss-kappa and Krippendorff-alpha oracles,
+    * mirroring TextOps.raterVotes. */
+  private val raterVotesCtes: String =
+    s"""$qualityClassifierCtes,
+      |g AS (SELECT (CASE WHEN logit > 0 THEN 1 ELSE 0 END)
+      |           + (CASE WHEN $stopCountSql / len(string_split(text, ' ')) >= 0.1 THEN 1 ELSE 0 END)
+      |           + (CASE WHEN length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) / length(text) < 0.1 THEN 1 ELSE 0 END) AS k
+      |      FROM s)""".stripMargin
 
   /** The fixed-width clamped logit bin (the calibration bucketing) —
     * one definition shared by the calibration, isotonic, ECE and
@@ -2756,6 +2838,11 @@ object Registry {
         |SELECT CAST(theta AS BIGINT) AS theta, n_terms, covered,
         |       CAST(covered AS DOUBLE) / CAST(tot AS DOUBLE) AS share
         |FROM a CROSS JOIN tot ORDER BY theta""".stripMargin)),
+    // vocabulary-richness panel (unigrams + 3-token shingles): TTR, the
+    // Chao1 lower bound V + n1(n1−1)/(2(n2+1)) and Good–Turing unseen
+    // mass n1/N — integer aggregates of the gram-frequency table, each
+    // readout one fixed IEEE tree; both rows from ONE template
+    GraftQuery("x_text_richness", TextOps.vocabRichness, Some(richnessOracle)),
     // vocabulary-coverage profile: per-doc OOV occurrences against the
     // deterministic top-V df vocabulary (V=16 bites on the 31-term
     // synthetic vocab; production V ~1e5, same plan)
@@ -2834,11 +2921,7 @@ object Registry {
     // the per-doc agreement term is 1 or 1/3, so the mean is exact
     // integers + one division (no order-dependent double fold)
     GraftQuery("x_quality_fleiss", TextOps.fleissKappa, Some(
-      s"""WITH $qualityClassifierCtes,
-        |g AS (SELECT (CASE WHEN logit > 0 THEN 1 ELSE 0 END)
-        |           + (CASE WHEN $stopCountSql / len(string_split(text, ' ')) >= 0.1 THEN 1 ELSE 0 END)
-        |           + (CASE WHEN length(regexp_replace(text, '[A-Za-z0-9\\s]', '', 'g')) / length(text) < 0.1 THEN 1 ELSE 0 END) AS k
-        |      FROM s),
+      s"""WITH $raterVotesCtes,
         |a AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kv,
         |             CAST(sum(CASE WHEN k = 0 OR k = 3 THEN 1 ELSE 0 END) AS BIGINT) AS u
         |      FROM g),
@@ -2852,6 +2935,23 @@ object Registry {
         |            THEN (p_bar - (p_keep * p_keep + (1.0 - p_keep) * (1.0 - p_keep)))
         |                 / (1.0 - (p_keep * p_keep + (1.0 - p_keep) * (1.0 - p_keep))) END AS kappa
         |FROM m""".stripMargin)),
+    // Krippendorff's alpha over the same three raters: per-unit
+    // disagreement k(3−k) and pooled votes make α = 1 − D(3N−1)/(2K(3N−K))
+    // exact HUGEINT/decimal until ONE division; D_o ≡ 1 − P̄ of fleiss
+    GraftQuery("x_quality_krippendorff", TextOps.krippendorffAlpha, Some(
+      s"""WITH $raterVotesCtes,
+        |a AS (SELECT count(*) AS n, CAST(sum(k) AS BIGINT) AS kv,
+        |             CAST(sum(k * (3 - k)) AS BIGINT) AS d
+        |      FROM g)
+        |SELECT n AS n_docs, kv AS keep_votes, d AS d_num,
+        |       CAST(d AS DOUBLE) / (n * 3) AS d_obs,
+        |       CAST(2 * CAST(kv AS HUGEINT) * (n * 3 - kv) AS DOUBLE)
+        |         / CAST(CAST(n * 3 AS HUGEINT) * (n * 3 - 1) AS DOUBLE) AS d_exp,
+        |       CASE WHEN kv > 0 AND kv < n * 3
+        |            THEN 1.0 - CAST(CAST(d AS HUGEINT) * (n * 3 - 1) AS DOUBLE)
+        |                       / CAST(2 * CAST(kv AS HUGEINT) * (n * 3 - kv) AS DOUBLE)
+        |       END AS alpha
+        |FROM a""".stripMargin)),
     GraftQuery("x_quality_calibration", TextOps.classifierCalibration,
       Some(classifierCalibrationOracle)),
     // Isotonic (PAV) recalibration via the exact minimax identity
@@ -3351,6 +3451,11 @@ object Registry {
         |       CAST(row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank,
         |       neighbor_id
         |FROM s QUALIFY rank <= 5 ORDER BY q_id, rank""".stripMargin)),
+    // MMR diversified re-ranking at λ = 1/2: the doubled objective
+    // rel − max_sim is exact int64 on the EmbedOps.Scale grid — DuckDB
+    // replays the pool and all greedy rounds, ties to the lower id
+    GraftQuery("x_sim_mmr_rerank", (s, d) => SimilarityOps.mmrRerank(s, d),
+      Some(mmrOracle)),
     // SemDeDup-style dedup DECISION: cap each near-dup cluster at one
     // representative; same recursive-CTE closure as x_dedup_clusters,
     // ranked and left-joined back onto the corpus
@@ -3403,6 +3508,34 @@ object Registry {
         |       FROM e JOIN s1 ON s1.vec_id = e.vec_id
         |       LEFT JOIN w2 ON w2.node = e.vec_id)
         |SELECT vec_id, coalesce(lbl, -1) AS label_pred FROM s2 ORDER BY vec_id""".stripMargin)),
+    // nation-assortativity modularity of the purchase graph: per-community
+    // numerators e_in2·m2 − d_c² and their total are exact HUGEINT/decimal,
+    // Q is ONE division — no order-dependent double sum over communities
+    GraftQuery("x_graph_modularity", GraphOps.nationModularity, Some(
+      s"""WITH $graphEdgeCtes,
+        |lab AS (SELECT s_suppkey*2 AS node, CAST(s_nationkey AS BIGINT) AS community FROM supplier
+        |        UNION ALL
+        |        SELECT c_custkey*2+1, CAST(c_nationkey AS BIGINT) FROM customer),
+        |dg AS (SELECT src AS node, count(*) AS deg FROM e1 GROUP BY src),
+        |m AS (SELECT CAST(count(*) AS BIGINT) AS m2 FROM e1),
+        |cd AS (SELECT l.community, CAST(count(*) AS BIGINT) AS n_nodes,
+        |              CAST(sum(dg.deg) AS BIGINT) AS deg_sum
+        |       FROM dg JOIN lab l USING (node) GROUP BY l.community),
+        |ei AS (SELECT la.community, CAST(count(*) AS BIGINT) AS e_in2
+        |       FROM e1 JOIN lab la ON e1.src = la.node
+        |                JOIN lab lb ON e1.dst = lb.node
+        |       WHERE la.community = lb.community GROUP BY la.community),
+        |pc AS (SELECT cd.community, cd.n_nodes, cd.deg_sum,
+        |              coalesce(ei.e_in2, 0) AS e_in2,
+        |              CAST(coalesce(ei.e_in2, 0) AS HUGEINT) * m.m2
+        |                - CAST(cd.deg_sum AS HUGEINT) * cd.deg_sum AS qn,
+        |              m.m2
+        |       FROM cd LEFT JOIN ei USING (community) CROSS JOIN m),
+        |t AS (SELECT sum(qn) AS qt, max(m2) AS m2t FROM pc)
+        |SELECT community, n_nodes, deg_sum, CAST(e_in2 // 2 AS BIGINT) AS e_in,
+        |       CAST(qn AS DOUBLE) / CAST(CAST(m2 AS HUGEINT) * m2 AS DOUBLE) AS q_contrib,
+        |       CAST(qt AS DOUBLE) / CAST(CAST(m2t AS HUGEINT) * m2t AS DOUBLE) AS q_total
+        |FROM pc CROSS JOIN t ORDER BY community""".stripMargin)),
     // PageRank with integer-exact damping/teleport arithmetic — the
     // kmeans playbook applied to iterative graph analytics: the oracle
     // unrolls the same three rounds, ranks hash-match bit-for-bit

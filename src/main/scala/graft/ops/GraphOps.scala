@@ -1,7 +1,8 @@
 package graft.ops
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{DecimalType, DoubleType, LongType}
 
 /** PageRank over the supplier↔customer purchase graph — "which entities
   * anchor the trade network": nodes are suppliers (even ids, 2k) and
@@ -234,6 +235,68 @@ object GraphOps {
     labels
       .select(col("vec_id"), coalesce(col("lbl"), lit(-1)).as("label_pred"))
       .orderBy("vec_id")
+  }
+
+  /** Nation-assortativity modularity of the purchase graph — "does
+    * trade cluster within nations?": Newman modularity
+    * Q = Σ_c [e_c/m − (d_c/2m)²] of the nation partition (supplier and
+    * customer nationkeys) over the symmetrized edge set, the
+    * quality readout for a community assignment that [[labelProp]] and
+    * the component clusterings otherwise lack. Emits one row per
+    * community (connected nodes, intra-edge count, degree mass, exact
+    * Q contribution) with the global Q riding along.
+    *
+    * Exactness: on the symmetrized list (m2 = 2m rows) each term is
+    * rational — Q_c = (e_in2_c·m2 − d_c²)/m2², so the per-community
+    * numerators AND their total are exact DECIMAL(38,0) (d_c² overflows
+    * int64 beyond ~3e9-degree mass) and Q is ONE division — no
+    * order-dependent double sum over communities.
+    *
+    * Scale shape: degree and intra-edge counts are map-side-combinable
+    * aggregates behind keyed joins on node (labels are ∝ |nodes|,
+    * NEVER broadcast — the j3 lesson); the community table is bounded
+    * by |nations|, and the two 1-row aggregates broadcast back. */
+  def nationModularity(spark: SparkSession, dir: String): DataFrame = {
+    val sup = Tables(spark, dir, "supplier").select(
+      (col("s_suppkey") * 2).as("node"),
+      col("s_nationkey").cast(LongType).as("community"))
+    val cust = Tables(spark, dir, "customer").select(
+      (col("c_custkey") * 2 + 1).as("node"),
+      col("c_nationkey").cast(LongType).as("community"))
+    modularityOf(edgesOf(spark, dir), sup.union(cust))
+  }
+
+  /** The modularity core over any symmetrized (src, dst) edge relation
+    * and total (node, community) labeling — separated so specs can feed
+    * planted graphs with hand-computed Q. Isolated nodes carry no edge
+    * mass and drop out (n_nodes counts CONNECTED members). */
+  def modularityOf(edges: DataFrame, labels: DataFrame): DataFrame = {
+    val d38 = (c: Column) => c.cast(DecimalType(38, 0))
+    val dbl = (c: Column) => c.cast(DoubleType)
+    val m2df = edges.agg(count(lit(1)).as("m2"))
+    val deg = edges.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val cd = deg.join(labels, "node")
+      .groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("deg_sum"))
+    val ei = edges
+      .join(labels.select(col("node").as("src"), col("community").as("ca")), "src")
+      .join(labels.select(col("node").as("dst"), col("community").as("cb")), "dst")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community"))
+      .agg(count(lit(1)).as("e_in2"))
+    val pc = cd.join(ei, Seq("community"), "left")
+      .select(col("community"), col("n_nodes"), col("deg_sum"),
+        coalesce(col("e_in2"), lit(0L)).as("e_in2"))
+      .crossJoin(broadcast(m2df))
+      .withColumn("qn",
+        d38(col("e_in2")) * d38(col("m2")) - d38(col("deg_sum")) * d38(col("deg_sum")))
+    val tot = pc.agg(sum(col("qn")).as("qt"), max(col("m2")).as("m2t"))
+    pc.crossJoin(broadcast(tot))
+      .select(col("community"), col("n_nodes"), col("deg_sum"),
+        expr("e_in2 div 2").as("e_in"),
+        (dbl(col("qn")) / dbl(d38(col("m2")) * d38(col("m2")))).as("q_contrib"),
+        (dbl(col("qt")) / dbl(d38(col("m2t")) * d38(col("m2t")))).as("q_total"))
+      .orderBy("community")
   }
 
   /** Per-part triangle participation counts over the co-purchase graph

@@ -92,6 +92,77 @@ object SimilarityOps {
     topkMapSide(scored, K)
   }
 
+  /** MMR candidate-pool size (the re-ranker's input cut) and the
+    * diversified cut it serves — pool ≫ cut so diversity has room to
+    * act. Production pools come from the ANN probe paths (knnJoinIndexed
+    * et al.); the registry entry anchors on the exact-dot pool so the
+    * greedy itself is value-oracled. */
+  private[graft] val MmrPool = 8
+  private[graft] val MmrTopK = 4
+
+  /** Exact int64 dot product over two scaled-integer vectors. */
+  private def dotL(a: Column, b: Column): Column =
+    aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, x) => acc + x)
+
+  /** Maximal-marginal-relevance re-ranking (Carbonell & Goldstein '98)
+    * at λ = 1/2 — the diversity pass a RAG/retrieval serving stack runs
+    * between candidate generation and the context window: greedily pick
+    * argmax_c [λ·rel(c) − (1−λ)·max_{s∈S} sim(c, s)], so near-duplicate
+    * candidates cost their redundancy. At λ = 1/2 the doubled objective
+    * is rel − max_sim: vectors ride the [[EmbedOps.Scale]] integer
+    * grid, every dot product and score is exact int64, ties break to
+    * the lower id — the greedy is fully value-oracled (DuckDB replays
+    * all [[MmrTopK]] rounds) with no floating point anywhere.
+    *
+    * Scale shape: the [[NumQueries]]-row query set broadcasts over ONE
+    * corpus scan into the map-side bounded top-[[MmrPool]] aggregate
+    * (the [[topkBrute]] plan); the greedy then runs on |Q|·pool rows —
+    * constant-size joins independent of corpus scale, eagerly
+    * materialized once (localCheckpoint) so the [[MmrTopK]] rounds
+    * never rescan the corpus. At production scale the pool swaps to an
+    * ANN probe path and the greedy is unchanged. */
+  def mmrRerank(spark: SparkSession, dir: String): DataFrame = {
+    val se = Tables.parallel(spark, dir, "embeddings")
+      .select(col("vec_id"),
+        transform(col("embedding"),
+          x => floor(x.cast(DoubleType) * EmbedOps.Scale).cast(LongType)).as("v"))
+    val queries = se.filter(col("vec_id") < NumQueries)
+      .select(col("vec_id").as("q_id"), col("v").as("qv"))
+    val scored = se.join(broadcast(queries), col("vec_id") =!= col("q_id"))
+      .select(col("q_id"), col("vec_id").as("neighbor_id"),
+        dotL(col("qv"), col("v")).cast(DoubleType).as("cos"))
+    // |Q|·MmrPool rows; lineage truncated so the greedy never rescans
+    val pool = topkMapSideUnordered(scored, MmrPool)
+      .select(col("q_id"), col("neighbor_id").as("cand"))
+      .join(se.select(col("vec_id").as("cand"), col("v").as("cv")), "cand")
+      .join(broadcast(queries), "q_id")
+      .select(col("q_id"), col("cand"), dotL(col("qv"), col("cv")).as("rel"),
+        col("cv"))
+      .localCheckpoint()
+    def argmax(cands: DataFrame, round: Int): DataFrame =
+      cands.groupBy(col("q_id"))
+        .agg(max(struct((col("rel") - col("ms")).as("s"), (-col("cand")).as("nc")))
+          .as("m"))
+        .select(col("q_id"), (-col("m.nc")).as("cand"))
+        .join(cands, Seq("q_id", "cand"))
+        .select(col("q_id"), lit(round).as("round"), col("cand"), col("rel"),
+          col("ms"), col("cv"))
+    var selected = argmax(pool.withColumn("ms", lit(0L)), 1)
+    for (r <- 2 to MmrTopK) {
+      val rem = pool.join(selected.select(col("q_id"), col("cand")),
+        Seq("q_id", "cand"), "left_anti")
+      val msTab = rem
+        .join(selected.select(col("q_id"), col("cv").as("sv")), Seq("q_id"))
+        .select(col("q_id"), col("cand"), dotL(col("cv"), col("sv")).as("sim"))
+        .groupBy(col("q_id"), col("cand")).agg(max(col("sim")).as("ms"))
+      selected = selected.union(argmax(pool.join(msTab, Seq("q_id", "cand")), r))
+    }
+    selected.select(col("q_id"), col("round"), col("cand").as("neighbor_id"),
+      col("rel").as("rel_dot"), col("ms").as("max_sim"),
+      (col("rel") - col("ms")).as("score2"))
+      .orderBy("q_id", "round")
+  }
+
   /** Neighborhood size cap for the bitext margin denominator (Artetxe &
     * Schwenk use k=4); a side smaller than MineK averages over however
     * many cross-side neighbors it actually has. */

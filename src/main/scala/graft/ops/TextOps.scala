@@ -851,14 +851,7 @@ object TextOps {
     * oracle. One map-side-combinable scan. */
   def fleissKappa(spark: SparkSession, dir: String): DataFrame = {
     val dbl = (c: Column) => c.cast(DoubleType)
-    val t = split(lower(col("text")), " ")
-    val votes = Tables(spark, dir, "documents").select(
-      ((aggregate(transform(t, tok => bucketWeight(featBucket(tok))),
-        lit(0L), (acc, w) => acc + w) > 0L).cast(IntegerType)
-        + (stopRatio(col("text")) >= 0.1).cast(IntegerType)
-        + ((length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", ""))
-            / length(col("text"))) < 0.1).cast(IntegerType)).as("k"))
-    votes
+    raterVotes(spark, dir)
       .agg(count(lit(1)).as("n_docs"),
         sum(col("k")).cast(LongType).as("keep_votes"),
         sum(when(col("k") === 0 || col("k") === 3, 1L).otherwise(0L))
@@ -873,6 +866,63 @@ object TextOps {
         col("p_keep"), col("p_bar"), col("p_e"),
         when(col("p_e") < 1.0,
           (col("p_bar") - col("p_e")) / (lit(1.0) - col("p_e"))).as("kappa"))
+  }
+
+  /** The three-rule binary vote count k ∈ {0..3} per document — ONE
+    * definition shared by [[fleissKappa]] and [[krippendorffAlpha]]
+    * (the [[confusionCells]] rule: an agreement-metric tweak edits one
+    * vote source, never two drifting copies). Raters: classifier keep
+    * (logit sign), stopword gold, low-punctuation. */
+  private def raterVotes(spark: SparkSession, dir: String): DataFrame = {
+    val t = split(lower(col("text")), " ")
+    Tables(spark, dir, "documents").select(
+      ((aggregate(transform(t, tok => bucketWeight(featBucket(tok))),
+        lit(0L), (acc, w) => acc + w) > 0L).cast(IntegerType)
+        + (stopRatio(col("text")) >= 0.1).cast(IntegerType)
+        + ((length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", ""))
+            / length(col("text"))) < 0.1).cast(IntegerType)).as("k"))
+  }
+
+  /** Krippendorff's alpha (nominal) across the same three rule
+    * annotators — the reliability readout annotation teams publish when
+    * raters or units can vary (its pairwise-disagreement form
+    * generalizes to missing votes, ordinal metrics, >2 raters):
+    * α = 1 − D_o/D_e with the observed disagreement averaged per unit
+    * and the expected disagreement pooled over ALL ratings with
+    * Krippendorff's finite-sample n(n−1) floor — the small-sample
+    * correction Fleiss' chance term lacks.
+    *
+    * Exactness: with 3 binary raters a unit with k keep-votes
+    * contributes disagreeing-pair weight k(3−k)/3 ∈ {0, 2/3}, so
+    * D = Σ k(3−k) and K = Σ k are two integer sums in the ONE
+    * map-side-combinable scan, and α collapses to
+    * 1 − D(3N−1)/(2K(3N−K)) — DECIMAL(38,0) products (int64 overflows
+    * at N ≈ 2e9 docs), ONE division. D_o = 1 − P̄ of [[fleissKappa]]
+    * exactly (both count the 2-1 splits), which the spec pins.
+    * Degenerate unanimity (K = 0 or K = 3N) yields NULL, never a zero
+    * division. */
+  def krippendorffAlpha(spark: SparkSession, dir: String): DataFrame =
+    krippendorffOfVotes(raterVotes(spark, dir))
+
+  /** The alpha core over any (k: int ∈ 0..3) vote relation — separated
+    * so specs can feed planted vote patterns with hand-computed
+    * alphas. */
+  private[ops] def krippendorffOfVotes(votes: DataFrame): DataFrame = {
+    val d38 = (c: Column) => c.cast(DecimalType(38, 0))
+    val dbl = (c: Column) => c.cast(DoubleType)
+    votes
+      .agg(count(lit(1)).as("n_docs"),
+        sum(col("k")).cast(LongType).as("keep_votes"),
+        sum(col("k") * (lit(3) - col("k"))).cast(LongType).as("d_num"))
+      .withColumn("n3", col("n_docs") * 3)
+      .select(col("n_docs"), col("keep_votes"), col("d_num"),
+        (dbl(col("d_num")) / col("n3")).as("d_obs"),
+        (dbl(d38(lit(2L)) * d38(col("keep_votes")) * d38(col("n3") - col("keep_votes")))
+          / dbl(d38(col("n3")) * d38(col("n3") - 1))).as("d_exp"),
+        when(col("keep_votes") > 0L && col("keep_votes") < col("n3"),
+          lit(1.0) - dbl(d38(col("d_num")) * d38(col("n3") - 1))
+            / dbl(d38(lit(2L)) * d38(col("keep_votes"))
+              * d38(col("n3") - col("keep_votes")))).as("alpha"))
   }
 
   /** The shared bin-table currency behind [[classifierCalibration]],
@@ -1181,5 +1231,49 @@ object TextOps {
         (col("covered").cast(DoubleType) / col("tot").cast(DoubleType))
           .as("share"))
       .orderBy("theta")
+  }
+
+  /** Vocabulary-richness panel — the capture-recapture view of the
+    * corpus vocabulary next to [[vocabCoverageCurve]]'s cutoff view,
+    * one row per gram length (unigrams, and 3-token shingles — the
+    * dedup/fingerprint currency, whose heavy-tailed counts give the
+    * estimators real selectivity where the bounded synthetic word
+    * vocabulary saturates): type-token ratio, the Chao1 lower bound on
+    * TOTAL vocabulary size V + n₁(n₁−1)/(2(n₂+1)) (bias-corrected
+    * form, defined even with no doubletons), and the Good–Turing
+    * unseen-mass estimate n₁/N — the probability the NEXT gram is a
+    * never-seen type, the number that says whether a vocabulary was
+    * fit on enough data.
+    *
+    * Exactness: N, V, hapax n₁ and doubleton n₂ are integer aggregates
+    * of the gram-frequency table (one tokenization pass per row,
+    * map-side-combinable counts, a 1-row reduce); each readout is a
+    * fixed IEEE tree over those integers, replicated in the oracle.
+    * Scale shape: the only shuffle is the gram rollup, bounded by
+    * |vocab| — same plan as the coverage curve. */
+  def vocabRichness(spark: SparkSession, dir: String): DataFrame = {
+    val docs = Tables.parallel(spark, dir, "documents")
+      .select(split(lower(col("text")), " ").as("t"))
+    def panel(n: Int): DataFrame = {
+      val dbl = (c: Column) => c.cast(DoubleType)
+      val grams =
+        if (n == 1) docs.select(explode(col("t")).as("term"))
+        else docs.filter(size(col("t")) >= n)
+          .select(explode(transform(sequence(lit(0), size(col("t")) - n),
+            i => array_join(slice(col("t"), i + 1, lit(n)), " "))).as("term"))
+      grams.groupBy(col("term")).agg(count(lit(1)).as("c"))
+        .agg(sum(col("c")).as("n_tokens"),
+          count(lit(1)).as("n_types"),
+          sum(when(col("c") === 1L, 1L).otherwise(0L)).as("n_hapax"),
+          sum(when(col("c") === 2L, 1L).otherwise(0L)).as("n_dis"))
+        .select(lit(n.toLong).as("gram_n"),
+          col("n_tokens"), col("n_types"), col("n_hapax"), col("n_dis"),
+          (dbl(col("n_types")) / col("n_tokens")).as("ttr"),
+          (dbl(col("n_types"))
+            + dbl(col("n_hapax")) * (col("n_hapax") - 1L)
+              / (lit(2.0) * (col("n_dis") + 1L))).as("chao1"),
+          (dbl(col("n_hapax")) / col("n_tokens")).as("gt_unseen"))
+    }
+    panel(1).union(panel(3)).orderBy("gram_n")
   }
 }

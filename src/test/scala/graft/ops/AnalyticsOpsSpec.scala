@@ -192,6 +192,45 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(ham.sorted.sameElements(brute.sorted))
   }
 
+  test("mmr rerank: local greedy replay matches row-for-row; scores non-increasing") {
+    val vecs = graft.ops.Tables(spark, Sf0001, "embeddings")
+      .select("vec_id", "embedding").collect()
+      .map(r => r.getLong(0) ->
+        r.getSeq[Float](1).map(x => math.floor(x.toDouble * 100000).toLong).toArray)
+      .toMap
+    def dot(a: Array[Long], b: Array[Long]): Long =
+      a.zip(b).map { case (x, y) => x * y }.sum
+    val out = SimilarityOps.mmrRerank(spark, Sf0001).collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+    // replay the greedy locally: pool = top-8 by (dot desc, id), then
+    // 4 rounds of argmax(rel − max-sim-to-selected), ties to lower id
+    for (q <- vecs.keys.filter(_ < 10)) {
+      val pool = vecs.toSeq.collect { case (id, v) if id != q => (id, dot(vecs(q), v)) }
+        .sortBy { case (id, rel) => (-rel, id) }.take(8)
+      var selected = Vector.empty[(Long, Long, Long)]
+      var remaining = pool
+      for (r <- 1 to 4) {
+        val pick = remaining.map { case (id, rel) =>
+          val ms = if (selected.isEmpty) 0L
+            else selected.map(s => dot(vecs(id), vecs(s._1))).max
+          (id, rel, ms)
+        }.minBy { case (id, rel, ms) => (-(rel - ms), id) }
+        selected :+= pick
+        remaining = remaining.filterNot(_._1 == pick._1)
+        assert(out.contains((q, r, pick._1, pick._2, pick._3)),
+          s"q=$q round=$r expected ${pick}")
+      }
+    }
+    // greedy invariant FROM round 2 on: each candidate's max-sim only
+    // grows as the selected set does, so the per-round maxima are
+    // non-increasing (round 1 pins ms = 0, and dot-sims can be
+    // negative, so 1→2 may legitimately rise)
+    out.groupBy(_._1).values.foreach { rows =>
+      val s = rows.sortBy(_._2).map(t => t._4 - t._5).drop(1)
+      assert(s.zip(s.tail).forall { case (a, b) => a >= b })
+    }
+  }
+
   test("binary index probe: identical rows to the inline form") {
     val idx = SimilarityOps.binaryIndexDirFor(Sf0001)
     val inline = SimilarityOps.topkHamming(spark, Sf0001).collect().toSeq

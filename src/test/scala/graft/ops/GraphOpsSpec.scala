@@ -235,4 +235,43 @@ class GraphOpsSpec extends SparkSpec {
       1L -> ((4L, 2L, 2L, 8L)),   // cycle nodes, deg 2
       3L -> ((1L, 8L, 8L, 8L)))) // the hub, deg 8
   }
+
+  test("modularity: two triangles with a bridge — hand-computed Q = 5/14") {
+    // triangles {1,2,3} (community 0) and {4,5,6} (community 1), bridge 3-4:
+    // m = 7, m2 = 14, per community e_in = 3, deg_sum = 7 →
+    // qn = 6·14 − 49 = 35, q_contrib = 35/196, Q = 70/196 = 5/14
+    val g = Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L))
+    val labels = Seq((1L, 0L), (2L, 0L), (3L, 0L), (4L, 1L), (5L, 1L), (6L, 1L))
+      .toDF("node", "community")
+    val rows = GraphOps.modularityOf(symEdges(g), labels).collect()
+    assert(rows.length == 2)
+    rows.foreach { r =>
+      assert(r.getAs[Long]("n_nodes") == 3 && r.getAs[Long]("deg_sum") == 7
+        && r.getAs[Long]("e_in") == 3)
+      assert(r.getAs[Double]("q_contrib") == 35.0 / 196.0)
+      assert(r.getAs[Double]("q_total") == 70.0 / 196.0)
+    }
+  }
+
+  test("modularity: single community is exactly zero; nation partition conserves mass") {
+    import org.apache.spark.sql.functions.{col, lit}
+    // everything in one community: Σd_c = m2 and all edges intra ⇒ Q = 0
+    // exactly (qn = m2·m2 − m2²) — the identity anchor
+    val tri = symEdges(Seq((1L, 2L), (2L, 3L), (1L, 3L)))
+    val one = GraphOps.modularityOf(tri, tri.select(col("src").as("node"))
+      .distinct().withColumn("community", lit(9L))).collect()(0)
+    assert(one.getAs[Double]("q_contrib") == 0.0 && one.getAs[Double]("q_total") == 0.0)
+    // real purchase graph: every endpoint is labeled, so degree mass
+    // partitions exactly across communities (Σ deg_sum = m2 = 2·Σe_in
+    // + inter-edge count) and Q sits in the defined band
+    val real = GraphOps.nationModularity(spark, Sf0001).collect()
+    assert(real.nonEmpty)
+    val m2 = real.map(r => r.getAs[Long]("deg_sum")).sum
+    val intra2 = real.map(r => 2 * r.getAs[Long]("e_in")).sum
+    assert(intra2 <= m2)
+    val q = real.head.getAs[Double]("q_total")
+    assert(real.forall(_.getAs[Double]("q_total") == q))
+    assert(q > -1.0 && q < 1.0)
+  }
 }

@@ -1835,6 +1835,59 @@ class PipelineOpsSpec extends SparkSpec {
     assert(kappa == (pBar - pe) / (1.0 - pe) && kappa >= -1.0 && kappa <= 1.0)
   }
 
+  test("krippendorff alpha: planted votes hand-computed; D ≡ 2(N−u); degenerate NULL") {
+    import spark.implicits._
+    // votes k = [3,0,2,3]: N=4, K=8, D = Σk(3−k) = 2 →
+    // α = 1 − D(3N−1)/(2K(3N−K)) = 1 − 2·11/(2·8·4) = 1 − 22/64
+    val r = TextOps.krippendorffOfVotes(Seq(3, 0, 2, 3).toDF("k")).collect()(0)
+    assert(r.getAs[Long]("n_docs") == 4 && r.getAs[Long]("keep_votes") == 8
+      && r.getAs[Long]("d_num") == 2)
+    assert(r.getAs[Double]("d_obs") == 2.0 / 12.0)
+    assert(r.getAs[Double]("d_exp") == 64.0 / 132.0)
+    assert(r.getAs[Double]("alpha") == 1.0 - 22.0 / 64.0)
+    // unanimous corpus: D_e = 0 → alpha NULL, never a zero division
+    val u = TextOps.krippendorffOfVotes(Seq(3, 3).toDF("k")).collect()(0)
+    assert(u.isNullAt(u.fieldIndex("alpha")))
+    // real corpus, vs fleiss: both metrics count the SAME 2-1 splits, so
+    // D = 2(N − unanimous) exactly, and D_o tracks 1 − P̄ to fp noise
+    val k = TextOps.krippendorffAlpha(spark, Sf0001).collect()(0)
+    val f = TextOps.fleissKappa(spark, Sf0001).collect()(0)
+    assert(k.getAs[Long]("d_num")
+      == 2 * (f.getAs[Long]("n_docs") - f.getAs[Long]("n_unanimous")))
+    assert(math.abs(k.getAs[Double]("d_obs") - (1.0 - f.getAs[Double]("p_bar"))) < 1e-15)
+    val alpha = k.getAs[Double]("alpha")
+    assert(alpha >= -1.0 && alpha <= 1.0)
+  }
+
+  test("vocab richness: exact two-row panel vs an independent local recount") {
+    val docs = graft.ops.Tables(spark, Sf0001, "documents")
+      .select("text").collect().map(_.getString(0).toLowerCase.split(" ", -1).toSeq)
+    val byGram = TextOps.vocabRichness(spark, Sf0001).collect()
+      .map(r => r.getAs[Long]("gram_n") -> r).toMap
+    assert(byGram.keySet == Set(1L, 3L))
+    for ((g, grams) <- Seq(
+        1 -> docs.flatten,
+        3 -> docs.filter(_.length >= 3).flatMap(_.sliding(3).map(_.mkString(" "))))) {
+      val freq = grams.groupBy(identity).view.mapValues(_.length.toLong).toMap
+      val (n, v) = (freq.values.sum, freq.size.toLong)
+      val n1 = freq.values.count(_ == 1L).toLong
+      val n2 = freq.values.count(_ == 2L).toLong
+      val r = byGram(g.toLong)
+      assert(r.getAs[Long]("n_tokens") == n && r.getAs[Long]("n_types") == v)
+      assert(r.getAs[Long]("n_hapax") == n1 && r.getAs[Long]("n_dis") == n2)
+      // the exact IEEE trees, replayed
+      assert(r.getAs[Double]("ttr") == v.toDouble / n)
+      assert(r.getAs[Double]("chao1")
+        == v.toDouble + n1.toDouble * (n1 - 1) / (2.0 * (n2 + 1)))
+      assert(r.getAs[Double]("gt_unseen") == n1.toDouble / n)
+      // Chao1 is a lower bound ABOVE the observed vocabulary
+      assert(r.getAs[Double]("chao1") >= v.toDouble)
+    }
+    // the shingle row must actually exercise the estimators (real n1/n2)
+    assert(byGram(3L).getAs[Long]("n_hapax") > 0
+      && byGram(3L).getAs[Long]("n_dis") > 0)
+  }
+
   test("connected components: chain, triangle, isolated pair — exact clusters") {
     import spark.implicits._
     // chain 1-2-3 (no 1-3 edge), triangle 10-11-12, pair 20-21
