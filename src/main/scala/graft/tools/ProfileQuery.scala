@@ -1,7 +1,6 @@
 package graft.tools
 
 import graft.GraftSession
-import graft.functions.exprs._
 import graft.ops._
 import org.apache.spark.sql.functions._
 
@@ -18,38 +17,41 @@ object ProfileQuery {
       println(f"[profile] $name%-28s ${(System.nanoTime() - t0) / 1e9}%8.2fs  rows=$n")
     }
 
-    // warmup: absorb codegen/classloading before measuring
-    Tables(spark, dir, "documents").queryExecution.toRdd.count()
+    // warmup + input cache
+    Tables.enableInputCache()
+    Tables(spark, dir, "lineitem").queryExecution.toRdd.count()
+    Tables(spark, dir, "orders").queryExecution.toRdd.count()
+    Tables(spark, dir, "supplier").queryExecution.toRdd.count()
+    Tables(spark, dir, "customer").queryExecution.toRdd.count()
 
-    import org.apache.spark.sql.types.IntegerType
-    val docs = Tables.parallel(spark, dir, "documents")
-      .filter(size(split(col("text"), " ")) >= 3)
-      .select(col("doc_id"), shingle_hashes(split(lower(col("text")), " "), 3).as("shs"))
-      .repartition(spark.sparkContext.defaultParallelism)
-      .withColumn("n", size(col("shs")))
-    time("shingle-hash-arrays") { docs.queryExecution.toRdd.count() }
-    // the REAL prefix pipeline stages (mirrors DedupOps.ngramJaccard)
-    val pre = docs.select(col("doc_id"), col("n"),
-      posexplode(slice(col("shs"), lit(1), (col("n") / lit(2)).cast(IntegerType) + lit(1))).as(Seq("p0", "sh")))
-    time("prefix-explode") { pre.queryExecution.toRdd.count() }
-    val posting = pre.groupBy(col("sh"))
-      .agg(collect_list(struct(col("doc_id"), col("n"),
-        (col("p0") + lit(1)).cast(IntegerType).as("pos"))).as("ds"))
-      .filter(size(col("ds")) > 1)
-    time("prefix-posting") { posting.queryExecution.toRdd.count() }
-    time("ppjoin-cands") {
-      posting.select(explode(prefix_candidate_pairs(col("ds"), 1, 2)).as("p"))
-        .queryExecution.toRdd.count()
-    }
-    time("ppjoin-cands-distinct") {
-      posting.select(explode(prefix_candidate_pairs(col("ds"), 1, 2)).as("p"))
-        .select(col("p.doc_a"), col("p.doc_b")).distinct()
-        .queryExecution.toRdd.count()
-    }
-    time("full-ngram-jaccard") { DedupOps.ngramJaccard(spark, dir).queryExecution.toRdd.count() }
-    time("full-minhash") { DedupOps.minhashLsh(spark, dir).queryExecution.toRdd.count() }
-    time("full-simhash") { DedupOps.simhash(spark, dir).queryExecution.toRdd.count() }
-    time("full-topk-brute") { SimilarityOps.topkBrute(spark, dir).queryExecution.toRdd.count() }
+    val li = Tables(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
+    val ord = Tables(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
+    val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select((col("l_suppkey") * 2).as("src"), (col("o_custkey") * 2 + 1).as("dst"))
+    time("join-no-distinct") { joined.queryExecution.toRdd.count() }
+    val e0 = joined.distinct()
+    time("e0-distinct") { e0.queryExecution.toRdd.count() }
+    val e1 = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    time("e1-sym") { e1.queryExecution.toRdd.count() }
+    val sup = Tables(spark, dir, "supplier").select(
+      (col("s_suppkey") * 2).as("node"),
+      col("s_nationkey").cast("long").as("community"))
+    val cust = Tables(spark, dir, "customer").select(
+      (col("c_custkey") * 2 + 1).as("node"),
+      col("c_nationkey").cast("long").as("community"))
+    val labels = sup.union(cust)
+    val deg = e1.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    time("deg") { deg.queryExecution.toRdd.count() }
+    val cd = deg.join(labels, "node").groupBy(col("community"))
+      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("deg_sum"))
+    time("cd") { cd.queryExecution.toRdd.count() }
+    val ei = e1
+      .join(labels.select(col("node").as("src"), col("community").as("ca")), "src")
+      .join(labels.select(col("node").as("dst"), col("community").as("cb")), "dst")
+      .filter(col("ca") === col("cb"))
+      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("e_in2"))
+    time("ei") { ei.queryExecution.toRdd.count() }
+    time("full-op") { GraphOps.nationModularity(spark, dir).queryExecution.toRdd.count() }
     spark.stop()
   }
 }
