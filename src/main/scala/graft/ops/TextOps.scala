@@ -849,13 +849,25 @@ object TextOps {
     * chance floor uses the pooled keep share p = keep_votes/(3N);
     * kappa = (P̄ − Pe)/(1 − Pe) is a fixed IEEE tree replicated in the
     * oracle. One map-side-combinable scan. */
-  def fleissKappa(spark: SparkSession, dir: String): DataFrame = {
+  def fleissKappa(spark: SparkSession, dir: String): DataFrame =
+    fleissOfCounts(agreementCounts(raterVotes(spark, dir)))
+
+  /** The 1-row integer agreement state over any (k: int ∈ 0..3) vote
+    * relation — the full sufficient statistic for BOTH agreement
+    * metrics (Σk(3−k) ≡ 2(N − unanimous): a unit disagrees iff it is a
+    * 2-1 split), and therefore the streaming twin's complete-mode
+    * state. Map-side combinable. */
+  private[graft] def agreementCounts(votes: DataFrame): DataFrame =
+    votes.agg(count(lit(1)).as("n_docs"),
+      sum(col("k")).cast(LongType).as("keep_votes"),
+      sum(when(col("k") === 0 || col("k") === 3, 1L).otherwise(0L))
+        .as("n_unanimous"))
+
+  /** Fleiss tail over the agreement counts — the fixed IEEE tree the
+    * oracle replicates. */
+  private[graft] def fleissOfCounts(counts: DataFrame): DataFrame = {
     val dbl = (c: Column) => c.cast(DoubleType)
-    raterVotes(spark, dir)
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("k")).cast(LongType).as("keep_votes"),
-        sum(when(col("k") === 0 || col("k") === 3, 1L).otherwise(0L))
-          .as("n_unanimous"))
+    counts
       .withColumn("p_keep", dbl(col("keep_votes")) / (col("n_docs") * 3))
       .withColumn("p_bar",
         (dbl(col("n_docs")) + col("n_unanimous") * 2) / (col("n_docs") * 3))
@@ -873,15 +885,17 @@ object TextOps {
     * (the [[confusionCells]] rule: an agreement-metric tweak edits one
     * vote source, never two drifting copies). Raters: classifier keep
     * (logit sign), stopword gold, low-punctuation. */
-  private def raterVotes(spark: SparkSession, dir: String): DataFrame = {
-    val t = split(lower(col("text")), " ")
-    Tables(spark, dir, "documents").select(
-      ((aggregate(transform(t, tok => bucketWeight(featBucket(tok))),
-        lit(0L), (acc, w) => acc + w) > 0L).cast(IntegerType)
-        + (stopRatio(col("text")) >= 0.1).cast(IntegerType)
-        + ((length(regexp_replace(col("text"), "[A-Za-z0-9\\s]", ""))
-            / length(col("text"))) < 0.1).cast(IntegerType)).as("k"))
-  }
+  private def raterVotes(spark: SparkSession, dir: String): DataFrame =
+    Tables(spark, dir, "documents").select(raterVoteExpr(col("text")).as("k"))
+
+  /** The per-document vote count as ONE expression over a text column —
+    * shared by the batch scan and the streaming agreement twin, riding
+    * [[classifierKeep]] for the first rater. */
+  private[graft] def raterVoteExpr(text: Column): Column =
+    classifierKeep(text).cast(IntegerType) +
+      (stopRatio(text) >= 0.1).cast(IntegerType) +
+      ((length(regexp_replace(text, "[A-Za-z0-9\\s]", ""))
+        / length(text)) < 0.1).cast(IntegerType)
 
   /** Krippendorff's alpha (nominal) across the same three rule
     * annotators — the reliability readout annotation teams publish when
@@ -907,13 +921,25 @@ object TextOps {
   /** The alpha core over any (k: int ∈ 0..3) vote relation — separated
     * so specs can feed planted vote patterns with hand-computed
     * alphas. */
-  private[ops] def krippendorffOfVotes(votes: DataFrame): DataFrame = {
+  private[ops] def krippendorffOfVotes(votes: DataFrame): DataFrame =
+    krippendorffOfCounts(agreementCounts(votes))
+
+  /** Both agreement readouts off ONE counts row — the streaming twin's
+    * published artifact (kappa and alpha side by side, the same fixed
+    * IEEE trees as the two batch entries). */
+  private[graft] def agreementReport(counts: DataFrame): DataFrame =
+    fleissOfCounts(counts).crossJoin(
+      krippendorffOfCounts(counts)
+        .select(col("d_num"), col("d_obs"), col("d_exp"), col("alpha")))
+
+  /** Alpha tail over the shared agreement counts: D = Σk(3−k) derives
+    * exactly as 2(N − unanimous) — a unit contributes disagreement 2
+    * iff it is a 2-1 split. */
+  private[graft] def krippendorffOfCounts(counts: DataFrame): DataFrame = {
     val d38 = (c: Column) => c.cast(DecimalType(38, 0))
     val dbl = (c: Column) => c.cast(DoubleType)
-    votes
-      .agg(count(lit(1)).as("n_docs"),
-        sum(col("k")).cast(LongType).as("keep_votes"),
-        sum(col("k") * (lit(3) - col("k"))).cast(LongType).as("d_num"))
+    counts
+      .withColumn("d_num", (col("n_docs") - col("n_unanimous")) * 2)
       .withColumn("n3", col("n_docs") * 3)
       .select(col("n_docs"), col("keep_votes"), col("d_num"),
         (dbl(col("d_num")) / col("n3")).as("d_obs"),
