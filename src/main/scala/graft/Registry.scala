@@ -2838,6 +2838,35 @@ object Registry {
         |SELECT CAST(theta AS BIGINT) AS theta, n_terms, covered,
         |       CAST(covered AS DOUBLE) / CAST(tot AS DOUBLE) AS share
         |FROM a CROSS JOIN tot ORDER BY theta""".stripMargin)),
+    // token-level F1 over the verified near-dup pair set: clipped
+    // overlap shares its numerator between precision and recall, so
+    // F1 = 2o/(n_a+n_b) is one exact rational per pair; micro-F1 is
+    // integer sums + one division — the SQuAD/generation-eval core
+    GraftQuery("x_eval_token_f1", TextOps.pairTokenF1, Some(
+      s"""WITH $trigramCtes,
+        |$goodPairsCtes,
+        |tok AS (SELECT doc_id, unnest(string_split(lower(text), ' ')) AS term
+        |        FROM documents),
+        |tf AS (SELECT doc_id, term, CAST(count(*) AS BIGINT) AS tf
+        |       FROM tok GROUP BY 1, 2),
+        |nt AS (SELECT doc_id, CAST(sum(tf) AS BIGINT) AS n FROM tf GROUP BY 1),
+        |ov AS (SELECT g.doc_a, g.doc_b, CAST(sum(least(a.tf, b.tf)) AS BIGINT) AS overlap
+        |       FROM good g JOIN tf a ON a.doc_id = g.doc_a
+        |                   JOIN tf b ON b.doc_id = g.doc_b AND b.term = a.term
+        |       GROUP BY 1, 2),
+        |o AS (SELECT g.doc_a, g.doc_b, na.n AS n_a, nb.n AS n_b,
+        |        coalesce(ov.overlap, 0) AS overlap
+        |      FROM good g JOIN nt na ON na.doc_id = g.doc_a
+        |                  JOIN nt nb ON nb.doc_id = g.doc_b
+        |      LEFT JOIN ov ON ov.doc_a = g.doc_a AND ov.doc_b = g.doc_b),
+        |t AS (SELECT CAST(sum(overlap) AS BIGINT) AS so,
+        |        CAST(sum(n_a + n_b) AS BIGINT) AS sn FROM o)
+        |SELECT doc_a, doc_b, n_a, n_b, overlap,
+        |       CAST(overlap AS DOUBLE) / n_a AS p,
+        |       CAST(overlap AS DOUBLE) / n_b AS r,
+        |       CAST(overlap * 2 AS DOUBLE) / (n_a + n_b) AS f1,
+        |       CAST(so * 2 AS DOUBLE) / sn AS micro_f1
+        |FROM o CROSS JOIN t ORDER BY doc_a, doc_b""".stripMargin)),
     // vocabulary-richness panel (unigrams + 3-token shingles): TTR, the
     // Chao1 lower bound V + n1(n1−1)/(2(n2+1)) and Good–Turing unseen
     // mass n1/N — integer aggregates of the gram-frequency table, each
@@ -3536,6 +3565,25 @@ object Registry {
         |       CAST(qn AS DOUBLE) / CAST(CAST(m2 AS HUGEINT) * m2 AS DOUBLE) AS q_contrib,
         |       CAST(qt AS DOUBLE) / CAST(CAST(m2t AS HUGEINT) * m2t AS DOUBLE) AS q_total
         |FROM pc CROSS JOIN t ORDER BY community""".stripMargin)),
+    // degree assortativity: on a symmetrized edge list the Pearson
+    // marginals coincide, so r = (m2·Σdxdy − (Σdx)²)/(m2·Σdx² − (Σdx)²)
+    // is fully rational — HUGEINT/decimal moments, ONE division
+    GraftQuery("x_graph_assortativity", GraphOps.degreeAssortativity, Some(
+      s"""WITH $graphEdgeCtes,
+        |d AS (SELECT src AS node, count(*) AS deg FROM e1 GROUP BY src),
+        |x AS (SELECT da.deg AS dx, db.deg AS dy
+        |      FROM e1 JOIN d da ON e1.src = da.node JOIN d db ON e1.dst = db.node),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS m2,
+        |        sum(CAST(dx AS HUGEINT)) AS sx,
+        |        sum(CAST(dx AS HUGEINT) * dx) AS sxx,
+        |        sum(CAST(dx AS HUGEINT) * dy) AS sxy FROM x),
+        |n AS (SELECT CAST(count(*) AS BIGINT) AS n_nodes FROM d)
+        |SELECT m2 AS n_edges_sym, n_nodes,
+        |       CASE WHEN m2 * sxx - sx * sx > 0
+        |            THEN CAST(m2 * sxy - sx * sx AS DOUBLE)
+        |                 / CAST(m2 * sxx - sx * sx AS DOUBLE)
+        |       END AS assortativity
+        |FROM a CROSS JOIN n""".stripMargin)),
     // PageRank with integer-exact damping/teleport arithmetic — the
     // kmeans playbook applied to iterative graph analytics: the oracle
     // unrolls the same three rounds, ranks hash-match bit-for-bit

@@ -314,6 +314,54 @@ object GraphOps {
       .orderBy("community")
   }
 
+  /** Degree assortativity of the purchase graph — "do hubs trade with
+    * hubs?": the Pearson correlation of endpoint degrees over the edge
+    * list (Newman '02), the one-number summary of whether the network
+    * is hub-to-hub (r > 0, robust to hub removal) or hub-and-spoke
+    * (r < 0, fragile) — the capacity-planning readout next to
+    * [[degreeHistogramOf]]'s shape and [[nationModularity]]'s mixing.
+    *
+    * On a SYMMETRIZED edge list the source and destination marginals
+    * coincide, so the usual sqrt denominator collapses and
+    * r = (m2·Σdxdy − (Σdx)²) / (m2·Σdx² − (Σdx)²) is fully RATIONAL:
+    * DECIMAL(38,0) moments (Σ over edges of deg products overflows
+    * int64 beyond ~3e9 edge-degree mass), ONE division. A
+    * degree-regular graph has zero variance → NULL, never a division
+    * blowup.
+    *
+    * Scale shape: degree rollup + one re-join of degrees onto the
+    * persisted edge list (the modularity scan-twice pattern), then a
+    * 1-row map-side-combinable moment reduce. */
+  def degreeAssortativity(spark: SparkSession, dir: String): DataFrame =
+    assortativityOf(edgesOf(spark, dir))
+
+  /** The assortativity core over any symmetrized (src, dst) relation —
+    * separated so specs can feed planted graphs (star → exactly −1,
+    * regular ring → NULL). */
+  def assortativityOf(edges: DataFrame): DataFrame = {
+    val d38 = (c: Column) => c.cast(DecimalType(38, 0))
+    val dbl = (c: Column) => c.cast(DoubleType)
+    val e = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val nn = deg.agg(count(lit(1)).as("n_nodes"))
+    val m = e
+      .join(deg.select(col("node").as("src"), col("deg").as("dx")), "src")
+      .join(deg.select(col("node").as("dst"), col("deg").as("dy")), "dst")
+      .agg(count(lit(1)).as("m2"),
+        sum(d38(col("dx"))).as("sx"),
+        sum(d38(col("dx")) * d38(col("dx"))).as("sxx"),
+        sum(d38(col("dx")) * d38(col("dy"))).as("sxy"))
+    // 1-row moment table, checkpointed eagerly so the edge cache can be
+    // released before the (lazy) readout is served
+    val m1 = m.crossJoin(broadcast(nn)).localCheckpoint()
+    e.unpersist()
+    m1.select(col("m2").as("n_edges_sym"), col("n_nodes"),
+      when(d38(col("m2")) * col("sxx") - col("sx") * col("sx") > 0,
+        dbl(d38(col("m2")) * col("sxy") - col("sx") * col("sx"))
+          / dbl(d38(col("m2")) * col("sxx") - col("sx") * col("sx")))
+        .as("assortativity"))
+  }
+
   /** Per-part triangle participation counts over the co-purchase graph
     * (parts co-occurring in ≥ [[TriMinSupport]] orders) — the local
     * clustering signal behind community detection and recommendation

@@ -86,6 +86,62 @@ object TextOps {
       .groupBy(col("doc_id"), col("term"))
       .agg(count(lit(1)).cast(IntegerType).as("tf"))
 
+  /** Token-level F1 between each verified near-dup pair — the
+    * SQuAD/generation-eval arithmetic (prediction-vs-reference clipped
+    * token overlap) run at corpus scale over the one paired-text set
+    * the fixture provides, [[graft.ops.DedupOps.ngramJaccard]]'s
+    * decision pairs: the reader's sanity panel for what "near-dup at
+    * Jaccard ≥ 1/2 on shingles" MEANS in token terms, and the reusable
+    * F1 core an eval harness points at (prediction_id, gold_id) pairs.
+    *
+    * Exactness: clipped overlap o = Σ_t min(tf_a, tf_b) shares its
+    * numerator between precision o/n_a and recall o/n_b, so the
+    * harmonic mean COLLAPSES to F1 = 2o/(n_a + n_b) — one exact
+    * rational per pair, one division; the corpus micro-F1
+    * 2Σo/Σ(n_a+n_b) is integer sums + one division (no order-dependent
+    * mean of per-pair doubles anywhere).
+    *
+    * Scale shape: tf joins are keyed on (doc, term) — overlap rows
+    * exist only for terms BOTH sides contain (a min with one side
+    * absent is 0, so the inner join is exact); the per-pair table is
+    * checkpointed (∝ |pairs|, the op's own output size) so the micro
+    * totals never re-run the pair detection. */
+  def pairTokenF1(spark: SparkSession, dir: String): DataFrame = {
+    val dbl = (c: Column) => c.cast(DoubleType)
+    // the pair-detection subtree is referenced twice below (overlap and
+    // the left-join base) — materialize its small id list once so the
+    // near-dup pipeline runs ONCE and the planner sees a broadcastable
+    // build side instead of an opaque lazy subtree
+    val pairs = DedupOps.ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    val tf = termTf(spark, dir)
+    val nTok = tf.groupBy(col("doc_id"))
+      .agg(sum(col("tf")).cast(LongType).as("n"))
+    val ov = pairs
+      .join(tf.select(col("doc_id").as("doc_a"), col("term"),
+        col("tf").as("tf_a")), Seq("doc_a"))
+      .join(tf.select(col("doc_id").as("doc_b"), col("term"),
+        col("tf").as("tf_b")), Seq("doc_b", "term"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(sum(least(col("tf_a"), col("tf_b")).cast(LongType)).as("overlap"))
+    val perPair = pairs
+      .join(ov, Seq("doc_a", "doc_b"), "left")
+      .join(nTok.select(col("doc_id").as("doc_a"), col("n").as("n_a")), Seq("doc_a"))
+      .join(nTok.select(col("doc_id").as("doc_b"), col("n").as("n_b")), Seq("doc_b"))
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"),
+        coalesce(col("overlap"), lit(0L)).as("overlap"))
+      .localCheckpoint()
+    val tot = perPair.agg(sum(col("overlap")).as("so"),
+      sum(col("n_a") + col("n_b")).as("sn"))
+    perPair.crossJoin(broadcast(tot))
+      .select(col("doc_a"), col("doc_b"), col("n_a"), col("n_b"), col("overlap"),
+        (dbl(col("overlap")) / col("n_a")).as("p"),
+        (dbl(col("overlap")) / col("n_b")).as("r"),
+        (dbl(col("overlap") * 2) / (col("n_a") + col("n_b"))).as("f1"),
+        (dbl(col("so") * 2) / col("sn")).as("micro_f1"))
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Corpus vocabulary statistics: the `top` terms by document frequency
     * (boilerplate/stopword discovery — what a pipeline inspects before
     * choosing filter lists). Two keyed aggregations, then a distributed

@@ -254,6 +254,23 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("assortativity: star is exactly −1, regular ring is NULL, real graph in band") {
+    // star: endpoint-degree pairs are (n,1) and (1,n) — algebra gives
+    // num = −n²(n−1)², den = n²(n−1)² → r = −1 exactly
+    val star = symEdges((1L to 8L).map(l => (0L, l)))
+    val s = GraphOps.assortativityOf(star).collect()(0)
+    assert(s.getAs[Long]("n_edges_sym") == 16 && s.getAs[Long]("n_nodes") == 9)
+    assert(s.getAs[Double]("assortativity") == -1.0)
+    // degree-regular graph: zero variance → NULL, never a blowup
+    val ring = symEdges((0L until 6L).map(i => (i, (i + 1) % 6)))
+    val rr = GraphOps.assortativityOf(ring).collect()(0)
+    assert(rr.isNullAt(rr.fieldIndex("assortativity")))
+    // the real purchase graph: defined and inside the Pearson band
+    val real = GraphOps.degreeAssortativity(spark, Sf0001).collect()(0)
+    val r = real.getAs[Double]("assortativity")
+    assert(r > -1.0 && r < 1.0)
+  }
+
   test("modularity: single community is exactly zero; nation partition conserves mass") {
     import org.apache.spark.sql.functions.{col, lit}
     // everything in one community: Σd_c = m2 and all edges intra ⇒ Q = 0

@@ -1859,6 +1859,33 @@ class PipelineOpsSpec extends SparkSpec {
     assert(alpha >= -1.0 && alpha <= 1.0)
   }
 
+  test("pair token F1: local clipped-overlap replay; harmonic identity; micro totals") {
+    val docs = graft.ops.Tables(spark, Sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split(" ", -1).toSeq).toMap
+    def tf(id: Long) = docs(id).groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rows = TextOps.pairTokenF1(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    var (so, sn) = (0L, 0L)
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      val (ta, tb) = (tf(a), tf(b))
+      val o = ta.keysIterator.map(t => math.min(ta(t), tb.getOrElse(t, 0L))).sum
+      val (na, nb) = (docs(a).size.toLong, docs(b).size.toLong)
+      assert(r.getAs[Long]("overlap") == o && r.getAs[Long]("n_a") == na
+        && r.getAs[Long]("n_b") == nb, s"pair $a,$b")
+      // the exact IEEE trees: shared numerator collapses the harmonic mean
+      assert(r.getAs[Double]("p") == o.toDouble / na)
+      assert(r.getAs[Double]("r") == o.toDouble / nb)
+      assert(r.getAs[Double]("f1") == (o * 2).toDouble / (na + nb))
+      // near-dups at shingle-Jaccard ≥ 1/2 must share most tokens
+      assert(r.getAs[Double]("f1") > 0.5)
+      so += o; sn += na + nb
+    }
+    rows.foreach(r => assert(r.getAs[Double]("micro_f1") == (so * 2).toDouble / sn))
+  }
+
   test("vocab richness: exact two-row panel vs an independent local recount") {
     val docs = graft.ops.Tables(spark, Sf0001, "documents")
       .select("text").collect().map(_.getString(0).toLowerCase.split(" ", -1).toSeq)
