@@ -4417,6 +4417,22 @@ object Registry {
         |  FROM documents)
         |WHERE rank_in_source <= 20
         |ORDER BY doc_id""".stripMargin)),
+    // systematic PPS sampling ∝ token mass: select doc i iff its
+    // cumulative-line interval contains a slot boundary —
+    // ⌊K·cum_i/T⌋ > ⌊K·cum_{i−1}/T⌋, integer floors end to end; the
+    // oracle takes the window road, the plan the range-partitioned
+    // prefix-sum core
+    GraftQuery("x_sample_pps", SamplingOps.ppsSystematic, Some(
+      s"""WITH d AS (SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS w
+        |           FROM documents),
+        |c AS (SELECT doc_id, w, CAST(sum(w) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM d),
+        |t AS (SELECT CAST(sum(w) AS BIGINT) AS tot FROM d)
+        |SELECT doc_id, w, cum,
+        |       CAST((cum * ${SamplingOps.PpsBudget}) // tot AS BIGINT) AS slot
+        |FROM c CROSS JOIN t
+        |WHERE (cum * ${SamplingOps.PpsBudget}) // tot
+        |      > ((cum - w) * ${SamplingOps.PpsBudget}) // tot
+        |ORDER BY doc_id""".stripMargin)),
     // bottom-k-by-md5 reproducible sample: the oracle takes the window
     // road; the Spark plan is the k-bounded map-side pairs aggregate
     GraftQuery("x_sample_bottomk", SamplingOps.bottomKSample, Some(

