@@ -2592,6 +2592,37 @@ object Registry {
         |       mean0 - mean1 AS diff,
         |       abs(mean0 - mean1) >= mde_abs AS powered
         |FROM u""".stripMargin)),
+    // group-sequential monitor: the Welch z at 5 equally-spaced
+    // event-time cuts (exact integer µs arithmetic) vs O'Brien–Fleming
+    // boundaries C·√(K/k) — the peeking-corrected early-stop readout;
+    // same keyed moment tree as the Welch/MDE seam
+    GraftQuery("x_ab_sequential", EventOps.abSequential, Some(
+      s"""WITH ev AS (SELECT user_id, CAST(value AS DECIMAL(18,2)) AS v,
+        |              epoch_us(CAST(ts AS TIMESTAMP)) AS us FROM events),
+        |sp AS (SELECT min(us) AS t0, max(us) AS t1 FROM ev),
+        |lk(look) AS (VALUES (1),(2),(3),(4),(5)),
+        |pu AS (SELECT look, user_id, CAST(sum(v) AS DECIMAL(18,2)) AS y
+        |       FROM ev CROSS JOIN sp CROSS JOIN lk
+        |       WHERE us <= t0 + ((t1 - t0) * look) // ${EventOps.SeqLooks}
+        |       GROUP BY 1, 2),
+        |a AS (SELECT look, user_id % 2 AS arm, count(*) AS n, sum(y) AS sy, sum(y * y) AS syy
+        |      FROM pu GROUP BY 1, 2),
+        |m AS (SELECT look, arm, n,
+        |        CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_y,
+        |        (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+        |          / (CAST(n AS DOUBLE) - 1.0) AS var_y
+        |      FROM a),
+        |w AS (SELECT look,
+        |        max(CASE WHEN arm = 0 THEN n END) AS n0, max(CASE WHEN arm = 1 THEN n END) AS n1,
+        |        max(CASE WHEN arm = 0 THEN mean_y END) AS mean0, max(CASE WHEN arm = 1 THEN mean_y END) AS mean1,
+        |        max(CASE WHEN arm = 0 THEN var_y END) AS v0, max(CASE WHEN arm = 1 THEN var_y END) AS v1
+        |      FROM m GROUP BY look)
+        |SELECT look, n0, n1, mean0 - mean1 AS diff,
+        |       (mean0 - mean1) / sqrt(v0 / CAST(n0 AS DOUBLE) + v1 / CAST(n1 AS DOUBLE)) AS z,
+        |       ${EventOps.ObfC} * sqrt(${EventOps.SeqLooks}.0 / look) AS boundary,
+        |       abs((mean0 - mean1) / sqrt(v0 / CAST(n0 AS DOUBLE) + v1 / CAST(n1 AS DOUBLE)))
+        |         > ${EventOps.ObfC} * sqrt(${EventOps.SeqLooks}.0 / look) AS crossed
+        |FROM w ORDER BY look""".stripMargin)),
     // Sample-ratio-mismatch guard: χ²(1) on the realized arm split
     GraftQuery("x_ab_srm", EventOps.abSrm, Some(
       """WITH u AS (SELECT DISTINCT user_id FROM events),

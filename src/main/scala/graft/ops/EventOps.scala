@@ -665,21 +665,82 @@ object EventOps {
     * the t test and the power analysis read the SAME variance (the
     * mwAggregates rule applied to the moment seam). Exact decimal
     * sums; mean/var are the fixed IEEE tree the oracle replicates. */
-  private def welchMomentsOf(perUser: DataFrame): DataFrame = {
+  private def welchMomentsOf(perUser: DataFrame): DataFrame =
+    welchMomentsOf(perUser, Nil)
+
+  /** Keyed generalization of the moment seam — `keyCols` carries e.g.
+    * the sequential look index; Nil is the original 1-row form. One
+    * variance definition for the t test, the MDE, AND the sequential
+    * monitor. */
+  private def welchMomentsOf(perUser: DataFrame, keyCols: Seq[String]): DataFrame = {
     val dbl = (c: Column) => c.cast(DoubleType)
+    val keys = keyCols.map(col)
     val arms = perUser
-      .groupBy((col("user_id") % 2).as("arm"))
+      .groupBy((keys :+ (col("user_id") % 2).as("arm")): _*)
       .agg(count(lit(1)).as("n"), sum(col("y")).as("sy"),
         sum(col("y") * col("y")).as("syy"))
-      .select(col("arm"), col("n"),
-        (dbl(col("sy")) / dbl(col("n"))).as("mean_y"),
+      .select((keys :+ col("arm") :+ col("n") :+
+        (dbl(col("sy")) / dbl(col("n"))).as("mean_y") :+
         ((dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy")) / dbl(col("n"))) /
-          (dbl(col("n")) - lit(1.0))).as("var_y"))
+          (dbl(col("n")) - lit(1.0))).as("var_y")): _*)
     def pick(c: String, arm: Int) = max(when(col("arm") === arm, col(c)))
-    arms.agg(
+    val aggs = Seq(
       pick("n", 0).as("n0"), pick("n", 1).as("n1"),
       pick("mean_y", 0).as("mean0"), pick("mean_y", 1).as("mean1"),
       pick("var_y", 0).as("v0"), pick("var_y", 1).as("v1"))
+    if (keyCols.isEmpty) arms.agg(aggs.head, aggs.tail: _*)
+    else arms.groupBy(keys: _*).agg(aggs.head, aggs.tail: _*)
+  }
+
+  /** Number of equally-spaced interim looks for the group-sequential
+    * monitor, and the O'Brien–Fleming constant C_B(5, α=0.05
+    * two-sided) = 2.040 (Jennison & Turnbull, Group Sequential Methods,
+    * Table 2.1) — boundary_k = C·√(K/k), the early-look-conservative
+    * shape that spends almost no α before the data matures. Exact
+    * double literals mirrored in the oracle (the Romano-bands
+    * convention). */
+  val SeqLooks = 5
+  val ObfC = 2.040
+
+  /** Group-sequential A/B monitor — the peeking-corrected readout an
+    * experimentation platform actually serves: the Welch z statistic
+    * recomputed at [[SeqLooks]] equally-spaced event-time cuts, each
+    * compared against its O'Brien–Fleming boundary; `crossed` is the
+    * "stop early, the effect is real" page. A fixed-horizon t read 5
+    * times inflates false positives ~3×; the OF envelope holds overall
+    * α at 0.05.
+    *
+    * Determinism: cuts are exact integer µs arithmetic off the 1-row
+    * span (t0 + k·span div K — no double time math); each look's
+    * moments ride the SAME keyed [[welchMomentsOf]] seam as the t
+    * test/MDE; z and boundary are fixed IEEE trees (sqrt only).
+    *
+    * Scale shape: ONE event scan fanned ×K by a broadcast 5-row look
+    * table (K constant), map-side-combined into per-(look, user)
+    * totals, then a 2K-row arm rollup — no window, nothing
+    * corpus-sized past the first aggregate. */
+  def abSequential(spark: SparkSession, dir: String): DataFrame = {
+    import spark.implicits._
+    val dbl = (c: Column) => c.cast(DoubleType)
+    val ev = Tables(spark, dir, "events")
+      .select(col("user_id"), dec2(col("value")).as("v"),
+        unix_micros(col("ts")).as("us"))
+    val span = ev.agg(min(col("us")).as("t0"), max(col("us")).as("t1"))
+    val looks = (1 to SeqLooks).toDF("look")
+    val perUserLook = ev
+      .crossJoin(broadcast(span)).crossJoin(broadcast(looks))
+      .filter(col("us") <= expr(s"t0 + ((t1 - t0) * look) div $SeqLooks"))
+      .groupBy(col("look"), col("user_id"))
+      .agg(sum(col("v")).cast(Dec2).as("y"))
+    welchMomentsOf(perUserLook, Seq("look"))
+      .select(col("look"), col("n0"), col("n1"),
+        (col("mean0") - col("mean1")).as("diff"),
+        ((col("mean0") - col("mean1"))
+          / sqrt(col("v0") / dbl(col("n0")) + col("v1") / dbl(col("n1"))))
+          .as("z"),
+        (lit(ObfC) * sqrt(lit(SeqLooks.toDouble) / col("look"))).as("boundary"))
+      .withColumn("crossed", abs(col("z")) > col("boundary"))
+      .orderBy("look")
   }
 
   /** Two-sided z critical value at α = 0.05 and the 80%-power z — the

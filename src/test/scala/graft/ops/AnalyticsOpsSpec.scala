@@ -923,4 +923,39 @@ class AnalyticsOpsSpec extends SparkSpec {
     val r2 = mdeOf("mde_over", Seq((1L, 10.0), (2L, 1000.0), (3L, 20.0), (4L, 1010.0)))
     assert(r2.getDouble(7) == 990.0 && r2.getBoolean(8), "diff 990 ≫ mde → powered")
   }
+
+  test("sequential: late effect crosses only the final OF look; full look ≡ welch") {
+    import spark.implicits._
+    // arms identical through day 1 (z = 0 at looks 1-4), then arm 0
+    // lands a +1000 lift on the final day — only look 5 may page
+    val day1 = ts("2024-01-10 00:00:00"); val day5 = ts("2024-01-14 00:00:00")
+    val fix = tempDir("seq_fix")
+    (Seq((1L, day1, 10.0), (2L, day1, 10.0), (3L, day1, 12.0), (4L, day1, 12.0))
+      ++ Seq((2L, day5, 1000.0), (4L, day5, 1000.0)))
+      .toDF("user_id", "ts", "value")
+      .repartition(3).write.mode("overwrite").parquet(s"$fix/events.parquet")
+    val rows = EventOps.abSequential(spark, fix).collect()
+    assert(rows.map(_.getInt(0)).toSeq == (1 to EventOps.SeqLooks))
+    rows.foreach { r =>
+      val k = r.getInt(0)
+      // the OF envelope, replayed: C·√(K/k), early looks conservative
+      assert(r.getAs[Double]("boundary")
+        == EventOps.ObfC * math.sqrt(EventOps.SeqLooks.toDouble / k))
+      if (k < EventOps.SeqLooks) {
+        assert(r.getAs[Double]("z") == 0.0 && !r.getAs[Boolean]("crossed"),
+          s"look $k must be quiet before the effect lands")
+      } else {
+        // arm0 totals (1010, 1012) vs arm1 (10, 12): v = 2 each,
+        // z = 1000/√(1+1)
+        assert(r.getAs[Double]("z") == 1000.0 / math.sqrt(2.0))
+        assert(r.getAs[Boolean]("crossed"), "the final look must page")
+      }
+    }
+    // the final look INCLUDES everything, so its z is bit-identical to
+    // the fixed-horizon Welch t on the same store (one moment seam)
+    val zFull = EventOps.abSequential(spark, Sf0001).collect()
+      .find(_.getInt(0) == EventOps.SeqLooks).get.getAs[Double]("z")
+    val tWelch = EventOps.abWelch(spark, Sf0001).collect()(0).getAs[Double]("t_stat")
+    assert(zFull == tWelch)
+  }
 }
