@@ -2029,20 +2029,31 @@ object Registry {
     * mean0, mean1, v0, v1) — shared by the t test and the MDE/power
     * readout, mirroring EventOps.welchMomentsOf so both oracles read
     * the SAME variance definition. */
-  private val welchMomentsCtes: String =
-    """pu AS (SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
-      |            FROM events GROUP BY user_id),
-      |a AS (SELECT user_id % 2 AS arm, count(*) AS n, sum(y) AS sy, sum(y * y) AS syy
-      |      FROM pu GROUP BY 1),
-      |m AS (SELECT arm, n,
+  /** The mean/var/pivot tail over a per-user CTE `pu(<keys,> user_id,
+    * y)` — ONE variance definition rendered for the Welch, MDE (Nil
+    * keys) AND group-sequential (keyed by look) oracles, mirroring the
+    * keyed EventOps.welchMomentsOf seam. Ends in `wde`. */
+  private def welchMomentsTail(keys: Seq[String]): String = {
+    val kc = keys.map(k => s"$k, ").mkString
+    val grpA = (1 to keys.size + 1).mkString(", ")
+    val pivotGrp = if (keys.isEmpty) "" else " GROUP BY " + keys.mkString(", ")
+    s"""a AS (SELECT ${kc}user_id % 2 AS arm, count(*) AS n, sum(y) AS sy, sum(y * y) AS syy
+      |      FROM pu GROUP BY $grpA),
+      |m AS (SELECT ${kc}arm, n,
       |        CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_y,
       |        (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
       |          / (CAST(n AS DOUBLE) - 1.0) AS var_y
       |      FROM a),
-      |wde AS (SELECT max(CASE WHEN arm = 0 THEN n END) AS n0, max(CASE WHEN arm = 1 THEN n END) AS n1,
+      |wde AS (SELECT ${kc}max(CASE WHEN arm = 0 THEN n END) AS n0, max(CASE WHEN arm = 1 THEN n END) AS n1,
       |         max(CASE WHEN arm = 0 THEN mean_y END) AS mean0, max(CASE WHEN arm = 1 THEN mean_y END) AS mean1,
       |         max(CASE WHEN arm = 0 THEN var_y END) AS v0, max(CASE WHEN arm = 1 THEN var_y END) AS v1
-      |       FROM m)""".stripMargin
+      |       FROM m$pivotGrp)""".stripMargin
+  }
+
+  private val welchMomentsCtes: String =
+    s"""pu AS (SELECT user_id, CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
+      |            FROM events GROUP BY user_id),
+      |${welchMomentsTail(Nil)}""".stripMargin
 
   /** Decontamination oracles — single source shared by the string-keyed
     * operators and their digest-keyed 100 TB twins (the digest re-keys
@@ -2605,24 +2616,13 @@ object Registry {
         |       FROM ev CROSS JOIN sp CROSS JOIN lk
         |       WHERE us <= t0 + ((t1 - t0) * look) // ${EventOps.SeqLooks}
         |       GROUP BY 1, 2),
-        |a AS (SELECT look, user_id % 2 AS arm, count(*) AS n, sum(y) AS sy, sum(y * y) AS syy
-        |      FROM pu GROUP BY 1, 2),
-        |m AS (SELECT look, arm, n,
-        |        CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_y,
-        |        (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
-        |          / (CAST(n AS DOUBLE) - 1.0) AS var_y
-        |      FROM a),
-        |w AS (SELECT look,
-        |        max(CASE WHEN arm = 0 THEN n END) AS n0, max(CASE WHEN arm = 1 THEN n END) AS n1,
-        |        max(CASE WHEN arm = 0 THEN mean_y END) AS mean0, max(CASE WHEN arm = 1 THEN mean_y END) AS mean1,
-        |        max(CASE WHEN arm = 0 THEN var_y END) AS v0, max(CASE WHEN arm = 1 THEN var_y END) AS v1
-        |      FROM m GROUP BY look)
+        |${welchMomentsTail(Seq("look"))}
         |SELECT look, n0, n1, mean0 - mean1 AS diff,
         |       (mean0 - mean1) / sqrt(v0 / CAST(n0 AS DOUBLE) + v1 / CAST(n1 AS DOUBLE)) AS z,
         |       ${EventOps.ObfC} * sqrt(${EventOps.SeqLooks}.0 / look) AS boundary,
         |       abs((mean0 - mean1) / sqrt(v0 / CAST(n0 AS DOUBLE) + v1 / CAST(n1 AS DOUBLE)))
         |         > ${EventOps.ObfC} * sqrt(${EventOps.SeqLooks}.0 / look) AS crossed
-        |FROM w ORDER BY look""".stripMargin)),
+        |FROM wde ORDER BY look""".stripMargin)),
     // Sample-ratio-mismatch guard: χ²(1) on the realized arm split
     GraftQuery("x_ab_srm", EventOps.abSrm, Some(
       """WITH u AS (SELECT DISTINCT user_id FROM events),

@@ -114,7 +114,10 @@ object TextOps {
     // build side instead of an opaque lazy subtree
     val pairs = DedupOps.ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
       .localCheckpoint()
-    val tf = termTf(spark, dir)
+    // tf feeds three differently-pruned branches (both overlap sides +
+    // the token totals) — materialize the tokenize+count once, the
+    // salientTerms lesson
+    val tf = termTf(spark, dir).localCheckpoint()
     val nTok = tf.groupBy(col("doc_id"))
       .agg(sum(col("tf")).cast(LongType).as("n"))
     val ov = pairs

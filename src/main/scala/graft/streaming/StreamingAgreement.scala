@@ -23,9 +23,12 @@ import org.apache.spark.sql.streaming.{StreamingQuery, Trigger}
   * rather than double-counting. */
 object StreamingAgreement {
 
-  /** The per-epoch publish — public so replay behavior is testable. */
+  /** The per-epoch publish — public so replay behavior is testable.
+    * The counts row is materialized once (1 row) so the two metric
+    * tails inside [[TextOps.agreementReport]] cannot re-run the
+    * micro-batch vote scan as differently-pruned branches. */
   def writeReport(counts: DataFrame, sinkDir: String): Unit =
-    TextOps.agreementReport(counts)
+    TextOps.agreementReport(counts.localCheckpoint())
       .write.mode("overwrite").parquet(s"$sinkDir/report")
 
   /** Monitor a document stream ((…, text) schema): complete-mode vote

@@ -2,9 +2,13 @@ package graft.tools
 
 import graft.GraftSession
 import graft.ops._
-import org.apache.spark.sql.functions._
 
-/** Stage-by-stage profiler for operator tuning.
+/** Scratch profiler for operator tuning — point `time` blocks at the
+  * op (or a temporary inline decomposition) under investigation. Kept
+  * deliberately thin at rest: inline stage copies drift from the real
+  * operator the moment it is tuned (the round-13 modularity
+  * investigation's stage breakdown was deleted once the scan-twice fix
+  * landed), so the committed form times only REAL entry points.
   * Run: sbt "runMain graft.tools.ProfileQuery [sfDir]" */
 object ProfileQuery {
   def main(args: Array[String]): Unit = {
@@ -19,39 +23,15 @@ object ProfileQuery {
 
     // warmup + input cache
     Tables.enableInputCache()
-    Tables(spark, dir, "lineitem").queryExecution.toRdd.count()
-    Tables(spark, dir, "orders").queryExecution.toRdd.count()
-    Tables(spark, dir, "supplier").queryExecution.toRdd.count()
-    Tables(spark, dir, "customer").queryExecution.toRdd.count()
+    for (t <- Seq("lineitem", "orders", "supplier", "customer"))
+      Tables(spark, dir, t).queryExecution.toRdd.count()
 
-    val li = Tables(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
-    val ord = Tables(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-    val joined = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .select((col("l_suppkey") * 2).as("src"), (col("o_custkey") * 2 + 1).as("dst"))
-    time("join-no-distinct") { joined.queryExecution.toRdd.count() }
-    val e0 = joined.distinct()
-    time("e0-distinct") { e0.queryExecution.toRdd.count() }
-    val e1 = e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
-    time("e1-sym") { e1.queryExecution.toRdd.count() }
-    val sup = Tables(spark, dir, "supplier").select(
-      (col("s_suppkey") * 2).as("node"),
-      col("s_nationkey").cast("long").as("community"))
-    val cust = Tables(spark, dir, "customer").select(
-      (col("c_custkey") * 2 + 1).as("node"),
-      col("c_nationkey").cast("long").as("community"))
-    val labels = sup.union(cust)
-    val deg = e1.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-    time("deg") { deg.queryExecution.toRdd.count() }
-    val cd = deg.join(labels, "node").groupBy(col("community"))
-      .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("deg_sum"))
-    time("cd") { cd.queryExecution.toRdd.count() }
-    val ei = e1
-      .join(labels.select(col("node").as("src"), col("community").as("ca")), "src")
-      .join(labels.select(col("node").as("dst"), col("community").as("cb")), "dst")
-      .filter(col("ca") === col("cb"))
-      .groupBy(col("ca").as("community")).agg(count(lit(1)).as("e_in2"))
-    time("ei") { ei.queryExecution.toRdd.count() }
-    time("full-op") { GraphOps.nationModularity(spark, dir).queryExecution.toRdd.count() }
+    time("modularity") {
+      GraphOps.nationModularity(spark, dir).queryExecution.toRdd.count()
+    }
+    time("assortativity") {
+      GraphOps.degreeAssortativity(spark, dir).queryExecution.toRdd.count()
+    }
     spark.stop()
   }
 }
