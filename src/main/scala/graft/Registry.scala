@@ -2041,8 +2041,9 @@ object Registry {
       |      FROM pu GROUP BY $grpA),
       |m AS (SELECT ${kc}arm, n,
       |        CAST(sy AS DOUBLE) / CAST(n AS DOUBLE) AS mean_y,
-      |        (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
-      |          / (CAST(n AS DOUBLE) - 1.0) AS var_y
+      |        CASE WHEN n > 1 THEN
+      |          (CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE) / CAST(n AS DOUBLE))
+      |            / (CAST(n AS DOUBLE) - 1.0) END AS var_y
       |      FROM a),
       |wde AS (SELECT ${kc}max(CASE WHEN arm = 0 THEN n END) AS n0, max(CASE WHEN arm = 1 THEN n END) AS n1,
       |         max(CASE WHEN arm = 0 THEN mean_y END) AS mean0, max(CASE WHEN arm = 1 THEN mean_y END) AS mean1,
@@ -2583,9 +2584,9 @@ object Registry {
         |s AS (SELECT n0, n1, mean0, mean1,
         |        v0 / CAST(n0 AS DOUBLE) AS se0, v1 / CAST(n1 AS DOUBLE) AS se1 FROM wde)
         |SELECT n0, n1, mean0, mean1, mean0 - mean1 AS diff,
-        |       (mean0 - mean1) / sqrt(se0 + se1) AS t_stat,
-        |       ((se0 + se1) * (se0 + se1))
-        |         / ((se0 * se0) / (CAST(n0 AS DOUBLE) - 1.0) + (se1 * se1) / (CAST(n1 AS DOUBLE) - 1.0)) AS df
+        |       CASE WHEN se0 + se1 > 0 THEN (mean0 - mean1) / sqrt(se0 + se1) END AS t_stat,
+        |       CASE WHEN se0 + se1 > 0 THEN ((se0 + se1) * (se0 + se1))
+        |         / ((se0 * se0) / (CAST(n0 AS DOUBLE) - 1.0) + (se1 * se1) / (CAST(n1 AS DOUBLE) - 1.0)) END AS df
         |FROM s""".stripMargin)),
     // Minimum detectable effect at (α=0.05 two-sided, 80% power) on
     // the SAME per-arm moment core as the Welch t — exact z literals,
@@ -2616,13 +2617,15 @@ object Registry {
         |       FROM ev CROSS JOIN sp CROSS JOIN lk
         |       WHERE us <= t0 + ((t1 - t0) * look) // ${EventOps.SeqLooks}
         |       GROUP BY 1, 2),
-        |${welchMomentsTail(Seq("look"))}
-        |SELECT look, n0, n1, mean0 - mean1 AS diff,
-        |       (mean0 - mean1) / sqrt(v0 / CAST(n0 AS DOUBLE) + v1 / CAST(n1 AS DOUBLE)) AS z,
-        |       ${EventOps.ObfC} * sqrt(${EventOps.SeqLooks}.0 / look) AS boundary,
-        |       abs((mean0 - mean1) / sqrt(v0 / CAST(n0 AS DOUBLE) + v1 / CAST(n1 AS DOUBLE)))
-        |         > ${EventOps.ObfC} * sqrt(${EventOps.SeqLooks}.0 / look) AS crossed
-        |FROM wde ORDER BY look""".stripMargin)),
+        |${welchMomentsTail(Seq("look"))},
+        |r AS (SELECT look, n0, n1, mean0 - mean1 AS diff,
+        |        CASE WHEN v0 / CAST(n0 AS DOUBLE) + v1 / CAST(n1 AS DOUBLE) > 0
+        |             THEN (mean0 - mean1)
+        |                  / sqrt(v0 / CAST(n0 AS DOUBLE) + v1 / CAST(n1 AS DOUBLE)) END AS z,
+        |        ${EventOps.ObfC} * sqrt(${EventOps.SeqLooks}.0 / look) AS boundary
+        |      FROM wde)
+        |SELECT look, n0, n1, diff, z, boundary, abs(z) > boundary AS crossed
+        |FROM r ORDER BY look""".stripMargin)),
     // Sample-ratio-mismatch guard: χ²(1) on the realized arm split
     GraftQuery("x_ab_srm", EventOps.abSrm, Some(
       """WITH u AS (SELECT DISTINCT user_id FROM events),
@@ -4459,10 +4462,10 @@ object Registry {
         |c AS (SELECT doc_id, w, CAST(sum(w) OVER (ORDER BY doc_id) AS BIGINT) AS cum FROM d),
         |t AS (SELECT CAST(sum(w) AS BIGINT) AS tot FROM d)
         |SELECT doc_id, w, cum,
-        |       CAST((cum * ${SamplingOps.PpsBudget}) // tot AS BIGINT) AS slot
+        |       CAST((CAST(cum AS HUGEINT) * ${SamplingOps.PpsBudget}) // tot AS BIGINT) AS slot
         |FROM c CROSS JOIN t
-        |WHERE (cum * ${SamplingOps.PpsBudget}) // tot
-        |      > ((cum - w) * ${SamplingOps.PpsBudget}) // tot
+        |WHERE (CAST(cum AS HUGEINT) * ${SamplingOps.PpsBudget}) // tot
+        |      > (CAST(cum - w AS HUGEINT) * ${SamplingOps.PpsBudget}) // tot
         |ORDER BY doc_id""".stripMargin)),
     // bottom-k-by-md5 reproducible sample: the oracle takes the window
     // road; the Spark plan is the k-bounded map-side pairs aggregate

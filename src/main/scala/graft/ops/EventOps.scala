@@ -645,6 +645,12 @@ object EventOps {
     * structurally the batch definition, not a reimplementation. */
   def welchOfPerUser(perUser: DataFrame): DataFrame = {
     val dbl = (c: Column) => c.cast(DoubleType)
+    // t and df are guarded NULL when the pooled standard error is not
+    // strictly positive (an arm with <2 users already yields NULL var,
+    // and two zero-variance arms would divide by zero): Spark's Divide
+    // returns NULL on a zero divisor where DuckDB's IEEE division gives
+    // Inf/NaN, so the guard is what keeps both engines agreeing that a
+    // degenerate cohort has no statistic
     welchMomentsOf(perUser)
       .select(col("n0"), col("n1"), col("mean0"), col("mean1"),
         col("v0"), col("v1"),
@@ -652,9 +658,11 @@ object EventOps {
         (col("v1") / dbl(col("n1"))).as("se1"))
       .select(col("n0"), col("n1"), col("mean0"), col("mean1"),
         (col("mean0") - col("mean1")).as("diff"),
-        ((col("mean0") - col("mean1")) / sqrt(col("se0") + col("se1")))
+        when(col("se0") + col("se1") > 0.0,
+          (col("mean0") - col("mean1")) / sqrt(col("se0") + col("se1")))
           .as("t_stat"),
-        (((col("se0") + col("se1")) * (col("se0") + col("se1"))) /
+        when(col("se0") + col("se1") > 0.0,
+          ((col("se0") + col("se1")) * (col("se0") + col("se1"))) /
           ((col("se0") * col("se0")) / (dbl(col("n0")) - lit(1.0)) +
             (col("se1") * col("se1")) / (dbl(col("n1")) - lit(1.0))))
           .as("df"))
@@ -681,8 +689,13 @@ object EventOps {
         sum(col("y") * col("y")).as("syy"))
       .select((keys :+ col("arm") :+ col("n") :+
         (dbl(col("sy")) / dbl(col("n"))).as("mean_y") :+
-        ((dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy")) / dbl(col("n"))) /
-          (dbl(col("n")) - lit(1.0))).as("var_y")): _*)
+        // sample variance is undefined at n = 1 (the n−1 divisor hits
+        // zero: Spark's Divide says NULL, DuckDB's IEEE division says
+        // Inf/NaN) — the guard makes it NULL in BOTH engines, which the
+        // downstream t/z guards then propagate
+        when(col("n") > 1,
+          (dbl(col("syy")) - dbl(col("sy")) * dbl(col("sy")) / dbl(col("n"))) /
+            (dbl(col("n")) - lit(1.0))).as("var_y")): _*)
     def pick(c: String, arm: Int) = max(when(col("arm") === arm, col(c)))
     val aggs = Seq(
       pick("n", 0).as("n0"), pick("n", 1).as("n1"),
@@ -720,24 +733,42 @@ object EventOps {
     * totals, then a 2K-row arm rollup — no window, nothing
     * corpus-sized past the first aggregate. */
   def abSequential(spark: SparkSession, dir: String): DataFrame = {
-    import spark.implicits._
-    val dbl = (c: Column) => c.cast(DoubleType)
     val ev = Tables(spark, dir, "events")
       .select(col("user_id"), dec2(col("value")).as("v"),
         unix_micros(col("ts")).as("us"))
     val span = ev.agg(min(col("us")).as("t0"), max(col("us")).as("t1"))
-    val looks = (1 to SeqLooks).toDF("look")
-    val perUserLook = ev
-      .crossJoin(broadcast(span)).crossJoin(broadcast(looks))
+    sequentialReadout(perUserLookOf(ev.crossJoin(broadcast(span))))
+  }
+
+  /** Per-(look, user) decimal partials over any (user_id, v, us, t0,
+    * t1) relation — the FIRST aggregate of the batch monitor above AND
+    * the commit grain of the streaming twin
+    * (graft.streaming.StreamingSequential): once the cuts (t0, t1) are
+    * fixed, an event's look membership is fixed, and decimal sums are
+    * exact and order-free, so any epoch slicing of a user's events
+    * reassembles the identical per-look total. */
+  private[graft] def perUserLookOf(evSpan: DataFrame): DataFrame = {
+    import evSpan.sparkSession.implicits._
+    evSpan.crossJoin(broadcast((1 to SeqLooks).toDF("look")))
       .filter(col("us") <= expr(s"t0 + ((t1 - t0) * look) div $SeqLooks"))
       .groupBy(col("look"), col("user_id"))
       .agg(sum(col("v")).cast(Dec2).as("y"))
+  }
+
+  /** The z-vs-boundary readout over any per-(look, user_id, y)
+    * relation — ONE moment seam ([[welchMomentsOf]] keyed by look) and
+    * ONE z tree for the batch monitor and the streaming twin. z is
+    * guarded NULL at a degenerate look (an arm with <2 users gives
+    * NULL variance; zero pooled variance would divide by zero, where
+    * Spark says NULL and DuckDB says Inf/NaN) — a page from one user
+    * isn't a statistic, and `crossed` stays NULL rather than paging. */
+  private[graft] def sequentialReadout(perUserLook: DataFrame): DataFrame = {
+    val dbl = (c: Column) => c.cast(DoubleType)
+    val se = col("v0") / dbl(col("n0")) + col("v1") / dbl(col("n1"))
     welchMomentsOf(perUserLook, Seq("look"))
       .select(col("look"), col("n0"), col("n1"),
         (col("mean0") - col("mean1")).as("diff"),
-        ((col("mean0") - col("mean1"))
-          / sqrt(col("v0") / dbl(col("n0")) + col("v1") / dbl(col("n1"))))
-          .as("z"),
+        when(se > 0.0, (col("mean0") - col("mean1")) / sqrt(se)).as("z"),
         (lit(ObfC) * sqrt(lit(SeqLooks.toDouble) / col("look"))).as("boundary"))
       .withColumn("crossed", abs(col("z")) > col("boundary"))
       .orderBy("look")

@@ -57,8 +57,9 @@ object GraphOps {
   val HotDegree = 1L << 20
   val Salts = 16
 
-  /** Symmetrized distinct purchase edges. */
-  private def edgesOf(spark: SparkSession, dir: String): DataFrame = {
+  /** Symmetrized distinct purchase edges (spec-visible so the
+    * nation-labeling totality precondition can be asserted). */
+  private[ops] def edgesOf(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
     val ord = Tables(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
     val e0 = li.join(ord, col("l_orderkey") === col("o_orderkey"))
@@ -271,15 +272,20 @@ object GraphOps {
     * planted graphs with hand-computed Q. Isolated nodes carry no edge
     * mass and drop out (n_nodes counts CONNECTED members).
     *
-    * The edge relation is traversed exactly TWICE (degree rollup,
-    * intra-edge count) against ONE persisted materialization — the
-    * pageRank edge-cache pattern. The naive form rescanned the upstream
-    * pipeline (here a fact-sized join + distinct) six times through the
-    * m2 count and the q_total reuse, and measured 16× at 10× data; m2
-    * instead derives EXACTLY from the community table (Σ deg_sum = 2m
-    * under a total labeling — every e1 row contributes its src's degree
-    * once), and everything past the two scans runs on the checkpointed
-    * ≤|communities|-row table. Re-measured 3.5× at 10× data. */
+    * The edge relation is traversed exactly THRICE (degree rollup,
+    * intra-edge count, and a trivial count(*) for 2m) against ONE
+    * persisted materialization — the pageRank edge-cache pattern. The
+    * naive form rescanned the upstream pipeline (here a fact-sized
+    * join + distinct) six times through the m2 count and the q_total
+    * reuse, and measured 16× at 10× data; everything past the cached
+    * scans runs on the checkpointed ≤|communities|-row table.
+    * Re-measured 3.5× at 10× data. m2 is counted DIRECTLY from the
+    * edge list (matching the oracle): deriving it as Σ deg_sum over
+    * the community table equals 2m only under a TOTAL labeling, so a
+    * partial labeling would silently shrink the graph mass and compute
+    * a wrong Q — counted directly, Q is w.r.t. the true 2m under ANY
+    * labeling (per-community terms then cover the labeled subgraph,
+    * the natural partial-labeling generalization). */
   def modularityOf(edges: DataFrame, labels: DataFrame): DataFrame = {
     val d38 = (c: Column) => c.cast(DecimalType(38, 0))
     val dbl = (c: Column) => c.cast(DoubleType)
@@ -300,17 +306,20 @@ object GraphOps {
       .select(col("community"), col("n_nodes"), col("deg_sum"),
         coalesce(col("e_in2"), lit(0L)).as("e_in2"))
       .localCheckpoint()
+    // 2m counted from the cached edge rows themselves (a bounded driver
+    // scalar, like the checkpoint above an eager step) — NOT Σ deg_sum,
+    // which under-counts whenever the labeling misses a node
+    val m2 = e.count()
     e.unpersist()
-    val m2df = pc0.agg(sum(col("deg_sum")).as("m2"))
-    val pc = pc0.crossJoin(broadcast(m2df))
+    val pc = pc0
       .withColumn("qn",
-        d38(col("e_in2")) * d38(col("m2")) - d38(col("deg_sum")) * d38(col("deg_sum")))
-    val tot = pc.agg(sum(col("qn")).as("qt"), max(col("m2")).as("m2t"))
+        d38(col("e_in2")) * d38(lit(m2)) - d38(col("deg_sum")) * d38(col("deg_sum")))
+    val tot = pc.agg(sum(col("qn")).as("qt"))
     pc.crossJoin(broadcast(tot))
       .select(col("community"), col("n_nodes"), col("deg_sum"),
         expr("e_in2 div 2").as("e_in"),
-        (dbl(col("qn")) / dbl(d38(col("m2")) * d38(col("m2")))).as("q_contrib"),
-        (dbl(col("qt")) / dbl(d38(col("m2t")) * d38(col("m2t")))).as("q_total"))
+        (dbl(col("qn")) / dbl(d38(lit(m2)) * d38(lit(m2)))).as("q_contrib"),
+        (dbl(col("qt")) / dbl(d38(lit(m2)) * d38(lit(m2)))).as("q_total"))
       .orderBy("community")
   }
 

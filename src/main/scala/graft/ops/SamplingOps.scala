@@ -52,13 +52,19 @@ object SamplingOps {
       size(split(col("text"), " ")).cast(LongType).as("w")), PpsBudget)
 
   /** The PPS core over any (doc_id, w ≥ 1) relation — separated so
-    * specs can plant weight patterns with hand-computed selections. */
+    * specs can plant weight patterns with hand-computed selections.
+    * cum·K is computed in DECIMAL(38,0) (HUGEINT on the oracle side):
+    * in int64 it wraps silently once total token mass exceeds 2^63/K
+    * (~1.4e17 tokens at K = 64 — production-corpus territory), and the
+    * oracle doing the same int64 arithmetic would keep the gate green
+    * while both engines mis-sample. `div` on decimals still returns
+    * BIGINT, so the output schema is unchanged. */
   private[ops] def ppsOf(docs: DataFrame, k: Int): DataFrame = {
     val cum = StatsOps.withRunningCount(docs, Nil, "doc_id", "w", "cum")
     val tot = docs.agg(sum(col("w")).as("tot"))
     cum.crossJoin(broadcast(tot))
-      .withColumn("slot", expr(s"(cum * $k) div tot"))
-      .withColumn("pslot", expr(s"((cum - w) * $k) div tot"))
+      .withColumn("slot", expr(s"(cast(cum as decimal(38,0)) * $k) div tot"))
+      .withColumn("pslot", expr(s"(cast(cum - w as decimal(38,0)) * $k) div tot"))
       .filter(col("slot") > col("pslot"))
       .select(col("doc_id"), col("w"), col("cum"), col("slot"))
       .orderBy("doc_id")

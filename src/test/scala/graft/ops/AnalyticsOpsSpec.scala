@@ -958,4 +958,42 @@ class AnalyticsOpsSpec extends SparkSpec {
     val tWelch = EventOps.abWelch(spark, Sf0001).collect()(0).getAs[Double]("t_stat")
     assert(zFull == tWelch)
   }
+
+  test("degenerate cohorts: single-user arms and zero variance read NULL, never Inf") {
+    import spark.implicits._
+    // Spark's Divide yields NULL on a zero divisor where DuckDB's IEEE
+    // division yields Inf/NaN — the seam guards (var at n=1, t/z at
+    // zero pooled variance) make BOTH engines agree the statistic is
+    // undefined; these fixtures pin the Spark half of that contract
+    def welchOf(name: String, rows: Seq[(Long, Double)]) = {
+      val fix = tempDir(name)
+      rows.map { case (u, v) => (u, pre, v) }.toDF("user_id", "ts", "value")
+        .repartition(2).write.mode("overwrite").parquet(s"$fix/events.parquet")
+      EventOps.abWelch(spark, fix).collect().head
+    }
+    // arm1 has ONE user: its sample variance (and so t, df) is undefined
+    val one = welchOf("welch_n1", Seq((1L, 20.0), (2L, 30.0), (4L, 50.0)))
+    assert(one.getLong(1) == 1L)
+    assert(one.isNullAt(one.fieldIndex("t_stat")) && one.isNullAt(one.fieldIndex("df")))
+    // both arms constant: pooled variance is exactly 0 → no statistic
+    val flat = welchOf("welch_flat", Seq((1L, 10.0), (2L, 10.0), (3L, 10.0), (4L, 10.0)))
+    assert(flat.getDouble(4) == 0.0, "diff well-defined")
+    assert(flat.isNullAt(flat.fieldIndex("t_stat")) && flat.isNullAt(flat.fieldIndex("df")))
+    // sequential monitor: arm1 is a single user at EVERY look → each
+    // look's z and crossed are NULL (a page from one user isn't a
+    // statistic); boundary stays served
+    val fix = tempDir("seq_degenerate")
+    Seq((1L, ts("2024-01-10 00:00:00"), 10.0),
+      (2L, ts("2024-01-10 00:00:00"), 10.0),
+      (4L, ts("2024-01-14 00:00:00"), 12.0))
+      .toDF("user_id", "ts", "value").repartition(2)
+      .write.mode("overwrite").parquet(s"$fix/events.parquet")
+    val rows = EventOps.abSequential(spark, fix).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      assert(r.getLong(2) == 1L, "arm1 single-user at every look")
+      assert(r.isNullAt(r.fieldIndex("z")) && r.isNullAt(r.fieldIndex("crossed")))
+      assert(r.getAs[Double]("boundary") > 0.0)
+    }
+  }
 }

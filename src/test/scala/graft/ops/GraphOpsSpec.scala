@@ -291,4 +291,32 @@ class GraphOpsSpec extends SparkSpec {
     assert(real.forall(_.getAs[Double]("q_total") == q))
     assert(q > -1.0 && q < 1.0)
   }
+
+  test("modularity: a PARTIAL labeling is scored against the true graph mass") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    // two triangles + bridge (m2 = 14), but only triangle {1,2,3} is
+    // labeled: 2m must still be the FULL edge count — deriving it as
+    // Σ deg_sum over the community table (= 7 here) would silently
+    // shrink the graph to the labeled subgraph and inflate Q.
+    // Community 0: e_in2 = 6, deg_sum = 7 → qn = 6·14 − 49 = 35,
+    // Q = 35/196 (exactly half the total-labeling 70/196)
+    val g = symEdges(Seq((1L, 2L), (2L, 3L), (1L, 3L),
+      (4L, 5L), (5L, 6L), (4L, 6L), (3L, 4L)))
+    val partial = Seq((1L, 0L), (2L, 0L), (3L, 0L)).toDF("node", "community")
+    val r = GraphOps.modularityOf(g, partial).collect()
+    assert(r.length == 1)
+    assert(r.head.getAs[Long]("deg_sum") == 7 && r.head.getAs[Long]("e_in") == 3)
+    assert(r.head.getAs[Double]("q_contrib") == 35.0 / 196.0)
+    assert(r.head.getAs[Double]("q_total") == 35.0 / 196.0)
+    // and the nation labeling really is total (the oracle-alignment
+    // precondition the registry entry relies on): every edge endpoint
+    // is a labeled supplier or customer node
+    val e = GraphOps.edgesOf(spark, Sf0001)
+    val lab = Tables(spark, Sf0001, "supplier")
+      .select((col("s_suppkey") * 2).as("node"))
+      .union(Tables(spark, Sf0001, "customer")
+        .select((col("c_custkey") * 2 + 1).as("node")))
+    assert(e.select(col("src").as("node")).except(lab).count() == 0)
+  }
 }

@@ -232,6 +232,21 @@ class IntegrityOpsSpec extends SparkSpec {
     assert(real.nonEmpty)
   }
 
+  test("pps: cum*K beyond int64 must not wrap — decimal slots stay exact") {
+    import spark.implicits._
+    // 4 docs of 2.4e17 tokens each: tot ≈ 9.6e17 fits int64, but
+    // cum·64 peaks at ~6.1e19 > 2^63 — int64 arithmetic wraps silently
+    // (and the oracle doing the same would stay hash-green while both
+    // mis-sample); the DECIMAL(38,0) path keeps the floor crossings
+    // exact: slots ⌊64·cum/tot⌋ = ⌊16·i⌋ = 16, 32, 48, 64, every doc
+    // selected with certainty (w = tot/4 ≫ tot/64)
+    val w = 240000000000000000L // 2.4e17
+    val docs = (1L to 4L).map(i => (i, w)).toDF("doc_id", "w")
+    val got = SamplingOps.ppsOf(docs, 64).collect()
+      .map(r => (r.getLong(0), r.getLong(3))).toSeq
+    assert(got == Seq((1L, 16L), (2L, 32L), (3L, 48L), (4L, 64L)), s"got $got")
+  }
+
   // ------------------------------------------------------------ Neyman
 
   test("neyman: hand-computed apportionment; zero-variance stratum floors at 1 micro") {
