@@ -38,6 +38,42 @@ object Bench {
     (System.nanoTime() - t0) / 1e9
   }
 
+  /** Fixed-shape PARALLEL canary: the serial spin fanned across all 32
+    * partitions plus a token shuffle+reduce. The serial probe proved
+    * BLIND in the exact scenario it exists for — a co-tenant stealing
+    * only the SPARE cores leaves a 1-thread probe untouched while
+    * 32-way-parallel queries inflate 2-8× (BENCH_r13: flat 0.42-0.47
+    * canaries beside a phantom 12.36 s pagerank that read 1.46 s
+    * idle — the sixth consecutive contention-phantom round). This probe
+    * demands the same resource the queries do (every core at once), so
+    * its idle-box reading ≈ the serial one (~0.5 s) and a contended run
+    * self-adjudicates: wide ≫ serial ⇒ the box, not the code. Work is
+    * deterministic and constant; per-partition seeds only decorrelate
+    * the lanes. */
+  private def wideCanarySec(spark: org.apache.spark.sql.SparkSession): Double = {
+    val t0 = System.nanoTime()
+    val x = spark.sparkContext.parallelize(0 until 32, 32)
+      .map { p =>
+        var x = 0x9E3779B97F4A7C15L + p
+        var i = 0
+        while (i < 200000000) { x ^= x << 13; x ^= x >>> 7; x ^= x << 17; i += 1 }
+        (p % 4, x)
+      }
+      .reduceByKey(_ ^ _).map(_._2).reduce(_ ^ _)
+    if (x == 42L) System.err.println("wide canary collision")
+    (System.nanoTime() - t0) / 1e9
+  }
+
+  /** 1/5/15-minute load averages — the box's own confession, snapshotted
+    * at the same points as the canaries (a 32-core box running this
+    * suite alone sits near 32; a co-tenant shows as a sustained
+    * excess). Best-effort: absent /proc (non-Linux) yields "". */
+  private def loadAvg(): String =
+    try {
+      val src = scala.io.Source.fromFile("/proc/loadavg")
+      try src.mkString.trim.split(" ").take(3).mkString(" ") finally src.close()
+    } catch { case _: Throwable => "" }
+
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get("graft-bench")
@@ -75,7 +111,10 @@ object Bench {
     warmup("bucketed_tables")(graft.ops.JoinOps.ensureBucketedTables(spark, sfDir))
 
     canarySec() // JIT warm — untimed, like the query warmups
+    wideCanarySec(spark) // scheduler/JIT warm for the parallel probe
     val canaryStart = canarySec()
+    val wideStart = wideCanarySec(spark)
+    val loadStart = loadAvg()
     // the endpoint canary pair cannot see MID-run contention (round 11:
     // the builder's own 38.4 s vs 32.2 s back-to-back runs both showed
     // idle endpoints); a canary between every CanaryEvery-th headline
@@ -83,10 +122,11 @@ object Bench {
     // contention window from the artifact alone
     val suiteT0 = System.nanoTime()
     def sinceStart(): Double = (System.nanoTime() - suiteT0) / 1e9
-    val midCanaries = scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double)]
+    val midCanaries =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, Double, Double, Double, String)]
     val results = headline.zipWithIndex.map { case (q, qi) =>
       if (qi > 0 && qi % CanaryEvery == 0)
-        midCanaries += ((qi, sinceStart(), canarySec()))
+        midCanaries += ((qi, sinceStart(), canarySec(), wideCanarySec(spark), loadAvg()))
       // only SUCCESSFUL reps become samples: a fast-failing rep would
       // otherwise win the min and record a bogus "speedup" where the
       // honest reading is breakage. A query with zero successes records
@@ -113,6 +153,8 @@ object Bench {
       q.name -> samples
     }
     val canaryEnd = canarySec()
+    val wideEnd = wideCanarySec(spark)
+    val loadEnd = loadAvg()
     val mins = results.map { case (k, ss) =>
       k -> (if (ss.nonEmpty) ss.map(_._2).min else -1.0)
     }
@@ -131,7 +173,9 @@ object Bench {
       .map { case (k, ss) => "\"" + k + "\":[" + ss.map(_._1).mkString(",") + "]" }
       .mkString("{", ",", "}")
     val midJson = midCanaries
-      .map { case (i, at, s) => s"""{"before_query":$i,"at_sec":$at,"sec":$s}""" }
+      .map { case (i, at, s, w, l) =>
+        s"""{"before_query":$i,"at_sec":$at,"sec":$s,"wide_sec":$w,"load":"$l"}"""
+      }
       .mkString("[", ",", "]")
     val total = mins.map(_._2).filter(_ >= 0).sum
     // failed count rides in the record: a broken headline drops out of
@@ -150,7 +194,7 @@ object Bench {
     // ~2 KB) goes LAST so any suffix-truncated capture retains it whole
     // and it parses standalone.
     println(s"""{"forensics":{"samples":$samplesJson,"offsets":$offsetsJson},"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"canary":{"start":$canaryStart,"end":$canaryEnd,"mid":$midJson},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"canary":{"start":$canaryStart,"end":$canaryEnd,"wide_start":$wideStart,"wide_end":$wideEnd,"load_start":"$loadStart","load_end":"$loadEnd","mid":$midJson},"queries":$qs,"sf":"$sfDir"}""")
     spark.stop()
   }
 }
