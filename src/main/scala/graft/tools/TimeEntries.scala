@@ -18,6 +18,24 @@ object TimeEntries {
       if (args.length > 2) Some(args(2).split(",").toSet) else None
     val spark = graft.GraftSession.get("graft-time-entries")
     graft.ops.Tables.enableInputCache()
+    // Untimed warmups, mirroring Bench: the first timed entry otherwise
+    // pays the parquet input-cache load, and the write-once index/layout
+    // builds otherwise land inside whichever indexed entry runs first —
+    // both manufactured warm-vs-cold "super-linear" flags at the bigger
+    // SF (r13's x_retrieval_bm25_incremental read 20.7× until re-measured
+    // warm; adjudicated phantom). Failures are logged, never silent.
+    def warmup(what: String)(body: => Any): Unit =
+      try { body; () }
+      catch { case e: Throwable =>
+        System.err.println(s"[time] warmup '$what' failed: " +
+          s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage)}")
+      }
+    warmup("d4_count")(graft.Registry.byName("d4_count").build(spark, sfDir).count())
+    warmup("knn_index")(graft.ops.SimilarityOps.ensureKnnIndex(spark, sfDir))
+    warmup("lex_index")(graft.ops.RetrievalOps.ensureLexIndex(spark, sfDir))
+    warmup("pq_index")(graft.ops.PqOps.ensurePqIndex(spark, sfDir))
+    warmup("bin_index")(graft.ops.SimilarityOps.ensureBinaryIndex(spark, sfDir))
+    warmup("bucketed_tables")(graft.ops.JoinOps.ensureBucketedTables(spark, sfDir))
     val times = graft.Registry.all.sortBy(_.name)
       .filter(q => only.forall(_.contains(q.name)))
       .flatMap { q =>

@@ -2,12 +2,21 @@
 """Compare two Bench JSON lines (e.g. sf0.1 vs sf1) and print per-query
 time ratios, flagging super-linear queries.
 
-Usage: python3 tools/scale_ratios.py <bench_small.txt> <bench_big.txt> [factor]
+Usage: python3 tools/scale_ratios.py <bench_small.txt> <bench_big.txt> \
+           [factor] [--json SCALE_rN.json]
 
 A query is flagged when ratio > factor * SLACK (default factor 10; slack
 2x absorbs constant-cost amortization loss and run noise). Queries under
 MIN_SEC in the small run are reported but not flagged (timer noise
 dominates sub-100ms readings).
+
+--json writes the sweep as a checked-in, diffable artifact: one record
+per entry (small/big seconds + ratio + flag) plus the run metadata, so
+the round-over-round scale story is a file, not a PLANS.md table a
+reader has to trust. Warm-up discipline lives in the PRODUCER
+(graft.tools.TimeEntries runs the index/layout builds and an input-cache
+warmer untimed before the sweep), so a cold one-time build can't
+masquerade as a super-linear operator here.
 """
 import json
 import sys
@@ -26,16 +35,19 @@ def load(path):
     raise SystemExit(f"no bench JSON line in {path}")
 
 
-def main(small_path, big_path, factor=10.0):
+def main(small_path, big_path, factor=10.0, json_out=None):
     a, b = load(small_path), load(big_path)
     qa, qb = a["queries"], b["queries"]
     print(f"{'query':42s} {'small':>8s} {'big':>8s} {'ratio':>7s}  flag")
     flags = []
+    records = {}
     for q in sorted(qa, key=lambda q: -(qb.get(q, 0) or 0)):
         ta, tb = qa[q], qb.get(q)
         if tb is None or ta < 0 or tb < 0:
             print(f"{q:42s} {ta:8.2f} {str(tb):>8s}    FAIL")
             flags.append((q, "failed"))
+            records[q] = {"small_sec": ta, "big_sec": tb, "ratio": None,
+                          "flag": "failed"}
             continue
         ratio = tb / ta if ta > 0 else float("inf")
         flag = ""
@@ -45,6 +57,24 @@ def main(small_path, big_path, factor=10.0):
         elif ta < MIN_SEC and ratio > factor * SLACK:
             flag = "(fast-query, noisy)"
         print(f"{q:42s} {ta:8.2f} {tb:8.2f} {ratio:7.2f}  {flag}")
+        records[q] = {"small_sec": round(ta, 3), "big_sec": round(tb, 3),
+                      "ratio": round(ratio, 2) if ratio != float("inf") else None,
+                      "flag": flag or None}
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump({
+                "small_sf": a.get("sf"), "big_sf": b.get("sf"),
+                "data_factor": factor, "flag_threshold": factor * SLACK,
+                "min_sec": MIN_SEC,
+                "n_entries": len(records),
+                "n_flagged": len([q for q, r in flags if r != "failed"
+                                  and not r.startswith("(")]),
+                "n_failed": len([q for q, r in flags if r == "failed"]),
+                "total_small_sec": round(a["value"], 1),
+                "total_big_sec": round(b["value"], 1),
+                "entries": records,
+            }, f, indent=1, sort_keys=True)
+        print(f"\nwrote {json_out} ({len(records)} entries)")
     ca, cb = a.get("canary", {}), b.get("canary", {})
     print(f"\ntotals: small {a['value']:.1f}s (failed {a['failed']}) | "
           f"big {b['value']:.1f}s (failed {b['failed']})")
@@ -57,5 +87,12 @@ def main(small_path, big_path, factor=10.0):
 
 
 if __name__ == "__main__":
-    main(sys.argv[1], sys.argv[2],
-         float(sys.argv[3]) if len(sys.argv) > 3 else 10.0)
+    argv = list(sys.argv[1:])
+    json_out = None
+    if "--json" in argv:
+        i = argv.index("--json")
+        json_out = argv[i + 1]
+        del argv[i:i + 2]
+    main(argv[0], argv[1],
+         float(argv[2]) if len(argv) > 2 else 10.0,
+         json_out=json_out)
