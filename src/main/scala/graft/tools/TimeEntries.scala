@@ -31,11 +31,17 @@ object TimeEntries {
           s"${e.getClass.getSimpleName}: ${String.valueOf(e.getMessage)}")
       }
     warmup("d4_count")(graft.Registry.byName("d4_count").build(spark, sfDir).count())
-    warmup("knn_index")(graft.ops.SimilarityOps.ensureKnnIndex(spark, sfDir))
-    warmup("lex_index")(graft.ops.RetrievalOps.ensureLexIndex(spark, sfDir))
-    warmup("pq_index")(graft.ops.PqOps.ensurePqIndex(spark, sfDir))
-    warmup("bin_index")(graft.ops.SimilarityOps.ensureBinaryIndex(spark, sfDir))
-    warmup("bucketed_tables")(graft.ops.JoinOps.ensureBucketedTables(spark, sfDir))
+    // index/layout builds only for the FULL sweep: a filtered spot-check
+    // (e.g. the sf100 third-decade run) shouldn't pay a PQ codebook
+    // train for six entries that never probe it; filtered indexed
+    // entries still get their own benchPrep per the loop below
+    if (only.isEmpty) {
+      warmup("knn_index")(graft.ops.SimilarityOps.ensureKnnIndex(spark, sfDir))
+      warmup("lex_index")(graft.ops.RetrievalOps.ensureLexIndex(spark, sfDir))
+      warmup("pq_index")(graft.ops.PqOps.ensurePqIndex(spark, sfDir))
+      warmup("bin_index")(graft.ops.SimilarityOps.ensureBinaryIndex(spark, sfDir))
+      warmup("bucketed_tables")(graft.ops.JoinOps.ensureBucketedTables(spark, sfDir))
+    }
     val times = graft.Registry.all.sortBy(_.name)
       .filter(q => only.forall(_.contains(q.name)))
       .flatMap { q =>
