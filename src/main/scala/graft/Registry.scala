@@ -84,6 +84,22 @@ object Registry {
       |            FROM lineitem JOIN orders ON l_orderkey = o_orderkey),
       |e1 AS (SELECT src, dst FROM e0 UNION ALL SELECT dst, src FROM e0)""".stripMargin
 
+  /** Support-filtered co-purchase edge set `e` (pa < pb) + id-ordered
+    * triangle list `t` (v1, v2, v3) — ONE chain shared by the
+    * x_graph_triangles and x_graph_transitivity oracles, mirroring
+    * GraphOps.coEdges/trianglesOf (the oracle enumerates by id order;
+    * the triangle SET is orientation-independent). */
+  private[graft] val coTriangleCtes: String =
+    s"""li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+      |e AS (SELECT pa, pb FROM (
+      |        SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n
+      |        FROM li a JOIN li b
+      |          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      |        GROUP BY 1, 2) WHERE n >= ${graft.ops.GraphOps.TriMinSupport}),
+      |t AS (SELECT e1.pa AS v1, e1.pb AS v2, e2.pb AS v3
+      |      FROM e e1 JOIN e e2 ON e2.pa = e1.pa AND e2.pb > e1.pb
+      |           JOIN e e3 ON e3.pa = e1.pb AND e3.pb = e2.pb)""".stripMargin
+
   /** Vocabulary-richness oracle: both gram lengths rendered from ONE
     * panel template over a parameterized gram source (the
     * filterFunnelOracle rule), mirroring TextOps.vocabRichness. */

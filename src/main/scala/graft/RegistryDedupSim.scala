@@ -476,18 +476,25 @@ private[graft] object RegistryDedupSim {
     // bounded by degeneracy), the oracle by id order — the triangle SET
     // is orientation-independent, so the hashes agree
     GraftQuery("x_graph_triangles", GraphOps.triangleCounts, Some(
-      """WITH li AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
-        |e AS (SELECT pa, pb FROM (
-        |        SELECT a.l_partkey AS pa, b.l_partkey AS pb, count(*) AS n
-        |        FROM li a JOIN li b
-        |          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
-        |        GROUP BY 1, 2) WHERE n >= 2),
-        |t AS (SELECT e1.pa AS v1, e1.pb AS v2, e2.pb AS v3
-        |      FROM e e1 JOIN e e2 ON e2.pa = e1.pa AND e2.pb > e1.pb
-        |           JOIN e e3 ON e3.pa = e1.pb AND e3.pb = e2.pb),
+      s"""WITH $coTriangleCtes,
         |x AS (SELECT unnest([v1, v2, v3]) AS l_partkey FROM t)
         |SELECT l_partkey, count(*) AS n_triangles FROM x
         |GROUP BY 1 ORDER BY 1""".stripMargin)),
+    // global transitivity C = 3T/W on the same co-purchase seams:
+    // exact integer triangle/edge counts, HUGEINT/decimal wedge mass
+    // Σd(d−1), ONE division (folded to 6T/w2 so the integer currency
+    // survives); zero wedges → NULL in both engines
+    GraftQuery("x_graph_transitivity", GraphOps.globalTransitivity, Some(
+      s"""WITH $coTriangleCtes,
+        |d AS (SELECT p, count(*) AS d FROM (SELECT unnest([pa, pb]) AS p FROM e) GROUP BY 1),
+        |a AS (SELECT CAST(count(*) AS BIGINT) AS n_edges FROM e),
+        |w AS (SELECT sum(CAST(d AS HUGEINT) * (d - 1)) AS w2 FROM d),
+        |tc AS (SELECT CAST(count(*) AS BIGINT) AS n_triangles FROM t)
+        |SELECT n_edges, n_triangles,
+        |       CASE WHEN w2 > 0
+        |            THEN CAST(CAST(n_triangles AS HUGEINT) * 6 AS DOUBLE) / CAST(w2 AS DOUBLE)
+        |       END AS transitivity
+        |FROM a CROSS JOIN w CROSS JOIN tc""".stripMargin)),
     // k-core: iterative degree-threshold peel to the unique fixpoint;
     // the oracle unrolls FOUR rounds (≥ rounds-to-fixpoint at every SF,
     // extra rounds are no-ops on a fixpoint), degrees are exact integer

@@ -772,6 +772,26 @@ private[graft] object RegistryEventsText {
         |                        * CAST(n00 + n10 AS DOUBLE) * CAST(n00 + n01 AS DOUBLE))
         |       END AS mcc
         |FROM cm""".stripMargin)),
+    // McNemar's paired test on the same cells: the marginal-shift
+    // question kappa/MCC can't ask — χ² lives on the discordant cells
+    // only (Edwards-corrected, clamped to 0 at n10 = n01), with the
+    // discordant odds ratio as the effect size; all guards NULL at
+    // empty denominators (the divide-by-zero NULL-vs-Inf seam)
+    GraftQuery("x_quality_mcnemar", TextOps.classifierMcnemar, Some(
+      s"""WITH $confusionCellCtes,
+        |m AS (SELECT n, n11, n10, n01, n00,
+        |        CAST(greatest(abs(n10 - n01) - 1, 0) AS DOUBLE) AS g
+        |      FROM cm),
+        |r AS (SELECT n, n11, n10, n01, n00,
+        |        CASE WHEN n10 + n01 > 0
+        |             THEN g * g / CAST(n10 + n01 AS DOUBLE) END AS chi2_mcnemar,
+        |        CASE WHEN n10 > 0 AND n01 > 0
+        |             THEN CAST(CAST(n11 AS HUGEINT) * n00 AS DOUBLE)
+        |                  / CAST(CAST(n10 AS HUGEINT) * n01 AS DOUBLE) END AS odds_ratio
+        |      FROM m)
+        |SELECT n, n11, n10, n01, n00, chi2_mcnemar, odds_ratio,
+        |       chi2_mcnemar > 3.841 AS asymmetric
+        |FROM r""".stripMargin)),
     // Fleiss' kappa over three rule annotators: with 3 binary raters
     // the per-doc agreement term is 1 or 1/3, so the mean is exact
     // integers + one division (no order-dependent double fold)

@@ -206,8 +206,28 @@ object GraphOps {
 
   def labelProp(spark: SparkSession, dir: String): DataFrame = {
     val emb = Tables(spark, dir, "embeddings").select(col("vec_id"), col("label"))
+    // The exact-kNN edge construction is the QUADRATIC oracle anchor
+    // (n ≤ ExactAllPairsMaxRows, require-gated) and it was LAZY: each
+    // round's vote join re-executed the all-pairs subtree, measured at
+    // 39.6× per 10× data by the r14 sweep. Persisted, the O(n²) pass
+    // runs ONCE and the rounds iterate on the |V|·k-row cached edge
+    // list (released after the final eager checkpoint). At 100 TB wire
+    // [[labelPropOf]] over the bucketed knnJoin edges instead — the
+    // iteration is edge-source agnostic; THIS entry keeps exact edges
+    // so DuckDB can replay the whole fixpoint.
     val edges = SimilarityOps.knnExact(spark, dir)
       .select(col("q_id").as("node"), col("neighbor_id"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val out = labelPropOf(edges, emb)
+    edges.unpersist()
+    out
+  }
+
+  /** The synchronous label-propagation fixpoint over ANY (node,
+    * neighbor_id) edge relation and (vec_id, label) seed table —
+    * separated so the exact-anchor entry above and a bucketed-ANN
+    * 100 TB caller share one iteration. The caller owns edge caching. */
+  private[graft] def labelPropOf(edges: DataFrame, emb: DataFrame): DataFrame = {
     val isSeed = col("vec_id") % 5 === 0
     var labels = emb.select(col("vec_id"),
       when(isSeed, col("label")).otherwise(lit(null)).as("lbl"))
@@ -468,15 +488,32 @@ object GraphOps {
   }
 
   def triangleCounts(spark: SparkSession, dir: String): DataFrame = {
+    val tri = trianglesOf(coEdges(spark, dir))
+    tri.select(explode(array(col("v1"), col("v2"), col("v3"))).as("l_partkey"))
+      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_triangles"))
+      .orderBy("l_partkey")
+  }
+
+  /** The support-filtered co-purchase edge set (pa < pb, each undirected
+    * edge once) — ONE definition behind [[triangleCounts]] AND
+    * [[globalTransitivity]], mirrored by the hoisted oracle CTE chain. */
+  private def coEdges(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem")
       .select(col("l_orderkey"), col("l_partkey")).distinct()
-    val und = li.as("a").join(li.as("b"),
+    li.as("a").join(li.as("b"),
         col("a.l_orderkey") === col("b.l_orderkey") &&
           col("a.l_partkey") < col("b.l_partkey"))
       .groupBy(col("a.l_partkey").as("pa"), col("b.l_partkey").as("pb"))
       .agg(count(lit(1)).as("n"))
       .filter(col("n") >= TriMinSupport)
       .select(col("pa"), col("pb"))
+  }
+
+  /** Degree-oriented triangle enumeration over any undirected (pa, pb)
+    * relation — each triangle emitted exactly once as (v1, v2, v3);
+    * separated so planted-graph specs and the transitivity readout
+    * share [[triangleCounts]]'s compact-forward plan. */
+  private[ops] def trianglesOf(und: DataFrame): DataFrame = {
     // degree-ordered orientation: src = lower-degree endpoint
     val deg = und.select(explode(array(col("pa"), col("pb"))).as("p"))
       .groupBy(col("p")).agg(count(lit(1)).as("d"))
@@ -495,15 +532,57 @@ object GraphOps {
           .otherwise(struct(col("pb").as("src"), col("pa").as("dst"),
             struct(col("da.d").as("d"), col("pa").as("id")).as("dk"))).as("e"))
       .select(col("e.src"), col("e.dst"), col("e.dk"))
-    val tri = oriented.as("e1")
+    oriented.as("e1")
       .join(oriented.as("e2"),
         col("e1.src") === col("e2.src") && col("e1.dk") < col("e2.dk"))
       .join(oriented.as("e3"),
         col("e3.src") === col("e1.dst") && col("e3.dst") === col("e2.dst"))
       .select(col("e1.src").as("v1"), col("e1.dst").as("v2"), col("e2.dst").as("v3"))
-    tri.select(explode(array(col("v1"), col("v2"), col("v3"))).as("l_partkey"))
-      .groupBy(col("l_partkey")).agg(count(lit(1)).as("n_triangles"))
-      .orderBy("l_partkey")
+  }
+
+  /** Global transitivity of the co-purchase graph — the one-number
+    * "how clustered is co-buying" companion to [[triangleCounts]]'s
+    * per-part view: C = 3·|triangles| / |wedges| (the fraction of open
+    * length-2 paths that close). A high C means co-purchase circles —
+    * recommendation candidates transfer; a low C with the same degree
+    * histogram means hub-and-spoke baskets.
+    *
+    * Exactness: triangle and edge counts are exact integers off the
+    * SAME [[trianglesOf]]/[[coEdges]] seams; wedges Σ d(d−1) runs in
+    * DECIMAL(38,0) (int64 dies at ~3e9 hub-degree-squared mass); C is
+    * ONE division of two exact integers cast to double. Zero wedges →
+    * NULL, never a blowup.
+    *
+    * Scale shape: the edge set persists and is scanned three times
+    * (edge count, degree rollup, orientation+closure) — everything
+    * else is 1-row aggregates crossJoined by broadcast; the closure
+    * join keeps the compact-forward degeneracy bound. */
+  def globalTransitivity(spark: SparkSession, dir: String): DataFrame =
+    transitivityOf(coEdges(spark, dir))
+
+  /** The transitivity core over any undirected (pa, pb) relation —
+    * separated so specs can feed planted graphs with hand-computed C
+    * (triangle → 1, star → 0). */
+  private[ops] def transitivityOf(und: DataFrame): DataFrame = {
+    val d38 = (c: Column) => c.cast(DecimalType(38, 0))
+    val dbl = (c: Column) => c.cast(DoubleType)
+    val e = und.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nE = e.agg(count(lit(1)).as("n_edges"))
+    val w2 = e.select(explode(array(col("pa"), col("pb"))).as("p"))
+      .groupBy(col("p")).agg(count(lit(1)).as("d"))
+      .agg(sum(d38(col("d")) * (d38(col("d")) - lit(1))).as("w2"))
+    val t = trianglesOf(e).agg(count(lit(1)).as("n_triangles"))
+    // 1-row readout, checkpointed eagerly so the edge cache can be
+    // released before the (lazy) result is served
+    val row = nE.crossJoin(broadcast(w2)).crossJoin(broadcast(t))
+      .localCheckpoint()
+    e.unpersist()
+    // C = 3T/W with W = w2/2, folded to 6T/w2 so the integer currency
+    // survives to the single division
+    row.select(col("n_edges"), col("n_triangles"),
+      when(col("w2") > 0,
+        dbl(d38(col("n_triangles")) * lit(6)) / dbl(col("w2")))
+        .as("transitivity"))
   }
 
   /** k-core threshold: 8 keeps the peel non-trivial at every SF on the

@@ -899,6 +899,37 @@ object TextOps {
               * m("n00", "n10") * m("n00", "n01"))).as("mcc"))
   }
 
+  /** McNemar's paired test over the same 2×2 cells — "do the
+    * classifier and the gold rule err at DIFFERENT rates on the same
+    * documents?": kappa/MCC measure agreement, but a systematic
+    * marginal shift (classifier keeps 60%, rule keeps 40%) lives
+    * entirely in the discordant cells, which the paired design
+    * isolates: χ² = max(|n10−n01|−1, 0)² / (n10+n01) (Edwards
+    * continuity correction, clamped so n10 = n01 reads exactly 0),
+    * against the same α = 0.05 df=1 trip wire as the SRM guard. The
+    * discordant odds ratio n11·n00 / (n10·n01) rides along as the
+    * effect-size column — a significant χ² on a near-1 OR is scale,
+    * not substance.
+    *
+    * Exactness: integer cells (one map-side-combinable scan, shared
+    * [[confusionCells]] seam), χ² a fixed 3-op IEEE tree, OR an exact
+    * DECIMAL(38,0) product pair with ONE division; both guarded NULL
+    * at empty denominators so Spark and DuckDB agree (the divide-by-
+    * zero NULL-vs-Inf seam). No transcendental. */
+  def classifierMcnemar(spark: SparkSession, dir: String): DataFrame = {
+    val dbl = (c: Column) => c.cast(DoubleType)
+    val d38 = (c: String) => col(c).cast(DecimalType(38, 0))
+    val g = dbl(greatest(abs(col("n10") - col("n01")) - lit(1L), lit(0L)))
+    confusionCells(spark, dir)
+      .select(col("n"), col("n11"), col("n10"), col("n01"), col("n00"),
+        when(col("n10") + col("n01") > 0L,
+          g * g / dbl(col("n10") + col("n01"))).as("chi2_mcnemar"),
+        when(col("n10") > 0L && col("n01") > 0L,
+          (d38("n11") * d38("n00")).cast(DoubleType)
+            / (d38("n10") * d38("n01")).cast(DoubleType)).as("odds_ratio"))
+      .withColumn("asymmetric", col("chi2_mcnemar") > 3.841)
+  }
+
   /** Fleiss' kappa across THREE rule annotators (classifier keep,
     * stopword gold, low-punctuation) — [[classifierKappa]]'s
     * multi-rater generalization: with 3 binary raters every document's

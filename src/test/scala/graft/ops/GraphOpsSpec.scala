@@ -319,4 +319,29 @@ class GraphOpsSpec extends SparkSpec {
         .select((col("c_custkey") * 2 + 1).as("node")))
     assert(e.select(col("src").as("node")).except(lab).count() == 0)
   }
+
+  test("transitivity: planted graphs hand-compute; real graph reconciles with triangles") {
+    import spark.implicits._
+    def cOf(pairs: Seq[(Long, Long)]) = {
+      val r = GraphOps.transitivityOf(pairs.toDF("pa", "pb")).collect()(0)
+      (r.getAs[Long]("n_edges"), r.getAs[Long]("n_triangles"),
+        if (r.isNullAt(r.fieldIndex("transitivity"))) Double.NaN
+        else r.getAs[Double]("transitivity"))
+    }
+    // a triangle: T = 1, wedges Σd(d−1)/2 = 3 → C = 1 exactly
+    assert(cOf(Seq((1L, 2L), (1L, 3L), (2L, 3L))) == ((3L, 1L, 1.0)))
+    // a star: 3 wedges through the hub, zero closed → C = 0 exactly
+    assert(cOf(Seq((0L, 1L), (0L, 2L), (0L, 3L))) == ((3L, 0L, 0.0)))
+    // a single edge: no wedge exists → NULL, never a zero division
+    assert(cOf(Seq((1L, 2L)))._3.isNaN)
+    // real co-purchase graph: the global readout must reconcile with
+    // the per-part participation view (each triangle counted at its
+    // three corners), and C is a closed-fraction in [0, 1]
+    val g = GraphOps.globalTransitivity(spark, Sf0001).collect()(0)
+    val partSum = GraphOps.triangleCounts(spark, Sf0001).collect()
+      .map(_.getAs[Long]("n_triangles")).sum
+    assert(3L * g.getAs[Long]("n_triangles") == partSum)
+    val c = g.getAs[Double]("transitivity")
+    assert(c >= 0.0 && c <= 1.0)
+  }
 }

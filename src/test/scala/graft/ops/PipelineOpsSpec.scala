@@ -1639,6 +1639,26 @@ class PipelineOpsSpec extends SparkSpec {
     assert(mcc >= -1.0 && mcc <= 1.0)
   }
 
+  test("mcnemar: cells shared with kappa; corrected chi2 and OR replay; branches live") {
+    val k = TextOps.classifierKappa(spark, Sf0001).collect()(0)
+    val r = TextOps.classifierMcnemar(spark, Sf0001).collect()(0)
+    Seq("n", "n11", "n10", "n01", "n00").foreach { c =>
+      assert(r.getAs[Long](c) == k.getAs[Long](c), s"cell $c diverged")
+    }
+    val (n11, n10, n01, n00) = (r.getAs[Long]("n11"), r.getAs[Long]("n10"),
+      r.getAs[Long]("n01"), r.getAs[Long]("n00"))
+    // the fixture must exercise the defined arms, not the NULL guards
+    assert(n10 + n01 > 0 && n10 > 0 && n01 > 0,
+      "discordant cells must be live at sf0.001 or the chi2/OR arms are untested")
+    val g = math.max(math.abs(n10 - n01) - 1L, 0L).toDouble
+    assert(r.getAs[Double]("chi2_mcnemar") == g * g / (n10 + n01).toDouble)
+    val or = (BigDecimal(n11) * BigDecimal(n00)).toDouble /
+      (BigDecimal(n10) * BigDecimal(n01)).toDouble
+    assert(r.getAs[Double]("odds_ratio") == or)
+    assert(r.getAs[Boolean]("asymmetric") ==
+      (r.getAs[Double]("chi2_mcnemar") > 3.841))
+  }
+
   test("auc: planted rankings — perfect 1, inverted 0, all-tied 1/2, mixed hand value") {
     import spark.implicits._
     def auc(rows: Seq[(Long, Boolean)]) = {
