@@ -12,10 +12,11 @@ package graft
 object Bench {
   private val Reps = 3
 
-  /** A mid-run canary fires before every CanaryEvery-th headline —
-    * ~4-5 readings across a 35-headline suite, each a fixed ~0.4 s of
-    * single-thread work (≈2 s total overhead for minute-level
-    * contention localization). */
+  /** A mid-run canary pair (serial + wide) fires before every
+    * CanaryEvery-th headline — ~4-5 readings across a 35-headline
+    * suite, each a fixed ~0.4 s single-thread spin plus ~0.5 s of
+    * all-cores work (≈4 s total overhead for minute-level contention
+    * localization that can see BOTH contention shapes). */
   private val CanaryEvery = 8
 
   /** Fixed-work CPU canary: a single-threaded deterministic xorshift

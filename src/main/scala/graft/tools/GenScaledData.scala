@@ -68,7 +68,13 @@ object GenScaledData {
 
     // replica index as a small crossJoin fan-out (runs distributed)
     val reps = (0 until factor).toDF("__r")
-    def tiled(df: DataFrame): DataFrame = df.crossJoin(broadcast(reps))
+    // repartition the SOURCE before the fan-out: the sf0.1 parquet files
+    // are single-digit MB = ONE input split, so without this the whole
+    // factor× row generation runs as a single task (the factor-1000
+    // lineitem tile sat on one core for 35+ minutes writing nothing);
+    // spread across 32 tasks the same tile is I/O-bound, not core-bound
+    def tiled(df: DataFrame): DataFrame =
+      df.repartition(32).crossJoin(broadcast(reps))
     def strided(c: String, stride: Long) =
       (col(c) + col("__r") * stride).as(c)
 
