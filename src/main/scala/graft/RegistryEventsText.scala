@@ -693,6 +693,132 @@ private[graft] object RegistryEventsText {
         |       CAST(overlap * 2 AS DOUBLE) / (n_a + n_b) AS f1,
         |       CAST(so * 2 AS DOUBLE) / sn AS micro_f1
         |FROM o CROSS JOIN t ORDER BY doc_a, doc_b""".stripMargin)),
+    // BLEU core over the same pair set (doc_a = candidate): clipped
+    // n-gram matches m1..m4 + candidate totals t1..t4 exact int64;
+    // p_n one division each; prec_geo4 = ((p1·p2)·p3)·p4 = BLEU⁴/BP⁴
+    // (no ln/exp — the transcendentals rule); micro_p_n = Σm/Σt are
+    // the corpus-BLEU precisions; bp_clamped/len_ratio carry the
+    // brevity-penalty inputs
+    GraftQuery("x_eval_bleu", TextOps.pairBleu, Some(
+      s"""WITH $trigramCtes,
+        |$goodPairsCtes,
+        |mem AS (SELECT doc_a AS doc_id FROM good UNION SELECT doc_b FROM good),
+        |tkn AS (SELECT d.doc_id, string_split(lower(d.text), ' ') AS tk
+        |        FROM documents d JOIN mem USING (doc_id)),
+        |lens AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS len FROM tkn),
+        |gr AS (SELECT doc_id, n.n AS n,
+        |         unnest(list_transform(generate_series(1, len(tk) - n.n + 1),
+        |           i -> array_to_string(tk[i:i+n.n-1], ' '))) AS gram
+        |       FROM tkn CROSS JOIN (VALUES (1), (2), (3), (4)) n(n)
+        |       WHERE len(tk) >= n.n),
+        |gtf AS (SELECT doc_id, n, gram, CAST(count(*) AS BIGINT) AS tf
+        |        FROM gr GROUP BY 1, 2, 3),
+        |mm AS (SELECT g.doc_a, g.doc_b,
+        |         sum(CASE WHEN a.n = 1 THEN least(a.tf, b.tf) END) AS mm1,
+        |         sum(CASE WHEN a.n = 2 THEN least(a.tf, b.tf) END) AS mm2,
+        |         sum(CASE WHEN a.n = 3 THEN least(a.tf, b.tf) END) AS mm3,
+        |         sum(CASE WHEN a.n = 4 THEN least(a.tf, b.tf) END) AS mm4
+        |       FROM good g JOIN gtf a ON a.doc_id = g.doc_a
+        |                   JOIN gtf b ON b.doc_id = g.doc_b AND b.n = a.n AND b.gram = a.gram
+        |       GROUP BY 1, 2),
+        |o AS (SELECT g.doc_a, g.doc_b, la.len AS len_a, lb.len AS len_b,
+        |        CAST(coalesce(mm1, 0) AS BIGINT) AS m1, la.len AS t1,
+        |        CAST(coalesce(mm2, 0) AS BIGINT) AS m2, CAST(greatest(la.len - 1, 0) AS BIGINT) AS t2,
+        |        CAST(coalesce(mm3, 0) AS BIGINT) AS m3, CAST(greatest(la.len - 2, 0) AS BIGINT) AS t3,
+        |        CAST(coalesce(mm4, 0) AS BIGINT) AS m4, CAST(greatest(la.len - 3, 0) AS BIGINT) AS t4
+        |      FROM good g JOIN lens la ON la.doc_id = g.doc_a
+        |                  JOIN lens lb ON lb.doc_id = g.doc_b
+        |      LEFT JOIN mm ON mm.doc_a = g.doc_a AND mm.doc_b = g.doc_b),
+        |t AS (SELECT CAST(sum(m1) AS BIGINT) AS sm1, CAST(sum(t1) AS BIGINT) AS st1,
+        |        CAST(sum(m2) AS BIGINT) AS sm2, CAST(sum(t2) AS BIGINT) AS st2,
+        |        CAST(sum(m3) AS BIGINT) AS sm3, CAST(sum(t3) AS BIGINT) AS st3,
+        |        CAST(sum(m4) AS BIGINT) AS sm4, CAST(sum(t4) AS BIGINT) AS st4,
+        |        CAST(sum(len_a) AS BIGINT) AS cla, CAST(sum(len_b) AS BIGINT) AS clb FROM o)
+        |SELECT doc_a, doc_b, len_a, len_b, m1, t1, m2, t2, m3, t3, m4, t4,
+        |       CASE WHEN t1 > 0 THEN CAST(m1 AS DOUBLE) / t1 END AS p1,
+        |       CASE WHEN t2 > 0 THEN CAST(m2 AS DOUBLE) / t2 END AS p2,
+        |       CASE WHEN t3 > 0 THEN CAST(m3 AS DOUBLE) / t3 END AS p3,
+        |       CASE WHEN t4 > 0 THEN CAST(m4 AS DOUBLE) / t4 END AS p4,
+        |       CASE WHEN t1 > 0 AND t2 > 0 AND t3 > 0 AND t4 > 0
+        |            THEN (CAST(m1 AS DOUBLE) / t1) * (CAST(m2 AS DOUBLE) / t2)
+        |                 * (CAST(m3 AS DOUBLE) / t3) * (CAST(m4 AS DOUBLE) / t4)
+        |       END AS prec_geo4,
+        |       CAST(len_a AS DOUBLE) / len_b AS len_ratio,
+        |       len_a >= len_b AS bp_clamped,
+        |       CASE WHEN st1 > 0 THEN CAST(sm1 AS DOUBLE) / st1 END AS micro_p1,
+        |       CASE WHEN st2 > 0 THEN CAST(sm2 AS DOUBLE) / st2 END AS micro_p2,
+        |       CASE WHEN st3 > 0 THEN CAST(sm3 AS DOUBLE) / st3 END AS micro_p3,
+        |       CASE WHEN st4 > 0 THEN CAST(sm4 AS DOUBLE) / st4 END AS micro_p4,
+        |       cla AS corpus_len_a, clb AS corpus_len_b
+        |FROM o CROSS JOIN t ORDER BY doc_a, doc_b""".stripMargin)),
+    // chrF2 over the same pair set: char n-grams 1..6, whitespace
+    // stripped, β = 2 — FULLY rational, so unlike BLEU the final score
+    // is value-oracled; F_n = 5PR/(4P+R), 0 at m = 0, order excluded
+    // when either side has no grams; chrf2 = mean of included orders;
+    // micro applies the identical tree to corpus-summed counts
+    GraftQuery("x_eval_chrf", TextOps.pairChrf, Some {
+      val fSql = (1 to 6).map { k =>
+        s"""CASE WHEN tc$k > 0 AND tr$k > 0 THEN
+           |  CASE WHEN m$k > 0 THEN (5.0 * ((CAST(m$k AS DOUBLE) / tc$k) * (CAST(m$k AS DOUBLE) / tr$k)))
+           |         / (4.0 * (CAST(m$k AS DOUBLE) / tc$k) + (CAST(m$k AS DOUBLE) / tr$k))
+           |       ELSE 0.0 END END AS f$k,
+           |CASE WHEN stc$k > 0 AND str$k > 0 THEN
+           |  CASE WHEN sm$k > 0 THEN (5.0 * ((CAST(sm$k AS DOUBLE) / stc$k) * (CAST(sm$k AS DOUBLE) / str$k)))
+           |         / (4.0 * (CAST(sm$k AS DOUBLE) / stc$k) + (CAST(sm$k AS DOUBLE) / str$k))
+           |       ELSE 0.0 END END AS mf$k""".stripMargin
+      }.mkString(",\n")
+      def meanSql(p: String) = {
+        val valid = (1 to 6).map(k => s"CASE WHEN $p$k IS NOT NULL THEN 1 ELSE 0 END")
+          .mkString(" + ")
+        val total = (1 to 6).map(k => s"coalesce($p$k, 0.0)").mkString(" + ")
+        s"CASE WHEN ($valid) > 0 THEN ($total) / ($valid) END"
+      }
+      s"""WITH $trigramCtes,
+        |$goodPairsCtes,
+        |mem AS (SELECT doc_a AS doc_id FROM good UNION SELECT doc_b FROM good),
+        |ch AS (SELECT d.doc_id, replace(lower(d.text), ' ', '') AS s
+        |       FROM documents d JOIN mem USING (doc_id)),
+        |lens AS (SELECT doc_id, CAST(length(s) AS BIGINT) AS len FROM ch),
+        |gr AS (SELECT doc_id, n.n AS n,
+        |         unnest(list_transform(generate_series(1, length(s) - n.n + 1),
+        |           i -> substring(s, i, n.n))) AS gram
+        |       FROM ch CROSS JOIN (VALUES (1), (2), (3), (4), (5), (6)) n(n)
+        |       WHERE length(s) >= n.n),
+        |gtf AS (SELECT doc_id, n, gram, CAST(count(*) AS BIGINT) AS tf
+        |        FROM gr GROUP BY 1, 2, 3),
+        |mm AS (SELECT g.doc_a, g.doc_b,
+        |${(1 to 6).map(k =>
+          s"         sum(CASE WHEN a.n = $k THEN least(a.tf, b.tf) END) AS mm$k")
+          .mkString(",\n")}
+        |       FROM good g JOIN gtf a ON a.doc_id = g.doc_a
+        |                   JOIN gtf b ON b.doc_id = g.doc_b AND b.n = a.n AND b.gram = a.gram
+        |       GROUP BY 1, 2),
+        |o AS (SELECT g.doc_a, g.doc_b, la.len AS nc, lb.len AS nr,
+        |${(1 to 6).map(k =>
+          s"""        CAST(coalesce(mm$k, 0) AS BIGINT) AS m$k,
+             |        CAST(greatest(la.len - ${k - 1}, 0) AS BIGINT) AS tc$k,
+             |        CAST(greatest(lb.len - ${k - 1}, 0) AS BIGINT) AS tr$k""".stripMargin)
+          .mkString(",\n")}
+        |      FROM good g JOIN lens la ON la.doc_id = g.doc_a
+        |                  JOIN lens lb ON lb.doc_id = g.doc_b
+        |      LEFT JOIN mm ON mm.doc_a = g.doc_a AND mm.doc_b = g.doc_b),
+        |t AS (SELECT
+        |${(1 to 6).map(k =>
+          s"""        CAST(sum(m$k) AS BIGINT) AS sm$k,
+             |        CAST(sum(tc$k) AS BIGINT) AS stc$k,
+             |        CAST(sum(tr$k) AS BIGINT) AS str$k""".stripMargin)
+          .mkString(",\n")}
+        |      FROM o),
+        |f AS (SELECT o.*,
+        |$fSql
+        |      FROM o CROSS JOIN t)
+        |SELECT doc_a, doc_b, nc, nr,
+        |${(1 to 6).map(k => s"       m$k, tc$k, tr$k").mkString(",\n")},
+        |${(1 to 6).map(k => s"       f$k").mkString(",\n")},
+        |       ${meanSql("f")} AS chrf2,
+        |       ${meanSql("mf")} AS micro_chrf2
+        |FROM f ORDER BY doc_a, doc_b""".stripMargin
+    }),
     // vocabulary-richness panel (unigrams + 3-token shingles): TTR, the
     // Chao1 lower bound V + n1(n1−1)/(2(n2+1)) and Good–Turing unseen
     // mass n1/N — integer aggregates of the gram-frequency table, each

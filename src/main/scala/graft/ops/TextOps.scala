@@ -145,6 +145,186 @@ object TextOps {
       .orderBy("doc_a", "doc_b")
   }
 
+  /** BLEU core between each verified near-dup pair (doc_a = candidate,
+    * doc_b = reference) — the MT/generation-eval arithmetic at corpus
+    * scale over the one paired-text set the fixture provides,
+    * [[graft.ops.DedupOps.ngramJaccard]]'s decision pairs. An eval
+    * harness points the same chain at (prediction_id, reference_id).
+    *
+    * Exactness (the transcendentals rule): clipped matches
+    * m_n = Σ_g min(tf_cand, tf_ref) and candidate gram totals
+    * t_n = max(len_a − n + 1, 0) are exact int64 (hash-green); each
+    * modified precision p_n = m_n/t_n is ONE division, and the
+    * geometric-mean core is published as prec_geo4 =
+    * ((p1·p2)·p3)·p4 = BLEU⁴/BP⁴ — a fixed IEEE tree with no ln/exp
+    * anywhere (BLEU itself needs exp(1−r/c) and a 4th root, both
+    * libm-dependent; the reader applies them to the published exact
+    * rationals). bp_clamped (len_a ≥ len_b ⇒ BP = 1) and len_ratio
+    * carry the brevity-penalty inputs. Micro (corpus) BLEU rides the
+    * same sums: Σm_n/Σt_n per order, one division each — the
+    * order-independent corpus readout, never a mean of per-pair floats.
+    *
+    * Scale shape: gram tf tables are keyed on (doc, n, gram) and built
+    * only for PAIR MEMBERS (one semi-join before the explode — the gram
+    * volume is ∝ |pair docs|·len·4, not corpus size); the clipped-match
+    * join exists only for grams BOTH sides contain (min with an absent
+    * side is 0, so the inner join is exact); the per-pair table is
+    * checkpointed so the corpus totals never re-run pair detection. */
+  def pairBleu(spark: SparkSession, dir: String): DataFrame = {
+    val dbl = (c: Column) => c.cast(DoubleType)
+    val orders = 1 to 4
+    val pairs = DedupOps.ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    val members = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val toks = Tables(spark, dir, "documents")
+      .join(members, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), split(lower(col("text")), " ").as("tk"))
+      .localCheckpoint()
+    val lens = toks.select(col("doc_id"), size(col("tk")).cast(LongType).as("len"))
+    // one exploded (doc, n, gram) stream, n = 1..4; slice is 1-based
+    val grams = toks
+      .select(col("doc_id"), col("tk"),
+        explode(sequence(lit(1), lit(orders.last))).as("n"))
+      .where(size(col("tk")) >= col("n"))
+      .select(col("doc_id"), col("n"),
+        explode(transform(sequence(lit(1), size(col("tk")) - col("n") + 1),
+          i => array_join(slice(col("tk"), i, col("n")), " "))).as("gram"))
+    val gtf = grams.groupBy(col("doc_id"), col("n"), col("gram"))
+      .agg(count(lit(1)).cast(LongType).as("tf"))
+      .localCheckpoint()
+    // clipped matches, pivoted by conditional sums (4 fixed orders —
+    // no generic pivot plan)
+    val mAggs = orders.map(k =>
+      sum(when(col("n") === k, least(col("tf_a"), col("tf_b"))))
+        .cast(LongType).as(s"mm$k"))
+    val mWide = pairs
+      .join(gtf.select(col("doc_id").as("doc_a"), col("n"), col("gram"),
+        col("tf").as("tf_a")), Seq("doc_a"))
+      .join(gtf.select(col("doc_id").as("doc_b"), col("n"), col("gram"),
+        col("tf").as("tf_b")), Seq("doc_b", "n", "gram"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(mAggs.head, mAggs.tail: _*)
+    val perPair = pairs
+      .join(mWide, Seq("doc_a", "doc_b"), "left")
+      .join(lens.select(col("doc_id").as("doc_a"), col("len").as("len_a")), Seq("doc_a"))
+      .join(lens.select(col("doc_id").as("doc_b"), col("len").as("len_b")), Seq("doc_b"))
+      .select(Seq(col("doc_a"), col("doc_b"), col("len_a"), col("len_b")) ++
+        orders.flatMap(k => Seq(
+          coalesce(col(s"mm$k"), lit(0L)).as(s"m$k"),
+          greatest(col("len_a") - (k - 1), lit(0L)).as(s"t$k"))): _*)
+      .localCheckpoint()
+    val totAggs = orders.flatMap(k => Seq(
+        sum(col(s"m$k")).as(s"sm$k"), sum(col(s"t$k")).as(s"st$k"))) ++
+      Seq(sum(col("len_a")).as("cla"), sum(col("len_b")).as("clb"))
+    val tot = perPair.agg(totAggs.head, totAggs.tail: _*)
+    def p(k: Int) = dbl(col(s"m$k")) / col(s"t$k")
+    perPair.crossJoin(broadcast(tot))
+      .select(Seq(col("doc_a"), col("doc_b"), col("len_a"), col("len_b")) ++
+        orders.flatMap(k => Seq(col(s"m$k"), col(s"t$k"))) ++
+        orders.map(k => when(col(s"t$k") > 0, p(k)).as(s"p$k")) ++
+        Seq(
+          when(orders.map(k => col(s"t$k") > 0).reduce(_ && _),
+            orders.map(p).reduce(_ * _)).as("prec_geo4"),
+          (dbl(col("len_a")) / col("len_b")).as("len_ratio"),
+          (col("len_a") >= col("len_b")).as("bp_clamped")) ++
+        orders.map(k => when(col(s"st$k") > 0,
+          dbl(col(s"sm$k")) / col(s"st$k")).as(s"micro_p$k")) ++
+        Seq(col("cla").cast(LongType).as("corpus_len_a"),
+          col("clb").cast(LongType).as("corpus_len_b")): _*)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** chrF2 between each verified near-dup pair — the character-n-gram
+    * F-score (β = 2, orders 1..6, whitespace stripped: the sacrebleu
+    * defaults) that complements [[pairBleu]]: BLEU's word grams reward
+    * exact token matches; chrF's char grams give partial credit for
+    * morphological variants, the reason it's the standard second metric.
+    *
+    * Unlike BLEU, chrF is FULLY rational — no ln/exp/root anywhere — so
+    * the final score is value-oracled, not just its integer core:
+    * per order, P_n = m_n/tc_n and R_n = m_n/tr_n (clipped match /
+    * candidate / reference gram totals, exact int64) and
+    * F_n = 5·(P_n·R_n)/(4·P_n + R_n) (β = 2), with F_n = 0 when
+    * m_n = 0 (sacrebleu's convention — avoids 0/0) and an order
+    * EXCLUDED when either side has no grams; chrf2 is the arithmetic
+    * mean over the included orders (left-associated 6-term sum, one
+    * division). micro_chrf2 applies the same tree to the corpus-summed
+    * counts. Scale shape identical to [[pairBleu]]: member-only semi
+    * join before the char-gram explode, (doc, n, gram)-keyed tf join,
+    * checkpointed per-pair table. */
+  def pairChrf(spark: SparkSession, dir: String): DataFrame = {
+    val dbl = (c: Column) => c.cast(DoubleType)
+    val orders = 1 to 6
+    val pairs = DedupOps.ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
+      .localCheckpoint()
+    val members = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val chars = Tables(spark, dir, "documents")
+      .join(members, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"),
+        regexp_replace(lower(col("text")), " ", "").as("s"))
+      .localCheckpoint()
+    val lens = chars.select(col("doc_id"), length(col("s")).cast(LongType).as("len"))
+    val grams = chars
+      .select(col("doc_id"), col("s"),
+        explode(sequence(lit(1), lit(orders.last))).as("n"))
+      .where(length(col("s")) >= col("n"))
+      .select(col("doc_id"), col("n"),
+        explode(transform(sequence(lit(1), length(col("s")) - col("n") + 1),
+          i => col("s").substr(i, col("n")))).as("gram"))
+    val gtf = grams.groupBy(col("doc_id"), col("n"), col("gram"))
+      .agg(count(lit(1)).cast(LongType).as("tf"))
+      .localCheckpoint()
+    val mAggs = orders.map(k =>
+      sum(when(col("n") === k, least(col("tf_a"), col("tf_b"))))
+        .cast(LongType).as(s"mm$k"))
+    val mWide = pairs
+      .join(gtf.select(col("doc_id").as("doc_a"), col("n"), col("gram"),
+        col("tf").as("tf_a")), Seq("doc_a"))
+      .join(gtf.select(col("doc_id").as("doc_b"), col("n"), col("gram"),
+        col("tf").as("tf_b")), Seq("doc_b", "n", "gram"))
+      .groupBy(col("doc_a"), col("doc_b"))
+      .agg(mAggs.head, mAggs.tail: _*)
+    val perPair = pairs
+      .join(mWide, Seq("doc_a", "doc_b"), "left")
+      .join(lens.select(col("doc_id").as("doc_a"), col("len").as("nc")), Seq("doc_a"))
+      .join(lens.select(col("doc_id").as("doc_b"), col("len").as("nr")), Seq("doc_b"))
+      .select(Seq(col("doc_a"), col("doc_b"), col("nc"), col("nr")) ++
+        orders.flatMap(k => Seq(
+          coalesce(col(s"mm$k"), lit(0L)).as(s"m$k"),
+          greatest(col("nc") - (k - 1), lit(0L)).as(s"tc$k"),
+          greatest(col("nr") - (k - 1), lit(0L)).as(s"tr$k"))): _*)
+      .localCheckpoint()
+    val totAggs = orders.flatMap(k => Seq(
+      sum(col(s"m$k")).as(s"sm$k"), sum(col(s"tc$k")).as(s"stc$k"),
+      sum(col(s"tr$k")).as(s"str$k")))
+    val tot = perPair.agg(totAggs.head, totAggs.tail: _*)
+    // F_n from (m, tc, tr): the ONE fixed tree both the per-pair and
+    // micro readouts share — 0 at m = 0, NULL (excluded) at tc·tr = 0
+    def fOf(m: Column, tc: Column, tr: Column): Column = {
+      val pN = dbl(m) / tc
+      val rN = dbl(m) / tr
+      when(tc > 0 && tr > 0,
+        when(m > 0, lit(5.0) * (pN * rN) / (lit(4.0) * pN + rN))
+          .otherwise(lit(0.0)))
+    }
+    def meanOf(fs: Seq[Column]): Column = {
+      val valid = fs.map(f => when(f.isNotNull, 1).otherwise(0))
+        .reduce(_ + _)
+      when(valid > 0,
+        fs.map(f => coalesce(f, lit(0.0))).reduce(_ + _) / valid)
+    }
+    val pairF = orders.map(k => fOf(col(s"m$k"), col(s"tc$k"), col(s"tr$k")))
+    val microF = orders.map(k => fOf(col(s"sm$k"), col(s"stc$k"), col(s"str$k")))
+    perPair.crossJoin(broadcast(tot))
+      .select(Seq(col("doc_a"), col("doc_b"), col("nc"), col("nr")) ++
+        orders.flatMap(k => Seq(col(s"m$k"), col(s"tc$k"), col(s"tr$k"))) ++
+        orders.zip(pairF).map { case (k, f) => f.as(s"f$k") } ++
+        Seq(meanOf(pairF).as("chrf2"), meanOf(microF).as("micro_chrf2")): _*)
+      .orderBy("doc_a", "doc_b")
+  }
+
   /** Corpus vocabulary statistics: the `top` terms by document frequency
     * (boilerplate/stopword discovery — what a pipeline inspects before
     * choosing filter lists). Two keyed aggregations, then a distributed

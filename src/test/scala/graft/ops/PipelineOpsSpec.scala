@@ -1906,6 +1906,153 @@ class PipelineOpsSpec extends SparkSpec {
     rows.foreach(r => assert(r.getAs[Double]("micro_f1") == (so * 2).toDouble / sn))
   }
 
+  test("pair BLEU: local clipped n-gram replay; exact IEEE trees; corpus micro") {
+    val docs = graft.ops.Tables(spark, Sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) ->
+        r.getString(1).toLowerCase.split(" ", -1).toSeq).toMap
+    def gramTf(id: Long, n: Int): Map[String, Long] =
+      if (docs(id).size < n) Map.empty
+      else docs(id).sliding(n).map(_.mkString(" ")).toSeq
+        .groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rows = TextOps.pairBleu(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    val sums = scala.collection.mutable.Map.empty[String, Long].withDefaultValue(0L)
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      val lenA = docs(a).size.toLong
+      assert(r.getAs[Long]("len_a") == lenA
+        && r.getAs[Long]("len_b") == docs(b).size.toLong, s"pair $a,$b")
+      (1 to 4).foreach { n =>
+        val (ga, gb) = (gramTf(a, n), gramTf(b, n))
+        val m = ga.keysIterator.map(g => math.min(ga(g), gb.getOrElse(g, 0L))).sum
+        val t = math.max(lenA - n + 1, 0L)
+        assert(r.getAs[Long](s"m$n") == m && r.getAs[Long](s"t$n") == t,
+          s"pair $a,$b order $n")
+        if (t > 0) assert(r.getAs[Double](s"p$n") == m.toDouble / t)
+        else assert(r.isNullAt(r.fieldIndex(s"p$n")))
+        sums(s"m$n") += m; sums(s"t$n") += t
+      }
+      // the fixed tree: ((p1·p2)·p3)·p4, NULL if any order has no grams
+      val ps = (1 to 4).map(n => r.getAs[Long](s"m$n").toDouble / r.getAs[Long](s"t$n"))
+      if ((1 to 4).forall(n => r.getAs[Long](s"t$n") > 0))
+        assert(r.getAs[Double]("prec_geo4") == ps.reduce(_ * _))
+      assert(r.getAs[Double]("len_ratio")
+        == lenA.toDouble / r.getAs[Long]("len_b"))
+      assert(r.getAs[Boolean]("bp_clamped") == (lenA >= r.getAs[Long]("len_b")))
+      // near-dups share most unigrams, so p1 must be substantial
+      assert(r.getAs[Double]("p1") > 0.5)
+      sums("la") += lenA; sums("lb") += r.getAs[Long]("len_b")
+    }
+    rows.foreach { r =>
+      (1 to 4).foreach(n => assert(
+        r.getAs[Double](s"micro_p$n") == sums(s"m$n").toDouble / sums(s"t$n")))
+      assert(r.getAs[Long]("corpus_len_a") == sums("la")
+        && r.getAs[Long]("corpus_len_b") == sums("lb"))
+    }
+  }
+
+  test("pair BLEU: hand-computed planted pair (clipping bites; short-ref orders)") {
+    import spark.implicits._
+    val dirTmp = tempDir("bleu_fixture")
+    // Candidate 101 = "the the the cat sat" + w1..w12; reference 102 =
+    // "the cat sat on the mat" + w1..w12. The shared 12-token suffix
+    // makes the pair near-dup under the trigram gate (distinct shingles
+    // 15 vs 16, common 11: 3·11 = 33 ≥ 31) while the heads make BLEU
+    // clipping BITE: cand tf(the) = 3 vs ref 2, so m1 < t1 strictly.
+    // Counts are replayed below with an independent local sliding-window
+    // counter rather than trusted as literals.
+    val shared = (1 to 12).map(i => s"w$i").mkString(" ")
+    val docsDf = Seq(
+      (101L, s"the the the cat sat $shared", "en", "web"),
+      (102L, s"the cat sat on the mat $shared", "en", "web")
+    ).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    docsDf.write.mode("overwrite").parquet(s"$dirTmp/documents.parquet")
+    val r = TextOps.pairBleu(spark, dirTmp).collect()
+    assert(r.length == 1, s"expected exactly the planted pair, got ${r.length}")
+    val row = r(0)
+    assert(row.getAs[Long]("doc_a") == 101L && row.getAs[Long]("doc_b") == 102L)
+    val (ca, cb) = (docsDf.filter(col("doc_id") === 101L), docsDf.filter(col("doc_id") === 102L))
+    val ta = ca.head.getString(1).split(" ").toSeq
+    val tb = cb.head.getString(1).split(" ").toSeq
+    def clip(n: Int): Long = {
+      val (ga, gb) = (
+        ta.sliding(n).map(_.mkString(" ")).toSeq.groupBy(identity).view.mapValues(_.length.toLong).toMap,
+        tb.sliding(n).map(_.mkString(" ")).toSeq.groupBy(identity).view.mapValues(_.length.toLong).toMap)
+      ga.keysIterator.map(g => math.min(ga(g), gb.getOrElse(g, 0L))).sum
+    }
+    (1 to 4).foreach { n =>
+      assert(row.getAs[Long](s"m$n") == clip(n), s"order $n")
+      assert(row.getAs[Long](s"t$n") == ta.size - n + 1)
+    }
+    // clipping must actually bite on the planted unigrams: tf(the)=3 in
+    // the candidate vs 2 in the reference
+    assert(clip(1) < ta.size)
+  }
+
+  test("pair chrF: local char-gram replay of the exact rational trees") {
+    val docs = graft.ops.Tables(spark, Sf0001, "documents")
+      .select("doc_id", "text").collect()
+      .map(r => r.getLong(0) -> r.getString(1).toLowerCase.replace(" ", "")).toMap
+    def gramTf(id: Long, n: Int): Map[String, Long] =
+      if (docs(id).length < n) Map.empty
+      else docs(id).sliding(n).toSeq.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val rows = TextOps.pairChrf(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (a, b) = (r.getAs[Long]("doc_a"), r.getAs[Long]("doc_b"))
+      assert(r.getAs[Long]("nc") == docs(a).length.toLong
+        && r.getAs[Long]("nr") == docs(b).length.toLong)
+      val fs = (1 to 6).map { n =>
+        val (ga, gb) = (gramTf(a, n), gramTf(b, n))
+        val m = ga.keysIterator.map(g => math.min(ga(g), gb.getOrElse(g, 0L))).sum
+        val tc = math.max(docs(a).length - n + 1, 0).toLong
+        val tr = math.max(docs(b).length - n + 1, 0).toLong
+        assert(r.getAs[Long](s"m$n") == m && r.getAs[Long](s"tc$n") == tc
+          && r.getAs[Long](s"tr$n") == tr, s"pair $a,$b order $n")
+        if (tc > 0 && tr > 0) {
+          // the one fixed tree: 5(PR)/(4P+R), 0 at m = 0
+          val (p, q) = (m.toDouble / tc, m.toDouble / tr)
+          val f = if (m > 0) 5.0 * (p * q) / (4.0 * p + q) else 0.0
+          assert(r.getAs[Double](s"f$n") == f, s"pair $a,$b f$n")
+          Some(f)
+        } else { assert(r.isNullAt(r.fieldIndex(s"f$n"))); None }
+      }
+      val valid = fs.flatten
+      assert(r.getAs[Double]("chrf2") == valid.sum / valid.size)
+      // near-dup pairs must score high on char overlap
+      assert(r.getAs[Double]("chrf2") > 0.5)
+    }
+  }
+
+  test("pair chrF: short doc excludes high orders (planted 3-char pair)") {
+    import spark.implicits._
+    val dirTmp = tempDir("chrf_fixture")
+    // identical 3-token docs: trigram-shingle Jaccard = 1 (a good pair);
+    // stripped chars "abc" (len 3) → orders 4-6 have NO grams on either
+    // side and must read NULL (excluded), orders 1-3 are perfect matches
+    // → F = 1.0 each and chrf2 = 1.0 averaged over the 3 INCLUDED orders
+    Seq((1L, "a b c", "en", "web"), (2L, "a b c", "en", "web"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dirTmp/documents.parquet")
+    val r = TextOps.pairChrf(spark, dirTmp).collect()
+    assert(r.length == 1)
+    val row = r(0)
+    assert(row.getAs[Long]("nc") == 3L && row.getAs[Long]("nr") == 3L)
+    (1 to 3).foreach { n =>
+      assert(row.getAs[Long](s"m$n") == 3L - n + 1)
+      assert(row.getAs[Double](s"f$n") == 1.0)
+    }
+    (4 to 6).foreach { n =>
+      assert(row.getAs[Long](s"tc$n") == 0L)
+      assert(row.isNullAt(row.fieldIndex(s"f$n")))
+    }
+    assert(row.getAs[Double]("chrf2") == 1.0
+      && row.getAs[Double]("micro_chrf2") == 1.0)
+  }
+
   test("vocab richness: exact two-row panel vs an independent local recount") {
     val docs = graft.ops.Tables(spark, Sf0001, "documents")
       .select("text").collect().map(_.getString(0).toLowerCase.split(" ", -1).toSeq)
