@@ -382,6 +382,40 @@ private[graft] object RegistryDedupSim {
         |                 / CAST(m2 * sxx - sx * sx AS DOUBLE)
         |       END AS assortativity
         |FROM a CROSS JOIN n""".stripMargin)),
+    // rich-club curve: φ(k) per fixed threshold — numerators and node
+    // counts are exact conditional COUNTS over ONE degree-annotated
+    // edge pass (2·E_{>k} IS the symmetrized row count), φ one double
+    // division; the per-k rows are GENERATED from GraphOps.RichClubKs
+    // so Spark and the oracle can never disagree on the threshold list
+    GraftQuery("x_graph_richclub", GraphOps.richClub, Some {
+      val sums = GraphOps.RichClubKs.map(k =>
+        s"""        sum(CASE WHEN dx > $k AND dy > $k THEN 1 ELSE 0 END) AS e2_$k""")
+        .mkString(",\n")
+      val nsums = GraphOps.RichClubKs.map(k =>
+        s"""        sum(CASE WHEN deg > $k THEN 1 ELSE 0 END) AS n_$k""")
+        .mkString(",\n")
+      val rows = GraphOps.RichClubKs.map(k =>
+        s"""SELECT $k AS k, CAST(n_$k AS BIGINT) AS n_rich,
+           |       CAST(e2_$k AS BIGINT) AS e2_rich,
+           |       CASE WHEN n_$k >= 2
+           |            THEN CAST(e2_$k AS DOUBLE)
+           |                 / CAST(n_$k * (n_$k - 1) AS DOUBLE)
+           |       END AS phi FROM ea CROSS JOIN na""".stripMargin)
+        .mkString("\nUNION ALL\n")
+      s"""WITH $graphEdgeCtes,
+        |d AS (SELECT src AS node, count(*) AS deg FROM e1 GROUP BY src),
+        |x AS (SELECT da.deg AS dx, db.deg AS dy
+        |      FROM e1 JOIN d da ON e1.src = da.node JOIN d db ON e1.dst = db.node),
+        |ea AS (SELECT
+        |$sums
+        |       FROM x),
+        |na AS (SELECT
+        |$nsums
+        |       FROM d)
+        |SELECT * FROM (
+        |$rows
+        |) ORDER BY k""".stripMargin
+    }),
     // PageRank with integer-exact damping/teleport arithmetic — the
     // kmeans playbook applied to iterative graph analytics: the oracle
     // unrolls the same three rounds, ranks hash-match bit-for-bit

@@ -458,6 +458,37 @@ private[graft] object RegistryEventsText {
         |            WHEN abs(delta) < 0.474 THEN 'medium'
         |            ELSE 'large' END AS magnitude
         |FROM d""".stripMargin)),
+    // Benjamini–Hochberg step-up over the per-event-type Welch z family:
+    // |z| DESC ordering ≡ p ASC, so "p_(i) ≤ α·i/m" is a comparison
+    // against the plan-time literal boundary Φ⁻¹(1 − α·i/(2m)) — the
+    // (m, rank, boundary) VALUES are rendered from the SAME Scala table
+    // the Spark plan broadcasts (EventOps.fdrBoundaries), so no engine
+    // ever evaluates a normal CDF at query time
+    GraftQuery("x_ab_fdr", EventOps.abFdrByType, Some(
+      s"""WITH pu AS (SELECT event_type, user_id,
+        |             CAST(sum(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS y
+        |           FROM events GROUP BY 1, 2),
+        |${welchMomentsTail(Seq("event_type"))},
+        |z0 AS (SELECT event_type, n0, n1, mean0, mean1,
+        |        CASE WHEN v0 / CAST(n0 AS DOUBLE) + v1 / CAST(n1 AS DOUBLE) > 0
+        |             THEN (mean0 - mean1)
+        |                  / sqrt(v0 / CAST(n0 AS DOUBLE) + v1 / CAST(n1 AS DOUBLE)) END AS z
+        |       FROM wde),
+        |zz AS (SELECT * FROM z0 WHERE z IS NOT NULL),
+        |rk AS (SELECT event_type, n0, n1, mean0, mean1, z,
+        |         count(*) OVER () AS fam,
+        |         row_number() OVER (ORDER BY abs(z) DESC, event_type) AS rnk
+        |       FROM zz),
+        |bd(bm, brank, z_bound) AS (VALUES ${EventOps.fdrBoundarySqlValues}),
+        |st AS (SELECT rk.*, bd.z_bound,
+        |         abs(rk.z) >= bd.z_bound AS crossed
+        |       FROM rk LEFT JOIN bd ON rk.fam = bd.bm AND rk.rnk = bd.brank),
+        |ks AS (SELECT *, max(CASE WHEN crossed THEN rnk ELSE 0 END) OVER () AS k_star
+        |       FROM st)
+        |SELECT event_type, n0, n1, mean0, mean1, z,
+        |       CAST(fam AS BIGINT) AS m, CAST(rnk AS BIGINT) AS rank, z_bound,
+        |       rnk <= k_star AS rejected
+        |FROM ks ORDER BY rank""".stripMargin)),
     // Difference-in-differences on the shared pre/post cent currency
     GraftQuery("x_ab_did", EventOps.abDid, Some(
       s"""WITH $abPrePostCte,
@@ -823,7 +854,74 @@ private[graft] object RegistryEventsText {
     // Chao1 lower bound V + n1(n1−1)/(2(n2+1)) and Good–Turing unseen
     // mass n1/N — integer aggregates of the gram-frequency table, each
     // readout one fixed IEEE tree; both rows from ONE template
+    // pass@k (Chen et al. 2021 eq. 1): the unbiased at-least-one-success
+    // estimator every code-eval harness reports; the combination ratio
+    // unrolls to a fixed k-factor product (k literal) rendered by ONE
+    // Scala template into both engines, factors clamped at 0 so c > n−k
+    // reads exactly 1, n < k reads NULL
+    GraftQuery("x_eval_pass_at_k", EventOps.passAtK, Some {
+      val passCols = EventOps.PassKs.map { k =>
+        val prod = (0 until k).map(i =>
+          s"(CAST(greatest(n - c - $i, 0) AS DOUBLE) / CAST(n - $i AS DOUBLE))")
+          .mkString(" * ")
+        s"CASE WHEN n >= $k THEN 1.0 - $prod END AS pass_$k"
+      }.mkString(",\n|       ")
+      s"""WITH pp AS (SELECT user_id AS problem_id, CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |            FROM events GROUP BY 1)
+        |SELECT problem_id, n, c,
+        |       $passCols
+        |FROM pp ORDER BY problem_id""".stripMargin
+    }),
+    // corpus mean pass@k: per-problem doubles quantized to int64 micro
+    // units BEFORE the sum (a double Σ is partial-aggregation-order-
+    // dependent; floor of the identical IEEE value is not), one
+    // division per k
+    GraftQuery("x_eval_pass_at_k_summary", EventOps.passAtKSummary, Some {
+      val passCols = EventOps.PassKs.map { k =>
+        val prod = (0 until k).map(i =>
+          s"(CAST(greatest(n - c - $i, 0) AS DOUBLE) / CAST(n - $i AS DOUBLE))")
+          .mkString(" * ")
+        s"CASE WHEN n >= $k THEN 1.0 - $prod END AS pass_$k"
+      }.mkString(",\n|         ")
+      val sums = EventOps.PassKs.map { k =>
+        s"""CAST(sum(CASE WHEN pass_$k IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_eligible_$k,
+           |       CASE WHEN sum(CASE WHEN pass_$k IS NOT NULL THEN 1 ELSE 0 END) > 0
+           |            THEN CAST(sum(CAST(floor(pass_$k * 1000000000000.0) AS BIGINT)) AS DOUBLE)
+           |                 / (1000000000000.0 * CAST(sum(CASE WHEN pass_$k IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE))
+           |       END AS mean_pass_$k""".stripMargin
+      }.mkString(",\n|       ")
+      s"""WITH pp AS (SELECT user_id AS problem_id, CAST(count(*) AS BIGINT) AS n,
+        |              CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS c
+        |            FROM events GROUP BY 1),
+        |pk AS (SELECT problem_id,
+        |         $passCols
+        |       FROM pp)
+        |SELECT CAST(count(*) AS BIGINT) AS n_problems,
+        |       $sums
+        |FROM pk""".stripMargin
+    }),
     GraftQuery("x_text_richness", TextOps.vocabRichness, Some(richnessOracle)),
+    // top-k collocations by PMI lift = c_xy·N/(c_x·c_y): marginals and
+    // total are row sums of the ONE corpus bigram table (self-consistent
+    // by construction); lift is exact HUGEINT products into one double
+    // division, monotone in PMI so no transcendental; rank ties break
+    // by (prev, cur) name
+    GraftQuery("x_text_collocations", TextOps.collocations, Some(
+      s"""WITH dt AS (SELECT string_split(lower(text), ' ') AS t FROM documents
+        |            WHERE len(string_split(lower(text), ' ')) >= 2),
+        |bi AS (SELECT t[i] AS prev, t[i + 1] AS cur
+        |       FROM dt, unnest(generate_series(1, len(t) - 1)) AS u(i)),
+        |cb AS (SELECT prev, cur, CAST(count(*) AS BIGINT) AS c_xy FROM bi GROUP BY 1, 2),
+        |cx AS (SELECT prev, CAST(sum(c_xy) AS BIGINT) AS c_x FROM cb GROUP BY 1),
+        |cy AS (SELECT cur, CAST(sum(c_xy) AS BIGINT) AS c_y FROM cb GROUP BY 1),
+        |nt AS (SELECT CAST(sum(c_xy) AS BIGINT) AS n_bi FROM cb)
+        |SELECT prev, cur, c_xy, c_x, c_y, n_bi,
+        |       CAST(CAST(c_xy AS HUGEINT) * n_bi AS DOUBLE)
+        |         / CAST(CAST(c_x AS HUGEINT) * c_y AS DOUBLE) AS lift
+        |FROM cb JOIN cx USING (prev) JOIN cy USING (cur) CROSS JOIN nt
+        |WHERE c_xy >= ${TextOps.CollocMinCount}
+        |ORDER BY lift DESC, prev, cur LIMIT ${TextOps.CollocTopK}""".stripMargin)),
     // vocabulary-coverage profile: per-doc OOV occurrences against the
     // deterministic top-V df vocabulary (V=16 bites on the 31-term
     // synthetic vocab; production V ~1e5, same plan)
@@ -1009,6 +1107,46 @@ private[graft] object RegistryEventsText {
         |       CAST(sc2 - 16000000 * scy + 64000000000000 * ngold AS DOUBLE)
         |         / (64000000000000.0 * CAST(n_docs AS DOUBLE)) AS brier
         |FROM a""".stripMargin)),
+    // confident-learning joint (cleanlab estimator): a doc counts toward
+    // C[noisy label][j] when its class-j confidence clears that class's
+    // self-confidence MEAN — the threshold cross-multiplies to an exact
+    // HUGEINT comparison cnum·n_j ≥ Σcnum_j, so every cell is an integer
+    // count; double-qualify breaks to argmax (cnum ≥ 4e6), neither-
+    // qualify is excluded; noise rates column-normalize with NULL guards
+    GraftQuery("x_quality_confident", TextOps.confidentJoint, Some(
+      s"""WITH $qualityClassifierCtes,
+        |g AS (SELECT least(greatest(logit, -4000000), 4000000) + 4000000 AS cnum,
+        |        $stopCountSql / len(string_split(text, ' ')) >= 0.1 AS gold FROM s),
+        |thr AS (SELECT
+        |          CAST(sum(CASE WHEN gold THEN 1 ELSE 0 END) AS BIGINT) AS n1,
+        |          CAST(sum(CASE WHEN gold THEN cnum ELSE 0 END) AS BIGINT) AS sc1,
+        |          CAST(sum(CASE WHEN NOT gold THEN 1 ELSE 0 END) AS BIGINT) AS n0,
+        |          CAST(sum(CASE WHEN NOT gold THEN 8000000 - cnum ELSE 0 END) AS BIGINT) AS sc0
+        |        FROM g),
+        |q AS (SELECT g.gold, g.cnum,
+        |        CAST(g.cnum AS HUGEINT) * thr.n1 >= thr.sc1 AS q1,
+        |        CAST(8000000 - g.cnum AS HUGEINT) * thr.n0 >= thr.sc0 AS q0,
+        |        thr.n1, thr.sc1, thr.n0, thr.sc0
+        |      FROM g CROSS JOIN thr),
+        |a AS (SELECT gold, n1, sc1, n0, sc0,
+        |        CASE WHEN q1 AND q0 THEN (CASE WHEN cnum >= 4000000 THEN 1 ELSE 0 END)
+        |             WHEN q1 THEN 1 WHEN q0 THEN 0 END AS j
+        |      FROM q),
+        |c AS (SELECT CAST(count(*) AS BIGINT) AS n,
+        |        CAST(sum(CASE WHEN j IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_excluded,
+        |        CAST(sum(CASE WHEN gold AND j = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c11,
+        |        CAST(sum(CASE WHEN gold AND j = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c10,
+        |        CAST(sum(CASE WHEN NOT gold AND j = 1 THEN 1 ELSE 0 END) AS BIGINT) AS c01,
+        |        CAST(sum(CASE WHEN NOT gold AND j = 0 THEN 1 ELSE 0 END) AS BIGINT) AS c00,
+        |        max(n1) AS n1, max(sc1) AS sc1, max(n0) AS n0, max(sc0) AS sc0
+        |      FROM a)
+        |SELECT n, n_excluded, c11, c10, c01, c00,
+        |       c10 + c01 AS n_issues,
+        |       CASE WHEN n1 > 0 THEN CAST(sc1 AS DOUBLE) / (8000000.0 * CAST(n1 AS DOUBLE)) END AS t1,
+        |       CASE WHEN n0 > 0 THEN CAST(sc0 AS DOUBLE) / (8000000.0 * CAST(n0 AS DOUBLE)) END AS t0,
+        |       CASE WHEN c11 + c01 > 0 THEN CAST(c01 AS DOUBLE) / CAST(c11 + c01 AS DOUBLE) END AS noise_to_1,
+        |       CASE WHEN c10 + c00 > 0 THEN CAST(c10 AS DOUBLE) / CAST(c10 + c00 AS DOUBLE) END AS noise_to_0
+        |FROM c""".stripMargin)),
     // Spearman rho between logit and token count (the length-confounder
     // audit): Pearson over exact DOUBLED tie-averaged ranks from two
     // de-skewed frequency tables; moments exact, two sqrt one division

@@ -1290,4 +1290,198 @@ object EventOps {
         col("cum_hazard_micro"))
       .orderBy(col("t_days"))
   }
+
+  // ------------------------------------------------------------------
+  // pass@k — the code/agent-eval success estimator
+  // ------------------------------------------------------------------
+
+  /** The k values pass@k is served at — fixed literals shared with the
+    * oracle (HumanEval's canonical 1/10 plus the mid point). */
+  val PassKs: Seq[Int] = Seq(1, 5, 10)
+
+  /** Unbiased pass@k (Chen et al. 2021, "Evaluating Large Language
+    * Models Trained on Code", eq. 1): per problem with n samples and c
+    * successes, pass@k = 1 − C(n−c,k)/C(n,k) — the probability that a
+    * random size-k draw contains at least one success. The naive
+    * 1−(1−c/n)^k overestimates; this is the estimator every code-eval
+    * harness reports. Problems ride the user axis (user_id = problem,
+    * its events = samples, a `purchase` = success).
+    *
+    * Determinism: the combination ratio unrolls to the fixed product
+    * Π_{i<k} (n−c−i)/(n−i) — k is a LITERAL, so this is k exact-int64
+    * subtractions, k IEEE divisions and k−1 multiplications in one
+    * left-associated tree the oracle replicates textually (no
+    * factorials, no gamma). Each factor clamps at 0 (greatest), so
+    * c > n−k collapses the product to +0.0 — pass@k exactly 1 — rather
+    * than sign-flipping through negative factors. n < k ⇒ NULL in both
+    * engines (a size-k draw does not exist).
+    *
+    * Scale shape: ONE map-side-combinable groupBy(user_id); everything
+    * after is per-row literal arithmetic. */
+  def passAtK(spark: SparkSession, dir: String): DataFrame = {
+    val dbl = (c: Column) => c.cast(DoubleType)
+    val perProblem = Tables(spark, dir, "events")
+      .groupBy(col("user_id").as("problem_id"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c"))
+    val withK = PassKs.foldLeft(perProblem) { (df, k) =>
+      val miss = (0 until k).map(i =>
+        dbl(greatest(col("n") - col("c") - lit(i.toLong), lit(0L)))
+          / dbl(col("n") - lit(i.toLong)))
+        .reduce(_ * _)
+      df.withColumn(s"pass_$k", when(col("n") >= k.toLong, lit(1.0) - miss))
+    }
+    withK.orderBy("problem_id")
+  }
+
+  /** Corpus mean pass@k over the problems where it is defined — the
+    * one-line eval-report readout. Per-problem doubles are quantized to
+    * int64 micro-units (floor(1e12·p) — floor of the identical IEEE
+    * value, so both engines quantize identically) BEFORE the sum: a
+    * double Σ over problems is partial-aggregation-order-dependent and
+    * would hash-flicker at scale, an int64 Σ is permutation-safe (the
+    * Cramér's-V χ² trick). One division per k at the end. */
+  def passAtKSummary(spark: SparkSession, dir: String): DataFrame = {
+    val dbl = (c: Column) => c.cast(DoubleType)
+    val aggs = PassKs.flatMap { k =>
+      Seq(
+        sum(when(col(s"pass_$k").isNotNull, 1L).otherwise(0L))
+          .as(s"n_eligible_$k"),
+        sum(floor(col(s"pass_$k") * lit(1000000000000.0)).cast(LongType))
+          .as(s"sum_micro_$k"))
+    }
+    passAtK(spark, dir)
+      .agg(count(lit(1)).as("n_problems"), aggs: _*)
+      .select(col("n_problems") +: PassKs.flatMap { k =>
+        Seq(col(s"n_eligible_$k"),
+          when(col(s"n_eligible_$k") > 0L,
+            dbl(col(s"sum_micro_$k"))
+              / (lit(1000000000000.0) * dbl(col(s"n_eligible_$k"))))
+            .as(s"mean_pass_$k"))
+      }: _*)
+  }
+
+  // ------------------------------------------------------------------
+  // Benjamini–Hochberg FDR over the per-metric Welch z family
+  // ------------------------------------------------------------------
+
+  /** Two-sided significance level the BH procedure controls FDR at. */
+  val FdrAlpha = 0.05
+  /** Largest metric-family size the literal boundary table covers —
+    * far above the event-type domain; a family larger than this would
+    * find no boundary row and read NULL (loud, never silently wrong). */
+  val FdrMaxM = 32
+
+  /** Φ⁻¹ via Acklam's rational approximation (relative error < 1.15e−9
+    * — far below any boundary-crossing z in these families; the same
+    * public algorithm behind most statistical libraries). Runs at PLAN
+    * time only: the z boundaries it produces are embedded as double
+    * LITERALS in both the Spark plan and the oracle SQL, so engine
+    * agreement is by construction, not by libm. */
+  private def invNorm(p: Double): Double = {
+    val a = Array(-3.969683028665376e+01, 2.209460984245205e+02,
+      -2.759285104469687e+02, 1.383577518672690e+02,
+      -3.066479806614716e+01, 2.506628277459239e+00)
+    val b = Array(-5.447609879822406e+01, 1.615858368580409e+02,
+      -1.556989798598866e+02, 6.680131188771972e+01,
+      -1.328068155288572e+01)
+    val c = Array(-7.784894002430293e-03, -3.223964580411365e-01,
+      -2.400758277161838e+00, -2.549732539343734e+00,
+      1.374750420660024e+00, 2.938163982698783e+00)
+    val d = Array(7.784695709041462e-03, 3.224671290700398e-01,
+      2.445134137142996e+00, 3.754408661907416e+00)
+    val pl = 0.02425
+    if (p < pl) {
+      val q = math.sqrt(-2 * math.log(p))
+      (((((c(0) * q + c(1)) * q + c(2)) * q + c(3)) * q + c(4)) * q + c(5)) /
+        ((((d(0) * q + d(1)) * q + d(2)) * q + d(3)) * q + 1)
+    } else if (p <= 1 - pl) {
+      val q = p - 0.5; val r = q * q
+      (((((a(0) * r + a(1)) * r + a(2)) * r + a(3)) * r + a(4)) * r + a(5)) * q /
+        (((((b(0) * r + b(1)) * r + b(2)) * r + b(3)) * r + b(4)) * r + 1)
+    } else -invNorm(1 - p)
+  }
+
+  /** The (m, rank, z-boundary) rows BH consults: boundary(m, i) =
+    * Φ⁻¹(1 − α·i/(2m)), every m ≤ [[FdrMaxM]]. Computed once at plan
+    * time; [[fdrBoundarySqlValues]] renders the SAME doubles into the
+    * oracle (Double.toString round-trips, so both engines parse the
+    * identical bits). */
+  private[graft] lazy val fdrBoundaries: Seq[(Int, Int, Double)] =
+    for { m <- 1 to FdrMaxM; i <- 1 to m }
+      yield (m, i, invNorm(1.0 - FdrAlpha * i / (2.0 * m)))
+
+  private[graft] lazy val fdrBoundarySqlValues: String =
+    // the boundary rides as CAST('<shortest-repr>' AS DOUBLE): a bare
+    // numeric literal in a VALUES list is typed DECIMAL by DuckDB and
+    // its decimal→double conversion can land one ulp off Java's
+    // strtod; the string cast is correctly-rounded in both engines
+    fdrBoundaries.map { case (m, i, z) => s"($m, $i, CAST('$z' AS DOUBLE))" }
+      .mkString(", ")
+
+  /** Benjamini–Hochberg step-up over the per-event-type Welch z family
+    * — the multiplicity correction an experimentation platform MUST
+    * apply before reading five metric movements off one experiment
+    * (at α=.05, a 5-metric family false-positives ~23% of null
+    * experiments uncorrected). Each event type gets the Welch z on its
+    * per-user value total (the SAME keyed [[welchMomentsOf]] seam as
+    * the t test / MDE / sequential monitor — one variance definition
+    * everywhere); p-value ordering is |z| DESCENDING, so BH's
+    * "p_(i) ≤ α·i/m" is exactly "|z|_(i) ≥ Φ⁻¹(1 − α·i/(2m))" against
+    * the literal boundary table — the procedure runs entirely on
+    * comparisons of identically-computed doubles, no runtime CDF.
+    *
+    * Degenerate metrics (an arm with <2 users, zero pooled variance)
+    * read z NULL upstream and are EXCLUDED from the family — m counts
+    * only testable metrics, matching the R convention of dropping NA
+    * p-values before p.adjust.
+    *
+    * Scale shape: one map-side-combinable groupBy(event_type, user_id),
+    * a per-type arm rollup, then every remaining step (rank, boundary
+    * join, step-up max) runs on the BOUNDED metric table (|event
+    * types| rows) — window functions included, the bounded-aggregate-
+    * table rule. */
+  def abFdrByType(spark: SparkSession, dir: String): DataFrame =
+    fdrOfPerUser(Tables(spark, dir, "events")
+      .groupBy(col("event_type"), col("user_id"))
+      .agg(sum(dec2(col("value"))).cast(Dec2).as("y")))
+
+  /** The BH tail over any (event_type, user_id, y: DECIMAL(18,2))
+    * relation — shared by the batch readout above and the streaming
+    * moment-log serve (graft.streaming.StreamingFdr), the
+    * [[welchOfPerUser]] pattern: one moment definition, one boundary
+    * table, twin drift impossible. */
+  def fdrOfPerUser(perUser: DataFrame): DataFrame = {
+    val dbl = (c: Column) => c.cast(DoubleType)
+    val z0 = welchMomentsOf(perUser, Seq("event_type"))
+      .select(col("event_type"), col("n0"), col("n1"),
+        col("mean0"), col("mean1"),
+        (col("v0") / dbl(col("n0"))).as("se0"),
+        (col("v1") / dbl(col("n1"))).as("se1"))
+      .select(col("event_type"), col("n0"), col("n1"),
+        col("mean0"), col("mean1"),
+        when(col("se0") + col("se1") > 0.0,
+          (col("mean0") - col("mean1")) / sqrt(col("se0") + col("se1")))
+          .as("z"))
+      .filter(col("z").isNotNull)
+    val ranked = z0
+      .withColumn("m", count(lit(1)).over(Window.partitionBy()))
+      .withColumn("rank", row_number().over(
+        Window.orderBy(abs(col("z")).desc, col("event_type"))))
+    val bounds = perUser.sparkSession.createDataFrame(fdrBoundaries)
+      .toDF("m", "rank", "z_bound")
+    val stepped = ranked
+      .join(broadcast(bounds), Seq("m", "rank"), "left")
+      .withColumn("crossed", abs(col("z")) >= col("z_bound"))
+      .withColumn("k_star",
+        max(when(col("crossed"), col("rank")).otherwise(0))
+          .over(Window.partitionBy()))
+    stepped
+      .select(col("event_type"), col("n0"), col("n1"),
+        col("mean0"), col("mean1"), col("z"),
+        col("m").cast(LongType).as("m"),
+        col("rank").cast(LongType).as("rank"), col("z_bound"),
+        (col("rank") <= col("k_star")).as("rejected"))
+      .orderBy("rank")
+  }
 }

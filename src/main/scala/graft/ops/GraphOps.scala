@@ -391,6 +391,73 @@ object GraphOps {
         .as("assortativity"))
   }
 
+  /** Degree thresholds the rich-club curve is evaluated at — fixed
+    * literals (powers of two) so the output is a bounded 6-row table at
+    * any corpus size, shared verbatim with the oracle. */
+  val RichClubKs: Seq[Long] = Seq(1L, 2L, 4L, 8L, 16L, 32L)
+
+  /** Rich-club coefficient φ(k) = 2·E_{>k} / (N_{>k}·(N_{>k}−1)) over
+    * the purchase graph — "do the high-degree entities trade
+    * preferentially with EACH OTHER?" (Colizza et al., Nature Physics
+    * 2006). φ(k) near 1 at high k means the hubs form a near-clique
+    * (an oligopoly signal the per-node degree histogram cannot see);
+    * assortativity gives the same axis one correlation number, this
+    * gives the full curve.
+    *
+    * Determinism: on the symmetrized edge list the row count with both
+    * endpoint degrees > k IS 2·E_{>k}, so every numerator/denominator
+    * is an exact integer count and φ is ONE double division per
+    * threshold (NULL when fewer than 2 nodes qualify — the n(n−1)
+    * denominator hits zero and Spark's Divide/DuckDB's IEEE division
+    * disagree there).
+    *
+    * Scale shape: degrees ride the edge rows by the SAME two keyed
+    * joins as [[assortativityOf]] (hash-partitioned, AQE-planned); all
+    * |K| thresholds are CONDITIONAL SUMS inside one aggregate over that
+    * one pass — no per-threshold rescan, no threshold×edge fan-out —
+    * then a constant |K|-row unpivot. Nothing corpus-sized survives
+    * the first aggregate. */
+  def richClub(spark: SparkSession, dir: String): DataFrame =
+    richClubOf(edgesOf(spark, dir))
+
+  /** The rich-club core over any symmetrized (src, dst) relation —
+    * separated so specs can feed planted graphs (clique → φ ≡ 1, star
+    * → NULL past the leaf degree). */
+  def richClubOf(edges: DataFrame): DataFrame = {
+    val dbl = (c: Column) => c.cast(DoubleType)
+    val e = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    // one pass over degree-annotated edges: a conditional sum per
+    // threshold (2·E_{>k}), and the node-side counts from the bounded
+    // degree aggregate
+    val eAgg = e
+      .join(deg.select(col("node").as("src"), col("deg").as("dx")), "src")
+      .join(deg.select(col("node").as("dst"), col("deg").as("dy")), "dst")
+      .agg(RichClubKs.map(k =>
+        sum(when(col("dx") > k && col("dy") > k, 1L).otherwise(0L))
+          .as(s"e2_$k")).head,
+        RichClubKs.map(k =>
+          sum(when(col("dx") > k && col("dy") > k, 1L).otherwise(0L))
+            .as(s"e2_$k")).tail: _*)
+    val nAgg = deg.agg(RichClubKs.map(k =>
+      sum(when(col("deg") > k, 1L).otherwise(0L)).as(s"n_$k")).head,
+      RichClubKs.map(k =>
+        sum(when(col("deg") > k, 1L).otherwise(0L)).as(s"n_$k")).tail: _*)
+    val wide = eAgg.crossJoin(broadcast(nAgg)).localCheckpoint()
+    e.unpersist()
+    // constant-width unpivot: one row per threshold, φ guarded NULL
+    // below 2 qualifying nodes
+    val stacked = RichClubKs.map { k =>
+      wide.select(lit(k).as("k"), col(s"n_$k").as("n_rich"),
+        col(s"e2_$k").as("e2_rich"))
+    }.reduce(_.unionAll(_))
+    stacked.select(col("k"), col("n_rich"), col("e2_rich"),
+      when(col("n_rich") >= 2L,
+        dbl(col("e2_rich")) / dbl(col("n_rich") * (col("n_rich") - 1L)))
+        .as("phi"))
+      .orderBy("k")
+  }
+
   /** Per-part triangle participation counts over the co-purchase graph
     * (parts co-occurring in ≥ [[TriMinSupport]] orders) — the local
     * clustering signal behind community detection and recommendation

@@ -921,6 +921,65 @@ object TextOps {
         (col("bad") === 0L).as("passes"))
   }
 
+  /** Corpus support floor for a collocation candidate — rare bigrams
+    * have wildly unstable lift (one co-occurrence of two hapaxes scores
+    * astronomically), so the standard practice (Manning & Schütze ch. 5)
+    * is a hard count cut before ranking. Shared literal with the
+    * oracle. */
+  val CollocMinCount = 5L
+  /** Size of the served collocation list. */
+  val CollocTopK = 50
+
+  /** Top-[[CollocTopK]] collocations by PMI lift — the corpus-analysis
+    * readout behind phrase mining and tokenizer-merge audits: for each
+    * adjacent token pair, lift = c_xy·N / (c_x·c_y) where the marginals
+    * and total are ALL row sums of the one corpus bigram table (prev
+    * marginal, cur marginal, grand total — the model is self-consistent
+    * by construction, no separate unigram pass to drift against).
+    * lift > 1 means the pair co-occurs more than its parts predict;
+    * PMI = log₂(lift) is monotone in it, so ranking by the exact
+    * rational lift IS ranking by PMI without a transcendental — the
+    * final score stays value-oracled.
+    *
+    * Determinism: counts are exact int64; lift is exact DECIMAL(38,0)
+    * products cast to double then ONE division — both engines compute
+    * the identical IEEE value, and the (lift DESC, prev, cur) sort key
+    * breaks every tie by name.
+    *
+    * Scale shape: one bigram explode → groupBy(prev, cur) count is the
+    * only corpus-sized shuffle (the [[bigramNll]] plan); both marginals
+    * are keyed REAGGREGATIONS of that table (no second scan) joined
+    * back by key — bigram vocabularies grow too fast to broadcast at
+    * web scale; the support floor prunes the long tail BEFORE the
+    * marginal joins; the global top-k is TakeOrderedAndProject (a
+    * per-partition heap, never a full sort). */
+  def collocations(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = (c: Column) => c.cast(DecimalType(38, 0))
+    val toks = Tables.parallel(spark, dir, "documents")
+      .select(split(lower(col("text")), " ").as("t"))
+    val bi = toks.filter(size(col("t")) >= 2)
+      .select(explode(arrays_zip(
+        slice(col("t"), lit(1), size(col("t")) - 1).as("prev"),
+        slice(col("t"), lit(2), size(col("t")) - 1).as("cur"))).as("b"))
+      .select(col("b.prev").as("prev"), col("b.cur").as("cur"))
+    val cb = bi.groupBy(col("prev"), col("cur")).agg(count(lit(1)).as("c_xy"))
+    val cx = cb.groupBy(col("prev")).agg(sum(col("c_xy")).as("c_x"))
+    val cy = cb.groupBy(col("cur")).agg(sum(col("c_xy")).as("c_y"))
+    val n = cb.agg(sum(col("c_xy")).as("n_bi"))
+    cb.filter(col("c_xy") >= CollocMinCount)
+      .join(cx, Seq("prev"))
+      .join(cy, Seq("cur"))
+      .crossJoin(broadcast(n))
+      .select(col("prev"), col("cur"), col("c_xy"),
+        col("c_x").cast(LongType).as("c_x"),
+        col("c_y").cast(LongType).as("c_y"),
+        col("n_bi").cast(LongType).as("n_bi"),
+        ((d38(col("c_xy")) * d38(col("n_bi"))).cast(DoubleType)
+          / (d38(col("c_x")) * d38(col("c_y"))).cast(DoubleType)).as("lift"))
+      .orderBy(col("lift").desc, col("prev"), col("cur"))
+      .limit(CollocTopK)
+  }
+
   // ------------------------------------------------------------------
   // Hashed linear quality classifier (fastText/CCNet inference shape)
   // ------------------------------------------------------------------
@@ -1228,9 +1287,11 @@ object TextOps {
     * NUMERATOR clamp(logit, ±4e6) + 4e6 ∈ [0, 8e6] — the deterministic,
     * sigmoid-free probability surrogate p̂ = conf/8e6 whose per-bin and
     * per-corpus moments stay exact int64/decimal. */
-  private def calibrationBinsRaw(spark: SparkSession, dir: String): DataFrame = {
-    val dbl = (c: Column) => c.cast(DoubleType)
-    val d38 = DecimalType(38, 0)
+  /** Per-document (logit, stop_ratio gold, clamped confidence
+    * numerator) projection — the ONE definition of p̂ = cnum/8e6 behind
+    * the calibration family AND [[confidentJoint]] (a clamp tweak edits
+    * one site, both readouts move together). */
+  private def docConfidence(spark: SparkSession, dir: String): DataFrame = {
     val t = split(lower(col("text")), " ")
     Tables(spark, dir, "documents")
       .select(
@@ -1238,10 +1299,17 @@ object TextOps {
           lit(0L), (acc, w) => acc + w).as("logit"),
         stopRatio(col("text")).as("stop_ratio"))
       .select(col("logit"), col("stop_ratio"),
-        least(greatest(floor(dbl(col("logit")) / lit(2000000.0)), lit(-4L)),
-          lit(4L)).as("bin"),
         (least(greatest(col("logit"), lit(-4000000L)), lit(4000000L))
           + lit(4000000L)).as("cnum"))
+  }
+
+  private def calibrationBinsRaw(spark: SparkSession, dir: String): DataFrame = {
+    val dbl = (c: Column) => c.cast(DoubleType)
+    val d38 = DecimalType(38, 0)
+    docConfidence(spark, dir)
+      .select(col("logit"), col("stop_ratio"), col("cnum"),
+        least(greatest(floor(dbl(col("logit")) / lit(2000000.0)), lit(-4L)),
+          lit(4L)).as("bin"))
       .groupBy(col("bin"))
       .agg(count(lit(1)).as("n_docs"),
         sum(when(col("stop_ratio") >= 0.1, 1L).otherwise(0L)).as("n_gold"),
@@ -1459,6 +1527,70 @@ object TextOps {
         ((col("sc2").cast(d38) - col("scy").cast(d38) * lit(16000000L)
           + col("ngold").cast(d38) * lit(64000000000000L)).cast(DoubleType)
           / (lit(64000000000000.0) * db("n_docs"))).as("brier"))
+  }
+
+  /** Confident-learning joint (Northcutt, Jiang & Chuang, JAIR 2021 —
+    * the cleanlab estimator): how many documents carry a PROBABLY WRONG
+    * label? Treats the stopword rule as the noisy label ỹ and the
+    * classifier's p̂ = cnum/8e6 as the competent second opinion; a doc
+    * counts toward C[ỹ][j] when its confidence in class j clears that
+    * class's SELF-CONFIDENCE mean t_j (the calibration-robust threshold
+    * that makes this beat naive disagreement counting). Off-diagonal
+    * mass = the label-issue estimate a relabeling queue is fed from.
+    *
+    * Determinism: t_j is a mean of exact int64 confidence numerators,
+    * so p̂_j(x) ≥ t_j cross-multiplies to the EXACT integer comparison
+    * cnum·n_j ≥ Σcnum_j (DECIMAL(38,0) — int64 dies near 1e12 docs);
+    * both-qualify ties break to the argmax cnum ≥ 4e6, neither-qualify
+    * docs are excluded (the paper's rule). Every output cell is an
+    * integer count; the two noise rates are column-normalized ratios,
+    * ONE division each, NULL on an empty column.
+    *
+    * Scale shape: two map-side-combinable scans of documents (the
+    * thresholds are global means, so one pass must complete before the
+    * counting pass; the 1-row threshold aggregate broadcasts into the
+    * second). Nothing else crosses stages. */
+  def confidentJoint(spark: SparkSession, dir: String): DataFrame = {
+    val d38 = (c: Column) => c.cast(DecimalType(38, 0))
+    val dbl = (c: Column) => c.cast(DoubleType)
+    val docs = docConfidence(spark, dir)
+      .select((col("stop_ratio") >= 0.1).as("gold"), col("cnum"))
+    // per-class self-confidence sums: class 1 reads cnum over gold
+    // docs, class 0 reads the complement 8e6−cnum over non-gold docs
+    val thr = docs.agg(
+      sum(when(col("gold"), 1L).otherwise(0L)).as("n1"),
+      sum(when(col("gold"), col("cnum")).otherwise(0L)).as("sc1"),
+      sum(when(!col("gold"), 1L).otherwise(0L)).as("n0"),
+      sum(when(!col("gold"), lit(8000000L) - col("cnum")).otherwise(0L))
+        .as("sc0"))
+    val q1 = d38(col("cnum")) * d38(col("n1")) >= d38(col("sc1"))
+    val q0 = (d38(lit(8000000L)) - d38(col("cnum"))) * d38(col("n0")) >=
+      d38(col("sc0"))
+    // assigned class: argmax breaks a double-qualify, NULL = excluded
+    val j = when(q1 && q0, when(col("cnum") >= 4000000L, 1L).otherwise(0L))
+      .when(q1, 1L).when(q0, 0L)
+    val cell = (i: Boolean, jj: Long) =>
+      sum(when(col("gold") === i && col("j") === jj, 1L).otherwise(0L))
+    docs.crossJoin(broadcast(thr))
+      .withColumn("j", j)
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("j").isNull, 1L).otherwise(0L)).as("n_excluded"),
+        cell(true, 1L).as("c11"), cell(true, 0L).as("c10"),
+        cell(false, 1L).as("c01"), cell(false, 0L).as("c00"),
+        max(col("n1")).as("n1"), max(col("sc1")).as("sc1"),
+        max(col("n0")).as("n0"), max(col("sc0")).as("sc0"))
+      .select(col("n"), col("n_excluded"),
+        col("c11"), col("c10"), col("c01"), col("c00"),
+        (col("c10") + col("c01")).as("n_issues"),
+        when(col("n1") > 0L,
+          dbl(col("sc1")) / (lit(8000000.0) * dbl(col("n1")))).as("t1"),
+        when(col("n0") > 0L,
+          dbl(col("sc0")) / (lit(8000000.0) * dbl(col("n0")))).as("t0"),
+        // column-normalized noise rates p(ỹ≠j | y* = j)
+        when(col("c11") + col("c01") > 0L,
+          dbl(col("c01")) / dbl(col("c11") + col("c01"))).as("noise_to_1"),
+        when(col("c10") + col("c00") > 0L,
+          dbl(col("c10")) / dbl(col("c10") + col("c00"))).as("noise_to_0"))
   }
 
   /** Spearman rank correlation between the classifier logit and the

@@ -959,6 +959,113 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(zFull == tWelch)
   }
 
+  test("pass@k: hand-computed estimator — exact 0/1 anchors, clamp, n<k NULL") {
+    import spark.implicits._
+    val fix = tempDir("passk_fix")
+    // problem 1: n=10, c=3 (3 purchases); problem 2: n=10, c=0;
+    // problem 3: n=10, c=8 (n−c=2 < 5 → pass@5 = 1 exactly via the
+    // clamped factor); problem 4: n=3 < 5 → pass@5/10 NULL
+    def evs(u: Long, n: Int, c: Int) = (0 until n).map(i =>
+      (u, pre, if (i < c) "purchase" else "view", 1.0))
+    (evs(1L, 10, 3) ++ evs(2L, 10, 0) ++ evs(3L, 10, 8) ++ evs(4L, 3, 1))
+      .toDF("user_id", "ts", "event_type", "value")
+      .repartition(3).write.mode("overwrite").parquet(s"$fix/events.parquet")
+    val got = EventOps.passAtK(spark, fix).collect()
+      .map(r => r.getLong(0) -> r).toMap
+    // the same left-associated IEEE tree the plan (and oracle) build
+    def expect(n: Long, c: Long, k: Int): Double =
+      1.0 - (0 until k).map(i =>
+        math.max(n - c - i, 0L).toDouble / (n - i).toDouble).product
+    assert(got(1L).getAs[Double]("pass_1") == expect(10, 3, 1))
+    assert(got(1L).getAs[Double]("pass_5") == expect(10, 3, 5))
+    assert(got(1L).getAs[Double]("pass_10") == 1.0,
+      "k = n with c > 0 must exhaust the misses")
+    assert(got(2L).getAs[Double]("pass_10") == 0.0, "c = 0 is exactly 0")
+    assert(got(3L).getAs[Double]("pass_5") == 1.0,
+      "n−c < k collapses a factor to +0 → exactly 1")
+    assert(got(4L).getAs[Double]("pass_1") == expect(3, 1, 1))
+    assert(got(4L).isNullAt(got(4L).fieldIndex("pass_5"))
+      && got(4L).isNullAt(got(4L).fieldIndex("pass_10")),
+      "no size-k draw exists when n < k")
+    // summary: micro-quantized means over the eligible problems only
+    val s = EventOps.passAtKSummary(spark, fix).collect().head
+    assert(s.getAs[Long]("n_problems") == 4L)
+    assert(s.getAs[Long]("n_eligible_5") == 3L && s.getAs[Long]("n_eligible_10") == 3L)
+    def meanMicro(ps: Seq[Double]) =
+      ps.map(p => math.floor(p * 1e12).toLong).sum.toDouble / (1e12 * ps.length)
+    assert(s.getAs[Double]("mean_pass_1") ==
+      meanMicro(Seq(expect(10, 3, 1), 0.0, expect(10, 8, 1), expect(3, 1, 1))))
+    assert(s.getAs[Double]("mean_pass_5") ==
+      meanMicro(Seq(expect(10, 3, 5), 0.0, 1.0)))
+  }
+
+  test("pass@k: real corpus — estimator dominates pass@1, bounded, eligible counts") {
+    val rows = EventOps.passAtK(spark, Sf0001).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val (n, c) = (r.getAs[Long]("n"), r.getAs[Long]("c"))
+      assert(c <= n)
+      Seq(1, 5, 10).foreach { k =>
+        if (n >= k) {
+          val p = r.getAs[Double](s"pass_$k")
+          assert(p >= 0.0 && p <= 1.0)
+          if (c == 0) assert(p == 0.0)
+        } else assert(r.isNullAt(r.fieldIndex(s"pass_$k")))
+      }
+      // pass@k is monotone nondecreasing in k wherever defined
+      if (n >= 10) assert(r.getAs[Double]("pass_1") <= r.getAs[Double]("pass_5")
+        && r.getAs[Double]("pass_5") <= r.getAs[Double]("pass_10"))
+    }
+  }
+
+  test("BH-FDR: step-up rescues rank 1; null metrics excluded; singleton family") {
+    import spark.implicits._
+    // two users per arm, arm1 constant ⇒ pooled se = v0/2 = 1 exactly
+    // (sqrt(1) = 1), so z ≈ mean0 − mean1 — plant z_A ≈ 2.1 (misses its
+    // rank-1 boundary 2.2414 at m=2) and z_B ≈ 2.0 (crosses rank-2's
+    // 1.96): BH's step-up must reject BOTH, the property a per-metric
+    // Bonferroni would get wrong
+    def arm(t: String, a0: Double): Seq[(Long, java.sql.Timestamp, String, Double)] =
+      Seq((2L, pre, t, a0 + 1.0), (4L, pre, t, a0 - 1.0),
+        (1L, pre, t, 10.0), (3L, pre, t, 10.0))
+    val fix = tempDir("fdr_fix")
+    (arm("alpha", 12.1) ++ arm("beta", 12.0)
+      ++ Seq((1L, pre, "gamma", 5.0))) // single-user type: z NULL → excluded
+      .toDF("user_id", "ts", "event_type", "value")
+      .repartition(3).write.mode("overwrite").parquet(s"$fix/events.parquet")
+    val rows = EventOps.abFdrByType(spark, fix).collect()
+    assert(rows.map(_.getString(0)).toSeq == Seq("alpha", "beta"),
+      "gamma has no statistic and must not count toward m")
+    rows.foreach(r => assert(r.getAs[Long]("m") == 2L))
+    val byType = rows.map(r => r.getString(0) -> r).toMap
+    val zA = byType("alpha").getAs[Double]("z")
+    val zB = byType("beta").getAs[Double]("z")
+    assert(math.abs(zA - 2.1) < 1e-9 && math.abs(zB - 2.0) < 1e-9)
+    assert(byType("alpha").getAs[Long]("rank") == 1L
+      && byType("beta").getAs[Long]("rank") == 2L)
+    assert(zA < byType("alpha").getAs[Double]("z_bound"),
+      "alpha must miss its own (tighter) boundary for the test to bite")
+    assert(zB >= byType("beta").getAs[Double]("z_bound"))
+    assert(rows.forall(_.getAs[Boolean]("rejected")),
+      "rank-2's crossing rejects everything above it (step-up)")
+    // singleton family: boundary is the plain two-sided 1.96; z = 1 stays
+    val lone = tempDir("fdr_lone")
+    arm("solo", 11.0).toDF("user_id", "ts", "event_type", "value")
+      .repartition(2).write.mode("overwrite").parquet(s"$lone/events.parquet")
+    val l = EventOps.abFdrByType(spark, lone).collect()
+    assert(l.length == 1 && l(0).getAs[Long]("m") == 1L)
+    assert(math.abs(l(0).getAs[Double]("z_bound") - 1.959964) < 1e-5,
+      "m=1 boundary is Φ⁻¹(0.975)")
+    assert(!l(0).getAs[Boolean]("rejected"))
+    // real corpus: family over the five event types, ranks 1..m, each
+    // boundary tightens as rank drops
+    val real = EventOps.abFdrByType(spark, Sf0001).collect()
+    assert(real.nonEmpty)
+    assert(real.map(_.getAs[Long]("rank")).toSeq == (1L to real.length))
+    val bounds = real.map(_.getAs[Double]("z_bound"))
+    assert(bounds.zip(bounds.tail).forall { case (a, b) => a >= b })
+  }
+
   test("degenerate cohorts: single-user arms and zero variance read NULL, never Inf") {
     import spark.implicits._
     // Spark's Divide yields NULL on a zero divisor where DuckDB's IEEE

@@ -271,6 +271,45 @@ class GraphOpsSpec extends SparkSpec {
     assert(r > -1.0 && r < 1.0)
   }
 
+  test("rich-club: clique is exactly 1, two-hub bridge is 1 above leaf degree, star is NULL") {
+    // K4: every degree is 3 > 1,2 → all 12 symmetrized rows qualify and
+    // φ = 12/(4·3) = 1 exactly; no degree exceeds 4 → NULL from k=4 up
+    val k4 = symEdges(for { i <- 0L to 3L; j <- (i + 1) to 3L } yield (i, j))
+    val cl = GraphOps.richClubOf(k4).collect()
+      .map(r => r.getAs[Long]("k") ->
+        (if (r.isNullAt(r.fieldIndex("phi"))) None
+         else Some(r.getAs[Double]("phi")))).toMap
+    assert(cl(1L).contains(1.0) && cl(2L).contains(1.0))
+    assert(cl(4L).isEmpty && cl(32L).isEmpty)
+    // two hubs (deg 4 each: the bridge + 3 leaves) joined by one edge:
+    // above leaf degree the club is {A, B} with the bridge between them
+    // → φ(1) = 2/(2·1) = 1; at k=4 nobody qualifies → NULL
+    val hubs = symEdges(Seq((0L, 100L)) ++
+      (1L to 3L).map(l => (0L, l)) ++ (101L to 103L).map(l => (100L, l)))
+    val hb = GraphOps.richClubOf(hubs).collect()
+      .map(r => r.getAs[Long]("k") ->
+        (if (r.isNullAt(r.fieldIndex("phi"))) None
+         else Some(r.getAs[Double]("phi")))).toMap
+    assert(hb(1L).contains(1.0) && hb(4L).isEmpty)
+    // star: only the hub clears deg > 1, and a 1-node club has no
+    // possible edges → NULL at every threshold (the n(n−1) guard)
+    val star = symEdges((1L to 8L).map(l => (0L, l)))
+    val st = GraphOps.richClubOf(star).collect()
+    assert(st.forall(r => r.isNullAt(r.fieldIndex("phi"))))
+    // real purchase graph: bounded 6-row curve, φ ∈ [0, 1] wherever the
+    // club has ≥ 2 members, and club size shrinks monotonically in k
+    val real = GraphOps.richClub(spark, Sf0001).collect()
+    assert(real.length == GraphOps.RichClubKs.length)
+    val sizes = real.map(_.getAs[Long]("n_rich"))
+    assert(sizes.zip(sizes.tail).forall { case (a, b) => a >= b })
+    real.foreach { r =>
+      if (!r.isNullAt(r.fieldIndex("phi"))) {
+        val p = r.getAs[Double]("phi")
+        assert(p >= 0.0 && p <= 1.0, s"phi $p out of band at k=${r.getAs[Long]("k")}")
+      }
+    }
+  }
+
   test("modularity: single community is exactly zero; nation partition conserves mass") {
     import org.apache.spark.sql.functions.{col, lit}
     // everything in one community: Σd_c = m2 and all edges intra ⇒ Q = 0

@@ -2226,6 +2226,121 @@ class PipelineOpsSpec extends SparkSpec {
     java.lang.Long.parseLong(md5hex("w" + bucket).take(8), 16) % 1000001L - 500000L
   }
 
+  test("collocations: hand-computed lift on a planted pair; real top-k replays locally") {
+    import spark.implicits._
+    val dir = tempDir("colloc_docs")
+    // five "x y" docs plant the collocation; one filler doc supplies
+    // singleton bigrams below the support floor. Bigram table: (x,y)×5,
+    // (p,q),(q,r),(r,s),(s,t)×1 → N = 9, c_x = c_y = 5,
+    // lift = 5·9/25 = 1.8 exactly
+    val docs = Seq.fill(5)("x y") :+ "p q r s t"
+    docs.zipWithIndex.map { case (t, i) => (i.toLong, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(3).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.collocations(spark, dir).collect()
+    assert(got.length == 1, "only the planted pair clears the support floor")
+    val r = got.head
+    assert((r.getString(0), r.getString(1)) == (("x", "y")))
+    assert((r.getAs[Long]("c_xy"), r.getAs[Long]("c_x"), r.getAs[Long]("c_y"),
+      r.getAs[Long]("n_bi")) == ((5L, 5L, 5L, 9L)))
+    assert(r.getAs[Double]("lift") == 45.0 / 25.0)
+    // real corpus: independent local recount of every bigram, then the
+    // same (lift DESC, prev, cur) ranking — the engine's top-k must
+    // match row-for-row, lifts bit-for-bit
+    val real = TextOps.collocations(spark, Sf0001).collect()
+    assert(real.nonEmpty && real.length <= TextOps.CollocTopK)
+    val texts = Tables(spark, Sf0001, "documents")
+      .select(lower(col("text"))).collect().map(_.getString(0))
+    val bi = texts.map(_.split(" ", -1)).filter(_.length >= 2)
+      .flatMap(t => t.init.zip(t.tail))
+    val cb = bi.groupBy(identity).view.mapValues(_.length.toLong).toMap
+    val cx = cb.groupBy(_._1._1).view.mapValues(_.values.sum).toMap
+    val cy = cb.groupBy(_._1._2).view.mapValues(_.values.sum).toMap
+    val n = cb.values.sum
+    val local = cb.filter(_._2 >= TextOps.CollocMinCount).toSeq
+      .map { case ((p, c), cxy) =>
+        (p, c, cxy, cx(p), cy(c), n,
+          (BigDecimal(cxy) * BigDecimal(n)).toDouble
+            / (BigDecimal(cx(p)) * BigDecimal(cy(c))).toDouble)
+      }
+      .sortBy { case (p, c, _, _, _, _, l) => (-l, p, c) }
+      .take(TextOps.CollocTopK)
+    val engine = real.map(r => (r.getString(0), r.getString(1),
+      r.getAs[Long]("c_xy"), r.getAs[Long]("c_x"), r.getAs[Long]("c_y"),
+      r.getAs[Long]("n_bi"), r.getAs[Double]("lift"))).toSeq
+    assert(engine == local)
+  }
+
+  test("confident joint: local replay of thresholds and cells; clean labels stay diagonal") {
+    import org.apache.spark.sql.functions.col
+    // independent JVM replay of the estimator off the raw corpus — the
+    // thresholds are data-dependent, so the replay IS the hand fixture
+    def replay(dir: String): (Long, Long, Long, Long, Long, Long) = {
+      val rows = Tables(spark, dir, "documents")
+        .select(col("text")).collect().map(_.getString(0))
+      val docs = rows.map { text =>
+        val logit = text.toLowerCase.split(" ", -1).map(classifierWeight).sum
+        val cnum = math.min(math.max(logit, -4000000L), 4000000L) + 4000000L
+        val t = text.split(" ", -1)
+        val gold = t.count(TextOps.stopwords.contains).toDouble / t.length >= 0.1
+        (gold, cnum)
+      }
+      val (g1, g0) = docs.partition(_._1)
+      val (n1, sc1) = (g1.length.toLong, g1.map(_._2).sum)
+      val (n0, sc0) = (g0.length.toLong, g0.map(8000000L - _._2).sum)
+      var (c11, c10, c01, c00, nex) = (0L, 0L, 0L, 0L, 0L)
+      docs.foreach { case (gold, cnum) =>
+        val q1 = BigInt(cnum) * n1 >= BigInt(sc1)
+        val q0 = BigInt(8000000L - cnum) * n0 >= BigInt(sc0)
+        val j = if (q1 && q0) Some(if (cnum >= 4000000L) 1 else 0)
+          else if (q1) Some(1) else if (q0) Some(0) else None
+        j match {
+          case Some(1) => if (gold) c11 += 1 else c01 += 1
+          case Some(0) => if (gold) c10 += 1 else c00 += 1
+          case _ => nex += 1
+        }
+      }
+      (c11, c10, c01, c00, nex, docs.length.toLong)
+    }
+    val r = TextOps.confidentJoint(spark, Sf0001).collect().head
+    val (c11, c10, c01, c00, nex, n) = replay(Sf0001)
+    assert(r.getAs[Long]("n") == n && r.getAs[Long]("n_excluded") == nex)
+    assert((r.getAs[Long]("c11"), r.getAs[Long]("c10"),
+      r.getAs[Long]("c01"), r.getAs[Long]("c00")) == ((c11, c10, c01, c00)))
+    assert(r.getAs[Long]("n_issues") == c10 + c01)
+    // cells partition the corpus
+    assert(c11 + c10 + c01 + c00 + nex == n)
+    // noise rates are the column-normalized off-diagonals
+    if (c11 + c01 > 0)
+      assert(r.getAs[Double]("noise_to_1") == c01.toDouble / (c11 + c01))
+    // planted clean corpus, two homogeneous doc types: with class-mean
+    // thresholds, each type's self-confidence EQUALS its class mean, so
+    // whichever type carries the higher confidence claims its own class
+    // exclusively — gold docs scoring ABOVE non-gold docs ⇒ everything
+    // lands on the diagonal (algebra: cp > cn ⇒ gold gets q1 only,
+    // non-gold gets q0 only)
+    import spark.implicits._
+    val dir = tempDir("confident_clean")
+    // "to in to in" = 4/4 stopwords (gold) with net-positive hashed
+    // weights; the zq tokens are non-stop with net-negative weights —
+    // so cnum(gold) > cnum(non-gold), the clean-separation precondition
+    val neg = "zq1 zq2"
+    val pos = "to in to in"
+    val negW = neg.split(" ").map(classifierWeight).sum
+    val posW = pos.split(" ").map(classifierWeight).sum
+    assert(posW > negW, s"fixture precondition: $posW <= $negW")
+    assert(pos.split(" ").forall(TextOps.stopwords.contains)
+      && !neg.split(" ").exists(TextOps.stopwords.contains))
+    (Seq.fill(4)(pos) ++ Seq.fill(4)(neg)).zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(2).write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val c = TextOps.confidentJoint(spark, dir).collect().head
+    assert(c.getAs[Long]("n_issues") == 0L,
+      s"clean fixture must have empty off-diagonals, got $c")
+    assert(c.getAs[Long]("c11") > 0L && c.getAs[Long]("c00") > 0L)
+  }
+
   test("quality classifier: hand-computed logits, sign decision, join twin equality") {
     import spark.implicits._
     val dir = tempDir("clf_docs")
