@@ -437,6 +437,42 @@ object Registry {
       |         JOIN cnt ca ON doc_a = ca.doc_id JOIN cnt cb ON doc_b = cb.doc_id
       |         WHERE 3 * n_common >= ca.n + cb.n)""".stripMargin
 
+  /** The per-pair clipped-gram chain (… → CTE `o` carrying len_a/len_b,
+    * m1..m4, t1..t4 per verified near-dup pair) — shared by the BLEU
+    * and ROUGE oracles, mirroring TextOps.bleuPerPair: one gram
+    * currency in SQL too, so the two metrics cannot drift on
+    * tokenization or clipping. */
+  private[graft] val bleuPairCtes: String =
+    s"""$trigramCtes,
+      |$goodPairsCtes,
+      |mem AS (SELECT doc_a AS doc_id FROM good UNION SELECT doc_b FROM good),
+      |tkn AS (SELECT d.doc_id, string_split(lower(d.text), ' ') AS tk
+      |        FROM documents d JOIN mem USING (doc_id)),
+      |lens AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS len FROM tkn),
+      |gr AS (SELECT doc_id, n.n AS n,
+      |         unnest(list_transform(generate_series(1, len(tk) - n.n + 1),
+      |           i -> array_to_string(tk[i:i+n.n-1], ' '))) AS gram
+      |       FROM tkn CROSS JOIN (VALUES (1), (2), (3), (4)) n(n)
+      |       WHERE len(tk) >= n.n),
+      |gtf AS (SELECT doc_id, n, gram, CAST(count(*) AS BIGINT) AS tf
+      |        FROM gr GROUP BY 1, 2, 3),
+      |mm AS (SELECT g.doc_a, g.doc_b,
+      |         sum(CASE WHEN a.n = 1 THEN least(a.tf, b.tf) END) AS mm1,
+      |         sum(CASE WHEN a.n = 2 THEN least(a.tf, b.tf) END) AS mm2,
+      |         sum(CASE WHEN a.n = 3 THEN least(a.tf, b.tf) END) AS mm3,
+      |         sum(CASE WHEN a.n = 4 THEN least(a.tf, b.tf) END) AS mm4
+      |       FROM good g JOIN gtf a ON a.doc_id = g.doc_a
+      |                   JOIN gtf b ON b.doc_id = g.doc_b AND b.n = a.n AND b.gram = a.gram
+      |       GROUP BY 1, 2),
+      |o AS (SELECT g.doc_a, g.doc_b, la.len AS len_a, lb.len AS len_b,
+      |        CAST(coalesce(mm1, 0) AS BIGINT) AS m1, la.len AS t1,
+      |        CAST(coalesce(mm2, 0) AS BIGINT) AS m2, CAST(greatest(la.len - 1, 0) AS BIGINT) AS t2,
+      |        CAST(coalesce(mm3, 0) AS BIGINT) AS m3, CAST(greatest(la.len - 2, 0) AS BIGINT) AS t3,
+      |        CAST(coalesce(mm4, 0) AS BIGINT) AS m4, CAST(greatest(la.len - 3, 0) AS BIGINT) AS t4
+      |      FROM good g JOIN lens la ON la.doc_id = g.doc_a
+      |                  JOIN lens lb ON lb.doc_id = g.doc_b
+      |      LEFT JOIN mm ON mm.doc_a = g.doc_a AND mm.doc_b = g.doc_b)""".stripMargin
+
   /** Transitive-closure clustering over the exact Jaccard ≥ 1/2 pair set
     * (the ngramJaccardOracle threshold) ending in `cl` = (cluster_id,
     * doc_id) — shared by x_dedup_clusters AND the per-cluster quality

@@ -458,6 +458,29 @@ private[graft] object RegistryEventsText {
         |            WHEN abs(delta) < 0.474 THEN 'medium'
         |            ELSE 'large' END AS magnitude
         |FROM d""".stripMargin)),
+    // Cohen's d + Hedges g off the SAME welch moment seam: pooled-SD
+    // effect size, the rational Hedges correction 1 − 3/(4n − 9) (the
+    // exact J needs a gamma), Cohen band literals; NULL on degenerate
+    // cohorts in both engines
+    GraftQuery("x_ab_cohens_d", EventOps.abCohensD, Some(
+      s"""WITH $welchMomentsCtes,
+        |s AS (SELECT n0, n1, mean0 - mean1 AS diff,
+        |        (CAST(n0 AS DOUBLE) - 1.0) * v0 + (CAST(n1 AS DOUBLE) - 1.0) * v1 AS ssq,
+        |        CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE) - 2.0 AS dof
+        |      FROM wde),
+        |d AS (SELECT n0, n1, diff,
+        |        CASE WHEN dof > 0.0 AND ssq > 0.0
+        |             THEN diff / sqrt(ssq / dof) END AS cohens_d,
+        |        1.0 - 3.0 / (4.0 * (CAST(n0 AS DOUBLE) + CAST(n1 AS DOUBLE)) - 9.0) AS hedges_j
+        |      FROM s)
+        |SELECT n0, n1, diff, cohens_d,
+        |       cohens_d * hedges_j AS hedges_g,
+        |       CASE WHEN cohens_d IS NOT NULL THEN
+        |         CASE WHEN abs(cohens_d) < 0.2 THEN 'negligible'
+        |              WHEN abs(cohens_d) < 0.5 THEN 'small'
+        |              WHEN abs(cohens_d) < 0.8 THEN 'medium'
+        |              ELSE 'large' END END AS magnitude
+        |FROM d""".stripMargin)),
     // Benjamini–Hochberg step-up over the per-event-type Welch z family:
     // |z| DESC ordering ≡ p ASC, so "p_(i) ≤ α·i/m" is a comparison
     // against the plan-time literal boundary Φ⁻¹(1 − α·i/(2m)) — the
@@ -731,35 +754,7 @@ private[graft] object RegistryEventsText {
     // the corpus-BLEU precisions; bp_clamped/len_ratio carry the
     // brevity-penalty inputs
     GraftQuery("x_eval_bleu", TextOps.pairBleu, Some(
-      s"""WITH $trigramCtes,
-        |$goodPairsCtes,
-        |mem AS (SELECT doc_a AS doc_id FROM good UNION SELECT doc_b FROM good),
-        |tkn AS (SELECT d.doc_id, string_split(lower(d.text), ' ') AS tk
-        |        FROM documents d JOIN mem USING (doc_id)),
-        |lens AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS len FROM tkn),
-        |gr AS (SELECT doc_id, n.n AS n,
-        |         unnest(list_transform(generate_series(1, len(tk) - n.n + 1),
-        |           i -> array_to_string(tk[i:i+n.n-1], ' '))) AS gram
-        |       FROM tkn CROSS JOIN (VALUES (1), (2), (3), (4)) n(n)
-        |       WHERE len(tk) >= n.n),
-        |gtf AS (SELECT doc_id, n, gram, CAST(count(*) AS BIGINT) AS tf
-        |        FROM gr GROUP BY 1, 2, 3),
-        |mm AS (SELECT g.doc_a, g.doc_b,
-        |         sum(CASE WHEN a.n = 1 THEN least(a.tf, b.tf) END) AS mm1,
-        |         sum(CASE WHEN a.n = 2 THEN least(a.tf, b.tf) END) AS mm2,
-        |         sum(CASE WHEN a.n = 3 THEN least(a.tf, b.tf) END) AS mm3,
-        |         sum(CASE WHEN a.n = 4 THEN least(a.tf, b.tf) END) AS mm4
-        |       FROM good g JOIN gtf a ON a.doc_id = g.doc_a
-        |                   JOIN gtf b ON b.doc_id = g.doc_b AND b.n = a.n AND b.gram = a.gram
-        |       GROUP BY 1, 2),
-        |o AS (SELECT g.doc_a, g.doc_b, la.len AS len_a, lb.len AS len_b,
-        |        CAST(coalesce(mm1, 0) AS BIGINT) AS m1, la.len AS t1,
-        |        CAST(coalesce(mm2, 0) AS BIGINT) AS m2, CAST(greatest(la.len - 1, 0) AS BIGINT) AS t2,
-        |        CAST(coalesce(mm3, 0) AS BIGINT) AS m3, CAST(greatest(la.len - 2, 0) AS BIGINT) AS t3,
-        |        CAST(coalesce(mm4, 0) AS BIGINT) AS m4, CAST(greatest(la.len - 3, 0) AS BIGINT) AS t4
-        |      FROM good g JOIN lens la ON la.doc_id = g.doc_a
-        |                  JOIN lens lb ON lb.doc_id = g.doc_b
-        |      LEFT JOIN mm ON mm.doc_a = g.doc_a AND mm.doc_b = g.doc_b),
+      s"""WITH $bleuPairCtes,
         |t AS (SELECT CAST(sum(m1) AS BIGINT) AS sm1, CAST(sum(t1) AS BIGINT) AS st1,
         |        CAST(sum(m2) AS BIGINT) AS sm2, CAST(sum(t2) AS BIGINT) AS st2,
         |        CAST(sum(m3) AS BIGINT) AS sm3, CAST(sum(t3) AS BIGINT) AS st3,
@@ -782,6 +777,29 @@ private[graft] object RegistryEventsText {
         |       CASE WHEN st4 > 0 THEN CAST(sm4 AS DOUBLE) / st4 END AS micro_p4,
         |       cla AS corpus_len_a, clb AS corpus_len_b
         |FROM o CROSS JOIN t ORDER BY doc_a, doc_b""".stripMargin)),
+    // ROUGE-1/2 over the same pair set (doc_b = reference): recall
+    // m_n/r_n with r_n = max(len_b − n + 1, 0), F1 = 2m/(t + r) via the
+    // shared-numerator harmonic identity — fully rational, every score
+    // value-oracled; one gram chain (bleuPairCtes) for both metrics
+    GraftQuery("x_eval_rouge", TextOps.pairRouge, Some(
+      s"""WITH $bleuPairCtes,
+        |rr AS (SELECT o.*, len_b AS r1,
+        |         CAST(greatest(len_b - 1, 0) AS BIGINT) AS r2 FROM o),
+        |t AS (SELECT CAST(sum(m1) AS BIGINT) AS sm1, CAST(sum(t1) AS BIGINT) AS st1,
+        |        CAST(sum(r1) AS BIGINT) AS sr1,
+        |        CAST(sum(m2) AS BIGINT) AS sm2, CAST(sum(t2) AS BIGINT) AS st2,
+        |        CAST(sum(r2) AS BIGINT) AS sr2 FROM rr)
+        |SELECT doc_a, doc_b, len_a, len_b,
+        |       m1, t1, r1, m2, t2, r2,
+        |       CASE WHEN r1 > 0 THEN CAST(m1 AS DOUBLE) / r1 END AS rouge_1,
+        |       CASE WHEN t1 + r1 > 0 THEN CAST(m1 * 2 AS DOUBLE) / (t1 + r1) END AS rouge_f1,
+        |       CASE WHEN r2 > 0 THEN CAST(m2 AS DOUBLE) / r2 END AS rouge_2,
+        |       CASE WHEN t2 + r2 > 0 THEN CAST(m2 * 2 AS DOUBLE) / (t2 + r2) END AS rouge_f2,
+        |       CASE WHEN sr1 > 0 THEN CAST(sm1 AS DOUBLE) / sr1 END AS micro_rouge_1,
+        |       CASE WHEN st1 + sr1 > 0 THEN CAST(sm1 * 2 AS DOUBLE) / (st1 + sr1) END AS micro_rouge_f1,
+        |       CASE WHEN sr2 > 0 THEN CAST(sm2 AS DOUBLE) / sr2 END AS micro_rouge_2,
+        |       CASE WHEN st2 + sr2 > 0 THEN CAST(sm2 * 2 AS DOUBLE) / (st2 + sr2) END AS micro_rouge_f2
+        |FROM rr CROSS JOIN t ORDER BY doc_a, doc_b""".stripMargin)),
     // chrF2 over the same pair set: char n-grams 1..6, whitespace
     // stripped, β = 2 — FULLY rational, so unlike BLEU the final score
     // is value-oracled; F_n = 5PR/(4P+R), 0 at m = 0, order excluded

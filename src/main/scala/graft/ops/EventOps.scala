@@ -1291,6 +1291,44 @@ object EventOps {
       .orderBy(col("t_days"))
   }
 
+  /** Cohen's d with the Hedges small-sample correction — the
+    * standardized effect size next to [[abWelch]]'s "is it noise": the
+    * t test's significance scales with √n, so at production cohort
+    * sizes EVERYTHING is significant and d is the number that still
+    * means something. Pooled SD uses the SAME [[welchMomentsOf]]
+    * variance definition as the t/MDE/sequential family (one seam);
+    * d = diff/s_p with s_p² = ((n0−1)v0 + (n1−1)v1)/(n0+n1−2), and
+    * Hedges' g = d·(1 − 3/(4(n0+n1) − 9)) — the standard rational
+    * approximation of the exact J (which needs a gamma function), so
+    * the whole readout stays one sqrt + fixed IEEE arithmetic, fully
+    * value-oracled. Cohen's 0.2/0.5/0.8 magnitude bands as shared
+    * literals (the Romano-bands convention). Degenerate cohorts (any
+    * arm < 2 users, zero pooled variance) read NULL in both engines. */
+  def abCohensD(spark: SparkSession, dir: String): DataFrame = {
+    val dbl = (c: Column) => c.cast(DoubleType)
+    val m = welchMomentsOf(Tables(spark, dir, "events")
+      .groupBy(col("user_id"))
+      .agg(sum(dec2(col("value"))).cast(Dec2).as("y")))
+      .select(col("n0"), col("n1"), col("mean0"), col("mean1"),
+        ((dbl(col("n0")) - 1.0) * col("v0") + (dbl(col("n1")) - 1.0) * col("v1"))
+          .as("ssq"),
+        (dbl(col("n0")) + dbl(col("n1")) - 2.0).as("dof"))
+      .select(col("n0"), col("n1"),
+        (col("mean0") - col("mean1")).as("diff"),
+        when(col("dof") > 0.0 && col("ssq") > 0.0,
+          (col("mean0") - col("mean1")) / sqrt(col("ssq") / col("dof")))
+          .as("cohens_d"),
+        (lit(1.0) - lit(3.0) / (lit(4.0) * (dbl(col("n0")) + dbl(col("n1"))) - 9.0))
+          .as("hedges_j"))
+    m.select(col("n0"), col("n1"), col("diff"), col("cohens_d"),
+      (col("cohens_d") * col("hedges_j")).as("hedges_g"),
+      when(col("cohens_d").isNotNull,
+        when(abs(col("cohens_d")) < 0.2, "negligible")
+          .when(abs(col("cohens_d")) < 0.5, "small")
+          .when(abs(col("cohens_d")) < 0.8, "medium")
+          .otherwise("large")).as("magnitude"))
+  }
+
   // ------------------------------------------------------------------
   // pass@k — the code/agent-eval success estimator
   // ------------------------------------------------------------------
@@ -1318,12 +1356,18 @@ object EventOps {
     *
     * Scale shape: ONE map-side-combinable groupBy(user_id); everything
     * after is per-row literal arithmetic. */
-  def passAtK(spark: SparkSession, dir: String): DataFrame = {
-    val dbl = (c: Column) => c.cast(DoubleType)
-    val perProblem = Tables(spark, dir, "events")
+  def passAtK(spark: SparkSession, dir: String): DataFrame =
+    passAtKOf(Tables(spark, dir, "events")
       .groupBy(col("user_id").as("problem_id"))
       .agg(count(lit(1)).as("n"),
-        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c"))
+        sum(when(col("event_type") === "purchase", 1L).otherwise(0L)).as("c")))
+
+  /** The estimator tail over any (problem_id, n, c) relation — shared
+    * by the batch readout above and the streaming count-log serve
+    * (graft.streaming.StreamingPassAtK): one product tree, twin drift
+    * impossible. */
+  def passAtKOf(perProblem: DataFrame): DataFrame = {
+    val dbl = (c: Column) => c.cast(DoubleType)
     val withK = PassKs.foldLeft(perProblem) { (df, k) =>
       val miss = (0 until k).map(i =>
         dbl(greatest(col("n") - col("c") - lit(i.toLong), lit(0L)))

@@ -173,6 +173,37 @@ object TextOps {
   def pairBleu(spark: SparkSession, dir: String): DataFrame = {
     val dbl = (c: Column) => c.cast(DoubleType)
     val orders = 1 to 4
+    val perPair = bleuPerPair(spark, dir)
+    val totAggs = orders.flatMap(k => Seq(
+        sum(col(s"m$k")).as(s"sm$k"), sum(col(s"t$k")).as(s"st$k"))) ++
+      Seq(sum(col("len_a")).as("cla"), sum(col("len_b")).as("clb"))
+    val tot = perPair.agg(totAggs.head, totAggs.tail: _*)
+    def p(k: Int) = dbl(col(s"m$k")) / col(s"t$k")
+    perPair.crossJoin(broadcast(tot))
+      .select(Seq(col("doc_a"), col("doc_b"), col("len_a"), col("len_b")) ++
+        orders.flatMap(k => Seq(col(s"m$k"), col(s"t$k"))) ++
+        orders.map(k => when(col(s"t$k") > 0, p(k)).as(s"p$k")) ++
+        Seq(
+          when(orders.map(k => col(s"t$k") > 0).reduce(_ && _),
+            orders.map(p).reduce(_ * _)).as("prec_geo4"),
+          (dbl(col("len_a")) / col("len_b")).as("len_ratio"),
+          (col("len_a") >= col("len_b")).as("bp_clamped")) ++
+        orders.map(k => when(col(s"st$k") > 0,
+          dbl(col(s"sm$k")) / col(s"st$k")).as(s"micro_p$k")) ++
+        Seq(col("cla").cast(LongType).as("corpus_len_a"),
+          col("clb").cast(LongType).as("corpus_len_b")): _*)
+      .orderBy("doc_a", "doc_b")
+  }
+
+  /** The per-pair clipped-gram core shared by [[pairBleu]] and
+    * [[pairRouge]]: for every verified near-dup pair, exact int64
+    * clipped matches m_n = Σ_g min(tf_cand, tf_ref) and candidate gram
+    * totals t_n = max(len_a − n + 1, 0) for n = 1..4, plus both doc
+    * lengths — the ONE gram currency both metrics read (a tokenization
+    * tweak edits one site, BLEU and ROUGE move together). Checkpointed
+    * so each metric's corpus totals never re-run pair detection. */
+  private[graft] def bleuPerPair(spark: SparkSession, dir: String): DataFrame = {
+    val orders = 1 to 4
     val pairs = DedupOps.ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
       .localCheckpoint()
     val members = pairs.select(col("doc_a").as("doc_id"))
@@ -205,7 +236,7 @@ object TextOps {
         col("tf").as("tf_b")), Seq("doc_b", "n", "gram"))
       .groupBy(col("doc_a"), col("doc_b"))
       .agg(mAggs.head, mAggs.tail: _*)
-    val perPair = pairs
+    pairs
       .join(mWide, Seq("doc_a", "doc_b"), "left")
       .join(lens.select(col("doc_id").as("doc_a"), col("len").as("len_a")), Seq("doc_a"))
       .join(lens.select(col("doc_id").as("doc_b"), col("len").as("len_b")), Seq("doc_b"))
@@ -214,24 +245,43 @@ object TextOps {
           coalesce(col(s"mm$k"), lit(0L)).as(s"m$k"),
           greatest(col("len_a") - (k - 1), lit(0L)).as(s"t$k"))): _*)
       .localCheckpoint()
+  }
+
+  /** ROUGE-1/2 between each verified near-dup pair (doc_b = reference)
+    * — the recall-oriented summarization companion to [[pairBleu]]'s
+    * precision view, on the SAME clipped-gram currency
+    * ([[bleuPerPair]]): recall_n = m_n/r_n with reference totals
+    * r_n = max(len_b − n + 1, 0), and F1_n = 2m_n/(t_n + r_n) (the
+    * harmonic identity: numerators shared, so P and R fold into one
+    * exact fraction — the pairTokenF1 algebra at gram order n). FULLY
+    * rational, so every score is value-oracled; r_n = 0 reads NULL,
+    * m_n = 0 reads exactly 0. micro twins apply the identical trees to
+    * the corpus-summed counts — never a mean of per-pair floats. */
+  def pairRouge(spark: SparkSession, dir: String): DataFrame = {
+    val dbl = (c: Column) => c.cast(DoubleType)
+    val orders = 1 to 2
+    val perPair = bleuPerPair(spark, dir)
+      .withColumn("r1", col("len_b"))
+      .withColumn("r2", greatest(col("len_b") - 1, lit(0L)))
     val totAggs = orders.flatMap(k => Seq(
-        sum(col(s"m$k")).as(s"sm$k"), sum(col(s"t$k")).as(s"st$k"))) ++
-      Seq(sum(col("len_a")).as("cla"), sum(col("len_b")).as("clb"))
+      sum(col(s"m$k")).as(s"sm$k"), sum(col(s"t$k")).as(s"st$k"),
+      sum(col(s"r$k")).as(s"sr$k")))
     val tot = perPair.agg(totAggs.head, totAggs.tail: _*)
-    def p(k: Int) = dbl(col(s"m$k")) / col(s"t$k")
     perPair.crossJoin(broadcast(tot))
       .select(Seq(col("doc_a"), col("doc_b"), col("len_a"), col("len_b")) ++
-        orders.flatMap(k => Seq(col(s"m$k"), col(s"t$k"))) ++
-        orders.map(k => when(col(s"t$k") > 0, p(k)).as(s"p$k")) ++
-        Seq(
-          when(orders.map(k => col(s"t$k") > 0).reduce(_ && _),
-            orders.map(p).reduce(_ * _)).as("prec_geo4"),
-          (dbl(col("len_a")) / col("len_b")).as("len_ratio"),
-          (col("len_a") >= col("len_b")).as("bp_clamped")) ++
-        orders.map(k => when(col(s"st$k") > 0,
-          dbl(col(s"sm$k")) / col(s"st$k")).as(s"micro_p$k")) ++
-        Seq(col("cla").cast(LongType).as("corpus_len_a"),
-          col("clb").cast(LongType).as("corpus_len_b")): _*)
+        orders.flatMap(k => Seq(col(s"m$k"), col(s"t$k"), col(s"r$k"))) ++
+        orders.flatMap(k => Seq(
+          when(col(s"r$k") > 0, dbl(col(s"m$k")) / col(s"r$k"))
+            .as(s"rouge_$k"),
+          when(col(s"t$k") + col(s"r$k") > 0,
+            dbl(col(s"m$k") * 2) / (col(s"t$k") + col(s"r$k")))
+            .as(s"rouge_f$k"))) ++
+        orders.flatMap(k => Seq(
+          when(col(s"sr$k") > 0, dbl(col(s"sm$k")) / col(s"sr$k"))
+            .as(s"micro_rouge_$k"),
+          when(col(s"st$k") + col(s"sr$k") > 0,
+            dbl(col(s"sm$k") * 2) / (col(s"st$k") + col(s"sr$k")))
+            .as(s"micro_rouge_f$k"))): _*)
       .orderBy("doc_a", "doc_b")
   }
 

@@ -959,6 +959,39 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(zFull == tWelch)
   }
 
+  test("cohen's d: hand-computed pooled SD; hedges shrinks toward 0; degenerate NULL") {
+    import spark.implicits._
+    def dOf(name: String, rows: Seq[(Long, Double)]) = {
+      val fix = tempDir(name)
+      rows.map { case (u, v) => (u, pre, v) }.toDF("user_id", "ts", "value")
+        .repartition(2).write.mode("overwrite").parquet(s"$fix/events.parquet")
+      EventOps.abCohensD(spark, fix).collect().head
+    }
+    // the planted Welch cohort: means 40 vs 30, both variances 200 →
+    // s_p² = 200, d = 10/√200; J = 1 − 3/(4·4 − 9) = 4/7
+    val r = dOf("cohens_base", Seq((1L, 20.0), (2L, 30.0), (3L, 40.0), (4L, 50.0)))
+    assert((r.getLong(0), r.getLong(1)) == ((2L, 2L)))
+    assert(r.getAs[Double]("diff") == 10.0)
+    assert(r.getAs[Double]("cohens_d") == 10.0 / math.sqrt(200.0))
+    assert(r.getAs[Double]("hedges_g")
+      == (10.0 / math.sqrt(200.0)) * (1.0 - 3.0 / 7.0))
+    assert(math.abs(r.getAs[Double]("hedges_g")) < math.abs(r.getAs[Double]("cohens_d")),
+      "the small-sample correction must shrink toward 0")
+    assert(r.getAs[String]("magnitude") == "medium", s"d ≈ 0.707: $r")
+    // a single-user arm: no sample variance, no effect size
+    val one = dOf("cohens_n1", Seq((1L, 20.0), (2L, 30.0), (4L, 50.0)))
+    assert(one.isNullAt(one.fieldIndex("cohens_d"))
+      && one.isNullAt(one.fieldIndex("magnitude")))
+    // both arms constant: zero pooled variance → NULL, never Inf
+    val flat = dOf("cohens_flat", Seq((1L, 10.0), (2L, 10.0), (3L, 10.0), (4L, 10.0)))
+    assert(flat.isNullAt(flat.fieldIndex("cohens_d")))
+    // real corpus: defined, finite, and sign-consistent with the diff
+    val real = EventOps.abCohensD(spark, Sf0001).collect().head
+    val d = real.getAs[Double]("cohens_d")
+    assert(!d.isNaN && !d.isInfinite)
+    assert(math.signum(d) == math.signum(real.getAs[Double]("diff")))
+  }
+
   test("pass@k: hand-computed estimator — exact 0/1 anchors, clamp, n<k NULL") {
     import spark.implicits._
     val fix = tempDir("passk_fix")

@@ -1991,6 +1991,57 @@ class PipelineOpsSpec extends SparkSpec {
     assert(clip(1) < ta.size)
   }
 
+  test("pair ROUGE: gram currency shared with BLEU; recall and F replay locally") {
+    import spark.implicits._
+    // same planted pair as the BLEU fixture — ROUGE must read the SAME
+    // clipped matches (one bleuPerPair seam) with reference-side totals
+    val dirTmp = tempDir("rouge_fixture")
+    val shared = (1 to 12).map(i => s"w$i").mkString(" ")
+    val docsDf = Seq(
+      (101L, s"the the the cat sat $shared", "en", "web"),
+      (102L, s"the cat sat on the mat $shared", "en", "web")
+    ).toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", length(col("text")).cast("long"))
+    docsDf.write.mode("overwrite").parquet(s"$dirTmp/documents.parquet")
+    val bleu = TextOps.pairBleu(spark, dirTmp).collect().head
+    val rouge = TextOps.pairRouge(spark, dirTmp).collect()
+    assert(rouge.length == 1)
+    val row = rouge.head
+    val (lenA, lenB) = (row.getAs[Long]("len_a"), row.getAs[Long]("len_b"))
+    (1 to 2).foreach { n =>
+      val (m, t, r) = (row.getAs[Long](s"m$n"), row.getAs[Long](s"t$n"),
+        row.getAs[Long](s"r$n"))
+      assert(m == bleu.getAs[Long](s"m$n"), s"order $n: one clipped-match currency")
+      assert(t == math.max(lenA - n + 1, 0L) && r == math.max(lenB - n + 1, 0L))
+      assert(row.getAs[Double](s"rouge_$n") == m.toDouble / r)
+      assert(row.getAs[Double](s"rouge_f$n") == 2.0 * m / (t + r))
+    }
+    // single pair ⇒ micro readouts coincide with the per-pair values
+    assert(row.getAs[Double]("micro_rouge_1") == row.getAs[Double]("rouge_1"))
+    assert(row.getAs[Double]("micro_rouge_f2") == row.getAs[Double]("rouge_f2"))
+    // real corpus: every score in [0,1]; F is the harmonic mean of the
+    // shared-numerator P and R, so it sits BETWEEN them (means lie
+    // inside the range of their arguments — not below both)
+    val real = TextOps.pairRouge(spark, Sf0001).collect()
+    assert(real.nonEmpty)
+    real.foreach { rr =>
+      (1 to 2).foreach { n =>
+        if (!rr.isNullAt(rr.fieldIndex(s"rouge_$n"))) {
+          val (m, t, rg) = (rr.getAs[Long](s"m$n"), rr.getAs[Long](s"t$n"),
+            rr.getAs[Long](s"r$n"))
+          val rec = rr.getAs[Double](s"rouge_$n")
+          assert(rec >= 0.0 && rec <= 1.0)
+          val f = rr.getAs[Double](s"rouge_f$n")
+          if (t > 0) {
+            val p = m.toDouble / t
+            assert(f >= math.min(p, rec) - 1e-12 && f <= math.max(p, rec) + 1e-12,
+              s"F must lie between P=$p and R=$rec, got $f")
+          }
+        }
+      }
+    }
+  }
+
   test("pair chrF: local char-gram replay of the exact rational trees") {
     val docs = graft.ops.Tables(spark, Sf0001, "documents")
       .select("doc_id", "text").collect()
