@@ -416,6 +416,28 @@ private[graft] object RegistryDedupSim {
         |$rows
         |) ORDER BY k""".stripMargin
     }),
+    // k-hop BFS reach from the max-degree hub: exact frontier/visited
+    // SET sizes per hop, the seed a deterministic argmax; hops unrolled
+    // from the SAME GraphOps.KhopHops literal into DuckDB CTEs
+    GraftQuery("x_graph_khop", GraphOps.khopReach, Some {
+      val hops = (1 to GraphOps.KhopHops).map { h =>
+        s"""f$h AS (SELECT DISTINCT e1.dst AS node FROM e1 JOIN f${h - 1} f ON e1.src = f.node
+           |        WHERE e1.dst NOT IN (SELECT node FROM v${h - 1})),
+           |v$h AS (SELECT node FROM v${h - 1} UNION ALL SELECT node FROM f$h)""".stripMargin
+      }.mkString(",\n")
+      val rows = (0 to GraphOps.KhopHops).map(h =>
+        s"""SELECT $h AS hop, (SELECT count(*) FROM f$h) AS frontier_size,
+           |       (SELECT count(*) FROM v$h) AS reach_size""".stripMargin)
+        .mkString("\nUNION ALL\n")
+      s"""WITH $graphEdgeCtes,
+        |d AS (SELECT src AS node, count(*) AS deg FROM e1 GROUP BY src),
+        |f0 AS (SELECT node FROM d ORDER BY deg DESC, node LIMIT 1),
+        |v0 AS (SELECT node FROM f0),
+        |$hops
+        |SELECT * FROM (
+        |$rows
+        |) ORDER BY hop""".stripMargin
+    }),
     // PageRank with integer-exact damping/teleport arithmetic — the
     // kmeans playbook applied to iterative graph analytics: the oracle
     // unrolls the same three rounds, ranks hash-match bit-for-bit

@@ -458,6 +458,28 @@ private[graft] object RegistryEventsText {
         |            WHEN abs(delta) < 0.474 THEN 'medium'
         |            ELSE 'large' END AS magnitude
         |FROM d""".stripMargin)),
+    // Wilson score interval per event type: the binomial CI that stays
+    // inside [0,1] where Wald collapses; exact (n, k) counts into one
+    // fixed IEEE tree, z as a string-cast literal (the FDR-boundary
+    // one-ulp rule)
+    GraftQuery("x_event_wilson_ci", EventOps.eventWilsonCi, Some {
+      val z = s"CAST('${EventOps.ZAlphaHalf}' AS DOUBLE)"
+      s"""WITH a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
+        |             CAST(sum(CASE WHEN value >= ${EventOps.WilsonValueFloor} THEN 1 ELSE 0 END) AS BIGINT) AS k
+        |           FROM events GROUP BY 1),
+        |p AS (SELECT event_type, n, k,
+        |        CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p_hat FROM a)
+        |SELECT event_type, n, k, p_hat,
+        |       (p_hat + $z * $z / (2.0 * CAST(n AS DOUBLE))
+        |         - $z * sqrt(p_hat * (1.0 - p_hat) / CAST(n AS DOUBLE)
+        |             + $z * $z / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+        |         / (1.0 + $z * $z / CAST(n AS DOUBLE)) AS wilson_lo,
+        |       (p_hat + $z * $z / (2.0 * CAST(n AS DOUBLE))
+        |         + $z * sqrt(p_hat * (1.0 - p_hat) / CAST(n AS DOUBLE)
+        |             + $z * $z / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
+        |         / (1.0 + $z * $z / CAST(n AS DOUBLE)) AS wilson_hi
+        |FROM p ORDER BY event_type""".stripMargin
+    }),
     // Cohen's d + Hedges g off the SAME welch moment seam: pooled-SD
     // effect size, the rational Hedges correction 1 − 3/(4n − 9) (the
     // exact J needs a gamma), Cohen band literals; NULL on degenerate
@@ -920,6 +942,23 @@ private[graft] object RegistryEventsText {
         |FROM pk""".stripMargin
     }),
     GraftQuery("x_text_richness", TextOps.vocabRichness, Some(richnessOracle)),
+    // Flesch reading-ease + FK grade: vowel-group syllables, clamped
+    // sentence runs, exact counts into two fixed IEEE trees with the
+    // published constants as shared literals — the classic rule-based
+    // quality feature, fully value-oracled
+    GraftQuery("x_text_readability", TextOps.readability, Some(
+      """WITH c AS (SELECT doc_id,
+        |        CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+        |        CAST(greatest(len(regexp_extract_all(text, '[.!?]+')), 1) AS BIGINT) AS n_sentences,
+        |        CAST(len(regexp_extract_all(lower(text), '[aeiouy]+')) AS BIGINT) AS n_syllables
+        |      FROM documents)
+        |SELECT doc_id, n_words, n_sentences, n_syllables,
+        |       206.835 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+        |         - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words) AS flesch_ease,
+        |       0.39 * (CAST(n_words AS DOUBLE) / n_sentences)
+        |         + 11.8 * (CAST(n_syllables AS DOUBLE) / n_words)
+        |         - 15.59 AS fk_grade
+        |FROM c ORDER BY doc_id""".stripMargin)),
     // top-k collocations by PMI lift = c_xy·N/(c_x·c_y): marginals and
     // total are row sums of the ONE corpus bigram table (self-consistent
     // by construction); lift is exact HUGEINT products into one double

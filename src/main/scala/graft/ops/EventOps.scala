@@ -1405,6 +1405,47 @@ object EventOps {
       }: _*)
   }
 
+  /** The "high-value event" threshold the Wilson readout counts —
+    * fixed literal shared with the oracle. */
+  val WilsonValueFloor = 100.0
+
+  /** Wilson score interval per event type — the binomial-proportion CI
+    * a dashboard should serve instead of the normal (Wald) interval,
+    * which collapses to zero width at p̂ ∈ {0,1} and goes negative at
+    * small n (Brown, Cai & DasGupta 2001); Wilson stays inside [0, 1]
+    * and behaves at the extremes. Proportion = share of events with
+    * value ≥ [[WilsonValueFloor]].
+    *
+    * Determinism: (n, k) are exact integer counts; the interval
+    * (p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n) is a fixed
+    * IEEE tree with z = [[ZAlphaHalf]] rendered as a string-cast
+    * literal (the FDR-boundary rule: DuckDB types a bare numeric
+    * literal DECIMAL and its conversion can land one ulp off).
+    *
+    * Scale shape: one map-side-combinable scan into |event types| rows;
+    * everything after is per-row literal arithmetic. */
+  def eventWilsonCi(spark: SparkSession, dir: String): DataFrame = {
+    val dbl = (c: Column) => c.cast(DoubleType)
+    val z = lit(ZAlphaHalf)
+    val z2 = z * z
+    Tables(spark, dir, "events")
+      .groupBy(col("event_type"))
+      .agg(count(lit(1)).as("n"),
+        sum(when(col("value") >= WilsonValueFloor, 1L).otherwise(0L)).as("k"))
+      .select(col("event_type"), col("n"), col("k"),
+        (dbl(col("k")) / dbl(col("n"))).as("p_hat"))
+      .select(col("event_type"), col("n"), col("k"), col("p_hat"),
+        ((col("p_hat") + z2 / (lit(2.0) * dbl(col("n")))
+          - z * sqrt(col("p_hat") * (lit(1.0) - col("p_hat")) / dbl(col("n"))
+            + z2 / (lit(4.0) * dbl(col("n")) * dbl(col("n")))))
+          / (lit(1.0) + z2 / dbl(col("n")))).as("wilson_lo"),
+        ((col("p_hat") + z2 / (lit(2.0) * dbl(col("n")))
+          + z * sqrt(col("p_hat") * (lit(1.0) - col("p_hat")) / dbl(col("n"))
+            + z2 / (lit(4.0) * dbl(col("n")) * dbl(col("n")))))
+          / (lit(1.0) + z2 / dbl(col("n")))).as("wilson_hi"))
+      .orderBy("event_type")
+  }
+
   // ------------------------------------------------------------------
   // Benjamini–Hochberg FDR over the per-metric Welch z family
   // ------------------------------------------------------------------

@@ -458,6 +458,62 @@ object GraphOps {
       .orderBy("k")
   }
 
+  /** Hop bound of the reachability probe — fixed literal, so the
+    * output is a bounded (Hops+1)-row table at any graph size. */
+  val KhopHops = 3
+
+  /** k-hop reachability from the hub — "how much of the trade network
+    * is within 3 hops of the busiest entity?": BFS frontier and
+    * cumulative reach sizes per hop, seeded at the max-degree node
+    * (ties → smallest id, so the seed is a deterministic function of
+    * the graph). Small-world graphs saturate in 2-3 hops; a reach
+    * curve that stays flat instead exposes fragmentation the
+    * connected-components count alone doesn't quantify.
+    *
+    * Determinism: frontiers are exact SETS (distinct + anti join);
+    * every published number is an integer count.
+    *
+    * Scale shape: textbook distributed BFS — each hop is ONE keyed
+    * join of the edge list with the (persisted) frontier, a distinct,
+    * and an anti join against the (persisted) visited set; hop count
+    * is a literal, so plan depth is constant. No driver-side loop
+    * state: the whole curve is one lazy plan whose shared subtrees are
+    * persist-marked, and the single action materializes each frontier
+    * exactly once. The seed's TakeOrdered(1) is the only global
+    * reduction and returns one row. */
+  def khopReach(spark: SparkSession, dir: String): DataFrame =
+    khopOf(edgesOf(spark, dir))
+
+  /** The BFS core over any symmetrized (src, dst) relation — separated
+    * so specs can feed planted graphs (chain → one node per hop; star
+    * → everything at hop 1). */
+  def khopOf(edges: DataFrame): DataFrame = {
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.persist(lvl)
+    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    val seed = deg.orderBy(col("deg").desc, col("node")).limit(1)
+      .select(col("node")).persist(lvl)
+    var visited = seed
+    var frontier = seed
+    val layers = Seq.newBuilder[(Int, DataFrame, DataFrame)]
+    layers += ((0, frontier, visited))
+    for (h <- 1 to KhopHops) {
+      val next = e
+        .join(frontier.select(col("node").as("src")), "src")
+        .select(col("dst").as("node")).distinct()
+        .join(visited, Seq("node"), "left_anti")
+        .persist(lvl)
+      visited = visited.unionAll(next).persist(lvl)
+      frontier = next
+      layers += ((h, frontier, visited))
+    }
+    layers.result().map { case (h, f, v) =>
+      f.agg(count(lit(1)).as("frontier_size"))
+        .crossJoin(v.agg(count(lit(1)).as("reach_size")))
+        .select(lit(h).as("hop"), col("frontier_size"), col("reach_size"))
+    }.reduce(_.unionAll(_)).orderBy("hop")
+  }
+
   /** Per-part triangle participation counts over the co-purchase graph
     * (parts co-occurring in ≥ [[TriMinSupport]] orders) — the local
     * clustering signal behind community detection and recommendation

@@ -1030,6 +1030,38 @@ object TextOps {
       .limit(CollocTopK)
   }
 
+  /** Flesch readability panel — the classic cheap quality feature
+    * (reading ease + FK grade level) every rule-based corpus filter
+    * ships next to stopword/punctuation ratios: word salad and OCR
+    * noise score far off the human band. Syllables are approximated as
+    * VOWEL GROUPS (`[aeiouy]+` runs — the standard heuristic; both
+    * engines run the same RE2-compatible pattern), sentences as
+    * `[.!?]+` runs clamped to ≥ 1 (a fragment is one sentence, and the
+    * clamp is what keeps the per-doc divisions defined). Every number
+    * is exact integer counts into TWO fixed IEEE trees with the
+    * published Flesch constants as shared literals — fully
+    * value-oracled, one scan, no shuffle at all (narrow per-row
+    * arithmetic). */
+  def readability(spark: SparkSession, dir: String): DataFrame = {
+    val dbl = (c: Column) => c.cast(DoubleType)
+    Tables(spark, dir, "documents")
+      .select(col("doc_id"),
+        size(split(col("text"), " ")).cast(LongType).as("n_words"),
+        greatest(size(expr("regexp_extract_all(text, '[.!?]+', 0)")), lit(1))
+          .cast(LongType).as("n_sentences"),
+        size(expr("regexp_extract_all(lower(text), '[aeiouy]+', 0)"))
+          .cast(LongType).as("n_syllables"))
+      .select(col("doc_id"), col("n_words"), col("n_sentences"),
+        col("n_syllables"),
+        (lit(206.835) - lit(1.015) * (dbl(col("n_words")) / col("n_sentences"))
+          - lit(84.6) * (dbl(col("n_syllables")) / col("n_words")))
+          .as("flesch_ease"),
+        (lit(0.39) * (dbl(col("n_words")) / col("n_sentences"))
+          + lit(11.8) * (dbl(col("n_syllables")) / col("n_words"))
+          - lit(15.59)).as("fk_grade"))
+      .orderBy("doc_id")
+  }
+
   // ------------------------------------------------------------------
   // Hashed linear quality classifier (fastText/CCNet inference shape)
   // ------------------------------------------------------------------

@@ -959,6 +959,46 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(zFull == tWelch)
   }
 
+  test("wilson interval: hand-replayed tree; k=0 pins lo at exactly 0; brackets p-hat") {
+    import spark.implicits._
+    val fix = tempDir("wilson_fix")
+    // type 'hot': 4 events, 1 above the floor; type 'cold': 3 events,
+    // none above — the p̂ = 0 edge where a Wald interval goes negative
+    // but Wilson's lower bound is EXACTLY 0 (center = margin = z²/2n)
+    (Seq((1L, pre, "hot", 150.0), (2L, pre, "hot", 10.0),
+      (3L, pre, "hot", 20.0), (4L, pre, "hot", 30.0))
+      ++ Seq((1L, pre, "cold", 5.0), (2L, pre, "cold", 6.0), (3L, pre, "cold", 7.0)))
+      .toDF("user_id", "ts", "event_type", "value")
+      .repartition(2).write.mode("overwrite").parquet(s"$fix/events.parquet")
+    val got = EventOps.eventWilsonCi(spark, fix).collect()
+      .map(r => r.getString(0) -> r).toMap
+    val z = EventOps.ZAlphaHalf
+    def wilson(n: Long, k: Long): (Double, Double) = {
+      val p = k.toDouble / n.toDouble
+      val half = z * math.sqrt(p * (1.0 - p) / n + z * z / (4.0 * n * n))
+      val c = p + z * z / (2.0 * n)
+      ((c - half) / (1.0 + z * z / n), (c + half) / (1.0 + z * z / n))
+    }
+    val hot = got("hot")
+    assert((hot.getLong(1), hot.getLong(2)) == ((4L, 1L)))
+    assert(hot.getAs[Double]("wilson_lo") == wilson(4, 1)._1
+      && hot.getAs[Double]("wilson_hi") == wilson(4, 1)._2)
+    val cold = got("cold")
+    assert(cold.getLong(2) == 0L)
+    // p̂ = 0: algebraically lo = 0 (center = margin = z²/2n); in IEEE
+    // the sqrt/divide roundings can leave a last-ulp residue, so pin
+    // the replay identity plus the analytic bound
+    assert(cold.getAs[Double]("wilson_lo") == wilson(3, 0)._1)
+    assert(math.abs(cold.getAs[Double]("wilson_lo")) < 1e-15, "lo ≈ 0 at p̂ = 0")
+    assert(cold.getAs[Double]("wilson_hi") > 0.0 && cold.getAs[Double]("wilson_hi") < 1.0)
+    // real corpus: interval brackets p̂ and stays inside [0, 1]
+    EventOps.eventWilsonCi(spark, Sf0001).collect().foreach { r =>
+      val (p, lo, hi) = (r.getAs[Double]("p_hat"),
+        r.getAs[Double]("wilson_lo"), r.getAs[Double]("wilson_hi"))
+      assert(lo >= 0.0 && hi <= 1.0 && lo <= p && p <= hi)
+    }
+  }
+
   test("cohen's d: hand-computed pooled SD; hedges shrinks toward 0; degenerate NULL") {
     import spark.implicits._
     def dOf(name: String, rows: Seq[(Long, Double)]) = {

@@ -310,6 +310,33 @@ class GraphOpsSpec extends SparkSpec {
     }
   }
 
+  test("k-hop reach: chain walks one hop at a time; star saturates; islands stay out") {
+    // chain 0-1-2-3-4-5: max degree is 2, ties break to node 1 → BFS
+    // from 1: frontiers {1},{0,2},{3},{4}; reach 1,3,4,5
+    val chain = symEdges((0L to 4L).map(i => (i, i + 1)))
+    val ch = GraphOps.khopOf(chain).collect()
+      .map(r => r.getAs[Long]("hop") ->
+        ((r.getAs[Long]("frontier_size"), r.getAs[Long]("reach_size")))).toMap
+    assert(ch(0L) == ((1L, 1L)) && ch(1L) == ((2L, 3L)))
+    assert(ch(2L) == ((1L, 4L)) && ch(3L) == ((1L, 5L)))
+    // star: the hub IS the seed; hop 1 grabs every leaf, then nothing
+    val star = symEdges((1L to 8L).map(l => (0L, l)))
+    val st = GraphOps.khopOf(star).collect()
+      .map(r => r.getAs[Long]("hop") ->
+        ((r.getAs[Long]("frontier_size"), r.getAs[Long]("reach_size")))).toMap
+    assert(st(0L) == ((1L, 1L)) && st(1L) == ((8L, 9L)))
+    assert(st(2L) == ((0L, 9L)) && st(3L) == ((0L, 9L)))
+    // disconnected island: never reached, whatever the hop budget
+    val split = symEdges(Seq((0L, 1L), (0L, 2L), (10L, 11L)))
+    val sp = GraphOps.khopOf(split).collect()
+    assert(sp.map(_.getAs[Long]("reach_size")).max == 3L)
+    // real purchase graph: reach is nondecreasing and bounded by the
+    // node count; frontier 0 ⇒ reach frozen thereafter
+    val real = GraphOps.khopReach(spark, Sf0001).collect()
+    val reach = real.map(_.getAs[Long]("reach_size"))
+    assert(reach.zip(reach.tail).forall { case (a, b) => b >= a })
+  }
+
   test("modularity: single community is exactly zero; nation partition conserves mass") {
     import org.apache.spark.sql.functions.{col, lit}
     // everything in one community: Σd_c = m2 and all edges intra ⇒ Q = 0

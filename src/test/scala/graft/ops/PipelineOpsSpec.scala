@@ -2277,6 +2277,45 @@ class PipelineOpsSpec extends SparkSpec {
     java.lang.Long.parseLong(md5hex("w" + bucket).take(8), 16) % 1000001L - 500000L
   }
 
+  test("readability: hand-counted syllable groups and sentence runs; fragment clamps to 1") {
+    import spark.implicits._
+    val dir = tempDir("readability_docs")
+    Seq(
+      // 6 words, 2 sentences, vowel groups hand-counted per word:
+      // the(1) cat(1) sat(1) down(1) here(2: e, e... 'here' -> h[e]r[e] = 2) + we(1) win(1)
+      (0L, "the cat sat down here. we win!", "en", "s"),
+      // fragment without terminal punctuation: sentence count clamps to 1
+      (1L, "just a fragment", "en", "s"))
+      .toDF("doc_id", "text", "lang", "source")
+      .withColumn("n_chars", org.apache.spark.sql.functions.length(col("text")).cast("long"))
+      .write.mode("overwrite").parquet(s"$dir/documents.parquet")
+    val got = TextOps.readability(spark, dir).collect().map(r => r.getLong(0) -> r).toMap
+    // local replay with the same regexes — the hand count, mechanized
+    def counts(t: String) = (
+      t.split(" ", -1).length.toLong,
+      math.max("[.!?]+".r.findAllIn(t).length, 1).toLong,
+      "[aeiouy]+".r.findAllIn(t.toLowerCase).length.toLong)
+    for ((id, text) <- Seq(0L -> "the cat sat down here. we win!", 1L -> "just a fragment")) {
+      val (w, s, sy) = counts(text)
+      val r = got(id)
+      assert((r.getLong(1), r.getLong(2), r.getLong(3)) == ((w, s, sy)), s"doc $id")
+      assert(r.getAs[Double]("flesch_ease")
+        == 206.835 - 1.015 * (w.toDouble / s) - 84.6 * (sy.toDouble / w))
+      assert(r.getAs[Double]("fk_grade")
+        == 0.39 * (w.toDouble / s) + 11.8 * (sy.toDouble / w) - 15.59)
+    }
+    assert(got(0L).getLong(2) == 2L && got(1L).getLong(2) == 1L,
+      "punctuated doc has 2 sentence runs; fragment clamps to 1")
+    // real corpus: prose lands in a sane band (the filter's premise)
+    val real = TextOps.readability(spark, Sf0001).collect()
+    assert(real.nonEmpty)
+    real.foreach { r =>
+      assert(r.getLong(2) >= 1L, "sentence clamp")
+      val fe = r.getAs[Double]("flesch_ease")
+      assert(!fe.isNaN && !fe.isInfinite)
+    }
+  }
+
   test("collocations: hand-computed lift on a planted pair; real top-k replays locally") {
     import spark.implicits._
     val dir = tempDir("colloc_docs")
