@@ -528,11 +528,12 @@ private[graft] object RegistryEventsText {
         |st AS (SELECT rk.*, bd.z_bound,
         |         abs(rk.z) >= bd.z_bound AS crossed
         |       FROM rk LEFT JOIN bd ON rk.fam = bd.bm AND rk.rnk = bd.brank),
-        |ks AS (SELECT *, max(CASE WHEN crossed THEN rnk ELSE 0 END) OVER () AS k_star
+        |ks AS (SELECT *, max(CASE WHEN crossed THEN rnk ELSE 0 END) OVER () AS k_star,
+        |         max(CASE WHEN z_bound IS NULL THEN 1 ELSE 0 END) OVER () AS unbounded
         |       FROM st)
         |SELECT event_type, n0, n1, mean0, mean1, z,
         |       CAST(fam AS BIGINT) AS m, CAST(rnk AS BIGINT) AS rank, z_bound,
-        |       rnk <= k_star AS rejected
+        |       CASE WHEN unbounded = 0 THEN rnk <= k_star END AS rejected
         |FROM ks ORDER BY rank""".stripMargin)),
     // Difference-in-differences on the shared pre/post cent currency
     GraftQuery("x_ab_did", EventOps.abDid, Some(
@@ -1181,8 +1182,8 @@ private[graft] object RegistryEventsText {
         |          CAST(sum(CASE WHEN NOT gold THEN 8000000 - cnum ELSE 0 END) AS BIGINT) AS sc0
         |        FROM g),
         |q AS (SELECT g.gold, g.cnum,
-        |        CAST(g.cnum AS HUGEINT) * thr.n1 >= thr.sc1 AS q1,
-        |        CAST(8000000 - g.cnum AS HUGEINT) * thr.n0 >= thr.sc0 AS q0,
+        |        thr.n1 > 0 AND CAST(g.cnum AS HUGEINT) * thr.n1 >= thr.sc1 AS q1,
+        |        thr.n0 > 0 AND CAST(8000000 - g.cnum AS HUGEINT) * thr.n0 >= thr.sc0 AS q0,
         |        thr.n1, thr.sc1, thr.n0, thr.sc0
         |      FROM g CROSS JOIN thr),
         |a AS (SELECT gold, n1, sc1, n0, sc0,

@@ -1453,8 +1453,11 @@ object EventOps {
   /** Two-sided significance level the BH procedure controls FDR at. */
   val FdrAlpha = 0.05
   /** Largest metric-family size the literal boundary table covers —
-    * far above the event-type domain; a family larger than this would
-    * find no boundary row and read NULL (loud, never silently wrong). */
+    * far above the event-type domain. A family larger than this finds
+    * no boundary rows, and the procedure reads NULL in `rejected` on
+    * EVERY row (the step-up is undefined without its boundaries —
+    * spec-pinned; a bare k_star = 0 would silently report "nothing
+    * significant"). */
   val FdrMaxM = 32
 
   /** Φ⁻¹ via Acklam's rational approximation (relative error < 1.15e−9
@@ -1561,12 +1564,20 @@ object EventOps {
       .withColumn("k_star",
         max(when(col("crossed"), col("rank")).otherwise(0))
           .over(Window.partitionBy()))
+      // a family larger than FdrMaxM has no boundary rows at all; the
+      // step-up is then UNDEFINED, and the loud answer is NULL on every
+      // row — without this guard k_star = 0 would read as a definite
+      // "nothing significant" on a family of wildly significant metrics
+      .withColumn("unbounded",
+        max(when(col("z_bound").isNull, 1).otherwise(0))
+          .over(Window.partitionBy()))
     stepped
       .select(col("event_type"), col("n0"), col("n1"),
         col("mean0"), col("mean1"), col("z"),
         col("m").cast(LongType).as("m"),
         col("rank").cast(LongType).as("rank"), col("z_bound"),
-        (col("rank") <= col("k_star")).as("rejected"))
+        when(col("unbounded") === 0, col("rank") <= col("k_star"))
+          .as("rejected"))
       .orderBy("rank")
   }
 }

@@ -430,19 +430,16 @@ object GraphOps {
     // one pass over degree-annotated edges: a conditional sum per
     // threshold (2·E_{>k}), and the node-side counts from the bounded
     // degree aggregate
+    val eSums = RichClubKs.map(k =>
+      sum(when(col("dx") > k && col("dy") > k, 1L).otherwise(0L))
+        .as(s"e2_$k"))
+    val nSums = RichClubKs.map(k =>
+      sum(when(col("deg") > k, 1L).otherwise(0L)).as(s"n_$k"))
     val eAgg = e
       .join(deg.select(col("node").as("src"), col("deg").as("dx")), "src")
       .join(deg.select(col("node").as("dst"), col("deg").as("dy")), "dst")
-      .agg(RichClubKs.map(k =>
-        sum(when(col("dx") > k && col("dy") > k, 1L).otherwise(0L))
-          .as(s"e2_$k")).head,
-        RichClubKs.map(k =>
-          sum(when(col("dx") > k && col("dy") > k, 1L).otherwise(0L))
-            .as(s"e2_$k")).tail: _*)
-    val nAgg = deg.agg(RichClubKs.map(k =>
-      sum(when(col("deg") > k, 1L).otherwise(0L)).as(s"n_$k")).head,
-      RichClubKs.map(k =>
-        sum(when(col("deg") > k, 1L).otherwise(0L)).as(s"n_$k")).tail: _*)
+      .agg(eSums.head, eSums.tail: _*)
+    val nAgg = deg.agg(nSums.head, nSums.tail: _*)
     val wide = eAgg.crossJoin(broadcast(nAgg)).localCheckpoint()
     e.unpersist()
     // constant-width unpivot: one row per threshold, φ guarded NULL
@@ -474,13 +471,16 @@ object GraphOps {
     * every published number is an integer count.
     *
     * Scale shape: textbook distributed BFS — each hop is ONE keyed
-    * join of the edge list with the (persisted) frontier, a distinct,
-    * and an anti join against the (persisted) visited set; hop count
-    * is a literal, so plan depth is constant. No driver-side loop
-    * state: the whole curve is one lazy plan whose shared subtrees are
-    * persist-marked, and the single action materializes each frontier
-    * exactly once. The seed's TakeOrdered(1) is the only global
-    * reduction and returns one row. */
+    * join of the edge list with the frontier, a distinct, and an anti
+    * join against the visited set; hop count is a literal, so the
+    * driver loop is constant-depth. Each frontier/visited layer is
+    * eagerly localCheckpoint-ed (truncating lineage, the kcore/kmeans
+    * cadence) so the edge cache can be RELEASED before the bounded
+    * readout is served — a lazy persist chain here would leak 9 cached
+    * RDDs per call into the sweep JVMs whose memory headroom the scale
+    * measurements depend on (review finding, spec-irrelevant but
+    * methodology-critical). The seed's TakeOrdered(1) is the only
+    * global reduction and returns one row. */
   def khopReach(spark: SparkSession, dir: String): DataFrame =
     khopOf(edgesOf(spark, dir))
 
@@ -488,11 +488,11 @@ object GraphOps {
     * so specs can feed planted graphs (chain → one node per hop; star
     * → everything at hop 1). */
   def khopOf(edges: DataFrame): DataFrame = {
-    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
-    val e = edges.persist(lvl)
+    val e = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    // eager: materializes the 1-row seed and truncates lineage
     val seed = deg.orderBy(col("deg").desc, col("node")).limit(1)
-      .select(col("node")).persist(lvl)
+      .select(col("node")).localCheckpoint()
     var visited = seed
     var frontier = seed
     val layers = Seq.newBuilder[(Int, DataFrame, DataFrame)]
@@ -502,11 +502,12 @@ object GraphOps {
         .join(frontier.select(col("node").as("src")), "src")
         .select(col("dst").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti")
-        .persist(lvl)
-      visited = visited.unionAll(next).persist(lvl)
+        .localCheckpoint()
+      visited = visited.unionAll(next).localCheckpoint()
       frontier = next
       layers += ((h, frontier, visited))
     }
+    e.unpersist()
     layers.result().map { case (h, f, v) =>
       f.agg(count(lit(1)).as("frontier_size"))
         .crossJoin(v.agg(count(lit(1)).as("reach_size")))

@@ -1645,9 +1645,16 @@ object TextOps {
       sum(when(!col("gold"), 1L).otherwise(0L)).as("n0"),
       sum(when(!col("gold"), lit(8000000L) - col("cnum")).otherwise(0L))
         .as("sc0"))
-    val q1 = d38(col("cnum")) * d38(col("n1")) >= d38(col("sc1"))
-    val q0 = (d38(lit(8000000L)) - d38(col("cnum"))) * d38(col("n0")) >=
-      d38(col("sc0"))
+    // an EMPTY class has no self-confidence mean, so nothing can
+    // qualify into it (without the n_j > 0 guard, cnum·0 ≥ 0 is
+    // trivially true and a single-class corpus would manufacture
+    // label issues toward a class with zero support — cleanlab drops
+    // empty classes for the same reason; spec-pinned)
+    val q1 = col("n1") > 0L &&
+      d38(col("cnum")) * d38(col("n1")) >= d38(col("sc1"))
+    val q0 = col("n0") > 0L &&
+      (d38(lit(8000000L)) - d38(col("cnum"))) * d38(col("n0")) >=
+        d38(col("sc0"))
     // assigned class: argmax breaks a double-qualify, NULL = excluded
     val j = when(q1 && q0, when(col("cnum") >= 4000000L, 1L).otherwise(0L))
       .when(q1, 1L).when(q0, 0L)

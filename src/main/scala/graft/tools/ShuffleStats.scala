@@ -34,17 +34,32 @@ object ShuffleStats {
         }
       }
     })
+    // listener delivery is ASYNC: without a bus drain, the warmup's
+    // queued TaskEnd events leak into the reset ledger and the timed
+    // entry's last tasks can be missed at print time — the exact
+    // numbers PLANS.md adjudicates scale linearity with. private[spark]
+    // compiles to public bytecode, so plain reflection reaches
+    // LiveListenerBus.waitUntilEmpty; the fallback sleep bounds the
+    // race when the API moves.
+    def drainBus(): Unit =
+      try {
+        val sc = spark.sparkContext
+        val bus = sc.getClass.getMethod("listenerBus").invoke(sc)
+        bus.getClass.getMethod("waitUntilEmpty").invoke(bus)
+      } catch { case _: Throwable => Thread.sleep(2000) }
     // untimed warmup per the TimeEntries discipline (pays the input
     // cache load so its shuffle-free scan doesn't pollute the ledger
     // only marginally — the warmup's own metrics are EXCLUDED by
-    // resetting after it)
+    // draining the bus, then resetting)
     graft.Registry.byName("d4_count").build(spark, dir).count()
+    drainBus()
     recW.reset(); bytW.reset(); memSpill.reset(); diskSpill.reset(); inRec.reset()
     val q = graft.Registry.byName(entry)
     q.benchPrep.foreach(p => try p(spark, dir) catch { case _: Throwable => })
     val t0 = System.nanoTime()
     val n = q.build(spark, dir).queryExecution.toRdd.count()
     val sec = (System.nanoTime() - t0) / 1e9
+    drainBus()
     println(f"[shuffle] $entry sec=$sec%.2f rows=$n " +
       s"shuffle_records=${recW.sum} shuffle_bytes=${bytW.sum} " +
       s"mem_spill=${memSpill.sum} disk_spill=${diskSpill.sum} " +

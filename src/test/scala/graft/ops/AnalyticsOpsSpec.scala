@@ -1137,6 +1137,21 @@ class AnalyticsOpsSpec extends SparkSpec {
     assert(real.map(_.getAs[Long]("rank")).toSeq == (1L to real.length))
     val bounds = real.map(_.getAs[Double]("z_bound"))
     assert(bounds.zip(bounds.tail).forall { case (a, b) => a >= b })
+    // a family past FdrMaxM has no boundary rows: the step-up is
+    // UNDEFINED and every rejected must read NULL — never a definite
+    // false on a family of wildly significant metrics (the review's
+    // silent-non-rejection seam)
+    val wide = tempDir("fdr_wide")
+    (1 to EventOps.FdrMaxM + 1).flatMap(i => arm(f"t$i%02d", 50.0))
+      .toDF("user_id", "ts", "event_type", "value")
+      .repartition(3).write.mode("overwrite").parquet(s"$wide/events.parquet")
+    val w = EventOps.abFdrByType(spark, wide).collect()
+    assert(w.length == EventOps.FdrMaxM + 1)
+    w.foreach { r =>
+      assert(r.isNullAt(r.fieldIndex("z_bound"))
+        && r.isNullAt(r.fieldIndex("rejected")),
+        s"oversized family must be loud (NULL), got $r")
+    }
   }
 
   test("degenerate cohorts: single-user arms and zero variance read NULL, never Inf") {

@@ -2380,8 +2380,8 @@ class PipelineOpsSpec extends SparkSpec {
       val (n0, sc0) = (g0.length.toLong, g0.map(8000000L - _._2).sum)
       var (c11, c10, c01, c00, nex) = (0L, 0L, 0L, 0L, 0L)
       docs.foreach { case (gold, cnum) =>
-        val q1 = BigInt(cnum) * n1 >= BigInt(sc1)
-        val q0 = BigInt(8000000L - cnum) * n0 >= BigInt(sc0)
+        val q1 = n1 > 0 && BigInt(cnum) * n1 >= BigInt(sc1)
+        val q0 = n0 > 0 && BigInt(8000000L - cnum) * n0 >= BigInt(sc0)
         val j = if (q1 && q0) Some(if (cnum >= 4000000L) 1 else 0)
           else if (q1) Some(1) else if (q0) Some(0) else None
         j match {
@@ -2429,6 +2429,19 @@ class PipelineOpsSpec extends SparkSpec {
     assert(c.getAs[Long]("n_issues") == 0L,
       s"clean fixture must have empty off-diagonals, got $c")
     assert(c.getAs[Long]("c11") > 0L && c.getAs[Long]("c00") > 0L)
+    // single-class corpus: with NO gold docs the class-1 threshold has
+    // no mean, so nothing may qualify into class 1 — without the
+    // n_j > 0 guard, cnum·0 ≥ 0 would manufacture c01 "issues" toward
+    // a class with zero support (the review's empty-class seam)
+    val mono = tempDir("confident_single_class")
+    Seq.fill(5)(neg).zipWithIndex
+      .map { case (t, i) => (i.toLong, t, "en", "s", t.length.toLong) }
+      .toDF("doc_id", "text", "lang", "source", "n_chars")
+      .repartition(2).write.mode("overwrite").parquet(s"$mono/documents.parquet")
+    val m = TextOps.confidentJoint(spark, mono).collect().head
+    assert(m.getAs[Long]("c11") == 0L && m.getAs[Long]("c01") == 0L,
+      s"empty gold class must admit nobody: $m")
+    assert(m.getAs[Long]("n_issues") == 0L && m.isNullAt(m.fieldIndex("t1")))
   }
 
   test("quality classifier: hand-computed logits, sign decision, join twin equality") {
