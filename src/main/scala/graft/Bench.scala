@@ -78,6 +78,12 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val spark = GraftSession.get("graft-bench")
+    // per-headline shuffle records/bytes ride beside the seconds: the
+    // canary program adjudicates whether the BOX was noisy, the work
+    // ledger adjudicates whether the PLAN changed — a regression that
+    // hides inside healthy wall-clock (or a phantom that inflates it)
+    // shows in the records column, which box contention cannot move
+    val ledger = graft.tools.ShuffleLedger.attach(spark)
 
     val headline = Registry.all.filter(_.headline)
     // Warmups are untimed but NEVER silent: a failed index/layout build
@@ -139,13 +145,19 @@ object Bench {
         // any warmup; the timed body then rebuilds for itself (slower,
         // visibly — never silently wrong).
         q.benchPrep.foreach(p => warmup(s"${q.name} prep")(p(spark, sfDir)))
+        // the ledger window opens AFTER prep (same boundary the timer
+        // draws) and only after a drain, so the previous rep's / the
+        // canaries' queued TaskEnd events can't leak in
+        ledger.drain(); ledger.reset()
         val off = sinceStart()
         val t0 = System.nanoTime()
         // execute the *physical* plan as planned (df.count() would let the
         // optimizer drop sorts/projections above the agg and under-measure)
         try {
           q.build(spark, sfDir).queryExecution.toRdd.count()
-          Some((off, (System.nanoTime() - t0) / 1e9))
+          val sec = (System.nanoTime() - t0) / 1e9
+          ledger.drain()
+          Some((off, sec, ledger.records, ledger.bytes))
         } catch { case e: Throwable =>
           System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
           None
@@ -160,6 +172,19 @@ object Bench {
       k -> (if (ss.nonEmpty) ss.map(_._2).min else -1.0)
     }
     val qs = mins.map { case (k, v) => "\"" + k + "\":" + v }
+      .mkString("{", ",", "}")
+    // per-headline plan work: min across successful reps (the plan is
+    // deterministic, so reps agree; min discards any stray listener
+    // event a rep absorbed). -1 marks a fully-failed headline, like sec.
+    val recJson = results
+      .map { case (k, ss) =>
+        "\"" + k + "\":" + (if (ss.nonEmpty) ss.map(_._3).min else -1L)
+      }
+      .mkString("{", ",", "}")
+    val bytJson = results
+      .map { case (k, ss) =>
+        "\"" + k + "\":" + (if (ss.nonEmpty) ss.map(_._4).min else -1L)
+      }
       .mkString("{", ",", "}")
     // raw per-rep samples ride along so a reader can tell a code
     // regression (all reps slow, canary normal) from box contention
@@ -191,11 +216,12 @@ object Bench {
     // null, fifth phantom round running). The forensics line (per-rep
     // samples + wall-clock offsets) goes FIRST and deliberately carries
     // no "metric" key, so any first-line-with-"metric" parser skips it;
-    // the canonical compact line (total + canaries + per-query mins,
-    // ~2 KB) goes LAST so any suffix-truncated capture retains it whole
-    // and it parses standalone.
+    // the canonical compact line (total + canaries + per-query mins +
+    // per-query shuffle records/bytes, ~4 KB) goes LAST so any
+    // suffix-truncated capture retains it whole and it parses
+    // standalone.
     println(s"""{"forensics":{"samples":$samplesJson,"offsets":$offsetsJson},"sf":"$sfDir"}""")
-    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"canary":{"start":$canaryStart,"end":$canaryEnd,"wide_start":$wideStart,"wide_end":$wideEnd,"load_start":"$loadStart","load_end":"$loadEnd","mid":$midJson},"queries":$qs,"sf":"$sfDir"}""")
+    println(s"""{"metric":"total","value":$total,"unit":"sec","failed":$failed,"canary":{"start":$canaryStart,"end":$canaryEnd,"wide_start":$wideStart,"wide_end":$wideEnd,"load_start":"$loadStart","load_end":"$loadEnd","mid":$midJson},"queries":$qs,"shuffle_records":$recJson,"shuffle_bytes":$bytJson,"drain":"${if (ledger.drainFellBack) "fallback" else "clean"}","sf":"$sfDir"}""")
     spark.stop()
   }
 }

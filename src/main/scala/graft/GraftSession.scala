@@ -21,11 +21,19 @@ object GraftSession {
   def builder(appName: String = "graft"): SparkSession.Builder = {
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS",
       math.max(2, Runtime.getRuntime.availableProcessors()).toString)
+    // At bench SFs, partitions = cores is right (AQE coalesces the
+    // rest). At the third-decade SFs the same setting makes each
+    // external-sort task hold GBs — guaranteed spill on a fixed-memory
+    // box — so the scale sweeps raise it (more, smaller tasks ⇒ sorts
+    // fit execution memory; exactly what a real cluster's 2-3× total
+    // cores setting does) without touching parallelism.
+    val shufflePartitions =
+      sys.env.getOrElse("SPARK_GRAFT_SHUFFLE_PARTITIONS", cpus)
     SparkSession.builder()
       .appName(appName)
       .master(s"local[$cpus]")
       .withExtensions(new GraftExtensions)
-      .config("spark.sql.shuffle.partitions", cpus)
+      .config("spark.sql.shuffle.partitions", shufflePartitions)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -461,7 +461,9 @@ private[graft] object RegistryEventsText {
     // Wilson score interval per event type: the binomial CI that stays
     // inside [0,1] where Wald collapses; exact (n, k) counts into one
     // fixed IEEE tree, z as a string-cast literal (the FDR-boundary
-    // one-ulp rule)
+    // one-ulp rule); published bounds clamped to [0,1] in BOTH engines
+    // (containment is only algebraic — at p̂ ∈ {0,1} roundings can land
+    // one ulp outside; r14 ADVICE)
     GraftQuery("x_event_wilson_ci", EventOps.eventWilsonCi, Some {
       val z = s"CAST('${EventOps.ZAlphaHalf}' AS DOUBLE)"
       s"""WITH a AS (SELECT event_type, CAST(count(*) AS BIGINT) AS n,
@@ -470,14 +472,14 @@ private[graft] object RegistryEventsText {
         |p AS (SELECT event_type, n, k,
         |        CAST(k AS DOUBLE) / CAST(n AS DOUBLE) AS p_hat FROM a)
         |SELECT event_type, n, k, p_hat,
-        |       (p_hat + $z * $z / (2.0 * CAST(n AS DOUBLE))
+        |       greatest((p_hat + $z * $z / (2.0 * CAST(n AS DOUBLE))
         |         - $z * sqrt(p_hat * (1.0 - p_hat) / CAST(n AS DOUBLE)
         |             + $z * $z / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
-        |         / (1.0 + $z * $z / CAST(n AS DOUBLE)) AS wilson_lo,
-        |       (p_hat + $z * $z / (2.0 * CAST(n AS DOUBLE))
+        |         / (1.0 + $z * $z / CAST(n AS DOUBLE)), CAST(0.0 AS DOUBLE)) AS wilson_lo,
+        |       least((p_hat + $z * $z / (2.0 * CAST(n AS DOUBLE))
         |         + $z * sqrt(p_hat * (1.0 - p_hat) / CAST(n AS DOUBLE)
         |             + $z * $z / (4.0 * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))))
-        |         / (1.0 + $z * $z / CAST(n AS DOUBLE)) AS wilson_hi
+        |         / (1.0 + $z * $z / CAST(n AS DOUBLE)), CAST(1.0 AS DOUBLE)) AS wilson_hi
         |FROM p ORDER BY event_type""".stripMargin
     }),
     // Cohen's d + Hedges g off the SAME welch moment seam: pooled-SD
@@ -914,10 +916,11 @@ private[graft] object RegistryEventsText {
         |       $passCols
         |FROM pp ORDER BY problem_id""".stripMargin
     }),
-    // corpus mean pass@k: per-problem doubles quantized to int64 micro
-    // units BEFORE the sum (a double Σ is partial-aggregation-order-
-    // dependent; floor of the identical IEEE value is not), one
-    // division per k
+    // corpus mean pass@k: per-problem doubles quantized to int64 1e12
+    // fixed-point ("pico-units" — a FINER grain than the 1e6 micro-units
+    // used elsewhere in this file, deliberate: pass@k ∈ [0,1]) BEFORE
+    // the sum (a double Σ is partial-aggregation-order-dependent; floor
+    // of the identical IEEE value is not), one division per k
     GraftQuery("x_eval_pass_at_k_summary", EventOps.passAtKSummary, Some {
       val passCols = EventOps.PassKs.map { k =>
         val prod = (0 until k).map(i =>

@@ -1380,8 +1380,11 @@ object EventOps {
 
   /** Corpus mean pass@k over the problems where it is defined — the
     * one-line eval-report readout. Per-problem doubles are quantized to
-    * int64 micro-units (floor(1e12·p) — floor of the identical IEEE
-    * value, so both engines quantize identically) BEFORE the sum: a
+    * int64 1e12 fixed-point — "pico-units", floor(1e12·p): NOTE this is
+    * a deliberately FINER grain than the 1e6 micro-units used elsewhere
+    * (RetrievalOps, drift curation), because pass@k lives in [0,1] where
+    * 1e12 still fits ~10⁶ problems inside int64 — floor of the identical
+    * IEEE value, so both engines quantize identically, BEFORE the sum: a
     * double Σ over problems is partial-aggregation-order-dependent and
     * would hash-flicker at scale, an int64 Σ is permutation-safe (the
     * Cramér's-V χ² trick). One division per k at the end. */
@@ -1392,14 +1395,14 @@ object EventOps {
         sum(when(col(s"pass_$k").isNotNull, 1L).otherwise(0L))
           .as(s"n_eligible_$k"),
         sum(floor(col(s"pass_$k") * lit(1000000000000.0)).cast(LongType))
-          .as(s"sum_micro_$k"))
+          .as(s"sum_pico_$k"))
     }
     passAtK(spark, dir)
       .agg(count(lit(1)).as("n_problems"), aggs: _*)
       .select(col("n_problems") +: PassKs.flatMap { k =>
         Seq(col(s"n_eligible_$k"),
           when(col(s"n_eligible_$k") > 0L,
-            dbl(col(s"sum_micro_$k"))
+            dbl(col(s"sum_pico_$k"))
               / (lit(1000000000000.0) * dbl(col(s"n_eligible_$k"))))
             .as(s"mean_pass_$k"))
       }: _*)
@@ -1420,7 +1423,12 @@ object EventOps {
     * (p̂ + z²/2n ± z·√(p̂(1−p̂)/n + z²/4n²)) / (1 + z²/n) is a fixed
     * IEEE tree with z = [[ZAlphaHalf]] rendered as a string-cast
     * literal (the FDR-boundary rule: DuckDB types a bare numeric
-    * literal DECIMAL and its conversion can land one ulp off).
+    * literal DECIMAL and its conversion can land one ulp off). The
+    * published bounds are CLAMPED to [0, 1] (greatest/least, mirrored
+    * in the oracle): containment is only algebraic — at p̂ ∈ {0, 1}
+    * the sqrt/divide roundings can land one ulp outside the unit
+    * interval, and a CI endpoint of −1e−17 is a presentation bug a
+    * dashboard should never see (r14 ADVICE).
     *
     * Scale shape: one map-side-combinable scan into |event types| rows;
     * everything after is per-row literal arithmetic. */
@@ -1435,14 +1443,14 @@ object EventOps {
       .select(col("event_type"), col("n"), col("k"),
         (dbl(col("k")) / dbl(col("n"))).as("p_hat"))
       .select(col("event_type"), col("n"), col("k"), col("p_hat"),
-        ((col("p_hat") + z2 / (lit(2.0) * dbl(col("n")))
+        greatest((col("p_hat") + z2 / (lit(2.0) * dbl(col("n")))
           - z * sqrt(col("p_hat") * (lit(1.0) - col("p_hat")) / dbl(col("n"))
             + z2 / (lit(4.0) * dbl(col("n")) * dbl(col("n")))))
-          / (lit(1.0) + z2 / dbl(col("n")))).as("wilson_lo"),
-        ((col("p_hat") + z2 / (lit(2.0) * dbl(col("n")))
+          / (lit(1.0) + z2 / dbl(col("n"))), lit(0.0)).as("wilson_lo"),
+        least((col("p_hat") + z2 / (lit(2.0) * dbl(col("n")))
           + z * sqrt(col("p_hat") * (lit(1.0) - col("p_hat")) / dbl(col("n"))
             + z2 / (lit(4.0) * dbl(col("n")) * dbl(col("n")))))
-          / (lit(1.0) + z2 / dbl(col("n")))).as("wilson_hi"))
+          / (lit(1.0) + z2 / dbl(col("n"))), lit(1.0)).as("wilson_hi"))
       .orderBy("event_type")
   }
 

@@ -287,30 +287,47 @@ object GraphOps {
     modularityOf(edgesOf(spark, dir), sup.union(cust))
   }
 
-  /** The modularity core over any symmetrized (src, dst) edge relation
-    * and total (node, community) labeling — separated so specs can feed
-    * planted graphs with hand-computed Q. Isolated nodes carry no edge
-    * mass and drop out (n_nodes counts CONNECTED members).
+  /** The modularity core over any SIMPLE symmetrized (src, dst) edge
+    * relation (each undirected edge appears exactly twice, no
+    * self-loops — every caller's shape) and total (node, community)
+    * labeling — separated so specs can feed planted graphs with
+    * hand-computed Q. Isolated nodes carry no edge mass and drop out
+    * (n_nodes counts CONNECTED members).
     *
-    * The edge relation is traversed exactly THRICE (degree rollup,
-    * intra-edge count, and a trivial count(*) for 2m) against ONE
+    * The mirrored half is REDUNDANT, so the first move is src < dst:
+    * every cached row, label-join probe and spilled sort page downstream
+    * carries each undirected edge ONCE, halving the op's entire disk
+    * footprint (the r14 sf100 scratch-wall fix — this op died on spill
+    * volume, not plan shape); degrees count both endpoints of the half
+    * rows (map-side-combined union aggregate — shuffle records are
+    * ∝ distinct nodes per task, not edges) and e_in2/m2 are the half
+    * counts doubled.
+    *
+    * The half relation is traversed exactly THRICE (degree rollup,
+    * intra-edge count, and a trivial count(*) for m) against ONE
     * persisted materialization — the pageRank edge-cache pattern. The
     * naive form rescanned the upstream pipeline (here a fact-sized
     * join + distinct) six times through the m2 count and the q_total
     * reuse, and measured 16× at 10× data; everything past the cached
     * scans runs on the checkpointed ≤|communities|-row table.
-    * Re-measured 3.5× at 10× data. m2 is counted DIRECTLY from the
-    * edge list (matching the oracle): deriving it as Σ deg_sum over
-    * the community table equals 2m only under a TOTAL labeling, so a
-    * partial labeling would silently shrink the graph mass and compute
-    * a wrong Q — counted directly, Q is w.r.t. the true 2m under ANY
-    * labeling (per-community terms then cover the labeled subgraph,
-    * the natural partial-labeling generalization). */
+    * m2 is counted DIRECTLY from the edge list (matching the oracle):
+    * deriving it as Σ deg_sum over the community table equals 2m only
+    * under a TOTAL labeling, so a partial labeling would silently
+    * shrink the graph mass and compute a wrong Q — counted directly,
+    * Q is w.r.t. the true 2m under ANY labeling (per-community terms
+    * then cover the labeled subgraph, the natural partial-labeling
+    * generalization). */
   def modularityOf(edges: DataFrame, labels: DataFrame): DataFrame = {
     val d38 = (c: Column) => c.cast(DecimalType(38, 0))
     val dbl = (c: Column) => c.cast(DoubleType)
-    val e = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
+    // canonical half: (a,b) with a < b survives, its mirror doesn't —
+    // the filter pushes into both union branches of a symmetrizing
+    // producer, so the half list costs no extra pass
+    val e = edges.filter(col("src") < col("dst"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val deg = e.select(col("src").as("node"))
+      .unionAll(e.select(col("dst").as("node")))
+      .groupBy(col("node")).agg(count(lit(1)).as("deg"))
     val cd = deg.join(labels, "node")
       .groupBy(col("community"))
       .agg(count(lit(1)).as("n_nodes"), sum(col("deg")).as("deg_sum"))
@@ -319,17 +336,17 @@ object GraphOps {
       .join(labels.select(col("node").as("dst"), col("community").as("cb")), "dst")
       .filter(col("ca") === col("cb"))
       .groupBy(col("ca").as("community"))
-      .agg(count(lit(1)).as("e_in2"))
+      .agg((count(lit(1)) * 2L).as("e_in2"))
     // bounded by |communities|: checkpoint eagerly so the totals below
     // never re-trigger the two corpus scans, then release the edge cache
     val pc0 = cd.join(ei, Seq("community"), "left")
       .select(col("community"), col("n_nodes"), col("deg_sum"),
         coalesce(col("e_in2"), lit(0L)).as("e_in2"))
       .localCheckpoint()
-    // 2m counted from the cached edge rows themselves (a bounded driver
-    // scalar, like the checkpoint above an eager step) — NOT Σ deg_sum,
-    // which under-counts whenever the labeling misses a node
-    val m2 = e.count()
+    // 2m = twice the cached HALF rows (a bounded driver scalar, like
+    // the checkpoint above an eager step) — NOT Σ deg_sum, which
+    // under-counts whenever the labeling misses a node
+    val m2 = 2L * e.count()
     e.unpersist()
     val pc = pc0
       .withColumn("qn",
@@ -474,13 +491,15 @@ object GraphOps {
     * join of the edge list with the frontier, a distinct, and an anti
     * join against the visited set; hop count is a literal, so the
     * driver loop is constant-depth. Each frontier/visited layer is
-    * eagerly localCheckpoint-ed (truncating lineage, the kcore/kmeans
-    * cadence) so the edge cache can be RELEASED before the bounded
-    * readout is served — a lazy persist chain here would leak 9 cached
-    * RDDs per call into the sweep JVMs whose memory headroom the scale
-    * measurements depend on (review finding, spec-irrelevant but
-    * methodology-critical). The seed's TakeOrdered(1) is the only
-    * global reduction and returns one row. */
+    * eagerly persist+count-ed (the loop is 3 levels deep, so lineage
+    * stays bounded without checkpointing), and once the bounded
+    * (hop, frontier, reach) readout is itself materialized every layer
+    * handle is EXPLICITLY unpersisted — a call must leave zero cached
+    * RDDs behind (up to |V| rows per layer would otherwise hold
+    * executor storage until ContextCleaner GC, shrinking the headroom
+    * the sweep JVMs' scale measurements depend on; r14 review + r14
+    * ADVICE). The seed's TakeOrdered(1) is the only global reduction
+    * and returns one row. */
   def khopReach(spark: SparkSession, dir: String): DataFrame =
     khopOf(edgesOf(spark, dir))
 
@@ -488,31 +507,41 @@ object GraphOps {
     * so specs can feed planted graphs (chain → one node per hop; star
     * → everything at hop 1). */
   def khopOf(edges: DataFrame): DataFrame = {
-    val e = edges.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val lvl = org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK
+    val e = edges.persist(lvl)
     val deg = e.groupBy(col("src").as("node")).agg(count(lit(1)).as("deg"))
-    // eager: materializes the 1-row seed and truncates lineage
-    val seed = deg.orderBy(col("deg").desc, col("node")).limit(1)
-      .select(col("node")).localCheckpoint()
+    // eager persist: materializes the 1-row seed; tracked like every
+    // layer so the call releases ALL its storage on exit
+    val handles = Seq.newBuilder[DataFrame]
+    def layer(df: DataFrame): DataFrame = {
+      val p = df.persist(lvl); p.count(); handles += p; p
+    }
+    val seed = layer(deg.orderBy(col("deg").desc, col("node")).limit(1)
+      .select(col("node")))
     var visited = seed
     var frontier = seed
     val layers = Seq.newBuilder[(Int, DataFrame, DataFrame)]
     layers += ((0, frontier, visited))
     for (h <- 1 to KhopHops) {
-      val next = e
+      val next = layer(e
         .join(frontier.select(col("node").as("src")), "src")
         .select(col("dst").as("node")).distinct()
-        .join(visited, Seq("node"), "left_anti")
-        .localCheckpoint()
-      visited = visited.unionAll(next).localCheckpoint()
+        .join(visited, Seq("node"), "left_anti"))
+      visited = layer(visited.unionAll(next))
       frontier = next
       layers += ((h, frontier, visited))
     }
-    e.unpersist()
-    layers.result().map { case (h, f, v) =>
+    // materialize the bounded (Hops+1)-row readout FIRST (localCheckpoint
+    // severs it from the layer RDDs), THEN drop every cached handle —
+    // nothing from this call survives in executor storage
+    val out = layers.result().map { case (h, f, v) =>
       f.agg(count(lit(1)).as("frontier_size"))
         .crossJoin(v.agg(count(lit(1)).as("reach_size")))
         .select(lit(h).as("hop"), col("frontier_size"), col("reach_size"))
-    }.reduce(_.unionAll(_)).orderBy("hop")
+    }.reduce(_.unionAll(_)).orderBy("hop").localCheckpoint()
+    e.unpersist()
+    handles.result().foreach(_.unpersist())
+    out
   }
 
   /** Per-part triangle participation counts over the co-purchase graph

@@ -114,10 +114,22 @@ object TextOps {
     // build side instead of an opaque lazy subtree
     val pairs = DedupOps.ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
       .localCheckpoint()
-    // tf feeds three differently-pruned branches (both overlap sides +
-    // the token totals) — materialize the tokenize+count once, the
-    // salientTerms lesson
-    val tf = termTf(spark, dir).localCheckpoint()
+    // tf only for PAIR MEMBERS (the bleuPerPair move, r14 sf100 fix):
+    // the downstream joins restrict to pair docs anyway, but a
+    // corpus-wide termTf shuffled EVERY document's tokens first — the
+    // spill volume that breached the sf100 scratch disk. One semi join
+    // before the explode bounds the token shuffle by |pair docs|·len,
+    // not corpus size. tf still feeds three differently-pruned branches
+    // (both overlap sides + the token totals) — materialize the
+    // tokenize+count once, the salientTerms lesson.
+    val members = pairs.select(col("doc_a").as("doc_id"))
+      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
+    val tf = Tables(spark, dir, "documents")
+      .join(members, Seq("doc_id"), "left_semi")
+      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+      .groupBy(col("doc_id"), col("term"))
+      .agg(count(lit(1)).cast(IntegerType).as("tf"))
+      .localCheckpoint()
     val nTok = tf.groupBy(col("doc_id"))
       .agg(sum(col("tf")).cast(LongType).as("n"))
     val ov = pairs
@@ -195,37 +207,57 @@ object TextOps {
       .orderBy("doc_a", "doc_b")
   }
 
-  /** The per-pair clipped-gram core shared by [[pairBleu]] and
-    * [[pairRouge]]: for every verified near-dup pair, exact int64
-    * clipped matches m_n = Σ_g min(tf_cand, tf_ref) and candidate gram
-    * totals t_n = max(len_a − n + 1, 0) for n = 1..4, plus both doc
-    * lengths — the ONE gram currency both metrics read (a tokenization
-    * tweak edits one site, BLEU and ROUGE move together). Checkpointed
-    * so each metric's corpus totals never re-run pair detection. */
-  private[graft] def bleuPerPair(spark: SparkSession, dir: String): DataFrame = {
-    val orders = 1 to 4
+  /** The ONE pair-gram pipeline every pair metric rides (the r14
+    * deferred refactor): for every verified near-dup pair
+    * ([[graft.ops.DedupOps.ngramJaccard]]'s decision pairs,
+    * doc_a = candidate, doc_b = reference), exact int64 clipped
+    * matches m_n = Σ_g min(tf_cand, tf_ref) for n = 1..maxOrder plus
+    * both sequence lengths — parameterized over the GRAM EXTRACTOR
+    * only (word grams for BLEU/ROUGE, char grams for chrF; candidate/
+    * reference gram totals are pure functions of the lengths, so
+    * callers derive them). Stages, defined exactly once:
+    *  1. pair checkpoint (∝ |pairs| — pair detection never re-runs);
+    *  2. member-only semi join BEFORE the gram explode (gram volume is
+    *     ∝ |pair docs|·len·maxOrder, not corpus size);
+    *  3. one exploded (doc, n, gram) stream → keyed tf table
+    *     (checkpointed — it feeds BOTH overlap sides);
+    *  4. clipped-match join keyed (doc, n, gram) — rows exist only for
+    *     grams BOTH sides contain (min with an absent side is 0, so
+    *     the inner join is exact), pivoted by conditional sums
+    *     (maxOrder fixed orders — no generic pivot plan);
+    *  5. per-pair left join + length joins, m_n coalesced to 0,
+    *     checkpointed so each metric's corpus totals re-read this
+    *     table, never the pipeline.
+    *
+    * @param prep   text → the per-doc sequence (bound as column `s`)
+    * @param lenOf  sequence → its element count
+    * @param gramAt (s, i, n) → the n-gram starting at 1-based i */
+  private def clippedGramPerPair(
+      spark: SparkSession, dir: String, maxOrder: Int,
+      prep: Column => Column, lenOf: Column => Column,
+      gramAt: (Column, Column, Column) => Column): DataFrame = {
+    val orders = 1 to maxOrder
     val pairs = DedupOps.ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
       .localCheckpoint()
     val members = pairs.select(col("doc_a").as("doc_id"))
       .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
-    val toks = Tables(spark, dir, "documents")
+    val seqs = Tables(spark, dir, "documents")
       .join(members, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"), split(lower(col("text")), " ").as("tk"))
+      .select(col("doc_id"), prep(col("text")).as("s"))
       .localCheckpoint()
-    val lens = toks.select(col("doc_id"), size(col("tk")).cast(LongType).as("len"))
-    // one exploded (doc, n, gram) stream, n = 1..4; slice is 1-based
-    val grams = toks
-      .select(col("doc_id"), col("tk"),
+    val lens = seqs.select(col("doc_id"), lenOf(col("s")).cast(LongType).as("len"))
+    // one exploded (doc, n, gram) stream, n = 1..maxOrder; positions
+    // are 1-based (slice/substr convention)
+    val grams = seqs
+      .select(col("doc_id"), col("s"),
         explode(sequence(lit(1), lit(orders.last))).as("n"))
-      .where(size(col("tk")) >= col("n"))
+      .where(lenOf(col("s")) >= col("n"))
       .select(col("doc_id"), col("n"),
-        explode(transform(sequence(lit(1), size(col("tk")) - col("n") + 1),
-          i => array_join(slice(col("tk"), i, col("n")), " "))).as("gram"))
+        explode(transform(sequence(lit(1), lenOf(col("s")) - col("n") + 1),
+          i => gramAt(col("s"), i, col("n")))).as("gram"))
     val gtf = grams.groupBy(col("doc_id"), col("n"), col("gram"))
       .agg(count(lit(1)).cast(LongType).as("tf"))
       .localCheckpoint()
-    // clipped matches, pivoted by conditional sums (4 fixed orders —
-    // no generic pivot plan)
     val mAggs = orders.map(k =>
       sum(when(col("n") === k, least(col("tf_a"), col("tf_b"))))
         .cast(LongType).as(s"mm$k"))
@@ -241,10 +273,24 @@ object TextOps {
       .join(lens.select(col("doc_id").as("doc_a"), col("len").as("len_a")), Seq("doc_a"))
       .join(lens.select(col("doc_id").as("doc_b"), col("len").as("len_b")), Seq("doc_b"))
       .select(Seq(col("doc_a"), col("doc_b"), col("len_a"), col("len_b")) ++
-        orders.flatMap(k => Seq(
-          coalesce(col(s"mm$k"), lit(0L)).as(s"m$k"),
-          greatest(col("len_a") - (k - 1), lit(0L)).as(s"t$k"))): _*)
+        orders.map(k => coalesce(col(s"mm$k"), lit(0L)).as(s"m$k")): _*)
       .localCheckpoint()
+  }
+
+  /** The word-gram instantiation of [[clippedGramPerPair]] shared by
+    * [[pairBleu]] and [[pairRouge]]: clipped matches m_n and candidate
+    * gram totals t_n = max(len_a − n + 1, 0) for n = 1..4 — the ONE
+    * gram currency both metrics read (a tokenization tweak edits one
+    * site, BLEU and ROUGE move together). */
+  private[graft] def bleuPerPair(spark: SparkSession, dir: String): DataFrame = {
+    val orders = 1 to 4
+    val core = clippedGramPerPair(spark, dir, orders.last,
+      t => split(lower(t), " "), size,
+      (s, i, n) => array_join(slice(s, i, n), " "))
+    core.select(Seq(col("doc_a"), col("doc_b"), col("len_a"), col("len_b")) ++
+      orders.flatMap(k => Seq(
+        col(s"m$k"),
+        greatest(col("len_a") - (k - 1), lit(0L)).as(s"t$k"))): _*)
   }
 
   /** ROUGE-1/2 between each verified near-dup pair (doc_b = reference)
@@ -300,52 +346,22 @@ object TextOps {
     * EXCLUDED when either side has no grams; chrf2 is the arithmetic
     * mean over the included orders (left-associated 6-term sum, one
     * division). micro_chrf2 applies the same tree to the corpus-summed
-    * counts. Scale shape identical to [[pairBleu]]: member-only semi
-    * join before the char-gram explode, (doc, n, gram)-keyed tf join,
-    * checkpointed per-pair table. */
+    * counts. Pipeline IS [[clippedGramPerPair]] (the one shared with
+    * BLEU/ROUGE) instantiated with the char-gram extractor; only the
+    * readout below is chrF's own. */
   def pairChrf(spark: SparkSession, dir: String): DataFrame = {
     val dbl = (c: Column) => c.cast(DoubleType)
     val orders = 1 to 6
-    val pairs = DedupOps.ngramJaccard(spark, dir).select(col("doc_a"), col("doc_b"))
-      .localCheckpoint()
-    val members = pairs.select(col("doc_a").as("doc_id"))
-      .union(pairs.select(col("doc_b").as("doc_id"))).distinct()
-    val chars = Tables(spark, dir, "documents")
-      .join(members, Seq("doc_id"), "left_semi")
-      .select(col("doc_id"),
-        regexp_replace(lower(col("text")), " ", "").as("s"))
-      .localCheckpoint()
-    val lens = chars.select(col("doc_id"), length(col("s")).cast(LongType).as("len"))
-    val grams = chars
-      .select(col("doc_id"), col("s"),
-        explode(sequence(lit(1), lit(orders.last))).as("n"))
-      .where(length(col("s")) >= col("n"))
-      .select(col("doc_id"), col("n"),
-        explode(transform(sequence(lit(1), length(col("s")) - col("n") + 1),
-          i => col("s").substr(i, col("n")))).as("gram"))
-    val gtf = grams.groupBy(col("doc_id"), col("n"), col("gram"))
-      .agg(count(lit(1)).cast(LongType).as("tf"))
-      .localCheckpoint()
-    val mAggs = orders.map(k =>
-      sum(when(col("n") === k, least(col("tf_a"), col("tf_b"))))
-        .cast(LongType).as(s"mm$k"))
-    val mWide = pairs
-      .join(gtf.select(col("doc_id").as("doc_a"), col("n"), col("gram"),
-        col("tf").as("tf_a")), Seq("doc_a"))
-      .join(gtf.select(col("doc_id").as("doc_b"), col("n"), col("gram"),
-        col("tf").as("tf_b")), Seq("doc_b", "n", "gram"))
-      .groupBy(col("doc_a"), col("doc_b"))
-      .agg(mAggs.head, mAggs.tail: _*)
-    val perPair = pairs
-      .join(mWide, Seq("doc_a", "doc_b"), "left")
-      .join(lens.select(col("doc_id").as("doc_a"), col("len").as("nc")), Seq("doc_a"))
-      .join(lens.select(col("doc_id").as("doc_b"), col("len").as("nr")), Seq("doc_b"))
-      .select(Seq(col("doc_a"), col("doc_b"), col("nc"), col("nr")) ++
+    val core = clippedGramPerPair(spark, dir, orders.last,
+      t => regexp_replace(lower(t), " ", ""), length,
+      (s, i, n) => s.substr(i, n))
+    val perPair = core.select(
+      Seq(col("doc_a"), col("doc_b"),
+        col("len_a").as("nc"), col("len_b").as("nr")) ++
         orders.flatMap(k => Seq(
-          coalesce(col(s"mm$k"), lit(0L)).as(s"m$k"),
-          greatest(col("nc") - (k - 1), lit(0L)).as(s"tc$k"),
-          greatest(col("nr") - (k - 1), lit(0L)).as(s"tr$k"))): _*)
-      .localCheckpoint()
+          col(s"m$k"),
+          greatest(col("len_a") - (k - 1), lit(0L)).as(s"tc$k"),
+          greatest(col("len_b") - (k - 1), lit(0L)).as(s"tr$k"))): _*)
     val totAggs = orders.flatMap(k => Seq(
       sum(col(s"m$k")).as(s"sm$k"), sum(col(s"tc$k")).as(s"stc$k"),
       sum(col(s"tr$k")).as(s"str$k")))

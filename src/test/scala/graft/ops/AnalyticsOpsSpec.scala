@@ -977,7 +977,10 @@ class AnalyticsOpsSpec extends SparkSpec {
       val p = k.toDouble / n.toDouble
       val half = z * math.sqrt(p * (1.0 - p) / n + z * z / (4.0 * n * n))
       val c = p + z * z / (2.0 * n)
-      ((c - half) / (1.0 + z * z / n), (c + half) / (1.0 + z * z / n))
+      // the published bounds are clamped to [0,1] (r14 ADVICE: algebraic
+      // containment leaves a last-ulp residue at p̂ ∈ {0,1})
+      (math.max((c - half) / (1.0 + z * z / n), 0.0),
+        math.min((c + half) / (1.0 + z * z / n), 1.0))
     }
     val hot = got("hot")
     assert((hot.getLong(1), hot.getLong(2)) == ((4L, 1L)))
@@ -985,11 +988,13 @@ class AnalyticsOpsSpec extends SparkSpec {
       && hot.getAs[Double]("wilson_hi") == wilson(4, 1)._2)
     val cold = got("cold")
     assert(cold.getLong(2) == 0L)
-    // p̂ = 0: algebraically lo = 0 (center = margin = z²/2n); in IEEE
-    // the sqrt/divide roundings can leave a last-ulp residue, so pin
-    // the replay identity plus the analytic bound
+    // p̂ = 0: algebraically lo = 0 (center = margin = z²/2n); the raw
+    // IEEE tree can leave a last-ulp residue of EITHER sign — the clamp
+    // guarantees the published bound is never negative, and the replay
+    // identity pins the exact value either way
     assert(cold.getAs[Double]("wilson_lo") == wilson(3, 0)._1)
-    assert(math.abs(cold.getAs[Double]("wilson_lo")) < 1e-15, "lo ≈ 0 at p̂ = 0")
+    assert(cold.getAs[Double]("wilson_lo") >= 0.0
+      && cold.getAs[Double]("wilson_lo") < 1e-15, "lo ∈ [0, ulp) at p̂ = 0 (clamped)")
     assert(cold.getAs[Double]("wilson_hi") > 0.0 && cold.getAs[Double]("wilson_hi") < 1.0)
     // real corpus: interval brackets p̂ and stays inside [0, 1]
     EventOps.eventWilsonCi(spark, Sf0001).collect().foreach { r =>

@@ -10,6 +10,12 @@ A query is flagged when ratio > factor * SLACK (default factor 10; slack
 MIN_SEC in the small run are reported but not flagged (timer noise
 dominates sub-100ms readings).
 
+A SECOND tier closes the gap the first one leaves (r14: labelprop read
+13.2x per 10x data on a 1.96s base -- too big to be fixed-overhead
+noise, under the 20x threshold): ratio > TIER2_RATIO on a small-run base
+>= TIER2_MIN_SEC flags too. Sub-second bases stay exempt from tier 2 --
+there, job overhead amortization dominates the ratio.
+
 --json writes the sweep as a checked-in, diffable artifact: one record
 per entry (small/big seconds + ratio + flag) plus the run metadata, so
 the round-over-round scale story is a file, not a PLANS.md table a
@@ -23,6 +29,21 @@ import sys
 
 SLACK = 2.0
 MIN_SEC = 0.15
+TIER2_RATIO = 12.0
+TIER2_MIN_SEC = 0.5
+
+# Entries whose super-linear WALL is adjudicated by a ShuffleStats
+# ledger read (PLANS.md carries the full argument): the flag still
+# fires -- discipline first -- but the artifact carries the verdict so
+# a reader can tell "open regression" from "pinned by design".
+ADJUDICATED = {
+    "x_graph_labelprop":
+        "exact-kNN O(n^2) oracle anchor (require-gated, <=1M rows; "
+        "production path is knnJoin): shuffle records grow 9.93x per "
+        "10x data (r15 ledger, sf0.1->sf1) -- the wall superlinearity "
+        "is the UNSHUFFLED all-pairs cosine stream + its top-k sort, "
+        "which the gate bounds and a cluster never runs at corpus scale",
+}
 
 
 def load(path):
@@ -54,21 +75,31 @@ def main(small_path, big_path, factor=10.0, json_out=None):
         if ta >= MIN_SEC and ratio > factor * SLACK:
             flag = "SUPER-LINEAR"
             flags.append((q, f"{ratio:.1f}x"))
+        elif ta >= TIER2_MIN_SEC and ratio > TIER2_RATIO:
+            flag = "SUPER-LINEAR-T2"
+            flags.append((q, f"{ratio:.1f}x (tier2)"))
         elif ta < MIN_SEC and ratio > factor * SLACK:
             flag = "(fast-query, noisy)"
+        adjudication = ADJUDICATED.get(q) if flag.startswith("SUPER") else None
+        if adjudication:
+            flag += " [adjudicated]"
         print(f"{q:42s} {ta:8.2f} {tb:8.2f} {ratio:7.2f}  {flag}")
         records[q] = {"small_sec": round(ta, 3), "big_sec": round(tb, 3),
                       "ratio": round(ratio, 2) if ratio != float("inf") else None,
-                      "flag": flag or None}
+                      "flag": flag or None,
+                      **({"adjudication": adjudication} if adjudication else {})}
     if json_out:
         with open(json_out, "w") as f:
             json.dump({
                 "small_sf": a.get("sf"), "big_sf": b.get("sf"),
                 "data_factor": factor, "flag_threshold": factor * SLACK,
                 "min_sec": MIN_SEC,
+                "tier2_ratio": TIER2_RATIO, "tier2_min_sec": TIER2_MIN_SEC,
                 "n_entries": len(records),
                 "n_flagged": len([q for q, r in flags if r != "failed"
                                   and not r.startswith("(")]),
+                "n_adjudicated": len([q for q, r in records.items()
+                                      if r.get("adjudication")]),
                 "n_failed": len([q for q, r in flags if r == "failed"]),
                 "total_small_sec": round(a["value"], 1),
                 "total_big_sec": round(b["value"], 1),
