@@ -36,13 +36,20 @@ TIER2_MIN_SEC = 0.5
 # ledger read (PLANS.md carries the full argument): the flag still
 # fires -- discipline first -- but the artifact carries the verdict so
 # a reader can tell "open regression" from "pinned by design".
+_KNN_ANCHOR = (
+    "exact-kNN O(n^2) oracle anchor (require-gated, <=1M rows; "
+    "production path is the bucketed knnJoin): shuffle records grow "
+    "exactly 10x per 10x data (r15 ledger, sf0.1->sf1: knn_exact "
+    "18,032->180,032; knn_recall/gate 96,026->960,033; labelprop "
+    "38,507->382,511) -- the wall superlinearity is the UNSHUFFLED "
+    "map-local all-pairs cosine stream (4M->400M candidates BY "
+    "DESIGN) + its top-k sort working set, which the require gate "
+    "bounds and a cluster never runs at corpus scale")
 ADJUDICATED = {
-    "x_graph_labelprop":
-        "exact-kNN O(n^2) oracle anchor (require-gated, <=1M rows; "
-        "production path is knnJoin): shuffle records grow 9.93x per "
-        "10x data (r15 ledger, sf0.1->sf1) -- the wall superlinearity "
-        "is the UNSHUFFLED all-pairs cosine stream + its top-k sort, "
-        "which the gate bounds and a cluster never runs at corpus scale",
+    "x_graph_labelprop": _KNN_ANCHOR,
+    "x_sim_knn_exact": _KNN_ANCHOR,
+    "x_sim_knn_recall": _KNN_ANCHOR,
+    "x_sim_knn_recall_gate": _KNN_ANCHOR,
 }
 
 
