@@ -58,15 +58,28 @@ object GraphOps {
   val Salts = 16
 
   /** Symmetrized distinct purchase edges (spec-visible so the
-    * nation-labeling totality precondition can be asserted). */
+    * nation-labeling totality precondition can be asserted). The half
+    * list is CANONICALIZED (src < dst via least/greatest) BEFORE the
+    * distinct, so a consumer that reduces back to the half —
+    * modularityOf's src < dst filter — keeps one union branch whole
+    * and empties the other while BOTH branches reference the identical
+    * half subtree: single execution of the fact join + distinct is
+    * then guaranteed BY CONSTRUCTION, not by whether the optimizer
+    * declines to push the filter into the two branches asymmetrically
+    * (measured: records identical pre/post at sf0.1 and sf1 — today's
+    * Spark already kept one subtree; this pins it against planner
+    * drift). The pair {2s, 2c+1} is unique per (supplier, customer),
+    * so canonicalizing cannot merge rows and the symmetric set is
+    * unchanged. */
   private[ops] def edgesOf(spark: SparkSession, dir: String): DataFrame = {
     val li = Tables(spark, dir, "lineitem").select(col("l_orderkey"), col("l_suppkey"))
     val ord = Tables(spark, dir, "orders").select(col("o_orderkey"), col("o_custkey"))
-    val e0 = li.join(ord, col("l_orderkey") === col("o_orderkey"))
-      .select((col("l_suppkey") * 2).as("src"), (col("o_custkey") * 2 + 1).as("dst"))
+    val s = col("l_suppkey") * 2
+    val c = col("o_custkey") * 2 + 1
+    val half = li.join(ord, col("l_orderkey") === col("o_orderkey"))
+      .select(least(s, c).as("src"), greatest(s, c).as("dst"))
       .distinct()
-    // src is always even, dst always odd, so the reverse set is disjoint
-    e0.union(e0.select(col("dst").as("src"), col("src").as("dst")))
+    half.union(half.select(col("dst").as("src"), col("src").as("dst")))
   }
 
   def pageRank(spark: SparkSession, dir: String): DataFrame =
@@ -539,8 +552,11 @@ object GraphOps {
         .crossJoin(v.agg(count(lit(1)).as("reach_size")))
         .select(lit(h).as("hop"), col("frontier_size"), col("reach_size"))
     }.reduce(_.unionAll(_)).orderBy("hop").localCheckpoint()
-    e.unpersist()
-    handles.result().foreach(_.unpersist())
+    // blocking: the release is the POINT (sweep-JVM headroom, and the
+    // storage-release spec observes the persistent-RDD set right after
+    // this returns) — fire-and-forget would race both
+    e.unpersist(blocking = true)
+    handles.result().foreach(_.unpersist(blocking = true))
     out
   }
 

@@ -331,8 +331,17 @@ class GraphOpsSpec extends SparkSpec {
     val sp = GraphOps.khopOf(split).collect()
     assert(sp.map(_.getAs[Long]("reach_size")).max == 3L)
     // real purchase graph: reach is nondecreasing and bounded by the
-    // node count; frontier 0 ⇒ reach frozen thereafter
+    // node count; frontier 0 ⇒ reach frozen thereafter. Bracketed by a
+    // storage-release check (r14 ADVICE): a call may grow the session's
+    // persistent-RDD set by AT MOST its own bounded (Hops+1)-row
+    // readout — the edge cache and all 9 frontier/visited layers must
+    // be explicitly unpersisted, or sweep JVMs bleed headroom call over
+    // call (delta, not absolute: other tests' checkpoints are theirs).
+    val cachedBefore = spark.sparkContext.getPersistentRDDs.size
     val real = GraphOps.khopReach(spark, Sf0001).collect()
+    val cachedAfter = spark.sparkContext.getPersistentRDDs.size
+    assert(cachedAfter - cachedBefore <= 1,
+      s"khopOf leaked cached RDDs: $cachedBefore -> $cachedAfter across one call")
     val reach = real.map(_.getAs[Long]("reach_size"))
     assert(reach.zip(reach.tail).forall { case (a, b) => b >= a })
   }
