@@ -34,6 +34,20 @@ object GraftSession {
       .master(s"local[$cpus]")
       .withExtensions(new GraftExtensions)
       .config("spark.sql.shuffle.partitions", shufflePartitions)
+      // ObjectHashAggregate (every typed-UDAF aggregation: the k-bounded
+      // top-k family, Misra-Gries, CMS) falls back to SORT-based
+      // aggregation after 128 distinct keys per task — absurdly low for
+      // bounded-state aggregators, and the fallback SORTS THE ENTIRE
+      // input stream: the exact-kNN anchor spilled 20.6 GB at sf1 and
+      // ran 2.7× slower (23.3 s → 8.6 s, r15 ledger) purely from this.
+      // 1M keys covers the anchor at its require-gate bound (≤ 1M
+      // vectors; k-bounded buffers ≈ 140 MB/task worst-case there),
+      // while corpus-scale collect_list builds (shingle posting lists:
+      // tens of millions of keys per task at sf100) still exceed it and
+      // keep the spillable sort path — unbounded-state aggregations
+      // must be able to spill, bounded-state ones must not have to.
+      .config("spark.sql.objectHashAggregate.sortBased.fallbackThreshold",
+        "1000000")
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
