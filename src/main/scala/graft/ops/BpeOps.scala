@@ -100,24 +100,30 @@ object BpeOps {
   def trainMerges(spark: SparkSession, dir: String,
       nMerges: Int = NumMerges): Seq[Merge] = {
     var symbols = initialSymbols(spark, dir).cache()
+    // the parent table is released one iteration LATE: the child's cache
+    // fills lazily during the next iteration's argmax job (which reads
+    // the parent's blocks), so no extra materialization action is needed
+    // — one job per merge instead of the old argmax+count pair
+    var prev: Option[DataFrame] = None
     val merges = Seq.newBuilder[Merge]
     var dry = false
     for (rank <- 1 to nMerges if !dry) {
       val top = pairFreqs(symbols)
         .orderBy(col("pair_freq").desc, col("l"), col("r"))
         .limit(1).collect()
+      prev.foreach(_.unpersist()); prev = None
       if (top.isEmpty) dry = true // no pairs left: every further job is a no-op
       else {
         val (l, r, f) = (top(0).getString(0), top(0).getString(1), top(0).getLong(2))
         merges += Merge(rank, l, r, f)
         val next = symbols
           .withColumn("syms", applyMerge(col("syms"), l, r)).cache()
-        next.count() // materialize before dropping the parent
-        symbols.unpersist()
+        prev = Some(symbols)
         symbols = next
       }
     }
     symbols.unpersist()
+    prev.foreach(_.unpersist())
     merges.result()
   }
 
@@ -156,17 +162,23 @@ object BpeOps {
     * only shrink it. */
   def encodeCounts(spark: SparkSession, dir: String,
       merges: Seq[Merge]): DataFrame = {
-    val words = Tables(spark, dir, "documents")
+    // encode each DISTINCT word once and broadcast the result back onto
+    // the occurrence stream: the 12-merge chained fold is an interpreted
+    // (non-codegen) higher-order expression, and running it per word
+    // OCCURRENCE cost 17 s at sf0.1 versus a Heaps-law-bounded distinct
+    // vocabulary — the same token-currency move every real tokenizer
+    // makes (encode the vocab, stream the text). Values are identical:
+    // n_chars/n_bpe are functions of the word alone.
+    val occ = Tables(spark, dir, "documents")
       .select(col("doc_id"),
         explode(regexp_extract_all(col("text"),
           lit(TextOps.BpeTokenRe), lit(0))).as("word"))
-      .select(col("doc_id"),
-        regexp_extract_all(col("word"), lit("."), lit(0)).as("syms"))
     val encoded = merges.sortBy(_.rank)
       .foldLeft(col("syms")) { (c, m) => applyMerge(c, m.l, m.r) }
-    words
-      .select(col("doc_id"), size(col("syms")).as("n_chars"),
-        size(encoded).as("n_bpe"))
+    val enc = occ.select(col("word")).distinct()
+      .select(col("word"), regexp_extract_all(col("word"), lit("."), lit(0)).as("syms"))
+      .select(col("word"), size(col("syms")).as("n_chars"), size(encoded).as("n_bpe"))
+    occ.join(broadcast(enc), Seq("word"))
       .groupBy(col("doc_id"))
       .agg(sum(col("n_chars")).cast(LongType).as("n_char_tokens"),
         sum(col("n_bpe")).cast(LongType).as("n_bpe_tokens"))
@@ -217,19 +229,24 @@ object BpeOps {
   def encodeGate(spark: SparkSession, dir: String): DataFrame = {
     val encoded = trainedMerges(spark, dir).sortBy(_.rank)
       .foldLeft(col("syms")) { (c, m) => applyMerge(c, m.l, m.r) }
+    // the decode/monotonicity checks are word-functions: evaluate the
+    // interpreted merge fold once per DISTINCT word and weight each
+    // verdict by the word's occurrence count — identical sums to the
+    // old per-occurrence pass (the encodeCounts vocabulary move)
     Tables(spark, dir, "documents")
       .select(explode(regexp_extract_all(col("text"),
         lit(TextOps.BpeTokenRe), lit(0))).as("word"))
-      .select(col("word"),
+      .groupBy(col("word")).agg(count(lit(1)).as("cnt"))
+      .select(col("word"), col("cnt"),
         regexp_extract_all(col("word"), lit("."), lit(0)).as("syms"))
-      .select(col("word"), col("syms"), encoded.as("enc"))
+      .select(col("word"), col("cnt"), col("syms"), encoded.as("enc"))
       .agg(
-        count(lit(1)).as("n_words"),
-        sum(when(array_join(col("enc"), "") =!= col("word"), 1L)
+        coalesce(sum(col("cnt")), lit(0L)).as("n_words"),
+        sum(when(array_join(col("enc"), "") =!= col("word"), col("cnt"))
           .otherwise(0L)).as("bad_decode"),
-        sum(when(size(col("enc")) > size(col("syms")), 1L)
+        sum(when(size(col("enc")) > size(col("syms")), col("cnt"))
           .otherwise(0L)).as("grown"),
-        sum(when(size(col("enc")) < 1, 1L).otherwise(0L)).as("vanished"))
+        sum(when(size(col("enc")) < 1, col("cnt")).otherwise(0L)).as("vanished"))
       .select(col("n_words"),
         (coalesce(col("bad_decode"), lit(0L)) === 0L &&
           coalesce(col("grown"), lit(0L)) === 0L &&

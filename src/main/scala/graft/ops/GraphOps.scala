@@ -126,14 +126,22 @@ object GraphOps {
     // the session like any materialized index
     val edges0 = rawEdges.join(deg, Seq("src"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // persisted like the edge list: the node table seeds the initial
+    // ranks AND rebuilds the rank side of every iteration's left join
+    // (as `spine` when unsalted), so without pinning the |E|-row
+    // distinct-aggregate re-executes once per iteration (r15: it ran
+    // 4-5× per query)
     val nodes = edges0.select(col("src").as("node"), col("deg")).distinct()
-    // driver values: |V| and max out-degree (two bounded scalars; the
-    // max reads the cache and decides whether the salted machinery
-    // exists in the plan AT ALL — a uniform graph pays zero for the
-    // armor, in plan shape and in work)
-    val n = nodes.count()
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // driver values: |V| and max out-degree, fused into ONE bounded
+    // scalar action (max over node-level degrees ≡ max over edge rows);
+    // the max decides whether the salted machinery exists in the plan
+    // AT ALL — a uniform graph pays zero for the armor, in plan shape
+    // and in work
+    val st = nodes.agg(count(lit(1)), max(col("deg"))).head
+    val n = st.getLong(0)
     require(n > 0, "empty graph")
-    val salted = edges0.agg(max(col("deg"))).head.getLong(0) >= hotDegree
+    val salted = st.getLong(1) >= hotDegree
     val edges =
       if (!salted) edges0
       // cheap projection over the cached rows — one hash per edge per
@@ -192,6 +200,13 @@ object GraphOps {
       if (i % CheckpointEvery == 0 || i == Iters)
         ranks = ranks.localCheckpoint()
     }
+    // the final localCheckpoint (i == Iters always lands on one) is
+    // EAGER, so the returned plan reads only checkpoint blocks — the
+    // working caches can be released here instead of leaking for the
+    // session (bench reps each leaked an edge list + spine before r15)
+    edges0.unpersist()
+    nodes.unpersist()
+    if (salted) spine.unpersist()
     (if (salted) ranks.filter(col("salt") === 0) else ranks)
       .select(col("node"), col("rank")).orderBy("node")
   }
@@ -770,13 +785,20 @@ object GraphOps {
     * "drop entities without enough corroborating connections" (spam
     * subgraphs, thin crawl tendrils) before walking/ranking the rest.
     *
-    * Scale shape per round: the survivor set (node-sized, ≪ edges)
-    * semi-joins the edge list on BOTH endpoints — two hash semi joins on
-    * the partitioning keys the edge list already shuffles on — then one
-    * map-side-combinable degree count. Nothing reaches the driver but
-    * the survivor count (one scalar per round). Each round's survivor
-    * set is localCheckpoint-ed so plan depth stays O(1) in rounds (the
-    * pageRank/ClusterOps lineage lesson) and the previous round's blocks
+    * Scale shape: ONE full degree count up front, then each peel wave
+    * touches only the edges INCIDENT TO THAT WAVE'S REMOVED NODES —
+    * survivors' degrees are DECREMENTED by a (edges ⋈ removed-on-dst →
+    * count per src) pass instead of recounted from scratch. The removed
+    * set shrinks geometrically after the first wave, so AQE plans the
+    * per-wave join as a broadcast over the pinned edge list (zero edge
+    * shuffles) once removals are small, and the per-wave |V|-row state
+    * update replaces the old plan's three full-edge-list exchanges per
+    * round (the r15 optimization pass; same fixpoint by construction —
+    * deg after wave r ≡ edges into the wave-r survivor set, the exact
+    * quantity the recount computed). Nothing reaches the driver but the
+    * removed-node count (one scalar per wave). Each wave's degree table
+    * is localCheckpoint-ed so plan depth stays O(1) in rounds (the
+    * pageRank/ClusterOps lineage lesson) and the previous wave's blocks
     * are freed explicitly.
     *
     * Determinism: degrees are exact integer counts and the peel rule is
@@ -788,39 +810,43 @@ object GraphOps {
 
   def kcoreOf(edges0: DataFrame, k: Int): DataFrame = {
     // pin the edge list ONCE: it is join-derived (lineitem⋈orders +
-    // distinct + union), and every peel round — plus the initial
-    // survivor set, each round's fixpoint count and the final degree
-    // report — re-reads it; without pinning each action replays the
-    // whole build (measured 36 s vs 2 s at sf0.1 once promoted to a
-    // bench headline). Blocks stay alive past return because the
-    // returned plan reads them (the pageRank rank-chain rule).
+    // distinct + union), and the initial degree count plus every peel
+    // wave's decrement join re-reads it; without pinning each action
+    // replays the whole build (measured 36 s vs 2 s at sf0.1 once
+    // promoted to a bench headline). Blocks stay alive past return
+    // because the returned plan reads them (the pageRank rank-chain
+    // rule).
     val edges = edges0.localCheckpoint()
-    var surv = edges.select(col("src").as("node")).distinct().localCheckpoint()
+    // state: surviving nodes with their degree WITHIN the surviving
+    // subgraph (initially: everyone, with raw degree)
+    var deg = edges.groupBy(col("src")).agg(count(lit(1)).as("deg"))
+      .select(col("src").as("node"), col("deg"))
+      .localCheckpoint()
     var prevRdd: Option[org.apache.spark.rdd.RDD[_]] = None
-    var nSurv = surv.count()
-    var degrees = surv.select(col("node"), lit(0L).as("deg")).limit(0)
     var rounds = 0
-    var done = nSurv == 0L
-    while (!done && rounds < KcoreMaxRounds) {
-      val deg = edges
-        .join(surv.select(col("node").as("src")), Seq("src"), "left_semi")
-        .join(surv.select(col("node").as("dst")), Seq("dst"), "left_semi")
-        .groupBy(col("src")).agg(count(lit(1)).as("deg"))
-        .select(col("src").as("node"), col("deg"))
-      val next = deg.filter(col("deg") >= k).select(col("node")).localCheckpoint()
-      val nNext = next.count()
-      done = nNext == nSurv
-      degrees = deg
-      // free the round we just peeled past (localCheckpoint blocks are
+    var nRemoved = deg.filter(col("deg") < k).count()
+    while (nRemoved > 0 && rounds < KcoreMaxRounds) {
+      val removed = deg.filter(col("deg") < k)
+      // per-survivor decrement = # edges whose far endpoint is removed
+      // THIS wave (symmetric edges: every incident edge appears with the
+      // removed node on the dst side)
+      val dec = edges.join(removed.select(col("node").as("dst")), Seq("dst"))
+        .groupBy(col("src")).agg(count(lit(1)).as("dec"))
+      val next = deg.filter(col("deg") >= k).as("d")
+        .join(dec.as("x"), col("d.node") === col("x.src"), "left")
+        .select(col("d.node").as("node"),
+          (col("d.deg") - coalesce(col("x.dec"), lit(0L))).as("deg"))
+        .localCheckpoint()
+      // free the wave we just peeled past (localCheckpoint blocks are
       // not in the cacheManager — unpersist the backing RDD directly,
       // the ClusterOps pattern)
       prevRdd.foreach(_.unpersist(false))
-      prevRdd = Some(surv.rdd)
-      surv = next
-      nSurv = nNext
+      prevRdd = Some(deg.rdd)
+      deg = next
+      nRemoved = deg.filter(col("deg") < k).count()
       rounds += 1
     }
-    degrees.filter(col("deg") >= k).orderBy("node")
+    deg.filter(col("deg") >= k).orderBy("node")
   }
 
   /** Log₂-bucketed degree histogram of the purchase graph — the skew

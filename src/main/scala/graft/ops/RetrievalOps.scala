@@ -25,9 +25,10 @@ import org.apache.spark.sql.types._
   * Scale shape: ONE corpus tokenization; the query vocabulary (bounded
   * by the query workload, broadcast) filters tokens BEFORE the tf
   * shuffle, so the keyed aggregates only ever see query-term tokens;
-  * doc lengths are one map-side-combined count per doc (a production
-  * index materializes dl once, like the kNN index); df/idf is a
-  * |vocab|-row broadcast; ranking is the bounded map-side top-k
+  * doc lengths are a narrow array-size projection of the shared corpus
+  * subtree — |split(text)| without exploding or shuffling anything (a
+  * production index materializes dl once, like the kNN index); df/idf
+  * is a |vocab|-row broadcast; ranking is the bounded map-side top-k
   * aggregate ([[graft.functions.TopKPairsAggregator]]) — no window, no
   * full-score shuffle. The driver sees two scalars (N, avgdl). */
 object RetrievalOps {
@@ -47,18 +48,37 @@ object RetrievalOps {
   def bm25(spark: SparkSession, dir: String): DataFrame =
     bm25For(spark, dir, DefaultQueries)
 
+  /** One parallelized corpus subtree shared by every lexical branch of a
+    * query: both consumers (the dl projection and the tf explode)
+    * reference the SAME repartition exchange, so ReuseExchange executes
+    * the scan+shuffle once and each branch reads the shuffle output —
+    * the ngram-jaccard "spine" pattern. The isNotNull filters are pushed
+    * to the parquet scan AND make dl-from-array-size semantics identical
+    * to the oracle's explode-and-count (a null text yields no tok rows
+    * there, no dl row here). */
+  private def docsPar(spark: SparkSession, dir: String): DataFrame =
+    Tables.parallel(spark, dir, "documents")
+      .filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+
+  /** Doc length WITHOUT tokenizing: |split(text)| ≡ count of exploded
+    * tokens for non-null text (split of "" is [""] in both engines), so
+    * the former's one narrow projection replaces a full explode +
+    * groupBy(doc_id) shuffle — the r15 lexical-stack restructure: dl was
+    * one of 2 (BM25) / 3 (QLM) redundant corpus tokenizations per query. */
+  private def dlOf(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"),
+      size(split(lower(col("text")), " ")).cast(LongType).as("dl"))
+
+  private def explodedTerms(docs: DataFrame): DataFrame =
+    docs.select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
+
   def bm25For(spark: SparkSession, dir: String,
       queries: Seq[(Int, String)]): DataFrame = {
-    // the explicit isNotNull matches the IsNotNull(doc_id) predicate the
-    // downstream inner join pushes into the tf branch — with it, the df
-    // branch's subtree is bit-identical and AQE's ReusedExchange collapses
-    // the two tokenization passes into ONE executed corpus scan
-    val toks = Tables.parallel(spark, dir, "documents")
-      .filter(col("doc_id").isNotNull)
-      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val base = docsPar(spark, dir)
+    val dl = dlOf(base)
     val vocab = queries.flatMap(_._2.split(" ")).distinct
-    val tf = toks.filter(col("term").isin(vocab: _*))
+    val tf = explodedTerms(base).filter(col("term").isin(vocab: _*))
       .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val dfT = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
     scoreAndRank(spark, queries, tf, dfT, dl)
@@ -88,11 +108,13 @@ object RetrievalOps {
     val qTerms = DefaultQueries
       .flatMap { case (q, s) => s.split(" ").distinct.map(t => (q, t)) }
       .toDF("q_id", "term")
-    val toks = Tables.parallel(spark, dir, "documents")
-      .filter(col("doc_id").isNotNull)
-      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
-    val cand = toks
+    // join the |q|·10-row feedback set BEFORE exploding (explode after a
+    // selective join, guide-§3 ordering): only the feedback docs' texts
+    // are ever tokenized, instead of exploding the whole corpus and
+    // filtering the token stream
+    val cand = docsPar(spark, dir)
       .join(broadcast(topDocs), Seq("doc_id"))
+      .select(col("q_id"), explode(split(lower(col("text")), " ")).as("term"))
       .join(broadcast(qTerms), Seq("q_id", "term"), "left_anti")
       .groupBy(col("q_id"), col("term")).agg(count(lit(1)).as("tfsum"))
     val w = org.apache.spark.sql.expressions.Window
@@ -127,8 +149,9 @@ object RetrievalOps {
     * micro-units, so the per-doc score is an order-independent integer
     * sum (the ln boundary hazard is the documented p ≈ 1e-10 per term).
     *
-    * Scale shape: one tokenization; cf/tf see only query-term tokens
-    * (broadcast-vocabulary filter before the shuffle); the candidate ×
+    * Scale shape: one tokenization (tf); cf folds the already-aggregated
+    * tf relation (Σ tf per term ≡ the token count) and dl is the array-
+    * size projection — neither re-reads the corpus; the candidate ×
     * query-term expansion is ≤ |q_terms| rows per candidate against a
     * BROADCAST query relation; dl joins stream the big side once;
     * ranking is the bounded map-side top-k aggregate. */
@@ -137,14 +160,16 @@ object RetrievalOps {
 
   def qlmFor(spark: SparkSession, dir: String,
       queries: Seq[(Int, String)]): DataFrame = {
-    val toks = Tables.parallel(spark, dir, "documents")
-      .filter(col("doc_id").isNotNull)
-      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val base = docsPar(spark, dir)
+    val dl = dlOf(base)
     val vocab = queries.flatMap(_._2.split(" ")).distinct
-    val qToks = toks.filter(col("term").isin(vocab: _*))
-    val tf = qToks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
-    val cf = qToks.groupBy(col("term")).agg(count(lit(1)).as("cf"))
+    val tf = explodedTerms(base).filter(col("term").isin(vocab: _*))
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    // collection frequency = Σ tf per term: derived from the already-
+    // aggregated tf relation (a |cand-docs|·|vocab|-row input) instead of
+    // re-tokenizing the corpus — count of query-term tokens ≡ sum of
+    // their per-doc counts, bit-for-bit
+    val cf = tf.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
     // bounded driver scalar: corpus token count (the BM25 N/avgdl move)
     val totC = dl.agg(sum(col("dl"))).collect()(0).getLong(0)
     qlmScoreAndRank(spark, queries, tf, cf, dl, totC)
@@ -268,9 +293,9 @@ object RetrievalOps {
     * query workload; at 100 TB this runs once per corpus snapshot and
     * probes never touch `documents` again. */
   def buildLexIndex(spark: SparkSession, dir: String, indexDir: String): Unit = {
-    val toks = Tables.parallel(spark, dir, "documents")
-      .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("term"))
-    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val base = docsPar(spark, dir)
+    val tf = explodedTerms(base)
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     tf.repartition(col("term")).sortWithinPartitions(col("term"), col("doc_id"))
       .write.mode("overwrite").parquet(s"$indexDir/tf")
     tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
@@ -279,7 +304,7 @@ object RetrievalOps {
     // background distribution; BM25 never reads it, QLM must
     tf.groupBy(col("term")).agg(sum(col("tf")).as("cf"))
       .write.mode("overwrite").parquet(s"$indexDir/cf")
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
+    val dl = dlOf(base)
     dl.write.mode("overwrite").parquet(s"$indexDir/dl")
     dl.agg(count(lit(1)).as("n"), sum(col("dl")).as("tot"))
       .write.mode("overwrite").parquet(s"$indexDir/stats")
@@ -324,14 +349,15 @@ object RetrievalOps {
   // Incremental maintenance: fold a new crawl batch into the index
   // ------------------------------------------------------------------
 
-  /** Tokenize one (doc_id, text) batch into index-shaped statistics. */
+  /** Tokenize one (doc_id, text) batch into index-shaped statistics
+    * (dl via the same array-size projection as the full build). */
   private def statsOf(docs: DataFrame): (DataFrame, DataFrame, DataFrame) = {
-    val toks = docs.select(col("doc_id"),
-      explode(split(lower(col("text")), " ")).as("term"))
-    val tf = toks.groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
+    val base = docs.filter(col("doc_id").isNotNull && col("text").isNotNull)
+      .select(col("doc_id"), col("text"))
+    val tf = explodedTerms(base)
+      .groupBy(col("doc_id"), col("term")).agg(count(lit(1)).as("tf"))
     val df = tf.groupBy(col("term")).agg(count(lit(1)).as("df"))
-    val dl = toks.groupBy(col("doc_id")).agg(count(lit(1)).as("dl"))
-    (tf, df, dl)
+    (tf, df, dlOf(base))
   }
 
   /** Fold a batch of NEW documents (fresh doc_ids — the daily-crawl
