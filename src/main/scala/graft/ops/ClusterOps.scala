@@ -24,9 +24,14 @@ object ClusterOps {
   def connectedComponents(edges: DataFrame, maxIter: Int = 20): DataFrame = {
     val spark = edges.sparkSession
     val e = edges.toDF("src", "dst")
-    // symmetrize once: propagation below only follows src→dst
+    // symmetrize once, and pin it PRE-PARTITIONED on dst — the key every
+    // round's propagation join probes — so the cached edge list is never
+    // re-exchanged: each round shuffles only the |V|-row label table
+    // (before r15 the |E|-row edge side re-shuffled every round because
+    // distinct() leaves it partitioned on the (src, dst) composite)
     val sym = e.union(e.select(col("dst").as("src"), col("src").as("dst")))
       .distinct()
+      .repartition(col("dst"))
       .persist(StorageLevel.MEMORY_AND_DISK)
     var labels = sym.select(col("src").as("id")).distinct()
       .withColumn("component", col("id"))
@@ -56,12 +61,16 @@ object ClusterOps {
       // applied every round because BOTH consumers need the
       // materialization here. Labels are integer mins: plan-independent,
       // so oracle rows are untouched.
+      // the changed flag rides INSIDE the checkpointed round (computed
+      // where old and new labels are already side by side), so the
+      // convergence probe is a count over checkpoint blocks instead of a
+      // second |V|⋈|V| join per round
       val next = labels.join(viaNeighbors, Seq("id"), "left")
         .select(col("id"),
-          least(col("component"), coalesce(col("n_comp"), col("component"))).as("component"))
+          least(col("component"), coalesce(col("n_comp"), col("component"))).as("component"),
+          (coalesce(col("n_comp"), col("component")) < col("component")).as("chg"))
         .localCheckpoint()
-      val changed = next.join(labels.withColumnRenamed("component", "old"), Seq("id"))
-        .filter(col("component") =!= col("old")).count()
+      val changed = next.filter(col("chg")).count()
       // round 1: frees the persisted seed table; later rounds: inert for
       // the checkpointed Dataset, so also unpersist the backing RDD whose
       // handle was saved when that round was current

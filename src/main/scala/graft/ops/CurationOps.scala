@@ -416,7 +416,9 @@ object CurationOps {
     * artifacts a serving path freezes: the weight table and the 1-row
     * prior. */
   def dsirFit(spark: SparkSession, dir: String): (DataFrame, DataFrame) = {
-    val bt = bigramBuckets(Tables(spark, dir, "documents"))
+    // Tables.parallel: the bigram hash pass is pure CPU over a
+    // single-row-group scan task at test SFs (no-op on production lakes)
+    val bt = bigramBuckets(Tables.parallel(spark, dir, "documents"))
       .groupBy(col("bucket"))
       .agg(count(lit(1)).as("cq"),
         sum(when(col("lang") === DsirTargetLang, 1L).otherwise(0L)).as("ct"))
@@ -466,7 +468,7 @@ object CurationOps {
     * fit exactly once per corpus snapshot. */
   private def dsirScored(spark: SparkSession, dir: String): DataFrame = {
     val (w, prior) = dsirFit(spark, dir)
-    dsirScoreAgainst(Tables(spark, dir, "documents"), w, prior)
+    dsirScoreAgainst(Tables.parallel(spark, dir, "documents"), w, prior)
   }
 
   /** The ordered rule chain behind [[filterFunnel]]: (name, predicate)

@@ -130,8 +130,13 @@ object GraphOps {
     // ranks AND rebuilds the rank side of every iteration's left join
     // (as `spine` when unsalted), so without pinning the |E|-row
     // distinct-aggregate re-executes once per iteration (r15: it ran
-    // 4-5× per query)
+    // 4-5× per query). Pinned PRE-PARTITIONED on node — the key both
+    // per-iteration joins cluster on — so reading the cache satisfies
+    // their distribution outright: the one-time |V|-row repartition
+    // replaces a |V| exchange per iteration (initial ranks inherit it
+    // too, so the first edges⋈ranks join starts co-partitioned).
     val nodes = edges0.select(col("src").as("node"), col("deg")).distinct()
+      .repartition(col("node"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // driver values: |V| and max out-degree, fused into ONE bounded
     // scalar action (max over node-level degrees ≡ max over edge rows);
@@ -200,13 +205,14 @@ object GraphOps {
       if (i % CheckpointEvery == 0 || i == Iters)
         ranks = ranks.localCheckpoint()
     }
-    // the final localCheckpoint (i == Iters always lands on one) is
-    // EAGER, so the returned plan reads only checkpoint blocks — the
-    // working caches can be released here instead of leaking for the
-    // session (bench reps each leaked an edge list + spine before r15)
-    edges0.unpersist()
-    nodes.unpersist()
-    if (salted) spine.unpersist()
+    // the edge/node caches deliberately OUTLIVE the call (the
+    // session-lifetime materialized-index pattern the scaladoc cites,
+    // like ensureKnnIndex's warm index): the CacheManager canonicalizes
+    // identical plans, so a later pageRank/PPR over the same inputs in
+    // this session reads the cached graph instead of replaying the fact
+    // join — releasing them here was measured (r15) to re-bill every
+    // invocation the full edge build for storage that is bounded by one
+    // graph copy per distinct input.
     (if (salted) ranks.filter(col("salt") === 0) else ranks)
       .select(col("node"), col("rank")).orderBy("node")
   }
@@ -546,6 +552,10 @@ object GraphOps {
     }
     val seed = layer(deg.orderBy(col("deg").desc, col("node")).limit(1)
       .select(col("node")))
+    // visited is a LAZY union of the (disjoint, individually cached)
+    // frontier layers — materializing a fresh |V|-row copy per hop was
+    // one extra persist+count job and one extra stored layer per hop
+    // for a relation whose every member is already in executor storage
     var visited = seed
     var frontier = seed
     val layers = Seq.newBuilder[(Int, DataFrame, DataFrame)]
@@ -555,7 +565,7 @@ object GraphOps {
         .join(frontier.select(col("node").as("src")), "src")
         .select(col("dst").as("node")).distinct()
         .join(visited, Seq("node"), "left_anti"))
-      visited = layer(visited.unionAll(next))
+      visited = visited.unionAll(next)
       frontier = next
       layers += ((h, frontier, visited))
     }
